@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.core.{Selectors, TableId}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A transform rule: per-table projection + filter, the reference's entire
+  * row-local query surface.
+  *
+  * Mirrors `flink-cdc-runtime/.../transform/PostTransformOperator.java:66-397`
+  * and the YAML keys of `YamlPipelineDefinitionParser.java:79-100`. The heavy
+  * machinery of the reference — Calcite parse, Janino codegen, per-table
+  * processor caches — collapses into `selectExpr`/`filter`: Catalyst performs
+  * the same parse→analyze→codegen pipeline (SURVEY.md §3.2), and its
+  * `ColumnPruning` rule supplies the `PreTransformOperator` behaviour for free.
+  */
+final case class TransformRule(
+    sourceTable: String,
+    projection: Option[String] = None,
+    filter: Option[String] = None,
+    primaryKeys: Seq[String] = Seq.empty,
+    partitionKeys: Seq[String] = Seq.empty,
+    tableOptions: Map[String, String] = Map.empty,
+    postTransformConverter: Option[String] = None) {
+  @transient lazy val selectors: Selectors = Selectors.parse(sourceTable)
+  def matches(tableId: TableId): Boolean = selectors.isMatch(tableId)
+}
+
+object TransformOp {
+
+  /** Split a projection string on top-level commas (ignoring commas inside
+    * parens, brackets, and quoted strings) — the reference gets this from
+    * Calcite's SELECT-list parser (`TransformParser.parseProjectionExpression:525`).
+    */
+  private[operators] def splitProjection(projection: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < projection.length) {
+      val c = projection.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** Expand `*` to the table's physical columns, mirroring
+    * `TransformParser.expandWildcard:256` — the wildcard keeps original columns
+    * (never metadata columns) in their original order.
+    */
+  private[operators] def expandProjection(
+      projection: String,
+      physicalColumns: Seq[String]): Seq[String] =
+    splitProjection(projection).flatMap {
+      case "*" => physicalColumns
+      case e => Seq(e)
+    }
+
+  /** Apply projection+filter to a plain row DataFrame (one table's rows).
+    *
+    * Semantics per `docs/content/docs/core-concept/transform.md:34-63`:
+    *   - filter sees original AND computed columns (reference evaluates filter
+    *     after projection computation but before projection narrowing) — so we
+    *     evaluate filter on a frame extended with the computed columns.
+    *   - metadata columns are available to both when `tableId` is provided.
+    */
+  def applyToRows(
+      rows: DataFrame,
+      rule: TransformRule,
+      tableId: Option[TableId] = None,
+      opLiteral: String = "INSERT"): DataFrame = {
+    val physical = rows.columns.toSeq
+    // make metadata columns referenceable
+    val withMeta = tableId match {
+      case Some(t) =>
+        rows
+          .withColumn(Envelope.NamespaceName, lit(t.namespace))
+          .withColumn(Envelope.SchemaName, lit(t.schemaName))
+          .withColumn(Envelope.TableName, lit(t.tableName))
+          .withColumn(Envelope.DataEventType, lit(opLiteral))
+      case None => rows
+    }
+    val projExprs = rule.projection match {
+      case Some(p) => expandProjection(p, physical)
+      case None => physical
+    }
+    // computed columns must be visible to the filter: extend, filter, then narrow
+    val aliasOf = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    val extended = projExprs.foldLeft(withMeta) { (df, e) =>
+      aliasOf.findFirstMatchIn(e) match {
+        case Some(m) if !df.columns.contains(m.group(1)) =>
+          df.withColumn(m.group(1), expr(e.substring(0, m.start)))
+        case _ => df
+      }
+    }
+    val filtered = rule.filter match {
+      case Some(f) => extended.filter(expr(f))
+      case None => extended
+    }
+    val outNames = projExprs.map { e =>
+      aliasOf.findFirstMatchIn(e).map(_.group(1)).getOrElse(e)
+    }
+    filtered.select(outNames.zip(projExprs).map { case (name, e) =>
+      if (filtered.columns.contains(name)) col(name).as(name) else expr(e).as(name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Referenced-column analysis for scan pruning
+    * (`TransformParser.generateReferencedColumns:207`). With DataFrames this is
+    * Catalyst's ColumnPruning; exposed here for the DSv2 source's
+    * `pruneColumns` and for tests asserting the pruned read schema.
+    */
+  def referencedColumns(rule: TransformRule, physicalColumns: Seq[String]): Seq[String] = {
+    val exprs = rule.projection.map(splitProjection).getOrElse(Seq("*")) ++ rule.filter.toSeq
+    if (exprs.contains("*")) physicalColumns
+    else {
+      val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+      val used = exprs.flatMap(e => ident.findAllIn(e)).toSet
+      physicalColumns.filter(used.contains)
+    }
+  }
+}

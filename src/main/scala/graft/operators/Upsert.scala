@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog → table-state materialization: the PK-upsert semantics of the
+  * reference's `ValuesDatabase` (apply INSERT/UPDATE/REPLACE/DELETE to a
+  * `Map[pk, row]`) and of every upsert sink.
+  *
+  * Spark-first design: instead of per-row map mutation, the latest event per
+  * key is selected with `max_by(payload, seq)` — ONE hash shuffle with
+  * map-side partial aggregation, no window sort, no driver collect. At 100 TB
+  * this is the minimal-shuffle plan: AQE coalesces the post-shuffle partitions
+  * and handles key skew.
+  */
+object Upsert {
+
+  /** Key extraction works for DELETE rows too: the key lives in `before` when
+    * `after` is null (`DataChangeEvent.java` before/after contract).
+    */
+  private def keyCol(k: String): Column =
+    coalesce(col(s"${Envelope.AfterCol}.$k"), col(s"${Envelope.BeforeCol}.$k")).as(k)
+
+  /** Materialize the final state of one table from its envelope changelog.
+    *
+    * @param env      envelope DataFrame (single table or pre-filtered)
+    * @param keyCols  primary-key columns inside before/after
+    * @return one row per surviving key, payload columns only, where the
+    *         highest-`seq` event is not a DELETE
+    */
+  def materialize(env: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsert materialization requires primary keys")
+    val latest = env
+      .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
+      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
+        .as("__last"))
+    latest
+      .filter(col("__last.op") =!= "DELETE")
+      .select(col("__last.after.*"))
+  }
+
+  /** Multi-table variant: group additionally by the routed sink table id, so a
+    * single pass materializes every routed table (used by `foreachBatch` sinks).
+    * Returns (sinkTableId, payload...) rows.
+    */
+  def materializeRouted(env: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val groupCols = col("sinkTableId") +: keyCols.map(keyCol)
+    env
+      .groupBy(groupCols.toIndexedSeq: _*)
+      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
+        .as("__last"))
+      .filter(col("__last.op") =!= "DELETE")
+      .select(col("sinkTableId"), col("__last.after.*"))
+  }
+
+  /** Per-key ordered apply for sinks that need the full event sequence (not
+    * just the final state): repartition by key, sort within partitions by seq.
+    * Mirrors `RegularPrePartitionOperator.partitionBy:103` + FIFO delivery —
+    * the SURVEY §7 "hard list" item (d).
+    */
+  def orderedForSink(env: DataFrame, keyCols: Seq[String], numPartitions: Int): DataFrame =
+    env
+      .repartition(numPartitions, keyCols.map(keyCol).toIndexedSeq: _*)
+      .sortWithinPartitions(keyCols.map(keyCol) :+ col(Envelope.SeqCol): _*)
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.core.TableId
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EnvelopeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def changelog() = {
+    val df = Seq(
+      (1L, 1L, "INSERT", "a", 10.0),
+      (2L, 1L, "UPDATE", "a2", 11.0),
+      (3L, 2L, "INSERT", "b", 20.0),
+      (4L, 2L, "DELETE", "b", 20.0),
+      (5L, 3L, "INSERT", "c", 30.0)
+    ).toDF("seq0", "id", "op0", "name", "value")
+    Envelope.fromChangelog(df, TableId.parse("db.t"), col("op0"), col("seq0"),
+      Seq("id", "name", "value"))
+  }
+
+  test("fromChangelog populates before/after per op contract") {
+    val env = changelog().cache()
+    assert(env.filter($"op" === "INSERT" && $"before".isNotNull).count() == 0)
+    assert(env.filter($"op" === "DELETE" && $"after".isNotNull).count() == 0)
+    assert(env.filter($"op" === "UPDATE")
+      .select($"before.name", $"after.name").as[(String, String)].head() == ("a2", "a2"))
+  }
+
+  test("metadata columns") {
+    val env = Envelope.withMetadataColumns(changelog())
+    val r = env.select(
+      col(Envelope.NamespaceName), col(Envelope.SchemaName), col(Envelope.TableName),
+      col(Envelope.DataEventType)).distinct().collect()
+    assert(r.forall(row => row.getString(0) == "" && row.getString(1) == "db" &&
+      row.getString(2) == "t"))
+  }
+
+  test("softDelete rewrites DELETE into INSERT of before-image") {
+    val out = Envelope.softDelete(changelog())
+    assert(out.filter($"op" === "DELETE").count() == 0)
+    val resurrect = out.filter($"seq" === 4L).select($"op", $"after.name").head()
+    assert(resurrect.getString(0) == "INSERT" && resurrect.getString(1) == "b")
+  }
+
+  test("upsert materializer applies insert/update/delete (ValuesDatabase oracle)") {
+    val state = Upsert.materialize(changelog(), Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(state == Seq((1L, "a2", 11.0), (3L, "c", 30.0)))
+  }
+}
+
+class TransformOpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val rows = Seq((1, "alice", 10.5), (2, "bob", 20.0), (3, "carol", 7.25))
+
+  test("projection with wildcard and computed column") {
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule("db.t", projection = Some("*, UPPER(name) AS uname"))
+    val out = TransformOp.applyToRows(df, rule)
+    assert(out.columns.toSeq == Seq("id", "name", "bal", "uname"))
+    assert(out.filter($"id" === 1).select($"uname").head().getString(0) == "ALICE")
+  }
+
+  test("filter sees computed columns (PostTransformOperator semantics)") {
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule(
+      "db.t",
+      projection = Some("id, bal * 2 AS dbal"),
+      filter = Some("dbal > 20"))
+    val out = TransformOp.applyToRows(df, rule)
+    assert(out.columns.toSeq == Seq("id", "dbal"))
+    assert(out.select($"id").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("metadata columns usable in projection and filter") {
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule(
+      "db.t",
+      projection = Some("id, __table_name__ AS tbl"),
+      filter = Some("__table_name__ = 't'"))
+    val out = TransformOp.applyToRows(df, rule, Some(TableId.parse("db.t")))
+    assert(out.count() == 3)
+    assert(out.select($"tbl").distinct().head().getString(0) == "t")
+  }
+
+  test("splitProjection respects parens and quotes") {
+    assert(TransformOp.splitProjection("a, CONCAT(b, ',', c) AS x, 'y,z' AS w") ==
+      Seq("a", "CONCAT(b, ',', c) AS x", "'y,z' AS w"))
+  }
+
+  test("referencedColumns for pruning") {
+    val rule = TransformRule("db.t", projection = Some("id, UPPER(name) AS un"),
+      filter = Some("bal > 1"))
+    assert(TransformOp.referencedColumns(rule, Seq("id", "name", "bal", "unused")) ==
+      Seq("id", "name", "bal"))
+  }
+}
+
+class TableIdRouterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  // scenarios mirror flink-cdc-runtime/src/test/.../TableIdRouterTest.java
+  test("no rule routes to itself") {
+    val r = new TableIdRouter(Seq.empty)
+    assert(r.route(TableId.parse("db.t")) == Seq(TableId.parse("db.t")))
+  }
+  test("rename route") {
+    val r = new TableIdRouter(Seq(RouteRule("mydb.orders", "sink.all_orders")))
+    assert(r.route(TableId.parse("mydb.orders")) == Seq(TableId.parse("sink.all_orders")))
+    assert(r.route(TableId.parse("mydb.other")) == Seq(TableId.parse("mydb.other")))
+  }
+  test("merge route: many tables to one sink") {
+    val r = new TableIdRouter(Seq(RouteRule("mydb.shard_\\.*", "sink.merged")))
+    assert(r.route(TableId.parse("mydb.shard_1")) == Seq(TableId.parse("sink.merged")))
+    assert(r.route(TableId.parse("mydb.shard_2")) == Seq(TableId.parse("sink.merged")))
+  }
+  test("replace-symbol substitution (route.md `<>` semantics)") {
+    val r = new TableIdRouter(
+      Seq(RouteRule("mydb.\\.*", "sink.ods_<>", replaceSymbol = Some("<>"))))
+    assert(r.route(TableId.parse("mydb.orders")) == Seq(TableId.parse("sink.ods_orders")))
+  }
+  test("1 to N fanout when several rules match") {
+    val r = new TableIdRouter(Seq(
+      RouteRule("mydb.orders", "a.t1"),
+      RouteRule("mydb.\\.*", "b.t2")))
+    assert(r.route(TableId.parse("mydb.orders")).toSet ==
+      Set(TableId.parse("a.t1"), TableId.parse("b.t2")))
+  }
+
+  test("annotate: data-plane broadcast routing with fanout") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L, "INSERT", "x")).toDF("seq0", "id", "op0", "v")
+    val env = Envelope.fromChangelog(df, TableId.parse("mydb.orders"), col("op0"),
+      col("seq0"), Seq("id", "v"))
+    val r = new TableIdRouter(Seq(
+      RouteRule("mydb.orders", "a.t1"),
+      RouteRule("mydb.\\.*", "b.t2")))
+    val out = r.annotate(env, Seq(TableId.parse("mydb.orders")))
+    assert(out.select($"sinkTableId").as[String].collect().toSet == Set("a.t1", "b.t2"))
+  }
+}
+
+class ChunkSplitterSpec extends AnyFunSuite {
+  import ChunkSplitter._
+  lazy val spark = SparkTestBase.spark
+
+  test("empty or single-value table: one full chunk") {
+    val probe = new Probe {
+      def nextChunkMax(f: Long, c: Int) = None
+      def minAfter(v: Long) = None
+    }
+    assert(generateSplits(None, None, 0, Config(), probe) == Seq(ChunkRange(None, None)))
+    assert(generateSplits(Some(5), Some(5), 1, Config(), probe) == Seq(ChunkRange(None, None)))
+  }
+
+  test("even path: uniform dense keys give chunkSize-stepped ranges") {
+    // factor = (999-0+1)/1000 = 1.0 → dynamicChunkSize = chunkSize
+    val probe = new Probe {
+      def nextChunkMax(f: Long, c: Int) = Some(math.min(f + c, 999))
+      def minAfter(v: Long) = Some(v + 1).filter(_ <= 999)
+    }
+    val splits = generateSplits(Some(0), Some(999), 1000, Config(chunkSize = 300), probe)
+    assert(splits == Seq(
+      ChunkRange(None, Some(300)),
+      ChunkRange(Some(300), Some(600)),
+      ChunkRange(Some(600), Some(900)),
+      ChunkRange(Some(900), None)))
+  }
+
+  test("even path: sparse-but-uniform keys scale dynamic chunk size") {
+    // keys 0,10,...,9990: factor = (9990-0+1)/1000 = 9.991 → dynamic = ⌊9.991*100⌋ = 999
+    val probe = new Probe {
+      def nextChunkMax(f: Long, c: Int) = fail("probe must not be used on even path")
+      def minAfter(v: Long) = fail("probe must not be used on even path")
+    }
+    val splits =
+      generateSplits(Some(0), Some(9990), 1000, Config(chunkSize = 100), probe)
+    assert(splits.head == ChunkRange(None, Some(999)))
+    assert(splits.last == ChunkRange(Some(9990), None))
+    assert(splits.size == 11)
+  }
+
+  test("uneven path: distribution factor out of bounds triggers probing") {
+    // 10 rows over range 0..10000 → factor 1000.1 > 1000 upper bound
+    val keys = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9996L, 9997L, 9998L, 10000L)
+    val probe = new Probe {
+      def nextChunkMax(from: Long, c: Int) = {
+        val next = keys.filter(_ > from).take(c)
+        if (next.isEmpty) None else Some(next.max)
+      }
+      def minAfter(v: Long) = keys.find(_ > v)
+    }
+    val splits = generateSplits(Some(0), Some(10000), 10, Config(chunkSize = 4), probe)
+    // chunks: (None,4], (4,9997], (9997,None) under [start,end) semantics
+    assert(splits.head.start.isEmpty)
+    assert(splits.last.end.isEmpty)
+    assert(splits.size == 3)
+  }
+
+  test("union of chunks over parquet hash-matches a plain scan") {
+    val li = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/lineitem.parquet")
+    val keyed = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+      col("l_extendedprice"))
+    val (mn, mx, cnt) = analyze(keyed, "pk")
+    val splits =
+      generateSplits(mn, mx, cnt, Config(chunkSize = 500), dataFrameProbe(keyed, "pk"))
+    assert(splits.size > 1)
+    val viaChunks = unionOfChunks(keyed, "pk", splits)
+    assert(viaChunks.count() == keyed.count())
+    // every row exactly once (ranges are disjoint and covering)
+    assert(viaChunks.select("pk").distinct().count() == keyed.select("pk").distinct().count())
+  }
+}
