@@ -53,6 +53,22 @@ object Upsert {
       .select(col("sinkTableId"), col("__last.after.*"))
   }
 
+  /** Like [[materialize]] but also returns the keys whose final event was a
+    * DELETE — what an external upsert sink needs to issue its deletes.
+    */
+  def materializeWithDeletes(env: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "upsert materialization requires primary keys")
+    val latest = env
+      .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
+      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
+        .as("__last"))
+      .cache()
+    val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
+    val deletes = latest.filter(col("__last.op") === "DELETE")
+      .select(keyCols.map(col).toIndexedSeq: _*)
+    (upserts, deletes)
+  }
+
   /** Per-key ordered apply for sinks that need the full event sequence (not
     * just the final state): repartition by key, sort within partitions by seq.
     * Mirrors `RegularPrePartitionOperator.partitionBy:103` + FIFO delivery —

@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import graft.operators.{RouteRule, TransformRule}
+
+/** Pipeline IR, mirroring `flink-cdc-composer/.../definition/PipelineDef.java`
+  * and friends (SourceDef/SinkDef/RouteDef/TransformDef/UdfDef/ModelDef).
+  */
+final case class SourceDef(sourceType: String, name: Option[String], config: Map[String, String])
+
+final case class SinkDef(
+    sinkType: String,
+    name: Option[String],
+    config: Map[String, String],
+    includeSchemaChanges: Seq[String] = Seq.empty,
+    excludeSchemaChanges: Seq[String] = Seq.empty)
+
+final case class UdfDef(name: String, classpath: String)
+
+/** `model:` section — named model functions (`composer/definition/ModelDef.java`). */
+final case class ModelDef(name: String, modelName: String, options: Map[String, String])
+
+final case class PipelineDef(
+    source: SourceDef,
+    sink: SinkDef,
+    routes: Seq[RouteRule] = Seq.empty,
+    transforms: Seq[TransformRule] = Seq.empty,
+    udfs: Seq[UdfDef] = Seq.empty,
+    models: Seq[ModelDef] = Seq.empty,
+    config: Map[String, String] = Map.empty) {
+
+  def name: String = config.getOrElse("name", "graft-pipeline")
+  def parallelism: Int = config.getOrElse("parallelism", "1").toInt
+  def schemaChangeBehavior: SchemaChangeBehavior.Value =
+    SchemaChangeBehavior.withName(
+      config.getOrElse("schema.change.behavior", "LENIENT").toUpperCase)
+  def localTimeZone: String = config.getOrElse("local-time-zone", "UTC")
+}

@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `pipeline.schema.change.behavior` ∈ IGNORE / LENIENT / TRY_EVOLVE / EVOLVE /
+  * EXCEPTION (`common/pipeline/SchemaChangeBehavior.java:27-33`; default LENIENT
+  * per `PipelineOptions.java:55-57`).
+  */
+object SchemaChangeBehavior extends Enumeration {
+  val IGNORE, LENIENT, TRY_EVOLVE, EVOLVE, EXCEPTION = Value
+}
+
+/** Applies schema changes to an external system — the reference's
+  * `common/sink/MetadataApplier.java`. Invoked on the driver between
+  * micro-batches (the batch boundary IS the flush barrier, replacing the
+  * SchemaOperator⇄SchemaCoordinator RPC protocol — SURVEY.md §2.3).
+  */
+trait MetadataApplier extends Serializable {
+  def applySchemaChange(event: SchemaChangeEvent): Unit
+}
+
+/** Port of `flink-cdc-runtime/.../schema/common/SchemaDerivator.java:206-296`
+  * (lenient-ization) plus row coercion as a Catalyst select (no per-row code).
+  */
+object SchemaDerivator {
+
+  /** LENIENT rewriting: rename → add-column (new name appended, old retained),
+    * drop → no-op (column kept nullable), add → append nullable. This keeps
+    * sink schemas strictly additive so late events of old shapes still fit.
+    */
+  def lenientize(
+      event: SchemaChangeEvent,
+      currentEvolved: TableSchema): Seq[SchemaChangeEvent] = event match {
+    case AddColumnEvent(t, cols) =>
+      // strip positions, force nullable, append at tail (reference :219-236)
+      Seq(AddColumnEvent(
+        t,
+        cols.map(c =>
+          AddColumnEvent.ColumnWithPosition(c.name, c.cdcType.withNullable(true)))))
+    case DropColumnEvent(_, _) => Seq.empty // reference :238-247: swallowed
+    case RenameColumnEvent(t, mapping) =>
+      // reference :249-272: appears as AddColumn of the new names (old kept)
+      val existing = currentEvolved.struct.fieldNames.toSet
+      val adds = mapping.collect {
+        case (oldName, newName) if !existing.contains(newName) =>
+          val oldField = currentEvolved.struct(oldName)
+          AddColumnEvent.ColumnWithPosition(
+            newName,
+            CdcTypes.fromSpark(oldField.dataType, nullable = true))
+      }.toSeq
+      if (adds.isEmpty) Seq.empty else Seq(AddColumnEvent(t, adds))
+    case other => Seq(other)
+  }
+
+  /** Coerce rows of `df` (any historical schema) into `target` — generated
+    * casts + null-fill, the Spark form of `SchemaDerivator.coerceDataRecord:298`.
+    * Missing columns become NULL; extra columns are dropped; type changes cast.
+    */
+  def coerce(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(target.fields.map { f =>
+      present.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Coerce the nested before/after structs of an envelope DataFrame. */
+  def coerceEnvelope(env: DataFrame, target: StructType): DataFrame = {
+    def coerceStruct(c: String): org.apache.spark.sql.Column = {
+      val src = env.schema(c).dataType.asInstanceOf[StructType]
+      val present = src.fields.map(f => f.name -> f.dataType).toMap
+      when(col(c).isNotNull, struct(target.fields.map { f =>
+        present.get(f.name) match {
+          case Some(dt) if dt == f.dataType => col(s"$c.${f.name}").as(f.name)
+          case Some(_) => col(s"$c.${f.name}").cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)).as(c)
+    }
+    env.withColumn("before", coerceStruct("before")).withColumn("after", coerceStruct("after"))
+  }
+
+  /** Merged CREATE TABLE for many-to-one routes
+    * (`SchemaDerivator.deduceMergedCreateTableEvent:347`).
+    */
+  def mergedCreateTable(sinkTable: TableId, sources: Seq[TableSchema]): CreateTableEvent = {
+    val merged = SchemaMerging.mergeAll(sources.map(s => SchemaMerging.fromStruct(s.struct)))
+    CreateTableEvent(sinkTable, TableSchema(
+      SchemaMerging.toStruct(merged),
+      primaryKeys = sources.headOption.map(_.primaryKeys).getOrElse(Seq.empty)))
+  }
+}
+
+/** Driver-side schema-evolution loop, the micro-batch replacement for the
+  * reference's `SchemaOperator`/`SchemaCoordinator` RPC protocol
+  * (`schema/regular/SchemaOperator.java:145-243`, `SchemaCoordinator.java:238-437`).
+  *
+  * Called between batches from `foreachBatch`: data of batch N is fully written
+  * (flushed) before a schema change arriving in batch N+1 is applied — the
+  * batch boundary provides exactly the FlushEvent rendezvous.
+  */
+final class SchemaEvolutionDriver(
+    behavior: SchemaChangeBehavior.Value,
+    applier: MetadataApplier,
+    includedTypes: SchemaChangeEventType.ValueSet = SchemaChangeEventType.values,
+    excludedTypes: SchemaChangeEventType.ValueSet = SchemaChangeEventType.ValueSet.empty) {
+
+  /** original (source) schemas — `SchemaOperator.originalSchemaMap` */
+  val originalSchemas = new SchemaManager
+  /** evolved (sink) schemas — `SchemaRegistry.evolvedSchemaMap` */
+  val evolvedSchemas = new SchemaManager
+
+  /** Sink-side type filtering (`SinkDef.getIncludedSchemaEvolutionTypes`,
+    * applied at `FlinkPipelineComposer.java:218-237`).
+    */
+  private def passesSinkFilter(e: SchemaChangeEvent): Boolean = {
+    val t = SchemaChangeEventType.of(e)
+    includedTypes.contains(t) && !excludedTypes.contains(t)
+  }
+
+  /** Handle one schema-change event; returns the events actually applied to the
+    * sink. Mirrors `SchemaCoordinator.applySchemaChange:341-437` including the
+    * IGNORE/TRY_EVOLVE error swallowing.
+    */
+  def handle(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
+    // original side always tracks the source truth
+    originalSchemas.applySchemaChange(event)
+
+    behavior match {
+      case SchemaChangeBehavior.EXCEPTION if !event.isInstanceOf[CreateTableEvent] =>
+        throw new IllegalStateException(
+          s"Schema change $event rejected by EXCEPTION behavior")
+      case SchemaChangeBehavior.IGNORE if !event.isInstanceOf[CreateTableEvent] =>
+        Seq.empty
+      case _ =>
+        val derived = behavior match {
+          case SchemaChangeBehavior.LENIENT =>
+            event match {
+              case c: CreateTableEvent => Seq(c)
+              case other =>
+                evolvedSchemas.latest(other.tableId) match {
+                  case Some(cur) => SchemaDerivator.lenientize(other, cur)
+                  case None => Seq(other)
+                }
+            }
+          case _ => Seq(event)
+        }
+        val applied = derived.filter(passesSinkFilter)
+        applied.foreach { e =>
+          evolvedSchemas.applySchemaChange(e)
+          try applier.applySchemaChange(e)
+          catch {
+            case ex: Exception if behavior == SchemaChangeBehavior.TRY_EVOLVE =>
+              () // swallowed, as in SchemaCoordinator's TRY_EVOLVE path
+          }
+        }
+        applied
+    }
+  }
+
+  /** Coerce a batch of one table's envelope rows to the current evolved schema
+    * before it reaches the sink (`SchemaOperator.java:196-223` data path).
+    */
+  def coerceBatch(tableId: TableId, env: DataFrame): DataFrame =
+    evolvedSchemas.latest(tableId) match {
+      case Some(schema) => SchemaDerivator.coerceEnvelope(env, schema.struct)
+      case None => env
+    }
+}

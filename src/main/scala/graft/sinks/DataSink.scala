@@ -1,0 +1,84 @@
+package graft.sinks
+
+import graft.core.{SchemaChangeEvent, TableId, TableSchema}
+import graft.pipeline.MetadataApplier
+import org.apache.spark.sql.DataFrame
+
+/** Sink SPI, the Spark form of `common/sink/DataSink.java` +
+  * `EventSinkProvider` + `MetadataApplier`: a batch writer invoked from
+  * `foreachBatch` (batch boundary = flush barrier) plus DDL application.
+  */
+trait DataSink extends MetadataApplier {
+
+  /** Write one routed table's materialized upsert batch. `df` columns are the
+    * table's payload columns; rows are the latest state per key within the
+    * batch, `deletedKeys` the keys whose last event was DELETE.
+    */
+  def writeBatch(sinkTableId: TableId, upserts: DataFrame, deletedKeys: DataFrame): Unit
+
+  def schemaOf(sinkTableId: TableId): Option[TableSchema]
+}
+
+/** In-memory PK-upsert database — the test oracle, mirroring
+  * `flink-cdc-pipeline-connector-values/.../ValuesDatabase.java` (a
+  * `Map[pk, row]` per table that INSERT/UPDATE/REPLACE overwrite and DELETE
+  * removes). Driver-side state is acceptable here because this sink exists for
+  * correctness tests; the scale path is an external MERGE INTO sink.
+  */
+final class MemoryDatabase extends DataSink {
+
+  private val tables =
+    scala.collection.mutable.Map.empty[TableId, (TableSchema, scala.collection.mutable.LinkedHashMap[Seq[Any], Seq[Any]])]
+
+  override def applySchemaChange(event: SchemaChangeEvent): Unit = synchronized {
+    event match {
+      case graft.core.CreateTableEvent(t, schema) =>
+        if (!tables.contains(t))
+          tables(t) = (schema, scala.collection.mutable.LinkedHashMap.empty)
+      case graft.core.DropTableEvent(t) => tables.remove(t)
+      case graft.core.TruncateTableEvent(t) =>
+        tables.get(t).foreach(_._2.clear())
+      case other =>
+        // structural evolution: recompute schema, pad existing rows with nulls
+        val t = other.tableId
+        tables.get(t).foreach { case (schema, rows) =>
+          val mgr = new graft.core.SchemaManager
+          mgr.applySchemaChange(graft.core.CreateTableEvent(t, schema))
+          val evolved = mgr.applySchemaChange(other)
+          val oldNames = schema.struct.fieldNames
+          val reindexed = rows.map { case (k, v) =>
+            val byName = oldNames.zip(v).toMap
+            k -> evolved.struct.fieldNames.toSeq.map(n => byName.getOrElse(n, null))
+          }
+          tables(t) = (evolved, scala.collection.mutable.LinkedHashMap(reindexed.toSeq: _*))
+        }
+    }
+  }
+
+  override def writeBatch(
+      sinkTableId: TableId,
+      upserts: DataFrame,
+      deletedKeys: DataFrame): Unit = synchronized {
+    val (schema, rows) = tables.getOrElse(
+      sinkTableId,
+      throw new IllegalStateException(s"table $sinkTableId not created"))
+    val pkIdx = schema.primaryKeys.map(schema.struct.fieldIndex)
+    upserts.collect().foreach { r =>
+      val vals = r.toSeq
+      rows(pkIdx.map(vals(_))) = vals
+    }
+    val delIdx = schema.primaryKeys.map(k => deletedKeys.schema.fieldIndex(k))
+    deletedKeys.collect().foreach { r =>
+      rows.remove(delIdx.map(r.get))
+    }
+  }
+
+  override def schemaOf(sinkTableId: TableId): Option[TableSchema] =
+    synchronized(tables.get(sinkTableId).map(_._1))
+
+  def tableIds: Set[TableId] = synchronized(tables.keySet.toSet)
+
+  def rowsOf(t: TableId): Seq[Seq[Any]] = synchronized {
+    tables.get(t).map(_._2.values.toSeq).getOrElse(Seq.empty)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sinks
+
+import graft.operators.Envelope
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Kafka sink envelope serializations, mirroring
+  * `flink-cdc-pipeline-connector-kafka/.../json/debezium/DebeziumJsonSerializationSchema.java`
+  * and `canal/CanalJsonSerializationSchema.java`, expressed as pure Catalyst
+  * `to_json` projections (codegen'd, no per-row Java serializer), ready for
+  * `df.writeStream.format("kafka")`.
+  */
+object KafkaJsonFormats {
+
+  private val tableName: Column = element_at(split(col(Envelope.TableIdCol), "\\."), -1)
+  private val dbName: Column = {
+    val parts = split(col(Envelope.TableIdCol), "\\.")
+    when(size(parts) >= 2, parts.getItem(0)).otherwise(lit(""))
+  }
+
+  /** debezium-json: `{"before":…,"after":…,"op":"c|u|d","source":{"db":…,"table":…}}`.
+    * UPDATE/REPLACE → "u", INSERT → "c", DELETE → "d" (reference
+    * `DebeziumJsonSerializationSchema.serialize`).
+    */
+  def debeziumJson(env: DataFrame): DataFrame = {
+    val opCode = when(col(Envelope.OpCol) === "INSERT", "c")
+      .when(col(Envelope.OpCol) === "DELETE", "d")
+      .otherwise("u")
+    env.select(
+      to_json(struct(
+        col(Envelope.BeforeCol).as("before"),
+        col(Envelope.AfterCol).as("after"),
+        opCode.as("op"),
+        struct(dbName.as("db"), tableName.as("table")).as("source"))).as("value"),
+      col(Envelope.TableIdCol).as("topic"))
+  }
+
+  /** canal-json: `{"old":[…],"data":[…],"type":"INSERT|UPDATE|DELETE","database":…,"table":…}`. */
+  def canalJson(env: DataFrame): DataFrame = {
+    val opType = when(col(Envelope.OpCol) === "REPLACE", "INSERT").otherwise(col(Envelope.OpCol))
+    env.select(
+      to_json(struct(
+        when(col(Envelope.BeforeCol).isNotNull, array(col(Envelope.BeforeCol)))
+          .otherwise(lit(null)).as("old"),
+        when(col(Envelope.AfterCol).isNotNull, array(col(Envelope.AfterCol)))
+          .otherwise(lit(null)).as("data"),
+        opType.as("type"),
+        dbName.as("database"),
+        tableName.as("table"))).as("value"),
+      col(Envelope.TableIdCol).as("topic"))
+  }
+
+  /** Kafka record key + partition strategy
+    * (`sink/PartitionStrategy.java`: ALL_TO_ZERO | HASH_BY_KEY).
+    */
+  def withKey(env: DataFrame, keyCols: Seq[String], strategy: String = "HASH_BY_KEY"): DataFrame = {
+    val keyStruct = struct(keyCols.map(k =>
+      coalesce(col(s"${Envelope.AfterCol}.$k"), col(s"${Envelope.BeforeCol}.$k")).as(k)): _*)
+    strategy.toUpperCase match {
+      case "ALL_TO_ZERO" => env.withColumn("key", lit("")).withColumn("partition", lit(0))
+      case _ => env.withColumn("key", to_json(keyStruct))
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.core.TableId
+import graft.pipeline.PipelineComposer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming runner: envelope stream → `foreachBatch` → composer.
+  *
+  * The micro-batch boundary supplies the reference's FlushEvent semantics
+  * (SURVEY.md §2.3): all data of batch N is written before anything of batch
+  * N+1, so a schema change applied between batches never interleaves with
+  * in-flight rows of the old shape — the `SchemaOperator`/`SchemaCoordinator`
+  * protocol (`schema/regular/SchemaOperator.java:145-243`) collapses to plain
+  * driver code.
+  */
+object CdcStream {
+
+  def start(
+      envelopeStream: DataFrame,
+      composer: PipelineComposer,
+      queryName: String = "graft-cdc",
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    var b = envelopeStream.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PipelineComposer.splitByTable(batch).toSeq
+          .sortBy(_._1.identifier)
+          .foreach { case (tableId: TableId, env: DataFrame) =>
+            composer.processBatch(tableId, env)
+          }
+      }
+    checkpointDir.foreach(d => b = b.option("checkpointLocation", d))
+    b.start()
+  }
+}

@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.core._
+import graft.core.CdcTypes._
+import graft.operators.{RouteRule, TransformRule}
+import graft.sinks.MemoryDatabase
+import graft.sources.ValuesSource
+import org.scalatest.funsuite.AnyFunSuite
+
+class YamlPipelineParserSpec extends AnyFunSuite {
+  // fixture mirrors docs/content/docs/core-concept/transform.md + route.md examples
+  val yaml =
+    """source:
+      |  type: mysql
+      |  hostname: localhost
+      |  port: 3306
+      |  tables: app.\.*
+      |sink:
+      |  type: values
+      |  include.schema.changes: create.table, add.column
+      |route:
+      |  - source-table: app.\.*
+      |    sink-table: ods.ods_<>
+      |    replace-symbol: <>
+      |transform:
+      |  - source-table: app.orders
+      |    projection: "*, UPPER(status) AS status_u"
+      |    filter: "amount > 10"
+      |    primary-keys: id
+      |pipeline:
+      |  name: test-pipeline
+      |  parallelism: 4
+      |  schema.change.behavior: EVOLVE
+      |""".stripMargin
+
+  test("parses all sections with reference key names") {
+    val p = YamlPipelineParser.parse(yaml)
+    assert(p.source.sourceType == "mysql")
+    assert(p.source.config("tables") == "app.\\.*")
+    assert(p.sink.sinkType == "values")
+    assert(p.sink.includeSchemaChanges == Seq("create.table", "add.column"))
+    assert(p.routes == Seq(RouteRule("app.\\.*", "ods.ods_<>", Some("<>"))))
+    assert(p.transforms.head.projection.contains("*, UPPER(status) AS status_u"))
+    assert(p.transforms.head.primaryKeys == Seq("id"))
+    assert(p.name == "test-pipeline")
+    assert(p.parallelism == 4)
+    assert(p.schemaChangeBehavior == SchemaChangeBehavior.EVOLVE)
+  }
+
+  test("missing source section fails like the reference parser") {
+    intercept[IllegalArgumentException](YamlPipelineParser.parse("sink:\n  type: values\n"))
+  }
+}
+
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private def schema(cols: (String, CdcType)*): TableSchema =
+    TableSchema(SchemaMerging.toStruct(cols), primaryKeys = Seq(cols.head._1))
+
+  private def driver(behavior: SchemaChangeBehavior.Value) = {
+    val applied = scala.collection.mutable.ArrayBuffer.empty[SchemaChangeEvent]
+    val d = new SchemaEvolutionDriver(behavior, e => applied += e)
+    (d, applied)
+  }
+
+  val t = TableId.parse("db.t")
+
+  // scenarios mirror flink-cdc-runtime/src/test/.../SchemaEvolveTest.java
+  test("LENIENT: add column appended nullable, position stripped") {
+    val (d, applied) = driver(SchemaChangeBehavior.LENIENT)
+    d.handle(CreateTableEvent(t, schema("id" -> IntT(nullable = false), "v" -> StringT())))
+    d.handle(AddColumnEvent(t,
+      Seq(AddColumnEvent.ColumnWithPosition("x", IntT(nullable = false),
+        AddColumnEvent.First))))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "v", "x"))
+    assert(d.evolvedSchemas.latest(t).get.struct("x").nullable)
+    assert(applied.size == 2)
+  }
+
+  test("LENIENT: drop column is swallowed, rename becomes add") {
+    val (d, _) = driver(SchemaChangeBehavior.LENIENT)
+    d.handle(CreateTableEvent(t, schema("id" -> IntT(), "v" -> StringT())))
+    d.handle(DropColumnEvent(t, Seq("v")))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "v")) // kept
+    d.handle(RenameColumnEvent(t, Map("v" -> "v2")))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "v", "v2"))
+    // original side tracks the true source schema: v dropped, so the later
+    // rename of v is a no-op there
+    assert(d.originalSchemas.latest(t).get.columnNames == Seq("id"))
+  }
+
+  test("EVOLVE: events applied verbatim") {
+    val (d, _) = driver(SchemaChangeBehavior.EVOLVE)
+    d.handle(CreateTableEvent(t, schema("id" -> IntT(), "v" -> StringT())))
+    d.handle(RenameColumnEvent(t, Map("v" -> "v2")))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "v2"))
+    d.handle(DropColumnEvent(t, Seq("v2")))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id"))
+  }
+
+  test("IGNORE: only create-table reaches the sink") {
+    val (d, applied) = driver(SchemaChangeBehavior.IGNORE)
+    d.handle(CreateTableEvent(t, schema("id" -> IntT(), "v" -> StringT())))
+    d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("x", IntT()))))
+    assert(applied.size == 1)
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "v"))
+    assert(d.originalSchemas.latest(t).get.columnNames == Seq("id", "v", "x"))
+  }
+
+  test("EXCEPTION: any evolution throws") {
+    val (d, _) = driver(SchemaChangeBehavior.EXCEPTION)
+    d.handle(CreateTableEvent(t, schema("id" -> IntT())))
+    intercept[IllegalStateException] {
+      d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("x", IntT()))))
+    }
+  }
+
+  test("TRY_EVOLVE: applier failure swallowed, registry still evolves") {
+    val d = new SchemaEvolutionDriver(
+      SchemaChangeBehavior.TRY_EVOLVE,
+      _ => throw new RuntimeException("sink DDL failed"))
+    d.handle(CreateTableEvent(t, schema("id" -> IntT())))
+    d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("x", IntT()))))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "x"))
+  }
+
+  test("coerce pads missing columns with null and casts") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("id", "v")
+    val target = SchemaMerging.toStruct(Seq("id" -> BigIntT(), "v" -> StringT(),
+      "w" -> DoubleT()))
+    val out = SchemaDerivator.coerce(df, target)
+    assert(out.schema.fields.map(_.dataType.simpleString).toSeq == Seq("bigint", "string",
+      "double"))
+    assert(out.as[(Long, String, Option[Double])].head() == ((1L, "a", None)))
+  }
+}
+
+class PipelineComposerSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  // mirrors FlinkPipelineComposerITCase.testSingleSplitSingleTable + transform/route cases
+  test("end-to-end: values source -> transform -> route -> memory sink") {
+    val t = TableId.parse("default_namespace.default_schema.table1")
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty),
+      routes = Seq(RouteRule("default_namespace.default_schema.\\.*", "ods.ods_<>",
+        Some("<>"))),
+      transforms = Seq(TransformRule(
+        "default_namespace.default_schema.table1",
+        projection = Some("*, col1 || col2 AS col12"),
+        filter = Some("col1 <> '3'"))))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+
+    composer.createTables(Map(t -> ValuesSource.customersSchema))
+    val sinkT = TableId.parse("ods.ods_table1")
+    assert(sink.tableIds == Set(sinkT))
+    assert(sink.schemaOf(sinkT).get.columnNames == Seq("col1", "col2", "col12"))
+
+    val env = ValuesSource.toEnvelope(spark, ValuesSource.customersSchema,
+      ValuesSource.singleTableScript(t))
+    composer.processBatch(t, env)
+
+    // script: ins(1),ins(3),ins(5),upd(1->x),del(3); filter col1<>'3' drops row 3 anyway
+    val rows = sink.rowsOf(sinkT).map(_.mkString(",")).sorted
+    assert(rows == Seq("1,x,1x", "5,6,56"))
+  }
+
+  test("merge route: two tables with different schemas into one sink table") {
+    import org.apache.spark.sql.types._
+    val t1 = TableId.parse("db.shard_1")
+    val t2 = TableId.parse("db.shard_2")
+    val s1 = TableSchema(StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", StringType))), primaryKeys = Seq("id"))
+    val s2 = TableSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("w", DoubleType))), primaryKeys = Seq("id"))
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty),
+      routes = Seq(RouteRule("db.shard_\\.*", "sink.merged")))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    composer.createTables(Map(t1 -> s1, t2 -> s2))
+
+    val merged = sink.schemaOf(TableId.parse("sink.merged")).get
+    // id widened int+bigint -> bigint; v and w both present nullable
+    assert(merged.columnNames == Seq("id", "v", "w"))
+    assert(merged.struct("id").dataType == LongType)
+
+    composer.processBatch(t1, ValuesSource.toEnvelope(spark, s1, Seq(
+      DataChangeEvent.insert(t1, Map("id" -> 1, "v" -> "a")))))
+    composer.processBatch(t2, ValuesSource.toEnvelope(spark, s2, Seq(
+      DataChangeEvent.insert(t2, Map("id" -> 2L, "w" -> 3.5)))))
+    val rows = sink.rowsOf(TableId.parse("sink.merged")).map(_.mkString(",")).sorted
+    assert(rows == Seq("1,a,null", "2,null,3.5"))
+  }
+
+  test("schema evolution mid-stream under LENIENT with old-shape late rows") {
+    val t = TableId.parse("db.t")
+    val s0 = ValuesSource.customersSchema
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    composer.createTables(Map(t -> s0))
+
+    composer.processBatch(t, ValuesSource.toEnvelope(spark, s0, Seq(
+      DataChangeEvent.insert(t, Map("col1" -> "1", "col2" -> "a")))))
+
+    // batch boundary: add col3
+    composer.processSchemaChange(
+      AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("col3", IntT()))))
+
+    // next batch arrives in the NEW shape
+    val s1 = TableSchema(
+      org.apache.spark.sql.types.StructType(s0.struct.fields :+
+        org.apache.spark.sql.types.StructField("col3",
+          org.apache.spark.sql.types.IntegerType)),
+      primaryKeys = Seq("col1"))
+    composer.processBatch(t, ValuesSource.toEnvelope(spark, s1, Seq(
+      DataChangeEvent.insert(t, Map("col1" -> "2", "col2" -> "b", "col3" -> 7)))))
+
+    // late row still in OLD shape coerces (null col3)
+    composer.processBatch(t, ValuesSource.toEnvelope(spark, s0, Seq(
+      DataChangeEvent.insert(t, Map("col1" -> "3", "col2" -> "c")))))
+
+    val rows = sink.rowsOf(t).map(_.mkString(",")).sorted
+    assert(rows == Seq("1,a,null", "2,b,7", "3,c,null"))
+  }
+}
