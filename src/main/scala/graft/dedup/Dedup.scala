@@ -1,0 +1,207 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. Every near-dup variant
+  * is BUCKETED (LSH bands → band-bucket shuffle → within-bucket pairs): the
+  * candidate generation is a hash-join on band keys, never an all-pairs
+  * cartesian, so the plan survives a 100× scale-up — pair count is bounded by
+  * bucket sizes, and skewed buckets are handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  // ---------- exact ----------------------------------------------------------
+
+  /** Exact dedup on raw key columns (hash-aggregate, one shuffle). */
+  def exact(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.dropDuplicates(keyCols)
+
+  /** Canonical exact dedup: one survivor (min id) per canonical-text
+    * fingerprint — deterministic, so oracle-checkable.
+    */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  // ---------- MinHash + LSH --------------------------------------------------
+
+  /** Per-document MinHash signature: array of `numHashes` minima of seeded
+    * 64-bit hashes over the shingle set (shingle→minhash, SURVEY brief).
+    */
+  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val sh = TextFunctions.shingles(text, shingleSize)
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** Candidate pairs via LSH banding: equal band-hash ⇒ candidate. Returns
+    * (idA, idB, sigSimilarity) with idA < idB, deduplicated across bands.
+    *
+    * Plan shape: explode bands (narrow) → shuffle on (band, bandHash) via
+    * self-join → pair dedup. No cartesian product anywhere.
+    */
+  def minHashLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minHashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+    val a = banded.select(col("band"), col("bandHash"), col("id").as("idA"),
+      col("sig").as("sigA"))
+    val b = banded.select(col("band"), col("bandHash"), col("id").as("idB"),
+      col("sig").as("sigB"))
+    a.join(b, Seq("band", "bandHash"))
+      .filter(col("idA") < col("idB"))
+      .select(
+        col("idA"),
+        col("idB"),
+        aggregate(
+          zip_with(col("sigA"), col("sigB"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0),
+          (acc, v) => acc + v).divide(lit(numHashes)).as("sigSim"))
+      .groupBy("idA", "idB")
+      .agg(max("sigSim").as("sigSim"))
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified by exact shingle-set
+    * Jaccard ≥ `threshold`. Verification joins texts back by id (hash joins).
+    */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val cands = minHashLshCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    val sh = df.select(
+      col(idCol).as("__id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__id", "idA").withColumnRenamed("__sh", "shA"), Seq("idA"))
+      .join(sh.withColumnRenamed("__id", "idB").withColumnRenamed("__sh", "shB"), Seq("idB"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens, as a pure-SQL bit aggregation: for each
+    * bit position, the majority vote of token-hash bits. Deterministic
+    * (xxhash64 is seeded and specified).
+    */
+  def simHash(text: Column, bits: Int = 64): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val hashes = transform(words, w => xxhash64(w))
+    val bitCols = (0 until bits).map { i =>
+      val vote = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: band the 64 bits into `bands` chunks; equal
+    * chunk ⇒ candidate (standard SimHash blocking); verify hamming ≤ maxDist.
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val perBand = 64 / bands
+    val mask = if (perBand == 64) -1L else (1L << perBand) - 1
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val chunkArray = array((0 until bands).map(b =>
+      shiftright(col("sh"), b * perBand).bitwiseAND(lit(mask))): _*)
+    val banded = sigs.select(col("id"), col("sh"), posexplode(chunkArray))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sh").as("shA"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sh").as("shB"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), hamming(col("shA"), col("shB")).as("hamming"))
+      .groupBy("idA", "idB")
+      .agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------- n-gram Jaccard -------------------------------------------------
+
+  /** Exact word-n-gram Jaccard for a bounded candidate set (e.g. same source
+    * bucket) — the oracle-checkable verifier; candidates come from LSH at scale.
+    */
+  def ngramJaccard(aText: Column, bText: Column, n: Int): Column = {
+    val aSet = array_distinct(TextFunctions.shingles(aText, n))
+    val bSet = array_distinct(TextFunctions.shingles(bText, n))
+    size(array_intersect(aSet, bSet)).cast("double") /
+      size(array_union(aSet, bSet)).cast("double")
+  }
+
+  // ---------- embedding cosine near-dup -------------------------------------
+
+  /** Embedding near-dup via random-hyperplane LSH: signature band join →
+    * within-bucket cosine ≥ threshold. Never all-pairs.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val perBand = bits / bands
+    val mask = (1L << perBand) - 1
+    val sigs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
+    val chunkArray = array((0 until bands).map(b =>
+      shiftright(col("sig"), b * perBand).bitwiseAND(lit(mask))): _*)
+    val banded = sigs.select(col("id"), col("vec"), posexplode(chunkArray))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("vec").as("vecA"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("vec").as("vecB"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        VectorFunctions.cosine(col("vecA"), col("vecB")).as("cosine"))
+      .groupBy("idA", "idB")
+      .agg(max("cosine").as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+}

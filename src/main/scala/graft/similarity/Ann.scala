@@ -1,0 +1,187 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding column.
+  *
+  * - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query set
+  *   against the corpus — a BroadcastNestedLoopJoin, which is the correct
+  *   plan when |Q| is small (cost |Q|·N dot products, no shuffle of the
+  *   corpus). Never a shuffled CartesianProduct.
+  * - [[lshTopK]] is the scale path: random-hyperplane signatures bucket the
+  *   corpus; each query probes only its matching band buckets (hash join),
+  *   reading a small fraction of N.
+  * - [[IvfIndex]] is the IVF variant: k centroids (driver k-means-lite),
+  *   corpus assigned once (and ideally written bucket-partitioned); queries
+  *   scan `nprobe` nearest inverted lists.
+  */
+object Ann {
+
+  /** Exact top-k per query by cosine. Ties broken by corpus id (deterministic). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
+      .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))))
+      .select(
+        col("qid"),
+        col("cid"),
+        VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed top-k: only corpus rows sharing a signature band with the
+    * query are scored. Recall < 1 by construction; increase `bands`/decrease
+    * `bits` per band to trade cost for recall.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      dim: Int,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val perBand = bits / bands
+    val mask = (1L << perBand) - 1
+    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
+      df.select(
+        col(id).as(idAs),
+        col(vec).as(vecAs),
+        posexplode(array((0 until bands).map(b => shiftright(
+          VectorFunctions.hyperplaneSignature(col(vec), dim, bits, seed),
+          b * perBand).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "chunk")
+    val c = banded(corpus, corpusId, corpusVec, "cid", "cvec")
+    val q = banded(queries, queryId, queryVec, "qid", "qvec")
+    val cands = c.join(broadcast(q), Seq("band", "chunk"))
+      .select(col("qid"), col("cid"), col("cvec"), col("qvec"))
+      .groupBy("qid", "cid")
+      .agg(first("cvec").as("cvec"), first("qvec").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    cands
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** IVF index: `numCentroids` centroids refined by `iters` Lloyd steps over a
+    * driver-collected sample (centroid count is small; the corpus assignment
+    * is the distributed part). At 100 TB the assignment output is written
+    * bucket-partitioned so probes touch only `nprobe` partitions.
+    */
+  final class IvfIndex private (
+      val centroids: Array[(Int, Array[Double])],
+      assigned: DataFrame) {
+
+    /** corpus rows + their `bucket` column (cached by the caller if reused). */
+    def assignments: DataFrame = assigned
+
+    def nearestCentroids(vec: Array[Double], nprobe: Int): Seq[Int] =
+      centroids
+        .map { case (i, c) => (i, IvfIndex.l2sq(vec, c)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(nprobe)
+        .map(_._1)
+        .toSeq
+
+    /** Search: probe the `nprobe` nearest inverted lists per query. */
+    def topK(
+        queries: Seq[(Long, Array[Double])],
+        k: Int,
+        nprobe: Int)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val probes = queries.flatMap { case (qid, v) =>
+        nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat)))
+      }.toDF("qid", "bucket", "qvec")
+      val cands = assigned.join(broadcast(probes), Seq("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+      cands
+        .select(col("qid"), col("cid"),
+          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
+  }
+
+  object IvfIndex {
+    private[similarity] def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    /** Build: deterministic init (every (n/k)-th sampled vector), `iters`
+      * Lloyd iterations on a driver sample, then one distributed assignment
+      * pass (argmin over k centroid distances, pure column expressions).
+      */
+    def build(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        numCentroids: Int,
+        sampleSize: Int = 2000,
+        iters: Int = 3): IvfIndex = {
+      val sample = corpus
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .orderBy("id")
+        .limit(sampleSize)
+        .collect()
+        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+      require(sample.nonEmpty, "empty corpus")
+      val step = math.max(sample.length / numCentroids, 1)
+      var cents: Array[Array[Double]] =
+        (0 until numCentroids).map(i => sample((i * step) % sample.length).clone()).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(numCentroids)(new Array[Double](cents(0).length))
+        val counts = new Array[Long](numCentroids)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var i = 0
+          while (i < numCentroids) {
+            val d = l2sq(v, cents(i)); if (d < bestD) { bestD = d; best = i }; i += 1
+          }
+          counts(best) += 1
+          var j = 0; while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (c, i) =>
+          if (counts(i) == 0) c else sums(i).map(_ / counts(i))
+        }
+      }
+      // distributed assignment: argmin over centroid distances
+      val vec = col(vecCol)
+      val assignment = cents.zipWithIndex
+        .map { case (c, i) =>
+          val cc = array(c.map(lit).toIndexedSeq: _*)
+          struct(VectorFunctions.l2sq(vec, cc).as("d"), lit(i).as("b"))
+        }
+        .reduce((a, b) => when(a.getField("d") <= b.getField("d"), a).otherwise(b))
+        .getField("b")
+      val assigned = corpus.select(
+        col(idCol).as("cid"),
+        col(vecCol).as("cvec"),
+        assignment.as("bucket"))
+      new IvfIndex(cents.zipWithIndex.map { case (c, i) => (i, c) }, assigned)
+    }
+  }
+}

@@ -1,0 +1,211 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("tokenCount handles empties and runs of whitespace") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("t")
+    assert(df.select(TextFunctions.tokenCount($"t")).as[Int].collect().toSeq ==
+      Seq(3, 0, 0, 1))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint($"x") === TextFunctions.fingerprint($"y")).as[Boolean]
+    assert(r.head())
+  }
+
+  test("langId picks profile with most stopword hits, zh via CJK") {
+    val df = Seq(
+      "the cat and the dog is here with that thing",
+      "der Hund und die Katze ist mit nicht da",
+      "le chat est avec les chiens dans la maison",
+      "el perro y la casa es con los gatos para que",
+      "深度学习模型").toDF("t")
+    assert(df.select(TextFunctions.langId($"t")).as[String].collect().toSeq ==
+      Seq("en", "de", "fr", "es", "zh"))
+  }
+
+  test("shingles produce n-k+1 word k-grams") {
+    val df = Seq("a b c d").toDF("t")
+    assert(df.select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head() ==
+      Seq("a b c", "b c d"))
+    // shorter than k: whole text as one shingle
+    val short = Seq("a b").toDF("t")
+    assert(short.select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head() == Seq("a b"))
+  }
+
+  test("quality score deterministic and in [0,1]") {
+    val docs = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+    val scores = docs.select(TextFunctions.qualityScore($"text").as("q"))
+    val agg = scores.agg(min($"q"), max($"q")).head()
+    assert(agg.getDouble(0) >= 0.0 && agg.getDouble(1) <= 1.0)
+  }
+}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("dot/cosine basic identities") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(3f, 4f, 1f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot($"a", $"b")).as[Double].head() == 5.0)
+    val cosSelf = df.select(VectorFunctions.cosine($"a", $"a")).as[Double].head()
+    assert(math.abs(cosSelf - 1.0) < 1e-12)
+  }
+
+  test("hyperplane signature: identical vectors share signature, scaled too") {
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(2f, 4f, 6f, 8f)), // same direction
+      (3L, Seq(-1f, -2f, -3f, -4f)) // opposite
+    ).toDF("id", "v")
+    val sigs = df.select($"id",
+      VectorFunctions.hyperplaneSignature($"v", 4, 16, 42L).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docsWithDups = {
+    val docs = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text")
+    // duplicate first 50 docs with new ids and cosmetic whitespace/case changes
+    val dups = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 10000).as("doc_id"), upper($"text").as("text"))
+    docs.union(dups)
+  }
+
+  test("exactByFingerprint collapses cosmetic duplicates to min doc_id") {
+    val out = Dedup.exactByFingerprint(docsWithDups, "doc_id", "text")
+    val total = docsWithDups.count()
+    assert(out.count() == total - 50)
+    // survivors are the original ids
+    assert(out.filter($"doc_id" >= 10000).count() == 0)
+    assert(out.filter($"dup_count" === 2).count() == 50)
+  }
+
+  test("minhash near-dups find exact-copy pairs with jaccard 1.0") {
+    val docs = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    val dups = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val all = docs.union(dups)
+    val pairs = Dedup.minHashNearDuplicates(all, "doc_id", "text", 0.8)
+    val found = pairs.select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    // every planted pair must be found (identical docs always share all bands)
+    (0L until 20L).foreach(i => assert(found.contains((i, i + 1000)), s"missing pair $i"))
+    assert(pairs.filter($"jaccard" === 1.0).count() >= 20)
+  }
+
+  test("minhash plan has no CartesianProduct") {
+    val docs = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val plan = Dedup.minHashNearDuplicates(docs, "doc_id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("simhash: identical docs have hamming 0 and are found") {
+    val docs = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 50)
+    val dups = docs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 500).as("doc_id"), $"text")
+    val pairs = Dedup.simHashNearDuplicates(docs.union(dups), "doc_id", "text", maxHamming = 3)
+    val found = pairs.filter($"hamming" === 0)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach(i => assert(found.contains((i, i + 500))))
+  }
+
+  test("embedding near-dups via hyperplane LSH") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val dups = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 5000).as("vec_id"), $"embedding")
+    val pairs = Dedup.embeddingNearDuplicates(
+      emb.union(dups), "vec_id", "embedding", dim = 64, threshold = 0.99)
+    val found = pairs.select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach(i => assert(found.contains((i, i + 5000))))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  import graft.similarity.Ann
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val emb = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "embeddings")
+    .select($"vec_id", $"embedding").cache()
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val res = Ann.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+    val top1 = res.filter($"rank" === 1).select($"qid", $"cid").as[(Long, Long)]
+      .collect().toMap
+    (0L until 5L).foreach(q => assert(top1(q) == q))
+    assert(res.groupBy($"qid").count().select(min($"count")).as[Long].head() == 5)
+  }
+
+  test("lsh top-k finds the identical vector") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val res = Ann.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, dim = 64)
+    val top1 = res.filter($"rank" === 1).select($"qid", $"cid").as[(Long, Long)]
+      .collect().toMap
+    (0L until 5L).foreach(q => assert(top1(q) == q))
+  }
+
+  test("ivf top-k finds the identical vector with nprobe=4") {
+    implicit val s = spark
+    val idx = Ann.IvfIndex.build(emb, "vec_id", "embedding", numCentroids = 8,
+      sampleSize = 500)
+    val queries = emb.filter($"vec_id" < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val res = idx.topK(queries, k = 3, nprobe = 4)
+    val top1 = res.filter($"rank" === 1).select($"qid", $"cid").as[(Long, Long)]
+      .collect().toMap
+    (0L until 5L).foreach(q => assert(top1(q) == q))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import graft.multimodal.Multimodal
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("feature extraction plumbing: schema, determinism, batching") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq == Seq("media_id", "kind", "features"))
+    assert(feats.count() == 30)
+    val f0a = feats.filter($"media_id" === 0).select($"features").as[Seq[Float]].head()
+    val f0b = Multimodal.extractFeatures(media).filter($"media_id" === 0)
+      .select($"features").as[Seq[Float]].head()
+    assert(f0a == f0b) // deterministic stub
+    assert(f0a.length == Multimodal.featureDim)
+  }
+
+  test("frame sampling expands video rows only") {
+    val media = Multimodal.syntheticMedia(spark, 9) // 3 videos (10s each)
+    val frames = Multimodal.sampleFrames(media, everyMs = 2500)
+    // 10000ms / 2500ms -> 5 samples (0,2500,5000,7500,10000) per video
+    assert(frames.count() == 3 * 5)
+    assert(frames.select($"media_id").distinct().count() == 3)
+  }
+}
