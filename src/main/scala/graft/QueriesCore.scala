@@ -1,0 +1,410 @@
+package graft
+
+import graft.core._
+import graft.functions.Dialect
+import graft.operators._
+import graft.pipeline.SchemaDerivator
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics + transform-dialect + CDC-core correctness queries. Each entry has
+  * a DuckDB oracle in [[QueriesCore.oracles]] computing the same values with
+  * matching column names (the driver sorts columns by name and hashes values).
+  *
+  * Determinism rules: per-row double arithmetic is IEEE-identical across
+  * engines; aggregation uses exact DECIMAL sums cast to double after rounding;
+  * every result is orderBy'd on a unique key.
+  */
+object QueriesCore {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Deterministic changelog over `events`: event_id is the offset, the op is
+    * derived from event_type (signup→INSERT, purchase→REPLACE, error→DELETE,
+    * else UPDATE), user_id is the PK.
+    */
+  def eventsChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val op = when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type") === "purchase", "REPLACE")
+      .when(col("event_type") === "error", "DELETE")
+      .otherwise("UPDATE")
+    Envelope.fromChangelog(
+      ev.withColumn("__op", op),
+      TableId.parse("app.events"),
+      col("__op"),
+      col("event_id"),
+      Seq("user_id", "event_type", "value", "ts"))
+  }
+
+  /** SQL prefix defining the same changelog for the DuckDB oracle. */
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |         CASE WHEN event_type='signup' THEN 'INSERT'
+      |              WHEN event_type='purchase' THEN 'REPLACE'
+      |              WHEN event_type='error' THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS op
+      |  FROM events)
+      |""".stripMargin
+
+  // ===========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- analytics (the reference has none of these; Spark built-ins) -------
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+    "q_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_spend"))
+        .orderBy(col("total_spend").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"))
+        .orderBy("l_suppkey")
+    }),
+    "q_events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ---- transform dialect (SURVEY §2.5) ------------------------------------
+    "t_projection" -> ((s, dir) => {
+      val rule = TransformRule("app.customer", projection = Some(
+        "*, CONCAT(c_name, '_', c_mktsegment) AS c_tag, UPPER(c_mktsegment) AS seg_u, " +
+          "LOWER(c_name) AS name_l, CHAR_LENGTH(c_name) AS name_len, " +
+          "SUBSTR(c_name, 1, 5) AS name5, TRIM(c_mktsegment) AS seg_t"))
+      TransformOp.applyToRows(t(s, dir, "customer"), rule).orderBy("c_custkey")
+    }),
+    "t_filter" -> ((s, dir) => {
+      val rule = TransformRule("app.customer",
+        filter = Some("c_acctbal BETWEEN 1000 AND 5000 AND " +
+          "c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_custkey % 2 = 0"))
+      TransformOp.applyToRows(t(s, dir, "customer"), rule).orderBy("c_custkey")
+    }),
+    "t_like_regex" -> ((s, dir) => {
+      // reference LIKE compiles the pattern as a Java regex (find()) — RLIKE
+      val rule = TransformRule("app.customer",
+        filter = Some(Dialect.translate("c_mktsegment LIKE 'BU.LD' OR c_name LIKE '1$'")))
+      TransformOp.applyToRows(t(s, dir, "customer"), rule).orderBy("c_custkey")
+    }),
+    "t_arith" -> ((s, dir) => {
+      t(s, dir, "lineitem").selectExpr(
+        "l_orderkey", "l_linenumber",
+        "l_quantity + l_tax AS add_qt",
+        "l_extendedprice - l_discount AS sub_pd",
+        "l_quantity * l_discount AS mul_qd",
+        "l_extendedprice / (l_discount + 1.0) AS div_pd",
+        "l_linenumber % 3 AS mod_l3",
+        "ABS(l_discount - 0.5) AS abs_d",
+        "CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS ceil_p",
+        "CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS floor_p",
+        "ROUND(l_extendedprice, 1) AS round_p")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "t_temporal" -> ((s, dir) => {
+      t(s, dir, "events").selectExpr(
+        "event_id",
+        "date_format(ts, 'yyyy-MM-dd') AS day_str",
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_str",
+        "to_date(ts) AS day_date",
+        "year(ts) AS y", "month(ts) AS m", "day(ts) AS d",
+        "datediff(DATE '2024-03-01', to_date(ts)) AS days_to_march",
+        "unix_timestamp(ts) AS epoch_s",
+        "from_unixtime(unix_timestamp(ts), 'yyyy-MM-dd HH:mm:ss') AS rt_str",
+        "ts + INTERVAL 1 DAY AS ts_plus_day")
+        .orderBy("event_id")
+    }),
+    "t_conditional" -> ((s, dir) => {
+      t(s, dir, "orders").selectExpr(
+        "o_orderkey",
+        "CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled' ELSE 'other' END" +
+          " AS status_name",
+        "CASE WHEN o_totalprice > 100000 THEN 'big' WHEN o_totalprice > 10000 THEN 'mid'" +
+          " ELSE 'small' END AS size_class",
+        "COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'was-urgent') AS prio",
+        "IF(o_custkey % 2 = 0, 'even', 'odd') AS par")
+        .orderBy("o_orderkey")
+    }),
+    "t_cast" -> ((s, dir) => {
+      t(s, dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_orderkey AS STRING) AS key_str",
+        "CAST(o_custkey AS INT) AS cust_int",
+        "CAST(o_orderdate AS DATE) AS od_date",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec2",
+        "CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS even_bool",
+        "CAST(CAST(o_orderkey AS TINYINT) AS INT) AS key_i8")
+        .filter("o_orderkey < 120") // keep TINYINT in range: overflow would throw (ANSI)
+        .orderBy("o_orderkey")
+    }),
+    "t_metadata" -> ((s, dir) => {
+      val env = eventsChangelog(s, dir)
+      Envelope.withMetadataColumns(env)
+        .selectExpr("seq", Envelope.NamespaceName, Envelope.SchemaName,
+          Envelope.TableName, Envelope.DataEventType)
+        .orderBy("seq")
+    }),
+    "t_soft_delete" -> ((s, dir) => {
+      val soft = Envelope.softDelete(eventsChangelog(s, dir))
+      soft.groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("after.value").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("op")
+    }),
+    "t_udf" -> ((s, dir) => {
+      // UserDefinedFunction surface: register + use in selectExpr
+      s.udf.register("initials_mask",
+        (name: String) => if (name == null) null else name.take(1) + "***")
+      t(s, dir, "customer")
+        .selectExpr("c_custkey", "initials_mask(c_name) AS masked")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- CDC core -----------------------------------------------------------
+    "c_upsert" -> ((s, dir) => {
+      Upsert.materialize(eventsChangelog(s, dir), Seq("user_id")).orderBy("user_id")
+    }),
+    "c_deleted_keys" -> ((s, dir) => {
+      val (_, deletes) = Upsert.materializeWithDeletes(eventsChangelog(s, dir), Seq("user_id"))
+      deletes.orderBy("user_id")
+    }),
+    "c_route" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val router = new TableIdRouter(Seq(
+        RouteRule("app.\\.*", "ods.ods_<>", Some("<>")),
+        RouteRule("app.customer", "audit.customers")))
+      val envE = eventsChangelog(s, dir)
+      val envC = Envelope.fromSnapshot(
+        t(s, dir, "customer"), TableId.parse("app.customer"), col("c_custkey"))
+      val all = envE.select(col(Envelope.TableIdCol)).unionByName(
+        envC.select(col(Envelope.TableIdCol)))
+      val routed = router.annotate(
+        all, Seq(TableId.parse("app.events"), TableId.parse("app.customer")))
+      routed.groupBy(col("sinkTableId")).agg(count(lit(1)).as("n")).orderBy("sinkTableId")
+    }),
+    "c_chunks" -> ((s, dir) => {
+      import ChunkSplitter._
+      val li = t(s, dir, "lineitem")
+        .withColumn("pk", col("l_orderkey") * 10 + col("l_linenumber"))
+      val (mn, mx, cnt) = analyze(li, "pk")
+      val splits = generateSplits(mn, mx, cnt, Config(chunkSize = 8096),
+        dataFrameProbe(li, "pk"))
+      unionOfChunks(li, "pk", splits).drop("pk")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "c_snapshot" -> ((s, dir) => {
+      Envelope.fromSnapshot(t(s, dir, "nation"), TableId.parse("app.nation"),
+        col("n_nationkey"))
+        .selectExpr("tableId", "op", "seq", "after.n_nationkey AS n_nationkey",
+          "after.n_name AS n_name", "after.n_regionkey AS n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+    "c_schema_coerce" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val target = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", LongType), // widened int -> bigint
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType),
+        StructField("loyalty_tier", StringType))) // added, null-filled
+      SchemaDerivator.coerce(t(s, dir, "customer"), target).orderBy("c_custkey")
+    }),
+    "s_lenient_union" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val c = t(s, dir, "customer")
+      val target = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      // old shape: no c_mktsegment (pre-evolution rows), new shape: full
+      val oldShape = SchemaDerivator.coerce(
+        c.filter(col("c_custkey") % 2 === 0).drop("c_mktsegment"), target)
+      val newShape = SchemaDerivator.coerce(c.filter(col("c_custkey") % 2 === 1), target)
+      oldShape.unionByName(newShape).orderBy("c_custkey")
+    }))
+
+  // ===========================================================================
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_topk" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spend
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY total_spend DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "t_projection" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  c_name || '_' || c_mktsegment AS c_tag, UPPER(c_mktsegment) AS seg_u,
+        |  LOWER(c_name) AS name_l, LENGTH(c_name) AS name_len,
+        |  SUBSTR(c_name, 1, 5) AS name5, TRIM(c_mktsegment) AS seg_t
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_filter" ->
+      """SELECT * FROM customer
+        |WHERE c_acctbal BETWEEN 1000 AND 5000
+        |  AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "t_like_regex" ->
+      """SELECT * FROM customer
+        |WHERE regexp_matches(c_mktsegment, 'BU.LD') OR regexp_matches(c_name, '1$')
+        |ORDER BY c_custkey""".stripMargin,
+    "t_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity + l_tax AS add_qt,
+        |  l_extendedprice - l_discount AS sub_pd,
+        |  l_quantity * l_discount AS mul_qd,
+        |  l_extendedprice / (l_discount + 1.0) AS div_pd,
+        |  l_linenumber % 3 AS mod_l3,
+        |  ABS(l_discount - 0.5) AS abs_d,
+        |  CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS ceil_p,
+        |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS floor_p,
+        |  ROUND(l_extendedprice, 1) AS round_p
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t_temporal" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  CAST(ts AS DATE) AS day_date,
+        |  year(ts) AS y, month(ts) AS m, day(ts) AS d,
+        |  datediff('day', CAST(ts AS DATE), DATE '2024-03-01') AS days_to_march,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+        |  strftime(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS rt_str,
+        |  CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts_plus_day
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled' ELSE 'other' END AS status_name,
+        |  CASE WHEN o_totalprice > 100000 THEN 'big' WHEN o_totalprice > 10000 THEN 'mid' ELSE 'small' END AS size_class,
+        |  COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'was-urgent') AS prio,
+        |  CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "t_cast" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(o_custkey AS INT) AS cust_int,
+        |  CAST(o_orderdate AS DATE) AS od_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec2,
+        |  CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS even_bool,
+        |  CAST(CAST(o_orderkey AS TINYINT) AS INT) AS key_i8
+        |FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""".stripMargin,
+    "t_metadata" ->
+      """SELECT event_id AS seq, '' AS "__namespace_name__", 'app' AS "__schema_name__",
+        |  'events' AS "__table_name__",
+        |  CASE WHEN event_type='signup' THEN 'INSERT'
+        |       WHEN event_type='purchase' THEN 'REPLACE'
+        |       WHEN event_type='error' THEN 'DELETE'
+        |       ELSE 'UPDATE' END AS "__data_event_type__"
+        |FROM events ORDER BY seq""".stripMargin,
+    "t_soft_delete" -> (evCte +
+      """SELECT CASE WHEN op='DELETE' THEN 'INSERT' ELSE op END AS op,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY 1 ORDER BY op""".stripMargin),
+    "t_udf" ->
+      """SELECT c_custkey, SUBSTR(c_name, 1, 1) || '***' AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "c_upsert" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    "c_deleted_keys" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
+    "c_route" ->
+      """SELECT * FROM (
+        |  SELECT 'ods.ods_events' AS sinkTableId, count(*) AS n FROM events
+        |  UNION ALL
+        |  SELECT 'ods.ods_customer', count(*) FROM customer
+        |  UNION ALL
+        |  SELECT 'audit.customers', count(*) FROM customer
+        |) ORDER BY sinkTableId""".stripMargin,
+    "c_chunks" ->
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c_snapshot" ->
+      """SELECT 'app.nation' AS tableId, 'INSERT' AS op,
+        |  CAST(n_nationkey AS BIGINT) AS seq, n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "c_schema_coerce" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal, c_mktsegment, CAST(NULL AS VARCHAR) AS loyalty_tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s_lenient_union" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  CASE WHEN c_custkey % 2 = 0 THEN CAST(NULL AS VARCHAR) ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+}

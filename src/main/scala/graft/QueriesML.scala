@@ -1,0 +1,276 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries: dedup, text analysis, similarity
+  * search, multimodal. Oracles replicate the exact formulas in DuckDB SQL; for
+  * LSH-derived results the oracle covers the deterministic invariant (planted
+  * exact duplicates are always found because identical inputs share every
+  * band) and the queries are restricted to that invariant set.
+  */
+object QueriesML {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** documents ∪ cosmetic duplicates of doc_id<100 (upper-cased, re-id'd). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text")))
+  }
+
+  private val docsWithDupsCte =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+      |  FROM documents WHERE doc_id < 100)
+      |""".stripMargin
+
+  /** documents ∪ EXACT copies of doc_id<50 (re-id'd) — for minhash/simhash. */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val exactDupPairs =
+    """SELECT doc_id AS idA, doc_id + 100000 AS idB
+      |FROM documents WHERE doc_id < 50 ORDER BY idA""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup --------------------------------------------------------------
+    "d_exact_fingerprint" -> ((s, dir) => {
+      Dedup.exactByFingerprint(docsWithDups(s, dir), "doc_id", "text")
+        .select(col("fp"), col("doc_id"), col("dup_count"))
+        .orderBy("doc_id")
+    }),
+    "d_minhash_lsh" -> ((s, dir) => {
+      // exact copies share every minhash band → found with jaccard 1.0;
+      // restrict to the invariant (jaccard = 1) for the oracle
+      Dedup.minHashNearDuplicates(docsWithExactDups(s, dir), "doc_id", "text",
+        threshold = 1.0)
+        .select(col("idA"), col("idB"))
+        .orderBy("idA")
+    }),
+    "d_simhash" -> ((s, dir) => {
+      // simhash blocking (hamming 0) then exact verification — bag-of-words
+      // simhash collides for docs sharing most vocabulary, so candidates are
+      // verified by canonical fingerprint, the standard blocking+verify shape
+      val all = docsWithExactDups(s, dir)
+      val cands = Dedup.simHashNearDuplicates(all, "doc_id", "text", maxHamming = 0)
+      val fp = all.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      cands
+        .join(fp.withColumnRenamed("doc_id", "idA").withColumnRenamed("fp", "fpA"), Seq("idA"))
+        .join(fp.withColumnRenamed("doc_id", "idB").withColumnRenamed("fp", "fpB"), Seq("idB"))
+        .filter(col("fpA") === col("fpB"))
+        .select(col("idA"), col("idB"))
+        .orderBy("idA")
+    }),
+    "d_ngram_jaccard" -> ((s, dir) => {
+      // bounded candidate set: same source, nearby ids (never all-pairs)
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val a = d.select(col("source"), col("doc_id").as("idA"), col("text").as("tA"))
+      val b = d.select(col("source"), col("doc_id").as("idB"), col("text").as("tB"))
+      a.join(b, Seq("source"))
+        .filter(col("idB") > col("idA") && col("idB") - col("idA") <= 60)
+        .withColumn("words_a", array_distinct(split(lower(trim(col("tA"))), "\\s+")))
+        .withColumn("words_b", array_distinct(split(lower(trim(col("tB"))), "\\s+")))
+        .select(
+          col("idA"), col("idB"),
+          round(
+            size(array_intersect(col("words_a"), col("words_b"))).cast("double") /
+              size(array_union(col("words_a"), col("words_b"))).cast("double"),
+            6).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+    "d_embedding_dup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDuplicates(e.unionByName(planted), "vec_id", "embedding",
+        dim = 64, threshold = 0.999)
+        .select(col("idA"), col("idB"), col("cosine"))
+        .orderBy("idA", "idB")
+    }),
+
+    // ---- text analysis ------------------------------------------------------
+    "x_tokens" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCountApprox(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    "x_quality" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "x_langid" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "x_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search --------------------------------------------------
+    "a_ann_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.bruteForceTopK(e, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+        .orderBy("qid", "rank")
+    }),
+    "a_ann_lsh_self" -> ((s, dir) => {
+      // LSH invariant: the identical vector shares all bands → always rank 1
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.lshTopK(e, "vec_id", "embedding", queries, "qid", "qvec", k = 3, dim = 64)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("cid"), col("cosine"))
+        .orderBy("qid")
+    }),
+    "a_ann_ivf_self" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val e = emb(s, dir)
+      val idx = Ann.IvfIndex.build(e, "vec_id", "embedding", numCentroids = 8,
+        sampleSize = 500)
+      val qs = e.filter(col("vec_id") < 10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)).toSeq
+      idx.topK(qs, k = 1, nprobe = 8)
+        .select(col("qid"), col("cid"), col("cosine"))
+        .orderBy("qid")
+    }),
+
+    // ---- multimodal (binary plumbing; no SQL oracle — rows-only check) ------
+    "m_media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 60))
+        .select(col("media_id"), col("kind"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, v) => acc + v.cast("double")), 4).as("feature_sum"))
+        .orderBy("media_id")
+    }),
+    "m_media_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 12), everyMs = 2500)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_fingerprint" -> (docsWithDupsCte +
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM all_docs GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    "d_minhash_lsh" -> exactDupPairs,
+    "d_simhash" -> exactDupPairs,
+    "d_ngram_jaccard" ->
+      """SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |  round(
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(a.text)), '\s+')),
+        |                            list_distinct(string_split_regex(lower(trim(b.text)), '\s+')))) AS DOUBLE)
+        |    / len(list_distinct(list_concat(list_distinct(string_split_regex(lower(trim(a.text)), '\s+')),
+        |                                    list_distinct(string_split_regex(lower(trim(b.text)), '\s+'))))),
+        |    6) AS jaccard
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 60
+        |ORDER BY idA, idB""".stripMargin,
+    "d_embedding_dup" ->
+      """SELECT vec_id AS idA, vec_id + 100000 AS idB, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 10 ORDER BY idA, idB""".stripMargin,
+    "x_tokens" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text)=0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |              / length(text) END AS punct_ratio,
+        |    CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|that|it|for|on)\b')) AS DOUBLE) AS stophits,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS nonspace
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, punct_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE stophits / toks END AS stopword_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE nonspace / toks END AS mean_word_len,
+        |    CAST(toks AS DOUBLE) AS toksd
+        |  FROM f)
+        |SELECT doc_id,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(
+        |    least(toksd / 50.0, 1.0) * least(2000.0 / greatest(toksd, 1.0), 1.0) * 0.4
+        |    + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+        |  6) AS quality
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "x_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that|for)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit|für|nicht)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|avec|pour|dans)\b')) AS fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|con|para|que)\b')) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "x_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "a_ann_lsh_self" ->
+      """SELECT vec_id AS qid, vec_id AS cid, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 20 ORDER BY qid""".stripMargin,
+    "a_ann_ivf_self" ->
+      """SELECT vec_id AS qid, vec_id AS cid, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin)
+}
