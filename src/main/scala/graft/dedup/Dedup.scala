@@ -31,12 +31,9 @@ object Dedup {
   /** Per-document MinHash signature: array of `numHashes` minima of seeded
     * 64-bit hashes over the shingle set (shingle→minhash, SURVEY brief).
     */
-  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
-  }
+  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    graft.functions.CatalystExprs.minHashSig(
+      graft.functions.CatalystExprs.wordShingles(text, shingleSize), numHashes)
 
   /** Candidate pairs via LSH banding: equal band-hash ⇒ candidate. Returns
     * (idA, idB, sigSimilarity) with idA < idB, deduplicated across bands.

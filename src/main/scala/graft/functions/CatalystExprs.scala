@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-row hot loops where composed
+  * higher-order functions are interpreted and re-evaluated per lambda
+  * (SURVEY.md custom-operator preference (b): custom `Expression` beats UDF
+  * beats interpreted composition). Each does one tight JVM pass per row.
+  */
+object CatalystExprs {
+
+  @inline private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes — deterministic, allocation-free. */
+  private def hashBytes(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Lowercased whitespace-split word k-grams in one pass; text shorter than k
+    * words yields the whole text as a single shingle (same contract as
+    * `TextFunctions.shingles`).
+    */
+  case class WordShinglesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+        .split("\\s+")
+      val out =
+        if (words.length < k) Array(words.mkString(" "))
+        else {
+          val grams = new Array[String](words.length - k + 1)
+          var i = 0
+          while (i + k <= words.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j)); j += 1
+            }
+            grams(i) = sb.toString; i += 1
+          }
+          grams
+        }
+      new GenericArrayData(out.map(UTF8String.fromString(_): Any))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `numHashes` MinHash values in ONE pass over the shingle array: each
+    * shingle is byte-hashed once, then mixed per hash index — O(S + S·H cheap
+    * mixes) instead of H interpreted array traversals with string re-hashing.
+    */
+  case class MinHashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var s = 0
+      val n = arr.numElements()
+      while (s < n) {
+        val base = hashBytes(arr.getUTF8String(s))
+        var i = 0
+        while (i < numHashes) {
+          val h = splitmix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane signature bits in one pass (planes precomputed on the
+    * driver and closed over; serialized with the expression to executors).
+    */
+  case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData].toFloatArray()
+      var sig = 0L
+      var b = 0
+      while (b < planes.length) {
+        val p = planes(b)
+        var d = 0.0
+        var i = 0
+        val n = math.min(vec.length, p.length)
+        while (i < n) { d += vec(i) * p(i); i += 1 }
+        if (d > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Sequential-order float dot product in double — bit-identical to
+    * `aggregate(zip_with(a,b,*),0d,+)` (same accumulation order) but one JVM
+    * loop instead of 2·dim interpreted lambda calls.
+    */
+  case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toFloatArray()
+      val b = r.asInstanceOf[ArrayData].toFloatArray()
+      var d = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(d)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column helpers -------------------------------------------------------
+
+  def wordShingles(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), k))
+
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+
+  def hyperplaneSig(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    ColumnBridge.column(HyperplaneSigExpr(ColumnBridge.expression(vec), planes))
+  }
+
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -14,12 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ a_i * b_i, accumulated left-to-right in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Σ a_i * b_i, accumulated left-to-right in double (native expression with
+    * the same accumulation order as `aggregate(zip_with(...))`, so the values
+    * are bit-identical but evaluation is one JVM loop).
+    */
+  def dot(a: Column, b: Column): Column = CatalystExprs.dotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,14 +42,7 @@ object VectorFunctions {
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     require(bits <= 63, "signature must fit a long")
-    val rnd = new java.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
-      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_.bitwiseOR(_))
+    CatalystExprs.hyperplaneSig(vec, dim, bits, seed)
   }
 
   /** Split a signature into `bands` band values (for LSH banding). */
