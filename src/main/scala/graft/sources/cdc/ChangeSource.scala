@@ -1,0 +1,113 @@
+package graft.sources.cdc
+
+import graft.core._
+
+/** A change-data source the incremental-snapshot framework can read: a keyed
+  * table snapshot (live, mutable) plus an appendable change log with monotone
+  * offsets — the abstraction behind `flink-cdc-base`'s dialect SPI
+  * (`JdbcDataSourceDialect`: snapshot reads by key range + log tailing).
+  *
+  * [[ScriptedChangeSource]] is the values-style in-memory implementation used
+  * by tests (the analog of `ValuesDataSource`); a JDBC/binlog implementation
+  * plugs in behind the same four methods.
+  */
+trait ChangeSource {
+  def tableId: TableId
+  def schema: TableSchema
+  /** current head offset of the log (the reference's `currentBinlogOffset`). */
+  def currentOffset: Long
+  /** live snapshot rows whose key ∈ [lo, hiExclusive) (None = unbounded) —
+    * half-open to match `ChunkSplitter.ChunkRange` semantics. */
+  def snapshotRead(lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]]
+  /** log records with `fromExclusive < offset <= toInclusive`. */
+  def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord]
+  /** key-range stats for the chunk splitter. */
+  def keyStats: (Option[Long], Option[Long], Long)
+  /** first offset whose wall-clock timestamp ≥ ts (startup mode `timestamp`). */
+  def offsetAtTimestamp(ts: Long): Long
+}
+
+final case class LogRecord(offset: Long, tsMillis: Long, event: DataChangeEvent)
+
+/** In-memory scripted source: `append` simultaneously mutates the live table
+  * (like a real DB the snapshot reads from) and appends to the log.
+  */
+final class ScriptedChangeSource(
+    val tableId: TableId,
+    val schema: TableSchema,
+    initialRows: Seq[Map[String, Any]])
+    extends ChangeSource {
+
+  require(schema.primaryKeys.size == 1, "scripted source uses a single numeric PK")
+  private val pk = schema.primaryKeys.head
+
+  private val table =
+    scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]]
+  private val log = scala.collection.mutable.ArrayBuffer.empty[LogRecord]
+  private var offset = 0L
+
+  initialRows.foreach(r => table(keyOf(r)) = r)
+
+  private def keyOf(r: Map[String, Any]): Long = r(pk) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"non-numeric pk: $other")
+  }
+
+  def append(event: DataChangeEvent, tsMillis: Long = 0L): Long = synchronized {
+    offset += 1
+    event.op match {
+      case OperationType.DELETE => table.remove(keyOf(event.before))
+      case _ => table(keyOf(event.after)) = event.after
+    }
+    log += LogRecord(offset, tsMillis, event)
+    offset
+  }
+
+  override def currentOffset: Long = synchronized(offset)
+
+  override def snapshotRead(lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] =
+    synchronized {
+      table.collect {
+        case (k, row) if lo.forall(k >= _) && hiExclusive.forall(k < _) => row
+      }.toSeq
+    }
+
+  override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
+    synchronized {
+      log.filter(r => r.offset > fromExclusive && r.offset <= toInclusive).toSeq
+    }
+
+  override def keyStats: (Option[Long], Option[Long], Long) = synchronized {
+    if (table.isEmpty) (None, None, 0L)
+    else (Some(table.keys.min), Some(table.keys.max), table.size.toLong)
+  }
+
+  override def offsetAtTimestamp(ts: Long): Long = synchronized {
+    log.find(_.tsMillis >= ts).map(_.offset - 1).getOrElse(offset)
+  }
+
+  def keyOfEvent(e: DataChangeEvent): Long =
+    if (e.op == OperationType.DELETE) keyOf(e.before) else keyOf(e.after)
+}
+
+/** Driver/executor-shared registry (valid in local mode, where tests run; a
+  * cluster deployment would back [[ChangeSource]] with an external system —
+  * the registry then only lives on executors). Also records per-chunk high
+  * watermarks reported by snapshot readers, standing in for the reference's
+  * reader→enumerator watermark report channel
+  * (`SnapshotSplitAssigner.onFinishedSplits`).
+  */
+object ChangeSourceRegistry {
+  private val sources = scala.collection.concurrent.TrieMap.empty[String, ScriptedChangeSource]
+  private val chunkHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+
+  def register(id: String, s: ScriptedChangeSource): Unit = sources.put(id, s)
+  def get(id: String): ScriptedChangeSource =
+    sources.getOrElse(id, throw new IllegalStateException(s"no change source '$id'"))
+  def remove(id: String): Unit = { sources.remove(id); chunkHWs.filterInPlace((k, _) => k._1 != id) }
+
+  def reportChunkHW(id: String, chunkIdx: Int, hw: Long): Unit =
+    chunkHWs.put((id, chunkIdx), hw)
+  def chunkHW(id: String, chunkIdx: Int): Option[Long] = chunkHWs.get((id, chunkIdx))
+}

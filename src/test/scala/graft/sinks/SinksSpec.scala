@@ -1,0 +1,113 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core.{DataChangeEvent, TableId}
+import graft.operators.{Envelope, Upsert}
+import graft.sources.ValuesSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KafkaJsonFormatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def env() = {
+    val t = TableId.parse("mydb.users")
+    ValuesSource.toEnvelope(spark, ValuesSource.customersSchema, Seq(
+      DataChangeEvent.insert(t, Map("col1" -> "1", "col2" -> "a")),
+      DataChangeEvent.update(t, Map("col1" -> "1", "col2" -> "a"),
+        Map("col1" -> "1", "col2" -> "b")),
+      DataChangeEvent.delete(t, Map("col1" -> "1", "col2" -> "b"))))
+  }
+
+  test("debezium-json: op codes c/u/d, before/after images, source block") {
+    val out = KafkaJsonFormats.debeziumJson(env()).select($"value").as[String].collect()
+    assert(out.length == 3)
+    assert(out(0).contains("\"op\":\"c\"") && out(0).contains("\"after\":{\"col1\":\"1\",\"col2\":\"a\"}")
+      && !out(0).contains("\"before\":{"))
+    assert(out(1).contains("\"op\":\"u\"") && out(1).contains("\"before\":{\"col1\":\"1\",\"col2\":\"a\"}"))
+    assert(out(2).contains("\"op\":\"d\"") && !out(2).contains("\"after\":{"))
+    assert(out(0).contains("\"source\":{\"db\":\"mydb\",\"table\":\"users\"}"))
+  }
+
+  test("canal-json: type INSERT/UPDATE/DELETE with data/old arrays") {
+    val out = KafkaJsonFormats.canalJson(env()).select($"value").as[String].collect()
+    assert(out(0).contains("\"type\":\"INSERT\"") && out(0).contains("\"data\":[{"))
+    assert(out(1).contains("\"type\":\"UPDATE\"") && out(1).contains("\"old\":[{"))
+    assert(out(2).contains("\"type\":\"DELETE\""))
+    assert(out(0).contains("\"database\":\"mydb\"") && out(0).contains("\"table\":\"users\""))
+  }
+
+  test("key + partition strategies") {
+    val hashKeyed = KafkaJsonFormats.withKey(env(), Seq("col1"))
+    assert(hashKeyed.select($"key").as[String].collect().forall(_ == "{\"col1\":\"1\"}"))
+    val zero = KafkaJsonFormats.withKey(env(), Seq("col1"), "ALL_TO_ZERO")
+    assert(zero.select($"partition").distinct().as[Int].collect().toSeq == Seq(0))
+  }
+}
+
+class PartitioningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("orderedForSink: per-key events arrive in seq order within a partition") {
+    val t = TableId.parse("db.t")
+    val events = (0 until 200).map { i =>
+      val key = (i % 7).toString
+      DataChangeEvent.insert(t, Map("col1" -> key, "col2" -> i.toString))
+    }
+    val env = ValuesSource.toEnvelope(spark, ValuesSource.customersSchema, events)
+      .orderBy(rand(seed = 1)) // scramble
+    val parted = Upsert.orderedForSink(env, Seq("col1"), numPartitions = 3)
+    // within each partition, per-key seqs must be increasing (FIFO contract)
+    val ok = parted
+      .select(col("after.col1").as("k"), col(Envelope.SeqCol))
+      .mapPartitions { rows =>
+        val lastSeq = scala.collection.mutable.Map.empty[String, Long]
+        var good = true
+        rows.foreach { r =>
+          val k = r.getString(0); val s = r.getLong(1)
+          if (lastSeq.getOrElse(k, Long.MinValue) > s) good = false
+          lastSeq(k) = s
+        }
+        Iterator.single(good)
+      }.collect()
+    assert(ok.forall(identity))
+    // and all events of one key land in one partition
+    val spread = parted
+      .select(spark_partition_id().as("p"), col("after.col1").as("k"))
+      .groupBy("k").agg(countDistinct("p").as("np"))
+      .select(max("np")).as[Long].head()
+    assert(spread == 1)
+  }
+}
+
+class UdfLifecycleSpec extends AnyFunSuite {
+  import graft.functions.{ModelFunctions, UdfRegistry, UserDefinedFunction}
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("UserDefinedFunction lifecycle adapter registers and evaluates") {
+    object Reverse extends UserDefinedFunction {
+      val name = "graft_reverse"
+      @volatile var openCount = 0
+      override def open(): Unit = openCount += 1
+      def eval(args: Any*): Any = String.valueOf(args.head).reverse
+    }
+    UdfRegistry.register(spark, Reverse)
+    val out = Seq("abc").toDF("s").selectExpr("graft_reverse(s) AS r").as[String].head()
+    assert(out == "cba")
+  }
+
+  test("model functions: AI_CHAT_PREDICT string, GET_EMBEDDING array<float>") {
+    ModelFunctions.registerChatPredict(spark, "stub-model")
+    ModelFunctions.registerGetEmbedding(spark, "stub-model", dim = 8)
+    val df = Seq("hello").toDF("s")
+      .selectExpr("AI_CHAT_PREDICT(s) AS p", "GET_EMBEDDING(s) AS e")
+    val row = df.head()
+    assert(row.getString(0).startsWith("[stub-model] "))
+    assert(row.getSeq[Float](1).length == 8)
+    // deterministic
+    assert(df.head() == row)
+  }
+}

@@ -1,0 +1,203 @@
+package graft.sources.cdc
+
+import graft.SparkTestBase
+import graft.core._
+import graft.operators.Upsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftCdcSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def schema = {
+    import org.apache.spark.sql.types._
+    TableSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+  }
+
+  private def row(id: Long, v: String): Map[String, Any] = Map("id" -> id, "v" -> v)
+
+  private def collectStream(sourceId: String, opts: Map[String, String]): Seq[
+    (String, Long, Option[String])] = {
+    // (op, seq, after.v) rows collected through foreachBatch
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[String], Long)]
+    var reader = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", sourceId)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select($"op", $"seq", $"after.v", $"after.id", $"before.id").collect().foreach {
+          r =>
+            val id = if (!r.isNullAt(3)) r.getLong(3) else r.getLong(4)
+            buf += ((r.getString(0), r.getLong(1), Option(r.getString(2)), id))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    buf.toSeq.map(t => (t._1, t._2, t._3))
+  }
+
+  private def runAndMaterialize(sourceId: String, opts: Map[String, String]): Map[Long, String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var reader = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", sourceId)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        buf ++= batch.collect(); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // materialize: per key, the highest-seq surviving row
+    val byKey = scala.collection.mutable.Map.empty[Long, (Long, Option[String])]
+    buf.foreach { r =>
+      val op = r.getString(1)
+      val before = r.getStruct(2); val after = r.getStruct(3)
+      val seq = r.getLong(4)
+      val id = if (after != null) after.getLong(0) else before.getLong(0)
+      val cur = byKey.get(id)
+      if (cur.forall(_._1 <= seq))
+        byKey(id) = (seq, if (op == "DELETE") None else Some(after.getString(1)))
+    }
+    byKey.collect { case (k, (_, Some(v))) => k -> v }.toMap
+  }
+
+  test("initial mode: chunked snapshot then log tail, exactly-once under concurrent writes") {
+    val id = "cdc-initial"
+    val src = new ScriptedChangeSource(TableId.parse("db.t"), schema,
+      (1L to 100L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+    // concurrent changes BEFORE the stream starts reading chunks land in the
+    // live table AND the log: the chunk read sees them, the HW filter must
+    // suppress their re-emission in the log phase
+    src.append(DataChangeEvent.update(TableId.parse("db.t"),
+      row(10L, "v10"), row(10L, "v10-upd")))
+    src.append(DataChangeEvent.delete(TableId.parse("db.t"), row(20L, "v20")))
+    src.append(DataChangeEvent.insert(TableId.parse("db.t"), row(200L, "v200")))
+
+    val events = collectStream(id, Map("chunk.size" -> "30", "chunks.per-batch" -> "2"))
+    // snapshot emits 100 - 1 deleted + 1 inserted = 100 rows as INSERT
+    val snapshotRows = events.filter(_._1 == "INSERT")
+    assert(snapshotRows.size == 100)
+    // the updated value appears exactly once, already updated
+    assert(events.count(e => e._3.contains("v10-upd")) == 1)
+    assert(!events.exists(e => e._3.contains("v10") && e._3.get == "v10"))
+    // no DELETE event emitted (merged into snapshot)
+    assert(!events.exists(_._1 == "DELETE"))
+    ChangeSourceRegistry.remove(id)
+  }
+
+  test("log events after snapshot flow through and win over chunk rows") {
+    val id = "cdc-log"
+    val t = TableId.parse("db.t")
+    val src = new ScriptedChangeSource(t, schema, (1L to 50L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", id).option("chunk.size", "20")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+      .start()
+    q.processAllAvailable() // snapshot done
+    src.append(DataChangeEvent.update(t, row(5L, "v5"), row(5L, "v5-new")))
+    src.append(DataChangeEvent.delete(t, row(6L, "v6")))
+    src.append(DataChangeEvent.insert(t, row(300L, "v300")))
+    q.processAllAvailable() // log phase
+    q.stop()
+
+    val ups = buf.filter(_.getString(1) == "UPDATE")
+    assert(ups.size == 1 && ups.head.getStruct(3).getString(1) == "v5-new")
+    assert(buf.count(_.getString(1) == "DELETE") == 1)
+    // materialized state correct: v5 updated, 6 gone, 300 added
+    val state = buf.groupBy { r =>
+      val a = r.getStruct(3); val b = r.getStruct(2)
+      if (a != null) a.getLong(0) else b.getLong(0)
+    }.map { case (k, rows) => k -> rows.maxBy(_.getLong(4)) }
+    assert(state(5L).getStruct(3).getString(1) == "v5-new")
+    assert(state(6L).getString(1) == "DELETE")
+    assert(state(300L).getStruct(3).getString(1) == "v300")
+    ChangeSourceRegistry.remove(id)
+  }
+
+  test("snapshot mode is bounded; latest skips history; earliest replays it") {
+    val t = TableId.parse("db.t")
+    for ((mode, expectOps) <- Seq(
+        ("snapshot", Set("INSERT")),
+        ("earliest", Set("INSERT", "UPDATE")))) {
+      val id = s"cdc-$mode"
+      val src = new ScriptedChangeSource(t, schema, Seq(row(1L, "a")))
+      ChangeSourceRegistry.register(id, src)
+      src.append(DataChangeEvent.insert(t, row(2L, "b")))
+      src.append(DataChangeEvent.update(t, row(1L, "a"), row(1L, "a2")))
+      val events = collectStream(id, Map("startup.mode" -> mode))
+      assert(events.map(_._1).toSet == expectOps, s"mode=$mode got $events")
+      ChangeSourceRegistry.remove(id)
+    }
+  }
+
+  test("latest mode emits only post-subscription events") {
+    val t = TableId.parse("db.t")
+    val id = "cdc-latest"
+    val src = new ScriptedChangeSource(t, schema, Seq(row(1L, "a")))
+    ChangeSourceRegistry.register(id, src)
+    src.append(DataChangeEvent.update(t, row(1L, "a"), row(1L, "a2"))) // pre-subscribe
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", id).option("startup.mode", "latest")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+      .start()
+    q.processAllAvailable()
+    assert(buf.isEmpty) // history skipped
+    src.append(DataChangeEvent.update(t, row(1L, "a2"), row(1L, "a3")))
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.size == 1 && buf.head.getStruct(3).getString(1) == "a3")
+    ChangeSourceRegistry.remove(id)
+  }
+
+  test("specific-offset and timestamp startup modes") {
+    val t = TableId.parse("db.t")
+    val id = "cdc-offset"
+    val src = new ScriptedChangeSource(t, schema, Seq.empty)
+    ChangeSourceRegistry.register(id, src)
+    src.append(DataChangeEvent.insert(t, row(1L, "a")), tsMillis = 1000)
+    src.append(DataChangeEvent.insert(t, row(2L, "b")), tsMillis = 2000)
+    src.append(DataChangeEvent.insert(t, row(3L, "c")), tsMillis = 3000)
+
+    val fromOffset = collectStream(id,
+      Map("startup.mode" -> "specific-offset", "startup.specific-offset" -> "2"))
+    assert(fromOffset.map(_._3.get) == Seq("c"))
+
+    val fromTs = collectStream(id,
+      Map("startup.mode" -> "timestamp", "startup.timestamp" -> "2000"))
+    assert(fromTs.map(_._3.get) == Seq("b", "c"))
+    ChangeSourceRegistry.remove(id)
+  }
+
+  test("end-to-end: cdc source -> Upsert.materialize equals live table state") {
+    val t = TableId.parse("db.t")
+    val id = "cdc-e2e"
+    val src = new ScriptedChangeSource(t, schema, (1L to 40L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+    src.append(DataChangeEvent.update(t, row(7L, "v7"), row(7L, "x")))
+    src.append(DataChangeEvent.delete(t, row(8L, "v8")))
+
+    val state = runAndMaterialize(id, Map("chunk.size" -> "16"))
+    val expected = src.snapshotRead(None, None)
+      .map(r => r("id").toString.toLong -> r("v").toString).toMap
+    assert(state == expected)
+    assert(state(7L) == "x"); assert(!state.contains(8L))
+    ChangeSourceRegistry.remove(id)
+  }
+}
