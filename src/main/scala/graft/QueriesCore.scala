@@ -155,7 +155,9 @@ object QueriesCore {
         "datediff(DATE '2024-03-01', to_date(ts)) AS days_to_march",
         "unix_timestamp(ts) AS epoch_s",
         "from_unixtime(unix_timestamp(ts), 'yyyy-MM-dd HH:mm:ss') AS rt_str",
-        "ts + INTERVAL 1 DAY AS ts_plus_day")
+        "ts + INTERVAL 1 DAY AS ts_plus_day",
+        "CAST(timestampdiff(DAY, ts, TIMESTAMP '2024-02-15 00:00:00') AS INT) AS tsdiff_days",
+        "timestampadd(HOUR, 3, ts) AS ts_plus_3h")
         .orderBy("event_id")
     }),
     "t_conditional" -> ((s, dir) => {
@@ -342,7 +344,9 @@ object QueriesCore {
         |  datediff('day', CAST(ts AS DATE), DATE '2024-03-01') AS days_to_march,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
         |  strftime(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS rt_str,
-        |  CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts_plus_day
+        |  CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts_plus_day,
+        |  CAST(floor((epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT) AS tsdiff_days,
+        |  CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR AS ts_plus_3h
         |FROM events ORDER BY event_id""".stripMargin,
     "t_conditional" ->
       """SELECT o_orderkey,

@@ -1,0 +1,105 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational features the reference deliberately lacks (SURVEY §2.5 "absent
+  * relational features") and that the Spark engine provides for free: semi /
+  * anti joins, set operations, grouping sets, subqueries. Included so a user
+  * of the reference moving to this engine gets the full SQL surface, each
+  * verified against DuckDB.
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_semi_join" -> ((s, dir) => {
+      // customers that have at least one order (EXISTS)
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "r_anti_join" -> ((s, dir) => {
+      // customers with no orders (NOT EXISTS)
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "r_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey"))
+      val bld = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+      auto.intersect(bld)
+        .unionByName(auto.except(bld).withColumn("c_nationkey", col("c_nationkey") + 1000))
+        .distinct()
+        .orderBy("c_nationkey")
+    }),
+    "r_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+    "r_subquery" -> ((s, dir) => {
+      // orders above the average total price (scalar subquery)
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(avg(col("o_totalprice"))).head().getDouble(0)
+      o.filter(col("o_totalprice") > avgPrice)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "r_exists_corr" -> ((s, dir) => {
+      // orders with at least one high-quantity line (correlated EXISTS via semi)
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      o.join(li.filter(col("l_quantity") >= 45), o("o_orderkey") === li("l_orderkey"),
+        "left_semi")
+        .select(col("o_orderkey"))
+        .orderBy("o_orderkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "r_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r_setops" ->
+      """SELECT DISTINCT c_nationkey FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment='AUTOMOBILE'
+        |  INTERSECT
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment='BUILDING'
+        |  UNION
+        |  SELECT c_nationkey + 1000 FROM (
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment='AUTOMOBILE'
+        |    EXCEPT
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment='BUILDING')
+        |) ORDER BY c_nationkey""".stripMargin,
+    "r_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "r_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "r_exists_corr" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin)
+}

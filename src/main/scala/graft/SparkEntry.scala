@@ -16,12 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesML.queries
+    QueriesCore.queries ++ QueriesML.queries ++ QueriesRelational.queries ++
+      QueriesCdc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (m_media_* binary plumbing) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles ++ QueriesML.oracles
+    QueriesCore.oracles ++ QueriesML.oracles ++ QueriesRelational.oracles ++
+      QueriesCdc.oracles
 }
