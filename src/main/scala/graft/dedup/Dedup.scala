@@ -35,11 +35,38 @@ object Dedup {
     graft.functions.CatalystExprs.minHashSig(
       graft.functions.CatalystExprs.wordShingles(text, shingleSize), numHashes)
 
+  /** Shared LSH pair generation: `banded` has columns
+    * (band, bucketKey, id, payload); returns (idA, idB, payloadA, payloadB)
+    * with idA < idB.
+    *
+    * The self-join deliberately joins the SAME plan subtree on both sides and
+    * renames columns only AFTER the join: both children then produce an
+    * identical exchange (same projection, same partitioning keys), so
+    * Catalyst's `ReuseExchange` computes and shuffles the signature subtree
+    * ONCE and the join reads the one shuffle twice. Renaming before the join
+    * (the naive `a`/`b` projections) breaks subtree identity and doubles both
+    * the signature computation and the shuffle. Bucket sizes are bounded by
+    * LSH design (run exact dedup first so identical-document clusters collapse
+    * before banding), and AQE splits skewed band buckets.
+    */
+  private def bucketPairs(banded: DataFrame): DataFrame =
+    banded.alias("l")
+      .join(
+        banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bucketKey") === col("r.bucketKey") &&
+          col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("idA"),
+        col("r.id").as("idB"),
+        col("l.payload").as("payloadA"),
+        col("r.payload").as("payloadB"))
+
   /** Candidate pairs via LSH banding: equal band-hash ⇒ candidate. Returns
     * (idA, idB, sigSimilarity) with idA < idB, deduplicated across bands.
     *
-    * Plan shape: explode bands (narrow) → shuffle on (band, bandHash) via
-    * self-join → pair dedup. No cartesian product anywhere.
+    * Plan shape: signature (narrow, computed once) → explode bands (narrow) →
+    * ONE shuffle into (band, hash) buckets → within-bucket pair explosion →
+    * pair dedup. No cartesian product anywhere.
     */
   def minHashLshCandidates(
       df: DataFrame,
@@ -52,26 +79,22 @@ object Dedup {
     val rows = numHashes / bands
     val sig = df.select(
       col(idCol).as("id"),
-      minHashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      minHashSignature(col(textCol), shingleSize, numHashes).as("payload"))
     val banded = sig.select(
       col("id"),
-      col("sig"),
+      col("payload"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        b => xxhash64(concat_ws(",", slice(col("payload"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandHash")
-    val a = banded.select(col("band"), col("bandHash"), col("id").as("idA"),
-      col("sig").as("sigA"))
-    val b = banded.select(col("band"), col("bandHash"), col("id").as("idB"),
-      col("sig").as("sigB"))
-    a.join(b, Seq("band", "bandHash"))
-      .filter(col("idA") < col("idB"))
+      .withColumnRenamed("col", "bucketKey")
+    bucketPairs(banded)
       .select(
         col("idA"),
         col("idB"),
         aggregate(
-          zip_with(col("sigA"), col("sigB"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          zip_with(col("payloadA"), col("payloadB"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
           lit(0.0),
           (acc, v) => acc + v).divide(lit(numHashes)).as("sigSim"))
       .groupBy("idA", "idB")
@@ -137,17 +160,15 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val perBand = 64 / bands
     val mask = if (perBand == 64) -1L else (1L << perBand) - 1
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("payload"))
     val chunkArray = array((0 until bands).map(b =>
-      shiftright(col("sh"), b * perBand).bitwiseAND(lit(mask))): _*)
-    val banded = sigs.select(col("id"), col("sh"), posexplode(chunkArray))
+      shiftright(col("payload"), b * perBand).bitwiseAND(lit(mask))): _*)
+    val banded = sigs.select(col("id"), col("payload"), posexplode(chunkArray))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sh").as("shA"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sh").as("shB"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), hamming(col("shA"), col("shB")).as("hamming"))
+      .withColumnRenamed("col", "bucketKey")
+    bucketPairs(banded)
+      .select(col("idA"), col("idB"),
+        hamming(col("payloadA"), col("payloadB")).as("hamming"))
       .groupBy("idA", "idB")
       .agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -183,19 +204,16 @@ object Dedup {
     val mask = (1L << perBand) - 1
     val sigs = df.select(
       col(idCol).as("id"),
-      col(vecCol).as("vec"),
+      col(vecCol).as("payload"),
       VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
     val chunkArray = array((0 until bands).map(b =>
       shiftright(col("sig"), b * perBand).bitwiseAND(lit(mask))): _*)
-    val banded = sigs.select(col("id"), col("vec"), posexplode(chunkArray))
+    val banded = sigs.select(col("id"), col("payload"), posexplode(chunkArray))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("vec").as("vecA"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("vec").as("vecB"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("idA") < col("idB"))
+      .withColumnRenamed("col", "bucketKey")
+    bucketPairs(banded)
       .select(col("idA"), col("idB"),
-        VectorFunctions.cosine(col("vecA"), col("vecB")).as("cosine"))
+        VectorFunctions.cosine(col("payloadA"), col("payloadB")).as("cosine"))
       .groupBy("idA", "idB")
       .agg(max("cosine").as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -155,10 +155,35 @@ object ChunkSplitter {
     }
   }
 
+  /** Coalesce adjacent chunk ranges into at most `maxGroups` coarse ranges.
+    * Splitter output is contiguous (each chunk starts where the previous
+    * ended), so a group of adjacent chunks IS a range: (first.start,
+    * last.end). This is the batch analog of the streaming source's
+    * `chunksPerBatch` batching — chunk granularity is the unit of assignment
+    * and recovery, not of plan branching.
+    */
+  def coalesceRanges(chunks: Seq[ChunkRange], maxGroups: Int): Seq[ChunkRange] =
+    if (chunks.size <= maxGroups) chunks
+    else {
+      val perGroup = math.ceil(chunks.size.toDouble / maxGroups).toInt
+      chunks.grouped(perGroup).map(g => ChunkRange(g.head.start, g.last.end)).toSeq
+    }
+
   /** Read a table as the union of its chunks — the batch-snapshot form of the
     * DSv2 source's phase 1. Chunk predicates reach the parquet scan as
     * `PushedFilters`, so each chunk reads only its row-group range.
+    *
+    * The union is capped at `maxBranches` plan branches (adjacent ranges
+    * coalesce losslessly): a 100 TB table splits into millions of chunks, and
+    * a million-branch `Union` is a driver-side planning death — the branch
+    * count must be O(parallelism), never O(table size).
     */
-  def unionOfChunks(df: DataFrame, keyCol: String, chunks: Seq[ChunkRange]): DataFrame =
-    chunks.map(c => df.filter(c.predicate(keyCol))).reduce(_ union _)
+  def unionOfChunks(
+      df: DataFrame,
+      keyCol: String,
+      chunks: Seq[ChunkRange],
+      maxBranches: Int = 32): DataFrame =
+    coalesceRanges(chunks, maxBranches)
+      .map(c => df.filter(c.predicate(keyCol)))
+      .reduce(_ union _)
 }
