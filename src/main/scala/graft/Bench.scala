@@ -56,16 +56,108 @@ object Bench {
       name -> (if (ok) sec else -sec)
     }
 
+    val baseline = runBaselineBench(spark, sfDir, errors)
+
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val bs = baseline.map { case (k, v) => jq(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline":$bs,"sf":${jq(
           sfDir)}}""")
     spark.stop()
+  }
+
+  /** BASELINE.md's B1–B4 envelope, run on the SF-dir parquet:
+    * B1 snapshot throughput (rows/sec through the chunked snapshot envelope),
+    * B2 transform throughput (5-expr projection incl. CONCAT/CAST/DATE_FORMAT
+    * + filter, events/sec), B3 log-phase upsert throughput (1M 50/50
+    * insert/update events materialized, events/sec), B4 schema-evolution
+    * stall (100 interleaved ADD COLUMN DDLs amid coerced batches: total wall
+    * sec and max single stall).
+    */
+  def runBaselineBench(
+      spark: SparkSession,
+      sfDir: String,
+      errors: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.core._
+    import graft.operators._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed(tag: String)(f: => Unit): Option[Double] =
+      try { val t0 = System.nanoTime(); f; Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          errors(tag) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      }
+
+    // B1: chunked snapshot -> envelope -> count
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val liRows = li.count()
+    timed("b1") {
+      val (mn, mx, cnt) = ChunkSplitter.analyze(li, "l_orderkey")
+      val splits = ChunkSplitter.generateSplits(mn, mx, cnt,
+        ChunkSplitter.Config(chunkSize = 8096), ChunkSplitter.dataFrameProbe(li, "l_orderkey"))
+      Envelope.fromSnapshot(
+        ChunkSplitter.unionOfChunks(li, "l_orderkey", splits),
+        TableId.parse("app.lineitem"), col("l_orderkey")).count()
+    }.foreach(sec => out += "b1_snapshot_rows_per_sec" -> liRows / sec)
+
+    // B2: B1 envelope + 5-expr projection + filter
+    timed("b2") {
+      Envelope.fromSnapshot(li, TableId.parse("app.lineitem"), col("l_orderkey"))
+        .selectExpr(
+          "CONCAT(CAST(after.l_orderkey AS STRING), '-', CAST(after.l_linenumber AS STRING)) AS k",
+          "CAST(after.l_quantity AS DOUBLE) AS q",
+          "DATE_FORMAT(after.l_shipdate, 'yyyy-MM-dd') AS d",
+          "UPPER(after.l_returnflag) AS rf",
+          "after.l_extendedprice * (1 - after.l_discount) AS net")
+        .where("q > 0")
+        .count()
+    }.foreach(sec => out += "b2_transform_events_per_sec" -> liRows / sec)
+
+    // B3: 1M synthetic log events (50/50 insert/update), PK-upsert materialize
+    val b3Events = 1000000L
+    timed("b3") {
+      val env = spark.range(b3Events).select(
+        lit("app.t").as(Envelope.TableIdCol),
+        when(col("id") % 2 === 0, "INSERT").otherwise("UPDATE").as(Envelope.OpCol),
+        lit(null).cast("struct<k:bigint,v:bigint>").as(Envelope.BeforeCol),
+        struct((col("id") % 200000).as("k"), col("id").as("v")).as(Envelope.AfterCol),
+        col("id").as(Envelope.SeqCol),
+        map().cast("map<string,string>").as(Envelope.MetaCol))
+      Upsert.materialize(env, Seq("k")).count()
+    }.foreach(sec => out += "b3_log_events_per_sec" -> b3Events / sec)
+
+    // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches
+    timed("b4_total_wall_sec_outer") {
+      val tid = TableId.parse("app.evolving")
+      val driver = new graft.pipeline.SchemaEvolutionDriver(
+        graft.pipeline.SchemaChangeBehavior.LENIENT,
+        new graft.pipeline.MetadataApplier { def applySchemaChange(e: SchemaChangeEvent) = () })
+      driver.handle(graft.sources.mysql.MySqlDdlParser
+        .parse("CREATE TABLE app.evolving (k BIGINT NOT NULL PRIMARY KEY, v BIGINT)").head)
+      val batch = Envelope.fromSnapshot(
+        spark.range(1000).select(col("id").as("k"), col("id").as("v")),
+        tid, col("k"))
+      var maxStall = 0.0
+      val t0 = System.nanoTime()
+      (1 to 100).foreach { i =>
+        val s0 = System.nanoTime()
+        graft.sources.mysql.MySqlDdlParser
+          .parse(s"ALTER TABLE app.evolving ADD COLUMN extra_$i INT")
+          .foreach(driver.handle)
+        maxStall = math.max(maxStall, (System.nanoTime() - s0) / 1e9)
+        driver.coerceBatch(tid, batch).count()
+      }
+      out += "b4_total_wall_sec" -> (System.nanoTime() - t0) / 1e9
+      out += "b4_max_stall_sec" -> maxStall
+    }
+    out.toSeq
   }
 }
