@@ -71,6 +71,31 @@ object QueriesCdc {
         import s.implicits._
         rows.toDF("id", "v").orderBy("id")
       } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
+    // DDL text -> MySqlDdlParser -> SchemaEvolutionDriver (LENIENT) ->
+    // envelope coercion of old-shape rows into the evolved schema. Covers the
+    // parser, the behavior rewrite (RENAME -> additive column under LENIENT,
+    // MODIFY -> type widen), and the generated-cast coercion path.
+    "c_ddl_evolution" -> ((s, dir) => {
+      import graft.operators.Envelope
+      import graft.pipeline._
+      import graft.sources.mysql.MySqlDdlParser
+      val tid = TableId.parse("app.customer")
+      val driver = new SchemaEvolutionDriver(
+        SchemaChangeBehavior.LENIENT,
+        new MetadataApplier { def applySchemaChange(e: SchemaChangeEvent): Unit = () })
+      Seq(
+        """CREATE TABLE app.customer (
+          |  c_custkey BIGINT NOT NULL PRIMARY KEY, c_name VARCHAR(64),
+          |  c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR(16))""".stripMargin,
+        "ALTER TABLE app.customer ADD COLUMN loyalty_tier VARCHAR(16)",
+        "ALTER TABLE app.customer MODIFY COLUMN c_nationkey BIGINT",
+        "ALTER TABLE app.customer RENAME COLUMN c_mktsegment TO segment")
+        .flatMap(MySqlDdlParser.parse(_))
+        .foreach(driver.handle)
+      val env = Envelope.fromSnapshot(Tables.load(s, dir, "customer"), tid, col("c_custkey"))
+      driver.coerceBatch(tid, env).selectExpr("after.*").orderBy("c_custkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -80,5 +105,10 @@ object QueriesCdc {
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
-        |ORDER BY u.id""".stripMargin)
+        |ORDER BY u.id""".stripMargin,
+    "c_ddl_evolution" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal, c_mktsegment, CAST(NULL AS VARCHAR) AS loyalty_tier,
+        |  CAST(NULL AS VARCHAR) AS segment
+        |FROM customer ORDER BY c_custkey""".stripMargin)
 }
