@@ -1,0 +1,106 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core._
+import graft.sources.mysql.MySqlDdlParser
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concrete-sink scenarios mirroring the reference's pipeline-sink ITs:
+  * create → upsert → delete → evolve → upsert, verified by reading the sink
+  * back. JDBC path runs against embedded Derby (the generic two-statement
+  * upsert dialect); parquet path exercises the copy-on-write MERGE versioning.
+  */
+class UpsertSinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val createDdl =
+    "CREATE TABLE app.users (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(64), score INT)"
+
+  private def create(sink: DataSink): TableId = {
+    val t = TableId.of("app", "users")
+    MySqlDdlParser.parse(createDdl).foreach(sink.applySchemaChange)
+    t
+  }
+
+  private def roundTrip(sink: DataSink, readBack: TableId => Seq[(Long, String, Any)]): Unit = {
+    val t = create(sink)
+    sink.writeBatch(t,
+      Seq((1L, "ann", 10), (2L, "bob", 20)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"))
+    // second batch: update 1, insert 3, delete 2
+    sink.writeBatch(t,
+      Seq((1L, "ann2", 11), (3L, "cid", 30)).toDF("id", "name", "score"),
+      Seq(2L).toDF("id"))
+    assert(readBack(t).sortBy(_._1) ==
+      Seq((1L, "ann2", 11), (3L, "cid", 30)))
+
+    // schema evolution between batches, then a batch in the new shape
+    MySqlDdlParser.parse("ALTER TABLE app.users ADD COLUMN tier VARCHAR(8)")
+      .foreach(sink.applySchemaChange)
+    assert(sink.schemaOf(t).get.columnNames == Seq("id", "name", "score", "tier"))
+  }
+
+  test("JdbcUpsertSink against embedded Derby: upsert, delete, DDL") {
+    val db = s"memory:graft${System.nanoTime()};create=true"
+    val sink = new JdbcUpsertSink(s"jdbc:derby:$db")
+    roundTrip(sink, { t =>
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT id, name, score FROM app_users ORDER BY id")
+        val buf = Seq.newBuilder[(Long, String, Any)]
+        while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getInt(3)))
+        buf.result()
+      } finally conn.close()
+    })
+    // evolved column reachable through SQL
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+    try {
+      val rs = conn.createStatement().executeQuery("SELECT tier FROM app_users WHERE id = 1")
+      assert(rs.next() && rs.getString(1) == null)
+    } finally conn.close()
+  }
+
+  test("JdbcUpsertSink dialect statement shapes") {
+    // mysql / postgres shapes are generated (no server to run them against):
+    // verify the SQL text through a sink pointed at Derby would be wrong, so
+    // exercise the private generation indirectly via dialect names and the
+    // builder-facing contract: construction must not throw.
+    new JdbcUpsertSink("jdbc:mysql://h/db", "mysql")
+    new JdbcUpsertSink("jdbc:postgresql://h/db", "postgres")
+  }
+
+  test("ParquetMergeSink: versioned copy-on-write merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val sink = new ParquetMergeSink(spark, dir, buckets = 2)
+    roundTrip(sink, { t =>
+      sink.read(t).select("id", "name", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+    })
+    val t = TableId.of("app", "users")
+    // post-evolution read coerces old files: new column arrives as NULL
+    val withTier = sink.read(t).select("id", "tier").collect()
+    assert(withTier.forall(_.isNullAt(1)))
+    // a batch in the evolved shape persists the new column
+    sink.writeBatch(t,
+      Seq((4L, "dee", 40, "gold")).toDF("id", "name", "score", "tier"),
+      Seq.empty[Long].toDF("id"))
+    val rows = sink.read(t).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    assert(rows.last.getString(3) == "gold")
+    // versions advanced monotonically; older version still on disk
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "app_users", "v0")))
+  }
+
+  test("ParquetMergeSink: truncate produces an empty new version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge2").toString
+    val sink = new ParquetMergeSink(spark, dir)
+    val t = create(sink)
+    sink.writeBatch(t, Seq((1L, "x", 1)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"))
+    sink.applySchemaChange(TruncateTableEvent(t))
+    assert(sink.read(t).count() == 0)
+  }
+}
