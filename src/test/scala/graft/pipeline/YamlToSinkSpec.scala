@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.core._
+import graft.operators.Envelope
+import graft.sinks.DataSinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** YAML definition → sink factory → composed pipeline → concrete sink,
+  * end-to-end (the `FlinkPipelineComposer` IT shape with a real writer).
+  */
+class YamlToSinkSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private def runPipeline(sinkYaml: String): (PipelineComposer, graft.sinks.DataSink) = {
+    val yaml =
+      s"""source:
+         |  type: values
+         |sink:
+         |$sinkYaml
+         |transform:
+         |  - source-table: app.\\.*
+         |    projection: "*, UPPER(name) AS uname"
+         |pipeline:
+         |  name: yaml-to-sink
+         |""".stripMargin
+    val pdef = YamlPipelineParser.parse(yaml)
+    val sink = DataSinks.forDef(spark, pdef.sink)
+    val composer = new PipelineComposer(pdef, sink)
+    val t = TableId.of("app", "users")
+    val schema = TableSchema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))),
+      primaryKeys = Seq("id"))
+    composer.createTables(Map(t -> schema))
+    val env = Envelope.fromSnapshot(
+      Seq((1L, "ann"), (2L, "bob")).toDF("id", "name"), t, col("id"))
+    composer.processBatch(t, env)
+    (composer, sink)
+  }
+
+  test("yaml 'parquet' sink: composed pipeline writes through ParquetMergeSink") {
+    val dir = java.nio.file.Files.createTempDirectory("yamlsink").toString
+    val (_, sink) = runPipeline(
+      s"""  type: parquet
+         |  path: $dir
+         |  buckets: 2""".stripMargin)
+    val pq = sink.asInstanceOf[graft.sinks.ParquetMergeSink]
+    val rows = pq.read(TableId.of("app", "users")).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+  }
+
+  test("yaml 'jdbc' sink: composed pipeline writes through Derby") {
+    val db = s"memory:yaml${System.nanoTime()};create=true"
+    runPipeline(
+      s"""  type: jdbc
+         |  url: jdbc:derby:$db""".stripMargin)
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT id, name, uname FROM app_users ORDER BY id")
+      val buf = Seq.newBuilder[(Long, String, String)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getString(3)))
+      assert(buf.result() == Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+    } finally conn.close()
+  }
+
+  test("unknown sink type is rejected") {
+    intercept[IllegalArgumentException](
+      DataSinks.forDef(spark, SinkDef("doris", None, Map.empty)))
+  }
+}
