@@ -126,6 +126,10 @@ final class GraftCdcMicroBatchStream(
     */
   private val logBase: Long = startupMode match {
     case "initial" | "snapshot" | "latest" => source.currentOffset
+    // `committed`: no external offset store in this environment, so it falls
+    // back to `latest` exactly as `StartupOptions.committed()` documents for
+    // a missing committed offset
+    case "committed" => source.currentOffset
     case "earliest" => 0L
     case "specific-offset" => specificOffset
     case "timestamp" => source.offsetAtTimestamp(startupTimestamp)

@@ -217,4 +217,19 @@ class ChunkSplitterSpec extends AnyFunSuite {
     // every row exactly once (ranges are disjoint and covering)
     assert(viaChunks.select("pk").distinct().count() == keyed.select("pk").distinct().count())
   }
+
+  test("coalesceRanges: lossless merge of adjacent ranges to a branch bound") {
+    val chunks = Seq(
+      ChunkRange(None, Some(10)), ChunkRange(Some(10), Some(20)),
+      ChunkRange(Some(20), Some(30)), ChunkRange(Some(30), Some(40)),
+      ChunkRange(Some(40), None))
+    assert(coalesceRanges(chunks, 5) == chunks) // under the bound: untouched
+    val two = coalesceRanges(chunks, 2)
+    assert(two == Seq(ChunkRange(None, Some(30)), ChunkRange(Some(30), None)))
+    // coverage preserved: first starts unbounded, last ends unbounded,
+    // and each group starts where the previous ended
+    val three = coalesceRanges(chunks, 3)
+    assert(three.head.start.isEmpty && three.last.end.isEmpty)
+    assert(three.sliding(2).forall { case Seq(a, b) => a.end == b.start })
+  }
 }
