@@ -98,6 +98,45 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Resize plumbing for image payloads: recompute the metadata struct to the
+    * target box (aspect-preserving fit) and re-derive the payload through the
+    * stub codec. The geometry math is real; only the pixel resample is the
+    * stub. Output schema matches the input media schema, so resize composes
+    * with extract/sample in a pipeline.
+    */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val idx = Map(
+      "media_id" -> media.schema.fieldIndex("media_id"),
+      "kind" -> media.schema.fieldIndex("kind"),
+      "payload" -> media.schema.fieldIndex("payload"),
+      "meta" -> media.schema.fieldIndex("meta"))
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getString(idx("kind"))
+        val meta = r.getStruct(idx("meta"))
+        val payload =
+          if (r.isNullAt(idx("payload"))) null else r.getAs[Array[Byte]](idx("payload"))
+        if (kind != "image" || meta == null || meta.isNullAt(0) || meta.isNullAt(1)) r
+        else {
+          val (w, h) = (meta.getInt(0), meta.getInt(1))
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // stub resample: deterministic payload shrink proportional to area
+          val outLen =
+            if (payload == null) 0
+            else math.max(1, (payload.length * (nw.toLong * nh) / (w.toLong * h)).toInt)
+          val resampled =
+            if (payload == null) null
+            else java.util.Arrays.copyOf(payload, outLen)
+          Row(r.getLong(idx("media_id")), kind, resampled,
+            Row(nw, nh, meta.get(2), meta.get(3)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, media.schema)
+  }
+
   /** Deterministic synthetic media fixture (payload bytes from a seeded
     * generator) — lets tests exercise the full plumbing without codecs.
     */
