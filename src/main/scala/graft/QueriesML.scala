@@ -178,6 +178,14 @@ object QueriesML {
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 12), everyMs = 2500)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
+    }),
+    "m_media_resize" -> ((s, dir) => {
+      // 640x480 into a 320x320 box -> 320x240 for images, others untouched
+      Multimodal.resize(Multimodal.syntheticMedia(s, 30), 320, 320)
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          length(col("payload")).as("payload_len"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
