@@ -129,21 +129,15 @@ object Dedup {
 
   // ---------- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens, as a pure-SQL bit aggregation: for each
-    * bit position, the majority vote of token-hash bits. Deterministic
-    * (xxhash64 is seeded and specified).
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token-hash
+    * bits, computed in one native pass ([[graft.functions.CatalystExprs.SimHashExpr]]).
+    * Deterministic (FNV-1a + splitmix64 over token bytes); `bits < 64` masks
+    * the low bits of the full signature.
     */
   def simHash(text: Column, bits: Int = 64): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    val hashes = transform(words, w => xxhash64(w))
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_.bitwiseOR(_))
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    val sig = graft.functions.CatalystExprs.simHash64(text)
+    if (bits == 64) sig else sig.bitwiseAND(lit((1L << bits) - 1))
   }
 
   /** Hamming distance between two 64-bit SimHashes. */

@@ -91,6 +91,37 @@ object CatalystExprs {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash in ONE pass: tokenize, hash each token once, accumulate
+    * the per-bit majority votes in a local array — replaces 64 interpreted
+    * `aggregate` lambdas (one full array traversal per bit) with a single
+    * O(tokens·64-bitop) JVM loop.
+    */
+  case class SimHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+        .split("\\s+")
+      val votes = new Array[Int](64)
+      var w = 0
+      while (w < words.length) {
+        val h = splitmix64(hashBytes(UTF8String.fromString(words(w))))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        w += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane signature bits in one pass (planes precomputed on the
     * driver and closed over; serialized with the expression to executors).
     */
@@ -143,6 +174,9 @@ object CatalystExprs {
 
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+
+  def simHash64(text: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
 
   def hyperplaneSig(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rnd = new java.util.Random(seed)
