@@ -147,6 +147,35 @@ object CatalystExprs {
       copy(child = newChild)
   }
 
+  /** Argmin-centroid bucket assignment in one pass: squared-L2 against every
+    * centroid in a tight JVM loop (ties break to the lower index, matching a
+    * `when(a.d <= b.d, a)` left-fold). Replaces numCentroids interpreted
+    * `aggregate(zip_with(...))` evaluations per row in the IVF assignment —
+    * the pass that runs over the FULL corpus at build time.
+    */
+  case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData].toFloatArray()
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i)
+        var d = 0.0
+        var j = 0
+        val n = math.min(vec.length, c.length)
+        while (j < n) { val x = vec(j).toDouble - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Sequential-order float dot product in double — bit-identical to
     * `aggregate(zip_with(a,b,*),0d,+)` (same accumulation order) but one JVM
     * loop instead of 2·dim interpreted lambda calls.
@@ -177,6 +206,9 @@ object CatalystExprs {
 
   def simHash64(text: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(vec), centroids))
 
   def hyperplaneSig(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rnd = new java.util.Random(seed)

@@ -168,15 +168,10 @@ object Ann {
           if (counts(i) == 0) c else sums(i).map(_ / counts(i))
         }
       }
-      // distributed assignment: argmin over centroid distances
-      val vec = col(vecCol)
-      val assignment = cents.zipWithIndex
-        .map { case (c, i) =>
-          val cc = array(c.map(lit).toIndexedSeq: _*)
-          struct(VectorFunctions.l2sq(vec, cc).as("d"), lit(i).as("b"))
-        }
-        .reduce((a, b) => when(a.getField("d") <= b.getField("d"), a).otherwise(b))
-        .getField("b")
+      // distributed assignment: argmin over centroid distances in one native
+      // pass (ties to the lower index, same as the when-fold it replaces)
+      val assignment =
+        graft.functions.CatalystExprs.nearestCentroid(col(vecCol), cents)
       val assigned = corpus.select(
         col(idCol).as("cid"),
         col(vecCol).as("cvec"),
