@@ -38,7 +38,12 @@ final case class CdcSourceBuilder(
     includeSchemaChanges: Boolean = false,
     closeIdleReaders: Boolean = false,
     skipSnapshotBackfill: Boolean = false,
-    debeziumProperties: Map[String, String] = Map.empty) {
+    debeziumProperties: Map[String, String] = Map.empty,
+    /** registry id of the backing [[graft.sources.cdc.ChangeSource]] — in this
+      * environment the DSv2 provider reads scripted sources by id; a live
+      * deployment's provider would instead connect with the dialect options.
+      */
+    sourceId: Option[String] = None) {
 
   def hostname(h: String): CdcSourceBuilder = copy(hostname = h)
   def port(p: Int): CdcSourceBuilder = copy(port = p)
@@ -55,6 +60,7 @@ final case class CdcSourceBuilder(
   def skipSnapshotBackfill(b: Boolean): CdcSourceBuilder = copy(skipSnapshotBackfill = b)
   def debeziumProperty(k: String, v: String): CdcSourceBuilder =
     copy(debeziumProperties = debeziumProperties + (k -> v))
+  def sourceId(id: String): CdcSourceBuilder = copy(sourceId = Some(id))
 
   /** Validate and flatten to the option map of the `graft-cdc` format. */
   def build(): Map[String, String] = {
@@ -87,6 +93,7 @@ final case class CdcSourceBuilder(
       "scan.incremental.close-idle-reader.enabled" -> closeIdleReaders.toString,
       "backfill.skip" -> skipSnapshotBackfill.toString) ++
       serverId.map("server-id" -> _) ++
+      sourceId.map("sourceId" -> _) ++
       startupOptions.specificOffset.map("startup.specific-offset" -> _.toString) ++
       startupOptions.timestampMillis.map("startup.timestamp" -> _.toString) ++
       debeziumProperties.map { case (k, v) => s"debezium.$k" -> v }

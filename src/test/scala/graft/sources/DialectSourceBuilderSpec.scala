@@ -51,6 +51,38 @@ class DialectSourceBuilderSpec extends AnyFunSuite {
       CdcSourceBuilder.mysql.tableList("t").serverId("abc").build())
   }
 
+  test("load() wires the option map to a running DSv2 stream") {
+    import graft.SparkTestBase
+    import graft.core._
+    import graft.sources.cdc._
+    import org.apache.spark.sql.types._
+    val spark = SparkTestBase.spark
+    val t = TableId.parse("app.users")
+    val schema = TableSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val src = new ScriptedChangeSource(
+      t, schema, (1L to 3L).map(i => Map[String, Any]("id" -> i, "v" -> s"v$i")))
+    ChangeSourceRegistry.register("builder-load", src)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = CdcSourceBuilder.mysql
+        .tableList("app.users")
+        .splitSize(2)
+        .sourceId("builder-load")
+        .load(spark)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= b.collect(); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      assert(buf.map(_.getStruct(3).getLong(0)).sorted == Seq(1L, 2L, 3L))
+    } finally ChangeSourceRegistry.remove("builder-load")
+  }
+
   test("startup options mirror StartupOptions.java factory surface") {
     assert(StartupOptions.initial.mode == "initial")
     assert(StartupOptions.snapshot.mode == "snapshot")
