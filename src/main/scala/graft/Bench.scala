@@ -56,9 +56,15 @@ object Bench {
             false
         }
       val t0 = System.nanoTime()
-      if (ok) all(name)(spark, sfDir).count()
+      val ok2 = ok &&
+        (try { all(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+        })
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      name -> (if (ok2) sec else -sec)
     }
 
     val baseline = runBaselineBench(spark, sfDir, errors)

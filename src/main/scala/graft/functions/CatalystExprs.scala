@@ -39,7 +39,7 @@ object CatalystExprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
         .split("\\s+")
       val out =
         if (words.length < k) Array(words.mkString(" "))
@@ -100,7 +100,7 @@ object CatalystExprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
         .split("\\s+")
       val votes = new Array[Int](64)
       var w = 0

@@ -129,8 +129,13 @@ object Multimodal {
           val resampled =
             if (payload == null) null
             else java.util.Arrays.copyOf(payload, outLen)
-          Row(r.getLong(idx("media_id")), kind, resampled,
-            Row(nw, nh, meta.get(2), meta.get(3)))
+          // rebuild in the INPUT row's column order (fieldIndex-driven) and
+          // only patch width/height inside meta, so arbitrary column order
+          // and extended meta structs survive
+          val newMeta = Row.fromSeq(meta.toSeq.updated(0, nw).updated(1, nh))
+          Row.fromSeq(r.toSeq
+            .updated(idx("payload"), resampled)
+            .updated(idx("meta"), newMeta))
         }
       }
     }

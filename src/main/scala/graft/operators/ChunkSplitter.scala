@@ -165,8 +165,18 @@ object ChunkSplitter {
   def coalesceRanges(chunks: Seq[ChunkRange], maxGroups: Int): Seq[ChunkRange] =
     if (chunks.size <= maxGroups) chunks
     else {
-      val perGroup = math.ceil(chunks.size.toDouble / maxGroups).toInt
-      chunks.grouped(perGroup).map(g => ChunkRange(g.head.start, g.last.end)).toSeq
+      // coalescing [a,b) + [b,c) -> [a,c) is lossless ONLY for contiguous
+      // input; a filtered subset (e.g. retrying failed ranges) must pass
+      // through untouched rather than silently absorb the gaps
+      val contiguous = chunks.sliding(2).forall {
+        case Seq(a, b) => a.end.isDefined && a.end == b.start
+        case _ => true
+      }
+      if (!contiguous) chunks
+      else {
+        val perGroup = math.ceil(chunks.size.toDouble / maxGroups).toInt
+        chunks.grouped(perGroup).map(g => ChunkRange(g.head.start, g.last.end)).toSeq
+      }
     }
 
   /** Read a table as the union of its chunks — the batch-snapshot form of the

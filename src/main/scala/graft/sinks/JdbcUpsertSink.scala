@@ -77,7 +77,15 @@ final class JdbcUpsertSink(
       case DropColumnEvent(t, dropped) =>
         dropped.map(c => s"ALTER TABLE ${tableName(t)} DROP COLUMN $c")
       case RenameColumnEvent(t, mapping) =>
-        mapping.toSeq.map { case (o, n) => s"RENAME COLUMN ${tableName(t)}.$o TO $n" }
+        // MySQL/Postgres use ALTER TABLE ... RENAME COLUMN; Derby (the
+        // generic test target) only supports the standalone RENAME COLUMN
+        mapping.toSeq.map { case (o, n) =>
+          dialectName match {
+            case "mysql" | "postgres" =>
+              s"ALTER TABLE ${tableName(t)} RENAME COLUMN $o TO $n"
+            case _ => s"RENAME COLUMN ${tableName(t)}.$o TO $n"
+          }
+        }
       case AlterColumnTypeEvent(t, mapping) =>
         mapping.toSeq.map { case (c, ct) =>
           s"ALTER TABLE ${tableName(t)} ALTER COLUMN $c SET DATA TYPE ${sqlType(ct.toSpark)}"
@@ -106,23 +114,35 @@ final class JdbcUpsertSink(
     val pks = schema.primaryKeys
     require(pks.nonEmpty, s"JDBC upsert requires primary keys for $sinkTableId")
     val nonPk = cols.filterNot(pks.contains)
+    // key-only tables (no non-PK columns): the "update" half degenerates to
+    // insert-if-absent — DO NOTHING / IGNORE / self-assign the first PK
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val (sql1, sql2) = dialectName match {
       case "mysql" =>
-        (s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})" +
-          s" ON DUPLICATE KEY UPDATE ${nonPk.map(c => s"$c = VALUES($c)").mkString(", ")}", "")
+        val upd =
+          if (nonPk.isEmpty) s"${pks.head} = ${pks.head}"
+          else nonPk.map(c => s"$c = VALUES($c)").mkString(", ")
+        (s"$insertSql ON DUPLICATE KEY UPDATE $upd", "")
       case "postgres" =>
-        (s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})" +
-          s" ON CONFLICT (${pks.mkString(", ")}) DO UPDATE SET " +
-          nonPk.map(c => s"$c = EXCLUDED.$c").mkString(", "), "")
+        val action =
+          if (nonPk.isEmpty) "DO NOTHING"
+          else s"DO UPDATE SET ${nonPk.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"
+        (s"$insertSql ON CONFLICT (${pks.mkString(", ")}) $action", "")
       case _ => // portable: UPDATE first, INSERT when nothing matched
-        (s"UPDATE $table SET ${nonPk.map(c => s"$c = ?").mkString(", ")}" +
-          s" WHERE ${pks.map(c => s"$c = ?").mkString(" AND ")}",
-          s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
+        val setList =
+          if (nonPk.isEmpty) s"${pks.head} = ?" // bind the PK to itself
+          else nonPk.map(c => s"$c = ?").mkString(", ")
+        (s"UPDATE $table SET $setList WHERE ${pks.map(c => s"$c = ?").mkString(" AND ")}",
+          insertSql)
     }
     val (jdbcUrl, dialect, bs, properties) = (url, dialectName, batchSize, props)
     val colIdx = cols.indices
-    val nonPkIdx = nonPk.map(cols.indexOf)
     val pkIdx = pks.map(cols.indexOf)
+    // generic-path UPDATE bind order: SET params (the PK self-assign when no
+    // non-PK columns exist), then WHERE params
+    val updBindIdx =
+      (if (nonPk.isEmpty) Seq(pkIdx.head) else nonPk.map(cols.indexOf)) ++ pkIdx
     upserts.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val p = new java.util.Properties()
       properties.foreach { case (k, v) => p.setProperty(k, v) }
@@ -142,10 +162,7 @@ final class JdbcUpsertSink(
           val upd = conn.prepareStatement(sql1)
           val ins = conn.prepareStatement(sql2)
           rows.foreach { r =>
-            nonPkIdx.zipWithIndex.foreach { case (ci, pi) => upd.setObject(pi + 1, r.get(ci)) }
-            pkIdx.zipWithIndex.foreach { case (ci, pi) =>
-              upd.setObject(nonPkIdx.size + pi + 1, r.get(ci))
-            }
+            updBindIdx.zipWithIndex.foreach { case (ci, pi) => upd.setObject(pi + 1, r.get(ci)) }
             if (upd.executeUpdate() == 0) {
               colIdx.foreach(i => ins.setObject(i + 1, r.get(i)))
               ins.executeUpdate()

@@ -77,6 +77,7 @@ final case class CdcSourceBuilder(
       "hostname" -> hostname,
       "port" -> effectivePort.toString,
       "username" -> username,
+      "password" -> password,
       "database.list" -> databaseList.mkString(","),
       "table.list" -> tableList.mkString(","),
       "server.time-zone" -> serverTimeZone,

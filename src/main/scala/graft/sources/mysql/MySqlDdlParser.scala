@@ -39,10 +39,13 @@ object MySqlDdlParser {
     }
 
     if (upper.startsWith("CREATE TABLE")) {
-      val m = "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([^\\s(]+)\\s*\\((.*)\\)[^)]*$".r
+      val m = "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([^\\s(]+)\\s*\\(".r
         .findFirstMatchIn(sql)
         .getOrElse(throw new IllegalArgumentException(s"Unparseable CREATE TABLE: $ddl"))
-      Seq(CreateTableEvent(tableId(m.group(1)), parseCreateBody(m.group(2), tinyInt1AsBoolean)))
+      // balanced-paren scan for the column body: table options / partition
+      // clauses after the closing ')' may themselves contain parentheses
+      val body = balancedBody(sql, m.end - 1)
+      Seq(CreateTableEvent(tableId(m.group(1)), parseCreateBody(body, tinyInt1AsBoolean)))
     } else if (upper.startsWith("DROP TABLE")) {
       val m = "(?is)DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([^\\s,;]+)".r
         .findFirstMatchIn(sql).get
@@ -55,6 +58,25 @@ object MySqlDdlParser {
         .getOrElse(throw new IllegalArgumentException(s"Unparseable ALTER TABLE: $ddl"))
       parseAlterClauses(tableId(m.group(1)), m.group(2), tinyInt1AsBoolean, currentSchema)
     } else Seq.empty // USE, SET, CREATE INDEX, ... — not schema changes we track
+  }
+
+  /** Content between the '(' at `openIdx` and its matching ')' (quote-aware). */
+  private def balancedBody(sql: String, openIdx: Int): String = {
+    var depth = 0; var quote: Char = 0; var i = openIdx
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return sql.substring(openIdx + 1, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"Unbalanced parentheses in DDL: $sql")
   }
 
   // ---------------------------------------------------------------- CREATE
@@ -123,13 +145,25 @@ object MySqlDdlParser {
 
   // ----------------------------------------------------------------- ALTER
 
+  private val NonColumnDrops =
+    Set("PRIMARY", "INDEX", "KEY", "FOREIGN", "CONSTRAINT", "CHECK", "PARTITION")
+
   private def parseAlterClauses(
       tid: TableId,
       clauses: String,
       tinyInt1AsBoolean: Boolean,
       currentSchema: Option[TableSchema]): Seq[SchemaChangeEvent] = {
-    val adds = Seq.newBuilder[AddColumnEvent.ColumnWithPosition]
+    // events must come out in clause order (DROP a, ADD a ≠ ADD a, DROP a);
+    // only CONSECUTIVE ADD clauses merge into one AddColumnEvent, matching
+    // the listener's per-run batching
     val events = Seq.newBuilder[SchemaChangeEvent]
+    var pendingAdds = Seq.newBuilder[AddColumnEvent.ColumnWithPosition]
+    var hasPending = false
+    def flushAdds(): Unit = {
+      val a = pendingAdds.result()
+      if (a.nonEmpty) events += AddColumnEvent(tid, a)
+      pendingAdds = Seq.newBuilder; hasPending = false
+    }
 
     splitTopLevel(clauses, ',').map(_.trim).filter(_.nonEmpty).foreach { clause =>
       val u = clause.toUpperCase
@@ -137,36 +171,39 @@ object MySqlDdlParser {
         val body = clause.replaceFirst("(?is)^ADD\\s+(COLUMN\\s+)?", "")
         if (body.startsWith("(")) { // ADD COLUMN (a INT, b TEXT)
           splitTopLevel(body.stripPrefix("(").stripSuffix(")"), ',').foreach { d =>
-            adds += addColumn(d.trim, tinyInt1AsBoolean)
+            pendingAdds += addColumn(d.trim, tinyInt1AsBoolean)
           }
-        } else adds += addColumn(body, tinyInt1AsBoolean)
-      } else if (u.startsWith("DROP COLUMN") || (u.startsWith("DROP ") && !u.startsWith("DROP PRIMARY") &&
-        !u.startsWith("DROP INDEX") && !u.startsWith("DROP KEY") && !u.startsWith("DROP FOREIGN"))) {
-        val name = unquote(tokenize(clause.replaceFirst("(?is)^DROP\\s+(COLUMN\\s+)?", "")).head)
-        events += DropColumnEvent(tid, Seq(name))
-      } else if (u.startsWith("RENAME COLUMN")) {
-        val m = "(?is)RENAME\\s+COLUMN\\s+(\\S+)\\s+TO\\s+(\\S+)".r.findFirstMatchIn(clause).get
-        events += RenameColumnEvent(tid, Map(unquote(m.group(1)) -> unquote(m.group(2))))
-      } else if (u.startsWith("CHANGE")) {
-        // CHANGE [COLUMN] old new type ... — rename + (maybe) type change
-        val toks = tokenize(clause.replaceFirst("(?is)^CHANGE\\s+(COLUMN\\s+)?", ""))
-        val (oldName, newName) = (unquote(toks(0)), unquote(toks(1)))
-        val newCol = parseColumnDef((toks.drop(1)).mkString(" "), tinyInt1AsBoolean)
-        if (oldName != newName) events += RenameColumnEvent(tid, Map(oldName -> newName))
-        val unchanged = currentSchema.exists { s =>
-          s.struct.fields.find(_.name == oldName).exists(_.dataType == newCol.cdcType.toSpark)
+        } else pendingAdds += addColumn(body, tinyInt1AsBoolean)
+        hasPending = true
+      } else {
+        if (hasPending) flushAdds()
+        if (u.startsWith("DROP ")) {
+          val target = tokenize(clause.replaceFirst("(?is)^DROP\\s+(COLUMN\\s+)?", "")).head
+          if (!NonColumnDrops.contains(target.toUpperCase))
+            events += DropColumnEvent(tid, Seq(unquote(target)))
+        } else if (u.startsWith("RENAME COLUMN")) {
+          val m = "(?is)RENAME\\s+COLUMN\\s+(\\S+)\\s+TO\\s+(\\S+)".r.findFirstMatchIn(clause).get
+          events += RenameColumnEvent(tid, Map(unquote(m.group(1)) -> unquote(m.group(2))))
+        } else if (u.startsWith("CHANGE")) {
+          // CHANGE [COLUMN] old new type ... — rename + (maybe) type change
+          val toks = tokenize(clause.replaceFirst("(?is)^CHANGE\\s+(COLUMN\\s+)?", ""))
+          val (oldName, newName) = (unquote(toks(0)), unquote(toks(1)))
+          val newCol = parseColumnDef((toks.drop(1)).mkString(" "), tinyInt1AsBoolean)
+          if (oldName != newName) events += RenameColumnEvent(tid, Map(oldName -> newName))
+          val unchanged = currentSchema.exists { s =>
+            s.struct.fields.find(_.name == oldName).exists(_.dataType == newCol.cdcType.toSpark)
+          }
+          if (!unchanged) events += AlterColumnTypeEvent(tid, Map(newName -> newCol.cdcType))
+        } else if (u.startsWith("MODIFY")) {
+          val col = parseColumnDef(
+            clause.replaceFirst("(?is)^MODIFY\\s+(COLUMN\\s+)?", ""), tinyInt1AsBoolean)
+          events += AlterColumnTypeEvent(tid, Map(col.name -> col.cdcType))
         }
-        if (!unchanged) events += AlterColumnTypeEvent(tid, Map(newName -> newCol.cdcType))
-      } else if (u.startsWith("MODIFY")) {
-        val col = parseColumnDef(
-          clause.replaceFirst("(?is)^MODIFY\\s+(COLUMN\\s+)?", ""), tinyInt1AsBoolean)
-        events += AlterColumnTypeEvent(tid, Map(col.name -> col.cdcType))
+        // RENAME TO / engine options / index ops: not one of the seven kinds
       }
-      // RENAME TO / engine options / index ops: not one of the seven event kinds
     }
-
-    val addEvents = { val a = adds.result(); if (a.nonEmpty) Seq(AddColumnEvent(tid, a)) else Nil }
-    addEvents ++ events.result()
+    flushAdds()
+    events.result()
   }
 
   private def addColumn(d: String, tinyInt1AsBoolean: Boolean): AddColumnEvent.ColumnWithPosition = {

@@ -91,9 +91,30 @@ class MySqlDdlParserSpec extends AnyFunSuite {
 
   test("index/constraint ALTER clauses are ignored, ENUM args survive commas") {
     assert(MySqlDdlParser.parse("ALTER TABLE t DROP INDEX idx, DROP PRIMARY KEY").isEmpty)
+    assert(MySqlDdlParser.parse(
+      "ALTER TABLE t DROP CONSTRAINT fk1, DROP CHECK c1, DROP PARTITION p0").isEmpty)
     val Seq(ev: CreateTableEvent) =
       MySqlDdlParser.parse("CREATE TABLE t (s ENUM('a','b,c'), n INT)")
     assert(ev.schema.struct.fieldNames.toSeq == Seq("s", "n"))
     assert(ev.schema.struct("s").dataType == StringType)
+  }
+
+  test("multi-clause ALTER preserves clause order (drop-then-add != add-then-drop)") {
+    val evs = MySqlDdlParser.parse(
+      "ALTER TABLE t DROP COLUMN a, ADD COLUMN a VARCHAR(64), ADD b INT, DROP COLUMN c")
+    assert(evs == Seq(
+      DropColumnEvent(TableId("t"), Seq("a")),
+      AddColumnEvent(TableId("t"), Seq(
+        AddColumnEvent.ColumnWithPosition("a", VarCharT(64)),
+        AddColumnEvent.ColumnWithPosition("b", IntT()))),
+      DropColumnEvent(TableId("t"), Seq("c"))))
+  }
+
+  test("CREATE TABLE with parenthesized table options / partition clauses") {
+    val Seq(ev: CreateTableEvent) = MySqlDdlParser.parse(
+      """CREATE TABLE t (id INT NOT NULL PRIMARY KEY, v TEXT)
+        |PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (6))""".stripMargin)
+    assert(ev.schema.struct.fieldNames.toSeq == Seq("id", "v"))
+    assert(ev.schema.primaryKeys == Seq("id"))
   }
 }
