@@ -75,4 +75,45 @@ class YamlToSinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DataSinks.forDef(spark, SinkDef("doris", None, Map.empty)))
   }
+
+  test("PipelineRunner: YAML text to running pipeline in one call") {
+    import graft.sources.cdc._
+    import org.apache.spark.sql.types._
+    val t = TableId.parse("app.users")
+    val schema = TableSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType))),
+      primaryKeys = Seq("id"))
+    val src = new ScriptedChangeSource(
+      t, schema, Seq(Map[String, Any]("id" -> 1L, "name" -> "ann"),
+        Map[String, Any]("id" -> 2L, "name" -> "bob")))
+    ChangeSourceRegistry.register("runner-e2e", src)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("runner").toString
+      val yaml =
+        s"""source:
+           |  type: cdc
+           |  sourceId: runner-e2e
+           |  chunk.size: 1
+           |sink:
+           |  type: parquet
+           |  path: $dir
+           |transform:
+           |  - source-table: app.\\.*
+           |    projection: "*, UPPER(name) AS uname"
+           |route:
+           |  - source-table: app.users
+           |    sink-table: app.users_out
+           |pipeline:
+           |  name: runner-e2e
+           |""".stripMargin
+      val (runner, q) = PipelineRunner.run(yaml)
+      q.processAllAvailable(); q.stop()
+      val out = runner.sink.asInstanceOf[graft.sinks.ParquetMergeSink]
+        .read(TableId.parse("app.users_out")).orderBy("id").collect()
+      assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+        Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+    } finally ChangeSourceRegistry.remove("runner-e2e")
+  }
 }
