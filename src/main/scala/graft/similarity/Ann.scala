@@ -97,6 +97,43 @@ object Ann {
     /** corpus rows + their `bucket` column (cached by the caller if reused). */
     def assignments: DataFrame = assigned
 
+    /** Persist the inverted lists bucket-partitioned — the 100 TB layout:
+      * a probe of `nprobe` buckets becomes a partition-pruned read that
+      * touches only those directories, never the full corpus.
+      */
+    def writePartitioned(path: String): Unit =
+      assigned.write.partitionBy("bucket").parquet(path)
+
+    /** Read only the probed buckets from a [[writePartitioned]] layout
+      * (partition pruning does the work — verify `PartitionFilters` in the
+      * scan).
+      */
+    def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame =
+      spark.read.parquet(path).filter(col("bucket").isin(buckets: _*))
+
+    /** [[topK]] against the partition-pruned on-disk layout instead of the
+      * in-memory assignment frame.
+      */
+    def topKFromPartitioned(
+        path: String,
+        queries: Seq[(Long, Array[Double])],
+        k: Int,
+        nprobe: Int)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val probes = queries.flatMap { case (qid, v) =>
+        nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat)))
+      }.toDF("qid", "bucket", "qvec")
+      val needed = probes.select("bucket").as[Int].collect().distinct.toSeq
+      val cands = readBuckets(spark, path, needed).join(broadcast(probes), Seq("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+      cands
+        .select(col("qid"), col("cid"),
+          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
+
     def nearestCentroids(vec: Array[Double], nprobe: Int): Seq[Int] =
       centroids
         .map { case (i, c) => (i, IvfIndex.l2sq(vec, c)) }

@@ -1,0 +1,52 @@
+package graft.similarity
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  private lazy val emb = spark.read
+    .parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("brute force: self-query returns itself at rank 1 with cosine 1") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Ann.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 3)
+    val rank1 = top.filter(col("rank") === 1).collect()
+    assert(rank1.length == 5)
+    assert(rank1.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) > 0.999999))
+  }
+
+  test("IVF: partitioned layout probes with partition pruning and finds self") {
+    val idx = Ann.IvfIndex.build(emb, "vec_id", "embedding", numCentroids = 4,
+      sampleSize = 200, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/lists"
+    idx.writePartitioned(dir)
+
+    // partition pruning is visible in the scan
+    val probe = idx.readBuckets(spark, dir, Seq(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"expected bucket partition filter in: $pf")
+
+    val queries = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val top = idx.topKFromPartitioned(dir, queries, k = 1, nprobe = 1)
+    val hits = top.collect()
+    assert(hits.length == 5)
+    assert(hits.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) > 0.999999))
+  }
+
+  test("LSH top-k finds exact self-matches through band buckets") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Ann.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 1, dim = 64)
+    val hits = top.collect()
+    assert(hits.length == 5)
+    assert(hits.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+}
