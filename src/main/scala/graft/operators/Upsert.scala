@@ -55,6 +55,9 @@ object Upsert {
 
   /** Like [[materialize]] but also returns the keys whose final event was a
     * DELETE — what an external upsert sink needs to issue its deletes.
+    * Pure plan builder (no caching): callers consuming BOTH frames should use
+    * [[withMaterialized]] so the shared aggregate is computed once and the
+    * cache is released afterwards.
     */
   def materializeWithDeletes(env: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty, "upsert materialization requires primary keys")
@@ -62,11 +65,33 @@ object Upsert {
       .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
       .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
         .as("__last"))
-      .cache()
     val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
     val deletes = latest.filter(col("__last.op") === "DELETE")
       .select(keyCols.map(col).toIndexedSeq: _*)
     (upserts, deletes)
+  }
+
+  /** Bracket form for per-batch sinks: persists the shared per-key aggregate,
+    * hands (upserts, deletes) to `use`, and unpersists afterwards so a
+    * long-running stream never accumulates cached batch plans
+    * (one `persist`/`unpersist` pair per micro-batch per routed table).
+    */
+  def withMaterialized[T](env: DataFrame, keyCols: Seq[String])(
+      use: (DataFrame, DataFrame) => T): T = {
+    require(keyCols.nonEmpty, "upsert materialization requires primary keys")
+    val latest = env
+      .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
+      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
+        .as("__last"))
+      .persist()
+    try {
+      val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
+      val deletes = latest.filter(col("__last.op") === "DELETE")
+        .select(keyCols.map(col).toIndexedSeq: _*)
+      use(upserts, deletes)
+    } finally {
+      latest.unpersist()
+    }
   }
 
   /** Per-key ordered apply for sinks that need the full event sequence (not

@@ -89,8 +89,9 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
       val keys =
         if (sinkSchema.primaryKeys.nonEmpty) sinkSchema.primaryKeys
         else sinkSchema.struct.fieldNames.toSeq
-      val (upserts, deletes) = Upsert.materializeWithDeletes(coerced, keys)
-      sink.writeBatch(sinkT, upserts, deletes)
+      Upsert.withMaterialized(coerced, keys) { (upserts, deletes) =>
+        sink.writeBatch(sinkT, upserts, deletes)
+      }
     }
   }
 

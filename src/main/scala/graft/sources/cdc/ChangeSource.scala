@@ -31,8 +31,10 @@ final case class LogRecord(offset: Long, tsMillis: Long, event: DataChangeEvent)
 
 /** In-memory scripted source: `append` simultaneously mutates the live table
   * (like a real DB the snapshot reads from) and appends to the log.
+  * Non-final so tests can interpose on `snapshotRead` to simulate writes that
+  * land concurrently with a chunk read (inside the LW/HW backfill window).
   */
-final class ScriptedChangeSource(
+class ScriptedChangeSource(
     val tableId: TableId,
     val schema: TableSchema,
     initialRows: Seq[Map[String, Any]])
@@ -58,6 +60,13 @@ final class ScriptedChangeSource(
     offset += 1
     event.op match {
       case OperationType.DELETE => table.remove(keyOf(event.before))
+      case OperationType.UPDATE | OperationType.REPLACE =>
+        // a PK-changing UPDATE is delete+insert (the reference models it the
+        // same way); leaving the stale row under the old key would make the
+        // snapshot disagree with the log-derived materialization
+        if (event.before.nonEmpty && keyOf(event.before) != keyOf(event.after))
+          table.remove(keyOf(event.before))
+        table(keyOf(event.after)) = event.after
       case _ => table(keyOf(event.after)) = event.after
     }
     log += LogRecord(offset, tsMillis, event)

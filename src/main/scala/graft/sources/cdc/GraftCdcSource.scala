@@ -239,7 +239,11 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
         if (!skipBackfill && hw > lw) {
           source.readLog(lw, hw).foreach { rec =>
             val k = source.keyOfEvent(rec.event)
-            if (lo.forall(k >= _) && hi.forall(k <= _)) {
+            // half-open [lo, hi) — matches ChunkRange.predicate, snapshotRead's
+            // hiExclusive, the log-phase hwOf filter, and the reference's
+            // RecordUtils.splitKeyRangeContains (key < end); an event at
+            // key == hi belongs to the NEXT chunk's backfill window
+            if (lo.forall(k >= _) && hi.forall(k < _)) {
               rec.event.op match {
                 case OperationType.DELETE => rows.remove(k)
                 case _ => rows(k) = rec.event.after

@@ -200,6 +200,31 @@ class PipelineComposerSpec extends AnyFunSuite {
     assert(rows == Seq("1,a,null", "2,null,3.5"))
   }
 
+  test("processBatch over many micro-batches leaves no cached plans behind") {
+    val t = TableId.parse("db.leak")
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    composer.createTables(Map(t -> ValuesSource.customersSchema))
+
+    // shared test session: start from a clean cache so the assertion below is
+    // about THIS test's batches (other suites may legitimately cache frames)
+    spark.sharedState.cacheManager.clearCache()
+    (1 to 12).foreach { i =>
+      composer.processBatch(t, ValuesSource.toEnvelope(spark, ValuesSource.customersSchema,
+        Seq(
+          DataChangeEvent.insert(t, Map("col1" -> s"$i", "col2" -> "x")),
+          DataChangeEvent.delete(t, Map("col1" -> s"${i - 1}", "col2" -> "x")))))
+    }
+    // the per-batch upsert aggregate is persisted only for the duration of the
+    // write — a long-running stream must not accumulate cached entries
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cacheManager still holds entries after micro-batches completed")
+    assert(sink.rowsOf(t).map(_.head.toString).sorted == Seq("12"))
+  }
+
   test("schema evolution mid-stream under LENIENT with old-shape late rows") {
     val t = TableId.parse("db.t")
     val s0 = ValuesSource.customersSchema

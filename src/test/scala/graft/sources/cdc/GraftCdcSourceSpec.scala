@@ -188,6 +188,64 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     ChangeSourceRegistry.remove(id)
   }
 
+  test("insert at exact chunk boundary during backfill window is emitted exactly once") {
+    // keys 1..60 minus 21 with chunk.size=20 split evenly into
+    // [None,21) [21,41) [41,None) — 21 is the first chunk boundary. An INSERT
+    // of key 21 landing between chunk 0's LW and HW must NOT be merged into
+    // chunk 0's backfill (half-open [lo, hi)); it belongs to chunk 1's
+    // snapshot read. The buggy inclusive filter emitted it twice.
+    val id = "cdc-boundary"
+    val t = TableId.parse("db.t")
+    val src = new ScriptedChangeSource(t, schema,
+      (1L to 60L).filter(_ != 21L).map(i => row(i, s"v$i"))) {
+      private var injected = false
+      override def snapshotRead(
+          lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] = {
+        // first bounded read = chunk 0's range select, after its LW was taken
+        if (!injected && hiExclusive.isDefined) {
+          injected = true
+          append(DataChangeEvent.insert(t, row(21L, "boundary")))
+        }
+        super.snapshotRead(lo, hiExclusive)
+      }
+    }
+    ChangeSourceRegistry.register(id, src)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", id).option("chunk.size", "20").option("chunks.per-batch", "1")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // raw envelope (pre-upsert): the boundary key appears exactly once
+    val boundaryRows = buf.filter { r =>
+      val a = r.getStruct(3)
+      a != null && a.getLong(0) == 21L
+    }
+    assert(boundaryRows.size == 1,
+      s"key 21 emitted ${boundaryRows.size} times: $boundaryRows")
+    assert(boundaryRows.head.getStruct(3).getString(1) == "boundary")
+    // total row count: 59 initial + 1 boundary insert, no duplicates
+    assert(buf.size == 60)
+    ChangeSourceRegistry.remove(id)
+  }
+
+  test("PK-changing UPDATE removes the stale row under the old key") {
+    val t = TableId.parse("db.t")
+    val id = "cdc-pkchange"
+    val src = new ScriptedChangeSource(t, schema, Seq(row(1L, "a"), row(2L, "b")))
+    ChangeSourceRegistry.register(id, src)
+    // UPDATE that moves key 1 -> 9 (the reference models this delete+insert)
+    src.append(DataChangeEvent.update(t, row(1L, "a"), row(9L, "a-moved")))
+    // live table must not retain the old key
+    val live = src.snapshotRead(None, None).map(r => r("id").toString.toLong).sorted
+    assert(live == Seq(2L, 9L))
+    ChangeSourceRegistry.remove(id)
+  }
+
   test("end-to-end: cdc source -> Upsert.materialize equals live table state") {
     val t = TableId.parse("db.t")
     val id = "cdc-e2e"
