@@ -66,7 +66,8 @@ final class GraftCdcTable(
           options.getLong("startup.timestamp", 0L),
           options.getInt("chunk.size", 8096),
           options.getInt("chunks.per-batch", 4),
-          options.getBoolean("backfill.skip", false))
+          options.getBoolean("backfill.skip", false),
+          checkpointLocation)
     }
 }
 
@@ -92,39 +93,56 @@ final class GraftCdcMicroBatchStream(
     startupTimestamp: Long,
     chunkSize: Int,
     chunksPerBatch: Int,
-    backfillSkip: Boolean)
+    backfillSkip: Boolean,
+    checkpointLocation: String = null)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val source = ChangeSourceRegistry.get(sourceId)
 
-  /** `SnapshotSplitAssigner` chunk plan — computed once at stream start. */
-  val chunks: Seq[ChunkSplitter.ChunkRange] = startupMode match {
-    case "initial" | "snapshot" =>
-      val (mn, mx, cnt) = source.keyStats
-      ChunkSplitter.generateSplits(
-        mn, mx, cnt,
-        ChunkSplitter.Config(chunkSize = chunkSize),
-        new ChunkSplitter.Probe { // scripted sources are dense; probe unused on the even path
-          def nextChunkMax(from: Long, c: Int) = {
-            val keys = source.snapshotRead(Some(from + 1), None)
-              .map(r => r(source.schema.primaryKeys.head).toString.toLong).sorted.take(c)
-            keys.lastOption
-          }
-          def minAfter(v: Long) = {
-            val keys = source.snapshotRead(Some(v + 1), None)
-              .map(r => r(source.schema.primaryKeys.head).toString.toLong)
-            if (keys.isEmpty) None else Some(keys.min)
-          }
-        })
-    case _ => Seq.empty
+  /** Checkpoint-scoped assigner state (`SnapshotSplitAssigner` state in
+    * `assigner/state/` classes): the chunk plan and per-chunk high watermarks
+    * must survive a restart — resuming `chunksDone` against a plan recomputed
+    * from the mutated live table would silently skip or re-read key ranges,
+    * and losing HWs would disable log-phase suppression.
+    */
+  private val stateFile: Option[org.apache.hadoop.fs.Path] =
+    Option(checkpointLocation).filter(_.nonEmpty)
+      .map(l => new org.apache.hadoop.fs.Path(l, "graft-cdc-source-state.json"))
+  private val restored: Option[CdcSourceState.State] = stateFile.flatMap(CdcSourceState.read)
+
+  /** `SnapshotSplitAssigner` chunk plan — computed once at FIRST stream start,
+    * then always replayed from checkpoint state.
+    */
+  val chunks: Seq[ChunkSplitter.ChunkRange] = restored.map(_.chunks).getOrElse {
+    startupMode match {
+      case "initial" | "snapshot" =>
+        val (mn, mx, cnt) = source.keyStats
+        ChunkSplitter.generateSplits(
+          mn, mx, cnt,
+          ChunkSplitter.Config(chunkSize = chunkSize),
+          new ChunkSplitter.Probe { // scripted sources are dense; probe unused on the even path
+            def nextChunkMax(from: Long, c: Int) = {
+              val keys = source.snapshotRead(Some(from + 1), None)
+                .map(r => r(source.schema.primaryKeys.head).toString.toLong).sorted.take(c)
+              keys.lastOption
+            }
+            def minAfter(v: Long) = {
+              val keys = source.snapshotRead(Some(v + 1), None)
+                .map(r => r(source.schema.primaryKeys.head).toString.toLong)
+              if (keys.isEmpty) None else Some(keys.min)
+            }
+          })
+      case _ => Seq.empty
+    }
   }
 
   private val bounded = startupMode == "snapshot"
 
   /** log position the stream phase starts from (`StreamSplitAssigner` +
-    * `StartupOptions` semantics).
+    * `StartupOptions` semantics). Restored on resume: recomputing it against
+    * the live source would skip events appended while the stream was down.
     */
-  private val logBase: Long = startupMode match {
+  private val logBase: Long = restored.map(_.logBase).getOrElse(startupMode match {
     case "initial" | "snapshot" | "latest" => source.currentOffset
     // `committed`: no external offset store in this environment, so it falls
     // back to `latest` exactly as `StartupOptions.committed()` documents for
@@ -134,6 +152,16 @@ final class GraftCdcMicroBatchStream(
     case "specific-offset" => specificOffset
     case "timestamp" => source.offsetAtTimestamp(startupTimestamp)
     case other => throw new IllegalArgumentException(s"unknown startup.mode $other")
+  })
+
+  restored match {
+    case Some(st) =>
+      // re-seed the HW report channel so the log phase keeps suppressing
+      // events already merged into finished chunks after a restart
+      st.hws.foreach { case (idx, hw) => ChangeSourceRegistry.reportChunkHW(sourceId, idx, hw) }
+    case None =>
+      stateFile.foreach(p =>
+        CdcSourceState.write(p, CdcSourceState.State(logBase, chunks, Map.empty)))
   }
 
   private var lastEnd: CdcOffset = CdcOffset(0, logBase)
@@ -141,8 +169,12 @@ final class GraftCdcMicroBatchStream(
 
   private def next(prev: CdcOffset): CdcOffset =
     if (prev.chunksDone < chunks.size)
-      CdcOffset(math.min(prev.chunksDone + chunksPerBatch, chunks.size), logBase)
-    else if (bounded) CdcOffset(chunks.size, logBase)
+      // carry prev.logOffset (the ORIGINAL log base from the checkpoint), not
+      // a recomputed one: after a resume the log phase must start where the
+      // snapshot originally began, or events appended across the restart for
+      // already-finished chunks would be skipped
+      CdcOffset(math.min(prev.chunksDone + chunksPerBatch, chunks.size), prev.logOffset)
+    else if (bounded) CdcOffset(chunks.size, prev.logOffset)
     else {
       val target = availableNowTarget.map(_.logOffset).getOrElse(source.currentOffset)
       CdcOffset(chunks.size, math.max(prev.logOffset, target))
@@ -194,8 +226,74 @@ final class GraftCdcMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(envSchema, source.schema.struct)
 
-  override def commit(end: Offset): Unit = ()
+  /** Batch committed: persist the chunk HWs reported so far (the reference's
+    * reader→enumerator watermark report reaching assigner checkpoint state).
+    */
+  override def commit(end: Offset): Unit = stateFile.foreach { p =>
+    val hws = chunks.indices
+      .flatMap(i => ChangeSourceRegistry.chunkHW(sourceId, i).map(i -> _)).toMap
+    CdcSourceState.write(p, CdcSourceState.State(logBase, chunks, hws))
+  }
+
   override def stop(): Unit = ()
+}
+
+/** Durable assigner state: `{logBase, chunk plan, chunk HWs}` as one JSON file
+  * under the source's checkpoint directory — the Spark form of the reference's
+  * `SnapshotSplitAssigner` checkpoint state (the `assigner/state/` classes). Written
+  * atomically (temp file + rename) through the checkpoint filesystem.
+  */
+object CdcSourceState {
+  import org.apache.hadoop.fs.Path
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  final case class State(
+      logBase: Long,
+      chunks: Seq[ChunkSplitter.ChunkRange],
+      hws: Map[Int, Long])
+
+  private def fs(p: Path) = p.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  def write(path: Path, st: State): Unit = {
+    val chunksJson = st.chunks
+      .map(c => s"[${c.start.map(_.toString).getOrElse("null")},${c.end.map(_.toString).getOrElse("null")}]")
+      .mkString("[", ",", "]")
+    val hwsJson = st.hws.toSeq.sorted.map { case (i, hw) => s"[$i,$hw]" }.mkString("[", ",", "]")
+    val json = s"""{"logBase":${st.logBase},"chunks":$chunksJson,"hws":$hwsJson}"""
+    val f = fs(path)
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, path) // best-effort atomic swap; readers see old or new state
+  }
+
+  def read(path: Path): Option[State] = {
+    val f = fs(path)
+    if (!f.exists(path)) None
+    else {
+      val in = f.open(path)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      val root = new ObjectMapper().readTree(new String(bytes, "UTF-8"))
+      val chunks = (0 until root.get("chunks").size()).map { i =>
+        val c = root.get("chunks").get(i)
+        ChunkSplitter.ChunkRange(
+          if (c.get(0).isNull) None else Some(c.get(0).asLong),
+          if (c.get(1).isNull) None else Some(c.get(1).asLong))
+      }
+      val hws = (0 until root.get("hws").size()).map { i =>
+        val h = root.get("hws").get(i)
+        h.get(0).asInt -> h.get(1).asLong
+      }.toMap
+      Some(State(root.get("logBase").asLong, chunks, hws))
+    }
+  }
 }
 
 final case class SnapshotChunkPartition(

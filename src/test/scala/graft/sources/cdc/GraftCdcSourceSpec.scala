@@ -233,6 +233,67 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     ChangeSourceRegistry.remove(id)
   }
 
+  test("mid-snapshot resume replays the checkpointed chunk plan and log base") {
+    // Run 1 stops after ONE chunk batch (Trigger.Once). The table then
+    // mutates: an insert at key 100 changes keyStats so a RECOMPUTED plan
+    // would have different boundaries ([1,33) [33,65) [65,...) instead of
+    // [1,21) [21,41) [41,...)) — resuming chunksDone=1 against it would skip
+    // keys 21-32. An update to key 5 (inside the already-finished chunk 0)
+    // lands in the log while the stream is down — it must still be emitted,
+    // which requires the ORIGINAL log base from the checkpoint, not a
+    // recomputed one. The in-JVM HW registry is cleared between runs so HW
+    // suppression must come from the persisted state too.
+    val id = "cdc-resume"
+    val t = TableId.parse("db.t")
+    val src = new ScriptedChangeSource(t, schema, (1L to 60L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-resume-ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start(trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      var w = spark.readStream.format(classOf[GraftCdcProvider].getName)
+        .option("sourceId", id).option("chunk.size", "20").option("chunks.per-batch", "1")
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+      trigger.foreach(tr => w = w.trigger(tr))
+      w.start()
+    }
+
+    val q1 = start(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    q1.awaitTermination()
+    assert(buf.size == 20, s"run 1 should emit exactly chunk 0 (20 rows), got ${buf.size}")
+
+    // stream down: table mutates
+    src.append(DataChangeEvent.update(t, row(5L, "v5"), row(5L, "v5-down")))
+    src.append(DataChangeEvent.insert(t, row(100L, "v100")))
+    // simulate process restart: HW registry state is lost
+    ChangeSourceRegistry.remove(id)
+    ChangeSourceRegistry.register(id, src)
+
+    val q2 = start(None)
+    q2.processAllAvailable()
+    q2.stop()
+
+    def idOf(r: org.apache.spark.sql.Row): Long = {
+      val a = r.getStruct(3)
+      if (a != null) a.getLong(0) else r.getStruct(2).getLong(0)
+    }
+    // every original key emitted exactly once as a snapshot INSERT; no range
+    // skipped (the recomputed-plan failure mode drops keys 21-32)
+    val inserts = buf.filter(_.getString(1) == "INSERT").map(idOf)
+    assert(inserts.sorted == ((1L to 60L) :+ 100L).sorted,
+      s"snapshot coverage wrong: ${inserts.sorted.mkString(",")}")
+    // the while-down update to the finished chunk's key is emitted exactly once
+    val updates = buf.filter(_.getString(1) == "UPDATE")
+    assert(updates.size == 1 && idOf(updates.head) == 5L)
+    assert(updates.head.getStruct(3).getString(1) == "v5-down")
+    // materialized state equals live table
+    val state = buf.groupBy(idOf).map { case (k, rows) => k -> rows.maxBy(_.getLong(4)) }
+    assert(state(5L).getStruct(3).getString(1) == "v5-down")
+    assert(state(100L).getStruct(3).getString(1) == "v100")
+    ChangeSourceRegistry.remove(id)
+  }
+
   test("PK-changing UPDATE removes the stale row under the old key") {
     val t = TableId.parse("db.t")
     val id = "cdc-pkchange"
