@@ -73,6 +73,95 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // Mid-stream DDL through the DSv2 source: an ALTER arrives in the log
+    // between the snapshot and the data events. The stream parks at the DDL
+    // offset (batch boundary = flush barrier), the SchemaEvolutionDriver
+    // handles it on the control path, and the stream restarts from the
+    // checkpoint with the evolved schema — old-shape snapshot rows and
+    // new-shape log rows materialize into one evolved table, oracle-checked.
+    "c_stream_ddl" -> ((s, dir) => {
+      import graft.pipeline._
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new ScriptedChangeSource(t, schema, initial)
+      val srcId = s"verify-streamddl-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      val ckpt = java.nio.file.Files.createTempDirectory("c-stream-ddl").toString
+      try {
+        val evolution = new SchemaEvolutionDriver(
+          SchemaChangeBehavior.LENIENT,
+          new MetadataApplier { def applySchemaChange(e: SchemaChangeEvent): Unit = () })
+        evolution.handle(CreateTableEvent(t, schema))
+
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def start() = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId).option("chunk.size", "40")
+          .load().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+
+        val q1 = start()
+        q1.processAllAvailable() // snapshot phase: 150 old-shape rows
+
+        // the ALTER arrives between snapshot and log-data phase, then
+        // new-shape events follow
+        src.appendDdl(AddColumnEvent(t,
+          Seq(AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()))))
+        Tables.load(s, dir, "events")
+          .filter(col("event_id") >= 300 && col("event_id") < 600 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+          .foreach { r =>
+            src.append(DataChangeEvent.update(
+              t,
+              Map("id" -> r.getLong(1)),
+              Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}",
+                "score" -> r.getLong(0).toInt)))
+          }
+        q1.processAllAvailable() // parks at the DDL offset; nothing new-shape emitted
+        q1.stop()
+
+        // control path: handle the pending DDL at the batch boundary, ack,
+        // restart evolved — resumes from the checkpoint past the DDL
+        val (_, ddl) = ChangeSourceRegistry.pendingDdl(srcId)
+          .getOrElse(throw new IllegalStateException("DDL did not surface"))
+        evolution.handle(ddl)
+        ChangeSourceRegistry.ackPendingDdl(srcId)
+        val q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        // PK-materialize by NAME across both shapes (max seq wins)
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String, Option[Int])]
+        buf.foreach { r =>
+          val after = r.getStruct(3)
+          val seq = r.getLong(4)
+          if (after != null) {
+            val id = after.getLong(after.schema.fieldIndex("id"))
+            val v = after.getString(after.schema.fieldIndex("v"))
+            val score =
+              if (after.schema.fieldNames.contains("score") &&
+                !after.isNullAt(after.schema.fieldIndex("score")))
+                Some(after.getInt(after.schema.fieldIndex("score")))
+              else None
+            if (byKey.get(id).forall(_._1 <= seq)) byKey(id) = (seq, v, score)
+          }
+        }
+        import s.implicits._
+        byKey.toSeq.map { case (id, (_, v, score)) => (id, v, score) }
+          .toDF("id", "v", "score")
+          .select(col("id"), col("v"), col("score").cast(IntegerType).as("score"))
+          .orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // DDL text -> MySqlDdlParser -> SchemaEvolutionDriver (LENIENT) ->
     // envelope coercion of old-shape rows into the evolved schema. Covers the
     // parser, the behavior rewrite (RENAME -> additive column under LENIENT,
@@ -104,6 +193,15 @@ object QueriesCdc {
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |ORDER BY u.id""".stripMargin,
+    "c_stream_ddl" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events
+        |  WHERE event_id >= 300 AND event_id < 600 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v,
+        |  CAST(l.me AS INTEGER) AS score
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
     "c_ddl_evolution" ->

@@ -27,7 +27,11 @@ trait ChangeSource {
   def offsetAtTimestamp(ts: Long): Long
 }
 
-final case class LogRecord(offset: Long, tsMillis: Long, event: DataChangeEvent)
+/** A log entry: data changes AND schema changes ride the same ordered log,
+  * exactly as binlog DDL statements interleave with row events
+  * (`MySqlEventDeserializer.java:57` dispatches on both).
+  */
+final case class LogRecord(offset: Long, tsMillis: Long, event: Event)
 
 /** In-memory scripted source: `append` simultaneously mutates the live table
   * (like a real DB the snapshot reads from) and appends to the log.
@@ -36,19 +40,25 @@ final case class LogRecord(offset: Long, tsMillis: Long, event: DataChangeEvent)
   */
 class ScriptedChangeSource(
     val tableId: TableId,
-    val schema: TableSchema,
+    initialSchema: TableSchema,
     initialRows: Seq[Map[String, Any]])
     extends ChangeSource {
 
-  require(schema.primaryKeys.size == 1, "scripted source uses a single numeric PK")
-  private val pk = schema.primaryKeys.head
+  require(initialSchema.primaryKeys.size == 1, "scripted source uses a single numeric PK")
+  private val pk = initialSchema.primaryKeys.head
 
   private val table =
     scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]]
   private val log = scala.collection.mutable.ArrayBuffer.empty[LogRecord]
   private var offset = 0L
+  /** the table's CURRENT declared schema — DDL in the log evolves it, like a
+    * real database catalog. */
+  private var liveSchema = initialSchema
+  private val schemaMgr = { val m = new SchemaManager; m.register(tableId, initialSchema); m }
 
   initialRows.foreach(r => table(keyOf(r)) = r)
+
+  override def schema: TableSchema = synchronized(liveSchema)
 
   private def keyOf(r: Map[String, Any]): Long = r(pk) match {
     case l: Long => l
@@ -69,6 +79,16 @@ class ScriptedChangeSource(
         table(keyOf(event.after)) = event.after
       case _ => table(keyOf(event.after)) = event.after
     }
+    log += LogRecord(offset, tsMillis, event)
+    offset
+  }
+
+  /** Append a DDL statement to the log: evolves the live schema (the catalog)
+    * and records the event at its log position, exactly where a binlog carries
+    * the statement. */
+  def appendDdl(event: SchemaChangeEvent, tsMillis: Long = 0L): Long = synchronized {
+    offset += 1
+    liveSchema = schemaMgr.applySchemaChange(event)
     log += LogRecord(offset, tsMillis, event)
     offset
   }
@@ -110,13 +130,30 @@ class ScriptedChangeSource(
 object ChangeSourceRegistry {
   private val sources = scala.collection.concurrent.TrieMap.empty[String, ScriptedChangeSource]
   private val chunkHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+  private val pendingDdls =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, SchemaChangeEvent)]
 
   def register(id: String, s: ScriptedChangeSource): Unit = sources.put(id, s)
   def get(id: String): ScriptedChangeSource =
     sources.getOrElse(id, throw new IllegalStateException(s"no change source '$id'"))
-  def remove(id: String): Unit = { sources.remove(id); chunkHWs.filterInPlace((k, _) => k._1 != id) }
+  def remove(id: String): Unit = {
+    sources.remove(id)
+    chunkHWs.filterInPlace((k, _) => k._1 != id)
+    pendingDdls.remove(id)
+  }
 
   def reportChunkHW(id: String, chunkIdx: Int, hw: Long): Unit =
     chunkHWs.put((id, chunkIdx), hw)
   def chunkHW(id: String, chunkIdx: Int): Option[Long] = chunkHWs.get((id, chunkIdx))
+
+  /** Control path for mid-stream DDL (the `SchemaChangeEvent` flow of
+    * `MySqlEventDeserializer.java:57`): the micro-batch stream parks at the
+    * DDL's log offset and posts it here; the pipeline driver handles it
+    * (schema evolution + sink DDL) at the batch boundary, acknowledges, and
+    * the stream — restarted with the evolved schema — resumes past it.
+    */
+  def postPendingDdl(id: String, offset: Long, e: SchemaChangeEvent): Unit =
+    pendingDdls.putIfAbsent(id, (offset, e))
+  def pendingDdl(id: String): Option[(Long, SchemaChangeEvent)] = pendingDdls.get(id)
+  def ackPendingDdl(id: String): Unit = pendingDdls.remove(id)
 }

@@ -176,8 +176,28 @@ final class GraftCdcMicroBatchStream(
       CdcOffset(math.min(prev.chunksDone + chunksPerBatch, chunks.size), prev.logOffset)
     else if (bounded) CdcOffset(chunks.size, prev.logOffset)
     else {
-      val target = availableNowTarget.map(_.logOffset).getOrElse(source.currentOffset)
-      CdcOffset(chunks.size, math.max(prev.logOffset, target))
+      val target = math.max(
+        prev.logOffset,
+        availableNowTarget.map(_.logOffset).getOrElse(source.currentOffset))
+      ChangeSourceRegistry.pendingDdl(sourceId) match {
+        case Some((d, _)) if prev.logOffset >= d =>
+          // parked at an unacknowledged DDL: advancing would push new-shape
+          // rows through the old envelope schema (silent column loss). The
+          // driver must handle + ack the DDL and restart with the evolved
+          // schema; the checkpointed offset then resumes exactly here.
+          CdcOffset(chunks.size, prev.logOffset)
+        case _ =>
+          // a batch never crosses a DDL: cap at the first schema change in
+          // range so the batch boundary IS the flush barrier in front of it
+          source.readLog(prev.logOffset, target).collectFirst {
+            case LogRecord(off, _, e: graft.core.SchemaChangeEvent) => (off, e)
+          } match {
+            case Some((d, e)) =>
+              ChangeSourceRegistry.postPendingDdl(sourceId, d, e)
+              CdcOffset(chunks.size, d)
+            case None => CdcOffset(chunks.size, target)
+          }
+      }
     }
 
   override def initialOffset(): Offset = CdcOffset(0, logBase)
@@ -202,7 +222,13 @@ final class GraftCdcMicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset = synchronized {
-    availableNowTarget.getOrElse(CdcOffset(chunks.size, source.currentOffset))
+    val base = availableNowTarget.getOrElse(CdcOffset(chunks.size, source.currentOffset))
+    // an unacknowledged DDL bounds what is "available": AvailableNow must not
+    // wait for offsets this stream refuses to cross
+    ChangeSourceRegistry.pendingDdl(sourceId) match {
+      case Some((d, _)) => CdcOffset(base.chunksDone, math.min(base.logOffset, d))
+      case None => base
+    }
   }
 
   override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
@@ -336,16 +362,20 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
         val hw = source.currentOffset
         if (!skipBackfill && hw > lw) {
           source.readLog(lw, hw).foreach { rec =>
-            val k = source.keyOfEvent(rec.event)
-            // half-open [lo, hi) — matches ChunkRange.predicate, snapshotRead's
-            // hiExclusive, the log-phase hwOf filter, and the reference's
-            // RecordUtils.splitKeyRangeContains (key < end); an event at
-            // key == hi belongs to the NEXT chunk's backfill window
-            if (lo.forall(k >= _) && hi.forall(k < _)) {
-              rec.event.op match {
-                case OperationType.DELETE => rows.remove(k)
-                case _ => rows(k) = rec.event.after
-              }
+            rec.event match {
+              case e: graft.core.DataChangeEvent =>
+                val k = source.keyOfEvent(e)
+                // half-open [lo, hi) — matches ChunkRange.predicate, snapshotRead's
+                // hiExclusive, the log-phase hwOf filter, and the reference's
+                // RecordUtils.splitKeyRangeContains (key < end); an event at
+                // key == hi belongs to the NEXT chunk's backfill window
+                if (lo.forall(k >= _) && hi.forall(k < _)) {
+                  e.op match {
+                    case OperationType.DELETE => rows.remove(k)
+                    case _ => rows(k) = e.after
+                  }
+                }
+              case _ => () // DDL in the backfill window surfaces via the log phase
             }
           }
         }
@@ -363,16 +393,17 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
           if (idx < 0) 0L else ChangeSourceRegistry.chunkHW(srcId, idx).getOrElse(0L)
         }
         // IncrementalSourceStreamFetcher: suppress events already merged into
-        // a finished chunk (offset <= that chunk's HW)
+        // a finished chunk (offset <= that chunk's HW). Schema-change records
+        // never enter the data plane — they travel the control path
+        // (ChangeSourceRegistry.pendingDdl), per SURVEY §1.1.
         val it = source.readLog(from, to).iterator
-          .filter(rec => chunkRanges.isEmpty ||
-            rec.offset > hwOf(source.keyOfEvent(rec.event)))
-          .map { rec =>
-            val e = rec.event
+          .collect { case LogRecord(off, _, e: graft.core.DataChangeEvent) => (off, e) }
+          .filter { case (off, e) => chunkRanges.isEmpty || off > hwOf(source.keyOfEvent(e)) }
+          .map { case (off, e) =>
             envRow(source.tableId.identifier, e.op.toString,
               if (e.before.isEmpty) null else e.before,
               if (e.after.isEmpty) null else e.after,
-              rec.offset)
+              off)
           }
         iteratorReader(it)
     }

@@ -294,6 +294,53 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     ChangeSourceRegistry.remove(id)
   }
 
+  test("mid-stream DDL parks the stream, surfaces on the control path, resumes evolved") {
+    import org.apache.spark.sql.types._
+    val id = "cdc-streamddl"
+    val t = TableId.parse("db.t")
+    val src = new ScriptedChangeSource(t, schema, (1L to 10L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ddl-ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start() = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", id).option("chunk.size", "100")
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+      .start()
+
+    val q1 = start()
+    q1.processAllAvailable() // snapshot done (10 rows)
+    // log: data(old shape), DDL, data(new shape)
+    src.append(DataChangeEvent.update(t, row(1L, "v1"), row(1L, "v1b")))
+    src.appendDdl(AddColumnEvent(t,
+      Seq(AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()))))
+    src.append(DataChangeEvent.update(t,
+      Map("id" -> 2L), Map("id" -> 2L, "v" -> "v2b", "score" -> 42)))
+    q1.processAllAvailable()
+    // pre-DDL data was emitted; the stream is parked AT the DDL offset
+    assert(buf.count(_.getString(1) == "UPDATE") == 1)
+    val pending = ChangeSourceRegistry.pendingDdl(id)
+    assert(pending.isDefined && pending.get._2.isInstanceOf[AddColumnEvent])
+    // the post-DDL row is NOT emitted through the old-shape envelope
+    assert(!buf.exists(r => r.getStruct(3) != null && r.getStruct(3).getString(1) == "v2b"))
+    q1.stop()
+
+    // driver handles the DDL at the batch boundary, acks, restarts evolved
+    ChangeSourceRegistry.ackPendingDdl(id)
+    assert(src.schema.struct.fieldNames.toSeq == Seq("id", "v", "score"))
+    val before = buf.size
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val post = buf.drop(before)
+    assert(post.size == 1, s"resume should emit only the post-DDL row, got $post")
+    val after = post.head.getStruct(3)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(after.getLong(0) == 2L && after.getString(1) == "v2b" && after.getInt(2) == 42)
+    ChangeSourceRegistry.remove(id)
+  }
+
   test("PK-changing UPDATE removes the stale row under the old key") {
     val t = TableId.parse("db.t")
     val id = "cdc-pkchange"
