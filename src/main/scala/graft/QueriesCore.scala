@@ -92,14 +92,21 @@ object QueriesCore {
         .limit(10)
     }),
     "q_window" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // first-row-per-key WITHOUT a window: min_by over an ordering struct
+      // aggregates with a map-side PARTIAL pass, so only one row per
+      // (scan partition, key) reaches the shuffle — the row_number() window
+      // shuffled every row and then sorted entire key partitions. The
+      // struct-buffered min_by plans as SortAggregate, but its sorts are
+      // per-scan-partition (bounded by maxPartitionBytes, in-memory), not a
+      // whole-key-partition sort. Ties are impossible:
+      // (l_shipdate, l_orderkey, l_linenumber) is unique per supplier.
       val li = t(s, dir, "lineitem")
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      li.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"))
+      li.groupBy(col("l_suppkey"))
+        .agg(min_by(
+          struct(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+          struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))).as("__first"))
+        .select(col("l_suppkey"), col("__first.l_orderkey"),
+          col("__first.l_linenumber"), col("__first.l_shipdate"))
         .orderBy("l_suppkey")
     }),
     "q_events_daily" -> ((s, dir) => {
@@ -204,6 +211,27 @@ object QueriesCore {
         (name: String) => if (name == null) null else name.take(1) + "***")
       t(s, dir, "customer")
         .selectExpr("c_custkey", "initials_mask(c_name) AS masked")
+        .orderBy("c_custkey")
+    }),
+    "t_udf2" -> ((s, dir) => {
+      // multi-arity typed eval through the UserDefinedFunction lifecycle
+      // registry (reference UserDefinedFunction.java:27-48 accepts arbitrary
+      // eval overloads): 2 args of mixed types (BIGINT, INT) -> BIGINT
+      import graft.functions.{UdfRegistry, UserDefinedFunction}
+      object PkMix extends UserDefinedFunction {
+        val name = "pk_mix"
+        override val arity = 2
+        override val returnType: org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        def eval(args: Any*): Any = {
+          val key = args(0).asInstanceOf[Long]
+          val nation = args(1) match { case i: Int => i.toLong; case l: Long => l }
+          key * 100L + nation
+        }
+      }
+      UdfRegistry.register(s, PkMix)
+      t(s, dir, "customer")
+        .selectExpr("c_custkey", "pk_mix(c_custkey, c_nationkey) AS mix")
         .orderBy("c_custkey")
     }),
 
@@ -379,6 +407,9 @@ object QueriesCore {
         |FROM ev GROUP BY 1 ORDER BY op""".stripMargin),
     "t_udf" ->
       """SELECT c_custkey, SUBSTR(c_name, 1, 1) || '***' AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_udf2" ->
+      """SELECT c_custkey, c_custkey * 100 + c_nationkey AS mix
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "c_upsert" -> (evCte +
       """, last AS (

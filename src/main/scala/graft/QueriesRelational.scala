@@ -51,10 +51,14 @@ object QueriesRelational {
         .orderBy("rf", "ls")
     }),
     "r_subquery" -> ((s, dir) => {
-      // orders above the average total price (scalar subquery)
+      // orders above the average total price: the scalar subquery stays
+      // IN-PLAN as a broadcast single-row cross join — one job, no driver
+      // round-trip (a collected scalar would serialize the plan on the
+      // driver between two jobs)
       val o = t(s, dir, "orders")
-      val avgPrice = o.agg(avg(col("o_totalprice"))).head().getDouble(0)
-      o.filter(col("o_totalprice") > avgPrice)
+      val avgDf = o.agg(avg(col("o_totalprice")).as("__avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("__avg_price"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),

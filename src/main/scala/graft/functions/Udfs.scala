@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** UDF surface mirroring `common/udf/UserDefinedFunction.java:27-48`: an
   * `eval`-style function object with `getReturnType` plus `open`/`close`
@@ -12,18 +13,57 @@ import org.apache.spark.sql.SparkSession
   */
 trait UserDefinedFunction extends Serializable {
   def name: String
+  /** declared result type — `UserDefinedFunction.getReturnType` in the
+    * reference; drives the Spark-side output schema. */
+  def returnType: DataType = StringType
+  /** number of `eval` arguments — the reference derives this from the `eval`
+    * overload's signature (`UserDefinedFunctionDescriptor.java:85-103`); here
+    * it is declared. */
+  def arity: Int = 1
   def open(): Unit = ()
   def close(): Unit = ()
   def eval(args: Any*): Any
 }
 
 object UdfRegistry {
+  import org.apache.spark.sql.api.java._
 
-  /** Register with lazy open-once semantics per executor instance. */
-  def register(spark: SparkSession, udf1: UserDefinedFunction): Unit = {
-    // one-arg form is the common case in the reference examples
-    @transient lazy val opened = { udf1.open(); sys.addShutdownHook(udf1.close()); udf1 }
-    spark.udf.register(udf1.name, (arg: String) => String.valueOf(opened.eval(arg)))
+  /** Register with lazy open-once semantics per executor instance. Multi-arity
+    * typed `eval` (0..6 args, any Spark SQL types in/out) goes through the
+    * Java UDF interfaces so the declared `returnType` reaches Catalyst — the
+    * Spark analog of arbitrary typed `eval` overloads in the reference
+    * (`UserDefinedFunction.java:27-48`).
+    */
+  def register(spark: SparkSession, f: UserDefinedFunction): Unit = {
+    @transient lazy val opened = { f.open(); sys.addShutdownHook(f.close()); f }
+    f.arity match {
+      case 0 => spark.udf.register(f.name,
+        new UDF0[Any] { def call(): Any = opened.eval() }, f.returnType)
+      case 1 => spark.udf.register(f.name,
+        new UDF1[Any, Any] { def call(a: Any): Any = opened.eval(a) }, f.returnType)
+      case 2 => spark.udf.register(f.name,
+        new UDF2[Any, Any, Any] { def call(a: Any, b: Any): Any = opened.eval(a, b) },
+        f.returnType)
+      case 3 => spark.udf.register(f.name,
+        new UDF3[Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any): Any = opened.eval(a, b, c)
+        }, f.returnType)
+      case 4 => spark.udf.register(f.name,
+        new UDF4[Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any): Any = opened.eval(a, b, c, d)
+        }, f.returnType)
+      case 5 => spark.udf.register(f.name,
+        new UDF5[Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any): Any = opened.eval(a, b, c, d, e)
+        }, f.returnType)
+      case 6 => spark.udf.register(f.name,
+        new UDF6[Any, Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any): Any =
+            opened.eval(a, b, c, d, e, g)
+        }, f.returnType)
+      case n => throw new IllegalArgumentException(
+        s"UDF arity $n unsupported (0..6); reference UDFs in practice are 1-3 args")
+    }
   }
 }
 
