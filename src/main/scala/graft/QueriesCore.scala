@@ -213,6 +213,35 @@ object QueriesCore {
         .selectExpr("c_custkey", "initials_mask(c_name) AS masked")
         .orderBy("c_custkey")
     }),
+    "t_kafka_debezium" -> ((s, dir) => {
+      // wire-format contract: serialize the changelog with the debezium-json
+      // sink format, parse the bytes back, and oracle the op codes, source
+      // block, and before/after images — the exact field contract of
+      // DebeziumJsonSerializationSchema (layout itself is unit-tested
+      // byte-for-byte in KafkaJsonFormatsSpec)
+      import graft.sinks.KafkaJsonFormats
+      import org.apache.spark.sql.types._
+      val env = eventsChangelog(s, dir)
+      val ser = env.select(col(Envelope.SeqCol).as("seq"),
+        KafkaJsonFormats.debeziumValue.as("value"))
+      val payloadT = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampNTZType)))
+      val msgT = StructType(Seq(
+        StructField("before", payloadT), StructField("after", payloadT),
+        StructField("op", StringType),
+        StructField("source", StructType(Seq(
+          StructField("db", StringType), StructField("table", StringType))))))
+      ser.select(col("seq"), from_json(col("value"), msgT).as("m"))
+        .select(
+          col("seq"), col("m.op"),
+          col("m.source.db").as("db"), col("m.source.table").as("tbl"),
+          col("m.before.user_id").as("before_uid"),
+          col("m.after.user_id").as("after_uid"),
+          col("m.after.event_type").as("after_type"),
+          col("m.after.value").as("after_value"))
+        .orderBy("seq")
+    }),
     "t_udf2" -> ((s, dir) => {
       // multi-arity typed eval through the UserDefinedFunction lifecycle
       // registry (reference UserDefinedFunction.java:27-48 accepts arbitrary
@@ -411,6 +440,15 @@ object QueriesCore {
     "t_udf2" ->
       """SELECT c_custkey, c_custkey * 100 + c_nationkey AS mix
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_kafka_debezium" -> (evCte +
+      """SELECT event_id AS seq,
+        |  CASE op WHEN 'INSERT' THEN 'c' WHEN 'DELETE' THEN 'd' ELSE 'u' END AS op,
+        |  'app' AS db, 'events' AS tbl,
+        |  CASE WHEN op <> 'INSERT' THEN user_id END AS before_uid,
+        |  CASE WHEN op <> 'DELETE' THEN user_id END AS after_uid,
+        |  CASE WHEN op <> 'DELETE' THEN event_type END AS after_type,
+        |  CASE WHEN op <> 'DELETE' THEN value END AS after_value
+        |FROM ev ORDER BY seq""".stripMargin),
     "c_upsert" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -280,5 +280,84 @@ object QueriesML {
         |FROM embeddings WHERE vec_id < 20 ORDER BY qid""".stripMargin,
     "a_ann_ivf_self" ->
       """SELECT vec_id AS qid, vec_id AS cid, 1.0 AS cosine
-        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin)
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    // multimodal: the codec stub is deterministic, so expected values are
+    // computable — feature sums were precomputed by replaying the stub on the
+    // driver (self-oracle; MultimodalSpec recomputes them in-process too),
+    // frame counts and resize geometry are plain arithmetic
+    "m_media_features" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+      |  CAST(feature_sum AS DOUBLE) AS feature_sum FROM (VALUES
+      |(0, 'image', 7.9061),
+      |(1, 'audio', 7.9056),
+      |(2, 'video', 8.9387),
+      |(3, 'image', 9.186),
+      |(4, 'audio', 8.9802),
+      |(5, 'video', 9.9154),
+      |(6, 'image', 8.6935),
+      |(7, 'audio', 8.3401),
+      |(8, 'video', 10.9166),
+      |(9, 'image', 9.196),
+      |(10, 'audio', 9.1507),
+      |(11, 'video', 9.551),
+      |(12, 'image', 11.4126),
+      |(13, 'audio', 9.8616),
+      |(14, 'video', 10.0553),
+      |(15, 'image', 10.7923),
+      |(16, 'audio', 7.9421),
+      |(17, 'video', 8.7951),
+      |(18, 'image', 8.4366),
+      |(19, 'audio', 8.1999),
+      |(20, 'video', 8.6937),
+      |(21, 'image', 8.333),
+      |(22, 'audio', 8.8461),
+      |(23, 'video', 8.5425),
+      |(24, 'image', 9.2378),
+      |(25, 'audio', 8.9714),
+      |(26, 'video', 9.0235),
+      |(27, 'image', 9.1519),
+      |(28, 'audio', 9.6502),
+      |(29, 'video', 8.9132),
+      |(30, 'image', 9.6939),
+      |(31, 'audio', 9.2304),
+      |(32, 'video', 8.2488),
+      |(33, 'image', 7.4361),
+      |(34, 'audio', 9.829),
+      |(35, 'video', 8.3688),
+      |(36, 'image', 7.4489),
+      |(37, 'audio', 8.1127),
+      |(38, 'video', 8.6148),
+      |(39, 'image', 9.4052),
+      |(40, 'audio', 9.1104),
+      |(41, 'video', 9.699),
+      |(42, 'image', 9.6104),
+      |(43, 'audio', 9.2873),
+      |(44, 'video', 9.0157),
+      |(45, 'image', 9.8635),
+      |(46, 'audio', 10.7069),
+      |(47, 'video', 10.6346),
+      |(48, 'image', 7.8606),
+      |(49, 'audio', 8.1381),
+      |(50, 'video', 8.8844),
+      |(51, 'image', 7.6003),
+      |(52, 'audio', 8.9764),
+      |(53, 'video', 8.7122),
+      |(54, 'image', 9.1487),
+      |(55, 'audio', 9.2886),
+      |(56, 'video', 10.5935),
+      |(57, 'image', 9.0343),
+      |(58, 'audio', 8.0952),
+      |(59, 'video', 10.2471)
+      |) AS t(media_id, kind, feature_sum) ORDER BY media_id""".stripMargin,
+    "m_media_frames" ->
+      """SELECT media_id, CAST(5 AS BIGINT) AS n_frames
+      |FROM range(12) AS t(media_id) WHERE media_id % 3 = 2 ORDER BY media_id""".stripMargin,
+    "m_media_resize" ->
+      """SELECT media_id,
+      |  CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN 320 ELSE 640 END AS INT) AS w,
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN 240 ELSE 480 END AS INT) AS h,
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN (64 + media_id % 32) // 4
+      |       ELSE 64 + media_id % 32 END AS INT) AS payload_len
+      |FROM range(30) AS t(media_id) ORDER BY media_id""".stripMargin)
 }

@@ -20,20 +20,27 @@ object KafkaJsonFormats {
 
   /** debezium-json: `{"before":…,"after":…,"op":"c|u|d","source":{"db":…,"table":…}}`.
     * UPDATE/REPLACE → "u", INSERT → "c", DELETE → "d" (reference
-    * `DebeziumJsonSerializationSchema.serialize`).
+    * `DebeziumJsonSerializationSchema.serialize`). Field order and the
+    * always-present (possibly null) before/after keys are part of the wire
+    * contract — `ignoreNullFields=false` keeps `"before":null` explicit
+    * exactly as the reference's Jackson serializer does.
     */
-  def debeziumJson(env: DataFrame): DataFrame = {
-    val opCode = when(col(Envelope.OpCol) === "INSERT", "c")
-      .when(col(Envelope.OpCol) === "DELETE", "d")
-      .otherwise("u")
-    env.select(
-      to_json(struct(
+  val debeziumOpCode: Column = when(col(Envelope.OpCol) === "INSERT", "c")
+    .when(col(Envelope.OpCol) === "DELETE", "d")
+    .otherwise("u")
+
+  /** The debezium-json record value as a column over an envelope frame. */
+  def debeziumValue: Column =
+    to_json(
+      struct(
         col(Envelope.BeforeCol).as("before"),
         col(Envelope.AfterCol).as("after"),
-        opCode.as("op"),
-        struct(dbName.as("db"), tableName.as("table")).as("source"))).as("value"),
-      col(Envelope.TableIdCol).as("topic"))
-  }
+        debeziumOpCode.as("op"),
+        struct(dbName.as("db"), tableName.as("table")).as("source")),
+      java.util.Map.of("ignoreNullFields", "false"))
+
+  def debeziumJson(env: DataFrame): DataFrame =
+    env.select(debeziumValue.as("value"), col(Envelope.TableIdCol).as("topic"))
 
   /** canal-json: `{"old":[…],"data":[…],"type":"INSERT|UPDATE|DELETE","database":…,"table":…}`. */
   def canalJson(env: DataFrame): DataFrame = {

@@ -20,6 +20,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.getSeq[Float](2)).toSeq == f2.map(_.getSeq[Float](2)).toSeq)
   }
 
+  test("extractFeatures matches a driver-side replay of the stub codec") {
+    // self-oracle: regenerate the deterministic payloads on the driver and
+    // run decodeStub directly — the distributed mapPartitions result must be
+    // value-identical (this is what backs the m_media_features VALUES oracle)
+    val got = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    (0 until 30).foreach { i =>
+      val rnd = new java.util.Random(i)
+      val payload = new Array[Byte](64 + (i % 32))
+      rnd.nextBytes(payload)
+      assert(got(i.toLong) == Multimodal.decodeStub(payload).toSeq,
+        s"feature mismatch for media_id=$i")
+    }
+  }
+
   test("sampleFrames: one row per sampled timestamp of video rows only") {
     val frames = Multimodal.sampleFrames(media, everyMs = 2500)
     val videos = media.filter(col("kind") === "video").count()

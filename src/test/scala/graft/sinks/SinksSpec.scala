@@ -30,6 +30,18 @@ class KafkaJsonFormatsSpec extends AnyFunSuite {
     assert(out(0).contains("\"source\":{\"db\":\"mydb\",\"table\":\"users\"}"))
   }
 
+  test("debezium-json exact wire layout: field order, explicit nulls, op codes") {
+    // byte-for-byte contract of DebeziumJsonSerializationSchema: before, after,
+    // op, source — in that order; absent images are explicit nulls
+    val out = KafkaJsonFormats.debeziumJson(env()).select($"value").as[String].collect()
+    assert(out(0) ==
+      """{"before":null,"after":{"col1":"1","col2":"a"},"op":"c","source":{"db":"mydb","table":"users"}}""")
+    assert(out(1) ==
+      """{"before":{"col1":"1","col2":"a"},"after":{"col1":"1","col2":"b"},"op":"u","source":{"db":"mydb","table":"users"}}""")
+    assert(out(2) ==
+      """{"before":{"col1":"1","col2":"b"},"after":null,"op":"d","source":{"db":"mydb","table":"users"}}""")
+  }
+
   test("canal-json: type INSERT/UPDATE/DELETE with data/old arrays") {
     val out = KafkaJsonFormats.canalJson(env()).select($"value").as[String].collect()
     assert(out(0).contains("\"type\":\"INSERT\"") && out(0).contains("\"data\":[{"))
