@@ -73,6 +73,66 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // Same protocol, REAL database engine: the identical scenario runs with
+    // the Derby-backed JdbcChangeSource (ranged SQL snapshot reads + capture
+    // log table) behind the same four-method dialect SPI — proving the DSv2
+    // source is not coupled to the in-memory fixture.
+    "c_incremental_jdbc" -> ((s, dir) => {
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val db = java.nio.file.Files.createTempDirectory("c-incr-jdbc").resolve("db")
+      val src = new JdbcChangeSource(s"jdbc:derby:$db;create=true", t, schema)
+      src.initTables()
+      (0L until 150L).foreach(u =>
+        src.applyEvent(DataChangeEvent.insert(t, Map("id" -> u, "v" -> "init"))))
+      val srcId = s"verify-incremental-jdbc-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        val (pre, post) = ev.splitAt(ev.length / 2)
+        def append(r: Row): Unit = src.applyEvent(DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}")))
+
+        pre.foreach(append) // changes land in SQL table + capture log pre-read
+
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "40")
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+        q.processAllAvailable()
+        post.foreach(append) // log-phase tail out of the capture table
+        q.processAllAvailable()
+        q.stop()
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Mid-stream DDL through the DSv2 source: an ALTER arrives in the log
     // between the snapshot and the data events. The stream parks at the DDL
     // offset (batch boundary = flush barrier), the SchemaEvolutionDriver
@@ -189,6 +249,13 @@ object QueriesCdc {
 
   val oracles: Map[String, String] = Map(
     "c_incremental" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |ORDER BY u.id""".stripMargin,
+    "c_incremental_jdbc" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)

@@ -25,6 +25,18 @@ trait ChangeSource {
   def keyStats: (Option[Long], Option[Long], Long)
   /** first offset whose wall-clock timestamp ≥ ts (startup mode `timestamp`). */
   def offsetAtTimestamp(ts: Long): Long
+
+  /** numeric PK of a data event — the key lives in `before` for DELETE
+    * (`DataChangeEvent.java` before/after contract). */
+  def keyOfEvent(e: DataChangeEvent): Long = {
+    val pk = schema.primaryKeys.head
+    def k(m: Map[String, Any]): Long = m(pk) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => other.toString.toLong
+    }
+    if (e.op == OperationType.DELETE) k(e.before) else k(e.after)
+  }
 }
 
 /** A log entry: data changes AND schema changes ride the same ordered log,
@@ -116,7 +128,7 @@ class ScriptedChangeSource(
     log.find(_.tsMillis >= ts).map(_.offset - 1).getOrElse(offset)
   }
 
-  def keyOfEvent(e: DataChangeEvent): Long =
+  override def keyOfEvent(e: DataChangeEvent): Long =
     if (e.op == OperationType.DELETE) keyOf(e.before) else keyOf(e.after)
 }
 
@@ -128,13 +140,13 @@ class ScriptedChangeSource(
   * (`SnapshotSplitAssigner.onFinishedSplits`).
   */
 object ChangeSourceRegistry {
-  private val sources = scala.collection.concurrent.TrieMap.empty[String, ScriptedChangeSource]
+  private val sources = scala.collection.concurrent.TrieMap.empty[String, ChangeSource]
   private val chunkHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
   private val pendingDdls =
     scala.collection.concurrent.TrieMap.empty[String, (Long, SchemaChangeEvent)]
 
-  def register(id: String, s: ScriptedChangeSource): Unit = sources.put(id, s)
-  def get(id: String): ScriptedChangeSource =
+  def register(id: String, s: ChangeSource): Unit = sources.put(id, s)
+  def get(id: String): ChangeSource =
     sources.getOrElse(id, throw new IllegalStateException(s"no change source '$id'"))
   def remove(id: String): Unit = {
     sources.remove(id)
