@@ -20,7 +20,10 @@ object Dialect {
   /** Rewrites performed on a dialect expression before handing it to Catalyst.
     * Conservative token-level rewrites outside of string literals.
     */
-  def translate(sql: String, epochTimeColumn: Option[String] = None): String = {
+  def translate(sql0: String, epochTimeColumn: Option[String] = None): String = {
+    // pre-pass: LIKE <literal> ESCAPE '<c>' needs the pattern literal, so it
+    // resolves BEFORE literal segmentation (see foldLikeEscape)
+    val sql = foldLikeEscape(sql0)
     // split into string-literal and non-literal segments; rewrite only outside
     val out = new StringBuilder
     var i = 0
@@ -40,6 +43,37 @@ object Dialect {
     }
     flush()
     out.toString
+  }
+
+  /** `LIKE <literal> ESCAPE '<c>'`: consume the escape clause by folding the
+    * escape character into the pattern — the escaped character becomes a
+    * regex-literal (backslash-quoted when it is a regex metacharacter),
+    * consistent with the LIKE-as-regex dialect. Spark RLIKE has no ESCAPE
+    * form, so this must resolve at translate time, on the raw SQL (the
+    * pattern literal is needed).
+    */
+  private def foldLikeEscape(sql: String): String = {
+    val likeEscape =
+      "(?i)\\b(NOT\\s+)?LIKE\\s+('(?:[^']|'')*')\\s+ESCAPE\\s+'(.)'".r
+    likeEscape.replaceAllIn(sql, m => {
+      val not = Option(m.group(1)).fold("")(_ => "NOT ")
+      val inner = m.group(2).drop(1).dropRight(1)
+      val esc = m.group(3).charAt(0)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (c == esc && i + 1 < inner.length) {
+          val nxt = inner.charAt(i + 1)
+          // double backslash: one level consumed by the SQL string literal,
+          // leaving a regex \X escape
+          if ("\\^$.|?*+()[]{}".indexOf(nxt) >= 0) sb.append("\\\\").append(nxt)
+          else sb.append(nxt)
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '${sb.toString}'")
+    })
   }
 
   private def rewriteSegment(s: String, epochCol: Option[String]): String = {

@@ -190,8 +190,18 @@ object MySqlDdlParser {
           val (oldName, newName) = (unquote(toks(0)), unquote(toks(1)))
           val newCol = parseColumnDef((toks.drop(1)).mkString(" "), tinyInt1AsBoolean)
           if (oldName != newName) events += RenameColumnEvent(tid, Map(oldName -> newName))
+          // suppress the type event ONLY when the declared CDC type is
+          // provably unchanged. The Spark physical type is lossy
+          // (VARCHAR(10) and VARCHAR(20) are both StringType), so compare at
+          // the CDC level via the fromSpark round-trip: if the stored Spark
+          // type does not uniquely determine the declared type (lengths,
+          // precisions), emit the event — a redundant AlterColumnTypeEvent is
+          // a no-op downstream, a suppressed real one loses the change
+          // (reference listener emits on actual declared-type difference).
           val unchanged = currentSchema.exists { s =>
-            s.struct.fields.find(_.name == oldName).exists(_.dataType == newCol.cdcType.toSpark)
+            s.struct.fields.find(_.name == oldName).exists { f =>
+              CdcTypes.fromSpark(f.dataType, newCol.cdcType.nullable) == newCol.cdcType
+            }
           }
           if (!unchanged) events += AlterColumnTypeEvent(tid, Map(newName -> newCol.cdcType))
         } else if (u.startsWith("MODIFY")) {

@@ -21,6 +21,19 @@ class DialectSpec extends AnyFunSuite {
       "v = 'it''s LIKE this' AND a RLIKE 'b'")
   }
 
+  test("LIKE ... ESCAPE folds the escape into the regex pattern") {
+    // escaped regex metachar becomes a literal: '!.' with ESCAPE '!' -> \.
+    assert(Dialect.translate("name LIKE 'a!.c' ESCAPE '!'") == "name RLIKE 'a\\\\.c'")
+    // escaped non-metachar passes through plain
+    assert(Dialect.translate("name LIKE 'a!bc' ESCAPE '!'") == "name RLIKE 'abc'")
+    assert(Dialect.translate("name NOT LIKE 'x!+y' ESCAPE '!'") == "name NOT RLIKE 'x\\\\+y'")
+    // end-to-end: the folded pattern must match literally, not as regex
+    val sql = Dialect.translate(
+      "SELECT 'a.c' LIKE 'a!.c' ESCAPE '!' AS hit, 'axc' LIKE 'a!.c' ESCAPE '!' AS miss")
+    val row = spark.sql(sql).head()
+    assert(row.getBoolean(0) && !row.getBoolean(1))
+  }
+
   test("now-family binds to the per-record epoch column") {
     val r = Dialect.translate(
       "NOW() > x AND CURRENT_TIMESTAMP > y AND CURRENT_DATE = d",

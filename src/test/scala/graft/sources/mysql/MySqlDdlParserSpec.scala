@@ -81,6 +81,20 @@ class MySqlDdlParserSpec extends AnyFunSuite {
     assert(evs == Seq(RenameColumnEvent(TableId("t"), Map("a" -> "b"))))
   }
 
+  test("CHANGE compares at the CDC level: Spark-type collisions still emit the event") {
+    // VARCHAR(10) -> VARCHAR(20) both map to StringType — the lossy Spark
+    // compare would swallow the declared-type change; the CDC-level check
+    // must emit it (reference listener emits AlterColumnTypeEvent)
+    val cur = TableSchema(StructType(Seq(StructField("a", StringType))))
+    val evs = MySqlDdlParser.parse(
+      "ALTER TABLE t CHANGE a a VARCHAR(20)", currentSchema = Some(cur))
+    assert(evs == Seq(AlterColumnTypeEvent(TableId("t"), Map("a" -> VarCharT(20)))))
+    // TEXT round-trips to the same CDC type as StringType -> suppressed
+    val evs2 = MySqlDdlParser.parse(
+      "ALTER TABLE t CHANGE a b TEXT", currentSchema = Some(cur))
+    assert(evs2 == Seq(RenameColumnEvent(TableId("t"), Map("a" -> "b"))))
+  }
+
   test("DROP TABLE / TRUNCATE / non-schema statements") {
     assert(MySqlDdlParser.parse("DROP TABLE IF EXISTS db.t") ==
       Seq(DropTableEvent(TableId.of("db", "t"))))
