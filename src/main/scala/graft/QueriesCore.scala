@@ -213,6 +213,46 @@ object QueriesCore {
         .selectExpr("c_custkey", "initials_mask(c_name) AS masked")
         .orderBy("c_custkey")
     }),
+    "t_timestamp_tz" -> ((s, dir) => {
+      // TIMESTAMP_TZ end-to-end (SURVEY §1.3: ZonedTimestampT ->
+      // struct<instant TIMESTAMP, offsetSeconds INT>): treat events.ts as the
+      // wall-clock at a per-row offset, store instant+offset, then render
+      // both the UTC instant and the reconstructed local time — the
+      // round-trip a TIMESTAMP_TZ sink needs
+      val ev = t(s, dir, "events").filter(col("event_id") < 5000)
+      ev.withColumn("offset_seconds", (((col("user_id") % 24) - 12) * 3600).cast("int"))
+        .withColumn("tzv", struct(
+          expr("timestampadd(SECOND, -offset_seconds, ts)").as("instant"),
+          col("offset_seconds").as("offsetSeconds")))
+        .select(
+          col("event_id"),
+          date_format(col("tzv.instant"), "yyyy-MM-dd HH:mm:ss").as("utc_str"),
+          col("tzv.offsetSeconds").as("offset_seconds"),
+          date_format(expr("timestampadd(SECOND, tzv.offsetSeconds, tzv.instant)"),
+            "yyyy-MM-dd HH:mm:ss").as("local_str"))
+        .orderBy("event_id")
+    }),
+    "t_model_chat" -> ((s, dir) => {
+      // AI_CHAT_PREDICT surface (reference OpenAIChatModel.eval:55): the HTTP
+      // client is stubbed (zero-egress env) but deterministic, so the oracle
+      // carries precomputed expected predictions — registration, projection
+      // use, and null/batching behavior are all real
+      graft.functions.ModelFunctions.registerChatPredict(s, "stub-model")
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .selectExpr("c_mktsegment", "AI_CHAT_PREDICT(c_mktsegment) AS prediction")
+        .orderBy("c_mktsegment")
+    }),
+    "t_model_embedding" -> ((s, dir) => {
+      // GET_EMBEDDING -> ARRAY<FLOAT> (reference OpenAIEmbeddingModel.eval:57):
+      // dimension contract + deterministic value checksum
+      graft.functions.ModelFunctions.registerGetEmbedding(s, "stub-model", dim = 16)
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .selectExpr(
+          "c_mktsegment",
+          "size(GET_EMBEDDING(c_mktsegment)) AS dim",
+          "round(aggregate(GET_EMBEDDING(c_mktsegment), 0D, (a, v) -> a + CAST(v AS DOUBLE)), 4) AS esum")
+        .orderBy("c_mktsegment")
+    }),
     "t_kafka_debezium" -> ((s, dir) => {
       // wire-format contract: serialize the changelog with the debezium-json
       // sink format, parse the bytes back, and oracle the op codes, source
@@ -440,6 +480,30 @@ object QueriesCore {
     "t_udf2" ->
       """SELECT c_custkey, c_custkey * 100 + c_nationkey AS mix
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_timestamp_tz" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP) - to_seconds(((user_id % 24) - 12) * 3600),
+        |           '%Y-%m-%d %H:%M:%S') AS utc_str,
+        |  CAST(((user_id % 24) - 12) * 3600 AS INT) AS offset_seconds,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS local_str
+        |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
+    "t_model_chat" ->
+      """SELECT c_mktsegment, prediction FROM (VALUES
+        |  ('AUTOMOBILE', '[stub-model] 322b1b11'),
+        |  ('BUILDING', '[stub-model] d96002b4'),
+        |  ('FURNITURE', '[stub-model] 837f67d2'),
+        |  ('HOUSEHOLD', '[stub-model] e3be3bbf'),
+        |  ('MACHINERY', '[stub-model] 50096cae')
+        |) AS t(c_mktsegment, prediction) ORDER BY c_mktsegment""".stripMargin,
+    "t_model_embedding" ->
+      """SELECT c_mktsegment, CAST(dim AS INT) AS dim, CAST(esum AS DOUBLE) AS esum
+        |FROM (VALUES
+        |  ('AUTOMOBILE', 16, 10.369),
+        |  ('BUILDING', 16, 7.9794),
+        |  ('FURNITURE', 16, 8.0969),
+        |  ('HOUSEHOLD', 16, 7.031),
+        |  ('MACHINERY', 16, 7.2211)
+        |) AS t(c_mktsegment, dim, esum) ORDER BY c_mktsegment""".stripMargin,
     "t_kafka_debezium" -> (evCte +
       """SELECT event_id AS seq,
         |  CASE op WHEN 'INSERT' THEN 'c' WHEN 'DELETE' THEN 'd' ELSE 'u' END AS op,
