@@ -73,9 +73,10 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
 
   /** Process one batch of envelope data for one source table: transform →
     * route (fanout) → coerce to each sink table's evolved schema → materialize
-    * upserts+deletes → write.
+    * upserts+deletes → write. `batchId` (when ≥ 0, from `foreachBatch`) lets
+    * batch-id-tracking sinks skip replayed micro-batches.
     */
-  def processBatch(tableId: TableId, env: DataFrame): Unit = {
+  def processBatch(tableId: TableId, env: DataFrame, batchId: Long = -1L): Unit = {
     val transformed = ruleFor(tableId) match {
       case Some(rule) => EnvelopeTransform(env, rule, tableId)
       case None => env
@@ -90,7 +91,7 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
         if (sinkSchema.primaryKeys.nonEmpty) sinkSchema.primaryKeys
         else sinkSchema.struct.fieldNames.toSeq
       Upsert.withMaterialized(coerced, keys) { (upserts, deletes) =>
-        sink.writeBatch(sinkT, upserts, deletes)
+        sink.writeBatch(sinkT, upserts, deletes, batchId)
       }
     }
   }

@@ -43,14 +43,36 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
   /** Create sink tables and start the stream. */
   def run(): StreamingQuery = {
     composer.createTables(sourceSchemas)
+    CdcStream.start(readerFor(sourceId).load(), composer, queryName = pdef.name,
+      checkpointDir = pdef.config.get("checkpoint.dir"))
+  }
+
+  private def readerFor(id: String) = {
     val reader = spark.readStream.format(classOf[GraftCdcProvider].getName)
-      .option("sourceId", sourceId)
-    val withOpts = Seq("chunk.size", "startup.mode", "backfill.skip", "chunks.per-batch")
+      .option("sourceId", id)
+    Seq("chunk.size", "startup.mode", "backfill.skip", "chunks.per-batch")
       .foldLeft(reader) { (r, k) =>
         pdef.source.config.get(k).fold(r)(v => r.option(k, v))
       }
-    CdcStream.start(withOpts.load(), composer, queryName = pdef.name,
-      checkpointDir = pdef.config.get("checkpoint.dir"))
+  }
+
+  /** `scan.newly-added-table.enabled` analog (`MySqlDataSourceOptions.java:239`):
+    * a table that appears mid-run is picked up WITHOUT disturbing running
+    * streams — the driver routes + creates its sink tables and starts a
+    * dedicated per-table stream that snapshots the new table from scratch
+    * while existing streams keep their checkpoints. The reference's assigner
+    * re-enumerates matched tables and snapshots the new ones while the binlog
+    * split continues; per-table DSv2 streams give the same effect with
+    * driver-side discovery.
+    */
+  def addTable(newSourceId: String): StreamingQuery = {
+    val src = ChangeSourceRegistry.get(newSourceId)
+    composer.createTables(Map(src.tableId -> src.schema))
+    CdcStream.start(
+      readerFor(newSourceId).load(),
+      composer,
+      queryName = s"${pdef.name}-${src.tableId.tableName}",
+      checkpointDir = pdef.config.get("checkpoint.dir").map(d => s"$d/$newSourceId"))
   }
 }
 

@@ -16,6 +16,31 @@ trait DataSink extends MetadataApplier {
     */
   def writeBatch(sinkTableId: TableId, upserts: DataFrame, deletedKeys: DataFrame): Unit
 
+  /** Batch-id-aware entry used by the streaming runner: a restarted query
+    * re-delivers its last uncommitted micro-batch, so a sink that records
+    * committed batch ids skips the whole replay — effective exactly-once for
+    * non-idempotent targets (the reference gets this from Flink sink v2
+    * 2PC; a micro-batch engine gets it from idempotent-or-skipped redelivery).
+    * The commit record is written AFTER the data lands: a crash between the
+    * two re-runs the batch, which the PK-upsert write shape absorbs.
+    */
+  def writeBatch(
+      sinkTableId: TableId,
+      upserts: DataFrame,
+      deletedKeys: DataFrame,
+      batchId: Long): Unit =
+    if (batchId < 0 || lastCommittedBatch(sinkTableId).forall(_ < batchId)) {
+      writeBatch(sinkTableId, upserts, deletedKeys)
+      recordBatchCommit(sinkTableId, batchId)
+    }
+
+  /** Highest batch id durably committed for the table, if the sink tracks
+    * them. Default: none tracked (idempotent sinks don't need skipping). */
+  def lastCommittedBatch(sinkTableId: TableId): Option[Long] = None
+
+  /** Durably record that `batchId` was fully written. Default: no-op. */
+  def recordBatchCommit(sinkTableId: TableId, batchId: Long): Unit = ()
+
   def schemaOf(sinkTableId: TableId): Option[TableSchema]
 }
 

@@ -195,6 +195,48 @@ final class JdbcUpsertSink(
     }
   }
 
+  // -------------------------------------------------- batch-id transactionality
+
+  /** Commit log `GRAFT_COMMITS(table_name, batch_id)` in the target database:
+    * replayed micro-batches (query restart re-delivers the last uncommitted
+    * batch) are skipped once their id is recorded — the non-idempotent-sink
+    * half of exactly-once that `foreachBatch` alone does not give.
+    */
+  private def ensureCommitLog(conn: Connection): Unit =
+    try {
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE GRAFT_COMMITS (TABLE_NAME VARCHAR(256) NOT NULL PRIMARY KEY, " +
+          "BATCH_ID BIGINT NOT NULL)")
+      ()
+    } catch { case _: java.sql.SQLException => () } // exists (or dialect quirk)
+
+  override def lastCommittedBatch(sinkTableId: TableId): Option[Long] = {
+    val conn = connect()
+    try {
+      ensureCommitLog(conn)
+      val ps = conn.prepareStatement("SELECT BATCH_ID FROM GRAFT_COMMITS WHERE TABLE_NAME = ?")
+      ps.setString(1, tableName(sinkTableId))
+      val rs = ps.executeQuery()
+      if (rs.next()) Some(rs.getLong(1)) else None
+    } finally conn.close()
+  }
+
+  override def recordBatchCommit(sinkTableId: TableId, batchId: Long): Unit = {
+    val conn = connect()
+    try {
+      ensureCommitLog(conn)
+      val upd = conn.prepareStatement(
+        "UPDATE GRAFT_COMMITS SET BATCH_ID = ? WHERE TABLE_NAME = ?")
+      upd.setLong(1, batchId); upd.setString(2, tableName(sinkTableId))
+      if (upd.executeUpdate() == 0) {
+        val ins = conn.prepareStatement(
+          "INSERT INTO GRAFT_COMMITS (TABLE_NAME, BATCH_ID) VALUES (?, ?)")
+        ins.setString(1, tableName(sinkTableId)); ins.setLong(2, batchId)
+        ins.executeUpdate()
+      }
+    } finally conn.close()
+  }
+
   override def schemaOf(sinkTableId: TableId): Option[TableSchema] =
     schemas.latest(sinkTableId)
 }

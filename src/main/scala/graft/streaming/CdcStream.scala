@@ -24,11 +24,11 @@ object CdcStream {
     var b = envelopeStream.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         PipelineComposer.splitByTable(batch).toSeq
           .sortBy(_._1.identifier)
           .foreach { case (tableId: TableId, env: DataFrame) =>
-            composer.processBatch(tableId, env)
+            composer.processBatch(tableId, env, batchId)
           }
       }
     checkpointDir.foreach(d => b = b.option("checkpointLocation", d))

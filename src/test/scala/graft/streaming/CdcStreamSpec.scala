@@ -65,6 +65,58 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(rows == Seq("1,A,null", "3,c,null"))
   }
 
+  test("newly-added table mid-run starts its own stream without disturbing others") {
+    import graft.sources.cdc._
+    import org.apache.spark.sql.types._
+    def mkSchema = TableSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val tA = TableId.parse("app.alpha"); val tB = TableId.parse("app.beta")
+    val srcA = new ScriptedChangeSource(tA, mkSchema,
+      (1L to 5L).map(i => Map[String, Any]("id" -> i, "v" -> s"a$i")))
+    ChangeSourceRegistry.register("nat-a", srcA)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("nat-ckpt").toString
+      val yaml =
+        s"""source:
+           |  type: cdc
+           |  sourceId: nat-a
+           |  chunk.size: 3
+           |sink:
+           |  type: values
+           |pipeline:
+           |  checkpoint.dir: $ckpt/alpha
+           |""".stripMargin
+      val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+      val qA = runner.run()
+      qA.processAllAvailable()
+      val sink = runner.sink.asInstanceOf[MemoryDatabase]
+      assert(sink.rowsOf(tA).size == 5)
+      assert(!sink.tableIds.contains(tB))
+
+      // the new table appears mid-run: discovered + snapshotted from scratch
+      // while alpha's stream keeps running on its own checkpoint
+      val srcB = new ScriptedChangeSource(tB, mkSchema,
+        (1L to 3L).map(i => Map[String, Any]("id" -> i, "v" -> s"b$i")))
+      ChangeSourceRegistry.register("nat-b", srcB)
+      val qB = runner.addTable("nat-b")
+      qB.processAllAvailable()
+      assert(sink.rowsOf(tB).map(_.last.toString).sorted == Seq("b1", "b2", "b3"))
+
+      // alpha continues undisturbed: its next run resumes from ITS checkpoint
+      // (AvailableNow queries terminate when caught up) and tails only the log
+      srcA.append(DataChangeEvent.update(tA,
+        Map("id" -> 1L, "v" -> "a1"), Map("id" -> 1L, "v" -> "A1")))
+      val qA2 = runner.run()
+      qA2.processAllAvailable()
+      assert(sink.rowsOf(tA).exists(_.last == "A1"))
+      assert(sink.rowsOf(tA).size == 5) // resumed, not re-snapshotted
+      qA2.stop(); qB.stop()
+    } finally { ChangeSourceRegistry.remove("nat-a"); ChangeSourceRegistry.remove("nat-b") }
+  }
+
   test("full stack: DSv2 CDC source -> runner -> composer -> parquet MERGE sink") {
     import graft.sinks.ParquetMergeSink
     import graft.sources.cdc._
