@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -11,7 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expressions for the per-row hot loops where composed
   * higher-order functions are interpreted and re-evaluated per lambda
   * (SURVEY.md custom-operator preference (b): custom `Expression` beats UDF
-  * beats interpreted composition). Each does one tight JVM pass per row.
+  * beats interpreted composition). Each does one tight JVM pass per row, and
+  * each implements `doGenCode` as a static-helper call so the expression
+  * participates in WHOLE-STAGE CODEGEN — no `CodegenFallback` boundary
+  * splitting the generated pipeline (the top-level object compiles to static
+  * forwarders, so generated Java calls `graft.functions.CatalystExprs.xxx`
+  * directly; primitive returns stay unboxed).
   */
 object CatalystExprs {
 
@@ -31,34 +36,120 @@ object CatalystExprs {
     h
   }
 
+  // ---- static eval helpers (shared by interpreted eval AND generated code) --
+
+  def shinglesJava(input: UTF8String, k: Int): ArrayData = {
+    val words = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val out =
+      if (words.length < k) Array(words.mkString(" "))
+      else {
+        val grams = new Array[String](words.length - k + 1)
+        var i = 0
+        while (i + k <= words.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          grams(i) = sb.toString; i += 1
+        }
+        grams
+      }
+    new GenericArrayData(out.map(UTF8String.fromString(_): Any))
+  }
+
+  def minHashJava(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    val n = arr.numElements()
+    while (s < n) {
+      val base = hashBytes(arr.getUTF8String(s))
+      var i = 0
+      while (i < numHashes) {
+        val h = splitmix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  def simHashJava(input: UTF8String): Long = {
+    val words = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = splitmix64(hashBytes(UTF8String.fromString(words(w))))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def hyperplaneJava(vecData: ArrayData, planes: Array[Array[Double]]): Long = {
+    val vec = vecData.toFloatArray()
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var d = 0.0
+      var i = 0
+      val n = math.min(vec.length, p.length)
+      while (i < n) { d += vec(i) * p(i); i += 1 }
+      if (d > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def nearestCentroidJava(vecData: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val vec = vecData.toFloatArray()
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var d = 0.0
+      var j = 0
+      val n = math.min(vec.length, c.length)
+      while (j < n) { val x = vec(j).toDouble - c(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  def dotJava(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toFloatArray()
+    val b = r.toFloatArray()
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
+  private val Pkg = "graft.functions.CatalystExprs"
+
   /** Lowercased whitespace-split word k-grams in one pass; text shorter than k
     * words yields the whole text as a single shingle (same contract as
     * `TextFunctions.shingles`).
     */
-  case class WordShinglesExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+")
-      val out =
-        if (words.length < k) Array(words.mkString(" "))
-        else {
-          val grams = new Array[String](words.length - k + 1)
-          var i = 0
-          while (i + k <= words.length) {
-            val sb = new java.lang.StringBuilder
-            var j = 0
-            while (j < k) {
-              if (j > 0) sb.append(' ')
-              sb.append(words(i + j)); j += 1
-            }
-            grams(i) = sb.toString; i += 1
-          }
-          grams
-        }
-      new GenericArrayData(out.map(UTF8String.fromString(_): Any))
-    }
+    override def nullSafeEval(input: Any): Any =
+      shinglesJava(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.shinglesJava($c, $k);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -67,26 +158,12 @@ object CatalystExprs {
     * shingle is byte-hashed once, then mixed per hash index — O(S + S·H cheap
     * mixes) instead of H interpreted array traversals with string re-hashing.
     */
-  case class MinHashSigExpr(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      var s = 0
-      val n = arr.numElements()
-      while (s < n) {
-        val base = hashBytes(arr.getUTF8String(s))
-        var i = 0
-        while (i < numHashes) {
-          val h = splitmix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
-          if (h < mins(i)) mins(i) = h
-          i += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
-    }
+    override def nullSafeEval(input: Any): Any =
+      minHashJava(input.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.minHashJava($c, $numHashes);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -96,52 +173,28 @@ object CatalystExprs {
     * `aggregate` lambdas (one full array traversal per bit) with a single
     * O(tokens·64-bitop) JVM loop.
     */
-  case class SimHashExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+")
-      val votes = new Array[Int](64)
-      var w = 0
-      while (w < words.length) {
-        val h = splitmix64(hashBytes(UTF8String.fromString(words(w))))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        w += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simHashJava(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.simHashJava($c);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
   /** Random-hyperplane signature bits in one pass (planes precomputed on the
-    * driver and closed over; serialized with the expression to executors).
+    * driver and closed over; serialized with the expression to executors, and
+    * surfaced to generated code as a codegen reference object).
     */
   case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val vec = input.asInstanceOf[ArrayData].toFloatArray()
-      var sig = 0L
-      var b = 0
-      while (b < planes.length) {
-        val p = planes(b)
-        var d = 0.0
-        var i = 0
-        val n = math.min(vec.length, p.length)
-        while (i < n) { d += vec(i) * p(i); i += 1 }
-        if (d > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(hyperplaneJava(input.asInstanceOf[ArrayData], planes))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.hyperplaneJava($c, $ref);")
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -154,23 +207,13 @@ object CatalystExprs {
     * the pass that runs over the FULL corpus at build time.
     */
   case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(input: Any): Any = {
-      val vec = input.asInstanceOf[ArrayData].toFloatArray()
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < centroids.length) {
-        val c = centroids(i)
-        var d = 0.0
-        var j = 0
-        val n = math.min(vec.length, c.length)
-        while (j < n) { val x = vec(j).toDouble - c(j); d += x * x; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      java.lang.Integer.valueOf(best)
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(nearestCentroidJava(input.asInstanceOf[ArrayData], centroids))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.nearestCentroidJava($c, $ref);")
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -180,18 +223,12 @@ object CatalystExprs {
     * `aggregate(zip_with(a,b,*),0d,+)` (same accumulation order) but one JVM
     * loop instead of 2·dim interpreted lambda calls.
     */
-  case class DotProductExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toFloatArray()
-      val b = r.asInstanceOf[ArrayData].toFloatArray()
-      var d = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-      java.lang.Double.valueOf(d)
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(dotJava(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $Pkg.dotJava($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

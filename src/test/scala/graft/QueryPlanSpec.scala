@@ -28,6 +28,34 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("custom expressions compile under codegen (no interpreted fallback)") {
+    import graft.functions.CatalystExprs
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // spark.sql.codegen.fallback=false turns a Janino failure into an error
+    // instead of a silent interpreted fallback
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(("alpha beta gamma delta", Array(0.5f, -0.25f, 1f)))
+        .toDF("text", "vec")
+      val planes = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+      val out = df.select(
+        CatalystExprs.wordShingles($"text", 2).as("sh"),
+        CatalystExprs.minHashSig(CatalystExprs.wordShingles($"text", 2), 8).as("mh"),
+        CatalystExprs.simHash64($"text").as("sim"),
+        CatalystExprs.nearestCentroid($"vec", planes).as("nc"),
+        CatalystExprs.dotF($"vec", $"vec").as("dot")).head()
+      assert(out.getSeq[String](0).size == 3)
+      assert(out.getSeq[Long](1).size == 8)
+      assert(out.getDouble(4) == (0.5 * 0.5 + 0.25 * 0.25 + 1.0))
+      // hyperplane sig separately (closes over reference objects)
+      val sig = df.select(
+        CatalystExprs.hyperplaneSig($"vec", dim = 3, bits = 16, seed = 7L)).head().getLong(0)
+      assert(sig >= 0L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("t_udf2: multi-arity typed UDF through the lifecycle registry") {
     val rows = QueriesCore.queries("t_udf2")(spark, sf).limit(3).collect()
     rows.foreach { r =>
