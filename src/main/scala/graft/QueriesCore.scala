@@ -109,6 +109,32 @@ object QueriesCore {
           col("__first.l_linenumber"), col("__first.l_shipdate"))
         .orderBy("l_suppkey")
     }),
+    "q_lead_lag" -> ((s, dir) => {
+      // sequential analytics is the LEGITIMATE window use (unlike
+      // first-row-per-key, which q_window does as an aggregate): lag/lead
+      // need the neighbor row, so a per-key ordered window is the minimal
+      // plan — partitioned by user, bounded frame, no global sort
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          row_number().over(w).cast("int").as("rn"))
+        .orderBy("user_id", "event_id")
+    }),
+    "t_json_path" -> ((s, dir) => {
+      // JSON path extraction (absent from the reference's dialect; free in
+      // Spark): events.props is a JSON object {"k": N}
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")
+    }),
     "q_events_daily" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -480,6 +506,18 @@ object QueriesCore {
     "t_udf2" ->
       """SELECT c_custkey, c_custkey * 100 + c_nationkey AS mix
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  CAST(row_number() OVER w AS INT) AS rn
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "t_json_path" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
     "t_timestamp_tz" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP) - to_seconds(((user_id % 24) - 12) * 3600),

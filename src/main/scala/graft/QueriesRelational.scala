@@ -50,6 +50,33 @@ object QueriesRelational {
           col("n"), col("qty"))
         .orderBy("rf", "ls")
     }),
+    "r_cube" -> ((s, dir) => {
+      // CUBE + grouping_id: all four grouping combinations in ONE pass —
+      // Spark expands the cube map-side, still a single hash-aggregate
+      // shuffle (vs four separate scans)
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"))
+        .orderBy("rf", "ls", "gid")
+    }),
+    "r_arrays" -> ((s, dir) => {
+      // array construction + element access (absent in the reference,
+      // SURVEY §2.5): per-customer sorted order list, derived scalars only
+      // (deterministic under sort_array)
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orders"))
+        .select(
+          col("o_custkey"),
+          size(col("orders")).as("n"),
+          element_at(col("orders"), 1).as("first_order"),
+          element_at(col("orders"), -1).as("last_order"))
+        .orderBy("o_custkey")
+    }),
     "r_subquery" -> ((s, dir) => {
       // orders above the average total price: the scalar subquery stays
       // IN-PLAN as a broadcast single-row cross join — one job, no driver
@@ -97,6 +124,17 @@ object QueriesRelational {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "r_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
+    "r_arrays" ->
+      """SELECT o_custkey, CAST(len(l) AS INT) AS n, l[1] AS first_order,
+        |  l[-1] AS last_order
+        |FROM (SELECT o_custkey, list_sort(list(o_orderkey)) AS l
+        |      FROM orders GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
     "r_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
