@@ -73,6 +73,47 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // Watermarked event-time windowed aggregation through the REAL streaming
+    // runtime: the events table flows through a MemoryStream into
+    // EventTimeOps.windowedCounts (1-day windows, 1-hour watermark, append
+    // mode); a sentinel beyond max(ts)+delay closes every real window. The
+    // emitted-once window rows must equal a plain batch GROUP BY — the
+    // exactly-once-per-window contract, DuckDB-checked.
+    "s_windowed_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Row] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val data = Tables.load(s, dir, "events")
+        .select(col("ts").cast(TimestampType), col("event_type"),
+          col("value").cast(DoubleType))
+        .collect()
+      val maxTs = data.map(_.getTimestamp(0).getTime).max
+      val name = "swc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = MemoryStream[Row]
+      val q = graft.streaming.EventTimeOps
+        .windowedCounts(stream.toDF(), watermarkDelay = "1 hour", windowLength = "1 day")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        stream.addData(data.toIndexedSeq)
+        q.processAllAvailable()
+        // sentinel advances the watermark past every real window's end
+        stream.addData(Row(
+          new java.sql.Timestamp(maxTs + 3L * 24 * 3600 * 1000), "zz_sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(
+          col("window_start").cast(DateType).as("day"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // Same protocol, REAL database engine: the identical scenario runs with
     // the Derby-backed JdbcChangeSource (ranged SQL snapshot reads + capture
     // log table) behind the same four-method dialect SPI — proving the DSv2
@@ -255,6 +296,10 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
+    "s_windowed_counts" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "c_incremental_jdbc" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),

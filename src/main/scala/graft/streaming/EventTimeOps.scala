@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators — the Structured-Streaming surface the
+  * reference delegates to Flink's windowing/state APIs, expressed with
+  * watermarks + windowed aggregates and `flatMapGroupsWithState`:
+  *
+  *  - windowed aggregation with a watermark bounds state: closed windows are
+  *    emitted once (append mode) and their state evicted — at 100 TB/day the
+  *    state store holds only open windows per key, not history;
+  *  - sessionization holds ONE small state object per active key
+  *    (`flatMapGroupsWithState` + event-time timeout), the
+  *    `KeyValueGroupedDataset` custom-state path the brief calls for.
+  */
+object EventTimeOps {
+
+  /** Per-(window, event_type) counts/sums over event time with a watermark.
+    * Append mode: a window row is emitted exactly once, when the watermark
+    * passes its end — the streaming form of `q_events_daily`.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour",
+      windowLength: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, events: Int, sum: Double)
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Int,
+      sum_value: Double)
+
+  /** Gap-based sessionization with custom state: one `SessionState` per
+    * ACTIVE user (event-time timeout closes idle sessions and frees the
+    * state), sessions emitted when the gap elapses. State is O(active keys),
+    * independent of stream length — the property that matters at scale.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMillis: Long,
+      watermarkDelay: String = "10 minutes")(implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    def fold(
+        userId: Long,
+        batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      def emit(s: SessionState): Session = Session(
+        userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+        s.events, s.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMillis =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.events + 1, s.sum + e.value))
+            case Some(s) =>
+              closed += emit(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close when the WATERMARK (not wall clock) passes session end + gap
+          state.setTimeoutTimestamp(s.end + gapMillis)
+        }
+        closed.result().iterator
+      }
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+}

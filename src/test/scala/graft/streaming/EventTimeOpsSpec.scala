@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time semantics under a controlled MemoryStream clock: windows close
+  * exactly when the watermark passes, late data is dropped, sessions split on
+  * the gap and close via event-time timeout.
+  */
+class EventTimeOpsSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts emit once per closed window; late rows are dropped") {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Row]
+    val out = EventTimeOps.windowedCounts(
+      stream.toDF(), watermarkDelay = "1 hour", windowLength = "1 day")
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+
+    // day 1 data
+    stream.addData(
+      Row(ts("2024-01-01 10:00:00"), "click", 1.0),
+      Row(ts("2024-01-01 11:00:00"), "click", 2.0),
+      Row(ts("2024-01-01 12:00:00"), "view", 5.0))
+    q.processAllAvailable()
+    // nothing emitted: watermark has not passed day-1's end
+    assert(spark.sql("SELECT * FROM wc").count() == 0)
+
+    // day 2 advances the watermark past day 1 -> day-1 windows close
+    stream.addData(Row(ts("2024-01-02 02:00:00"), "click", 7.0))
+    q.processAllAvailable()
+    stream.addData(Row(ts("2024-01-02 03:00:00"), "view", 1.0)) // nudge batch
+    q.processAllAvailable()
+    val day1 = spark.sql(
+      "SELECT event_type, n, sum_value FROM wc WHERE window_start = '2024-01-01'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(day1 == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+
+    // a LATE day-1 row (behind the watermark) must be dropped, not re-emitted
+    stream.addData(Row(ts("2024-01-01 09:00:00"), "click", 100.0))
+    q.processAllAvailable()
+    val day1After = spark.sql(
+      "SELECT sum(n) FROM wc WHERE window_start = '2024-01-01'").head().getLong(0)
+    assert(day1After == 3L) // unchanged
+    q.stop()
+  }
+
+  test("sessionize: gap splits sessions, event-time timeout closes idle ones") {
+    import EventTimeOps._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val sessions = sessionize(stream.toDS(), gapMillis = 60000, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+
+    // user 1: two bursts separated by > 1 min (same batch) -> first closes
+    stream.addData(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 10:00:30"), 2.0),
+      SessionEvent(1L, ts("2024-01-01 10:05:00"), 3.0))
+    q.processAllAvailable()
+    val afterSplit = spark.sql("SELECT n_events, sum_value FROM sess").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(afterSplit == Set((2, 3.0)))
+
+    // watermark advance (another user far in the future) times out the
+    // open session via EVENT-time, emitting it without new user-1 data
+    stream.addData(SessionEvent(2L, ts("2024-01-01 11:00:00"), 9.0))
+    q.processAllAvailable()
+    stream.addData(SessionEvent(2L, ts("2024-01-01 11:30:00"), 9.0))
+    q.processAllAvailable()
+    val u1 = spark.sql("SELECT n_events, sum_value FROM sess WHERE user_id = 1").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(u1 == Set((2, 3.0), (1, 3.0)))
+    q.stop()
+  }
+}
