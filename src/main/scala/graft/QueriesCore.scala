@@ -81,13 +81,20 @@ object QueriesCore {
         .orderBy("n_name")
     }),
     "q_topk" -> ((s, dir) => {
+      // pre-join partial aggregation: lineitem collapses to one row per order
+      // BEFORE the fact-fact join (~4:1 at TPC-H shape), so the join shuffles
+      // order-grain rows, not line-grain; decimal sums re-associate exactly.
+      // Then per-customer totals join the customer dim and TakeOrdered keeps
+      // the top 10 — no global sort materialization.
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double")
-          .as("total_spend"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("order_total"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("order_total")), 2).cast("double").as("total_spend"))
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spend"))
         .orderBy(col("total_spend").desc, col("c_custkey").asc)
         .limit(10)
     }),
