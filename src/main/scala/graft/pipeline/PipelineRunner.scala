@@ -56,6 +56,39 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
       }
   }
 
+  /** Run to completion of all currently-available data, handling mid-stream
+    * DDL: each `AvailableNow` pass drains data up to the next schema change;
+    * if the source parked at one, the event is routed through the evolution
+    * driver (sink DDL applied at the batch boundary), acknowledged, and the
+    * stream restarts from its checkpoint with the evolved schema — the
+    * automated form of the reference's in-band `SchemaChangeEvent` flow.
+    * Requires `pipeline.checkpoint.dir` so restarts resume rather than
+    * re-snapshot. Returns the number of schema changes applied.
+    */
+  def runHandlingDdl(maxRestarts: Int = 100): Int = {
+    require(pdef.config.contains("checkpoint.dir"),
+      "runHandlingDdl requires pipeline.checkpoint.dir (restarts must resume)")
+    composer.createTables(sourceSchemas)
+    var applied = 0
+    var restarts = 0
+    var continue = true
+    while (continue && restarts <= maxRestarts) {
+      val q = CdcStream.start(readerFor(sourceId).load(), composer, queryName = pdef.name,
+        checkpointDir = pdef.config.get("checkpoint.dir"))
+      q.processAllAvailable()
+      q.stop()
+      ChangeSourceRegistry.pendingDdl(sourceId) match {
+        case Some((_, ddl)) =>
+          composer.processSchemaChange(ddl)
+          ChangeSourceRegistry.ackPendingDdl(sourceId)
+          applied += 1
+          restarts += 1 // resume past the DDL with the evolved schema
+        case None => continue = false
+      }
+    }
+    applied
+  }
+
   /** `scan.newly-added-table.enabled` analog (`MySqlDataSourceOptions.java:239`):
     * a table that appears mid-run is picked up WITHOUT disturbing running
     * streams — the driver routes + creates its sink tables and starts a

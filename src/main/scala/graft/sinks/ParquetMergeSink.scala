@@ -105,6 +105,27 @@ final class ParquetMergeSink(spark: SparkSession, rootDir: String, buckets: Int 
     writeVersion(sinkTableId, next, currentVersion(sinkTableId).map(_ + 1).getOrElse(0))
   }
 
+  // ---- batch-id transactionality: a `_BATCH` pointer next to `_VERSION` ----
+
+  private def batchFile(t: TableId) = dir(t).resolve("_BATCH")
+
+  override def lastCommittedBatch(t: TableId): Option[Long] = {
+    val f = batchFile(t)
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f)).trim.toLong)
+    else None
+  }
+
+  override def recordBatchCommit(t: TableId, batchId: Long): Unit = {
+    java.nio.file.Files.createDirectories(dir(t))
+    val tmp = java.nio.file.Files.write(
+      dir(t).resolve("_BATCH.tmp"), batchId.toString.getBytes)
+    java.nio.file.Files.move(
+      tmp, batchFile(t),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   override def schemaOf(sinkTableId: TableId): Option[TableSchema] =
     schemas.latest(sinkTableId)
 }

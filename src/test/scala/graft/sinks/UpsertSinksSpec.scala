@@ -127,6 +127,22 @@ class UpsertSinksSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "app_users", "v0")))
   }
 
+  test("ParquetMergeSink skips replayed micro-batches via the _BATCH pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-replay").toString
+    val sink = new ParquetMergeSink(spark, dir, buckets = 2)
+    val t = create(sink)
+    sink.writeBatch(t, Seq((1L, "ann", 10)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 3L)
+    assert(sink.lastCommittedBatch(t).contains(3L))
+    // replay of batch 3 with different data: no new version written
+    sink.writeBatch(t, Seq((1L, "ann", 999)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 3L)
+    assert(sink.read(t).head().getInt(2) == 10)
+    sink.writeBatch(t, Seq((1L, "ann", 11)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 4L)
+    assert(sink.read(t).head().getInt(2) == 11)
+  }
+
   test("JdbcUpsertSink: key-only table (no non-PK columns) upserts without error") {
     val db = s"memory:graftko${System.nanoTime()};create=true"
     val sink = new JdbcUpsertSink(s"jdbc:derby:$db")

@@ -117,6 +117,54 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally { ChangeSourceRegistry.remove("nat-a"); ChangeSourceRegistry.remove("nat-b") }
   }
 
+  test("runHandlingDdl: in-band DDL applied at the batch boundary, stream resumes evolved") {
+    import graft.sources.cdc._
+    import org.apache.spark.sql.types._
+    val t = TableId.parse("app.ddlflow")
+    val schema = TableSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val src = new ScriptedChangeSource(t, schema,
+      (1L to 3L).map(i => Map[String, Any]("id" -> i, "v" -> s"v$i")))
+    ChangeSourceRegistry.register("ddlflow", src)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("ddlflow-ckpt").toString
+      val yaml =
+        s"""source:
+           |  type: cdc
+           |  sourceId: ddlflow
+           |  chunk.size: 10
+           |sink:
+           |  type: values
+           |pipeline:
+           |  checkpoint.dir: $ckpt
+           |""".stripMargin
+      val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+      // drain 1: plain snapshot, no DDL in flight
+      assert(runner.runHandlingDdl() == 0)
+      val sink = runner.sink.asInstanceOf[MemoryDatabase]
+      assert(sink.schemaOf(t).get.columnNames == Seq("id", "v"))
+
+      // while the pipeline is between drains, the log receives an old-shape
+      // update, the ALTER, and a new-shape update
+      src.append(DataChangeEvent.update(t, Map("id" -> 1L), Map("id" -> 1L, "v" -> "one")))
+      src.appendDdl(AddColumnEvent(t,
+        Seq(AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()))))
+      src.append(DataChangeEvent.update(t,
+        Map("id" -> 2L), Map("id" -> 2L, "v" -> "two", "score" -> 9)))
+
+      // drain 2 resumes from the checkpoint: emits the pre-DDL update, parks
+      // at the ALTER, applies it through the evolution driver, restarts
+      // evolved, and emits the post-DDL row — one loop call
+      assert(runner.runHandlingDdl() == 1)
+      assert(sink.schemaOf(t).get.columnNames == Seq("id", "v", "score"))
+      val rows = sink.rowsOf(t).map(_.mkString(",")).sorted
+      assert(rows == Seq("1,one,null", "2,two,9", "3,v3,null"))
+    } finally ChangeSourceRegistry.remove("ddlflow")
+  }
+
   test("full stack: DSv2 CDC source -> runner -> composer -> parquet MERGE sink") {
     import graft.sinks.ParquetMergeSink
     import graft.sources.cdc._
