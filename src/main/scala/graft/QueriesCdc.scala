@@ -114,6 +114,48 @@ object QueriesCdc {
         .orderBy("day", "event_type")
     }),
 
+    // Custom-state streaming (flatMapGroupsWithState + event-time timeout)
+    // under the oracle gate: gap-based sessions computed by the stateful
+    // operator must equal the batch gaps-and-islands SQL. A far-future
+    // sentinel advances the watermark so every session closes by TIMEOUT —
+    // the state-eviction path, not just the in-batch split path.
+    "s_sessionize" -> ((s, dir) => {
+      import graft.streaming.EventTimeOps
+      import EventTimeOps.SessionEvent
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val data = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
+          col("value").cast(DoubleType).as("value"))
+        .as[SessionEvent].collect()
+      val maxTs = data.map(_.ts.getTime).max
+      val name = "ssn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = MemoryStream[SessionEvent]
+      val q = EventTimeOps
+        .sessionize(stream.toDS(), gapMillis = 6L * 3600 * 1000, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        stream.addData(data.toIndexedSeq)
+        q.processAllAvailable()
+        val sentinelTs = maxTs + 30L * 24 * 3600 * 1000
+        stream.addData(SessionEvent(999999L, new java.sql.Timestamp(sentinelTs), 0.0))
+        q.processAllAvailable()
+        stream.addData(SessionEvent(999999L, new java.sql.Timestamp(sentinelTs + 86400000L), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("user_id") < 50)
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // Same protocol, REAL database engine: the identical scenario runs with
     // the Derby-backed JdbcChangeSource (ranged SQL snapshot reads + capture
     // log table) behind the same four-method dialect SPI — proving the DSv2
@@ -296,6 +338,25 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
+    "s_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 50),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  CAST(count(*) AS INT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     "s_windowed_counts" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
