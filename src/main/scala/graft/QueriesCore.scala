@@ -116,6 +116,41 @@ object QueriesCore {
           col("__first.l_linenumber"), col("__first.l_shipdate"))
         .orderBy("l_suppkey")
     }),
+    "q5_local_supplier" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table join — two tiny dims broadcast, the
+      // customer⋈orders⋈lineitem⋈supplier chain shuffles on its keys, the
+      // c_nationkey = s_nationkey residual keeps only local-supplier volume
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation"); val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val li = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      c.join(broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))),
+          c("c_nationkey") === col("n_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q10_returned" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue per customer, top 20
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "q_lead_lag" -> ((s, dir) => {
       // sequential analytics is the LEGITIMATE window use (unlike
       // first-row-per-key, which q_window does as an aggregate): lag/lead
@@ -513,6 +548,33 @@ object QueriesCore {
     "t_udf2" ->
       """SELECT c_custkey, c_custkey * 100 + c_nationkey AS mix
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_lead_lag" ->
       """SELECT user_id, event_id, value,
         |  lag(value) OVER w AS prev_value,
