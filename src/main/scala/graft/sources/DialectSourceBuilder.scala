@@ -104,6 +104,27 @@ final case class CdcSourceBuilder(
     val reader = spark.readStream.format("graft.sources.cdc.GraftCdcProvider")
     build().foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
   }
+
+  /** Connect this builder to a LIVE database through
+    * [[graft.sources.cdc.JdbcChangeSource]]: creates the capture tables,
+    * registers the source, and returns the builder (sourceId bound) plus the
+    * source handle — `load(spark)` then streams the real incremental-snapshot
+    * protocol against SQL state. This is the end-to-end path a live dialect
+    * deployment takes (Derby-tested; a binlog deployment substitutes a
+    * Debezium-backed ChangeSource behind the same registry id).
+    */
+  def connectJdbc(
+      jdbcUrl: String,
+      schema: graft.core.TableSchema): (CdcSourceBuilder, graft.sources.cdc.JdbcChangeSource) = {
+    require(tableList.size == 1, "the jdbc path streams a single table per source")
+    val tid = graft.core.TableId.parse(tableList.head)
+    val src = new graft.sources.cdc.JdbcChangeSource(jdbcUrl, tid, schema)
+    src.initTables()
+    val id = sourceId.getOrElse(
+      s"jdbc-${dialect.name}-${tid.identifier}-${java.util.UUID.randomUUID()}")
+    graft.sources.cdc.ChangeSourceRegistry.register(id, src)
+    (copy(sourceId = Some(id)), src)
+  }
 }
 
 object CdcSourceBuilder {

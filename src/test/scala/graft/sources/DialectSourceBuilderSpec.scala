@@ -83,6 +83,39 @@ class DialectSourceBuilderSpec extends AnyFunSuite {
     } finally ChangeSourceRegistry.remove("builder-load")
   }
 
+  test("connectJdbc: builder -> live Derby -> DSv2 stream end-to-end") {
+    import graft.core._
+    import org.apache.spark.sql.types._
+    val spark = graft.SparkTestBase.spark
+    val schema = TableSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val db = java.nio.file.Files.createTempDirectory("derby-builder").resolve("db")
+    val (builder, src) = CdcSourceBuilder.postgres // ANSI quoting path
+      .tableList("app.bldr")
+      .splitSize(4)
+      .connectJdbc(s"jdbc:derby:$db;create=true", schema)
+    try {
+      val t = TableId.parse("app.bldr")
+      (1L to 10L).foreach(i =>
+        src.applyEvent(DataChangeEvent.insert(t, Map("id" -> i, "v" -> s"v$i"))))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = builder.load(spark).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= b.collect(); ()
+        }
+        .start()
+      q.processAllAvailable()
+      src.applyEvent(DataChangeEvent.update(t, Map("id" -> 1L), Map("id" -> 1L, "v" -> "x")))
+      q.processAllAvailable()
+      q.stop()
+      assert(buf.count(_.getString(1) == "INSERT") == 10)
+      assert(buf.exists(r => r.getString(1) == "UPDATE" && r.getStruct(3).getString(1) == "x"))
+    } finally builder.sourceId.foreach(graft.sources.cdc.ChangeSourceRegistry.remove)
+  }
+
   test("startup options mirror StartupOptions.java factory surface") {
     assert(StartupOptions.initial.mode == "initial")
     assert(StartupOptions.snapshot.mode == "snapshot")
