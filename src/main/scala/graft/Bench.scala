@@ -14,7 +14,8 @@ object Bench {
     * window, LSH dedup, ANN — the B1-B4 envelope of BASELINE.md.
     */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_join", "q_topk", "q_window", "q_events_daily",
+    "q1_agg", "q3_join", "q5_local_supplier", "q10_returned",
+    "q_topk", "q_window", "q_lead_lag", "q_events_daily",
     "t_projection", "t_arith", "t_temporal",
     "c_upsert", "c_chunks",
     "d_exact_fingerprint", "d_minhash_lsh", "d_embedding_dup",

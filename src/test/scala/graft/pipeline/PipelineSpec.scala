@@ -200,6 +200,29 @@ class PipelineComposerSpec extends AnyFunSuite {
     assert(rows == Seq("1,a,null", "2,null,3.5"))
   }
 
+  test("TIME column end-to-end: DDL -> evolution -> envelope -> sink as millis-of-day") {
+    import graft.sources.mysql.MySqlDdlParser
+    import org.apache.spark.sql.types._
+    val t = TableId.parse("app.shifts")
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    // declared TIME(3) maps to INT millis-of-day (SURVEY §1.3 — no native
+    // Spark TIME type; Spark's own JDBC source does the same)
+    val create = MySqlDdlParser.parse(
+      "CREATE TABLE app.shifts (id BIGINT NOT NULL PRIMARY KEY, start_t TIME(3))").head
+      .asInstanceOf[CreateTableEvent]
+    assert(create.schema.struct("start_t").dataType == IntegerType)
+    composer.createTables(Map(t -> create.schema))
+
+    val nineThirty = (9 * 3600 + 30 * 60) * 1000 // 09:30:00.000
+    composer.processBatch(t, ValuesSource.toEnvelope(spark, create.schema, Seq(
+      DataChangeEvent.insert(t, Map("id" -> 1L, "start_t" -> nineThirty)))))
+    assert(sink.rowsOf(t) == Seq(Seq(1L, nineThirty)))
+  }
+
   test("processBatch over many micro-batches leaves no cached plans behind") {
     val t = TableId.parse("db.leak")
     val pdef = PipelineDef(
