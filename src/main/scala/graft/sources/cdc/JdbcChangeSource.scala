@@ -42,9 +42,19 @@ final class JdbcChangeSource(
     case other => throw new IllegalArgumentException(s"unsupported jdbc source type $other")
   }
 
+  /** single shared WRITER connection: offset assignment (MAX+1 inside the
+    * transaction) needs single-writer serialization per JVM. */
   @transient private lazy val conn: Connection = DriverManager.getConnection(url)
 
   private def withConn[T](f: Connection => T): T = synchronized(f(conn))
+
+  /** READS open a fresh connection per call so concurrent chunk readers (32
+    * partitions of one snapshot) never serialize on a shared monitor — the
+    * connection-per-task shape a pooled deployment uses. */
+  private def withReadConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
 
   private def jdbcType(dt: org.apache.spark.sql.types.DataType): Int = dt match {
     case org.apache.spark.sql.types.LongType => java.sql.Types.BIGINT
@@ -136,14 +146,14 @@ final class JdbcChangeSource(
     rs.next(); rs.getLong(1) + 1
   }
 
-  override def currentOffset: Long = withConn { c =>
+  override def currentOffset: Long = withReadConn { c =>
     val rs = c.createStatement().executeQuery(
       s"SELECT COALESCE(MAX(LOG_OFFSET), 0) FROM $logTable")
     rs.next(); rs.getLong(1)
   }
 
   override def snapshotRead(
-      lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] = withConn { c =>
+      lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] = withReadConn { c =>
     val preds = lo.map(v => s"${sqlName(pk)} >= $v").toSeq ++
       hiExclusive.map(v => s"${sqlName(pk)} < $v")
     val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
@@ -153,7 +163,7 @@ final class JdbcChangeSource(
     buf.toSeq
   }
 
-  override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] = withConn { c =>
+  override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] = withReadConn { c =>
     val rs = c.createStatement().executeQuery(
       s"""SELECT * FROM $logTable
          |WHERE LOG_OFFSET > $fromExclusive AND LOG_OFFSET <= $toInclusive
@@ -181,7 +191,7 @@ final class JdbcChangeSource(
       })
     }.toMap
 
-  override def keyStats: (Option[Long], Option[Long], Long) = withConn { c =>
+  override def keyStats: (Option[Long], Option[Long], Long) = withReadConn { c =>
     val rs = c.createStatement().executeQuery(
       s"SELECT MIN(${sqlName(pk)}), MAX(${sqlName(pk)}), COUNT(*) FROM $dataTable")
     rs.next()
@@ -190,7 +200,7 @@ final class JdbcChangeSource(
     (if (mnNull) None else Some(mn), if (mxNull) None else Some(mx), rs.getLong(3))
   }
 
-  override def offsetAtTimestamp(ts: Long): Long = withConn { c =>
+  override def offsetAtTimestamp(ts: Long): Long = withReadConn { c =>
     val rs = c.createStatement().executeQuery(
       s"SELECT MIN(LOG_OFFSET) FROM $logTable WHERE TS_MS >= $ts")
     rs.next()

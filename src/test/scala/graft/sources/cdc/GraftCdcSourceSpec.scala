@@ -233,6 +233,30 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     ChangeSourceRegistry.remove(id)
   }
 
+  test("sparse keys take the uneven chunk path: probe-driven splits, exactly-once") {
+    // 50 keys spread over 500k: distribution factor (max-min+1)/count ≈ 10k
+    // >> upper bound 1000 -> splitUnevenlySizedChunks with per-chunk MAX
+    // probes (the JdbcSourceChunkSplitter uneven path), not arithmetic steps
+    val id = "cdc-sparse"
+    val t = TableId.parse("db.t")
+    val keys = (0 until 50).map(i => i.toLong * 10000L)
+    val src = new ScriptedChangeSource(t, schema, keys.map(k => row(k, s"v$k")))
+    ChangeSourceRegistry.register(id, src)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", id).option("chunk.size", "8").option("chunks.per-batch", "3")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = buf.map(_.getStruct(3).getLong(0)).sorted
+    assert(emitted == keys, s"uneven-path snapshot coverage wrong: $emitted")
+    assert(emitted.distinct.size == keys.size) // exactly once
+    ChangeSourceRegistry.remove(id)
+  }
+
   test("mid-snapshot resume replays the checkpointed chunk plan and log base") {
     // Run 1 stops after ONE chunk batch (Trigger.Once). The table then
     // mutates: an insert at key 100 changes keyStats so a RECOMPUTED plan
