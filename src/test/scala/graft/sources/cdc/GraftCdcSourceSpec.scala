@@ -233,6 +233,34 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     ChangeSourceRegistry.remove(id)
   }
 
+  test("chunk partition re-read is deterministic (Spark retry idempotence)") {
+    // SURVEY §7 hard-list (a): Spark may re-run a partition after failure —
+    // the chunk reader (LW/select/HW/backfill) must produce identical rows
+    // for identical source state
+    val id = "cdc-retry"
+    val t = TableId.parse("db.t")
+    val src = new ScriptedChangeSource(t, schema, (1L to 30L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+    src.append(DataChangeEvent.update(t, row(3L, "v3"), row(3L, "x3")))
+    try {
+      val factory = new CdcReaderFactory(
+        graft.operators.Envelope.envelopeSchema(schema.struct), schema.struct)
+      def readAll(p: org.apache.spark.sql.connector.read.InputPartition): Seq[String] = {
+        val r = factory.createReader(p)
+        val buf = Seq.newBuilder[String]
+        while (r.next()) buf += r.get().copy().toString
+        buf.result()
+      }
+      val part = SnapshotChunkPartition(id, 0, Some(1L), Some(16L), backfillSkip = false)
+      val first = readAll(part)
+      val second = readAll(part) // the "retry"
+      assert(first == second)
+      assert(first.size == 15) // [1, 16)
+      val logPart = LogRangePartition(id, 0L, src.currentOffset, Array((Some(1L), Some(16L))))
+      assert(readAll(logPart) == readAll(logPart))
+    } finally ChangeSourceRegistry.remove(id)
+  }
+
   test("sparse keys take the uneven chunk path: probe-driven splits, exactly-once") {
     // 50 keys spread over 500k: distribution factor (max-min+1)/count ≈ 10k
     // >> upper bound 1000 -> splitUnevenlySizedChunks with per-chunk MAX
