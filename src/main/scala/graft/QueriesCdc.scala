@@ -114,6 +114,38 @@ object QueriesCdc {
         .orderBy("day", "event_type")
     }),
 
+    // Exact dedup as a STREAMING operator: every event is delivered twice
+    // (at-least-once upstream), dropDuplicatesWithinWatermark emits the first
+    // occurrence and drops the replay — dedup state lives only inside the
+    // watermark horizon, so it is bounded at 100 TB/day. Output must equal
+    // the plain distinct event set.
+    "s_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Row] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val data = Tables.load(s, dir, "events")
+        .select(col("ts").cast(TimestampType), col("event_id"), col("event_type"))
+        .collect()
+      val name = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = MemoryStream[Row]
+      val q = stream.toDF()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        stream.addData(data.toIndexedSeq)
+        q.processAllAvailable()
+        stream.addData(data.toIndexedSeq) // the at-least-once replay
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("event_id"), col("event_type")).orderBy("event_id")
+    }),
+
     // Custom-state streaming (flatMapGroupsWithState + event-time timeout)
     // under the oracle gate: gap-based sessions computed by the stateful
     // operator must equal the batch gaps-and-islands SQL. A far-future
@@ -338,6 +370,8 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
+    "s_stream_dedup" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "s_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 50),
