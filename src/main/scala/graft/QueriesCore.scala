@@ -350,6 +350,30 @@ object QueriesCore {
           col("m.after.value").as("after_value"))
         .orderBy("seq")
     }),
+    "t_kafka_canal" -> ((s, dir) => {
+      // canal-json wire contract round-trip (CanalJsonSerializationSchema):
+      // REPLACE folds to INSERT, images ride single-element arrays
+      import graft.sinks.KafkaJsonFormats
+      import org.apache.spark.sql.types._
+      val env = eventsChangelog(s, dir)
+      val ser = env.select(col(Envelope.SeqCol).as("seq"),
+        KafkaJsonFormats.canalValue.as("value"))
+      val payloadT = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampNTZType)))
+      val msgT = StructType(Seq(
+        StructField("old", ArrayType(payloadT)), StructField("data", ArrayType(payloadT)),
+        StructField("type", StringType),
+        StructField("database", StringType), StructField("table", StringType)))
+      ser.select(col("seq"), from_json(col("value"), msgT).as("m"))
+        .select(
+          col("seq"), col("m.type").as("op_type"),
+          col("m.database").as("db"), col("m.table").as("tbl"),
+          element_at(col("m.old"), 1).getField("user_id").as("old_uid"),
+          element_at(col("m.data"), 1).getField("user_id").as("data_uid"),
+          element_at(col("m.data"), 1).getField("value").as("data_value"))
+        .orderBy("seq")
+    }),
     "t_udf2" -> ((s, dir) => {
       // multi-arity typed eval through the UserDefinedFunction lifecycle
       // registry (reference UserDefinedFunction.java:27-48 accepts arbitrary
@@ -548,6 +572,14 @@ object QueriesCore {
     "t_udf2" ->
       """SELECT c_custkey, c_custkey * 100 + c_nationkey AS mix
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_kafka_canal" -> (evCte +
+      """SELECT event_id AS seq,
+        |  CASE op WHEN 'REPLACE' THEN 'INSERT' ELSE op END AS op_type,
+        |  'app' AS db, 'events' AS tbl,
+        |  CASE WHEN op <> 'INSERT' THEN user_id END AS old_uid,
+        |  CASE WHEN op <> 'DELETE' THEN user_id END AS data_uid,
+        |  CASE WHEN op <> 'DELETE' THEN value END AS data_value
+        |FROM ev ORDER BY seq""".stripMargin),
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)

@@ -42,20 +42,26 @@ object KafkaJsonFormats {
   def debeziumJson(env: DataFrame): DataFrame =
     env.select(debeziumValue.as("value"), col(Envelope.TableIdCol).as("topic"))
 
-  /** canal-json: `{"old":[…],"data":[…],"type":"INSERT|UPDATE|DELETE","database":…,"table":…}`. */
-  def canalJson(env: DataFrame): DataFrame = {
+  /** canal-json: `{"old":[…],"data":[…],"type":"INSERT|UPDATE|DELETE","database":…,"table":…}`
+    * — REPLACE maps to INSERT; absent images are explicit nulls (same wire
+    * discipline as debezium-json above).
+    */
+  def canalValue: Column = {
     val opType = when(col(Envelope.OpCol) === "REPLACE", "INSERT").otherwise(col(Envelope.OpCol))
-    env.select(
-      to_json(struct(
+    to_json(
+      struct(
         when(col(Envelope.BeforeCol).isNotNull, array(col(Envelope.BeforeCol)))
           .otherwise(lit(null)).as("old"),
         when(col(Envelope.AfterCol).isNotNull, array(col(Envelope.AfterCol)))
           .otherwise(lit(null)).as("data"),
         opType.as("type"),
         dbName.as("database"),
-        tableName.as("table"))).as("value"),
-      col(Envelope.TableIdCol).as("topic"))
+        tableName.as("table")),
+      java.util.Map.of("ignoreNullFields", "false"))
   }
+
+  def canalJson(env: DataFrame): DataFrame =
+    env.select(canalValue.as("value"), col(Envelope.TableIdCol).as("topic"))
 
   /** Kafka record key + partition strategy
     * (`sink/PartitionStrategy.java`: ALL_TO_ZERO | HASH_BY_KEY).
