@@ -86,6 +86,39 @@ class JdbcChangeSourceSpec extends AnyFunSuite {
     assert(src.offsetAtTimestamp(9999) == 3)
   }
 
+  test("startup modes against Derby: snapshot bounded, latest skips, timestamp seeks") {
+    val t = TableId.parse("db.jdbcmodes")
+    val src = newSource("jdbcmodes")
+    src.applyEvent(DataChangeEvent.insert(t, row(1L, "a")), tsMillis = 1000)
+    src.applyEvent(DataChangeEvent.update(t, row(1L, "a"), row(1L, "b")), tsMillis = 2000)
+    val id = "jdbc-modes"
+    ChangeSourceRegistry.register(id, src)
+    try {
+      def run(opts: Map[String, String]): Seq[org.apache.spark.sql.Row] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var reader = spark.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", id)
+        opts.foreach { case (k, v) => reader = reader.option(k, v) }
+        val q = reader.load().writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+        q.processAllAvailable(); q.stop()
+        buf.toSeq
+      }
+      // snapshot: bounded, current state only (1 row, post-update value)
+      val snap = run(Map("startup.mode" -> "snapshot"))
+      assert(snap.size == 1 && snap.head.getStruct(3).getString(1) == "b")
+      // latest: history skipped, nothing emitted
+      assert(run(Map("startup.mode" -> "latest")).isEmpty)
+      // earliest: full history replayed as events
+      val earliest = run(Map("startup.mode" -> "earliest"))
+      assert(earliest.map(_.getString(1)) == Seq("INSERT", "UPDATE"))
+      // timestamp: seek to the first offset at/after ts=2000
+      val fromTs = run(Map("startup.mode" -> "timestamp", "startup.timestamp" -> "2000"))
+      assert(fromTs.map(_.getString(1)) == Seq("UPDATE"))
+    } finally ChangeSourceRegistry.remove(id)
+  }
+
   test("PK-changing UPDATE deletes the old key in the SQL table") {
     val t = TableId.parse("db.jdbcpk")
     val src = newSource("jdbcpk")
