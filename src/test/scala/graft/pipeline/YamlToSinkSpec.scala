@@ -44,6 +44,53 @@ class YamlToSinkSpec extends AnyFunSuite {
     (composer, sink)
   }
 
+  test("hetero-schema transform: wildcard + metadata-derived computed cols + filter-on-computed") {
+    // mirrors FlinkPipelineTransformITCase.testHeteroSchemaTransform: two
+    // differently-shaped tables, per-table rules with wildcard expansion,
+    // a computed column built from a METADATA column, a filter that
+    // references a COMPUTED column, merged into one routed sink table
+    val yaml =
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |route:
+        |  - source-table: app.\.*
+        |    sink-table: ods.merged
+        |transform:
+        |  - source-table: app.t1
+        |    projection: "*, __table_name__ AS src, id * 2 AS twice"
+        |    filter: "twice >= 4"
+        |  - source-table: app.t2
+        |    projection: "*, __table_name__ AS src, id * 10 AS twice"
+        |pipeline:
+        |  name: hetero
+        |""".stripMargin
+    val pdef = YamlPipelineParser.parse(yaml)
+    val sink = DataSinks.forDef(spark, pdef.sink).asInstanceOf[graft.sinks.MemoryDatabase]
+    val composer = new PipelineComposer(pdef, sink)
+    import org.apache.spark.sql.types._
+    val t1 = TableId.of("app", "t1"); val t2 = TableId.of("app", "t2")
+    val s1 = TableSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", StringType))), primaryKeys = Seq("id"))
+    val s2 = TableSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("b", DoubleType))), primaryKeys = Seq("id"))
+    composer.createTables(Map(t1 -> s1, t2 -> s2))
+    val merged = sink.schemaOf(TableId.parse("ods.merged")).get
+    assert(merged.columnNames == Seq("id", "a", "src", "twice", "b"))
+
+    composer.processBatch(t1, Envelope.fromSnapshot(
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "a"), t1, col("id")))
+    composer.processBatch(t2, Envelope.fromSnapshot(
+      Seq((10L, 0.5)).toDF("id", "b"), t2, col("id")))
+
+    // t1 id=1 fails the filter (twice=2 < 4); metadata column resolves per table
+    val rows = sink.rowsOf(TableId.parse("ods.merged")).map(_.mkString(",")).sorted
+    assert(rows == Seq("10,null,t2,100,0.5", "2,y,t1,4,null", "3,z,t1,6,null"))
+  }
+
   test("yaml 'parquet' sink: composed pipeline writes through ParquetMergeSink") {
     val dir = java.nio.file.Files.createTempDirectory("yamlsink").toString
     val (_, sink) = runPipeline(
