@@ -35,7 +35,17 @@ object UdfRegistry {
     * (`UserDefinedFunction.java:27-48`).
     */
   def register(spark: SparkSession, f: UserDefinedFunction): Unit = {
-    @transient lazy val opened = { f.open(); sys.addShutdownHook(f.close()); f }
+    @transient lazy val opened0 = { f.open(); sys.addShutdownHook(f.close()); f }
+    // defensive coercion for the declared-StringType default: an eval that
+    // returns a non-String (the reference's Object-typed eval) must reach
+    // Catalyst as a String, not a ClassCastException; nulls stay SQL NULL
+    val stringify = f.returnType == StringType
+    object opened {
+      def eval(args: Any*): Any = {
+        val v = opened0.eval(args: _*)
+        if (stringify && v != null && !v.isInstanceOf[String]) String.valueOf(v) else v
+      }
+    }
     f.arity match {
       case 0 => spark.udf.register(f.name,
         new UDF0[Any] { def call(): Any = opened.eval() }, f.returnType)

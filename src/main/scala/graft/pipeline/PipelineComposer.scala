@@ -74,9 +74,11 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
   /** Process one batch of envelope data for one source table: transform →
     * route (fanout) → coerce to each sink table's evolved schema → materialize
     * upserts+deletes → write. `batchId` (when ≥ 0, from `foreachBatch`) lets
-    * batch-id-tracking sinks skip replayed micro-batches.
+    * batch-id-tracking sinks skip replayed micro-batches; `runId` (the
+    * checkpoint identity) scopes the skip to THIS logical run.
     */
-  def processBatch(tableId: TableId, env: DataFrame, batchId: Long = -1L): Unit = {
+  def processBatch(
+      tableId: TableId, env: DataFrame, batchId: Long = -1L, runId: String = ""): Unit = {
     val transformed = ruleFor(tableId) match {
       case Some(rule) => EnvelopeTransform(env, rule, tableId)
       case None => env
@@ -91,7 +93,7 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
         if (sinkSchema.primaryKeys.nonEmpty) sinkSchema.primaryKeys
         else sinkSchema.struct.fieldNames.toSeq
       Upsert.withMaterialized(coerced, keys) { (upserts, deletes) =>
-        sink.writeBatch(sinkT, upserts, deletes, batchId)
+        sink.writeBatch(sinkT, upserts, deletes, batchId, runId)
       }
     }
   }

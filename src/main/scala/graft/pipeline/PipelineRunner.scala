@@ -86,6 +86,12 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
         case None => continue = false
       }
     }
+    // a truncated drain must not look like a completed one: data is still
+    // parked behind an unprocessed schema change
+    if (continue && ChangeSourceRegistry.pendingDdl(sourceId).isDefined)
+      throw new IllegalStateException(
+        s"runHandlingDdl exhausted $maxRestarts restarts with a schema change still pending " +
+          s"(applied $applied); raise maxRestarts or inspect the DDL stream")
     applied
   }
 

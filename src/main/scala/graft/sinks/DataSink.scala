@@ -23,23 +23,35 @@ trait DataSink extends MetadataApplier {
     * 2PC; a micro-batch engine gets it from idempotent-or-skipped redelivery).
     * The commit record is written AFTER the data lands: a crash between the
     * two re-runs the batch, which the PK-upsert write shape absorbs.
+    *
+    * `runId` identifies the logical stream run (the checkpoint location): a
+    * pipeline re-pointed at a FRESH checkpoint restarts Spark's batch ids at
+    * 0, and a stale commit record from the previous run must not silently
+    * swallow the first batches — a different runId disables the comparison
+    * and the first commit overwrites the record. Untracked writes
+    * (batchId < 0) never touch the commit record.
     */
   def writeBatch(
       sinkTableId: TableId,
       upserts: DataFrame,
       deletedKeys: DataFrame,
-      batchId: Long): Unit =
-    if (batchId < 0 || lastCommittedBatch(sinkTableId).forall(_ < batchId)) {
+      batchId: Long,
+      runId: String = ""): Unit =
+    if (batchId < 0) {
       writeBatch(sinkTableId, upserts, deletedKeys)
-      recordBatchCommit(sinkTableId, batchId)
+    } else if (lastCommittedBatch(sinkTableId, runId).forall(_ < batchId)) {
+      writeBatch(sinkTableId, upserts, deletedKeys)
+      recordBatchCommit(sinkTableId, batchId, runId)
     }
 
-  /** Highest batch id durably committed for the table, if the sink tracks
-    * them. Default: none tracked (idempotent sinks don't need skipping). */
-  def lastCommittedBatch(sinkTableId: TableId): Option[Long] = None
+  /** Highest batch id durably committed for the table BY THIS RUN, if the
+    * sink tracks them. A record from a different runId must yield None.
+    * Default: none tracked (idempotent sinks don't need skipping). */
+  def lastCommittedBatch(sinkTableId: TableId, runId: String): Option[Long] = None
 
-  /** Durably record that `batchId` was fully written. Default: no-op. */
-  def recordBatchCommit(sinkTableId: TableId, batchId: Long): Unit = ()
+  /** Durably record that `batchId` of run `runId` was fully written
+    * (overwriting any previous run's record). Default: no-op. */
+  def recordBatchCommit(sinkTableId: TableId, batchId: Long, runId: String): Unit = ()
 
   def schemaOf(sinkTableId: TableId): Option[TableSchema]
 }

@@ -197,41 +197,50 @@ final class JdbcUpsertSink(
 
   // -------------------------------------------------- batch-id transactionality
 
-  /** Commit log `GRAFT_COMMITS(table_name, batch_id)` in the target database:
-    * replayed micro-batches (query restart re-delivers the last uncommitted
-    * batch) are skipped once their id is recorded — the non-idempotent-sink
-    * half of exactly-once that `foreachBatch` alone does not give.
+  /** Commit log `GRAFT_COMMITS(table_name, run_id, batch_id)` in the target
+    * database: replayed micro-batches (query restart re-delivers the last
+    * uncommitted batch) are skipped once their id is recorded — the
+    * non-idempotent-sink half of exactly-once that `foreachBatch` alone does
+    * not give. The run id (checkpoint identity) guards against a STALE record
+    * swallowing the first batches of a fresh run. Created once per sink
+    * instance; the create races only with itself (swallowed), real failures
+    * surface on the first SELECT.
     */
-  private def ensureCommitLog(conn: Connection): Unit =
-    try {
-      conn.createStatement().executeUpdate(
-        "CREATE TABLE GRAFT_COMMITS (TABLE_NAME VARCHAR(256) NOT NULL PRIMARY KEY, " +
-          "BATCH_ID BIGINT NOT NULL)")
-      ()
-    } catch { case _: java.sql.SQLException => () } // exists (or dialect quirk)
-
-  override def lastCommittedBatch(sinkTableId: TableId): Option[Long] = {
+  @transient private lazy val commitLogReady: Boolean = {
     val conn = connect()
     try {
-      ensureCommitLog(conn)
-      val ps = conn.prepareStatement("SELECT BATCH_ID FROM GRAFT_COMMITS WHERE TABLE_NAME = ?")
-      ps.setString(1, tableName(sinkTableId))
-      val rs = ps.executeQuery()
-      if (rs.next()) Some(rs.getLong(1)) else None
+      try {
+        conn.createStatement().executeUpdate(
+          "CREATE TABLE GRAFT_COMMITS (TABLE_NAME VARCHAR(256) NOT NULL PRIMARY KEY, " +
+            "RUN_ID VARCHAR(1024) NOT NULL, BATCH_ID BIGINT NOT NULL)")
+      } catch { case _: java.sql.SQLException => () } // exists
+      true
     } finally conn.close()
   }
 
-  override def recordBatchCommit(sinkTableId: TableId, batchId: Long): Unit = {
+  override def lastCommittedBatch(sinkTableId: TableId, runId: String): Option[Long] = {
+    require(commitLogReady)
     val conn = connect()
     try {
-      ensureCommitLog(conn)
+      val ps = conn.prepareStatement(
+        "SELECT RUN_ID, BATCH_ID FROM GRAFT_COMMITS WHERE TABLE_NAME = ?")
+      ps.setString(1, tableName(sinkTableId))
+      val rs = ps.executeQuery()
+      if (rs.next() && rs.getString(1) == runId) Some(rs.getLong(2)) else None
+    } finally conn.close()
+  }
+
+  override def recordBatchCommit(sinkTableId: TableId, batchId: Long, runId: String): Unit = {
+    require(commitLogReady)
+    val conn = connect()
+    try {
       val upd = conn.prepareStatement(
-        "UPDATE GRAFT_COMMITS SET BATCH_ID = ? WHERE TABLE_NAME = ?")
-      upd.setLong(1, batchId); upd.setString(2, tableName(sinkTableId))
+        "UPDATE GRAFT_COMMITS SET BATCH_ID = ?, RUN_ID = ? WHERE TABLE_NAME = ?")
+      upd.setLong(1, batchId); upd.setString(2, runId); upd.setString(3, tableName(sinkTableId))
       if (upd.executeUpdate() == 0) {
         val ins = conn.prepareStatement(
-          "INSERT INTO GRAFT_COMMITS (TABLE_NAME, BATCH_ID) VALUES (?, ?)")
-        ins.setString(1, tableName(sinkTableId)); ins.setLong(2, batchId)
+          "INSERT INTO GRAFT_COMMITS (TABLE_NAME, RUN_ID, BATCH_ID) VALUES (?, ?, ?)")
+        ins.setString(1, tableName(sinkTableId)); ins.setString(2, runId); ins.setLong(3, batchId)
         ins.executeUpdate()
       }
     } finally conn.close()

@@ -105,21 +105,25 @@ final class ParquetMergeSink(spark: SparkSession, rootDir: String, buckets: Int 
     writeVersion(sinkTableId, next, currentVersion(sinkTableId).map(_ + 1).getOrElse(0))
   }
 
-  // ---- batch-id transactionality: a `_BATCH` pointer next to `_VERSION` ----
+  // ---- batch-id transactionality: a `_BATCH` pointer next to `_VERSION`,
+  // content "runId\nbatchId" so a stale record from a previous run (fresh
+  // checkpoint restarts Spark batch ids at 0) never swallows new batches ----
 
   private def batchFile(t: TableId) = dir(t).resolve("_BATCH")
 
-  override def lastCommittedBatch(t: TableId): Option[Long] = {
+  override def lastCommittedBatch(t: TableId, runId: String): Option[Long] = {
     val f = batchFile(t)
-    if (java.nio.file.Files.exists(f))
-      Some(new String(java.nio.file.Files.readAllBytes(f)).trim.toLong)
-    else None
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f)).split("\n", 2)
+      if (lines.length == 2 && lines(0) == runId) Some(lines(1).trim.toLong) else None
+    }
   }
 
-  override def recordBatchCommit(t: TableId, batchId: Long): Unit = {
+  override def recordBatchCommit(t: TableId, batchId: Long, runId: String): Unit = {
     java.nio.file.Files.createDirectories(dir(t))
     val tmp = java.nio.file.Files.write(
-      dir(t).resolve("_BATCH.tmp"), batchId.toString.getBytes)
+      dir(t).resolve("_BATCH.tmp"), s"$runId\n$batchId".getBytes)
     java.nio.file.Files.move(
       tmp, batchFile(t),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

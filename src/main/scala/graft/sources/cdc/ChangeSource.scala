@@ -26,6 +26,16 @@ trait ChangeSource {
   /** first offset whose wall-clock timestamp ≥ ts (startup mode `timestamp`). */
   def offsetAtTimestamp(ts: Long): Long
 
+  /** First schema-change record in `(fromExclusive, toInclusive]`, if the
+    * log can carry DDL. Default scans the log; implementations whose log is
+    * data-only (e.g. a capture-table source) return None without I/O — this
+    * runs on the DRIVER at every trigger, so it must be cheap. */
+  def firstDdlOffset(
+      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+    readLog(fromExclusive, toInclusive).collectFirst {
+      case LogRecord(off, _, e: SchemaChangeEvent) => (off, e)
+    }
+
   /** numeric PK of a data event — the key lives in `before` for DELETE
     * (`DataChangeEvent.java` before/after contract). */
   def keyOfEvent(e: DataChangeEvent): Long = {

@@ -189,9 +189,8 @@ final class GraftCdcMicroBatchStream(
         case _ =>
           // a batch never crosses a DDL: cap at the first schema change in
           // range so the batch boundary IS the flush barrier in front of it
-          source.readLog(prev.logOffset, target).collectFirst {
-            case LogRecord(off, _, e: graft.core.SchemaChangeEvent) => (off, e)
-          } match {
+          // (sources whose log cannot carry DDL answer None without I/O)
+          source.firstDdlOffset(prev.logOffset, target) match {
             case Some((d, e)) =>
               ChangeSourceRegistry.postPendingDdl(sourceId, d, e)
               CdcOffset(chunks.size, d)
@@ -291,7 +290,13 @@ object CdcSourceState {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    f.rename(tmp, path) // best-effort atomic swap; readers see old or new state
+    // HDFS-style rename does NOT overwrite an existing destination (and
+    // returns false instead of throwing) — delete-then-rename, and fail loud:
+    // silently losing the HW refresh would re-emit suppressed log events
+    // after a restart
+    if (f.exists(path)) f.delete(path, false)
+    if (!f.rename(tmp, path))
+      throw new java.io.IOException(s"failed to commit cdc source state to $path")
   }
 
   def read(path: Path): Option[State] = {

@@ -191,6 +191,11 @@ final class JdbcChangeSource(
       })
     }.toMap
 
+  /** the capture log carries data changes only — no driver-side scan needed
+    * per trigger (the default implementation would SELECT the whole backlog). */
+  override def firstDdlOffset(
+      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+
   override def keyStats: (Option[Long], Option[Long], Long) = withReadConn { c =>
     val rs = c.createStatement().executeQuery(
       s"SELECT MIN(${sqlName(pk)}), MAX(${sqlName(pk)}), COUNT(*) FROM $dataTable")

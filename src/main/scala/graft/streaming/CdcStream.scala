@@ -25,10 +25,13 @@ object CdcStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // run identity = checkpoint location: batch ids are only comparable
+        // within one checkpoint lineage (a fresh checkpoint restarts at 0)
+        val runId = checkpointDir.getOrElse("")
         PipelineComposer.splitByTable(batch).toSeq
           .sortBy(_._1.identifier)
           .foreach { case (tableId: TableId, env: DataFrame) =>
-            composer.processBatch(tableId, env, batchId)
+            composer.processBatch(tableId, env, batchId, runId)
           }
       }
     checkpointDir.foreach(d => b = b.option("checkpointLocation", d))

@@ -73,8 +73,18 @@ object EventTimeOps {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end <= gapMillis =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.events + 1, s.sum + e.value))
+            // overlap test against the session's gap envelope
+            // [start - gap, end + gap]: a cross-batch late event slightly
+            // BEFORE the session start must extend the start backwards, not
+            // inherit the newer start
+            case Some(s) if t >= s.start - gapMillis && t - s.end <= gapMillis =>
+              cur = Some(SessionState(
+                math.min(s.start, t), math.max(s.end, t), s.events + 1, s.sum + e.value))
+            case Some(s) if t < s.start - gapMillis =>
+              // a fully-earlier late event: its session can no longer grow
+              // (anything joinable would itself have been within the gap of
+              // the current session) — emit it as its own closed session
+              closed += emit(SessionState(t, t, 1, e.value))
             case Some(s) =>
               closed += emit(s)
               cur = Some(SessionState(t, t, 1, e.value))

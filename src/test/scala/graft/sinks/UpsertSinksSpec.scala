@@ -76,23 +76,33 @@ class UpsertSinksSpec extends AnyFunSuite {
       } finally conn.close()
     }
 
+    val run = "ckpt-run-A"
     sink.writeBatch(t, Seq((1L, "ann", 10)).toDF("id", "name", "score"),
-      Seq.empty[Long].toDF("id"), batchId = 7L)
+      Seq.empty[Long].toDF("id"), batchId = 7L, runId = run)
     assert(scores == Map(1L -> 10))
-    assert(sink.lastCommittedBatch(t).contains(7L))
+    assert(sink.lastCommittedBatch(t, run).contains(7L))
     // restart re-delivers batch 7 (possibly recomputed differently): skipped
     sink.writeBatch(t, Seq((1L, "ann", 999)).toDF("id", "name", "score"),
-      Seq.empty[Long].toDF("id"), batchId = 7L)
+      Seq.empty[Long].toDF("id"), batchId = 7L, runId = run)
     assert(scores == Map(1L -> 10))
     // the NEXT batch applies
     sink.writeBatch(t, Seq((1L, "ann", 11)).toDF("id", "name", "score"),
-      Seq.empty[Long].toDF("id"), batchId = 8L)
+      Seq.empty[Long].toDF("id"), batchId = 8L, runId = run)
     assert(scores == Map(1L -> 11))
-    assert(sink.lastCommittedBatch(t).contains(8L))
-    // untracked (batch-id-less) writes keep working and never skip
+    assert(sink.lastCommittedBatch(t, run).contains(8L))
+    // untracked (batch-id-less) writes keep working, never skip, and never
+    // clobber the durable watermark
     sink.writeBatch(t, Seq((1L, "ann", 12)).toDF("id", "name", "score"),
       Seq.empty[Long].toDF("id"))
     assert(scores == Map(1L -> 12))
+    assert(sink.lastCommittedBatch(t, run).contains(8L))
+    // a FRESH run (new checkpoint) restarts batch ids at 0: the stale record
+    // from run A must not swallow it
+    sink.writeBatch(t, Seq((1L, "ann", 13)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 0L, runId = "ckpt-run-B")
+    assert(scores == Map(1L -> 13))
+    assert(sink.lastCommittedBatch(t, "ckpt-run-B").contains(0L))
+    assert(sink.lastCommittedBatch(t, run).isEmpty) // old run's record replaced
   }
 
   test("JdbcUpsertSink dialect statement shapes") {
@@ -131,16 +141,21 @@ class UpsertSinksSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge-replay").toString
     val sink = new ParquetMergeSink(spark, dir, buckets = 2)
     val t = create(sink)
+    val run = "ckpt-run-A"
     sink.writeBatch(t, Seq((1L, "ann", 10)).toDF("id", "name", "score"),
-      Seq.empty[Long].toDF("id"), batchId = 3L)
-    assert(sink.lastCommittedBatch(t).contains(3L))
+      Seq.empty[Long].toDF("id"), batchId = 3L, runId = run)
+    assert(sink.lastCommittedBatch(t, run).contains(3L))
     // replay of batch 3 with different data: no new version written
     sink.writeBatch(t, Seq((1L, "ann", 999)).toDF("id", "name", "score"),
-      Seq.empty[Long].toDF("id"), batchId = 3L)
+      Seq.empty[Long].toDF("id"), batchId = 3L, runId = run)
     assert(sink.read(t).head().getInt(2) == 10)
     sink.writeBatch(t, Seq((1L, "ann", 11)).toDF("id", "name", "score"),
-      Seq.empty[Long].toDF("id"), batchId = 4L)
+      Seq.empty[Long].toDF("id"), batchId = 4L, runId = run)
     assert(sink.read(t).head().getInt(2) == 11)
+    // fresh run: batch 0 of a new checkpoint applies despite _BATCH = 4
+    sink.writeBatch(t, Seq((1L, "ann", 12)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 0L, runId = "ckpt-run-B")
+    assert(sink.read(t).head().getInt(2) == 12)
   }
 
   test("JdbcUpsertSink: key-only table (no non-PK columns) upserts without error") {

@@ -58,6 +58,36 @@ class EventTimeOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionize: an in-watermark late event extends the session start backwards") {
+    import EventTimeOps._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val sessions = sessionize(stream.toDS(), gapMillis = 60000,
+      watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sesslate")
+      .outputMode("append").start()
+
+    stream.addData(SessionEvent(1L, ts("2024-01-01 12:00:05"), 1.0))
+    q.processAllAvailable()
+    // late but above the 10-min watermark: 15s BEFORE the session start —
+    // must merge and move session_start back, not inherit the newer start
+    stream.addData(SessionEvent(1L, ts("2024-01-01 11:59:50"), 2.0))
+    q.processAllAvailable()
+    // close via watermark advance on another key
+    stream.addData(SessionEvent(2L, ts("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    stream.addData(SessionEvent(2L, ts("2024-01-01 13:30:00"), 0.0))
+    q.processAllAvailable()
+    val u1 = spark.sql(
+      "SELECT session_start, session_end, n_events, sum_value FROM sesslate WHERE user_id = 1")
+      .collect()
+    assert(u1.length == 1)
+    assert(u1.head.getTimestamp(0) == ts("2024-01-01 11:59:50"), u1.head.toString)
+    assert(u1.head.getTimestamp(1) == ts("2024-01-01 12:00:05"))
+    assert(u1.head.getInt(2) == 2 && u1.head.getDouble(3) == 3.0)
+    q.stop()
+  }
+
   test("sessionize: gap splits sessions, event-time timeout closes idle ones") {
     import EventTimeOps._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
