@@ -151,6 +151,20 @@ object QueriesCore {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q_percentiles" -> ((s, dir) => {
+      // distribution analytics: exact interpolated percentiles per group.
+      // Exact percentile sorts within the aggregate (fine at per-group
+      // cardinalities); the 100 TB path swaps in approx_percentile — same
+      // query shape, sketch-mergeable, no sort (documented trade-off).
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
     "q_lead_lag" -> ((s, dir) => {
       // sequential analytics is the LEGITIMATE window use (unlike
       // first-row-per-key, which q_window does as an aggregate): lag/lead
@@ -607,6 +621,13 @@ object QueriesCore {
         |  AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_lead_lag" ->
       """SELECT user_id, event_id, value,
         |  lag(value) OVER w AS prev_value,
