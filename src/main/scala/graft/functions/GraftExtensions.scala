@@ -29,15 +29,30 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def checked(
+      name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${args.length}; usage: " +
+            usage.replace("_FUNC_", name))
+      build(args)
+    }
+
   private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_word_shingles", "_FUNC_(text, k) - lowercased word k-grams",
-      args => CatalystExprs.WordShinglesExpr(args.head, intArg(args(1), "k"))),
+      checked("graft_word_shingles", "_FUNC_(text, k)", 2)(
+        args => CatalystExprs.WordShinglesExpr(args.head, intArg(args(1), "k")))),
     ("graft_minhash_sig", "_FUNC_(shingles, numHashes) - one-pass MinHash signature",
-      args => CatalystExprs.MinHashSigExpr(args.head, intArg(args(1), "numHashes"))),
+      checked("graft_minhash_sig", "_FUNC_(shingles, numHashes)", 2)(
+        args => CatalystExprs.MinHashSigExpr(args.head, intArg(args(1), "numHashes")))),
     ("graft_simhash64", "_FUNC_(text) - 64-bit SimHash",
-      args => CatalystExprs.SimHashExpr(args.head)),
+      checked("graft_simhash64", "_FUNC_(text)", 1)(
+        args => CatalystExprs.SimHashExpr(args.head))),
     ("graft_dot", "_FUNC_(a, b) - float-array dot product in double",
-      args => CatalystExprs.DotProductExpr(args.head, args(1))))
+      checked("graft_dot", "_FUNC_(a, b)", 2)(
+        args => CatalystExprs.DotProductExpr(args.head, args(1)))))
 
   /** Register into an EXISTING session (extensions classes only apply at
     * session creation; `getOrCreate` on a live context ignores

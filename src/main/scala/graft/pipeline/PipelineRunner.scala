@@ -86,11 +86,13 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
         case None => continue = false
       }
     }
-    // a truncated drain must not look like a completed one: data is still
-    // parked behind an unprocessed schema change
-    if (continue && ChangeSourceRegistry.pendingDdl(sourceId).isDefined)
+    // a truncated drain must not look like a completed one: if the loop exits
+    // because the restart budget ran out (continue still true), data behind
+    // the last applied DDL was never drained — the pending entry itself was
+    // just acked, so `continue` is the only reliable signal
+    if (continue)
       throw new IllegalStateException(
-        s"runHandlingDdl exhausted $maxRestarts restarts with a schema change still pending " +
+        s"runHandlingDdl exhausted $maxRestarts restarts with schema changes still arriving " +
           s"(applied $applied); raise maxRestarts or inspect the DDL stream")
     applied
   }

@@ -214,6 +214,15 @@ final class JdbcUpsertSink(
           "CREATE TABLE GRAFT_COMMITS (TABLE_NAME VARCHAR(256) NOT NULL PRIMARY KEY, " +
             "RUN_ID VARCHAR(1024) NOT NULL, BATCH_ID BIGINT NOT NULL)")
       } catch { case _: java.sql.SQLException => () } // exists
+      // migrate a pre-RUN_ID commit table in place (empty-run-id records
+      // never match a real runId, which is the safe direction: at worst one
+      // batch is re-applied, which the PK-upsert shape absorbs)
+      try { conn.createStatement().executeQuery("SELECT RUN_ID FROM GRAFT_COMMITS WHERE 1=0"); () }
+      catch {
+        case _: java.sql.SQLException =>
+          conn.createStatement().executeUpdate(
+            "ALTER TABLE GRAFT_COMMITS ADD COLUMN RUN_ID VARCHAR(1024) DEFAULT '' NOT NULL")
+      }
       true
     } finally conn.close()
   }

@@ -115,6 +115,10 @@ final class ParquetMergeSink(spark: SparkSession, rootDir: String, buckets: Int 
     val f = batchFile(t)
     if (!java.nio.file.Files.exists(f)) None
     else {
+      // a legacy single-line pointer (pre-runId format) cannot be attributed
+      // to a run — returning None is the safe direction: at worst one batch
+      // re-applies (absorbed by the PK-upsert write), rather than a stale
+      // record silently swallowing a fresh run's batches
       val lines = new String(java.nio.file.Files.readAllBytes(f)).split("\n", 2)
       if (lines.length == 2 && lines(0) == runId) Some(lines(1).trim.toLong) else None
     }

@@ -290,13 +290,16 @@ object CdcSourceState {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    // HDFS-style rename does NOT overwrite an existing destination (and
-    // returns false instead of throwing) — delete-then-rename, and fail loud:
-    // silently losing the HW refresh would re-emit suppressed log events
-    // after a restart
-    if (f.exists(path)) f.delete(path, false)
-    if (!f.rename(tmp, path))
-      throw new java.io.IOException(s"failed to commit cdc source state to $path")
+    // rename FIRST (atomic overwrite on POSIX — no window without a state
+    // file); only if the filesystem refuses to overwrite (HDFS contract:
+    // returns false, does not throw) delete and retry. Failing silently
+    // would lose the HW refresh and re-emit suppressed log events after a
+    // restart.
+    if (!f.rename(tmp, path)) {
+      f.delete(path, false)
+      if (!f.rename(tmp, path))
+        throw new java.io.IOException(s"failed to commit cdc source state to $path")
+    }
   }
 
   def read(path: Path): Option[State] = {

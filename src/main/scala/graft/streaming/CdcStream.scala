@@ -25,9 +25,14 @@ object CdcStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // run identity = checkpoint location: batch ids are only comparable
-        // within one checkpoint lineage (a fresh checkpoint restarts at 0)
-        val runId = checkpointDir.getOrElse("")
+        // run identity = the streaming QUERY id (persisted in checkpoint
+        // metadata, regenerated when a checkpoint is wiped or absent): batch
+        // ids are only comparable within one checkpoint lineage. The path
+        // alone would alias a wiped-and-recreated checkpoint dir and all
+        // checkpoint-less runs.
+        val runId = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(checkpointDir.getOrElse(""))
         PipelineComposer.splitByTable(batch).toSeq
           .sortBy(_._1.identifier)
           .foreach { case (tableId: TableId, env: DataFrame) =>

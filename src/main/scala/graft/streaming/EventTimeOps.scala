@@ -67,37 +67,33 @@ object EventTimeOps {
         state.remove()
         out
       } else {
-        val sorted = batch.toSeq.sortBy(_.ts.getTime)
-        var cur = state.getOption
-        val closed = Seq.newBuilder[Session]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            // overlap test against the session's gap envelope
-            // [start - gap, end + gap]: a cross-batch late event slightly
-            // BEFORE the session start must extend the start backwards, not
-            // inherit the newer start
-            case Some(s) if t >= s.start - gapMillis && t - s.end <= gapMillis =>
-              cur = Some(SessionState(
-                math.min(s.start, t), math.max(s.end, t), s.events + 1, s.sum + e.value))
-            case Some(s) if t < s.start - gapMillis =>
-              // a fully-earlier late event: its session can no longer grow
-              // (anything joinable would itself have been within the gap of
-              // the current session) — emit it as its own closed session
-              closed += emit(SessionState(t, t, 1, e.value))
-            case Some(s) =>
-              closed += emit(s)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+        // uniform interval-gap merge over {existing state} ∪ {batch events}:
+        // sort by start, fold adjacent intervals whose gap ≤ gapMillis. This
+        // handles in-order data, late events extending the session start
+        // backwards, AND late events that form their own earlier session
+        // (which must merge with EACH OTHER, not emit as singletons).
+        val items = (state.getOption.toVector ++
+          batch.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+          .sortBy(s => (s.start, s.end))
+        val merged = items.foldLeft(Vector.empty[SessionState]) { (acc, it) =>
+          acc.lastOption match {
+            case Some(last) if it.start - last.end <= gapMillis =>
+              acc.init :+ SessionState(
+                last.start, math.max(last.end, it.end),
+                last.events + it.events, last.sum + it.sum)
+            case _ => acc :+ it
           }
         }
-        cur.foreach { s =>
-          state.update(s)
+        if (merged.isEmpty) Iterator.empty
+        else {
+          // everything except the latest interval can no longer grow (any
+          // joinable event would have merged); the latest stays open in state
+          val open = merged.last
+          state.update(open)
           // close when the WATERMARK (not wall clock) passes session end + gap
-          state.setTimeoutTimestamp(s.end + gapMillis)
+          state.setTimeoutTimestamp(open.end + gapMillis)
+          merged.init.map(emit).iterator
         }
-        closed.result().iterator
       }
     }
     events

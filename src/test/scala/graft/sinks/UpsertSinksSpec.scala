@@ -158,6 +158,26 @@ class UpsertSinksSpec extends AnyFunSuite {
     assert(sink.read(t).head().getInt(2) == 12)
   }
 
+  test("JdbcUpsertSink migrates a pre-RUN_ID commit log in place") {
+    val db = s"memory:graftmig${System.nanoTime()};create=true"
+    // a commit table from the previous schema already exists in the target
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+    try {
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE GRAFT_COMMITS (TABLE_NAME VARCHAR(256) NOT NULL PRIMARY KEY, " +
+          "BATCH_ID BIGINT NOT NULL)")
+      conn.createStatement().executeUpdate(
+        "INSERT INTO GRAFT_COMMITS VALUES ('app_users', 9)")
+    } finally conn.close()
+    val sink = new JdbcUpsertSink(s"jdbc:derby:$db")
+    val t = create(sink)
+    // legacy record has empty run id -> never matches a real run: batch 0 of
+    // the new run applies instead of being swallowed
+    sink.writeBatch(t, Seq((1L, "ann", 10)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 0L, runId = "run-X")
+    assert(sink.lastCommittedBatch(t, "run-X").contains(0L))
+  }
+
   test("JdbcUpsertSink: key-only table (no non-PK columns) upserts without error") {
     val db = s"memory:graftko${System.nanoTime()};create=true"
     val sink = new JdbcUpsertSink(s"jdbc:derby:$db")

@@ -88,6 +88,34 @@ class EventTimeOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionize: two late events before the session merge with each other") {
+    import EventTimeOps._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val sessions = sessionize(stream.toDS(), gapMillis = 60000,
+      watermarkDelay = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sesspair")
+      .outputMode("append").start()
+
+    stream.addData(SessionEvent(1L, ts("2024-01-01 12:00:05"), 1.0))
+    q.processAllAvailable()
+    // two in-watermark late events 10 min before the session, 30 s apart:
+    // they are joinable with EACH OTHER (one earlier session), not with the
+    // current session — must emit ONE closed session of 2 events
+    stream.addData(
+      SessionEvent(1L, ts("2024-01-01 11:50:00"), 2.0),
+      SessionEvent(1L, ts("2024-01-01 11:50:30"), 3.0))
+    q.processAllAvailable()
+    val closed = spark.sql(
+      "SELECT session_start, session_end, n_events, sum_value FROM sesspair WHERE user_id = 1")
+      .collect()
+    assert(closed.length == 1, closed.mkString(";"))
+    assert(closed.head.getTimestamp(0) == ts("2024-01-01 11:50:00"))
+    assert(closed.head.getTimestamp(1) == ts("2024-01-01 11:50:30"))
+    assert(closed.head.getInt(2) == 2 && closed.head.getDouble(3) == 5.0)
+    q.stop()
+  }
+
   test("sessionize: gap splits sessions, event-time timeout closes idle ones") {
     import EventTimeOps._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
