@@ -50,6 +50,25 @@ object QueriesRelational {
           col("n"), col("qty"))
         .orderBy("rf", "ls")
     }),
+    "r_asof_join" -> ((s, dir) => {
+      // AS-OF join (the temporal join Spark lacks; graft.operators.AsOfJoin):
+      // each event matched to the user's most recent order AT event time.
+      // The right side is deduped to one row per (key, ts) so the match is
+      // deterministic on both engines (DuckDB picks arbitrarily on ties).
+      import graft.operators.AsOfJoin
+      val ev = t(s, dir, "events").filter(col("user_id") < 100)
+        .select(col("user_id").as("k"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("ots"))
+        .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey"))
+          .as("__o"))
+        .select(col("k"), col("ots"), col("__o.o_orderkey"), col("__o.o_totalprice"))
+      AsOfJoin.asofJoin(ev, ord, "k", "ts", "ots")
+        .select(col("event_id"), col("k").as("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
     "r_cube" -> ((s, dir) => {
       // CUBE + grouping_id: all four grouping combinations in ONE pass —
       // Spark expands the cube map-side, still a single hash-aggregate
@@ -124,6 +143,18 @@ object QueriesRelational {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "r_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |    max(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE user_id < 100)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.k AND e.ts >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
     "r_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid, count(*) AS n
