@@ -69,6 +69,22 @@ object QueriesRelational {
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
     }),
+    "r_range_join" -> ((s, dir) => {
+      // pure range join (no equi key) via interval binning: events matched to
+      // overlapping 7-day "promo windows" as a HASH join on bin keys, not a
+      // BroadcastNestedLoopJoin over the cross product
+      import graft.operators.RangeJoin
+      val ev = t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      val windows = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(
+          col("o_orderkey").as("window_id"),
+          col("o_orderdate").cast("timestamp").as("lo"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 7 DAYS")).as("hi"))
+      RangeJoin.pointInInterval(ev, "ts", windows, "lo", "hi", binWidthSec = 7L * 86400)
+        .select(col("event_id"), col("window_id"))
+        .orderBy("event_id", "window_id")
+    }),
     "r_cube" -> ((s, dir) => {
       // CUBE + grouping_id: all four grouping combinations in ONE pass —
       // Spark expands the cube map-side, still a single hash-aggregate
@@ -143,6 +159,17 @@ object QueriesRelational {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "r_range_join" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS window_id, CAST(o_orderdate AS TIMESTAMP) AS lo,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id < 500)
+        |SELECT e.event_id, w.window_id
+        |FROM e JOIN w ON e.ts BETWEEN w.lo AND w.hi
+        |ORDER BY e.event_id, w.window_id""".stripMargin,
     "r_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ots,
