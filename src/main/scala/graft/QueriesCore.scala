@@ -315,19 +315,25 @@ object QueriesCore {
         .orderBy("event_id")
     }),
     "t_model_chat" -> ((s, dir) => {
-      // AI_CHAT_PREDICT surface (reference OpenAIChatModel.eval:55): the HTTP
-      // client is stubbed (zero-egress env) but deterministic, so the oracle
-      // carries precomputed expected predictions — registration, projection
-      // use, and null/batching behavior are all real
-      graft.functions.ModelFunctions.registerChatPredict(s, "stub-model")
+      // AI_CHAT_PREDICT surface (reference OpenAIChatModel.eval:55): a REAL
+      // java.net.http client posts OpenAI-protocol chat completions to the
+      // loopback MockModelServer (zero-egress env), which computes the same
+      // deterministic predictions the oracle carries — the full registration →
+      // UDF → HTTP → JSON-parse round trip is exercised
+      graft.functions.ModelFunctions.registerChatPredict(
+        s, "stub-model",
+        endpoint = Some(graft.functions.MockModelServer.endpoint("stub-model")))
       t(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .selectExpr("c_mktsegment", "AI_CHAT_PREDICT(c_mktsegment) AS prediction")
         .orderBy("c_mktsegment")
     }),
     "t_model_embedding" -> ((s, dir) => {
       // GET_EMBEDDING -> ARRAY<FLOAT> (reference OpenAIEmbeddingModel.eval:57):
-      // dimension contract + deterministic value checksum
-      graft.functions.ModelFunctions.registerGetEmbedding(s, "stub-model", dim = 16)
+      // real HTTP round-trip against the loopback server; dimension contract +
+      // deterministic value checksum match the stub so the oracle is unchanged
+      graft.functions.ModelFunctions.registerGetEmbedding(
+        s, "stub-model", dim = 16,
+        endpoint = Some(graft.functions.MockModelServer.endpoint("stub-model")))
       t(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .selectExpr(
           "c_mktsegment",

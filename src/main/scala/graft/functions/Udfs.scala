@@ -79,31 +79,101 @@ object UdfRegistry {
 
 /** Model functions (`flink-cdc-pipeline-model/.../OpenAIChatModel.java:43-94`,
   * `OpenAIEmbeddingModel.java:47-106`): named models usable as functions in
-  * projections/filters. The HTTP client is STUBBED (zero-egress environment) —
-  * deterministic fake predictions/embeddings; the Spark-side plumbing
-  * (registration, batching shape, `ARRAY<FLOAT>` return type) is real.
+  * projections/filters.
+  *
+  * Two wirings, selected by the optional [[ModelEndpoint]]:
+  *  - endpoint given → a REAL `java.net.http` client posting OpenAI-protocol
+  *    JSON (one lazily-opened client per executor JVM — the reference opens
+  *    its langchain4j client in `UserDefinedFunction.open`). In this
+  *    zero-egress environment the endpoint is the loopback
+  *    [[MockModelServer]], which speaks the genuine wire format.
+  *  - no endpoint → deterministic in-process functions with the same outputs,
+  *    so oracles are identical either way.
   */
 object ModelFunctions {
 
-  /** `AI_CHAT_PREDICT(input) -> STRING`. Real impl posts batched prompts to an
-    * OpenAI-compatible endpoint (one HTTP client per executor, opened lazily);
-    * the stub hashes deterministically.
-    */
-  def registerChatPredict(spark: SparkSession, modelName: String): Unit =
-    spark.udf.register("AI_CHAT_PREDICT", (input: String) => {
-      if (input == null) null
-      else s"[$modelName] " + Integer.toHexString(input.hashCode)
-    })
+  /** The deterministic prediction both the stub UDF and [[MockModelServer]]
+    * compute — keeping the oracle independent of the wiring. */
+  def deterministicChat(modelName: String, input: String): String =
+    s"[$modelName] " + Integer.toHexString(input.hashCode)
 
-  /** `GET_EMBEDDING(input) -> ARRAY<FLOAT>`: deterministic fake embedding with
-    * the real return type and dimension contract.
+  /** Deterministic embedding with the real `ARRAY<FLOAT>` dimension contract. */
+  def deterministicEmbedding(input: String, dim: Int): Array[Float] = {
+    val rnd = new java.util.Random(input.hashCode.toLong)
+    Array.fill(dim)(rnd.nextFloat())
+  }
+
+  /** `AI_CHAT_PREDICT(input) -> STRING` — per-call completion, matching the
+    * reference's one-`generate`-per-eval shape (`OpenAIChatModel.eval:55`).
     */
-  def registerGetEmbedding(spark: SparkSession, modelName: String, dim: Int = 16): Unit =
-    spark.udf.register("GET_EMBEDDING", (input: String) => {
-      if (input == null) null
-      else {
-        val rnd = new java.util.Random(input.hashCode.toLong)
-        Array.fill(dim)(rnd.nextFloat())
+  def registerChatPredict(
+      spark: SparkSession, modelName: String, endpoint: Option[ModelEndpoint] = None): Unit =
+    endpoint match {
+      case Some(ep) =>
+        spark.udf.register("AI_CHAT_PREDICT", new ChatUdf(ep))
+      case None =>
+        spark.udf.register("AI_CHAT_PREDICT", (input: String) =>
+          if (input == null) null else deterministicChat(modelName, input))
+    }
+
+  /** `GET_EMBEDDING(input) -> ARRAY<FLOAT>` (`OpenAIEmbeddingModel.eval:57`). */
+  def registerGetEmbedding(
+      spark: SparkSession, modelName: String, dim: Int = 16,
+      endpoint: Option[ModelEndpoint] = None): Unit =
+    endpoint match {
+      case Some(ep) =>
+        spark.udf.register("GET_EMBEDDING", new EmbedUdf(ep))
+      case None =>
+        spark.udf.register("GET_EMBEDDING", (input: String) =>
+          if (input == null) null else deterministicEmbedding(input, dim))
+    }
+
+  // plain Function1 classes, not lambdas-in-fields: a stored lambda field
+  // deserializes as SerializedLambda and fails the Function1 cast across
+  // classloaders; a named class carrying only the endpoint serializes cleanly
+  // and opens its HTTP client lazily once per executor JVM
+  private final class ChatUdf(ep: ModelEndpoint)
+      extends (String => String) with Serializable {
+    @transient private lazy val client = new OpenAiClient(ep)
+    override def apply(input: String): String =
+      if (input == null) null else client.chat(input)
+  }
+  private final class EmbedUdf(ep: ModelEndpoint)
+      extends (String => Array[Float]) with Serializable {
+    @transient private lazy val client = new OpenAiClient(ep)
+    override def apply(input: String): Array[Float] =
+      if (input == null) null else client.embed(input)
+  }
+
+  /** The scale path for embeddings: partition-batched requests —
+    * `maxBatch` rows per HTTP round-trip via the protocol's native `input`
+    * array, instead of one call per row. At 100 TB this is the difference
+    * between O(rows) and O(rows / maxBatch) round-trips, with no shuffle: a
+    * map-only `mapPartitions` that appends `outputCol ARRAY<FLOAT>`.
+    * Null inputs yield null embeddings without occupying batch slots.
+    */
+  def withEmbedding(
+      df: org.apache.spark.sql.DataFrame, inputCol: String, outputCol: String,
+      ep: ModelEndpoint): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val outSchema = df.schema.add(outputCol, ArrayType(FloatType), nullable = true)
+    val inIdx = df.schema.fieldIndex(inputCol)
+    df.mapPartitions { rows =>
+      lazy val client = new OpenAiClient(ep)
+      rows.grouped(ep.maxBatch).flatMap { batch =>
+        val nonNull = batch.filter(r => !r.isNullAt(inIdx))
+        val vecs: Map[String, Array[Float]] =
+          if (nonNull.isEmpty) Map.empty
+          else {
+            val texts = nonNull.map(_.getString(inIdx)).distinct
+            texts.zip(client.embedBatch(texts)).toMap
+          }
+        batch.map { r =>
+          val v = if (r.isNullAt(inIdx)) null else vecs(r.getString(inIdx))
+          Row.fromSeq(r.toSeq :+ v)
+        }
       }
-    })
+    }(Encoders.row(outSchema))
+  }
 }
