@@ -180,11 +180,15 @@ object QueriesML {
         .orderBy("media_id")
     }),
     "m_media_resize" -> ((s, dir) => {
-      // 640x480 into a 320x320 box -> 320x240 for images, others untouched
-      Multimodal.resize(Multimodal.syntheticMedia(s, 30), 320, 320)
+      // 640x480 into a 320x320 box -> 320x240 for images, others untouched;
+      // decoded_w/decoded_h come from RE-DECODING the resized PNG payload, so
+      // the oracle equality proves the real decode → resample → encode round
+      // trip, not just metadata arithmetic
+      Multimodal.withDecodedDims(
+          Multimodal.resize(Multimodal.syntheticMedia(s, 30), 320, 320))
         .select(col("media_id"), col("kind"),
           col("meta.width").as("w"), col("meta.height").as("h"),
-          length(col("payload")).as("payload_len"))
+          col("decoded_w"), col("decoded_h"))
         .orderBy("media_id")
     }))
 
@@ -288,66 +292,66 @@ object QueriesML {
     "m_media_features" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
       |  CAST(feature_sum AS DOUBLE) AS feature_sum FROM (VALUES
-      |(0, 'image', 7.9061),
-      |(1, 'audio', 7.9056),
-      |(2, 'video', 8.9387),
-      |(3, 'image', 9.186),
-      |(4, 'audio', 8.9802),
-      |(5, 'video', 9.9154),
-      |(6, 'image', 8.6935),
-      |(7, 'audio', 8.3401),
-      |(8, 'video', 10.9166),
-      |(9, 'image', 9.196),
-      |(10, 'audio', 9.1507),
-      |(11, 'video', 9.551),
-      |(12, 'image', 11.4126),
-      |(13, 'audio', 9.8616),
-      |(14, 'video', 10.0553),
-      |(15, 'image', 10.7923),
-      |(16, 'audio', 7.9421),
-      |(17, 'video', 8.7951),
-      |(18, 'image', 8.4366),
-      |(19, 'audio', 8.1999),
-      |(20, 'video', 8.6937),
-      |(21, 'image', 8.333),
-      |(22, 'audio', 8.8461),
-      |(23, 'video', 8.5425),
-      |(24, 'image', 9.2378),
-      |(25, 'audio', 8.9714),
-      |(26, 'video', 9.0235),
-      |(27, 'image', 9.1519),
-      |(28, 'audio', 9.6502),
-      |(29, 'video', 8.9132),
-      |(30, 'image', 9.6939),
-      |(31, 'audio', 9.2304),
-      |(32, 'video', 8.2488),
-      |(33, 'image', 7.4361),
-      |(34, 'audio', 9.829),
-      |(35, 'video', 8.3688),
-      |(36, 'image', 7.4489),
-      |(37, 'audio', 8.1127),
-      |(38, 'video', 8.6148),
-      |(39, 'image', 9.4052),
-      |(40, 'audio', 9.1104),
-      |(41, 'video', 9.699),
-      |(42, 'image', 9.6104),
-      |(43, 'audio', 9.2873),
-      |(44, 'video', 9.0157),
-      |(45, 'image', 9.8635),
-      |(46, 'audio', 10.7069),
-      |(47, 'video', 10.6346),
-      |(48, 'image', 7.8606),
-      |(49, 'audio', 8.1381),
-      |(50, 'video', 8.8844),
-      |(51, 'image', 7.6003),
-      |(52, 'audio', 8.9764),
-      |(53, 'video', 8.7122),
-      |(54, 'image', 9.1487),
-      |(55, 'audio', 9.2886),
-      |(56, 'video', 10.5935),
-      |(57, 'image', 9.0343),
-      |(58, 'audio', 8.0952),
-      |(59, 'video', 10.2471)
+      |(0, 'image', 7.8537),
+      |(1, 'audio', 4.9777),
+      |(2, 'video', 6.5006),
+      |(3, 'image', 7.9933),
+      |(4, 'audio', 6.3353),
+      |(5, 'video', 7.2107),
+      |(6, 'image', 8.0934),
+      |(7, 'audio', 7.6928),
+      |(8, 'video', 7.1416),
+      |(9, 'image', 7.9181),
+      |(10, 'audio', 4.5251),
+      |(11, 'video', 6.8762),
+      |(12, 'image', 8.0343),
+      |(13, 'audio', 5.8827),
+      |(14, 'video', 6.8072),
+      |(15, 'image', 8.0764),
+      |(16, 'audio', 7.2403),
+      |(17, 'video', 6.7382),
+      |(18, 'image', 7.8826),
+      |(19, 'audio', 8.5979),
+      |(20, 'video', 6.5477),
+      |(21, 'image', 7.9986),
+      |(22, 'audio', 5.4302),
+      |(23, 'video', 7.4543),
+      |(24, 'image', 8.0588),
+      |(25, 'audio', 6.7878),
+      |(26, 'video', 7.7141),
+      |(27, 'image', 7.9229),
+      |(28, 'audio', 8.1455),
+      |(29, 'video', 7.6451),
+      |(30, 'image', 8.0622),
+      |(31, 'audio', 4.9777),
+      |(32, 'video', 7.3797),
+      |(33, 'image', 8.0586),
+      |(34, 'audio', 6.3353),
+      |(35, 'video', 7.3106),
+      |(36, 'image', 7.9055),
+      |(37, 'audio', 7.6929),
+      |(38, 'video', 7.2416),
+      |(39, 'image', 8.0077),
+      |(40, 'audio', 4.5251),
+      |(41, 'video', 7.5015),
+      |(42, 'image', 8.0217),
+      |(43, 'audio', 5.8827),
+      |(44, 'video', 8.408),
+      |(45, 'image', 7.9326),
+      |(46, 'audio', 7.2404),
+      |(47, 'video', 8.2926),
+      |(48, 'image', 8.0714),
+      |(49, 'audio', 8.5979),
+      |(50, 'video', 8.2236),
+      |(51, 'image', 8.05),
+      |(52, 'audio', 5.4302),
+      |(53, 'video', 7.9582),
+      |(54, 'image', 7.9348),
+      |(55, 'audio', 6.7878),
+      |(56, 'video', 7.8892),
+      |(57, 'image', 8.0282),
+      |(58, 'audio', 8.1454),
+      |(59, 'video', 7.8201)
       |) AS t(media_id, kind, feature_sum) ORDER BY media_id""".stripMargin,
     "m_media_frames" ->
       """SELECT media_id, CAST(5 AS BIGINT) AS n_frames
@@ -355,9 +359,9 @@ object QueriesML {
     "m_media_resize" ->
       """SELECT media_id,
       |  CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  CAST(CASE WHEN media_id % 3 = 0 THEN 320 ELSE 640 END AS INT) AS w,
-      |  CAST(CASE WHEN media_id % 3 = 0 THEN 240 ELSE 480 END AS INT) AS h,
-      |  CAST(CASE WHEN media_id % 3 = 0 THEN (64 + media_id % 32) // 4
-      |       ELSE 64 + media_id % 32 END AS INT) AS payload_len
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN 320 WHEN media_id % 3 = 2 THEN 64 END AS INT) AS w,
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN 240 WHEN media_id % 3 = 2 THEN 48 END AS INT) AS h,
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN 320 END AS INT) AS decoded_w,
+      |  CAST(CASE WHEN media_id % 3 = 0 THEN 240 END AS INT) AS decoded_h
       |FROM range(30) AS t(media_id) ORDER BY media_id""".stripMargin)
 }

@@ -4,16 +4,20 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+/** Multimodal-column operators: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run as batched per-partition functions (the Scala
   * analog of `mapInPandas` — one iterator per partition, vectorizable).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` produces a deterministic fake feature vector
-  * from the payload bytes. The Spark-side contract — schema, partitioning,
-  * batch iteration shape — is real and tested, so swapping in a real decoder
-  * is a one-function change.
+  * The codecs are REAL and dependency-free ([[MediaCodecs]]): PNG through the
+  * JDK's ImageIO (lossless → bit-exact pixels), PCM16 WAV through a RIFF
+  * parser, and MJPEG-style PNG-frame containers for video. Every feature
+  * below is computed from actually-decoded pixels/samples, deterministically,
+  * so the driver's DuckDB oracle can carry exact expected values.
+  *
+  * Scale shape: all operators are map-only (no shuffle, no driver
+  * collection); payload bytes stay inside their partition and only the small
+  * derived columns (features, dims) leave the operator.
   */
 object Multimodal {
 
@@ -30,22 +34,23 @@ object Multimodal {
 
   val featureDim = 16
 
-  /** STUB decoder: deterministic fake features from payload bytes (rolling
-    * polynomial over bytes, normalized). Replace with a real codec in
-    * production; signature and batching stay identical.
+  /** Kind-dispatched decode → 16-dim feature vector, all real codecs:
+    * image = 4x4 grid luma over decoded PNG pixels, audio = 16-slice RMS over
+    * parsed WAV samples, video = image features of the first decoded frame.
     */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](featureDim)
-    if (payload == null) return out
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) {
-      h = 31 * h + payload(i)
-      out(i % featureDim) += (h & 0xffff) / 65535.0f
-      i += 1
+  def mediaFeatures(kind: String, payload: Array[Byte]): Array[Float] = {
+    if (payload == null) return new Array[Float](featureDim)
+    kind match {
+      case "image" =>
+        val (w, h, px) = MediaCodecs.decodePng(payload)
+        MediaCodecs.imageFeatures(px, w, h)
+      case "audio" =>
+        MediaCodecs.audioFeatures(MediaCodecs.decodeWav(payload)._2)
+      case "video" =>
+        val (w, h, px) = MediaCodecs.decodePng(MediaCodecs.gvidFrame(payload, 0))
+        MediaCodecs.imageFeatures(px, w, h)
+      case other => throw new IllegalArgumentException(s"unknown media kind: $other")
     }
-    val n = math.max(payload.length / featureDim, 1)
-    out.map(_ / n)
   }
 
   /** Batched feature extraction: one partition = one iterator (exactly the
@@ -63,15 +68,18 @@ object Multimodal {
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        Row(r.getLong(idIdx), r.getString(kindIdx), decodeStub(payload).toSeq)
+        val kind = r.getString(kindIdx)
+        Row(r.getLong(idIdx), kind, mediaFeatures(kind, payload).toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Frame-sampling plumbing for video payloads: emit one row per sampled
-    * frame index (the decode of each frame is the same stub). Demonstrates
-    * the 1→N batch expansion shape used by real frame extraction.
+  /** Frame sampling for video payloads: one output row per sampled timestamp,
+    * each from a REAL decode of the frame covering that timestamp (frame
+    * index = ts / container frame interval). The 1→N expansion happens
+    * declaratively (`explode`) so Catalyst sizes partitions before the
+    * decode-heavy map.
     */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
     val frames = media
@@ -89,25 +97,30 @@ object Multimodal {
     val rdd = frames.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        // fake per-frame decode: mix the frame ts into the stub
         val ts = r.getLong(2)
-        val base = decodeStub(payload)
-        Row(r.getLong(0), ts, base.map(f => f + (ts % 7) * 1e-3f).toSeq)
+        val feats =
+          if (payload == null) new Array[Float](featureDim)
+          else {
+            val (n, intervalMs) = MediaCodecs.gvidInfo(payload)
+            val idx = math.min(if (intervalMs <= 0) 0L else ts / intervalMs, (n - 1).toLong).toInt
+            val (w, h, px) = MediaCodecs.decodePng(MediaCodecs.gvidFrame(payload, idx))
+            MediaCodecs.imageFeatures(px, w, h)
+          }
+        Row(r.getLong(0), ts, feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Resize plumbing for image payloads: recompute the metadata struct to the
-    * target box (aspect-preserving fit) and re-derive the payload through the
-    * stub codec. The geometry math is real; only the pixel resample is the
-    * stub. Output schema matches the input media schema, so resize composes
-    * with extract/sample in a pipeline.
+  /** Image resize: decode PNG → aspect-preserving fit into `maxW`x`maxH` →
+    * deterministic nearest-neighbor resample → re-encode PNG → patch the
+    * metadata struct. Non-image rows pass through untouched. Output schema
+    * matches the input media schema, so resize composes with
+    * extract/sample in a pipeline.
     */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = media.sparkSession
     val idx = Map(
-      "media_id" -> media.schema.fieldIndex("media_id"),
       "kind" -> media.schema.fieldIndex("kind"),
       "payload" -> media.schema.fieldIndex("payload"),
       "meta" -> media.schema.fieldIndex("meta"))
@@ -115,24 +128,17 @@ object Multimodal {
       rows.map { r =>
         val kind = r.getString(idx("kind"))
         val meta = r.getStruct(idx("meta"))
-        val payload =
-          if (r.isNullAt(idx("payload"))) null else r.getAs[Array[Byte]](idx("payload"))
-        if (kind != "image" || meta == null || meta.isNullAt(0) || meta.isNullAt(1)) r
+        if (kind != "image" || r.isNullAt(idx("payload"))) r
         else {
-          val (w, h) = (meta.getInt(0), meta.getInt(1))
+          val (w, h, px) = MediaCodecs.decodePng(r.getAs[Array[Byte]](idx("payload")))
           val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
           val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // stub resample: deterministic payload shrink proportional to area
-          val outLen =
-            if (payload == null) 0
-            else math.max(1, (payload.length * (nw.toLong * nh) / (w.toLong * h)).toInt)
-          val resampled =
-            if (payload == null) null
-            else java.util.Arrays.copyOf(payload, outLen)
+          val resampled = MediaCodecs.encodePng(nw, nh, MediaCodecs.resizeNearest(px, w, h, nw, nh))
           // rebuild in the INPUT row's column order (fieldIndex-driven) and
           // only patch width/height inside meta, so arbitrary column order
           // and extended meta structs survive
-          val newMeta = Row.fromSeq(meta.toSeq.updated(0, nw).updated(1, nh))
+          val newMeta =
+            if (meta == null) null else Row.fromSeq(meta.toSeq.updated(0, nw).updated(1, nh))
           Row.fromSeq(r.toSeq
             .updated(idx("payload"), resampled)
             .updated(idx("meta"), newMeta))
@@ -142,23 +148,71 @@ object Multimodal {
     spark.createDataFrame(rdd, media.schema)
   }
 
-  /** Deterministic synthetic media fixture (payload bytes from a seeded
-    * generator) — lets tests exercise the full plumbing without codecs.
+  /** Append `decoded_w`/`decoded_h` INT columns by actually decoding image
+    * payloads (NULL for other kinds) — the round-trip proof used by the
+    * resize oracle: after [[resize]], decoded dims must equal the patched
+    * metadata.
+    */
+  def withDecodedDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = media.schema
+      .add("decoded_w", IntegerType).add("decoded_h", IntegerType)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val dims: Seq[Any] =
+          if (r.getString(kindIdx) != "image" || r.isNullAt(payloadIdx)) Seq(null, null)
+          else {
+            val (w, h, _) = MediaCodecs.decodePng(r.getAs[Array[Byte]](payloadIdx))
+            Seq(w, h)
+          }
+        Row.fromSeq(r.toSeq ++ dims)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic media fixture with REAL payloads: PNG images
+    * (640x480 gradient pattern varying per id), 1-second PCM16 WAV sines
+    * (frequency/amplitude varying per id), and 5-frame 64x48 PNG video
+    * containers at a 2500 ms frame interval.
     */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
-    val rows = (0 until n).map { i =>
-      val rnd = new java.util.Random(i)
-      val kind = Seq("image", "audio", "video")(i % 3)
-      val payload = new Array[Byte](64 + (i % 32))
-      rnd.nextBytes(payload)
-      Row(
-        i.toLong,
-        kind,
-        payload,
-        Row(640, 480, if (kind == "video") 10000L else 0L, "synthetic"))
+    // generated ON EXECUTORS (map over range) so payload bytes never ship
+    // from the driver — the shape a real media table load would have
+    val rows = spark.range(n).rdd.map { i0 =>
+      val i = i0.toInt
+      (i % 3) match {
+        case 0 => // image
+          Row(i.toLong, "image", imagePayload(i, 640, 480), Row(640, 480, 0L, "png"))
+        case 1 => // audio: 1 s mono sine at 8 kHz
+          val freq = 220.0 + 10 * i
+          val amp = 0.4 + 0.04 * (i % 10)
+          val samples = Array.tabulate(8000)(t =>
+            (math.sin(2 * math.Pi * freq * t / 8000.0) * amp * 32767).toShort)
+          Row(i.toLong, "audio", MediaCodecs.encodeWav(samples, 8000),
+            Row(null, null, 1000L, "wav"))
+        case 2 => // video: 5 frames, 2500 ms apart -> 10 s span
+          val frames = (0 until 5).map(f => framePayload(i, f, 64, 48))
+          Row(i.toLong, "video", MediaCodecs.encodeGvid(frames, 2500),
+            Row(64, 48, 10000L, "gvid"))
+      }
     }
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      mediaSchema)
+    spark.createDataFrame(rows, mediaSchema)
   }
+
+  private def imagePayload(i: Int, w: Int, h: Int): Array[Byte] =
+    MediaCodecs.encodePng(w, h, Array.tabulate(w * h) { p =>
+      val (x, y) = (p % w, p / w)
+      (((x * 7 + i * 13) & 0xff) << 16) | (((y * 5 + i * 29) & 0xff) << 8) |
+        (((x + y) * 3 + i * 7) & 0xff)
+    })
+
+  private def framePayload(i: Int, f: Int, w: Int, h: Int): Array[Byte] =
+    MediaCodecs.encodePng(w, h, Array.tabulate(w * h) { p =>
+      val (x, y) = (p % w, p / w)
+      (((x * 3 + f * 11 + i * 13) & 0xff) << 16) | (((y * 7 + f * 5 + i) & 0xff) << 8) |
+        (((x ^ y) + f + i * 3) & 0xff)
+    })
 }
