@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 local[32] tasks share spark.memory.fraction of this heap: at 8g the
+  // LSH self-joins ran ~150MB/task and GC noise dominated their bench times;
+  // 24g (of the 128 GiB box) gives ~450MB/task headroom. Xmx is only a cap —
+  // small test runs don't allocate it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

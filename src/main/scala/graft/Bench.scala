@@ -56,16 +56,22 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false
         }
-      val t0 = System.nanoTime()
-      val ok2 = ok &&
-        (try { all(name)(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
-        })
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok2) sec else -sec)
+      // median of 3 timed runs: single-run numbers on a shared box swing
+      // ±2x with scheduler/GC noise; the median is the steady-state signal
+      var failed = !ok
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        if (!failed) {
+          try all(name)(spark, sfDir).count()
+          catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              failed = true
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (if (!failed) times.sorted.apply(1) else -times.max)
     }
 
     val baseline = runBaselineBench(spark, sfDir, errors)
@@ -107,7 +113,10 @@ object Bench {
     def timed(tag: String)(f: => Unit): Option[Double] =
       try {
         f // warmup, untimed
-        val t0 = System.nanoTime(); f; Some((System.nanoTime() - t0) / 1e9)
+        // median of 3, same rationale as the headline queries
+        Some((1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1))
       } catch {
         case e: Throwable =>
           errors(tag) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
