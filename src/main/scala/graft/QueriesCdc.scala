@@ -188,6 +188,52 @@ object QueriesCdc {
         .orderBy("user_id", "s_start")
     }),
 
+    // Watermarked stream-stream INTERVAL join through the real streaming
+    // runtime: signups joined to purchases by the same user within the next
+    // 24 h. Both sides carry watermarks and the condition time-bounds both
+    // event times, so join state is bounded (interval + watermark horizon) —
+    // the only stream-stream join shape that survives 100 TB/day. Inner-join
+    // matches emit as they occur; output must equal the batch interval join,
+    // DuckDB-checked.
+    "s_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val lSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("s_ts", TimestampType)))
+      val rSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("p_ts", TimestampType),
+        StructField("p_value", DoubleType)))
+      def enc(schema: StructType) =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 100)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").cast(TimestampType).as("s_ts")).collect()
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast(TimestampType).as("p_ts"),
+          col("value").cast(DoubleType).as("p_value")).collect()
+      val name = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val left = MemoryStream[Row](1, s, None)(enc(lSchema))
+      val right = MemoryStream[Row](2, s, None)(enc(rSchema))
+      val joined = graft.streaming.EventTimeOps.intervalJoin(
+        left.toDF(), right.toDF(), keyCol = "user_id",
+        leftTs = "s_ts", rightTs = "p_ts", window = "1 day")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        left.addData(signups.toIndexedSeq)
+        right.addData(purchases.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(
+          col("user_id"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("s_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          col("p_value"))
+        .orderBy("user_id", "s_ts", "p_ts", "p_value")
+    }),
+
     // Same protocol, REAL database engine: the identical scenario runs with
     // the Derby-backed JdbcChangeSource (ranged SQL snapshot reads + capture
     // log table) behind the same four-method dialect SPI — proving the DSv2
@@ -395,6 +441,17 @@ object QueriesCdc {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "s_stream_join" ->
+      """SELECT a.user_id,
+        |  strftime(CAST(a.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS s_ts,
+        |  strftime(CAST(b.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  b.value AS p_value
+        |FROM events a JOIN events b ON b.user_id = a.user_id
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        |  AND a.user_id < 100
+        |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 DAY
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "c_incremental_jdbc" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),

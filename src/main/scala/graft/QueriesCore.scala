@@ -394,6 +394,27 @@ object QueriesCore {
           element_at(col("m.data"), 1).getField("value").as("data_value"))
         .orderBy("seq")
     }),
+    "c_kafka_source" -> ((s, dir) => {
+      // Kafka as a SOURCE: the changelog is serialized to debezium-json wire
+      // bytes, read back through the fromDebeziumJson READER (op decode,
+      // image parse, offset→seq), and PK-materialized — the full
+      // Debezium-Connect-topic ingestion topology, oracle-checked against
+      // the changelog's final state
+      import graft.sinks.KafkaJsonFormats
+      import org.apache.spark.sql.types._
+      val wire = eventsChangelog(s, dir).select(
+        col(Envelope.SeqCol).as("offset"), KafkaJsonFormats.debeziumValue.as("value"))
+      // ts is TimestampType (not NTZ): the sink serializer writes instants
+      // with a zone suffix, which only the zoned type parses back
+      val payloadT = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampType)))
+      val env = KafkaJsonFormats.fromDebeziumJson(wire, payloadT, col("offset"))
+      graft.operators.Upsert.materialize(env, Seq("user_id"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("user_id")
+    }),
     "t_udf2" -> ((s, dir) => {
       // multi-arity typed eval through the UserDefinedFunction lifecycle
       // registry (reference UserDefinedFunction.java:27-48 accepts arbitrary
@@ -600,6 +621,12 @@ object QueriesCore {
         |  CASE WHEN op <> 'DELETE' THEN user_id END AS data_uid,
         |  CASE WHEN op <> 'DELETE' THEN value END AS data_value
         |FROM ev ORDER BY seq""".stripMargin),
+    "c_kafka_source" -> (evCte +
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM ev) t
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)

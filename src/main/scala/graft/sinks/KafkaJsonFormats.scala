@@ -63,6 +63,67 @@ object KafkaJsonFormats {
   def canalJson(env: DataFrame): DataFrame =
     env.select(canalValue.as("value"), col(Envelope.TableIdCol).as("topic"))
 
+  // --------------------------------------------------------------- readers
+
+  /** debezium-json READER — the inverse projection, completing the wire
+    * contract as a SOURCE format: parse Kafka record values back into the
+    * envelope (the Kafka + Debezium-Connect source topology of SURVEY §7.6).
+    * Op decode follows Debezium: c→INSERT, u→UPDATE, d→DELETE, and
+    * r (snapshot read) → REPLACE. `seqCol` supplies changelog order — in a
+    * real topic that is the Kafka partition offset.
+    */
+  def fromDebeziumJson(
+      raw: DataFrame,
+      rowSchema: org.apache.spark.sql.types.StructType,
+      seqCol: Column,
+      valueCol: Column = col("value")): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val msgT = StructType(Seq(
+      StructField("before", rowSchema), StructField("after", rowSchema),
+      StructField("op", StringType),
+      StructField("source", StructType(Seq(
+        StructField("db", StringType), StructField("table", StringType))))))
+    val m = from_json(valueCol, msgT)
+    val opDecoded = when(m("op") === "c", "INSERT")
+      .when(m("op") === "d", "DELETE")
+      .when(m("op") === "r", "REPLACE")
+      .otherwise("UPDATE")
+    raw.select(
+      concat_ws(".",
+        filter(array(m.getField("source").getField("db"), m.getField("source").getField("table")),
+          c => c.isNotNull && c =!= ""))
+        .as(Envelope.TableIdCol),
+      opDecoded.as(Envelope.OpCol),
+      m("before").as(Envelope.BeforeCol),
+      m("after").as(Envelope.AfterCol),
+      seqCol.cast("long").as(Envelope.SeqCol),
+      map().cast("map<string,string>").as(Envelope.MetaCol))
+  }
+
+  /** canal-json READER: images ride single-element `old`/`data` arrays;
+    * canal has no REPLACE (it serialized as INSERT). */
+  def fromCanalJson(
+      raw: DataFrame,
+      rowSchema: org.apache.spark.sql.types.StructType,
+      seqCol: Column,
+      valueCol: Column = col("value")): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val msgT = StructType(Seq(
+      StructField("old", ArrayType(rowSchema)), StructField("data", ArrayType(rowSchema)),
+      StructField("type", StringType),
+      StructField("database", StringType), StructField("table", StringType)))
+    val m = from_json(valueCol, msgT)
+    raw.select(
+      concat_ws(".",
+        filter(array(m("database"), m("table")), c => c.isNotNull && c =!= ""))
+        .as(Envelope.TableIdCol),
+      m("type").as(Envelope.OpCol),
+      element_at(m("old"), 1).as(Envelope.BeforeCol),
+      element_at(m("data"), 1).as(Envelope.AfterCol),
+      seqCol.cast("long").as(Envelope.SeqCol),
+      map().cast("map<string,string>").as(Envelope.MetaCol))
+  }
+
   /** Kafka record key + partition strategy
     * (`sink/PartitionStrategy.java`: ALL_TO_ZERO | HASH_BY_KEY).
     */

@@ -101,4 +101,33 @@ object EventTimeOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
+
+  /** Watermarked stream-stream INTERVAL join: left events match right events
+    * on `keyCol` within `[left.ts, left.ts + window]`. Both sides carry
+    * watermarks and the join condition time-bounds BOTH event times, so the
+    * state store retains each side only for the interval + watermark horizon
+    * — the bounded-state contract that makes stream-stream joins viable at
+    * 100 TB/day (an unbounded-state join would OOM; Spark enforces the bound
+    * from exactly this shape).
+    *
+    * The two inputs must already have distinct column names apart from
+    * `keyCol` and their `tsCol`s (rename before calling).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      window: String,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(
+      r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"))
+      .drop(r(keyCol))
+  }
 }

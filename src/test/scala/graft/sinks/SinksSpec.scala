@@ -56,6 +56,49 @@ class KafkaJsonFormatsSpec extends AnyFunSuite {
     val zero = KafkaJsonFormats.withKey(env(), Seq("col1"), "ALL_TO_ZERO")
     assert(zero.select($"partition").distinct().as[Int].collect().toSeq == Seq(0))
   }
+
+  test("debezium-json reader inverts the writer: envelope round trip") {
+    val wire = env().select(col(Envelope.SeqCol).as("off"),
+      KafkaJsonFormats.debeziumValue.as("value"))
+    val back = KafkaJsonFormats.fromDebeziumJson(
+      wire, ValuesSource.customersSchema.struct, col("off"))
+      .orderBy(Envelope.SeqCol).collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("INSERT", "UPDATE", "DELETE"))
+    // REPLACE serialized as "u" folds to UPDATE — same materialized state
+    assert(back.map(_.getString(0)).distinct.toSeq === Seq("mydb.users"))
+    assert(back(0).getStruct(2) == null && back(0).getStruct(3).getString(1) == "a")
+    assert(back(2).getStruct(2).getString(1) == "b" && back(2).getStruct(3) == null)
+  }
+
+  test("debezium reader decodes the snapshot-read op code r as REPLACE") {
+    val raw = Seq(
+      """{"before":null,"after":{"col1":"9","col2":"z"},"op":"r","source":{"db":"d","table":"t"}}""")
+      .toDF("value")
+    val e = KafkaJsonFormats.fromDebeziumJson(
+      raw, ValuesSource.customersSchema.struct, lit(7L)).head()
+    assert(e.getString(0) == "d.t" && e.getString(1) == "REPLACE" && e.getLong(4) == 7L)
+  }
+
+  test("canal-json reader inverts the writer: images from old/data arrays") {
+    val wire = env().select(col(Envelope.SeqCol).as("off"),
+      KafkaJsonFormats.canalValue.as("value"))
+    val back = KafkaJsonFormats.fromCanalJson(
+      wire, ValuesSource.customersSchema.struct, col("off"))
+      .orderBy(Envelope.SeqCol).collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("INSERT", "UPDATE", "DELETE"))
+    assert(back(1).getStruct(2).getString(1) == "a" && back(1).getStruct(3).getString(1) == "b")
+  }
+
+  test("reader -> materialize equals direct materialize of the changelog") {
+    val direct = Upsert.materialize(env(), Seq("col1")).collect().toSet
+    val wire = env().select(col(Envelope.SeqCol).as("off"),
+      KafkaJsonFormats.debeziumValue.as("value"))
+    val viaKafka = Upsert.materialize(
+      KafkaJsonFormats.fromDebeziumJson(
+        wire, ValuesSource.customersSchema.struct, col("off")),
+      Seq("col1")).collect().toSet
+    assert(viaKafka === direct)
+  }
 }
 
 class PartitioningSpec extends AnyFunSuite {

@@ -145,4 +145,37 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(u1 == Set((2, 3.0), (1, 3.0)))
     q.stop()
   }
+
+  test("intervalJoin: matches only within the window, state is watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lSchema = StructType(Seq(
+      StructField("k", LongType), StructField("l_ts", TimestampType)))
+    val rSchema = StructType(Seq(
+      StructField("k", LongType), StructField("r_ts", TimestampType),
+      StructField("v", DoubleType)))
+    def enc(s: StructType) =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(s))
+    val left = MemoryStream[Row](101, spark, None)(enc(lSchema))
+    val right = MemoryStream[Row](102, spark, None)(enc(rSchema))
+    val joined = EventTimeOps.intervalJoin(
+      left.toDF(), right.toDF(), keyCol = "k",
+      leftTs = "l_ts", rightTs = "r_ts", window = "1 hour",
+      watermarkDelay = "10 minutes")
+    // the plan must carry watermarks on both sides (bounded state); an
+    // unbounded stream-stream join would be rejected in append mode
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      left.addData(Row(1L, ts("2024-01-01 10:00:00")), Row(2L, ts("2024-01-01 10:00:00")))
+      right.addData(
+        Row(1L, ts("2024-01-01 10:30:00"), 5.0), // in window
+        Row(1L, ts("2024-01-01 11:30:00"), 6.0), // past window
+        Row(1L, ts("2024-01-01 09:30:00"), 7.0), // before left event
+        Row(2L, ts("2024-01-01 11:00:00"), 8.0)) // boundary: exactly +1h
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, v FROM ij").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 5.0), (2L, 8.0)))
+    } finally q.stop()
+  }
 }
