@@ -49,29 +49,28 @@ object Bench {
     // scale, where per-query compilation amortizes to zero. A query that fails
     // its warmup is reported as an error with a negative sentinel.
     val results = headline.filter(all.contains).map { name =>
-      val ok =
+      // the negative sentinel carries the duration of the run that FAILED
+      // (not an earlier successful run's time, which would be misleading)
+      var failSec = 0.0
+      def attempt(): Boolean = {
+        val t0 = System.nanoTime()
         try { all(name)(spark, sfDir).count(); true }
         catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            failSec = (System.nanoTime() - t0) / 1e9
             false
         }
+      }
+      var failed = !attempt() // warmup, untimed on success
       // median of 3 timed runs: single-run numbers on a shared box swing
       // ±2x with scheduler/GC noise; the median is the steady-state signal
-      var failed = !ok
-      val times = (1 to 3).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (!failed && times.length < 3) {
         val t0 = System.nanoTime()
-        if (!failed) {
-          try all(name)(spark, sfDir).count()
-          catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              failed = true
-          }
-        }
-        (System.nanoTime() - t0) / 1e9
+        if (attempt()) times += (System.nanoTime() - t0) / 1e9 else ()
       }
-      name -> (if (!failed) times.sorted.apply(1) else -times.max)
+      name -> (if (!failed) times.sorted.apply(1) else -math.max(failSec, 1e-3))
     }
 
     val baseline = runBaselineBench(spark, sfDir, errors)
@@ -88,6 +87,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline":$bs,"sf":${jq(
           sfDir)}}""")
     spark.stop()
+    // same discipline as graft.Verify: the driver must never hang on a stray
+    // non-daemon thread after the JSON line is out
+    sys.exit(0)
   }
 
   /** BASELINE.md's B1–B4 envelope, run on the SF-dir parquet:

@@ -39,5 +39,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // belt-and-braces for the driver contract: never leave the driver's
+    // correctness run hanging on a stray non-daemon thread
+    sys.exit(0)
   }
 }

@@ -120,7 +120,23 @@ object MockModelServer {
   val apiKey = "graft-test-key"
   private val embeddingDim = 16
 
+  /** The JDK HttpServer's internal "HTTP-Dispatcher" thread inherits the
+    * daemon flag of the thread that calls `start()`. Booting from a daemon
+    * thread makes the dispatcher daemon too, so a main (graft.Verify /
+    * graft.Bench — the driver contract) exits when its work is done instead
+    * of hanging on a live non-daemon dispatcher that shutdown hooks can
+    * never reach (hooks only fire once shutdown STARTS).
+    */
   private lazy val server: HttpServer = {
+    var booted: HttpServer = null
+    val boot = new Thread(() => booted = buildServer(), "mock-model-server-boot")
+    boot.setDaemon(true)
+    boot.start()
+    boot.join()
+    booted
+  }
+
+  private def buildServer(): HttpServer = {
     val s = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/chat/completions", handler { (model, body) =>
       chatRequests.incrementAndGet()
@@ -164,7 +180,12 @@ object MockModelServer {
           val model = body.path("model").asText()
           respond(ex, 200, mapper.writeValueAsString(f(model, body)))
         } catch {
-          case e: Exception => respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
+          case e: Exception =>
+            // serialize via Jackson: a message containing quotes/newlines must
+            // not produce an invalid JSON error body
+            val err = mapper.createObjectNode()
+            err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+            respond(ex, 500, mapper.writeValueAsString(err))
         } finally ex.close()
     }
 

@@ -116,7 +116,11 @@ object ModelFunctions {
           if (input == null) null else deterministicChat(modelName, input))
     }
 
-  /** `GET_EMBEDDING(input) -> ARRAY<FLOAT>` (`OpenAIEmbeddingModel.eval:57`). */
+  /** `GET_EMBEDDING(input) -> ARRAY<FLOAT>` (`OpenAIEmbeddingModel.eval:57`).
+    * Null/blank contract matches the reference
+    * (`OpenAIEmbeddingModel.getEmbedding`): null or blank input yields an
+    * EMPTY `Float[0]` array (no API call), not SQL NULL.
+    */
   def registerGetEmbedding(
       spark: SparkSession, modelName: String, dim: Int = 16,
       endpoint: Option[ModelEndpoint] = None): Unit =
@@ -125,7 +129,8 @@ object ModelFunctions {
         spark.udf.register("GET_EMBEDDING", new EmbedUdf(ep))
       case None =>
         spark.udf.register("GET_EMBEDDING", (input: String) =>
-          if (input == null) null else deterministicEmbedding(input, dim))
+          if (input == null || input.trim.isEmpty) Array.empty[Float]
+          else deterministicEmbedding(input, dim))
     }
 
   // plain Function1 classes, not lambdas-in-fields: a stored lambda field
@@ -142,7 +147,9 @@ object ModelFunctions {
       extends (String => Array[Float]) with Serializable {
     @transient private lazy val client = new OpenAiClient(ep)
     override def apply(input: String): Array[Float] =
-      if (input == null) null else client.embed(input)
+      // reference contract: null/blank -> empty array, no API round-trip
+      if (input == null || input.trim.isEmpty) Array.empty[Float]
+      else client.embed(input)
   }
 
   /** The scale path for embeddings: partition-batched requests —

@@ -105,6 +105,7 @@ object MediaCodecs {
     * → (sampleRate, samples).
     */
   def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 12, s"truncated WAV: ${bytes.length} bytes, header needs 12")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def ascii(n: Int): String = { val b = new Array[Byte](n); buf.get(b); new String(b, "US-ASCII") }
     require(ascii(4) == "RIFF", "not a RIFF file")
@@ -115,8 +116,13 @@ object MediaCodecs {
     while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
       val id = ascii(4)
       val len = buf.getInt
+      // embedded length fields are untrusted: a truncated/corrupt payload must
+      // fail as a clear decode error, not BufferUnderflow/NegativeArraySize
+      require(len >= 0 && len <= buf.remaining(),
+        s"corrupt WAV: chunk '$id' declares $len bytes, ${buf.remaining()} remain")
       id match {
         case "fmt " =>
+          require(len >= 16, s"corrupt WAV: fmt chunk of $len bytes, needs 16")
           val fmt = buf.getShort; val ch = buf.getShort
           sampleRate = buf.getInt
           buf.getInt; buf.getShort
@@ -128,7 +134,8 @@ object MediaCodecs {
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
         case _ =>
-          buf.position(buf.position() + len + (len & 1)) // chunks are word-aligned
+          // chunks are word-aligned; the pad byte may be absent at EOF
+          buf.position(math.min(buf.position() + len + (len & 1), buf.limit()))
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
@@ -167,6 +174,7 @@ object MediaCodecs {
 
   /** → (frameCount, frameIntervalMs). */
   def gvidInfo(bytes: Array[Byte]): (Int, Int) = {
+    require(bytes.length >= 12, s"truncated GVID: ${bytes.length} bytes, header needs 12")
     val buf = ByteBuffer.wrap(bytes)
     require(buf.getInt == GvidMagic, "not a GVID payload")
     val interval = buf.getInt
@@ -175,14 +183,23 @@ object MediaCodecs {
 
   /** Extract (without decoding) the PNG bytes of frame `idx`. */
   def gvidFrame(bytes: Array[Byte], idx: Int): Array[Byte] = {
+    require(bytes.length >= 12, s"truncated GVID: ${bytes.length} bytes, header needs 12")
     val buf = ByteBuffer.wrap(bytes)
     require(buf.getInt == GvidMagic, "not a GVID payload")
     buf.getInt
     val n = buf.getInt
     require(idx >= 0 && idx < n, s"frame $idx out of $n")
+    // frame length fields are untrusted — validate against the real buffer
+    def frameLen(): Int = {
+      require(buf.remaining() >= 4, "corrupt GVID: truncated frame header")
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(),
+        s"corrupt GVID: frame declares $len bytes, ${buf.remaining()} remain")
+      len
+    }
     var i = 0
-    while (i < idx) { val len = buf.getInt; buf.position(buf.position() + len); i += 1 }
-    val out = new Array[Byte](buf.getInt)
+    while (i < idx) { val len = frameLen(); buf.position(buf.position() + len); i += 1 }
+    val out = new Array[Byte](frameLen())
     buf.get(out)
     out
   }

@@ -65,11 +65,22 @@ object KafkaJsonFormats {
 
   // --------------------------------------------------------------- readers
 
+  /** Op value assigned to records whose op code is unrecognized or whose
+    * value failed to parse as JSON at all (`from_json` → null). The reference
+    * serializer throws on unsupported ops
+    * (`DebeziumJsonSerializationSchema.serialize` default branch); in a
+    * column pipeline the equivalent discipline is a filterable marker that a
+    * dead-letter route can peel off — silently coining UPDATEs with null
+    * images would corrupt downstream upserts.
+    */
+  val InvalidOp = "INVALID"
+
   /** debezium-json READER — the inverse projection, completing the wire
     * contract as a SOURCE format: parse Kafka record values back into the
     * envelope (the Kafka + Debezium-Connect source topology of SURVEY §7.6).
     * Op decode follows Debezium: c→INSERT, u→UPDATE, d→DELETE, and
-    * r (snapshot read) → REPLACE. `seqCol` supplies changelog order — in a
+    * r (snapshot read) → REPLACE; anything else (including unparseable JSON)
+    * becomes [[InvalidOp]]. `seqCol` supplies changelog order — in a
     * real topic that is the Kafka partition offset.
     */
   def fromDebeziumJson(
@@ -87,7 +98,8 @@ object KafkaJsonFormats {
     val opDecoded = when(m("op") === "c", "INSERT")
       .when(m("op") === "d", "DELETE")
       .when(m("op") === "r", "REPLACE")
-      .otherwise("UPDATE")
+      .when(m("op") === "u", "UPDATE")
+      .otherwise(InvalidOp)
     raw.select(
       concat_ws(".",
         filter(array(m.getField("source").getField("db"), m.getField("source").getField("table")),
@@ -117,7 +129,7 @@ object KafkaJsonFormats {
       concat_ws(".",
         filter(array(m("database"), m("table")), c => c.isNotNull && c =!= ""))
         .as(Envelope.TableIdCol),
-      m("type").as(Envelope.OpCol),
+      coalesce(m("type"), lit(InvalidOp)).as(Envelope.OpCol),
       element_at(m("old"), 1).as(Envelope.BeforeCol),
       element_at(m("data"), 1).as(Envelope.AfterCol),
       seqCol.cast("long").as(Envelope.SeqCol),

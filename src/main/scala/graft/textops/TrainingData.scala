@@ -1,0 +1,158 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the reference's surface: the
+  * corpus-preparation passes a 100 TB LLM data pipeline runs between ingest
+  * (CDC / lake scan) and tokenization. All are pure column programs — map-only
+  * where possible, one bounded shuffle where not — and every formula is
+  * DuckDB-expressible so the driver's oracle can hash-check them exactly.
+  *
+  *  - PII redaction: regexp chain, map-only, codegen'd — scan speed.
+  *  - Deterministic sampling: portable LCG bucket on the id, so the SAME rows
+  *    are sampled on any engine/cluster/run — no RNG, no seed drift, and an
+  *    auditor can recompute membership from the id alone.
+  *  - Sequence packing: per-shard cumulative token fill into fixed-budget
+  *    bins — the standard pre-tokenization packing pass; one window sort per
+  *    shard, shards are independent so parallelism is O(shards).
+  *  - Decontamination: k-gram overlap against a (small) benchmark set —
+  *    benchmark grams broadcast, corpus grams stream map-side, only matches
+  *    shuffle (the GPT-3-style n-gram decontamination shape).
+  */
+object TrainingData {
+
+  // ----------------------------------------------------------------- PII
+
+  /** Java-regex AND RE2-compatible patterns (no lookaround, no backrefs), so
+    * Spark (`java.util.regex`) and the DuckDB oracle (RE2) agree match-exactly.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val CreditCardRe = "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b"
+
+  /** Redact emails, credit cards, phone numbers, and IPv4s to typed tokens.
+    * Order matters: credit cards before phones (a 4-4-4-4 digit run contains
+    * a 3-3-4 substring). Pure `regexp_replace` chain — whole-stage codegen,
+    * no UDF, scan-speed at any scale.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val c = regexp_replace(e, CreditCardRe, "<CREDIT_CARD>")
+    val p = regexp_replace(c, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
+  /** True when any PII pattern matches (pre-redaction audit flag). */
+  def hasPii(text: Column): Column =
+    text.rlike(EmailRe) || text.rlike(CreditCardRe) ||
+      text.rlike(PhoneRe) || text.rlike(Ipv4Re)
+
+  /** Matches of `pattern` in `text`, counted portably: splitting on the
+    * pattern yields matches+1 fields (constant-fold-safe, same value in
+    * DuckDB's `len(string_split_regex(..)) - 1`).
+    */
+  def piiHits(text: Column, pattern: String): Column =
+    when(text.isNull, lit(null))
+      .otherwise(size(split(text, pattern)) - 1)
+
+  // ------------------------------------------------------- deterministic sampling
+
+  /** Portable deterministic bucket in `[0, buckets)`: one LCG step
+    * (Knuth/glibc constants) on the row id. Pure int64 arithmetic — identical
+    * in Spark, DuckDB, or a shell script, unlike engine-specific `hash()`
+    * or seeded `rand()` whose values never survive an engine swap. Requires
+    * non-negative ids (true for all our tables).
+    */
+  def deterministicBucket(id: Column, buckets: Int): Column =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(buckets.toLong))
+
+  /** Stratified sample: per-stratum keep-fractions (in 1/2048ths for exact
+    * integer arithmetic) with a default for unlisted strata. Map-only — a
+    * filter on a computed column; no shuffle, no driver round-trip, and the
+    * sampled set is stable across runs and engines.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      keepPer2048: Map[String, Int],
+      defaultPer2048: Int): DataFrame = {
+    val cutoff = keepPer2048.foldLeft(lit(defaultPer2048)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(deterministicBucket(col(idCol), 2048) < cutoff)
+  }
+
+  /** Exactly `k` rows per stratum, deterministically: rank by (bucket, id) —
+    * a total order — inside each stratum and keep the first k. One shuffle on
+    * the stratum key; with few strata and huge data, salting or per-stratum
+    * `TABLESAMPLE`-style pre-filtering (bucket < generous cutoff) bounds the
+    * sort input, which is the standard eval-set construction at scale.
+    */
+  def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(deterministicBucket(col(idCol), 2048), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= k)
+  }
+
+  // ------------------------------------------------------------ sequence packing
+
+  /** Assign each document to a fixed-token-budget bin by cumulative fill
+    * order within (shardCols): bin = floor(exclusive-prefix-sum / budget).
+    * This is contiguous greedy packing — documents fill bin 0 until the
+    * budget is crossed, then bin 1, etc. One window sort PER SHARD; shards
+    * are hash-partitioned and independent, so at 100 TB parallelism equals
+    * shard count and no global sort exists.
+    */
+  def packBins(
+      df: DataFrame,
+      costCol: String,
+      orderCol: String,
+      shardCols: Seq[String],
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bin",
+      floor((sum(col(costCol)).over(w) - col(costCol)) / lit(budget)))
+  }
+
+  // ------------------------------------------------------------- decontamination
+
+  /** Strict lowercase word k-grams (documents with fewer than k words yield
+    * none — no short-text fallback; this is the decontamination contract, not
+    * the LSH shingle contract). Expressed with native higher-order functions
+    * so the DuckDB oracle (`w[i:i+k-1]` slices) is formula-identical.
+    */
+  def strictWordGrams(text: Column, k: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - k),
+        i => array_join(slice(words, i + lit(1), lit(k)), " ")))
+  }
+
+  /** GPT-3-style n-gram decontamination: flag training documents sharing any
+    * word k-gram with a benchmark/eval set. Benchmark grams are distinct-ed
+    * and BROADCAST (eval sets are tiny next to the corpus); the corpus side
+    * streams its grams map-side through the broadcast hash join, so nothing
+    * but the (rare) matches reaches the final per-doc aggregate. Returns
+    * (idCol, n_shared_grams) for contaminated training docs.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol), explode(strictWordGrams(col(textCol), k)).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+}

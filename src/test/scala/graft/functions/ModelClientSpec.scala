@@ -37,19 +37,37 @@ class ModelClientSpec extends AnyFunSuite {
     assert(e.getMessage.contains("401"))
   }
 
+  test("server 500 bodies are valid JSON even when the message has quotes") {
+    val ep = MockModelServer.endpoint("m1")
+    val url = new java.net.URL(ep.baseUrl + "/chat/completions")
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Authorization", s"Bearer ${ep.apiKey.get}")
+    // malformed JSON body with embedded quotes/newline -> parser exception whose
+    // message itself contains quotes; the error body must still parse as JSON
+    conn.getOutputStream.write("{\"broken\": \"x\n".getBytes("UTF-8"))
+    assert(conn.getResponseCode === 500)
+    val body = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(node.has("error") && node.get("error").asText().nonEmpty)
+  }
+
   test("registered UDFs answer through HTTP with stub-identical results") {
     import spark.implicits._
     ModelFunctions.registerChatPredict(
       spark, "m1", endpoint = Some(MockModelServer.endpoint("m1")))
     ModelFunctions.registerGetEmbedding(
       spark, "m1", endpoint = Some(MockModelServer.endpoint("m1")))
-    val rows = Seq("a", "b", null).toDF("s")
+    val rows = Seq("a", "b", null, "  ").toDF("s")
       .selectExpr("AI_CHAT_PREDICT(s) AS p", "size(GET_EMBEDDING(s)) AS d")
       .collect()
-    assert(rows.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq ===
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getString(0)).take(3).toSeq ===
       Seq(ModelFunctions.deterministicChat("m1", "a"),
         ModelFunctions.deterministicChat("m1", "b"), null))
-    assert(rows.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq === Seq(16, 16, -1))
+    // reference contract (OpenAIEmbeddingModel.getEmbedding): null/blank input
+    // -> EMPTY Float[0] array (no API call), not SQL NULL
+    assert(rows.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq === Seq(16, 16, 0, 0))
   }
 
   test("withEmbedding batches per partition: far fewer requests than rows") {

@@ -40,6 +40,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed payloads fail with clear decode errors, not buffer faults") {
+    val samples = Array.tabulate[Short](100)(identity(_).toShort)
+    val wav = MediaCodecs.encodeWav(samples, 8000)
+    // truncate mid-data: declared chunk length exceeds actual bytes
+    val truncated = wav.take(wav.length - 50)
+    val e1 = intercept[IllegalArgumentException](MediaCodecs.decodeWav(truncated))
+    assert(e1.getMessage.contains("corrupt WAV"))
+    // too short for even the RIFF header
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.decodeWav(Array[Byte](1, 2, 3)))
+    assert(e2.getMessage.contains("truncated WAV"))
+    // GVID with a frame-length field pointing past the buffer
+    val g = MediaCodecs.encodeGvid(Seq(Array.tabulate[Byte](64)(identity(_).toByte)), 1000)
+    val gTrunc = g.take(g.length - 10)
+    val e3 = intercept[IllegalArgumentException](MediaCodecs.gvidFrame(gTrunc, 0))
+    assert(e3.getMessage.contains("corrupt GVID"))
+    val e4 = intercept[IllegalArgumentException](MediaCodecs.gvidFrame(Array[Byte](1), 0))
+    assert(e4.getMessage.contains("truncated GVID"))
+  }
+
   test("nearest-neighbor resize: exact source-pixel mapping") {
     val (w, h, nw, nh) = (8, 6, 4, 3)
     val px = Array.tabulate(w * h)(identity)

@@ -79,6 +79,29 @@ class KafkaJsonFormatsSpec extends AnyFunSuite {
     assert(e.getString(0) == "d.t" && e.getString(1) == "REPLACE" && e.getLong(4) == 7L)
   }
 
+  test("debezium reader marks unknown op codes and unparseable JSON as INVALID") {
+    val raw = Seq(
+      """{"before":null,"after":{"col1":"1","col2":"a"},"op":"x","source":{"db":"d","table":"t"}}""",
+      """this is not json at all""",
+      """{"before":null,"after":{"col1":"2","col2":"b"},"op":"u","source":{"db":"d","table":"t"}}""")
+      .toDF("value")
+    val ops = KafkaJsonFormats.fromDebeziumJson(
+      raw, ValuesSource.customersSchema.struct, lit(0L))
+      .select(col(Envelope.OpCol)).as[String].collect().toSeq
+    assert(ops === Seq(KafkaJsonFormats.InvalidOp, KafkaJsonFormats.InvalidOp, "UPDATE"))
+    // the marker is filterable: a dead-letter route peels them off, the clean
+    // path sees only well-formed envelopes
+    val parsed = KafkaJsonFormats.fromDebeziumJson(
+      raw, ValuesSource.customersSchema.struct, lit(0L))
+      .where(col(Envelope.OpCol) =!= KafkaJsonFormats.InvalidOp)
+    assert(parsed.count() == 1)
+    // canal: unparseable value -> INVALID too
+    val canalOps = KafkaJsonFormats.fromCanalJson(
+      Seq("""broken {""").toDF("value"), ValuesSource.customersSchema.struct, lit(0L))
+      .select(col(Envelope.OpCol)).as[String].collect().toSeq
+    assert(canalOps === Seq(KafkaJsonFormats.InvalidOp))
+  }
+
   test("canal-json reader inverts the writer: images from old/data arrays") {
     val wire = env().select(col(Envelope.SeqCol).as("off"),
       KafkaJsonFormats.canalValue.as("value"))
