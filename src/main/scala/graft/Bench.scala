@@ -68,7 +68,8 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (!failed && times.length < 3) {
         val t0 = System.nanoTime()
-        if (attempt()) times += (System.nanoTime() - t0) / 1e9 else ()
+        // a timed-run failure must abort the loop (not spin forever retrying)
+        if (attempt()) times += (System.nanoTime() - t0) / 1e9 else failed = true
       }
       name -> (if (!failed) times.sorted.apply(1) else -math.max(failSec, 1e-3))
     }

@@ -5,6 +5,7 @@ import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import graft.sources.Tables
+import graft.textops.TrainingData
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -132,6 +133,58 @@ object QueriesML {
       docs(s, dir).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-data curation ---------------------------------------------
+    "x_pii_redact" -> ((s, dir) => {
+      // documents carry no PII, so plant one of each pattern deterministically
+      // per row — the redaction chain and audit counters are then fully
+      // hash-checkable against the oracle replaying the same construction
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" call 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" card 4242-4242-4242-4242 host 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7")).as("pii_text"))
+      withPii.select(col("doc_id"),
+        TrainingData.redactPii(col("pii_text")).as("redacted"),
+        TrainingData.hasPii(col("pii_text")).cast("int").as("has_pii"),
+        TrainingData.piiHits(col("pii_text"), TrainingData.EmailRe).as("n_emails"))
+        .orderBy("doc_id")
+    }),
+    "x_sample_stratified" -> ((s, dir) => {
+      TrainingData.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        keepPer2048 = Map("src0" -> 1024, "src1" -> 512), defaultPer2048 = 256)
+        .orderBy("doc_id")
+    }),
+    "x_sample_topk" -> ((s, dir) => {
+      // two-level salted top-k must equal the naive single-window ranking the
+      // oracle computes — that equality IS the exactness proof
+      TrainingData.exactKPerStratum(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 10)
+        .orderBy("doc_id")
+    }),
+    "x_pack_bins" -> ((s, dir) => {
+      TrainingData.packBins(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        costCol = "n_chars", orderCol = "doc_id", shardCols = Seq("source"),
+        budget = 4096L)
+        .select(col("doc_id"), col("source"), col("bin"))
+        .orderBy("doc_id")
+    }),
+    "x_decontam" -> ((s, dir) => {
+      // eval set = texts of doc_id<20 (re-id'd): those train docs share every
+      // word 8-gram with the bench set, so they MUST be flagged; any other
+      // collisions are computed identically by the oracle
+      val train = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = train.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      TrainingData.decontaminate(train, bench, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
 
@@ -267,6 +320,65 @@ object QueriesML {
     "x_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' card 4242-4242-4242-4242 host 10.0.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.7' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(pii_text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CREDIT_CARD>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(regexp_matches(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |    OR regexp_matches(pii_text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')
+        |    OR regexp_matches(pii_text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')
+        |    OR regexp_matches(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS INT) AS has_pii,
+        |  CAST(len(string_split_regex(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_emails
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2048 <
+        |  CASE WHEN source = 'src1' THEN 512 WHEN source = 'src0' THEN 1024 ELSE 256 END
+        |ORDER BY doc_id""".stripMargin,
+    "x_sample_topk" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2048, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "x_pack_bins" ->
+      """SELECT doc_id, source,
+        |  CAST(floor(
+        |    (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+        |    / 4096) AS BIGINT) AS bin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB 1.0's range() table function rejects lateral column parameters,
+    // so per-word-position expansion goes through scalar range + unnest in the
+    // select list instead of a lateral FROM-clause join. The bench set's texts
+    // are exactly the doc_id<20 train texts, so bench grams = tg WHERE id<20.
+    "x_decontam" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i
+        |  FROM words WHERE len(w) >= 8),
+        |tg AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM idx),
+        |bg AS (SELECT DISTINCT gram FROM tg WHERE doc_id < 20)
+        |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+        |FROM tg JOIN bg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "a_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
         |scored AS (

@@ -129,10 +129,20 @@ object MockModelServer {
     */
   private lazy val server: HttpServer = {
     var booted: HttpServer = null
-    val boot = new Thread(() => booted = buildServer(), "mock-model-server-boot")
+    var bootError: Throwable = null
+    val boot = new Thread(() => {
+      try booted = buildServer()
+      catch { case t: Throwable => bootError = t }
+    }, "mock-model-server-boot")
     boot.setDaemon(true)
     boot.start()
     boot.join()
+    // a bind/boot failure must surface as its root cause here, not as a later
+    // NPE at server.getAddress with the original exception lost on the thread
+    if (bootError != null) throw new IllegalStateException(
+      "mock model server failed to boot", bootError)
+    if (booted == null) throw new IllegalStateException(
+      "mock model server boot thread exited without a server or an error")
     booted
   }
 

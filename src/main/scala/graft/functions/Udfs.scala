@@ -169,15 +169,21 @@ object ModelFunctions {
     df.mapPartitions { rows =>
       lazy val client = new OpenAiClient(ep)
       rows.grouped(ep.maxBatch).flatMap { batch =>
-        val nonNull = batch.filter(r => !r.isNullAt(inIdx))
+        // same null/blank contract as EmbedUdf and the stub: null -> null,
+        // blank -> empty vector, neither occupies a batch slot / API call
+        def blank(r: Row) = r.getString(inIdx).trim.isEmpty
+        val callable = batch.filter(r => !r.isNullAt(inIdx) && !blank(r))
         val vecs: Map[String, Array[Float]] =
-          if (nonNull.isEmpty) Map.empty
+          if (callable.isEmpty) Map.empty
           else {
-            val texts = nonNull.map(_.getString(inIdx)).distinct
+            val texts = callable.map(_.getString(inIdx)).distinct
             texts.zip(client.embedBatch(texts)).toMap
           }
         batch.map { r =>
-          val v = if (r.isNullAt(inIdx)) null else vecs(r.getString(inIdx))
+          val v =
+            if (r.isNullAt(inIdx)) null
+            else if (blank(r)) Array.empty[Float]
+            else vecs(r.getString(inIdx))
           Row.fromSeq(r.toSeq :+ v)
         }
       }

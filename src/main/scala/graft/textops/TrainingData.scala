@@ -65,9 +65,15 @@ object TrainingData {
     * in Spark, DuckDB, or a shell script, unlike engine-specific `hash()`
     * or seeded `rand()` whose values never survive an engine swap. Requires
     * non-negative ids (true for all our tables).
+    *
+    * The id is reduced mod 2^31 BEFORE the multiply: the largest intermediate
+    * product is (2^31-1)·1103515245 ≈ 2.37e18 < Long.MaxValue, so the formula
+    * never overflows int64 — under Spark's ANSI mode an unreduced multiply
+    * would throw ARITHMETIC_OVERFLOW for ids above ~8.36e9, exactly the
+    * 100 TB regime this operator exists for.
     */
   def deterministicBucket(id: Column, buckets: Int): Column =
-    pmod(id * lit(1103515245L) + lit(12345L), lit(buckets.toLong))
+    pmod(pmod(id, lit(1L << 31)) * lit(1103515245L) + lit(12345L), lit(buckets.toLong))
 
   /** Stratified sample: per-stratum keep-fractions (in 1/2048ths for exact
     * integer arithmetic) with a default for unlisted strata. Map-only — a
@@ -87,15 +93,31 @@ object TrainingData {
   }
 
   /** Exactly `k` rows per stratum, deterministically: rank by (bucket, id) —
-    * a total order — inside each stratum and keep the first k. One shuffle on
-    * the stratum key; with few strata and huge data, salting or per-stratum
-    * `TABLESAMPLE`-style pre-filtering (bucket < generous cutoff) bounds the
-    * sort input, which is the standard eval-set construction at scale.
+    * a total order — inside each stratum and keep the first k.
+    *
+    * Two-level salted top-k, NOT a single window over the stratum key: with
+    * few strata at 100 TB a `Window.partitionBy(stratum)` is a full sort of
+    * the corpus on a handful of keys (one task per stratum — the classic
+    * skewed-window scale-killer). Level 1 ranks within (stratum, salt) —
+    * parallelism = strata × salts — and keeps k per salt group; level 2 ranks
+    * the ≤ salts·k survivors per stratum, a bounded input regardless of
+    * corpus size. Both levels order by the same (bucket, id) total order, so
+    * the result is identical to the naive single window. Helper columns use
+    * reserved `__graft_`-prefixed names and are dropped (no leak, no
+    * collision with user columns).
     */
-  def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(deterministicBucket(col(idCol), 2048), col(idCol))
-    df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= k)
+  def exactKPerStratum(
+      df: DataFrame, idCol: String, strataCol: String, k: Int, salts: Int = 64): DataFrame = {
+    val rankCol = "__graft_sample_rank"
+    val saltCol = "__graft_sample_salt"
+    val order = Seq(deterministicBucket(col(idCol), 2048), col(idCol))
+    val w1 = Window.partitionBy(col(strataCol), col(saltCol)).orderBy(order: _*)
+    val w2 = Window.partitionBy(col(strataCol)).orderBy(order: _*)
+    df.withColumn(saltCol, pmod(col(idCol), lit(salts.toLong)))
+      .withColumn(rankCol, row_number().over(w1)).filter(col(rankCol) <= k)
+      .drop(rankCol)
+      .withColumn(rankCol, row_number().over(w2)).filter(col(rankCol) <= k)
+      .drop(rankCol, saltCol)
   }
 
   // ------------------------------------------------------------ sequence packing
