@@ -415,6 +415,35 @@ object QueriesCore {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
         .orderBy("user_id")
     }),
+    "c_debezium_file" -> ((s, dir) => {
+      // offline Debezium wire ingestion: the changelog is serialized to FULL
+      // Debezium MySQL records (source block with binlog coordinates, snapshot
+      // flags, op codes incl. snapshot 'r'), written to disk as a captured
+      // topic dump — half schema-wrapped (schemas.enable=true), half bare —
+      // read back through DebeziumFileSource (payload unwrap, op decode,
+      // binlog-coordinate seq), and PK-materialized to the changelog's final
+      // state. Same oracle shape as c_kafka_source: the wire round trip must
+      // be semantically lossless.
+      import graft.sources.debezium.DebeziumFileSource
+      import org.apache.spark.sql.types._
+      val fix = java.nio.file.Files.createTempDirectory("graft_dbz_fix").toString
+      val wire = eventsChangelog(s, dir).select(
+        col(Envelope.SeqCol).as("seq"), DebeziumFileSource.wireValue().as("v"))
+      wire.select(
+        when(pmod(col("seq"), lit(2)) === 0,
+          concat(lit("""{"schema":{"type":"struct","optional":false},"payload":"""),
+            col("v"), lit("}")))
+          .otherwise(col("v")).as("value"))
+        .write.mode("overwrite").text(fix)
+      val payloadT = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampType)))
+      val env = DebeziumFileSource.read(s, fix, payloadT)
+      graft.operators.Upsert.materialize(env, Seq("user_id"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("user_id")
+    }),
     "t_udf2" -> ((s, dir) => {
       // multi-arity typed eval through the UserDefinedFunction lifecycle
       // registry (reference UserDefinedFunction.java:27-48 accepts arbitrary
@@ -622,6 +651,13 @@ object QueriesCore {
         |  CASE WHEN op <> 'DELETE' THEN value END AS data_value
         |FROM ev ORDER BY seq""".stripMargin),
     "c_kafka_source" -> (evCte +
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM ev) t
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // identical final state: the Debezium file round trip must be lossless
+    "c_debezium_file" -> (evCte +
       """SELECT user_id, event_type, value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

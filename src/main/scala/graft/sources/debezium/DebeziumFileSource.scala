@@ -1,0 +1,177 @@
+package graft.sources.debezium
+
+import graft.core.SchemaChangeEvent
+import graft.operators.Envelope
+import graft.sinks.KafkaJsonFormats
+import graft.sources.mysql.MySqlDdlParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Offline reader for REAL captured Debezium wire records — the closable
+  * slice of the reference's binlog source that needs no database server: a
+  * directory of JSON-lines files holding the records a Debezium MySQL
+  * connector produced (topic dumps, `kcat -C` captures, connect file sink),
+  * parsed distributively into the graft envelope.
+  *
+  * Mirrors the event layout consumed by the reference's
+  * `flink-cdc-pipeline-connector-mysql/.../source/MySqlEventDeserializer.java:57`
+  * (Debezium `SourceRecord` → before/after/op/source) without the Debezium
+  * runtime: everything is Catalyst `from_json` over `spark.read.text`, so a
+  * 100 TB topic dump parses at scan speed with no per-row Java deserializer
+  * and no driver loop.
+  *
+  * Wire variants handled, all in the same pass:
+  *  - schema-wrapped records (`{"schema":{…},"payload":{…}}`, Connect's
+  *    `value.converter.schemas.enable=true` default) and bare payloads —
+  *    unwrapped uniformly via `$.payload` with fallback to the whole value;
+  *  - the full MySQL `source` block (`ts_ms`, `snapshot`, `db`, `table`,
+  *    `server_id`, `gtid`, `file`, `pos`, `row`);
+  *  - op codes `c`/`u`/`d` plus snapshot `r` (→ REPLACE), anything else or
+  *    unparseable JSON → [[KafkaJsonFormats.InvalidOp]] for dead-letter
+  *    routing;
+  *  - Kafka tombstones / blank lines (dropped — they carry no image).
+  */
+object DebeziumFileSource {
+
+  /** Debezium MySQL `source` struct (`io.debezium.connector.mysql.Source`). */
+  val sourceStruct: StructType = StructType(Seq(
+    StructField("version", StringType), StructField("connector", StringType),
+    StructField("name", StringType), StructField("ts_ms", LongType),
+    StructField("snapshot", StringType), StructField("db", StringType),
+    StructField("table", StringType), StructField("server_id", LongType),
+    StructField("gtid", StringType), StructField("file", StringType),
+    StructField("pos", LongType), StructField("row", IntegerType)))
+
+  private def messageType(rowSchema: StructType): StructType = StructType(Seq(
+    StructField("before", rowSchema), StructField("after", rowSchema),
+    StructField("op", StringType), StructField("ts_ms", LongType),
+    StructField("source", sourceStruct)))
+
+  /** Changelog sequence from binlog coordinates: binlog file index (numeric
+    * suffix of `mysql-bin.000042`) in the high bits, byte position + row
+    * number within the event in the low 40. `pos` is bounded by
+    * `max_binlog_size` (1 GiB << 2^40) and `row` never reaches the next
+    * event's position (events are ≥ 19 bytes), so (file, pos, row) order — the
+    * server's total order on changes — is preserved in one comparable int64.
+    * Records with no binlog coordinates (some snapshot captures) sort first
+    * at seq 0, which is exactly where a snapshot belongs.
+    */
+  def binlogSeq(src: Column): Column = {
+    val fileIdx = coalesce(
+      regexp_extract(src.getField("file"), "(\\d+)$", 1).cast("long"), lit(0L))
+    fileIdx * lit(1L << 40) +
+      coalesce(src.getField("pos"), lit(0L)) +
+      coalesce(src.getField("row").cast("long"), lit(0L))
+  }
+
+  /** Parse raw Debezium record values (string column) into the envelope. */
+  def parse(
+      raw: DataFrame,
+      rowSchema: StructType,
+      valueCol: Column = col("value")): DataFrame = {
+    // Connect's schemas.enable wrapper is unwrapped by extracting $.payload
+    // (returns the payload's JSON text) and falling back to the whole record
+    // for bare payloads — one uniform from_json downstream of either variant
+    val payload = coalesce(get_json_object(valueCol, "$.payload"), valueCol)
+    val m = from_json(payload, messageType(rowSchema))
+    val opDecoded = when(m.getField("op") === "c", "INSERT")
+      .when(m.getField("op") === "u", "UPDATE")
+      .when(m.getField("op") === "d", "DELETE")
+      .when(m.getField("op") === "r", "REPLACE")
+      .otherwise(KafkaJsonFormats.InvalidOp)
+    val src = m.getField("source")
+    def metaStr(name: String): Column = coalesce(src.getField(name).cast("string"), lit(""))
+    raw
+      .filter(valueCol.isNotNull && length(trim(valueCol)) > 0) // tombstones
+      .select(
+        concat_ws(".",
+          filter(array(src.getField("db"), src.getField("table")),
+            c => c.isNotNull && c =!= "")).as(Envelope.TableIdCol),
+        opDecoded.as(Envelope.OpCol),
+        m.getField("before").as(Envelope.BeforeCol),
+        m.getField("after").as(Envelope.AfterCol),
+        binlogSeq(src).as(Envelope.SeqCol),
+        map(
+          lit("ts_ms"), coalesce(m.getField("ts_ms").cast("string"), lit("")),
+          lit("snapshot"), metaStr("snapshot"),
+          lit("file"), metaStr("file"),
+          lit("pos"), metaStr("pos"),
+          lit("gtid"), metaStr("gtid"),
+          lit("server_id"), metaStr("server_id")).as(Envelope.MetaCol))
+  }
+
+  /** Read a directory/glob of captured JSON-lines files (one record value per
+    * line — `kcat`/connect-file-sink layout). Distributed text scan; file
+    * count, not record count, bounds the parallelism floor.
+    */
+  def read(spark: SparkSession, path: String, rowSchema: StructType): DataFrame =
+    parse(spark.read.text(path), rowSchema)
+
+  /** Serialize an envelope frame to full Debezium MySQL wire records (the
+    * inverse of [[parse]], superset of
+    * [[KafkaJsonFormats.debeziumValue]]'s abbreviated layout): op codes
+    * include snapshot `r` for REPLACE, and the `source` block carries the
+    * binlog coordinates reconstructed from `seq` plus the snapshot flag.
+    * Used to author wire fixtures and to re-publish a changelog in a format
+    * any Debezium consumer understands.
+    */
+  def wireValue(sourceName: String = "graft"): Column = {
+    val opCode = when(col(Envelope.OpCol) === "INSERT", "c")
+      .when(col(Envelope.OpCol) === "UPDATE", "u")
+      .when(col(Envelope.OpCol) === "DELETE", "d")
+      .when(col(Envelope.OpCol) === "REPLACE", "r")
+      .otherwise(col(Envelope.OpCol))
+    val parts = split(col(Envelope.TableIdCol), "\\.")
+    val db = when(size(parts) >= 2, parts.getItem(0)).otherwise(lit(""))
+    val table = element_at(parts, -1)
+    to_json(
+      struct(
+        col(Envelope.BeforeCol).as("before"),
+        col(Envelope.AfterCol).as("after"),
+        opCode.as("op"),
+        (col(Envelope.SeqCol) + lit(1700000000000L)).as("ts_ms"),
+        struct(
+          lit("2.4.0").as("version"), lit("mysql").as("connector"),
+          lit(sourceName).as("name"),
+          (col(Envelope.SeqCol) + lit(1700000000000L)).as("ts_ms"),
+          when(col(Envelope.OpCol) === "REPLACE", "true").otherwise("false")
+            .as("snapshot"),
+          db.as("db"), table.as("table"),
+          lit(1L).as("server_id"), lit(null).cast("string").as("gtid"),
+          lit("mysql-bin.000001").as("file"),
+          col(Envelope.SeqCol).as("pos"), lit(0).as("row")).as("source")),
+      java.util.Map.of("ignoreNullFields", "false"))
+  }
+
+  // ------------------------------------------------------- schema history
+
+  private val schemaChangeType: StructType = StructType(Seq(
+    StructField("source", sourceStruct),
+    StructField("databaseName", StringType),
+    StructField("ddl", StringType)))
+
+  /** Parse a captured Debezium schema-change topic / schema-history file
+    * (`{"source":…,"databaseName":…,"ddl":"ALTER TABLE …"}` per line) into
+    * ordered [[SchemaChangeEvent]]s via the MySQL DDL parser. DDL history is
+    * metadata-plane and tiny (bounded by the number of DDLs ever run, not by
+    * data volume), so driver-side materialization is the right shape — the
+    * events feed the same SchemaEvolutionDriver as live DDL.
+    */
+  def readSchemaChanges(spark: SparkSession, path: String): Seq[SchemaChangeEvent] = {
+    val m = from_json(
+      coalesce(get_json_object(col("value"), "$.payload"), col("value")),
+      schemaChangeType)
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        binlogSeq(m.getField("source")).as("seq"),
+        coalesce(m.getField("databaseName"), lit("")).as("db"),
+        m.getField("ddl").as("ddl"))
+      .filter(col("ddl").isNotNull)
+      .orderBy("seq")
+      .collect()
+      .toSeq
+      .flatMap(r => MySqlDdlParser.parse(r.getString(2), database = r.getString(1)))
+  }
+}
