@@ -474,6 +474,32 @@ object QueriesCore {
       val (_, deletes) = Upsert.materializeWithDeletes(eventsChangelog(s, dir), Seq("user_id"))
       deletes.orderBy("user_id")
     }),
+    "c_lakehouse_upsert" -> ((s, dir) => {
+      // the changelog flows as three seq-ordered micro-batches through the
+      // lakehouse table format (commit log, hash-bucketed files, file-granular
+      // COW MERGE, atomic in-commit txn ids); the table's final snapshot must
+      // equal the one-shot materialization — same oracle as c_upsert
+      import graft.sinks.LakehouseSink
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_q").toString
+      val sink = new LakehouseSink(s, root, buckets = 8)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+        val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+        Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+        }
+        lo = hi
+      }
+      sink.table(tid).read()
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
     "c_route" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val router = new TableIdRouter(Seq(
@@ -753,6 +779,13 @@ object QueriesCore {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
+    // identical final state to c_upsert: batched lakehouse MERGE is lossless
+    "c_lakehouse_upsert" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     "c_route" ->
       """SELECT * FROM (
         |  SELECT 'ods.ods_events' AS sinkTableId, count(*) AS n FROM events

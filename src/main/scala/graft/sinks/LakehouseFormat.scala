@@ -1,0 +1,332 @@
+package graft.sinks
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core._
+import graft.pipeline.SchemaDerivator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** A minimal lakehouse TABLE FORMAT — an append-only commit log of
+  * add/remove/meta/txn actions over immutable parquet data files — closing
+  * the gap between [[ParquetMergeSink]]'s whole-table copy-on-write and what
+  * the reference's Paimon/Iceberg sinks
+  * (`flink-cdc-pipeline-connectors/flink-cdc-pipeline-connector-paimon/`,
+  * `.../flink-cdc-pipeline-connector-iceberg/`) provide, built from public
+  * table-format architecture (the Delta Lake log protocol paper's
+  * add/remove/txn action model) with no external jars.
+  *
+  * What the log buys over a `_VERSION` pointer:
+  *  - **File-granular MERGE**: data files are hash-bucketed by PK; a batch
+  *    rewrites only the buckets its keys hash into. At 100 TB with 4096
+  *    buckets, a 1%-of-keys batch rewrites ~1% of the table, not all of it.
+  *  - **Snapshot isolation + time travel**: a reader replays the log up to a
+  *    version and sees exactly that version's file set; concurrent writers
+  *    never disturb it.
+  *  - **Optimistic concurrency**: a commit claims `_log/<v>.json` with an
+  *    atomic no-replace rename; the loser re-reads the snapshot and retries
+  *    its merge against the winner's state.
+  *  - **Atomic exactly-once batch tracking**: the streaming runner's
+  *    (runId, batchId) rides IN the commit as a `txn` action — data and
+  *    commit record are one atomic rename, so replay detection cannot desync
+  *    from the data (the 2PC property the reference gets from Flink sink v2).
+  *
+  * Single-JVM scope note: atomic-no-replace rename is the commit primitive of
+  * Delta on HDFS/ABFS; on S3 a production system swaps in a log-coordinator
+  * (same protocol, different claim primitive). The plan shapes here carry over
+  * unchanged.
+  */
+object LakehouseFormat {
+
+  sealed trait Action
+  final case class AddFile(path: String, bucket: Int, rows: Long) extends Action
+  final case class RemoveFile(path: String) extends Action
+  final case class Meta(schema: TableSchema, buckets: Int) extends Action
+  final case class Txn(runId: String, batchId: Long) extends Action
+
+  final case class Snapshot(
+      version: Long,
+      meta: Option[Meta],
+      files: Seq[AddFile],
+      txns: Map[String, Long]) {
+    def schema: TableSchema = meta.getOrElse(
+      throw new IllegalStateException("table has no meta action (not created)")).schema
+    def buckets: Int = meta.map(_.buckets).getOrElse(16)
+  }
+
+  private val mapper = new ObjectMapper
+
+  private[sinks] def encode(a: Action): String = {
+    val root = mapper.createObjectNode()
+    a match {
+      case AddFile(p, b, r) =>
+        val n = root.putObject("add"); n.put("path", p); n.put("bucket", b); n.put("rows", r)
+      case RemoveFile(p) =>
+        root.putObject("remove").put("path", p)
+      case Meta(s, b) =>
+        val n = root.putObject("meta")
+        n.put("schemaJson", s.struct.json)
+        val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
+        n.put("buckets", b)
+      case Txn(run, batch) =>
+        val n = root.putObject("txn"); n.put("runId", run); n.put("batchId", batch)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private[sinks] def decode(line: String): Action = {
+    val n = mapper.readTree(line)
+    if (n.has("add")) {
+      val a = n.get("add")
+      AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong)
+    } else if (n.has("remove")) RemoveFile(n.get("remove").get("path").asText)
+    else if (n.has("meta")) {
+      val m = n.get("meta")
+      Meta(
+        TableSchema(
+          DataType.fromJson(m.get("schemaJson").asText).asInstanceOf[StructType],
+          m.get("pks").elements.asScala.map(_.asText).toSeq),
+        m.get("buckets").asInt)
+    } else if (n.has("txn")) {
+      val t = n.get("txn")
+      Txn(t.get("runId").asText, t.get("batchId").asLong)
+    } else throw new IllegalArgumentException(s"unknown lakehouse action: $line")
+  }
+}
+
+/** One lakehouse table rooted at `dir` (log in `dir/_log`, data files in
+  * per-commit subdirectories). All data-plane work is Spark jobs; the log
+  * itself is metadata-plane — O(commits) tiny JSON files, independent of
+  * data volume (a production deployment adds checkpoint compaction of the
+  * log, which changes nothing about the action semantics).
+  */
+final class LakehouseTable(spark: SparkSession, val dir: String) {
+  import LakehouseFormat._
+
+  private val logDir: Path = Paths.get(dir, "_log")
+
+  private def logFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
+
+  private def listVersions(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+
+  def latestVersion(): Long = listVersions().lastOption.getOrElse(-1L)
+
+  /** Replay the log up to and including `upTo` (default: latest). */
+  def snapshot(upTo: Option[Long] = None): Snapshot = {
+    val versions = listVersions().filter(v => upTo.forall(v <= _))
+    var meta: Option[Meta] = None
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    versions.foreach { v =>
+      Files.readAllLines(logFile(v)).asScala.filter(_.nonEmpty).foreach {
+        decode(_) match {
+          case m: Meta => meta = Some(m)
+          case a: AddFile => files(a.path) = a
+          case RemoveFile(p) => files.remove(p)
+          case Txn(run, batch) => txns(run) = math.max(batch, txns.getOrElse(run, Long.MinValue))
+        }
+      }
+    }
+    Snapshot(versions.lastOption.getOrElse(-1L), meta, files.values.toSeq, txns.toMap)
+  }
+
+  /** Atomically claim version `v`: write a temp file, rename WITHOUT replace.
+    * A concurrent winner makes the rename fail → caller re-snapshots and
+    * retries (optimistic concurrency).
+    */
+  private def tryCommit(v: Long, actions: Seq[Action]): Boolean = {
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, s"commit-$v-", ".tmp")
+    Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
+    try { Files.move(tmp, logFile(v), StandardCopyOption.ATOMIC_MOVE); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp); false
+    }
+  }
+
+  def create(schema: TableSchema, buckets: Int = 16): Unit = {
+    require(schema.primaryKeys.nonEmpty, "lakehouse MERGE table requires primary keys")
+    if (snapshot().meta.isEmpty &&
+      !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets))))
+      create(schema, buckets) // lost the race; re-check (idempotent)
+  }
+
+  /** Commit arbitrary actions at the next version (retrying past losers of
+    * the claim race). Metadata-plane helper for DDL paths. */
+  def commit(actions: Seq[Action]): Unit =
+    if (!tryCommit(snapshot().version + 1, actions)) commit(actions)
+
+  /** Update table metadata (schema evolution): one metadata-only commit. */
+  def updateMeta(schema: TableSchema): Unit =
+    commit(Seq(Meta(schema, snapshot().buckets)))
+
+  /** Current (or time-traveled) contents. Missing columns in old files read
+    * as null under the declared schema; remaining representation drift is
+    * coerced (widening lattice) — coerce-on-read, rewrite never.
+    */
+  def read(version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(version)
+    val schema = snap.schema
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+    else
+      SchemaDerivator.coerce(
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*),
+        schema.struct)
+  }
+
+  private def bucketOf(pks: Seq[String], buckets: Int) =
+    pmod(hash(pks.map(col): _*), lit(buckets))
+
+  /** Copy-on-write MERGE, file-granular: only the PK-hash buckets touched by
+    * this batch are rewritten. `txn` (runId, batchId) commits atomically with
+    * the data; a batch whose id is already in the log is skipped entirely.
+    */
+  def merge(
+      upserts: DataFrame,
+      deletedKeys: DataFrame,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 8): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val snap = snapshot()
+      val schema = snap.schema
+      val pks = schema.primaryKeys
+      if (txn.exists { case (run, b) => snap.txns.get(run).exists(_ >= b) }) {
+        done = true // replayed batch: already committed atomically with its data
+      } else {
+        val coerced = SchemaDerivator.coerce(upserts, schema.struct)
+        val changedKeys = coerced.select(pks.map(col): _*)
+          .unionByName(deletedKeys.select(pks.map(col): _*)).distinct()
+        // buckets touched by this batch: bounded by the bucket count, a
+        // metadata-sized collect (ints), never row-sized
+        val touched = changedKeys.select(bucketOf(pks, snap.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val oldFiles = snap.files.filter(f => touched.contains(f.bucket))
+        val current =
+          if (oldFiles.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true")
+            .parquet(oldFiles.map(f => Paths.get(dir, f.path).toString): _*))
+        val kept = current.map(c =>
+          SchemaDerivator.coerce(c, schema.struct)
+            .join(broadcast(changedKeys), pks, "left_anti"))
+        val next = kept.map(_.unionByName(coerced)).getOrElse(coerced)
+
+        // write the rewritten buckets as a new immutable commit directory
+        val commitRel = s"data-${java.util.UUID.randomUUID().toString.take(12)}"
+        val bucketCol = "__graft_bucket"
+        next.withColumn(bucketCol, bucketOf(pks, snap.buckets))
+          .write.partitionBy(bucketCol)
+          .parquet(Paths.get(dir, commitRel).toString)
+        val adds = listCommitFiles(commitRel, bucketCol)
+        val actions = adds ++ oldFiles.map(f => RemoveFile(f.path)) ++
+          txn.map { case (run, b) => Txn(run, b) }
+        if (tryCommit(snap.version + 1, actions)) done = true
+        else {
+          // lost the commit race: discard our files, re-merge on the new state
+          deleteRecursively(Paths.get(dir, commitRel))
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"lakehouse commit contention: gave up after $maxAttempts attempts")
+        }
+      }
+    }
+  }
+
+  private def listCommitFiles(commitRel: String, bucketCol: String): Seq[AddFile] = {
+    val root = Paths.get(dir, commitRel)
+    Files.walk(root).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val rel = Paths.get(dir).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
+        AddFile(rel, bucket, -1L)
+      }.toSeq
+  }
+
+  /** Drop data files no longer referenced by any snapshot >= `retainFrom`
+    * (defaults to the latest version only). The log itself is never vacuumed.
+    */
+  def vacuum(retainFromVersion: Option[Long] = None): Seq[String] = {
+    val from = retainFromVersion.getOrElse(latestVersion())
+    val referenced = (from to latestVersion())
+      .flatMap(v => snapshot(Some(v)).files.map(_.path)).toSet
+    val root = Paths.get(dir)
+    val removed = Files.walk(root).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => root.relativize(p).toString)
+      .filterNot(referenced.contains)
+      .toSeq
+    removed.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    removed
+  }
+
+  /** (version, action) history — the audit trail a lakehouse DESCRIBE HISTORY
+    * surfaces. */
+  def history(): Seq[(Long, Action)] =
+    listVersions().flatMap(v =>
+      Files.readAllLines(logFile(v)).asScala.filter(_.nonEmpty)
+        .map(l => v -> decode(l)))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+}
+
+/** [[DataSink]] over [[LakehouseTable]]s — the pipeline-facing lakehouse sink.
+  * Batch tracking overrides the SPI's write-then-record default with the
+  * atomic in-commit `txn` action.
+  */
+final class LakehouseSink(spark: SparkSession, rootDir: String, buckets: Int = 16)
+    extends DataSink {
+
+  def table(t: TableId): LakehouseTable =
+    new LakehouseTable(spark, Paths.get(rootDir, t.identifier.replace('.', '_')).toString)
+
+  override def applySchemaChange(event: SchemaChangeEvent): Unit = event match {
+    case CreateTableEvent(t, schema) => table(t).create(schema, buckets)
+    case DropTableEvent(t) =>
+      val tb = table(t)
+      tb.snapshot().files.foreach(f =>
+        Files.deleteIfExists(Paths.get(tb.dir, f.path)))
+      val log = Paths.get(tb.dir, "_log")
+      if (Files.isDirectory(log))
+        Files.list(log).iterator.asScala.foreach(Files.deleteIfExists(_))
+    case TruncateTableEvent(t) =>
+      // truncation = one commit removing every live file (time travel to the
+      // pre-truncate version still works; vacuum reclaims the bytes)
+      val tb = table(t)
+      val removes = tb.snapshot().files.map(f => LakehouseFormat.RemoveFile(f.path))
+      if (removes.nonEmpty) tb.commit(removes)
+    case other =>
+      val t = other.tableId
+      val tb = table(t)
+      val mgr = new SchemaManager
+      mgr.applySchemaChange(CreateTableEvent(t, tb.snapshot().schema))
+      tb.updateMeta(mgr.applySchemaChange(other))
+  }
+
+  override def writeBatch(t: TableId, upserts: DataFrame, deletedKeys: DataFrame): Unit =
+    table(t).merge(upserts, deletedKeys)
+
+  override def writeBatch(
+      t: TableId, upserts: DataFrame, deletedKeys: DataFrame,
+      batchId: Long, runId: String): Unit =
+    if (batchId < 0) table(t).merge(upserts, deletedKeys)
+    else table(t).merge(upserts, deletedKeys, txn = Some((runId, batchId)))
+
+  override def lastCommittedBatch(t: TableId, runId: String): Option[Long] =
+    table(t).snapshot().txns.get(runId)
+
+  override def schemaOf(t: TableId): Option[TableSchema] =
+    table(t).snapshot().meta.map(_.schema)
+}

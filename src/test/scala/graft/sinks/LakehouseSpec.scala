@@ -1,0 +1,131 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class LakehouseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val schema = TableSchema(
+    StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))),
+    primaryKeys = Seq("k"))
+
+  private def newTable(buckets: Int = 4): LakehouseTable = {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(schema, buckets)
+    t
+  }
+
+  private def empty(t: LakehouseTable) =
+    t.read().limit(0).select($"k")
+
+  test("merge + read round trip, then file-granular second merge") {
+    val t = newTable()
+    t.merge((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    assert(t.read().count() == 100)
+    val before = t.snapshot()
+
+    // update 3 keys, delete 1
+    t.merge(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"),
+      Seq(Tuple1(7L)).toDF("k"))
+    val after = t.snapshot()
+    val got = t.read().orderBy($"k").as[(Long, String)].collect().toMap
+    assert(got.size == 99 && got(1L) == "x" && !got.contains(7L) && got(0L) == "v0")
+
+    // FILE-GRANULAR: buckets untouched by {1,2,3,7} keep their ORIGINAL files
+    val touched = Seq(1L, 2L, 3L, 7L).toDF("k")
+      .select(pmod(hash($"k"), lit(4)).as("b")).distinct().as[Int].collect().toSet
+    val untouchedBefore = before.files.filterNot(f => touched.contains(f.bucket)).map(_.path).toSet
+    val afterPaths = after.files.map(_.path).toSet
+    assert(untouchedBefore.nonEmpty && untouchedBefore.subsetOf(afterPaths))
+    // and touched buckets were rewritten (old files gone from the snapshot)
+    val touchedBefore = before.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
+    assert(touchedBefore.intersect(afterPaths).isEmpty)
+  }
+
+  test("time travel: old versions remain readable after later merges") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), empty(t))
+    val v1 = t.latestVersion()
+    t.merge(Seq((1L, "b")).toDF("k", "v"), empty(t))
+    assert(t.read(Some(v1)).as[(Long, String)].head() == (1L, "a"))
+    assert(t.read().as[(Long, String)].head() == (1L, "b"))
+  }
+
+  test("txn action makes batch replay a no-op, atomically with the data") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), empty(t), txn = Some(("run1", 0L)))
+    val v = t.latestVersion()
+    // same (runId, batchId) re-delivered after a crash-restart: skipped
+    t.merge(Seq((1L, "DUPLICATE")).toDF("k", "v"), empty(t), txn = Some(("run1", 0L)))
+    assert(t.latestVersion() == v)
+    assert(t.read().as[(Long, String)].head() == (1L, "a"))
+    // a NEW run's batch 0 is not confused with the old run's
+    t.merge(Seq((1L, "b")).toDF("k", "v"), empty(t), txn = Some(("run2", 0L)))
+    assert(t.read().as[(Long, String)].head() == (1L, "b"))
+  }
+
+  test("optimistic concurrency: losing the claim race retries on the new state") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), empty(t))
+    // a concurrent writer claims the next version first (valid empty-ish commit)
+    val v = t.latestVersion()
+    Files.write(
+      Paths.get(t.dir, "_log", f"${v + 1}%020d.json"),
+      LakehouseFormat.encode(LakehouseFormat.Txn("rival", 99L)).getBytes("UTF-8"))
+    t.merge(Seq((2L, "b")).toDF("k", "v"), empty(t))
+    // our merge landed AFTER the rival's commit, on top of its state
+    assert(t.latestVersion() == v + 2)
+    assert(t.snapshot().txns("rival") == 99L)
+    assert(t.read().count() == 2)
+  }
+
+  test("vacuum deletes unreferenced files; current read unaffected") {
+    val t = newTable()
+    t.merge((0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    t.merge((0L until 50L).map(i => (i, s"w$i")).toDF("k", "v"), empty(t))
+    val removed = t.vacuum()
+    assert(removed.nonEmpty) // the fully rewritten first-commit files
+    assert(t.read().count() == 50)
+    assert(t.read().filter($"v" === "w0").count() == 1)
+  }
+
+  test("LakehouseSink SPI: schema evolution null-fills old files, txn tracking") {
+    val root = Files.createTempDirectory("graft_lakesink").toString
+    val sink = new LakehouseSink(spark, root, buckets = 4)
+    val tid = TableId.parse("app.users")
+    sink.applySchemaChange(CreateTableEvent(tid, schema))
+    sink.writeBatch(tid, Seq((1L, "a")).toDF("k", "v"), empty(sink.table(tid)),
+      batchId = 0L, runId = "r")
+    assert(sink.lastCommittedBatch(tid, "r").contains(0L))
+    assert(sink.lastCommittedBatch(tid, "other").isEmpty)
+
+    // ADD COLUMN: metadata-only commit; existing parquet reads null-filled
+    sink.applySchemaChange(AddColumnEvent(tid, Seq(
+      AddColumnEvent.ColumnWithPosition("extra", CdcTypes.IntT()))))
+    val evolved = sink.schemaOf(tid).get
+    assert(evolved.struct.fieldNames.toSeq == Seq("k", "v", "extra"))
+    val row = sink.table(tid).read().orderBy($"k").collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(2))
+
+    // next batch writes the evolved shape; both file generations coexist
+    sink.writeBatch(tid, Seq((2L, "b", 7)).toDF("k", "v", "extra"),
+      empty(sink.table(tid)), batchId = 1L, runId = "r")
+    val all = sink.table(tid).read().orderBy($"k").collect()
+    assert(all.length == 2 && all(1).getInt(2) == 7)
+
+    // truncate drops all live files in one commit; time travel still sees them
+    val preTruncate = sink.table(tid).latestVersion()
+    sink.applySchemaChange(TruncateTableEvent(tid))
+    assert(sink.table(tid).read().count() == 0)
+    assert(sink.table(tid).read(Some(preTruncate)).count() == 2)
+  }
+}
