@@ -19,7 +19,8 @@ object Bench {
     "t_projection", "t_arith", "t_temporal",
     "c_upsert", "c_chunks",
     "d_exact_fingerprint", "d_minhash_lsh", "d_embedding_dup",
-    "x_quality", "x_langid", "a_ann_bruteforce")
+    "x_quality", "x_langid", "x_pii_redact", "x_decontam",
+    "a_ann_bruteforce")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,6 +45,10 @@ object Bench {
 
     val all = SparkEntry.queries
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // raw per-query times of the 3 timed runs: run-to-run variance is the
+    // only way to tell shared-box noise from a real regression when a round's
+    // median drifts (round 5's +11% would have been diagnosable from this)
+    val rawTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // Each query runs once untimed (planning + codegen + shuffle-file warmup),
     // then once timed: the steady-state number is the one that extrapolates to
     // scale, where per-query compilation amortizes to zero. A query that fails
@@ -71,6 +76,7 @@ object Bench {
         // a timed-run failure must abort the loop (not spin forever retrying)
         if (attempt()) times += (System.nanoTime() - t0) / 1e9 else failed = true
       }
+      if (!failed) rawTimes(name) = times.toSeq
       name -> (if (!failed) times.sorted.apply(1) else -math.max(failSec, 1e-3))
     }
 
@@ -83,9 +89,12 @@ object Bench {
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val bs = baseline.map { case (k, v) => jq(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")
+    val raws = rawTimes.map { case (k, ts) =>
+      jq(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline":$bs,"sf":${jq(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"baseline":$bs,"sf":${jq(
           sfDir)}}""")
     spark.stop()
     // same discipline as graft.Verify: the driver must never hang on a stray

@@ -474,6 +474,34 @@ object QueriesCore {
       val (_, deletes) = Upsert.materializeWithDeletes(eventsChangelog(s, dir), Seq("user_id"))
       deletes.orderBy("user_id")
     }),
+    "c_es_sink" -> ((s, dir) => {
+      // Elasticsearch sink contract end-to-end over the real /_bulk wire: the
+      // materialized changelog posts NDJSON bulk actions (PK-joined _id,
+      // reference temporal formats, deletes addressed at the table index) to
+      // the loopback ES double from executor partitions; the store's final
+      // documents are parsed back and must equal the changelog's final state
+      import graft.sinks.{ElasticsearchSink, MockElasticsearchServer}
+      import org.apache.spark.sql.types._
+      MockElasticsearchServer.reset()
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+      val sink = new ElasticsearchSink(MockElasticsearchServer.url(), maxActions = 100)
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      Upsert.withMaterialized(env, Seq("user_id")) { (ups, dels) =>
+        sink.writeBatch(tid, ups, dels)
+      }
+      val docs = MockElasticsearchServer.docsOf(tid.identifier)
+      import s.implicits._
+      val parsed = docs.toDF("_id", "doc").select(
+        from_json(col("doc"),
+          StructType(Seq(
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("ts", StringType)))).as("d"))
+      parsed.select(col("d.user_id").as("user_id"), col("d.event_type").as("event_type"),
+        col("d.value").as("value"), col("d.ts").as("ts_str"))
+        .orderBy("user_id")
+    }),
     "c_lakehouse_upsert" -> ((s, dir) => {
       // the changelog flows as three seq-ordered micro-batches through the
       // lakehouse table format (commit log, hash-bucketed files, file-granular
@@ -779,6 +807,15 @@ object QueriesCore {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
+    // final ES documents = changelog final state; ts in the reference's
+    // microsecond DATE_TIME_FORMATTER rendering
+    "c_es_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // identical final state to c_upsert: batched lakehouse MERGE is lossless
     "c_lakehouse_upsert" -> (evCte +
       """, last AS (
