@@ -502,6 +502,34 @@ object QueriesCore {
         col("d.value").as("value"), col("d.ts").as("ts_str"))
         .orderBy("user_id")
     }),
+    "c_starrocks_sink" -> ((s, dir) => {
+      // Stream Load wire family end-to-end: materialized changelog rendered
+      // as __op-flagged JSON rows, PUT per partition to the loopback frontend
+      // (label-dedup aware), whose PK store applies the flag semantics; final
+      // store state must equal the changelog's final state
+      import graft.sinks.{MockStreamLoadServer, StarRocksSink}
+      import org.apache.spark.sql.types._
+      val server = new MockStreamLoadServer(Seq("user_id"))
+      try {
+        val tid = TableId.parse("app.events")
+        val env = eventsChangelog(s, dir)
+        val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        val sink = new StarRocksSink(server.url(), maxRows = 100)
+        sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        Upsert.withMaterialized(env, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels)
+        }
+        import s.implicits._
+        val parsed = server.docsOf("app", "events").toDF("_id", "doc").select(
+          from_json(col("doc"),
+            StructType(Seq(
+              StructField("user_id", LongType), StructField("event_type", StringType),
+              StructField("value", DoubleType), StructField("ts", StringType)))).as("d"))
+        parsed.select(col("d.user_id").as("user_id"), col("d.event_type").as("event_type"),
+          col("d.value").as("value"), col("d.ts").as("ts_str"))
+          .orderBy("user_id")
+      } finally server.stop()
+    }),
     "c_lakehouse_upsert" -> ((s, dir) => {
       // the changelog flows as three seq-ordered micro-batches through the
       // lakehouse table format (commit log, hash-bucketed files, file-granular
@@ -810,6 +838,14 @@ object QueriesCore {
     // final ES documents = changelog final state; ts in the reference's
     // microsecond DATE_TIME_FORMATTER rendering
     "c_es_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // final stream-load store = changelog final state (same shape as c_es_sink)
+    "c_starrocks_sink" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
