@@ -160,6 +160,25 @@ object Bench {
         .count()
     }.foreach(sec => out += "b2_transform_events_per_sec" -> liRows / sec)
 
+    // B5 setup (outside the timed window): lakehouse base table, 1M rows
+    lazy val b5Table = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_bench").toString
+      val t = new graft.sinks.LakehouseTable(spark, dir)
+      t.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "k", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "v", org.apache.spark.sql.types.LongType))),
+          primaryKeys = Seq("k")),
+        buckets = 32)
+      t.merge(
+        spark.range(1000000).select(col("id").as("k"), col("id").as("v")),
+        spark.range(0).select(col("id").as("k")))
+      t
+    }
+
     // B3: 1M synthetic log events (50/50 insert/update), PK-upsert materialize
     val b3Events = 1000000L
     def b3Plan = {
@@ -188,6 +207,26 @@ object Bench {
         case e: Throwable =>
           errors(tag) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+    // B5: lakehouse file-granular MERGE — 100k-event incremental batch into a
+    // 1M-row PK table (32 buckets). Steady state: every timed run upserts the
+    // same keys, so table size and per-run work are constant. 100k random
+    // keys touch every bucket, so this is the worst case (full COW rewrite).
+    timed("b5") {
+      b5Table.merge(
+        spark.range(100000).select((col("id") * 10).as("k"), lit(-1L).as("v")),
+        spark.range(0).select(col("id").as("k")))
+    }.foreach(sec => out += "b5_lakehouse_merge_events_per_sec" -> 100000 / sec)
+    // B5b: the file-granularity payoff — a batch confined to ONE of the 32
+    // PK-hash buckets rewrites only that bucket's files. The wall-second
+    // ratio vs the full-table case above IS the pruning factor.
+    timed("b5_bucket") {
+      b5Table.merge(
+        spark.range(1000000)
+          .filter(pmod(hash(col("id")), lit(32)) === 0)
+          .select(col("id").as("k"), lit(-2L).as("v")),
+        spark.range(0).select(col("id").as("k")))
+    }.foreach(sec => out += "b5_lakehouse_bucket_merge_sec" -> sec)
+
     once("b4_total_wall_sec_outer") {
       val tid = TableId.parse("app.evolving")
       val driver = new graft.pipeline.SchemaEvolutionDriver(
