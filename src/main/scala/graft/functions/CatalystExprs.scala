@@ -59,6 +59,38 @@ object CatalystExprs {
     new GenericArrayData(out.map(UTF8String.fromString(_): Any))
   }
 
+  /** STRICT word k-grams (fewer than k words → EMPTY, the decontamination
+    * contract — unlike [[shinglesJava]]'s whole-text fallback). Semantics
+    * mirror `array_join(slice(split(lower(trim(text)), "\s+"), i, k), " ")`
+    * exactly: ASCII-space-only trim (Spark/DuckDB `trim` strips spaces, not
+    * tabs — Java's `String.trim` would diverge) and `-1`-limit split (Spark
+    * KEEPS trailing empty tokens; Java's default split drops them).
+    */
+  def strictGramsJava(input: UTF8String, k: Int): ArrayData = {
+    val raw = input.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val words = raw.substring(lo, hi)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    if (words.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val grams = new Array[Any](words.length - k + 1)
+      var i = 0
+      while (i + k <= words.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        grams(i) = UTF8String.fromString(sb.toString); i += 1
+      }
+      new GenericArrayData(grams)
+    }
+  }
+
   def minHashJava(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var s = 0
@@ -154,6 +186,21 @@ object CatalystExprs {
       copy(child = newChild)
   }
 
+  /** One-pass strict word k-grams (see [[strictGramsJava]]) — replaces the
+    * interpreted `transform(sequence(...), i -> array_join(slice(...)))`
+    * composition whose per-gram lambda re-touches the word array; the hot
+    * side of GPT-3-style decontamination scans the WHOLE corpus through this.
+    */
+  case class StrictWordGramsExpr(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      strictGramsJava(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.strictGramsJava($c, $k);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `numHashes` MinHash values in ONE pass over the shingle array: each
     * shingle is byte-hashed once, then mixed per hash index — O(S + S·H cheap
     * mixes) instead of H interpreted array traversals with string re-hashing.
@@ -237,6 +284,9 @@ object CatalystExprs {
 
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), k))
+
+  def strictWordGrams(text: Column, k: Int): Column =
+    ColumnBridge.column(StrictWordGramsExpr(ColumnBridge.expression(text), k))
 
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))

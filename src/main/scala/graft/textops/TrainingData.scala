@@ -145,10 +145,19 @@ object TrainingData {
 
   /** Strict lowercase word k-grams (documents with fewer than k words yield
     * none — no short-text fallback; this is the decontamination contract, not
-    * the LSH shingle contract). Expressed with native higher-order functions
-    * so the DuckDB oracle (`w[i:i+k-1]` slices) is formula-identical.
+    * the LSH shingle contract). Evaluated by the one-pass native
+    * [[graft.functions.CatalystExprs.StrictWordGramsExpr]] (stays inside
+    * whole-stage codegen); [[strictWordGramsHof]] keeps the higher-order
+    * formulation the DuckDB oracle mirrors, and the two are asserted
+    * equivalent in TrainingDataSpec.
     */
-  def strictWordGrams(text: Column, k: Int): Column = {
+  def strictWordGrams(text: Column, k: Int): Column =
+    graft.functions.CatalystExprs.strictWordGrams(text, k)
+
+  /** Reference formulation of [[strictWordGrams]] in Spark higher-order
+    * functions — formula-identical to the DuckDB oracle's `w[i:i+k-1]`
+    * slices; kept as the cross-check spec for the native expression. */
+  def strictWordGramsHof(text: Column, k: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")
     when(size(words) < k, array().cast("array<string>"))
       .otherwise(transform(

@@ -112,6 +112,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(grams(1) == Seq("a b c d e f g h", "b c d e f g h i"))
   }
 
+  test("native strictWordGrams ≡ HOF formulation, incl. whitespace edge cases") {
+    // the HOF version is what the DuckDB oracle mirrors; the native expression
+    // must agree everywhere — including space-only trim (tabs survive) and
+    // trailing-empty-token splits where Java's default String ops diverge
+    val tricky = Seq(
+      "A b C d E f G h i",
+      "  leading spaces a b c d e f g h",
+      "trailing spaces a b c d e f g h   ",
+      "\ttab lead a b c d e f g h",
+      "tab trail a b c d e f g h\t",
+      "inner\t\ttabs a b c d e f g h",
+      "", "   ", "short text")
+    val df = tricky.toDF("t")
+    val native = df.select(TrainingData.strictWordGrams($"t", 8)).as[Seq[String]].collect().toSeq
+    val hof = df.select(TrainingData.strictWordGramsHof($"t", 8)).as[Seq[String]].collect().toSeq
+    assert(native == hof)
+    // and over the real corpus
+    val d = docs.select($"text")
+    val n2 = d.select(TrainingData.strictWordGrams($"text", 8)).as[Seq[String]].collect().toSeq
+    val h2 = d.select(TrainingData.strictWordGramsHof($"text", 8)).as[Seq[String]].collect().toSeq
+    assert(n2 == h2)
+  }
+
   test("decontaminate flags planted eval-set copies via a broadcast join") {
     val train = docs.select($"doc_id", $"text")
     val bench = train.filter($"doc_id" < 20)
