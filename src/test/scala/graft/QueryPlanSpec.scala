@@ -42,13 +42,15 @@ class QueryPlanSpec extends AnyFunSuite {
       val planes = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
       val out = df.select(
         CatalystExprs.wordShingles($"text", 2).as("sh"),
+        CatalystExprs.strictWordGrams($"text", 2).as("sg"),
         CatalystExprs.minHashSig(CatalystExprs.wordShingles($"text", 2), 8).as("mh"),
         CatalystExprs.simHash64($"text").as("sim"),
         CatalystExprs.nearestCentroid($"vec", planes).as("nc"),
         CatalystExprs.dotF($"vec", $"vec").as("dot")).head()
       assert(out.getSeq[String](0).size == 3)
-      assert(out.getSeq[Long](1).size == 8)
-      assert(out.getDouble(4) == (0.5 * 0.5 + 0.25 * 0.25 + 1.0))
+      assert(out.getSeq[String](1).size == 3)
+      assert(out.getSeq[Long](2).size == 8)
+      assert(out.getDouble(5) == (0.5 * 0.5 + 0.25 * 0.25 + 1.0))
       // hyperplane sig separately (closes over reference objects)
       val sig = df.select(
         CatalystExprs.hyperplaneSig($"vec", dim = 3, bits = 16, seed = 7L)).head().getLong(0)
