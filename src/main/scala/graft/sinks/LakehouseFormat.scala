@@ -109,32 +109,76 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
 
   private def logFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
 
-  private def listVersions(): Seq[Long] =
+  private val commitName = """^(\d{20})\.json$""".r
+  private val checkpointName = """^(\d{20})\.checkpoint\.json$""".r
+
+  private def listLogNames(): Seq[String] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator.asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    else Files.list(logDir).iterator.asScala.map(_.getFileName.toString).toSeq
+
+  private def listVersions(): Seq[Long] =
+    listLogNames().collect { case commitName(v) => v.toLong }.sorted
 
   def latestVersion(): Long = listVersions().lastOption.getOrElse(-1L)
 
-  /** Replay the log up to and including `upTo` (default: latest). */
-  def snapshot(upTo: Option[Long] = None): Snapshot = {
-    val versions = listVersions().filter(v => upTo.forall(v <= _))
-    var meta: Option[Meta] = None
-    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    val txns = scala.collection.mutable.Map.empty[String, Long]
-    versions.foreach { v =>
-      Files.readAllLines(logFile(v)).asScala.filter(_.nonEmpty).foreach {
-        decode(_) match {
-          case m: Meta => meta = Some(m)
-          case a: AddFile => files(a.path) = a
-          case RemoveFile(p) => files.remove(p)
-          case Txn(run, batch) => txns(run) = math.max(batch, txns.getOrElse(run, Long.MinValue))
-        }
+  /** Every `checkpointInterval` commits the full replayed state is written as
+    * `<v>.checkpoint.json` (same action encoding as commits), so snapshot
+    * cost is O(tail since last checkpoint), not O(all commits) — a streaming
+    * sink committing every micro-batch would otherwise make log replay the
+    * slow path after a few days. Checkpoint content is deterministic for a
+    * version, so the write is an idempotent replace, not a claim.
+    */
+  val checkpointInterval: Int = 10
+
+  private def latestCheckpoint(upTo: Option[Long]): Option[Long] =
+    listLogNames().collect { case checkpointName(v) => v.toLong }
+      .filter(v => upTo.forall(v <= _)).maxOption
+
+  private def replayInto(
+      lines: Iterable[String],
+      meta: Array[Option[Meta]],
+      files: scala.collection.mutable.LinkedHashMap[String, AddFile],
+      txns: scala.collection.mutable.Map[String, Long]): Unit =
+    lines.filter(_.nonEmpty).foreach {
+      decode(_) match {
+        case m: Meta => meta(0) = Some(m)
+        case a: AddFile => files(a.path) = a
+        case RemoveFile(p) => files.remove(p)
+        case Txn(run, batch) => txns(run) = math.max(batch, txns.getOrElse(run, Long.MinValue))
       }
     }
-    Snapshot(versions.lastOption.getOrElse(-1L), meta, files.values.toSeq, txns.toMap)
+
+  /** Replay the log up to and including `upTo` (default: latest), starting
+    * from the newest eligible checkpoint. */
+  def snapshot(upTo: Option[Long] = None): Snapshot = {
+    val ckpt = latestCheckpoint(upTo)
+    val versions = listVersions()
+      .filter(v => upTo.forall(v <= _) && ckpt.forall(v > _))
+    val meta = Array[Option[Meta]](None)
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    ckpt.foreach { cv =>
+      replayInto(
+        Files.readAllLines(logDir.resolve(f"$cv%020d.checkpoint.json")).asScala,
+        meta, files, txns)
+    }
+    versions.foreach(v => replayInto(Files.readAllLines(logFile(v)).asScala, meta, files, txns))
+    Snapshot(
+      versions.lastOption.orElse(ckpt).getOrElse(-1L), meta(0), files.values.toSeq, txns.toMap)
   }
+
+  private def maybeCheckpoint(v: Long): Unit =
+    if (v > 0 && v % checkpointInterval == 0)
+      try {
+        val snap = snapshot(Some(v))
+        val actions: Seq[Action] =
+          snap.meta.toSeq ++ snap.files ++
+            snap.txns.map { case (run, b) => Txn(run, b) }
+        val tmp = Files.createTempFile(logDir, s"ckpt-$v-", ".tmp")
+        Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
+        Files.move(tmp, logDir.resolve(f"$v%020d.checkpoint.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: java.io.IOException => () } // best-effort; next one retries
 
   /** Atomically claim version `v`: write a temp file, rename WITHOUT replace.
     * A concurrent winner makes the rename fail → caller re-snapshots and
@@ -144,8 +188,11 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, s"commit-$v-", ".tmp")
     Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
-    try { Files.move(tmp, logFile(v), StandardCopyOption.ATOMIC_MOVE); true }
-    catch {
+    try {
+      Files.move(tmp, logFile(v), StandardCopyOption.ATOMIC_MOVE)
+      maybeCheckpoint(v)
+      true
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp); false
     }
   }

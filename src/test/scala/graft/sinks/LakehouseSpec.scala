@@ -88,6 +88,30 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("log checkpoints: snapshot from checkpoint == full replay; time travel intact") {
+    val t = newTable(buckets = 2)
+    (1 to 25).foreach { i =>
+      t.merge(Seq((i.toLong % 10, s"v$i")).toDF("k", "v"), empty(t),
+        txn = Some(("run", i.toLong)))
+    }
+    val ckpts = Files.list(Paths.get(t.dir, "_log")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(ckpts).asScala
+      .map(_.getFileName.toString).toSeq
+    val ckptFiles = names.filter(_.endsWith(".checkpoint.json"))
+    assert(ckptFiles.nonEmpty) // interval 10 -> at least v10/v20 checkpoints
+    val withCkpt = t.snapshot()
+    // removing the checkpoints forces a full from-scratch replay: must agree
+    ckptFiles.foreach(n => Files.delete(Paths.get(t.dir, "_log", n)))
+    val fullReplay = t.snapshot()
+    assert(withCkpt.version == fullReplay.version)
+    assert(withCkpt.files.map(_.path).toSet == fullReplay.files.map(_.path).toSet)
+    assert(withCkpt.txns == fullReplay.txns)
+    assert(withCkpt.meta.map(_.schema.struct) == fullReplay.meta.map(_.schema.struct))
+    // time travel below the (now deleted) checkpoint horizon still replays
+    assert(t.read(Some(5L)).count() > 0)
+    assert(t.read().count() == 10)
+  }
+
   test("vacuum deletes unreferenced files; current read unaffected") {
     val t = newTable()
     t.merge((0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
