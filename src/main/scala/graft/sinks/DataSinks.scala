@@ -22,14 +22,36 @@ object DataSinks {
             .filterKeys(_.startsWith("driver.")).toMap
             .map { case (k, v) => k.stripPrefix("driver.") -> v },
           batchSize = sinkDef.config.getOrElse("batch.size", "1024").toInt)
-      case "parquet" | "lakehouse" =>
+      case "parquet" =>
         new ParquetMergeSink(
           spark,
           rootDir = sinkDef.config.getOrElse(
             "path", throw new IllegalArgumentException("parquet sink requires 'path'")),
           buckets = sinkDef.config.getOrElse("buckets", "16").toInt)
+      case "lakehouse" =>
+        new LakehouseSink(
+          spark,
+          rootDir = sinkDef.config.getOrElse(
+            "path", throw new IllegalArgumentException("lakehouse sink requires 'path'")),
+          buckets = sinkDef.config.getOrElse("buckets", "16").toInt)
+      case "elasticsearch" =>
+        new ElasticsearchSink(
+          baseUrl = sinkDef.config.getOrElse("hosts", sinkDef.config.getOrElse(
+            "url", throw new IllegalArgumentException("elasticsearch sink requires 'hosts'"))),
+          maxActions = sinkDef.config.getOrElse("batch.size.max", "500").toInt)
+      case "starrocks" =>
+        new StarRocksSink(
+          baseUrl = sinkDef.config.getOrElse("load-url", sinkDef.config.getOrElse(
+            "url", throw new IllegalArgumentException("starrocks sink requires 'load-url'"))),
+          maxRows = sinkDef.config.getOrElse("sink.buffer-flush.max-rows", "1000").toInt)
+      case "doris" =>
+        new DorisSink(
+          baseUrl = sinkDef.config.getOrElse("fenodes", sinkDef.config.getOrElse(
+            "url", throw new IllegalArgumentException("doris sink requires 'fenodes'"))),
+          maxRows = sinkDef.config.getOrElse("sink.buffer-flush.max-rows", "1000").toInt)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown sink type '$other' (supported: values, jdbc, parquet)")
+          s"unknown sink type '$other' (supported: values, jdbc, parquet, lakehouse, " +
+            "elasticsearch, starrocks, doris)")
     }
 }

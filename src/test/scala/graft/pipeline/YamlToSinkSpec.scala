@@ -118,9 +118,35 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("yaml 'lakehouse' sink: composed pipeline commits through the table format") {
+    val dir = java.nio.file.Files.createTempDirectory("yamllake").toString
+    val (_, sink) = runPipeline(
+      s"""  type: lakehouse
+         |  path: $dir
+         |  buckets: 2""".stripMargin)
+    val lake = sink.asInstanceOf[graft.sinks.LakehouseSink]
+    val rows = lake.table(TableId.of("app", "users")).read().orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+    // the write went through the commit log, not a bare directory
+    assert(lake.table(TableId.of("app", "users")).latestVersion() >= 1L)
+  }
+
+  test("yaml 'starrocks' sink: composed pipeline stream-loads to the loopback") {
+    val server = new graft.sinks.MockStreamLoadServer(Seq("id"))
+    try {
+      runPipeline(
+        s"""  type: starrocks
+           |  load-url: ${server.url()}""".stripMargin)
+      val docs = server.docsOf("app", "users").toMap
+      assert(docs.keySet == Set("1", "2"))
+      assert(docs("1").contains(""""uname":"ANN""""))
+    } finally server.stop()
+  }
+
   test("unknown sink type is rejected") {
     intercept[IllegalArgumentException](
-      DataSinks.forDef(spark, SinkDef("doris", None, Map.empty)))
+      DataSinks.forDef(spark, SinkDef("iceberg-rest", None, Map.empty)))
   }
 
   test("PipelineRunner: YAML text to running pipeline in one call") {
