@@ -95,6 +95,30 @@ object QueriesML {
             6).as("jaccard"))
         .orderBy("idA", "idB")
     }),
+    "d_dup_clusters" -> ((s, dir) => {
+      // duplicate-cluster labeling: the d_ngram_jaccard candidate structure
+      // (same source, nearby ids — never all-pairs) filtered to jaccard>=0.9
+      // forms the edge set; connected components label each doc with its
+      // cluster's min id. Oracle replays the same edges + a recursive-CTE
+      // reachability to the same min label.
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val a = d.select(col("source"), col("doc_id").as("idA"), col("text").as("tA"))
+      val b = d.select(col("source"), col("doc_id").as("idB"), col("text").as("tB"))
+      val pairs = a.join(b, Seq("source"))
+        .filter(col("idB") > col("idA") && col("idB") - col("idA") <= 60)
+        .withColumn("wa", array_distinct(split(lower(trim(col("tA"))), "\\s+")))
+        .withColumn("wb", array_distinct(split(lower(trim(col("tB"))), "\\s+")))
+        .withColumn("jaccard",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))).cast("double"))
+        .filter(col("jaccard") >= 0.90)
+        .select(col("idA"), col("idB"))
+      val lab = Dedup.duplicateClusters(pairs)
+      val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
     "d_embedding_dup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val planted = e.filter(col("vec_id") < 10)
@@ -127,6 +151,34 @@ object QueriesML {
       docs(s, dir).select(
         col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "x_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals (Rae et al. 2021 §A1.1 adapted to
+      // word grams): duplicate-word fraction, top-bigram token coverage,
+      // duplicate-5-gram fraction — counters from ONE native map-only pass
+      // (RepetitionStatsExpr), fractions as plain Column arithmetic so the
+      // oracle replays the identical divisions
+      import graft.functions.CatalystExprs
+      val st = docs(s, dir)
+        .select(col("doc_id"), CatalystExprs.repetitionStats(col("text")).as("s"))
+        .select(col("doc_id"),
+          col("s.tokens").as("n_tokens"),
+          col("s.uniq_words").as("uniq_words"),
+          col("s.top_bigram").as("top_bigram"),
+          col("s.uniq_5grams").as("uniq_5grams"))
+      st.select(col("doc_id"), col("n_tokens"),
+          round(when(col("n_tokens") > 0,
+            lit(1.0) - col("uniq_words").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)), 6).as("dup_word_frac"),
+          round(when(col("n_tokens") > 0,
+            col("top_bigram") * lit(2.0) / col("n_tokens"))
+            .otherwise(lit(0.0)), 6).as("top_bigram_frac"),
+          round(when(col("n_tokens") >= 5,
+            lit(1.0) - col("uniq_5grams").cast("double") / (col("n_tokens") - 4))
+            .otherwise(lit(0.0)), 6).as("dup_5gram_frac"))
+        .withColumn("keep",
+          (col("top_bigram_frac") <= 0.10 && col("dup_word_frac") <= 0.60).cast("int"))
         .orderBy("doc_id")
     }),
     "x_fingerprint" -> ((s, dir) => {
@@ -266,6 +318,28 @@ object QueriesML {
     "d_embedding_dup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 10 ORDER BY idA, idB""".stripMargin,
+    // same edge set as the Spark side (jaccard>=0.9 over distinct word sets on
+    // the bounded candidate structure), then component min via recursive-CTE
+    // label reachability — the fixpoint min-label propagation converges to
+    "d_dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 60
+        |  WHERE CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(a.text)), '\s+')),
+        |                                list_distinct(string_split_regex(lower(trim(b.text)), '\s+')))) AS DOUBLE)
+        |        / len(list_distinct(list_concat(list_distinct(string_split_regex(lower(trim(a.text)), '\s+')),
+        |                                        list_distinct(string_split_regex(lower(trim(b.text)), '\s+'))))) >= 0.90),
+        |edges AS (SELECT idA AS s, idB AS d FROM pairs UNION ALL SELECT idB, idA FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "x_tokens" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -320,6 +394,40 @@ object QueriesML {
     "x_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-word-position gram expansion via scalar range + unnest in the select
+    // list (same DuckDB-1.0 workaround as x_decontam); fractions replay the
+    // Spark Column divisions verbatim
+    "x_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, w, len(w) AS n FROM words),
+        |i2 AS (SELECT doc_id, w, unnest(range(1, n)) AS i FROM base WHERE n >= 2),
+        |g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM i2),
+        |t2 AS (SELECT doc_id, max(c) AS top2
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+        |       GROUP BY doc_id),
+        |i5 AS (SELECT doc_id, w, unnest(range(1, n - 3)) AS i FROM base WHERE n >= 5),
+        |g5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM i5),
+        |t5 AS (SELECT doc_id, count(DISTINCT g) AS uniq5 FROM g5 GROUP BY doc_id),
+        |s AS (
+        |  SELECT b.doc_id, b.n AS n_tokens, len(list_distinct(b.w)) AS uniq1,
+        |    coalesce(t2.top2, 0) AS top2, coalesce(t5.uniq5, 0) AS uniq5
+        |  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(CASE WHEN n_tokens > 0
+        |               THEN 1.0 - CAST(uniq1 AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS dup_word_frac,
+        |    round(CASE WHEN n_tokens > 0
+        |               THEN top2 * 2.0 / n_tokens ELSE 0.0 END, 6) AS top_bigram_frac,
+        |    round(CASE WHEN n_tokens >= 5
+        |               THEN 1.0 - CAST(uniq5 AS DOUBLE) / (n_tokens - 4) ELSE 0.0 END, 6) AS dup_5gram_frac
+        |  FROM s)
+        |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, dup_5gram_frac,
+        |  CAST(top_bigram_frac <= 0.10 AND dup_word_frac <= 0.60 AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

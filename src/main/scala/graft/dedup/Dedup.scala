@@ -180,6 +180,67 @@ object Dedup {
       size(array_union(aSet, bSet)).cast("double")
   }
 
+  // ---------- duplicate clustering (connected components) --------------------
+
+  /** Label every node of a near-dup pair graph with its connected component's
+    * minimum id — the canonical "duplicate cluster" representative (so keeping
+    * `id == cluster_id` keeps exactly one survivor per cluster).
+    *
+    * Min-label propagation: each round is ONE shuffle hash-join
+    * (edges ⋈ labels on dst) + a min-aggregation, and labels only decrease,
+    * so the fixpoint (labels constant across every component, equal to the
+    * component min) is reached in O(cluster diameter) rounds and the result is
+    * ITERATION-ORDER-INDEPENDENT — deterministic, hence oracle-checkable
+    * against a recursive-CTE reachability query. Near-dup clusters are
+    * band-bucket near-cliques with tiny diameters (single digits), so rounds
+    * stay small even at corpus scale; for adversarially long chains the
+    * large-star/small-star contraction (Kiveris et al., "Connected Components
+    * in MapReduce", SoCC'14) bounds rounds at O(log n) — same join shape,
+    * only the edge rewrite differs. Each round's labels are eagerly
+    * local-checkpointed: `labels` appears twice in the next round's plan
+    * (propagation join + convergence diff), so without truncation the logical
+    * plan DOUBLES per round and Catalyst analysis goes exponential — the
+    * classic iterative-algorithm lineage explosion. Checkpointing makes every
+    * round's plan O(1) deep and reads the prior labels from storage once.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idACol: String = "idA",
+      idBCol: String = "idB",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val prev = labels
+      val neighborMin = edges
+        .join(prev.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"),
+          Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("nlabel")).as("nmin"))
+        .withColumnRenamed("src", "id")
+      val next = prev.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(prev.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   // ---------- embedding cosine near-dup -------------------------------------
 
   /** Embedding near-dup via random-hyperplane LSH: signature band join →

@@ -160,6 +160,52 @@ object CatalystExprs {
     best
   }
 
+  /** One-pass per-document repetition statistics (Gopher-style filter
+    * signals, Rae et al. 2021 §A1.1): token count, distinct tokens, the
+    * occurrence count of the most frequent word 2-gram, distinct 2-grams and
+    * distinct 5-grams — everything the duplicate-word / top-bigram-coverage /
+    * duplicate-5-gram fractions need, in a single tokenize-and-count pass.
+    * Tokenization matches [[strictGramsJava]] (ASCII-space trim, lowercase,
+    * `\s+` split) so the DuckDB oracle can replay it with
+    * `string_split_regex(lower(trim(text)), '\s+')`.
+    */
+  def repStatsJava(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = input.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    if (hi == lo)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0, 0, 0))
+    val words = raw.substring(lo, hi)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val n = words.length
+    val uniq1 = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { uniq1.add(words(i)); i += 1 }
+    val counts2 = new java.util.HashMap[String, Integer](n * 2)
+    var top2 = 0
+    i = 0
+    while (i + 1 < n) {
+      val g = words(i) + " " + words(i + 1)
+      val c = counts2.merge(g, 1, (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top2) top2 = c.intValue
+      i += 1
+    }
+    val uniq5 = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i + 4 < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < 5) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+      uniq5.add(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, uniq1.size, top2, counts2.size, uniq5.size))
+  }
+
   def dotJava(l: ArrayData, r: ArrayData): Double = {
     val a = l.toFloatArray()
     val b = r.toFloatArray()
@@ -247,6 +293,32 @@ object CatalystExprs {
       copy(child = newChild)
   }
 
+  /** Schema of [[RepetitionStatsExpr]]: the integer counters from which the
+    * repetition fractions derive (fractions are computed as Column arithmetic
+    * so the same divisions run verbatim in the DuckDB oracle).
+    */
+  val RepStatsType: StructType = StructType(Seq(
+    StructField("tokens", IntegerType, nullable = false),
+    StructField("uniq_words", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("uniq_bigrams", IntegerType, nullable = false),
+    StructField("uniq_5grams", IntegerType, nullable = false)))
+
+  /** One-pass repetition counters (see [[repStatsJava]]) — replaces an
+    * explode-grams → groupBy-doc mode computation (a per-document shuffle)
+    * with a map-only native expression; the whole Gopher-style repetition
+    * filter becomes a narrow projection over the corpus.
+    */
+  case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = RepStatsType
+    override def nullSafeEval(input: Any): Any =
+      repStatsJava(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.repStatsJava($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Argmin-centroid bucket assignment in one pass: squared-L2 against every
     * centroid in a tight JVM loop (ties break to the lower index, matching a
     * `when(a.d <= b.d, a)` left-fold). Replaces numCentroids interpreted
@@ -302,6 +374,9 @@ object CatalystExprs {
     val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     ColumnBridge.column(HyperplaneSigExpr(ColumnBridge.expression(vec), planes))
   }
+
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))
 
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -46,11 +46,13 @@ class QueryPlanSpec extends AnyFunSuite {
         CatalystExprs.minHashSig(CatalystExprs.wordShingles($"text", 2), 8).as("mh"),
         CatalystExprs.simHash64($"text").as("sim"),
         CatalystExprs.nearestCentroid($"vec", planes).as("nc"),
-        CatalystExprs.dotF($"vec", $"vec").as("dot")).head()
+        CatalystExprs.dotF($"vec", $"vec").as("dot"),
+        CatalystExprs.repetitionStats($"text").as("rep")).head()
       assert(out.getSeq[String](0).size == 3)
       assert(out.getSeq[String](1).size == 3)
       assert(out.getSeq[Long](2).size == 8)
       assert(out.getDouble(5) == (0.5 * 0.5 + 0.25 * 0.25 + 1.0))
+      assert(out.getStruct(6).getInt(0) == 4) // rep.tokens
       // hyperplane sig separately (closes over reference objects)
       val sig = df.select(
         CatalystExprs.hyperplaneSig($"vec", dim = 3, bits = 16, seed = 7L)).head().getLong(0)

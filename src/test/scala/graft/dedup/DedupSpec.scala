@@ -33,6 +33,21 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("en", "de", "fr", "es", "zh"))
   }
 
+  test("repetitionStats counts tokens, distinct words, top bigram, 5-grams") {
+    import graft.functions.CatalystExprs
+    val df = Seq("a b a b a", "  ", "x y z w v u", "one").toDF("t")
+    val rows = df.select(CatalystExprs.repetitionStats($"t").as("s"))
+      .select($"s.tokens", $"s.uniq_words", $"s.top_bigram", $"s.uniq_bigrams",
+        $"s.uniq_5grams")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // "a b a b a": 5 tokens, 2 distinct; bigrams a-b ×2, b-a ×2 → top 2, uniq 2;
+    // one 5-gram window
+    assert(rows(0) == ((5, 2, 2, 2, 1)))
+    assert(rows(1) == ((0, 0, 0, 0, 0))) // whitespace-only → all zeros
+    assert(rows(2) == ((6, 6, 1, 5, 2))) // all distinct: top bigram count 1
+    assert(rows(3) == ((1, 1, 0, 0, 0))) // single token: no bigrams
+  }
+
   test("shingles produce n-k+1 word k-grams") {
     val df = Seq("a b c d").toDF("t")
     assert(df.select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head() ==
@@ -95,6 +110,24 @@ class DedupSpec extends AnyFunSuite {
     // survivors are the original ids
     assert(out.filter($"doc_id" >= 10000).count() == 0)
     assert(out.filter($"dup_count" === 2).count() == 50)
+  }
+
+  test("duplicateClusters labels components with their min id") {
+    // chain 1-2-3 (transitive: 1 and 3 share no edge), isolated pair 10-11,
+    // and a triangle 20-21-22 — plus node order scrambled in the pair list
+    val pairs = Seq((2L, 3L), (10L, 11L), (21L, 22L), (1L, 2L), (20L, 21L), (20L, 22L))
+      .toDF("idA", "idB")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long path (diameter > 1 round)") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10 && out.values.forall(_ == 0L))
   }
 
   test("minhash near-dups find exact-copy pairs with jaccard 1.0") {
