@@ -240,7 +240,54 @@ object QueriesML {
         .orderBy("doc_id")
     }),
 
+    "x_curate_e2e" -> ((s, dir) => {
+      // END-TO-END curation pipeline over documents ∪ planted exact copies:
+      // map-only signal pass (repetition keep + quality) → exact-dup survivor
+      // semi-join → decontamination anti-join (broadcast bench grams) →
+      // deterministic 50% sample. Every stage reuses an individually
+      // oracle-checked formula; the chain itself is the oracle here.
+      import graft.functions.CatalystExprs
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val all = d.unionByName(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("source")))
+      val scored = all
+        .withColumn("s", CatalystExprs.repetitionStats(col("text")))
+        .withColumn("n_tokens", col("s.tokens"))
+        .withColumn("dwf", round(when(col("s.tokens") > 0,
+          lit(1.0) - col("s.uniq_words").cast("double") / col("s.tokens"))
+          .otherwise(lit(0.0)), 6))
+        .withColumn("tbf", round(when(col("s.tokens") > 0,
+          col("s.top_bigram") * lit(2.0) / col("s.tokens"))
+          .otherwise(lit(0.0)), 6))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("tbf") <= 0.10 && col("dwf") <= 0.60 && col("quality") >= 0.8)
+      val survivors = Dedup.exactByFingerprint(all, "doc_id", "text")
+        .select(col("doc_id"))
+      val bench = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      val flagged = TrainingData.decontaminate(
+        all.select(col("doc_id"), col("text")), bench, "doc_id", "text", k = 8)
+        .select(col("doc_id"))
+      scored
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .filter(TrainingData.deterministicBucket(col("doc_id"), 2048) < 1024)
+        .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search --------------------------------------------------
+    "a_embed_centroids" -> ((s, dir) => {
+      // per-label mean embedding, dimension-major: posexplode multiplies rows
+      // ×dim but the partial hash-aggregate reduces each partition to
+      // (labels × dims) rows before the single shuffle — vectors never
+      // shuffle whole
+      emb(s, dir).select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
+        .select(col("label"), col("dim"), col("centroid"))
+        .orderBy("label", "dim")
+    }),
     "a_ann_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
@@ -487,6 +534,87 @@ object QueriesML {
         |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
         |FROM tg JOIN bg USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every stage replays an individually-green formula; planted copies of
+    // doc_id<30 exercise the survivor stage, bench grams = doc_id<20 texts
+    "x_curate_e2e" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text, source FROM documents WHERE doc_id < 30),
+        |words AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM all_docs),
+        |base AS (SELECT doc_id, w, len(w) AS n FROM words),
+        |i2 AS (SELECT doc_id, w, unnest(range(1, n)) AS i FROM base WHERE n >= 2),
+        |g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM i2),
+        |t2 AS (SELECT doc_id, max(c) AS top2
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+        |       GROUP BY doc_id),
+        |repf AS (
+        |  SELECT b.doc_id, b.n AS n_tokens,
+        |    round(CASE WHEN b.n > 0
+        |               THEN 1.0 - CAST(len(list_distinct(b.w)) AS DOUBLE) / b.n ELSE 0.0 END, 6) AS dwf,
+        |    round(CASE WHEN b.n > 0
+        |               THEN coalesce(t2.top2, 0) * 2.0 / b.n ELSE 0.0 END, 6) AS tbf
+        |  FROM base b LEFT JOIN t2 USING (doc_id)),
+        |qf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text)=0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |              / length(text) END AS punct_ratio,
+        |    CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|that|it|for|on)\b')) AS DOUBLE) AS stophits,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS nonspace
+        |  FROM all_docs),
+        |qg AS (
+        |  SELECT doc_id, punct_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE stophits / toks END AS stopword_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE nonspace / toks END AS mean_word_len,
+        |    CAST(toks AS DOUBLE) AS toksd
+        |  FROM qf),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(toksd / 50.0, 1.0) * least(2000.0 / greatest(toksd, 1.0), 1.0) * 0.4
+        |      + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+        |    6) AS quality
+        |  FROM qg),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |        FROM all_docs)
+        |  GROUP BY fp),
+        |dwords AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM all_docs),
+        |didx AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i
+        |  FROM dwords WHERE len(w) >= 8),
+        |tg AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM didx),
+        |bg AS (SELECT DISTINCT gram FROM tg WHERE doc_id < 20),
+        |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+        |SELECT a.doc_id, a.source, q.quality, r.n_tokens
+        |FROM all_docs a
+        |JOIN repf r USING (doc_id)
+        |JOIN qual q USING (doc_id)
+        |WHERE r.tbf <= 0.10 AND r.dwf <= 0.60
+        |  AND q.quality >= 0.8
+        |  AND a.doc_id IN (SELECT doc_id FROM surv)
+        |  AND a.doc_id NOT IN (SELECT doc_id FROM contam)
+        |  AND ((a.doc_id % 2147483648) * 1103515245 + 12345) % 2048 < 1024
+        |ORDER BY a.doc_id""".stripMargin,
+    // dimension-major per-label mean; i is 1-based in DuckDB lists, Spark's
+    // posexplode pos is 0-based → dim = i - 1
+    "a_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+        |FROM e GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "a_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
         |scored AS (

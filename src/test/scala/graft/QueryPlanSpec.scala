@@ -60,6 +60,21 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("x_curate_e2e: bench grams broadcast, no cartesian anywhere") {
+    val df = QueriesML.queries("x_curate_e2e")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"decontamination bench-gram join should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("a_embed_centroids: partial aggregate before the single shuffle") {
+    val df = QueriesML.queries("a_embed_centroids")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_avg") || plan.contains("partial_average") ||
+      plan.toLowerCase.contains("partial"), s"no map-side partial avg:\n$plan")
+  }
+
   test("t_udf2: multi-arity typed UDF through the lifecycle registry") {
     val rows = QueriesCore.queries("t_udf2")(spark, sf).limit(3).collect()
     rows.foreach { r =>
