@@ -26,15 +26,37 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
   val composer = new PipelineComposer(pdef, sink)
 
-  private def sourceId: String = pdef.source.config.getOrElse(
-    "sourceId",
-    throw new IllegalArgumentException("cdc source requires 'sourceId' in this environment"))
+  private def sourceId: String = pdef.source.sourceType.toLowerCase match {
+    case "debezium-file" => debeziumFileSourceId
+    case _ => pdef.source.config.getOrElse(
+      "sourceId",
+      throw new IllegalArgumentException("cdc source requires 'sourceId' in this environment"))
+  }
+
+  /** `source.type: debezium-file` — a STANDALONE file source (captured
+    * Debezium wire records + a declared schema), registered on first use so
+    * the CLI can run a pipeline with no in-process fixtures. Config:
+    * `path`, `table` (db.table), `schema` (Spark DDL string), `primary-key`.
+    */
+  private lazy val debeziumFileSourceId: String = {
+    val cfg = pdef.source.config
+    def req(k: String) = cfg.getOrElse(k, throw new IllegalArgumentException(
+      s"debezium-file source requires '$k'"))
+    val src = graft.sources.debezium.DebeziumFileSource.toChangeSource(
+      spark, req("path"),
+      org.apache.spark.sql.types.StructType.fromDDL(req("schema")),
+      TableId.parse(req("table")),
+      req("primary-key").split(",").map(_.trim).toSeq)
+    val id = s"debezium-file:${req("path")}"
+    ChangeSourceRegistry.register(id, src)
+    id
+  }
 
   /** Source tables this pipeline reads (single-table for the scripted source;
     * a live dialect source would enumerate via catalog metadata).
     */
   def sourceSchemas: Map[TableId, TableSchema] = pdef.source.sourceType.toLowerCase match {
-    case "cdc" | "values" =>
+    case "cdc" | "values" | "debezium-file" =>
       val src = ChangeSourceRegistry.get(sourceId)
       Map(src.tableId -> src.schema)
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")

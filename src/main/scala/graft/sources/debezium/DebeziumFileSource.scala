@@ -174,4 +174,47 @@ object DebeziumFileSource {
       .toSeq
       .flatMap(r => MySqlDdlParser.parse(r.getString(2), database = r.getString(1)))
   }
+
+  /** Materialize a captured wire-file directory as a registered-able
+    * [[graft.sources.cdc.ChangeSource]] so a YAML pipeline
+    * (`source.type: debezium-file`) can run STANDALONE from the CLI — no
+    * in-process fixture registration, just files + a schema declaration.
+    * Records replay in binlog-coordinate order through the normal
+    * incremental-source machinery (the capture becomes the source's log;
+    * snapshot chunks then see the post-replay table, and the stream split
+    * starts at the high watermark, so nothing double-applies). Driver-side
+    * materialization is sized for capture REPLAY (bounded fixtures,
+    * operational backfills); a 100 TB topic dump goes through [[read]]'s
+    * distributed scan-speed path instead.
+    */
+  def toChangeSource(
+      spark: SparkSession,
+      path: String,
+      rowSchema: StructType,
+      tableId: graft.core.TableId,
+      primaryKeys: Seq[String]): graft.sources.cdc.ScriptedChangeSource = {
+    import graft.core.DataChangeEvent
+    val src = new graft.sources.cdc.ScriptedChangeSource(
+      tableId, graft.core.TableSchema(rowSchema, primaryKeys), Seq.empty)
+    def toMap(r: org.apache.spark.sql.Row): Map[String, Any] =
+      if (r == null) Map.empty
+      else r.getValuesMap[Any](r.schema.fieldNames)
+    read(spark, path, rowSchema)
+      .filter(col(Envelope.OpCol) =!= KafkaJsonFormats.InvalidOp)
+      .orderBy(Envelope.SeqCol)
+      .collect()
+      .foreach { rec =>
+        val before = toMap(rec.getAs[org.apache.spark.sql.Row](Envelope.BeforeCol))
+        val after = toMap(rec.getAs[org.apache.spark.sql.Row](Envelope.AfterCol))
+        val ev = rec.getAs[String](Envelope.OpCol) match {
+          case "INSERT" => DataChangeEvent.insert(tableId, after)
+          case "UPDATE" => DataChangeEvent.update(tableId, before, after)
+          case "DELETE" => DataChangeEvent.delete(tableId, before)
+          case "REPLACE" => DataChangeEvent.replace(tableId, after)
+          case other => throw new IllegalStateException(s"unexpected op '$other'")
+        }
+        src.append(ev)
+      }
+    src
+  }
 }
