@@ -318,6 +318,23 @@ object QueriesML {
         .orderBy("qid")
     }),
 
+    "a_ann_pq_self" -> ((s, dir) => {
+      // PQ invariant: ADC distance is minimized exactly by a candidate with
+      // the query's own codes (encode IS the per-block argmin), so an indexed
+      // query retrieves itself at rank 1 for ANY codebook quality — the
+      // deterministic slice of PQ the oracle can assert
+      implicit val sp: SparkSession = s
+      val e = emb(s, dir)
+      val idx = Ann.PqIndex.build(e, "vec_id", "embedding", m = 8, ks = 16,
+        sampleSize = 500)
+      val qs = e.filter(col("vec_id") < 15).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)).toSeq
+      idx.topK(qs, k = 1)
+        .select(col("qid"), col("cid"))
+        .orderBy("qid")
+    }),
+
     // ---- multimodal (binary plumbing; no SQL oracle — rows-only check) ------
     "m_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 60))
@@ -633,6 +650,9 @@ object QueriesML {
     "a_ann_ivf_self" ->
       """SELECT vec_id AS qid, vec_id AS cid, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "a_ann_pq_self" ->
+      """SELECT vec_id AS qid, vec_id AS cid
+        |FROM embeddings WHERE vec_id < 15 ORDER BY qid""".stripMargin,
     // multimodal: the codec stub is deterministic, so expected values are
     // computable — feature sums were precomputed by replaying the stub on the
     // driver (self-oracle; MultimodalSpec recomputes them in-process too),

@@ -206,6 +206,52 @@ object CatalystExprs {
       Array[Any](n, uniq1.size, top2, counts2.size, uniq5.size))
   }
 
+  /** Product-quantization encode: per sub-block argmin centroid, codes packed
+    * 8 bits per block into one long (m ≤ 8 blocks, ks ≤ 256 centroids). One
+    * pass; ties to the lower code, matching [[nearestCentroidJava]].
+    */
+  def pqEncodeJava(vecData: ArrayData, codebooks: Array[Array[Array[Double]]]): Long = {
+    val vec = vecData.toFloatArray()
+    var codes = 0L
+    var b = 0
+    while (b < codebooks.length) {
+      val cb = codebooks(b)
+      val dsub = cb(0).length
+      val off = b * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        val n = math.min(dsub, math.max(vec.length - off, 0))
+        while (j < n) { val x = vec(off + j).toDouble - cent(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes |= (best.toLong & 0xffL) << (8 * b)
+      b += 1
+    }
+    codes
+  }
+
+  /** Asymmetric-distance computation: sum the per-block LUT entries selected
+    * by the packed codes — m array lookups per candidate, no vector math.
+    * `lut` is the query's flattened m×ks table of ||q_sub − centroid||².
+    */
+  def pqAdcJava(codes: Long, lutData: ArrayData, m: Int, ks: Int): Double = {
+    val lut = lutData.toDoubleArray()
+    var d = 0.0
+    var b = 0
+    while (b < m) {
+      val code = ((codes >>> (8 * b)) & 0xffL).toInt
+      d += lut(b * ks + code)
+      b += 1
+    }
+    d
+  }
+
   def dotJava(l: ArrayData, r: ArrayData): Double = {
     val a = l.toFloatArray()
     val b = r.toFloatArray()
@@ -338,6 +384,37 @@ object CatalystExprs {
       copy(child = newChild)
   }
 
+  /** One-pass PQ encode (see [[pqEncodeJava]]); codebooks are a codegen
+    * reference object like [[NearestCentroidExpr]]'s centroids.
+    */
+  case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(pqEncodeJava(input.asInstanceOf[ArrayData], codebooks))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Pkg.pqEncodeJava($c, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ADC distance from packed codes + a per-query LUT column (see
+    * [[pqAdcJava]]) — the PQ scan's hot loop, m table lookups per row.
+    */
+  case class PqAdcExpr(left: Expression, right: Expression, m: Int, ks: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(codes: Any, lut: Any): Any =
+      java.lang.Double.valueOf(
+        pqAdcJava(codes.asInstanceOf[Long], lut.asInstanceOf[ArrayData], m, ks))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) => s"${ev.value} = $Pkg.pqAdcJava($c, $l, $m, $ks);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Sequential-order float dot product in double — bit-identical to
     * `aggregate(zip_with(a,b,*),0d,+)` (same accumulation order) but one JVM
     * loop instead of 2·dim interpreted lambda calls.
@@ -374,6 +451,13 @@ object CatalystExprs {
     val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     ColumnBridge.column(HyperplaneSigExpr(ColumnBridge.expression(vec), planes))
   }
+
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), codebooks))
+
+  def pqAdc(codes: Column, lut: Column, m: Int, ks: Int): Column =
+    ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut), m, ks))
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))

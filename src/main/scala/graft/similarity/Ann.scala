@@ -162,6 +162,125 @@ object Ann {
     }
   }
 
+  /** Product-quantization index (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): vectors compress to `m` sub-block
+    * codes (8 bits each, packed into ONE long — a 64-dim float vector becomes
+    * 8 bytes, 32× smaller), and queries scan candidates by ASYMMETRIC
+    * distance: a per-query m×ks lookup table of ||q_sub − centroid||², so
+    * each candidate costs m table lookups instead of a dim-length vector
+    * pass. This is the 100 TB memory story: the scan shuffles/holds packed
+    * longs, never raw vectors.
+    *
+    * Self-retrieval invariant (what the oracle checks): ADC distance is
+    * minimized over candidates EXACTLY by the query's own code assignment
+    * (encode IS the per-block argmin), so an indexed query always retrieves
+    * itself at rank 1 (ties broken by id) — true for ANY codebook quality.
+    */
+  final class PqIndex private[Ann] (
+      val codebooks: Array[Array[Array[Double]]], // [m][ks][dsub]
+      encoded: DataFrame) {                       // (cid, codes: long)
+
+    private def m = codebooks.length
+    private def ks = codebooks(0).length
+    private def dsub = codebooks(0)(0).length
+
+    /** corpus ids + packed codes (the only thing the scan ever touches). */
+    def encodings: DataFrame = encoded
+
+    /** Flattened m×ks ADC lookup table for one query. */
+    def lut(q: Array[Double]): Array[Double] = {
+      val out = new Array[Double](m * ks)
+      var b = 0
+      while (b < m) {
+        val off = b * dsub
+        var c = 0
+        while (c < ks) {
+          val cent = codebooks(b)(c)
+          var d = 0.0
+          var j = 0
+          val n = math.min(dsub, math.max(q.length - off, 0))
+          while (j < n) { val x = q(off + j) - cent(j); d += x * x; j += 1 }
+          out(b * ks + c) = d
+          c += 1
+        }
+        b += 1
+      }
+      out
+    }
+
+    /** Top-k by ADC distance: queries broadcast WITH their LUTs; the corpus
+      * side is a map-only scan over (cid, codes) — m lookups per candidate,
+      * then the bounded per-query top-k.
+      */
+    def topK(queries: Seq[(Long, Array[Double])], k: Int)(
+        implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val probes = queries.map { case (qid, v) => (qid, lut(v)) }.toDF("qid", "lut")
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
+      encoded.join(broadcast(probes))
+        .select(col("qid"), col("cid"),
+          graft.functions.CatalystExprs.pqAdc(col("codes"), col("lut"), m, ks).as("dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), col("dist"), col("rank"))
+    }
+  }
+
+  object PqIndex {
+    /** Train per-block codebooks on a driver sample (same deterministic
+      * init + Lloyd refinement as [[IvfIndex.build]], independently per
+      * sub-block), then encode the corpus distributively in one native pass.
+      */
+    def build(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        m: Int,
+        ks: Int,
+        sampleSize: Int = 2000,
+        iters: Int = 5): PqIndex = {
+      require(m >= 1 && m <= 8, s"m must be in [1,8] (8-bit codes pack a long), got $m")
+      require(ks >= 1 && ks <= 256, s"ks must be in [1,256], got $ks")
+      val sample = corpus
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .orderBy("id")
+        .limit(sampleSize)
+        .collect()
+        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+      require(sample.nonEmpty, "empty corpus")
+      val dim = sample(0).length
+      require(dim % m == 0, s"dim $dim must divide into $m blocks")
+      val dsub = dim / m
+      val codebooks = Array.tabulate(m) { b =>
+        val off = b * dsub
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+        val step = math.max(sub.length / ks, 1)
+        var cents: Array[Array[Double]] =
+          (0 until ks).map(i => sub((i * step) % sub.length).clone()).toArray
+        for (_ <- 0 until iters) {
+          val sums = Array.fill(ks)(new Array[Double](dsub))
+          val counts = new Array[Long](ks)
+          sub.foreach { v =>
+            var best = 0; var bestD = Double.MaxValue; var i = 0
+            while (i < ks) {
+              val d = IvfIndex.l2sq(v, cents(i)); if (d < bestD) { bestD = d; best = i }; i += 1
+            }
+            counts(best) += 1
+            var j = 0; while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          }
+          cents = cents.zipWithIndex.map { case (c, i) =>
+            if (counts(i) == 0) c else sums(i).map(_ / counts(i))
+          }
+        }
+        cents
+      }
+      val encoded = corpus.select(
+        col(idCol).as("cid"),
+        graft.functions.CatalystExprs.pqEncode(col(vecCol), codebooks).as("codes"))
+      new PqIndex(codebooks, encoded)
+    }
+  }
+
   object IvfIndex {
     private[similarity] def l2sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

@@ -57,6 +57,21 @@ class QueryPlanSpec extends AnyFunSuite {
       val sig = df.select(
         CatalystExprs.hyperplaneSig($"vec", dim = 3, bits = 16, seed = 7L)).head().getLong(0)
       assert(sig >= 0L)
+      // PQ encode + ADC (reference-object codebooks, packed-long codes)
+      val books = Array(
+        Array(Array(0.0), Array(1.0)),                  // block 0: centroids 0,1
+        Array(Array(0.0), Array(-0.5)),                 // block 1
+        Array(Array(1.0), Array(2.0)))                  // block 2
+      val pqRow = df.select(
+        CatalystExprs.pqEncode($"vec", books).as("codes"))
+        .select($"codes",
+          CatalystExprs.pqAdc($"codes",
+            typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)), m = 3, ks = 2).as("dist"))
+        .head()
+      // vec = (0.5,-0.25,1): block0 → code1? |0.5-0|=.25 < |0.5-1|=.25 tie→0;
+      // block1 → |-.25-0|².0625 vs |-.25+.5|².0625 tie→0; block2 → 1.0 code0
+      assert(pqRow.getLong(0) == 0L)
+      assert(math.abs(pqRow.getDouble(1) - (0.1 + 0.3 + 0.5)) < 1e-12)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 

@@ -194,6 +194,50 @@ class AnnSpec extends AnyFunSuite {
     assert(res.groupBy($"qid").count().select(min($"count")).as[Long].head() == 5)
   }
 
+  test("pq: every indexed query retrieves itself at rank 1 by ADC") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val idx = Ann.PqIndex.build(emb, "vec_id", "embedding", m = 8, ks = 16,
+      sampleSize = 200)
+    val qs = emb.filter($"vec_id" < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val top1 = idx.topK(qs, k = 1).select($"qid", $"cid").as[(Long, Long)]
+      .collect().toMap
+    qs.foreach { case (q, _) => assert(top1(q) == q, s"query $q") }
+  }
+
+  test("pq recall@10 vs brute force is useful, and codes compress 32x") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val idx = Ann.PqIndex.build(emb, "vec_id", "embedding", m = 8, ks = 16,
+      sampleSize = 200)
+    // one long per vector vs 64 floats
+    assert(idx.encodings.schema("codes").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val qs = emb.filter($"vec_id" >= 50 && $"vec_id" < 60).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val pq = idx.topK(qs, k = 10).select($"qid", $"cid").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = emb.filter($"vec_id" >= 50 && $"vec_id" < 60)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // ADC approximates L2; embeddings are unnormalized, so compare against
+    // the exact L2 top-10 (brute-force cosine would conflate metric with
+    // quantization error)
+    val exact = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      .join(broadcast(queries))
+      .select($"qid", $"cid",
+        aggregate(zip_with($"cvec", $"qvec",
+          (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+          lit(0.0d), (acc, v) => acc + v).as("l2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"l2".asc, $"cid".asc)))
+      .filter($"rank" <= 10)
+      .select($"qid", $"cid").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = qs.map { case (q, _) => (pq(q) & exact(q)).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 $mean too low: $recalls")
+  }
+
   test("lsh top-k finds the identical vector") {
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
