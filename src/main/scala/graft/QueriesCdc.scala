@@ -73,6 +73,77 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // Mid-log startup positions (`StartupOptions.specificOffset` /
+    // `StartupOptions.timestamp`): the log carries two batches of updates; the
+    // stream starts from the recorded offset BETWEEN them, so it must replay
+    // exactly the second batch — no snapshot chunks, no pre-offset events. A
+    // second stream started in `timestamp` mode at the boundary timestamp must
+    // land on the same position; the query throws if the two disagree.
+    "c_startup_offset" -> ((s, dir) => {
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new ScriptedChangeSource(t, schema, initial)
+      val srcId = s"verify-startup-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def append(r: Row, ts: Long): Unit = src.append(DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}")), ts)
+
+        // batch A (before the startup position), then record it, then batch B
+        ev.filter(_.getLong(0) < 150).foreach(append(_, 100L))
+        val mid = src.currentOffset
+        ev.filter(_.getLong(0) >= 150).foreach(append(_, 200L))
+
+        def run(opts: Map[String, String]): Seq[Row] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val reader = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+          opts.foreach { case (k, v) => reader.option(k, v) }
+          val q = reader.load().writeStream
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          buf.toSeq
+        }
+        val fromOffset = run(Map(
+          "startup.mode" -> "specific-offset", "startup.specific-offset" -> mid.toString))
+        val fromTimestamp = run(Map(
+          "startup.mode" -> "timestamp", "startup.timestamp" -> "200"))
+
+        // no snapshot phase: every emitted event is a log-phase UPDATE
+        require(fromOffset.nonEmpty && fromOffset.forall(_.getString(1) == "UPDATE"),
+          s"specific-offset startup must replay only log events, got " +
+            fromOffset.map(_.getString(1)).distinct.mkString(","))
+        def materialize(rows: Seq[Row]): Map[Long, (Long, String)] = {
+          val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+          rows.foreach { r =>
+            val id = r.getStruct(3).getLong(0); val seq = r.getLong(4)
+            if (byKey.get(id).forall(_._1 <= seq))
+              byKey(id) = (seq, r.getStruct(3).getString(1))
+          }
+          byKey.toMap
+        }
+        val m = materialize(fromOffset)
+        require(m == materialize(fromTimestamp),
+          "timestamp startup at the boundary must equal specific-offset startup")
+        import s.implicits._
+        m.toSeq.map { case (id, (_, v)) => (id, v) }.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Watermarked event-time windowed aggregation through the REAL streaming
     // runtime: the events table flows through a MemoryStream into
     // EventTimeOps.windowedCounts (1-day windows, 1-hour watermark, append
@@ -452,6 +523,13 @@ object QueriesCdc {
         |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 DAY
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "c_startup_offset" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events
+        |  WHERE event_id >= 150 AND event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT user_id AS id, 'e' || CAST(me AS VARCHAR) AS v
+        |FROM last ORDER BY id""".stripMargin,
     "c_incremental_jdbc" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),

@@ -35,7 +35,15 @@ object MediaCodecs {
 
   /** → (width, height, row-major ARGB pixels). */
   def decodePng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // uniform decode-error contract: truncated/corrupt payloads raise
+    // IllegalArgumentException like the WAV/GVID parsers, never a raw
+    // IIOException/EOFException from inside ImageIO
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"corrupt image payload: ${e.getMessage}", e)
+      }
     require(img != null, "payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
     (w, h, img.getRGB(0, 0, w, h, null, 0, w))

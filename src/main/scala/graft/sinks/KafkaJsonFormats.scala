@@ -75,6 +75,23 @@ object KafkaJsonFormats {
     */
   val InvalidOp = "INVALID"
 
+  /** The envelope op codes a downstream operator may legally see. */
+  val ValidOps: Seq[String] = Seq("INSERT", "UPDATE", "DELETE", "REPLACE")
+
+  /** Split a decoded envelope into `(clean, deadLetter)`. The dead-letter
+    * frame keeps the full envelope row (table id + seq identify the source
+    * record / topic offset) so corrupt input can be audited and replayed;
+    * the clean frame is safe to feed to [[graft.operators.Upsert]]. Any op
+    * outside [[ValidOps]] — the [[InvalidOp]] marker or a rogue wire value —
+    * routes to the dead letter. Both sides are filters over the same scan
+    * (pushed down, map-only); persist the input first if re-reading the
+    * source twice is expensive.
+    */
+  def routeInvalid(env: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col(Envelope.OpCol).isin(ValidOps: _*)
+    (env.filter(ok), env.filter(!ok))
+  }
+
   /** debezium-json READER — the inverse projection, completing the wire
     * contract as a SOURCE format: parse Kafka record values back into the
     * envelope (the Kafka + Debezium-Connect source topology of SURVEY §7.6).

@@ -102,6 +102,27 @@ class KafkaJsonFormatsSpec extends AnyFunSuite {
     assert(canalOps === Seq(KafkaJsonFormats.InvalidOp))
   }
 
+  test("routeInvalid: corrupt records land in the dead letter, clean upserts unaffected") {
+    val raw = Seq(
+      """{"before":null,"after":{"col1":"1","col2":"a"},"op":"c","source":{"db":"d","table":"t"}}""",
+      """not json — a corrupt kafka record""",
+      """{"before":null,"after":{"col1":"1","col2":"b"},"op":"x","source":{"db":"d","table":"t"}}""",
+      """{"before":{"col1":"1","col2":"a"},"after":{"col1":"1","col2":"c"},"op":"u","source":{"db":"d","table":"t"}}""")
+      .toDF("value").withColumn("off", monotonically_increasing_id())
+    val env = KafkaJsonFormats.fromDebeziumJson(
+      raw, ValuesSource.customersSchema.struct, col("off"))
+    val (clean, dead) = KafkaJsonFormats.routeInvalid(env)
+    // the two bad records (unparseable JSON, unknown op) are peeled off...
+    assert(dead.count() == 2)
+    assert(dead.select(col(Envelope.OpCol)).as[String].collect().toSet ===
+      Set(KafkaJsonFormats.InvalidOp))
+    // ...with seq preserved so the source offset is auditable
+    assert(dead.select(col(Envelope.SeqCol)).as[Long].collect().toSet === Set(1L, 2L))
+    // and the clean path materializes exactly as if the corruption never existed
+    val state = Upsert.materialize(clean, Seq("col1")).collect()
+    assert(state.length == 1 && state.head.getString(1) == "c")
+  }
+
   test("canal-json reader inverts the writer: images from old/data arrays") {
     val wire = env().select(col(Envelope.SeqCol).as("off"),
       KafkaJsonFormats.canalValue.as("value"))
