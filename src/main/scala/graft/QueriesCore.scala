@@ -474,6 +474,52 @@ object QueriesCore {
       val (_, deletes) = Upsert.materializeWithDeletes(eventsChangelog(s, dir), Seq("user_id"))
       deletes.orderBy("user_id")
     }),
+    "c_jdbc_2pc" -> ((s, dir) => {
+      // Exactly-once staging 2PC against embedded Derby: the changelog splits
+      // into two micro-batches; batch 0 commits, batch 1 is struck by a
+      // simulated crash INSIDE the promote transaction (after the MERGE, the
+      // commit record, and the staging cleanup — before COMMIT), and the
+      // restarted sink replays the whole delivery: batch 0 is skipped via the
+      // durable commit record, batch 1 applies exactly once. Final Derby
+      // state must equal the one-shot materialization (c_upsert's oracle).
+      import graft.sinks.JdbcTwoPhaseSink
+      val db = s"memory:graft2pc${java.util.UUID.randomUUID().toString.replace("-", "")};create=true"
+      val url = s"jdbc:derby:$db"
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir).persist()
+      try {
+        val afterT = env.schema(Envelope.AfterCol).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cut = env.agg(max(col(Envelope.SeqCol))).head.getLong(0) / 2
+        val batch0 = env.filter(col(Envelope.SeqCol) <= cut)
+        val batch1 = env.filter(col(Envelope.SeqCol) > cut)
+        val runId = "2pc-run"
+        def deliver(sink: JdbcTwoPhaseSink, batch: DataFrame, id: Long): Unit =
+          Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+            sink.writeBatch(tid, ups, dels, id, runId)
+          }
+        val sink = new JdbcTwoPhaseSink(url)
+        sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        deliver(sink, batch0, 0L)
+        val crashing = new JdbcTwoPhaseSink(url) {
+          override protected def beforeCommit(c: java.sql.Connection): Unit =
+            throw new RuntimeException("simulated crash before 2PC commit")
+        }
+        crashing.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        try { deliver(crashing, batch1, 1L); sys.error("crash did not fire") }
+        catch { case e: RuntimeException if e.getMessage.contains("simulated crash") => () }
+        // the restarted job re-delivers both batches
+        val restarted = new JdbcTwoPhaseSink(url)
+        restarted.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        deliver(restarted, batch0, 0L)
+        deliver(restarted, batch1, 1L)
+        s.read.format("jdbc").option("url", url).option("dbtable", "app_events").load()
+          .select(col("USER_ID").as("user_id"), col("EVENT_TYPE").as("event_type"),
+            col("VALUE").as("value"), col("TS").as("ts"))
+          .orderBy("user_id")
+      } finally env.unpersist()
+    }),
+
     "c_es_sink" -> ((s, dir) => {
       // Elasticsearch sink contract end-to-end over the real /_bulk wire: the
       // materialized changelog posts NDJSON bulk actions (PK-joined _id,
@@ -835,6 +881,13 @@ object QueriesCore {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
+    // crash-replayed 2PC delivery converges to the same final state
+    "c_jdbc_2pc" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // final ES documents = changelog final state; ts in the reference's
     // microsecond DATE_TIME_FORMATTER rendering
     "c_es_sink" -> (evCte +

@@ -22,6 +22,16 @@ object DataSinks {
             .filterKeys(_.startsWith("driver.")).toMap
             .map { case (k, v) => k.stripPrefix("driver.") -> v },
           batchSize = sinkDef.config.getOrElse("batch.size", "1024").toInt)
+      case "jdbc-exactly-once" =>
+        new JdbcTwoPhaseSink(
+          url = sinkDef.config.getOrElse(
+            "url", throw new IllegalArgumentException("jdbc-exactly-once sink requires 'url'")),
+          dialectName = sinkDef.config.getOrElse("dialect", "generic"),
+          props = sinkDef.config.view
+            .filterKeys(_.startsWith("driver.")).toMap
+            .map { case (k, v) => k.stripPrefix("driver.") -> v },
+          batchSize = sinkDef.config.getOrElse("batch.size", "1024").toInt,
+          appendOnly = sinkDef.config.getOrElse("append-only", "false").toBoolean)
       case "parquet" =>
         new ParquetMergeSink(
           spark,
@@ -51,7 +61,7 @@ object DataSinks {
           maxRows = sinkDef.config.getOrElse("sink.buffer-flush.max-rows", "1000").toInt)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown sink type '$other' (supported: values, jdbc, parquet, lakehouse, " +
-            "elasticsearch, starrocks, doris)")
+          s"unknown sink type '$other' (supported: values, jdbc, jdbc-exactly-once, " +
+            "parquet, lakehouse, elasticsearch, starrocks, doris)")
     }
 }

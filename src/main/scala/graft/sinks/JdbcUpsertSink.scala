@@ -5,6 +5,65 @@ import org.apache.spark.sql.DataFrame
 
 import java.sql.{Connection, DriverManager}
 
+/** Shared DDL generation for the JDBC sinks: Spark types → ANSI SQL types and
+  * [[graft.core.SchemaChangeEvent]] → dialect DDL statements, parameterized on
+  * the physical table-name mapping so one schema event can drive several
+  * physical tables (target + staging in the 2PC sink).
+  */
+private[sinks] object JdbcDdl {
+
+  def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "BOOLEAN"
+      case ByteType | ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "REAL"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case _ => "VARCHAR(4000)"
+    }
+  }
+
+  def statements(
+      event: SchemaChangeEvent,
+      tableName: TableId => String,
+      dialectName: String): Seq[String] = event match {
+    case CreateTableEvent(t, s) =>
+      val cols = s.struct.fields.map(f =>
+        s"${f.name} ${sqlType(f.dataType)}${if (!f.nullable) " NOT NULL" else ""}")
+      val pk =
+        if (s.primaryKeys.nonEmpty) Seq(s"PRIMARY KEY (${s.primaryKeys.mkString(", ")})")
+        else Seq.empty
+      Seq(s"CREATE TABLE ${tableName(t)} (${(cols ++ pk).mkString(", ")})")
+    case AddColumnEvent(t, cols) =>
+      cols.map(c =>
+        s"ALTER TABLE ${tableName(t)} ADD COLUMN ${c.name} ${sqlType(c.cdcType.toSpark)}")
+    case DropColumnEvent(t, dropped) =>
+      dropped.map(c => s"ALTER TABLE ${tableName(t)} DROP COLUMN $c")
+    case RenameColumnEvent(t, mapping) =>
+      // MySQL/Postgres use ALTER TABLE ... RENAME COLUMN; Derby (the
+      // generic test target) only supports the standalone RENAME COLUMN
+      mapping.toSeq.map { case (o, n) =>
+        dialectName match {
+          case "mysql" | "postgres" =>
+            s"ALTER TABLE ${tableName(t)} RENAME COLUMN $o TO $n"
+          case _ => s"RENAME COLUMN ${tableName(t)}.$o TO $n"
+        }
+      }
+    case AlterColumnTypeEvent(t, mapping) =>
+      mapping.toSeq.map { case (c, ct) =>
+        s"ALTER TABLE ${tableName(t)} ALTER COLUMN $c SET DATA TYPE ${sqlType(ct.toSpark)}"
+      }
+    case DropTableEvent(t) => Seq(s"DROP TABLE ${tableName(t)}")
+    case TruncateTableEvent(t) => Seq(s"TRUNCATE TABLE ${tableName(t)}")
+  }
+}
+
 /** JDBC PK-upsert writer + DDL applier — the Spark form of the reference's
   * JDBC-backed pipeline sinks (mysql/postgres/oceanbase connectors under
   * `flink-cdc-connect/flink-cdc-pipeline-connectors/`): per-batch upsert
@@ -42,57 +101,13 @@ final class JdbcUpsertSink(
     DriverManager.getConnection(url, p)
   }
 
-  private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case BooleanType => "BOOLEAN"
-      case ByteType | ShortType => "SMALLINT"
-      case IntegerType => "INTEGER"
-      case LongType => "BIGINT"
-      case FloatType => "REAL"
-      case DoubleType => "DOUBLE"
-      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-      case DateType => "DATE"
-      case TimestampType | TimestampNTZType => "TIMESTAMP"
-      case BinaryType => "BLOB"
-      case _ => "VARCHAR(4000)"
-    }
-  }
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): String = JdbcDdl.sqlType(dt)
 
   // ---------------------------------------------------------- MetadataApplier
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = {
     schemas.applySchemaChange(event)
-    val ddl: Seq[String] = event match {
-      case CreateTableEvent(t, s) =>
-        val cols = s.struct.fields.map(f =>
-          s"${f.name} ${sqlType(f.dataType)}${if (!f.nullable) " NOT NULL" else ""}")
-        val pk =
-          if (s.primaryKeys.nonEmpty) Seq(s"PRIMARY KEY (${s.primaryKeys.mkString(", ")})")
-          else Seq.empty
-        Seq(s"CREATE TABLE ${tableName(t)} (${(cols ++ pk).mkString(", ")})")
-      case AddColumnEvent(t, cols) =>
-        cols.map(c =>
-          s"ALTER TABLE ${tableName(t)} ADD COLUMN ${c.name} ${sqlType(c.cdcType.toSpark)}")
-      case DropColumnEvent(t, dropped) =>
-        dropped.map(c => s"ALTER TABLE ${tableName(t)} DROP COLUMN $c")
-      case RenameColumnEvent(t, mapping) =>
-        // MySQL/Postgres use ALTER TABLE ... RENAME COLUMN; Derby (the
-        // generic test target) only supports the standalone RENAME COLUMN
-        mapping.toSeq.map { case (o, n) =>
-          dialectName match {
-            case "mysql" | "postgres" =>
-              s"ALTER TABLE ${tableName(t)} RENAME COLUMN $o TO $n"
-            case _ => s"RENAME COLUMN ${tableName(t)}.$o TO $n"
-          }
-        }
-      case AlterColumnTypeEvent(t, mapping) =>
-        mapping.toSeq.map { case (c, ct) =>
-          s"ALTER TABLE ${tableName(t)} ALTER COLUMN $c SET DATA TYPE ${sqlType(ct.toSpark)}"
-        }
-      case DropTableEvent(t) => Seq(s"DROP TABLE ${tableName(t)}")
-      case TruncateTableEvent(t) => Seq(s"TRUNCATE TABLE ${tableName(t)}")
-    }
+    val ddl: Seq[String] = JdbcDdl.statements(event, tableName, dialectName)
     val conn = connect()
     try {
       val st = conn.createStatement()
