@@ -602,6 +602,32 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_lakehouse_append" -> ((s, dir) => {
+      // append-table mode + maintenance: the raw events table lands in three
+      // APPEND commits on a PK-less table (content-hash bucketing, atomic txn
+      // ids, one file per touched bucket per commit — fragmentation by
+      // design), then compact() bin-packs every bucket to one file. The
+      // compacted read must equal the plain table — compaction is a metadata
+      // swap, byte-identical data.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_app").toString
+      val tb = new LakehouseTable(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      tb.create(TableSchema(ev.schema, primaryKeys = Seq.empty), buckets = 8)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxId / 3, 2 * maxId / 3, maxId).zipWithIndex.foreach { case (hi, i) =>
+        tb.append(
+          ev.filter(col("event_id") > lo && col("event_id") <= hi),
+          txn = Some(("verify", i.toLong)))
+        lo = hi
+      }
+      val (nBefore, nAfter) = tb.compact()
+      require(nBefore > nAfter && nAfter > 0,
+        s"append commits should fragment buckets then compact ($nBefore -> $nAfter)")
+      tb.read().orderBy("event_id")
+    }),
     "c_route" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val router = new TableIdRouter(Seq(
@@ -881,6 +907,10 @@ object QueriesCore {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
+    // compaction is data-identical: the appended slices re-read as the table
+    "c_lakehouse_append" ->
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
     // crash-replayed 2PC delivery converges to the same final state
     "c_jdbc_2pc" -> (evCte +
       """, last AS (

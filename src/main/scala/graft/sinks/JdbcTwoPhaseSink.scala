@@ -89,7 +89,7 @@ class JdbcTwoPhaseSink(
       try ddl.foreach { d =>
         try st.executeUpdate(d)
         catch {
-          case e: java.sql.SQLException if d.startsWith("CREATE TABLE") => ()
+          case _: java.sql.SQLException if d.startsWith("CREATE TABLE") => ()
         }
       } finally st.close()
     } finally conn.close()

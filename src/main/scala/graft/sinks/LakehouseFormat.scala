@@ -198,7 +198,8 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
   }
 
   def create(schema: TableSchema, buckets: Int = 16): Unit = {
-    require(schema.primaryKeys.nonEmpty, "lakehouse MERGE table requires primary keys")
+    // PK-less tables are legal append-only tables (Paimon's append mode);
+    // merge() enforces keys at call time
     if (snapshot().meta.isEmpty &&
       !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets))))
       create(schema, buckets) // lost the race; re-check (idempotent)
@@ -232,6 +233,13 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
   private def bucketOf(pks: Seq[String], buckets: Int) =
     pmod(hash(pks.map(col): _*), lit(buckets))
 
+  private val bucketColName = "__graft_bucket"
+
+  /** Bucket columns: PKs for merge tables, all columns for PK-less append
+    * tables (content-hash spread keeps buckets balanced and deterministic). */
+  private def bucketKeyCols(schema: TableSchema): Seq[String] =
+    if (schema.primaryKeys.nonEmpty) schema.primaryKeys else schema.columnNames
+
   /** Copy-on-write MERGE, file-granular: only the PK-hash buckets touched by
     * this batch are rewritten. `txn` (runId, batchId) commits atomically with
     * the data; a batch whose id is already in the log is skipped entirely.
@@ -248,6 +256,7 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
       val snap = snapshot()
       val schema = snap.schema
       val pks = schema.primaryKeys
+      require(pks.nonEmpty, "lakehouse MERGE requires primary keys; use append() for PK-less tables")
       if (txn.exists { case (run, b) => snap.txns.get(run).exists(_ >= b) }) {
         done = true // replayed batch: already committed atomically with its data
       } else {
@@ -284,6 +293,115 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse commit contention: gave up after $maxAttempts attempts")
         }
+      }
+    }
+  }
+
+  /** APPEND write, no merge: rows land as new files in their buckets without
+    * touching existing files (Paimon's append-table mode — event logs, raw
+    * document dumps). Buckets fragment one file per commit;
+    * [[compact]] reclaims them. The `txn` action gives append tables the
+    * same atomic exactly-once batch tracking as merge.
+    */
+  def append(
+      df: DataFrame,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 8): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val snap = snapshot()
+      if (txn.exists { case (run, b) => snap.txns.get(run).exists(_ >= b) }) {
+        done = true // replayed batch
+      } else {
+        val coerced = SchemaDerivator.coerce(df, snap.schema.struct)
+        val commitRel = s"data-${java.util.UUID.randomUUID().toString.take(12)}"
+        coerced.withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), snap.buckets))
+          .write.partitionBy(bucketColName)
+          .parquet(Paths.get(dir, commitRel).toString)
+        val adds = listCommitFiles(commitRel, bucketColName)
+        val actions = adds ++ txn.map { case (run, b) => Txn(run, b) }
+        if (actions.isEmpty || tryCommit(snap.version + 1, actions)) done = true
+        else {
+          deleteRecursively(Paths.get(dir, commitRel))
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"lakehouse commit contention: gave up after $maxAttempts attempts")
+        }
+      }
+    }
+  }
+
+  /** Small-file compaction (Delta OPTIMIZE / Paimon compact): every bucket
+    * fragmented into more than `maxFilesPerBucket` live files is rewritten to
+    * ONE file, in one metadata commit. Data-identical — the same rows under
+    * fewer, larger files — so time travel to pre-compaction versions still
+    * replays the old file set until [[vacuum]] reclaims it. At 100 TB this is
+    * the maintenance op that keeps per-bucket scan setup O(1) after long
+    * append streams; only fragmented buckets are read or written.
+    * Returns (filesBefore, filesAfter) over the compacted buckets.
+    */
+  def compact(maxFilesPerBucket: Int = 1, maxAttempts: Int = 8): (Int, Int) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = snapshot()
+      val fragmented = snap.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
+      if (fragmented.isEmpty) return (0, 0)
+      val oldFiles = fragmented.values.flatten.toSeq
+      val commitRel = s"compact-${java.util.UUID.randomUUID().toString.take(12)}"
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(oldFiles.map(f => Paths.get(dir, f.path).toString): _*)
+      // repartition on the bucket tag: each bucket's rows land in one task →
+      // exactly one output file per bucket directory
+      SchemaDerivator.coerce(df, snap.schema.struct)
+        .withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), snap.buckets))
+        .repartition(col(bucketColName))
+        .write.partitionBy(bucketColName)
+        .parquet(Paths.get(dir, commitRel).toString)
+      val adds = listCommitFiles(commitRel, bucketColName)
+      if (tryCommit(snap.version + 1, adds ++ oldFiles.map(f => RemoveFile(f.path))))
+        return (oldFiles.size, adds.size)
+      deleteRecursively(Paths.get(dir, commitRel))
+      if (attempt >= maxAttempts) throw new IllegalStateException(
+        s"lakehouse commit contention: gave up after $maxAttempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Bucket-layout migration (Paimon rescale): rewrite the whole table into
+    * `newBuckets` PK-hash buckets, committing the new `meta`, the new files,
+    * and the removal of every old file atomically. The one whole-table
+    * rewrite a lakehouse needs when data outgrows its bucket count; readers
+    * time-traveling behind the rescale replay the OLD meta, so their bucket
+    * arithmetic still matches the old files.
+    */
+  def rescaleBuckets(newBuckets: Int, maxAttempts: Int = 8): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val snap = snapshot()
+      if (snap.buckets == newBuckets) return
+      val commitRel = s"rescale-${java.util.UUID.randomUUID().toString.take(12)}"
+      val adds = if (snap.files.isEmpty) Seq.empty else {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
+        SchemaDerivator.coerce(df, snap.schema.struct)
+          .withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), newBuckets))
+          .repartition(col(bucketColName))
+          .write.partitionBy(bucketColName)
+          .parquet(Paths.get(dir, commitRel).toString)
+        listCommitFiles(commitRel, bucketColName)
+      }
+      val actions = Meta(snap.schema, newBuckets) +:
+        (adds ++ snap.files.map(f => RemoveFile(f.path)))
+      if (tryCommit(snap.version + 1, actions)) done = true
+      else {
+        deleteRecursively(Paths.get(dir, commitRel))
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"lakehouse commit contention: gave up after $maxAttempts attempts")
       }
     }
   }

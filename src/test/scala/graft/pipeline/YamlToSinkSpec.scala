@@ -118,6 +118,24 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("yaml 'jdbc-exactly-once' sink: composed pipeline promotes via 2PC staging") {
+    val db = s"memory:yaml2pc${System.nanoTime()};create=true"
+    runPipeline(
+      s"""  type: jdbc-exactly-once
+         |  url: jdbc:derby:$db""".stripMargin)
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT id, name, uname FROM app_users ORDER BY id")
+      val buf = Seq.newBuilder[(Long, String, String)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getString(3)))
+      assert(buf.result() == Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+      // promote drained the staging mirror
+      val st = conn.createStatement().executeQuery("SELECT count(*) FROM app_users_STAGE")
+      st.next(); assert(st.getInt(1) == 0)
+    } finally conn.close()
+  }
+
   test("yaml 'lakehouse' sink: composed pipeline commits through the table format") {
     val dir = java.nio.file.Files.createTempDirectory("yamllake").toString
     val (_, sink) = runPipeline(

@@ -27,6 +27,67 @@ class LakehouseSpec extends AnyFunSuite {
   private def empty(t: LakehouseTable) =
     t.read().limit(0).select($"k")
 
+  test("append mode: PK-less table, fragmentation, compaction is data-identical") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    val appendSchema = TableSchema(schema.struct, primaryKeys = Seq.empty)
+    t.create(appendSchema, buckets = 4)
+    // merge is refused on a PK-less table
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, "a")).toDF("k", "v"), empty(t))
+    }
+    // five appends fragment the buckets (one file per touched bucket per commit)
+    (0 until 5).foreach { i =>
+      t.append((i * 20L until i * 20L + 20L).map(j => (j, s"v$j")).toDF("k", "v"))
+    }
+    assert(t.read().count() == 100)
+    val before = t.snapshot()
+    assert(before.files.groupBy(_.bucket).values.exists(_.size > 1))
+
+    val (nBefore, nAfter) = t.compact()
+    assert(nBefore > nAfter && nAfter > 0)
+    val after = t.snapshot()
+    // exactly one file per bucket now, same rows, and time travel still sees
+    // the fragmented layout
+    assert(after.files.groupBy(_.bucket).values.forall(_.size == 1))
+    assert(t.read().orderBy($"k").as[(Long, String)].collect().toSeq ==
+      (0L until 100L).map(j => (j, s"v$j")))
+    assert(t.snapshot(Some(before.version)).files.map(_.path).toSet ==
+      before.files.map(_.path).toSet)
+    // a second compact is a no-op
+    assert(t.compact() == ((0, 0)))
+    // replayed append batch (same txn) is skipped
+    t.append(Seq((999L, "dup")).toDF("k", "v"), txn = Some(("run", 3L)))
+    t.append(Seq((999L, "dup")).toDF("k", "v"), txn = Some(("run", 3L)))
+    assert(t.read().filter($"k" === 999L).count() == 1)
+  }
+
+  test("rescaleBuckets: layout migration preserves data, merges use new layout") {
+    val t = newTable(buckets = 2)
+    t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    val v2buckets = t.snapshot()
+    assert(v2buckets.buckets == 2)
+
+    t.rescaleBuckets(8)
+    val snap = t.snapshot()
+    assert(snap.buckets == 8)
+    assert(snap.files.map(_.bucket).distinct.size > 2)
+    assert(t.read().orderBy($"k").as[(Long, String)].collect().toSeq ==
+      (0L until 60L).map(i => (i, s"v$i")))
+    // time travel behind the rescale replays the OLD meta and files
+    val old = t.snapshot(Some(v2buckets.version))
+    assert(old.buckets == 2 && old.files.map(_.path).toSet == v2buckets.files.map(_.path).toSet)
+
+    // post-rescale merge touches only new-layout buckets
+    t.merge(Seq((1L, "x")).toDF("k", "v"), empty(t))
+    val got = t.read().orderBy($"k").as[(Long, String)].collect().toMap
+    assert(got.size == 60 && got(1L) == "x" && got(59L) == "v59")
+    // rescale to the current count is a no-op commit-wise
+    val v = t.latestVersion()
+    t.rescaleBuckets(8)
+    assert(t.latestVersion() == v)
+  }
+
   test("merge + read round trip, then file-granular second merge") {
     val t = newTable()
     t.merge((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
