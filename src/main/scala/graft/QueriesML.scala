@@ -95,6 +95,42 @@ object QueriesML {
             6).as("jaccard"))
         .orderBy("idA", "idB")
     }),
+    "d_incremental_dedup" -> ((s, dir) => {
+      // cross-run dedup: the new batch is 40 exact copies of history docs
+      // (dropped) plus 20 genuinely new texts (kept); the Bloom build/probe/
+      // verify path must equal the oracle's plain fingerprint anti-join
+      import graft.dedup.Dedup
+      val hist = docs(s, dir).select(col("doc_id"), col("text"))
+      val newBatch = hist.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+        .unionByName(hist.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 410000).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text")))
+      Dedup.incrementalDedup(newBatch, hist, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "d_dup_spans" -> ((s, dir) => {
+      // Substring-level duplicate spans (Lee et al. 2022, "Deduplicating
+      // Training Data Makes Language Models Better": duplicated substrings,
+      // not whole documents, drive memorization): word-8-grams occurring in
+      // >= 2 distinct documents are the spans to cut or down-weight. Planted
+      // exact copies of doc_id<25 guarantee cross-doc spans; naturally
+      // repeated template grams count identically in both engines. Shuffle
+      // shape at 100 TB: the DISTINCT per-doc gram set shuffles (native
+      // one-pass StrictWordGramsExpr, bounded by total token count); the
+      // documents themselves never shuffle.
+      import graft.functions.CatalystExprs
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      all.select(col("doc_id"),
+          explode(CatalystExprs.strictWordGrams(col("text"), 8)).as("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("gram")
+    }),
     "d_dup_clusters" -> ((s, dir) => {
       // duplicate-cluster labeling: the d_ngram_jaccard candidate structure
       // (same source, nearby ids — never all-pairs) filtered to jaccard>=0.9
@@ -539,6 +575,33 @@ object QueriesML {
     // so per-word-position expansion goes through scalar range + unnest in the
     // select list instead of a lateral FROM-clause join. The bench set's texts
     // are exactly the doc_id<20 train texts, so bench grams = tg WHERE id<20.
+    "d_incremental_dedup" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 410000 AS doc_id, 'fresh ' || text AS text
+        |  FROM documents WHERE doc_id < 20),
+        |hfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, text FROM newb
+        |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN
+        |  (SELECT fp FROM hfp)
+        |ORDER BY doc_id""".stripMargin,
+    "d_dup_spans" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 25),
+        |words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM all_docs),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i
+        |  FROM words WHERE len(w) >= 8),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM idx)
+        |SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM tg GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin,
     "x_decontam" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -95,7 +95,7 @@ final class GraftCdcMicroBatchStream(
     chunksPerBatch: Int,
     backfillSkip: Boolean,
     checkpointLocation: String = null)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val source = ChangeSourceRegistry.get(sourceId)
 
@@ -259,6 +259,30 @@ final class GraftCdcMicroBatchStream(
       .flatMap(i => ChangeSourceRegistry.chunkHW(sourceId, i).map(i -> _)).toMap
     CdcSourceState.write(p, CdcSourceState.State(logBase, chunks, hws))
   }
+
+  /** Source metrics surfaced in `StreamingQueryProgress.sources[i].metrics` —
+    * the Spark form of the reference's `SourceReaderMetrics`
+    * (`currentFetchEventTimeLag`, snapshot progress): phase, chunk progress,
+    * and the consumed-vs-available log lag in events. An operator watches
+    * `sourceLagEvents` for the same signal the reference's fetch-lag gauge
+    * gives: is the reader keeping up with the log.
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] =
+    synchronized {
+      val consumed = if (latestConsumed.isPresent)
+        Some(latestConsumed.get.asInstanceOf[CdcOffset]) else None
+      val chunksDone = consumed.map(_.chunksDone).getOrElse(0)
+      val logConsumed = consumed.map(_.logOffset).getOrElse(logBase)
+      val logAvailable = source.currentOffset
+      val m = new java.util.HashMap[String, String]()
+      m.put("phase", if (chunksDone < chunks.size) "snapshot" else "stream")
+      m.put("numChunksTotal", chunks.size.toString)
+      m.put("numChunksDone", chunksDone.toString)
+      m.put("logOffsetConsumed", logConsumed.toString)
+      m.put("logOffsetAvailable", logAvailable.toString)
+      m.put("sourceLagEvents", math.max(0L, logAvailable - logConsumed).toString)
+      m
+    }
 
   override def stop(): Unit = ()
 }

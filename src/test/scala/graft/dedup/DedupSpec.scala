@@ -174,6 +174,38 @@ class DedupSpec extends AnyFunSuite {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("incrementalDedup equals the exact anti-join, even with forced false positives") {
+    val hist = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val newBatch = hist.filter($"doc_id" < 40)
+      .select(($"doc_id" + 400000).as("doc_id"), $"text")
+      .unionByName(hist.filter($"doc_id" < 20)
+        .select(($"doc_id" + 410000).as("doc_id"),
+          concat(lit("fresh "), $"text").as("text")))
+    // fpp = 0.5: roughly half the genuinely-new docs become Bloom false
+    // positives and MUST be rescued by the exact verify stage
+    val got = Dedup.incrementalDedup(newBatch, hist, "doc_id", "text", fpp = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = newBatch.join(
+      hist.select(TextFunctions.fingerprint($"text").as("fp")).distinct(),
+      TextFunctions.fingerprint(newBatch("text")) === $"fp", "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got == (0L until 20L).map(_ + 410000).toSet) // only the fresh docs survive
+  }
+
+  test("incrementalDedup plan: history is probed by broadcast, never shuffle-joined") {
+    val hist = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val newBatch = hist.filter($"doc_id" < 10)
+      .select(($"doc_id" + 400000).as("doc_id"), $"text")
+    val out = Dedup.incrementalDedup(newBatch, hist, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
 }
 
 class AnnSpec extends AnyFunSuite {

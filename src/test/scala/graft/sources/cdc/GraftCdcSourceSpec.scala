@@ -70,6 +70,30 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     byKey.collect { case (k, (_, Some(v))) => k -> v }.toMap
   }
 
+  test("source metrics: phase, chunk progress, and log lag in StreamingQueryProgress") {
+    val t = TableId.parse("m.t")
+    val src = new ScriptedChangeSource(t, schema, (0L until 100L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register("metrics-src", src)
+    try {
+      val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+        .option("sourceId", "metrics-src").option("chunk.size", "25")
+        .load().writeStream
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      try {
+        q.processAllAvailable()
+        src.append(DataChangeEvent.update(t, row(1L, "v1"), row(1L, "x")))
+        src.append(DataChangeEvent.update(t, row(2L, "v2"), row(2L, "y")))
+        q.processAllAvailable()
+        val m = q.lastProgress.sources.head.metrics
+        assert(m.get("phase") == "stream")
+        assert(m.get("numChunksTotal") == "4" && m.get("numChunksDone") == "4")
+        assert(m.get("logOffsetConsumed") == "2" && m.get("logOffsetAvailable") == "2")
+        assert(m.get("sourceLagEvents") == "0")
+      } finally q.stop()
+    } finally ChangeSourceRegistry.remove("metrics-src")
+  }
+
   test("initial mode: chunked snapshot then log tail, exactly-once under concurrent writes") {
     val id = "cdc-initial"
     val src = new ScriptedChangeSource(TableId.parse("db.t"), schema,
