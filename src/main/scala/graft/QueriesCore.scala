@@ -628,6 +628,39 @@ object QueriesCore {
         s"append commits should fragment buckets then compact ($nBefore -> $nAfter)")
       tb.read().orderBy("event_id")
     }),
+    "s_lakehouse_cdf" -> ((s, dir) => {
+      // incremental consumption (Delta-CDF shape): three append commits with
+      // a compaction in the middle, drained through readChangesSince with a
+      // version cursor as the checkpoint. The compaction commit must deliver
+      // ZERO net-new rows, and the union of increments must equal the full
+      // events slice — the bronze-to-silver handoff without history rescans.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_cdf").toString
+      val tb = new LakehouseTable(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      tb.create(TableSchema(ev.schema, primaryKeys = Seq.empty), buckets = 8)
+      var cursor = tb.latestVersion()
+      val increments = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxId / 3, 2 * maxId / 3, maxId).zipWithIndex.foreach { case (hi, i) =>
+        tb.append(ev.filter(col("event_id") > lo && col("event_id") <= hi),
+          txn = Some(("cdf", i.toLong)))
+        if (i == 1) {
+          tb.compact()
+          val before = cursor
+          val (chg, _) = tb.readChangesSince(tb.latestVersion() - 1)
+          require(chg.isEmpty, "a compaction commit must deliver zero net-new rows")
+          cursor = before
+        }
+        val (chg, v) = tb.readChangesSince(cursor)
+        increments += chg
+        cursor = v
+        lo = hi
+      }
+      increments.reduce(_ unionByName _).orderBy("event_id")
+    }),
     "c_route" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val router = new TableIdRouter(Seq(
@@ -909,6 +942,10 @@ object QueriesCore {
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
     // compaction is data-identical: the appended slices re-read as the table
     "c_lakehouse_append" ->
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    // incremental consumption: the union of change-feed increments == table
+    "s_lakehouse_cdf" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events ORDER BY event_id""".stripMargin,
     // crash-replayed 2PC delivery converges to the same final state

@@ -52,7 +52,14 @@ object GraftExtensions {
         args => CatalystExprs.SimHashExpr(args.head))),
     ("graft_dot", "_FUNC_(a, b) - float-array dot product in double",
       checked("graft_dot", "_FUNC_(a, b)", 2)(
-        args => CatalystExprs.DotProductExpr(args.head, args(1)))))
+        args => CatalystExprs.DotProductExpr(args.head, args(1)))),
+    ("graft_word_grams", "_FUNC_(text, k) - strict word k-grams (decontam/dup-span gram set)",
+      checked("graft_word_grams", "_FUNC_(text, k)", 2)(
+        args => CatalystExprs.StrictWordGramsExpr(args.head, intArg(args(1), "k")))),
+    ("graft_repetition_stats",
+      "_FUNC_(text) - Gopher repetition signals struct in one pass",
+      checked("graft_repetition_stats", "_FUNC_(text)", 1)(
+        args => CatalystExprs.RepetitionStatsExpr(args.head))))
 
   /** Register into an EXISTING session (extensions classes only apply at
     * session creation; `getOrCreate` on a live context ignores

@@ -434,6 +434,41 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
     removed
   }
 
+  /** Incremental consumption for append tables (the Delta change-feed /
+    * Paimon streaming-read shape, batch-incremental): the net-new rows
+    * committed STRICTLY AFTER `fromVersion`, plus the version to checkpoint
+    * for the next call. Pure-add commits carry new data; commits that also
+    * remove files (compaction, rescale — data-identical rewrites) contribute
+    * nothing net-new and are skipped, so a downstream consumer never
+    * re-reads rows the maintenance ops merely moved. This is how a bronze
+    * append table feeds the next pipeline stage without re-scanning
+    * history: each poll reads only the new commits' files.
+    *
+    * Append-table semantics only: a MERGE commit rewrites whole buckets
+    * (adds + removes), so its adds are not net-new rows — merge tables need
+    * a row-level changelog, which COW file granularity cannot provide.
+    */
+  def readChangesSince(fromVersion: Long): (DataFrame, Long) = {
+    val latest = latestVersion()
+    val schema = snapshot().schema
+    val newFiles = ((fromVersion + 1) to latest).flatMap { v =>
+      val actions = Files.readAllLines(logFile(v)).asScala
+        .filter(_.nonEmpty).map(LakehouseFormat.decode).toSeq
+      if (actions.exists(_.isInstanceOf[RemoveFile])) Nil
+      else actions.collect { case a: AddFile => a }
+    }
+    val df =
+      if (newFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+      else
+        SchemaDerivator.coerce(
+          spark.read.option("mergeSchema", "true")
+            .parquet(newFiles.map(f => Paths.get(dir, f.path).toString): _*),
+          schema.struct)
+    (df, latest)
+  }
+
   /** (version, action) history — the audit trail a lakehouse DESCRIBE HISTORY
     * surfaces. */
   def history(): Seq[(Long, Action)] =

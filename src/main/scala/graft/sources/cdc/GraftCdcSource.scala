@@ -67,7 +67,8 @@ final class GraftCdcTable(
           options.getInt("chunk.size", 8096),
           options.getInt("chunks.per-batch", 4),
           options.getBoolean("backfill.skip", false),
-          checkpointLocation)
+          checkpointLocation,
+          options.getLong("log.max-events-per-trigger", 0L))
     }
 }
 
@@ -94,7 +95,8 @@ final class GraftCdcMicroBatchStream(
     chunkSize: Int,
     chunksPerBatch: Int,
     backfillSkip: Boolean,
-    checkpointLocation: String = null)
+    checkpointLocation: String = null,
+    maxEventsPerTrigger: Long = 0L)
     extends MicroBatchStream with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val source = ChangeSourceRegistry.get(sourceId)
@@ -167,7 +169,7 @@ final class GraftCdcMicroBatchStream(
   private var lastEnd: CdcOffset = CdcOffset(0, logBase)
   private var availableNowTarget: Option[CdcOffset] = None
 
-  private def next(prev: CdcOffset): CdcOffset =
+  private def next(prev: CdcOffset, limit: ReadLimit = null): CdcOffset =
     if (prev.chunksDone < chunks.size)
       // carry prev.logOffset (the ORIGINAL log base from the checkpoint), not
       // a recomputed one: after a resume the log phase must start where the
@@ -176,9 +178,18 @@ final class GraftCdcMicroBatchStream(
       CdcOffset(math.min(prev.chunksDone + chunksPerBatch, chunks.size), prev.logOffset)
     else if (bounded) CdcOffset(chunks.size, prev.logOffset)
     else {
-      val target = math.max(
+      // admission control on the log phase (the reference's fetch-size
+      // backpressure): a ReadMaxRows limit caps how far one micro-batch
+      // advances, so a backlog drains in bounded batches instead of one
+      // giant catch-up batch that overwhelms executor memory
+      val cap = limit match {
+        case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          prev.logOffset + math.max(1L, m.maxRows())
+        case _ => Long.MaxValue
+      }
+      val target = math.min(cap, math.max(
         prev.logOffset,
-        availableNowTarget.map(_.logOffset).getOrElse(source.currentOffset))
+        availableNowTarget.map(_.logOffset).getOrElse(source.currentOffset)))
       ChangeSourceRegistry.pendingDdl(sourceId) match {
         case Some((d, _)) if prev.logOffset >= d =>
           // parked at an unacknowledged DDL: advancing would push new-shape
@@ -210,9 +221,17 @@ final class GraftCdcMicroBatchStream(
     * phase machine.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
-    lastEnd = next(start.asInstanceOf[CdcOffset])
+    lastEnd = next(start.asInstanceOf[CdcOffset], limit)
     lastEnd
   }
+
+  /** `log.max-events-per-trigger` — log-phase rate limiting through Spark's
+    * admission control, so Trigger.AvailableNow and continuous runs both
+    * drain a backlog in bounded batches.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxEventsPerTrigger > 0) ReadLimit.maxRows(maxEventsPerTrigger)
+    else ReadLimit.allAvailable()
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     availableNowTarget = Some(

@@ -32,5 +32,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(1) == 2) // "alpha beta","beta gamma"
     assert(row.getInt(2) == 8)
     assert(row.getDouble(3) == expected.getDouble(1) && row.getDouble(3) == 14.0)
+
+    // round-6 registrations: strict word grams + repetition stats
+    val r2 = s.sql(
+      """SELECT size(graft_word_grams(text, 2)) AS ng,
+        |  graft_repetition_stats(text).tokens AS toks,
+        |  graft_repetition_stats(text).uniq_words AS uw
+        |FROM gx""".stripMargin).head()
+    assert(r2.getInt(0) == 2)
+    assert(r2.getInt(1) == 3 && r2.getInt(2) == 3) // all three words distinct
   }
 }

@@ -62,6 +62,33 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().filter($"k" === 999L).count() == 1)
   }
 
+  test("readChangesSince: incremental consumption skips maintenance rewrites") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 4)
+    var cursor = t.latestVersion()
+
+    t.append((0L until 30L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val (c1, v1) = t.readChangesSince(cursor)
+    assert(c1.select($"k").as[Long].collect().toSet == (0L until 30L).toSet)
+    cursor = v1
+
+    // no new commits -> empty increment, cursor stable
+    val (c2, v2) = t.readChangesSince(cursor)
+    assert(c2.isEmpty && v2 == cursor)
+
+    t.append((30L until 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.compact() // data-identical rewrite: must NOT re-deliver rows
+    t.append((50L until 60L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val (c3, v3) = t.readChangesSince(cursor)
+    assert(c3.select($"k").as[Long].collect().toSet == (30L until 60L).toSet)
+    cursor = v3
+
+    // incremental union == full table
+    val all = c1.unionByName(c3).select($"k").as[Long].collect().toSet
+    assert(all == t.read().select($"k").as[Long].collect().toSet)
+  }
+
   test("rescaleBuckets: layout migration preserves data, merges use new layout") {
     val t = newTable(buckets = 2)
     t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))

@@ -94,6 +94,34 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     } finally ChangeSourceRegistry.remove("metrics-src")
   }
 
+  test("log.max-events-per-trigger drains a backlog in bounded batches, exactly once") {
+    val t = TableId.parse("m.rl")
+    val src = new ScriptedChangeSource(t, schema, (0L until 10L).map(i => row(i, "init")))
+    ChangeSourceRegistry.register("ratelimit-src", src)
+    try {
+      // backlog of 35 log events BEFORE the stream starts
+      (0 until 35).foreach(i =>
+        src.append(DataChangeEvent.update(t, row(i % 10, "init"), row(i % 10, s"e$i"))))
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+        .option("sourceId", "ratelimit-src")
+        .option("chunk.size", "100")
+        .option("startup.mode", "earliest")
+        .option("log.max-events-per-trigger", "10")
+        .load().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count(); if (n > 0) batchSizes += n; ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // 35 events at <=10 per trigger: at least 4 log batches, none above the
+      // cap, every event delivered exactly once
+      assert(batchSizes.sum == 35, s"batches: $batchSizes")
+      assert(batchSizes.length >= 4 && batchSizes.forall(_ <= 10), s"batches: $batchSizes")
+    } finally ChangeSourceRegistry.remove("ratelimit-src")
+  }
+
   test("initial mode: chunked snapshot then log tail, exactly-once under concurrent writes") {
     val id = "cdc-initial"
     val src = new ScriptedChangeSource(TableId.parse("db.t"), schema,
