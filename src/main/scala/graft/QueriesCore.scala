@@ -151,6 +151,53 @@ object QueriesCore {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders with at least one late-shipped line (EXISTS →
+      // left-semi with an inequality residual), counted per priority. The
+      // semi-join shuffles both sides on the order key once; no dedup pass,
+      // no count-distinct.
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q12_priority_class" -> ((s, dir) => {
+      // TPC-H Q12 shape: conditional aggregation after a fact-fact join —
+      // high/low-priority order counts per line status for late shipments.
+      // The CASE runs map-side inside the partial aggregate.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: large-volume orders — groupBy-HAVING on the fact
+      // table first (partial-agg shrinks it before any join), then join the
+      // survivors to orders/customer, top 10. The HAVING runs before the
+      // joins, so the join input is 0.5% of lineitem, not all of it.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
     "q_percentiles" -> ((s, dir) => {
       // distribution analytics: exact interpolated percentiles per group.
       // Exact percentile sorts within the aggregate (fine at per-group
@@ -864,6 +911,35 @@ object QueriesCore {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q10_returned" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)

@@ -95,6 +95,19 @@ object QueriesML {
             6).as("jaccard"))
         .orderBy("idA", "idB")
     }),
+    "d_span_dedup" -> ((s, dir) => {
+      // fixed-window span dedup over documents ∪ exact copies of doc_id<25:
+      // every span of a copy already occurred in its original, so copies
+      // vanish entirely; genuinely repeated 10-word spans between distinct
+      // docs (rare in the fixture, computed identically by the oracle) keep
+      // only their first occurrence
+      import graft.dedup.Dedup
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      Dedup.spanDedup(all, "doc_id", "text", window = 10).orderBy("doc_id")
+    }),
+
     "d_incremental_dedup" -> ((s, dir) => {
       // cross-run dedup: the new batch is 40 exact copies of history docs
       // (dropped) plus 20 genuinely new texts (kept); the Bloom build/probe/
@@ -575,6 +588,29 @@ object QueriesML {
     // so per-word-position expansion goes through scalar range + unnest in the
     // select list instead of a lateral FROM-clause join. The bench set's texts
     // are exactly the doc_id<20 train texts, so bench grams = tg WHERE id<20.
+    "d_span_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 25),
+        |words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM all_docs),
+        |spans AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS span
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS i
+        |        FROM words)),
+        |keep AS (
+        |  SELECT doc_id, idx, span,
+        |    min(doc_id * 100000 + idx) OVER (PARTITION BY span) AS mo
+        |  FROM spans)
+        |SELECT doc_id,
+        |  string_agg(span, ' ' ORDER BY idx) AS text,
+        |  count(*) AS kept_spans
+        |FROM keep WHERE doc_id * 100000 + idx = mo
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_incremental_dedup" ->
       """WITH newb AS (
         |  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id < 40

@@ -241,6 +241,51 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  // ---------- span-level dedup ----------------------------------------------
+
+  /** Span-level dedup with fixed word windows (the practical form of Lee et
+    * al. 2022's substring dedup, and C4's span removal): each document is cut
+    * into consecutive `window`-word spans, every span keeps only its FIRST
+    * global occurrence (ordered by (doc id, span index)), and surviving spans
+    * reassemble in order. Documents that lose every span (exact copies)
+    * disappear entirely.
+    *
+    * Plan shape: spans are derived map-only (split + slice lambda, no UDF);
+    * the global keep-first is ONE shuffle — a window `min` partitioned by the
+    * span text (high-cardinality, skew-free) — and reassembly is the second
+    * shuffle, partitioned by doc. Documents never shuffle whole; only their
+    * spans do, and span volume == corpus token volume.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 10): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val nSpans = ceil(size(col("__w")) / lit(window.toDouble)).cast("long")
+    val spans = df.select(col(idCol), words.as("__w"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), nSpans - 1),
+        i => array_join(
+          slice(col("__w"), (i * window + 1).cast("int"), lit(window)), " "))))
+      .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__span")
+    // global order of a span occurrence; span index is bounded far below 1e5
+    val ord = col(idCol) * 100000L + col("__idx")
+    val firstOrd = min(ord).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__span")))
+    spans.withColumn("__mo", firstOrd)
+      .filter(ord === col("__mo"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__span")))),
+            s => s.getField("__span")),
+          " ").as(textCol),
+        count(lit(1)).as("kept_spans"))
+  }
+
   // ---------- incremental (cross-run) dedup ---------------------------------
 
   /** Incremental exact dedup: drop rows of `newDocs` whose canonical text

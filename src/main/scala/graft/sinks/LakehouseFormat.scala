@@ -151,6 +151,15 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
   /** Replay the log up to and including `upTo` (default: latest), starting
     * from the newest eligible checkpoint. */
   def snapshot(upTo: Option[Long] = None): Snapshot = {
+    upTo.foreach { u =>
+      // an expired version has neither a commit chain nor a checkpoint at or
+      // below it — replaying would silently return empty state
+      val basis = (listLogNames().collect { case checkpointName(v) => v.toLong } ++
+        listVersions()).minOption
+      if (basis.exists(u < _) )
+        throw new IllegalArgumentException(
+          s"version $u of $dir is expired (oldest retained basis: ${basis.get})")
+    }
     val ckpt = latestCheckpoint(upTo)
     val versions = listVersions()
       .filter(v => upTo.forall(v <= _) && ckpt.forall(v > _))
@@ -169,16 +178,40 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
 
   private def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0)
-      try {
-        val snap = snapshot(Some(v))
-        val actions: Seq[Action] =
-          snap.meta.toSeq ++ snap.files ++
-            snap.txns.map { case (run, b) => Txn(run, b) }
-        val tmp = Files.createTempFile(logDir, s"ckpt-$v-", ".tmp")
-        Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
-        Files.move(tmp, logDir.resolve(f"$v%020d.checkpoint.json"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      } catch { case _: java.io.IOException => () } // best-effort; next one retries
+      try writeCheckpoint(v)
+      catch { case _: java.io.IOException => () } // best-effort; next one retries
+
+  private def writeCheckpoint(v: Long): Unit = {
+    val snap = snapshot(Some(v))
+    val actions: Seq[Action] =
+      snap.meta.toSeq ++ snap.files ++
+        snap.txns.map { case (run, b) => Txn(run, b) }
+    val tmp = Files.createTempFile(logDir, s"ckpt-$v-", ".tmp")
+    Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, logDir.resolve(f"$v%020d.checkpoint.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Snapshot expiry (Paimon `snapshot.num-retained` / Delta log retention):
+    * bound the log to the last `keepLast` versions. A checkpoint is forced at
+    * the oldest RETAINED version first — so replay always starts from
+    * complete state — then older commit files and checkpoints are dropped.
+    * Time travel to an expired version fails with a clear error instead of
+    * silently replaying empty state; [[vacuum]] afterwards reclaims data
+    * files only expired versions referenced. Returns the expired versions.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val versions = listVersions()
+    if (versions.size <= keepLast) return Seq.empty
+    val cutoff = versions(versions.size - keepLast)
+    writeCheckpoint(cutoff) // throws on failure — never delete without a basis
+    val expired = versions.filter(_ < cutoff)
+    expired.foreach(v => Files.deleteIfExists(logFile(v)))
+    listLogNames().collect { case checkpointName(v) if v.toLong < cutoff => v.toLong }
+      .foreach(v => Files.deleteIfExists(logDir.resolve(f"$v%020d.checkpoint.json")))
+    expired
+  }
 
   /** Atomically claim version `v`: write a temp file, rename WITHOUT replace.
     * A concurrent winner makes the rename fail → caller re-snapshots and

@@ -175,6 +175,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("spanDedup: copies vanish, originals reassemble canonically, cross-doc spans keep first") {
+    val df = Seq(
+      (0L, "Alpha beta  Gamma delta"), // canonical form of doc 1
+      (1L, "alpha beta gamma delta"), // exact span copy -> vanishes
+      (2L, "fresh words gamma delta"), // span "gamma delta" first occurred in doc 0
+      (3L, "fresh words something else") // shares span 0 with doc 2 -> loses it
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L))
+    assert(out(0).getString(1) == "alpha beta gamma delta" && out(0).getLong(2) == 2)
+    assert(out(1).getString(1) == "fresh words" && out(1).getLong(2) == 1)
+    assert(out(2).getString(1) == "something else" && out(2).getLong(2) == 1)
+  }
+
   test("incrementalDedup equals the exact anti-join, even with forced false positives") {
     val hist = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
       .select($"doc_id", $"text")

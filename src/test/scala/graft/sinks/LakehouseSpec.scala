@@ -62,6 +62,27 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().filter($"k" === 999L).count() == 1)
   }
 
+  test("expireSnapshots: log bounded, current reads fine, expired time travel errors") {
+    val t = newTable(buckets = 2)
+    (0 until 15).foreach { i =>
+      t.merge(Seq((i.toLong, s"v$i")).toDF("k", "v"), empty(t))
+    }
+    val latest = t.latestVersion()
+    val expired = t.expireSnapshots(keepLast = 3)
+    assert(expired.nonEmpty && expired.forall(_ < latest - 2))
+    // current state is intact and writable
+    assert(t.read().count() == 15)
+    t.merge(Seq((99L, "x")).toDF("k", "v"), empty(t))
+    assert(t.read().count() == 16)
+    // recent versions still time-travel; expired ones fail loudly
+    assert(t.snapshot(Some(latest)).version == latest)
+    val e = intercept[IllegalArgumentException](t.snapshot(Some(expired.max)))
+    assert(e.getMessage.contains("expired"))
+    // vacuum after expiry reclaims files only expired versions referenced
+    t.vacuum(Some(latest - 2))
+    assert(t.read().count() == 16)
+  }
+
   test("readChangesSince: incremental consumption skips maintenance rewrites") {
     val dir = Files.createTempDirectory("graft_lake").toString
     val t = new LakehouseTable(spark, dir)
