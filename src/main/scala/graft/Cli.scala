@@ -66,6 +66,11 @@ object Cli {
         val path = Paths.get(args.yamlPath)
         if (!Files.isReadable(path)) { out(s"error: cannot read ${args.yamlPath}"); return 1 }
         val yamlText = new String(Files.readAllBytes(path), "UTF-8")
+        // a `curation:` YAML is a training-data pipeline, not a CDC pipeline
+        val isCuration =
+          try graft.textops.CurationPipeline.isCuration(yamlText)
+          catch { case e: Exception => out(s"error: invalid yaml: ${e.getMessage}"); return 1 }
+        if (isCuration) return executeCuration(yamlText, args, out)
         val pdef0 =
           try YamlPipelineParser.parse(yamlText)
           catch { case e: Exception => out(s"error: invalid pipeline: ${e.getMessage}"); return 1 }
@@ -108,6 +113,32 @@ object Cli {
             out(s"error: pipeline failed: ${e.getMessage}"); 1
         }
     }
+
+  private def executeCuration(
+      yamlText: String, args: Args, out: String => Unit): Int = {
+    val cdef =
+      try graft.textops.CurationPipeline.parse(yamlText)
+      catch { case e: Exception => out(s"error: invalid curation: ${e.getMessage}"); return 1 }
+    out(s"curation: ${cdef.input} -> ${cdef.output}")
+    cdef.steps.zipWithIndex.foreach { case (s, i) =>
+      val cfg = if (s.config.isEmpty) ""
+        else s.config.map { case (k, v) => s"$k=$v" }.mkString(" (", ", ", ")")
+      out(s"  step ${i + 1}: ${s.stepType}$cfg")
+    }
+    if (args.dryRun) { out("dry run: curation is valid, not started"); return 0 }
+    val spark = SparkSession.builder()
+      .master(args.master)
+      .appName(args.name.getOrElse("graft-curation"))
+      .getOrCreate()
+    try {
+      val counts = graft.textops.CurationPipeline.run(spark, cdef)
+      counts.foreach { case (label, n) => out(s"  $label: $n rows") }
+      out("curation finished")
+      0
+    } catch {
+      case e: Exception => out(s"error: curation failed: ${e.getMessage}"); 1
+    }
+  }
 
   def main(argv: Array[String]): Unit = {
     val code = execute(argv)

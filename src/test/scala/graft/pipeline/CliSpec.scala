@@ -81,6 +81,33 @@ class CliSpec extends AnyFunSuite {
     assert(out.exists(_.contains("filedb.items: 1 rows")), out.mkString("\n"))
   }
 
+  test("curation yaml: dry-run prints steps, full run writes curated parquet") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("cli_curate_in").toString
+    val out = Files.createTempDirectory("cli_curate_out").toString
+    ((0L until 10L).map(i => (i, s"doc number $i with its own words here")) :+
+      (100L, "doc number 3 with its own words here")) // exact copy of doc 3
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val yaml = writeYaml(
+      s"""curation:
+         |  input: $in
+         |  output: $out
+         |  steps:
+         |    - type: exact-dedup
+         |    - type: pii-redact
+         |""".stripMargin)
+    val (dryCode, dryOut) = collectOut(Array(yaml, "--dry-run"))
+    assert(dryCode == 0)
+    assert(dryOut.exists(_.contains("step 1: exact-dedup")))
+    assert(dryOut.exists(_.contains("dry run")))
+
+    val (code, outLines) = collectOut(Array(yaml, "--master", "local[2]"))
+    assert(code == 0, outLines.mkString("\n"))
+    assert(outLines.exists(_.matches(".*input: 11 rows.*")))
+    assert(outLines.exists(_.matches(".*exact-dedup: 10 rows.*")))
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
   test("full run: yaml through the scripted source to the values sink") {
     spark // ensure the shared test session exists before getOrCreate
     val t = TableId.parse("clidb.items")

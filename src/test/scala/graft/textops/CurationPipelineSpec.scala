@@ -1,0 +1,104 @@
+package graft.textops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class CurationPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("yaml parse: sections, defaults, step configs, unknown step rejected") {
+    val cdef = CurationPipeline.parse(
+      """curation:
+        |  input: /in
+        |  output: /out
+        |  steps:
+        |    - type: quality-filter
+        |      min-score: 0.5
+        |    - type: pii-redact
+        |""".stripMargin)
+    assert(cdef.idCol == "doc_id" && cdef.textCol == "text")
+    assert(cdef.steps.map(_.stepType) == Seq("quality-filter", "pii-redact"))
+    assert(cdef.steps.head.config("min-score") == "0.5")
+    assert(CurationPipeline.isCuration("curation:\n  input: /x\n"))
+    assert(!CurationPipeline.isCuration("source:\n  type: values\n"))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.applyStep(spark, Seq((1L, "t")).toDF("doc_id", "text"),
+        CurationPipeline.StepDef("no-such-step", Map.empty), "doc_id", "text")
+    }
+  }
+
+  test("end-to-end: dups drop, PII redacts, sample is deterministic, counts audit") {
+    val in = Files.createTempDirectory("curate_in").toString
+    val out = Files.createTempDirectory("curate_out").toString
+    val bench = Files.createTempDirectory("curate_bench").toString
+    // 40 good docs; 5 exact copies (ids 100-104 dup ids 0-4); 2 with PII
+    val good = (0L until 40L).map(i =>
+      (i, s"plain document number $i with several distinct words in it ok"))
+    val dups = (0L until 5L).map(i =>
+      (100L + i, s"plain document number $i with several distinct words in it ok"))
+    val pii = Seq(
+      (200L, "contact me at alice@example.com for the document text here ok"),
+      (201L, "my card is 4111 1111 1111 1111 and this document text here ok"))
+    (good ++ dups ++ pii).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    // benchmark shares doc 7's exact text -> decontamination must drop doc 7
+    Seq((900L, good(7)._2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(bench)
+
+    val cdef = CurationPipeline.parse(
+      s"""curation:
+         |  input: $in
+         |  output: $out
+         |  steps:
+         |    - type: exact-dedup
+         |    - type: decontaminate
+         |      benchmark: $bench
+         |      k: 8
+         |    - type: pii-redact
+         |""".stripMargin)
+    val counts = CurationPipeline.run(spark, cdef)
+    assert(counts.head == ("input", 47L))
+    assert(counts(1)._2 == 42L) // 5 exact copies dropped
+    assert(counts(2)._2 == 41L) // doc 7 decontaminated
+    assert(counts(3)._2 == 41L) // redaction rewrites, drops nothing
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 41)
+    val redacted = result.filter($"doc_id" >= 200L).select($"text").as[String].collect()
+    assert(redacted.forall(t => !t.contains("alice@example.com") && !t.contains("4111")))
+    assert(redacted.exists(_.contains("<EMAIL>")) && redacted.exists(_.contains("<CREDIT_CARD>")))
+    assert(result.filter($"doc_id" === 7L).isEmpty)
+    assert(result.filter($"doc_id" === 100L).isEmpty && result.filter($"doc_id" === 0L).count() == 1)
+  }
+
+  test("repetition, quality, language, span-dedup, sample steps compose") {
+    val df = Seq(
+      (1L, "the cat and the dog is here with that thing again today fine"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "der Hund und die Katze ist mit nicht da heute gut so")
+    ).toDF("doc_id", "text")
+    def step(d: org.apache.spark.sql.DataFrame, t: String, cfg: (String, String)*) =
+      CurationPipeline.applyStep(spark, d, CurationPipeline.StepDef(t, cfg.toMap),
+        "doc_id", "text")
+    // repetition gate kills the spam doc (short docs: any bigram is ~2/13 of
+    // tokens, so raise the bigram gate above that noise floor)
+    val rep = step(df, "repetition-filter", "max-top-bigram-frac" -> "0.25")
+    assert(rep.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // language filter keeps only English
+    val en = step(rep, "language-filter", "lang" -> "en")
+    assert(en.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+    // span dedup preserves non-text columns and rebuilds text canonically
+    val withExtra = df.withColumn("source", lit("web"))
+    val sd = step(withExtra, "span-dedup", "window" -> "4")
+    assert(sd.columns.toSet == Set("doc_id", "source", "text"))
+    assert(sd.count() == 3)
+    // deterministic sample: same fraction -> same rows, fraction 1.0 -> all
+    val s1 = step(df, "sample", "fraction" -> "0.5").select($"doc_id").as[Long].collect().toSet
+    val s2 = step(df, "sample", "fraction" -> "0.5").select($"doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(step(df, "sample", "fraction" -> "1.0").count() == 3)
+  }
+}
