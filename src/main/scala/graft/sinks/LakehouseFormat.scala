@@ -41,7 +41,16 @@ import scala.jdk.CollectionConverters._
 object LakehouseFormat {
 
   sealed trait Action
-  final case class AddFile(path: String, bucket: Int, rows: Long) extends Action
+
+  /** Per-column zone map of one data file: min/max rendered as strings (the
+    * declared column type drives the typed comparison at prune time). */
+  final case class ColStats(min: String, max: String)
+
+  final case class AddFile(
+      path: String,
+      bucket: Int,
+      rows: Long,
+      stats: Map[String, ColStats] = Map.empty) extends Action
   final case class RemoveFile(path: String) extends Action
   final case class Meta(schema: TableSchema, buckets: Int) extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
@@ -61,8 +70,14 @@ object LakehouseFormat {
   private[sinks] def encode(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case AddFile(p, b, r) =>
+      case AddFile(p, b, r, stats) =>
         val n = root.putObject("add"); n.put("path", p); n.put("bucket", b); n.put("rows", r)
+        if (stats.nonEmpty) {
+          val st = n.putObject("stats")
+          stats.foreach { case (c, cs) =>
+            val e = st.putObject(c); e.put("min", cs.min); e.put("max", cs.max)
+          }
+        }
       case RemoveFile(p) =>
         root.putObject("remove").put("path", p)
       case Meta(s, b) =>
@@ -80,7 +95,12 @@ object LakehouseFormat {
     val n = mapper.readTree(line)
     if (n.has("add")) {
       val a = n.get("add")
-      AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong)
+      val stats =
+        if (!a.has("stats")) Map.empty[String, ColStats]
+        else a.get("stats").fields().asScala.map { e =>
+          e.getKey -> ColStats(e.getValue.get("min").asText, e.getValue.get("max").asText)
+        }.toMap
+      AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong, stats)
     } else if (n.has("remove")) RemoveFile(n.get("remove").get("path").asText)
     else if (n.has("meta")) {
       val m = n.get("meta")
@@ -441,13 +461,110 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
 
   private def listCommitFiles(commitRel: String, bucketCol: String): Seq[AddFile] = {
     val root = Paths.get(dir, commitRel)
-    Files.walk(root).iterator.asScala
+    val adds = Files.walk(root).iterator.asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map { p =>
         val rel = Paths.get(dir).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
         AddFile(rel, bucket, -1L)
       }.toSeq
+    attachStats(adds)
+  }
+
+  /** Columns that get zone maps: top-level orderable scalars. */
+  private def statColumns(struct: StructType): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    struct.fields.toSeq.filter(_.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType | TimestampNTZType |
+          BooleanType => true
+      case _ => false
+    })
+  }
+
+  /** Per-file min/max zone maps (Delta data-skipping stats): ONE aggregate
+    * scan over just the newly written files, grouped by `input_file_name` —
+    * cost proportional to the commit, not the table. Stats ride in the
+    * AddFile action, so pruning at read time is metadata-only.
+    */
+  private def attachStats(adds: Seq[AddFile]): Seq[AddFile] = {
+    if (adds.isEmpty) return adds
+    val cols = snapshot().meta.map(m => statColumns(m.schema.struct)).getOrElse(Seq.empty)
+    if (cols.isEmpty) return adds
+    val paths = adds.map(a => Paths.get(dir, a.path).toString)
+    val aggs = cols.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"min_${f.name}"),
+      max(col(f.name)).cast("string").as(s"max_${f.name}")))
+    val byFile = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    adds.map { a =>
+      // input_file_name yields a URI; match on the path suffix
+      byFile.collectFirst { case (f, r) if f.endsWith(a.path) => r } match {
+        case None => a // empty file: no stats, never pruned away incorrectly
+        case Some(r) =>
+          val stats = cols.zipWithIndex.flatMap { case (f, i) =>
+            val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
+            if (mn == null || mx == null) None else Some(f.name -> ColStats(mn, mx))
+          }.toMap
+          a.copy(stats = stats)
+      }
+    }
+  }
+
+  /** Typed zone-map check: can `file` contain `value` in `colName`? Files
+    * without stats (older commits, null-only columns) are always kept, as
+    * are stats that fail to parse (NaN/Infinity renderings). */
+  private def mightContain(
+      file: AddFile,
+      colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      value: Any): Boolean =
+    file.stats.get(colName) match {
+      case None => true
+      case Some(cs) =>
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: NumericType =>
+            try {
+              val v = BigDecimal(value.toString)
+              BigDecimal(cs.min) <= v && v <= BigDecimal(cs.max)
+            } catch { case _: NumberFormatException => true }
+          case _ =>
+            val v = value.toString
+            cs.min <= v && v <= cs.max
+        }
+    }
+
+  /** The live files a point predicate `colName = value` may need — bucket
+    * pruning when the column set covers the bucket keys would compose on
+    * top; this is the zone-map half. Exposed for plan-evidence tests. */
+  def prunedFiles(colName: String, value: Any, version: Option[Long] = None): Seq[AddFile] = {
+    val snap = snapshot(version)
+    val dt = snap.schema.struct.apply(colName).dataType
+    snap.files.filter(mightContain(_, colName, dt, value))
+  }
+
+  /** Point-predicate read through the zone maps: scan only the files whose
+    * [min,max] admits the value, then apply the filter exactly. At 100 TB
+    * this is the difference between scanning one bucket-file and the table —
+    * the table-format analog of parquet's `PushedFilters`.
+    */
+  def readWhere(colName: String, value: Any): DataFrame = {
+    val snap = snapshot()
+    val keep = prunedFiles(colName, value)
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema.struct)
+      else
+        SchemaDerivator.coerce(
+          spark.read.option("mergeSchema", "true")
+            .parquet(keep.map(f => Paths.get(dir, f.path).toString): _*),
+          snap.schema.struct)
+    df.filter(col(colName) === lit(value))
   }
 
   /** Drop data files no longer referenced by any snapshot >= `retainFrom`

@@ -62,6 +62,38 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().filter($"k" === 999L).count() == 1)
   }
 
+  test("zone maps: per-file stats collected, point reads prune files, results exact") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 2)
+    // three append commits with DISJOINT key ranges: zone maps separate them
+    // even though every commit hits both buckets
+    t.append((0L until 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.append((100L until 140L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.append((200L until 240L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val snap = t.snapshot()
+    assert(snap.files.forall(f => f.stats.contains("k") && f.stats.contains("v")))
+
+    // point lookup: only the middle commit's files survive pruning
+    val pruned = t.prunedFiles("k", 120L)
+    assert(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"expected pruning, got ${pruned.size}/${snap.files.size}")
+    assert(pruned.forall(f =>
+      f.stats("k").min.toLong <= 120L && 120L <= f.stats("k").max.toLong))
+    // and the pruned read returns exactly the unpruned answer
+    assert(t.readWhere("k", 120L).as[(Long, String)].collect().toSeq ==
+      Seq((120L, "v120")))
+    assert(t.readWhere("k", 999L).isEmpty)
+    // string zone maps prune too
+    assert(t.prunedFiles("v", "v120").size < snap.files.size)
+
+    // compaction recomputes stats for the rewritten files
+    t.compact()
+    val after = t.snapshot()
+    assert(after.files.forall(_.stats.contains("k")))
+    assert(t.readWhere("k", 120L).count() == 1)
+  }
+
   test("expireSnapshots: log bounded, current reads fine, expired time travel errors") {
     val t = newTable(buckets = 2)
     (0 until 15).foreach { i =>
