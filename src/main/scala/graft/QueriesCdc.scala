@@ -144,6 +144,65 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // Stream-STATIC enrichment inside the streaming plan: the CDC envelope
+    // stream joins the nation dim (broadcast, re-planned per micro-batch) on
+    // a key derived from the change images — the classic CDC-enrichment
+    // topology. The static side never shuffles; the stream carries the
+    // enriched rows to the sink.
+    "s_enrich" -> ((s, dir) => {
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new ScriptedChangeSource(t, schema, initial)
+      val srcId = s"verify-enrich-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        ev.foreach(r => src.append(DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))))
+        val nation = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("nkey"), col("n_name"))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "64")
+          .load()
+          .withColumn("nkey",
+            pmod(coalesce(col("after.id"), col("before.id")), lit(25L)))
+          .join(broadcast(nation), "nkey")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            buf ++= b.select(col("op"), col("seq"),
+              coalesce(col("after.id"), col("before.id")).as("id"),
+              col("after.v"), col("n_name")).collect()
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String, String)]
+        buf.foreach { r =>
+          val id = r.getLong(2); val seq = r.getLong(1)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq,
+              if (r.getString(0) == "DELETE") null else r.getString(3), r.getString(4))
+        }
+        import s.implicits._
+        byKey.toSeq.collect { case (id, (_, v, n)) if v != null => (id, v, n) }
+          .toDF("id", "v", "n_name").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Watermarked event-time windowed aggregation through the REAL streaming
     // runtime: the events table flows through a MemoryStream into
     // EventTimeOps.windowedCounts (1-day windows, 1-hour watermark, append
@@ -523,6 +582,15 @@ object QueriesCdc {
         |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 DAY
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "s_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v, n.n_name
+        |FROM range(150) AS u(id)
+        |LEFT JOIN last l ON l.user_id = u.id
+        |JOIN nation n ON n.n_nationkey = u.id % 25
+        |ORDER BY u.id""".stripMargin,
     "c_startup_offset" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events

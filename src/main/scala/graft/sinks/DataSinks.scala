@@ -13,11 +13,19 @@ object DataSinks {
   def forDef(spark: SparkSession, sinkDef: SinkDef): DataSink =
     sinkDef.sinkType.toLowerCase match {
       case "values" | "memory" => new MemoryDatabase
-      case "jdbc" =>
+      case t @ ("jdbc" | "mysql" | "oceanbase" | "postgres") =>
+        // oceanbase speaks the mysql wire protocol (the reference's OceanBase
+        // pipeline connector is a mysql-dialect JDBC sink); mysql/postgres
+        // are the dialect-explicit spellings of the jdbc type
+        val dialectDefault = t match {
+          case "mysql" | "oceanbase" => "mysql"
+          case "postgres" => "postgres"
+          case _ => "generic"
+        }
         new JdbcUpsertSink(
           url = sinkDef.config.getOrElse(
-            "url", throw new IllegalArgumentException("jdbc sink requires 'url'")),
-          dialectName = sinkDef.config.getOrElse("dialect", "generic"),
+            "url", throw new IllegalArgumentException(s"$t sink requires 'url'")),
+          dialectName = sinkDef.config.getOrElse("dialect", dialectDefault),
           props = sinkDef.config.view
             .filterKeys(_.startsWith("driver.")).toMap
             .map { case (k, v) => k.stripPrefix("driver.") -> v },
@@ -61,7 +69,8 @@ object DataSinks {
           maxRows = sinkDef.config.getOrElse("sink.buffer-flush.max-rows", "1000").toInt)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown sink type '$other' (supported: values, jdbc, jdbc-exactly-once, " +
-            "parquet, lakehouse, elasticsearch, starrocks, doris)")
+          s"unknown sink type '$other' (supported: values, jdbc, mysql, postgres, " +
+            "oceanbase, jdbc-exactly-once, parquet, lakehouse, elasticsearch, " +
+            "starrocks, doris)")
     }
 }

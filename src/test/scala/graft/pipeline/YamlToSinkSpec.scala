@@ -162,6 +162,13 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {
+    Seq("mysql", "oceanbase", "postgres").foreach { t =>
+      val sink = DataSinks.forDef(spark, SinkDef(t, None, Map("url" -> "jdbc:none")))
+      assert(sink.isInstanceOf[graft.sinks.JdbcUpsertSink], t)
+    }
+  }
+
   test("unknown sink type is rejected") {
     intercept[IllegalArgumentException](
       DataSinks.forDef(spark, SinkDef("iceberg-rest", None, Map.empty)))
