@@ -51,7 +51,8 @@ object DataSinks {
           spark,
           rootDir = sinkDef.config.getOrElse(
             "path", throw new IllegalArgumentException("lakehouse sink requires 'path'")),
-          buckets = sinkDef.config.getOrElse("buckets", "16").toInt)
+          buckets = sinkDef.config.getOrElse("buckets", "16").toInt,
+          collectStats = sinkDef.config.getOrElse("stats", "true").toBoolean)
       case "elasticsearch" =>
         new ElasticsearchSink(
           baseUrl = sinkDef.config.getOrElse("hosts", sinkDef.config.getOrElse(

@@ -122,7 +122,10 @@ object LakehouseFormat {
   * data volume (a production deployment adds checkpoint compaction of the
   * log, which changes nothing about the action semantics).
   */
-final class LakehouseTable(spark: SparkSession, val dir: String) {
+final class LakehouseTable(
+    spark: SparkSession,
+    val dir: String,
+    collectStats: Boolean = true) {
   import LakehouseFormat._
 
   private val logDir: Path = Paths.get(dir, "_log")
@@ -487,7 +490,9 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
     * AddFile action, so pruning at read time is metadata-only.
     */
   private def attachStats(adds: Seq[AddFile]): Seq[AddFile] = {
-    if (adds.isEmpty) return adds
+    // the stats scan costs one pass over the commit's files (~25% of B5's
+    // merge wall); `collectStats = false` trades data skipping for it
+    if (!collectStats || adds.isEmpty) return adds
     val cols = snapshot().meta.map(m => statColumns(m.schema.struct)).getOrElse(Seq.empty)
     if (cols.isEmpty) return adds
     val paths = adds.map(a => Paths.get(dir, a.path).toString)
@@ -636,11 +641,16 @@ final class LakehouseTable(spark: SparkSession, val dir: String) {
   * Batch tracking overrides the SPI's write-then-record default with the
   * atomic in-commit `txn` action.
   */
-final class LakehouseSink(spark: SparkSession, rootDir: String, buckets: Int = 16)
+final class LakehouseSink(
+    spark: SparkSession,
+    rootDir: String,
+    buckets: Int = 16,
+    collectStats: Boolean = true)
     extends DataSink {
 
   def table(t: TableId): LakehouseTable =
-    new LakehouseTable(spark, Paths.get(rootDir, t.identifier.replace('.', '_')).toString)
+    new LakehouseTable(
+      spark, Paths.get(rootDir, t.identifier.replace('.', '_')).toString, collectStats)
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = event match {
     case CreateTableEvent(t, schema) => table(t).create(schema, buckets)

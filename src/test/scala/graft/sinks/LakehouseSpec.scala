@@ -92,6 +92,15 @@ class LakehouseSpec extends AnyFunSuite {
     val after = t.snapshot()
     assert(after.files.forall(_.stats.contains("k")))
     assert(t.readWhere("k", 120L).count() == 1)
+
+    // collectStats=false skips the stats scan; stat-less files never prune
+    val dir2 = Files.createTempDirectory("graft_lake").toString
+    val t2 = new LakehouseTable(spark, dir2, collectStats = false)
+    t2.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 2)
+    t2.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(t2.snapshot().files.forall(_.stats.isEmpty))
+    assert(t2.prunedFiles("k", 5L).size == t2.snapshot().files.size)
+    assert(t2.readWhere("k", 5L).count() == 1)
   }
 
   test("expireSnapshots: log bounded, current reads fine, expired time travel errors") {
