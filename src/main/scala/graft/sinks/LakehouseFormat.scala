@@ -552,25 +552,59 @@ final class LakehouseTable(
     snap.files.filter(mightContain(_, colName, dt, value))
   }
 
+  /** Can `[lo, hi]` overlap the file's `[min, max]`? Typed like
+    * [[mightContain]]; stat-less or unparseable stats always overlap. */
+  private def mightOverlap(
+      file: AddFile,
+      colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      lo: Any,
+      hi: Any): Boolean =
+    file.stats.get(colName) match {
+      case None => true
+      case Some(cs) =>
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: NumericType =>
+            try BigDecimal(cs.min) <= BigDecimal(hi.toString) &&
+              BigDecimal(lo.toString) <= BigDecimal(cs.max)
+            catch { case _: NumberFormatException => true }
+          case _ => cs.min <= hi.toString && lo.toString <= cs.max
+        }
+    }
+
+  /** Files a range predicate `lo <= colName <= hi` may need. */
+  def prunedFilesBetween(
+      colName: String, lo: Any, hi: Any, version: Option[Long] = None): Seq[AddFile] = {
+    val snap = snapshot(version)
+    val dt = snap.schema.struct.apply(colName).dataType
+    snap.files.filter(mightOverlap(_, colName, dt, lo, hi))
+  }
+
+  private def readFiles(keep: Seq[AddFile]): DataFrame = {
+    val schema = snapshot().schema
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+    else
+      SchemaDerivator.coerce(
+        spark.read.option("mergeSchema", "true")
+          .parquet(keep.map(f => Paths.get(dir, f.path).toString): _*),
+        schema.struct)
+  }
+
   /** Point-predicate read through the zone maps: scan only the files whose
     * [min,max] admits the value, then apply the filter exactly. At 100 TB
     * this is the difference between scanning one bucket-file and the table —
     * the table-format analog of parquet's `PushedFilters`.
     */
-  def readWhere(colName: String, value: Any): DataFrame = {
-    val snap = snapshot()
-    val keep = prunedFiles(colName, value)
-    val df =
-      if (keep.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema.struct)
-      else
-        SchemaDerivator.coerce(
-          spark.read.option("mergeSchema", "true")
-            .parquet(keep.map(f => Paths.get(dir, f.path).toString): _*),
-          snap.schema.struct)
-    df.filter(col(colName) === lit(value))
-  }
+  def readWhere(colName: String, value: Any): DataFrame =
+    readFiles(prunedFiles(colName, value)).filter(col(colName) === lit(value))
+
+  /** Range-predicate read through the zone maps (`lo <= col <= hi`). */
+  def readBetween(colName: String, lo: Any, hi: Any): DataFrame =
+    readFiles(prunedFilesBetween(colName, lo, hi))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
 
   /** Drop data files no longer referenced by any snapshot >= `retainFrom`
     * (defaults to the latest version only). The log itself is never vacuumed.

@@ -87,6 +87,13 @@ class LakehouseSpec extends AnyFunSuite {
     // string zone maps prune too
     assert(t.prunedFiles("v", "v120").size < snap.files.size)
 
+    // range predicates prune (pre-compaction: commits hold disjoint ranges)
+    val mid = t.prunedFilesBetween("k", 110L, 130L)
+    assert(mid.nonEmpty && mid.size < snap.files.size)
+    assert(t.readBetween("k", 110L, 130L).select($"k").as[Long].collect().sorted.toSeq ==
+      (110L to 130L))
+    assert(t.readBetween("k", 300L, 400L).isEmpty)
+
     // compaction recomputes stats for the rewritten files
     t.compact()
     val after = t.snapshot()
