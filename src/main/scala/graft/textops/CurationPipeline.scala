@@ -44,7 +44,9 @@ object CurationPipeline {
       output: String,
       idCol: String,
       textCol: String,
-      steps: Seq[StepDef])
+      steps: Seq[StepDef],
+      inputFormat: String = "parquet",
+      incremental: Boolean = false)
 
   private def asMap(v: Any): Map[String, Any] = v match {
     case m: java.util.Map[_, _] =>
@@ -73,12 +75,20 @@ object CurationPipeline {
       case other => throw new IllegalArgumentException(s"'steps' must be a list, got $other")
     }
     require(steps.nonEmpty, "curation requires at least one step")
+    val inputFormat = c.getOrElse("input-format", "parquet").toString
+    require(Seq("parquet", "lakehouse").contains(inputFormat),
+      s"input-format must be parquet or lakehouse, got $inputFormat")
+    val incremental = c.getOrElse("incremental", "false").toString.toBoolean
+    require(!incremental || inputFormat == "lakehouse",
+      "incremental curation requires input-format: lakehouse (the change feed)")
     CurationDef(
       input = req("input"),
       output = req("output"),
       idCol = c.getOrElse("id-column", "doc_id").toString,
       textCol = c.getOrElse("text-column", "text").toString,
-      steps = steps)
+      steps = steps,
+      inputFormat = inputFormat,
+      incremental = incremental)
   }
 
   /** One step of the chain; every branch is a tested operator. */
@@ -120,6 +130,18 @@ object CurationPipeline {
           df.select(col(idCol), col(textCol)), bench,
           idCol, textCol, k = cfg("k", "8").toInt).select(col(idCol))
         df.join(flagged, Seq(idCol), "left_anti")
+      case "incremental-dedup" =>
+        // cross-RUN dedup: drop rows whose fingerprint already exists in a
+        // history corpus (Bloom build/probe/verify — history never shuffles).
+        // In an incremental pipeline the natural history is the curated
+        // output itself; a missing/empty history (first run) is a no-op.
+        val histPath = step.config.getOrElse("history",
+          throw new IllegalArgumentException("incremental-dedup requires 'history'"))
+        val hasHistory = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(histPath)) &&
+          java.nio.file.Files.list(java.nio.file.Paths.get(histPath)).iterator.asScala
+            .exists(_.getFileName.toString.endsWith(".parquet"))
+        if (!hasHistory) df
+        else Dedup.incrementalDedup(df, spark.read.parquet(histPath), idCol, textCol)
       case "pii-redact" =>
         df.withColumn(textCol, TrainingData.redactPii(col(textCol)))
       case "sample" =>
@@ -130,13 +152,24 @@ object CurationPipeline {
       case other =>
         throw new IllegalArgumentException(
           s"unknown curation step '$other' (supported: repetition-filter, quality-filter, " +
-            "language-filter, exact-dedup, span-dedup, decontaminate, pii-redact, sample)")
+            "language-filter, exact-dedup, span-dedup, incremental-dedup, decontaminate, " +
+            "pii-redact, sample)")
     }
   }
 
-  /** Run the pipeline: read input, chain the steps, write output parquet.
-    * Returns (stepLabel, rowsAfterStep) — counted by observe() metrics in the
-    * ONE write pass.
+  // inside the output directory: underscore-prefixed files are invisible to
+  // Spark's parquet reader (like _SUCCESS), so the output stays readable
+  private def cursorFile(cdef: CurationDef): java.nio.file.Path =
+    java.nio.file.Paths.get(cdef.output, "_graft_cursor")
+
+  /** Run the pipeline: read input (parquet, a lakehouse table, or — in
+    * incremental mode — the lakehouse CHANGE FEED after the persisted version
+    * cursor), chain the steps, write output parquet (append in incremental
+    * mode, so each run adds only its curated increment). Returns
+    * (stepLabel, rowsAfterStep) — counted by observe() metrics in the ONE
+    * write pass. The cursor is advanced only after a successful write: a
+    * crashed run re-curates the same increment, and an `incremental-dedup`
+    * step with `history` = the output keeps the replay from duplicating it.
     */
   def run(spark: SparkSession, cdef: CurationDef): Seq[(String, Long)] = {
     val observations = scala.collection.mutable.ArrayBuffer.empty[(String, Observation)]
@@ -145,12 +178,29 @@ object CurationPipeline {
       observations += ((label, obs))
       df.observe(obs, count(lit(1)).as("rows"))
     }
-    var df = observed("input", spark.read.parquet(cdef.input))
+    val (input, nextCursor): (DataFrame, Option[Long]) = cdef.inputFormat match {
+      case "lakehouse" =>
+        val table = new graft.sinks.LakehouseTable(spark, cdef.input)
+        if (!cdef.incremental) (table.read(), None)
+        else {
+          val cf = cursorFile(cdef)
+          val since =
+            if (java.nio.file.Files.exists(cf))
+              new String(java.nio.file.Files.readAllBytes(cf), "UTF-8").trim.toLong
+            else -1L
+          val (chg, v) = table.readChangesSince(since)
+          (chg, Some(v))
+        }
+      case _ => (spark.read.parquet(cdef.input), None)
+    }
+    var df = observed("input", input)
     cdef.steps.zipWithIndex.foreach { case (step, i) =>
       df = observed(s"${i + 1}:${step.stepType}",
         applyStep(spark, df, step, cdef.idCol, cdef.textCol))
     }
-    df.write.mode("overwrite").parquet(cdef.output)
+    df.write.mode(if (cdef.incremental) "append" else "overwrite").parquet(cdef.output)
+    nextCursor.foreach(v =>
+      java.nio.file.Files.write(cursorFile(cdef), v.toString.getBytes("UTF-8")))
     observations.toSeq.map { case (label, obs) =>
       label -> obs.get("rows").asInstanceOf[Long]
     }

@@ -74,6 +74,60 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(result.filter($"doc_id" === 100L).isEmpty && result.filter($"doc_id" === 0L).count() == 1)
   }
 
+  test("incremental curation: lakehouse change feed, cursor, cross-run dedup") {
+    import graft.core.TableSchema
+    import graft.sinks.LakehouseTable
+    import org.apache.spark.sql.types._
+    val lake = Files.createTempDirectory("curate_lake").toString
+    val out = Files.createTempDirectory("curate_inc_out").toString
+    val table = new LakehouseTable(spark, lake)
+    table.create(TableSchema(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      primaryKeys = Seq.empty), buckets = 2)
+
+    val yaml =
+      s"""curation:
+         |  input: $lake
+         |  input-format: lakehouse
+         |  incremental: true
+         |  output: $out
+         |  steps:
+         |    - type: incremental-dedup
+         |      history: $out
+         |    - type: pii-redact
+         |""".stripMargin
+    val cdef = CurationPipeline.parse(yaml)
+    assert(cdef.incremental && cdef.inputFormat == "lakehouse")
+
+    // run 1: first batch lands; history empty -> dedup is a no-op
+    table.append((0L until 20L).map(i => (i, s"unique doc body $i here")).toDF("doc_id", "text"))
+    val c1 = CurationPipeline.run(spark, cdef)
+    assert(c1.head._2 == 20L && spark.read.parquet(out).count() == 20)
+
+    // run 2: 10 new docs + 5 re-ingested exact copies of already-curated ones
+    table.append(
+      ((100L until 110L).map(i => (i, s"unique doc body $i here")) ++
+        (0L until 5L).map(i => (1000L + i, s"unique doc body $i here")))
+        .toDF("doc_id", "text"))
+    val c2 = CurationPipeline.run(spark, cdef)
+    // the change feed delivered only the 15 new rows (cursor worked) ...
+    assert(c2.head._2 == 15L, c2.toString)
+    // ... and the 5 re-ingested texts were dropped against the curated history
+    assert(c2(1)._2 == 10L, c2.toString)
+    assert(spark.read.parquet(out).count() == 30)
+
+    // run 3: nothing new -> empty increment, output unchanged
+    val c3 = CurationPipeline.run(spark, cdef)
+    assert(c3.head._2 == 0L)
+    assert(spark.read.parquet(out).count() == 30)
+
+    // parse guard: incremental requires the lakehouse change feed
+    intercept[IllegalArgumentException] {
+      CurationPipeline.parse(
+        "curation:\n  input: /x\n  output: /y\n  incremental: true\n  steps:\n    - type: pii-redact\n")
+    }
+  }
+
   test("repetition, quality, language, span-dedup, sample steps compose") {
     val df = Seq(
       (1L, "the cat and the dog is here with that thing again today fine"),
