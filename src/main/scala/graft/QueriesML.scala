@@ -95,6 +95,28 @@ object QueriesML {
             6).as("jaccard"))
         .orderBy("idA", "idB")
     }),
+    "x_corpus_stats" -> ((s, dir) => {
+      // the first report a curator runs: per-source corpus profile — docs,
+      // exact token volume, distinct languages, char/quality distribution.
+      // Pure hash-aggregate, map-side partial, one shuffle on the tiny
+      // source key; token counting is the codegen'd column fn.
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          // order-independent cross-engine average: exact DECIMAL sum of the
+          // per-doc rounded score, ONE double division, then round — a plain
+          // avg(double) would drift with float summation order
+          round(
+            sum(round(TextFunctions.qualityScore(col("text")), 6).cast("decimal(18,6)"))
+              .cast("double") / count(lit(1)), 6).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     "d_span_dedup" -> ((s, dir) => {
       // fixed-window span dedup over documents ∪ exact copies of doc_id<25:
       // every span of a copy already occurred in its original, so copies
@@ -367,6 +389,24 @@ object QueriesML {
         .orderBy("qid")
     }),
 
+    "a_ann_ivf_filtered" -> ((s, dir) => {
+      // filtered vector search: each query's candidates are restricted to
+      // its OWN label inside the probed buckets (the tenant/language filter
+      // of a production vector store). nprobe = all centroids makes the
+      // result EXACT filtered search, so the top-3-within-label is
+      // oracle-checkable row for row.
+      implicit val sp: SparkSession = s
+      val e = emb(s, dir)
+      val idx = Ann.IvfIndex.build(e, "vec_id", "embedding", numCentroids = 8,
+        sampleSize = 500, attrCols = Seq("label"))
+      val qs = e.filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray,
+          r.get(r.fieldIndex("label")): Any)).toSeq
+      idx.topKWithin(qs, "label", k = 3, nprobe = 8)
+        .orderBy("qid", "rank")
+    }),
+
     "a_ann_pq_self" -> ((s, dir) => {
       // PQ invariant: ADC distance is minimized exactly by a candidate with
       // the query's own codes (encode IS the per-block argmin), so an indexed
@@ -588,6 +628,41 @@ object QueriesML {
     // so per-word-position expansion goes through scalar range + unnest in the
     // select list instead of a lateral FROM-clause join. The bench set's texts
     // are exactly the doc_id<20 train texts, so bench grams = tg WHERE id<20.
+    "x_corpus_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    CASE WHEN length(text)=0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |              / length(text) END AS punct_ratio,
+        |    CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|that|it|for|on)\b')) AS DOUBLE) AS stophits,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS nonspace
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, lang, n_chars, toks, punct_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE stophits / toks END AS stopword_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE nonspace / toks END AS mean_word_len,
+        |    CAST(toks AS DOUBLE) AS toksd
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, source, lang, n_chars, toks,
+        |    round(
+        |      least(toksd / 50.0, 1.0) * least(2000.0 / greatest(toksd, 1.0), 1.0) * 0.4
+        |      + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+        |    6) AS quality
+        |  FROM g)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_quality
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "d_span_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -743,6 +818,20 @@ object QueriesML {
         |  FROM scored)
         |SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "a_ann_ivf_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM embeddings e JOIN q ON e.label = q.qlabel),
+        |ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "a_ann_lsh_self" ->
       """SELECT vec_id AS qid, vec_id AS cid, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 20 ORDER BY qid""".stripMargin,

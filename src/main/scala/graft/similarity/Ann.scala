@@ -143,6 +143,35 @@ object Ann {
         .toSeq
 
     /** Search: probe the `nprobe` nearest inverted lists per query. */
+    /** Filtered ANN — vector search with a metadata predicate: each query
+      * retrieves only candidates whose `attrCol` equals the query's own
+      * attribute (label-scoped search, the tenant/language/split filter of a
+      * production vector store). The filter applies INSIDE the probed
+      * buckets, before the cosine pass — candidates outside the attribute
+      * never cost a distance computation. With `nprobe` = all centroids the
+      * result is EXACT filtered search (what the oracle checks); smaller
+      * probes trade recall the usual IVF way.
+      */
+    def topKWithin(
+        queries: Seq[(Long, Array[Double], Any)],
+        attrCol: String,
+        k: Int,
+        nprobe: Int)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val probes = queries.flatMap { case (qid, v, attr) =>
+        nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat), attr.toString))
+      }.toDF("qid", "bucket", "qvec", "__qattr")
+      val cands = assigned.join(broadcast(probes), Seq("bucket"))
+        .filter(col(attrCol).cast("string") === col("__qattr"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+      cands
+        .select(col("qid"), col("cid"),
+          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
+
     def topK(
         queries: Seq[(Long, Array[Double])],
         k: Int,
@@ -298,7 +327,8 @@ object Ann {
         vecCol: String,
         numCentroids: Int,
         sampleSize: Int = 2000,
-        iters: Int = 3): IvfIndex = {
+        iters: Int = 3,
+        attrCols: Seq[String] = Seq.empty): IvfIndex = {
       val sample = corpus
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
         .orderBy("id")
@@ -329,9 +359,8 @@ object Ann {
       val assignment =
         graft.functions.CatalystExprs.nearestCentroid(col(vecCol), cents)
       val assigned = corpus.select(
-        col(idCol).as("cid"),
-        col(vecCol).as("cvec"),
-        assignment.as("bucket"))
+        Seq(col(idCol).as("cid"), col(vecCol).as("cvec"), assignment.as("bucket")) ++
+          attrCols.map(col): _*)
       new IvfIndex(cents.zipWithIndex.map { case (c, i) => (i, c) }, assigned)
     }
   }
