@@ -20,6 +20,35 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_min_by"), s"no map-side partial aggregation:\n$plan")
   }
 
+  test("q4 compiles EXISTS to a semi-join with pushed date filters, no cartesian") {
+    val df = QueriesCore.queries("q4_order_priority")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS should be a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter should reach the orders scan:\n$plan")
+  }
+
+  test("q18 aggregates lineitem BEFORE its joins (HAVING shrinks the join input)") {
+    val df = QueriesCore.queries("q18_large_orders")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // in the printed top-down optimized plan, the lineitem Aggregate node
+    // sits BELOW (later than) the first Join — the HAVING shrinks the join
+    // input instead of running after the joins
+    val joinIdx = optimized.indexOf("Join")
+    val aggIdx = optimized.indexOf("Aggregate [l_orderkey")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregate-below-join shape:\n$optimized")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("x_corpus_stats runs with map-side partial aggregation") {
+    val df = QueriesML.queries("x_corpus_stats")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"no map-side partial aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("r_subquery stays in-plan: scalar broadcast join, no second job") {
     val df = QueriesRelational.queries("r_subquery")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
