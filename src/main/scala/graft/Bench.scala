@@ -80,7 +80,7 @@ object Bench {
       name -> (if (!failed) times.sorted.apply(1) else -math.max(failSec, 1e-3))
     }
 
-    val baseline = runBaselineBench(spark, sfDir, errors)
+    val baseline = runBaselineBench(spark, sfDir, errors, rawTimes)
 
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -113,7 +113,9 @@ object Bench {
   def runBaselineBench(
       spark: SparkSession,
       sfDir: String,
-      errors: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] = {
+      errors: scala.collection.mutable.Map[String, String],
+      rawTimes: scala.collection.mutable.Map[String, Seq[Double]] =
+        scala.collection.mutable.LinkedHashMap.empty): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import graft.core._
     import graft.operators._
@@ -122,13 +124,19 @@ object Bench {
     // (planning + codegen + shuffle-file warmup), then the timed steady-state
     // run — a cold-JVM codegen or GC pause in the timed window can understate
     // throughput ~6x and makes rounds incomparable
-    def timed(tag: String)(f: => Unit): Option[Double] =
+    // Raw per-run seconds go to `rawTimes` (emitted in the JSON "raw" map,
+    // same as the headline queries): when a round's median drifts, the
+    // run-to-run spread is the only evidence that distinguishes shared-box
+    // noise from a real regression — round 6's halved B3 was undiagnosable
+    // precisely because the B-envelope took a silent median.
+    def timed(tag: String, runs: Int = 3)(f: => Unit): Option[Double] =
       try {
         f // warmup, untimed
-        // median of 3, same rationale as the headline queries
-        Some((1 to 3).map { _ =>
+        val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.sorted.apply(1))
+        }
+        rawTimes(tag) = times
+        Some(times.sorted.apply(runs / 2))
       } catch {
         case e: Throwable =>
           errors(tag) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -195,7 +203,10 @@ object Bench {
     try Console.err.println(
       "[bench] B3 plan:\n" + b3Plan.queryExecution.executedPlan.toString)
     catch { case _: Throwable => () }
-    timed("b3") {
+    // median-of-5: B3 is the widest-variance probe in the envelope (round 6's
+    // committed median halved while independent runs measured 2×) — two extra
+    // runs buy arbitration power where it's actually needed
+    timed("b3", runs = 5) {
       b3Plan.count()
     }.foreach(sec => out += "b3_log_events_per_sec" -> b3Events / sec)
 

@@ -679,12 +679,12 @@ object QueriesML {
         |        FROM words)),
         |keep AS (
         |  SELECT doc_id, idx, span,
-        |    min(doc_id * 100000 + idx) OVER (PARTITION BY span) AS mo
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
         |  FROM spans)
         |SELECT doc_id,
         |  string_agg(span, ' ' ORDER BY idx) AS text,
         |  count(*) AS kept_spans
-        |FROM keep WHERE doc_id * 100000 + idx = mo
+        |FROM keep WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_incremental_dedup" ->
       """WITH newb AS (

@@ -251,10 +251,16 @@ object Dedup {
     * disappear entirely.
     *
     * Plan shape: spans are derived map-only (split + slice lambda, no UDF);
-    * the global keep-first is ONE shuffle — a window `min` partitioned by the
-    * span text (high-cardinality, skew-free) — and reassembly is the second
-    * shuffle, partitioned by doc. Documents never shuffle whole; only their
-    * spans do, and span volume == corpus token volume.
+    * the global keep-first is ONE shuffle — a hash aggregate partitioned by
+    * the span text (high-cardinality, skew-free) taking `min(struct(id, idx))`
+    * with map-side partials, no sort — and reassembly is the second shuffle,
+    * partitioned by doc. Documents never shuffle whole; only their spans do,
+    * and span volume == corpus token volume.
+    *
+    * "First occurrence" is the struct-lexicographic minimum of (id, span
+    * index): any orderable id type works (bigint, string/UUID, …) with no
+    * collision bound — there is no arithmetic encoding to overflow or collide,
+    * however long the document or large the id.
     */
   def spanDedup(
       df: DataFrame,
@@ -270,12 +276,13 @@ object Dedup {
         i => array_join(
           slice(col("__w"), (i * window + 1).cast("int"), lit(window)), " "))))
       .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__span")
-    // global order of a span occurrence; span index is bounded far below 1e5
-    val ord = col(idCol) * 100000L + col("__idx")
-    val firstOrd = min(ord).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("__span")))
-    spans.withColumn("__mo", firstOrd)
-      .filter(ord === col("__mo"))
+    spans
+      .groupBy(col("__span"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
+      .select(
+        col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__idx").as("__idx"),
+        col("__span"))
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -307,19 +314,27 @@ object Dedup {
     *     collected.
     *
     * Equivalent to `newDocs LEFT ANTI JOIN history ON fingerprint` (the
-    * oracle), at the cost of one history scan + two broadcasts instead of a
-    * full two-sided shuffle.
+    * oracle), at the cost of ONE history scan + two broadcasts instead of a
+    * full two-sided shuffle. The single scan is enforced by persisting the
+    * (small: one hash string per row) fingerprint projection for the run:
+    * sizing the Bloom filter, building it, and the exact-verify semi-join all
+    * read the cached fingerprints, so the 100 TB base relation is read exactly
+    * once per nightly run — asserted by accumulator in `DedupSpec`. Callers
+    * that know the history cardinality up front (table metadata, commit-log
+    * stats) pass `expectedHistoryRows` to size the filter without the count.
     */
   def incrementalDedup(
       newDocs: DataFrame,
       history: DataFrame,
       idCol: String,
       textCol: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      expectedHistoryRows: Option[Long] = None): DataFrame = {
     val fpCol = "__graft_fp"
     val newFp = newDocs.withColumn(fpCol, TextFunctions.fingerprint(col(textCol)))
     val histFp = history.select(TextFunctions.fingerprint(col(textCol)).as(fpCol))
-    val expected = math.max(histFp.count(), 64L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(expectedHistoryRows.getOrElse(histFp.count()), 64L)
     val bloom = histFp.stat.bloomFilter(fpCol, expected, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
     // probe is a plain UDF: Spark exposes no public bloom expression; the
@@ -328,8 +343,13 @@ object Dedup {
     val negatives = newFp.filter(!mightContain(col(fpCol)))
     val positives = newFp.filter(mightContain(col(fpCol)))
     val candidateFps = positives.select(col(fpCol)).distinct()
+    // eagerly materialize the (small) confirmed set off the cached
+    // fingerprints, then drop the cache: the returned plan reads only the
+    // checkpointed rows, so history is never touched again
     val confirmed = histFp
       .join(broadcast(candidateFps), Seq(fpCol), "left_semi").distinct()
+      .localCheckpoint()
+    histFp.unpersist()
     val survivors = positives.join(broadcast(confirmed), Seq(fpCol), "left_anti")
     negatives.unionByName(survivors).drop(fpCol)
   }

@@ -146,7 +146,13 @@ class JdbcTwoPhaseSink(
           }
           ps.executeBatch(); ps.close()
           c.commit()
-        } finally c.close()
+        } finally {
+          // a failed batch leaves an open transaction; Derby (and others)
+          // refuse close() mid-transaction, and that SQLException would mask
+          // the original task failure — roll back first, as promote() does
+          try c.rollback() catch { case _: java.sql.SQLException => () }
+          c.close()
+        }
       }
     }
     stagePartitioned(upserts, "U")

@@ -519,6 +519,30 @@ final class LakehouseTable(
     }
   }
 
+  /** Render a probe value through the SAME cast-to-string Spark used when
+    * [[attachStats]] collected the file stats. `value.toString` is NOT that
+    * rendering for temporal types (`java.sql.Timestamp.toString` yields
+    * `2026-01-01 00:00:00.0`, `LocalDateTime` yields `2026-01-01T00:00`,
+    * Spark yields `2026-01-01 00:00:00`), and a probe that renders above a
+    * file's stored max would prune the file — silently DROPPING matching
+    * rows. Evaluating `cast(lit(value) as string)` with the session timezone
+    * reproduces the stats rendering exactly; values that resist conversion
+    * fall back to `toString` (conservative only through [[mightContain]]'s
+    * parse-failure path). */
+  private def renderProbe(dt: org.apache.spark.sql.types.DataType, value: Any): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // by-name: Literal.create itself rejects mismatched value/type pairs
+    def eval(e: => org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+      try Option(e.eval(null)).map(_.toString)
+      catch { case scala.util.control.NonFatal(_) => None }
+    eval(Cast(Literal.create(value, dt), org.apache.spark.sql.types.StringType, tz))
+      .orElse( // value arrived pre-rendered (e.g. a String probe for a timestamp col)
+        eval(Cast(Cast(Literal(value.toString), dt, tz),
+          org.apache.spark.sql.types.StringType, tz)))
+      .getOrElse(value.toString)
+  }
+
   /** Typed zone-map check: can `file` contain `value` in `colName`? Files
     * without stats (older commits, null-only columns) are always kept, as
     * are stats that fail to parse (NaN/Infinity renderings). */
@@ -538,7 +562,7 @@ final class LakehouseTable(
               BigDecimal(cs.min) <= v && v <= BigDecimal(cs.max)
             } catch { case _: NumberFormatException => true }
           case _ =>
-            val v = value.toString
+            val v = renderProbe(dt, value)
             cs.min <= v && v <= cs.max
         }
     }
@@ -569,7 +593,7 @@ final class LakehouseTable(
             try BigDecimal(cs.min) <= BigDecimal(hi.toString) &&
               BigDecimal(lo.toString) <= BigDecimal(cs.max)
             catch { case _: NumberFormatException => true }
-          case _ => cs.min <= hi.toString && lo.toString <= cs.max
+          case _ => cs.min <= renderProbe(dt, hi) && renderProbe(dt, lo) <= cs.max
         }
     }
 
@@ -639,6 +663,17 @@ final class LakehouseTable(
     */
   def readChangesSince(fromVersion: Long): (DataFrame, Long) = {
     val latest = latestVersion()
+    // same guard as snapshot(): if expireSnapshots has dropped commits the
+    // cursor still needs, fail with the retained basis instead of a raw
+    // NoSuchFileException — those rows are permanently undeliverable, and
+    // the caller must know. Change-feed cursors therefore bound how far
+    // expireSnapshots may safely advance.
+    val oldest = listVersions().headOption
+    if (fromVersion < latest && oldest.exists(_ > fromVersion + 1))
+      throw new IllegalArgumentException(
+        s"change feed from version $fromVersion of $dir is expired " +
+          s"(oldest retained commit: ${oldest.get}); rows in expired commits " +
+          "are undeliverable — expire snapshots only past consumed cursors")
     val schema = snapshot().schema
     val newFiles = ((fromVersion + 1) to latest).flatMap { v =>
       val actions = Files.readAllLines(logFile(v)).asScala

@@ -210,6 +210,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (0L until 20L).map(_ + 410000).toSet) // only the fresh docs survive
   }
 
+  test("incrementalDedup scans history exactly once per run") {
+    // an accumulator riding the history's text column counts actual row
+    // evaluations: sizing the Bloom, building it, and the exact-verify
+    // semi-join must all read the one cached fingerprint pass — at 100 TB
+    // the history scan IS the dominant cost, and round 6 paid it twice
+    val acc = spark.sparkContext.longAccumulator("graft-hist-scans")
+    val tick = udf((s: String) => { acc.add(1L); s })
+    val hist0 = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val n = hist0.count()
+    val hist = hist0.withColumn("text", tick($"text"))
+    val newBatch = hist0.filter($"doc_id" < 40)
+      .select(($"doc_id" + 400000).as("doc_id"), $"text")
+    Dedup.incrementalDedup(newBatch, hist, "doc_id", "text").collect()
+    assert(acc.value == n,
+      s"history rows evaluated ${acc.value} times total, expected exactly $n (one scan)")
+  }
+
   test("incrementalDedup plan: history is probed by broadcast, never shuffle-joined") {
     val hist = graft.sources.Tables.load(spark, SparkTestBase.sf0001, "documents")
       .select($"doc_id", $"text")

@@ -110,6 +110,55 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t2.readWhere("k", 5L).count() == 1)
   }
 
+  test("zone maps: timestamp probes render like the stats, boundary rows never lost") {
+    // java.sql.Timestamp.toString yields '... 00:00:00.0' while the stats
+    // (Spark cast-to-string) store '... 00:00:00'; lexicographic comparison of
+    // the raw toString pruned files whose max EQUALS the probe — silently
+    // dropping matching rows
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    val tsSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("ts", TimestampType))),
+      primaryKeys = Seq.empty)
+    t.create(tsSchema, buckets = 1)
+    val boundary = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    t.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-12-31 23:00:00")),
+      (2L, boundary)).toDF("k", "ts"))
+    t.append(Seq(
+      (3L, java.sql.Timestamp.valueOf("2026-06-01 12:00:00"))).toDF("k", "ts"))
+    // probe == file max: the file must survive pruning and the row come back
+    assert(t.prunedFiles("ts", boundary).nonEmpty)
+    assert(t.readWhere("ts", boundary).select($"k").as[Long].collect().toSeq == Seq(2L))
+    // a pre-rendered string probe takes the string->timestamp->string path
+    assert(t.readWhere("ts", "2026-01-01 00:00:00").count() == 1)
+    // range ending exactly at a file max keeps the boundary row
+    assert(t.readBetween("ts",
+      java.sql.Timestamp.valueOf("2025-12-31 23:30:00"), boundary)
+      .select($"k").as[Long].collect().toSeq == Seq(2L))
+    // and disjoint probes still prune (the fix must not disable skipping)
+    assert(t.prunedFiles("ts", java.sql.Timestamp.valueOf("2026-06-01 12:00:00")).size
+      < t.snapshot().files.size)
+  }
+
+  test("readChangesSince: expired unconsumed commits fail loudly, not NoSuchFile") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 2)
+    val cursor = t.latestVersion()
+    (0 until 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    t.expireSnapshots(keepLast = 2)
+    // the stale cursor's commits are gone: a clear error naming the basis,
+    // not a raw filesystem exception and not silently-empty changes
+    val e = intercept[IllegalArgumentException](t.readChangesSince(cursor))
+    assert(e.getMessage.contains("oldest retained commit"))
+    // a caught-up cursor is unaffected by expiry
+    val (c, v) = t.readChangesSince(t.latestVersion())
+    assert(c.isEmpty && v == t.latestVersion())
+  }
+
   test("expireSnapshots: log bounded, current reads fine, expired time travel errors") {
     val t = newTable(buckets = 2)
     (0 until 15).foreach { i =>
