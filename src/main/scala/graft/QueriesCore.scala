@@ -708,6 +708,40 @@ object QueriesCore {
       }
       increments.reduce(_ unionByName _).orderBy("event_id")
     }),
+    "s_lakehouse_stream" -> ((s, dir) => {
+      // the change feed as a STANDING StreamingQuery (graft-lakehouse source,
+      // [[graft.streaming.LakehouseStreamSource]]): commit versions are the
+      // offsets, maxCommitsPerBatch=1 forces one commit per micro-batch, and
+      // the mid-stream compaction must flow through the real streaming
+      // runtime as an offset advance delivering ZERO rows. The memory sink's
+      // accumulated batches must equal the full events slice — the
+      // bronze-to-silver handoff as a continuous pipeline, not a poll loop.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_stream").toString
+      val tb = new LakehouseTable(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      tb.create(TableSchema(ev.schema, primaryKeys = Seq.empty), buckets = 8)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val name = "sls_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft-lakehouse")
+        .option("path", root)
+        .option("startingVersion", "0")
+        .option("maxCommitsPerBatch", "1")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var lo = Long.MinValue
+        Seq(maxId / 3, 2 * maxId / 3, maxId).zipWithIndex.foreach { case (hi, i) =>
+          tb.append(ev.filter(col("event_id") > lo && col("event_id") <= hi),
+            txn = Some(("stream", i.toLong)))
+          if (i == 1) tb.compact() // data-identical rewrite mid-stream
+          q.processAllAvailable()
+          lo = hi
+        }
+      } finally q.stop()
+      s.table(name).orderBy("event_id")
+    }),
     "c_route" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val router = new TableIdRouter(Seq(
@@ -1022,6 +1056,10 @@ object QueriesCore {
         |FROM events ORDER BY event_id""".stripMargin,
     // incremental consumption: the union of change-feed increments == table
     "s_lakehouse_cdf" ->
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    // streaming consumption through the real runtime: memory sink == table
+    "s_lakehouse_stream" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events ORDER BY event_id""".stripMargin,
     // crash-replayed 2PC delivery converges to the same final state

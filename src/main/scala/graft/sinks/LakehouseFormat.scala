@@ -663,34 +663,40 @@ final class LakehouseTable(
     */
   def readChangesSince(fromVersion: Long): (DataFrame, Long) = {
     val latest = latestVersion()
+    (readChangesBetween(fromVersion, latest), latest)
+  }
+
+  /** The net-new rows of the commit range `(fromVersion, toVersion]` — the
+    * bounded form [[graft.streaming.LakehouseStreamSource]] maps micro-batch
+    * offset ranges onto. Same maintenance-rewrite skipping as
+    * [[readChangesSince]]. */
+  def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     // same guard as snapshot(): if expireSnapshots has dropped commits the
     // cursor still needs, fail with the retained basis instead of a raw
     // NoSuchFileException — those rows are permanently undeliverable, and
     // the caller must know. Change-feed cursors therefore bound how far
     // expireSnapshots may safely advance.
     val oldest = listVersions().headOption
-    if (fromVersion < latest && oldest.exists(_ > fromVersion + 1))
+    if (fromVersion < toVersion && oldest.exists(_ > fromVersion + 1))
       throw new IllegalArgumentException(
         s"change feed from version $fromVersion of $dir is expired " +
           s"(oldest retained commit: ${oldest.get}); rows in expired commits " +
           "are undeliverable — expire snapshots only past consumed cursors")
     val schema = snapshot().schema
-    val newFiles = ((fromVersion + 1) to latest).flatMap { v =>
+    val newFiles = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = Files.readAllLines(logFile(v)).asScala
         .filter(_.nonEmpty).map(LakehouseFormat.decode).toSeq
       if (actions.exists(_.isInstanceOf[RemoveFile])) Nil
       else actions.collect { case a: AddFile => a }
     }
-    val df =
-      if (newFiles.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
-      else
-        SchemaDerivator.coerce(
-          spark.read.option("mergeSchema", "true")
-            .parquet(newFiles.map(f => Paths.get(dir, f.path).toString): _*),
-          schema.struct)
-    (df, latest)
+    if (newFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+    else
+      SchemaDerivator.coerce(
+        spark.read.option("mergeSchema", "true")
+          .parquet(newFiles.map(f => Paths.get(dir, f.path).toString): _*),
+        schema.struct)
   }
 
   /** (version, action) history — the audit trail a lakehouse DESCRIBE HISTORY
