@@ -407,6 +407,27 @@ object QueriesML {
         .orderBy("qid", "rank")
     }),
 
+    "a_ann_ivf_filtered_disk" -> ((s, dir) => {
+      // the filtered search against the (bucket, label)-partitioned ON-DISK
+      // layout: same exactness contract as a_ann_ivf_filtered at full
+      // probes, but the candidates come off a partition-pruned parquet read
+      // (both PartitionFilters asserted in AnnSpec) — the layout a 100 TB
+      // vector store actually serves label-scoped queries from.
+      implicit val sp: SparkSession = s
+      val e = emb(s, dir)
+      val idx = Ann.IvfIndex.build(e, "vec_id", "embedding", numCentroids = 8,
+        sampleSize = 500, attrCols = Seq("label"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_disk").toString
+      val lists = root + "/lists"
+      idx.writePartitioned(lists, "label")
+      val qs = e.filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray,
+          r.get(r.fieldIndex("label")): Any)).toSeq
+      idx.topKWithinFromPartitioned(lists, qs, "label", k = 3, nprobe = 8)
+        .orderBy("qid", "rank")
+    }),
+
     "a_ann_pq_self" -> ((s, dir) => {
       // PQ invariant: ADC distance is minimized exactly by a candidate with
       // the query's own codes (encode IS the per-block argmin), so an indexed
@@ -819,6 +840,21 @@ object QueriesML {
         |SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "a_ann_ivf_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM embeddings e JOIN q ON e.label = q.qlabel),
+        |ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // the on-disk partitioned path is exact at full probes too: same oracle
+    "a_ann_ivf_filtered_disk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
         |  FROM embeddings WHERE vec_id < 8),

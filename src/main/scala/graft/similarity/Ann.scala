@@ -104,6 +104,15 @@ object Ann {
     def writePartitioned(path: String): Unit =
       assigned.write.partitionBy("bucket").parquet(path)
 
+    /** Persist the inverted lists partitioned by (bucket, attr) — the 100 TB
+      * layout for FILTERED search: a label-scoped probe prunes on BOTH keys
+      * and reads only the probed buckets' matching-attribute directories,
+      * never a whole bucket. Requires the attribute in `attrCols` at
+      * [[IvfIndex.build]] time.
+      */
+    def writePartitioned(path: String, attrCol: String): Unit =
+      assigned.write.partitionBy("bucket", attrCol).parquet(path)
+
     /** Read only the probed buckets from a [[writePartitioned]] layout
       * (partition pruning does the work — verify `PartitionFilters` in the
       * scan).
@@ -125,6 +134,40 @@ object Ann {
       }.toDF("qid", "bucket", "qvec")
       val needed = probes.select("bucket").as[Int].collect().distinct.toSeq
       val cands = readBuckets(spark, path, needed).join(broadcast(probes), Seq("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+      cands
+        .select(col("qid"), col("cid"),
+          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
+
+    /** [[topKWithin]] against a `(bucket, attr)`-partitioned on-disk layout
+      * ([[writePartitioned]] with `attrCol`): the scan carries partition
+      * filters on BOTH keys — the coarse `isin` over the query set's buckets
+      * and attributes prunes directories, then the per-query equality scopes
+      * candidates exactly. Same exactness contract as [[topKWithin]] at full
+      * `nprobe`.
+      */
+    def topKWithinFromPartitioned(
+        path: String,
+        queries: Seq[(Long, Array[Double], Any)],
+        attrCol: String,
+        k: Int,
+        nprobe: Int)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val probes = queries.flatMap { case (qid, v, attr) =>
+        nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat), attr.toString))
+      }.toDF("qid", "bucket", "qvec", "__qattr")
+      val needed = probes.select("bucket").as[Int].collect().distinct.toSeq
+      // raw (uncast) values on the partition columns: a cast would block
+      // partition pruning — the cast-to-string match lives in the join filter
+      val attrs = queries.map(_._3).distinct
+      val cands = spark.read.parquet(path)
+        .filter(col("bucket").isin(needed: _*) && col(attrCol).isin(attrs: _*))
+        .join(broadcast(probes), Seq("bucket"))
+        .filter(col(attrCol).cast("string") === col("__qattr"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       cands
         .select(col("qid"), col("cid"),

@@ -46,7 +46,8 @@ object CurationPipeline {
       textCol: String,
       steps: Seq[StepDef],
       inputFormat: String = "parquet",
-      incremental: Boolean = false)
+      incremental: Boolean = false,
+      outputFormat: String = "parquet")
 
   private def asMap(v: Any): Map[String, Any] = v match {
     case m: java.util.Map[_, _] =>
@@ -81,14 +82,29 @@ object CurationPipeline {
     val incremental = c.getOrElse("incremental", "false").toString.toBoolean
     require(!incremental || inputFormat == "lakehouse",
       "incremental curation requires input-format: lakehouse (the change feed)")
+    val outputFormat = c.getOrElse("output-format", "parquet").toString
+    require(Seq("parquet", "lakehouse").contains(outputFormat),
+      s"output-format must be parquet or lakehouse, got $outputFormat")
+    val output = req("output")
+    // replay safety is not optional: a crash between the output write and the
+    // cursor advance re-curates and re-appends the increment unless either
+    // (a) the cursor rides IN the output commit (lakehouse output), or
+    // (b) a dedup step against the output absorbs the replay
+    require(!incremental || outputFormat == "lakehouse" ||
+      steps.exists(s => s.stepType == "incremental-dedup" &&
+        s.config.get("history").contains(output)),
+      "incremental curation must be replay-safe: use output-format: lakehouse " +
+        "(the change-feed cursor commits atomically with the output) or add an " +
+        "incremental-dedup step with history = the output path")
     CurationDef(
       input = req("input"),
-      output = req("output"),
+      output = output,
       idCol = c.getOrElse("id-column", "doc_id").toString,
       textCol = c.getOrElse("text-column", "text").toString,
       steps = steps,
       inputFormat = inputFormat,
-      incremental = incremental)
+      incremental = incremental,
+      outputFormat = outputFormat)
   }
 
   /** One step of the chain; every branch is a tested operator. */
@@ -162,45 +178,86 @@ object CurationPipeline {
   private def cursorFile(cdef: CurationDef): java.nio.file.Path =
     java.nio.file.Paths.get(cdef.output, "_graft_cursor")
 
+  /** The run id under which incremental curation records its cursor as a
+    * `txn` action in the output table's commits. */
+  val CurationRunId = "graft-curation"
+
   /** Run the pipeline: read input (parquet, a lakehouse table, or — in
     * incremental mode — the lakehouse CHANGE FEED after the persisted version
-    * cursor), chain the steps, write output parquet (append in incremental
-    * mode, so each run adds only its curated increment). Returns
+    * cursor), chain the steps, write the output (append in incremental mode,
+    * so each run adds only its curated increment). Returns
     * (stepLabel, rowsAfterStep) — counted by observe() metrics in the ONE
-    * write pass. The cursor is advanced only after a successful write: a
-    * crashed run re-curates the same increment, and an `incremental-dedup`
-    * step with `history` = the output keeps the replay from duplicating it.
+    * write pass; an already-caught-up incremental run returns `Seq.empty`.
+    *
+    * Replay safety of the cursor, by output format:
+    *  - `lakehouse` output: the input-version cursor rides IN the output
+    *    commit as a `txn` action — output rows and cursor advance are ONE
+    *    atomic rename, so there is no window where one exists without the
+    *    other; a crashed-then-replayed increment is skipped wholesale by the
+    *    txn check. This is the default-safe mode.
+    *  - `parquet` output: the cursor is a sidecar file written after the
+    *    append, so a crash between the two re-curates the increment — legal
+    *    only with an `incremental-dedup(history = output)` step that absorbs
+    *    the replay (enforced at [[parse]] time).
     */
   def run(spark: SparkSession, cdef: CurationDef): Seq[(String, Long)] = {
+    val outTable =
+      if (cdef.outputFormat == "lakehouse")
+        Some(new graft.sinks.LakehouseTable(spark, cdef.output))
+      else None
     val observations = scala.collection.mutable.ArrayBuffer.empty[(String, Observation)]
     def observed(label: String, df: DataFrame): DataFrame = {
       val obs = Observation(s"curate-$label-${observations.size}")
       observations += ((label, obs))
       df.observe(obs, count(lit(1)).as("rows"))
     }
-    val (input, nextCursor): (DataFrame, Option[Long]) = cdef.inputFormat match {
+    // (input frame, Some((cursor before, cursor after)) when incremental)
+    val (input, cursorMove): (DataFrame, Option[(Long, Long)]) = cdef.inputFormat match {
       case "lakehouse" =>
         val table = new graft.sinks.LakehouseTable(spark, cdef.input)
         if (!cdef.incremental) (table.read(), None)
         else {
-          val cf = cursorFile(cdef)
-          val since =
-            if (java.nio.file.Files.exists(cf))
-              new String(java.nio.file.Files.readAllBytes(cf), "UTF-8").trim.toLong
-            else -1L
+          val since = outTable match {
+            // the authoritative cursor is the output table's own txn record
+            case Some(t) if t.latestVersion() >= 0 =>
+              t.snapshot().txns.getOrElse(CurationRunId, -1L)
+            case Some(_) => -1L
+            case None =>
+              val cf = cursorFile(cdef)
+              if (java.nio.file.Files.exists(cf))
+                new String(java.nio.file.Files.readAllBytes(cf), "UTF-8").trim.toLong
+              else -1L
+          }
           val (chg, v) = table.readChangesSince(since)
-          (chg, Some(v))
+          (chg, Some((since, v)))
         }
       case _ => (spark.read.parquet(cdef.input), None)
     }
+    // caught up: no new input commits, nothing to curate or write (and no
+    // action will run, so build no observations — their get() would block)
+    if (cursorMove.exists { case (since, v) => v <= since }) return Seq.empty
     var df = observed("input", input)
     cdef.steps.zipWithIndex.foreach { case (step, i) =>
       df = observed(s"${i + 1}:${step.stepType}",
         applyStep(spark, df, step, cdef.idCol, cdef.textCol))
     }
-    df.write.mode(if (cdef.incremental) "append" else "overwrite").parquet(cdef.output)
-    nextCursor.foreach(v =>
-      java.nio.file.Files.write(cursorFile(cdef), v.toString.getBytes("UTF-8")))
+    outTable match {
+      case Some(t) =>
+        if (t.snapshot().meta.isEmpty)
+          t.create(graft.core.TableSchema(df.schema, Seq.empty))
+        if (!cdef.incremental) {
+          // overwrite semantics: truncate (one remove-all commit), then append
+          val live = t.snapshot().files
+          if (live.nonEmpty)
+            t.commit(live.map(f => graft.sinks.LakehouseFormat.RemoveFile(f.path)))
+        }
+        t.append(df, txn = cursorMove.map { case (_, v) => (CurationRunId, v) })
+      case None =>
+        df.write.mode(if (cdef.incremental) "append" else "overwrite").parquet(cdef.output)
+        cursorMove.foreach { case (_, v) =>
+          java.nio.file.Files.write(cursorFile(cdef), v.toString.getBytes("UTF-8"))
+        }
+    }
     observations.toSeq.map { case (label, obs) =>
       label -> obs.get("rows").asInstanceOf[Long]
     }

@@ -40,6 +40,36 @@ class AnnSpec extends AnyFunSuite {
     assert(hits.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) > 0.999999))
   }
 
+  test("filtered IVF on disk: BOTH bucket and label partition filters prune") {
+    val embL = spark.read
+      .parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val idx = Ann.IvfIndex.build(embL, "vec_id", "embedding", numCentroids = 4,
+      sampleSize = 200, iters = 2, attrCols = Seq("label"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_attr").toString + "/lists"
+    idx.writePartitioned(dir, "label")
+
+    val queries = embL.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.get(2): Any)).toSeq
+    val top = idx.topKWithinFromPartitioned(dir, queries, "label", k = 3, nprobe = 4)
+    val plan = top.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"expected bucket partition filter in: $pf")
+    assert(pf.contains("label"), s"expected label partition filter in: $pf")
+
+    // exact at full probes: rank-1 self, and every hit shares the query label
+    val hits = top.collect()
+    assert(hits.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
+    val labels = embL.collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    val qLabel = queries.map(q => q._1 -> q._3).toMap
+    assert(hits.forall(r => labels(r.getLong(1)) == qLabel(r.getLong(0))))
+    // and it equals the in-memory filtered search row for row
+    val mem = idx.topKWithin(queries, "label", k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(top.collect().map(_.toSeq).toSet == mem)
+  }
+
   test("LSH top-k finds exact self-matches through band buckets") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

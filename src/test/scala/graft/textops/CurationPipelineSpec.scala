@@ -116,9 +116,9 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(c2(1)._2 == 10L, c2.toString)
     assert(spark.read.parquet(out).count() == 30)
 
-    // run 3: nothing new -> empty increment, output unchanged
+    // run 3: nothing new -> caught up, no write action at all, output unchanged
     val c3 = CurationPipeline.run(spark, cdef)
-    assert(c3.head._2 == 0L)
+    assert(c3.isEmpty)
     assert(spark.read.parquet(out).count() == 30)
 
     // parse guard: incremental requires the lakehouse change feed
@@ -126,6 +126,83 @@ class CurationPipelineSpec extends AnyFunSuite {
       CurationPipeline.parse(
         "curation:\n  input: /x\n  output: /y\n  incremental: true\n  steps:\n    - type: pii-redact\n")
     }
+    // parse guard: parquet output + incremental without a replay-absorbing
+    // incremental-dedup(history=output) step is a crash-duplication bug
+    intercept[IllegalArgumentException] {
+      CurationPipeline.parse(
+        s"curation:\n  input: $lake\n  input-format: lakehouse\n  incremental: true\n" +
+          s"  output: /y\n  steps:\n    - type: pii-redact\n")
+    }
+  }
+
+  test("incremental curation with lakehouse output: cursor commits atomically") {
+    import graft.core.TableSchema
+    import graft.sinks.LakehouseTable
+    import org.apache.spark.sql.types._
+    val lake = Files.createTempDirectory("curate_lake2").toString
+    val out = Files.createTempDirectory("curate_atomic_out").toString + "/table"
+    val table = new LakehouseTable(spark, lake)
+    table.create(TableSchema(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      primaryKeys = Seq.empty), buckets = 2)
+
+    // no incremental-dedup step needed: the txn-riding cursor IS the guard
+    val cdef = CurationPipeline.parse(
+      s"""curation:
+         |  input: $lake
+         |  input-format: lakehouse
+         |  incremental: true
+         |  output: $out
+         |  output-format: lakehouse
+         |  steps:
+         |    - type: pii-redact
+         |""".stripMargin)
+
+    table.append((0L until 20L).map(i => (i, s"doc body $i here")).toDF("doc_id", "text"))
+    val c1 = CurationPipeline.run(spark, cdef)
+    val outTable = new LakehouseTable(spark, out)
+    assert(c1.head._2 == 20L && outTable.read().count() == 20)
+    // the cursor is a txn action in the output commit, not a sidecar file
+    val cursor1 = outTable.snapshot().txns(CurationPipeline.CurationRunId)
+    assert(cursor1 == table.latestVersion())
+
+    // crash-replay injection: a run that committed output+cursor then died is
+    // indistinguishable from a completed run, because they were ONE commit —
+    // re-running must deliver nothing and append nothing
+    assert(CurationPipeline.run(spark, cdef).isEmpty)
+    assert(outTable.read().count() == 20)
+
+    // and a redelivered append of the same increment (the other crash seam:
+    // executor retry after the commit) is skipped by the txn check itself
+    outTable.append(
+      (0L until 20L).map(i => (i, s"doc body $i here")).toDF("doc_id", "text"),
+      txn = Some((CurationPipeline.CurationRunId, cursor1)))
+    assert(outTable.read().count() == 20)
+
+    // next increment flows normally and advances the in-commit cursor
+    table.append(Seq((100L, "fresh doc body here")).toDF("doc_id", "text"))
+    val c2 = CurationPipeline.run(spark, cdef)
+    assert(c2.head._2 == 1L && outTable.read().count() == 21)
+    assert(outTable.snapshot().txns(CurationPipeline.CurationRunId) > cursor1)
+  }
+
+  test("non-incremental lakehouse output: overwrite semantics via truncate") {
+    val in = Files.createTempDirectory("curate_in2").toString
+    val out = Files.createTempDirectory("curate_lake_out").toString + "/table"
+    (0L until 10L).map(i => (i, s"plain document body $i here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val cdef = CurationPipeline.parse(
+      s"""curation:
+         |  input: $in
+         |  output: $out
+         |  output-format: lakehouse
+         |  steps:
+         |    - type: pii-redact
+         |""".stripMargin)
+    CurationPipeline.run(spark, cdef)
+    CurationPipeline.run(spark, cdef) // second full run replaces, not doubles
+    val outTable = new graft.sinks.LakehouseTable(spark, out)
+    assert(outTable.read().count() == 10)
   }
 
   test("repetition, quality, language, span-dedup, sample steps compose") {
