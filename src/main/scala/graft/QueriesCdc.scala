@@ -73,6 +73,65 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // The MongoDB-style DOCUMENT change model through the same incremental
+    // source ([[graft.sources.mongo.DocumentChangeSource]]): resume-token
+    // offsets, update events resolved by full-document LOOKUP against the
+    // live collection (no before-image — the lookup may return later state),
+    // deletes carrying ONLY the document key, and schemaless (_id, doc-json)
+    // rows. Snapshot chunks + log phase + PK-materialization must converge
+    // to the plain SQL final state despite the lookup caveat.
+    "c_mongo_style" -> ((s, dir) => {
+      val t = TableId.parse("app.collection")
+      val initial = (0L until 150L).map(i => (i, """{"v": "init"}"""))
+      val src = new graft.sources.mongo.DocumentChangeSource(t, initial)
+      val srcId = s"verify-mongo-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        val (pre, post) = ev.splitAt(ev.length / 2)
+        def upd(r: Row): Unit =
+          src.updateDoc(r.getLong(1), s"""{"v": "e${r.getLong(0)}"}""")
+
+        // phase A: oplog writes during the snapshot (merged by backfill)
+        pre.foreach(upd)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "40")
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+        q.processAllAvailable()
+        // phase B: post-snapshot changes, incl. the document-model edges —
+        // key-only deletes and replaces that make earlier updates' lookups
+        // resolve to LATER state (the updateLookup caveat)
+        post.foreach(upd)
+        (140L until 150L).foreach(src.deleteDoc(_))
+        (0L until 5L).foreach(i => src.replaceDoc(i, """{"v": "final"}"""))
+        q.processAllAvailable()
+        q.stop()
+
+        // PK-materialize (max seq wins; DELETE — before carries only _id)
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, d)) if d != null => (id, d) }
+        import s.implicits._
+        rows.toDF("_id", "doc").orderBy("_id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Mid-log startup positions (`StartupOptions.specificOffset` /
     // `StartupOptions.timestamp`): the log carries two batches of updates; the
     // stream starts from the recorded offset BETWEEN them, so it must replay
@@ -546,6 +605,16 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
+    "c_mongo_style" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id),
+        |base AS (
+        |  SELECT u._id,
+        |    COALESCE('{"v": "e' || CAST(l.me AS VARCHAR) || '"}', '{"v": "init"}') AS doc
+        |  FROM range(150) AS u(_id) LEFT JOIN last l ON l.user_id = u._id)
+        |SELECT _id, CASE WHEN _id < 5 THEN '{"v": "final"}' ELSE doc END AS doc
+        |FROM base WHERE _id < 140 ORDER BY _id""".stripMargin,
     "s_stream_dedup" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "s_sessionize" ->
