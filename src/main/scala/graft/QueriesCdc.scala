@@ -73,6 +73,84 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // `committed`-offsets startup (`StartupOptions.committed()`,
+    // `base/options/StartupOptions.java:66-74`): first start with no
+    // committed position falls back to `latest` (batch A, appended before
+    // start, is never emitted); a RESTART against the same checkpoint
+    // resumes from the committed log position — replaying exactly the
+    // events appended while the stream was down, re-emitting nothing. The
+    // emitted-event count is asserted equal to |B| + |C|, so any
+    // re-emission or loss fails before the oracle comparison.
+    "c_startup_committed" -> ((s, dir) => {
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new ScriptedChangeSource(t, schema, initial)
+      val srcId = s"verify-committed-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def append(r: Row): Unit = src.append(DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}")))
+        val (a, bc) = ev.partition(_.getLong(0) < 100)
+        val (b, c) = bc.partition(_.getLong(0) < 200)
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_committed").toString
+        def run(body: => Unit): Seq[Row] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("startup.mode", "committed")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (bt: DataFrame, _: Long) => buf ++= bt.collect(); () }
+            .start()
+          // drain the startup batch first: the source (and its latest-offset
+          // anchor) is constructed on the stream-execution thread, so events
+          // appended before this fence race query initialization
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+          buf.toSeq
+        }
+
+        a.foreach(append) // batch A: before first start, never emitted
+        val run1 = run { b.foreach(append) } // no committed position -> latest
+        // batch C lands while the stream is DOWN
+        c.foreach(append)
+        val run2 = run(())
+
+        require(run1.forall(_.getString(1) == "UPDATE") && run1.size == b.length,
+          s"first start must emit exactly batch B (${b.length}), got ${run1.size}")
+        require(run2.size == c.length,
+          s"restart must emit exactly the down-time batch C (${c.length}), got ${run2.size}")
+        require(run2.forall(r => r.getStruct(3).getString(1).drop(1).toLong >= 200),
+          "restart re-emitted pre-committed events")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        (run1 ++ run2).foreach { r =>
+          val after = r.getStruct(3)
+          val seq = r.getLong(4)
+          if (byKey.get(after.getLong(0)).forall(_._1 <= seq))
+            byKey(after.getLong(0)) = (seq, after.getString(1))
+        }
+        import s.implicits._
+        byKey.toSeq.map { case (id, (_, v)) => (id, v) }.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // The MongoDB-style DOCUMENT change model through the same incremental
     // source ([[graft.sources.mongo.DocumentChangeSource]]): resume-token
     // offsets, update events resolved by full-document LOOKUP against the
@@ -605,6 +683,13 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
+    "c_startup_committed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events
+        |  WHERE event_id >= 100 AND event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT user_id AS id, 'e' || CAST(me AS VARCHAR) AS v
+        |FROM last ORDER BY id""".stripMargin,
     "c_mongo_style" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),

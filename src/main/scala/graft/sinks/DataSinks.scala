@@ -67,7 +67,10 @@ object DataSinks {
         new DorisSink(
           baseUrl = sinkDef.config.getOrElse("fenodes", sinkDef.config.getOrElse(
             "url", throw new IllegalArgumentException("doris sink requires 'fenodes'"))),
-          maxRows = sinkDef.config.getOrElse("sink.buffer-flush.max-rows", "1000").toInt)
+          maxRows = sinkDef.config.getOrElse("sink.buffer-flush.max-rows", "1000").toInt,
+          // the reference reads this from table config (DorisSchemaUtils
+          // .getPartitionInfo); null partition values then fill with defaults
+          partitionKey = sinkDef.config.get("table.create.partition-key"))
       case other =>
         throw new IllegalArgumentException(
           s"unknown sink type '$other' (supported: values, jdbc, mysql, postgres, " +

@@ -39,9 +39,30 @@ object StreamLoadFormats {
     case _ => c
   }
 
-  private def docStruct(schema: StructType, flag: (String, Column)): Column =
-    struct(schema.fields.toSeq.map(f => temporal(f, col(f.name)).as(f.name)) :+
-      flag._2.as(flag._1): _*)
+  /** Doris fills a NULL partition-column value with a type default instead of
+    * rendering the null (`DorisEventSerializer.java:125-147`: a null Doris
+    * partition value would route the row nowhere), dates to `1970-01-01` and
+    * timestamp flavors to `1970-01-01 00:00:00` (`DorisSchemaUtils.java:46-47`).
+    * Non-temporal partition columns pass through — the reference fills only
+    * the temporal types. */
+  private def partitionDefault(f: StructField, rendered: Column): Column =
+    f.dataType match {
+      case DateType => coalesce(rendered, lit("1970-01-01"))
+      case TimestampType | TimestampNTZType =>
+        coalesce(rendered, lit("1970-01-01 00:00:00"))
+      case _ => rendered
+    }
+
+  private def docStruct(
+      schema: StructType,
+      flag: (String, Column),
+      partitionKey: Option[String] = None): Column =
+    struct(schema.fields.toSeq.map { f =>
+      val rendered = temporal(f, col(f.name))
+      val filled =
+        if (partitionKey.contains(f.name)) partitionDefault(f, rendered) else rendered
+      filled.as(f.name)
+    } :+ flag._2.as(flag._1): _*)
 
   private def rows(
       schema: TableSchema,
@@ -49,13 +70,14 @@ object StreamLoadFormats {
       deletedKeys: DataFrame,
       flagName: String,
       upsertFlag: Column,
-      deleteFlag: Column): DataFrame = {
+      deleteFlag: Column,
+      partitionKey: Option[String] = None): DataFrame = {
     // upsert rows render explicit nulls, matching the reference serializers'
     // Jackson maps (every column present); delete rows stay key+flag — the
     // before image is not available at the materialized batch boundary and
     // the warehouse PK model ignores non-key columns on delete
     val ups = upserts.select(
-      to_json(docStruct(schema.struct, flagName -> upsertFlag),
+      to_json(docStruct(schema.struct, flagName -> upsertFlag, partitionKey),
         java.util.Map.of("ignoreNullFields", "false")).as("row"))
     // delete rows: key columns + flag; non-key columns null (ignored by the
     // warehouse PK model on delete)
@@ -64,7 +86,7 @@ object StreamLoadFormats {
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }
     val dels = delAll.select(
-      to_json(docStruct(schema.struct, flagName -> deleteFlag)).as("row"))
+      to_json(docStruct(schema.struct, flagName -> deleteFlag, partitionKey)).as("row"))
     ups.unionByName(dels)
   }
 
@@ -72,9 +94,14 @@ object StreamLoadFormats {
   def starRocksRows(schema: TableSchema, ups: DataFrame, dels: DataFrame): DataFrame =
     rows(schema, ups, dels, "__op", lit(0), lit(1))
 
-  /** Doris rows: string `__DORIS_DELETE_SIGN__` "0"/"1". */
-  def dorisRows(schema: TableSchema, ups: DataFrame, dels: DataFrame): DataFrame =
-    rows(schema, ups, dels, "__DORIS_DELETE_SIGN__", lit("0"), lit("1"))
+  /** Doris rows: string `__DORIS_DELETE_SIGN__` "0"/"1"; a configured
+    * partition column null-fills to the reference's type defaults. */
+  def dorisRows(
+      schema: TableSchema,
+      ups: DataFrame,
+      dels: DataFrame,
+      partitionKey: Option[String] = None): DataFrame =
+    rows(schema, ups, dels, "__DORIS_DELETE_SIGN__", lit("0"), lit("1"), partitionKey)
 }
 
 /** Shared stream-load [[DataSink]]: per-partition PUTs of row batches to
@@ -112,10 +139,13 @@ final class StarRocksSink(baseUrl: String, maxRows: Int = 1000)
     StreamLoadFormats.starRocksRows(s, ups, dels)
 }
 
-final class DorisSink(baseUrl: String, maxRows: Int = 1000)
+final class DorisSink(
+    baseUrl: String,
+    maxRows: Int = 1000,
+    partitionKey: Option[String] = None)
     extends StreamLoadSink(baseUrl, maxRows) {
   protected def renderRows(s: TableSchema, ups: DataFrame, dels: DataFrame): DataFrame =
-    StreamLoadFormats.dorisRows(s, ups, dels)
+    StreamLoadFormats.dorisRows(s, ups, dels, partitionKey)
 }
 
 /** Minimal Stream Load HTTP client: PUT a JSON array (`strip_outer_array`)

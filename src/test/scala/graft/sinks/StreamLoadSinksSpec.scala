@@ -49,6 +49,56 @@ class StreamLoadSinksSpec extends AnyFunSuite {
     assert(r(1) == """{"k":9,"__DORIS_DELETE_SIGN__":"1"}""")
   }
 
+  test("Doris partition column: null fills with the reference's type defaults") {
+    // DorisEventSerializer.java:125-147 / DorisSchemaUtils.java:46-47 — a
+    // null partition value routes nowhere in Doris, so dates fill with
+    // 1970-01-01, timestamp flavors with 1970-01-01 00:00:00
+    val tsSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("seen", TimestampNTZType))),
+      primaryKeys = Seq("k"))
+    val nullTs = Seq(Tuple1(1L)).toDF("k").withColumn("seen", lit(null).cast(TimestampNTZType))
+    val filled = StreamLoadFormats.dorisRows(
+      tsSchema, nullTs, Seq.empty[Long].toDF("k"), partitionKey = Some("seen"))
+      .as[String].head()
+    assert(filled ==
+      """{"k":1,"seen":"1970-01-01 00:00:00","__DORIS_DELETE_SIGN__":"0"}""")
+
+    val dateSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("d", DateType))),
+      primaryKeys = Seq("k"))
+    val nullDate = Seq(Tuple1(2L)).toDF("k").withColumn("d", lit(null).cast(DateType))
+    assert(StreamLoadFormats.dorisRows(
+      dateSchema, nullDate, Seq.empty[Long].toDF("k"), partitionKey = Some("d"))
+      .as[String].head() ==
+      """{"k":2,"d":"1970-01-01","__DORIS_DELETE_SIGN__":"0"}""")
+
+    // a present value is never overwritten; delete rows fill too (the
+    // reference applies the fill after serializing either image)
+    val present = ups(3L -> "x")
+    val r = StreamLoadFormats.dorisRows(
+      schema, present, Seq(Tuple1(9L)).toDF("k"), partitionKey = Some("seen"))
+      .as[String].collect().sorted
+    assert(r(0).contains(""""seen":"2021-03-04 05:06:07.123456""""))
+    assert(r(1) ==
+      """{"k":9,"seen":"1970-01-01 00:00:00","__DORIS_DELETE_SIGN__":"1"}""")
+
+    // non-temporal partition columns pass through (reference fills only
+    // temporal types); without a partition key nothing changes
+    val strSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("k"))
+    val nullStr = Seq(Tuple1(4L)).toDF("k").withColumn("v", lit(null).cast(StringType))
+    assert(StreamLoadFormats.dorisRows(
+      strSchema, nullStr, Seq.empty[Long].toDF("k"), partitionKey = Some("v"))
+      .as[String].head() == """{"k":4,"v":null,"__DORIS_DELETE_SIGN__":"0"}""")
+  }
+
   test("loopback stream load applies flag semantics; duplicate labels dedup") {
     val server = new MockStreamLoadServer(Seq("k"))
     try {
