@@ -131,10 +131,18 @@ object Cli {
       .appName(args.name.getOrElse("graft-curation"))
       .getOrCreate()
     try {
-      val counts = graft.textops.CurationPipeline.run(spark, cdef)
-      counts.foreach { case (label, n) => out(s"  $label: $n rows") }
-      out("curation finished")
-      0
+      if (cdef.continuous) {
+        // the standing-pipeline mode: runs until terminated externally
+        val q = graft.textops.CurationPipeline.runContinuous(spark, cdef)
+        out(s"continuous curation started (checkpoint under ${cdef.output})")
+        q.awaitTermination()
+        0
+      } else {
+        val counts = graft.textops.CurationPipeline.run(spark, cdef)
+        counts.foreach { case (label, n) => out(s"  $label: $n rows") }
+        out("curation finished")
+        0
+      }
     } catch {
       case e: Exception => out(s"error: curation failed: ${e.getMessage}"); 1
     }

@@ -47,7 +47,8 @@ object CurationPipeline {
       steps: Seq[StepDef],
       inputFormat: String = "parquet",
       incremental: Boolean = false,
-      outputFormat: String = "parquet")
+      outputFormat: String = "parquet",
+      continuous: Boolean = false)
 
   private def asMap(v: Any): Map[String, Any] = v match {
     case m: java.util.Map[_, _] =>
@@ -96,6 +97,10 @@ object CurationPipeline {
       "incremental curation must be replay-safe: use output-format: lakehouse " +
         "(the change-feed cursor commits atomically with the output) or add an " +
         "incremental-dedup step with history = the output path")
+    val continuous = c.getOrElse("continuous", "false").toString.toBoolean
+    require(!continuous || (inputFormat == "lakehouse" && outputFormat == "lakehouse"),
+      "continuous curation requires input-format: lakehouse (the streaming " +
+        "change feed) and output-format: lakehouse (atomic per-batch commits)")
     CurationDef(
       input = req("input"),
       output = output,
@@ -104,7 +109,8 @@ object CurationPipeline {
       steps = steps,
       inputFormat = inputFormat,
       incremental = incremental,
-      outputFormat = outputFormat)
+      outputFormat = outputFormat,
+      continuous = continuous)
   }
 
   /** One step of the chain; every branch is a tested operator. */
@@ -261,5 +267,48 @@ object CurationPipeline {
     observations.toSeq.map { case (label, obs) =>
       label -> obs.get("rows").asInstanceOf[Long]
     }
+  }
+
+  /** The run id under which CONTINUOUS curation records Spark's micro-batch
+    * id as a `txn` action in the output table's commits. */
+  val CurationStreamRunId = "graft-curation-stream"
+
+  /** Run the pipeline as a STANDING StreamingQuery — the reference's
+    * continuous-pipeline model (`FlinkPipelineComposer.java:115-260`: a
+    * composed pipeline is one long-running job): the lakehouse input is
+    * consumed through the `graft-lakehouse` streaming source (commit
+    * versions = offsets, backfill from commit 0 then tail), each micro-batch
+    * runs the step chain, and the output append carries Spark's batch id as
+    * a `txn` action — so a crash-replayed micro-batch is skipped wholesale
+    * and bronze→silver is exactly-once end to end.
+    *
+    * Step semantics are PER MICRO-BATCH (each batch is one curation run over
+    * its increment); cross-run dedup is the `incremental-dedup` step with
+    * `history` = the output, exactly as in [[run]]. The checkpoint lives
+    * under the output directory (underscore-prefixed: invisible to reads).
+    */
+  def runContinuous(
+      spark: SparkSession,
+      cdef: CurationDef): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cdef.inputFormat == "lakehouse" && cdef.outputFormat == "lakehouse",
+      "continuous curation requires lakehouse input and output")
+    val outTable = new graft.sinks.LakehouseTable(spark, cdef.output)
+    val ckpt = java.nio.file.Paths.get(cdef.output, "_curation_checkpoint").toString
+    spark.readStream.format("graft-lakehouse")
+      .option("path", cdef.input)
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        var df = batch
+        cdef.steps.foreach(step =>
+          df = applyStep(spark, df, step, cdef.idCol, cdef.textCol))
+        if (outTable.snapshot().meta.isEmpty)
+          outTable.create(graft.core.TableSchema(df.schema, Seq.empty))
+        outTable.append(df, txn = Some((CurationStreamRunId, batchId)))
+        ()
+      }
+      .start()
   }
 }

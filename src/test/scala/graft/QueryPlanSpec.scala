@@ -104,6 +104,18 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("d_span_dedup: keep-first is a hash aggregate with map-side partials, no window") {
+    // round 7 replaced the sort-window keep-first (full sort of every span
+    // occurrence per partition) with min(struct(id, idx)) — a hash aggregate
+    // whose partial runs map-side, so the one shuffle carries one row per
+    // (scan partition, distinct span) instead of every span occurrence
+    val df = QueriesML.queries("d_span_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window operator in plan:\n$plan")
+    assert(plan.contains("partial_min"), s"no map-side partial min:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x_curate_e2e: bench grams broadcast, no cartesian anywhere") {
     val df = QueriesML.queries("x_curate_e2e")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

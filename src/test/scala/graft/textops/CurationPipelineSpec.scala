@@ -186,6 +186,65 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(outTable.snapshot().txns(CurationPipeline.CurationRunId) > cursor1)
   }
 
+  test("continuous curation: a standing StreamingQuery, exactly-once across restart") {
+    import graft.core.TableSchema
+    import graft.sinks.LakehouseTable
+    import org.apache.spark.sql.types._
+    val lake = Files.createTempDirectory("curate_cont_lake").toString
+    val out = Files.createTempDirectory("curate_cont_out").toString + "/table"
+    val table = new LakehouseTable(spark, lake)
+    table.create(TableSchema(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      primaryKeys = Seq.empty), buckets = 2)
+    // docs exist BEFORE the query starts: backfill-then-tail must deliver them
+    table.append(Seq(
+      (0L, "contact alice@example.com with the early document body here"),
+      (1L, "plain early document body here")).toDF("doc_id", "text"))
+
+    val cdef = CurationPipeline.parse(
+      s"""curation:
+         |  input: $lake
+         |  input-format: lakehouse
+         |  output: $out
+         |  output-format: lakehouse
+         |  continuous: true
+         |  steps:
+         |    - type: pii-redact
+         |""".stripMargin)
+    assert(cdef.continuous)
+    // parse guard: continuous requires lakehouse on both ends
+    intercept[IllegalArgumentException] {
+      CurationPipeline.parse(
+        s"curation:\n  input: /x\n  output: /y\n  continuous: true\n" +
+          "  steps:\n    - type: pii-redact\n")
+    }
+
+    val outTable = new LakehouseTable(spark, out)
+    val q1 = CurationPipeline.runContinuous(spark, cdef)
+    try {
+      q1.processAllAvailable()
+      val texts = outTable.read().orderBy($"doc_id")
+        .select($"text").as[String].collect()
+      assert(texts.length == 2)
+      assert(texts(0).contains("<EMAIL>") && !texts(0).contains("alice@example.com"))
+
+      // tail phase: new commits flow through the standing query
+      table.append(Seq((2L, "later document body here")).toDF("doc_id", "text"))
+      q1.processAllAvailable()
+      assert(outTable.read().count() == 3)
+    } finally q1.stop()
+
+    // restart: commits landed while down replay exactly once
+    table.append(Seq((3L, "downtime document body here")).toDF("doc_id", "text"))
+    val q2 = CurationPipeline.runContinuous(spark, cdef)
+    try {
+      q2.processAllAvailable()
+      assert(outTable.read().count() == 4)
+      assert(outTable.read().select($"doc_id").as[Long].collect().sorted.toSeq ==
+        (0L to 3L))
+    } finally q2.stop()
+  }
+
   test("non-incremental lakehouse output: overwrite semantics via truncate") {
     val in = Files.createTempDirectory("curate_in2").toString
     val out = Files.createTempDirectory("curate_lake_out").toString + "/table"
