@@ -649,6 +649,42 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "s_lakehouse_changelog" -> ((s, dir) => {
+      // the MERGE-table row-level changelog (Delta CDF / Paimon
+      // changelog-producer shape — file add/remove diffs cannot express row
+      // changes on a PK table): the same three micro-batches as
+      // c_lakehouse_upsert land on a changelog-enabled table, then the FULL
+      // changelog is replayed from version -1 — per key the latest commit's
+      // post/insert row wins and a latest delete drops — and the replay
+      // must equal the one-shot materialization. Proves the change data is
+      // complete, ordered, and delete-carrying across commits.
+      import graft.sinks.LakehouseSink
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_cdcq").toString
+      val sink = new LakehouseSink(s, root, buckets = 8, changelog = true)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+        val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+        Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+        }
+        lo = hi
+      }
+      val tb = sink.table(tid)
+      val (changes, _) = tb.readChangelogSince(-1L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("_commit_version").desc)
+      changes.filter(col("_change_type") =!= "update_preimage")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
     "c_lakehouse_append" -> ((s, dir) => {
       // append-table mode + maintenance: the raw events table lands in three
       // APPEND commits on a PK-less table (content-hash bucketing, atomic txn
@@ -1088,6 +1124,13 @@ object QueriesCore {
         |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // identical final state to c_upsert: batched lakehouse MERGE is lossless
     "c_lakehouse_upsert" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // replaying the row-level changelog reproduces the same final state
+    "s_lakehouse_changelog" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)

@@ -52,7 +52,8 @@ object DataSinks {
           rootDir = sinkDef.config.getOrElse(
             "path", throw new IllegalArgumentException("lakehouse sink requires 'path'")),
           buckets = sinkDef.config.getOrElse("buckets", "16").toInt,
-          collectStats = sinkDef.config.getOrElse("stats", "true").toBoolean)
+          collectStats = sinkDef.config.getOrElse("stats", "true").toBoolean,
+          changelog = sinkDef.config.getOrElse("changelog", "false").toBoolean)
       case "elasticsearch" =>
         new ElasticsearchSink(
           baseUrl = sinkDef.config.getOrElse("hosts", sinkDef.config.getOrElse(

@@ -52,8 +52,15 @@ object LakehouseFormat {
       rows: Long,
       stats: Map[String, ColStats] = Map.empty) extends Action
   final case class RemoveFile(path: String) extends Action
-  final case class Meta(schema: TableSchema, buckets: Int) extends Action
+  final case class Meta(
+      schema: TableSchema, buckets: Int, changelog: Boolean = false) extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
+  /** A row-level change-data file of one MERGE commit (Delta CDF's
+    * `_change_data` / Paimon's changelog files): rows carry the declared
+    * columns plus `_change_type` (insert / update_preimage /
+    * update_postimage / delete). Never part of live table state — replay
+    * ignores it; [[LakehouseTable.readChangelogBetween]] reads it. */
+  final case class ChangeFile(path: String) extends Action
 
   final case class Snapshot(
       version: Long,
@@ -80,13 +87,16 @@ object LakehouseFormat {
         }
       case RemoveFile(p) =>
         root.putObject("remove").put("path", p)
-      case Meta(s, b) =>
+      case Meta(s, b, cl) =>
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
         val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
         n.put("buckets", b)
+        if (cl) n.put("changelog", true) // absent = false: old logs decode fine
       case Txn(run, batch) =>
         val n = root.putObject("txn"); n.put("runId", run); n.put("batchId", batch)
+      case ChangeFile(p) =>
+        root.putObject("cdc").put("path", p)
     }
     mapper.writeValueAsString(root)
   }
@@ -108,10 +118,13 @@ object LakehouseFormat {
         TableSchema(
           DataType.fromJson(m.get("schemaJson").asText).asInstanceOf[StructType],
           m.get("pks").elements.asScala.map(_.asText).toSeq),
-        m.get("buckets").asInt)
+        m.get("buckets").asInt,
+        m.has("changelog") && m.get("changelog").asBoolean)
     } else if (n.has("txn")) {
       val t = n.get("txn")
       Txn(t.get("runId").asText, t.get("batchId").asLong)
+    } else if (n.has("cdc")) {
+      ChangeFile(n.get("cdc").get("path").asText)
     } else throw new IllegalArgumentException(s"unknown lakehouse action: $line")
   }
 }
@@ -168,6 +181,7 @@ final class LakehouseTable(
         case a: AddFile => files(a.path) = a
         case RemoveFile(p) => files.remove(p)
         case Txn(run, batch) => txns(run) = math.max(batch, txns.getOrElse(run, Long.MinValue))
+        case _: ChangeFile => () // per-commit change data, never live state
       }
     }
 
@@ -253,12 +267,13 @@ final class LakehouseTable(
     }
   }
 
-  def create(schema: TableSchema, buckets: Int = 16): Unit = {
+  def create(schema: TableSchema, buckets: Int = 16, changelog: Boolean = false): Unit = {
     // PK-less tables are legal append-only tables (Paimon's append mode);
-    // merge() enforces keys at call time
+    // merge() enforces keys at call time. `changelog = true` makes every
+    // MERGE commit also write row-level change data (readChangelogBetween).
     if (snapshot().meta.isEmpty &&
-      !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets))))
-      create(schema, buckets) // lost the race; re-check (idempotent)
+      !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets, changelog))))
+      create(schema, buckets, changelog) // lost the race; re-check (idempotent)
   }
 
   /** Commit arbitrary actions at the next version (retrying past losers of
@@ -266,9 +281,13 @@ final class LakehouseTable(
   def commit(actions: Seq[Action]): Unit =
     if (!tryCommit(snapshot().version + 1, actions)) commit(actions)
 
-  /** Update table metadata (schema evolution): one metadata-only commit. */
-  def updateMeta(schema: TableSchema): Unit =
-    commit(Seq(Meta(schema, snapshot().buckets)))
+  /** Update table metadata (schema evolution): one metadata-only commit.
+    * Bucket count and changelog flag carry over. */
+  def updateMeta(schema: TableSchema): Unit = {
+    val m = snapshot().meta
+    commit(Seq(Meta(schema, m.map(_.buckets).getOrElse(16),
+      m.exists(_.changelog))))
+  }
 
   /** Current (or time-traveled) contents. Missing columns in old files read
     * as null under the declared schema; remaining representation drift is
@@ -328,9 +347,8 @@ final class LakehouseTable(
           if (oldFiles.isEmpty) None
           else Some(spark.read.option("mergeSchema", "true")
             .parquet(oldFiles.map(f => Paths.get(dir, f.path).toString): _*))
-        val kept = current.map(c =>
-          SchemaDerivator.coerce(c, schema.struct)
-            .join(broadcast(changedKeys), pks, "left_anti"))
+        val cur = current.map(c => SchemaDerivator.coerce(c, schema.struct))
+        val kept = cur.map(_.join(broadcast(changedKeys), pks, "left_anti"))
         val next = kept.map(_.unionByName(coerced)).getOrElse(coerced)
 
         // write the rewritten buckets as a new immutable commit directory
@@ -340,12 +358,48 @@ final class LakehouseTable(
           .write.partitionBy(bucketCol)
           .parquet(Paths.get(dir, commitRel).toString)
         val adds = listCommitFiles(commitRel, bucketCol)
-        val actions = adds ++ oldFiles.map(f => RemoveFile(f.path)) ++
+        // Row-level change data (Delta CDF / Paimon changelog-producer
+        // shape), classified by LOOKUP against the touched buckets we scan
+        // for the rewrite anyway: pre-images of updated keys, the old rows
+        // of deleted keys, and the batch split into update_postimage vs
+        // insert by whether an old row existed. Every join broadcasts the
+        // batch-bounded side; the pre-image set is localCheckpointed (it is
+        // <= batch-sized) so deriving the update-key set does not rescan
+        // the buckets.
+        val cdcRel = s"$commitRel-cdc"
+        val ct = "_change_type"
+        val cdcActions: Seq[Action] =
+          if (!snap.meta.exists(_.changelog)) Seq.empty
+          else {
+            val changes = cur match {
+              case None => coerced.withColumn(ct, lit("insert"))
+              case Some(c) =>
+                val upKeys = coerced.select(pks.map(col): _*).distinct()
+                val delKeys = deletedKeys.select(pks.map(col): _*).distinct()
+                val preUp = c.join(broadcast(upKeys), pks, "left_semi").localCheckpoint()
+                val oldUpKeys = preUp.select(pks.map(col): _*)
+                preUp.withColumn(ct, lit("update_preimage"))
+                  .unionByName(c.join(broadcast(delKeys), pks, "left_semi")
+                    .withColumn(ct, lit("delete")))
+                  .unionByName(coerced.join(broadcast(oldUpKeys), pks, "left_semi")
+                    .withColumn(ct, lit("update_postimage")))
+                  .unionByName(coerced.join(broadcast(oldUpKeys), pks, "left_anti")
+                    .withColumn(ct, lit("insert")))
+            }
+            changes.write.parquet(Paths.get(dir, cdcRel).toString)
+            val root = Paths.get(dir, cdcRel)
+            Files.walk(root).iterator.asScala
+              .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+              .map(p => ChangeFile(Paths.get(dir).relativize(p).toString))
+              .toSeq
+          }
+        val actions = adds ++ oldFiles.map(f => RemoveFile(f.path)) ++ cdcActions ++
           txn.map { case (run, b) => Txn(run, b) }
         if (tryCommit(snap.version + 1, actions)) done = true
         else {
           // lost the commit race: discard our files, re-merge on the new state
           deleteRecursively(Paths.get(dir, commitRel))
+          deleteRecursively(Paths.get(dir, cdcRel))
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse commit contention: gave up after $maxAttempts attempts")
         }
@@ -451,7 +505,7 @@ final class LakehouseTable(
           .parquet(Paths.get(dir, commitRel).toString)
         listCommitFiles(commitRel, bucketColName)
       }
-      val actions = Meta(snap.schema, newBuckets) +:
+      val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog)) +:
         (adds ++ snap.files.map(f => RemoveFile(f.path)))
       if (tryCommit(snap.version + 1, actions)) done = true
       else {
@@ -635,8 +689,15 @@ final class LakehouseTable(
     */
   def vacuum(retainFromVersion: Option[Long] = None): Seq[String] = {
     val from = retainFromVersion.getOrElse(latestVersion())
+    // change-data files of RETAINED commits must survive: they are reachable
+    // through readChangelogBetween even though no snapshot references them
+    // (expired commits' change files become unreferenced and are reclaimed)
+    val cdcReferenced = listVersions()
+      .flatMap(v => Files.readAllLines(logFile(v)).asScala.filter(_.nonEmpty)
+        .map(LakehouseFormat.decode).collect { case ChangeFile(p) => p })
+      .toSet
     val referenced = (from to latestVersion())
-      .flatMap(v => snapshot(Some(v)).files.map(_.path)).toSet
+      .flatMap(v => snapshot(Some(v)).files.map(_.path)).toSet ++ cdcReferenced
     val root = Paths.get(dir)
     val removed = Files.walk(root).iterator.asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
@@ -699,6 +760,52 @@ final class LakehouseTable(
         schema.struct)
   }
 
+  /** Row-level changes of the MERGE commits in `(fromVersion, toVersion]` —
+    * the Delta CDF / Paimon changelog consumption shape for PK tables, where
+    * file-granular add/remove diffs cannot express row changes. Rows carry
+    * the declared columns plus `_change_type` (insert / update_preimage /
+    * update_postimage / delete) and `_commit_version`. Requires the table to
+    * have been created with `changelog = true`; maintenance commits
+    * (compaction, rescale) write no change data, so consumers never see
+    * rows the table merely moved. Changelog availability is bounded by log
+    * retention, exactly like the append-table change feed. */
+  def readChangelogBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val snap = snapshot()
+    require(snap.meta.exists(_.changelog),
+      s"table $dir was not created with changelog = true")
+    val oldest = listVersions().headOption
+    if (fromVersion < toVersion && oldest.exists(_ > fromVersion + 1))
+      throw new IllegalArgumentException(
+        s"changelog from version $fromVersion of $dir is expired " +
+          s"(oldest retained commit: ${oldest.get}); rows in expired commits " +
+          "are undeliverable — expire snapshots only past consumed cursors")
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val withCt = StructType(snap.schema.struct.fields :+
+      StructField("_change_type", StringType, nullable = false))
+    val full = StructType(withCt.fields :+
+      StructField("_commit_version", LongType, nullable = false))
+    val perCommit = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val cdc = Files.readAllLines(logFile(v)).asScala
+        .filter(_.nonEmpty).map(LakehouseFormat.decode)
+        .collect { case ChangeFile(p) => Paths.get(dir, p).toString }
+      if (cdc.isEmpty) None
+      else Some(
+        SchemaDerivator.coerce(
+          spark.read.option("mergeSchema", "true").parquet(cdc.toSeq: _*), withCt)
+          .withColumn("_commit_version", lit(v)))
+    }
+    if (perCommit.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    else perCommit.reduce(_ unionByName _)
+  }
+
+  /** [[readChangelogBetween]] up to the latest commit, plus the version to
+    * checkpoint for the next call. */
+  def readChangelogSince(fromVersion: Long): (DataFrame, Long) = {
+    val latest = latestVersion()
+    (readChangelogBetween(fromVersion, latest), latest)
+  }
+
   /** (version, action) history — the audit trail a lakehouse DESCRIBE HISTORY
     * surfaces. */
   def history(): Seq[(Long, Action)] =
@@ -720,7 +827,8 @@ final class LakehouseSink(
     spark: SparkSession,
     rootDir: String,
     buckets: Int = 16,
-    collectStats: Boolean = true)
+    collectStats: Boolean = true,
+    changelog: Boolean = false)
     extends DataSink {
 
   def table(t: TableId): LakehouseTable =
@@ -728,7 +836,7 @@ final class LakehouseSink(
       spark, Paths.get(rootDir, t.identifier.replace('.', '_')).toString, collectStats)
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = event match {
-    case CreateTableEvent(t, schema) => table(t).create(schema, buckets)
+    case CreateTableEvent(t, schema) => table(t).create(schema, buckets, changelog)
     case DropTableEvent(t) =>
       val tb = table(t)
       tb.snapshot().files.foreach(f =>

@@ -207,6 +207,72 @@ class LakehouseSpec extends AnyFunSuite {
     assert(all == t.read().select($"k").as[Long].collect().toSet)
   }
 
+  test("changelog: merge commits write row-level change data; replay equals the table") {
+    val dir = Files.createTempDirectory("graft_lake_cdc").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(schema, buckets = 2, changelog = true)
+
+    // batch 1: pure inserts
+    t.merge((0L until 6L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    val v1 = t.latestVersion()
+    val c1 = t.readChangelogBetween(-1L, v1)
+    assert(c1.groupBy($"_change_type").count().as[(String, Long)].collect().toMap ==
+      Map("insert" -> 6L))
+
+    // batch 2: update 0,1; delete 5; insert 100
+    t.merge(
+      Seq((0L, "V0"), (1L, "V1"), (100L, "new")).toDF("k", "v"),
+      Seq(Tuple1(5L)).toDF("k"))
+    val v2 = t.latestVersion()
+    val c2 = t.readChangelogBetween(v1, v2)
+    val byType = c2.select($"_change_type", $"k").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byType("update_preimage") == Set(0L, 1L))
+    assert(byType("update_postimage") == Set(0L, 1L))
+    assert(byType("delete") == Set(5L))
+    assert(byType("insert") == Set(100L))
+    // pre-images carry the OLD values, post-images the new
+    assert(c2.filter($"_change_type" === "update_preimage" && $"k" === 0L)
+      .select($"v").as[String].head() == "v0")
+    assert(c2.filter($"_change_type" === "update_postimage" && $"k" === 0L)
+      .select($"v").as[String].head() == "V0")
+    assert(c2.select($"_commit_version").distinct().as[Long].collect().toSeq == Seq(v2))
+
+    // materialization equivalence: replaying the full changelog reproduces
+    // the table — per key, the final post/insert row wins, a final delete
+    // drops (within one commit a key has either insert, pre+post, or delete)
+    val all = t.readChangelogBetween(-1L, v2)
+    val last = all.filter($"_change_type" =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"k")
+          .orderBy($"_commit_version".desc)))
+      .filter($"__rn" === 1 && $"_change_type" =!= "delete")
+      .select($"k", $"v")
+    assert(last.orderBy($"k").as[(Long, String)].collect().toSeq ==
+      t.read().orderBy($"k").as[(Long, String)].collect().toSeq)
+
+    // maintenance is invisible: compaction adds no change rows
+    t.compact()
+    val (c3, _) = t.readChangelogSince(v2)
+    assert(c3.isEmpty)
+
+    // vacuum must not reclaim change files of retained commits
+    t.vacuum()
+    assert(t.readChangelogBetween(-1L, v2).count() == all.count())
+
+    // expiry bounds the changelog like the change feed
+    (0 until 4).foreach(i => t.merge(Seq((200L + i, "x")).toDF("k", "v"), empty(t)))
+    t.expireSnapshots(keepLast = 2)
+    val e = intercept[IllegalArgumentException](t.readChangelogBetween(-1L, t.latestVersion()))
+    assert(e.getMessage.contains("oldest retained commit"))
+
+    // tables created without the flag refuse loudly instead of returning empty
+    val t2 = newTable()
+    t2.merge(Seq((1L, "a")).toDF("k", "v"), empty(t2))
+    val e2 = intercept[IllegalArgumentException](t2.readChangelogBetween(-1L, t2.latestVersion()))
+    assert(e2.getMessage.contains("changelog"))
+  }
+
   test("rescaleBuckets: layout migration preserves data, merges use new layout") {
     val t = newTable(buckets = 2)
     t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
