@@ -108,6 +108,43 @@ object DebeziumFileSource {
   def read(spark: SparkSession, path: String, rowSchema: StructType): DataFrame =
     parse(spark.read.text(path), rowSchema)
 
+  /** The executed GTID set of a parsed capture: the union of every record's
+    * `source.gtid` (`uuid:txid`). Driver-side fold over the DISTINCT gtid
+    * strings — proportional to transaction count, the offline-capture
+    * regime this reader serves; a live deployment reads the executed set
+    * from the server instead (`SHOW MASTER STATUS`). */
+  def executedGtidSet(envelope: DataFrame): graft.sources.mysql.Gtid.GtidSet = {
+    import graft.sources.mysql.Gtid
+    envelope
+      .select(element_at(col(Envelope.MetaCol), "gtid").as("g"))
+      .filter(col("g").isNotNull && col("g") =!= "").distinct()
+      .collect()
+      .foldLeft(Gtid.GtidSet.empty) { (acc, r) =>
+        val g = r.getString(0)
+        val i = g.lastIndexOf(':')
+        if (i <= 0) acc
+        else
+          try acc.advance(g.substring(0, i), g.substring(i + 1).toLong)
+          catch { case _: NumberFormatException => acc }
+      }
+  }
+
+  /** Resume a capture replay from a checkpointed GTID position: drop every
+    * record whose transaction the `executed` set already contains — the wire
+    * analog of a change stream's `resumeAfter`, reconciled positions coming
+    * from [[graft.sources.mysql.Gtid.GtidSet.fixRestored]]. GTID-less
+    * records pass through (file/pos sequencing governs them instead). */
+  def resumeAfterGtids(
+      envelope: DataFrame, executed: graft.sources.mysql.Gtid.GtidSet): DataFrame = {
+    val done = udf((g: String) =>
+      g != null && g.nonEmpty && {
+        val i = g.lastIndexOf(':')
+        i > 0 && (try executed.contains(g.substring(0, i), g.substring(i + 1).toLong)
+        catch { case _: NumberFormatException => false })
+      })
+    envelope.filter(!done(element_at(col(Envelope.MetaCol), "gtid")))
+  }
+
   /** Serialize an envelope frame to full Debezium MySQL wire records (the
     * inverse of [[parse]], superset of
     * [[KafkaJsonFormats.debeziumValue]]'s abbreviated layout): op codes
