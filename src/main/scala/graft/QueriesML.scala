@@ -445,6 +445,24 @@ object QueriesML {
         .orderBy("qid")
     }),
 
+    "a_ann_ivfpq_self" -> ((s, dir) => {
+      // IVF-PQ: inverted lists of packed PQ codes, probes partition-pruned to
+      // nprobe buckets, candidates scanned by ADC lookups — both scale levers
+      // composed. The deterministic slice: a query's own bucket IS its
+      // nearest centroid, so nprobe=1 contains it, and ADC is minimized by
+      // its own code (encode is the per-block argmin) — self at rank 1.
+      implicit val sp: SparkSession = s
+      val e = emb(s, dir)
+      val idx = Ann.IvfPqIndex.build(e, "vec_id", "embedding",
+        numCentroids = 8, m = 8, ks = 16, sampleSize = 500)
+      val qs = e.filter(col("vec_id") < 12).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)).toSeq
+      idx.topK(qs, k = 1, nprobe = 1)
+        .select(col("qid"), col("cid"))
+        .orderBy("qid")
+    }),
+
     // ---- multimodal (binary plumbing; no SQL oracle — rows-only check) ------
     "m_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 60))
@@ -877,6 +895,9 @@ object QueriesML {
     "a_ann_pq_self" ->
       """SELECT vec_id AS qid, vec_id AS cid
         |FROM embeddings WHERE vec_id < 15 ORDER BY qid""".stripMargin,
+    "a_ann_ivfpq_self" ->
+      """SELECT vec_id AS qid, vec_id AS cid
+        |FROM embeddings WHERE vec_id < 12 ORDER BY qid""".stripMargin,
     // multimodal: the codec stub is deterministic, so expected values are
     // computable — feature sums were precomputed by replaying the stub on the
     // driver (self-oracle; MultimodalSpec recomputes them in-process too),

@@ -252,8 +252,8 @@ object Ann {
       val codebooks: Array[Array[Array[Double]]], // [m][ks][dsub]
       encoded: DataFrame) {                       // (cid, codes: long)
 
-    private def m = codebooks.length
-    private def ks = codebooks(0).length
+    def m: Int = codebooks.length
+    def ks: Int = codebooks(0).length
     private def dsub = codebooks(0)(0).length
 
     /** corpus ids + packed codes (the only thing the scan ever touches). */
@@ -350,6 +350,94 @@ object Ann {
         col(idCol).as("cid"),
         graft.functions.CatalystExprs.pqEncode(col(vecCol), codebooks).as("codes"))
       new PqIndex(codebooks, encoded)
+    }
+  }
+
+  /** IVF-PQ: inverted lists hold PACKED PQ CODES instead of raw vectors —
+    * the FAISS-style composition of the two scale levers this module already
+    * proves separately: probes are partition-pruned to `nprobe` buckets
+    * (IVF), and the scan inside those buckets is an ADC lookup over 8-byte
+    * codes, never a vector pass (PQ, 32× smaller working set). Codes encode
+    * the raw vectors (not centroid residuals — the self-retrieval invariant
+    * stays exact and oracle-checkable; residual encoding is a recall
+    * refinement on the same plan shape).
+    *
+    * At 100 TB: the on-disk layout is `partitionBy(bucket)` parquet of
+    * `(cid, codes)` — a probe reads `nprobe/centroids` of an already-32×-
+    * compressed table, and the per-candidate cost is `m` table lookups.
+    */
+  final class IvfPqIndex private[Ann] (
+      val ivf: IvfIndex,
+      val pq: PqIndex,
+      encoded: DataFrame) { // (cid, bucket, codes)
+
+    /** corpus ids + bucket + packed codes (one map pass over the corpus). */
+    def encodings: DataFrame = encoded
+
+    def writePartitioned(path: String): Unit =
+      encoded.write.partitionBy("bucket").parquet(path)
+
+    private def adcTopK(
+        cands: DataFrame,
+        queries: Seq[(Long, Array[Double])],
+        k: Int,
+        nprobe: Int)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val probes = queries.flatMap { case (qid, v) =>
+        ivf.nearestCentroids(v, nprobe).map(b => (qid, b, pq.lut(v)))
+      }.toDF("qid", "bucket", "lut")
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
+      cands.join(broadcast(probes), Seq("bucket"))
+        .select(col("qid"), col("cid"),
+          graft.functions.CatalystExprs.pqAdc(
+            col("codes"), col("lut"), pq.m, pq.ks).as("dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), col("dist"), col("rank"))
+    }
+
+    /** ADC top-k over the probed buckets of the in-memory encodings. */
+    def topK(queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int)(
+        implicit spark: SparkSession): DataFrame =
+      adcTopK(encoded, queries, k, nprobe)
+
+    /** ADC top-k off the [[writePartitioned]] layout: the scan carries a
+      * bucket partition filter, so only the probed lists' files are read. */
+    def topKFromPartitioned(
+        path: String,
+        queries: Seq[(Long, Array[Double])],
+        k: Int,
+        nprobe: Int)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val needed = queries.flatMap { case (_, v) =>
+        ivf.nearestCentroids(v, nprobe)
+      }.distinct
+      adcTopK(
+        spark.read.parquet(path).filter(col("bucket").isin(needed: _*)),
+        queries, k, nprobe)
+    }
+  }
+
+  object IvfPqIndex {
+    /** Train centroids (IVF) and codebooks (PQ) on driver samples, then
+      * assign + encode the corpus in ONE distributed map pass. */
+    def build(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        numCentroids: Int,
+        m: Int,
+        ks: Int,
+        sampleSize: Int = 2000,
+        iters: Int = 3): IvfPqIndex = {
+      val ivf = IvfIndex.build(corpus, idCol, vecCol, numCentroids, sampleSize, iters)
+      val pq = PqIndex.build(corpus, idCol, vecCol, m, ks, sampleSize, iters)
+      val cents = ivf.centroids.map(_._2)
+      val encoded = corpus.select(
+        col(idCol).as("cid"),
+        graft.functions.CatalystExprs.nearestCentroid(col(vecCol), cents).as("bucket"),
+        graft.functions.CatalystExprs.pqEncode(col(vecCol), pq.codebooks).as("codes"))
+      new IvfPqIndex(ivf, pq, encoded)
     }
   }
 

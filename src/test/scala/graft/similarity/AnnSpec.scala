@@ -70,6 +70,32 @@ class AnnSpec extends AnyFunSuite {
     assert(top.collect().map(_.toSeq).toSet == mem)
   }
 
+  test("IVF-PQ: partition-pruned ADC scan retrieves self at rank 1") {
+    val idx = Ann.IvfPqIndex.build(emb, "vec_id", "embedding",
+      numCentroids = 4, m = 8, ks = 16, sampleSize = 200, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+    // in-memory: the query's own bucket is its nearest centroid, so nprobe=1
+    // always contains it, and ADC is minimized by its own codes
+    val top = idx.topK(queries, k = 1, nprobe = 1).collect()
+    assert(top.length == 5)
+    assert(top.forall(r => r.getLong(0) == r.getLong(1)))
+
+    // on disk: same result off the partitioned layout, with pruning visible
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/lists"
+    idx.writePartitioned(dir)
+    val fromDisk = idx.topKFromPartitioned(dir, queries, k = 1, nprobe = 1)
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"expected bucket partition filter in: $pf")
+    assert(fromDisk.collect().forall(r => r.getLong(0) == r.getLong(1)))
+
+    // the scan never touches raw vectors: the encoded relation is
+    // (cid, bucket, codes) — one packed long per vector
+    assert(idx.encodings.columns.toSet == Set("cid", "bucket", "codes"))
+  }
+
   test("LSH top-k finds exact self-matches through band buckets") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
