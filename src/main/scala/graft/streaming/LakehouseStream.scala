@@ -52,7 +52,8 @@ final class LakehouseStreamSource(
     spark: SparkSession,
     tableDir: String,
     startingVersion: Option[Long],
-    maxCommitsPerBatch: Option[Int]) extends Source {
+    maxCommitsPerBatch: Option[Int],
+    changelogMode: Boolean = false) extends Source {
 
   maxCommitsPerBatch.foreach(m =>
     require(m >= 1, s"maxCommitsPerBatch must be >= 1: $m"))
@@ -64,7 +65,9 @@ final class LakehouseStreamSource(
   private val baseVersion: Long =
     startingVersion.map(_ - 1).getOrElse(table.latestVersion())
 
-  override val schema: StructType = table.snapshot().schema.struct
+  override val schema: StructType =
+    if (changelogMode) LakehouseStreamSource.changelogSchema(table)
+    else table.snapshot().schema.struct
 
   /** Next batch end: the latest commit, capped `maxCommitsPerBatch` past the
     * last planned offset. `None` while nothing new — the query idles without
@@ -92,7 +95,8 @@ final class LakehouseStreamSource(
     lastPlanned = Some(math.max(lastPlanned.getOrElse(Long.MinValue), to))
     // the engine requires isStreaming=true on a v1 source's batches
     org.apache.spark.sql.GraftStreamingBridge.asStreaming(
-      table.readChangesBetween(from, to))
+      if (changelogMode) table.readChangelogBetween(from, to)
+      else table.readChangesBetween(from, to))
   }
 
   private def toVersion(o: V1Offset): Long = o match {
@@ -103,6 +107,20 @@ final class LakehouseStreamSource(
   }
 
   override def stop(): Unit = ()
+}
+
+object LakehouseStreamSource {
+  /** Declared table columns + `_change_type` + `_commit_version` — the shape
+    * [[LakehouseTable.readChangelogBetween]] produces. */
+  private[streaming] def changelogSchema(table: LakehouseTable): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val snap = table.snapshot()
+    require(snap.meta.exists(_.changelog),
+      s"readChanges mode 'changelog' requires a changelog-enabled table: ${table.dir}")
+    StructType(snap.schema.struct.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+  }
 }
 
 /** Registers `format("graft-lakehouse")` (and the fully-qualified class name)
@@ -116,15 +134,28 @@ final class LakehouseStreamProvider extends StreamSourceProvider with DataSource
       throw new IllegalArgumentException(
         "graft-lakehouse source requires option(\"path\", <table dir>)"))
 
+  /** `mode`: `feed` (default — net-new rows of append tables) or
+    * `changelog` (row-level changes of a changelog-enabled MERGE table:
+    * declared columns + `_change_type` + `_commit_version`). */
+  private def changelogMode(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "feed") match {
+      case "feed" => false
+      case "changelog" => true
+      case other => throw new IllegalArgumentException(
+        s"unknown graft-lakehouse mode '$other' (feed | changelog)")
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(),
-      schema.getOrElse(
-        new LakehouseTable(sqlContext.sparkSession, tableDir(parameters))
-          .snapshot().schema.struct))
+      schema.getOrElse {
+        val t = new LakehouseTable(sqlContext.sparkSession, tableDir(parameters))
+        if (changelogMode(parameters)) LakehouseStreamSource.changelogSchema(t)
+        else t.snapshot().schema.struct
+      })
 
   override def createSource(
       sqlContext: SQLContext,
@@ -136,5 +167,6 @@ final class LakehouseStreamProvider extends StreamSourceProvider with DataSource
       sqlContext.sparkSession,
       tableDir(parameters),
       parameters.get("startingVersion").map(_.toLong),
-      parameters.get("maxCommitsPerBatch").map(_.toInt))
+      parameters.get("maxCommitsPerBatch").map(_.toInt),
+      changelogMode(parameters))
 }

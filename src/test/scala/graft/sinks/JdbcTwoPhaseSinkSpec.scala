@@ -123,6 +123,34 @@ class JdbcTwoPhaseSinkSpec extends AnyFunSuite {
     assert(query(db, "SELECT count(*) FROM app_ledger").head.head == 3)
   }
 
+  test("executor staging failure surfaces the original error, not close()'s refusal") {
+    // a failed batch insert leaves an open transaction; Derby refuses
+    // close() mid-transaction, and without the rollback-in-finally that
+    // close() SQLException would MASK the real failure — the task error must
+    // carry the truncation, not 'invalid transaction state'
+    val db = freshDb()
+    val sink = new JdbcTwoPhaseSink(s"jdbc:derby:$db")
+    val t = TableId.of("app", "users")
+    MySqlDdlParser.parse(usersDdl).foreach(sink.applySchemaChange)
+    val e = intercept[Exception] {
+      sink.writeBatch(t,
+        Seq((1L, "x" * 5000, 5)).toDF("id", "name", "score"), // > VARCHAR(4000)
+        Seq.empty[Long].toDF("id"), batchId = 0L, runId = "failrun")
+    }
+    def chain(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    val msgs = chain(e).mkString(" | ").toLowerCase
+    assert(msgs.contains("truncat"), s"expected the truncation failure, got: $msgs")
+    assert(!msgs.contains("invalid transaction state"),
+      s"close()'s refusal masked the real failure: $msgs")
+    // and the sink remains usable: the staging reset clears the debris
+    sink.writeBatch(t,
+      Seq((1L, "ok", 5)).toDF("id", "name", "score"),
+      Seq.empty[Long].toDF("id"), batchId = 1L, runId = "failrun")
+    assert(query(db, "SELECT NAME FROM APP_USERS") == Seq(Seq("ok")))
+  }
+
   test("stale run id never swallows a fresh run's first batches") {
     val db = freshDb()
     val sink = new JdbcTwoPhaseSink(s"jdbc:derby:$db", appendOnly = true)

@@ -85,6 +85,57 @@ class LakehouseStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changelog mode: row-level changes of a MERGE table stream through") {
+    import graft.core.TableSchema
+    val dir = Files.createTempDirectory("graft_lake_clstream").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("k")), buckets = 2, changelog = true)
+
+    val name = "lhc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft-lakehouse")
+      .option("path", dir).option("mode", "changelog").option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      t.merge((0L until 4L).map(i => (i, s"v$i")).toDF("k", "v"),
+        spark.emptyDataFrame.withColumn("k", lit(0L)).limit(0).select($"k"))
+      q.processAllAvailable()
+      val inserts = spark.table(name)
+      assert(inserts.select($"_change_type").distinct().as[String].collect().toSeq ==
+        Seq("insert"))
+      assert(inserts.count() == 4)
+
+      // updates + delete flow as pre/post/delete rows with the commit version
+      t.merge(Seq((0L, "V0")).toDF("k", "v"), Seq(Tuple1(3L)).toDF("k"))
+      q.processAllAvailable()
+      val types = spark.table(name)
+        .filter($"_commit_version" === t.latestVersion())
+        .select($"_change_type", $"k").as[(String, Long)].collect().toSet
+      assert(types == Set(("update_preimage", 0L), ("update_postimage", 0L), ("delete", 3L)))
+
+      // a compaction-like maintenance commit delivers nothing
+      t.compact()
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 7)
+    } finally q.stop()
+
+    // mode validation: unknown modes and non-changelog tables fail loudly
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-lakehouse")
+        .option("path", dir).option("mode", "bogus").load()
+    }
+    val plain = newTable()
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-lakehouse")
+        .option("path", plain.dir).option("mode", "changelog").load()
+    }
+    assert(e.getMessage.contains("changelog"))
+  }
+
   test("checkpoint restart resumes from the committed offset: no duplicates") {
     // parquet sink: the memory sink refuses checkpoint recovery by design
     val t = newTable()
