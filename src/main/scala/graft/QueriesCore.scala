@@ -685,6 +685,47 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "s_lakehouse_changelog_stream" -> ((s, dir) => {
+      // the changelog consumed through the REAL streaming runtime
+      // (graft-lakehouse mode=changelog): same scenario as
+      // s_lakehouse_changelog, but the change rows arrive as micro-batches
+      // with commit versions as offsets; the accumulated memory sink,
+      // replay-materialized, must equal the same final-state oracle.
+      import graft.sinks.LakehouseSink
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_cdcs").toString
+      val sink = new LakehouseSink(s, root, buckets = 8, changelog = true)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val name = "slcs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft-lakehouse")
+        .option("path", sink.table(tid).dir)
+        .option("mode", "changelog")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+        var lo = Long.MinValue
+        Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+          val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+          Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+            sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+          }
+          q.processAllAvailable()
+          lo = hi
+        }
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("_commit_version").desc)
+      s.table(name).filter(col("_change_type") =!= "update_preimage")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
     "c_lakehouse_append" -> ((s, dir) => {
       // append-table mode + maintenance: the raw events table lands in three
       // APPEND commits on a PK-less table (content-hash bucketing, atomic txn
@@ -1124,6 +1165,13 @@ object QueriesCore {
         |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // identical final state to c_upsert: batched lakehouse MERGE is lossless
     "c_lakehouse_upsert" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // the changelog through the streaming runtime: same final state
+    "s_lakehouse_changelog_stream" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
