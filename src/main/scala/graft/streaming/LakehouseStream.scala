@@ -93,6 +93,17 @@ final class LakehouseStreamSource(
     // recovery: a restarted query replans from the checkpointed offset, which
     // getOffset's in-memory cursor hasn't seen yet
     lastPlanned = Some(math.max(lastPlanned.getOrElse(Long.MinValue), to))
+    // a mid-stream schema evolution must FAIL the query, not silently coerce:
+    // projecting the batch back to the stream's declared schema would drop
+    // the evolved columns' data. Restarting adopts the new schema — the same
+    // contract Delta's streaming source enforces.
+    val declared =
+      if (changelogMode) LakehouseStreamSource.changelogSchema(table)
+      else table.snapshot().schema.struct
+    if (declared != schema)
+      throw new IllegalStateException(
+        s"schema of $tableDir changed mid-stream (was ${schema.simpleString}, " +
+          s"now ${declared.simpleString}); restart the query to adopt it")
     // the engine requires isStreaming=true on a v1 source's batches
     org.apache.spark.sql.GraftStreamingBridge.asStreaming(
       if (changelogMode) table.readChangelogBetween(from, to)

@@ -136,6 +136,44 @@ class LakehouseStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changelog"))
   }
 
+  test("mid-stream schema evolution fails the query cleanly; restart adopts it") {
+    import graft.core.TableSchema
+    val t = newTable()
+    val name = "lhs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft-lakehouse")
+      .option("path", t.dir)
+      .load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      t.append(Seq((1L, "a")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(mem(name) == Seq(1L))
+      // evolve the table, then commit more data: silently projecting the new
+      // column away would be data loss — the stream must fail loudly instead
+      t.updateMeta(TableSchema(
+        StructType(schema.struct.fields :+ StructField("extra", LongType)),
+        primaryKeys = Seq.empty))
+      t.append(Seq((2L, "b", 9L)).toDF("k", "v", "extra"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("restart the query"), e.getMessage)
+    } finally q.stop()
+
+    // a fresh query picks up the evolved schema and the post-evolution commit
+    val name2 = "lhs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = spark.readStream.format("graft-lakehouse")
+      .option("path", t.dir).option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table(name2).orderBy($"k").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows(0).isNullAt(2) && rows(1).getLong(2) == 9L) // old rows null-fill
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes from the committed offset: no duplicates") {
     // parquet sink: the memory sink refuses checkpoint recovery by design
     val t = newTable()
