@@ -685,6 +685,35 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_lakehouse_mor_delete" -> ((s, dir) => {
+      // the MERGE-ON-READ delete path at the oracle gate: each micro-batch
+      // applies upserts by COW merge and deletes as O(batch) equality-delete
+      // FILES (no bucket rewrite); a mid-run compaction materializes the
+      // outstanding deletes. The sequence rule (a delete masks only files
+      // committed before it) must make delete→re-upsert→delete interleavings
+      // across batches land on the same last-event-wins final state.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_mor").toString + "/t"
+      val tb = new LakehouseTable(s, root)
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      tb.create(TableSchema(afterT, Seq("user_id")), buckets = 8)
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+        val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+        Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+          if (!ups.isEmpty) tb.merge(ups, ups.limit(0).select(col("user_id")))
+          if (!dels.isEmpty) tb.deleteWhere(dels.select(col("user_id")))
+        }
+        if (i == 1) tb.compact() // materialize mid-run
+        lo = hi
+      }
+      tb.read()
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
     "s_lakehouse_changelog_stream" -> ((s, dir) => {
       // the changelog consumed through the REAL streaming runtime
       // (graft-lakehouse mode=changelog): same scenario as
@@ -1165,6 +1194,13 @@ object QueriesCore {
         |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // identical final state to c_upsert: batched lakehouse MERGE is lossless
     "c_lakehouse_upsert" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // MOR delete files + compaction converge to the same final state
+    "c_lakehouse_mor_delete" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)

@@ -50,8 +50,16 @@ object LakehouseFormat {
       path: String,
       bucket: Int,
       rows: Long,
-      stats: Map[String, ColStats] = Map.empty) extends Action
+      stats: Map[String, ColStats] = Map.empty,
+      ver: Long = 0L) extends Action // commit version (sequence number)
   final case class RemoveFile(path: String) extends Action
+  /** A MERGE-ON-READ delete file (Iceberg v2 equality deletes): a parquet of
+    * PK values whose rows are dead in every data file committed BEFORE `ver`
+    * (the sequence-number rule — data files re-added later are NOT masked,
+    * so deleting then re-upserting a key behaves exactly like COW).
+    * [[LakehouseTable.deleteWhere]] writes them; reads anti-join them;
+    * [[LakehouseTable.compact]] materializes and drops them. */
+  final case class EqualityDeleteFile(path: String, ver: Long = 0L) extends Action
   final case class Meta(
       schema: TableSchema, buckets: Int, changelog: Boolean = false) extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
@@ -66,7 +74,8 @@ object LakehouseFormat {
       version: Long,
       meta: Option[Meta],
       files: Seq[AddFile],
-      txns: Map[String, Long]) {
+      txns: Map[String, Long],
+      deleteFiles: Seq[EqualityDeleteFile] = Seq.empty) {
     def schema: TableSchema = meta.getOrElse(
       throw new IllegalStateException("table has no meta action (not created)")).schema
     def buckets: Int = meta.map(_.buckets).getOrElse(16)
@@ -77,8 +86,9 @@ object LakehouseFormat {
   private[sinks] def encode(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case AddFile(p, b, r, stats) =>
+      case AddFile(p, b, r, stats, ver) =>
         val n = root.putObject("add"); n.put("path", p); n.put("bucket", b); n.put("rows", r)
+        if (ver > 0) n.put("ver", ver) // absent = 0: legacy logs sort earliest
         if (stats.nonEmpty) {
           val st = n.putObject("stats")
           stats.foreach { case (c, cs) =>
@@ -87,6 +97,8 @@ object LakehouseFormat {
         }
       case RemoveFile(p) =>
         root.putObject("remove").put("path", p)
+      case EqualityDeleteFile(p, ver) =>
+        val n = root.putObject("eqdel"); n.put("path", p); n.put("ver", ver)
       case Meta(s, b, cl) =>
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
@@ -110,8 +122,13 @@ object LakehouseFormat {
         else a.get("stats").fields().asScala.map { e =>
           e.getKey -> ColStats(e.getValue.get("min").asText, e.getValue.get("max").asText)
         }.toMap
-      AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong, stats)
+      AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong, stats,
+        if (a.has("ver")) a.get("ver").asLong else 0L)
     } else if (n.has("remove")) RemoveFile(n.get("remove").get("path").asText)
+    else if (n.has("eqdel")) {
+      val d = n.get("eqdel")
+      EqualityDeleteFile(d.get("path").asText, d.get("ver").asLong)
+    }
     else if (n.has("meta")) {
       val m = n.get("meta")
       Meta(
@@ -174,12 +191,14 @@ final class LakehouseTable(
       lines: Iterable[String],
       meta: Array[Option[Meta]],
       files: scala.collection.mutable.LinkedHashMap[String, AddFile],
-      txns: scala.collection.mutable.Map[String, Long]): Unit =
+      txns: scala.collection.mutable.Map[String, Long],
+      deletes: scala.collection.mutable.LinkedHashMap[String, EqualityDeleteFile]): Unit =
     lines.filter(_.nonEmpty).foreach {
       decode(_) match {
         case m: Meta => meta(0) = Some(m)
         case a: AddFile => files(a.path) = a
-        case RemoveFile(p) => files.remove(p)
+        case RemoveFile(p) => files.remove(p); deletes.remove(p)
+        case d: EqualityDeleteFile => deletes(d.path) = d
         case Txn(run, batch) => txns(run) = math.max(batch, txns.getOrElse(run, Long.MinValue))
         case _: ChangeFile => () // per-commit change data, never live state
       }
@@ -203,14 +222,17 @@ final class LakehouseTable(
     val meta = Array[Option[Meta]](None)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    val deletes = scala.collection.mutable.LinkedHashMap.empty[String, EqualityDeleteFile]
     ckpt.foreach { cv =>
       replayInto(
         Files.readAllLines(logDir.resolve(f"$cv%020d.checkpoint.json")).asScala,
-        meta, files, txns)
+        meta, files, txns, deletes)
     }
-    versions.foreach(v => replayInto(Files.readAllLines(logFile(v)).asScala, meta, files, txns))
+    versions.foreach(v =>
+      replayInto(Files.readAllLines(logFile(v)).asScala, meta, files, txns, deletes))
     Snapshot(
-      versions.lastOption.orElse(ckpt).getOrElse(-1L), meta(0), files.values.toSeq, txns.toMap)
+      versions.lastOption.orElse(ckpt).getOrElse(-1L), meta(0), files.values.toSeq,
+      txns.toMap, deletes.values.toSeq)
   }
 
   private def maybeCheckpoint(v: Long): Unit =
@@ -221,7 +243,7 @@ final class LakehouseTable(
   private def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(Some(v))
     val actions: Seq[Action] =
-      snap.meta.toSeq ++ snap.files ++
+      snap.meta.toSeq ++ snap.files ++ snap.deleteFiles ++
         snap.txns.map { case (run, b) => Txn(run, b) }
     val tmp = Files.createTempFile(logDir, s"ckpt-$v-", ".tmp")
     Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
@@ -291,18 +313,47 @@ final class LakehouseTable(
 
   /** Current (or time-traveled) contents. Missing columns in old files read
     * as null under the declared schema; remaining representation drift is
-    * coerced (widening lattice) — coerce-on-read, rewrite never.
+    * coerced (widening lattice) — coerce-on-read, rewrite never. Outstanding
+    * equality-delete files apply as anti-joins ([[readData]]).
     */
   def read(version: Option[Long] = None): DataFrame = {
     val snap = snapshot(version)
+    readData(snap, snap.files)
+  }
+
+  /** Read `keep` under `snap`'s schema with MERGE-ON-READ deletes applied:
+    * a delete file masks keys only in data files committed BEFORE it
+    * (`file.ver < delete.ver` — the Iceberg sequence-number rule), so a
+    * later re-upsert survives. Files are cohorted by their applicable
+    * delete set (cohort count ≤ distinct delete versions, a handful between
+    * compactions) and each cohort anti-joins the union of its delete keys —
+    * delete sets are batch-sized, so Spark broadcasts them.
+    */
+  private def readData(snap: Snapshot, keep: Seq[AddFile]): DataFrame = {
     val schema = snap.schema
-    if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
-    else
+    if (keep.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+    def raw(fs: Seq[AddFile]): DataFrame =
       SchemaDerivator.coerce(
         spark.read.option("mergeSchema", "true")
-          .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*),
+          .parquet(fs.map(f => Paths.get(dir, f.path).toString): _*),
         schema.struct)
+    val dels = snap.deleteFiles
+    if (dels.isEmpty) raw(keep)
+    else {
+      val pks = schema.primaryKeys
+      keep.groupBy(f => dels.filter(_.ver > f.ver).map(_.path)).toSeq
+        .map {
+          case (applicable, fs) if applicable.isEmpty => raw(fs)
+          case (applicable, fs) =>
+            val delKeys = spark.read
+              .parquet(applicable.map(p => Paths.get(dir, p).toString): _*)
+              .select(pks.map(col): _*).distinct()
+            raw(fs).join(delKeys, pks, "left_anti")
+        }
+        .reduce(_ unionByName _)
+    }
   }
 
   private def bucketOf(pks: Seq[String], buckets: Int) =
@@ -343,11 +394,9 @@ final class LakehouseTable(
         val touched = changedKeys.select(bucketOf(pks, snap.buckets).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val oldFiles = snap.files.filter(f => touched.contains(f.bucket))
-        val current =
-          if (oldFiles.isEmpty) None
-          else Some(spark.read.option("mergeSchema", "true")
-            .parquet(oldFiles.map(f => Paths.get(dir, f.path).toString): _*))
-        val cur = current.map(c => SchemaDerivator.coerce(c, schema.struct))
+        // readData applies outstanding MOR deletes: a key deleted by an
+        // equality-delete file must not resurrect into the rewritten bucket
+        val cur = if (oldFiles.isEmpty) None else Some(readData(snap, oldFiles))
         val kept = cur.map(_.join(broadcast(changedKeys), pks, "left_anti"))
         val next = kept.map(_.unionByName(coerced)).getOrElse(coerced)
 
@@ -357,7 +406,8 @@ final class LakehouseTable(
         next.withColumn(bucketCol, bucketOf(pks, snap.buckets))
           .write.partitionBy(bucketCol)
           .parquet(Paths.get(dir, commitRel).toString)
-        val adds = listCommitFiles(commitRel, bucketCol)
+        // sequence number: these files postdate every outstanding delete
+        val adds = listCommitFiles(commitRel, bucketCol).map(_.copy(ver = snap.version + 1))
         // Row-level change data (Delta CDF / Paimon changelog-producer
         // shape), classified by LOOKUP against the touched buckets we scan
         // for the rewrite anyway: pre-images of updated keys, the old rows
@@ -431,10 +481,60 @@ final class LakehouseTable(
           .write.partitionBy(bucketColName)
           .parquet(Paths.get(dir, commitRel).toString)
         val adds = listCommitFiles(commitRel, bucketColName)
+          .map(_.copy(ver = snap.version + 1))
         val actions = adds ++ txn.map { case (run, b) => Txn(run, b) }
         if (actions.isEmpty || tryCommit(snap.version + 1, actions)) done = true
         else {
           deleteRecursively(Paths.get(dir, commitRel))
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"lakehouse commit contention: gave up after $maxAttempts attempts")
+        }
+      }
+    }
+  }
+
+  /** MERGE-ON-READ delete (Iceberg v2 equality deletes): write the keys as
+    * a delete FILE — O(batch) — instead of rewriting the touched buckets
+    * (COW, O(bucket)). Reads anti-join outstanding delete files against data
+    * files committed before them (sequence rule: a later re-upsert of the
+    * key survives, exactly as with COW); [[compact]] materializes the
+    * deletes physically and drops the files. The read-side cost is one
+    * broadcast anti-join per outstanding delete cohort — the classic
+    * write-fast/read-slower MOR trade, chosen per batch: high-rate delete
+    * streams use this path, occasional deletes keep [[merge]].
+    *
+    * Changelog-enabled tables refuse this path: row-level change data needs
+    * the deleted rows' pre-images, which only the COW merge scan produces.
+    */
+  def deleteWhere(
+      keys: DataFrame,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 8): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val snap = snapshot()
+      val pks = snap.schema.primaryKeys
+      require(pks.nonEmpty, "MOR delete requires primary keys")
+      require(!snap.meta.exists(_.changelog),
+        "MOR delete cannot produce changelog pre-images; use merge() on " +
+          "changelog-enabled tables")
+      if (txn.exists { case (run, b) => snap.txns.get(run).exists(_ >= b) }) {
+        done = true // replayed batch
+      } else {
+        val delRel = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}"
+        keys.select(pks.map(col): _*).distinct()
+          .write.parquet(Paths.get(dir, delRel).toString)
+        val delFiles = Files.walk(Paths.get(dir, delRel)).iterator.asScala
+          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+          .map(p => EqualityDeleteFile(
+            Paths.get(dir).relativize(p).toString, snap.version + 1))
+          .toSeq
+        val actions = delFiles ++ txn.map { case (run, b) => Txn(run, b) }
+        if (tryCommit(snap.version + 1, actions)) done = true
+        else {
+          deleteRecursively(Paths.get(dir, delRel))
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse commit contention: gave up after $maxAttempts attempts")
         }
@@ -457,20 +557,37 @@ final class LakehouseTable(
       attempt += 1
       val snap = snapshot()
       val fragmented = snap.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
-      if (fragmented.isEmpty) return (0, 0)
-      val oldFiles = fragmented.values.flatten.toSeq
+      // outstanding MOR deletes also compact away: the buckets their keys
+      // hash into rewrite WITH the deletes applied, and the delete files
+      // drop — restoring zero read-time anti-join cost
+      val delBuckets: Set[Int] =
+        if (snap.deleteFiles.isEmpty) Set.empty
+        else spark.read
+          .parquet(snap.deleteFiles.map(d => Paths.get(dir, d.path).toString): _*)
+          .select(bucketOf(snap.schema.primaryKeys, snap.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      val buckets = fragmented.keySet ++ delBuckets
+      if (buckets.isEmpty) {
+        // key-less delete files (all their keys already absent) still drop
+        if (snap.deleteFiles.nonEmpty)
+          commit(snap.deleteFiles.map(d => RemoveFile(d.path)))
+        return (0, 0)
+      }
+      val oldFiles = snap.files.filter(f => buckets.contains(f.bucket))
       val commitRel = s"compact-${java.util.UUID.randomUUID().toString.take(12)}"
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(oldFiles.map(f => Paths.get(dir, f.path).toString): _*)
+      // readData applies the deletes during the rewrite
+      val df = readData(snap, oldFiles)
       // repartition on the bucket tag: each bucket's rows land in one task →
       // exactly one output file per bucket directory
-      SchemaDerivator.coerce(df, snap.schema.struct)
-        .withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), snap.buckets))
+      df.withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), snap.buckets))
         .repartition(col(bucketColName))
         .write.partitionBy(bucketColName)
         .parquet(Paths.get(dir, commitRel).toString)
       val adds = listCommitFiles(commitRel, bucketColName)
-      if (tryCommit(snap.version + 1, adds ++ oldFiles.map(f => RemoveFile(f.path))))
+        .map(_.copy(ver = snap.version + 1))
+      val removes = oldFiles.map(f => RemoveFile(f.path)) ++
+        snap.deleteFiles.map(d => RemoveFile(d.path))
+      if (tryCommit(snap.version + 1, adds ++ removes))
         return (oldFiles.size, adds.size)
       deleteRecursively(Paths.get(dir, commitRel))
       if (attempt >= maxAttempts) throw new IllegalStateException(
@@ -496,17 +613,17 @@ final class LakehouseTable(
       if (snap.buckets == newBuckets) return
       val commitRel = s"rescale-${java.util.UUID.randomUUID().toString.take(12)}"
       val adds = if (snap.files.isEmpty) Seq.empty else {
-        val df = spark.read.option("mergeSchema", "true")
-          .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
-        SchemaDerivator.coerce(df, snap.schema.struct)
+        // whole-table rewrite: outstanding MOR deletes materialize here too
+        readData(snap, snap.files)
           .withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), newBuckets))
           .repartition(col(bucketColName))
           .write.partitionBy(bucketColName)
           .parquet(Paths.get(dir, commitRel).toString)
-        listCommitFiles(commitRel, bucketColName)
+        listCommitFiles(commitRel, bucketColName).map(_.copy(ver = snap.version + 1))
       }
       val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog)) +:
-        (adds ++ snap.files.map(f => RemoveFile(f.path)))
+        (adds ++ snap.files.map(f => RemoveFile(f.path)) ++
+          snap.deleteFiles.map(d => RemoveFile(d.path)))
       if (tryCommit(snap.version + 1, actions)) done = true
       else {
         deleteRecursively(Paths.get(dir, commitRel))
@@ -659,30 +776,26 @@ final class LakehouseTable(
     snap.files.filter(mightOverlap(_, colName, dt, lo, hi))
   }
 
-  private def readFiles(keep: Seq[AddFile]): DataFrame = {
-    val schema = snapshot().schema
-    if (keep.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
-    else
-      SchemaDerivator.coerce(
-        spark.read.option("mergeSchema", "true")
-          .parquet(keep.map(f => Paths.get(dir, f.path).toString): _*),
-        schema.struct)
+  /** Point-predicate read through the zone maps: scan only the files whose
+    * [min,max] admits the value, then apply the filter exactly (and any
+    * outstanding MOR deletes). At 100 TB this is the difference between
+    * scanning one bucket-file and the table — the table-format analog of
+    * parquet's `PushedFilters`.
+    */
+  def readWhere(colName: String, value: Any): DataFrame = {
+    val snap = snapshot()
+    val dt = snap.schema.struct.apply(colName).dataType
+    readData(snap, snap.files.filter(mightContain(_, colName, dt, value)))
+      .filter(col(colName) === lit(value))
   }
 
-  /** Point-predicate read through the zone maps: scan only the files whose
-    * [min,max] admits the value, then apply the filter exactly. At 100 TB
-    * this is the difference between scanning one bucket-file and the table —
-    * the table-format analog of parquet's `PushedFilters`.
-    */
-  def readWhere(colName: String, value: Any): DataFrame =
-    readFiles(prunedFiles(colName, value)).filter(col(colName) === lit(value))
-
   /** Range-predicate read through the zone maps (`lo <= col <= hi`). */
-  def readBetween(colName: String, lo: Any, hi: Any): DataFrame =
-    readFiles(prunedFilesBetween(colName, lo, hi))
+  def readBetween(colName: String, lo: Any, hi: Any): DataFrame = {
+    val snap = snapshot()
+    val dt = snap.schema.struct.apply(colName).dataType
+    readData(snap, snap.files.filter(mightOverlap(_, colName, dt, lo, hi)))
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
 
   /** Drop data files no longer referenced by any snapshot >= `retainFrom`
     * (defaults to the latest version only). The log itself is never vacuumed.
@@ -697,7 +810,10 @@ final class LakehouseTable(
         .map(LakehouseFormat.decode).collect { case ChangeFile(p) => p })
       .toSet
     val referenced = (from to latestVersion())
-      .flatMap(v => snapshot(Some(v)).files.map(_.path)).toSet ++ cdcReferenced
+      .flatMap { v =>
+        val s = snapshot(Some(v))
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      }.toSet ++ cdcReferenced
     val root = Paths.get(dir)
     val removed = Files.walk(root).iterator.asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))

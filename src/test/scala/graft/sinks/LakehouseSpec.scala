@@ -273,6 +273,81 @@ class LakehouseSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("changelog"))
   }
 
+  test("MOR equality deletes: O(batch) delete, sequence semantics, compaction materializes") {
+    val t = newTable(buckets = 2)
+    t.merge((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    val preDelete = t.latestVersion()
+
+    // the fast path: a delete file, no bucket rewrite
+    t.deleteWhere(Seq(2L, 5L).toDF("k"))
+    assert(t.snapshot().files.map(_.path).toSet == filesBefore) // data untouched
+    assert(t.snapshot().deleteFiles.nonEmpty)
+    assert(t.read().select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    // zone-map reads honor the deletes too
+    assert(t.readWhere("k", 5L).isEmpty)
+    assert(t.readBetween("k", 1L, 3L).select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // time travel BEHIND the delete still sees the rows
+    assert(t.read(Some(preDelete)).count() == 10)
+
+    // sequence rule: re-upserting a deleted key survives (new file postdates
+    // the delete), and the merge rewrite must not resurrect key 5 (same
+    // bucket or not)
+    t.merge(Seq((2L, "back")).toDF("k", "v"), empty(t))
+    val afterReinsert = t.read().orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(afterReinsert.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L))
+    assert(afterReinsert.find(_._1 == 2L).get._2 == "back")
+
+    // a second MOR delete stacks (different cohort versions)
+    t.deleteWhere(Seq(7L).toDF("k"))
+    assert(t.read().select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L, 9L))
+
+    // vacuum before compaction must keep live delete files
+    t.vacuum()
+    assert(t.read().count() == 8)
+
+    // compaction materializes the deletes and drops the delete files; the
+    // read result is unchanged and no anti-join cohort remains
+    val (before, after) = t.compact()
+    assert(before > 0 && after > 0)
+    assert(t.snapshot().deleteFiles.isEmpty)
+    assert(t.read().select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L, 9L))
+    assert(!t.read().queryExecution.executedPlan.toString.contains("Join"))
+
+    // txn-tracked deletes replay as no-ops
+    t.deleteWhere(Seq(9L).toDF("k"), txn = Some(("delrun", 1L)))
+    t.deleteWhere(Seq(8L).toDF("k"), txn = Some(("delrun", 1L))) // replay: skipped
+    assert(t.read().select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L))
+  }
+
+  test("MOR deletes survive checkpointed replay; changelog tables refuse the path") {
+    val t = newTable(buckets = 2)
+    t.merge((0L until 5L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    t.deleteWhere(Seq(1L).toDF("k"))
+    // drive past the checkpoint interval so state replays from a checkpoint
+    // that must carry the delete file and the data files' sequence numbers
+    (0 until 10).foreach(i => t.merge(Seq((100L + i, "x")).toDF("k", "v"), empty(t)))
+    val fresh = new LakehouseTable(spark, t.dir) // re-open: replay from log
+    assert(fresh.snapshot().deleteFiles.nonEmpty)
+    assert(fresh.read().filter($"k" === 1L).isEmpty)
+    assert(fresh.read().count() == 14)
+
+    val cl = {
+      val dir = Files.createTempDirectory("graft_lake_clref").toString
+      val x = new LakehouseTable(spark, dir)
+      x.create(schema, buckets = 2, changelog = true)
+      x
+    }
+    cl.merge(Seq((1L, "a")).toDF("k", "v"), empty(cl))
+    val e = intercept[IllegalArgumentException](cl.deleteWhere(Seq(1L).toDF("k")))
+    assert(e.getMessage.contains("changelog"))
+  }
+
   test("rescaleBuckets: layout migration preserves data, merges use new layout") {
     val t = newTable(buckets = 2)
     t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
