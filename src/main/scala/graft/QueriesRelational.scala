@@ -98,6 +98,49 @@ object QueriesRelational {
           col("gid"), col("n"))
         .orderBy("rf", "ls", "gid")
     }),
+    "r_pivot" -> ((s, dir) => {
+      // PIVOT: order counts + exact-decimal totals per (priority, status)
+      // rotated to one column set per status. Spark compiles pivot to ONE
+      // hash aggregate over (priority) with per-status conditional
+      // aggregates — map-side partials, a single shuffle, no per-status
+      // scan. Values are enumerated explicitly: at 100 TB an implicit
+      // distinct-scan to discover pivot columns would be its own job.
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          col("F_total").cast("double").as("f_total"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"),
+          col("O_total").cast("double").as("o_total"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"),
+          col("P_total").cast("double").as("p_total"))
+        .orderBy("o_orderpriority")
+    }),
+    "r_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (finer than cube/rollup: exactly the
+      // requested combinations) + grouping_id disambiguation — one
+      // hash-aggregate pass expanding only the three listed sets
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("total"))
+        .orderBy("prio", "status", "gid")
+    }),
     "r_arrays" -> ((s, dir) => {
       // array construction + element access (absent in the reference,
       // SURVEY §2.5): per-customer sorted order list, derived scalars only
@@ -187,6 +230,28 @@ object QueriesRelational {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls, gid""".stripMargin,
+    // CASE-free portable pivot: per-status FILTER aggregates
+    "r_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "r_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY prio, status, gid""".stripMargin,
     "r_arrays" ->
       """SELECT o_custkey, CAST(len(l) AS INT) AS n, l[1] AS first_order,
         |  l[-1] AS last_order
