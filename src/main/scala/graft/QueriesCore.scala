@@ -212,6 +212,28 @@ object QueriesCore {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    "q_moving_range" -> ((s, dir) => {
+      // time-based RANGE frame: per-user trailing-24h event count and
+      // exact-decimal rolling sum at every event — the frame is defined by
+      // VALUE distance (RANGE BETWEEN 86399 PRECEDING), not row count, so
+      // irregular event spacing is handled exactly. One shuffle on user_id,
+      // one ordered pass; at 100 TB the partition key bounds state, never
+      // the table.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-86399L, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .select(
+          col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("v")).over(w), 2).cast("double").as("sum_24h"))
+        .orderBy("user_id", "event_id")
+    }),
     "q_lead_lag" -> ((s, dir) => {
       // sequential analytics is the LEGITIMATE window use (unlike
       // first-row-per-key, which q_window does as an aggregate): lag/lead
@@ -1100,6 +1122,16 @@ object QueriesCore {
         |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_moving_range" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS sum_24h
+        |FROM (SELECT user_id, event_id,
+        |        CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_sec, value
+        |      FROM events WHERE user_id < 30)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_lead_lag" ->
       """SELECT user_id, event_id, value,
         |  lag(value) OVER w AS prev_value,

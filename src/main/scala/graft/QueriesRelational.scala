@@ -141,6 +141,22 @@ object QueriesRelational {
           col("gid"), col("n"), col("total"))
         .orderBy("prio", "status", "gid")
     }),
+    "r_unpivot" -> ((s, dir) => {
+      // UNPIVOT (wide→long melt): per-line measures rotate into
+      // (measure, val) rows — Spark's Expand node emits all three output
+      // rows per input row in ONE map-only pass, no three-scan UNION
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
     "r_arrays" -> ((s, dir) => {
       // array construction + element access (absent in the reference,
       // SURVEY §2.5): per-customer sorted order list, derived scalars only
@@ -252,6 +268,19 @@ object QueriesRelational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY prio, status, gid""".stripMargin,
+    "r_unpivot" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS quantity,
+        |    CAST(l_discount AS DOUBLE) AS discount,
+        |    CAST(l_tax AS DOUBLE) AS tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS val FROM li
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', discount FROM li
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', tax FROM li
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "r_arrays" ->
       """SELECT o_custkey, CAST(len(l) AS INT) AS n, l[1] AS first_order,
         |  l[-1] AS last_order
