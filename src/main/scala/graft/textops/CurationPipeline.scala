@@ -171,11 +171,34 @@ object CurationPipeline {
         require(fraction > 0 && fraction <= 1, s"sample fraction out of (0,1]: $fraction")
         df.filter(TrainingData.deterministicBucket(col(idCol), 2048) <
           math.round(fraction * 2048).toInt)
+      case "mix" =>
+        // domain mixing (the DoReMi-style source reweighting of a pretraining
+        // corpus): per-stratum keep-fractions over a strata column, e.g.
+        //   - type: mix
+        //     by: source
+        //     web: 0.25
+        //     books: 1.0
+        //     default: 0.5
+        // Delegates to the oracle-checked stratifiedSample (map-only, exact
+        // 1/2048th integer arithmetic, stable across runs). Weights are
+        // DOWN-sampling fractions in [0,1]; upsampling is an epoch-level
+        // concern (duplicated ids would poison every dedup step downstream).
+        val by = cfg("by", "source")
+        val weights = (step.config - "by" - "default").map { case (k, v) =>
+          val w = v.toDouble
+          require(w >= 0 && w <= 1,
+            s"mix weight for '$k' out of [0,1]: $w (upsample via epochs, not rows)")
+          k -> math.round(w * 2048).toInt
+        }
+        val default = cfg("default", "1.0").toDouble
+        require(default >= 0 && default <= 1, s"mix default out of [0,1]: $default")
+        TrainingData.stratifiedSample(
+          df, idCol, by, weights, math.round(default * 2048).toInt)
       case other =>
         throw new IllegalArgumentException(
           s"unknown curation step '$other' (supported: repetition-filter, quality-filter, " +
             "language-filter, exact-dedup, span-dedup, incremental-dedup, decontaminate, " +
-            "pii-redact, sample)")
+            "pii-redact, sample, mix)")
     }
   }
 

@@ -291,4 +291,28 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(s1 == s2)
     assert(step(df, "sample", "fraction" -> "1.0").count() == 3)
   }
+
+  test("mix step: per-source weights via the oracle-checked stratified sampler") {
+    val corpus = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", s"document body number $i here"))
+      .toDF("doc_id", "source", "text")
+    def step(cfg: (String, String)*) =
+      CurationPipeline.applyStep(spark, corpus,
+        CurationPipeline.StepDef("mix", cfg.toMap), "doc_id", "text")
+    val mixed = step("by" -> "source", "web" -> "0.25", "books" -> "1.0")
+    val bySource = mixed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(bySource("books") == 200L) // weight 1.0 keeps everything
+    assert(bySource("web") > 20L && bySource("web") < 80L) // ~25% of 200
+    // equals the underlying operator exactly (same 1/2048th arithmetic)
+    val direct = TrainingData.stratifiedSample(
+      corpus, "doc_id", "source", Map("web" -> 512, "books" -> 2048), 2048)
+    assert(mixed.select($"doc_id").as[Long].collect().toSet ==
+      direct.select($"doc_id").as[Long].collect().toSet)
+    // default applies to unlisted strata; deterministic across calls
+    val defaulted = step("by" -> "source", "web" -> "0.25", "default" -> "0.0")
+    assert(defaulted.select($"source").distinct().as[String].collect().toSeq == Seq("web"))
+    // upsampling weights are rejected with the epoch guidance
+    val e = intercept[IllegalArgumentException](step("web" -> "2.0").count())
+    assert(e.getMessage.contains("epoch"))
+  }
 }
