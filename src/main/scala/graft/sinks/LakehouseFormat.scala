@@ -776,6 +776,83 @@ final class LakehouseTable(
     snap.files.filter(mightOverlap(_, colName, dt, lo, hi))
   }
 
+  /** Can `file` contain rows with `colName >= v` / `<= v`? Typed like
+    * [[mightContain]]: stat-less or unparseable stats always survive. */
+  private def maxAtLeast(
+      file: AddFile, colName: String,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Boolean =
+    file.stats.get(colName) match {
+      case None => true
+      case Some(cs) =>
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: NumericType =>
+            try BigDecimal(cs.max) >= BigDecimal(v.toString)
+            catch { case _: NumberFormatException => true }
+          case _ => cs.max >= renderProbe(dt, v)
+        }
+    }
+
+  private def minAtMost(
+      file: AddFile, colName: String,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Boolean =
+    file.stats.get(colName) match {
+      case None => true
+      case Some(cs) =>
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: NumericType =>
+            try BigDecimal(cs.min) <= BigDecimal(v.toString)
+            catch { case _: NumberFormatException => true }
+          case _ => cs.min <= renderProbe(dt, v)
+        }
+    }
+
+  /** Zone-map survival of one Spark data-source `Filter` — conservative:
+    * anything untranslatable keeps the file, and Spark re-applies every
+    * filter exactly after the scan, so pruning can only skip work, never
+    * change results. Strict and non-strict comparisons share bounds checks
+    * (a file whose max equals a `>` probe survives — one extra file, still
+    * correct). */
+  private def survives(
+      snap: Snapshot, file: AddFile,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def dtOf(a: String) = snap.schema.struct.apply(a).dataType
+    filter match {
+      case EqualTo(a, v) => mightContain(file, a, dtOf(a), v)
+      case In(a, vs) => vs.exists(mightContain(file, a, dtOf(a), _))
+      case GreaterThan(a, v) => maxAtLeast(file, a, dtOf(a), v)
+      case GreaterThanOrEqual(a, v) => maxAtLeast(file, a, dtOf(a), v)
+      case LessThan(a, v) => minAtMost(file, a, dtOf(a), v)
+      case LessThanOrEqual(a, v) => minAtMost(file, a, dtOf(a), v)
+      case And(l, r) => survives(snap, file, l) && survives(snap, file, r)
+      case Or(l, r) => survives(snap, file, l) || survives(snap, file, r)
+      case _ => true
+    }
+  }
+
+  /** The live files a Spark data-source `Filter` set may need — the
+    * zone-map pruning behind `format("graft-lakehouse")` batch reads.
+    * Exposed for plan-evidence tests. */
+  def prunedForFilters(filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] = {
+    val snap = snapshot()
+    snap.files.filter(f => filters.forall(survives(snap, f, _)))
+  }
+
+  /** Batch-scan hook for the DSv1 `PrunedFilteredScan` relation: zone-map
+    * prune by the pushed filters, read with MOR deletes applied, project the
+    * required columns. Spark re-applies every filter exactly downstream. */
+  def scanWithFilters(
+      requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val snap = snapshot()
+    val keep = snap.files.filter(f => filters.forall(survives(snap, f, _)))
+    val base = readData(snap, keep)
+    if (requiredColumns.isEmpty) base
+    else base.select(requiredColumns.toSeq.map(col): _*)
+  }
+
   /** Point-predicate read through the zone maps: scan only the files whose
     * [min,max] admits the value, then apply the filter exactly (and any
     * outstanding MOR deletes). At 100 TB this is the difference between

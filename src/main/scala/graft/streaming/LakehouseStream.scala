@@ -134,9 +134,42 @@ object LakehouseStreamSource {
   }
 }
 
+/** `spark.read.format("graft-lakehouse")` — the BATCH side of the format:
+  * a `PrunedFilteredScan` relation whose pushed filters drive the table's
+  * ZONE-MAP file pruning (EqualTo/In/range/And/Or translate; anything else
+  * conservatively keeps files, and Spark re-applies every filter exactly),
+  * with MOR deletes applied. One format string serves batch reads, the
+  * change-feed stream, and the changelog stream. */
+final class LakehouseRelation(
+    override val sqlContext: SQLContext,
+    tableDir: String)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  private val table = new LakehouseTable(sqlContext.sparkSession, tableDir)
+
+  override def schema: StructType = table.snapshot().schema.struct
+
+  // pruning is best-effort file skipping; every filter must still run
+  override def unhandledFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] =
+    filters
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    table.scanWithFilters(requiredColumns, filters).rdd
+}
+
 /** Registers `format("graft-lakehouse")` (and the fully-qualified class name)
   * as a streaming source over a lakehouse table directory. */
-final class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider {
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation =
+    new LakehouseRelation(sqlContext, tableDir(parameters))
 
   override def shortName(): String = "graft-lakehouse"
 

@@ -116,6 +116,22 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("r_pivot compiles to ONE aggregate pass, not a per-status union of scans") {
+    val df = QueriesRelational.queries("r_pivot")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"pivot must not union per-status scans:\n$plan")
+    assert(plan.contains("partial"), s"no map-side partial aggregation:\n$plan")
+    // one scan of orders feeds all six pivoted aggregates
+    assert("orders\\.parquet".r.findAllIn(plan).size <= 1, s"multiple scans:\n$plan")
+  }
+
+  test("r_unpivot executes as a map-only Expand, not a three-scan union") {
+    val df = QueriesRelational.queries("r_unpivot")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand node:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 1, s"multiple scans:\n$plan")
+  }
+
   test("x_curate_e2e: bench grams broadcast, no cartesian anywhere") {
     val df = QueriesML.queries("x_curate_e2e")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

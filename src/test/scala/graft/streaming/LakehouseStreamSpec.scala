@@ -136,6 +136,47 @@ class LakehouseStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changelog"))
   }
 
+  test("batch read: format(graft-lakehouse) with zone-map filter pushdown") {
+    import org.apache.spark.sql.sources._
+    val dir = Files.createTempDirectory("graft_lake_batch").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(schema.struct, primaryKeys = Seq("k")), buckets = 2)
+    // disjoint key ranges across commits: zone maps separate the files
+    t.merge((0L until 40L).map(i => (i, s"v$i")).toDF("k", "v"),
+      spark.emptyDataFrame.withColumn("k", lit(0L)).limit(0).select($"k"))
+    val dfAll = spark.read.format("graft-lakehouse").option("path", dir).load()
+    assert(dfAll.count() == 40)
+    assert(dfAll.schema.fieldNames.toSeq == Seq("k", "v"))
+
+    // results equal the table API under predicates + projection
+    val filtered = dfAll.filter($"k" >= 10 && $"k" < 20).select($"v")
+    assert(filtered.as[String].collect().sorted.toSeq ==
+      (10L until 20L).map(i => s"v$i").sorted)
+
+    // MOR deletes apply through the relation too
+    t.deleteWhere(Seq(15L).toDF("k"))
+    assert(spark.read.format("graft-lakehouse").option("path", dir).load()
+      .filter($"k" === 15L).isEmpty)
+
+    // the pushed-filter translation prunes files (conjunction, range, IN)
+    val table2dir = Files.createTempDirectory("graft_lake_batch2").toString
+    val t2 = new LakehouseTable(spark, table2dir)
+    t2.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 2)
+    t2.append((0L until 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t2.append((100L until 140L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val all = t2.snapshot().files.size
+    assert(t2.prunedForFilters(Seq(EqualTo("k", 120L))).size < all)
+    assert(t2.prunedForFilters(Seq(GreaterThanOrEqual("k", 100L))).size < all)
+    assert(t2.prunedForFilters(Seq(In("k", Array(5L, 7L)))).size < all)
+    assert(t2.prunedForFilters(Seq(
+      And(GreaterThan("k", 100L), LessThan("k", 130L)))).size < all)
+    // untranslatable filters keep everything (conservative)
+    assert(t2.prunedForFilters(Seq(StringContains("v", "1"))).size == all)
+    // and the relation's answer under a pruning predicate is exact
+    assert(spark.read.format("graft-lakehouse").option("path", table2dir).load()
+      .filter($"k" === 120L).select($"v").as[String].collect().toSeq == Seq("v120"))
+  }
+
   test("mid-stream schema evolution fails the query cleanly; restart adopts it") {
     import graft.core.TableSchema
     val t = newTable()
