@@ -707,6 +707,43 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_lakehouse_partial_update" -> ((s, dir) => {
+      // the partial-update merge engine (Paimon's CDC wide-table assembly):
+      // each user's events arrive as COLUMN-WISE updates — even event_ids
+      // carry only event_type, odd only value — split into three PK-unique
+      // batches (the user's 1st/2nd/3rd event). The assembled table must
+      // hold, per user and PER COLUMN, the last non-null value: a last-wins
+      // engine would wipe the other column on every batch.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_pu").toString + "/t"
+      val tb = new LakehouseTable(s, root)
+      tb.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "user_id", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(
+              "value", org.apache.spark.sql.types.DoubleType))),
+          primaryKeys = Seq("user_id")),
+        buckets = 8, mergeEngine = "partial-update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val updates = t(s, dir, "events")
+        .filter(col("user_id") < 150)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("rn"), col("user_id"),
+          when(col("event_id") % 2 === 0, col("event_type")).as("event_type"),
+          when(col("event_id") % 2 === 1, col("value").cast("double")).as("value"))
+      (1 to 3).foreach { i =>
+        tb.merge(
+          updates.filter(col("rn") === i).drop("rn"),
+          updates.limit(0).select(col("user_id")))
+      }
+      tb.read().orderBy("user_id")
+    }),
     "c_lakehouse_mor_delete" -> ((s, dir) => {
       // the MERGE-ON-READ delete path at the oracle gate: each micro-batch
       // applies upserts by COW merge and deletes as O(batch) equality-delete
@@ -1231,6 +1268,21 @@ object QueriesCore {
         |  FROM ev)
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // per column, the last non-null across the user's first three events
+    "c_lakehouse_partial_update" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 150),
+        |b AS (
+        |  SELECT user_id, rn,
+        |    CASE WHEN event_id % 2 = 0 THEN event_type END AS et,
+        |    CASE WHEN event_id % 2 = 1 THEN CAST(value AS DOUBLE) END AS v
+        |  FROM e WHERE rn <= 3)
+        |SELECT user_id,
+        |  max_by(et, rn) FILTER (WHERE et IS NOT NULL) AS event_type,
+        |  max_by(v, rn) FILTER (WHERE v IS NOT NULL) AS value
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     // MOR delete files + compaction converge to the same final state
     "c_lakehouse_mor_delete" -> (evCte +
       """, last AS (

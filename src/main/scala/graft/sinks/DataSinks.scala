@@ -53,7 +53,8 @@ object DataSinks {
             "path", throw new IllegalArgumentException("lakehouse sink requires 'path'")),
           buckets = sinkDef.config.getOrElse("buckets", "16").toInt,
           collectStats = sinkDef.config.getOrElse("stats", "true").toBoolean,
-          changelog = sinkDef.config.getOrElse("changelog", "false").toBoolean)
+          changelog = sinkDef.config.getOrElse("changelog", "false").toBoolean,
+          mergeEngine = sinkDef.config.getOrElse("merge-engine", "last-wins"))
       case "elasticsearch" =>
         new ElasticsearchSink(
           baseUrl = sinkDef.config.getOrElse("hosts", sinkDef.config.getOrElse(

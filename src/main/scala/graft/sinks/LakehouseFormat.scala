@@ -61,7 +61,10 @@ object LakehouseFormat {
     * [[LakehouseTable.compact]] materializes and drops them. */
   final case class EqualityDeleteFile(path: String, ver: Long = 0L) extends Action
   final case class Meta(
-      schema: TableSchema, buckets: Int, changelog: Boolean = false) extends Action
+      schema: TableSchema,
+      buckets: Int,
+      changelog: Boolean = false,
+      mergeEngine: String = "last-wins") extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
   /** A row-level change-data file of one MERGE commit (Delta CDF's
     * `_change_data` / Paimon's changelog files): rows carry the declared
@@ -99,12 +102,13 @@ object LakehouseFormat {
         root.putObject("remove").put("path", p)
       case EqualityDeleteFile(p, ver) =>
         val n = root.putObject("eqdel"); n.put("path", p); n.put("ver", ver)
-      case Meta(s, b, cl) =>
+      case Meta(s, b, cl, me) =>
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
         val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
         n.put("buckets", b)
         if (cl) n.put("changelog", true) // absent = false: old logs decode fine
+        if (me != "last-wins") n.put("mergeEngine", me)
       case Txn(run, batch) =>
         val n = root.putObject("txn"); n.put("runId", run); n.put("batchId", batch)
       case ChangeFile(p) =>
@@ -136,7 +140,8 @@ object LakehouseFormat {
           DataType.fromJson(m.get("schemaJson").asText).asInstanceOf[StructType],
           m.get("pks").elements.asScala.map(_.asText).toSeq),
         m.get("buckets").asInt,
-        m.has("changelog") && m.get("changelog").asBoolean)
+        m.has("changelog") && m.get("changelog").asBoolean,
+        if (m.has("mergeEngine")) m.get("mergeEngine").asText else "last-wins")
     } else if (n.has("txn")) {
       val t = n.get("txn")
       Txn(t.get("runId").asText, t.get("batchId").asLong)
@@ -289,13 +294,25 @@ final class LakehouseTable(
     }
   }
 
-  def create(schema: TableSchema, buckets: Int = 16, changelog: Boolean = false): Unit = {
+  def create(
+      schema: TableSchema,
+      buckets: Int = 16,
+      changelog: Boolean = false,
+      mergeEngine: String = "last-wins"): Unit = {
     // PK-less tables are legal append-only tables (Paimon's append mode);
     // merge() enforces keys at call time. `changelog = true` makes every
     // MERGE commit also write row-level change data (readChangelogBetween).
+    // `mergeEngine` is a TABLE property, as in Paimon: `last-wins` replaces
+    // the whole row per key; `partial-update` keeps, per column, the last
+    // NON-NULL value — the CDC wide-table assembly engine.
+    require(Seq("last-wins", "partial-update").contains(mergeEngine),
+      s"unknown merge engine '$mergeEngine' (last-wins | partial-update)")
+    require(mergeEngine == "last-wins" || !changelog,
+      "changelog + partial-update is unsupported: post-images would need the " +
+        "combined row, not the batch row")
     if (snapshot().meta.isEmpty &&
-      !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets, changelog))))
-      create(schema, buckets, changelog) // lost the race; re-check (idempotent)
+      !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets, changelog, mergeEngine))))
+      create(schema, buckets, changelog, mergeEngine) // lost the race; re-check
   }
 
   /** Commit arbitrary actions at the next version (retrying past losers of
@@ -304,11 +321,11 @@ final class LakehouseTable(
     if (!tryCommit(snapshot().version + 1, actions)) commit(actions)
 
   /** Update table metadata (schema evolution): one metadata-only commit.
-    * Bucket count and changelog flag carry over. */
+    * Bucket count, changelog flag, and merge engine carry over. */
   def updateMeta(schema: TableSchema): Unit = {
     val m = snapshot().meta
     commit(Seq(Meta(schema, m.map(_.buckets).getOrElse(16),
-      m.exists(_.changelog))))
+      m.exists(_.changelog), m.map(_.mergeEngine).getOrElse("last-wins"))))
   }
 
   /** Current (or time-traveled) contents. Missing columns in old files read
@@ -398,7 +415,26 @@ final class LakehouseTable(
         // equality-delete file must not resurrect into the rewritten bucket
         val cur = if (oldFiles.isEmpty) None else Some(readData(snap, oldFiles))
         val kept = cur.map(_.join(broadcast(changedKeys), pks, "left_anti"))
-        val next = kept.map(_.unionByName(coerced)).getOrElse(coerced)
+        // the merge ENGINE decides what an upsert of an existing key means:
+        //  - last-wins: the batch row replaces the whole old row
+        //  - partial-update (Paimon's CDC wide-table assembly): per column,
+        //    the batch's NON-NULL values overwrite, nulls keep the old value —
+        //    combined via a full-outer join of the (batch-bounded) old rows
+        //    of the upserted keys with the batch
+        val incoming = (snap.meta.map(_.mergeEngine).getOrElse("last-wins"), cur) match {
+          case ("partial-update", Some(c)) =>
+            val upKeys = coerced.select(pks.map(col): _*).distinct()
+            val nonPk = schema.struct.fieldNames.toSeq.filterNot(pks.contains)
+            val o = c.join(broadcast(upKeys), pks, "left_semi")
+              .select(pks.map(col) ++ nonPk.map(n => col(n).as(s"__o_$n")): _*)
+            val n = coerced
+              .select(pks.map(col) ++ nonPk.map(x => col(x).as(s"__n_$x")): _*)
+            o.join(n, pks, "full_outer")
+              .select(pks.map(col) ++
+                nonPk.map(x => coalesce(col(s"__n_$x"), col(s"__o_$x")).as(x)): _*)
+          case _ => coerced
+        }
+        val next = kept.map(_.unionByName(incoming)).getOrElse(incoming)
 
         // write the rewritten buckets as a new immutable commit directory
         val commitRel = s"data-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -621,7 +657,8 @@ final class LakehouseTable(
           .parquet(Paths.get(dir, commitRel).toString)
         listCommitFiles(commitRel, bucketColName).map(_.copy(ver = snap.version + 1))
       }
-      val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog)) +:
+      val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog),
+        snap.meta.map(_.mergeEngine).getOrElse("last-wins")) +:
         (adds ++ snap.files.map(f => RemoveFile(f.path)) ++
           snap.deleteFiles.map(d => RemoveFile(d.path)))
       if (tryCommit(snap.version + 1, actions)) done = true
@@ -1021,7 +1058,8 @@ final class LakehouseSink(
     rootDir: String,
     buckets: Int = 16,
     collectStats: Boolean = true,
-    changelog: Boolean = false)
+    changelog: Boolean = false,
+    mergeEngine: String = "last-wins")
     extends DataSink {
 
   def table(t: TableId): LakehouseTable =
@@ -1029,7 +1067,8 @@ final class LakehouseSink(
       spark, Paths.get(rootDir, t.identifier.replace('.', '_')).toString, collectStats)
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = event match {
-    case CreateTableEvent(t, schema) => table(t).create(schema, buckets, changelog)
+    case CreateTableEvent(t, schema) =>
+      table(t).create(schema, buckets, changelog, mergeEngine)
     case DropTableEvent(t) =>
       val tb = table(t)
       tb.snapshot().files.foreach(f =>

@@ -348,6 +348,51 @@ class LakehouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changelog"))
   }
 
+  test("partial-update merge engine: per-column last non-null wins") {
+    val dir = Files.createTempDirectory("graft_lake_pu").toString
+    val t = new LakehouseTable(spark, dir)
+    val wide = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("a", StringType), StructField("b", StringType))),
+      primaryKeys = Seq("k"))
+    t.create(wide, buckets = 2, mergeEngine = "partial-update")
+
+    // batch 1 fills column a; batch 2 fills column b for the same keys —
+    // the wide-table assembly case: neither batch wipes the other's column
+    t.merge(Seq((1L, "a1", null), (2L, "a2", null))
+      .toDF("k", "a", "b"), empty(t))
+    t.merge(Seq((1L, null, "b1"), (3L, null, "b3"))
+      .toDF("k", "a", "b"), empty(t))
+    assert(t.read().orderBy($"k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a1", "b1"), (2L, "a2", null), (3L, null, "b3")))
+
+    // a later non-null overwrites; nulls never do
+    t.merge(Seq((1L, "a1x", null)).toDF("k", "a", "b"), empty(t))
+    assert(t.read().filter($"k" === 1L).collect().map(r =>
+      (r.getString(1), r.getString(2))).toSeq == Seq(("a1x", "b1")))
+
+    // deletes drop the whole assembled row
+    t.merge(Seq.empty[(Long, String, String)].toDF("k", "a", "b"),
+      Seq(Tuple1(2L)).toDF("k"))
+    assert(t.read().select($"k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    // the engine is a table property: it survives re-open and schema update
+    val fresh = new LakehouseTable(spark, dir)
+    assert(fresh.snapshot().meta.get.mergeEngine == "partial-update")
+    fresh.updateMeta(TableSchema(
+      StructType(wide.struct.fields :+ StructField("c", StringType)),
+      primaryKeys = Seq("k")))
+    assert(fresh.snapshot().meta.get.mergeEngine == "partial-update")
+
+    // invalid engines and changelog+partial-update are rejected at create
+    val bad = new LakehouseTable(spark, Files.createTempDirectory("pu_bad").toString)
+    intercept[IllegalArgumentException](bad.create(wide, mergeEngine = "sum"))
+    intercept[IllegalArgumentException](
+      bad.create(wide, changelog = true, mergeEngine = "partial-update"))
+  }
+
   test("rescaleBuckets: layout migration preserves data, merges use new layout") {
     val t = newTable(buckets = 2)
     t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
