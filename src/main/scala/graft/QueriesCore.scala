@@ -707,6 +707,49 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_lakehouse_agg" -> ((s, dir) => {
+      // the aggregation merge engine (Paimon's metrics-rollup table): three
+      // event batches fold into per-user running aggregates — n summed,
+      // last_event maxed, total summed as exact decimal — so the table IS
+      // the rollup, maintained incrementally by MERGE instead of recomputed
+      // by a full GROUP BY each time. Must equal the one-shot GROUP BY.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_agg").toString + "/t"
+      val tb = new LakehouseTable(s, root)
+      tb.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "user_id", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "n", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "last_event", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "total", org.apache.spark.sql.types.DecimalType(18, 2)))),
+          primaryKeys = Seq("user_id")),
+        buckets = 8, mergeEngine = "aggregate",
+        aggregations = Map("n" -> "sum", "last_event" -> "max", "total" -> "sum"))
+      val ev = t(s, dir, "events").filter(col("user_id") < 150)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxId / 3, 2 * maxId / 3, maxId).foreach { hi =>
+        // each batch pre-aggregates ITS slice per key (batches must be
+        // PK-unique); the engine folds batches together across merges
+        val batch = ev.filter(col("event_id") > lo && col("event_id") <= hi)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("event_id")).as("last_event"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+        tb.merge(batch, batch.limit(0).select(col("user_id")))
+        lo = hi
+      }
+      tb.read()
+        .select(col("user_id"), col("n"), col("last_event"),
+          col("total").cast("decimal(18,2)").as("total"))
+        .orderBy("user_id")
+    }),
     "c_lakehouse_partial_update" -> ((s, dir) => {
       // the partial-update merge engine (Paimon's CDC wide-table assembly):
       // each user's events arrive as COLUMN-WISE updates — even event_ids
@@ -1268,6 +1311,12 @@ object QueriesCore {
         |  FROM ev)
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // incrementally folded rollup == one-shot GROUP BY
+    "c_lakehouse_agg" ->
+      """SELECT user_id, count(*) AS n, max(event_id) AS last_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM events WHERE user_id < 150
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // per column, the last non-null across the user's first three events
     "c_lakehouse_partial_update" ->
       """WITH e AS (

@@ -64,7 +64,8 @@ object LakehouseFormat {
       schema: TableSchema,
       buckets: Int,
       changelog: Boolean = false,
-      mergeEngine: String = "last-wins") extends Action
+      mergeEngine: String = "last-wins",
+      aggregations: Map[String, String] = Map.empty) extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
   /** A row-level change-data file of one MERGE commit (Delta CDF's
     * `_change_data` / Paimon's changelog files): rows carry the declared
@@ -102,13 +103,17 @@ object LakehouseFormat {
         root.putObject("remove").put("path", p)
       case EqualityDeleteFile(p, ver) =>
         val n = root.putObject("eqdel"); n.put("path", p); n.put("ver", ver)
-      case Meta(s, b, cl, me) =>
+      case Meta(s, b, cl, me, aggs) =>
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
         val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
         n.put("buckets", b)
         if (cl) n.put("changelog", true) // absent = false: old logs decode fine
         if (me != "last-wins") n.put("mergeEngine", me)
+        if (aggs.nonEmpty) {
+          val a = n.putObject("aggregations")
+          aggs.foreach { case (c, f) => a.put(c, f) }
+        }
       case Txn(run, batch) =>
         val n = root.putObject("txn"); n.put("runId", run); n.put("batchId", batch)
       case ChangeFile(p) =>
@@ -141,7 +146,10 @@ object LakehouseFormat {
           m.get("pks").elements.asScala.map(_.asText).toSeq),
         m.get("buckets").asInt,
         m.has("changelog") && m.get("changelog").asBoolean,
-        if (m.has("mergeEngine")) m.get("mergeEngine").asText else "last-wins")
+        if (m.has("mergeEngine")) m.get("mergeEngine").asText else "last-wins",
+        if (!m.has("aggregations")) Map.empty
+        else m.get("aggregations").fields().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap)
     } else if (n.has("txn")) {
       val t = n.get("txn")
       Txn(t.get("runId").asText, t.get("batchId").asLong)
@@ -298,21 +306,34 @@ final class LakehouseTable(
       schema: TableSchema,
       buckets: Int = 16,
       changelog: Boolean = false,
-      mergeEngine: String = "last-wins"): Unit = {
+      mergeEngine: String = "last-wins",
+      aggregations: Map[String, String] = Map.empty): Unit = {
     // PK-less tables are legal append-only tables (Paimon's append mode);
     // merge() enforces keys at call time. `changelog = true` makes every
     // MERGE commit also write row-level change data (readChangelogBetween).
     // `mergeEngine` is a TABLE property, as in Paimon: `last-wins` replaces
     // the whole row per key; `partial-update` keeps, per column, the last
-    // NON-NULL value — the CDC wide-table assembly engine.
-    require(Seq("last-wins", "partial-update").contains(mergeEngine),
-      s"unknown merge engine '$mergeEngine' (last-wins | partial-update)")
+    // NON-NULL value (CDC wide-table assembly); `aggregate` folds the batch
+    // into the old row per column with the functions in `aggregations`
+    // (sum | max | min), unlisted columns behaving last-non-null — the
+    // metrics-rollup table.
+    require(Seq("last-wins", "partial-update", "aggregate").contains(mergeEngine),
+      s"unknown merge engine '$mergeEngine' (last-wins | partial-update | aggregate)")
     require(mergeEngine == "last-wins" || !changelog,
-      "changelog + partial-update is unsupported: post-images would need the " +
-        "combined row, not the batch row")
+      "changelog is only supported with the last-wins engine: post-images " +
+        "would need the combined row, not the batch row")
+    require(mergeEngine == "aggregate" || aggregations.isEmpty,
+      "aggregations require merge engine 'aggregate'")
+    aggregations.foreach { case (c, f) =>
+      require(Seq("sum", "max", "min").contains(f),
+        s"unknown aggregation '$f' for column '$c' (sum | max | min)")
+      require(schema.struct.fieldNames.contains(c) && !schema.primaryKeys.contains(c),
+        s"aggregation column '$c' must be a non-key table column")
+    }
     if (snapshot().meta.isEmpty &&
-      !tryCommit(latestVersion() + 1, Seq(Meta(schema, buckets, changelog, mergeEngine))))
-      create(schema, buckets, changelog, mergeEngine) // lost the race; re-check
+      !tryCommit(latestVersion() + 1,
+        Seq(Meta(schema, buckets, changelog, mergeEngine, aggregations))))
+      create(schema, buckets, changelog, mergeEngine, aggregations) // lost the race
   }
 
   /** Commit arbitrary actions at the next version (retrying past losers of
@@ -325,7 +346,8 @@ final class LakehouseTable(
   def updateMeta(schema: TableSchema): Unit = {
     val m = snapshot().meta
     commit(Seq(Meta(schema, m.map(_.buckets).getOrElse(16),
-      m.exists(_.changelog), m.map(_.mergeEngine).getOrElse("last-wins"))))
+      m.exists(_.changelog), m.map(_.mergeEngine).getOrElse("last-wins"),
+      m.map(_.aggregations).getOrElse(Map.empty))))
   }
 
   /** Current (or time-traveled) contents. Missing columns in old files read
@@ -418,20 +440,34 @@ final class LakehouseTable(
         // the merge ENGINE decides what an upsert of an existing key means:
         //  - last-wins: the batch row replaces the whole old row
         //  - partial-update (Paimon's CDC wide-table assembly): per column,
-        //    the batch's NON-NULL values overwrite, nulls keep the old value —
-        //    combined via a full-outer join of the (batch-bounded) old rows
-        //    of the upserted keys with the batch
-        val incoming = (snap.meta.map(_.mergeEngine).getOrElse("last-wins"), cur) match {
-          case ("partial-update", Some(c)) =>
+        //    the batch's NON-NULL values overwrite, nulls keep the old value
+        //  - aggregate: per column, fold batch into old with the table's
+        //    aggregation (sum | max | min); unlisted columns last-non-null
+        // Non-last-wins engines combine via a full-outer join of the
+        // (batch-bounded) old rows of the upserted keys with the batch.
+        val engine = snap.meta.map(_.mergeEngine).getOrElse("last-wins")
+        val incoming = (engine, cur) match {
+          case ("partial-update" | "aggregate", Some(c)) =>
+            val aggs = snap.meta.map(_.aggregations).getOrElse(Map.empty)
             val upKeys = coerced.select(pks.map(col): _*).distinct()
             val nonPk = schema.struct.fieldNames.toSeq.filterNot(pks.contains)
             val o = c.join(broadcast(upKeys), pks, "left_semi")
-              .select(pks.map(col) ++ nonPk.map(n => col(n).as(s"__o_$n")): _*)
+              .select(pks.map(col) ++ nonPk.map(x => col(x).as(s"__o_$x")): _*)
             val n = coerced
               .select(pks.map(col) ++ nonPk.map(x => col(x).as(s"__n_$x")): _*)
+            def combined(x: String): org.apache.spark.sql.Column = {
+              val oc = col(s"__o_$x"); val nc = col(s"__n_$x")
+              (if (engine == "aggregate") aggs.get(x) else None) match {
+                case Some("sum") =>
+                  when(oc.isNull && nc.isNull, lit(null))
+                    .otherwise(coalesce(oc, lit(0)) + coalesce(nc, lit(0)))
+                case Some("max") => greatest(oc, nc) // null-ignoring by definition
+                case Some("min") => least(oc, nc)
+                case _ => coalesce(nc, oc) // last non-null
+              }
+            }
             o.join(n, pks, "full_outer")
-              .select(pks.map(col) ++
-                nonPk.map(x => coalesce(col(s"__n_$x"), col(s"__o_$x")).as(x)): _*)
+              .select(pks.map(col) ++ nonPk.map(x => combined(x).as(x)): _*)
           case _ => coerced
         }
         val next = kept.map(_.unionByName(incoming)).getOrElse(incoming)
@@ -658,7 +694,8 @@ final class LakehouseTable(
         listCommitFiles(commitRel, bucketColName).map(_.copy(ver = snap.version + 1))
       }
       val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog),
-        snap.meta.map(_.mergeEngine).getOrElse("last-wins")) +:
+        snap.meta.map(_.mergeEngine).getOrElse("last-wins"),
+        snap.meta.map(_.aggregations).getOrElse(Map.empty)) +:
         (adds ++ snap.files.map(f => RemoveFile(f.path)) ++
           snap.deleteFiles.map(d => RemoveFile(d.path)))
       if (tryCommit(snap.version + 1, actions)) done = true

@@ -393,6 +393,46 @@ class LakehouseSpec extends AnyFunSuite {
       bad.create(wide, changelog = true, mergeEngine = "partial-update"))
   }
 
+  test("aggregate merge engine: per-column sum/max folds, unlisted last-non-null") {
+    val dir = Files.createTempDirectory("graft_lake_agg").toString
+    val t = new LakehouseTable(spark, dir)
+    val metrics = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("n", LongType), StructField("hi", LongType),
+        StructField("tag", StringType))),
+      primaryKeys = Seq("k"))
+    t.create(metrics, buckets = 2, mergeEngine = "aggregate",
+      aggregations = Map("n" -> "sum", "hi" -> "max"))
+
+    t.merge(Seq((1L, 2L, 10L, "x"), (2L, 1L, 5L, "y")).toDF("k", "n", "hi", "tag"), empty(t))
+    t.merge(Seq((1L, 3L, 7L, null), (3L, 4L, 1L, "z")).toDF("k", "n", "hi", "tag"), empty(t))
+    val rows = t.read().orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // k=1: n summed 2+3, hi max(10,7), tag keeps last non-null "x"
+    assert(rows == Seq((1L, 5L, 10L, "x"), (2L, 1L, 5L, "y"), (3L, 4L, 1L, "z")))
+
+    // null contributions don't zero a sum; null+null stays null
+    val t2 = new LakehouseTable(spark, Files.createTempDirectory("agg2").toString)
+    t2.create(metrics, buckets = 2, mergeEngine = "aggregate",
+      aggregations = Map("n" -> "sum"))
+    t2.merge(Seq((1L, null.asInstanceOf[Any], null, null)).map(_ => (1L, 2L, 3L, "a"))
+      .toDF("k", "n", "hi", "tag"), empty(t2))
+    t2.merge(spark.sql("SELECT 1L AS k, CAST(NULL AS LONG) AS n, 9L AS hi, CAST(NULL AS STRING) AS tag"),
+      empty(t2))
+    val r2 = t2.read().collect().head
+    assert(r2.getLong(1) == 2L && r2.getLong(2) == 9L && r2.getString(3) == "a")
+
+    // validation: unknown function, key column, aggregations without engine
+    val bad = new LakehouseTable(spark, Files.createTempDirectory("agg_bad").toString)
+    intercept[IllegalArgumentException](
+      bad.create(metrics, mergeEngine = "aggregate", aggregations = Map("n" -> "avg")))
+    intercept[IllegalArgumentException](
+      bad.create(metrics, mergeEngine = "aggregate", aggregations = Map("k" -> "sum")))
+    intercept[IllegalArgumentException](
+      bad.create(metrics, aggregations = Map("n" -> "sum")))
+  }
+
   test("rescaleBuckets: layout migration preserves data, merges use new layout") {
     val t = newTable(buckets = 2)
     t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
