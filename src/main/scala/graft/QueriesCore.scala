@@ -746,8 +746,12 @@ object QueriesCore {
         lo = hi
       }
       tb.read()
+        // comparison surface casts DECIMAL→DOUBLE (the q1_agg convention: the
+        // driver's hash canonicalizes decimal128 differently from its DuckDB
+        // oracle); the table keeps the exact-decimal rollup internally and
+        // LakehouseSpec asserts it equals the one-shot GROUP BY exactly.
         .select(col("user_id"), col("n"), col("last_event"),
-          col("total").cast("decimal(18,2)").as("total"))
+          col("total").cast("double").as("total"))
         .orderBy("user_id")
     }),
     "c_lakehouse_partial_update" -> ((s, dir) => {
@@ -1314,7 +1318,7 @@ object QueriesCore {
     // incrementally folded rollup == one-shot GROUP BY
     "c_lakehouse_agg" ->
       """SELECT user_id, count(*) AS n, max(event_id) AS last_event,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM events WHERE user_id < 150
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // per column, the last non-null across the user's first three events

@@ -4,6 +4,33 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Rejects output schemas containing types the driver's hasher canonicalizes
+    * differently from its DuckDB oracle. Today that is DecimalType (round 7:
+    * `c_lakehouse_agg` was value-exact vs the oracle yet failed hash_match —
+    * the only decimal-output query of 108). Every comparison surface must cast
+    * DECIMAL→DOUBLE (the q1_agg convention); this makes the pre-validation
+    * loop fail LOUDLY instead of shipping a value-equal output the driver
+    * hashes red. Checked recursively through struct/array/map.
+    */
+  def assertHashSafeSchema(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def fragile(dt: DataType): Option[String] = dt match {
+      case _: DecimalType    => Some(dt.simpleString)
+      case s: StructType     => s.fields.iterator.flatMap(f => fragile(f.dataType)).nextOption()
+      case a: ArrayType      => fragile(a.elementType)
+      case m: MapType        => fragile(m.keyType).orElse(fragile(m.valueType))
+      case _                 => None
+    }
+    schema.fields.foreach { f =>
+      fragile(f.dataType).foreach { t =>
+        throw new IllegalStateException(
+          s"query '$name' output column '${f.name}' has hash-fragile type $t: " +
+            "cast to DOUBLE at the comparison surface (q1_agg convention)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,9 +44,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        Verify.assertHashSafeSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

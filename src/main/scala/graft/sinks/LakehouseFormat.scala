@@ -446,14 +446,44 @@ final class LakehouseTable(
         // Non-last-wins engines combine via a full-outer join of the
         // (batch-bounded) old rows of the upserted keys with the batch.
         val engine = snap.meta.map(_.mergeEngine).getOrElse("last-wins")
+        val aggs = snap.meta.map(_.aggregations).getOrElse(Map.empty)
+        val nonPk = schema.struct.fieldNames.toSeq.filterNot(pks.contains)
+        // Non-last-wins engines fold intra-batch duplicate keys FIRST, with
+        // the same per-column semantics as the cross-batch merge (Paimon's
+        // aggregation engine folds within a batch too). Without this, two
+        // increments for one key would each pair with the single old row in
+        // the full_outer join below and emit two rows for one PK — the old
+        // value double-counted. last-non-null columns have no defined order
+        // WITHIN one batch, so conflicting non-null values raise loudly
+        // instead of picking one nondeterministically; a single distinct
+        // non-null value (the wide-table assembly case) folds fine.
+        val batch = if (engine == "last-wins" || nonPk.isEmpty) coerced else {
+          val fieldType = schema.struct.fields.map(f => f.name -> f.dataType).toMap
+          val folds = nonPk.map { x =>
+            val fold = (if (engine == "aggregate") aggs.get(x) else None) match {
+              case Some("sum") => sum(col(x)).cast(fieldType(x))
+              case Some("max") => max(col(x))
+              case Some("min") => min(col(x))
+              case _ =>
+                when(count_distinct(col(x)) > 1, raise_error(concat(
+                  lit(s"merge engine '$engine': column '$x' has conflicting " +
+                    "non-null values within one batch for key ["),
+                  concat_ws(",", pks.map(col): _*),
+                  lit("] — intra-batch rows have no defined order; " +
+                    "pre-combine them or split the batch"))))
+                  .otherwise(first(col(x), ignoreNulls = true))
+            }
+            fold.as(x)
+          }
+          coerced.groupBy(pks.map(col): _*).agg(folds.head, folds.tail: _*)
+            .select(schema.struct.fieldNames.toSeq.map(col): _*)
+        }
         val incoming = (engine, cur) match {
           case ("partial-update" | "aggregate", Some(c)) =>
-            val aggs = snap.meta.map(_.aggregations).getOrElse(Map.empty)
-            val upKeys = coerced.select(pks.map(col): _*).distinct()
-            val nonPk = schema.struct.fieldNames.toSeq.filterNot(pks.contains)
+            val upKeys = batch.select(pks.map(col): _*).distinct()
             val o = c.join(broadcast(upKeys), pks, "left_semi")
               .select(pks.map(col) ++ nonPk.map(x => col(x).as(s"__o_$x")): _*)
-            val n = coerced
+            val n = batch
               .select(pks.map(col) ++ nonPk.map(x => col(x).as(s"__n_$x")): _*)
             def combined(x: String): org.apache.spark.sql.Column = {
               val oc = col(s"__o_$x"); val nc = col(s"__n_$x")
@@ -468,7 +498,7 @@ final class LakehouseTable(
             }
             o.join(n, pks, "full_outer")
               .select(pks.map(col) ++ nonPk.map(x => combined(x).as(x)): _*)
-          case _ => coerced
+          case _ => batch
         }
         val next = kept.map(_.unionByName(incoming)).getOrElse(incoming)
 
@@ -538,7 +568,8 @@ final class LakehouseTable(
   def append(
       df: DataFrame,
       txn: Option[(String, Long)] = None,
-      maxAttempts: Int = 8): Unit = {
+      maxAttempts: Int = 8,
+      overwrite: Boolean = false): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -554,7 +585,14 @@ final class LakehouseTable(
           .parquet(Paths.get(dir, commitRel).toString)
         val adds = listCommitFiles(commitRel, bucketColName)
           .map(_.copy(ver = snap.version + 1))
-        val actions = adds ++ txn.map { case (run, b) => Txn(run, b) }
+        // Delta-style OVERWRITE: the removes of the currently-live files ride
+        // in the SAME commit as the adds — readers see the old table or the
+        // new one, never an empty one, and a crash before the commit leaves
+        // the previous output intact. Removes come from this retry's
+        // snapshot, so losing a commit race re-targets the winner's files.
+        val removes: Seq[Action] =
+          if (overwrite) snap.files.map(f => RemoveFile(f.path)) else Seq.empty
+        val actions = removes ++ adds ++ txn.map { case (run, b) => Txn(run, b) }
         if (actions.isEmpty || tryCommit(snap.version + 1, actions)) done = true
         else {
           deleteRecursively(Paths.get(dir, commitRel))
@@ -577,6 +615,16 @@ final class LakehouseTable(
     *
     * Changelog-enabled tables refuse this path: row-level change data needs
     * the deleted rows' pre-images, which only the COW merge scan produces.
+    *
+    * DELETE vs merge engines — pinned semantics (LakehouseSpec): on
+    * `aggregate` and `partial-update` tables a delete (this path or
+    * `merge(deletedKeys)`) RETRACTS THE ENTIRE ROW — the rollup/assembly for
+    * that key is dropped, and later upserts re-accumulate from scratch (the
+    * sequence rule makes post-delete merges start with no old row). Paimon's
+    * aggregation tables instead refuse retraction unless configured; we keep
+    * deletes working because at 100 TB compliance deletes WILL arrive, and a
+    * partial retraction (subtracting one contribution) is unexpressible —
+    * the table stores only the fold, not the contributions.
     */
   def deleteWhere(
       keys: DataFrame,
@@ -797,19 +845,22 @@ final class LakehouseTable(
       dt: org.apache.spark.sql.types.DataType,
       value: Any): Boolean =
     file.stats.get(colName) match {
-      case None => true
-      case Some(cs) =>
+      // a null probe (e.g. `In(a, [.., null])` — Spark pushes the null
+      // through) can never render: keep the file conservatively before
+      // touching it. Spark re-applies the exact filter after the scan.
+      case Some(cs) if value != null =>
         import org.apache.spark.sql.types._
         dt match {
           case _: NumericType =>
             try {
               val v = BigDecimal(value.toString)
               BigDecimal(cs.min) <= v && v <= BigDecimal(cs.max)
-            } catch { case _: NumberFormatException => true }
+            } catch { case scala.util.control.NonFatal(_) => true }
           case _ =>
             val v = renderProbe(dt, value)
             cs.min <= v && v <= cs.max
         }
+      case _ => true
     }
 
   /** The live files a point predicate `colName = value` may need — bucket
@@ -830,16 +881,16 @@ final class LakehouseTable(
       lo: Any,
       hi: Any): Boolean =
     file.stats.get(colName) match {
-      case None => true
-      case Some(cs) =>
+      case Some(cs) if lo != null && hi != null =>
         import org.apache.spark.sql.types._
         dt match {
           case _: NumericType =>
             try BigDecimal(cs.min) <= BigDecimal(hi.toString) &&
               BigDecimal(lo.toString) <= BigDecimal(cs.max)
-            catch { case _: NumberFormatException => true }
+            catch { case scala.util.control.NonFatal(_) => true }
           case _ => cs.min <= renderProbe(dt, hi) && renderProbe(dt, lo) <= cs.max
         }
+      case _ => true
     }
 
   /** Files a range predicate `lo <= colName <= hi` may need. */
@@ -856,30 +907,30 @@ final class LakehouseTable(
       file: AddFile, colName: String,
       dt: org.apache.spark.sql.types.DataType, v: Any): Boolean =
     file.stats.get(colName) match {
-      case None => true
-      case Some(cs) =>
+      case Some(cs) if v != null =>
         import org.apache.spark.sql.types._
         dt match {
           case _: NumericType =>
             try BigDecimal(cs.max) >= BigDecimal(v.toString)
-            catch { case _: NumberFormatException => true }
+            catch { case scala.util.control.NonFatal(_) => true }
           case _ => cs.max >= renderProbe(dt, v)
         }
+      case _ => true
     }
 
   private def minAtMost(
       file: AddFile, colName: String,
       dt: org.apache.spark.sql.types.DataType, v: Any): Boolean =
     file.stats.get(colName) match {
-      case None => true
-      case Some(cs) =>
+      case Some(cs) if v != null =>
         import org.apache.spark.sql.types._
         dt match {
           case _: NumericType =>
             try BigDecimal(cs.min) <= BigDecimal(v.toString)
-            catch { case _: NumberFormatException => true }
+            catch { case scala.util.control.NonFatal(_) => true }
           case _ => cs.min <= renderProbe(dt, v)
         }
+      case _ => true
     }
 
   /** Zone-map survival of one Spark data-source `Filter` — conservative:

@@ -274,13 +274,12 @@ object CurationPipeline {
       case Some(t) =>
         if (t.snapshot().meta.isEmpty)
           t.create(graft.core.TableSchema(df.schema, Seq.empty))
-        if (!cdef.incremental) {
-          // overwrite semantics: truncate (one remove-all commit), then append
-          val live = t.snapshot().files
-          if (live.nonEmpty)
-            t.commit(live.map(f => graft.sinks.LakehouseFormat.RemoveFile(f.path)))
-        }
-        t.append(df, txn = cursorMove.map { case (_, v) => (CurationRunId, v) })
+        // non-incremental = Delta-style overwrite: new files are written
+        // first, then ONE commit removes the old live files and adds the new
+        // ones — concurrent readers never observe an empty table, and a crash
+        // mid-run leaves the previous output fully intact
+        t.append(df, txn = cursorMove.map { case (_, v) => (CurationRunId, v) },
+          overwrite = !cdef.incremental)
       case None =>
         df.write.mode(if (cdef.incremental) "append" else "overwrite").parquet(cdef.output)
         cursorMove.foreach { case (_, v) =>

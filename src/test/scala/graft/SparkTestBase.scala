@@ -19,4 +19,10 @@ object SparkTestBase {
   }
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+
+  /** All messages down the cause chain, joined — Spark wraps task-side
+    * failures (e.g. `raise_error`) in several layers of SparkException. */
+  def rootMessage(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
 }

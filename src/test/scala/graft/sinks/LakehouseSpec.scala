@@ -433,6 +433,120 @@ class LakehouseSpec extends AnyFunSuite {
       bad.create(metrics, aggregations = Map("n" -> "sum")))
   }
 
+  test("merge engines fold intra-batch duplicate keys; ambiguous last-non-null raises") {
+    val metrics = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("n", LongType), StructField("hi", LongType),
+        StructField("tag", StringType))),
+      primaryKeys = Seq("k"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("agg_dup").toString)
+    t.create(metrics, buckets = 2, mergeEngine = "aggregate",
+      aggregations = Map("n" -> "sum", "hi" -> "max"))
+
+    // FIRST batch (empty table) carries three rows for k=1: n sums, hi
+    // maxes, tag folds its single distinct non-null — and exactly ONE row lands
+    t.merge(Seq((1L, 2L, 10L, null), (1L, 3L, 4L, "x"), (1L, 5L, 7L, null))
+      .toDF("k", "n", "hi", "tag"), empty(t))
+    assert(t.read().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq((1L, 10L, 10L, "x")))
+
+    // a later multi-row batch folds against the stored row exactly ONCE —
+    // the round-7 advice bug paired EACH batch row with the old row, double-
+    // counting the stored value and emitting duplicate PKs
+    t.merge(Seq((1L, 1L, 1L, null), (1L, 1L, 99L, null))
+      .toDF("k", "n", "hi", "tag"), empty(t))
+    val rows = t.read().collect()
+    assert(rows.length == 1)
+    assert((rows.head.getLong(1), rows.head.getLong(2), rows.head.getString(3)) ==
+      (12L, 99L, "x"))
+
+    // partial-update: intra-batch duplicates with DISJOINT columns assemble
+    val wide = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("a", StringType), StructField("b", StringType))),
+      primaryKeys = Seq("k"))
+    val pu = new LakehouseTable(spark, Files.createTempDirectory("pu_dup").toString)
+    pu.create(wide, buckets = 2, mergeEngine = "partial-update")
+    pu.merge(Seq((1L, "a1", null), (1L, null, "b1")).toDF("k", "a", "b"), empty(pu))
+    assert(pu.read().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq == Seq((1L, "a1", "b1")))
+
+    // conflicting non-null values for one column within one (orderless)
+    // batch are ambiguous — fail loudly instead of picking nondeterministically
+    val e = intercept[Exception] {
+      pu.merge(Seq((2L, "x", null), (2L, "y", null)).toDF("k", "a", "b"), empty(pu))
+    }
+    assert(graft.SparkTestBase.rootMessage(e).contains("conflicting"))
+  }
+
+  test("aggregate rollup equals one-shot GROUP BY exactly in DECIMAL") {
+    // the c_lakehouse_agg exactness contract: the driver-facing query casts
+    // DECIMAL→DOUBLE only at the comparison surface; HERE we assert the
+    // STORED decimal fold is exactly the one-shot aggregate — no precision
+    // is lost by weakening the oracle surface
+    val s = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("total", DecimalType(18, 2)))),
+      primaryKeys = Seq("k"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("agg_dec").toString)
+    t.create(s, buckets = 2, mergeEngine = "aggregate", aggregations = Map("total" -> "sum"))
+    // 0.1 + 0.2 chains are exact in DECIMAL(18,2), inexact in double
+    val all = (1L to 300L).map(i => (i % 7, BigDecimal(i) / 10))
+    all.grouped(100).foreach { slice =>
+      t.merge(slice.toDF("k", "total")
+        .groupBy($"k").agg(sum($"total").cast("decimal(18,2)").as("total")), empty(t))
+    }
+    val got = t.read().orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toSeq
+    val want = all.toDF("k", "total")
+      .groupBy($"k").agg(sum($"total").cast("decimal(18,2)").as("total"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getDecimal(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(g.compareTo(w) == 0) }
+  }
+
+  test("deletes on aggregate tables retract the whole rollup row; re-merges start fresh") {
+    val s = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("n", LongType))),
+      primaryKeys = Seq("k"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("agg_del").toString)
+    t.create(s, buckets = 2, mergeEngine = "aggregate", aggregations = Map("n" -> "sum"))
+    t.merge(Seq((1L, 5L), (2L, 5L)).toDF("k", "n"), empty(t))
+
+    // COW delete via merge(deletedKeys): the rollup row for k=1 is gone...
+    t.merge(Seq.empty[(Long, Long)].toDF("k", "n"), Seq(Tuple1(1L)).toDF("k"))
+    assert(t.read().select($"k").as[Long].collect().toSeq == Seq(2L))
+    // ...and a post-delete merge RE-ACCUMULATES from zero, not from 5
+    t.merge(Seq((1L, 2L)).toDF("k", "n"), empty(t))
+    assert(t.read().filter($"k" === 1L).select($"n").as[Long].head() == 2L)
+
+    // MOR equality-delete path: same pinned drop-row semantics
+    t.deleteWhere(Seq(2L).toDF("k"))
+    assert(t.read().filter($"k" === 2L).isEmpty)
+    t.merge(Seq((2L, 3L)).toDF("k", "n"), empty(t))
+    assert(t.read().filter($"k" === 2L).select($"n").as[Long].head() == 3L)
+  }
+
+  test("append overwrite: removes and adds ride ONE commit; history intact") {
+    val dir = Files.createTempDirectory("graft_lake_ovw").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 2)
+    t.append((0L until 10L).map(i => (i, s"old$i")).toDF("k", "v"))
+    val vOld = t.latestVersion()
+    t.append((100L until 105L).map(i => (i, s"new$i")).toDF("k", "v"), overwrite = true)
+    // exactly ONE commit: no reader-visible empty state between truncate+append
+    assert(t.latestVersion() == vOld + 1)
+    assert(t.read().select($"k").as[Long].collect().sorted.toSeq == (100L until 105L))
+    // time travel still serves the pre-overwrite table
+    assert(t.read(Some(vOld)).count() == 10)
+  }
+
   test("rescaleBuckets: layout migration preserves data, merges use new layout") {
     val t = newTable(buckets = 2)
     t.merge((0L until 60L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))

@@ -172,6 +172,12 @@ class LakehouseStreamSpec extends AnyFunSuite {
       And(GreaterThan("k", 100L), LessThan("k", 130L)))).size < all)
     // untranslatable filters keep everything (conservative)
     assert(t2.prunedForFilters(Seq(StringContains("v", "1"))).size == all)
+    // null probes keep every file conservatively instead of NPEing — an
+    // In filter can carry a null through pushdown
+    assert(t2.prunedForFilters(Seq(In("k", Array[Any](5L, null)))).size == all)
+    assert(t2.prunedForFilters(Seq(EqualTo("k", null))).size == all)
+    assert(t2.prunedForFilters(Seq(GreaterThan("k", null))).size == all)
+    assert(t2.prunedForFilters(Seq(LessThanOrEqual("k", null))).size == all)
     // and the relation's answer under a pruning predicate is exact
     assert(spark.read.format("graft-lakehouse").option("path", table2dir).load()
       .filter($"k" === 120L).select($"v").as[String].collect().toSeq == Seq("v120"))

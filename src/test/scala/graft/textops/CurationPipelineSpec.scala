@@ -245,7 +245,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("non-incremental lakehouse output: overwrite semantics via truncate") {
+  test("non-incremental lakehouse output: single-commit overwrite") {
     val in = Files.createTempDirectory("curate_in2").toString
     val out = Files.createTempDirectory("curate_lake_out").toString + "/table"
     (0L until 10L).map(i => (i, s"plain document body $i here"))
@@ -259,9 +259,15 @@ class CurationPipelineSpec extends AnyFunSuite {
          |    - type: pii-redact
          |""".stripMargin)
     CurationPipeline.run(spark, cdef)
-    CurationPipeline.run(spark, cdef) // second full run replaces, not doubles
     val outTable = new graft.sinks.LakehouseTable(spark, out)
+    val v1 = outTable.latestVersion()
+    CurationPipeline.run(spark, cdef) // second full run replaces, not doubles
     assert(outTable.read().count() == 10)
+    // the replacement is ONE commit (removes + adds together): a concurrent
+    // reader sees the old output or the new one, never an empty table, and
+    // every historical version still reads back non-empty
+    assert(outTable.latestVersion() == v1 + 1)
+    assert(outTable.read(Some(v1)).count() == 10)
   }
 
   test("repetition, quality, language, span-dedup, sample steps compose") {
