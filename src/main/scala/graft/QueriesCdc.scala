@@ -210,6 +210,104 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // The Postgres logical-decoding model through the same incremental
+    // source ([[graft.sources.postgres.WalChangeSource]]) — the last
+    // architecturally distinct offset family: LSN offsets (sparse,
+    // content-sized strides, `PostgresOffset.java:97-101` orders by LSN
+    // alone) under REPLICATION-SLOT retention (the streaming runtime's
+    // commit hook acknowledges each CHECKPOINTED position, the slot
+    // recycles WAL behind it — `PostgresStreamFetchTask.java:126-155`).
+    // Phases: snapshot chunks over a table with pre-stream commits; a live
+    // log phase of multi-change committed transactions; a DOWN-TIME batch
+    // replayed from a round-tripped wal2json capture (default REPLICA
+    // IDENTITY: key-only oldkeys on update/delete); restart from the same
+    // checkpoint must emit exactly the down-time records — nothing lost to
+    // slot recycling, nothing re-emitted.
+    "c_postgres_wire" -> ((s, dir) => {
+      import graft.sources.postgres.{Lsn, Wal2Json, WalChangeSource}
+      val t = TableId.parse("public.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new WalChangeSource(t, schema, initial, slotName = "graft_verify_slot")
+      val srcId = s"verify-pgwire-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 100)
+        val (q2, q3) = rest.partition(_.getLong(0) < 200)
+
+        // Q1 committed BEFORE the stream exists: seen only via snapshot chunks
+        q1.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pgwire").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable() // fence: source anchors before we mutate
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+
+        // run 1: snapshot + live log phase (multi-change committed txs)
+        run { q2.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq)) }
+        val run1 = buf.size
+        require(run1 == 150 + q2.length,
+          s"run 1 must emit 150 snapshot rows + ${q2.length} tx records, got $run1")
+        // the checkpoint commit hook advanced the slot and recycled WAL
+        require(src.confirmedFlushLsn.isValid, "stream never acknowledged the slot")
+
+        // down-time: a captured wal2json stream (commit positions from the
+        // capture survive the round trip), then key-only deletes
+        val head = src.currentOffset
+        val lines = q3.grouped(9).zipWithIndex.map { case (g, i) =>
+          Wal2Json.renderLine(Lsn(head + 100000L * (i + 1)), 700L + i, 0L, g.map(upd).toSeq)
+        }.toSeq
+        val dels = Wal2Json.renderLine(
+          Lsn(head + 100000L * (lines.size + 1)), 900L, 0L,
+          (140L until 150L).map(id => DataChangeEvent.delete(t, Map("id" -> id))))
+        src.applyCapture(lines :+ dels)
+
+        // run 2: restart against the same checkpoint — exactly the capture
+        run(())
+        val run2 = buf.size - run1
+        require(run2 == q3.length + 10,
+          s"restart must emit exactly the down-time capture (${q3.length + 10}), got $run2")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Mid-log startup positions (`StartupOptions.specificOffset` /
     // `StartupOptions.timestamp`): the log carries two batches of updates; the
     // stream starts from the recorded offset BETWEEN them, so it must replay
@@ -700,6 +798,16 @@ object QueriesCdc {
         |  FROM range(150) AS u(_id) LEFT JOIN last l ON l.user_id = u._id)
         |SELECT _id, CASE WHEN _id < 5 THEN '{"v": "final"}' ELSE doc END AS doc
         |FROM base WHERE _id < 140 ORDER BY _id""".stripMargin,
+    // final state after snapshot + two log phases + trailing deletes of
+    // ids 140-149 (whole pipeline replayed through LSN offsets + slot)
+    "c_postgres_wire" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
     "s_stream_dedup" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "s_sessionize" ->

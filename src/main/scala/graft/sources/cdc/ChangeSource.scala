@@ -26,6 +26,16 @@ trait ChangeSource {
   /** first offset whose wall-clock timestamp ≥ ts (startup mode `timestamp`). */
   def offsetAtTimestamp(ts: Long): Long
 
+  /** Checkpoint-committed position fed BACK to the source after a durable
+    * batch commit — the reference's reader→source offset-commit channel
+    * (`postgres/source/events/OffsetCommitEvent.java` →
+    * `PostgresStreamFetchTask.commitCurrentOffset`, which commits the
+    * CHECKPOINT's LSN, not the latest read COMMIT LSN, to the replication
+    * slot). Default no-op: file/pos-retained logs (binlog) need no
+    * acknowledgement; log-retention sources (Postgres slots) override to
+    * advance `confirmed_flush_lsn` and let the server recycle WAL. */
+  def commitOffset(offset: Long): Unit = ()
+
   /** First schema-change record in `(fromExclusive, toInclusive]`, if the
     * log can carry DDL. Default scans the log; implementations whose log is
     * data-only (e.g. a capture-table source) return None without I/O — this

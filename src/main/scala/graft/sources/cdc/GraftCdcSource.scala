@@ -273,10 +273,18 @@ final class GraftCdcMicroBatchStream(
   /** Batch committed: persist the chunk HWs reported so far (the reference's
     * reader→enumerator watermark report reaching assigner checkpoint state).
     */
-  override def commit(end: Offset): Unit = stateFile.foreach { p =>
-    val hws = chunks.indices
-      .flatMap(i => ChangeSourceRegistry.chunkHW(sourceId, i).map(i -> _)).toMap
-    CdcSourceState.write(p, CdcSourceState.State(logBase, chunks, hws))
+  override def commit(end: Offset): Unit = {
+    stateFile.foreach { p =>
+      val hws = chunks.indices
+        .flatMap(i => ChangeSourceRegistry.chunkHW(sourceId, i).map(i -> _)).toMap
+      CdcSourceState.write(p, CdcSourceState.State(logBase, chunks, hws))
+    }
+    // acknowledge the DURABLY COMMITTED position back to the source — the
+    // checkpoint's offset, never the latest read one (the reference's
+    // PostgresStreamFetchTask.commitCurrentOffset:126-149 caveat: committing
+    // the latest COMMIT LSN instead would let the slot discard WAL a failover
+    // restart still needs). Sources without retention feedback no-op this.
+    source.commitOffset(end.asInstanceOf[CdcOffset].logOffset)
   }
 
   /** Source metrics surfaced in `StreamingQueryProgress.sources[i].metrics` —
