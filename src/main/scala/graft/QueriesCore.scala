@@ -513,6 +513,52 @@ object QueriesCore {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
         .orderBy("user_id")
     }),
+    "c_startup_gtid" -> ((s, dir) => {
+      // GTID checkpoint-resume END TO END: the capture carries per-tx GTIDs
+      // from TWO server UUIDs (a failover mid-stream). Run 1 consumes through
+      // event 299 and checkpoints its executed set {A:1-250, B:1-50}; while
+      // the consumer is down the server runs ahead (B through 150 — the
+      // overrun `GtidUtils.fixRestoredGtidSet` exists for,
+      // `GtidUtils.java:38-91`). On restart the restored set is reconciled
+      // against the server's and the resume filter must replay EXACTLY the
+      // unconsumed transactions B:51-150 (events 300-399) — the require
+      // fails on any loss or re-emission before the oracle ever compares.
+      import graft.sources.debezium.DebeziumFileSource
+      import graft.sources.mysql.Gtid
+      import org.apache.spark.sql.types._
+      val uuidA = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+      val uuidB = "7c2f8b63-5f4e-4d4e-9f01-bb6d1a2f0001"
+      val fix = java.nio.file.Files.createTempDirectory("graft_gtid_fix").toString
+      val base = eventsChangelog(s, dir).filter(col(Envelope.SeqCol) < 400)
+      val gtidCol = when(col(Envelope.SeqCol) < 250,
+        concat(lit(s"$uuidA:"), (col(Envelope.SeqCol) + 1).cast("string")))
+        .otherwise(concat(lit(s"$uuidB:"), (col(Envelope.SeqCol) - 249).cast("string")))
+      base.select(DebeziumFileSource.wireValue(gtid = gtidCol).as("value"))
+        .write.mode("overwrite").text(fix)
+      val payloadT = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampType)))
+      val parsed = DebeziumFileSource.read(s, fix, payloadT)
+
+      // parsed seq is a binlog coordinate (fileIdx << 40 | pos); pos carries
+      // the original event_id, so "consumed through event 299" is pos < 300
+      val consumed = parsed.filter(pmod(col(Envelope.SeqCol), lit(1L << 40)) < 300)
+      val restored = DebeziumFileSource.executedGtidSet(consumed)
+      val server = DebeziumFileSource.executedGtidSet(parsed) // ran ahead while down
+      val effective = Gtid.GtidSet.fixRestored(server, restored)
+      require(effective.contains(uuidA, 250) && effective.contains(uuidB, 50) &&
+        !effective.contains(uuidB, 51),
+        s"fixRestored must keep the restored position under overrun, got $effective")
+      val resumed = DebeziumFileSource.resumeAfterGtids(parsed, effective)
+      val resumedCount = resumed.count()
+      require(resumedCount == 100,
+        s"resume must replay exactly B:51-150 (100 events), got $resumedCount")
+
+      graft.operators.Upsert.materialize(consumed.unionByName(resumed), Seq("user_id"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("user_id")
+    }),
     "t_udf2" -> ((s, dir) => {
       // multi-arity typed eval through the UserDefinedFunction lifecycle
       // registry (reference UserDefinedFunction.java:27-48 accepts arbitrary
@@ -1135,6 +1181,14 @@ object QueriesCore {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM ev) t
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // checkpoint + overrun-reconciled resume must reassemble the full
+    // event_id < 400 history exactly once
+    "c_startup_gtid" -> (evCte +
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM ev WHERE event_id < 400) t
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // identical final state: the Debezium file round trip must be lossless
     "c_debezium_file" -> (evCte +

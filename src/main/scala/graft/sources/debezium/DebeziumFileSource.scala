@@ -153,7 +153,9 @@ object DebeziumFileSource {
     * Used to author wire fixtures and to re-publish a changelog in a format
     * any Debezium consumer understands.
     */
-  def wireValue(sourceName: String = "graft"): Column = {
+  def wireValue(
+      sourceName: String = "graft",
+      gtid: Column = lit(null).cast("string")): Column = {
     val opCode = when(col(Envelope.OpCol) === "INSERT", "c")
       .when(col(Envelope.OpCol) === "UPDATE", "u")
       .when(col(Envelope.OpCol) === "DELETE", "d")
@@ -175,7 +177,7 @@ object DebeziumFileSource {
           when(col(Envelope.OpCol) === "REPLACE", "true").otherwise("false")
             .as("snapshot"),
           db.as("db"), table.as("table"),
-          lit(1L).as("server_id"), lit(null).cast("string").as("gtid"),
+          lit(1L).as("server_id"), gtid.as("gtid"),
           lit("mysql-bin.000001").as("file"),
           col(Envelope.SeqCol).as("pos"), lit(0).as("row")).as("source")),
       java.util.Map.of("ignoreNullFields", "false"))
