@@ -347,6 +347,67 @@ object QueriesML {
         .orderBy("doc_id")
     }),
 
+    "x_curate_continuous" -> ((s, dir) => {
+      // CONTINUOUS curation restart oracle: documents (with a planted email
+      // per row) arrive as THREE lakehouse commits; a standing query curates
+      // commit 1 (backfill) and commit 2 (tail), is stopped, commit 3 lands
+      // while it is DOWN, and a restarted query resumes from the same
+      // checkpoint — batch-id txn replay-skip through the real streaming
+      // runtime. The final output must equal the BATCH pipeline over the
+      // full input exactly (asserted here) and the DuckDB oracle replays
+      // the same redaction in SQL.
+      import graft.sinks.LakehouseTable
+      import graft.textops.CurationPipeline
+      val lake = java.nio.file.Files.createTempDirectory("curate_cont_in").toString
+      val out = java.nio.file.Files.createTempDirectory("curate_cont_out").toString + "/t"
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")).as("text"))
+      val table = new LakehouseTable(s, lake)
+      table.create(graft.core.TableSchema(withPii.schema, Seq.empty), buckets = 4)
+      def commit(k: Int): Unit = table.append(withPii.filter(pmod(col("doc_id"), lit(3)) === k))
+
+      val cdef = CurationPipeline.parse(
+        s"""curation:
+           |  input: $lake
+           |  input-format: lakehouse
+           |  output: $out
+           |  output-format: lakehouse
+           |  continuous: true
+           |  steps:
+           |    - type: pii-redact
+           |""".stripMargin)
+      commit(0) // backfill
+      val q1 = CurationPipeline.runContinuous(s, cdef)
+      q1.processAllAvailable()
+      commit(1) // tail phase
+      q1.processAllAvailable()
+      q1.stop() // kill between micro-batches
+      commit(2) // lands while the query is down
+      val q2 = CurationPipeline.runContinuous(s, cdef)
+      q2.processAllAvailable()
+      q2.stop()
+
+      val outTable = new LakehouseTable(s, out)
+      val streamed = outTable.read().select(col("doc_id"), col("text"))
+      // the restart guarantee: identical to one batch run over the full input
+      val batchDir = java.nio.file.Files.createTempDirectory("curate_cont_batch").toString
+      val bdef = CurationPipeline.parse(
+        s"""curation:
+           |  input: $lake
+           |  input-format: lakehouse
+           |  output: $batchDir
+           |  steps:
+           |    - type: pii-redact
+           |""".stripMargin)
+      CurationPipeline.run(s, bdef)
+      val batch = s.read.parquet(batchDir).select(col("doc_id"), col("text"))
+      require(streamed.count() == batch.count() &&
+        streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "continuous output across kill/restart must equal the batch pipeline")
+      streamed.orderBy("doc_id")
+    }),
+
     // ---- similarity search --------------------------------------------------
     "a_embed_centroids" -> ((s, dir) => {
       // per-label mean embedding, dimension-major: posexplode multiplies rows
@@ -643,6 +704,23 @@ object QueriesML {
         |    OR regexp_matches(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS INT) AS has_pii,
         |  CAST(len(string_split_regex(pii_text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_emails
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // the streamed output (three commits, kill + resume) replays the same
+    // redaction the batch pipeline (and this SQL) computes over all docs
+    "x_curate_continuous" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(pii_text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CREDIT_CARD>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
         |FROM p ORDER BY doc_id""".stripMargin,
     "x_sample_stratified" ->
       """SELECT doc_id, source FROM documents
