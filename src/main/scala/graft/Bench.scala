@@ -222,7 +222,16 @@ object Bench {
     // 1M-row PK table (32 buckets). Steady state: every timed run upserts the
     // same keys, so table size and per-run work are constant. 100k random
     // keys touch every bucket, so this is the worst case (full COW rewrite).
-    timed("b5") {
+    // The FIRST post-create merge pays one-off costs (snapshot checkpoint
+    // creation, merge-plan codegen) ~60% above steady state (round 7's raw
+    // spread: 12.5 s cold vs 7.8 s steady), so it runs here untimed — on top
+    // of timed()'s own warmup — and the median is over FIVE steady runs.
+    once("b5_steady_warmup") {
+      b5Table.merge(
+        spark.range(100000).select((col("id") * 10).as("k"), lit(-1L).as("v")),
+        spark.range(0).select(col("id").as("k")))
+    }
+    timed("b5", runs = 5) {
       b5Table.merge(
         spark.range(100000).select((col("id") * 10).as("k"), lit(-1L).as("v")),
         spark.range(0).select(col("id").as("k")))
@@ -230,13 +239,59 @@ object Bench {
     // B5b: the file-granularity payoff — a batch confined to ONE of the 32
     // PK-hash buckets rewrites only that bucket's files. The wall-second
     // ratio vs the full-table case above IS the pruning factor.
-    timed("b5_bucket") {
+    timed("b5_bucket", runs = 5) {
       b5Table.merge(
         spark.range(1000000)
           .filter(pmod(hash(col("id")), lit(32)) === 0)
           .select(col("id").as("k"), lit(-2L).as("v")),
         spark.range(0).select(col("id").as("k")))
     }.foreach(sec => out += "b5_lakehouse_bucket_merge_sec" -> sec)
+
+    // B6: lakehouse STREAMING source drain — a standing query over
+    // format("graft-lakehouse") backfills a 16-commit append table
+    // (800k rows) in 4-commit micro-batches (4 per run); each timed run is a
+    // fresh query + checkpoint over the same table, so per-run work is
+    // constant. The number is dominated by PER-BATCH fixed cost (offset/
+    // commit log writes, net-new-file planning, coercion) — deliberately:
+    // that fixed cost is what a change-feed regression moves first, and at
+    // 100 TB it amortizes over arbitrarily large commits while scan cost is
+    // bounded by net-new files only (readChangesBetween never rescans).
+    lazy val b6Table = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_b6").toString
+      val t = new graft.sinks.LakehouseTable(spark, dir)
+      t.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "k", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "v", org.apache.spark.sql.types.LongType))),
+          primaryKeys = Seq.empty),
+        buckets = 8)
+      (0 until 16).foreach(i =>
+        t.append(spark.range(50000L * i, 50000L * (i + 1))
+          .select(col("id").as("k"), (col("id") * 2).as("v"))))
+      t
+    }
+    val b6Rows = 800000L
+    timed("b6") {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_b6_ckpt").toString
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val q = spark.readStream.format("graft-lakehouse")
+        .option("path", b6Table.dir)
+        .option("startingVersion", "0")
+        .option("maxCommitsPerBatch", "4")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(b.count()); ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      require(n.get() == b6Rows, s"b6 drained ${n.get()} of $b6Rows rows")
+    }.foreach(sec => out += "b6_lakehouse_stream_rows_per_sec" -> b6Rows / sec)
 
     once("b4_total_wall_sec_outer") {
       val tid = TableId.parse("app.evolving")

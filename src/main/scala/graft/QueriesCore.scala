@@ -513,6 +513,39 @@ object QueriesCore {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
         .orderBy("user_id")
     }),
+    "c_postgres_file" -> ((s, dir) => {
+      // offline Debezium POSTGRES wire ingestion (the logical-decoding
+      // sibling of c_debezium_file): the changelog serializes to full
+      // Postgres records — source block with LSN/txId instead of binlog
+      // coordinates, three-part db.schema.table identity, snapshot 'r' ops —
+      // half schema-wrapped, half bare, written as a captured topic dump,
+      // read back distributively (LSN becomes the sequence directly), and
+      // PK-materialized to the changelog's final state.
+      import graft.sources.postgres.PostgresWireFormat
+      import org.apache.spark.sql.types._
+      val fix = java.nio.file.Files.createTempDirectory("graft_pg_fix").toString
+      val env0 = eventsChangelog(s, dir)
+        .withColumn(Envelope.TableIdCol, lit("appdb.public.events"))
+      val wire = env0.select(
+        col(Envelope.SeqCol).as("seq"),
+        PostgresWireFormat.wireValue(
+          lsn = col(Envelope.SeqCol) * 24 + lit(0x1000000L),
+          txId = col(Envelope.SeqCol) + lit(500L)).as("v"))
+      wire.select(
+        when(pmod(col("seq"), lit(2)) === 0,
+          concat(lit("""{"schema":{"type":"struct","optional":false},"payload":"""),
+            col("v"), lit("}")))
+          .otherwise(col("v")).as("value"))
+        .write.mode("overwrite").text(fix)
+      val payloadT = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampType)))
+      val env = PostgresWireFormat.read(s, fix, payloadT)
+      graft.operators.Upsert.materialize(env, Seq("user_id"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("user_id")
+    }),
     "c_startup_gtid" -> ((s, dir) => {
       // GTID checkpoint-resume END TO END: the capture carries per-tx GTIDs
       // from TWO server UUIDs (a failover mid-stream). Run 1 consumes through
@@ -1189,6 +1222,13 @@ object QueriesCore {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM ev WHERE event_id < 400) t
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // identical final state: the Postgres wire round trip must be lossless
+    "c_postgres_file" -> (evCte +
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM ev) t
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // identical final state: the Debezium file round trip must be lossless
     "c_debezium_file" -> (evCte +
