@@ -1033,6 +1033,46 @@ object QueriesCore {
       } finally q.stop()
       s.table(name).orderBy("event_id")
     }),
+    "s_rollup_view" -> ((s, dir) => {
+      // streaming MATERIALIZED ROLLUP ([[graft.streaming.MaterializedRollup]]):
+      // events land in a lakehouse append table as three commits; a standing
+      // maintenance query folds each increment into an aggregate-engine
+      // rollup (count + max + exact-decimal sum) keyed by user, is KILLED
+      // after the second commit, and a restarted maintainer folds the
+      // down-time commit exactly once (batch-id txn replay-skip). The final
+      // table must equal the one-shot GROUP BY the oracle computes — the
+      // incremental view and the recomputed view are indistinguishable.
+      import graft.sinks.LakehouseTable
+      import graft.streaming.MaterializedRollup
+      import graft.streaming.MaterializedRollup.RollupSpec
+      val root = java.nio.file.Files.createTempDirectory("graft_rollup_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_rollup_tgt").toString + "/t"
+      val tb = new LakehouseTable(s, root)
+      val ev = t(s, dir, "events").filter(col("user_id") < 200)
+        .select(col("event_id"), col("user_id"), col("value"))
+      tb.create(TableSchema(ev.schema, primaryKeys = Seq.empty), buckets = 8)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val spec = RollupSpec(
+        keys = Seq("user_id"),
+        aggs = Map("event_id" -> "max", "value" -> "sum"),
+        countCol = Some("n"),
+        decimalSum = Map("value" -> (18, 2)))
+      tb.append(ev.filter(col("event_id") <= maxId / 3)) // pre-start backfill
+      val q1 = MaterializedRollup.maintain(s, root, out, spec, buckets = 8)
+      try {
+        q1.processAllAvailable()
+        tb.append(ev.filter(col("event_id") > maxId / 3 &&
+          col("event_id") <= 2 * maxId / 3)) // tail phase
+        q1.processAllAvailable()
+      } finally q1.stop()
+      tb.append(ev.filter(col("event_id") > 2 * maxId / 3)) // while DOWN
+      val q2 = MaterializedRollup.maintain(s, root, out, spec, buckets = 8)
+      try q2.processAllAvailable() finally q2.stop()
+      new LakehouseTable(s, out).read()
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("value").cast("double").as("total"), col("n"))
+        .orderBy("user_id")
+    }),
     "c_route" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val router = new TableIdRouter(Seq(
@@ -1378,6 +1418,13 @@ object QueriesCore {
     "s_lakehouse_stream" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events ORDER BY event_id""".stripMargin,
+    // the incrementally-maintained rollup equals the one-shot GROUP BY
+    "s_rollup_view" ->
+      """SELECT user_id, max(event_id) AS last_event,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events WHERE user_id < 200
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // crash-replayed 2PC delivery converges to the same final state
     "c_jdbc_2pc" -> (evCte +
       """, last AS (
