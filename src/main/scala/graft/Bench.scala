@@ -268,8 +268,12 @@ object Bench {
               "v", org.apache.spark.sql.types.LongType))),
           primaryKeys = Seq.empty),
         buckets = 8)
+      // coalesce the commit input: range's default parallelism × 8 buckets
+      // would fragment each commit into ~256 tiny files and the probe would
+      // measure filesystem metadata, not the change-feed path (real commits
+      // carry full-size files)
       (0 until 16).foreach(i =>
-        t.append(spark.range(50000L * i, 50000L * (i + 1))
+        t.append(spark.range(50000L * i, 50000L * (i + 1)).coalesce(4)
           .select(col("id").as("k"), (col("id") * 2).as("v"))))
       t
     }

@@ -786,6 +786,41 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_lakehouse_out_of_order" -> ((s, dir) => {
+      // sequence-field last-wins under OUT-OF-ORDER delivery (Paimon's
+      // sequence.field): events split into three interleaved slices by
+      // event_id % 3, committed in REVERSE slice order — commit order
+      // maximally disagrees with event order, and every batch carries many
+      // rows per user. The winner per user must still be the globally
+      // largest event_id; plain commit-order last-wins would keep slice 0's
+      // maxima instead and fail the oracle.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_ooo").toString + "/t"
+      val tb = new LakehouseTable(s, root)
+      tb.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "user_id", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "event_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(
+              "value", org.apache.spark.sql.types.DoubleType))),
+          primaryKeys = Seq("user_id")),
+        buckets = 8, sequenceField = Some("event_id"))
+      val ev = t(s, dir, "events").filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      Seq(2, 1, 0).foreach { slice =>
+        tb.merge(ev.filter(pmod(col("event_id"), lit(3)) === slice),
+          ev.limit(0).select(col("user_id")))
+      }
+      tb.read()
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
     "c_lakehouse_agg" -> ((s, dir) => {
       // the aggregation merge engine (Paimon's metrics-rollup table): three
       // event batches fold into per-user running aggregates — n summed,
@@ -1456,6 +1491,12 @@ object QueriesCore {
         |  FROM ev)
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // the globally-largest event_id per user wins, whatever the commit order
+    "c_lakehouse_out_of_order" ->
+      """SELECT user_id, event_id AS last_event, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE user_id < 200) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // incrementally folded rollup == one-shot GROUP BY
     "c_lakehouse_agg" ->
       """SELECT user_id, count(*) AS n, max(event_id) AS last_event,

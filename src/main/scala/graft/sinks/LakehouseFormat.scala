@@ -65,7 +65,8 @@ object LakehouseFormat {
       buckets: Int,
       changelog: Boolean = false,
       mergeEngine: String = "last-wins",
-      aggregations: Map[String, String] = Map.empty) extends Action
+      aggregations: Map[String, String] = Map.empty,
+      sequenceField: Option[String] = None) extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
   /** A row-level change-data file of one MERGE commit (Delta CDF's
     * `_change_data` / Paimon's changelog files): rows carry the declared
@@ -103,7 +104,7 @@ object LakehouseFormat {
         root.putObject("remove").put("path", p)
       case EqualityDeleteFile(p, ver) =>
         val n = root.putObject("eqdel"); n.put("path", p); n.put("ver", ver)
-      case Meta(s, b, cl, me, aggs) =>
+      case Meta(s, b, cl, me, aggs, sf) =>
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
         val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
@@ -114,6 +115,7 @@ object LakehouseFormat {
           val a = n.putObject("aggregations")
           aggs.foreach { case (c, f) => a.put(c, f) }
         }
+        sf.foreach(n.put("sequenceField", _)) // absent = commit-order wins
       case Txn(run, batch) =>
         val n = root.putObject("txn"); n.put("runId", run); n.put("batchId", batch)
       case ChangeFile(p) =>
@@ -149,7 +151,8 @@ object LakehouseFormat {
         if (m.has("mergeEngine")) m.get("mergeEngine").asText else "last-wins",
         if (!m.has("aggregations")) Map.empty
         else m.get("aggregations").fields().asScala
-          .map(e => e.getKey -> e.getValue.asText).toMap)
+          .map(e => e.getKey -> e.getValue.asText).toMap,
+        if (m.has("sequenceField")) Some(m.get("sequenceField").asText) else None)
     } else if (n.has("txn")) {
       val t = n.get("txn")
       Txn(t.get("runId").asText, t.get("batchId").asLong)
@@ -307,7 +310,8 @@ final class LakehouseTable(
       buckets: Int = 16,
       changelog: Boolean = false,
       mergeEngine: String = "last-wins",
-      aggregations: Map[String, String] = Map.empty): Unit = {
+      aggregations: Map[String, String] = Map.empty,
+      sequenceField: Option[String] = None): Unit = {
     // PK-less tables are legal append-only tables (Paimon's append mode);
     // merge() enforces keys at call time. `changelog = true` makes every
     // MERGE commit also write row-level change data (readChangelogBetween).
@@ -330,10 +334,22 @@ final class LakehouseTable(
       require(schema.struct.fieldNames.contains(c) && !schema.primaryKeys.contains(c),
         s"aggregation column '$c' must be a non-key table column")
     }
+    // `sequenceField` (Paimon's sequence.field): upserts of a key are won by
+    // the row with the LARGEST value of this column, not by commit order —
+    // late-arriving events with older sequence can never clobber newer state.
+    // last-wins only (partial-update/aggregate fold commutatively), and not
+    // with changelog (post-images would misreport an old-row win as new).
+    sequenceField.foreach { sf =>
+      require(mergeEngine == "last-wins",
+        "sequenceField requires the last-wins engine")
+      require(!changelog, "sequenceField cannot produce row-level changelog")
+      require(schema.struct.fieldNames.contains(sf) && !schema.primaryKeys.contains(sf),
+        s"sequence field '$sf' must be a non-key table column")
+    }
     if (snapshot().meta.isEmpty &&
       !tryCommit(latestVersion() + 1,
-        Seq(Meta(schema, buckets, changelog, mergeEngine, aggregations))))
-      create(schema, buckets, changelog, mergeEngine, aggregations) // lost the race
+        Seq(Meta(schema, buckets, changelog, mergeEngine, aggregations, sequenceField))))
+      create(schema, buckets, changelog, mergeEngine, aggregations, sequenceField)
   }
 
   /** Commit arbitrary actions at the next version (retrying past losers of
@@ -347,7 +363,8 @@ final class LakehouseTable(
     val m = snapshot().meta
     commit(Seq(Meta(schema, m.map(_.buckets).getOrElse(16),
       m.exists(_.changelog), m.map(_.mergeEngine).getOrElse("last-wins"),
-      m.map(_.aggregations).getOrElse(Map.empty))))
+      m.map(_.aggregations).getOrElse(Map.empty),
+      m.flatMap(_.sequenceField))))
   }
 
   /** Current (or time-traveled) contents. Missing columns in old files read
@@ -478,7 +495,35 @@ final class LakehouseTable(
           coerced.groupBy(pks.map(col): _*).agg(folds.head, folds.tail: _*)
             .select(schema.struct.fieldNames.toSeq.map(col): _*)
         }
+        // sequence-field last-wins (Paimon's sequence.field): the winner per
+        // key is the row with the LARGEST sequence value across the old row
+        // and every batch row — late-arriving events with older sequence
+        // never clobber newer state, and batches need not arrive in event
+        // order. One hash aggregate over (old rows of upserted keys) ∪ batch:
+        // max of (sequence, arrival, row) — arrival (old=0, batch=1) breaks
+        // sequence ties toward the batch; the packed row makes the pick
+        // total-ordered, hence deterministic. A null sequence loses to any
+        // non-null one (nulls-first struct ordering). Deletes stay
+        // positional: sequence governs upsert-vs-upsert only.
+        val seqField = snap.meta.flatMap(_.sequenceField)
         val incoming = (engine, cur) match {
+          case ("last-wins", curOpt) if seqField.isDefined =>
+            val sf = seqField.get
+            val withSrc = (df: DataFrame, src: Int) =>
+              df.select(
+                pks.map(col) :+
+                  struct(col(sf).as("__s"), lit(src).as("__arrival"),
+                    struct(schema.struct.fieldNames.map(col): _*).as("__row"))
+                    .as("__packed"): _*)
+            val upKeys = batch.select(pks.map(col): _*).distinct()
+            val unioned = curOpt match {
+              case Some(c) =>
+                withSrc(c.join(broadcast(upKeys), pks, "left_semi"), 0)
+                  .unionByName(withSrc(batch, 1))
+              case None => withSrc(batch, 1)
+            }
+            unioned.groupBy(pks.map(col): _*).agg(max(col("__packed")).as("__m"))
+              .select(col("__m.__row.*"))
           case ("partial-update" | "aggregate", Some(c)) =>
             val upKeys = batch.select(pks.map(col): _*).distinct()
             val o = c.join(broadcast(upKeys), pks, "left_semi")
@@ -743,7 +788,8 @@ final class LakehouseTable(
       }
       val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog),
         snap.meta.map(_.mergeEngine).getOrElse("last-wins"),
-        snap.meta.map(_.aggregations).getOrElse(Map.empty)) +:
+        snap.meta.map(_.aggregations).getOrElse(Map.empty),
+        snap.meta.flatMap(_.sequenceField)) +:
         (adds ++ snap.files.map(f => RemoveFile(f.path)) ++
           snap.deleteFiles.map(d => RemoveFile(d.path)))
       if (tryCommit(snap.version + 1, actions)) done = true

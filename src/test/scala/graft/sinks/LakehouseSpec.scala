@@ -433,6 +433,58 @@ class LakehouseSpec extends AnyFunSuite {
       bad.create(metrics, aggregations = Map("n" -> "sum")))
   }
 
+  test("sequence-field last-wins: largest sequence wins regardless of commit order") {
+    val s = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("seq", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("lake_seq").toString)
+    t.create(s, buckets = 2, sequenceField = Some("seq"))
+
+    // commit 1 carries the NEWER state (seq 10); the late-arriving commit 2
+    // carries seq 5 — commit order must NOT clobber sequence order
+    t.merge(Seq((1L, 10L, "new")).toDF("k", "seq", "v"), empty(t))
+    t.merge(Seq((1L, 5L, "late")).toDF("k", "seq", "v"), empty(t))
+    assert(t.read().collect().map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((10L, "new")))
+    // a genuinely newer sequence does win
+    t.merge(Seq((1L, 20L, "newest")).toDF("k", "seq", "v"), empty(t))
+    assert(t.read().head().getString(2) == "newest")
+    // sequence tie: the batch (latest arrival) wins
+    t.merge(Seq((1L, 20L, "tiebreak")).toDF("k", "seq", "v"), empty(t))
+    assert(t.read().head().getString(2) == "tiebreak")
+    // a null sequence loses to any non-null one
+    t.merge(spark.sql("SELECT 1L AS k, CAST(NULL AS LONG) AS seq, 'nullseq' AS v"), empty(t))
+    assert(t.read().head().getString(2) == "tiebreak")
+    // intra-batch duplicates fold by the same rule in the same pass
+    t.merge(Seq((2L, 3L, "a"), (2L, 9L, "b"), (2L, 6L, "c")).toDF("k", "seq", "v"), empty(t))
+    assert(t.read().filter($"k" === 2L).collect().map(r =>
+      (r.getLong(1), r.getString(2))).toSeq == Seq((9L, "b")))
+    // deletes stay positional: the key drops even though its stored seq is high
+    t.merge(Seq.empty[(Long, Long, String)].toDF("k", "seq", "v"),
+      Seq(Tuple1(1L)).toDF("k"))
+    assert(t.read().select($"k").as[Long].collect().toSeq == Seq(2L))
+
+    // the field is a table property: survives re-open and schema update
+    val fresh = new LakehouseTable(spark, t.dir)
+    assert(fresh.snapshot().meta.get.sequenceField.contains("seq"))
+    fresh.updateMeta(TableSchema(
+      StructType(s.struct.fields :+ StructField("extra", LongType)),
+      primaryKeys = Seq("k")))
+    assert(fresh.snapshot().meta.get.sequenceField.contains("seq"))
+
+    // validations: engine/changelog/column constraints
+    val bad = new LakehouseTable(spark, Files.createTempDirectory("seq_bad").toString)
+    intercept[IllegalArgumentException](
+      bad.create(s, mergeEngine = "aggregate", aggregations = Map("seq" -> "max"),
+        sequenceField = Some("seq")))
+    intercept[IllegalArgumentException](
+      bad.create(s, changelog = true, sequenceField = Some("seq")))
+    intercept[IllegalArgumentException](bad.create(s, sequenceField = Some("k")))
+    intercept[IllegalArgumentException](bad.create(s, sequenceField = Some("nope")))
+  }
+
   test("merge engines fold intra-batch duplicate keys; ambiguous last-non-null raises") {
     val metrics = TableSchema(
       StructType(Seq(
