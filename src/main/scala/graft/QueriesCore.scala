@@ -786,6 +786,52 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_bucketed_join" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN over the bucket layout
+      // ([[graft.sinks.LakehouseBucketed]]): two PK tables share the
+      // bucketing the MERGE path maintains; reading them through the
+      // bucket-aware catalog joins them with NO exchange on either side —
+      // the require fails the gate if a shuffle ever reappears. At 100 TB
+      // this is the difference between a fact-fact join shuffling twice and
+      // not shuffling at all.
+      import graft.sinks.{LakehouseBucketed, LakehouseTable}
+      val ev = t(s, dir, "events").filter(col("user_id") < 500)
+      val da = java.nio.file.Files.createTempDirectory("graft_bkj_a").toString + "/t"
+      val db = java.nio.file.Files.createTempDirectory("graft_bkj_b").toString + "/t"
+      val ta = new LakehouseTable(s, da)
+      ta.create(TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "user_id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "event_type", org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("user_id")), buckets = 8)
+      val tb = new LakehouseTable(s, db)
+      tb.create(TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "user_id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "last_event", org.apache.spark.sql.types.LongType))),
+        primaryKeys = Seq("user_id")), buckets = 8)
+      ta.merge(
+        ev.groupBy(col("user_id"))
+          .agg(expr("max_by(event_type, event_id)").as("event_type")),
+        ev.limit(0).select(col("user_id")))
+      tb.merge(
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_event")),
+        ev.limit(0).select(col("user_id")))
+      val joined = LakehouseBucketed.table(s, da)
+        .join(LakehouseBucketed.table(s, db), "user_id")
+        .select(col("user_id"), col("event_type"), col("n"), col("last_event"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join must be storage-partitioned (no shuffle), got:\n$plan")
+      joined.orderBy("user_id")
+    }),
     "c_lakehouse_out_of_order" -> ((s, dir) => {
       // sequence-field last-wins under OUT-OF-ORDER delivery (Paimon's
       // sequence.field): events split into three interleaved slices by
@@ -1491,6 +1537,18 @@ object QueriesCore {
         |  FROM ev)
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // the shuffle-free bucketed join must still produce the exact join
+    "c_bucketed_join" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n, max(event_id) AS last_event
+        |  FROM events WHERE user_id < 500 GROUP BY user_id),
+        |lastt AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE user_id < 500) t WHERE rn = 1)
+        |SELECT a.user_id, l.event_type, a.n, a.last_event
+        |FROM agg a JOIN lastt l USING (user_id) ORDER BY a.user_id""".stripMargin,
     // the globally-largest event_id per user wins, whatever the commit order
     "c_lakehouse_out_of_order" ->
       """SELECT user_id, event_id AS last_event, event_type, value
