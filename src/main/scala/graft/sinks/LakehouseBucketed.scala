@@ -156,7 +156,7 @@ private[sinks] final class LakehouseBucketedScan(
     dir: String,
     snap: LakehouseFormat.Snapshot,
     required: StructType)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"GraftLakehouseBucketed $dir"
@@ -165,6 +165,23 @@ private[sinks] final class LakehouseBucketedScan(
     new KeyGroupedPartitioning(
       Array[VExpr](Expressions.bucket(snap.buckets, snap.schema.primaryKeys: _*)),
       snap.buckets)
+
+  /** PK-ascending ordering, reported ONLY when the layout actually delivers
+    * it: every bucket holds at most one live file and every live file was
+    * written PK-sorted (compact's clustering). A merge join over two such
+    * tables then skips the per-partition Sort too — zero shuffle, zero sort.
+    * Merge-written (unsorted) files or fragmented buckets report nothing;
+    * Spark re-inserts the Sort, never trusting a stale claim. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val clustered = snap.files.nonEmpty &&
+      snap.files.forall(_.sorted) &&
+      snap.files.groupBy(_.bucket).values.forall(_.size == 1)
+    if (!clustered) Array.empty
+    else snap.schema.primaryKeys.map(pk =>
+      Expressions.sort(
+        Expressions.identity(pk),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until snap.buckets).map { b =>

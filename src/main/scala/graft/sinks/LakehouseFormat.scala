@@ -51,7 +51,8 @@ object LakehouseFormat {
       bucket: Int,
       rows: Long,
       stats: Map[String, ColStats] = Map.empty,
-      ver: Long = 0L) extends Action // commit version (sequence number)
+      ver: Long = 0L, // commit version (sequence number)
+      sorted: Boolean = false) extends Action // rows sorted by PK (compact writes)
   final case class RemoveFile(path: String) extends Action
   /** A MERGE-ON-READ delete file (Iceberg v2 equality deletes): a parquet of
     * PK values whose rows are dead in every data file committed BEFORE `ver`
@@ -91,9 +92,10 @@ object LakehouseFormat {
   private[sinks] def encode(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case AddFile(p, b, r, stats, ver) =>
+      case AddFile(p, b, r, stats, ver, sorted) =>
         val n = root.putObject("add"); n.put("path", p); n.put("bucket", b); n.put("rows", r)
         if (ver > 0) n.put("ver", ver) // absent = 0: legacy logs sort earliest
+        if (sorted) n.put("sorted", true) // absent = false: merge-written files
         if (stats.nonEmpty) {
           val st = n.putObject("stats")
           stats.foreach { case (c, cs) =>
@@ -134,7 +136,8 @@ object LakehouseFormat {
           e.getKey -> ColStats(e.getValue.get("min").asText, e.getValue.get("max").asText)
         }.toMap
       AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong, stats,
-        if (a.has("ver")) a.get("ver").asLong else 0L)
+        if (a.has("ver")) a.get("ver").asLong else 0L,
+        a.has("sorted") && a.get("sorted").asBoolean)
     } else if (n.has("remove")) RemoveFile(n.get("remove").get("path").asText)
     else if (n.has("eqdel")) {
       val d = n.get("eqdel")
@@ -743,13 +746,18 @@ final class LakehouseTable(
       // readData applies the deletes during the rewrite
       val df = readData(snap, oldFiles)
       // repartition on the bucket tag: each bucket's rows land in one task →
-      // exactly one output file per bucket directory
+      // exactly one output file per bucket directory. Rows sort by PK within
+      // the bucket (clustering): compacted files carry sorted=true, which
+      // the bucketed DSv2 scan reports as output ordering — merge joins over
+      // two compacted tables then skip BOTH the shuffle and the sort.
+      val sortCols = bucketColName +: snap.schema.primaryKeys
       df.withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), snap.buckets))
         .repartition(col(bucketColName))
+        .sortWithinPartitions(sortCols.map(col): _*)
         .write.partitionBy(bucketColName)
         .parquet(Paths.get(dir, commitRel).toString)
       val adds = listCommitFiles(commitRel, bucketColName)
-        .map(_.copy(ver = snap.version + 1))
+        .map(_.copy(ver = snap.version + 1, sorted = snap.schema.primaryKeys.nonEmpty))
       val removes = oldFiles.map(f => RemoveFile(f.path)) ++
         snap.deleteFiles.map(d => RemoveFile(d.path))
       if (tryCommit(snap.version + 1, adds ++ removes))

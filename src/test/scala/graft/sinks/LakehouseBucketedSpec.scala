@@ -82,6 +82,40 @@ class LakehouseBucketedSpec extends AnyFunSuite {
     assert(got == want && got.size == 334)
   }
 
+  test("compacted tables merge-join with NO sort either; merges withdraw the claim") {
+    def mk(suffix: Int): LakehouseTable = {
+      val t = new LakehouseTable(spark, Files.createTempDirectory(s"sorted_$suffix").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", LongType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      t.merge(spark.range(2000).select($"id".as("k"), ($"id" * suffix).as("v")),
+        t.read().limit(0).select($"k"))
+      t.compact(maxFilesPerBucket = 1) // clusters: one PK-sorted file per bucket
+      t
+    }
+    val (a, b) = (mk(1), mk(3))
+    assert(a.snapshot().files.forall(_.sorted))
+    val j = LakehouseBucketed.table(spark, a.dir)
+      .join(LakehouseBucketed.table(spark, b.dir), "k")
+    val plan = j.queryExecution.executedPlan.toString
+    // zero shuffle AND zero sort: the layout delivers both join requirements
+    assert(!plan.contains("Exchange") && !plan.contains("Sort "),
+      s"compacted bucketed join must need neither shuffle nor sort:\n$plan")
+    assert(j.count() == 2000)
+
+    // an unsorted merge fragment withdraws the ordering claim (Sort returns,
+    // partitioning stays) and values stay exact
+    a.merge(Seq((5L, 99L)).toDF("k", "v"), a.read().limit(0).select($"k"))
+    val j2 = LakehouseBucketed.table(spark, a.dir)
+      .join(LakehouseBucketed.table(spark, b.dir), "k")
+    val p2 = j2.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange") && p2.contains("Sort "))
+    assert(j2.filter($"k" === 5L).collect().map(r =>
+      (r.getLong(1), r.getLong(2))).toSeq == Seq((99L, 15L)))
+  }
+
   test("column pruning reaches the scan; updates visible; constraints loud") {
     val t = pkTable()
     t.merge((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
