@@ -485,6 +485,34 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](bad.create(s, sequenceField = Some("nope")))
   }
 
+  test("property: sequence-field result is batching- and order-independent") {
+    // however the rows are split into batches and whatever order the batches
+    // commit in, the table must equal the one-shot per-key max-sequence row —
+    // the invariant that makes out-of-order CDC ingestion safe
+    val rnd = new scala.util.Random(20260813)
+    val s = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("seq", LongType), StructField("v", LongType))),
+      primaryKeys = Seq("k"))
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 200).map { i =>
+        (rnd.nextInt(25).toLong, i.toLong /* unique seq */, rnd.nextLong())
+      }
+      val want = rows.groupBy(_._1).map { case (k, g) => k -> g.maxBy(_._2) }
+      val batches = rnd.shuffle(rows).grouped(1 + rnd.nextInt(60)).toSeq
+      val t = new LakehouseTable(
+        spark, Files.createTempDirectory(s"seq_prop_$trial").toString)
+      t.create(s, buckets = 2, sequenceField = Some("seq"))
+      rnd.shuffle(batches).foreach { b =>
+        t.merge(b.toDF("k", "seq", "v"), empty(t))
+      }
+      val got = t.read().collect()
+        .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"trial $trial diverged from one-shot max-by")
+    }
+  }
+
   test("merge engines fold intra-batch duplicate keys; ambiguous last-non-null raises") {
     val metrics = TableSchema(
       StructType(Seq(
