@@ -824,12 +824,19 @@ object QueriesCore {
         ev.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_event")),
         ev.limit(0).select(col("user_id")))
+      // clustered compaction: one PK-sorted file per bucket, so the scans
+      // also report PK-ascending ordering and the merge join drops its
+      // Sort nodes — the layout satisfies BOTH join requirements
+      ta.compact(maxFilesPerBucket = 1, full = true)
+      tb.compact(maxFilesPerBucket = 1, full = true)
       val joined = LakehouseBucketed.table(s, da)
         .join(LakehouseBucketed.table(s, db), "user_id")
         .select(col("user_id"), col("event_type"), col("n"), col("last_event"))
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),
         s"bucketed join must be storage-partitioned (no shuffle), got:\n$plan")
+      require(!plan.contains("Sort "),
+        s"clustered bucketed join must not re-sort, got:\n$plan")
       joined.orderBy("user_id")
     }),
     "c_lakehouse_out_of_order" -> ((s, dir) => {

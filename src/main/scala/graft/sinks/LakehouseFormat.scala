@@ -719,12 +719,20 @@ final class LakehouseTable(
     * append streams; only fragmented buckets are read or written.
     * Returns (filesBefore, filesAfter) over the compacted buckets.
     */
-  def compact(maxFilesPerBucket: Int = 1, maxAttempts: Int = 8): (Int, Int) = {
+  def compact(
+      maxFilesPerBucket: Int = 1,
+      maxAttempts: Int = 8,
+      full: Boolean = false): (Int, Int) = {
     var attempt = 0
     while (true) {
       attempt += 1
       val snap = snapshot()
-      val fragmented = snap.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
+      // `full` (Paimon full compaction): also rewrite buckets whose files are
+      // merely UNSORTED — after it, every bucket is one PK-clustered file and
+      // the bucketed scan reports ordering (sort-free merge joins)
+      val fragmented = snap.files.groupBy(_.bucket).filter { case (_, fs) =>
+        fs.size > maxFilesPerBucket || (full && fs.exists(!_.sorted))
+      }
       // outstanding MOR deletes also compact away: the buckets their keys
       // hash into rewrite WITH the deletes applied, and the delete files
       // drop — restoring zero read-time anti-join cost

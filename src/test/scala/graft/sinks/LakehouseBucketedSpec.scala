@@ -92,7 +92,7 @@ class LakehouseBucketedSpec extends AnyFunSuite {
         primaryKeys = Seq("k")), buckets = 4)
       t.merge(spark.range(2000).select($"id".as("k"), ($"id" * suffix).as("v")),
         t.read().limit(0).select($"k"))
-      t.compact(maxFilesPerBucket = 1) // clusters: one PK-sorted file per bucket
+      t.compact(maxFilesPerBucket = 1, full = true) // one PK-sorted file per bucket
       t
     }
     val (a, b) = (mk(1), mk(3))
