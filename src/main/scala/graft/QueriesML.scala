@@ -199,6 +199,21 @@ object QueriesML {
         .select(col("idA"), col("idB"), col("cosine"))
         .orderBy("idA", "idB")
     }),
+    "d_semdedup" -> ((s, dir) => {
+      // SemDeDup over the corpus + planted exact copies: the copies land in
+      // the same cluster and signature buckets as their originals and are
+      // dropped (keep-lowest-id); every original survives
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val out = Dedup.semanticDeduplicate(e.unionByName(planted), "vec_id", "embedding",
+        dim = 64, k = 8, threshold = 0.999)
+        .select(col("vec_id"), col("kept"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct"),
+        s"semantic dedup must stay bucketed, got:\n$plan")
+      out.orderBy("vec_id")
+    }),
 
     // ---- text analysis ------------------------------------------------------
     "x_tokens" -> ((s, dir) => {
@@ -571,6 +586,14 @@ object QueriesML {
     "d_embedding_dup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 10 ORDER BY idA, idB""".stripMargin,
+    // the planted exact copies (and only they) are dropped: each shares its
+    // original's cluster and buckets with cosine 1.0 and has the higher id
+    "d_semdedup" ->
+      """SELECT vec_id, TRUE AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 100000 AS vec_id, FALSE AS kept
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY vec_id""".stripMargin,
     // same edge set as the Spark side (jaccard>=0.9 over distinct word sets on
     // the bounded candidate structure), then component min via recursive-CTE
     // label reachability — the fixpoint min-label propagation converges to

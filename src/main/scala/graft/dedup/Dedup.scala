@@ -387,4 +387,85 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---------- semantic dedup (SemDeDup) -------------------------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid by cosine,
+    * then search near-duplicates only WITHIN a cluster and keep the
+    * lowest-id member of each near-dup pair. Returns the input columns plus a
+    * `kept` boolean.
+    *
+    * The paper's two-level pruning is preserved at scale:
+    *   - cluster assignment is MAP-ONLY — centroids are a driver-side
+    *     broadcast literal (k × dim doubles, metadata-sized), each row
+    *     computes k codegen'd cosines, no shuffle;
+    *   - candidate pairs come from hyperplane-LSH banding SCOPED BY CLUSTER
+    *     (bucket key = (cluster, band-chunk)), so the one shuffle distributes
+    *     over k × bands × 2^(bits/bands) buckets and a pair is only verified
+    *     when it shares BOTH a cluster and a signature band — never all-pairs,
+    *     and never across clusters.
+    *
+    * Centroids here are the k lowest-id vectors (deterministic, so the result
+    * is oracle-checkable); a production pipeline would feed k-means centroids
+    * from an offline sample through the `centroids` overload — assignment,
+    * banding, and the keep rule are identical either way. Ties in the argmax
+    * break toward the lowest centroid index (first occurrence), so identical
+    * vectors always co-cluster.
+    */
+  def semanticDeduplicate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val centroids = df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect() // k rows of dim floats: metadata-sized, never row-scaled
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq)
+    semanticDeduplicate(df, idCol, vecCol, dim, centroids, threshold, bits, bands, seed)
+  }
+
+  /** SemDeDup with explicit centroids (e.g. offline k-means). */
+  def semanticDeduplicate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      centroids: Seq[Seq[Double]],
+      threshold: Double,
+      bits: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
+    require(centroids.nonEmpty, "semantic dedup needs at least one centroid")
+    require(centroids.forall(_.length == dim), s"centroids must have dim=$dim")
+    val perBand = bits / bands
+    val mask = (1L << perBand) - 1
+    // argmax over k per-row cosines; array_position takes the FIRST maximal
+    // index, so the tie-break is deterministic (lowest centroid wins). The
+    // centroid literal is cast to the vector column's element type so the
+    // native dot expression sees matching array types.
+    val vecType = df.schema(vecCol).dataType
+    val cosArr = array(centroids.map(c =>
+      VectorFunctions.cosine(col("payload"), typedLit(c).cast(vecType))): _*)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("payload"))
+      .withColumn("cluster", array_position(cosArr, array_max(cosArr)) - 1)
+    val sigs = assigned.withColumn(
+      "sig", VectorFunctions.hyperplaneSignature(col("payload"), dim, bits, seed))
+    val chunkArray = array((0 until bands).map(b =>
+      shiftright(col("sig"), b * perBand).bitwiseAND(lit(mask))): _*)
+    val banded = sigs.select(col("id"), col("payload"), col("cluster"), posexplode(chunkArray))
+      .withColumnRenamed("pos", "band")
+      .select(col("id"), col("payload"), col("band"),
+        struct(col("cluster"), col("col").as("chunk")).as("bucketKey"))
+    val dropped = bucketPairs(banded)
+      .filter(VectorFunctions.cosine(col("payloadA"), col("payloadB")) >= threshold)
+      .select(col("idB").as("__dup_id")).distinct()
+    df.join(dropped, col(idCol) === col("__dup_id"), "left")
+      .withColumn("kept", col("__dup_id").isNull)
+      .drop("__dup_id")
+  }
 }

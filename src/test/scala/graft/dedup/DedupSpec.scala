@@ -175,6 +175,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semanticDeduplicate: drops in-cluster near-dups, never compares across clusters") {
+    // centroids = two lowest ids (the axis vectors). 2 and 5 are in-cluster
+    // near-dups of 0 and 1 → dropped; 3 and 4 have cosine ≈ 1 with each other
+    // but straddle the cluster boundary → both kept (the SemDeDup semantic:
+    // candidate pairs exist only within a cluster)
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(1f, 0.001f, 0f, 0f)),
+      (3L, Seq(1.0001f, 1f, 0f, 0f)),
+      (4L, Seq(1f, 1.0001f, 0f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDeduplicate(df, "vec_id", "embedding",
+      dim = 4, k = 2, threshold = 0.999)
+    val kept = out.filter($"kept").select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 3L, 4L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("spanDedup: copies vanish, originals reassemble canonically, cross-doc spans keep first") {
     val df = Seq(
       (0L, "Alpha beta  Gamma delta"), // canonical form of doc 1
