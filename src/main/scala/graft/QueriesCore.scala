@@ -1054,6 +1054,34 @@ object QueriesCore {
         s"append commits should fragment buckets then compact ($nBefore -> $nAfter)")
       tb.read().orderBy("event_id")
     }),
+    "c_lakehouse_bloom" -> ((s, dir) => {
+      // bloom-filter file index: document fingerprints are uniformly
+      // scattered, so every file's [min,max] admits any probe and zone maps
+      // cannot prune — the per-file bloom sidecars prove definite absence
+      // instead. Three append commits; an absent fingerprint must probe ZERO
+      // files, a present one a strict subset, and the point read returns
+      // exactly that fingerprint's documents.
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_bloom").toString
+      val tb = new LakehouseTable(s, root)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      tb.create(TableSchema(d.schema, primaryKeys = Seq.empty), buckets = 4,
+        bloomColumns = Seq("fp"))
+      (0 to 2).foreach(i =>
+        tb.append(d.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)))
+      require(tb.snapshot().files.forall(_.bloom), "every file carries a bloom sidecar")
+      val probe = d.filter(col("doc_id") === 42).head().getString(1)
+      val absent = s.range(1)
+        .select(graft.functions.TextFunctions.fingerprint(lit("graft absent probe")))
+        .head().getString(0)
+      require(tb.prunedFiles("fp", absent).isEmpty,
+        "an absent fingerprint must probe zero files through the blooms")
+      require(tb.prunedFiles("fp", probe).size < tb.snapshot().files.size,
+        "a present fingerprint must not scan the whole table")
+      tb.readWhere("fp", probe).select(col("doc_id"), col("fp")).orderBy("doc_id")
+    }),
     "s_lakehouse_cdf" -> ((s, dir) => {
       // incremental consumption (Delta-CDF shape): three append commits with
       // a compaction in the middle, drained through readChangesSince with a
@@ -1498,6 +1526,14 @@ object QueriesCore {
     "c_lakehouse_append" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events ORDER BY event_id""".stripMargin,
+    // the bloom-pruned point read returns exactly doc 42's fingerprint group
+    "c_lakehouse_bloom" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp FROM f
+        |WHERE fp = (SELECT fp FROM f WHERE doc_id = 42)
+        |ORDER BY doc_id""".stripMargin,
     // incremental consumption: the union of change-feed increments == table
     "s_lakehouse_cdf" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts

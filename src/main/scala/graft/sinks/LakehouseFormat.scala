@@ -52,7 +52,8 @@ object LakehouseFormat {
       rows: Long,
       stats: Map[String, ColStats] = Map.empty,
       ver: Long = 0L, // commit version (sequence number)
-      sorted: Boolean = false) extends Action // rows sorted by PK (compact writes)
+      sorted: Boolean = false, // rows sorted by PK (compact writes)
+      bloom: Boolean = false) extends Action // per-file bloom sidecar exists
   final case class RemoveFile(path: String) extends Action
   /** A MERGE-ON-READ delete file (Iceberg v2 equality deletes): a parquet of
     * PK values whose rows are dead in every data file committed BEFORE `ver`
@@ -67,7 +68,8 @@ object LakehouseFormat {
       changelog: Boolean = false,
       mergeEngine: String = "last-wins",
       aggregations: Map[String, String] = Map.empty,
-      sequenceField: Option[String] = None) extends Action
+      sequenceField: Option[String] = None,
+      bloomColumns: Seq[String] = Seq.empty) extends Action
   final case class Txn(runId: String, batchId: Long) extends Action
   /** A row-level change-data file of one MERGE commit (Delta CDF's
     * `_change_data` / Paimon's changelog files): rows carry the declared
@@ -92,10 +94,11 @@ object LakehouseFormat {
   private[sinks] def encode(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case AddFile(p, b, r, stats, ver, sorted) =>
+      case AddFile(p, b, r, stats, ver, sorted, bloom) =>
         val n = root.putObject("add"); n.put("path", p); n.put("bucket", b); n.put("rows", r)
         if (ver > 0) n.put("ver", ver) // absent = 0: legacy logs sort earliest
         if (sorted) n.put("sorted", true) // absent = false: merge-written files
+        if (bloom) n.put("bloom", true) // absent = false: no sidecar index
         if (stats.nonEmpty) {
           val st = n.putObject("stats")
           stats.foreach { case (c, cs) =>
@@ -106,7 +109,7 @@ object LakehouseFormat {
         root.putObject("remove").put("path", p)
       case EqualityDeleteFile(p, ver) =>
         val n = root.putObject("eqdel"); n.put("path", p); n.put("ver", ver)
-      case Meta(s, b, cl, me, aggs, sf) =>
+      case Meta(s, b, cl, me, aggs, sf, bloomCols) =>
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
         val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
@@ -118,6 +121,9 @@ object LakehouseFormat {
           aggs.foreach { case (c, f) => a.put(c, f) }
         }
         sf.foreach(n.put("sequenceField", _)) // absent = commit-order wins
+        if (bloomCols.nonEmpty) {
+          val bc = n.putArray("bloomColumns"); bloomCols.foreach(bc.add)
+        }
       case Txn(run, batch) =>
         val n = root.putObject("txn"); n.put("runId", run); n.put("batchId", batch)
       case ChangeFile(p) =>
@@ -137,7 +143,8 @@ object LakehouseFormat {
         }.toMap
       AddFile(a.get("path").asText, a.get("bucket").asInt, a.get("rows").asLong, stats,
         if (a.has("ver")) a.get("ver").asLong else 0L,
-        a.has("sorted") && a.get("sorted").asBoolean)
+        a.has("sorted") && a.get("sorted").asBoolean,
+        a.has("bloom") && a.get("bloom").asBoolean)
     } else if (n.has("remove")) RemoveFile(n.get("remove").get("path").asText)
     else if (n.has("eqdel")) {
       val d = n.get("eqdel")
@@ -155,7 +162,9 @@ object LakehouseFormat {
         if (!m.has("aggregations")) Map.empty
         else m.get("aggregations").fields().asScala
           .map(e => e.getKey -> e.getValue.asText).toMap,
-        if (m.has("sequenceField")) Some(m.get("sequenceField").asText) else None)
+        if (m.has("sequenceField")) Some(m.get("sequenceField").asText) else None,
+        if (!m.has("bloomColumns")) Seq.empty
+        else m.get("bloomColumns").elements.asScala.map(_.asText).toSeq)
     } else if (n.has("txn")) {
       val t = n.get("txn")
       Txn(t.get("runId").asText, t.get("batchId").asLong)
@@ -314,7 +323,8 @@ final class LakehouseTable(
       changelog: Boolean = false,
       mergeEngine: String = "last-wins",
       aggregations: Map[String, String] = Map.empty,
-      sequenceField: Option[String] = None): Unit = {
+      sequenceField: Option[String] = None,
+      bloomColumns: Seq[String] = Seq.empty): Unit = {
     // PK-less tables are legal append-only tables (Paimon's append mode);
     // merge() enforces keys at call time. `changelog = true` makes every
     // MERGE commit also write row-level change data (readChangelogBetween).
@@ -349,10 +359,20 @@ final class LakehouseTable(
       require(schema.struct.fieldNames.contains(sf) && !schema.primaryKeys.contains(sf),
         s"sequence field '$sf' must be a non-key table column")
     }
+    // `bloomColumns` (Delta's bloom filter index / Iceberg's parquet bloom
+    // write-prop): every data file gets a sidecar bloom over these columns,
+    // probed by point predicates where min/max zone maps cannot prune (high
+    // cardinality scattered uniformly across files, e.g. a fingerprint).
+    bloomColumns.foreach { c =>
+      require(schema.struct.fieldNames.contains(c),
+        s"bloom column '$c' is not a table column")
+    }
     if (snapshot().meta.isEmpty &&
       !tryCommit(latestVersion() + 1,
-        Seq(Meta(schema, buckets, changelog, mergeEngine, aggregations, sequenceField))))
-      create(schema, buckets, changelog, mergeEngine, aggregations, sequenceField)
+        Seq(Meta(schema, buckets, changelog, mergeEngine, aggregations, sequenceField,
+          bloomColumns))))
+      create(schema, buckets, changelog, mergeEngine, aggregations, sequenceField,
+        bloomColumns)
   }
 
   /** Commit arbitrary actions at the next version (retrying past losers of
@@ -367,7 +387,8 @@ final class LakehouseTable(
     commit(Seq(Meta(schema, m.map(_.buckets).getOrElse(16),
       m.exists(_.changelog), m.map(_.mergeEngine).getOrElse("last-wins"),
       m.map(_.aggregations).getOrElse(Map.empty),
-      m.flatMap(_.sequenceField))))
+      m.flatMap(_.sequenceField),
+      m.map(_.bloomColumns).getOrElse(Seq.empty))))
   }
 
   /** Current (or time-traveled) contents. Missing columns in old files read
@@ -805,7 +826,8 @@ final class LakehouseTable(
       val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog),
         snap.meta.map(_.mergeEngine).getOrElse("last-wins"),
         snap.meta.map(_.aggregations).getOrElse(Map.empty),
-        snap.meta.flatMap(_.sequenceField)) +:
+        snap.meta.flatMap(_.sequenceField),
+        snap.meta.map(_.bloomColumns).getOrElse(Seq.empty)) +:
         (adds ++ snap.files.map(f => RemoveFile(f.path)) ++
           snap.deleteFiles.map(d => RemoveFile(d.path)))
       if (tryCommit(snap.version + 1, actions)) done = true
@@ -826,7 +848,7 @@ final class LakehouseTable(
         val bucket = p.getParent.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
         AddFile(rel, bucket, -1L)
       }.toSeq
-    attachStats(adds)
+    attachBlooms(attachStats(adds))
   }
 
   /** Columns that get zone maps: top-level orderable scalars. */
@@ -874,6 +896,116 @@ final class LakehouseTable(
     }
   }
 
+  /** Per-file bloom filter sidecars (the Delta bloom-filter-index / Iceberg
+    * parquet-bloom shape): for each declared bloom column, one filter per new
+    * data file over `xxhash64` of the column values, written beside the data
+    * as `_index/<file>.bloom`. Point predicates probe them where min/max zone
+    * maps cannot prune — a high-cardinality value (fingerprint, UUID) falls
+    * inside almost every file's [min,max], but lives in only one file's bloom.
+    *
+    * Cost is one pass over the commit's files, like [[attachStats]]. Sizing
+    * is exact (the group buffers its hashes before allocating) at 1% fpp
+    * ≈ 1.2 bytes/row. Executors build the filters; the driver writes the
+    * commit's sidecars alongside the manifest it is already writing — the
+    * AddFile carries only a flag, so the manifest never bloats with filter
+    * bytes, and sidecars are immutable like their data files.
+    */
+  private def attachBlooms(adds: Seq[AddFile]): Seq[AddFile] = {
+    val bloomCols = snapshot().meta.map(_.bloomColumns).getOrElse(Seq.empty)
+    if (!collectStats || bloomCols.isEmpty || adds.isEmpty) return adds
+    import spark.implicits._
+    val paths = adds.map(a => Paths.get(dir, a.path).toString)
+    val hashArr = array(bloomCols.map(c => xxhash64(col(c))): _*)
+    val built = spark.read.parquet(paths: _*)
+      .select(input_file_name().as("f"), posexplode(hashArr))
+      .as[(String, Int, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Long)]) =>
+        val (f, ci) = key
+        val hs = it.map(_._3).toArray
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(hs.length.toLong, 1024L), 0.01)
+        hs.foreach(bf.putLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, ci, bos.toByteArray)
+      }
+      .collect()
+      .groupBy(_._1)
+    adds.map { a =>
+      built.collectFirst { case (f, parts) if f.endsWith(a.path) => parts } match {
+        case None => a // empty file: nothing to index, never pruned incorrectly
+        case Some(parts) =>
+          val target = Paths.get(dir, "_index", a.path + ".bloom")
+          Files.createDirectories(target.getParent)
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.writeInt(parts.length)
+          parts.sortBy(_._2).foreach { case (_, ci, bytes) =>
+            out.writeUTF(bloomCols(ci)); out.writeInt(bytes.length); out.write(bytes)
+          }
+          out.flush()
+          Files.write(target, bos.toByteArray)
+          a.copy(bloom = true)
+      }
+    }
+  }
+
+  /** Sidecar blooms of one data file, cached (files and their sidecars are
+    * immutable). A missing or unreadable sidecar yields no filters —
+    * always-keep, never wrong. */
+  @transient private lazy val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def fileBlooms(
+      file: AddFile): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.computeIfAbsent(file.path, { _ =>
+      val p = Paths.get(dir, "_index", file.path + ".bloom")
+      try {
+        if (!Files.isRegularFile(p)) Map.empty
+        else {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val name = in.readUTF()
+            val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+            name -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+          }.toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    })
+
+  /** Bloom half of the point-predicate file check: definite-absent files
+    * drop; files without a sidecar or without this column keep. The probe
+    * value is converted to the DECLARED column type and hashed through the
+    * same typed `xxhash64` the build side used — a probe that fails to
+    * convert, or converts to null, keeps the file (the zone-map
+    * [[renderProbe]] discipline: pruning must never drop matching rows). */
+  private def bloomAdmits(
+      file: AddFile,
+      colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      value: Any): Boolean =
+    if (!file.bloom || value == null) true
+    else fileBlooms(file).get(colName) match {
+      case None => true
+      case Some(bf) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+        def hash(e: => org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+          try {
+            val typed = e.eval(null)
+            if (typed == null) None // null-converting probe: cannot prune on it
+            else Some(XxHash64(Seq(Literal(typed, dt)), 42L).eval(null).asInstanceOf[Long])
+          } catch { case scala.util.control.NonFatal(_) => None }
+        hash(Literal.create(value, dt))
+          .orElse(hash(Cast(Literal(value.toString), dt, tz)))
+          .map(bf.mightContainLong)
+          .getOrElse(true)
+    }
+
   /** Render a probe value through the SAME cast-to-string Spark used when
     * [[attachStats]] collected the file stats. `value.toString` is NOT that
     * rendering for temporal types (`java.sql.Timestamp.toString` yields
@@ -900,8 +1032,18 @@ final class LakehouseTable(
 
   /** Typed zone-map check: can `file` contain `value` in `colName`? Files
     * without stats (older commits, null-only columns) are always kept, as
-    * are stats that fail to parse (NaN/Infinity renderings). */
+    * are stats that fail to parse (NaN/Infinity renderings). When the file
+    * carries a bloom sidecar for the column, the bloom composes on top —
+    * min/max admits a scattered high-cardinality probe almost everywhere,
+    * the bloom then drops the files that definitely lack it. */
   private def mightContain(
+      file: AddFile,
+      colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      value: Any): Boolean =
+    zoneAdmits(file, colName, dt, value) && bloomAdmits(file, colName, dt, value)
+
+  private def zoneAdmits(
       file: AddFile,
       colName: String,
       dt: org.apache.spark.sql.types.DataType,
@@ -1085,6 +1227,18 @@ final class LakehouseTable(
       .filterNot(referenced.contains)
       .toSeq
     removed.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    // bloom sidecars live and die with their data file: reclaim any whose
+    // data file is no longer referenced (the sidecar of a vacuumed file)
+    val idx = root.resolve("_index")
+    if (Files.isDirectory(idx)) {
+      Files.walk(idx).iterator.asScala
+        .filter(p => p.toString.endsWith(".bloom") && Files.isRegularFile(p))
+        .toSeq
+        .foreach { p =>
+          val dataRel = idx.relativize(p).toString.stripSuffix(".bloom")
+          if (!referenced.contains(dataRel)) Files.deleteIfExists(p)
+        }
+    }
     removed
   }
 

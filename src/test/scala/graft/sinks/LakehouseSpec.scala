@@ -143,6 +143,49 @@ class LakehouseSpec extends AnyFunSuite {
       < t.snapshot().files.size)
   }
 
+  test("bloom sidecars: point probes drop files zone maps cannot, results exact") {
+    val s = TableSchema(StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("fp", StringType))), primaryKeys = Seq.empty)
+    // interleaved fingerprints: every file's [min,max] spans nearly the whole
+    // fp space, so zone maps keep everything — only the bloom can prune
+    def fp(i: Long) = f"${java.lang.Long.rotateLeft(i * 0x9E3779B97F4A7C15L, 17)}%016x"
+    def fill(t: LakehouseTable): Unit = (0 until 4).foreach { c =>
+      t.append((c.toLong until 400L by 4).map(j => (j, fp(j))).toDF("k", "fp"))
+    }
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(s, buckets = 4, bloomColumns = Seq("fp"))
+    fill(t)
+    val snap = t.snapshot()
+    assert(snap.files.forall(_.bloom))
+    // a present probe keeps few files and reads exactly its row
+    val present = fp(123L)
+    assert(t.prunedFiles("fp", present).size < snap.files.size)
+    assert(t.readWhere("fp", present).count() == 1)
+    // an absent value inside the fp range: blooms prove definite-absent
+    val absent = fp(99999L)
+    assert(t.prunedFiles("fp", absent).isEmpty)
+    // ... which zone maps alone cannot (same data, no bloom columns)
+    val t2 = new LakehouseTable(spark, Files.createTempDirectory("graft_lake").toString)
+    t2.create(s, buckets = 4)
+    fill(t2)
+    assert(t2.prunedFiles("fp", absent).size > t2.snapshot().files.size / 2)
+    // compaction rewrites carry blooms; vacuum reclaims orphaned sidecars
+    t.compact(maxFilesPerBucket = 1)
+    assert(t.snapshot().files.forall(_.bloom))
+    t.vacuum()
+    val idx = Paths.get(dir, "_index")
+    val sidecars = Files.walk(idx).iterator()
+    val live = Iterator.continually(sidecars).takeWhile(_.hasNext).map(_.next())
+      .count(p => p.toString.endsWith(".bloom"))
+    assert(live == t.snapshot().files.size)
+    // a fresh handle (empty cache) reads sidecars from disk and still prunes
+    val t3 = new LakehouseTable(spark, dir)
+    assert(t3.prunedFiles("fp", absent).isEmpty)
+    assert(t3.readWhere("fp", present).count() == 1)
+  }
+
   test("readChangesSince: expired unconsumed commits fail loudly, not NoSuchFile") {
     val dir = Files.createTempDirectory("graft_lake").toString
     val t = new LakehouseTable(spark, dir)
