@@ -194,11 +194,36 @@ object CurationPipeline {
         require(default >= 0 && default <= 1, s"mix default out of [0,1]: $default")
         TrainingData.stratifiedSample(
           df, idCol, by, weights, math.round(default * 2048).toInt)
+      case "semdedup" =>
+        // semantic dedup over a sidecar embedding table (SemDeDup, Abbas et
+        // al. 2023): documents whose embedding has an in-cluster near-dup of
+        // lower id are dropped; documents WITHOUT an embedding are kept
+        // (they cannot be judged), which the anti-join on dropped ids gives
+        // for free. The embedding table never rides through the text chain —
+        // only its id column does.
+        val embPath = step.config.getOrElse("embeddings",
+          throw new IllegalArgumentException("semdedup requires 'embeddings' (parquet path)"))
+        val vecCol = cfg("vector-column", "embedding")
+        val embIdCol = cfg("embedding-id", idCol)
+        val emb = spark.read.parquet(embPath)
+          .select(col(embIdCol).as(idCol), col(vecCol))
+        emb.select(col(vecCol)).head(1) match {
+          case Array(first) =>
+            val dim = first.getSeq[Any](0).length
+            val judged = df.select(col(idCol)).join(emb, Seq(idCol))
+            val dropped = Dedup.semanticDeduplicate(
+              judged, idCol, vecCol, dim,
+              k = cfg("clusters", "64").toInt,
+              threshold = cfg("threshold", "0.95").toDouble)
+              .filter(!col("kept")).select(col(idCol))
+            df.join(dropped, Seq(idCol), "left_anti")
+          case _ => df // empty embedding table: nothing can be judged
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unknown curation step '$other' (supported: repetition-filter, quality-filter, " +
             "language-filter, exact-dedup, span-dedup, incremental-dedup, decontaminate, " +
-            "pii-redact, sample, mix)")
+            "pii-redact, sample, mix, semdedup)")
     }
   }
 

@@ -74,6 +74,35 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(result.filter($"doc_id" === 100L).isEmpty && result.filter($"doc_id" === 0L).count() == 1)
   }
 
+  test("semdedup step: embedded near-dups drop, unembedded docs survive") {
+    val in = Files.createTempDirectory("curate_in").toString
+    val out = Files.createTempDirectory("curate_out").toString
+    val embDir = Files.createTempDirectory("curate_emb").toString
+    // docs 0-2 carry embeddings (0 and 1, the centroid seeds, orthogonal;
+    // 2 a near-copy of 0 → dropped); 3 has no embedding row and must
+    // survive untouched
+    (0L to 3L).map(i => (i, s"document body number $i with plenty of words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(1f, 0.001f, 0f, 0f)))
+      .toDF("doc_id", "embedding").write.mode("overwrite").parquet(embDir)
+    val cdef = CurationPipeline.parse(
+      s"""curation:
+         |  input: $in
+         |  output: $out
+         |  steps:
+         |    - type: semdedup
+         |      embeddings: $embDir
+         |      clusters: 2
+         |      threshold: 0.999
+         |""".stripMargin)
+    CurationPipeline.run(spark, cdef)
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 3L))
+  }
+
   test("incremental curation: lakehouse change feed, cursor, cross-run dedup") {
     import graft.core.TableSchema
     import graft.sinks.LakehouseTable
