@@ -341,6 +341,41 @@ object Bench {
       a.join(b, "k").count()
     }.foreach(sec => out += "b7_shuffled_join_sec" -> sec)
 
+    // B8: bloom-index point lookup vs the same predicate as a full scan —
+    // the sidecar bloom's file skipping, quantified. One append table of 1M
+    // rows whose probe column is an md5 (scattered: min/max zone maps admit
+    // any probe everywhere), 8 commits → ~128 files with bloom sidecars. The
+    // bloom path must probe a handful of files (asserted); the scan path
+    // reads them all. At 100 TB the gap is the difference between opening
+    // every file's footer and opening the few the blooms admit.
+    lazy val b8Table = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_b8").toString
+      val t = new graft.sinks.LakehouseTable(spark, dir)
+      t.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "k", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "fp", org.apache.spark.sql.types.StringType))),
+          primaryKeys = Seq.empty),
+        buckets = 8, bloomColumns = Seq("fp"))
+      (0 until 8).foreach(i =>
+        t.append(spark.range(125000L * i, 125000L * (i + 1)).coalesce(2)
+          .select(col("id").as("k"), md5(col("id").cast("string")).as("fp"))))
+      t
+    }
+    lazy val b8Probe = b8Table.read().filter(col("k") === 500000L).head().getString(1)
+    timed("b8_bloom_point") {
+      val probed = b8Table.prunedFiles("fp", b8Probe)
+      require(probed.size <= 8,
+        s"bloom point probe should touch a handful of files, got ${probed.size}")
+      require(b8Table.readWhere("fp", b8Probe).count() == 1, "b8 lookup must hit")
+    }.foreach(sec => out += "b8_bloom_point_sec" -> sec)
+    timed("b8_scan_point") {
+      require(b8Table.read().filter(col("fp") === b8Probe).count() == 1, "b8 scan must hit")
+    }.foreach(sec => out += "b8_scan_point_sec" -> sec)
+
     once("b4_total_wall_sec_outer") {
       val tid = TableId.parse("app.evolving")
       val driver = new graft.pipeline.SchemaEvolutionDriver(
