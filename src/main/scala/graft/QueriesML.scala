@@ -224,6 +224,18 @@ object QueriesML {
         TextFunctions.subwordCountApprox(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
+    "x_bpe" -> ((s, dir) => {
+      // learned byte-pair encoding over the corpus itself (Sennrich 2016):
+      // word counting is the only corpus-scale pass; merge learning runs on
+      // the bounded top-50k vocabulary; encoding is map-only. No SQL oracle
+      // (the merge loop is not SQL-expressible) → rows-only driver check;
+      // BpeSpec pins the algorithm against the paper's hand-computed corpus.
+      val d = docs(s, dir)
+      val model = graft.functions.Bpe.learn(d, "text", numMerges = 200)
+      d.select(col("doc_id"),
+          size(graft.functions.Bpe.encodeTokens(col("text"), model)).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     "x_quality" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
