@@ -1054,6 +1054,35 @@ object QueriesCore {
         s"append commits should fragment buckets then compact ($nBefore -> $nAfter)")
       tb.read().orderBy("event_id")
     }),
+    "c_lakehouse_zorder" -> ((s, dir) => {
+      // z-order clustering: after the rewrite each file is a Z-curve tile,
+      // so range predicates on BOTH clustered columns prune files — the
+      // multi-dimension data skipping a single sort order cannot give.
+      // Output is the full table (the rewrite is data-identical).
+      import graft.sinks.LakehouseTable
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_z").toString
+      val tb = new LakehouseTable(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      tb.create(TableSchema(ev.schema, primaryKeys = Seq.empty), buckets = 8)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxId / 3, 2 * maxId / 3, maxId).foreach { hi =>
+        tb.append(ev.filter(col("event_id") > lo && col("event_id") <= hi).coalesce(2))
+        lo = hi
+      }
+      val files = tb.zorderCompact(Seq("user_id", "event_id"), targetFiles = 16)
+      require(files > 4, s"z-order should tile into several files, got $files")
+      val st = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("event_id")), max(col("event_id"))).head()
+      val uSpan = math.max((st.getLong(1) - st.getLong(0)) / 16, 1L)
+      val eSpan = math.max((st.getLong(3) - st.getLong(2)) / 16, 1L)
+      val uP = tb.prunedFilesBetween("user_id", st.getLong(0), st.getLong(0) + uSpan).size
+      val eP = tb.prunedFilesBetween("event_id", st.getLong(2), st.getLong(2) + eSpan).size
+      require(uP <= files / 2 && eP <= files / 2,
+        s"both z-order dimensions must prune ($uP and $eP of $files files)")
+      tb.read().orderBy("event_id")
+    }),
     "c_lakehouse_bloom" -> ((s, dir) => {
       // bloom-filter file index: document fingerprints are uniformly
       // scattered, so every file's [min,max] admits any probe and zone maps
@@ -1524,6 +1553,10 @@ object QueriesCore {
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
     // compaction is data-identical: the appended slices re-read as the table
     "c_lakehouse_append" ->
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the z-order rewrite is data-identical: the table equals raw events
+    "c_lakehouse_zorder" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events ORDER BY event_id""".stripMargin,
     // the bloom-pruned point read returns exactly doc 42's fingerprint group

@@ -798,6 +798,81 @@ final class LakehouseTable(
     throw new IllegalStateException("unreachable")
   }
 
+  /** Z-ORDER clustering rewrite for append tables (Delta's OPTIMIZE ZORDER
+    * BY): rewrite the table so each file holds one tile of the Z-curve over
+    * `cols` — EVERY listed column's per-file [min,max] tightens at once, and
+    * the existing zone maps prune range/point predicates on any of them,
+    * not just a single sort prefix. Data-identical, one commit swaps the
+    * file set, time travel intact (like [[compact]]).
+    *
+    * Mechanics: each column scales linearly to a 16-bit rank between its own
+    * exact min/max (one metadata-sized aggregate; deterministic — a skewed
+    * production table would use sampled quantile boundaries instead, same
+    * plan shape), ranks bit-interleave into the Z-value, and the TOP bits of
+    * the Z-value assign the file — quadrant tiling, so a file's rows form a
+    * contiguous Z-tile whose per-column span shrinks with the file count.
+    * Nulls rank 0 (they stay prunable-correct: stats simply widen to the
+    * low edge). PK tables are refused — their hash-bucket layout is
+    * load-bearing for merge; they cluster within buckets via [[compact]].
+    * Returns the number of files written.
+    */
+  def zorderCompact(cols: Seq[String], targetFiles: Int = 0, maxAttempts: Int = 8): Int = {
+    require(cols.size >= 2, "z-order needs at least two columns (one column = plain sort)")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = snapshot()
+      require(snap.schema.primaryKeys.isEmpty,
+        "z-order clustering is for append tables; PK tables cluster within " +
+          "their hash buckets via compact()")
+      cols.foreach { c =>
+        import org.apache.spark.sql.types._
+        val dt = snap.schema.struct.apply(c).dataType
+        require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType ||
+          dt == TimestampNTZType, s"z-order column '$c' must be orderable-numeric, got $dt")
+      }
+      if (snap.files.isEmpty) return 0
+      val df = readData(snap, snap.files)
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val bitsPer = 16
+      val n = cols.size
+      val ranks = cols.zipWithIndex.map { case (c, i) =>
+        val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
+        val span = if (hi > lo) hi - lo else 1.0
+        coalesce(
+          least(lit(65535L), greatest(lit(0L),
+            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)).cast("long"))),
+          lit(0L))
+      }
+      // interleave: bit b of rank i lands at z-bit b*n+i; bits are disjoint
+      // so the reduce-+ is a bitwise OR
+      val zCol = (0 until bitsPer).flatMap(b => ranks.zipWithIndex.map { case (rk, i) =>
+        shiftleft(shiftright(rk, b).bitwiseAND(lit(1L)), b * n + i)
+      }).reduce(_ + _)
+      val nFiles = math.max(1, if (targetFiles > 0) targetFiles else snap.files.size)
+      val k = if (nFiles <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(nFiles - 1L)
+      val shift = math.max(bitsPer * n - k, 0)
+      val commitRel = s"zorder-${java.util.UUID.randomUUID().toString.take(12)}"
+      df.withColumn("__graft_z", zCol)
+        .withColumn(bucketColName, shiftright(col("__graft_z"), shift).cast("int"))
+        .repartition(col(bucketColName))
+        .sortWithinPartitions(col("__graft_z")) // row-group stats inside the file
+        .drop("__graft_z")
+        .write.partitionBy(bucketColName)
+        .parquet(Paths.get(dir, commitRel).toString)
+      val adds = listCommitFiles(commitRel, bucketColName).map(_.copy(ver = snap.version + 1))
+      val removes = snap.files.map(f => RemoveFile(f.path)) ++
+        snap.deleteFiles.map(d => RemoveFile(d.path))
+      if (tryCommit(snap.version + 1, adds ++ removes)) return adds.size
+      deleteRecursively(Paths.get(dir, commitRel))
+      if (attempt >= maxAttempts) throw new IllegalStateException(
+        s"lakehouse commit contention: gave up after $maxAttempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Bucket-layout migration (Paimon rescale): rewrite the whole table into
     * `newBuckets` PK-hash buckets, committing the new `meta`, the new files,
     * and the removal of every old file atomically. The one whole-table

@@ -186,6 +186,43 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t3.readWhere("fp", present).count() == 1)
   }
 
+  test("z-order clustering: BOTH dimensions prune after the rewrite; data identical") {
+    val s = TableSchema(StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false))), primaryKeys = Seq.empty)
+    val dir = Files.createTempDirectory("graft_lake_z").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(s, buckets = 4)
+    // a 64×64 grid appended in two halves split by PARITY: every pre-rewrite
+    // file spans the full x and y domains, so neither dimension prunes
+    (0 until 2).foreach { p =>
+      t.append((0 until 4096).filter(_ % 2 == p)
+        .map(i => (i.toLong % 64, i.toLong / 64)).toDF("x", "y"))
+    }
+    val preFiles = t.snapshot().files.size
+    assert(t.prunedFilesBetween("x", 0L, 3L).size == preFiles)
+    val before = t.read().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val preVersion = t.latestVersion()
+
+    val written = t.zorderCompact(Seq("x", "y"), targetFiles = 16)
+    val files = t.snapshot().files.size
+    assert(written == files && files > 4)
+    // a 1/16-domain range on EITHER column touches at most half the tiles
+    // (one tile column/row plus a boundary neighbour)
+    val xPruned = t.prunedFilesBetween("x", 0L, 3L)
+    val yPruned = t.prunedFilesBetween("y", 0L, 3L)
+    assert(xPruned.size <= files / 2, s"x pruned ${xPruned.size} of $files")
+    assert(yPruned.size <= files / 2, s"y pruned ${yPruned.size} of $files")
+    // data-identical, and time travel still replays the old file set
+    assert(t.read().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(before))
+    assert(t.read(Some(preVersion)).count() == 4096)
+    // PK tables refuse: the hash-bucket layout is load-bearing for merge
+    val tpk = newTable()
+    tpk.merge(Seq((1L, "a")).toDF("k", "v"), empty(tpk))
+    intercept[IllegalArgumentException] { tpk.zorderCompact(Seq("k", "k")) }
+  }
+
   test("readChangesSince: expired unconsumed commits fail loudly, not NoSuchFile") {
     val dir = Files.createTempDirectory("graft_lake").toString
     val t = new LakehouseTable(spark, dir)
