@@ -308,6 +308,90 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // The pgoutput BINARY protocol (PostgreSQL's native plugin — what a
+    // stock server streams; wal2json is optional contrib): a down-time
+    // capture arrives as framed binary messages, the stateful Decoder
+    // rebuilds committed transactions (Relation metadata shipped once,
+    // data messages referencing the relid), and the decoded txs land
+    // through the same LSN/slot source as wal2json. The restart must emit
+    // exactly the capture.
+    "c_postgres_pgoutput" -> ((s, dir) => {
+      import graft.sources.postgres.{Lsn, PgOutput, WalChangeSource}
+      val t = TableId.parse("public.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new WalChangeSource(t, schema, initial, slotName = "graft_pgout_slot")
+      val srcId = s"verify-pgout-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 200 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pgout").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+        // run 1: the snapshot phase only
+        run(())
+        require(buf.size == 150, s"run 1 must emit the 150 snapshot rows, got ${buf.size}")
+        // down-time: a pgoutput binary capture — Relation once, then two
+        // update transactions and a delete transaction, each with its end LSN
+        val head = src.currentOffset
+        val relid = 51234
+        val half = (ev.length + 1) / 2
+        val updTxs = ev.grouped(half).zipWithIndex.flatMap { case (g, i) =>
+          PgOutput.encodeTx(relid, schema, Lsn(head + 100000L * (i + 1)), 800L + i, 0L,
+            g.map(upd).toSeq)
+        }.toSeq
+        val delTx = PgOutput.encodeTx(relid, schema, Lsn(head + 100000L * 3), 900L, 0L,
+          (140L until 150L).map(id => DataChangeEvent.delete(t, Map("id" -> id))))
+        val frames = PgOutput.encodeRelation(relid, schema, t) +: (updTxs ++ delTx)
+        val decoded = new PgOutput.Decoder().feedAll(frames)
+        require(decoded.size == 3, s"capture must decode to 3 txs, got ${decoded.size}")
+        src.applyCaptureTxs(decoded)
+        // run 2: restart against the same checkpoint — exactly the capture
+        run(())
+        val run2 = buf.size - 150
+        require(run2 == ev.length + 10,
+          s"restart must emit exactly the decoded capture (${ev.length + 10}), got $run2")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Mid-log startup positions (`StartupOptions.specificOffset` /
     // `StartupOptions.timestamp`): the log carries two batches of updates; the
     // stream starts from the recorded offset BETWEEN them, so it must replay
@@ -803,6 +887,16 @@ object QueriesCdc {
     "c_postgres_wire" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + a pgoutput-binary down-time capture
+    // (updates for event_id < 200, then deletes of ids 140-149)
+    "c_postgres_pgoutput" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 200 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id

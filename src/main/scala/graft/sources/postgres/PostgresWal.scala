@@ -248,10 +248,15 @@ final class WalChangeSource(
     * each): the offline "capture reader" path. When a line carries
     * `nextlsn`, the tx's last record is pinned to it — positions from a real
     * capture survive the round trip — and captures must be in commit order. */
-  def applyCapture(lines: Seq[String], tsMillis: Long = 0L): Lsn = synchronized {
+  def applyCapture(lines: Seq[String], tsMillis: Long = 0L): Lsn =
+    applyCaptureTxs(lines.filter(_.trim.nonEmpty).map(Wal2Json.parseLine), tsMillis)
+
+  /** Format-independent capture ingestion: committed transactions from ANY
+    * decoded capture — wal2json lines ([[applyCapture]]) or the pgoutput
+    * binary protocol ([[PgOutput.Decoder]]) — land identically. */
+  def applyCaptureTxs(txs: Seq[Wal2Json.Tx], tsMillis: Long = 0L): Lsn = synchronized {
     var last = Lsn(headLsn)
-    lines.filter(_.trim.nonEmpty).foreach { line =>
-      val tx = Wal2Json.parseLine(line)
+    txs.foreach { tx =>
       last = commitTx(tx.changes, if (tx.tsMillis != 0L) tx.tsMillis else tsMillis)
       tx.nextLsn.filter(_.isValid).foreach { n =>
         require(n.value >= headLsn,

@@ -116,6 +116,19 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d_semdedup: cluster-scoped banding, signature subtree shuffled once, no cartesian") {
+    val df = QueriesML.queries("d_semdedup")(spark, sf)
+    df.count() // AQE finalizes the join strategy only in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the candidate join must be keyed by (band, bucketKey): either AQE
+    // broadcasts the (small) banded side, or at scale the self-join reuses
+    // the one banding exchange — both are the bucketed shape, never all-pairs
+    assert(plan.contains("ReusedExchange") ||
+      (plan.contains("BroadcastHashJoin [band") && plan.contains("bucketKey")),
+      s"banding join shape unexpected:\n$plan")
+  }
+
   test("r_pivot compiles to ONE aggregate pass, not a per-status union of scans") {
     val df = QueriesRelational.queries("r_pivot")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
