@@ -285,6 +285,20 @@ object QueriesML {
         TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "x_perplexity_lm" -> ((s, dir) => {
+      // CCNet-style perplexity filter: bigram Stupid Backoff LM trained on
+      // the trusted slice (lang='en'), every document scored under it;
+      // backoff genuinely fires for bigrams the en slice never saw. keep
+      // marks the head of the distribution (CCNet keeps its low-perplexity
+      // head). Per-term rounding + exact DECIMAL sum make lp_avg
+      // independent of partitioning; the oracle replays the same formula.
+      import graft.textops.PerplexityLm
+      val d = docs(s, dir)
+      val (uni, bi, n) = PerplexityLm.train(d.filter(col("lang") === "en"), "text")
+      PerplexityLm.score(d, "doc_id", "text", uni, bi, n)
+        .withColumn("keep", (col("lp_avg") >= -1.49).cast("int"))
+        .orderBy("doc_id")
+    }),
 
     // ---- training-data curation ---------------------------------------------
     "x_pii_redact" -> ((s, dir) => {
@@ -682,6 +696,44 @@ object QueriesML {
     "x_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // bigram Stupid Backoff LM over the lang='en' slice, replayed exactly:
+    // same tokenization, per-term round→DECIMAL sum, same 0.4 backoff and
+    // 0.4*0.4/N OOV floor, same double division for the mean
+    "x_perplexity_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.w1 AS w1, count(*) AS c1
+        |  FROM (SELECT w FROM toks WHERE lang = 'en') t, unnest(t.w) AS u(w1)
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+        |ref_bg AS (
+        |  SELECT u.b AS b, count(*) AS c2
+        |  FROM (SELECT [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bs
+        |        FROM toks WHERE lang = 'en') t, unnest(t.bs) AS u(b)
+        |  GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id, u.b AS b
+        |  FROM (SELECT doc_id, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bs
+        |        FROM toks) t, unnest(t.bs) AS u(b)),
+        |terms AS (
+        |  SELECT o.doc_id,
+        |    CAST(round(log10(
+        |      CASE WHEN bc.c2 IS NOT NULL THEN CAST(bc.c2 AS DOUBLE) / u1.c1
+        |           WHEN u2.c1 IS NOT NULL THEN 0.4 * u2.c1 / n.n
+        |           ELSE 0.16 / n.n END), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM occ o
+        |  LEFT JOIN ref_bg bc ON bc.b = o.b
+        |  LEFT JOIN uni u1 ON u1.w1 = string_split(o.b, ' ')[1]
+        |  LEFT JOIN uni u2 ON u2.w1 = string_split(o.b, ' ')[2]
+        |  CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lp_avg,
+        |  CASE WHEN round(CAST(sum(lp) AS DOUBLE) / count(*), 6) >= -1.49
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // per-word-position gram expansion via scalar range + unnest in the select
     // list (same DuckDB-1.0 workaround as x_decontam); fractions replay the
     // Spark Column divisions verbatim

@@ -219,11 +219,34 @@ object CurationPipeline {
             df.join(dropped, Seq(idCol), "left_anti")
           case _ => df // empty embedding table: nothing can be judged
         }
+      case "perplexity-filter" =>
+        // CCNet-style LM filter: train a bigram Stupid Backoff LM on a
+        // reference corpus (a parquet path, or the input itself restricted
+        // by 'reference-filter'), keep documents whose mean per-bigram
+        // log10 score clears 'min-lp-avg'. Rows with <2 tokens carry no
+        // evidence; 'keep-short' (default true) controls their fate.
+        val refDf = (step.config.get("reference"),
+            step.config.get("reference-filter")) match {
+          case (Some(path), _) => spark.read.parquet(path)
+          case (None, Some(pred)) => df.filter(pred)
+          case _ => throw new IllegalArgumentException(
+            "perplexity-filter requires 'reference' (parquet path) or " +
+              "'reference-filter' (SQL predicate over the input)")
+        }
+        val minLp = cfg("min-lp-avg", "-1.49").toDouble
+        val (uni, bi, n) = PerplexityLm.train(refDf, textCol)
+        val scored = PerplexityLm.score(df, idCol, textCol, uni, bi, n)
+        val kept = scored.filter(col("lp_avg") >= minLp).select(col(idCol))
+        if (cfg("keep-short", "true").toBoolean) {
+          // unjudged (short) rows survive: anti-join on the judged-and-failed
+          val failed = scored.filter(col("lp_avg") < minLp).select(col(idCol))
+          df.join(failed, Seq(idCol), "left_anti")
+        } else df.join(kept, Seq(idCol), "left_semi")
       case other =>
         throw new IllegalArgumentException(
           s"unknown curation step '$other' (supported: repetition-filter, quality-filter, " +
             "language-filter, exact-dedup, span-dedup, incremental-dedup, decontaminate, " +
-            "pii-redact, sample, mix, semdedup)")
+            "pii-redact, sample, mix, semdedup, perplexity-filter)")
     }
   }
 

@@ -327,6 +327,34 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(step(df, "sample", "fraction" -> "1.0").count() == 3)
   }
 
+  test("perplexity-filter step: LM-unlikely docs drop, short docs configurable") {
+    def step(d: org.apache.spark.sql.DataFrame, cfg: (String, String)*) =
+      CurationPipeline.applyStep(spark, d,
+        CurationPipeline.StepDef("perplexity-filter", cfg.toMap), "doc_id", "text")
+    val df = Seq(
+      (1L, "the cat sat on the mat", "ref"),
+      (2L, "the cat sat on the mat", "cand"),     // in-model: high score
+      (3L, "zz qq vv xx yy ww uu tt", "cand"),    // all OOV: floor score
+      (4L, "hi", "cand")                           // <2 tokens: unjudged
+    ).toDF("doc_id", "text", "split")
+    // reference-filter trains on the in-frame slice; doc 3 is LM-impossible
+    val out = step(df, "reference-filter" -> "split = 'ref'",
+      "min-lp-avg" -> "-1.2")
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
+      "OOV doc must drop, short doc survives by default")
+    val strict = step(df, "reference-filter" -> "split = 'ref'",
+      "min-lp-avg" -> "-1.2", "keep-short" -> "false")
+    assert(strict.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "keep-short=false drops unjudged rows")
+    // a reference parquet path works too
+    val refPath = Files.createTempDirectory("pplx_ref").toString
+    df.filter($"split" === "ref").write.mode("overwrite").parquet(refPath)
+    val viaPath = step(df, "reference" -> refPath, "min-lp-avg" -> "-1.2")
+    assert(viaPath.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // missing config is loud
+    intercept[IllegalArgumentException](step(df))
+  }
+
   test("mix step: per-source weights via the oracle-checked stratified sampler") {
     val corpus = (0L until 400L).map(i =>
       (i, if (i % 2 == 0) "web" else "books", s"document body number $i here"))
