@@ -750,6 +750,52 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_lakehouse_concurrent" -> ((s, dir) => {
+      // optimistic concurrency under REAL contention: eight writer threads
+      // race MERGE commits into ONE table (writer w owns the users with
+      // user_id % 8 == w, two seq-ordered batches each — 16 commits whose
+      // interleaving the scheduler picks). A loser of the version-claim race
+      // discards its files and re-merges on the new state, so the final
+      // snapshot must equal the one-shot materialization REGARDLESS of the
+      // interleaving — the serializable-writers guarantee a multi-job
+      // 100 TB lakehouse needs. Per-writer txn runIds stay exactly-once.
+      import graft.sinks.LakehouseSink
+      val root = java.nio.file.Files.createTempDirectory("graft_lake_conc").toString
+      val sink = new LakehouseSink(s, root, buckets = 8)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir).filter(col("user_id") < 400)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val writers = (0 until 8).map { w =>
+        new Thread(() => {
+          try {
+            val mine = env.filter(pmod(col("user_id"), lit(8)) === w)
+            var lo = Long.MinValue
+            Seq(maxSeq / 2, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+              val batch = mine.filter(
+                col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+              Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+                // keys hash across every bucket, so all 16 commits genuinely
+                // conflict and must serialize — budget one retry per rival
+                // commit (Delta's ConcurrentAppend semantics, not starvation)
+                sink.table(tid).merge(ups, dels,
+                  txn = Some((s"w$w", i.toLong)), maxAttempts = 40)
+              }
+              lo = hi
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      writers.foreach(_.start())
+      writers.foreach(_.join())
+      if (!failures.isEmpty) throw failures.peek()
+      sink.table(tid).read()
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
     "s_lakehouse_changelog" -> ((s, dir) => {
       // the MERGE-table row-level changelog (Delta CDF / Paimon
       // changelog-producer shape — file add/remove diffs cannot express row
@@ -1611,6 +1657,13 @@ object QueriesCore {
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // eight racing writers converge to the same one-shot materialization
+    "c_lakehouse_concurrent" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE user_id < 400)
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // the shuffle-free bucketed join must still produce the exact join

@@ -188,6 +188,16 @@ final class LakehouseTable(
 
   private val logDir: Path = Paths.get(dir, "_log")
 
+  /** Jittered exponential backoff after losing a commit race, so N
+    * simultaneous writers fan out in time instead of re-colliding every
+    * round (a loser's retry re-runs its whole rewrite — at 8 writers the
+    * no-backoff worst case burns every attempt in lockstep). Capped so a
+    * long contention tail degrades to steady ~1 s polling, never minutes. */
+  private def contentionBackoff(attempt: Int): Unit = {
+    val cap = math.min(1000L, 50L << math.min(attempt, 10))
+    Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+  }
+
   private def logFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
 
   private val commitName = """^(\d{20})\.json$""".r
@@ -308,8 +318,18 @@ final class LakehouseTable(
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, s"commit-$v-", ".tmp")
     Files.write(tmp, actions.map(encode).mkString("\n").getBytes("UTF-8"))
+    // The claim must be atomic CREATE-IF-ABSENT. A rename (Files.move
+    // ATOMIC_MOVE) is rename(2) on POSIX, which silently REPLACES an
+    // existing target — two simultaneous claimants of the same version
+    // would both "win" and one commit file would clobber the other (data
+    // loss: the clobbered commit's AddFiles vanish from the log). A hard
+    // link to the fully-written temp file fails with
+    // FileAlreadyExistsException atomically instead, and readers can never
+    // observe a partially-written commit (the content exists before the
+    // name does). Same-directory link, so no cross-filesystem concern.
     try {
-      Files.move(tmp, logFile(v), StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(logFile(v), tmp)
+      Files.delete(tmp)
       maybeCheckpoint(v)
       true
     } catch {
@@ -614,15 +634,38 @@ final class LakehouseTable(
               .map(p => ChangeFile(Paths.get(dir).relativize(p).toString))
               .toSeq
           }
-        val actions = adds ++ oldFiles.map(f => RemoveFile(f.path)) ++ cdcActions ++
-          txn.map { case (run, b) => Txn(run, b) }
-        if (tryCommit(snap.version + 1, actions)) done = true
+        def actionsAt(v: Long): Seq[Action] =
+          adds.map(_.copy(ver = v)) ++ oldFiles.map(f => RemoveFile(f.path)) ++
+            cdcActions ++ txn.map { case (run, b) => Txn(run, b) }
+        if (tryCommit(snap.version + 1, actionsAt(snap.version + 1))) done = true
         else {
-          // lost the commit race: discard our files, re-merge on the new state
-          deleteRecursively(Paths.get(dir, commitRel))
-          deleteRecursively(Paths.get(dir, cdcRel))
-          if (attempt >= maxAttempts) throw new IllegalStateException(
-            s"lakehouse commit contention: gave up after $maxAttempts attempts")
+          // Lost the claim race. Delta-style conflict detection decides
+          // whether the rewrite is still valid against the winners' state:
+          // if no interim commit changed the table metadata, the files of
+          // OUR touched buckets, or the outstanding equality-delete set (a
+          // new delete logically precedes us — re-committing would
+          // resurrect its keys), the already-written files can re-claim the
+          // next version directly. Only a REAL conflict pays the re-merge.
+          var fast = true
+          while (!done && fast) {
+            val again = snapshot()
+            val conflict = again.meta != snap.meta ||
+              again.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet !=
+                oldFiles.map(_.path).toSet ||
+              again.deleteFiles.map(_.path).toSet != snap.deleteFiles.map(_.path).toSet
+            if (conflict) fast = false
+            else if (tryCommit(again.version + 1, actionsAt(again.version + 1)))
+              done = true
+            else contentionBackoff(1)
+          }
+          if (!done) {
+            // real conflict: discard our files, re-merge on the new state
+            deleteRecursively(Paths.get(dir, commitRel))
+            deleteRecursively(Paths.get(dir, cdcRel))
+            if (attempt >= maxAttempts) throw new IllegalStateException(
+              s"lakehouse commit contention: gave up after $maxAttempts attempts")
+            contentionBackoff(attempt)
+          }
         }
       }
     }
@@ -661,12 +704,30 @@ final class LakehouseTable(
         // snapshot, so losing a commit race re-targets the winner's files.
         val removes: Seq[Action] =
           if (overwrite) snap.files.map(f => RemoveFile(f.path)) else Seq.empty
-        val actions = removes ++ adds ++ txn.map { case (run, b) => Txn(run, b) }
-        if (actions.isEmpty || tryCommit(snap.version + 1, actions)) done = true
+        def actionsAt(v: Long): Seq[Action] =
+          removes ++ adds.map(_.copy(ver = v)) ++ txn.map { case (run, b) => Txn(run, b) }
+        if (actionsAt(0).isEmpty || tryCommit(snap.version + 1, actionsAt(snap.version + 1)))
+          done = true
         else {
-          deleteRecursively(Paths.get(dir, commitRel))
-          if (attempt >= maxAttempts) throw new IllegalStateException(
-            s"lakehouse commit contention: gave up after $maxAttempts attempts")
+          // lost the claim race: a plain append never conflicts with other
+          // appends (it removes nothing), so unless the metadata changed
+          // (rescale — our bucket layout is stale) or this is an OVERWRITE
+          // (whose removes target a stale file set), the written files
+          // simply re-claim the next version
+          var fast = !overwrite
+          while (!done && fast) {
+            val again = snapshot()
+            if (again.meta != snap.meta) fast = false
+            else if (tryCommit(again.version + 1, actionsAt(again.version + 1)))
+              done = true
+            else contentionBackoff(1)
+          }
+          if (!done) {
+            deleteRecursively(Paths.get(dir, commitRel))
+            if (attempt >= maxAttempts) throw new IllegalStateException(
+              s"lakehouse commit contention: gave up after $maxAttempts attempts")
+            contentionBackoff(attempt)
+          }
         }
       }
     }
@@ -726,6 +787,7 @@ final class LakehouseTable(
           deleteRecursively(Paths.get(dir, delRel))
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse commit contention: gave up after $maxAttempts attempts")
+          contentionBackoff(attempt)
         }
       }
     }
@@ -794,6 +856,7 @@ final class LakehouseTable(
       deleteRecursively(Paths.get(dir, commitRel))
       if (attempt >= maxAttempts) throw new IllegalStateException(
         s"lakehouse commit contention: gave up after $maxAttempts attempts")
+      contentionBackoff(attempt)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -869,6 +932,7 @@ final class LakehouseTable(
       deleteRecursively(Paths.get(dir, commitRel))
       if (attempt >= maxAttempts) throw new IllegalStateException(
         s"lakehouse commit contention: gave up after $maxAttempts attempts")
+      contentionBackoff(attempt)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -910,6 +974,7 @@ final class LakehouseTable(
         deleteRecursively(Paths.get(dir, commitRel))
         if (attempt >= maxAttempts) throw new IllegalStateException(
           s"lakehouse commit contention: gave up after $maxAttempts attempts")
+        contentionBackoff(attempt)
       }
     }
   }

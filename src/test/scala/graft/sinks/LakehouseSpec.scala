@@ -779,6 +779,59 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().as[(Long, String)].head() == (1L, "b"))
   }
 
+  test("commit claims are create-if-absent: simultaneous writers never clobber") {
+    // regression: rename(2)-based claims silently REPLACE an existing target
+    // on POSIX, so two simultaneous claimants of one version both "won" and
+    // one commit vanished from the log (data loss). The hard-link claim
+    // fails atomically instead. 16 threads race metadata commits; every
+    // single one must survive in the final snapshot.
+    val t = newTable()
+    val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 16).map { i =>
+      new Thread(() => {
+        try t.commit(Seq(LakehouseFormat.Txn(s"writer$i", 1L)))
+        catch { case e: Throwable => fails.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(fails.isEmpty, fails)
+    val txns = t.snapshot().txns.keySet
+    assert(txns == (0 until 16).map(i => s"writer$i").toSet,
+      s"lost commits: ${(0 until 16).map(i => s"writer$i").toSet -- txns}")
+  }
+
+  test("concurrent merges: disjoint keys from racing threads all land") {
+    val t = newTable()
+    val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try t.merge(Seq((w.toLong, s"w$w")).toDF("k", "v"), empty(t), maxAttempts = 20)
+        catch { case e: Throwable => fails.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(fails.isEmpty, fails)
+    assert(t.read().as[(Long, String)].collect().toMap ==
+      (0 until 4).map(w => w.toLong -> s"w$w").toMap)
+  }
+
+  test("concurrent appends: losers re-claim without rewriting (no conflict)") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(schema.struct, primaryKeys = Seq.empty), buckets = 4)
+    val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 6).map { w =>
+      new Thread(() => {
+        try t.append(Seq((w.toLong, s"w$w")).toDF("k", "v"))
+        catch { case e: Throwable => fails.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(fails.isEmpty, fails)
+    assert(t.read().count() == 6)
+    assert(t.latestVersion() == 6) // create + one commit per append
+  }
+
   test("optimistic concurrency: losing the claim race retries on the new state") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), empty(t))
