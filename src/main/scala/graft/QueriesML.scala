@@ -300,6 +300,24 @@ object QueriesML {
         .orderBy("doc_id")
     }),
 
+    "x_nb_classify" -> ((s, dir) => {
+      // count-based quality/attribute classifier (the NB sibling of GPT-3's
+      // WebText LR filter): train on the even-doc_id half with lang as the
+      // trusted label, classify EVERY document. Training is two hash
+      // aggregates; the model broadcasts; per-token log-likelihoods are
+      // rounded then DECIMAL-summed so the argmax (score DESC, label ASC)
+      // is a total order both engines replay exactly.
+      import graft.textops.NaiveBayes
+      val d = docs(s, dir)
+      val (model, stats) = NaiveBayes.train(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "text")
+      NaiveBayes.predict(d, "doc_id", "text", model, stats)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("pred"), col("lang"),
+          (col("pred") === col("lang")).cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data curation ---------------------------------------------
     "x_pii_redact" -> ((s, dir) => {
       // documents carry no PII, so plant one of each pattern deterministically
@@ -734,6 +752,46 @@ object QueriesML {
         |  CASE WHEN round(CAST(sum(lp) AS DOUBLE) / count(*), 6) >= -1.49
         |       THEN 1 ELSE 0 END AS keep
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // multinomial NB replayed exactly: same Laplace-smoothed rounded-DECIMAL
+    // log terms, same (score DESC, label ASC) argmax
+    "x_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |tc AS (
+        |  SELECT lang AS label, u.w AS w, count(*) AS c
+        |  FROM train, unnest(train.w) AS u(w) GROUP BY 1, 2),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM tc),
+        |lt AS (SELECT label, sum(c) AS n FROM tc GROUP BY 1),
+        |dc AS (SELECT lang AS label, count(*) AS docs FROM train GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM train),
+        |model AS (
+        |  SELECT tc.label, tc.w,
+        |    CAST(round(log10(CAST(tc.c + 1 AS DOUBLE) / (lt.n + vocab.v)), 6)
+        |         AS DECIMAL(18,6)) AS ll
+        |  FROM tc JOIN lt USING (label) CROSS JOIN vocab),
+        |stats AS (
+        |  SELECT dc.label,
+        |    CAST(round(log10(dc.docs / tot.t), 6) AS DECIMAL(18,6)) AS prior,
+        |    CAST(round(log10(1.0 / (lt.n + vocab.v)), 6) AS DECIMAL(18,6)) AS llu
+        |  FROM dc JOIN lt USING (label) CROSS JOIN vocab CROSS JOIN tot),
+        |occ AS (SELECT doc_id, u.w AS w FROM toks, unnest(toks.w) AS u(w)),
+        |scored AS (
+        |  SELECT o.doc_id, s.label, any_value(s.prior) AS prior,
+        |         sum(coalesce(m.ll, s.llu)) AS lsum
+        |  FROM occ o CROSS JOIN stats s
+        |  LEFT JOIN model m ON m.label = s.label AND m.w = o.w
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT doc_id, label, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY prior + lsum DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT r.doc_id, r.label AS pred, d.lang,
+        |  CASE WHEN r.label = d.lang THEN 1 ELSE 0 END AS correct
+        |FROM ranked r JOIN documents d USING (doc_id)
+        |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
     // per-word-position gram expansion via scalar range + unnest in the select
     // list (same DuckDB-1.0 workaround as x_decontam); fractions replay the
     // Spark Column divisions verbatim

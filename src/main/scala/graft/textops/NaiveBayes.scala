@@ -1,0 +1,88 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier — the count-based sibling of the
+  * logistic-regression quality classifiers used to filter pretraining
+  * corpora (GPT-3's WebText classifier, CCNet's LM buckets): label documents
+  * with a trusted attribute on a seed slice, train on counts, classify the
+  * rest. NB is the variant whose training IS two hash aggregates — per-label
+  * document counts (priors) and per-(label, token) counts (likelihoods) — so
+  * it trains in one pass over any corpus size with only (token, count)
+  * pairs ever shuffling.
+  *
+  * Scoring is exact and order-independent: per-token Laplace-smoothed
+  * log10 likelihoods are rounded to 6 decimals and summed as DECIMAL, the
+  * prior added once, and the argmax taken over (score DESC, label ASC) — a
+  * total order, so Spark and any replay agree bit-for-bit.
+  *
+  * Scale shape: the model (labels × vocabulary) broadcasts; candidates
+  * explode to (id, token) and hash-join the model; the per-document fold is
+  * one aggregate keyed by id. No window, no driver loop.
+  */
+object NaiveBayes {
+
+  /** `(model, labelStats)`:
+    * model = (label, w, ll) per-token smoothed log10 likelihood;
+    * labelStats = (label, prior, llUnseen) — log10 prior and the
+    * smoothed likelihood of a token never seen with that label.
+    */
+  def train(
+      labeled: DataFrame,
+      labelCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = labeled.select(col(labelCol).as("label"),
+      PerplexityLm.tokens(col(textCol)).as("w"))
+    val tokenCounts = toks.select(col("label"), explode(col("w")).as("w"))
+      .groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val vocab = tokenCounts.select(col("w")).distinct().count()
+    val docCounts = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs"))
+    val totalDocs = labeled.count()
+    val labelTokens = tokenCounts.groupBy("label").agg(sum("c").as("n"))
+    // Laplace add-one over the training vocabulary; log10 terms are rounded
+    // at TRAIN time so every scorer sees identical per-token constants
+    val model = tokenCounts.join(labelTokens, "label")
+      .select(col("label"), col("w"),
+        round(log10((col("c") + 1).cast("double") / (col("n") + lit(vocab))), 6)
+          .cast("decimal(18,6)").as("ll"))
+    val stats = docCounts.join(labelTokens, "label")
+      .select(col("label"),
+        round(log10(col("docs").cast("double") / lit(totalDocs.toDouble)), 6)
+          .cast("decimal(18,6)").as("prior"),
+        round(log10(lit(1.0) / (col("n") + lit(vocab))), 6)
+          .cast("decimal(18,6)").as("llUnseen"))
+    (model, stats)
+  }
+
+  /** `(idCol, pred)`: the argmax label per document, ties broken by label
+    * ascending. Documents with zero tokens are classified by prior alone.
+    */
+  def predict(
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      labelStats: DataFrame): DataFrame = {
+    val occ = candidates
+      .select(col(idCol), explode_outer(PerplexityLm.tokens(col(textCol))).as("w"))
+    // every document scores under EVERY label: cross the (small, broadcast)
+    // label list with the occurrences, then left-join the model — a missing
+    // (label, token) pair falls back to the label's unseen likelihood
+    val m = model.select(col("label").as("mlabel"), col("w").as("mw"), col("ll"))
+    val scored = occ
+      .crossJoin(broadcast(labelStats))
+      .join(m, col("label") === col("mlabel") && col("w") === col("mw"), "left")
+      .select(col(idCol), col("label"), col("prior"),
+        when(col("w").isNull, lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+          .otherwise(coalesce(col("ll"), col("llUnseen"))).as("term"))
+      .groupBy(idCol, "label")
+      .agg(first(col("prior")).as("prior"), sum(col("term")).as("lsum"))
+      .select(col(idCol), col("label"), (col("prior") + col("lsum")).as("score"))
+    scored
+      .groupBy(idCol)
+      .agg(min_by(col("label"), struct((-col("score")).as("ns"), col("label")))
+        .as("pred"))
+  }
+}
