@@ -20,6 +20,7 @@ object Bench {
     "c_upsert", "c_chunks",
     "d_exact_fingerprint", "d_minhash_lsh", "d_embedding_dup",
     "x_quality", "x_langid", "x_pii_redact", "x_decontam",
+    "x_perplexity_lm", "x_nb_classify",
     "a_ann_bruteforce")
 
   def main(args: Array[String]): Unit = {
