@@ -318,6 +318,16 @@ object QueriesML {
         .orderBy("doc_id")
     }),
 
+    "x_tfidf" -> ((s, dir) => {
+      // top-3 keywords per document by smoothed TF-IDF: two count
+      // aggregates + one vocab-sized join + a bounded in-group fold (no
+      // window) — deterministic via DECIMAL scores and (score DESC, term
+      // ASC) ordering
+      import graft.textops.TfIdf
+      TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- training-data curation ---------------------------------------------
     "x_pii_redact" -> ((s, dir) => {
       // documents carry no PII, so plant one of each pattern deterministically
@@ -752,6 +762,27 @@ object QueriesML {
         |  CASE WHEN round(CAST(sum(lp) AS DOUBLE) / count(*), 6) >= -1.49
         |       THEN 1 ELSE 0 END AS keep
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // smoothed TF-IDF replayed exactly: same rounded-DECIMAL scores, same
+    // (score DESC, term ASC) ranking
+    "x_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |occ AS (SELECT doc_id, u.w AS w FROM toks, unnest(toks.w) AS u(w)),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM occ GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    CAST(round(tf.tf * log10((n.n + 1) / (df.df + 1)), 6)
+        |         AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, w, s, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY s DESC, w ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, w AS term, CAST(s AS DOUBLE) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // multinomial NB replayed exactly: same Laplace-smoothed rounded-DECIMAL
     // log terms, same (score DESC, label ASC) argmax
     "x_nb_classify" ->
