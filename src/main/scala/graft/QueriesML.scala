@@ -593,6 +593,55 @@ object QueriesML {
         .orderBy("qid")
     }),
 
+    "a_ann_incremental" -> ((s, dir) => {
+      // STREAMING index maintenance ([[graft.streaming.IvfMaintenance]]):
+      // vectors land in a lakehouse table as three commits; a standing query
+      // assigns each increment to its frozen-centroid bucket and appends to
+      // the index table with batch-id txn replay-skip, is KILLED after the
+      // second commit (the third lands while down), and a restarted
+      // maintainer indexes the down-time vectors exactly once. A require()
+      // proves the incrementally built index equals the one-shot batch
+      // assignment row-for-row; the output is a full-nprobe (= exact) top-3
+      // probe over the maintained index, oracle-checked against brute-force
+      // cosine — so both the index CONTENT and the probe PATH are gated.
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.streaming.IvfMaintenance
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val batchIdx = Ann.IvfIndex.build(e, "vec_id", "embedding",
+        numCentroids = 8, sampleSize = 500)
+      val cents = batchIdx.centroids.sortBy(_._1).map(_._2)
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_ivf_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(e.schema), buckets = 4)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      src.append(e.filter(col("vec_id") <= maxId / 3))
+      val q1 = IvfMaintenance.maintain(s, srcRoot, idxRoot, cents,
+        "vec_id", "embedding")
+      try {
+        q1.processAllAvailable()
+        src.append(e.filter(col("vec_id") > maxId / 3 &&
+          col("vec_id") <= 2 * maxId / 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      src.append(e.filter(col("vec_id") > 2 * maxId / 3)) // while DOWN
+      val q2 = IvfMaintenance.maintain(s, srcRoot, idxRoot, cents,
+        "vec_id", "embedding")
+      try q2.processAllAvailable() finally q2.stop()
+      val index = new LakehouseTable(s, idxRoot)
+      // incremental == batch: same rows, same buckets, nothing doubled/lost
+      val got = index.read().select(col("cid"), col("bucket"))
+      val want = batchIdx.assignments.select(col("cid"), col("bucket"))
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "incrementally maintained index diverged from the batch assignment")
+      val qs = e.filter(col("vec_id") < 6).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)).toSeq
+      IvfMaintenance.probeTopK(index, cents, qs, k = 3, nprobe = cents.length)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- multimodal (binary plumbing; no SQL oracle — rows-only check) ------
     "m_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 60))
