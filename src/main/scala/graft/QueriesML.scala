@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.TableSchema
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
@@ -1201,6 +1202,20 @@ object QueriesML {
     "a_ann_ivfpq_self" ->
       """SELECT vec_id AS qid, vec_id AS cid
         |FROM embeddings WHERE vec_id < 12 ORDER BY qid""".stripMargin,
+    // the incrementally maintained index probes at full nprobe => exact:
+    // the oracle is brute-force cosine top-3 over all vectors
+    "a_ann_incremental" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 6),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // multimodal: the codec stub is deterministic, so expected values are
     // computable — feature sums were precomputed by replaying the stub on the
     // driver (self-oracle; MultimodalSpec recomputes them in-process too),

@@ -59,11 +59,19 @@ object SchemaDerivator {
     * casts + null-fill, the Spark form of `SchemaDerivator.coerceDataRecord:298`.
     * Missing columns become NULL; extra columns are dropped; type changes cast.
     */
+  /** Equal up to nullability (`containsNull`/`valueContainsNull`/field
+    * nullability at any depth): parquet round-trips erase non-null markers,
+    * so an `array<float> containsNull=false` table schema meets
+    * `containsNull=true` batches forever — values are identical and Spark
+    * rejects the identity cast as unsafe, so no cast must be emitted. */
+  private def sameUpToNullability(a: DataType, b: DataType): Boolean =
+    a.catalogString == b.catalogString
+
   def coerce(df: DataFrame, target: StructType): DataFrame = {
     val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(target.fields.map { f =>
       present.get(f.name) match {
-        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt) if sameUpToNullability(dt, f.dataType) => col(f.name)
         case Some(_) => col(f.name).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
@@ -77,7 +85,8 @@ object SchemaDerivator {
       val present = src.fields.map(f => f.name -> f.dataType).toMap
       when(col(c).isNotNull, struct(target.fields.map { f =>
         present.get(f.name) match {
-          case Some(dt) if dt == f.dataType => col(s"$c.${f.name}").as(f.name)
+          case Some(dt) if sameUpToNullability(dt, f.dataType) =>
+            col(s"$c.${f.name}").as(f.name)
           case Some(_) => col(s"$c.${f.name}").cast(f.dataType).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }

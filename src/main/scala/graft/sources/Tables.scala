@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which Spark
-  * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`; with it set the
-  * column arrives as nanosecond Longs, converted here to a microsecond
-  * timestamp (`timestamp_micros(ts div 1000)`), matching DuckDB's
-  * `CAST(ts AS TIMESTAMP)` truncation for the oracle compare.
+  * `events.parquet` has shipped `ts` in two physical shapes across driver
+  * generations: INT64 TIMESTAMP(NANOS) (readable only with
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as nanosecond
+  * Longs) and plain TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ under
+  * Spark's NTZ inference). Both are normalized here to the session-zone
+  * microsecond timestamp the queries and the DuckDB oracle
+  * (`CAST(ts AS TIMESTAMP)`, UTC session) agree on.
   */
 object Tables {
 
@@ -21,7 +23,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns-as-long generation
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => // TIMESTAMP_NTZ: same wall-clock instant in the UTC session
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     else df
   }
 }
