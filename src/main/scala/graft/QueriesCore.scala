@@ -1264,6 +1264,46 @@ object QueriesCore {
           col("value").cast("double").as("total"), col("n"))
         .orderBy("user_id")
     }),
+    "s_rollup_distinct" -> ((s, dir) => {
+      // incremental APPROX-DISTINCT rollup: per event_type, the count of
+      // distinct users, maintained as an HLL sketch column the merge engine
+      // UNIONS per batch — distinct-count is not distributive over raw
+      // values, so this is the one rollup a naive sum-of-partials cannot
+      // maintain; users appearing in several commits are counted once. The
+      // maintainer is killed after the second commit (third lands while
+      // down) and restarted. At this cardinality (150 users/type) the
+      // sketch is in its exact mode, so the estimate EQUALS the oracle's
+      // COUNT(DISTINCT) — the correctness gate covers the full path, not a
+      // tolerance band.
+      import graft.sinks.LakehouseTable
+      import graft.streaming.MaterializedRollup
+      import graft.streaming.MaterializedRollup.RollupSpec
+      val root = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_hll_tgt").toString + "/t"
+      val tb = new LakehouseTable(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      tb.create(TableSchema(ev.schema, primaryKeys = Seq.empty), buckets = 8)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val spec = RollupSpec(
+        keys = Seq("event_type"),
+        aggs = Map("user_id" -> "approx_distinct"),
+        countCol = Some("n"))
+      tb.append(ev.filter(col("event_id") <= maxId / 3))
+      val q1 = MaterializedRollup.maintain(s, root, out, spec, buckets = 4)
+      try {
+        q1.processAllAvailable()
+        tb.append(ev.filter(col("event_id") > maxId / 3 &&
+          col("event_id") <= 2 * maxId / 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      tb.append(ev.filter(col("event_id") > 2 * maxId / 3)) // while DOWN
+      val q2 = MaterializedRollup.maintain(s, root, out, spec, buckets = 4)
+      try q2.processAllAvailable() finally q2.stop()
+      MaterializedRollup.readView(s, out, spec)
+        .select(col("event_type"), col("user_id").as("approx_users"), col("n"))
+        .orderBy("event_type")
+    }),
     "c_route" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val router = new TableIdRouter(Seq(
@@ -1621,6 +1661,12 @@ object QueriesCore {
     "s_lakehouse_stream" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events ORDER BY event_id""".stripMargin,
+    // sketch union across commits == one-shot COUNT(DISTINCT): exact at
+    // this cardinality (HLL exact mode), so equality is assertable
+    "s_rollup_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS approx_users,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the incrementally-maintained rollup equals the one-shot GROUP BY
     "s_rollup_view" ->
       """SELECT user_id, max(event_id) AS last_event,

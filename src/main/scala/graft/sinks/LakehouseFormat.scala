@@ -352,8 +352,9 @@ final class LakehouseTable(
     // the whole row per key; `partial-update` keeps, per column, the last
     // NON-NULL value (CDC wide-table assembly); `aggregate` folds the batch
     // into the old row per column with the functions in `aggregations`
-    // (sum | max | min), unlisted columns behaving last-non-null — the
-    // metrics-rollup table.
+    // (sum | max | min | hll — HLL-sketch union over BINARY sketch columns,
+    // the mergeable approx-distinct), unlisted columns behaving
+    // last-non-null — the metrics-rollup table.
     require(Seq("last-wins", "partial-update", "aggregate").contains(mergeEngine),
       s"unknown merge engine '$mergeEngine' (last-wins | partial-update | aggregate)")
     require(mergeEngine == "last-wins" || !changelog,
@@ -362,10 +363,19 @@ final class LakehouseTable(
     require(mergeEngine == "aggregate" || aggregations.isEmpty,
       "aggregations require merge engine 'aggregate'")
     aggregations.foreach { case (c, f) =>
-      require(Seq("sum", "max", "min").contains(f),
-        s"unknown aggregation '$f' for column '$c' (sum | max | min)")
+      require(Seq("sum", "max", "min", "hll").contains(f),
+        s"unknown aggregation '$f' for column '$c' (sum | max | min | hll)")
       require(schema.struct.fieldNames.contains(c) && !schema.primaryKeys.contains(c),
         s"aggregation column '$c' must be a non-key table column")
+      // 'hll' folds Datasketches HLL sketches by union — the column stores
+      // the mergeable sketch (BINARY), never raw values; writers aggregate
+      // raw values into a sketch first (hll_sketch_agg), readers estimate
+      // (hll_sketch_estimate). This is what keeps an approx-distinct rollup
+      // incremental at 100 TB: distinct-counting is not distributive over
+      // raw values, but sketch union is.
+      if (f == "hll") require(
+        schema.struct.apply(c).dataType == org.apache.spark.sql.types.BinaryType,
+        s"hll aggregation column '$c' must be BINARY (a serialized HLL sketch)")
     }
     // `sequenceField` (Paimon's sequence.field): upserts of a key are won by
     // the row with the LARGEST value of this column, not by commit order —
@@ -525,6 +535,7 @@ final class LakehouseTable(
               case Some("sum") => sum(col(x)).cast(fieldType(x))
               case Some("max") => max(col(x))
               case Some("min") => min(col(x))
+              case Some("hll") => hll_union_agg(col(x))
               case _ =>
                 when(count_distinct(col(x)) > 1, raise_error(concat(
                   lit(s"merge engine '$engine': column '$x' has conflicting " +
@@ -582,6 +593,9 @@ final class LakehouseTable(
                     .otherwise(coalesce(oc, lit(0)) + coalesce(nc, lit(0)))
                 case Some("max") => greatest(oc, nc) // null-ignoring by definition
                 case Some("min") => least(oc, nc)
+                case Some("hll") =>
+                  when(oc.isNull, nc).when(nc.isNull, oc)
+                    .otherwise(hll_union(oc, nc))
                 case _ => coalesce(nc, oc) // last non-null
               }
             }

@@ -30,11 +30,20 @@ import org.apache.spark.sql.types._
 object MaterializedRollup {
 
   /** What to maintain: `keys` group the source rows; `aggs` maps source
-    * columns to their fold (`sum | max | min`); `countCol`, when set, adds a
-    * row-count column (folded by sum — count is a sum of partial counts).
-    * `decimalSum` upgrades named sum columns to exact DECIMAL(p, s)
-    * accumulation (floating-point sums are order-dependent; a rollup folded
-    * in commit order would drift from a one-shot aggregate). */
+    * columns to their fold (`sum | max | min | approx_distinct`); `countCol`,
+    * when set, adds a row-count column (folded by sum — count is a sum of
+    * partial counts). `decimalSum` upgrades named sum columns to exact
+    * DECIMAL(p, s) accumulation (floating-point sums are order-dependent; a
+    * rollup folded in commit order would drift from a one-shot aggregate).
+    *
+    * `approx_distinct` maintains a per-key distinct-count over the column's
+    * RAW values via a Datasketches HLL sketch: each increment sketches its
+    * values (`hll_sketch_agg`), the merge engine unions sketches
+    * (`hll_union`), and [[readView]] reports the estimate. COUNT(DISTINCT)
+    * is the one common rollup that is NOT distributive over raw values —
+    * the mergeable sketch is what makes it incrementally maintainable
+    * without ever replaying history, the same trick Druid/Pinot use. A
+    * value seen in many increments is counted once: union, not addition. */
   final case class RollupSpec(
       keys: Seq[String],
       aggs: Map[String, String],
@@ -43,8 +52,9 @@ object MaterializedRollup {
     require(keys.nonEmpty, "rollup needs at least one key column")
     require(aggs.nonEmpty || countCol.nonEmpty, "rollup needs at least one aggregate")
     aggs.foreach { case (c, f) =>
-      require(Seq("sum", "max", "min").contains(f),
-        s"unknown rollup aggregation '$f' for column '$c' (sum | max | min)")
+      require(Seq("sum", "max", "min", "approx_distinct").contains(f),
+        s"unknown rollup aggregation '$f' for column '$c' " +
+          "(sum | max | min | approx_distinct)")
       require(!keys.contains(c), s"column '$c' cannot be both key and aggregate")
     }
     decimalSum.keys.foreach(c => require(aggs.get(c).contains("sum"),
@@ -64,11 +74,13 @@ object MaterializedRollup {
       throw new IllegalArgumentException(
         s"rollup column '$c' not in source schema ${source.simpleString}"))
     val keyFields = spec.keys.map(k => field(k).copy(nullable = false))
-    val aggFields = spec.aggs.toSeq.sortBy(_._1).map { case (c, _) =>
-      spec.decimalSum.get(c) match {
-        case Some((p, s)) => StructField(c, DecimalType(p, s))
-        case None => field(c)
-      }
+    val aggFields = spec.aggs.toSeq.sortBy(_._1).map {
+      case (c, "approx_distinct") => StructField(c, BinaryType) // HLL sketch
+      case (c, _) =>
+        spec.decimalSum.get(c) match {
+          case Some((p, s)) => StructField(c, DecimalType(p, s))
+          case None => field(c)
+        }
     }
     val countField = spec.countCol.map(StructField(_, LongType)).toSeq
     TableSchema(
@@ -87,9 +99,22 @@ object MaterializedRollup {
     val aggExprs = spec.aggs.toSeq.sortBy(_._1).map {
       case (c, "sum") => sumCol(c).as(c)
       case (c, "max") => max(col(c)).as(c)
+      case (c, "approx_distinct") => hll_sketch_agg(col(c)).as(c)
       case (c, f) => assert(f == "min"); min(col(c)).as(c)
     } ++ spec.countCol.map(c => count(lit(1)).as(c))
     batch.groupBy(spec.keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** Read the rollup as its user-facing view: `approx_distinct` sketch
+    * columns surface as their BIGINT estimates (exact while the sketch is
+    * in its small-cardinality exact mode), everything else as stored. */
+  def readView(spark: SparkSession, targetDir: String, spec: RollupSpec): DataFrame = {
+    val t = new LakehouseTable(spark, targetDir)
+    val sketchCols = spec.aggs.collect { case (c, "approx_distinct") => c }.toSet
+    val df = t.read()
+    df.select(df.columns.toSeq.map { c =>
+      if (sketchCols.contains(c)) hll_sketch_estimate(col(c)).as(c) else col(c)
+    }: _*)
   }
 
   /** Start the standing maintenance query: change feed of `sourceDir` →
@@ -115,7 +140,10 @@ object MaterializedRollup {
           target.create(
             targetSchema(batch.schema, spec), buckets = buckets,
             mergeEngine = "aggregate",
-            aggregations = spec.aggs ++ spec.countCol.map(_ -> "sum"))
+            aggregations = spec.aggs.map {
+              case (c, "approx_distinct") => c -> "hll" // sketches union
+              case kv => kv
+            } ++ spec.countCol.map(_ -> "sum"))
         val pre = preAggregate(batch, spec)
         target.merge(
           pre,

@@ -91,4 +91,46 @@ class MaterializedRollupSpec extends AnyFunSuite {
       txn = Some((MaterializedRollup.RollupRunId, 0L)))
     assert(target.latestVersion() == v0) // no new commit, no double-count
   }
+
+  test("approx_distinct: sketches union across batches — repeated values count once") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val src = new LakehouseTable(spark, Files.createTempDirectory("hll_src").toString)
+    src.create(TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("u", LongType))), primaryKeys = Seq.empty), buckets = 2)
+    val out = Files.createTempDirectory("hll_tgt").toString + "/t"
+    val hspec = MaterializedRollup.RollupSpec(
+      keys = Seq("k"), aggs = Map("u" -> "approx_distinct"), countCol = Some("n"))
+    assert(MaterializedRollup.targetSchema(
+      src.snapshot().schema.struct, hspec).struct("u").dataType == BinaryType)
+
+    // batches OVERLAP in u per key: a distributive fold would double-count.
+    // k=0 sees users 0..59 twice and 60..89 once; k=1 sees 100..119 in all
+    // three batches. Distinct = 90 and 20; row counts 150 and 60.
+    def b(us: Range, k: Int) = us.toDF("u").select(lit(k.toLong).as("k"), $"u".cast("long").as("u"))
+    src.append(b(0 until 60, 0).unionByName(b(100 until 120, 1)))
+    val q1 = MaterializedRollup.maintain(spark, src.dir, out, hspec, buckets = 2)
+    try {
+      q1.processAllAvailable()
+      src.append(b(0 until 60, 0).unionByName(b(100 until 120, 1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    src.append(b(60 until 90, 0).unionByName(b(100 until 120, 1))) // while DOWN
+    val q2 = MaterializedRollup.maintain(spark, src.dir, out, hspec, buckets = 2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = MaterializedRollup.readView(spark, out, hspec)
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 90L, 150L), (1L, 20L, 60L)))
+
+    intercept[IllegalArgumentException](
+      MaterializedRollup.RollupSpec(Seq("k"), Map("u" -> "hll"))) // spec-level name is approx_distinct
+    intercept[IllegalArgumentException]( // table-level hll requires BINARY
+      new LakehouseTable(spark, Files.createTempDirectory("hll_bad").toString)
+        .create(TableSchema(
+          StructType(Seq(StructField("k", LongType, nullable = false),
+            StructField("u", LongType))), primaryKeys = Seq("k")),
+          mergeEngine = "aggregate", aggregations = Map("u" -> "hll")))
+  }
 }
