@@ -225,6 +225,42 @@ object QueriesML {
         TextFunctions.subwordCountApprox(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
+    "x_inverted_index" -> ((s, dir) => {
+      // INVERTED TEXT INDEX ([[graft.textops.InvertedIndex]]): documents
+      // land in a lakehouse table as three commits; a standing query
+      // explodes each increment into (term, doc_id) postings and appends
+      // them range-partitioned by term, is KILLED after the second commit
+      // (the third lands while down), and the restarted maintainer indexes
+      // the down-time documents exactly once. Probes are zone-map + bloom
+      // pruned point reads; the oracle recomputes the posting lists by
+      // full-scan tokenization in SQL. 'zzzabsent' proves a miss probes
+      // clean (no rows, oracle agrees).
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.textops.InvertedIndex
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_inv_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_inv_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(d.schema), buckets = 4)
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      src.append(d.filter(col("doc_id") <= maxId / 3))
+      val q1 = InvertedIndex.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try {
+        q1.processAllAvailable()
+        src.append(d.filter(col("doc_id") > maxId / 3 &&
+          col("doc_id") <= 2 * maxId / 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      src.append(d.filter(col("doc_id") > 2 * maxId / 3)) // while DOWN
+      val q2 = InvertedIndex.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try q2.processAllAvailable() finally q2.stop()
+      val index = new LakehouseTable(s, idxRoot)
+      Seq("join", "merge", "zzzabsent")
+        .map(t => InvertedIndex.lookup(index, t).select(lit(t).as("term"), col("doc_id")))
+        .reduce(_ unionByName _)
+        .orderBy("term", "doc_id")
+    }),
     "x_bpe" -> ((s, dir) => {
       // learned byte-pair encoding over the corpus itself (Sennrich 2016):
       // word counting is the only corpus-scale pass; merge learning runs on
@@ -720,6 +756,17 @@ object QueriesML {
         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
         |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // posting lists from the maintained index == full-scan tokenization
+    "x_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0))) AS term
+        |  FROM documents)
+        |SELECT term, doc_id FROM toks
+        |WHERE term IN ('join', 'merge', 'zzzabsent')
+        |ORDER BY term, doc_id""".stripMargin,
     "x_tokens" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,81 @@
+package graft.textops
+
+import graft.SparkTestBase
+import graft.core.TableSchema
+import graft.sinks.LakehouseTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Inverted-index maintenance: postings tokenization, exactly-once under
+  * kill/restart with a commit landing while down, conjunctive lookups, and
+  * the probe-side file pruning that makes a term lookup O(posting list).
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "Spark joins shuffle data; broadcast joins avoid it"),
+    (1L, "merge engines fold batches"),
+    (2L, "zone maps prune files, blooms prune the rest"),
+    (3L, "JOINS and merge, again: joins!"),
+    (4L, ""))
+
+  test("postings: lowercase [a-z0-9]+ runs, distinct per document") {
+    val p = InvertedIndex.postings(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(p.contains(("joins", 0L)) && p.contains(("joins", 3L)))
+    assert(p.count(_ == ("joins", 3L)) == 1) // three occurrences, one posting
+    assert(p.contains(("merge", 1L)) && p.contains(("merge", 3L)))
+    assert(!p.exists(_._2 == 4L)) // empty doc: no postings
+    assert(p.forall { case (t, _) => t.matches("[a-z0-9]+") })
+  }
+
+  test("kill/restart with a commit while down: index equals one-shot postings; probes prune") {
+    val d = corpus.toDF("doc_id", "text")
+    val srcRoot = Files.createTempDirectory("inv_src").toString
+    val idxRoot = Files.createTempDirectory("inv_idx").toString
+    val src = new LakehouseTable(spark, srcRoot)
+    src.create(TableSchema(d.schema), buckets = 2)
+
+    src.append(d.filter($"doc_id" <= 1))
+    val q1 = InvertedIndex.maintain(spark, srcRoot, idxRoot, "doc_id", "text")
+    try {
+      q1.processAllAvailable()
+      src.append(d.filter($"doc_id" === 2 || $"doc_id" === 3))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    src.append(d.filter($"doc_id" === 4)) // lands while DOWN
+    val q2 = InvertedIndex.maintain(spark, srcRoot, idxRoot, "doc_id", "text")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val index = new LakehouseTable(spark, idxRoot)
+    val got = index.read().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = InvertedIndex.postings(d, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(index.read().count() == want.size) // nothing doubled
+
+    // single-term lookup
+    assert(InvertedIndex.lookup(index, "joins").as[Long].collect().toSet == Set(0L, 3L))
+    assert(InvertedIndex.lookup(index, "zzz").isEmpty)
+    // conjunctive: docs containing BOTH joins and merge
+    assert(InvertedIndex.lookupAll(index, Seq("joins", "merge")).as[Long]
+      .collect().toSet == Set(3L))
+    assert(InvertedIndex.lookupAll(index, Seq("joins", "joins")).as[Long]
+      .collect().toSet == Set(0L, 3L)) // duplicate probe terms collapse
+
+    // pruning: with range-partitioned postings, a probe of a term in the
+    // FIRST lexicographic band must not admit every file
+    val snap = index.snapshot()
+    assert(snap.files.forall(_.stats.contains("term")))
+    if (snap.files.size > 1) {
+      val admitted = snap.files.count(f =>
+        f.stats("term").min <= "avoid" && "avoid" <= f.stats("term").max)
+      assert(admitted < snap.files.size,
+        s"zone maps admitted all ${snap.files.size} files for one term")
+    }
+  }
+}
