@@ -261,6 +261,36 @@ object QueriesML {
         .reduce(_ unionByName _)
         .orderBy("term", "doc_id")
     }),
+    "x_bm25_search" -> ((s, dir) => {
+      // BM25 ranked retrieval ([[graft.textops.Bm25Search]]) from
+      // change-feed-maintained posting + doclen tables: three commits,
+      // maintainer killed after the second (third lands while down),
+      // restarted, then a 3-term query's top-10 is scored from the probed
+      // posting lists only — the oracle recomputes the identical formula
+      // (same association order, so IEEE doubles agree) by full scan.
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.textops.Bm25Search
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_bm25_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(d.schema), buckets = 4)
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      src.append(d.filter(col("doc_id") <= maxId / 3))
+      val q1 = Bm25Search.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try {
+        q1.processAllAvailable()
+        src.append(d.filter(col("doc_id") > maxId / 3 &&
+          col("doc_id") <= 2 * maxId / 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      src.append(d.filter(col("doc_id") > 2 * maxId / 3)) // while DOWN
+      val q2 = Bm25Search.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try q2.processAllAvailable() finally q2.stop()
+      Bm25Search.search(s, idxRoot, Seq("data", "join", "merge"), k = 10)
+        .orderBy("rank")
+    }),
     "x_bpe" -> ((s, dir) => {
       // learned byte-pair encoding over the corpus itself (Sennrich 2016):
       // word counting is the only corpus-scale pass; merge learning runs on
@@ -767,6 +797,34 @@ object QueriesML {
         |SELECT term, doc_id FROM toks
         |WHERE term IN ('join', 'merge', 'zzzabsent')
         |ORDER BY term, doc_id""".stripMargin,
+    // BM25 from the maintained index == the same formula by full scan;
+    // identical association order keeps the IEEE doubles bit-compatible
+    "x_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'join', 'merge']) AS term),
+        |lists AS (SELECT tf.* FROM tf JOIN q USING (term)),
+        |dfreq AS (SELECT term, count(*) AS df FROM lists GROUP BY 1),
+        |scored AS (
+        |  SELECT l.doc_id,
+        |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |    (l.tf * (1.2 + 1.0) /
+        |     (l.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / s.avgdl))) AS sc
+        |  FROM lists l JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, sum(sc) AS score_raw FROM scored GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, score_raw,
+        |    row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS rank
+        |  FROM agg)
+        |SELECT doc_id, round(score_raw, 4) AS score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "x_tokens" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
