@@ -377,6 +377,53 @@ object Bench {
       require(b8Table.read().filter(col("fp") === b8Probe).count() == 1, "b8 scan must hit")
     }.foreach(sec => out += "b8_scan_point_sec" -> sec)
 
+    // B9: inverted-index term probe vs the corpus LIKE scan it replaces —
+    // the text-search capability quantified at the bench SF. The index is
+    // built once (untimed, 4 append generations so multiple file bands
+    // exist); the probe must read only the files whose term band + bloom
+    // admit it, while the scan pass reads every document. At 100 TB the
+    // scan side is off the table entirely; the probe side's cost is the
+    // posting list.
+    lazy val b9Index = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_b9").toString
+      val t = new graft.sinks.LakehouseTable(spark, dir)
+      t.create(
+        TableSchema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "term", org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "doc_id", org.apache.spark.sql.types.LongType, nullable = false))),
+          primaryKeys = Seq.empty),
+        buckets = 1, bloomColumns = Seq("term"))
+      val d = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      (0 until 4).foreach(i => t.append(
+        graft.textops.InvertedIndex.postings(
+            d.filter(pmod(col("doc_id"), lit(4)) === i), "doc_id", "text")
+          .repartitionByRange(32, col("term"), col("doc_id"))))
+      t
+    }
+    // At bench SF both passes are fixed-overhead dominated (~0.1 s); the
+    // number that scales is the FILE ratio, so it is asserted and emitted:
+    // range-partitioning by term puts any single term - even a stopword in
+    // every document - into the few files whose band straddles it.
+    once("b9_files_frac") {
+      val admitted = b9Index.prunedFiles("term", "customer").size
+      val total = b9Index.snapshot().files.size
+      require(admitted * 4 <= total,
+        s"term probe should admit <=1/4 of files, got $admitted/$total")
+      out += "b9_probe_files_frac" -> (admitted.toDouble / math.max(total, 1))
+    }
+    timed("b9_index_probe") {
+      require(graft.textops.InvertedIndex.lookup(b9Index, "customer").count() > 0,
+        "b9 probe must hit")
+    }.foreach(sec => out += "b9_index_probe_sec" -> sec)
+    timed("b9_like_scan") {
+      require(graft.sources.Tables.load(spark, sfDir, "documents")
+        .filter(col("text").contains("customer")).count() > 0, "b9 scan must hit")
+    }.foreach(sec => out += "b9_like_scan_sec" -> sec)
+
     once("b4_total_wall_sec_outer") {
       val tid = TableId.parse("app.evolving")
       val driver = new graft.pipeline.SchemaEvolutionDriver(
