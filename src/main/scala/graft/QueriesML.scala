@@ -261,6 +261,30 @@ object QueriesML {
         .reduce(_ unionByName _)
         .orderBy("term", "doc_id")
     }),
+    "x_phrase_search" -> ((s, dir) => {
+      // PHRASE query over a POSITIONAL index: same maintenance discipline
+      // as x_inverted_index but postings carry sorted token-position lists;
+      // "hash join" matches only docs where the tokens are CONSECUTIVE —
+      // a posting-list intersection plus a position-set fold, never a
+      // corpus scan. Oracle recomputes adjacency by full-scan ordinality.
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.textops.InvertedIndex
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_phr_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_phr_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(d.schema), buckets = 4)
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      src.append(d.filter(col("doc_id") <= maxId / 2))
+      val q1 = InvertedIndex.maintainPositional(s, srcRoot, idxRoot, "doc_id", "text")
+      try q1.processAllAvailable() finally q1.stop()
+      src.append(d.filter(col("doc_id") > maxId / 2)) // while DOWN
+      val q2 = InvertedIndex.maintainPositional(s, srcRoot, idxRoot, "doc_id", "text")
+      try q2.processAllAvailable() finally q2.stop()
+      val index = new LakehouseTable(s, idxRoot)
+      InvertedIndex.phrase(index, Seq("hash", "join")).orderBy("doc_id")
+    }),
     "x_bm25_search" -> ((s, dir) => {
       // BM25 ranked retrieval ([[graft.textops.Bm25Search]]) from
       // change-feed-maintained posting + doclen tables: three commits,
@@ -797,6 +821,17 @@ object QueriesML {
         |SELECT term, doc_id FROM toks
         |WHERE term IN ('join', 'merge', 'zzzabsent')
         |ORDER BY term, doc_id""".stripMargin,
+    // phrase adjacency from positional postings == full-scan ordinality
+    "x_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> len(t) > 0) AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS i FROM toks),
+        |a AS (SELECT doc_id, i FROM pos WHERE term = 'hash'),
+        |b AS (SELECT doc_id, i FROM pos WHERE term = 'join')
+        |SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b
+        |ON a.doc_id = b.doc_id AND b.i = a.i + 1 ORDER BY a.doc_id""".stripMargin,
     // BM25 from the maintained index == the same formula by full scan;
     // identical association order keeps the IEEE doubles bit-compatible
     "x_bm25_search" ->

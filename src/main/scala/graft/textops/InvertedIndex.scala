@@ -89,6 +89,76 @@ object InvertedIndex {
       .start()
   }
 
+  /** Distinct `(term, doc_id, positions)` postings with token positions
+    * (0-based, sorted): the positional layout phrase queries need. One
+    * tokenize pass + one batch-bounded aggregate per increment. */
+  def positionalPostings(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    batch.select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(
+          split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("positions"))
+
+  /** Start a standing POSITIONAL index maintainer: same exactly-once /
+    * range-partitioned / bloom-sidecar layout as [[maintain]], with a
+    * per-posting position list — the Lucene positional-postings shape that
+    * makes phrase queries a posting-list intersection, not a corpus scan. */
+  def maintainPositional(
+      spark: SparkSession,
+      sourceDir: String,
+      indexDir: String,
+      idCol: String,
+      textCol: String): StreamingQuery = {
+    val target = new LakehouseTable(spark, indexDir)
+    val ckpt = java.nio.file.Paths.get(indexDir, "_invidx_checkpoint").toString
+    spark.readStream.format("graft-lakehouse")
+      .option("path", sourceDir)
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (target.snapshot().meta.isEmpty)
+          target.create(
+            TableSchema(
+              StructType(Seq(
+                StructField("term", StringType, nullable = false),
+                StructField("doc_id", LongType, nullable = false),
+                StructField("positions", ArrayType(IntegerType), nullable = false))),
+              primaryKeys = Seq.empty),
+            buckets = 1, bloomColumns = Seq("term"))
+        val p = positionalPostings(batch, idCol, textCol)
+        val partitions = spark.sessionState.conf.numShufflePartitions
+        target.append(
+          p.repartitionByRange(partitions, col("term"), col("doc_id")),
+          txn = Some((IndexRunId, batchId)))
+        ()
+      }
+      .start()
+  }
+
+  /** Documents containing `terms` CONSECUTIVELY (a phrase query) against a
+    * positional index: probe each term's (pruned) posting list, inner-join
+    * the candidates on doc_id — membership of every term is necessary —
+    * then verify adjacency by folding position sets: carry the phrase-end
+    * positions and intersect their successors with the next term's
+    * positions. All array ops are codegen'd column expressions over rows
+    * bounded by the probed posting lists; the corpus is never touched. */
+  def phrase(index: LakehouseTable, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phrase query needs at least one term")
+    val lists = terms.zipWithIndex.map { case (t, i) =>
+      index.readWhere("term", t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = lists.reduce(_.join(_, "doc_id"))
+    val ends = (1 until terms.size).foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(transform(acc, x => x + 1), col(s"__p$i"))
+    }
+    joined.filter(size(ends) > 0).select("doc_id")
+  }
+
   /** Documents containing `term`: a zone-map + bloom pruned point probe —
     * only files whose term range (and bloom) admit the term are read. */
   def lookup(index: LakehouseTable, term: String): DataFrame =

@@ -78,4 +78,39 @@ class InvertedIndexSpec extends AnyFunSuite {
         s"zone maps admitted all ${snap.files.size} files for one term")
     }
   }
+
+  test("positional index: phrase queries match consecutive tokens only") {
+    val docs = Seq(
+      (0L, "merge engines fold batches"), // "merge engines" adjacent
+      (1L, "engines merge quickly"), // reversed: no match
+      (2L, "merge the engines"), // gap: no match
+      (3L, "a merge engines merge engines b"), // two occurrences
+      (4L, "big data, wins big")) // punctuation between tokens is a boundary
+    val d = docs.toDF("doc_id", "text")
+    val srcRoot = Files.createTempDirectory("phr_src").toString
+    val idxRoot = Files.createTempDirectory("phr_idx").toString
+    val src = new LakehouseTable(spark, srcRoot)
+    src.create(TableSchema(d.schema), buckets = 2)
+    src.append(d.filter($"doc_id" <= 2))
+    val q1 = InvertedIndex.maintainPositional(spark, srcRoot, idxRoot, "doc_id", "text")
+    try q1.processAllAvailable() finally q1.stop()
+    src.append(d.filter($"doc_id" > 2)) // while DOWN
+    val q2 = InvertedIndex.maintainPositional(spark, srcRoot, idxRoot, "doc_id", "text")
+    try q2.processAllAvailable() finally q2.stop()
+    val index = new LakehouseTable(spark, idxRoot)
+
+    def ph(ts: String*): Set[Long] =
+      InvertedIndex.phrase(index, ts).as[Long].collect().toSet
+    assert(ph("merge", "engines") == Set(0L, 3L))
+    assert(ph("engines", "merge") == Set(1L, 3L)) // order matters
+    assert(ph("merge", "the", "engines") == Set(2L)) // 3-term chain
+    assert(ph("merge", "engines", "merge", "engines") == Set(3L))
+    assert(ph("big", "wins").isEmpty) // big@0/3, wins@2: never adjacent
+    assert(ph("data", "wins") == Set(4L)) // "data, wins": comma is not a token, so adjacent
+    assert(ph("merge") == Set(0L, 1L, 2L, 3L)) // 1-term phrase = membership
+    // positions are per-occurrence and sorted
+    val p3 = index.read().filter($"term" === "merge" && $"doc_id" === 3L)
+      .head().getSeq[Int](2)
+    assert(p3 == Seq(1, 3))
+  }
 }
