@@ -460,6 +460,17 @@ object QueriesML {
         .select(col("doc_id"), col("source"), col("bin"))
         .orderBy("doc_id")
     }),
+    "x_chunk_windows" -> ((s, dir) => {
+      // RAG / context-window chunking: overlapping 32-token windows with
+      // stride 24, map-only (tokenize once, sequence + posexplode + slice;
+      // no shuffle) — every token covered, only the final window short.
+      TrainingData.chunkWindows(
+          docs(s, dir).select(col("doc_id"), col("text")), "text",
+          window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "x_decontam" -> ((s, dir) => {
       // eval set = texts of doc_id<20 (re-id'd): those train docs share every
       // word 8-gram with the bench set, so they MUST be flagged; any other
@@ -860,6 +871,23 @@ object QueriesML {
         |  FROM agg)
         |SELECT doc_id, round(score_raw, 4) AS score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // chunk windows == SQL list slices over the same whitespace tokens
+    "x_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         WHEN len(toks) <= 32 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM c WHERE nc > 0)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "x_tokens" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -141,6 +141,44 @@ object TrainingData {
       floor((sum(col(costCol)).over(w) - col(costCol)) / lit(budget)))
   }
 
+  // ------------------------------------------------------------- chunking
+
+  /** Split documents into overlapping token windows — the RAG / context-
+    * window preprocessing step: window `window` tokens, advancing `stride`
+    * tokens (overlap = window − stride). Emits `(.., chunk_idx, chunk_text,
+    * chunk_tokens)` per window; a document of n tokens yields
+    * `ceil((n − window)/stride) + 1` chunks (1 if n ≤ window, 0 if empty),
+    * so every token is covered and the final window is the only short one.
+    * Map-only: tokenize once, generate chunk indices with `sequence`,
+    * posexplode, slice — no shuffle, scan-speed at any corpus size. The
+    * whitespace tokenizer matches [[graft.functions.TextFunctions]]'
+    * token-count contract and the DuckDB oracle's split. */
+  def chunkWindows(
+      df: DataFrame,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val nChunks = when(n === 0, 0)
+      .when(n <= window, 1)
+      .otherwise(ceil((n - lit(window)).cast("double") / lit(stride)).cast("int") + 1)
+    df.withColumn("__toks", toks)
+      .withColumn("__nc", nChunks)
+      .filter(col("__nc") > 0)
+      .select(df.columns.map(col) :+
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_idx", "__i")) :+
+        col("__toks"): _*)
+      .withColumn("__slice",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
+      .select(df.columns.map(col) :+
+        col("chunk_idx") :+
+        array_join(col("__slice"), " ").as("chunk_text") :+
+        size(col("__slice")).as("chunk_tokens"): _*)
+  }
+
   // ------------------------------------------------------------- decontamination
 
   /** Strict lowercase word k-grams (documents with fewer than k words yield

@@ -149,4 +149,31 @@ class TrainingDataSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(mustFlag.nonEmpty && mustFlag.subsetOf(flagged))
   }
+
+  test("chunkWindows: overlap, coverage, short-final-window, edge sizes") {
+    val d = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (1L, "a b c d"), // exactly window -> 1 chunk
+      (2L, "a b c d e"), // window+1 -> 2 chunks, second short
+      (3L, "  "), // empty after trim -> no chunks
+      (4L, "x")).toDF("doc_id", "text")
+    val got = TrainingData.chunkWindows(d, "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0, "t1 t2 t3 t4", 4),
+      (0L, 1, "t4 t5 t6 t7", 4), // stride 3 < window 4: one-token overlap
+      (0L, 2, "t7 t8 t9 t10", 4),
+      (1L, 0, "a b c d", 4),
+      (2L, 0, "a b c d", 4),
+      (2L, 1, "d e", 2), // final window short, never empty
+      (4L, 0, "x", 1)))
+    // every token of doc 0 appears in some chunk (coverage)
+    val covered = got.filter(_._1 == 0L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException](
+      TrainingData.chunkWindows(d, "text", window = 4, stride = 5))
+    intercept[IllegalArgumentException](
+      TrainingData.chunkWindows(d, "text", window = 0, stride = 1))
+  }
 }
