@@ -261,6 +261,30 @@ object QueriesML {
         .reduce(_ unionByName _)
         .orderBy("term", "doc_id")
     }),
+    "x_fuzzy_lookup" -> ((s, dir) => {
+      // typo-tolerant lookup: 'merg' is NOT a corpus term (exact probe
+      // returns nothing — asserted) but is 1 edit from 'merge'; the fuzzy
+      // path matches the query against the index VOCABULARY (distinct
+      // terms, Heaps'-law small) and unions the matched terms' pruned
+      // posting probes. Oracle recomputes the same levenshtein band by
+      // full scan.
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.textops.InvertedIndex
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_fuz_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_fuz_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(d.schema), buckets = 4)
+      src.append(d)
+      val q = InvertedIndex.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try q.processAllAvailable() finally q.stop()
+      val index = new LakehouseTable(s, idxRoot)
+      require(InvertedIndex.lookup(index, "merg").isEmpty,
+        "'merg' must miss exactly — otherwise the fuzzy case proves nothing")
+      InvertedIndex.lookupFuzzy(index, "merg", maxDist = 1)
+        .orderBy("term", "doc_id")
+    }),
     "x_phrase_search" -> ((s, dir) => {
       // PHRASE query over a POSITIONAL index: same maintenance discipline
       // as x_inverted_index but postings carry sorted token-position lists;
@@ -831,6 +855,19 @@ object QueriesML {
         |  FROM documents)
         |SELECT term, doc_id FROM toks
         |WHERE term IN ('join', 'merge', 'zzzabsent')
+        |ORDER BY term, doc_id""".stripMargin,
+    // fuzzy vocabulary match == the same levenshtein band by full scan
+    "x_fuzzy_lookup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0))) AS term
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT term FROM toks
+        |  WHERE abs(len(term) - 4) <= 1 AND levenshtein(term, 'merg') <= 1)
+        |SELECT t.term, t.doc_id FROM toks t JOIN m USING (term)
         |ORDER BY term, doc_id""".stripMargin,
     // phrase adjacency from positional postings == full-scan ordinality
     "x_phrase_search" ->

@@ -164,6 +164,27 @@ object InvertedIndex {
   def lookup(index: LakehouseTable, term: String): DataFrame =
     index.readWhere("term", term).select("doc_id")
 
+  /** Documents containing any term within `maxDist` edits of `term`
+    * (typo-tolerant lookup): match the query against the index VOCABULARY
+    * first — `levenshtein` over distinct terms, a vocabulary-sized scan,
+    * orders of magnitude below the posting count (Heaps' law; serve it
+    * from a dedicated `(term, df)` dictionary table to make the candidate
+    * scan metadata-sized at 100 TB) — then union the matched terms'
+    * pruned posting probes. Returns `(term, doc_id)` so callers can
+    * weight exact vs fuzzy hits. */
+  def lookupFuzzy(index: LakehouseTable, term: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val cands = index.read().select(col("term")).distinct()
+      // cheap length band cut before the quadratic edit-distance
+      .filter(abs(length(col("term")) - lit(term.length)) <= maxDist)
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+      .collect().map(_.getString(0)).sorted // matched vocabulary: tiny
+    cands
+      .map(t => index.readWhere("term", t).select(lit(t).as("term"), col("doc_id")))
+      .reduceOption(_ unionByName _)
+      .getOrElse(index.read().select(col("term"), col("doc_id")).limit(0))
+  }
+
   /** Documents containing ALL of `terms` (conjunctive query): per-term
     * pruned probes, then an intersection by posting count — each probe's
     * cost is its posting list, and the intersection shuffles only posting

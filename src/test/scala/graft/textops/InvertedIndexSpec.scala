@@ -61,6 +61,16 @@ class InvertedIndexSpec extends AnyFunSuite {
     // single-term lookup
     assert(InvertedIndex.lookup(index, "joins").as[Long].collect().toSet == Set(0L, 3L))
     assert(InvertedIndex.lookup(index, "zzz").isEmpty)
+    // fuzzy: 'joinz' misses exactly but is 1 edit from 'joins' (and 2 from
+    // 'join' — excluded at maxDist 1); maxDist 0 degenerates to exact
+    assert(InvertedIndex.lookup(index, "joinz").isEmpty)
+    assert(InvertedIndex.lookupFuzzy(index, "joinz", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("joins", 0L), ("joins", 3L)))
+    assert(InvertedIndex.lookupFuzzy(index, "merge", maxDist = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("merge", 1L), ("merge", 3L)))
+    assert(InvertedIndex.lookupFuzzy(index, "qqqqq", maxDist = 1).isEmpty)
     // conjunctive: docs containing BOTH joins and merge
     assert(InvertedIndex.lookupAll(index, Seq("joins", "merge")).as[Long]
       .collect().toSet == Set(3L))
