@@ -363,10 +363,14 @@ final class LakehouseTable(
     require(mergeEngine == "aggregate" || aggregations.isEmpty,
       "aggregations require merge engine 'aggregate'")
     aggregations.foreach { case (c, f) =>
-      require(Seq("sum", "max", "min", "hll").contains(f),
-        s"unknown aggregation '$f' for column '$c' (sum | max | min | hll)")
+      require(Seq("sum", "max", "min", "hll", "bool_or", "bool_and").contains(f),
+        s"unknown aggregation '$f' for column '$c' " +
+          "(sum | max | min | hll | bool_or | bool_and)")
       require(schema.struct.fieldNames.contains(c) && !schema.primaryKeys.contains(c),
         s"aggregation column '$c' must be a non-key table column")
+      if (f == "bool_or" || f == "bool_and") require(
+        schema.struct.apply(c).dataType == org.apache.spark.sql.types.BooleanType,
+        s"$f aggregation column '$c' must be BOOLEAN")
       // 'hll' folds Datasketches HLL sketches by union — the column stores
       // the mergeable sketch (BINARY), never raw values; writers aggregate
       // raw values into a sketch first (hll_sketch_agg), readers estimate
@@ -536,6 +540,8 @@ final class LakehouseTable(
               case Some("max") => max(col(x))
               case Some("min") => min(col(x))
               case Some("hll") => hll_union_agg(col(x))
+              case Some("bool_or") => bool_or(col(x))
+              case Some("bool_and") => bool_and(col(x))
               case _ =>
                 when(count_distinct(col(x)) > 1, raise_error(concat(
                   lit(s"merge engine '$engine': column '$x' has conflicting " +
@@ -596,6 +602,10 @@ final class LakehouseTable(
                 case Some("hll") =>
                   when(oc.isNull, nc).when(nc.isNull, oc)
                     .otherwise(hll_union(oc, nc))
+                case Some("bool_or") =>
+                  when(oc.isNull, nc).when(nc.isNull, oc).otherwise(oc || nc)
+                case Some("bool_and") =>
+                  when(oc.isNull, nc).when(nc.isNull, oc).otherwise(oc && nc)
                 case _ => coalesce(nc, oc) // last non-null
               }
             }

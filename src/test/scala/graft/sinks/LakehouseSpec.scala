@@ -511,6 +511,31 @@ class LakehouseSpec extends AnyFunSuite {
       bad.create(metrics, mergeEngine = "aggregate", aggregations = Map("k" -> "sum")))
     intercept[IllegalArgumentException](
       bad.create(metrics, aggregations = Map("n" -> "sum")))
+
+    // bool_or/bool_and fold across AND within batches; require BOOLEAN
+    val bs = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("seen", BooleanType), StructField("ok", BooleanType))),
+      primaryKeys = Seq("k"))
+    val tb = new LakehouseTable(spark, Files.createTempDirectory("agg_bool").toString)
+    tb.create(bs, buckets = 2, mergeEngine = "aggregate",
+      aggregations = Map("seen" -> "bool_or", "ok" -> "bool_and"))
+    tb.merge(Seq((1L, false, true), (2L, true, true)).toDF("k", "seen", "ok"), empty(tb))
+    // intra-batch duplicates for k=1 fold too (true|false, true&false)
+    tb.merge(Seq((1L, true, true), (1L, false, false), (2L, false, true))
+      .toDF("k", "seen", "ok"), empty(tb))
+    val br = tb.read().orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(br == Seq((1L, true, false), (2L, true, true)))
+    // nulls: null keeps the other side, never poisons the fold
+    tb.merge(spark.sql(
+      "SELECT 2L AS k, CAST(NULL AS BOOLEAN) AS seen, CAST(NULL AS BOOLEAN) AS ok"),
+      empty(tb))
+    val b2 = tb.read().filter($"k" === 2L).collect().head
+    assert(b2.getBoolean(1) && b2.getBoolean(2))
+    intercept[IllegalArgumentException](
+      bad.create(metrics, mergeEngine = "aggregate", aggregations = Map("n" -> "bool_or")))
   }
 
   test("sequence-field last-wins: largest sequence wins regardless of commit order") {
