@@ -342,11 +342,14 @@ object QueriesML {
     "x_bpe" -> ((s, dir) => {
       // learned byte-pair encoding over the corpus itself (Sennrich 2016):
       // word counting is the only corpus-scale pass; merge learning runs on
-      // the bounded top-50k vocabulary; encoding is map-only. No SQL oracle
-      // (the merge loop is not SQL-expressible) → rows-only driver check;
-      // BpeSpec pins the algorithm against the paper's hand-computed corpus.
+      // the bounded top-50k vocabulary; encoding is map-only. numMerges=40
+      // keeps encoding partial on the 31-word synthetic vocabulary (per-word
+      // token counts 1–6), so the gate is rank-sensitive. The oracle replays
+      // greedy encoding in DuckDB (recursive CTE) against the pinned
+      // deterministic merge table (`Bpe.pinnedGateMerges`), which
+      // BpePinnedSpec asserts equals what this very call learns at sf0.01.
       val d = docs(s, dir)
-      val model = graft.functions.Bpe.learn(d, "text", numMerges = 200)
+      val model = graft.functions.Bpe.learn(d, "text", numMerges = 40)
       d.select(col("doc_id"),
           size(graft.functions.Bpe.encodeTokens(col("text"), model)).as("n_bpe_tokens"))
         .orderBy("doc_id")
@@ -925,6 +928,59 @@ object QueriesML {
         |  array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
         |  CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // x_bpe: greedy BPE encoding replayed in DuckDB. The learning loop is
+    // iterative (aggregate pair counts → merge → repeat) and not
+    // single-query SQL, so the oracle takes the deterministic learned merge
+    // table (Bpe.pinnedGateMerges, self-checked by BpePinnedSpec against the
+    // gate corpus) as a VALUES list and replays ENCODING exactly: words are
+    // symbol sequences rendered as chr(1)chr(1)-separated strings, one
+    // recursion step = merge all left-to-right non-overlapping occurrences
+    // of the lowest-ranked present pair (replace() with a boundary-restoring
+    // pattern that leaves one separator on each side, so adjacent matches
+    // still fire), fixpoint when no learned pair remains; token count =
+    // separator count / 2 - 1. Encoding runs per DISTINCT word (vocabulary-
+    // sized), then joins back to the per-doc word multiset.
+    "x_bpe" -> {
+      val vals = graft.functions.Bpe.pinnedGateMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+      s"""WITH RECURSIVE
+        |merges(rank, a, b) AS (VALUES $vals),
+        |words AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |init AS (
+        |  SELECT w, chr(1)||chr(1)||array_to_string(
+        |      list_append([x FOR x IN string_split_regex(w, '') IF x <> ''], '</w>'),
+        |      chr(1)||chr(1))||chr(1)||chr(1) AS s
+        |  FROM words),
+        |enc AS (
+        |  SELECT w, s FROM init
+        |  UNION ALL
+        |  SELECT e.w,
+        |    replace(e.s, chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1),
+        |                 chr(1)||m.a||m.b||chr(1)) AS s
+        |  FROM enc e JOIN LATERAL (
+        |    SELECT a, b FROM merges
+        |    WHERE contains(e.s, chr(1)||a||chr(1)||chr(1)||b||chr(1))
+        |    ORDER BY rank LIMIT 1) m ON true),
+        |fin AS (
+        |  SELECT w, s FROM enc e
+        |  WHERE NOT EXISTS (SELECT 1 FROM merges
+        |    WHERE contains(e.s, chr(1)||a||chr(1)||chr(1)||b||chr(1)))),
+        |toks AS (
+        |  SELECT w,
+        |    CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS INT) AS n
+        |  FROM fin),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(COALESCE(SUM(t.n), 0) AS INT) AS n_bpe_tokens
+        |FROM documents d
+        |LEFT JOIN docw ON d.doc_id = docw.doc_id AND length(docw.w) > 0
+        |LEFT JOIN toks t ON docw.w = t.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
     "x_tokens" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

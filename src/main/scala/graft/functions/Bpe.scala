@@ -136,6 +136,32 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** The merge table `learn` derives from the sf0.01 `documents` gate corpus
+    * at `numMerges = 40`, pinned so the DuckDB oracle for `x_bpe` can replay
+    * greedy encoding against the exact same model (the merge-learning loop is
+    * iterative aggregate-and-rewrite, not single-query SQL, so the oracle
+    * takes the deterministic learned table as input instead). Pinning is to
+    * the GATE corpus by necessity — the synthetic documents differ per scale
+    * factor — and is self-checking twice over: `BpePinnedSpec` re-learns from
+    * the sf0.01 parquet and asserts equality, and the driver's hash compare
+    * fails if the runtime `learn` in the gate query ever drifts from this
+    * table. 40 merges (not the full ~200 that exhausts the 31-word synthetic
+    * vocabulary) keeps encoding genuinely partial — per-word token counts
+    * range 1–6 — so the gate is sensitive to merge ranking, not just word
+    * counting.
+    */
+  val pinnedGateMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"))
+
   /** Subword tokens of `text` under a learned model — map-only; the model
     * rides to executors inside the expression (one deserialization per
     * task, not per row). `CodegenFallback` is deliberate: the greedy merge

@@ -43,6 +43,17 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn(rare, "text", numMerges = 10).merges.isEmpty)
   }
 
+  test("pinnedGateMerges: exactly what learn derives from the sf0.01 gate corpus") {
+    // the x_bpe DuckDB oracle replays encoding against this pinned table;
+    // this assertion is what makes the pin self-checking — if learn (or the
+    // gate corpus) ever drifts, this fails before the driver's hash compare
+    val docsPath = new java.io.File(SparkTestBase.sf001, "documents.parquet")
+    assume(docsPath.exists(), s"gate corpus not present at $docsPath")
+    val d = spark.read.parquet(docsPath.toString)
+    val model = Bpe.learn(d, "text", numMerges = 40)
+    assert(model.merges == Bpe.pinnedGateMerges)
+  }
+
   test("encodeTokens expression: map-only column over a learned model") {
     val model = Bpe.learn(corpus, "text", numMerges = 6)
     val out = Seq("lowest", "newest").toDF("t")
