@@ -883,8 +883,10 @@ object QueriesML {
         |b AS (SELECT doc_id, i FROM pos WHERE term = 'join')
         |SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b
         |ON a.doc_id = b.doc_id AND b.i = a.i + 1 ORDER BY a.doc_id""".stripMargin,
-    // BM25 from the maintained index == the same formula by full scan;
-    // identical association order keeps the IEEE doubles bit-compatible
+    // BM25 from the maintained index == the same formula by full scan.
+    // Per-doc scores fold in TERM-ASCENDING order on both sides (a plain
+    // SUM leaves IEEE association order partition-dependent), and ranking
+    // uses the ROUNDED score so the tiebreak never reads sub-rounding noise
     "x_bm25_search" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -898,18 +900,22 @@ object QueriesML {
         |lists AS (SELECT tf.* FROM tf JOIN q USING (term)),
         |dfreq AS (SELECT term, count(*) AS df FROM lists GROUP BY 1),
         |scored AS (
-        |  SELECT l.doc_id,
+        |  SELECT l.doc_id, l.term,
         |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
         |    (l.tf * (1.2 + 1.0) /
         |     (l.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / s.avgdl))) AS sc
         |  FROM lists l JOIN dfreq d USING (term) JOIN dl USING (doc_id)
         |  CROSS JOIN stats s),
-        |agg AS (SELECT doc_id, sum(sc) AS score_raw FROM scored GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS score_raw
+        |  FROM scored GROUP BY 1),
         |ranked AS (
-        |  SELECT doc_id, score_raw,
-        |    row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS rank
+        |  SELECT doc_id, round(score_raw, 4) AS score,
+        |    row_number() OVER (
+        |      ORDER BY round(score_raw, 4) DESC, doc_id ASC) AS rank
         |  FROM agg)
-        |SELECT doc_id, round(score_raw, 4) AS score, CAST(rank AS INT) AS rank
+        |SELECT doc_id, score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // chunk windows == SQL list slices over the same whitespace tokens
     "x_chunk_windows" ->

@@ -66,12 +66,17 @@ object Bm25Search {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // each table's creation gates on ITS OWN meta: a crash between the
+        // two create() calls must leave a recoverable state (a shared gate
+        // on postings alone would skip doclen.create forever after restart)
         if (postings.snapshot().meta.isEmpty) {
           postings.create(TableSchema(StructType(Seq(
             StructField("term", StringType, nullable = false),
             StructField("doc_id", LongType, nullable = false),
             StructField("tf", LongType, nullable = false))),
             primaryKeys = Seq.empty), buckets = 1, bloomColumns = Seq("term"))
+        }
+        if (doclen.snapshot().meta.isEmpty) {
           doclen.create(TableSchema(StructType(Seq(
             StructField("doc_id", LongType, nullable = false),
             StructField("len", LongType, nullable = false))),
@@ -120,16 +125,23 @@ object Bm25Search {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm: Column = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
-    // rank on the RAW score (ties toward lower doc_id), round only at the
-    // output surface; the single-partition window is candidate-set-sized
-    // (bounded by the probed posting lists), never corpus-sized
+    // per-doc score: fold the per-term scores in TERM-ASCENDING order (an
+    // unordered sum(s) leaves the IEEE association order to partitioning,
+    // so two engines — or two runs — can disagree below the rounding
+    // quantum), then round BEFORE ranking so the rank tiebreak never
+    // depends on sub-rounding noise; the single-partition window is
+    // candidate-set-sized (bounded by the probed posting lists), never
+    // corpus-sized
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_raw").desc, col("doc_id").asc)
+      .orderBy(col("score").desc, col("doc_id").asc)
     scored
-      .select(col("doc_id"), (idf * norm).as("s"))
-      .groupBy(col("doc_id")).agg(sum(col("s")).as("score_raw"))
+      .select(col("doc_id"), col("term"), (idf * norm).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score_raw"))
+      .withColumn("score", round(col("score_raw"), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("doc_id"), round(col("score_raw"), 4).as("score"), col("rank"))
+      .select(col("doc_id"), col("score"), col("rank"))
   }
 }

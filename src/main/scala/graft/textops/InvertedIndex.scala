@@ -39,6 +39,36 @@ object InvertedIndex {
     * `txn` action in the index table's commits. */
   val IndexRunId = "graft-inverted-index"
 
+  /** The `(term, df)` dictionary table maintained alongside the postings —
+    * the vocabulary, Heaps'-law small (per-batch document frequencies; total
+    * df = SUM over appends, vocabulary = DISTINCT term). Fuzzy lookup's
+    * candidate scan reads THIS, never the posting table: vocabulary-sized
+    * beats index-sized by orders of magnitude at 100 TB. Lives under the
+    * index root (underscore-prefixed like the checkpoint dir; the table
+    * format lists files from log actions, so the nested root is inert). */
+  def dictionaryTable(spark: SparkSession, indexDir: String): LakehouseTable =
+    new LakehouseTable(spark, java.nio.file.Paths.get(indexDir, "_dict").toString)
+
+  /** Create-if-absent + exactly-once append of one increment's `(term, df)`
+    * rows; same txn discipline as the postings append (each table's log
+    * tracks the batch id independently, so a crash between the two appends
+    * replays the batch and each table skips or applies on its own). */
+  private def appendDictionary(
+      dict: LakehouseTable, p: DataFrame, batchId: Long): Unit = {
+    if (dict.snapshot().meta.isEmpty)
+      dict.create(
+        TableSchema(
+          StructType(Seq(
+            StructField("term", StringType, nullable = false),
+            StructField("df", LongType, nullable = false))),
+          primaryKeys = Seq.empty),
+        buckets = 1)
+    dict.append(
+      p.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      txn = Some((IndexRunId, batchId)))
+    ()
+  }
+
   /** Distinct `(term, doc_id)` posting pairs of one document batch: one
     * map-side pass — lowercase, split on non-alphanumeric runs, de-dup
     * within the document (posting lists record membership, not frequency).
@@ -77,14 +107,15 @@ object InvertedIndex {
               primaryKeys = Seq.empty),
             buckets = 1, // file boundaries == range partitions: zone maps rule
             bloomColumns = Seq("term"))
-        val p = postings(batch, idCol, textCol)
+        // one tokenize pass feeds both the postings and the dictionary
+        val p = postings(batch, idCol, textCol).localCheckpoint()
         // narrow per-file term ranges; doc_id as tiebreak spreads a skewed
         // term (a stopword in every document) across tasks
         val partitions = spark.sessionState.conf.numShufflePartitions
         target.append(
           p.repartitionByRange(partitions, col("term"), col("doc_id")),
           txn = Some((IndexRunId, batchId)))
-        ()
+        appendDictionary(dictionaryTable(spark, indexDir), p, batchId)
       }
       .start()
   }
@@ -129,12 +160,12 @@ object InvertedIndex {
                 StructField("positions", ArrayType(IntegerType), nullable = false))),
               primaryKeys = Seq.empty),
             buckets = 1, bloomColumns = Seq("term"))
-        val p = positionalPostings(batch, idCol, textCol)
+        val p = positionalPostings(batch, idCol, textCol).localCheckpoint()
         val partitions = spark.sessionState.conf.numShufflePartitions
         target.append(
           p.repartitionByRange(partitions, col("term"), col("doc_id")),
           txn = Some((IndexRunId, batchId)))
-        ()
+        appendDictionary(dictionaryTable(spark, indexDir), p, batchId)
       }
       .start()
   }
@@ -166,19 +197,34 @@ object InvertedIndex {
 
   /** Documents containing any term within `maxDist` edits of `term`
     * (typo-tolerant lookup): match the query against the index VOCABULARY
-    * first — `levenshtein` over distinct terms, a vocabulary-sized scan,
-    * orders of magnitude below the posting count (Heaps' law; serve it
-    * from a dedicated `(term, df)` dictionary table to make the candidate
-    * scan metadata-sized at 100 TB) — then union the matched terms'
-    * pruned posting probes. Returns `(term, doc_id)` so callers can
-    * weight exact vs fuzzy hits. */
-  def lookupFuzzy(index: LakehouseTable, term: String, maxDist: Int = 1): DataFrame = {
+    * first — `levenshtein` over the maintained `(term, df)` dictionary
+    * table, a vocabulary-sized scan, orders of magnitude below the posting
+    * count (Heaps' law; falls back to `distinct()` over the postings only
+    * for indexes built before the dictionary existed) — then union the
+    * matched terms' pruned posting probes. The driver-side candidate list
+    * is capped LOUDLY at `maxCandidates`: a short query term at maxDist ≥ 2
+    * can match a large vocabulary slice, and an unbounded collect + probe
+    * union must fail with a clear message, not an OOM. Returns
+    * `(term, doc_id)` so callers can weight exact vs fuzzy hits. */
+  def lookupFuzzy(
+      index: LakehouseTable,
+      term: String,
+      maxDist: Int = 1,
+      maxCandidates: Int = 10000): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val cands = index.read().select(col("term")).distinct()
+    val dict = dictionaryTable(SparkSession.active, index.dir)
+    val vocab =
+      if (dict.snapshot().meta.nonEmpty) dict.read().select(col("term")).distinct()
+      else index.read().select(col("term")).distinct()
+    val cands = vocab
       // cheap length band cut before the quadratic edit-distance
       .filter(abs(length(col("term")) - lit(term.length)) <= maxDist)
       .filter(levenshtein(col("term"), lit(term)) <= maxDist)
       .collect().map(_.getString(0)).sorted // matched vocabulary: tiny
+    require(cands.length <= maxCandidates,
+      s"fuzzy lookup for '$term' (maxDist=$maxDist) matched ${cands.length} " +
+        s"vocabulary terms (> maxCandidates=$maxCandidates): narrow the query " +
+        "or raise maxCandidates")
     cands
       .map(t => index.readWhere("term", t).select(lit(t).as("term"), col("doc_id")))
       .reduceOption(_ unionByName _)

@@ -77,6 +77,29 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.lookupAll(index, Seq("joins", "joins")).as[Long]
       .collect().toSet == Set(0L, 3L)) // duplicate probe terms collapse
 
+    // dictionary: maintained in the same txn discipline; vocabulary equals
+    // the postings' distinct terms, total df equals each term's doc count
+    val dict = InvertedIndex.dictionaryTable(spark, idxRoot)
+    assert(dict.snapshot().meta.nonEmpty, "maintain must create the dictionary")
+    val dictDf = dict.read().groupBy($"term").agg(sum($"df").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dictDf.keySet == want.map(_._1))
+    assert(dictDf("joins") == 2L && dictDf("merge") == 2L && dictDf("zone") == 1L)
+
+    // the fuzzy path reads its vocabulary from the DICTIONARY, never from a
+    // postings scan: plant a posting whose term is absent from the
+    // dictionary — 1 edit from the query — and assert fuzzy does NOT see it
+    index.append(Seq(("joinx", 999L)).toDF("term", "doc_id"))
+    assert(InvertedIndex.lookupFuzzy(index, "joinz", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("joins", 0L), ("joins", 3L)),
+      "fuzzy vocabulary must come from the dictionary table, not the postings")
+    // the candidate cap fails loudly instead of collecting unbounded
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.lookupFuzzy(index, "joins", maxDist = 5, maxCandidates = 2)
+        .collect())
+    assert(e.getMessage.contains("maxCandidates"))
+
     // pruning: with range-partitioned postings, a probe of a term in the
     // FIRST lexicographic band must not admit every file
     val snap = index.snapshot()
