@@ -392,6 +392,110 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // pgoutput full-protocol frames: a capture from a real replication setup
+    // carries Origin ('O'), Type ('Y'), and Message ('M') frames — benignly
+    // skipped — and a TRUNCATE ('T') transaction, which pgoutput ships
+    // IN-STREAM with no per-row deletes (reference:
+    // `common/event/TruncateTableEvent.java`). The truncate surfaces on the
+    // CONTROL path exactly like mid-stream DDL: the stream parks the batch
+    // boundary in front of it (updates before it are emitted first), the
+    // driver handles + acks, and the restarted stream emits only what
+    // followed. Materialization clears state at the truncate position, so
+    // the final table is exactly the post-truncate inserts.
+    "c_pgoutput_truncate" -> ((s, dir) => {
+      import graft.pipeline._
+      import graft.sources.postgres.{Lsn, PgOutput, WalChangeSource}
+      val t = TableId.parse("public.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new WalChangeSource(t, schema, initial, slotName = "graft_trunc_slot")
+      val srcId = s"verify-pgtrunc-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val evolution = new SchemaEvolutionDriver(
+          SchemaChangeBehavior.LENIENT,
+          new MetadataApplier { def applySchemaChange(e: SchemaChangeEvent): Unit = () })
+        evolution.handle(CreateTableEvent(t, schema))
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 160 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        val (updEv, insEv) = ev.partition(_.getLong(0) < 100)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pgtrunc").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        run() // run 1: snapshot phase
+        require(buf.size == 150, s"run 1 must emit the 150 snapshot rows, got ${buf.size}")
+        // down-time capture: Relation + the three benign frame kinds, an
+        // update tx, a TRUNCATE tx, then an insert tx of fresh rows
+        val head = src.currentOffset
+        val relid = 61234
+        val frames = Seq(
+          PgOutput.encodeRelation(relid, schema, t),
+          PgOutput.encodeOrigin(Lsn(head), "upstream_a"),
+          PgOutput.encodeType(600001, "public", "custom_enum")) ++
+          PgOutput.encodeTx(relid, schema, Lsn(head + 100000L), 800L, 0L,
+            updEv.toSeq.map(r => DataChangeEvent.update(
+              t,
+              Map("id" -> r.getLong(1)),
+              Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}")))) ++
+          Seq(PgOutput.encodeMessage(transactional = false, Lsn(head + 150000L),
+            "graft.marker", Array[Byte](1, 2, 3))) ++
+          PgOutput.encodeTruncateTx(relid, Lsn(head + 200000L), 801L, 0L) ++
+          PgOutput.encodeTx(relid, schema, Lsn(head + 300000L), 802L, 0L,
+            insEv.toSeq.map(r => DataChangeEvent.insert(
+              t,
+              Map("id" -> (1000L + r.getLong(0)), "v" -> s"e${r.getLong(0)}"))))
+        val decoded = new PgOutput.Decoder().feedAll(frames)
+        require(decoded.size == 3, s"capture must decode to 3 txs, got ${decoded.size}")
+        require(decoded(1).ddl == Seq(TruncateTableEvent(t)),
+          s"middle tx must carry the truncate, got ${decoded(1).ddl}")
+        src.applyCaptureTxs(decoded)
+        // run 2: replays from the checkpoint, emits the updates, then PARKS
+        // at the truncate (nothing past it may cross the batch boundary)
+        run()
+        require(buf.size == 150 + updEv.length,
+          s"run 2 must park at the truncate after ${updEv.length} updates, " +
+            s"got ${buf.size - 150}")
+        val (truncAt, ddl) = ChangeSourceRegistry.pendingDdl(srcId)
+          .getOrElse(throw new IllegalStateException("truncate did not surface"))
+        require(ddl == TruncateTableEvent(t), s"expected truncate, got $ddl")
+        evolution.handle(ddl)
+        ChangeSourceRegistry.ackPendingDdl(srcId)
+        run() // run 3: emits exactly the post-truncate inserts
+        // PK-materialize in LSN order; the truncate position wipes state
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.sortBy(_.getLong(4)).foreach { r =>
+          val seq = r.getLong(4)
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val live = byKey.filter { case (_, (seq, _)) => seq > truncAt }
+        val rows = live.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // Mid-log startup positions (`StartupOptions.specificOffset` /
     // `StartupOptions.timestamp`): the log carries two batches of updates; the
     // stream starts from the recorded offset BETWEEN them, so it must replay
@@ -902,6 +1006,13 @@ object QueriesCdc {
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |WHERE u.id < 140
         |ORDER BY u.id""".stripMargin,
+    // final state after a pgoutput capture whose middle tx TRUNCATEs the
+    // table: pre-truncate updates are wiped, only the post-truncate inserts
+    // (ids 1000+event_id for event_id 100..159) survive
+    "c_pgoutput_truncate" ->
+      """SELECT 1000 + event_id AS id, 'e' || CAST(event_id AS VARCHAR) AS v
+        |FROM events WHERE event_id >= 100 AND event_id < 160 AND user_id < 150
+        |ORDER BY id""".stripMargin,
     "s_stream_dedup" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "s_sessionize" ->

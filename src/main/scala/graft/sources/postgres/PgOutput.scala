@@ -79,7 +79,8 @@ object PgOutput {
     */
   final class Decoder {
     private val relations = mutable.Map.empty[Int, Relation]
-    private var open: Option[(Long, mutable.Buffer[DataChangeEvent])] = None // (xid, changes)
+    // (xid, changes, in-stream DDL — truncates)
+    private var open: Option[(Long, mutable.Buffer[DataChangeEvent], mutable.Buffer[SchemaChangeEvent])] = None
 
     def knownRelations: Map[Int, Relation] = relations.toMap
 
@@ -91,17 +92,17 @@ object PgOutput {
           b.getLong() // final LSN of the tx (Commit carries the positions we keep)
           b.getLong() // commit ts (repeated in Commit)
           val xid = b.getInt().toLong
-          open = Some((xid, mutable.Buffer.empty))
+          open = Some((xid, mutable.Buffer.empty, mutable.Buffer.empty))
           None
         case 'C' =>
-          val (xid, changes) = open.getOrElse(
+          val (xid, changes, ddl) = open.getOrElse(
             throw new IllegalArgumentException("pgoutput Commit without Begin"))
           b.get() // flags (unused, always 0 in v1)
           b.getLong() // commit LSN
           val endLsn = b.getLong()
           val tsMillis = b.getLong() / 1000L + PgEpochMillis
           open = None
-          Some(Wal2Json.Tx(Some(Lsn(endLsn)), xid, tsMillis, changes.toSeq))
+          Some(Wal2Json.Tx(Some(Lsn(endLsn)), xid, tsMillis, changes.toSeq, ddl.toSeq))
         case 'R' =>
           val relid = b.getInt()
           val ns = cstr(b); val name = cstr(b)
@@ -135,6 +136,27 @@ object PgOutput {
           val tag = b.get().toChar
           require(tag == 'K' || tag == 'O', s"pgoutput Delete expects old tuple, got '$tag'")
           buffered += DataChangeEvent.delete(rel.tableId, tuple(b, rel, keyOnly = tag == 'K'))
+          None
+        case 'T' =>
+          // Truncate: Int32 nrelations, Int8 options (1=CASCADE, 2=RESTART
+          // IDENTITY), Int32[] relation OIDs. A stock server with TRUNCATE
+          // in the publication sends this (reference models it as
+          // `common/event/TruncateTableEvent.java`); it rides the tx like
+          // data and pops out in Tx.ddl at Commit. Unknown relids still
+          // fail loudly — Relation metadata must have been shipped.
+          val n = b.getInt()
+          b.get() // option bits: row-identity semantics, not event identity
+          val ddl = open.getOrElse(throw new IllegalArgumentException(
+            "pgoutput Truncate outside a transaction"))._3
+          (0 until n).foreach(_ => ddl += TruncateTableEvent(relation(b.getInt()).tableId))
+          None
+        case 'O' | 'Y' | 'M' =>
+          // benign protocol frames a real replication setup emits: Origin
+          // (replication origin of the tx), Type (type metadata for custom
+          // oids), Message (logical decoding message). None carries change
+          // or schema content this event model consumes — skipped, where
+          // they previously killed the decoder. Truly unknown frames (the
+          // `case other` below) still fail loudly.
           None
         case other =>
           throw new IllegalArgumentException(s"unknown pgoutput message '$other'")
@@ -219,6 +241,53 @@ object PgOutput {
         b.put('t'.toByte); b.putInt(bytes.length); b.put(bytes)
       }
     }
+  }
+
+  /** Origin frame 'O': origin commit LSN + origin name — what a cascaded /
+    * bidirectional replication setup stamps on forwarded transactions. */
+  def encodeOrigin(originLsn: Lsn, name: String): Array[Byte] = {
+    val b = buf(16 + name.length)
+    b.put('O'.toByte); b.putLong(originLsn.value); putCstr(b, name)
+    finish(b)
+  }
+
+  /** Type frame 'Y': type oid + qualified name — metadata for custom types. */
+  def encodeType(oid: Int, namespace: String, name: String): Array[Byte] = {
+    val b = buf(16 + namespace.length + name.length)
+    b.put('Y'.toByte); b.putInt(oid); putCstr(b, namespace); putCstr(b, name)
+    finish(b)
+  }
+
+  /** Message frame 'M': a `pg_logical_emit_message` payload. */
+  def encodeMessage(
+      transactional: Boolean, lsn: Lsn, prefix: String, content: Array[Byte]): Array[Byte] = {
+    val b = buf(32 + prefix.length + content.length)
+    b.put('M'.toByte); b.put((if (transactional) 1 else 0).toByte)
+    b.putLong(lsn.value); putCstr(b, prefix)
+    b.putInt(content.length); b.put(content)
+    finish(b)
+  }
+
+  /** Truncate frame 'T' (goes between Begin and Commit like data frames). */
+  def encodeTruncate(relids: Seq[Int], options: Byte = 0): Array[Byte] = {
+    val b = buf(8 + 4 * relids.size)
+    b.put('T'.toByte); b.putInt(relids.size); b.put(options)
+    relids.foreach(b.putInt)
+    finish(b)
+  }
+
+  /** A committed transaction containing ONE Truncate of `relid`:
+    * Begin, 'T', Commit. */
+  def encodeTruncateTx(
+      relid: Int, finalLsn: Lsn, xid: Long, tsMillis: Long): Seq[Array[Byte]] = {
+    val pgTs = (tsMillis - PgEpochMillis) * 1000L
+    val begin = buf(21)
+    begin.put('B'.toByte); begin.putLong(finalLsn.value); begin.putLong(pgTs)
+    begin.putInt(xid.toInt)
+    val commit = buf(26)
+    commit.put('C'.toByte); commit.put(0.toByte)
+    commit.putLong(finalLsn.value); commit.putLong(finalLsn.value); commit.putLong(pgTs)
+    Seq(finish(begin), encodeTruncate(Seq(relid)), finish(commit))
   }
 
   /** One committed transaction as framed pgoutput messages:

@@ -66,12 +66,16 @@ object Wal2Json {
   private val mapper = new ObjectMapper()
 
   /** One committed transaction: commit LSN (from `nextlsn`, when the capture
-    * includes it), xid, commit timestamp millis, ordered changes. */
+    * includes it), xid, commit timestamp millis, ordered changes. `ddl`
+    * carries the schema-change family pgoutput ships IN-STREAM — today only
+    * TRUNCATE (`TruncateTableEvent`; wal2json has no DDL at all, so the
+    * field defaults empty there). */
   final case class Tx(
       nextLsn: Option[Lsn],
       xid: Long,
       tsMillis: Long,
-      changes: Seq[DataChangeEvent])
+      changes: Seq[DataChangeEvent],
+      ddl: Seq[SchemaChangeEvent] = Seq.empty)
 
   private def value(n: JsonNode): Any = {
     if (n == null || n.isNull) null
@@ -253,18 +257,40 @@ final class WalChangeSource(
 
   /** Format-independent capture ingestion: committed transactions from ANY
     * decoded capture — wal2json lines ([[applyCapture]]) or the pgoutput
-    * binary protocol ([[PgOutput.Decoder]]) — land identically. */
+    * binary protocol ([[PgOutput.Decoder]]) — land identically. A tx whose
+    * `ddl` carries a TRUNCATE of this table empties the live table and logs
+    * the event at its own WAL position (pgoutput ships truncate in-stream,
+    * with NO per-row deletes — [[firstDdlOffset]] surfaces it so the
+    * streaming runtime parks the batch boundary in front of it, exactly the
+    * mid-stream DDL protocol binlog sources use). */
   def applyCaptureTxs(txs: Seq[Wal2Json.Tx], tsMillis: Long = 0L): Lsn = synchronized {
     var last = Lsn(headLsn)
     txs.foreach { tx =>
-      last = commitTx(tx.changes, if (tx.tsMillis != 0L) tx.tsMillis else tsMillis)
-      tx.nextLsn.filter(_.isValid).foreach { n =>
+      tx.ddl.foreach {
+        case TruncateTableEvent(t) =>
+          xidCounter += 1
+          headLsn += 48 // a truncate record's content-sized stride
+          if (t == tableId) table.clear()
+          ddlLog += ((headLsn, TruncateTableEvent(t)))
+          last = Lsn(headLsn)
+        case other => throw new IllegalArgumentException(
+          s"pgoutput capture cannot carry $other")
+      }
+      if (tx.changes.nonEmpty) {
+        last = commitTx(tx.changes, if (tx.tsMillis != 0L) tx.tsMillis else tsMillis)
+        tx.nextLsn.filter(_.isValid).foreach { n =>
+          require(n.value >= headLsn,
+            s"capture out of order: nextlsn $n behind WAL head ${Lsn(headLsn)}")
+          // pin the commit record to the capture's position
+          val tail = wal.remove(wal.size - 1)
+          headLsn = n.value
+          wal += tail.copy(offset = headLsn)
+          last = n
+        }
+      } else tx.nextLsn.filter(_.isValid).foreach { n =>
         require(n.value >= headLsn,
           s"capture out of order: nextlsn $n behind WAL head ${Lsn(headLsn)}")
-        // pin the commit record to the capture's position
-        val tail = wal.remove(wal.size - 1)
         headLsn = n.value
-        wal += tail.copy(offset = headLsn)
         last = n
       }
     }
@@ -300,11 +326,18 @@ final class WalChangeSource(
     wal.find(_.tsMillis >= ts).map(_.offset - 1).getOrElse(headLsn)
   }
 
-  /** Logical decoding emits no DDL — constant None, no log scan
+  /** In-stream DDL positions: logical decoding emits no column-level DDL
     * (`PostgresSchemaChangeEventHandler` exists only for the incremental
-    * framework's schema cache, not for in-band DDL). */
+    * framework's schema cache), but pgoutput DOES ship TRUNCATE in-stream —
+    * those land here from [[applyCaptureTxs]] so the streaming runtime can
+    * park the batch boundary in front of them. */
+  private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
+
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+    synchronized {
+      ddlLog.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+    }
 
   /** The streaming runtime acknowledges the CHECKPOINTED position here after
     * each durable batch commit; the slot advances only forward

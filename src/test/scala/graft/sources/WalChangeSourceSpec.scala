@@ -135,9 +135,20 @@ class WalChangeSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.applyCapture(Seq(stale)))
   }
 
-  test("data-only log: firstDdlOffset is constant None") {
+  test("firstDdlOffset: None for data-only log; a captured TRUNCATE surfaces at its position") {
     val s = newSource()
     s.commitTx(Seq(DataChangeEvent.update(tid, Map("id" -> 1L), Map("id" -> 1L, "v" -> "x"))))
     assert(s.firstDdlOffset(0L, s.currentOffset).isEmpty)
+    // a pgoutput capture tx carrying ddl: table empties, event logged at its LSN
+    val preTrunc = s.currentOffset
+    s.applyCaptureTxs(Seq(
+      Wal2Json.Tx(None, 900L, 0L, Seq.empty, ddl = Seq(TruncateTableEvent(tid))),
+      Wal2Json.Tx(None, 901L, 0L,
+        Seq(DataChangeEvent.insert(tid, Map("id" -> 50L, "v" -> "post"))))))
+    assert(s.snapshotRead(None, None) == Seq(Map("id" -> 50L, "v" -> "post")))
+    val Some((at, ev)) = s.firstDdlOffset(preTrunc, s.currentOffset)
+    assert(ev == TruncateTableEvent(tid) && at > preTrunc && at < s.currentOffset)
+    // in-range scan semantics: past the truncate there is no further ddl
+    assert(s.firstDdlOffset(at, s.currentOffset).isEmpty)
   }
 }

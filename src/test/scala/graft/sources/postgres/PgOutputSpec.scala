@@ -86,6 +86,35 @@ class PgOutputSpec extends AnyFunSuite {
     }
   }
 
+  test("Truncate rides the tx as ddl; Origin/Type/Message skip; unknown still loud") {
+    val dec = new PgOutput.Decoder
+    val frames = Seq(
+      PgOutput.encodeRelation(21, schema, tid),
+      // benign frames a real replication setup emits — previously fatal
+      PgOutput.encodeOrigin(Lsn(5L), "upstream_a"),
+      PgOutput.encodeType(600001, "public", "custom_enum"),
+      PgOutput.encodeMessage(transactional = false, Lsn(6L), "pfx", Array[Byte](9))) ++
+      PgOutput.encodeTruncateTx(21, Lsn(700L), 42L, 0L) ++
+      PgOutput.encodeTx(21, schema, Lsn(800L), 43L, 0L,
+        Seq(DataChangeEvent.insert(tid, Map("id" -> 7L))))
+    val txs = dec.feedAll(frames)
+    assert(txs.size == 2)
+    assert(txs(0).ddl == Seq(TruncateTableEvent(tid)) && txs(0).changes.isEmpty)
+    assert(txs(1).ddl.isEmpty && txs(1).changes.head.after("id") == 7L)
+    // truncate of an unknown relid is NOT benign — Relation must be shipped
+    val fresh = new PgOutput.Decoder
+    val ex = intercept[IllegalArgumentException] {
+      fresh.feedAll(PgOutput.encodeTruncateTx(99, Lsn(900L), 44L, 0L))
+    }
+    assert(ex.getMessage.contains("unknown relation"))
+    // truncate outside a transaction is a protocol violation
+    intercept[IllegalArgumentException] {
+      dec.feed(PgOutput.encodeTruncate(Seq(21)))
+    }
+    // genuinely unknown frames still fail loudly
+    intercept[IllegalArgumentException] { dec.feed(Array[Byte]('Q'.toByte)) }
+  }
+
   test("unchanged-toast columns ('u') are absent, not null") {
     // hand-build an Insert whose 'v' column is an unchanged toast datum
     val dec = new PgOutput.Decoder
