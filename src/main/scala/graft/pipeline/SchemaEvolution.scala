@@ -78,7 +78,11 @@ object SchemaDerivator {
     }.toIndexedSeq: _*)
   }
 
-  /** Coerce the nested before/after structs of an envelope DataFrame. */
+  /** Coerce the nested before/after structs of an envelope DataFrame. ONE
+    * select over all columns, not two `withColumn`s: each withColumn
+    * re-analyzes the whole projection, and with wide evolved schemas (the
+    * B4 probe reaches 100+ fields per image struct) that doubles the
+    * per-batch plan-compile cost for nothing. */
   def coerceEnvelope(env: DataFrame, target: StructType): DataFrame = {
     def coerceStruct(c: String): org.apache.spark.sql.Column = {
       val src = env.schema(c).dataType.asInstanceOf[StructType]
@@ -92,7 +96,10 @@ object SchemaDerivator {
         }
       }.toIndexedSeq: _*)).as(c)
     }
-    env.withColumn("before", coerceStruct("before")).withColumn("after", coerceStruct("after"))
+    env.select(env.columns.map {
+      case c @ ("before" | "after") => coerceStruct(c)
+      case other => col(other)
+    }.toIndexedSeq: _*)
   }
 
   /** Merged CREATE TABLE for many-to-one routes
