@@ -392,6 +392,91 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // The MySQL binlog REPLICATION SOCKET, end to end: a loopback TCP double
+    // speaks the documented client/server + replication wire protocol
+    // (handshake V10, COM_REGISTER_SLAVE, COM_BINLOG_DUMP, ROTATE/
+    // FORMAT_DESCRIPTION/TABLE_MAP/WRITE+UPDATE+DELETE_ROWS_v2/XID events,
+    // checksum-off v4 layout), and the incremental-snapshot framework's log
+    // phase reads it through real dump sessions — chunked snapshot, live
+    // tail, kill, server writes MORE binlog across a file ROTATION while the
+    // stream is down, restart resumes from the checkpointed (file, pos) and
+    // replays exactly the missed suffix. The closable slice of SURVEY §2.1
+    // #8 the sandbox allows (reference lifecycle:
+    // `flink-connector-mysql-cdc/.../MySqlSourceBuilder.java:57-290`).
+    "c_mysql_socket" -> ((s, dir) => {
+      import graft.sources.mysql.{BinlogServerDouble, BinlogSocketChangeSource}
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val double = new BinlogServerDouble(t, schema, initial, rotateEvery = 40)
+      double.start()
+      val src = new BinlogSocketChangeSource(double)
+      val srcId = s"verify-mysqlsock-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1), "v" -> "old"),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (batchA, batchB) = ev.partition(_.getLong(0) < 150)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_mysqlsock").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+        // run 1: chunked snapshot, then batch A tailed LIVE over the socket
+        run(batchA.grouped(25).foreach(g => double.commitTx(g.toSeq.map(upd))))
+        require(buf.size == 150 + batchA.length,
+          s"run 1 must emit 150 snapshot + ${batchA.length} live rows, got ${buf.size}")
+        require(double.dumpSessionCount > 0, "the log phase must use real dump sessions")
+        // while DOWN: batch B + trailing deletes, crossing file rotations
+        batchB.grouped(25).foreach(g => double.commitTx(g.toSeq.map(upd)))
+        double.commitTx((140L until 150L).map(id =>
+          DataChangeEvent.delete(t, Map("id" -> id, "v" -> "any"))))
+        require(double.fileCount > 1, "the down-time writes must cross a rotation")
+        // run 2: checkpoint resume replays exactly the missed suffix
+        run(())
+        val run2 = buf.size - 150 - batchA.length
+        require(run2 == batchB.length + 10,
+          s"restart must replay exactly the missed ${batchB.length + 10} events, got $run2")
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally {
+        ChangeSourceRegistry.remove(srcId)
+        double.stop()
+      }
+    }),
+
     // pgoutput full-protocol frames: a capture from a real replication setup
     // carries Origin ('O'), Type ('Y'), and Message ('M') frames — benignly
     // skipped — and a TRUNCATE ('T') transaction, which pgoutput ships
@@ -989,6 +1074,16 @@ object QueriesCdc {
     // final state after snapshot + two log phases + trailing deletes of
     // ids 140-149 (whole pipeline replayed through LSN offsets + slot)
     "c_postgres_wire" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + live tail + down-time replay over the
+    // binlog socket (updates for event_id < 300, deletes of ids 140-149)
+    "c_mysql_socket" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
