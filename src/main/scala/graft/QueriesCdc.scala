@@ -477,6 +477,104 @@ object QueriesCdc {
       }
     }),
 
+    // The SQL Server change-data family through the same incremental source
+    // ([[graft.sources.sqlserver.SqlServerChangeSource]]) — the POLL-BASED
+    // architecture: there is no log to tail. An asynchronous CAPTURE JOB
+    // copies committed transactions from the transaction log into change
+    // tables, and the stream phase polls LSN windows of them (the
+    // fn_cdc_get_all_changes query shape; offset semantics
+    // `sqlserver/source/offset/LsnOffset.java:37-50`). Family-specific
+    // assertions: capture LAG (a committed tx is invisible to polling until
+    // the capture job runs — emitted count must NOT move), update PAIRING
+    // (operation-3/4 row pairs reassemble into single update events carrying
+    // FULL before images — unlike Postgres' key-only oldkeys), and
+    // checkpoint restart replaying exactly the down-time capture.
+    "c_sqlserver_ct" -> ((s, dir) => {
+      import graft.sources.sqlserver.SqlServerChangeSource
+      val t = TableId.parse("dbo.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new SqlServerChangeSource(t, schema, initial)
+      val srcId = s"verify-sqlserver-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)), // key-only input; the change table records the FULL image
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 100)
+        val (q2, q3) = rest.partition(_.getLong(0) < 200)
+
+        // q1: committed AND captured before the stream exists — seen only
+        // via snapshot chunks (the change-table head anchors past them)
+        q1.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+        src.runCaptureJob()
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_sqlserver").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def start() = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "40")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+
+        // run 1: snapshot, then the capture-lag probe, then live polling
+        val q = start()
+        q.processAllAvailable()
+        require(buf.size == 150, s"snapshot must emit 150 rows, got ${buf.size}")
+        q2.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+        require(src.uncapturedTxCount > 0, "txs must be pending capture")
+        q.processAllAvailable()
+        require(buf.size == 150,
+          s"capture lag violated: polling saw ${buf.size - 150} rows before the capture job ran")
+        src.runCaptureJob()
+        q.processAllAvailable()
+        q.stop()
+        require(buf.size == 150 + q2.length,
+          s"after the capture job the poll must emit ${q2.length} events, got ${buf.size - 150}")
+        require(buf.drop(150).forall(r =>
+          r.getString(1) != "UPDATE" || (r.getStruct(2) != null && !r.getStruct(2).isNullAt(1))),
+          "update events must carry FULL before images (every column, not key-only)")
+
+        // down-time: q3 + trailing deletes, captured while the stream is DOWN
+        q3.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+        src.commitTx((140L until 150L).map(id =>
+          DataChangeEvent.delete(t, Map("id" -> id))))
+        src.runCaptureJob()
+        val q2nd = start()
+        q2nd.processAllAvailable()
+        q2nd.stop()
+        val run2 = buf.size - 150 - q2.length
+        require(run2 == q3.length + 10,
+          s"restart must replay exactly the down-time capture (${q3.length + 10}), got $run2")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // pgoutput full-protocol frames: a capture from a real replication setup
     // carries Origin ('O'), Type ('Y'), and Message ('M') frames — benignly
     // skipped — and a TRUNCATE ('T') transaction, which pgoutput ships
@@ -1084,6 +1182,16 @@ object QueriesCdc {
     // final state after snapshot + live tail + down-time replay over the
     // binlog socket (updates for event_id < 300, deletes of ids 140-149)
     "c_mysql_socket" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + capture-lagged polling + down-time
+    // capture (updates for event_id < 300, deletes of ids 140-149)
+    "c_sqlserver_ct" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
