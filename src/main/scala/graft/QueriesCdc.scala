@@ -477,6 +477,142 @@ object QueriesCdc {
       }
     }),
 
+    // The Oracle redo-log family through the same incremental source
+    // ([[graft.sources.oracle.LogMinerChangeSource]]) — the MINED-LOG
+    // architecture (the reference vendors Debezium's
+    // `logminer/LogMinerStreamingChangeEventSource.java`): capture is a SQL
+    // query over SCN ranges whose rows are raw redo entries from ALL
+    // transactions INTERLEAVED, uncommitted included, and the reader
+    // assembles transactions itself. Family-specific assertions:
+    // UNCOMMITTED INVISIBILITY (mined entries of open transactions emit
+    // nothing), ROLLBACK DISCARD (a rolled-back transaction's poison
+    // entries never appear), COMMIT-ORDER EMISSION (a transaction that
+    // started first but committed second emits second, despite lower entry
+    // SCNs), and an IN-FLIGHT transaction spanning a stream restart —
+    // begun live, committed while down — replaying completely (the
+    // restart-SCN contract: the mining window reaches back to the oldest
+    // open transaction's first entry).
+    "c_oracle_logminer" -> ((s, dir) => {
+      import graft.sources.oracle.LogMinerChangeSource
+      val t = TableId.parse("scott.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new LogMinerChangeSource(t, schema, initial)
+      val srcId = s"verify-logminer-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def images(r: Row): (Map[String, Any], Map[String, Any]) =
+          (Map[String, Any]("id" -> r.getLong(1)),
+            Map[String, Any]("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 100)
+        val (q2, q3) = rest.partition(_.getLong(0) < 200)
+        val (q3live, q3down) = q3.splitAt(q3.length / 2)
+
+        // q1: committed before the stream exists — snapshot chunks only
+        q1.grouped(7).foreach { g =>
+          val tx = src.begin()
+          g.foreach { r => val (b, a) = images(r); tx.update(b, a) }
+          tx.commit()
+        }
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_logminer").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def start() = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "40")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+
+        val q = start()
+        q.processAllAvailable()
+        require(buf.size == 150, s"snapshot must emit 150 rows, got ${buf.size}")
+
+        // three interleaved transactions: A takes even users, B odd users,
+        // entries appended in event order so the two MINE INTERLEAVED (a
+        // user's q2 events stay in ONE tx, so commit order between A and B
+        // cannot reorder any single key's history — the inversion below
+        // stresses emission order, not the materialized state)
+        val txA = src.begin(); val txB = src.begin()
+        q2.foreach { r =>
+          val (b, a) = images(r); (if (r.getLong(1) % 2 == 0) txA else txB).update(b, a)
+        }
+        val txD = src.begin()
+        q3live.foreach { r => val (b, a) = images(r); txD.update(b, a) }
+        q.processAllAvailable()
+        require(buf.size == 150,
+          s"uncommitted entries leaked: ${buf.size - 150} events emitted with all txs open")
+
+        // a rolled-back transaction's poison never emits
+        val txR = src.begin()
+        (0L until 10L).foreach(id =>
+          txR.update(Map("id" -> id), Map("id" -> id, "v" -> "POISON")))
+        txR.rollback()
+
+        // B commits FIRST: all of B emits while A (earlier entry SCNs) waits
+        val q2b = q2.count(_.getLong(1) % 2 == 1)
+        txB.commit()
+        q.processAllAvailable()
+        require(buf.size == 150 + q2b,
+          s"commit-order: B's $q2b events must emit alone, got ${buf.size - 150}")
+        txA.commit()
+        q.processAllAvailable()
+        q.stop()
+        require(buf.size == 150 + q2.length,
+          s"A's events must follow, got ${buf.size - 150} of ${q2.length}")
+
+        // the in-flight D forces the restart window back to its first entry
+        require(src.openTxCount == 1, "txD must still be open across the restart")
+        require(src.restartScn < (src.currentOffset >> 16),
+          "restartScn must reach back before the last commit while D is in flight")
+
+        // while DOWN: D finishes (second half + commit), another poison
+        // rollback, then trailing deletes
+        q3down.foreach { r => val (b, a) = images(r); txD.update(b, a) }
+        txD.commit()
+        val txR2 = src.begin()
+        txR2.update(Map("id" -> 1L), Map("id" -> 1L, "v" -> "POISON"))
+        txR2.rollback()
+        val txDel = src.begin()
+        (140L until 150L).foreach(id => txDel.delete(Map("id" -> id)))
+        txDel.commit()
+
+        val q2nd = start()
+        q2nd.processAllAvailable()
+        q2nd.stop()
+        val run2 = buf.size - 150 - q2.length
+        require(run2 == q3.length + 10,
+          s"restart must replay D (${q3.length}) + 10 deletes, got $run2")
+        require(!buf.exists(r => r.getStruct(3) != null && !r.getStruct(3).isNullAt(1) &&
+          r.getStruct(3).getString(1) == "POISON"),
+          "rolled-back entries leaked into the emitted stream")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // The SQL Server change-data family through the same incremental source
     // ([[graft.sources.sqlserver.SqlServerChangeSource]]) — the POLL-BASED
     // architecture: there is no log to tail. An asynchronous CAPTURE JOB
@@ -1182,6 +1318,17 @@ object QueriesCdc {
     // final state after snapshot + live tail + down-time replay over the
     // binlog socket (updates for event_id < 300, deletes of ids 140-149)
     "c_mysql_socket" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + interleaved-transaction mining with a
+    // commit-order inversion, rollback discards, and an in-flight tx
+    // spanning the restart (updates for event_id < 300, deletes 140-149)
+    "c_oracle_logminer" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
