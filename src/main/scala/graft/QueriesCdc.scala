@@ -477,6 +477,108 @@ object QueriesCdc {
       }
     }),
 
+    // The sharded-keyspace family through the same incremental source
+    // ([[graft.sources.vitess.VStreamChangeSource]]) — the COMPOSITE-OFFSET
+    // architecture (the reference's Vitess connector checkpoints a VGTID:
+    // one GTID PER SHARD — `flink-connector-vitess-cdc/.../table/
+    // VitessTableSource.java` config surface): each shard has an
+    // independent binlog, a VStream merges them with per-shard order but NO
+    // global order, and the SPI offset is the packed VGtid vector clock.
+    // Family-specific assertions: per-shard emission order preserved
+    // through the merged stream (shard_gtid strictly increasing within each
+    // shard), the checkpoint resume handing EACH shard its own unpacked
+    // position (down-time writes skewed across shards replay exactly), and
+    // the final VGtid decoding to shard positions that differ — proof the
+    // offset really is a vector, not a scalar.
+    "c_vitess_vgtid" -> ((s, dir) => {
+      import graft.sources.vitess.{VGtid, VStreamChangeSource}
+      val t = TableId.parse("commerce.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new VStreamChangeSource(t, schema, initial)
+      val srcId = s"verify-vitess-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 100)
+        val (q2, q3) = rest.partition(_.getLong(0) < 200)
+
+        // q1: routed to the owning shards before the stream exists
+        q1.foreach(r => src.write(upd(r)))
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_vitess").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+
+        // run 1: chunked snapshot + live merged tail
+        run(q2.foreach(r => src.write(upd(r))))
+        require(buf.size == 150 + q2.length,
+          s"run 1 must emit 150 snapshot + ${q2.length} live rows, got ${buf.size}")
+
+        // while DOWN: q3 + deletes, landing skewed across the shards
+        q3.foreach(r => src.write(upd(r)))
+        (140L until 150L).foreach(id =>
+          src.write(DataChangeEvent.delete(t, Map("id" -> id))))
+        run(())
+        val run2 = buf.size - 150 - q2.length
+        require(run2 == q3.length + 10,
+          s"restart must replay each shard's own tail (${q3.length + 10}), got $run2")
+
+        // per-shard order must survive the merged stream end to end
+        val streamed = buf.drop(150).map(_.getMap[String, String](5))
+        streamed.groupBy(_("shard")).foreach { case (shard, ms) =>
+          val gs = ms.map(_("shard_gtid").toLong)
+          require(gs == gs.sorted && gs.distinct == gs,
+            s"shard $shard emitted out of order: $gs")
+        }
+        // the offset is a VECTOR: final positions differ across shards
+        val fin = VGtid.unpack(src.currentOffset, src.nShards)
+        require(fin.positions.distinct.size >= 2,
+          s"shards should sit at different positions, got ${fin.asString}")
+        require(fin.positions.sum == streamed.size + q1.length,
+          s"per-shard positions must sum to the journal (${streamed.size + q1.length}), " +
+            s"got ${fin.asString}")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // The Oracle redo-log family through the same incremental source
     // ([[graft.sources.oracle.LogMinerChangeSource]]) — the MINED-LOG
     // architecture (the reference vendors Debezium's
@@ -1318,6 +1420,16 @@ object QueriesCdc {
     // final state after snapshot + live tail + down-time replay over the
     // binlog socket (updates for event_id < 300, deletes of ids 140-149)
     "c_mysql_socket" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + merged sharded tails with per-shard
+    // VGtid resume (updates for event_id < 300, deletes of ids 140-149)
+    "c_vitess_vgtid" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)

@@ -405,9 +405,8 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
     def payloadRow(m: Map[String, Any]): Row =
       if (m == null || m.isEmpty) null else Row.fromSeq(fieldNames.map(n => m.getOrElse(n, null)))
     def envRow(tableId: String, op: String, before: Map[String, Any], after: Map[String, Any],
-        seq: Long): InternalRow =
-      serializer(Row(tableId, op, payloadRow(before), payloadRow(after), seq,
-        Map.empty[String, String])).copy()
+        seq: Long, meta: Map[String, String] = Map.empty): InternalRow =
+      serializer(Row(tableId, op, payloadRow(before), payloadRow(after), seq, meta)).copy()
 
     partition match {
       case SnapshotChunkPartition(srcId, chunkIdx, lo, hi, skipBackfill) =>
@@ -459,10 +458,13 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
           .collect { case LogRecord(off, _, e: graft.core.DataChangeEvent) => (off, e) }
           .filter { case (off, e) => chunkRanges.isEmpty || off > hwOf(source.keyOfEvent(e)) }
           .map { case (off, e) =>
+            // connector metadata (binlog file/pos, LSN, SCN/xid, shard/vgtid,
+            // ...) rides the envelope's meta column — MetadataColumns.java's
+            // purpose; snapshot rows have none (they are reads, not log records)
             envRow(source.tableId.identifier, e.op.toString,
               if (e.before.isEmpty) null else e.before,
               if (e.after.isEmpty) null else e.after,
-              off)
+              off, e.meta)
           }
         iteratorReader(it)
     }
