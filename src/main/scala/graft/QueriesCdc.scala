@@ -477,6 +477,129 @@ object QueriesCdc {
       }
     }),
 
+    // The TiKV-CDC family through the same incremental source
+    // ([[graft.sources.tidb.TiCdcChangeSource]]) — the WATERMARK-SORTED
+    // architecture (`TiKVRichParallelSourceFunction.java:89-92,264-270`
+    // buffers prewrite/commit TreeMaps and flushes up to the resolved ts;
+    // `org/tikv/cdc/CDCClient.java:60-61,120-125` tracks per-region
+    // resolved timestamps): Percolator two-phase rows arrive per region
+    // OUT of commit-ts order, and emission waits for the GLOBAL watermark —
+    // the minimum resolved ts across regions. Family-specific assertions:
+    // a LAGGARD REGION holds the watermark (commits from fast regions stay
+    // unemitted however long they sit buffered; advancing the laggard
+    // releases them all), SORTED emission (arrival order shuffled, emitted
+    // offsets strictly increasing), prewrite invisibility + rollback
+    // discard, and checkpoint restart replaying exactly the down-time
+    // window.
+    "c_tidb_resolved" -> ((s, dir) => {
+      import graft.sources.tidb.TiCdcChangeSource
+      val t = TableId.parse("test.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new TiCdcChangeSource(t, schema, initial)
+      val srcId = s"verify-tidb-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 100)
+        val (q2, q3) = rest.partition(_.getLong(0) < 200)
+
+        // the TSO: commit timestamps increase in EVENT order, whatever
+        // order the two-phase rows are submitted in
+        var tso = 1000000L
+        def nextTs(): (Long, Long) = { tso += 2; (tso - 1, tso) }
+
+        // q1: committed + resolved before the stream exists
+        q1.foreach { r => val (st, ct) = nextTs(); src.writeCommitted(st, ct, upd(r)) }
+        src.advanceAllResolved(tso)
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tidb").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def start() = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "40")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+
+        val q = start()
+        q.processAllAvailable()
+        require(buf.size == 150, s"snapshot must emit 150 rows, got ${buf.size}")
+
+        // q2: two-phase rows submitted in SHUFFLED order (prewrites in one
+        // shuffle, commits in another) with event-ordered commit timestamps
+        val stamped = q2.map { r => val (st, ct) = nextTs(); (st, ct, r) }
+        val rnd = new scala.util.Random(42)
+        rnd.shuffle(stamped.toSeq).foreach { case (st, _, r) => src.prewrite(st, upd(r)) }
+        require(buf.size == 150 && src.pendingPrewriteCount == q2.length,
+          "prewrites alone must be invisible")
+        rnd.shuffle(stamped.toSeq).foreach { case (st, ct, _) => src.commitRow(st, ct) }
+        // a poison prewrite rolled back before ever committing
+        src.prewrite(999L, DataChangeEvent.update(
+          t, Map("id" -> 1L), Map("id" -> 1L, "v" -> "POISON")))
+        src.rollbackRow(999L)
+
+        // fast regions resolve; the laggard (region 2) does not: the
+        // buffered commits stay unemittable behind the global watermark
+        src.advanceResolved(0, tso)
+        src.advanceResolved(1, tso)
+        q.processAllAvailable()
+        require(buf.size == 150,
+          s"laggard region must hold the watermark, yet ${buf.size - 150} rows emitted " +
+            s"(${src.bufferedCommitCount} buffered)")
+        src.advanceResolved(2, tso)
+        q.processAllAvailable()
+        q.stop()
+        require(buf.size == 150 + q2.length,
+          s"advancing the laggard must release all ${q2.length} commits, got ${buf.size - 150}")
+        // the sorter: emitted commit-ts order despite shuffled arrival
+        val seqs = buf.drop(150).map(_.getLong(4))
+        require(seqs == seqs.sorted && seqs.distinct == seqs,
+          "emission must be commit-ts sorted regardless of arrival order")
+
+        // while DOWN: q3 + deletes commit and resolve
+        q3.foreach { r => val (st, ct) = nextTs(); src.writeCommitted(st, ct, upd(r)) }
+        (140L until 150L).foreach { id =>
+          val (st, ct) = nextTs()
+          src.writeCommitted(st, ct, DataChangeEvent.delete(t, Map("id" -> id)))
+        }
+        src.advanceAllResolved(tso)
+        val q2nd = start()
+        q2nd.processAllAvailable()
+        q2nd.stop()
+        val run2 = buf.size - 150 - q2.length
+        require(run2 == q3.length + 10,
+          s"restart must replay exactly the down-time window (${q3.length + 10}), got $run2")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // The sharded-keyspace family through the same incremental source
     // ([[graft.sources.vitess.VStreamChangeSource]]) — the COMPOSITE-OFFSET
     // architecture (the reference's Vitess connector checkpoints a VGTID:
@@ -1420,6 +1543,16 @@ object QueriesCdc {
     // final state after snapshot + live tail + down-time replay over the
     // binlog socket (updates for event_id < 300, deletes of ids 140-149)
     "c_mysql_socket" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + watermark-sorted two-phase commits with
+    // a laggard-region hold (updates for event_id < 300, deletes 140-149)
+    "c_tidb_resolved" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)

@@ -1,0 +1,179 @@
+package graft.sources.tidb
+
+import graft.core._
+import graft.sources.cdc.{ChangeSource, LogRecord}
+
+/** The TiKV-CDC family through the same [[ChangeSource]] SPI as the other
+  * source families — the WATERMARK-SORTED architecture (reference:
+  * `flink-connector-tidb-cdc/.../TiKVRichParallelSourceFunction.java:89-92`
+  * keeps `prewrites`/`commits` TreeMaps and `:264-270` flushes commits up
+  * to the resolved ts; the vendored `org/tikv/cdc/CDCClient.java:60-61,
+  * 120-125` tracks per-region resolved timestamps): change events arrive
+  * PER REGION and OUT OF COMMIT-TS ORDER, as raw Percolator two-phase rows
+  * — PREWRITE (buffered), COMMIT (emittable), ROLLBACK (discard) — and
+  * each region periodically emits a RESOLVED TS promising that no event
+  * with `commitTs <= resolved` will ever arrive from it again. The reader
+  * sorts buffered commits and emits them in commit-ts order once the
+  * GLOBAL watermark — the MINIMUM resolved ts across regions — passes them.
+  *
+  * Family-distinct properties, asserted by the `c_tidb_resolved` gate and
+  * spec:
+  *  - '''A laggard region holds the watermark''' — commits far above the
+  *    slowest region's resolved ts stay unemittable, however long ago they
+  *    arrived; advancing the laggard releases them all, sorted.
+  *  - '''Sorter''' — arrival order is arbitrary; emission is commit-ts
+  *    order (the SPI offset packs `commitTs << 12 | rowSeq`, so multi-row
+  *    transactions keep distinct monotone offsets).
+  *  - '''Two-phase rows''' — a PREWRITE alone is invisible; ROLLBACK
+  *    removes it; COMMIT stamps the commit ts and applies to the table.
+  *  - '''The offset is a timestamp''' — resume replays every committed row
+  *    in `(fromTs, toTs]`; restart after down-time writes + resolved
+  *    advance replays exactly the missed window.
+  */
+final class TiCdcChangeSource(
+    val tableId: TableId,
+    initialSchema: TableSchema,
+    initialRows: Seq[Map[String, Any]],
+    val nRegions: Int = 3,
+    /** region i owns keys [i*span, (i+1)*span), last unbounded above. */
+    val regionSpan: Long = 50L)
+    extends ChangeSource {
+
+  require(initialSchema.primaryKeys.size == 1, "tikv source uses a single numeric PK")
+  private val pk = initialSchema.primaryKeys.head
+
+  override def schema: TableSchema = initialSchema
+
+  /** committed state — what snapshot chunks read. */
+  private val table = scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]]
+  initialRows.foreach(r => table(keyOf(r)) = r)
+
+  /** region → resolved ts (the per-region promise). */
+  private val regionResolved = Array.fill(nRegions)(0L)
+  /** uncommitted prewrites: (region, startTs) → event. */
+  private val prewrites =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, Long), DataChangeEvent]
+  /** committed rows sorted by commit ts: packed (commitTs << 12 | seq) →
+    * (ts wall clock, region, event). The sorter. */
+  private val commits =
+    scala.collection.mutable.TreeMap.empty[Long, (Long, Int, DataChangeEvent)]
+  /** rows per commit ts, for the seq component of the packed offset. */
+  private val rowsAtTs = scala.collection.mutable.Map.empty[Long, Int]
+
+  private def keyOf(r: Map[String, Any]): Long = r(pk) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"non-numeric pk: $other")
+  }
+
+  def regionOf(key: Long): Int = math.min((key / regionSpan).toInt, nRegions - 1)
+
+  /** Phase 1: the row lands in the region's CDC stream, uncommitted. */
+  def prewrite(startTs: Long, e: DataChangeEvent): Unit = synchronized {
+    val region = regionOf(keyOf(if (e.op == OperationType.DELETE) e.before else e.after))
+    require(!prewrites.contains((region, startTs)),
+      s"duplicate prewrite (region $region, startTs $startTs)")
+    prewrites((region, startTs)) = e
+  }
+
+  /** Phase 2a: COMMIT — stamps the commit ts, applies to the committed
+    * table, and hands the row to the sorter. Rejected at or below the
+    * region's resolved ts: the region PROMISED nothing earlier would
+    * arrive (`CDCClient.handleResolvedTs`'s contract). */
+  def commitRow(startTs: Long, commitTs: Long, tsMillis: Long = 0L): Unit = synchronized {
+    val key = prewrites.keys.find(_._2 == startTs).getOrElse(
+      throw new IllegalStateException(s"commit of unknown startTs $startTs"))
+    val (region, _) = key
+    require(commitTs > regionResolved(region),
+      s"region $region already resolved past $commitTs (${regionResolved(region)}): " +
+        "a commit below the resolved ts would break the watermark promise")
+    require(commitTs > startTs, s"commitTs $commitTs must follow startTs $startTs")
+    val e = prewrites.remove(key).get
+    val seq = rowsAtTs.getOrElse(commitTs, 0)
+    require(seq < 0xfff, s"too many rows at commitTs $commitTs")
+    rowsAtTs(commitTs) = seq + 1
+    commits((commitTs << 12) | (seq + 1).toLong) = (tsMillis, region, e)
+    applyToTable(e)
+  }
+
+  /** Phase 2b: ROLLBACK — the prewrite vanishes. */
+  def rollbackRow(startTs: Long): Unit = synchronized {
+    val key = prewrites.keys.find(_._2 == startTs).getOrElse(
+      throw new IllegalStateException(s"rollback of unknown startTs $startTs"))
+    prewrites.remove(key)
+  }
+
+  /** convenience: prewrite + immediate commit of a single row. */
+  def writeCommitted(startTs: Long, commitTs: Long, e: DataChangeEvent,
+      tsMillis: Long = 0L): Unit = {
+    prewrite(startTs, e)
+    commitRow(startTs, commitTs, tsMillis)
+  }
+
+  /** A region's resolved-ts heartbeat; only-forward. */
+  def advanceResolved(region: Int, ts: Long): Unit = synchronized {
+    require(ts >= regionResolved(region),
+      s"resolved ts moves only forward (region $region: ${regionResolved(region)} -> $ts)")
+    regionResolved(region) = ts
+  }
+  def advanceAllResolved(ts: Long): Unit = (0 until nRegions).foreach(advanceResolved(_, ts))
+
+  /** the GLOBAL watermark: min across regions (`CDCClient.getMinResolvedTs`
+    * — the only sound choice with multiple regions; a single-region
+    * deployment degenerates to the max the flink function reads). */
+  def globalResolvedTs: Long = synchronized(regionResolved.min)
+
+  private def applyToTable(e: DataChangeEvent): Unit = e.op match {
+    case OperationType.DELETE => table.remove(keyOf(e.before))
+    case OperationType.UPDATE | OperationType.REPLACE =>
+      if (e.before.nonEmpty && keyOf(e.before) != keyOf(e.after))
+        table.remove(keyOf(e.before))
+      table(keyOf(e.after)) = e.after
+    case _ => table(keyOf(e.after)) = e.after
+  }
+
+  /** head = everything at or below the global watermark is emittable. */
+  override def currentOffset: Long = synchronized((globalResolvedTs << 12) | 0xfffL)
+
+  override def snapshotRead(lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] =
+    synchronized {
+      table.collect {
+        case (k, row) if lo.forall(k >= _) && hiExclusive.forall(k < _) => row
+      }.toSeq
+    }
+
+  /** flushRows: committed rows in `(from, to]`, already commit-ts sorted by
+    * the TreeMap. The window never exceeds the watermark, because the
+    * runtime caps it at [[currentOffset]] — but guard anyway: emitting past
+    * the promise would be the one unforgivable bug in this family. */
+  override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
+    synchronized {
+      val capped = math.min(toInclusive, currentOffset)
+      commits.rangeImpl(Some(fromExclusive + 1), Some(capped + 1)).iterator.map {
+        case (off, (ts, region, e)) =>
+          LogRecord(off, ts, e.copy(meta = e.meta ++ Map(
+            "commit_ts" -> (off >> 12).toString,
+            "region" -> region.toString,
+            "resolved_ts" -> globalResolvedTs.toString)))
+      }.toSeq
+    }
+
+  override def keyStats: (Option[Long], Option[Long], Long) = synchronized {
+    if (table.isEmpty) (None, None, 0L)
+    else (Some(table.keys.min), Some(table.keys.max), table.size.toLong)
+  }
+
+  override def offsetAtTimestamp(ts: Long): Long = synchronized {
+    commits.collectFirst { case (off, (t, _, _)) if t >= ts => off - 1 }
+      .getOrElse(currentOffset)
+  }
+
+  /** TiKV CDC is data-only (DDL flows through TiDB's schema version
+    * mechanism, not the row streams): constant None, driver-cheap. */
+  override def firstDdlOffset(
+      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+
+  /** test probes */
+  def pendingPrewriteCount: Int = synchronized(prewrites.size)
+  def bufferedCommitCount: Int = synchronized(commits.size)
+}
