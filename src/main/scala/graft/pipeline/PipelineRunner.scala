@@ -56,7 +56,12 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     * a live dialect source would enumerate via catalog metadata).
     */
   def sourceSchemas: Map[TableId, TableSchema] = pdef.source.sourceType.toLowerCase match {
-    case "cdc" | "values" | "debezium-file" =>
+    // the reference's per-dialect `source.type` names (`mysql`, `postgres`,
+    // ... — `flink-cdc-pipeline-connector-*` factories) are accepted as
+    // aliases of `cdc`: every dialect reads through the same registered
+    // ChangeSource + DSv2 incremental-snapshot format in this environment
+    case "cdc" | "values" | "debezium-file" | "mysql" | "postgres" | "mongodb" |
+        "sqlserver" | "oracle" | "db2" | "tidb" | "vitess" | "oceanbase" =>
       val src = ChangeSourceRegistry.get(sourceId)
       Map(src.tableId -> src.schema)
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")

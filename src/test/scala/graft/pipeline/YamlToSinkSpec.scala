@@ -214,4 +214,47 @@ class YamlToSinkSpec extends AnyFunSuite {
         Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
     } finally ChangeSourceRegistry.remove("runner-e2e")
   }
+
+  test("dialect source.type aliases: a SQL Server change-table source runs a YAML pipeline e2e") {
+    import graft.sources.cdc.ChangeSourceRegistry
+    import org.apache.spark.sql.types._
+    val t = TableId.of("dbo", "users")
+    val schema = TableSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType))), primaryKeys = Seq("id"))
+    val src = new graft.sources.sqlserver.SqlServerChangeSource(
+      t, schema, Seq(Map[String, Any]("id" -> 1L, "name" -> "ann"),
+        Map[String, Any]("id" -> 2L, "name" -> "bob")))
+    ChangeSourceRegistry.register("sqlserver-e2e", src)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("sqlserver_e2e").toString
+      val yaml =
+        s"""source:
+           |  type: sqlserver
+           |  sourceId: sqlserver-e2e
+           |sink:
+           |  type: values
+           |transform:
+           |  - source-table: dbo.\\.*
+           |    projection: "*, UPPER(name) AS uname"
+           |pipeline:
+           |  name: sqlserver-e2e
+           |  checkpoint.dir: $ckpt
+           |""".stripMargin
+      val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+      runner.runHandlingDdl() // snapshot drain (AvailableNow per pass)
+      val sink = runner.sink.asInstanceOf[graft.sinks.MemoryDatabase]
+      assert(sink.rowsOf(t).map(_(1)).toSet == Set("ann", "bob"))
+      // committed but UNCAPTURED: the next poll pass must not see it
+      src.commitTx(Seq(DataChangeEvent.update(
+        t, Map("id" -> 2L), Map("id" -> 2L, "name" -> "beth"))))
+      runner.runHandlingDdl()
+      assert(sink.rowsOf(t).map(_(1)).toSet == Set("ann", "bob"),
+        "capture lag must hold through the YAML pipeline")
+      src.runCaptureJob()
+      runner.runHandlingDdl()
+      assert(sink.rowsOf(t).map(r => (r(0), r(1), r(2))).toSet ==
+        Set((1L, "ann", "ANN"), (2L, "beth", "BETH")))
+    } finally ChangeSourceRegistry.remove("sqlserver-e2e")
+  }
 }
