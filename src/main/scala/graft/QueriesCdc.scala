@@ -936,6 +936,115 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // SQL Server schema evolution = CAPTURE-INSTANCE MIGRATION: an ALTER
+    // evolves the catalog immediately but the active capture instance keeps
+    // recording the OLD column set (cdc.ddl_history logs the change) until
+    // a second instance is enabled — so new-column values committed in the
+    // migration window are silently dropped by capture, the documented SQL
+    // Server data-loss window, WHICH THE ORACLE ENCODES (score is NULL for
+    // every user whose last update landed before the switch). The switch
+    // surfaces the AddColumn on the same control path as binlog mid-stream
+    // DDL: the stream parks at the switch LSN, the evolution driver
+    // handles + acks, and the restarted stream emits the new-shape rows.
+    "c_sqlserver_migration" -> ((s, dir) => {
+      import graft.pipeline._
+      import graft.sources.sqlserver.SqlServerChangeSource
+      val t = TableId.parse("dbo.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new SqlServerChangeSource(t, schema, initial)
+      val srcId = s"verify-sqlserver-mig-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssmig").toString
+      try {
+        val evolution = new SchemaEvolutionDriver(
+          SchemaChangeBehavior.LENIENT,
+          new MetadataApplier { def applySchemaChange(e: SchemaChangeEvent): Unit = () })
+        evolution.handle(CreateTableEvent(t, schema))
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") >= 300 && col("event_id") < 600 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        val (a, rest) = ev.partition(_.getLong(0) < 400)
+        val (b, c) = rest.partition(_.getLong(0) < 500)
+        def updOld(r: Row) = DataChangeEvent.update(
+          t, Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        def updNew(r: Row) = DataChangeEvent.update(
+          t, Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}",
+            "score" -> r.getLong(0).toInt))
+
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def start() = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId).option("chunk.size", "40")
+          .load().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (bt: DataFrame, _: Long) => buf ++= bt.collect(); () }
+          .start()
+
+        val q1 = start()
+        q1.processAllAvailable() // snapshot: 150 old-shape rows
+
+        // phase A: captured by the original instance
+        a.grouped(7).foreach(g => src.commitTx(g.map(updOld).toSeq))
+        src.runCaptureJob()
+        // the ALTER: catalog evolves, capture does NOT
+        src.alterTable(AddColumnEvent(t,
+          Seq(AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()))))
+        // phase B — THE MIGRATION WINDOW: txs carry score, capture drops it
+        b.grouped(7).foreach(g => src.commitTx(g.map(updNew).toSeq))
+        src.runCaptureJob()
+        // the switch: instance v2 takes over; the DDL surfaces at its LSN
+        src.enableNewCaptureInstance()
+        // phase C: the new instance captures the full shape
+        c.grouped(7).foreach(g => src.commitTx(g.map(updNew).toSeq))
+        src.runCaptureJob()
+
+        q1.processAllAvailable() // drains A+B (old shape), parks at the switch
+        q1.stop()
+        require(buf.size == 150 + a.length + b.length,
+          s"must park at the switch after A+B (${a.length + b.length}), got ${buf.size - 150}")
+        val (_, ddl) = ChangeSourceRegistry.pendingDdl(srcId)
+          .getOrElse(throw new IllegalStateException("the switch DDL did not surface"))
+        require(ddl.isInstanceOf[AddColumnEvent], s"expected the AddColumn, got $ddl")
+        evolution.handle(ddl)
+        ChangeSourceRegistry.ackPendingDdl(srcId)
+        val q2 = start() // evolved payload schema
+        q2.processAllAvailable()
+        q2.stop()
+        require(buf.size == 150 + ev.length,
+          s"restart must emit phase C (${c.length}), got ${buf.size - 150 - a.length - b.length}")
+
+        // PK-materialize by NAME across both shapes (max seq wins)
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String, Option[Int])]
+        buf.foreach { r =>
+          val after = r.getStruct(3)
+          val seq = r.getLong(4)
+          if (after != null) {
+            val id = after.getLong(after.schema.fieldIndex("id"))
+            val v = after.getString(after.schema.fieldIndex("v"))
+            val score =
+              if (after.schema.fieldNames.contains("score") &&
+                !after.isNullAt(after.schema.fieldIndex("score")))
+                Some(after.getInt(after.schema.fieldIndex("score")))
+              else None
+            if (byKey.get(id).forall(_._1 <= seq)) byKey(id) = (seq, v, score)
+          }
+        }
+        import s.implicits._
+        byKey.toSeq.map { case (id, (_, v, score)) => (id, v, score) }
+          .toDF("id", "v", "score")
+          .select(col("id"), col("v"), col("score").cast(IntegerType).as("score"))
+          .orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // pgoutput full-protocol frames: a capture from a real replication setup
     // carries Origin ('O'), Type ('Y'), and Message ('M') frames — benignly
     // skipped — and a TRUNCATE ('T') transaction, which pgoutput ships
@@ -1590,6 +1699,19 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // capture-instance migration: score exists only for users whose LAST
+    // update was captured by the NEW instance (event_id >= 500); migration-
+    // window updates (400-499) carried score but capture DROPPED it — the
+    // documented data-loss window, encoded in the CASE
+    "c_sqlserver_migration" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events
+        |  WHERE event_id >= 300 AND event_id < 600 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v,
+        |  CASE WHEN l.me >= 500 THEN CAST(l.me AS INTEGER) END AS score
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |ORDER BY u.id""".stripMargin,
     // final state after snapshot + a pgoutput-binary down-time capture
     // (updates for event_id < 200, then deletes of ids 140-149)

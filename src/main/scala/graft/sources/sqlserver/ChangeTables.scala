@@ -87,7 +87,20 @@ final class SqlServerChangeSource(
   require(initialSchema.primaryKeys.size == 1, "change-table source uses a single numeric PK")
   private val pk = initialSchema.primaryKeys.head
 
-  override def schema: TableSchema = initialSchema
+  /** the base table's CATALOG schema — ALTERs evolve it immediately. */
+  private var liveSchema = initialSchema
+  private val schemaMgr = { val m = new SchemaManager; m.register(tableId, initialSchema); m }
+  /** the column set the ACTIVE capture instance records. Set at
+    * sp_cdc_enable_table time; an ALTER does NOT change it — captured rows
+    * keep the old shape until a NEW instance is enabled. */
+  private var captureColumns: Seq[String] = initialSchema.struct.fieldNames.toSeq
+  /** an ALTER awaiting its second capture instance: (new column set, ddl). */
+  private var pendingInstance: Option[(Seq[String], SchemaChangeEvent)] = None
+  /** cdc.ddl_history analog: (switch offset, ddl) — surfaced to the reader
+    * at the instance-switch position on the control path. */
+  private val ddlHistory = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
+
+  override def schema: TableSchema = synchronized(liveSchema)
 
   /** the base table — what snapshot chunks read (always current). */
   private val table = scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]]
@@ -124,9 +137,15 @@ final class SqlServerChangeSource(
     * capture-lag property. Update events may arrive with key-only before
     * images (the generic gate fixtures do); the change table records the
     * FULL before image from the live row, as the real capture job does.
+    * Every captured image is PROJECTED to the active capture instance's
+    * column set: during a migration window (ALTER applied, new instance not
+    * yet enabled) new-column values are silently dropped — the documented
+    * SQL Server data-loss window the gate's oracle encodes.
     */
   def commitTx(changes: Seq[DataChangeEvent], tsMillis: Long = 0L): CtLsn = synchronized {
     require(changes.nonEmpty, "empty transactions are not captured")
+    def captured(m: Map[String, Any]): Map[String, Any] =
+      m.view.filterKeys(captureColumns.contains).toMap
     val commitLsn = nextCommitLsn()
     var seq = 0
     val rows = changes.flatMap { e =>
@@ -134,13 +153,13 @@ final class SqlServerChangeSource(
         case OperationType.INSERT | OperationType.REPLACE =>
           seq += 1
           table(keyOf(e.after)) = e.after
-          Seq(CtRow(commitLsn, seq, 2, e.after))
+          Seq(CtRow(commitLsn, seq, 2, captured(e.after)))
         case OperationType.DELETE =>
           seq += 1
           val full = table.getOrElse(keyOf(e.before),
             throw new IllegalStateException(s"delete of absent key ${e.before}"))
           table.remove(keyOf(e.before))
-          Seq(CtRow(commitLsn, seq, 1, full))
+          Seq(CtRow(commitLsn, seq, 1, captured(full)))
         case OperationType.UPDATE =>
           seq += 1
           val keySource = if (e.before.nonEmpty) e.before else e.after
@@ -149,12 +168,48 @@ final class SqlServerChangeSource(
           if (keyOf(full) != keyOf(e.after)) table.remove(keyOf(full))
           table(keyOf(e.after)) = e.after
           // one update = a 3/4 pair sharing the seqval
-          Seq(CtRow(commitLsn, seq, 3, full), CtRow(commitLsn, seq, 4, e.after))
+          Seq(CtRow(commitLsn, seq, 3, captured(full)), CtRow(commitLsn, seq, 4, captured(e.after)))
         case other => throw new IllegalArgumentException(s"change tables cannot carry $other")
       }
     }
     logPending += ((commitLsn, tsMillis, rows))
     commitLsn
+  }
+
+  /** ALTER TABLE: the catalog evolves NOW, the active capture instance does
+    * not — its change table keeps the old column list (SQL Server records
+    * the change in cdc.ddl_history and keeps capturing the old shape).
+    * Captured rows project away new columns until
+    * [[enableNewCaptureInstance]] switches over.
+    */
+  def alterTable(e: SchemaChangeEvent): Unit = synchronized {
+    require(pendingInstance.isEmpty, "one capture-instance migration at a time")
+    liveSchema = schemaMgr.applySchemaChange(e)
+    pendingInstance = Some((liveSchema.struct.fieldNames.toSeq, e))
+  }
+
+  /** `sys.sp_cdc_enable_table @capture_instance = 'v2'` + operator
+    * switch-over: capture from here on carries the new column set, and the
+    * schema change surfaces to the reader AT the switch position on the
+    * driver-cheap control path ([[firstDdlOffset]]). The switch takes its
+    * own LSN (and advances the observable head to it) so a checkpoint
+    * sitting exactly on the last captured row still sees the DDL ahead of
+    * it.
+    */
+  def enableNewCaptureInstance(): CtLsn = synchronized {
+    val (cols, e) = pendingInstance.getOrElse(
+      throw new IllegalStateException("no pending capture-instance migration"))
+    // the switch advances the observable head past its LSN; uncaptured txs
+    // BEHIND it would land in already-consumed windows and be skipped
+    // silently — run the capture job first, loudly
+    require(logPending.isEmpty,
+      s"${logPending.size} uncaptured txs behind the switch point: run the capture job first")
+    captureColumns = cols
+    pendingInstance = None
+    val lsn = nextCommitLsn()
+    maxCapturedLsn = lsn
+    ddlHistory += ((lsn.value, e))
+    lsn
   }
 
   /** The asynchronous capture job: copy pending transactions into the change
@@ -239,10 +294,15 @@ final class SqlServerChangeSource(
       .getOrElse(maxCapturedLsn.value)
   }
 
-  /** change tables are data-only: a schema change means a NEW capture
-    * instance, never an in-stream record — constant None, driver-cheap. */
+  /** Change tables are data-only: no DDL record ever rides the polled rows.
+    * Schema changes surface ONLY at capture-instance switch positions
+    * (cdc.ddl_history), scanned here driver-cheap — absent a migration this
+    * is constant None. */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+    synchronized {
+      ddlHistory.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+    }
 
   /** test probe: rows the capture job has not yet copied. */
   def uncapturedTxCount: Int = synchronized(logPending.size)

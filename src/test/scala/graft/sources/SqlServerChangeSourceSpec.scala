@@ -114,6 +114,52 @@ class SqlServerChangeSourceSpec extends AnyFunSuite {
     assert(s.firstDdlOffset(0L, Long.MaxValue).isEmpty)
   }
 
+  test("capture-instance migration: the window drops new columns; the switch surfaces the DDL") {
+    val s = newSource()
+    val base = s.currentOffset
+    s.commitTx(Seq(upd(1L, "pre")))
+    s.runCaptureJob()
+    // ALTER: catalog evolves now; the ACTIVE instance keeps the old shape
+    s.alterTable(AddColumnEvent(tid,
+      Seq(AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()))))
+    assert(s.schema.struct.fieldNames.contains("score"))
+    // migration window: the committed tx CARRIES score, capture DROPS it
+    s.commitTx(Seq(DataChangeEvent.update(
+      tid, Map("id" -> 2L), Map("id" -> 2L, "v" -> "mid", "score" -> 7))))
+    s.runCaptureJob()
+    // but the BASE table kept it (only capture is behind)
+    assert(s.snapshotRead(Some(2L), Some(3L)) ==
+      Seq(Map("id" -> 2L, "v" -> "mid", "score" -> 7)))
+    val beforeSwitch = s.currentOffset
+    assert(s.firstDdlOffset(base, Long.MaxValue).isEmpty, "no DDL before the switch")
+    val switchLsn = s.enableNewCaptureInstance()
+    assert(s.firstDdlOffset(beforeSwitch, s.currentOffset).exists(_._1 == switchLsn.value))
+    // post-switch: the new instance captures the full shape
+    s.commitTx(Seq(DataChangeEvent.update(
+      tid, Map("id" -> 3L), Map("id" -> 3L, "v" -> "post", "score" -> 9))))
+    s.runCaptureJob()
+    val events = s.readLog(base, s.currentOffset)
+      .map(_.event.asInstanceOf[DataChangeEvent]).filter(_.op == OperationType.UPDATE)
+    assert(events.map(_.after) == Seq(
+      Map("id" -> 1L, "v" -> "pre"),
+      Map("id" -> 2L, "v" -> "mid"), // score silently dropped — the window
+      Map("id" -> 3L, "v" -> "post", "score" -> 9)))
+    // a second migration before the first switch completes is rejected
+    s.alterTable(AddColumnEvent(tid,
+      Seq(AddColumnEvent.ColumnWithPosition("w", CdcTypes.StringT()))))
+    intercept[IllegalArgumentException](s.alterTable(DropColumnEvent(tid, Seq("w"))))
+  }
+
+  test("the switch refuses to jump past uncaptured txs (they would be silently skipped)") {
+    val s = newSource()
+    s.alterTable(AddColumnEvent(tid,
+      Seq(AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()))))
+    s.commitTx(Seq(upd(1L, "pending")))
+    intercept[IllegalArgumentException](s.enableNewCaptureInstance())
+    s.runCaptureJob()
+    s.enableNewCaptureInstance() // clean switch after the job
+  }
+
   test("PK-changing update removes the old key from the base table") {
     val s = newSource()
     s.commitTx(Seq(DataChangeEvent.update(
