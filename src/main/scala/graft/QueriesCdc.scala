@@ -477,6 +477,108 @@ object QueriesCdc {
       }
     }),
 
+    // RESHARDING under the composite-offset family: a Vitess shard split
+    // mid-pipeline. The cut journals a TOPOLOGY EPOCH (the packed VGtid
+    // carries it above the per-shard positions, so offsets stay monotone
+    // across the cut), the two new shards start at gtid 0, the undisturbed
+    // shard keeps its position, and a checkpoint taken BEFORE the cut
+    // resumes across it: the runtime replays the old epoch's unconsumed
+    // tail first, then the new epoch's events — without ever seeing a
+    // non-monotone offset. Assertions: the restart replays exactly the
+    // down-time writes (which straddle the cut), the emitted shard names
+    // switch to the split halves, and the final VGtid decodes to the new
+    // 3-shard topology at epoch 1.
+    "c_vitess_reshard" -> ((s, dir) => {
+      import graft.sources.vitess.{VGtid, VStreamChangeSource}
+      val t = TableId.parse("commerce.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new VStreamChangeSource(t, schema, initial,
+        initialShards = 2, shardSpan = 75L)
+      val srcId = s"verify-reshard-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 100)
+        val (q2, q3) = rest.partition(_.getLong(0) < 200)
+        val (q3a, q3b) = q3.splitAt(q3.length / 2)
+
+        q1.foreach(r => src.write(upd(r)))
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_reshard").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+
+        // run 1: snapshot + live 2-shard tail; checkpoint lands in epoch 0
+        run(q2.foreach(r => src.write(upd(r))))
+        require(buf.size == 150 + q2.length,
+          s"run 1 must emit 150 snapshot + ${q2.length} live rows, got ${buf.size}")
+
+        // while DOWN: writes straddle a reshard — old-epoch tail (q3a),
+        // the CUT, then new-epoch writes (q3b) and deletes. The operator
+        // splits at the live traffic's median key so BOTH halves take
+        // post-cut writes whatever the fixture's user distribution is.
+        q3a.foreach(r => src.write(upd(r)))
+        val q3bUsers = q3b.map(_.getLong(1)).filter(_ < 75L).distinct.sorted
+        require(q3bUsers.size >= 2, s"fixture too thin to exercise the split: $q3bUsers")
+        src.reshard(0, at = Some(q3bUsers(q3bUsers.size / 2)))
+        q3b.foreach(r => src.write(upd(r)))
+        (140L until 150L).foreach(id =>
+          src.write(DataChangeEvent.delete(t, Map("id" -> id))))
+        run(())
+        val run2 = buf.size - 150 - q2.length
+        require(run2 == q3.length + 10,
+          s"resume across the cut must replay old tail + new epoch (${q3.length + 10}), got $run2")
+
+        // the emitted stream switched shard names at the cut
+        val shards = buf.drop(150).map(_.getMap[String, String](5)("shard")).distinct
+        require(shards.exists(_.endsWith("_a")) && shards.exists(_.endsWith("_b")),
+          s"split-shard names must appear after the cut, got $shards")
+        val fin = VGtid.unpack(src.currentOffset, src.nShards)
+        require(fin.epoch == 1 && src.nShards == 3,
+          s"final topology must be 3 shards at epoch 1, got $fin")
+        require(src.reshardJournal.size == 1, "exactly one journaled cut")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // The TiKV-CDC family through the same incremental source
     // ([[graft.sources.tidb.TiCdcChangeSource]]) — the WATERMARK-SORTED
     // architecture (`TiKVRichParallelSourceFunction.java:89-92,264-270`
@@ -1652,6 +1754,16 @@ object QueriesCdc {
     // final state after snapshot + live tail + down-time replay over the
     // binlog socket (updates for event_id < 300, deletes of ids 140-149)
     "c_mysql_socket" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // final state after snapshot + a 2-shard tail + down-time writes
+    // straddling a reshard cut (updates event_id < 300, deletes 140-149)
+    "c_vitess_reshard" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)

@@ -3,35 +3,43 @@ package graft.sources.vitess
 import graft.core._
 import graft.sources.cdc.{ChangeSource, LogRecord}
 
-/** A Vitess-style VGtid: one GTID position PER SHARD of the keyspace. The
-  * reference's Vitess connector checkpoints exactly this composite
+/** A Vitess-style VGtid: one GTID position PER SHARD of the keyspace, plus
+  * the TOPOLOGY EPOCH the position vector is expressed in. The reference's
+  * Vitess connector checkpoints exactly this composite
   * (`flink-connector-vitess-cdc/.../table/VitessTableSource.java` configures
   * the Debezium Vitess connector, whose offset is the VStream VGTID — a
   * `(keyspace, shard, gtid)` list); resuming means handing EACH shard its
   * own position back, not one global number. Shards are named by their
-  * keyspace-id ranges (`-40`, `40-80`, ..., Vitess' hex convention).
+  * keyspace-id ranges (`-40`, `40-80`, ..., Vitess' hex convention), and a
+  * RESHARD (shard split) starts a new epoch: Vitess journals the cut and
+  * the new shards' streams begin at zero.
   */
-final case class VGtid(positions: Vector[Long]) {
-  require(positions.forall(p => p >= 0 && p <= 0xffffL),
+final case class VGtid(positions: Vector[Long], epoch: Int = 0) {
+  require(positions.forall(p => p >= 0 && p <= 0xfffL),
     s"per-shard gtid out of packing range: $positions")
+  require(epoch >= 0 && epoch <= 0xff, s"epoch out of packing range: $epoch")
 
-  /** Packed composite: 16 bits per shard. Any single-shard increment
-    * strictly increases the packed value, so the merged stream's offsets
-    * are monotone while still DECODING back to per-shard positions — the
-    * property that makes one comparable Long carry a vector clock. */
+  /** Packed composite: 8-bit epoch above 4 × 12-bit shard positions. Within
+    * an epoch any single-shard increment strictly increases the packed
+    * value; a reshard bumps the epoch, which dominates — so offsets stay
+    * monotone across topology changes while still DECODING back to
+    * (epoch, per-shard positions): one comparable Long carrying an
+    * epoch-stamped vector clock. */
   def packed: Long =
-    positions.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) => acc | (g << (16 * i)) }
+    (epoch.toLong << 48) |
+      positions.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) => acc | (g << (12 * i)) }
 
-  def shardNames: Vector[String] = VGtid.rangeNames(positions.size)
   def asString: String =
-    shardNames.zip(positions).map { case (s, g) => s"$s:$g" }.mkString(",")
+    s"e$epoch[" + positions.zipWithIndex.map { case (g, i) => s"$i:$g" }.mkString(",") + "]"
 }
 
 object VGtid {
   def zero(nShards: Int): VGtid = VGtid(Vector.fill(nShards)(0L))
 
+  def epochOf(packed: Long): Int = ((packed >> 48) & 0xffL).toInt
+
   def unpack(packed: Long, nShards: Int): VGtid =
-    VGtid(Vector.tabulate(nShards)(i => (packed >> (16 * i)) & 0xffffL))
+    VGtid(Vector.tabulate(nShards)(i => (packed >> (12 * i)) & 0xfffL), epochOf(packed))
 
   /** Vitess range-shard names: hex keyspace-id boundaries (`-40`, `40-80`,
     * `80-c0`, `c0-` for 4 shards). */
@@ -46,12 +54,12 @@ object VGtid {
 }
 
 /** The sharded-keyspace family through the same [[ChangeSource]] SPI as the
-  * other six source families — the COMPOSITE-OFFSET architecture: the
-  * keyspace is split across shards, each with its own independent binlog
-  * and GTID sequence, and a VStream merges them with NO global order across
-  * shards (only per-shard order — which suffices for correctness because
-  * rows live on exactly one shard). Family-distinct properties, asserted by
-  * the `c_vitess_vgtid` gate and spec:
+  * other source families — the COMPOSITE-OFFSET architecture: the keyspace
+  * is split across shards, each with its own independent binlog and GTID
+  * sequence, and a VStream merges them with NO global order across shards
+  * (only per-shard order — which suffices for correctness because rows live
+  * on exactly one shard). Family-distinct properties, asserted by the
+  * `c_vitess_vgtid` / `c_vitess_reshard` gates and spec:
   *
   *  - '''The offset IS a vector clock''' — the SPI's Long offset is the
   *    packed [[VGtid]]; checkpoint resume UNPACKS it and hands each shard
@@ -62,32 +70,53 @@ object VGtid {
   *    correctness cannot depend on it.
   *  - '''Keyspace routing''' — writes route to the owning shard by key
   *    range (the VTGate role); a key's whole history lives on one shard.
+  *  - '''Resharding journals a topology epoch''' — [[reshard]] splits one
+  *    shard's key range in two; the cut lands in the journal (Vitess'
+  *    JOURNAL event), the new shards' gtids start at zero, undisturbed
+  *    shards KEEP their positions, and a resume from a PRE-reshard offset
+  *    replays the old tail and then the new epoch's events — the epoch
+  *    field in the packed offset is what keeps that ordering decodable.
   */
 final class VStreamChangeSource(
     val tableId: TableId,
     initialSchema: TableSchema,
     initialRows: Seq[Map[String, Any]],
-    val nShards: Int = 4,
-    /** key range span per shard: shard i owns [i*span, (i+1)*span) with the
-      * last shard unbounded above. */
+    initialShards: Int = 4,
+    /** initial key range span per shard: shard i owns [i*span, (i+1)*span)
+      * with the last shard unbounded above. */
     val shardSpan: Long = 40L)
     extends ChangeSource {
 
   require(initialSchema.primaryKeys.size == 1, "vstream source uses a single numeric PK")
-  require(nShards >= 2 && nShards <= 4, "packing supports 2-4 shards")
+  require(initialShards >= 2 && initialShards <= 4, "packing supports 2-4 shards")
   private val pk = initialSchema.primaryKeys.head
 
   override def schema: TableSchema = initialSchema
 
+  /** current topology: per-shard key ranges [lo, hi), last unbounded. */
+  private var ranges: Vector[(Long, Long)] =
+    Vector.tabulate(initialShards) { i =>
+      (i * shardSpan, if (i == initialShards - 1) Long.MaxValue else (i + 1) * shardSpan)
+    }
+  private var names: Vector[String] = VGtid.rangeNames(initialShards)
+  private var epoch = 0
+  /** per-shard gtid positions (current epoch's topology). */
+  private var gtids: Vector[Long] = Vector.fill(initialShards)(0L)
   /** per-shard tables (a row lives on exactly one shard). */
-  private val shardTables =
-    Vector.fill(nShards)(scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]])
-  /** per-shard gtid positions. */
-  private val gtids = Array.fill(nShards)(0L)
-  /** the merged journal: (packed VGtid AFTER the event, ts, shard, event).
-    * Packed values are strictly increasing along it. */
-  private val journal =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, DataChangeEvent)]
+  private var shardTables =
+    Vector.fill(initialShards)(scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]])
+
+  /** the merged journal: every event with the packed VGtid AFTER it, its
+    * epoch, its shard index WITHIN that epoch, and its shard gtid. Packed
+    * values are strictly increasing along it — within an epoch by the
+    * vector-clock property, across epochs because the epoch field
+    * dominates. */
+  private final case class J(packed: Long, ts: Long, epoch: Int, shard: Int,
+      gtid: Long, event: DataChangeEvent)
+  private val journal = scala.collection.mutable.ArrayBuffer.empty[J]
+  /** Vitess journal events: (new epoch, split shard name, new names, cut VGtid). */
+  private val reshardJournalLog =
+    scala.collection.mutable.ArrayBuffer.empty[(Int, String, Vector[String], VGtid)]
 
   initialRows.foreach(r => shardTables(shardOf(keyOf(r)))(keyOf(r)) = r)
 
@@ -97,10 +126,46 @@ final class VStreamChangeSource(
     case other => throw new IllegalArgumentException(s"non-numeric pk: $other")
   }
 
-  /** VTGate routing: the shard owning a key. */
-  def shardOf(key: Long): Int = math.min((key / shardSpan).toInt, nShards - 1)
+  /** VTGate routing: the shard owning a key in the CURRENT topology. */
+  def shardOf(key: Long): Int = synchronized {
+    val i = ranges.indexWhere { case (lo, hi) => key >= lo && key < hi }
+    require(i >= 0, s"key $key outside every shard range")
+    i
+  }
 
-  def currentVGtid: VGtid = synchronized(VGtid(gtids.toVector))
+  def nShards: Int = synchronized(ranges.size)
+  def currentVGtid: VGtid = synchronized(VGtid(gtids, epoch))
+  def shardNames: Vector[String] = synchronized(names)
+
+  /** Split shard `i`'s key range — a Vitess reshard — at `at` (an operator
+    * picks the split point from traffic in practice), defaulting to the
+    * range midpoint. The cut is journaled at the pre-split VGtid, the two
+    * new shards start at gtid 0, every other shard keeps its position, and
+    * the topology epoch increments (which keeps packed offsets monotone
+    * across the cut). */
+  def reshard(i: Int, at: Option[Long] = None): Unit = synchronized {
+    require(ranges.size < 4, "packing supports at most 4 shards")
+    require(i >= 0 && i < ranges.size, s"no shard $i")
+    val cut = VGtid(gtids, epoch)
+    val (lo, hi) = ranges(i)
+    val mid = at.getOrElse(
+      if (hi == Long.MaxValue) lo + math.max(shardSpan / 2, (shardTables(i).keys
+        .foldLeft(lo)(math.max) - lo) / 2 + 1)
+      else lo + (hi - lo) / 2)
+    require(mid > lo && mid < hi, s"split point $mid outside ($lo,$hi)")
+    val oldName = names(i)
+    val newNames = Vector(s"${oldName}_a", s"${oldName}_b")
+    ranges = (ranges.take(i) :+ ((lo, mid)) :+ ((mid, hi))) ++ ranges.drop(i + 1)
+    names = (names.take(i) :+ newNames(0) :+ newNames(1)) ++ names.drop(i + 1)
+    val (keep, move) = shardTables(i).partition { case (k, _) => k < mid }
+    val tblA = scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]] ++ keep
+    val tblB = scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]] ++ move
+    shardTables = (shardTables.take(i) :+ tblA :+ tblB) ++ shardTables.drop(i + 1)
+    gtids = (gtids.take(i) :+ 0L :+ 0L) ++ gtids.drop(i + 1)
+    epoch += 1
+    require(epoch <= 0xff, "epoch overflowed the packing range")
+    reshardJournalLog += ((epoch, oldName, newNames, cut))
+  }
 
   /** Route one event to its owning shard, advance THAT shard's gtid, and
     * append to the merged journal. Cross-shard transactions do not exist in
@@ -119,18 +184,18 @@ final class VStreamChangeSource(
         shardTables(shard)(keyOf(e.after)) = e.after
       case _ => shardTables(shard)(keyOf(e.after)) = e.after
     }
-    gtids(shard) += 1
-    require(gtids(shard) <= 0xffffL, s"shard $shard gtid overflowed the packing range")
-    val vg = VGtid(gtids.toVector)
+    gtids = gtids.updated(shard, gtids(shard) + 1)
+    require(gtids(shard) <= 0xfffL, s"shard $shard gtid overflowed the packing range")
+    val vg = VGtid(gtids, epoch)
     val wire = e.copy(meta = e.meta ++ Map(
-      "shard" -> vg.shardNames(shard),
+      "shard" -> names(shard),
       "shard_gtid" -> gtids(shard).toString,
       "vgtid" -> vg.asString))
-    journal += ((vg.packed, tsMillis, shard, wire))
+    journal += J(vg.packed, tsMillis, epoch, shard, gtids(shard), wire)
     vg.packed
   }
 
-  override def currentOffset: Long = synchronized(VGtid(gtids.toVector).packed)
+  override def currentOffset: Long = synchronized(VGtid(gtids, epoch).packed)
 
   override def snapshotRead(lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] =
     synchronized {
@@ -139,23 +204,27 @@ final class VStreamChangeSource(
       }).toSeq
     }
 
-  /** Resume from a packed VGtid: unpack it and replay EACH shard's tail
-    * past its own position. Equivalent to filtering the journal by packed
-    * range (packed values are monotone along it), but done per-shard to
-    * make the composite-resume contract explicit — and to verify the two
-    * views agree. */
+  /** Resume from a packed VGtid: events strictly after `from` and at or
+    * before `to` in the epoch-stamped vector-clock order — an event is
+    * after a VGtid iff its epoch is newer, or same-epoch and its shard's
+    * gtid is past that shard's position. Equivalent to filtering the
+    * journal by packed range (packed values are monotone along it), but
+    * done in vector-clock terms to make the composite-resume contract
+    * explicit — and the two views are cross-checked. A pre-reshard `from`
+    * therefore replays the split shard's old tail FIRST, then the new
+    * epoch's events. */
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
     synchronized {
-      val from = VGtid.unpack(fromExclusive, nShards)
-      val to = VGtid.unpack(toInclusive, nShards)
+      def after(j: J, mark: Long): Boolean = {
+        val me = VGtid.epochOf(mark)
+        j.epoch > me || (j.epoch == me && j.gtid > ((mark >> (12 * j.shard)) & 0xfffL))
+      }
       val out = journal.collect {
-        case (packed, ts, shard, e)
-            if e.meta("shard_gtid").toLong > from.positions(shard) &&
-              e.meta("shard_gtid").toLong <= to.positions(shard) =>
-          LogRecord(packed, ts, e)
+        case j if after(j, fromExclusive) && !after(j, toInclusive) =>
+          LogRecord(j.packed, j.ts, j.event)
       }.toSeq
       // the vector-clock view must agree with the packed-range view
-      val byRange = journal.count { case (p, _, _, _) => p > fromExclusive && p <= toInclusive }
+      val byRange = journal.count(j => j.packed > fromExclusive && j.packed <= toInclusive)
       require(out.size == byRange,
         s"composite resume diverged from packed range: ${out.size} vs $byRange")
       out
@@ -170,10 +239,10 @@ final class VStreamChangeSource(
   override def offsetAtTimestamp(ts: Long): Long = synchronized {
     // the position BEFORE the first qualifying event must itself be a valid
     // packed VGtid (a naive `packed - 1` would borrow across shard fields)
-    val idx = journal.indexWhere(_._2 >= ts)
+    val idx = journal.indexWhere(_.ts >= ts)
     if (idx < 0) currentOffset
     else if (idx == 0) 0L
-    else journal(idx - 1)._1
+    else journal(idx - 1).packed
   }
 
   /** VStream DDL (Vitess journals schema changes per shard) is out of scope
@@ -181,8 +250,10 @@ final class VStreamChangeSource(
   override def firstDdlOffset(
       fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
 
-  /** test probe: per-shard event counts in the journal. */
+  /** test probes */
   def journalCountsByShard: Vector[Int] = synchronized {
-    Vector.tabulate(nShards)(i => journal.count(_._3 == i))
+    Vector.tabulate(ranges.size)(i => journal.count(j => j.epoch == epoch && j.shard == i))
   }
+  def reshardJournal: Seq[(Int, String, Vector[String], VGtid)] =
+    synchronized(reshardJournalLog.toSeq)
 }

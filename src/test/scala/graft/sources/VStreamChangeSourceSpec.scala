@@ -29,8 +29,54 @@ class VStreamChangeSourceSpec extends AnyFunSuite {
       assert(bumped.packed > vg.packed, s"bumping shard $i must increase the packed value")
     }
     assert(VGtid.rangeNames(4) == Vector("-40", "40-80", "80-c0", "c0-"))
-    assert(vg.asString == "-40:3,40-80:0,80-c0:250,c0-:7")
+    assert(vg.asString == "e0[0:3,1:0,2:250,3:7]")
     intercept[IllegalArgumentException](VGtid(Vector(0x10000L)))
+    // a newer epoch dominates ANY older-epoch position vector
+    val later = VGtid(Vector(0L, 0L, 0L), epoch = 1)
+    assert(later.packed > VGtid(Vector(0xfffL, 0xfffL, 0xfffL, 0xfffL)).packed)
+    assert(VGtid.epochOf(later.packed) == 1)
+    assert(VGtid.unpack(later.packed, 3) == later)
+  }
+
+  test("reshard: the split journals an epoch, new shards start at zero, others keep position") {
+    val s = new VStreamChangeSource(tid, schema,
+      (0L until 150L).map(i => Map[String, Any]("id" -> i, "v" -> "init")),
+      initialShards = 2, shardSpan = 75L)
+    s.write(upd(10L, "a")); s.write(upd(100L, "b")); s.write(upd(20L, "c"))
+    val preCut = s.currentVGtid
+    assert(preCut == VGtid(Vector(2L, 1L), 0))
+    s.reshard(0) // [0,75) splits into [0,37) and [37,75)
+    assert(s.nShards == 3)
+    assert(s.currentVGtid == VGtid(Vector(0L, 0L, 1L), 1),
+      "new shards at zero, the undisturbed shard keeps its position")
+    assert(s.shardNames == Vector("-80_a", "-80_b", "80-"))
+    val Seq((ep, oldName, newNames, cut)) = s.reshardJournal
+    assert(ep == 1 && oldName == "-80" && newNames == Vector("-80_a", "-80_b") && cut == preCut)
+    // routing follows the NEW topology
+    assert(s.shardOf(10L) == 0 && s.shardOf(40L) == 1 && s.shardOf(100L) == 2)
+    s.write(upd(40L, "d"))
+    assert(s.currentVGtid == VGtid(Vector(0L, 1L, 1L), 1))
+  }
+
+  test("cross-epoch resume: a pre-reshard offset replays the old tail, then the new epoch") {
+    val s = new VStreamChangeSource(tid, schema,
+      (0L until 150L).map(i => Map[String, Any]("id" -> i, "v" -> "init")),
+      initialShards = 2, shardSpan = 75L)
+    s.write(upd(10L, "keep"))
+    val mark = s.currentOffset // checkpoint BEFORE the cut
+    s.write(upd(20L, "old-tail")) // still epoch 0
+    s.reshard(0)
+    s.write(upd(10L, "new-a")); s.write(upd(50L, "new-b")); s.write(upd(100L, "new-c"))
+    val tail = s.readLog(mark, s.currentOffset)
+    assert(tail.map(_.event.asInstanceOf[DataChangeEvent].after("v")) ==
+      Seq("old-tail", "new-a", "new-b", "new-c"),
+      "old epoch's unconsumed tail must replay before the new epoch's events")
+    val offs = tail.map(_.offset)
+    assert(offs == offs.sorted && offs.distinct == offs)
+    assert(VGtid.epochOf(offs.head) == 0 && VGtid.epochOf(offs.last) == 1)
+    // resuming from a POST-reshard offset excludes the whole old epoch
+    val tail2 = s.readLog(tail(1).offset, s.currentOffset)
+    assert(tail2.map(_.event.asInstanceOf[DataChangeEvent].after("v")) == Seq("new-b", "new-c"))
   }
 
   test("keyspace routing: a key's whole history lives on its owning shard") {
