@@ -191,6 +191,40 @@ object QueriesML {
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
+    "d_dup_canonical" -> ((s, dir) => {
+      // canonical-document selection after clustering: within each
+      // near-duplicate cluster keep the highest-QUALITY member (ties to the
+      // lowest id) — the "which copy do we train on" decision. Cluster
+      // labels from the same candidate structure as d_dup_clusters; quality
+      // is the rounded composite score, so rank never reads float noise.
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val a = d.select(col("source"), col("doc_id").as("idA"), col("text").as("tA"))
+      val b = d.select(col("source"), col("doc_id").as("idB"), col("text").as("tB"))
+      val pairs = a.join(b, Seq("source"))
+        .filter(col("idB") > col("idA") && col("idB") - col("idA") <= 60)
+        .withColumn("wa", array_distinct(split(lower(trim(col("tA"))), "\\s+")))
+        .withColumn("wb", array_distinct(split(lower(trim(col("tB"))), "\\s+")))
+        .withColumn("jaccard",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))).cast("double"))
+        .filter(col("jaccard") >= 0.90)
+        .select(col("idA"), col("idB"))
+      val lab = Dedup.duplicateClusters(pairs)
+      val q = d.select(col("doc_id").as("id"),
+        TextFunctions.qualityScore(col("text")).as("score"))
+      Dedup.canonicalPerCluster(lab.join(q, Seq("id")))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("canonical_id"), col("kept"))
+        .orderBy("doc_id")
+    }),
+    "x_mix_budget" -> ((s, dir) => {
+      // budgeted mixture sampling (the data-recipe step): per-source TOKEN
+      // budgets from a deterministic formula (200 + 150·(src index mod 4));
+      // quality-descending greedy prefix per source, boundary doc included
+      val budget = lit(200L) +
+        lit(150L) * (substring(col("domain"), 4, 10).cast("long") % 4)
+      TrainingData.mixToBudget(docs(s, dir), "doc_id", "text", "source", budget)
+        .orderBy("domain", "doc_id")
+    }),
     "d_embedding_dup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val planted = e.filter(col("vec_id") < 10)
@@ -848,6 +882,82 @@ object QueriesML {
         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
         |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // cluster labels (recursive reachability) + per-cluster argmax on the
+    // same rounded quality score, ties to the lowest id
+    "d_dup_canonical" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 60
+        |  WHERE CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(a.text)), '\s+')),
+        |                                list_distinct(string_split_regex(lower(trim(b.text)), '\s+')))) AS DOUBLE)
+        |        / len(list_distinct(list_concat(list_distinct(string_split_regex(lower(trim(a.text)), '\s+')),
+        |                                        list_distinct(string_split_regex(lower(trim(b.text)), '\s+'))))) >= 0.90),
+        |edges AS (SELECT idA AS s, idB AS d FROM pairs UNION ALL SELECT idB, idA FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text)=0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |              / length(text) END AS punct_ratio,
+        |    CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|that|it|for|on)\b')) AS DOUBLE) AS stophits,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS nonspace
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(toks AS DOUBLE)/50.0,1.0)*least(2000.0/greatest(CAST(toks AS DOUBLE),1.0),1.0)*0.4
+        |      + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.5 END)*0.2
+        |      + (CASE WHEN (CASE WHEN toks=0 THEN 0.0 ELSE stophits/toks END) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END)*0.2
+        |      + (CASE WHEN (CASE WHEN toks=0 THEN 0.0 ELSE nonspace/toks END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2,
+        |    6) AS score
+        |  FROM f),
+        |ranked AS (
+        |  SELECT lab.id, lab.cluster_id, q.score,
+        |    row_number() OVER (PARTITION BY lab.cluster_id
+        |                       ORDER BY q.score DESC, lab.id ASC) AS rn
+        |  FROM lab JOIN q ON q.doc_id = lab.id),
+        |canon AS (SELECT cluster_id, id AS canonical_id FROM ranked WHERE rn = 1)
+        |SELECT r.id AS doc_id, r.cluster_id, c.canonical_id,
+        |  r.id = c.canonical_id AS kept
+        |FROM ranked r JOIN canon c USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+    // quality-descending greedy prefix per source under the formulaic
+    // token budget; cumulative window mirrors the engine's exactly
+    "x_mix_budget" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(text)=0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |              / length(text) END AS punct_ratio,
+        |    CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|that|it|for|on)\b')) AS DOUBLE) AS stophits,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS nonspace
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source AS domain, CAST(toks AS BIGINT) AS n_tokens,
+        |    round(least(CAST(toks AS DOUBLE)/50.0,1.0)*least(2000.0/greatest(CAST(toks AS DOUBLE),1.0),1.0)*0.4
+        |      + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.5 END)*0.2
+        |      + (CASE WHEN (CASE WHEN toks=0 THEN 0.0 ELSE stophits/toks END) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END)*0.2
+        |      + (CASE WHEN (CASE WHEN toks=0 THEN 0.0 ELSE nonspace/toks END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2,
+        |    6) AS quality
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, domain, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, domain, n_tokens, cum_tokens
+        |FROM g
+        |WHERE cum_tokens - n_tokens < 200 + 150 * (CAST(substr(domain, 4) AS BIGINT) % 4)
+        |ORDER BY domain, doc_id""".stripMargin,
     // posting lists from the maintained index == full-scan tokenization
     "x_inverted_index" ->
       """WITH toks AS (

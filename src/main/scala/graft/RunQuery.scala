@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Development runner: execute ONE `SparkEntry.queries` entry against a SF
   * dir and print its result head + row count — the single-query sibling of
   * [[Verify]] (which runs all entries for the driver sweep). Usage:
-  * `runMain graft.RunQuery <name> <sfDir> [showN]`.
+  * `runMain graft.RunQuery <name> <sfDir> [showN] [dumpDir]` — with
+  * `dumpDir` the result is also written as parquet for a local DuckDB
+  * compare.
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {
@@ -29,6 +31,8 @@ object RunQuery {
     Verify.assertHashSafeSchema(name, df.schema)
     val rows = df.count()
     df.show(showN, truncate = false)
+    if (args.length > 3)
+      df.coalesce(1).write.mode("overwrite").parquet(s"${args(3)}/$name")
     println(f"[runquery] $name rows=$rows wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     spark.stop()
   }

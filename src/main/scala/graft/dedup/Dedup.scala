@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines. Every near-dup variant
@@ -239,6 +240,28 @@ object Dedup {
     }
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Canonical-document selection: within each duplicate cluster keep the
+    * highest-quality member (ties to the lowest id) — the "which copy do we
+    * train on" decision after clustering. One `row_number` window over
+    * cluster-sized partitions (clusters are small by construction — they
+    * are near-duplicate groups — so the per-partition sort is bounded; the
+    * cross-cluster work distributes on the cluster id). The score column
+    * must be pre-rounded so rank never reads sub-rounding float noise.
+    */
+  def canonicalPerCluster(
+      labeled: DataFrame,
+      idCol: String = "id",
+      clusterCol: String = "cluster_id",
+      scoreCol: String = "score"): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol)).orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = labeled.withColumn("rn", row_number().over(w))
+    val canon = ranked.filter(col("rn") === 1)
+      .select(col(clusterCol), col(idCol).as("canonical_id"))
+    labeled.join(canon, Seq(clusterCol))
+      .select(col(idCol), col(clusterCol), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("kept"))
   }
 
   // ---------- span-level dedup ----------------------------------------------

@@ -1,5 +1,6 @@
 package graft.textops
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -189,6 +190,41 @@ object TrainingData {
     * formulation the DuckDB oracle mirrors, and the two are asserted
     * equivalent in TrainingDataSpec.
     */
+  /** Budgeted mixture sampling — the "data recipe" step of a corpus build
+    * (domain weights expressed as per-domain TOKEN budgets): within each
+    * domain, documents are taken in quality-descending order (ties to the
+    * lowest id) until the domain's budget is exhausted; the greedy prefix
+    * admits a document iff the tokens consumed BEFORE it are still under
+    * budget, so the boundary document is included (budgets are coverage
+    * floors, not hard ceilings — the convention that never leaves a budget
+    * unfilled by one document).
+    *
+    * Scale shape: one window per domain (domains are independent, so the
+    * sort parallelizes across them; within a skewed domain the ordering key
+    * is (rounded quality, id) — a two-level quality-histogram prefix would
+    * replace the sort if one domain dominated the corpus). The quality
+    * score is rounded to 6 digits BEFORE ordering on both the engine and
+    * oracle sides, so the rank never reads sub-rounding float noise.
+    */
+  def mixToBudget(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      budgetTokens: Column): DataFrame = {
+    val scored = docs.select(
+      col(idCol),
+      col(domainCol).as("domain"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextFunctions.qualityScore(col(textCol)).as("quality")) // rounded(6) inside
+    val w = Window.partitionBy("domain").orderBy(col("quality").desc, col(idCol))
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("budget", budgetTokens)
+      .where(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col(idCol), col("domain"), col("n_tokens"), col("cum_tokens"))
+  }
+
   def strictWordGrams(text: Column, k: Int): Column =
     graft.functions.CatalystExprs.strictWordGrams(text, k)
 
