@@ -34,8 +34,8 @@ final class TiCdcChangeSource(
     val tableId: TableId,
     initialSchema: TableSchema,
     initialRows: Seq[Map[String, Any]],
-    val nRegions: Int = 3,
-    /** region i owns keys [i*span, (i+1)*span), last unbounded above. */
+    initialRegions: Int = 3,
+    /** region i initially owns keys [i*span, (i+1)*span), last unbounded. */
     val regionSpan: Long = 50L)
     extends ChangeSource {
 
@@ -48,8 +48,16 @@ final class TiCdcChangeSource(
   private val table = scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]]
   initialRows.foreach(r => table(keyOf(r)) = r)
 
+  /** per-region key ranges [lo, hi), last unbounded — TiKV regions split
+    * dynamically, so the topology is mutable state here. */
+  private val ranges = scala.collection.mutable.ArrayBuffer.tabulate(initialRegions) { i =>
+    (i * regionSpan, if (i == initialRegions - 1) Long.MaxValue else (i + 1) * regionSpan)
+  }
   /** region → resolved ts (the per-region promise). */
-  private val regionResolved = Array.fill(nRegions)(0L)
+  private val regionResolved =
+    scala.collection.mutable.ArrayBuffer.fill(initialRegions)(0L)
+
+  def regionCount: Int = synchronized(ranges.size)
   /** uncommitted prewrites: (region, startTs) → event. */
   private val prewrites =
     scala.collection.mutable.LinkedHashMap.empty[(Int, Long), DataChangeEvent]
@@ -66,7 +74,38 @@ final class TiCdcChangeSource(
     case other => throw new IllegalArgumentException(s"non-numeric pk: $other")
   }
 
-  def regionOf(key: Long): Int = math.min((key / regionSpan).toInt, nRegions - 1)
+  def regionOf(key: Long): Int = synchronized {
+    val i = ranges.indexWhere { case (lo, hi) => key >= lo && key < hi }
+    require(i >= 0, s"key $key outside every region range")
+    i
+  }
+
+  /** Split region `i`'s key range at `at` — a TiKV region split. The
+    * CONTRAST with the Vitess reshard is the point: offsets here are
+    * TIMESTAMPS, not per-region log positions, so a split needs no epoch in
+    * the offset — but the WATERMARK must not regress: both children
+    * INHERIT the parent's resolved ts (`CDCClient.java:199-223` re-seeds
+    * the region→resolved map on region change). A child starting at 0
+    * would drag the global min to 0 and stall emission forever; inheriting
+    * keeps the promise intact, because everything at or below the parent's
+    * resolved ts was already delivered or rejected. */
+  def splitRegion(i: Int, at: Long): Unit = synchronized {
+    require(i >= 0 && i < ranges.size, s"no region $i")
+    val (lo, hi) = ranges(i)
+    require(at > lo && at < hi, s"split point $at outside ($lo,$hi)")
+    val inherited = regionResolved(i)
+    ranges.update(i, (lo, at))
+    ranges.insert(i + 1, (at, hi))
+    regionResolved.insert(i + 1, inherited)
+    // in-flight prewrites re-home to their key's owning region in the NEW
+    // topology (their recorded indices just shifted)
+    val rekeyed = prewrites.toSeq.map { case ((_, st), e) =>
+      val key = keyOf(if (e.op == OperationType.DELETE) e.before else e.after)
+      ((regionOf(key), st), e)
+    }
+    prewrites.clear()
+    rekeyed.foreach { case (k, e) => prewrites(k) = e }
+  }
 
   /** Phase 1: the row lands in the region's CDC stream, uncommitted. */
   def prewrite(startTs: Long, e: DataChangeEvent): Unit = synchronized {
@@ -116,7 +155,8 @@ final class TiCdcChangeSource(
       s"resolved ts moves only forward (region $region: ${regionResolved(region)} -> $ts)")
     regionResolved(region) = ts
   }
-  def advanceAllResolved(ts: Long): Unit = (0 until nRegions).foreach(advanceResolved(_, ts))
+  def advanceAllResolved(ts: Long): Unit =
+    (0 until regionCount).foreach(advanceResolved(_, ts))
 
   /** the GLOBAL watermark: min across regions (`CDCClient.getMinResolvedTs`
     * — the only sound choice with multiple regions; a single-region

@@ -93,6 +93,29 @@ class TiCdcChangeSourceSpec extends AnyFunSuite {
     assert(s.readLog(recs(0).offset, recs(1).offset).map(_.offset) == Seq(recs(1).offset))
   }
 
+  test("region split: children inherit the parent's resolved ts — the watermark never regresses") {
+    val s = newSource()
+    s.advanceAllResolved(100L)
+    s.writeCommitted(110L, 111L, upd(10L, "pre-split"))
+    assert(s.globalResolvedTs == 100L)
+    // a prewrite in flight across the split re-homes to its new region
+    s.prewrite(120L, upd(30L, "in-flight"))
+    s.splitRegion(0, at = 25L) // [0,50) -> [0,25) + [25,50)
+    assert(s.regionCount == 4)
+    // the watermark did NOT regress: the child inherited resolved=100
+    assert(s.globalResolvedTs == 100L,
+      "a child region starting at resolved=0 would stall emission forever")
+    // routing follows the new topology; the inherited promise binds children
+    assert(s.regionOf(10L) == 0 && s.regionOf(30L) == 1 && s.regionOf(60L) == 2)
+    intercept[IllegalArgumentException](s.commitRow(120L, 90L)) // below inherited resolved
+    s.commitRow(120L, 130L) // above it is fine, on the re-homed region
+    s.advanceAllResolved(200L)
+    val recs = s.readLog(0L, s.currentOffset)
+      .map(_.event.asInstanceOf[DataChangeEvent].after("v"))
+    assert(recs == Seq("pre-split", "in-flight"),
+      "offsets are timestamps: emission is unaffected by the topology change")
+  }
+
   test("offsetAtTimestamp and capped windows never emit past the watermark") {
     val s = newSource()
     s.writeCommitted(10L, 11L, upd(1L, "a"), tsMillis = 1000L)
