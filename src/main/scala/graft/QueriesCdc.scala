@@ -477,6 +477,100 @@ object QueriesCdc {
       }
     }),
 
+    // MULTI-SOURCE ROUTE MERGE: three architecturally different families —
+    // a poll-based change-table source, a sharded VGtid source, and a
+    // watermark-sorted TiKV source — feed ONE pipeline, each through its
+    // own per-table stream (the `scan.newly-added-table` mechanism), all
+    // ROUTED into a single merged sink table (the reference's many-to-one
+    // route: `TableIdRouter` + merged CREATE). Disjoint id ranges keep the
+    // merge observable; the oracle reconstructs each family's final state
+    // and unions them. What this asserts that the per-family gates cannot:
+    // the routing/composition layer is source-architecture-agnostic.
+    "c_multi_source_merge" -> ((s, dir) => {
+      import graft.pipeline._
+      import graft.sources.sqlserver.SqlServerChangeSource
+      import graft.sources.tidb.TiCdcChangeSource
+      import graft.sources.vitess.VStreamChangeSource
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      def init(base: Long) =
+        (base until base + 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val tA = TableId.parse("dbo.users")
+      val tB = TableId.parse("commerce.users")
+      val tC = TableId.parse("test.users")
+      val srcA = new SqlServerChangeSource(tA, schema, init(0L))
+      val srcB = new VStreamChangeSource(tB, schema, init(1000L))
+      val srcC = new TiCdcChangeSource(tC, schema, init(2000L))
+      val run = java.util.UUID.randomUUID().toString
+      val (idA, idB, idC) = (s"merge-a-$run", s"merge-b-$run", s"merge-c-$run")
+      ChangeSourceRegistry.register(idA, srcA)
+      ChangeSourceRegistry.register(idB, srcB)
+      ChangeSourceRegistry.register(idC, srcC)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(t: TableId, base: Long)(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> (base + r.getLong(1))),
+          Map("id" -> (base + r.getLong(1)), "v" -> s"e${r.getLong(0)}"))
+        val (qa, rest) = ev.partition(_.getLong(0) < 100)
+        val (qb, qc) = rest.partition(_.getLong(0) < 200)
+
+        // each family takes its slice through its OWN ingestion mechanics
+        qa.grouped(7).foreach(g => srcA.commitTx(g.map(upd(tA, 0L)).toSeq))
+        srcA.runCaptureJob()
+        qb.foreach(r => srcB.write(upd(tB, 1000L)(r)))
+        var tso = 5000000L
+        qc.foreach { r => tso += 2; srcC.writeCommitted(tso - 1, tso, upd(tC, 2000L)(r)) }
+        srcC.advanceAllResolved(tso)
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_merge").toString
+        val yaml =
+          s"""source:
+             |  type: sqlserver
+             |  sourceId: $idA
+             |  chunk.size: 40
+             |sink:
+             |  type: values
+             |route:
+             |  - source-table: dbo.users
+             |    sink-table: ods.merged
+             |  - source-table: commerce.users
+             |    sink-table: ods.merged
+             |  - source-table: test.users
+             |    sink-table: ods.merged
+             |pipeline:
+             |  name: multi-source-merge
+             |  checkpoint.dir: $ckpt
+             |""".stripMargin
+        val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))(s)
+        runner.runHandlingDdl() // family A drains (snapshot + captured polls)
+        val qB = runner.addTable(idB)
+        qB.processAllAvailable(); qB.stop()
+        val qC = runner.addTable(idC)
+        qC.processAllAvailable(); qC.stop()
+
+        val sink = runner.sink.asInstanceOf[graft.sinks.MemoryDatabase]
+        val merged = TableId.parse("ods.merged")
+        val rows = sink.rowsOf(merged)
+        require(rows.size == 450,
+          s"the merged table must hold all three families' 150 rows each, got ${rows.size}")
+        import s.implicits._
+        rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+          .toDF("id", "v").orderBy("id")
+      } finally {
+        ChangeSourceRegistry.remove(idA)
+        ChangeSourceRegistry.remove(idB)
+        ChangeSourceRegistry.remove(idC)
+      }
+    }),
+
     // RESHARDING under the composite-offset family: a Vitess shard split
     // mid-pipeline. The cut journals a TOPOLOGY EPOCH (the packed VGtid
     // carries it above the per-shard positions, so offsets stay monotone
@@ -1761,6 +1855,25 @@ object QueriesCdc {
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |WHERE u.id < 140
         |ORDER BY u.id""".stripMargin,
+    // three families' final states (disjoint id ranges, per-family event
+    // slices) unioned — the many-to-one route merge
+    "c_multi_source_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |a AS (SELECT user_id, max(event_id) AS me FROM e WHERE event_id < 100 GROUP BY 1),
+        |b AS (SELECT user_id, max(event_id) AS me FROM e
+        |      WHERE event_id >= 100 AND event_id < 200 GROUP BY 1),
+        |c AS (SELECT user_id, max(event_id) AS me FROM e WHERE event_id >= 200 GROUP BY 1),
+        |u AS (
+        |  SELECT u.id, COALESCE('e' || CAST(a.me AS VARCHAR), 'init') AS v
+        |  FROM range(150) AS u(id) LEFT JOIN a ON a.user_id = u.id
+        |  UNION ALL
+        |  SELECT 1000 + u.id, COALESCE('e' || CAST(b.me AS VARCHAR), 'init')
+        |  FROM range(150) AS u(id) LEFT JOIN b ON b.user_id = u.id
+        |  UNION ALL
+        |  SELECT 2000 + u.id, COALESCE('e' || CAST(c.me AS VARCHAR), 'init')
+        |  FROM range(150) AS u(id) LEFT JOIN c ON c.user_id = u.id)
+        |SELECT id, v FROM u ORDER BY id""".stripMargin,
     // final state after snapshot + a 2-shard tail + down-time writes
     // straddling a reshard cut (updates event_id < 300, deletes 140-149)
     "c_vitess_reshard" ->
