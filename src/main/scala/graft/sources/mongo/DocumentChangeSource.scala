@@ -114,6 +114,34 @@ final class DocumentChangeSource(
     record(OperationType.DELETE, id, None, tsMillis) // documentKey only
   }
 
+  /** Collection DROP: the change stream delivers a `drop` event followed by
+    * an `invalidate` event and CLOSES — the documented invalidation
+    * lifecycle. The drop surfaces as a `DropTableEvent` on the control path
+    * (the reference's `common/event/DropTableEvent.java` family); any read
+    * whose window crosses the invalidate position from below throws (that
+    * stream is dead), and a new stream must be opened with
+    * [[startAfter]](invalidate token) — [[resumeAfter]] explicitly REJECTS
+    * the invalidate token, exactly as a real server does. Writes after the
+    * drop implicitly recreate the collection (Mongo semantics) and keep the
+    * oplog going for the startAfter successor. */
+  def dropCollection(tsMillis: Long = 0L): ResumeToken = synchronized {
+    require(invalidatePos.isEmpty, "collection already dropped (stream invalidated)")
+    collection.clear()
+    seq += 1 // the `drop` entry
+    ddlLog += ((seq, DropTableEvent(tableId)))
+    seq += 1 // the `invalidate` entry
+    val tok = ResumeToken.encode(tsMillis, seq)
+    invalidatePos = Some(seq)
+    invalidateTok = Some(tok)
+    tok
+  }
+
+  private var invalidatePos: Option[Long] = None
+  private var invalidateTok: Option[ResumeToken] = None
+  private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
+
+  def invalidateToken: Option[ResumeToken] = synchronized(invalidateTok)
+
   // ---- token-level API (what a real resumed change stream uses) ------------
 
   /** The resume token at a monotone position (the checkpointed pair). */
@@ -122,8 +150,18 @@ final class DocumentChangeSource(
   }
 
   /** `resumeAfter(token)`: the entries strictly after the token — the
-    * change-stream resumption primitive. */
+    * change-stream resumption primitive. Rejects the invalidate token (the
+    * server does: an invalidated stream cannot be RESUMED, only restarted
+    * with `startAfter`). */
   def resumeAfter(token: ResumeToken): Seq[LogRecord] = synchronized {
+    require(!invalidateTok.contains(token),
+      "cannot resumeAfter an invalidate token — open a new stream with startAfter")
+    readLog(token.decodePosition, seq)
+  }
+
+  /** `startAfter(token)`: a NEW change stream positioned just past the
+    * token — the only way to continue past an invalidate. */
+  def startAfter(token: ResumeToken): Seq[LogRecord] = synchronized {
     readLog(token.decodePosition, seq)
   }
 
@@ -142,6 +180,15 @@ final class DocumentChangeSource(
 
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
     synchronized {
+      // a window crossing the invalidate position from below belongs to a
+      // DEAD stream: the server closed it at the invalidate event. A window
+      // entirely before (history) or starting at/after it (startAfter
+      // successor) is fine.
+      invalidatePos.foreach { p =>
+        require(fromExclusive >= p || toInclusive < p,
+          s"change stream invalidated at position $p " +
+            "(collection dropped): open a new stream with startAfter")
+      }
       oplog
         .filter(e =>
           e.token.decodePosition > fromExclusive &&
@@ -174,6 +221,14 @@ final class DocumentChangeSource(
     if (collection.isEmpty) (None, None, 0L)
     else (Some(collection.keys.min), Some(collection.keys.max), collection.size.toLong)
   }
+
+  /** the drop surfaces on the driver-cheap control path (scanning the data
+    * log would trip the invalidation guard). */
+  override def firstDdlOffset(
+      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+    synchronized {
+      ddlLog.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+    }
 
   override def offsetAtTimestamp(ts: Long): Long = synchronized {
     oplog.find(_.tsMillis >= ts).map(_.token.decodePosition - 1).getOrElse(seq)

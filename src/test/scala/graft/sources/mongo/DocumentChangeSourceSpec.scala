@@ -70,4 +70,31 @@ class DocumentChangeSourceSpec extends AnyFunSuite {
     assert(src.snapshotRead(Some(1L), Some(3L)).map(_("_id")) == Seq(1L, 2L))
     assert(src.offsetAtTimestamp(0L) == 0L)
   }
+
+  test("collection drop: the stream INVALIDATES — resumeAfter dies, startAfter continues") {
+    val src = newSource()
+    src.updateDoc(1L, """{"n": "pre-drop"}""")
+    val preDropTok = src.tokenAt(src.currentOffset).get
+    val invalidTok = src.dropCollection()
+    // the drop surfaced on the control path as the DropTableEvent family
+    assert(src.firstDdlOffset(0L, src.currentOffset).exists(_._2 ==
+      DropTableEvent(TableId.parse("app.collection"))))
+    assert(src.keyStats == ((None, None, 0L)), "the collection is gone")
+    // post-drop writes implicitly recreate the collection; the oplog goes on
+    src.insertDoc(100L, """{"n": "reborn"}""")
+    // the OLD stream cannot read across the invalidate position
+    val dead = intercept[IllegalArgumentException](src.resumeAfter(preDropTok))
+    assert(dead.getMessage.contains("invalidated"))
+    // resuming AT the invalidate token is rejected outright (server rule)
+    val rejected = intercept[IllegalArgumentException](src.resumeAfter(invalidTok))
+    assert(rejected.getMessage.contains("startAfter"))
+    // history strictly before the invalidate is still servable
+    assert(src.readLog(0L, invalidTok.decodePosition - 2).nonEmpty)
+    // a NEW stream with startAfter(invalidate) sees exactly the rebirth
+    val cont = src.startAfter(invalidTok)
+    assert(cont.map(_.event.asInstanceOf[DataChangeEvent].after("doc")) ==
+      Seq("""{"n": "reborn"}"""))
+    // a second drop of the already-invalidated stream is refused
+    intercept[IllegalArgumentException](src.dropCollection())
+  }
 }
