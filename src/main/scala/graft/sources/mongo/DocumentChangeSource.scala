@@ -128,6 +128,7 @@ final class DocumentChangeSource(
     require(invalidatePos.isEmpty, "collection already dropped (stream invalidated)")
     collection.clear()
     seq += 1 // the `drop` entry
+    dropPos = Some(seq)
     ddlLog += ((seq, DropTableEvent(tableId)))
     seq += 1 // the `invalidate` entry
     val tok = ResumeToken.encode(tsMillis, seq)
@@ -136,6 +137,7 @@ final class DocumentChangeSource(
     tok
   }
 
+  private var dropPos: Option[Long] = None
   private var invalidatePos: Option[Long] = None
   private var invalidateTok: Option[ResumeToken] = None
   private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
@@ -180,14 +182,19 @@ final class DocumentChangeSource(
 
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
     synchronized {
-      // a window crossing the invalidate position from below belongs to a
-      // DEAD stream: the server closed it at the invalidate event. A window
-      // entirely before (history) or starting at/after it (startAfter
-      // successor) is fine.
-      invalidatePos.foreach { p =>
-        require(fromExclusive >= p || toInclusive < p,
-          s"change stream invalidated at position $p " +
-            "(collection dropped): open a new stream with startAfter")
+      // a window crossing the invalidate position from UNDER the drop
+      // belongs to a DEAD stream: that stream never saw the drop event. A
+      // window entirely before it (history), starting at/after the
+      // invalidate (startAfter successor), or starting AT the drop position
+      // (the control-path resume: the stream parked at the drop, the driver
+      // handled + acked the DropTableEvent, and the restarted stream is
+      // logically the startAfter successor) is fine.
+      (dropPos, invalidatePos) match {
+        case (Some(d), Some(p)) =>
+          require(fromExclusive >= d || toInclusive < p,
+            s"change stream invalidated at position $p " +
+              "(collection dropped): open a new stream with startAfter")
+        case _ => ()
       }
       oplog
         .filter(e =>

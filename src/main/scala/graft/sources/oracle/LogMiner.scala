@@ -108,6 +108,11 @@ final class LogMinerChangeSource(
     def commit(tsMillis: Long = 0L): Long = LogMinerChangeSource.this.synchronized {
       require(open, s"tx $xid is closed"); open = false
       require(events.nonEmpty, "empty transactions are not mined")
+      // the packed offset gives the entry seq 16 bits; a larger transaction
+      // would silently carry into the commit-SCN bits and collide with the
+      // next commit's offset range — fail fast instead
+      require(events.size <= 0xffff,
+        s"tx $xid has ${events.size} entries; the 16-bit seq field caps at 65535")
       val commitScn = nextScn()
       commits(xid) = (commitScn, tsMillis)
       events.foreach(applyToTable)

@@ -25,17 +25,25 @@ final case class CtLsn(value: Long) extends Ordered[CtLsn] {
 object CtLsn {
   val Invalid: CtLsn = CtLsn(0L)
   def of(vlf: Long, block: Long, slot: Long): CtLsn = {
-    require(vlf <= 0xfffffffL && block <= 0xffffffL && slot <= 0xfffL,
+    // vlf is capped one bit under its field so the packed value never goes
+    // negative: the SPI and runtime compare offsets SIGNED (window
+    // predicates, math.min/max), so a sign-flipping packing would order
+    // differently there than CtLsn's own compare — not an order embedding
+    require(vlf <= 0x7ffffffL && block <= 0xffffffL && slot <= 0xfffL,
       s"lsn component overflow: $vlf:$block:$slot")
     CtLsn((vlf << 36) | (block << 12) | slot)
   }
 
-  /** Parse `xxxxxxxx:xxxxxxxx:xxxx`; malformed input → [[Invalid]]. */
+  /** Parse `xxxxxxxx:xxxxxxxx:xxxx`; malformed or out-of-range input →
+    * [[Invalid]]. */
   def parse(s: String): CtLsn = s.split(':') match {
     case Array(a, b, c) =>
       try of(java.lang.Long.parseLong(a, 16), java.lang.Long.parseLong(b, 16),
         java.lang.Long.parseLong(c, 16))
-      catch { case _: NumberFormatException => Invalid }
+      catch {
+        case _: NumberFormatException => Invalid
+        case _: IllegalArgumentException => Invalid
+      }
     case _ => Invalid
   }
 }

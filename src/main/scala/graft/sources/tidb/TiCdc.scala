@@ -120,8 +120,7 @@ final class TiCdcChangeSource(
     * region's resolved ts: the region PROMISED nothing earlier would
     * arrive (`CDCClient.handleResolvedTs`'s contract). */
   def commitRow(startTs: Long, commitTs: Long, tsMillis: Long = 0L): Unit = synchronized {
-    val key = prewrites.keys.find(_._2 == startTs).getOrElse(
-      throw new IllegalStateException(s"commit of unknown startTs $startTs"))
+    val key = uniquePrewrite(startTs)
     val (region, _) = key
     require(commitTs > regionResolved(region),
       s"region $region already resolved past $commitTs (${regionResolved(region)}): " +
@@ -137,9 +136,20 @@ final class TiCdcChangeSource(
 
   /** Phase 2b: ROLLBACK — the prewrite vanishes. */
   def rollbackRow(startTs: Long): Unit = synchronized {
-    val key = prewrites.keys.find(_._2 == startTs).getOrElse(
-      throw new IllegalStateException(s"rollback of unknown startTs $startTs"))
-    prewrites.remove(key)
+    prewrites.remove(uniquePrewrite(startTs))
+  }
+
+  /** TiKV identifies a two-phase row by (startTs, key); this double's
+    * commit/rollback API carries only the startTs, so an AMBIGUOUS startTs
+    * (same ts, different regions) must fail loudly — resolving it by map
+    * iteration order would commit the wrong region's row. */
+  private def uniquePrewrite(startTs: Long): (Int, Long) = {
+    val matches = prewrites.keys.filter(_._2 == startTs).toSeq
+    require(matches.size <= 1,
+      s"ambiguous startTs $startTs across regions ${matches.map(_._1).sorted}: " +
+        "the double's resolve-by-startTs API needs unique start timestamps")
+    matches.headOption.getOrElse(
+      throw new IllegalStateException(s"no prewrite with startTs $startTs"))
   }
 
   /** convenience: prewrite + immediate commit of a single row. */

@@ -15,6 +15,9 @@ import graft.sources.cdc.{ChangeSource, LogRecord}
   * the new shards' streams begin at zero.
   */
 final case class VGtid(positions: Vector[Long], epoch: Int = 0) {
+  require(positions.nonEmpty && positions.size <= 4,
+    s"packing supports 1-4 shards, got ${positions.size} — a fifth shard " +
+      "would OR into the epoch bits")
   require(positions.forall(p => p >= 0 && p <= 0xfffL),
     s"per-shard gtid out of packing range: $positions")
   require(epoch >= 0 && epoch <= 0xff, s"epoch out of packing range: $epoch")

@@ -27,17 +27,20 @@ class OffsetAlgebraLawsSpec extends AnyFunSuite {
   }
 
   private val ctLsnGen: Gen[CtLsn] = for {
-    vlf <- Gen.chooseNum(0L, 0xfffffffL)
+    vlf <- Gen.chooseNum(0L, 0x7ffffffL) // one bit under the field: packed stays >= 0
     block <- Gen.chooseNum(0L, 0xffffffL)
     slot <- Gen.chooseNum(0L, 0xfffL)
   } yield CtLsn.of(vlf, block, slot)
 
   test("CtLsn: parse(asString) round trips and packed order is lexicographic") {
-    check(Prop.forAll(ctLsnGen) { l => CtLsn.parse(l.asString) == l })
+    check(Prop.forAll(ctLsnGen) { l => CtLsn.parse(l.asString) == l && l.value >= 0 })
     check(Prop.forAll(ctLsnGen, ctLsnGen) { (a, b) =>
       val lex = Ordering[(Long, Long, Long)].compare(
         (a.vlf, a.block, a.slot), (b.vlf, b.block, b.slot))
-      Integer.signum(a.compare(b)) == Integer.signum(lex)
+      // the packed order must agree both through CtLsn.compare AND through
+      // the SIGNED Long comparison the SPI/runtime actually use
+      Integer.signum(a.compare(b)) == Integer.signum(lex) &&
+        Integer.signum(java.lang.Long.compare(a.value, b.value)) == Integer.signum(lex)
     })
   }
 

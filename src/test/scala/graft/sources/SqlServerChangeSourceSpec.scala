@@ -22,16 +22,20 @@ class SqlServerChangeSourceSpec extends AnyFunSuite {
     DataChangeEvent.update(tid, Map("id" -> id), Map("id" -> id, "v" -> v))
 
   test("CtLsn: three-part parse/format round trip, component bounds, order") {
-    for (s <- Seq("00000029:00000fd0:0005", "0000002a:00000010:0000", "0fffffff:00ffffff:0fff")) {
+    for (s <- Seq("00000029:00000fd0:0005", "0000002a:00000010:0000", "07ffffff:00ffffff:0fff")) {
       val l = CtLsn.parse(s)
       assert(l != CtLsn.Invalid || s.forall(c => c == '0' || c == ':'))
       assert(CtLsn.parse(l.asString) == l)
+      assert(l.value >= 0, "packed LSNs must stay non-negative for signed SPI comparisons")
     }
     assert(CtLsn.parse("junk") == CtLsn.Invalid)
     assert(CtLsn.parse("1:2") == CtLsn.Invalid)
+    // out-of-range components parse to Invalid, never to a sign-flipped value
+    assert(CtLsn.parse("0fffffff:00ffffff:0fff") == CtLsn.Invalid)
     // order: vlf dominates block dominates slot
     assert(CtLsn.of(0x2a, 0, 0) > CtLsn.of(0x29, 0xffffff, 0xfff))
     assert(CtLsn.of(0x29, 2, 0) > CtLsn.of(0x29, 1, 0xfff))
+    intercept[IllegalArgumentException](CtLsn.of(0x8000000L, 0, 0)) // would flip the sign
     intercept[IllegalArgumentException](CtLsn.of(0x10000000L, 0, 0))
   }
 

@@ -72,6 +72,16 @@ class TiCdcChangeSourceSpec extends AnyFunSuite {
       Seq("100", "200", "300"))
   }
 
+  test("an ambiguous startTs across regions is rejected, not resolved by iteration order") {
+    val s = newSource()
+    s.prewrite(10L, upd(1L, "region0"))
+    s.prewrite(10L, upd(60L, "region1")) // same startTs, different region — allowed
+    val e = intercept[IllegalArgumentException](s.commitRow(10L, 20L))
+    assert(e.getMessage.contains("ambiguous"))
+    intercept[IllegalArgumentException](s.rollbackRow(10L))
+    assert(s.pendingPrewriteCount == 2, "neither row may be consumed on ambiguity")
+  }
+
   test("a commit at or below the region's resolved ts is rejected (the promise)") {
     val s = newSource()
     s.advanceResolved(0, 50L)

@@ -94,6 +94,12 @@ class DocumentChangeSourceSpec extends AnyFunSuite {
     val cont = src.startAfter(invalidTok)
     assert(cont.map(_.event.asInstanceOf[DataChangeEvent].after("doc")) ==
       Seq("""{"n": "reborn"}"""))
+    // the CONTROL-PATH resume: a stream that parked AT the drop position,
+    // handled + acked the DropTableEvent, restarts from there — its window
+    // starts at the drop offset and must be allowed through
+    val (dropAt, _) = src.firstDdlOffset(0L, src.currentOffset).get
+    assert(src.readLog(dropAt, src.currentOffset)
+      .map(_.event.asInstanceOf[DataChangeEvent].after("doc")) == Seq("""{"n": "reborn"}"""))
     // a second drop of the already-invalidated stream is refused
     intercept[IllegalArgumentException](src.dropCollection())
   }
