@@ -469,6 +469,63 @@ object Bench {
         .filter(col("text").contains("customer")).count() > 0, "b9 scan must hit")
     }.foreach(sec => out += "b9_like_scan_sec" -> sec)
 
+    // B10: round-9 fetcher-path envelope — the driver-side log-assembly
+    // code the new source families run per event. A real connector's
+    // single fetcher thread executes exactly this work, so its events/s
+    // bounds the source's ingest rate no matter how many executors the
+    // query has — the one part of a CDC pipeline that does NOT scale out,
+    // hence measured rather than assumed. Scripting the transactions is
+    // untimed; the timed work is a full-range readLog: LogMiner groups the
+    // interleaved redo by XID and emits in commit-SCN order, TiCdc drains
+    // the watermark sorter's TreeMap range in commit-ts order.
+    once("b10") {
+      val pkSchema = TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("id"))
+      val nTx = 5000
+      val perTx = 10
+      val nEv = nTx.toLong * perTx
+
+      val lm = new graft.sources.oracle.LogMinerChangeSource(
+        TableId.parse("bench.lm"), pkSchema, Seq.empty)
+      var lmKey = 0L
+      (0 until nTx).grouped(50).foreach { g =>
+        val txs = g.map(_ => lm.begin()) // 50 transactions open at once,
+        (0 until perTx).foreach { i =>   // entries round-robin interleaved
+          txs.foreach { tx =>
+            tx.insert(Map[String, Any]("id" -> lmKey, "v" -> s"x$i")); lmKey += 1
+          }
+        }
+        txs.foreach(_.commit())
+      }
+      val lmHi = lm.currentOffset
+      timed("b10_logminer") {
+        require(lm.readLog(0L, lmHi).size == nEv, "logminer must emit every entry")
+      }.foreach(sec => out += "b10_logminer_assembly_events_per_sec" -> nEv / sec)
+
+      val ti = new graft.sources.tidb.TiCdcChangeSource(
+        TableId.parse("bench.ti"), pkSchema, Seq.empty,
+        initialRegions = 4, regionSpan = nEv / 4)
+      // commit arrival shuffled relative to commit-ts order (fixed seed):
+      // the sorter, not the scripter, restores the order the read relies on
+      val order = new scala.util.Random(42).shuffle((0L until nEv).toVector)
+      order.foreach { k =>
+        ti.writeCommitted(2 * k + 1, 2 * k + 2,
+          DataChangeEvent.insert(TableId.parse("bench.ti"),
+            Map[String, Any]("id" -> k, "v" -> "x")))
+      }
+      ti.advanceAllResolved(2 * nEv + 2)
+      val tiHi = ti.currentOffset
+      timed("b10_ticdc") {
+        val got = ti.readLog(0L, tiHi)
+        require(got.size == nEv, s"sorter must drain every committed row, got ${got.size}")
+      }.foreach(sec => out += "b10_ticdc_sorter_events_per_sec" -> nEv / sec)
+    }
+
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the
     // schema-evolution stall probe. Same warmup + median-of-3 + raw
     // discipline as B1–B5 (r08's single un-instrumented run drifted 3.7×

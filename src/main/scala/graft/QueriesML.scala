@@ -145,6 +145,61 @@ object QueriesML {
       Dedup.incrementalDedup(newBatch, hist, "doc_id", "text").orderBy("doc_id")
     }),
 
+    "d_incremental_lsh" -> ((s, dir) => {
+      // MAINTAINED near-dup signature index ([[graft.streaming.LshMaintenance]]):
+      // the corpus lands in a lakehouse table as three commits; a standing
+      // query appends each increment's banded MinHash rows with batch-id txn
+      // replay-skip, is KILLED after the second commit (the third lands while
+      // down), and the restarted maintainer signatures the down-time docs
+      // exactly once (require: incremental == one-shot banded rows). The new
+      // batch — 30 exact copies of history, 20 synthetic docs whose
+      // vocabulary is disjoint from the corpus, and one within-batch
+      // duplicated pair — dedups against the INDEX (signatures only, history
+      // text never re-read): copies collide in every band with sigSim 1.0
+      // and drop; disjoint-vocabulary docs share no shingle, hence no band
+      // bucket, and survive; the pair keeps its lower id.
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.streaming.LshMaintenance
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_lsh_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(d.schema), buckets = 4)
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      src.append(d.filter(col("doc_id") <= maxId / 3))
+      val q1 = LshMaintenance.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try {
+        q1.processAllAvailable()
+        src.append(d.filter(col("doc_id") > maxId / 3 &&
+          col("doc_id") <= 2 * maxId / 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      src.append(d.filter(col("doc_id") > 2 * maxId / 3)) // while DOWN
+      val q2 = LshMaintenance.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try q2.processAllAvailable() finally q2.stop()
+      val index = new LakehouseTable(s, idxRoot)
+      val want = graft.dedup.Dedup.bandedSignatures(d, "doc_id", "text")
+      require(index.read().exceptAll(want).isEmpty &&
+        want.exceptAll(index.read()).isEmpty,
+        "incrementally maintained signature index diverged from one-shot banding")
+      val synth = concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => concat(lit("zq"), col("doc_id").cast("string"), lit("t"), j.cast("string"))))
+      val pairText = "zzpair " + (0 until 39).map(j => s"zzpairt$j").mkString(" ")
+      val newBatch = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 610000).as("doc_id"), synth.as("text")))
+        .unionByName(s.range(620000, 620002)
+          .select(col("id").as("doc_id"), lit(pairText).as("text")))
+      val survivors = LshMaintenance.dedupAgainstIndex(
+        s, idxRoot, newBatch, "doc_id", "text", threshold = 1.0)
+      newBatch.join(survivors.select(col("doc_id"), lit(true).as("kept")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "d_dup_spans" -> ((s, dir) => {
       // Substring-level duplicate spans (Lee et al. 2022, "Deduplicating
       // Training Data Makes Language Models Better": duplicated substrings,
@@ -224,6 +279,30 @@ object QueriesML {
         lit(150L) * (substring(col("domain"), 4, 10).cast("long") % 4)
       TrainingData.mixToBudget(docs(s, dir), "doc_id", "text", "source", budget)
         .orderBy("domain", "doc_id")
+    }),
+    "x_shard_shuffle" -> ((s, dir) => {
+      // deterministic training-shard shuffle: portable LCG permutation key,
+      // shard = key mod 8, position ranks (key, id) within the shard — the
+      // reproducible data-ordering pass; the oracle replays the identical
+      // int64 arithmetic, so (shard, pos) match value-for-value
+      TrainingData.shardShuffle(docs(s, dir).select(col("doc_id")), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+    "x_boilerplate" -> ((s, dir) => {
+      // corpus-frequency boilerplate removal: a 10-word cookie banner is
+      // prepended to every third document (aligned to the segment window),
+      // crosses the distinct-document threshold, and is dropped from ALL of
+      // them — while genuinely rare segments survive untouched. Contrast
+      // d_span_dedup (keep-first): here no copy survives.
+      import graft.dedup.Dedup
+      val banner = lit("we use cookies accept our terms privacy policy site notice")
+      val fixture = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(banner, lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeBoilerplate(fixture, "doc_id", "text", window = 10, minDocFreq = 100)
+        .orderBy("doc_id")
     }),
     "d_embedding_dup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
@@ -958,6 +1037,42 @@ object QueriesML {
         |FROM g
         |WHERE cum_tokens - n_tokens < 200 + 150 * (CAST(substr(domain, 4) AS BIGINT) % 4)
         |ORDER BY domain, doc_id""".stripMargin,
+    // the identical LCG arithmetic (reduce mod 2^31 before the multiply, so
+    // int64 never overflows) and the same (key, id) total order per shard
+    "x_shard_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8
+        |                          ORDER BY key, doc_id) AS INT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    // same segmentation as d_span_dedup, but the filter is corpus-wide
+    // distinct-document frequency: segments in >= 100 docs drop everywhere
+    "x_boilerplate" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'we use cookies accept our terms privacy policy site notice ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM all_docs),
+        |segs AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS i
+        |        FROM words)),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+        |SELECT s.doc_id,
+        |  string_agg(s.seg, ' ' ORDER BY s.idx) AS text,
+        |  count(*) AS kept_segments
+        |FROM segs s JOIN freq f USING (seg)
+        |WHERE f.df < 100
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // posting lists from the maintained index == full-scan tokenization
     "x_inverted_index" ->
       """WITH toks AS (
@@ -1418,6 +1533,19 @@ object QueriesML {
         |SELECT doc_id, text FROM newb
         |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN
         |  (SELECT fp FROM hfp)
+        |ORDER BY doc_id""".stripMargin,
+    // exact copies collide in every MinHash band (sigSim 1.0) and drop;
+    // disjoint-vocabulary synthetics share no shingle with anything and
+    // survive; the within-batch duplicated pair keeps its lower id
+    "d_incremental_lsh" ->
+      """SELECT doc_id + 600000 AS doc_id, FALSE AS kept
+        |FROM documents WHERE doc_id < 30
+        |UNION ALL
+        |SELECT doc_id + 610000 AS doc_id, TRUE AS kept
+        |FROM documents WHERE doc_id < 20
+        |UNION ALL
+        |SELECT CAST(v.id AS BIGINT) AS doc_id, v.kept
+        |FROM (VALUES (620000, TRUE), (620001, FALSE)) AS v(id, kept)
         |ORDER BY doc_id""".stripMargin,
     "d_dup_spans" ->
       """WITH all_docs AS (

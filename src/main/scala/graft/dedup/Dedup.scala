@@ -69,7 +69,13 @@ object Dedup {
     * ONE shuffle into (band, hash) buckets → within-bucket pair explosion →
     * pair dedup. No cartesian product anywhere.
     */
-  def minHashLshCandidates(
+  /** Banded MinHash signature rows `(band, bucketKey, id, payload)` — the
+    * unit both the in-run candidate join ([[minHashLshCandidates]]) and the
+    * maintained cross-run signature index
+    * ([[graft.streaming.LshMaintenance]]) operate on. Map-only: signature
+    * once per document, band keys derived by hashing signature slices.
+    */
+  def bandedSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -78,17 +84,27 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minHashSignature(col(textCol), shingleSize, numHashes).as("payload"))
-    val banded = sig.select(
-      col("id"),
-      col("payload"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("payload"), b * rows + 1, lit(rows)))))))
+    df.select(
+        col(idCol).as("id"),
+        minHashSignature(col(textCol), shingleSize, numHashes).as("payload"))
+      .select(
+        col("id"),
+        col("payload"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("payload"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucketKey")
+  }
+
+  def minHashLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol, shingleSize, numHashes, bands)
     bucketPairs(banded)
       .select(
         col("idA"),
@@ -314,6 +330,66 @@ object Dedup {
             s => s.getField("__span")),
           " ").as(textCol),
         count(lit(1)).as("kept_spans"))
+  }
+
+  /** Corpus-frequency boilerplate removal (the C4 / RefinedWeb
+    * repeated-paragraph rule): cut each document into consecutive
+    * `window`-word segments, count each segment text's DISTINCT-document
+    * frequency corpus-wide, and drop EVERY occurrence of segments seen in
+    * `minDocFreq` or more documents — nav bars, cookie banners, license
+    * headers. Surviving segments reassemble in order; documents that lose
+    * all segments (pure boilerplate) drop out.
+    *
+    * Contrast [[spanDedup]]: span dedup keeps the FIRST occurrence of each
+    * repeated span (substring dedup — the copy is the problem); this pass
+    * removes ALL copies once a segment crosses the frequency threshold (the
+    * segment itself is the problem — the first cookie banner is as worthless
+    * as the ten-thousandth).
+    *
+    * Plan shape: segments derive map-only (split + slice lambda, no UDF)
+    * and are computed twice — once under the frequency aggregate, once on
+    * the filter side — because recomputing a map-only derivation is cheaper
+    * at 100 TB than materializing corpus-scale segment rows. The frequency
+    * aggregate shuffles on segment text (map-side partial count-distinct
+    * collapses each partition's copies of a hot boilerplate segment before
+    * the shuffle, so frequency skew is bounded by partition count); the
+    * filter is then a LEFT ANTI join against only the segments that
+    * CROSSED the threshold — the small set by construction (at most
+    * total-occurrences / minDocFreq distinct segments), so it broadcasts
+    * at any corpus size, where joining the surviving-segment frequencies
+    * would broadcast nearly the whole vocabulary. Reassembly groups by
+    * document: segments shuffle, documents never do, and segment volume ==
+    * corpus token volume — the [[spanDedup]] scale shape.
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      minDocFreq: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(minDocFreq > 1, s"minDocFreq must exceed 1: $minDocFreq")
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val nSegs = ceil(size(col("__w")) / lit(window.toDouble)).cast("long")
+    val segs = df.select(col(idCol), words.as("__w"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), nSegs - 1),
+        i => array_join(
+          slice(col("__w"), (i * window + 1).cast("int"), lit(window)), " "))))
+      .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__seg")
+    val boilerplate = segs.groupBy(col("__seg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__seg"))
+    segs.join(boilerplate, Seq("__seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__seg")))),
+            s => s.getField("__seg")),
+          " ").as(textCol),
+        count(lit(1)).as("kept_segments"))
   }
 
   // ---------- incremental (cross-run) dedup ---------------------------------

@@ -225,6 +225,40 @@ object TrainingData {
       .select(col(idCol), col("domain"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic global shuffle into training shards: every run, every
+    * engine, every cluster assigns the SAME `(shard, pos)` to a given id —
+    * the reproducible data-ordering pass a training job runs last, so a
+    * resumed or re-launched run reads examples in an identical order and an
+    * auditor can recompute any example's position from its id alone.
+    *
+    * The permutation key is one portable LCG step on the id (the
+    * [[deterministicBucket]] arithmetic — pure int64, identical in Spark and
+    * the DuckDB oracle, never overflows under ANSI mode); `shard = key mod
+    * shards`, and `pos` ranks `(key, id)` within the shard — a total order,
+    * so ties cannot reorder between runs. Consecutive ids land far apart
+    * (the multiplier disperses them), which is the point: sequential-id
+    * locality (crawl order, table order) must NOT survive into training
+    * order.
+    *
+    * Scale shape: the key and shard are map-only; the only exchange is the
+    * per-shard ranking window — parallelism equals shard count, so at
+    * 100 TB the operator is run with thousands of shards (each window then
+    * sorts corpus/shards, which is also the unit a trainer consumes). A
+    * 4-shard toy run concentrating the sort is the misuse, not the design.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val keyCol = "__graft_shuffle_key"
+    val key = pmod(
+      pmod(col(idCol), lit(1L << 31)) * lit(1103515245L) + lit(12345L),
+      lit(1L << 31))
+    val w = Window.partitionBy(col("shard")).orderBy(col(keyCol), col(idCol))
+    df.withColumn(keyCol, key)
+      .withColumn("shard", pmod(col(keyCol), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .drop(keyCol)
+  }
+
   def strictWordGrams(text: Column, k: Int): Column =
     graft.functions.CatalystExprs.strictWordGrams(text, k)
 
