@@ -477,6 +477,101 @@ object QueriesCdc {
       }
     }),
 
+    "c_postgres_socket" -> ((s, dir) => {
+      // the SECOND source family's live socket: a walsender double behind a
+      // real TCP listener speaking the PostgreSQL v3 + streaming-replication
+      // protocol (START_REPLICATION → CopyBoth → XLogData-wrapped pgoutput),
+      // driven through the incremental framework's chunk → LW/HW → tail
+      // machinery with checkpoint restart. The slot semantics of
+      // c_postgres_wire run here AGAINST WIRE BYTES: confirmed_flush_lsn
+      // advances through real standby-status-update frames (the runtime's
+      // commitOffset feedback), retention trims behind it, and a dump from
+      // a recycled position is refused with a real ErrorResponse.
+      import graft.sources.postgres.{PgReplicationClient, PgReplicationServerDouble,
+        PgSocketChangeSource, WalChangeSource}
+      val t = TableId.parse("public.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val wal = new WalChangeSource(t, schema, initial)
+      val double = new PgReplicationServerDouble(wal)
+      double.start()
+      val src = new PgSocketChangeSource(double)
+      val srcId = s"verify-pgsock-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1), "v" -> "old"),
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (batchA, batchB) = ev.partition(_.getLong(0) < 150)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pgsock").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+        // run 1: chunked snapshot, then batch A tailed LIVE over the socket
+        run(batchA.grouped(25).foreach(g => wal.commitTx(g.toSeq.map(upd))))
+        require(buf.size == 150 + batchA.length,
+          s"run 1 must emit 150 snapshot + ${batchA.length} live rows, got ${buf.size}")
+        require(double.sessionCount > 0, "the log phase must use real walsender sessions")
+        // while DOWN: batch B + trailing deletes land in the WAL
+        batchB.grouped(25).foreach(g => wal.commitTx(g.toSeq.map(upd)))
+        wal.commitTx((140L until 150L).map(id =>
+          DataChangeEvent.delete(t, Map("id" -> id, "v" -> "any"))))
+        // run 2: checkpoint resume replays exactly the missed suffix
+        run(())
+        val run2 = buf.size - 150 - batchA.length
+        require(run2 == batchB.length + 10,
+          s"restart must replay exactly the missed ${batchB.length + 10} events, got $run2")
+        // the runtime's commitOffset feedback arrived as standby-status
+        // frames: the slot advanced and recycled the WAL behind it —
+        // a replay from zero is now refused ON THE WIRE
+        require(wal.confirmedFlushLsn.isValid, "checkpoint feedback must advance the slot")
+        val refusal = try {
+          PgReplicationClient.dump("127.0.0.1", double.port, wal.slotName,
+            t.schemaName, fromLsn = 0L, flushedLsn = 0L)
+          ""
+        } catch { case e: IllegalStateException => e.getMessage }
+        require(refusal.contains("58P01"),
+          s"recycled-WAL dump must fail with the wire error, got: $refusal")
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally {
+        ChangeSourceRegistry.remove(srcId)
+        double.stop()
+      }
+    }),
+
     // MULTI-SOURCE ROUTE MERGE: three architecturally different families —
     // a poll-based change-table source, a sharded VGtid source, and a
     // watermark-sorted TiKV source — feed ONE pipeline, each through its
@@ -1848,6 +1943,17 @@ object QueriesCdc {
     // final state after snapshot + live tail + down-time replay over the
     // binlog socket (updates for event_id < 300, deletes of ids 140-149)
     "c_mysql_socket" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // same final-state shape as c_mysql_socket: snapshot + live tail +
+    // down-time suffix (updates event_id < 300, deletes 140-149), replayed
+    // through the walsender socket instead of the binlog one
+    "c_postgres_socket" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
