@@ -452,6 +452,43 @@ object QueriesML {
       Bm25Search.search(s, idxRoot, Seq("data", "join", "merge"), k = 10)
         .orderBy("rank")
     }),
+    "x_hybrid_search" -> ((s, dir) => {
+      // two-stage retrieval (the RAG serving shape): BM25 candidates from
+      // maintained posting/doclen tables (stage 1 — probed posting lists,
+      // corpus never scanned), reranked by embedding cosine against the
+      // query vector (stage 2 — candidate-bounded: 20 vectors join one
+      // broadcast query row, never the corpus). vec_id aligns 1:1 with
+      // doc_id in the fixture; the rerank orders on the RAW cosine (the
+      // a_ann_bruteforce precedent: both engines fold the dot product in
+      // array order, so IEEE doubles agree bit-for-bit).
+      implicit val sp: SparkSession = s
+      import graft.sinks.LakehouseTable
+      import graft.textops.Bm25Search
+      import graft.functions.VectorFunctions
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_hyb_src").toString
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_hyb_idx").toString
+      val src = new LakehouseTable(s, srcRoot)
+      src.create(TableSchema(d.schema), buckets = 4)
+      src.append(d)
+      val q1 = Bm25Search.maintain(s, srcRoot, idxRoot, "doc_id", "text")
+      try q1.processAllAvailable() finally q1.stop()
+      val cands = Bm25Search.search(s, idxRoot, Seq("data", "join", "merge"), k = 20)
+        .select(col("doc_id"), col("score").as("bm25"))
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val qv = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+      val w = Window.orderBy(col("cosine_raw").desc, col("doc_id").asc)
+      cands.join(e, cands("doc_id") === e("vec_id"))
+        .join(broadcast(qv))
+        .select(col("doc_id"), col("bm25"),
+          VectorFunctions.cosine(col("embedding"), col("qvec")).as("cosine_raw"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("bm25"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
     "x_bpe" -> ((s, dir) => {
       // learned byte-pair encoding over the corpus itself (Sennrich 2016):
       // word counting is the only corpus-scale pass; merge learning runs on
@@ -1142,6 +1179,51 @@ object QueriesML {
         |  FROM agg)
         |SELECT doc_id, score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // stage 1 = the x_bm25_search formula widened to top-20; stage 2 joins
+    // the candidates' embeddings and reranks on the raw cosine (both
+    // engines fold the dot product in array order — a_ann precedent)
+    "x_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'join', 'merge']) AS term),
+        |lists AS (SELECT tf.* FROM tf JOIN q USING (term)),
+        |dfreq AS (SELECT term, count(*) AS df FROM lists GROUP BY 1),
+        |scored AS (
+        |  SELECT l.doc_id, l.term,
+        |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |    (l.tf * (1.2 + 1.0) /
+        |     (l.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / s.avgdl))) AS sc
+        |  FROM lists l JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id,
+        |    list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS score_raw
+        |  FROM scored GROUP BY 1),
+        |cand AS (
+        |  SELECT doc_id, round(score_raw, 4) AS bm25,
+        |    row_number() OVER (
+        |      ORDER BY round(score_raw, 4) DESC, doc_id ASC) AS r1
+        |  FROM agg),
+        |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |rer AS (
+        |  SELECT c.doc_id, c.bm25,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+        |  CROSS JOIN qv q
+        |  WHERE c.r1 <= 20),
+        |fin AS (
+        |  SELECT doc_id, bm25, cos,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+        |  FROM rer)
+        |SELECT doc_id, bm25, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM fin WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // chunk windows == SQL list slices over the same whitespace tokens
     "x_chunk_windows" ->
       """WITH t AS (
