@@ -210,6 +210,84 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    "c_mongo_socket" -> ((s, dir) => {
+      // the THIRD architecture's live socket: the document change-stream
+      // model over real OP_MSG wire bytes — hello, aggregate with a
+      // $changeStream stage, getMore cursor paging, resume tokens across
+      // sessions — driven through the incremental framework with a
+      // kill/restart (the down-time suffix resumes at the checkpointed
+      // position's token, exactly how a real change stream resumes).
+      // Update events resolve UPDATE_LOOKUP-style ON THE SERVER before
+      // they cross the wire.
+      import graft.sources.mongo.{DocumentChangeSource, MongoServerDouble,
+        MongoSocketChangeSource}
+      val t = TableId.parse("appdb.collection")
+      val initial = (0L until 150L).map(i => (i, """{"v": "init"}"""))
+      val mongo = new DocumentChangeSource(t, initial)
+      val double = new MongoServerDouble(mongo)
+      double.start()
+      val src = new MongoSocketChangeSource(double)
+      val srcId = s"verify-mongosock-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): Unit =
+          mongo.updateDoc(r.getLong(1), s"""{"v": "e${r.getLong(0)}"}""")
+        val (batchA, batchB) = ev.partition(_.getLong(0) < 150)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_mongosock").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def run(body: => Unit): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("chunk.size", "40")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+            .start()
+          q.processAllAvailable()
+          body
+          q.processAllAvailable()
+          q.stop()
+        }
+        // run 1: chunked snapshot, then batch A tailed LIVE over the socket
+        run(batchA.foreach(upd))
+        require(buf.size == 150 + batchA.length,
+          s"run 1 must emit 150 snapshot + ${batchA.length} live rows, got ${buf.size}")
+        require(double.sessionCount > 0, "the log phase must use real OP_MSG sessions")
+        // while DOWN: batch B, trailing deletes, and replaces whose
+        // update-lookups must resolve to the REPLACED state
+        batchB.foreach(upd)
+        (140L until 150L).foreach(mongo.deleteDoc(_))
+        (0L until 5L).foreach(i => mongo.replaceDoc(i, """{"v": "final"}"""))
+        // run 2: checkpoint resume — the restarted stream resumes at the
+        // checkpointed position's token over the wire
+        run(())
+        val run2 = buf.size - 150 - batchA.length
+        require(run2 == batchB.length + 15,
+          s"restart must replay exactly the missed ${batchB.length + 15} events, got $run2")
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, d)) if d != null => (id, d) }
+        import s.implicits._
+        rows.toDF("_id", "doc").orderBy("_id")
+      } finally {
+        ChangeSourceRegistry.remove(srcId)
+        double.stop()
+      }
+    }),
+
     // The Postgres logical-decoding model through the same incremental
     // source ([[graft.sources.postgres.WalChangeSource]]) — the last
     // architecturally distinct offset family: LSN offsets (sparse,
@@ -1921,6 +1999,19 @@ object QueriesCdc {
         |SELECT user_id AS id, 'e' || CAST(me AS VARCHAR) AS v
         |FROM last ORDER BY id""".stripMargin,
     "c_mongo_style" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id),
+        |base AS (
+        |  SELECT u._id,
+        |    COALESCE('{"v": "e' || CAST(l.me AS VARCHAR) || '"}', '{"v": "init"}') AS doc
+        |  FROM range(150) AS u(_id) LEFT JOIN last l ON l.user_id = u._id)
+        |SELECT _id, CASE WHEN _id < 5 THEN '{"v": "final"}' ELSE doc END AS doc
+        |FROM base WHERE _id < 140 ORDER BY _id""".stripMargin,
+    // same final-state shape as c_mongo_style (updates event_id < 300,
+    // deletes 140-149, replaces of ids 0-4), replayed through the OP_MSG
+    // change-stream socket with a checkpoint restart
+    "c_mongo_socket" ->
       """WITH e AS (
         |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
         |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id),

@@ -144,6 +144,43 @@ final class DocumentChangeSource(
 
   def invalidateToken: Option[ResumeToken] = synchronized(invalidateTok)
 
+  /** One change-stream event as the SERVER delivers it — including the
+    * `drop`/`invalidate` pair a dying stream ends with, which the
+    * consumer-side [[readLog]] guard refuses to cross. This is the view
+    * [[MongoServerDouble]] serializes onto the wire. */
+  final case class StreamEvent(
+      token: ResumeToken,
+      tsMillis: Long,
+      opType: String,
+      id: Option[Long],
+      fullDocument: Option[String])
+
+  /** Everything after a position, in server order: data events (updates
+    * resolved UPDATE_LOOKUP-style against the live collection), then —
+    * if the collection was dropped inside the range — the `drop` and
+    * `invalidate` events that close the stream. */
+  def streamEventsAfter(fromExclusive: Long): Seq[StreamEvent] = synchronized {
+    val data = oplog
+      .filter(e => e.token.decodePosition > fromExclusive)
+      .map { e =>
+        val full = e.op match {
+          case OperationType.INSERT | OperationType.REPLACE => e.fullDocument
+          case OperationType.UPDATE => collection.get(e.id) // update lookup
+          case OperationType.DELETE => None
+        }
+        StreamEvent(e.token, e.tsMillis, e.op.toString.toLowerCase, Some(e.id), full)
+      }.toSeq
+    val control = (dropPos, invalidatePos, invalidateTok) match {
+      case (Some(d), Some(p), Some(tok)) if d > fromExclusive =>
+        Seq(
+          StreamEvent(ResumeToken.encode(tok.decodeTimestampMillis, d),
+            tok.decodeTimestampMillis, "drop", None, None),
+          StreamEvent(tok, tok.decodeTimestampMillis, "invalidate", None, None))
+      case _ => Seq.empty
+    }
+    (data ++ control).sortBy(_.token.decodePosition)
+  }
+
   // ---- token-level API (what a real resumed change stream uses) ------------
 
   /** The resume token at a monotone position (the checkpointed pair). */
