@@ -174,6 +174,14 @@ final class MongoServerDouble(val source: DocumentChangeSource, batchSize: Int =
   @volatile private var sessions = 0
   def sessionCount: Int = sessions
 
+  /** fault injection: the next `n` aggregate sessions die before replying
+    * (the connection drops mid-exchange) — the transient failure
+    * [[graft.sources.cdc.WireRetry]] absorbs. */
+  private val injectedFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextSessions(n: Int): Unit = injectedFailures.set(n)
+  private def claimFailure(): Boolean =
+    injectedFailures.getAndUpdate(v => math.max(0, v - 1)) > 0
+
   // live cursors: id -> remaining events
   private val cursors = mutable.Map.empty[Long, mutable.Queue[DocumentChangeSource#StreamEvent]]
   private var cursorCounter = 7000L
@@ -232,6 +240,9 @@ final class MongoServerDouble(val source: DocumentChangeSource, batchSize: Int =
   /** `{aggregate: <coll>, pipeline: [{$changeStream: {...}}], cursor: {}}` */
   private def aggregate(cmd: BDoc): BDoc = {
     sessions += 1
+    // injected mid-exchange death: no reply ever arrives, the connection
+    // drops, and the client must retry the whole bounded read
+    if (claimFailure()) throw new java.io.IOException("injected connection drop")
     val coll = cmd.getStr("aggregate").getOrElse(return err(14, "TypeMismatch", "collection name"))
     if (coll != source.tableId.tableName)
       return err(26, "NamespaceNotFound", s"collection $coll does not exist")
@@ -404,9 +415,10 @@ final class MongoSocketChangeSource(double: MongoServerDouble) extends ChangeSou
       val j = t.json; val i = j.indexOf("\"_data\": \"") + 10
       j.substring(i, j.indexOf('"', i))
     }
-    MongoChangeStreamClient.dump(
-      "127.0.0.1", double.port, tableId.schemaName, tableId.tableName, resume)
-      .filter(e => e.opType != "drop" && e.opType != "invalidate")
+    graft.sources.cdc.WireRetry.withRetries() {
+      MongoChangeStreamClient.dump(
+        "127.0.0.1", double.port, tableId.schemaName, tableId.tableName, resume)
+    }.filter(e => e.opType != "drop" && e.opType != "invalidate")
       .map { e =>
         val off = ResumeToken(s"""{"_data": "${e.tokenHex}"}""").decodePosition
         val id = e.id.getOrElse(throw new IllegalStateException("data event without key"))

@@ -429,6 +429,14 @@ final class BinlogServerDouble(
   def dumpSessionCount: Int = dumpSessions
   def fileCount: Int = synchronized(curFile + 1)
 
+  /** fault injection: the next `n` dump sessions die mid-stream (a partial
+    * prefix is sent, then the connection drops with no EOF) — the transient
+    * failure [[graft.sources.cdc.WireRetry]] exists to absorb. */
+  private val injectedFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextSessions(n: Int): Unit = injectedFailures.set(n)
+  private def claimFailure(): Boolean =
+    injectedFailures.getAndUpdate(v => math.max(0, v - 1)) > 0
+
   private def keyOf(r: Map[String, Any]): Long = r(pk) match {
     case l: Long => l
     case i: Int => i.toLong
@@ -602,18 +610,28 @@ final class BinlogServerDouble(
     def send(event: Array[Byte]): Unit = {
       writePacket(out, seq, Array[Byte](0x00) ++ event); seq += 1
     }
+    val failing = claimFailure()
+    var sent = 0
+    var died = false
     val (snapshot, lastFile) = synchronized((events.toVector, curFile))
     (startFile to lastFile).foreach { fi =>
-      val fromPos = if (fi == startFile) startPos else FileMagicLen.toLong
-      send(encodeEvent(0L, RotateEvent, serverId, 0L,
-        encodeRotatePayload(fromPos, BinlogOffsets.fileName(fi))))
-      send(encodeEvent(0L, FormatDescriptionEvent, serverId, 0L,
-        encodeFormatDescriptionPayload()))
-      snapshot.iterator
-        .filter(s => s.fileIdx == fi && s.startPos >= fromPos)
-        .foreach(s => send(s.bytes))
+      if (!died) {
+        val fromPos = if (fi == startFile) startPos else FileMagicLen.toLong
+        send(encodeEvent(0L, RotateEvent, serverId, 0L,
+          encodeRotatePayload(fromPos, BinlogOffsets.fileName(fi))))
+        send(encodeEvent(0L, FormatDescriptionEvent, serverId, 0L,
+          encodeFormatDescriptionPayload()))
+        snapshot.iterator
+          .filter(s => s.fileIdx == fi && s.startPos >= fromPos)
+          .foreach { s =>
+            if (failing && sent >= 2) died = true // mid-stream death point
+            if (!died) { send(s.bytes); sent += 1 }
+          }
+      }
     }
-    writePacket(out, seq, encodeEof())
+    // an injected death drops the connection with NO EOF packet: the client
+    // sees the stream end mid-message and must retry the whole window
+    if (!failing) writePacket(out, seq, encodeEof())
   }
 }
 
@@ -716,8 +734,9 @@ final class BinlogSocketChangeSource(double: BinlogServerDouble) extends ChangeS
   override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
     double.firstDdlOffset(fromEx, toInc)
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
-    BinlogDumpClient.dump(
-      "127.0.0.1", double.port, fromExclusive,
-      double.schema.struct.fieldNames.toSeq, MySqlDdlParser.parse(_))
-      .filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
+    graft.sources.cdc.WireRetry.withRetries() {
+      BinlogDumpClient.dump(
+        "127.0.0.1", double.port, fromExclusive,
+        double.schema.struct.fieldNames.toSeq, MySqlDdlParser.parse(_))
+    }.filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
 }
