@@ -526,6 +526,35 @@ object Bench {
       }.foreach(sec => out += "b10_ticdc_sorter_events_per_sec" -> nEv / sec)
     }
 
+    // B11: wire round-trip throughput of the live socket path — row events
+    // through a REAL binlog dump session (server-side encode, loopback TCP,
+    // client-side decode to LogRecords). The per-event wire cost bounds a
+    // live tail phase the same way B10's assembly/sorter costs do: it is
+    // driver-side, it does not scale out, so it is measured, not assumed.
+    once("b11") {
+      val t = TableId.parse("bench.sock")
+      val sockSchema = TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("id"))
+      val double = new graft.sources.mysql.BinlogServerDouble(
+        t, sockSchema, Seq.empty, rotateEvery = 1000000)
+      double.start()
+      try {
+        val n = 20000L
+        (0L until n).grouped(100).foreach(g => double.commitTx(g.map(i =>
+          DataChangeEvent.insert(t, Map[String, Any]("id" -> i, "v" -> s"v$i"))).toSeq))
+        val src = new graft.sources.mysql.BinlogSocketChangeSource(double)
+        timed("b11_binlog_socket") {
+          require(src.readLog(0L, src.currentOffset).size == n,
+            "the dump session must decode every row event")
+        }.foreach(sec => out += "b11_binlog_wire_events_per_sec" -> n / sec)
+      } finally double.stop()
+    }
+
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the
     // schema-evolution stall probe. Same warmup + median-of-3 + raw
     // discipline as B1–B5 (r08's single un-instrumented run drifted 3.7×

@@ -145,6 +145,19 @@ object CurationPipeline {
         val rebuilt = Dedup.spanDedup(df, idCol, textCol, cfg("window", "10").toInt)
           .drop("kept_spans")
         df.drop(textCol).join(rebuilt, Seq(idCol))
+      case "boilerplate" =>
+        // corpus-frequency repeated-segment removal (the C4/RefinedWeb
+        // rule): segments in >= min-doc-freq distinct documents drop from
+        // ALL of them (contrast span-dedup's keep-first); documents that
+        // lose every segment drop out; rebuilt text replaces the original
+        val rebuilt = Dedup.removeBoilerplate(df, idCol, textCol,
+          cfg("window", "10").toInt, cfg("min-doc-freq", "100").toInt)
+          .drop("kept_segments")
+        df.drop(textCol).join(rebuilt, Seq(idCol))
+      case "shard-shuffle" =>
+        // terminal training-order step: every run/engine assigns the same
+        // (shard, pos) — reproducible data order for the training job
+        TrainingData.shardShuffle(df, idCol, cfg("shards", "1024").toInt)
       case "decontaminate" =>
         val bench = spark.read.parquet(step.config.getOrElse("benchmark",
           throw new IllegalArgumentException("decontaminate requires 'benchmark'")))

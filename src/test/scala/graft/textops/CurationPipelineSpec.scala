@@ -327,6 +327,30 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(step(df, "sample", "fraction" -> "1.0").count() == 3)
   }
 
+  test("boilerplate and shard-shuffle steps") {
+    val df = Seq(
+      (1L, "cookie banner alpha beta"),
+      (2L, "cookie banner gamma delta"),
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    def step(d: org.apache.spark.sql.DataFrame, t: String, cfg: (String, String)*) =
+      CurationPipeline.applyStep(spark, d, CurationPipeline.StepDef(t, cfg.toMap),
+        "doc_id", "text")
+    // the shared 2-word segment crosses min-doc-freq 2 and drops EVERYWHERE;
+    // non-text columns ride along
+    val bp = step(df, "boilerplate", "window" -> "2", "min-doc-freq" -> "2")
+    assert(bp.columns.toSet == Set("doc_id", "source", "text"))
+    val texts = bp.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts == Map(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "unrelated words entirely here"))
+    // shard-shuffle appends deterministic (shard, pos); two runs agree
+    val sh1 = step(df, "shard-shuffle", "shards" -> "2")
+    assert(sh1.columns.toSet == Set("doc_id", "source", "text", "shard", "pos"))
+    val sh2 = step(df, "shard-shuffle", "shards" -> "2")
+    assert(sh1.select($"doc_id", $"shard", $"pos").as[(Long, Long, Int)].collect().toSet ==
+      sh2.select($"doc_id", $"shard", $"pos").as[(Long, Long, Int)].collect().toSet)
+  }
+
   test("perplexity-filter step: LM-unlikely docs drop, short docs configurable") {
     def step(d: org.apache.spark.sql.DataFrame, cfg: (String, String)*) =
       CurationPipeline.applyStep(spark, d,
