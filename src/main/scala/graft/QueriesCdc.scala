@@ -210,6 +210,41 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    "c_delta_interchange" -> ((s, dir) => {
+      // ecosystem wire compatibility (the Paimon/Iceberg-connector slice the
+      // offline sandbox allows): a lakehouse table built by two merges (the
+      // second carrying COW deletes + a txn id) exports as a Delta-readable
+      // directory — a real `_delta_log` JSON commit over plain parquet per
+      // the public protocol spec — and imports back data-identical, with
+      // the exactly-once txn bookkeeping surviving the interchange.
+      import graft.sinks.{DeltaInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_delta_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 300 && col("user_id") < 150)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 150), s.range(0).select(col("id").as("k")))
+      t.merge(batch(col("event_id") >= 150), s.range(0).select(col("id").as("k")))
+      t.merge(s.range(0).select(col("id").as("k"), lit("").as("v")),
+        s.range(140, 150).select(col("id").as("k")),
+        txn = Some(("delta-gate", 1L)))
+      val dest = java.nio.file.Files.createTempDirectory("graft_delta_dst").toString
+      DeltaInterchange.export(s, t, dest)
+      val back = DeltaInterchange.importDelta(s, dest)
+      require(DeltaInterchange.readLog(dest).txns == Map("delta-gate" -> 1L),
+        "txn bookkeeping must survive the interchange")
+      require(back.schema == t.read().schema, "schemaString must round trip")
+      back.orderBy("k")
+    }),
+
     "c_mongo_socket" -> ((s, dir) => {
       // the THIRD architecture's live socket: the document change-stream
       // model over real OP_MSG wire bytes — hello, aggregate with a
@@ -2008,6 +2043,15 @@ object QueriesCdc {
         |  FROM range(150) AS u(_id) LEFT JOIN last l ON l.user_id = u._id)
         |SELECT _id, CASE WHEN _id < 5 THEN '{"v": "final"}' ELSE doc END AS doc
         |FROM base WHERE _id < 140 ORDER BY _id""".stripMargin,
+    // the merged-and-deleted state: last event per user under max-merge
+    // semantics (the second merge's per-user max >= any first-batch event
+    // for users it touches), users 140-149 deleted by the COW delete keys
+    "c_delta_interchange" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 300 AND user_id < 140
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
     // same final-state shape as c_mongo_style (updates event_id < 300,
     // deletes 140-149, replaces of ids 0-4), replayed through the OP_MSG
     // change-stream socket with a checkpoint restart

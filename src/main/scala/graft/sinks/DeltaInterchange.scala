@@ -1,0 +1,219 @@
+package graft.sinks
+
+import graft.core.TableSchema
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Delta Lake `_delta_log` interchange — the ecosystem wire-compatibility
+  * slice of the lakehouse (the reference ships Paimon/Iceberg pipeline
+  * connectors; Iceberg's manifests are Avro, unavailable offline, but the
+  * public Delta transaction-log format is newline-delimited JSON actions
+  * over plain parquet — fully writable and readable here, per the
+  * delta-io PROTOCOL.md specification):
+  *
+  *  - [[export]]: materialize a [[LakehouseTable]] snapshot as a
+  *    Delta-readable directory — data files copied to the root, one
+  *    `_delta_log/00000000000000000000.json` commit with `protocol`,
+  *    `metaData` (the Spark StructType JSON as `schemaString`), one `add`
+  *    per live file carrying `stats` (numRecords + min/maxValues from the
+  *    zone maps), and one `txn` per recorded (appId, version) — so
+  *    exactly-once bookkeeping survives interchange.
+  *  - [[importDelta]]: replay a `_delta_log` directory (versioned JSON
+  *    commits, `add`/`remove` with `dataChange` replay, `metaData` schema,
+  *    `txn` map) into a DataFrame + metadata. Unsupported Delta features
+  *    fail LOUDLY rather than read wrong data: reader version > 1
+  *    (column mapping / deletion vectors), partitioned tables (partition
+  *    values live outside the files), and checkpoint parquet
+  *    (`_last_checkpoint`) are explicit errors.
+  *
+  * Determinism: timestamps are fixed at 0 and the table id derives from
+  * the schema — a re-export is byte-identical, which is what lets the
+  * round-trip gate hash-check the path. No external Delta reader exists in
+  * this sandbox (offline coursier, documented in SCALE.md); the format
+  * itself is pinned against the public protocol spec by
+  * `DeltaInterchangeSpec`.
+  */
+object DeltaInterchange {
+
+  private val mapper = new ObjectMapper()
+
+  /** Export the table's LATEST snapshot. Refuses MERGE-ON-READ delete
+    * files (Delta models deletes by file rewrite; run `compact()` first)
+    * — silently dropping them would resurrect deleted rows. */
+  def export(spark: SparkSession, table: LakehouseTable, destDir: String): Unit = {
+    val snap = table.snapshot()
+    require(snap.deleteFiles.isEmpty,
+      "export requires a compacted table: Delta has no equality-delete files — " +
+        "run compact() so deletes are materialized into rewritten data files")
+    val meta = snap.meta.getOrElse(
+      throw new IllegalStateException("table has no meta action (not created)"))
+    val dest = Paths.get(destDir)
+    val logDir = dest.resolve("_delta_log")
+    Files.createDirectories(logDir)
+
+    val actions = scala.collection.mutable.Buffer.empty[String]
+    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val metaNode = mapper.createObjectNode()
+    val m = metaNode.putObject("metaData")
+    m.put("id", java.util.UUID.nameUUIDFromBytes(
+      meta.schema.struct.json.getBytes(UTF_8)).toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", meta.schema.struct.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration")
+    m.put("createdTime", 0L)
+    actions += mapper.writeValueAsString(metaNode)
+
+    snap.txns.toSeq.sortBy(_._1).foreach { case (appId, version) =>
+      val n = mapper.createObjectNode()
+      val t = n.putObject("txn")
+      t.put("appId", appId); t.put("version", version)
+      actions += mapper.writeValueAsString(n)
+    }
+
+    // merge-written files carry rows = -1 (unknown) in the native log;
+    // Delta stats need the real count — one footer-only pass resolves them
+    // (a parquet count() never touches row data)
+    val unknownRows = snap.files.filter(_.rows < 0)
+    val counted: Map[String, Long] =
+      if (unknownRows.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.input_file_name
+        spark.read
+          .parquet(unknownRows.map(f => Paths.get(table.dir, f.path).toString): _*)
+          .groupBy(input_file_name().as("f")).count()
+          .collect()
+          .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+          .toMap
+      }
+    snap.files.sortBy(_.path).foreach { f =>
+      val srcPath = Paths.get(table.dir, f.path)
+      val rows =
+        if (f.rows >= 0) f.rows
+        else counted.getOrElse(srcPath.toAbsolutePath.toString,
+          throw new IllegalStateException(s"no footer count for ${f.path}"))
+      val flat = f.path.replace('/', '-')
+      Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", flat)
+      a.putObject("partitionValues")
+      a.put("size", Files.size(srcPath))
+      a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      a.put("stats", statsJson(meta.schema, f.copy(rows = rows)))
+      actions += mapper.writeValueAsString(n)
+    }
+    Files.write(logDir.resolve(f"${0L}%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes(UTF_8))
+  }
+
+  /** Delta `stats` string: numRecords always; min/maxValues typed from the
+    * zone maps where present (numbers re-parsed to JSON numbers — a string
+    * "42" would break readers' data skipping on numeric columns). */
+  private def statsJson(schema: TableSchema, f: LakehouseFormat.AddFile): String = {
+    val n = mapper.createObjectNode()
+    n.put("numRecords", f.rows)
+    if (f.stats.nonEmpty) {
+      val mins = n.putObject("minValues")
+      val maxs = n.putObject("maxValues")
+      f.stats.foreach { case (colName, cs) =>
+        schema.struct.fields.find(_.name == colName).foreach { field =>
+          putTyped(mins, colName, cs.min, field.dataType)
+          putTyped(maxs, colName, cs.max, field.dataType)
+        }
+      }
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def putTyped(node: ObjectNode, name: String, v: String, dt: DataType): Unit =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => node.put(name, v.toLong)
+      case DoubleType | FloatType => node.put(name, v.toDouble)
+      case BooleanType => node.put(name, v.toBoolean)
+      case _ => node.put(name, v)
+    }
+
+  final case class DeltaSnapshot(
+      schema: StructType,
+      files: Seq[String], // absolute paths of live data files
+      txns: Map[String, Long],
+      numRecords: Long)
+
+  /** Replay a `_delta_log` into the live state at the latest version. */
+  def readLog(srcDir: String): DeltaSnapshot = {
+    val logDir = Paths.get(srcDir, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $srcDir")
+    require(!Files.exists(logDir.resolve("_last_checkpoint")),
+      "checkpointed Delta logs are not supported (parquet checkpoint reader " +
+        "not implemented) — refusing rather than replaying a partial log")
+    val versions = Files.list(logDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json"))
+      .toSeq.sorted
+    require(versions.nonEmpty, s"empty _delta_log under $srcDir")
+    require(versions.head == f"${0L}%020d.json",
+      s"log does not start at version 0 (earliest: ${versions.head}) — a " +
+        "truncated log cannot be replayed without a checkpoint")
+
+    var schema: Option[StructType] = None
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    var numRecords = 0L
+    val fileRecords = scala.collection.mutable.Map.empty[String, Long]
+    versions.foreach { v =>
+      Files.readAllLines(logDir.resolve(v)).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          val reader = p.get("minReaderVersion").asInt()
+          require(reader <= 1,
+            s"minReaderVersion $reader requires Delta reader features " +
+              "(column mapping / deletion vectors) this importer does not have — " +
+              "refusing rather than reading wrong data")
+        } else if (node.has("metaData")) {
+          val md = node.get("metaData")
+          val parts = md.get("partitionColumns")
+          require(parts == null || parts.size() == 0,
+            "partitioned Delta tables are not supported: partition values " +
+              "live in the log, not the files — reading them flat would drop columns")
+          schema = Some(DataType.fromJson(md.get("schemaString").asText())
+            .asInstanceOf[StructType])
+        } else if (node.has("add")) {
+          val a = node.get("add")
+          val p = a.get("path").asText()
+          live += p
+          val rows = Option(a.get("stats"))
+            .map(s => mapper.readTree(s.asText()).get("numRecords").asLong()).getOrElse(0L)
+          fileRecords(p) = rows
+        } else if (node.has("remove")) {
+          live -= node.get("remove").get("path").asText()
+        } else if (node.has("txn")) {
+          val t = node.get("txn")
+          txns(t.get("appId").asText()) = t.get("version").asLong()
+        } // commitInfo / cdc / domainMetadata: informational, skipped
+      }
+    }
+    numRecords = live.iterator.map(p => fileRecords.getOrElse(p, 0L)).sum
+    DeltaSnapshot(
+      schema.getOrElse(throw new IllegalStateException("log has no metaData action")),
+      live.toSeq.map(p => Paths.get(srcDir, p).toString),
+      txns.toMap, numRecords)
+  }
+
+  /** Read the live table state as a DataFrame under the log's schema. */
+  def importDelta(spark: SparkSession, srcDir: String): DataFrame = {
+    val snap = readLog(srcDir)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+  }
+}

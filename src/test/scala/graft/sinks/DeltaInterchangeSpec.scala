@@ -1,0 +1,158 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Delta `_delta_log` interchange: the emitted commit is pinned against the
+  * public protocol spec (action shapes, schemaString, typed stats, txn
+  * bookkeeping), the round trip is data-identical, the export is
+  * deterministic byte-for-byte, and every unsupported-feature path fails
+  * loudly instead of reading wrong data. */
+class DeltaInterchangeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private val schema = TableSchema(
+    StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))),
+    primaryKeys = Seq("k"))
+
+  private def newTable(): LakehouseTable = {
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_dl_src").toString)
+    t.create(schema, buckets = 2)
+    t
+  }
+
+  private def logLines(dest: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+    Files.readAllLines(
+      Paths.get(dest, "_delta_log", f"${0L}%020d.json")).asScala.toSeq
+      .filter(_.trim.nonEmpty).map(mapper.readTree)
+
+  test("round trip: export -> import is data-identical; txns survive") {
+    val t = newTable()
+    t.merge((0L until 100L).toDF("k").select($"k", concat(lit("v"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    t.merge((50L until 120L).toDF("k").select($"k", concat(lit("w"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")), txn = Some(("app-a", 7L)))
+    val dest = Files.createTempDirectory("graft_dl_dst").toString
+    DeltaInterchange.export(spark, t, dest)
+    val back = DeltaInterchange.importDelta(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    val snap = DeltaInterchange.readLog(dest)
+    assert(snap.txns == Map("app-a" -> 7L), "exactly-once bookkeeping must survive")
+    assert(snap.numRecords == 120L)
+    assert(snap.schema == schema.struct)
+  }
+
+  test("the commit is spec-shaped: protocol first, metaData, typed stats") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b"), (30L, "c")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_dst").toString
+    DeltaInterchange.export(spark, t, dest)
+    val lines = logLines(dest)
+    assert(lines.head.has("protocol"))
+    assert(lines.head.get("protocol").get("minReaderVersion").asInt() == 1)
+    val md = lines(1).get("metaData")
+    assert(md.get("format").get("provider").asText() == "parquet")
+    assert(DataType.fromJson(md.get("schemaString").asText()) == schema.struct)
+    assert(md.get("partitionColumns").size() == 0)
+    val adds = lines.filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      assert(Files.exists(Paths.get(dest, a.get("path").asText())),
+        "every add must point at a copied data file")
+      assert(a.get("size").asLong() > 0 && a.get("dataChange").asBoolean())
+      val stats = mapper.readTree(a.get("stats").asText())
+      assert(stats.get("numRecords").asLong() > 0)
+      // numeric column stats must be JSON numbers, not strings — string
+      // min/max would silently break a reader's data skipping
+      Option(stats.get("minValues")).foreach { mins =>
+        if (mins.has("k")) assert(mins.get("k").isNumber)
+      }
+    }
+    assert(adds.map(a =>
+      mapper.readTree(a.get("stats").asText()).get("numRecords").asLong()).sum == 3L)
+  }
+
+  test("export is deterministic: two exports are byte-identical") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val d1 = Files.createTempDirectory("graft_dl_dst").toString
+    val d2 = Files.createTempDirectory("graft_dl_dst").toString
+    DeltaInterchange.export(spark, t, d1)
+    DeltaInterchange.export(spark, t, d2)
+    def log(d: String) = new String(Files.readAllBytes(
+      Paths.get(d, "_delta_log", f"${0L}%020d.json")), UTF_8)
+    assert(log(d1) == log(d2))
+  }
+
+  test("MOR delete files refuse export until compacted") {
+    val t = newTable()
+    t.merge((0L until 20L).toDF("k").select($"k", lit("x").as("v")),
+      spark.range(0).select($"id".as("k")))
+    t.deleteWhere(Seq(3L, 4L).toDF("k"))
+    val dest = Files.createTempDirectory("graft_dl_dst").toString
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterchange.export(spark, t, dest)
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    t.compact(full = true)
+    DeltaInterchange.export(spark, t, dest) // now fine
+    assert(DeltaInterchange.importDelta(spark, dest).count() == 18L)
+  }
+
+  test("unsupported Delta features fail loudly") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_dst").toString
+    DeltaInterchange.export(spark, t, dest)
+    val logFile = Paths.get(dest, "_delta_log", f"${0L}%020d.json")
+    val original = new String(Files.readAllBytes(logFile), UTF_8)
+
+    // reader version 3 (deletion vectors / column mapping)
+    Files.write(logFile, original.replace(
+      "\"minReaderVersion\":1", "\"minReaderVersion\":3").getBytes(UTF_8))
+    val e1 = intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
+    assert(e1.getMessage.contains("minReaderVersion"))
+
+    // partitioned table
+    Files.write(logFile, original.replace(
+      "\"partitionColumns\":[]", "\"partitionColumns\":[\"v\"]").getBytes(UTF_8))
+    val e2 = intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
+    assert(e2.getMessage.contains("partitioned"))
+
+    // checkpoint marker
+    Files.write(logFile, original.getBytes(UTF_8))
+    Files.write(logFile.getParent.resolve("_last_checkpoint"), "{}".getBytes(UTF_8))
+    val e3 = intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
+    assert(e3.getMessage.contains("checkpoint"))
+  }
+
+  test("remove actions replay: a hand-written second commit drops a file") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_dst").toString
+    DeltaInterchange.export(spark, t, dest)
+    val adds = logLines(dest).filter(_.has("add")).map(_.get("add").get("path").asText())
+    assert(adds.size == 2)
+    Files.write(Paths.get(dest, "_delta_log", f"${1L}%020d.json"),
+      s"""{"remove":{"path":"${adds.head}","deletionTimestamp":0,"dataChange":true}}
+         |""".stripMargin.getBytes(UTF_8))
+    val snap = DeltaInterchange.readLog(dest)
+    assert(snap.files.size == 1 && snap.files.head.endsWith(adds(1)))
+  }
+}
