@@ -245,6 +245,41 @@ object QueriesCdc {
       back.orderBy("k")
     }),
 
+    "c_delta_mirror" -> ((s, dir) => {
+      // continuous Delta mirroring: one Delta commit per lakehouse commit,
+      // called after EACH of three merges (the standing-sink cadence) —
+      // downstream Delta readers see the same commit granularity, and the
+      // mirror's progress txn makes every call idempotent. Final imported
+      // state equals the c_delta_interchange oracle.
+      import graft.sinks.{DeltaInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_deltam_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_deltam_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 300 && col("user_id") < 150)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 150), s.range(0).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 150), s.range(0).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) == 1, "exactly the new commit mirrors")
+      t.merge(s.range(0).select(col("id").as("k"), lit("").as("v")),
+        s.range(140, 150).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) == 1)
+      require(DeltaInterchange.mirror(s, t, dest) == 0, "a no-op call writes nothing")
+      require(DeltaInterchange.readLog(dest)
+        .txns(DeltaInterchange.MirrorAppId) == t.latestVersion(),
+        "mirror progress must track the lakehouse head")
+      DeltaInterchange.importDelta(s, dest).orderBy("k")
+    }),
+
     "c_mongo_socket" -> ((s, dir) => {
       // the THIRD architecture's live socket: the document change-stream
       // model over real OP_MSG wire bytes — hello, aggregate with a
@@ -2047,6 +2082,14 @@ object QueriesCdc {
     // semantics (the second merge's per-user max >= any first-batch event
     // for users it touches), users 140-149 deleted by the COW delete keys
     "c_delta_interchange" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 300 AND user_id < 140
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // per-commit mirroring converges to the same state as the one-shot
+    // export: last event per user, users 140-149 deleted
+    "c_delta_mirror" ->
       """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
         |FROM events
         |WHERE event_id < 300 AND user_id < 140

@@ -141,6 +141,163 @@ object DeltaInterchange {
       case _ => node.put(name, v)
     }
 
+  /** The txn appId under which [[mirror]] records the last lakehouse
+    * version it has mirrored — in the DELTA log itself, so mirror progress
+    * survives restarts with no side-channel state file. */
+  val MirrorAppId = "graft-delta-mirror"
+
+  /** Incrementally mirror NEW lakehouse commits into the Delta log — the
+    * continuous "Delta sink" shape: one Delta commit per lakehouse commit
+    * (adds + removes of exactly that commit's file diff), so a downstream
+    * Delta reader sees the same commit granularity (and can time travel
+    * it), instead of a full re-export per refresh. Cost per call is
+    * O(new commits + changed files), never O(table).
+    *
+    * Progress rides as a `txn` action (`MirrorAppId` → lakehouse version)
+    * in each Delta commit; a re-run after crash or no-op call resumes from
+    * the recorded version — idempotent by the same replay-skip rule the
+    * lakehouse txns use. Returns the number of Delta commits written.
+    */
+  def mirror(spark: SparkSession, table: LakehouseTable, destDir: String): Int = {
+    val head = table.latestVersion()
+    require(head >= 0, "cannot mirror a table with no commits")
+    val dest = Paths.get(destDir)
+    val logDir = dest.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val existing = Files.list(logDir).iterator.asScala
+      .map(_.getFileName.toString).filter(_.matches("\\d{20}\\.json")).toSeq.sorted
+    val (lastMirrored, nextDeltaVersion) =
+      if (existing.isEmpty) (-1L, 0L)
+      else {
+        val s = readLog(destDir)
+        (s.txns.getOrElse(MirrorAppId,
+          throw new IllegalStateException(
+            s"$destDir has a _delta_log but no $MirrorAppId txn — it is not a mirror")),
+          existing.last.stripSuffix(".json").toLong + 1)
+      }
+    if (lastMirrored >= head) return 0
+
+    var written = 0
+    var deltaV = nextDeltaVersion
+    var prev = if (lastMirrored < 0) None else Some(table.snapshot(Some(lastMirrored)))
+    var prevSchema = prev.flatMap(_.meta).map(_.schema.struct)
+    ((lastMirrored + 1) to head).foreach { v =>
+      val cur = table.snapshot(Some(v))
+      val curMeta = cur.meta.getOrElse(
+        throw new IllegalStateException("table has no meta action (not created)"))
+      require(cur.deleteFiles.isEmpty,
+        s"lakehouse version $v carries MERGE-ON-READ delete files: Delta has no " +
+          "equality deletes — compact() before mirroring past this version")
+      val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+      val curFiles = cur.files.map(f => f.path -> f).toMap
+      val adds = cur.files.filterNot(f => prevFiles.contains(f.path)).sortBy(_.path)
+      val removes = prev.map(_.files.filterNot(f => curFiles.contains(f.path)))
+        .getOrElse(Seq.empty).sortBy(_.path)
+      val schemaChanged = !prevSchema.contains(curMeta.schema.struct)
+      if (adds.nonEmpty || removes.nonEmpty || schemaChanged) {
+        val actions = scala.collection.mutable.Buffer.empty[String]
+        if (deltaV == 0L)
+          actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        if (schemaChanged) actions += metaActionJson(curMeta.schema)
+        val t = mapper.createObjectNode()
+        val tx = t.putObject("txn")
+        tx.put("appId", MirrorAppId); tx.put("version", v)
+        actions += mapper.writeValueAsString(t)
+        val rowCounts = resolveRowCounts(spark, table, adds)
+        adds.foreach { f =>
+          val srcPath = Paths.get(table.dir, f.path)
+          val flat = f.path.replace('/', '-')
+          Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
+          actions += addActionJson(curMeta.schema, f, rowCounts(f.path), flat,
+            Files.size(srcPath))
+        }
+        removes.foreach { f =>
+          val n = mapper.createObjectNode()
+          val r = n.putObject("remove")
+          r.put("path", f.path.replace('/', '-'))
+          r.put("deletionTimestamp", 0L)
+          r.put("dataChange", true)
+          actions += mapper.writeValueAsString(n)
+        }
+        Files.write(logDir.resolve(f"$deltaV%020d.json"),
+          actions.mkString("", "\n", "\n").getBytes(UTF_8))
+        deltaV += 1
+        written += 1
+      }
+      prev = Some(cur)
+      prevSchema = Some(curMeta.schema.struct)
+    }
+    // nothing changed across all new versions (e.g. txn-only commits):
+    // still record progress so the next call skips them — but only if a
+    // log exists to append to (a first-ever no-op mirror writes version 0
+    // with protocol + metaData + progress, making the dest a valid table)
+    if (written == 0) {
+      val actions = scala.collection.mutable.Buffer.empty[String]
+      if (deltaV == 0L) {
+        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        actions += metaActionJson(table.snapshot().schema)
+      }
+      val t = mapper.createObjectNode()
+      val tx = t.putObject("txn")
+      tx.put("appId", MirrorAppId); tx.put("version", head)
+      actions += mapper.writeValueAsString(t)
+      Files.write(logDir.resolve(f"$deltaV%020d.json"),
+        actions.mkString("", "\n", "\n").getBytes(UTF_8))
+      written += 1
+    }
+    written
+  }
+
+  private def metaActionJson(schema: TableSchema): String = {
+    val metaNode = mapper.createObjectNode()
+    val m = metaNode.putObject("metaData")
+    m.put("id", java.util.UUID.nameUUIDFromBytes(
+      schema.struct.json.getBytes(UTF_8)).toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.struct.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration")
+    m.put("createdTime", 0L)
+    mapper.writeValueAsString(metaNode)
+  }
+
+  private def addActionJson(schema: TableSchema, f: LakehouseFormat.AddFile,
+      rows: Long, flatPath: String, size: Long): String = {
+    val n = mapper.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", flatPath)
+    a.putObject("partitionValues")
+    a.put("size", size)
+    a.put("modificationTime", 0L)
+    a.put("dataChange", true)
+    a.put("stats", statsJson(schema, f.copy(rows = rows)))
+    mapper.writeValueAsString(n)
+  }
+
+  /** rows for each add, resolving the merge path's `-1` sentinels with one
+    * footer-only parquet count pass. */
+  private def resolveRowCounts(spark: SparkSession, table: LakehouseTable,
+      files: Seq[LakehouseFormat.AddFile]): Map[String, Long] = {
+    val unknown = files.filter(_.rows < 0)
+    val counted: Map[String, Long] =
+      if (unknown.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.input_file_name
+        spark.read
+          .parquet(unknown.map(f => Paths.get(table.dir, f.path).toString): _*)
+          .groupBy(input_file_name().as("f")).count()
+          .collect()
+          .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+          .toMap
+      }
+    files.map { f =>
+      f.path -> (if (f.rows >= 0) f.rows
+                 else counted.getOrElse(Paths.get(table.dir, f.path).toAbsolutePath.toString,
+                   throw new IllegalStateException(s"no footer count for ${f.path}")))
+    }.toMap
+  }
+
   final case class DeltaSnapshot(
       schema: StructType,
       files: Seq[String], // absolute paths of live data files

@@ -141,6 +141,49 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("checkpoint"))
   }
 
+  test("mirror: one Delta commit per lakehouse commit, incremental resume, no-op") {
+    val t = newTable()
+    t.merge((0L until 40L).toDF("k").select($"k", lit("a").as("v")),
+      spark.range(0).select($"id".as("k")))
+    t.merge((40L until 60L).toDF("k").select($"k", lit("b").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_mir").toString
+    val w1 = DeltaInterchange.mirror(spark, t, dest)
+    assert(w1 >= 1)
+    val back1 = DeltaInterchange.importDelta(spark, dest)
+    assert(back1.exceptAll(t.read()).isEmpty && t.read().exceptAll(back1).isEmpty)
+    // no-op call: nothing new to mirror
+    assert(DeltaInterchange.mirror(spark, t, dest) == 0)
+    // a later commit REWRITES touched buckets: its Delta commit must carry
+    // both adds and removes, and replay to the new state
+    t.merge((10L until 20L).toDF("k").select($"k", lit("c").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val w2 = DeltaInterchange.mirror(spark, t, dest)
+    assert(w2 == 1, "exactly the one new lakehouse commit mirrors")
+    val lines = Files.list(Paths.get(dest, "_delta_log")).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq.sorted
+    assert(lines == lines.indices.map(i => f"${i.toLong}%020d.json"),
+      "Delta versions must stay contiguous")
+    val lastCommit = Files.readAllLines(
+      Paths.get(dest, "_delta_log", lines.last)).asScala.map(mapper.readTree)
+    assert(lastCommit.exists(_.has("add")) && lastCommit.exists(_.has("remove")),
+      "a rewriting merge mirrors as adds + removes")
+    val back2 = DeltaInterchange.importDelta(spark, dest)
+    assert(back2.exceptAll(t.read()).isEmpty && t.read().exceptAll(back2).isEmpty)
+    // progress txn carries the lakehouse version
+    assert(DeltaInterchange.readLog(dest)
+      .txns(DeltaInterchange.MirrorAppId) == t.latestVersion())
+  }
+
+  test("mirror refuses a plain-export directory (it is not a mirror)") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_dst").toString
+    DeltaInterchange.export(spark, t, dest)
+    val e = intercept[IllegalStateException] { DeltaInterchange.mirror(spark, t, dest) }
+    assert(e.getMessage.contains("not a mirror"))
+  }
+
   test("remove actions replay: a hand-written second commit drops a file") {
     val t = newTable()
     t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
