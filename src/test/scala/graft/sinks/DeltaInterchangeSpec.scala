@@ -175,6 +175,27 @@ class DeltaInterchangeSpec extends AnyFunSuite {
       .txns(DeltaInterchange.MirrorAppId) == t.latestVersion())
   }
 
+  test("mirror: schema evolution re-emits metaData; import reads the evolved schema") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_mir").toString
+    DeltaInterchange.mirror(spark, t, dest)
+    val evolved = TableSchema(
+      StructType(schema.struct.fields :+ StructField("extra", LongType)),
+      primaryKeys = Seq("k"))
+    t.updateMeta(evolved)
+    t.merge(Seq((2L, "b", 7L)).toDF("k", "v", "extra"),
+      spark.range(0).select($"id".as("k")))
+    DeltaInterchange.mirror(spark, t, dest)
+    val snap = DeltaInterchange.readLog(dest)
+    assert(snap.schema == evolved.struct, "the latest metaData wins")
+    val back = DeltaInterchange.importDelta(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "v", "extra"))
+    assert(back.count() == 2L)
+    // the old file's missing column reads as null under the evolved schema
+    assert(back.filter($"k" === 1L).select($"extra").head().isNullAt(0))
+  }
+
   test("mirror refuses a plain-export directory (it is not a mirror)") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
