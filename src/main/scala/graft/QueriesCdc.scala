@@ -280,6 +280,74 @@ object QueriesCdc {
       DeltaInterchange.importDelta(s, dest).orderBy("k")
     }),
 
+    "c_iceberg_interchange" -> ((s, dir) => {
+      // the SECOND ecosystem wire format (the reference ships an Iceberg
+      // pipeline connector): a lakehouse table built by two merges (the
+      // second carrying COW deletes) exports as a complete Iceberg v2
+      // table — JSON metadata + Avro manifest list + Avro manifests per
+      // the public Table Spec — and imports back data-identical.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_ib_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 400 && col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 200), s.range(0).select(col("id").as("k")))
+      t.merge(batch(col("event_id") >= 200), s.range(0).select(col("id").as("k")))
+      t.merge(s.range(0).select(col("id").as("k"), lit("").as("v")),
+        s.range(150, 160).select(col("id").as("k")))
+      val dest = java.nio.file.Files.createTempDirectory("graft_ib_dst").toString
+      IcebergInterchange.export(s, t, dest)
+      val back = IcebergInterchange.importIceberg(s, dest)
+      require(back.schema == t.read().schema, "the Iceberg schema must round trip")
+      require(IcebergInterchange.readTable(dest).numRecords == back.count(),
+        "manifest record counts must match the data")
+      back.orderBy("k")
+    }),
+
+    "c_iceberg_mirror" -> ((s, dir) => {
+      // continuous Iceberg mirroring: one Iceberg SNAPSHOT per lakehouse
+      // commit (adds in a new manifest, removes rewriting only the
+      // affected manifests), called after each of three merges. Final
+      // imported state equals the one-shot export; the snapshot history
+      // carries one time-travelable entry per commit.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_ibm_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibm_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 400 && col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 200), s.range(0).select(col("id").as("k")))
+      require(IcebergInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 200), s.range(0).select(col("id").as("k")))
+      require(IcebergInterchange.mirror(s, t, dest) == 1, "exactly the new commit mirrors")
+      t.merge(s.range(0).select(col("id").as("k"), lit("").as("v")),
+        s.range(150, 160).select(col("id").as("k")))
+      require(IcebergInterchange.mirror(s, t, dest) == 1)
+      require(IcebergInterchange.mirror(s, t, dest) == 0, "a no-op call writes nothing")
+      val snap = IcebergInterchange.readTable(dest)
+      require(snap.properties(IcebergInterchange.MirrorProperty).toLong ==
+        t.latestVersion(), "mirror progress must track the lakehouse head")
+      IcebergInterchange.importIceberg(s, dest).orderBy("k")
+    }),
+
     "c_mongo_socket" -> ((s, dir) => {
       // the THIRD architecture's live socket: the document change-stream
       // model over real OP_MSG wire bytes — hello, aggregate with a
@@ -2093,6 +2161,21 @@ object QueriesCdc {
       """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
         |FROM events
         |WHERE event_id < 300 AND user_id < 140
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // Iceberg v2 interchange: last event per user under max-merge
+    // semantics, users 150-159 deleted by the COW delete keys
+    "c_iceberg_interchange" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 400 AND user_id < 150
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // per-commit snapshot mirroring converges to the one-shot export state
+    "c_iceberg_mirror" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 400 AND user_id < 150
         |GROUP BY user_id
         |ORDER BY k""".stripMargin,
     // same final-state shape as c_mongo_style (updates event_id < 300,

@@ -1,0 +1,298 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg v2 interchange: metadata JSON + Avro manifests are pinned
+  * against the public Table Spec (field-ids, manifest_file/manifest_entry
+  * shapes, name mapping), the round trip is data-identical, the mirror
+  * writes one snapshot per lakehouse commit with O(changed manifests)
+  * rewrites, and every unsupported-feature path fails loudly. */
+class IcebergInterchangeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private val schema = TableSchema(
+    StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))),
+    primaryKeys = Seq("k"))
+
+  private def newTable(): LakehouseTable = {
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_ib_src").toString)
+    t.create(schema, buckets = 2)
+    t
+  }
+
+  private def metadata(dest: String): com.fasterxml.jackson.databind.JsonNode = {
+    val hint = new String(Files.readAllBytes(
+      Paths.get(dest, "metadata", "version-hint.text")), UTF_8).trim
+    mapper.readTree(Files.readAllBytes(
+      Paths.get(dest, "metadata", s"v$hint.metadata.json")))
+  }
+
+  private def readAvroFile(p: java.nio.file.Path): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](p.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toVector finally r.close()
+  }
+
+  test("round trip: export -> import is data-identical") {
+    val t = newTable()
+    t.merge((0L until 100L).toDF("k").select($"k", concat(lit("v"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    t.merge((50L until 120L).toDF("k").select($"k", concat(lit("w"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    IcebergInterchange.export(spark, t, dest)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.numRecords == 120L)
+    assert(snap.schema == schema.struct)
+  }
+
+  test("metadata is spec-shaped: v2, field-ids, name mapping, empty spec") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    IcebergInterchange.export(spark, t, dest)
+    val root = metadata(dest)
+    assert(root.get("format-version").asInt() == 2)
+    val sch = root.get("schemas").get(0)
+    assert(sch.get("type").asText() == "struct")
+    val ids = sch.get("fields").elements().asScala.map(_.get("id").asInt()).toSeq
+    assert(ids == Seq(1, 2), "top-level field ids are assigned 1..n in order")
+    assert(sch.get("fields").get(0).get("required").asBoolean(),
+      "non-nullable PK maps to required=true")
+    assert(sch.get("fields").get(0).get("type").asText() == "long")
+    val nm = mapper.readTree(
+      root.get("properties").get("schema.name-mapping.default").asText())
+    assert(nm.get(0).get("names").get(0).asText() == "k" &&
+      nm.get(0).get("field-id").asInt() == 1,
+      "name mapping resolves the id-less parquet files")
+    assert(root.get("partition-specs").get(0).get("fields").size() == 0)
+    val sn = root.get("snapshots").get(0)
+    assert(sn.get("summary").get("operation").asText() == "append")
+    assert(root.get("current-snapshot-id").asLong() == sn.get("snapshot-id").asLong())
+    assert(root.get("refs").get("main").get("snapshot-id").asLong() ==
+      sn.get("snapshot-id").asLong())
+  }
+
+  test("manifest list and manifest are spec-shaped avro (field-ids, counts)") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    IcebergInterchange.export(spark, t, dest)
+    val root = metadata(dest)
+    val listPath = Paths.get(root.get("snapshots").get(0).get("manifest-list").asText())
+    val list = readAvroFile(listPath)
+    assert(list.nonEmpty)
+    val mf = list.head
+    // spec field-ids ride in the avro schema so id-based readers resolve
+    assert(mf.getSchema.getField("manifest_path")
+      .getObjectProp("field-id").asInstanceOf[Number].intValue() == 500)
+    assert(mf.getSchema.getField("content")
+      .getObjectProp("field-id").asInstanceOf[Number].intValue() == 517)
+    assert(mf.get("content").asInstanceOf[Int] == 0)
+    assert(mf.get("partition_spec_id").asInstanceOf[Int] == 0)
+    val entries = readAvroFile(Paths.get(mf.get("manifest_path").toString))
+    assert(entries.nonEmpty)
+    val totalRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+    assert(totalRows == 3L)
+    assert(mf.get("added_rows_count").asInstanceOf[Long] == 3L)
+    assert(entries.forall(_.get("status").asInstanceOf[Int] == 1), "export entries are ADDED")
+    val df = entries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(df.get("file_format").toString == "PARQUET")
+    assert(df.get("content").asInstanceOf[Int] == 0)
+    assert(Files.exists(Paths.get(df.get("file_path").toString)),
+      "file_path points at a real copied parquet")
+    // manifest avro metadata carries the iceberg schema + spec info
+    val r = new DataFileReader[GenericRecord](
+      Paths.get(mf.get("manifest_path").toString).toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      assert(new String(r.getMeta("format-version"), UTF_8) == "2")
+      assert(new String(r.getMeta("content"), UTF_8) == "data")
+      assert(mapper.readTree(r.getMeta("schema")).get("type").asText() == "struct")
+    } finally r.close()
+  }
+
+  test("list columns export with element ids and import back as arrays") {
+    val emb = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("e", ArrayType(DoubleType, containsNull = false)))),
+      primaryKeys = Seq("k"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_ib_src").toString)
+    t.create(emb, buckets = 2)
+    t.merge(Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("k", "e"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    IcebergInterchange.export(spark, t, dest)
+    val sch = metadata(dest).get("schemas").get(0)
+    val listType = sch.get("fields").get(1).get("type")
+    assert(listType.get("type").asText() == "list")
+    assert(listType.get("element").asText() == "double")
+    assert(listType.get("element-id").asInt() == 3, "element id follows top-level ids")
+    assert(metadata(dest).get("last-column-id").asInt() == 3)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    // element nullability round-trips whatever the lakehouse meta recorded
+    assert(back.schema("e").dataType == t.read().schema("e").dataType)
+    assert(back.orderBy("k").collect().map(_.getSeq[Double](1)).toSeq ==
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+
+  test("export refuses MOR delete files and unsupported column types") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    t.deleteWhere(Seq(1L).toDF("k"))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterchange.export(spark, t, dest)
+    }
+    assert(e.getMessage.contains("compact"))
+
+    val bad = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("m", MapType(StringType, StringType)))),
+      primaryKeys = Seq("k"))
+    val t2 = new LakehouseTable(spark, Files.createTempDirectory("graft_ib_src").toString)
+    t2.create(bad, buckets = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterchange.export(spark, t2, Files.createTempDirectory("x").toString)
+    }
+    assert(e2.getMessage.contains("no Iceberg interchange"))
+  }
+
+  test("import refuses format-version 1 and delete manifests") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    IcebergInterchange.export(spark, t, dest)
+    val hint = Paths.get(dest, "metadata", "version-hint.text")
+    val mPath = Paths.get(dest, "metadata",
+      s"v${new String(Files.readAllBytes(hint), UTF_8).trim}.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("format-version", 1)
+    Files.write(mPath, mapper.writeValueAsBytes(root))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterchange.readTable(dest)
+    }
+    assert(e.getMessage.contains("format-version"))
+  }
+
+  test("mirror: one snapshot per commit, overwrite rewrites only affected manifests") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_ib_mir").toString
+    t.merge((0L until 40L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    assert(IcebergInterchange.mirror(spark, t, dest) >= 1)
+    val snap1 = IcebergInterchange.readTable(dest)
+    val root1 = metadata(dest)
+    val list1 = readAvroFile(Paths.get(root1.get("snapshots")
+      .elements().asScala.toSeq.last.get("manifest-list").asText()))
+      .map(_.get("manifest_path").toString).toSet
+
+    // second commit: a pure append (merge would rewrite bucket files) —
+    // prior manifests carried forward by path
+    t.append((100L until 140L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    val root2 = metadata(dest)
+    val snaps2 = root2.get("snapshots").elements().asScala.toSeq
+    val list2 = readAvroFile(Paths.get(
+      snaps2.last.get("manifest-list").asText()))
+    assert(list1.subsetOf(list2.map(_.get("manifest_path").toString).toSet),
+      "unaffected manifests are carried forward by reference, not rewritten")
+    assert(snaps2.last.get("summary").get("operation").asText() == "append")
+
+    // third commit: a rewriting merge (same keys) -> overwrite snapshot
+    // with DELETED entries in rewritten manifests
+    t.merge((0L until 40L).toDF("k").select($"k", concat(lit("c"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    assert(IcebergInterchange.mirror(spark, t, dest) == 0, "no-op mirrors write nothing")
+    val root3 = metadata(dest)
+    val snaps3 = root3.get("snapshots").elements().asScala.toSeq
+    assert(snaps3.size == 3, "one Iceberg snapshot per lakehouse commit")
+    assert(snaps3.last.get("summary").get("operation").asText() == "overwrite")
+    val list3 = readAvroFile(Paths.get(snaps3.last.get("manifest-list").asText()))
+    assert(list3.exists(_.get("deleted_files_count").asInstanceOf[Int] > 0),
+      "the overwrite snapshot records DELETED entries")
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    assert(root3.get("properties").get(IcebergInterchange.MirrorProperty)
+      .asText().toLong == t.latestVersion())
+    // sequence numbers are monotone over snapshots
+    val seqs = snaps3.map(_.get("sequence-number").asLong())
+    assert(seqs == seqs.sorted && seqs.distinct == seqs)
+  }
+
+  test("mirror: schema evolution appends a schema; snapshots carry schema-id") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_ib_mir").toString
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+    val evolved = TableSchema(
+      StructType(schema.struct.fields :+ StructField("extra", LongType)),
+      primaryKeys = Seq("k"))
+    t.updateMeta(evolved)
+    t.merge(Seq((2L, "b", 7L)).toDF("k", "v", "extra"),
+      spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+    val root = metadata(dest)
+    assert(root.get("schemas").size() == 2, "evolution appends, never rewrites")
+    assert(root.get("current-schema-id").asInt() == 1)
+    val snaps = root.get("snapshots").elements().asScala.toSeq
+    assert(snaps.head.get("schema-id").asInt() == 0 &&
+      snaps.last.get("schema-id").asInt() == 1)
+    assert(root.get("schemas").get(1).get("fields").get(2).get("id").asInt() == 3,
+      "the evolved column gets the next field id")
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "v", "extra"))
+    assert(back.filter($"k" === 1L).select($"extra").head().isNullAt(0),
+      "old files read as null under the evolved schema")
+  }
+
+  test("mirror resumes from an export (the property records progress)") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dst").toString
+    IcebergInterchange.export(spark, t, dest)
+    t.merge(Seq((2L, "b")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1,
+      "mirror continues from the exported snapshot")
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("empty table mirrors to a snapshot-less metadata; import is empty") {
+    val t = newTable() // create() only: version 0 exists, no files
+    val dest = Files.createTempDirectory("graft_ib_mir").toString
+    assert(IcebergInterchange.mirror(spark, t, dest) == 0)
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.snapshotId == -1L && snap.files.isEmpty)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.count() == 0L && back.schema == schema.struct)
+  }
+}
