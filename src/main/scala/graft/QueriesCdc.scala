@@ -348,6 +348,39 @@ object QueriesCdc {
       IcebergInterchange.importIceberg(s, dest).orderBy("k")
     }),
 
+    "c_iceberg_mor" -> ((s, dir) => {
+      // MERGE-ON-READ interchange: the lakehouse's equality-delete files
+      // mirror as real Iceberg v2 delete manifests (content=1,
+      // data_file.content=2, PK equality ids), and the importer applies
+      // the spec's sequence rule — a delete at sequence S masks data
+      // files with sequence < S, so users re-merged AFTER the delete
+      // survive while users only present before it stay deleted.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_ibd_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibd_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 500), s.range(0).select(col("id").as("k")))
+      require(IcebergInterchange.mirror(s, t, dest) >= 1)
+      t.deleteWhere(s.range(100, 150).select(col("id").as("k")))
+      require(IcebergInterchange.mirror(s, t, dest) == 1)
+      require(IcebergInterchange.readTable(dest).deletes.nonEmpty,
+        "the MOR delete must surface as a live Iceberg delete file")
+      t.merge(batch(col("event_id") >= 500), s.range(0).select(col("id").as("k")))
+      require(IcebergInterchange.mirror(s, t, dest) == 1)
+      IcebergInterchange.importIceberg(s, dest).orderBy("k")
+    }),
+
     "c_mongo_socket" -> ((s, dir) => {
       // the THIRD architecture's live socket: the document change-stream
       // model over real OP_MSG wire bytes — hello, aggregate with a
@@ -2177,6 +2210,19 @@ object QueriesCdc {
         |FROM events
         |WHERE event_id < 400 AND user_id < 150
         |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // MOR interchange with the sequence rule: users outside 100-149 keep
+    // their overall max; users 100-149 were deleted after the first
+    // batch, so they survive ONLY via the re-merge of events >= 500
+    // (whose ids numerically dominate, making the overall max equal that
+    // batch's max) — at sf0.01 this resurrects 47 users and keeps 3
+    // deleted, exercising both outcomes of the sequence rule
+    "c_iceberg_mor" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 1000
+        |GROUP BY user_id
+        |HAVING user_id < 100 OR user_id >= 150 OR max(event_id) >= 500
         |ORDER BY k""".stripMargin,
     // same final-state shape as c_mongo_style (updates event_id < 300,
     // deletes 140-149, replaces of ids 0-4), replayed through the OP_MSG

@@ -79,7 +79,9 @@ object IcebergInterchange {
   /** Avro schema of one manifest row (spec: manifest_entry over data_file,
     * v2; the stats maps are optional in the spec and omitted — data
     * skipping comes from the name-mapped parquet footers on the read
-    * side). `partition` is the empty record of the unpartitioned spec. */
+    * side). `partition` is the empty record of the unpartitioned spec;
+    * `equality_ids` (field-id 135) carries the equality columns of
+    * content=2 EQUALITY_DELETES files, null for data files. */
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -92,7 +94,8 @@ object IcebergInterchange {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]}}
       |]}""".stripMargin)
 
@@ -232,25 +235,33 @@ object IcebergInterchange {
 
   // ----------------------------------------------------------------- model
 
-  /** One live-or-deleted manifest entry as tracked across mirror calls. */
+  /** One live-or-deleted manifest entry as tracked across mirror calls.
+    * `content` 0 = data, 2 = equality deletes (spec data_file.content);
+    * `equalityIds` is non-empty only for content=2. */
   private final case class Entry(status: Int, snapshotId: Long, seq: Long,
-      filePath: String, rows: Long, size: Long)
+      filePath: String, rows: Long, size: Long,
+      content: Int = 0, equalityIds: Seq[Int] = Nil)
 
+  /** `content` 0 = data manifest, 1 = delete manifest (spec manifest_file
+    * content). */
   private final case class ManifestInfo(path: Path, length: Long, seq: Long,
-      minSeq: Long, addedSnapshotId: Long, entries: Seq[Entry]) {
+      minSeq: Long, addedSnapshotId: Long, entries: Seq[Entry],
+      content: Int = 0) {
     def live: Seq[Entry] = entries.filter(_.status != Deleted)
   }
 
   private def entryRecord(e: Entry): GenericRecord = {
     val df = new GenericData.Record(
       manifestEntrySchema.getField("data_file").schema())
-    df.put("content", 0)
+    df.put("content", e.content)
     df.put("file_path", e.filePath)
     df.put("file_format", "PARQUET")
     df.put("partition", new GenericData.Record(
       df.getSchema.getField("partition").schema()))
     df.put("record_count", e.rows)
     df.put("file_size_in_bytes", e.size)
+    if (e.equalityIds.nonEmpty)
+      df.put("equality_ids", e.equalityIds.map(Integer.valueOf).asJava)
     val rec = new GenericData.Record(manifestEntrySchema)
     rec.put("status", e.status)
     rec.put("snapshot_id", e.snapshotId)
@@ -261,29 +272,35 @@ object IcebergInterchange {
   }
 
   private def writeManifest(path: Path, schemaJson: String,
-      entries: Seq[Entry]): Unit =
+      entries: Seq[Entry], deletes: Boolean = false): Unit =
     writeAvro(path, manifestEntrySchema, Map(
       "schema" -> schemaJson,
       "partition-spec" -> "[]",
       "partition-spec-id" -> "0",
       "format-version" -> "2",
-      "content" -> "data",
+      "content" -> (if (deletes) "deletes" else "data"),
     ), entries.map(entryRecord))
 
   private def readManifest(path: Path): Seq[Entry] =
     readAvro(path).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
-      require(int(df, "content") == 0,
-        s"manifest $path carries delete files (data_file.content != 0) — " +
-          "this importer reads data manifests only")
+      val content = int(df, "content")
+      require(content == 0 || content == 2,
+        s"manifest $path: data_file.content $content is not supported " +
+          "(data=0 and equality-deletes=2 only; position deletes need " +
+          "row-offset apply this importer does not have)")
       val fmt = str(df, "file_format")
       require(fmt.equalsIgnoreCase("PARQUET"),
         s"data file format $fmt is not supported (parquet only)")
+      val eqIds = Option(df.get("equality_ids"))
+        .map(_.asInstanceOf[java.util.List[_]].asScala
+          .map(_.asInstanceOf[Number].intValue()).toSeq)
+        .getOrElse(Nil)
       Entry(int(r, "status"),
         Option(r.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         str(df, "file_path"), long(df, "record_count"),
-        long(df, "file_size_in_bytes"))
+        long(df, "file_size_in_bytes"), content, eqIds)
     }
 
   private def manifestListRecord(m: ManifestInfo): GenericRecord = {
@@ -291,7 +308,7 @@ object IcebergInterchange {
     rec.put("manifest_path", m.path.toString)
     rec.put("manifest_length", m.length)
     rec.put("partition_spec_id", 0)
-    rec.put("content", 0) // data manifests only
+    rec.put("content", m.content)
     rec.put("sequence_number", m.seq)
     rec.put("min_sequence_number", m.minSeq)
     rec.put("added_snapshot_id", m.addedSnapshotId)
@@ -361,14 +378,28 @@ object IcebergInterchange {
   }
 
   private def copyDataFile(table: LakehouseTable, dest: String,
-      f: LakehouseFormat.AddFile): (Path, Long) = {
+      f: LakehouseFormat.AddFile): (Path, Long) = copyFile(table, dest, f.path)
+
+  private def copyFile(table: LakehouseTable, dest: String,
+      relPath: String): (Path, Long) = {
     val dataDir = Paths.get(dest, "data")
     Files.createDirectories(dataDir)
-    val src = Paths.get(table.dir, f.path)
-    val out = dataDir.resolve(f.path.replace('/', '-'))
+    val src = Paths.get(table.dir, relPath)
+    val out = dataDir.resolve(relPath.replace('/', '-'))
     Files.copy(src, out, StandardCopyOption.REPLACE_EXISTING)
     (out, Files.size(src))
   }
+
+  /** Footer-only row counts for arbitrary parquet paths (delete files do
+    * not carry row counts in the lakehouse log). */
+  private def countRows(spark: SparkSession, paths: Seq[String]): Map[String, Long] =
+    if (paths.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.input_file_name
+      spark.read.parquet(paths: _*)
+        .groupBy(input_file_name().as("f")).count().collect()
+        .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1))).toMap
+    }
 
   private def baseMetadata(dest: String, schemas: Seq[ObjectNode],
       currentSchemaId: Int, lastColumnId: Int, props: Map[String, String]): ObjectNode = {
@@ -459,12 +490,19 @@ object IcebergInterchange {
 
   // ---------------------------------------------------------------- import
 
+  /** `files`/`numRecords` describe live DATA files (numRecords is the
+    * pre-delete-apply manifest sum); `dataSeqs` pairs each data file with
+    * its data sequence number, and `deletes` lists live equality-delete
+    * files as (path, sequence, equality field ids) — an equality delete at
+    * sequence S masks matching rows in data files with sequence < S. */
   final case class IcebergSnapshot(
       schema: StructType,
       files: Seq[String], // absolute live data file paths
       numRecords: Long,
       snapshotId: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      dataSeqs: Seq[(String, Long)] = Nil,
+      deletes: Seq[(String, Long, Seq[Int])] = Nil)
 
   /** Replay the latest metadata version into the current live state. */
   def readTable(srcDir: String): IcebergSnapshot = {
@@ -495,18 +533,26 @@ object IcebergInterchange {
       .find(_.get("snapshot-id").asLong() == curId)
       .getOrElse(throw new IllegalStateException(s"current snapshot $curId not listed"))
     val listPath = resolvePath(location, snapNode.get("manifest-list").asText())
-    val live = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val data = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val dels = scala.collection.mutable.ArrayBuffer.empty[Entry]
     readAvro(listPath).foreach { mf =>
-      require(int(mf, "content") == 0,
-        s"snapshot $curId references a DELETE manifest (content=1): this " +
-          "importer has no equality/position-delete apply path — refusing " +
-          "rather than resurrecting deleted rows")
+      val content = int(mf, "content")
       val mPath = resolvePath(location, str(mf, "manifest_path"))
-      live ++= readManifest(mPath).filter(_.status != Deleted)
+      val live = readManifest(mPath).filter(_.status != Deleted)
+      if (content == 0) data ++= live
+      else {
+        live.foreach(e => require(e.content == 2 && e.equalityIds.nonEmpty,
+          s"delete manifest $mPath carries a non-equality delete file " +
+            "(position deletes are not supported)"))
+        dels ++= live
+      }
     }
     IcebergSnapshot(sparkStruct(schemaNode),
-      live.map(e => resolvePath(location, e.filePath).toString).toSeq,
-      live.map(_.rows).sum, curId, props)
+      data.map(e => resolvePath(location, e.filePath).toString).toSeq,
+      data.map(_.rows).sum, curId, props,
+      data.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq,
+      dels.map(e => (resolvePath(location, e.filePath).toString, e.seq,
+        e.equalityIds)).toSeq)
   }
 
   private def resolvePath(location: String, p: String): Path = {
@@ -514,13 +560,48 @@ object IcebergInterchange {
     if (clean.startsWith("/")) Paths.get(clean) else Paths.get(location, clean)
   }
 
-  /** Read the live table state as a DataFrame under the metadata schema. */
+  /** Read the live table state as a DataFrame under the metadata schema,
+    * applying equality deletes by the spec's sequence rule: a delete at
+    * sequence S masks matching rows in data files with sequence < S (so a
+    * key deleted then re-written survives). The apply is one broadcastable
+    * hash join on the equality columns — per key, only the MAX delete
+    * sequence matters, so deletes aggregate to one row per key first. */
   def importIceberg(spark: SparkSession, srcDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max}
     val snap = readTable(srcDir)
     if (snap.files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+    if (snap.deletes.isEmpty)
+      return spark.read.schema(snap.schema).parquet(snap.files: _*)
+
+    val eqIds = snap.deletes.map(_._3).distinct
+    require(eqIds.size == 1,
+      s"mixed equality-id sets across delete files ($eqIds) — refusing " +
+        "rather than mis-applying deletes")
+    // field ids → column names under the current schema (top-level ids
+    // are assigned 1..n in declaration order)
+    val names = snap.schema.fields.map(_.name)
+    val eqCols = eqIds.head.map { id =>
+      require(id >= 1 && id <= names.length, s"equality id $id is not a top-level field")
+      names(id - 1)
+    }
+    val keySchema = StructType(snap.schema.fields.filter(f => eqCols.contains(f.name)))
+    // data rows tagged with their file's sequence number, one scan per
+    // distinct sequence (files of one commit share it)
+    val data = snap.dataSeqs.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      spark.read.schema(snap.schema).parquet(fs.map(_._1): _*)
+        .withColumn("_ib_seq", lit(seq))
+    }.reduce(_ unionAll _)
+    val delMax = snap.deletes.groupBy(_._2).toSeq.map { case (seq, fs) =>
+      spark.read.schema(keySchema).parquet(fs.map(_._1): _*)
+        .withColumn("_ib_dseq", lit(seq))
+    }.reduce(_ unionAll _)
+      .groupBy(eqCols.map(col): _*).agg(max(col("_ib_dseq")).as("_ib_dmax"))
+    data.join(delMax, eqCols, "left")
+      .filter(col("_ib_dmax").isNull || col("_ib_dmax") <= col("_ib_seq"))
+      .drop("_ib_seq", "_ib_dmax")
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 
   // ---------------------------------------------------------------- mirror
@@ -567,7 +648,7 @@ object IcebergInterchange {
           // manifest re-lists only its live entries
           ManifestInfo(p, long(mf, "manifest_length"), long(mf, "sequence_number"),
             long(mf, "min_sequence_number"), long(mf, "added_snapshot_id"),
-            readManifest(p).filter(_.status != Deleted))
+            readManifest(p).filter(_.status != Deleted), int(mf, "content"))
         }.toVector
       }
     }
@@ -580,13 +661,21 @@ object IcebergInterchange {
       val cur = table.snapshot(Some(v))
       val curMeta = cur.meta.getOrElse(
         throw new IllegalStateException("table has no meta action (not created)"))
-      require(cur.deleteFiles.isEmpty,
-        s"lakehouse version $v carries MERGE-ON-READ delete files: compact() " +
-          "before mirroring past this version")
       val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
       val adds = cur.files.filterNot(f => prevFiles.contains(f.path)).sortBy(_.path)
       val removes = prev.map(_.files.filterNot(f => curFiles.contains(f.path)))
+        .getOrElse(Seq.empty).sortBy(_.path)
+      // MERGE-ON-READ delete files map 1:1 onto Iceberg v2 equality
+      // deletes (the lakehouse MOR model is built on that spec): a new
+      // delete file becomes a delete manifest at this snapshot's sequence
+      // number, so it masks exactly the data files of EARLIER snapshots —
+      // the lakehouse's own `AddFile.ver < delete.ver` rule
+      val delPrev = prev.map(_.deleteFiles.map(f => f.path -> f).toMap)
+        .getOrElse(Map.empty)
+      val delCur = cur.deleteFiles.map(f => f.path -> f).toMap
+      val delAdds = cur.deleteFiles.filterNot(f => delPrev.contains(f.path)).sortBy(_.path)
+      val delRemoves = prev.map(_.deleteFiles.filterNot(f => delCur.contains(f.path)))
         .getOrElse(Seq.empty).sortBy(_.path)
       // compare at the Iceberg-schema level (field nodes, schema-id aside):
       // Spark structs do not round-trip exactly through Iceberg types
@@ -596,20 +685,35 @@ object IcebergInterchange {
       val schemaChanged = schemas.isEmpty ||
         candNode.get("fields") != schemas.last.get("fields")
       if (schemaChanged) {
+        // field ids here are positional, so they stay stable only under
+        // append-only evolution (which is what the lakehouse schema
+        // evolution performs) — a drop or reorder would silently re-id
+        schemas.lastOption.foreach { prevNode =>
+          val pf = prevNode.get("fields").elements().asScala.toSeq
+          val nf = candNode.get("fields").elements().asScala.toSeq
+          require(pf.size <= nf.size && pf.zip(nf).forall { case (a, b) =>
+            a.get("name") == b.get("name") && a.get("id") == b.get("id") },
+            s"lakehouse version $v drops or reorders columns: positional " +
+              "field ids cannot survive that — refusing rather than " +
+              "re-identifying columns under readers")
+        }
         schemas :+= candNode
         lastColumnId = math.max(lastColumnId, candLc)
       }
-      if (adds.nonEmpty || removes.nonEmpty) {
+      if (adds.nonEmpty || removes.nonEmpty || delAdds.nonEmpty ||
+          delRemoves.nonEmpty) {
         val snapshotId = v + 1
         lastSeq += 1
         val schemaJson = mapper.writeValueAsString(schemas.last)
         val mdir = metadataDir(destDir)
         Files.createDirectories(mdir)
 
-        // removed files map to the manifests that hold them: rewrite ONLY
-        // those (kept entries → EXISTING at their original sequence
-        // numbers, removed → DELETED), carry the rest forward untouched
-        val removedNames = removes.map(_.path.replace('/', '-')).toSet
+        // removed files (data AND delete) map to the manifests that hold
+        // them: rewrite ONLY those (kept entries → EXISTING at their
+        // original sequence numbers, removed → DELETED), carry the rest
+        // forward untouched
+        val removedNames = (removes.map(_.path) ++ delRemoves.map(_.path))
+          .map(_.replace('/', '-')).toSet
         def holdsRemoved(m: ManifestInfo): Boolean =
           m.live.exists(e => removedNames.contains(Paths.get(e.filePath)
             .getFileName.toString))
@@ -627,10 +731,10 @@ object IcebergInterchange {
             else e.copy(status = Existing)
           }
           val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
-          writeManifest(p, schemaJson, entries)
+          writeManifest(p, schemaJson, entries, deletes = m.content == 1)
           ManifestInfo(p, Files.size(p), m.seq,
             entries.filter(_.status != Deleted).map(_.seq).minOption.getOrElse(m.seq),
-            snapshotId, entries)
+            snapshotId, entries, m.content)
         }
         val addedManifest =
           if (adds.isEmpty) None
@@ -640,16 +744,39 @@ object IcebergInterchange {
               val (out, size) = copyDataFile(table, destDir, f)
               Entry(Added, snapshotId, lastSeq, out.toString, rows(f.path), size)
             }
-            val p = mdir.resolve(s"m-$snapshotId-$mNum.avro")
+            val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
             writeManifest(p, schemaJson, entries)
             Some(ManifestInfo(p, Files.size(p), lastSeq, lastSeq, snapshotId, entries))
+          }
+        // new MOR delete files → a delete manifest (manifest content=1,
+        // data_file.content=2) whose equality ids are the PK field ids
+        val deleteManifest =
+          if (delAdds.isEmpty) None
+          else {
+            val names = curMeta.schema.struct.fieldNames.toSeq
+            val eqIds = curMeta.schema.primaryKeys.map { k =>
+              val i = names.indexOf(k)
+              require(i >= 0, s"primary key $k not in schema")
+              i + 1
+            }
+            val counts = countRows(spark, delAdds.map(f =>
+              Paths.get(table.dir, f.path).toAbsolutePath.toString))
+            val entries = delAdds.map { f =>
+              val (out, size) = copyFile(table, destDir, f.path)
+              Entry(Added, snapshotId, lastSeq, out.toString,
+                counts(Paths.get(table.dir, f.path).toAbsolutePath.toString),
+                size, content = 2, equalityIds = eqIds)
+            }
+            val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
+            writeManifest(p, schemaJson, entries, deletes = true)
+            Some(ManifestInfo(p, Files.size(p), lastSeq, lastSeq, snapshotId,
+              entries, content = 1))
           }
         // a rewritten manifest that became ALL-DELETED still appears in
         // THIS snapshot's list (it records the deletion), then ages out of
         // the carried-forward state below
-        val listed = carried ++ rewritten ++ addedManifest
-        manifests = (carried ++ rewritten ++ addedManifest)
-          .filter(_.entries.exists(_.status != Deleted)).toVector
+        val listed = carried ++ rewritten ++ addedManifest ++ deleteManifest
+        manifests = listed.filter(_.entries.exists(_.status != Deleted)).toVector
         val listPath = mdir.resolve(s"snap-$snapshotId.avro")
         writeAvro(listPath, manifestFileSchema, Map(
           "format-version" -> "2", "snapshot-id" -> snapshotId.toString,
@@ -665,7 +792,11 @@ object IcebergInterchange {
         sn.put("manifest-list", listPath.toString)
         sn.put("schema-id", schemas.size - 1)
         val sum = sn.putObject("summary")
-        sum.put("operation", if (removes.isEmpty) "append" else "overwrite")
+        sum.put("operation",
+          if (removes.isEmpty && delRemoves.isEmpty && delAdds.nonEmpty &&
+            adds.isEmpty) "delete"
+          else if (removes.isEmpty && delRemoves.isEmpty) "append"
+          else "overwrite")
         sum.put("graft-lakehouse-version", v.toString)
         snapshots :+= sn
         currentSnapshotId = snapshotId

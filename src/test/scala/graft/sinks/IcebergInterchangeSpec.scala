@@ -182,7 +182,7 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no Iceberg interchange"))
   }
 
-  test("import refuses format-version 1 and delete manifests") {
+  test("import refuses format-version 1") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
     val dest = Files.createTempDirectory("graft_ib_dst").toString
@@ -271,6 +271,57 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("k", "v", "extra"))
     assert(back.filter($"k" === 1L).select($"extra").head().isNullAt(0),
       "old files read as null under the evolved schema")
+  }
+
+  test("mirror: MOR deletes become equality-delete manifests; sequence rule holds") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_ib_mir").toString
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+
+    t.deleteWhere(Seq(5L, 6L, 7L).toDF("k"))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    val root = metadata(dest)
+    val snaps = root.get("snapshots").elements().asScala.toSeq
+    assert(snaps.last.get("summary").get("operation").asText() == "delete")
+    val list = readAvroFile(Paths.get(snaps.last.get("manifest-list").asText()))
+    val delMf = list.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(delMf.size == 1, "the MOR delete file rides in a content=1 delete manifest")
+    val delEntries = readAvroFile(Paths.get(delMf.head.get("manifest_path").toString))
+    val delDf = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(delDf.get("content").asInstanceOf[Int] == 2, "EQUALITY_DELETES")
+    assert(delDf.get("equality_ids").asInstanceOf[java.util.List[_]]
+      .asScala.map(_.asInstanceOf[Number].intValue()).toSeq == Seq(1),
+      "equality ids are the PK field ids")
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.count() == 27L)
+    assert(back.filter($"k".isin(5L, 6L, 7L)).isEmpty,
+      "the equality delete masks earlier data files")
+
+    // re-add one deleted key: the new data file's sequence number is
+    // HIGHER than the delete's, so the spec's `< S` rule keeps it live
+    t.merge(Seq((5L, "z")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    val back2 = IcebergInterchange.importIceberg(spark, dest)
+    assert(back2.filter($"k" === 5L).select($"v").head().getString(0) == "z",
+      "a key deleted then re-written survives")
+    val want2 = t.read()
+    assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
+
+    // compaction materializes the deletes: the delete manifest ages out
+    t.compact()
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    val root3 = metadata(dest)
+    val snaps3 = root3.get("snapshots").elements().asScala.toSeq
+    val list3 = readAvroFile(Paths.get(snaps3.last.get("manifest-list").asText()))
+    assert(list3.filter(_.get("content").asInstanceOf[Int] == 1)
+      .forall(_.get("deleted_files_count").asInstanceOf[Int] > 0),
+      "post-compaction, any listed delete manifest only records the removal")
+    val back3 = IcebergInterchange.importIceberg(spark, dest)
+    val want3 = t.read()
+    assert(back3.exceptAll(want3).isEmpty && want3.exceptAll(back3).isEmpty)
+    assert(back3.count() == 28L)
   }
 
   test("mirror resumes from an export (the property records progress)") {
