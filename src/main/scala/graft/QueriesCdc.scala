@@ -345,6 +345,10 @@ object QueriesCdc {
       val snap = IcebergInterchange.readTable(dest)
       require(snap.properties(IcebergInterchange.MirrorProperty).toLong ==
         t.latestVersion(), "mirror progress must track the lakehouse head")
+      // maintenance: expiring all history but the head must not change
+      // the live state the oracle checks
+      require(IcebergInterchange.expireSnapshots(dest, 1)._1 == 2,
+        "expiry prunes exactly the two superseded snapshots")
       IcebergInterchange.importIceberg(s, dest).orderBy("k")
     }),
 

@@ -604,6 +604,76 @@ object IcebergInterchange {
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  // ---------------------------------------------------------------- expiry
+
+  /** Expire all but the newest `keepLast` snapshots and delete the files
+    * only they reference (manifest lists, manifests, data/delete files) —
+    * Iceberg's `expire_snapshots` + `remove_orphan_files` maintenance.
+    * Without this a continuous [[mirror]] accrues snapshot history without
+    * bound (every commit keeps every file it ever referenced alive). A
+    * path is deleted only when NO retained snapshot's manifests reference
+    * it under ANY entry status — a DELETED entry still pins its file, so
+    * incremental readers of retained history never dangle. Returns
+    * (snapshots expired, manifest/list files deleted, data files deleted).
+    */
+  def expireSnapshots(destDir: String, keepLast: Int): (Int, Int, Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val v = latestMetadataVersion(destDir).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg metadata under $destDir"))
+    val root = readMetadata(destDir, v).deepCopy[ObjectNode]()
+    val snaps = root.get("snapshots").elements().asScala
+      .map(_.deepCopy[ObjectNode]()).toVector
+    if (snaps.size <= keepLast) return (0, 0, 0)
+    val retained = snaps.takeRight(keepLast)
+    val curId = root.get("current-snapshot-id").asLong()
+    require(retained.exists(_.get("snapshot-id").asLong() == curId),
+      "the current snapshot must survive expiry")
+    val location = root.get("location").asText()
+
+    // reachability from the retained snapshots only
+    val keepLists = retained.map(s =>
+      resolvePath(location, s.get("manifest-list").asText())).toSet
+    val keepManifests = keepLists.flatMap(lp =>
+      readAvro(lp).map(mf => resolvePath(location, str(mf, "manifest_path"))))
+    // LIVE references only: a DELETED entry in a retained manifest records
+    // a removal, it does not keep the bytes reachable for scans
+    val keepData = keepManifests.flatMap(mp =>
+      readManifest(mp).filter(_.status != Deleted)
+        .map(e => resolvePath(location, e.filePath)))
+
+    val expired = snaps.dropRight(keepLast)
+    var metaDeleted = 0
+    var dataDeleted = 0
+    expired.foreach { s =>
+      val lp = resolvePath(location, s.get("manifest-list").asText())
+      if (!keepLists.contains(lp)) {
+        val manifests = readAvro(lp).map(mf =>
+          resolvePath(location, str(mf, "manifest_path")))
+        manifests.foreach { mp =>
+          if (!keepManifests.contains(mp) && Files.exists(mp)) {
+            readManifest(mp).foreach { e =>
+              val dp = resolvePath(location, e.filePath)
+              if (!keepData.contains(dp) && Files.deleteIfExists(dp))
+                dataDeleted += 1
+            }
+            Files.delete(mp); metaDeleted += 1
+          }
+        }
+        Files.delete(lp); metaDeleted += 1
+      }
+    }
+
+    val sArr = root.putArray("snapshots")
+    retained.foreach(sArr.add)
+    val slog = root.putArray("snapshot-log")
+    retained.foreach { s =>
+      val e = slog.addObject()
+      e.put("timestamp-ms", 0L); e.put("snapshot-id", s.get("snapshot-id").asLong())
+    }
+    writeMetadata(destDir, v + 1, root)
+    (expired.size, metaDeleted, dataDeleted)
+  }
+
   // ---------------------------------------------------------------- mirror
 
   /** Incrementally mirror NEW lakehouse commits, one Iceberg snapshot per

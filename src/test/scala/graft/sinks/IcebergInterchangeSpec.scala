@@ -337,6 +337,39 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 
+  test("expireSnapshots prunes history and orphan files; live state intact") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_ib_exp").toString
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+    t.append((100L until 130L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")))
+    IcebergInterchange.mirror(spark, t, dest)
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("c"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+    def dataFiles() = Files.list(Paths.get(dest, "data")).count()
+    val before = dataFiles()
+
+    val (snapsGone, metaGone, dataGone) = IcebergInterchange.expireSnapshots(dest, 1)
+    assert(snapsGone == 2)
+    assert(metaGone > 0, "expired manifest lists/manifests are deleted")
+    assert(dataGone > 0, "data files only old snapshots referenced are deleted")
+    assert(dataFiles() == before - dataGone)
+    assert(metadata(dest).get("snapshots").size() == 1)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+
+    // the mirror keeps working on the expired table
+    t.append((200L until 210L).toDF("k").select($"k", concat(lit("d"), $"k").as("v")))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    val back2 = IcebergInterchange.importIceberg(spark, dest)
+    val want2 = t.read()
+    assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
+    assert(metadata(dest).get("snapshots").size() == 2)
+  }
+
   test("empty table mirrors to a snapshot-less metadata; import is empty") {
     val t = newTable() // create() only: version 0 exists, no files
     val dest = Files.createTempDirectory("graft_ib_mir").toString
