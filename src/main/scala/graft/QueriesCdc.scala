@@ -280,6 +280,46 @@ object QueriesCdc {
       DeltaInterchange.importDelta(s, dest).orderBy("k")
     }),
 
+    "c_delta_checkpoint" -> ((s, dir) => {
+      // metadata scaling of the continuous Delta mirror: after three
+      // mirrored commits, write a classic single-file checkpoint, DELETE
+      // the pre-checkpoint commit JSONs (cleanupLog), keep mirroring, and
+      // read the final state back through the checkpoint seed — with the
+      // lakehouse's exactly-once txn bookkeeping surviving checkpoint +
+      // cleanup + resume.
+      import graft.sinks.{DeltaInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_dck_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_dck_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 300 && col("user_id") < 150)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 150), s.range(0).select(col("id").as("k")),
+        txn = Some(("ck-app", 5L)))
+      require(DeltaInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 150), s.range(0).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) == 1)
+      DeltaInterchange.checkpoint(s, dest)
+      require(DeltaInterchange.cleanupLog(dest) >= 2,
+        "pre-checkpoint commits must actually be deleted")
+      t.merge(s.range(0).select(col("id").as("k"), lit("").as("v")),
+        s.range(140, 150).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) == 1,
+        "the mirror resumes through the checkpoint")
+      val snap = DeltaInterchange.readLog(s, dest)
+      require(snap.txns.get("ck-app").contains(5L),
+        "exactly-once bookkeeping survives checkpoint + cleanup")
+      DeltaInterchange.importDelta(s, dest).orderBy("k")
+    }),
+
     "c_iceberg_interchange" -> ((s, dir) => {
       // the SECOND ecosystem wire format (the reference ships an Iceberg
       // pipeline connector): a lakehouse table built by two merges (the
@@ -2195,6 +2235,13 @@ object QueriesCdc {
     // per-commit mirroring converges to the same state as the one-shot
     // export: last event per user, users 140-149 deleted
     "c_delta_mirror" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 300 AND user_id < 140
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // checkpointed mirror converges to the same state as the plain mirror
+    "c_delta_checkpoint" ->
       """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
         |FROM events
         |WHERE event_id < 300 AND user_id < 140

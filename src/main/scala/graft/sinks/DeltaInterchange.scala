@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** Delta Lake `_delta_log` interchange — the ecosystem wire-compatibility
@@ -27,9 +27,15 @@ import scala.jdk.CollectionConverters._
   *    commits, `add`/`remove` with `dataChange` replay, `metaData` schema,
   *    `txn` map) into a DataFrame + metadata. Unsupported Delta features
   *    fail LOUDLY rather than read wrong data: reader version > 1
-  *    (column mapping / deletion vectors), partitioned tables (partition
-  *    values live outside the files), and checkpoint parquet
-  *    (`_last_checkpoint`) are explicit errors.
+  *    (column mapping / deletion vectors) and partitioned tables
+  *    (partition values live outside the files) are explicit errors.
+  *  - [[checkpoint]] / [[cleanupLog]] / `readLog(spark, dir)`: classic
+  *    single-file parquet checkpoints per the protocol spec — the
+  *    consolidated state at a version plus `_last_checkpoint`, after
+  *    which commits at or below it may be deleted and readers seed from
+  *    the checkpoint instead of replaying from zero (the metadata-scaling
+  *    requirement of a mirror writing one commit per lakehouse commit).
+  *    The pure-JVM `readLog(dir)` still refuses checkpointed logs.
   *
   * Determinism: timestamps are fixed at 0 and the table id derives from
   * the schema — a re-export is byte-identical, which is what lets the
@@ -164,16 +170,19 @@ object DeltaInterchange {
     val dest = Paths.get(destDir)
     val logDir = dest.resolve("_delta_log")
     Files.createDirectories(logDir)
-    val existing = Files.list(logDir).iterator.asScala
-      .map(_.getFileName.toString).filter(_.matches("\\d{20}\\.json")).toSeq.sorted
+    val jsonVers = listJsonVersions(logDir)
+    val ckptVer = lastCheckpointVersion(logDir)
     val (lastMirrored, nextDeltaVersion) =
-      if (existing.isEmpty) (-1L, 0L)
+      if (jsonVers.isEmpty && ckptVer.isEmpty) (-1L, 0L)
       else {
-        val s = readLog(destDir)
+        // checkpoint-aware: after checkpoint + cleanupLog the JSONs at or
+        // below the checkpoint are gone, so the resume point is whichever
+        // of (last JSON, checkpoint) is newest
+        val s = readLog(spark, destDir)
         (s.txns.getOrElse(MirrorAppId,
           throw new IllegalStateException(
             s"$destDir has a _delta_log but no $MirrorAppId txn — it is not a mirror")),
-          existing.last.stripSuffix(".json").toLong + 1)
+          math.max(jsonVers.lastOption.getOrElse(-1L), ckptVer.getOrElse(-1L)) + 1)
       }
     if (lastMirrored >= head) return 0
 
@@ -194,11 +203,23 @@ object DeltaInterchange {
       val removes = prev.map(_.files.filterNot(f => curFiles.contains(f.path)))
         .getOrElse(Seq.empty).sortBy(_.path)
       val schemaChanged = !prevSchema.contains(curMeta.schema.struct)
-      if (adds.nonEmpty || removes.nonEmpty || schemaChanged) {
+      // the table's OWN txn actions forward too (export already does):
+      // exactly-once bookkeeping must survive continuous interchange, so a
+      // sink resuming from the Delta mirror skips replayed batches
+      val prevTxns = prev.map(_.txns).getOrElse(Map.empty)
+      val newTxns = cur.txns.toSeq
+        .filter { case (a, ver) => !prevTxns.get(a).contains(ver) }.sortBy(_._1)
+      if (adds.nonEmpty || removes.nonEmpty || schemaChanged || newTxns.nonEmpty) {
         val actions = scala.collection.mutable.Buffer.empty[String]
         if (deltaV == 0L)
           actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
         if (schemaChanged) actions += metaActionJson(curMeta.schema)
+        newTxns.foreach { case (appId, ver) =>
+          val n = mapper.createObjectNode()
+          val x = n.putObject("txn")
+          x.put("appId", appId); x.put("version", ver)
+          actions += mapper.writeValueAsString(n)
+        }
         val t = mapper.createObjectNode()
         val tx = t.putObject("txn")
         tx.put("appId", MirrorAppId); tx.put("version", v)
@@ -304,6 +325,204 @@ object DeltaInterchange {
       txns: Map[String, Long],
       numRecords: Long)
 
+  // ----------------------------------------------------------- checkpoints
+
+  /** Columns of a classic single-file Delta checkpoint (PROTOCOL.md:
+    * one row per action, nullable struct per action type). */
+  private val checkpointSchema = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  /** Write a classic checkpoint at the log's latest version — the
+    * consolidated replay state (protocol, latest metaData, txns, live
+    * add actions with their stats) as ONE parquet file named
+    * `<v>.checkpoint.parquet`, plus the `_last_checkpoint` pointer.
+    * Replay-from-zero cost grows with commit count; a mirror running one
+    * commit per lakehouse commit needs this to keep reader startup
+    * O(live files), not O(history). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, destDir: String): Long = {
+    import org.apache.spark.sql.Row
+    val logDir = Paths.get(destDir, "_delta_log")
+    val versions = listJsonVersions(logDir)
+    require(versions.nonEmpty, s"no commits under $destDir")
+    val v = versions.last
+    // full-fidelity replay: keep the raw add JSON so stats survive
+    var protocolRow: Row = null
+    var metaRow: Row = null
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    replayRawActions(logDir, versions) { node =>
+      if (node.has("protocol")) {
+        val p = node.get("protocol")
+        protocolRow = Row(p.get("minReaderVersion").asInt(),
+          p.get("minWriterVersion").asInt())
+      } else if (node.has("metaData")) {
+        val m = node.get("metaData")
+        metaRow = Row(m.get("id").asText(),
+          Row(m.get("format").get("provider").asText(), Map.empty[String, String]),
+          m.get("schemaString").asText(),
+          Seq.empty[String], Map.empty[String, String],
+          m.get("createdTime").asLong())
+      } else if (node.has("add")) {
+        val a = node.get("add")
+        adds(a.get("path").asText()) = Row(a.get("path").asText(),
+          Map.empty[String, String], a.get("size").asLong(),
+          a.get("modificationTime").asLong(), a.get("dataChange").asBoolean(),
+          Option(a.get("stats")).map(_.asText()).orNull)
+      } else if (node.has("remove")) {
+        adds.remove(node.get("remove").get("path").asText())
+      } else if (node.has("txn")) {
+        val t = node.get("txn")
+        txns(t.get("appId").asText()) = t.get("version").asLong()
+      }
+    }
+    require(protocolRow != null && metaRow != null, "log has no protocol/metaData")
+    val rows: Seq[Row] =
+      Seq(Row(null, null, null, null, protocolRow),
+        Row(null, null, null, metaRow, null)) ++
+        txns.toSeq.sortBy(_._1).map { case (a, ver) =>
+          Row(Row(a, ver), null, null, null, null) } ++
+        adds.values.toSeq.map(a => Row(null, a, null, null, null))
+    val tmp = Files.createTempDirectory("graft_delta_ckpt").toString
+    spark.createDataFrame(rows.asJava, checkpointSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$v,"size":${rows.size}}""".getBytes(UTF_8))
+    v
+  }
+
+  /** Delete commit JSONs at or below the checkpointed version — the log
+    * cleanup the checkpoint makes safe (readers seed from the checkpoint
+    * and replay only newer commits). Returns the number removed. */
+  def cleanupLog(destDir: String): Int = {
+    val logDir = Paths.get(destDir, "_delta_log")
+    val ckpt = lastCheckpointVersion(logDir).getOrElse(
+      throw new IllegalStateException(
+        s"no _last_checkpoint under $destDir — cleanup without a checkpoint " +
+          "would destroy the only copy of the state"))
+    val old = listJsonVersions(logDir).filter(_ <= ckpt)
+    old.foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    old.size
+  }
+
+  private def listJsonVersions(logDir: Path): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("\\d{20}\\.json") =>
+        s.stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  private def lastCheckpointVersion(logDir: Path): Option[Long] = {
+    val p = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(p)) None
+    else Some(mapper.readTree(Files.readAllBytes(p)).get("version").asLong())
+  }
+
+  private def replayRawActions(logDir: Path, versions: Seq[Long])(
+      f: com.fasterxml.jackson.databind.JsonNode => Unit): Unit =
+    versions.foreach { v =>
+      Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
+        .filter(_.trim.nonEmpty).foreach(line => f(mapper.readTree(line)))
+    }
+
+  /** Checkpoint-aware replay: seed from the last checkpoint when one
+    * exists, then replay only the newer JSON commits. Falls back to the
+    * plain from-zero [[readLog]] otherwise. */
+  def readLog(spark: SparkSession, srcDir: String): DeltaSnapshot = {
+    val logDir = Paths.get(srcDir, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $srcDir")
+    lastCheckpointVersion(logDir) match {
+      case None => readLog(srcDir)
+      case Some(ckptV) =>
+        val ckptFile = logDir.resolve(f"$ckptV%020d.checkpoint.parquet")
+        require(Files.exists(ckptFile),
+          s"_last_checkpoint points at version $ckptV but ${ckptFile.getFileName} " +
+            "is missing — refusing rather than replaying a truncated log")
+        var schema: Option[StructType] = None
+        val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        val txns = scala.collection.mutable.Map.empty[String, Long]
+        spark.read.schema(checkpointSchema).parquet(ckptFile.toString)
+          .collect().foreach { r =>
+            if (!r.isNullAt(4)) {
+              val reader = r.getStruct(4).getInt(0)
+              require(reader <= 1,
+                s"minReaderVersion $reader requires Delta reader features " +
+                  "this importer does not have")
+            }
+            if (!r.isNullAt(3))
+              schema = Some(DataType.fromJson(r.getStruct(3).getString(2))
+                .asInstanceOf[StructType])
+            if (!r.isNullAt(1)) {
+              val a = r.getStruct(1)
+              val rows = Option(a.getString(5))
+                .map(s => mapper.readTree(s).get("numRecords").asLong()).getOrElse(0L)
+              live(a.getString(0)) = rows
+            }
+            if (!r.isNullAt(0)) {
+              val t = r.getStruct(0)
+              txns(t.getString(0)) = t.getLong(1)
+            }
+          }
+        val newer = listJsonVersions(logDir).filter(_ > ckptV)
+        newer.headOption.foreach(first => require(first == ckptV + 1,
+          s"commit gap after checkpoint $ckptV (next JSON is $first) — " +
+            "refusing rather than skipping commits"))
+        newer.zipWithIndex.foreach { case (v, i) =>
+          require(v == ckptV + 1 + i, s"commit gap at version $v") }
+        replayRawActions(logDir, newer) { node =>
+          if (node.has("metaData"))
+            schema = Some(DataType.fromJson(
+              node.get("metaData").get("schemaString").asText())
+              .asInstanceOf[StructType])
+          else if (node.has("add")) {
+            val a = node.get("add")
+            val rows = Option(a.get("stats"))
+              .map(s => mapper.readTree(s.asText()).get("numRecords").asLong())
+              .getOrElse(0L)
+            live(a.get("path").asText()) = rows
+          } else if (node.has("remove"))
+            live.remove(node.get("remove").get("path").asText())
+          else if (node.has("txn")) {
+            val t = node.get("txn")
+            txns(t.get("appId").asText()) = t.get("version").asLong()
+          }
+        }
+        DeltaSnapshot(
+          schema.getOrElse(throw new IllegalStateException("no metaData in log")),
+          live.keys.toSeq.map(p => Paths.get(srcDir, p).toString),
+          txns.toMap, live.values.sum)
+    }
+  }
+
   /** Replay a `_delta_log` into the live state at the latest version. */
   def readLog(srcDir: String): DeltaSnapshot = {
     val logDir = Paths.get(srcDir, "_delta_log")
@@ -365,9 +584,10 @@ object DeltaInterchange {
       txns.toMap, numRecords)
   }
 
-  /** Read the live table state as a DataFrame under the log's schema. */
+  /** Read the live table state as a DataFrame under the log's schema
+    * (checkpoint-aware: seeds from `_last_checkpoint` when present). */
   def importDelta(spark: SparkSession, srcDir: String): DataFrame = {
-    val snap = readLog(srcDir)
+    val snap = readLog(spark, srcDir)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

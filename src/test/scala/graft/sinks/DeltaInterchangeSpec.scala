@@ -219,4 +219,55 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     val snap = DeltaInterchange.readLog(dest)
     assert(snap.files.size == 1 && snap.files.head.endsWith(adds(1)))
   }
+
+  test("checkpoint: consolidated single-file state + _last_checkpoint pointer") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_dl_ck").toString
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")), txn = Some(("app-x", 3L)))
+    DeltaInterchange.mirror(spark, t, dest)
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    DeltaInterchange.mirror(spark, t, dest)
+    val v = DeltaInterchange.checkpoint(spark, dest)
+    assert(v == 2L, "checkpoint lands at the latest commit version (create + 2 merges)")
+    val logDir = Paths.get(dest, "_delta_log")
+    assert(Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
+    val last = mapper.readTree(Files.readAllBytes(logDir.resolve("_last_checkpoint")))
+    assert(last.get("version").asLong() == v && last.get("size").asLong() > 0)
+    // checkpoint-aware read equals the from-zero replay
+    val viaCkpt = DeltaInterchange.readLog(spark, dest)
+    assert(viaCkpt.txns.get("app-x").contains(3L), "txns survive the checkpoint")
+    val back = DeltaInterchange.importDelta(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("cleanupLog deletes pre-checkpoint commits; readers and mirror resume") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_dl_ck").toString
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    DeltaInterchange.mirror(spark, t, dest)
+    t.merge(Seq((2L, "b")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    DeltaInterchange.mirror(spark, t, dest)
+    DeltaInterchange.checkpoint(spark, dest)
+    assert(DeltaInterchange.cleanupLog(dest) == 3, "all pre-checkpoint JSON commits removed")
+    val logDir = Paths.get(dest, "_delta_log")
+    assert(!Files.exists(logDir.resolve(f"${0L}%020d.json")))
+    // pure-JVM readLog refuses a checkpointed log; the spark one seeds it
+    intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
+    val back = DeltaInterchange.importDelta(spark, dest)
+    assert(back.count() == 2L)
+    // the mirror resumes THROUGH the checkpoint: next commit replays only
+    // the new lakehouse version and lands at delta version 2
+    t.merge(Seq((3L, "c")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    assert(DeltaInterchange.mirror(spark, t, dest) == 1)
+    assert(Files.exists(logDir.resolve(f"${3L}%020d.json")),
+      "post-checkpoint commits continue the version sequence")
+    val want = t.read()
+    val back2 = DeltaInterchange.importDelta(spark, dest)
+    assert(back2.exceptAll(want).isEmpty && want.exceptAll(back2).isEmpty)
+    // cleanup without a checkpoint advance is a no-op for newer commits
+    assert(DeltaInterchange.cleanupLog(dest) == 0)
+  }
 }
