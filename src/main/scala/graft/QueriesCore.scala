@@ -750,6 +750,73 @@ object QueriesCore {
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("user_id")
     }),
+    "c_pipeline_iceberg_sink" -> ((s, dir) => {
+      // the reference's `sink.type: iceberg` pipeline connector shape: the
+      // changelog flows as three micro-batches through the mirrored sink
+      // (internal lakehouse staging + one Iceberg snapshot per batch, with
+      // inline snapshot expiry keeping the history bounded), and the final
+      // state read back through the EXTERNAL Iceberg directory must equal
+      // the one-shot materialization — same oracle as c_upsert
+      import graft.sinks.{IcebergInterchange, MirroredLakehouseSink}
+      val root = java.nio.file.Files.createTempDirectory("graft_ibsink_q").toString
+      val sink = new MirroredLakehouseSink(s, root, "iceberg", buckets = 8,
+        snapshotsKeep = 2)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+        val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+        Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+        }
+        lo = hi
+      }
+      val snap = IcebergInterchange.readTable(sink.mirrorDir(tid))
+      require(snap.snapshotId >= 0, "the mirror must hold a current snapshot")
+      IcebergInterchange.importIceberg(s, sink.mirrorDir(tid))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
+
+    "c_pipeline_delta_sink" -> ((s, dir) => {
+      // `sink.type: delta`: same flow, mirrored as one Delta commit per
+      // batch with INLINE checkpoint maintenance (every 2 commits a classic
+      // checkpoint + log cleanup) — the final state reads back through the
+      // checkpoint-seeded replay, and exactly-once txn bookkeeping is
+      // visible in the external log
+      import graft.sinks.{DeltaInterchange, MirroredLakehouseSink}
+      val root = java.nio.file.Files.createTempDirectory("graft_dlsink_q").toString
+      val sink = new MirroredLakehouseSink(s, root, "delta", buckets = 8,
+        checkpointEvery = 2)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+        val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+        Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+        }
+        lo = hi
+      }
+      val snap = DeltaInterchange.readLog(s, sink.mirrorDir(tid))
+      require(snap.txns.get("verify").contains(2L),
+        "the last batch id must be visible in the external Delta log")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        sink.mirrorDir(tid), "_delta_log", "_last_checkpoint")),
+        "inline maintenance must have checkpointed")
+      DeltaInterchange.importDelta(s, sink.mirrorDir(tid))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
+
     "c_lakehouse_concurrent" -> ((s, dir) => {
       // optimistic concurrency under REAL contention: eight writer threads
       // race MERGE commits into ONE table (writer w owns the users with
@@ -1637,6 +1704,21 @@ object QueriesCore {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)
         |SELECT user_id FROM last WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin),
+    // the mirrored-sink pipelines converge to the same final state as the
+    // one-shot materialization (c_upsert's oracle), read back through the
+    // EXTERNAL Iceberg/Delta directory
+    "c_pipeline_iceberg_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    "c_pipeline_delta_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // compaction is data-identical: the appended slices re-read as the table
     "c_lakehouse_append" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts

@@ -46,7 +46,24 @@ object DataSinks {
           rootDir = sinkDef.config.getOrElse(
             "path", throw new IllegalArgumentException("parquet sink requires 'path'")),
           buckets = sinkDef.config.getOrElse("buckets", "16").toInt)
-      case "lakehouse" =>
+      case t @ ("delta" | "iceberg") =>
+        // the reference's lakehouse pipeline connectors (`iceberg`,
+        // `paimon`) as open wire formats: CDC merges into an internal
+        // lakehouse staging table, mirrored per batch into a directory any
+        // external Delta/Iceberg reader opens
+        new MirroredLakehouseSink(
+          spark,
+          rootDir = sinkDef.config.getOrElse(
+            "path", throw new IllegalArgumentException(s"$t sink requires 'path'")),
+          format = t,
+          buckets = sinkDef.config.getOrElse("buckets", "16").toInt,
+          mergeEngine = sinkDef.config.getOrElse("merge-engine", "last-wins"),
+          checkpointEvery = sinkDef.config.getOrElse("checkpoint.every", "0").toInt,
+          snapshotsKeep = sinkDef.config.getOrElse("snapshots.keep", "0").toInt)
+      case "lakehouse" | "paimon" =>
+        // `paimon` is the reference's name for the native lakehouse
+        // format this sink implements the semantics superset of (merge
+        // engines, changelog, sequence fields) — accepted as an alias
         new LakehouseSink(
           spark,
           rootDir = sinkDef.config.getOrElse(
@@ -76,7 +93,7 @@ object DataSinks {
       case other =>
         throw new IllegalArgumentException(
           s"unknown sink type '$other' (supported: values, jdbc, mysql, postgres, " +
-            "oceanbase, jdbc-exactly-once, parquet, lakehouse, elasticsearch, " +
-            "starrocks, doris)")
+            "oceanbase, jdbc-exactly-once, parquet, lakehouse, paimon, delta, " +
+            "iceberg, elasticsearch, starrocks, doris)")
     }
 }

@@ -366,14 +366,30 @@ object DeltaInterchange {
   def checkpoint(spark: SparkSession, destDir: String): Long = {
     import org.apache.spark.sql.Row
     val logDir = Paths.get(destDir, "_delta_log")
-    val versions = listJsonVersions(logDir)
-    require(versions.nonEmpty, s"no commits under $destDir")
+    val prevCkpt = lastCheckpointVersion(logDir)
+    val versions = listJsonVersions(logDir).filter(v => prevCkpt.forall(v > _))
+    require(versions.nonEmpty,
+      s"no commits newer than the last checkpoint under $destDir")
+    prevCkpt.foreach(c => require(versions.head == c + 1,
+      s"commit gap after checkpoint $c (next JSON is ${versions.head})"))
     val v = versions.last
-    // full-fidelity replay: keep the raw add JSON so stats survive
+    // full-fidelity state: seed from the previous checkpoint when one
+    // exists (after cleanupLog the older JSONs are gone), then replay the
+    // newer commits, keeping raw add rows so stats survive
     var protocolRow: Row = null
     var metaRow: Row = null
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Row]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    prevCkpt.foreach { c =>
+      spark.read.schema(checkpointSchema)
+        .parquet(logDir.resolve(f"$c%020d.checkpoint.parquet").toString)
+        .collect().foreach { r =>
+          if (!r.isNullAt(4)) protocolRow = r.getStruct(4)
+          if (!r.isNullAt(3)) metaRow = r.getStruct(3)
+          if (!r.isNullAt(1)) adds(r.getStruct(1).getString(0)) = r.getStruct(1)
+          if (!r.isNullAt(0)) txns(r.getStruct(0).getString(0)) = r.getStruct(0).getLong(1)
+        }
+    }
     replayRawActions(logDir, versions) { node =>
       if (node.has("protocol")) {
         val p = node.get("protocol")
@@ -431,6 +447,21 @@ object DeltaInterchange {
     val old = listJsonVersions(logDir).filter(_ <= ckpt)
     old.foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
     old.size
+  }
+
+  /** Checkpoint + clean up when `every` or more commit JSONs have
+    * accumulated past the last checkpoint — the inline maintenance loop a
+    * standing mirror needs. Returns true when a checkpoint was written. */
+  def maintainCheckpoint(spark: SparkSession, destDir: String, every: Int): Boolean = {
+    require(every >= 1, "checkpoint interval must be >= 1")
+    val logDir = Paths.get(destDir, "_delta_log")
+    val ckpt = lastCheckpointVersion(logDir).getOrElse(-1L)
+    if (listJsonVersions(logDir).count(_ > ckpt) < every) false
+    else {
+      checkpoint(spark, destDir)
+      cleanupLog(destDir)
+      true
+    }
   }
 
   private def listJsonVersions(logDir: Path): Seq[Long] =

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Paths
+
+/** Pipeline-facing Delta / Iceberg sink (the reference ships
+  * `flink-cdc-pipeline-connector-iceberg/` and `.../paimon/` as first-class
+  * `sink.type`s): CDC batches merge into an internal [[LakehouseTable]]
+  * under `<path>/_staging/<table>` (buckets, COW merge, txn exactly-once),
+  * and after every batch/DDL the table mirrors incrementally into the open
+  * wire format at `<path>/<table>` — `_delta_log` commits or Iceberg v2
+  * snapshots — so an external Delta/Iceberg reader tails the pipeline's
+  * output at the pipeline's own commit granularity.
+  *
+  * Metadata maintenance runs inline, because a standing pipeline writes
+  * one interchange commit per micro-batch forever:
+  *  - `delta` + `checkpoint.every=N`: a classic checkpoint + `cleanupLog`
+  *    whenever N commit JSONs accumulate past the last checkpoint.
+  *  - `iceberg` + `snapshots.keep=N`: `expireSnapshots(N)` per sync (a
+  *    no-op while history is short).
+  *
+  * Exactly-once riding through: batch tracking uses the inner lakehouse
+  * `txn` action, and BOTH mirrors forward txn bookkeeping, so a reader of
+  * the mirrored format can see which (runId, batchId) are durable.
+  */
+final class MirroredLakehouseSink(
+    spark: SparkSession,
+    rootDir: String,
+    format: String, // "delta" | "iceberg"
+    buckets: Int = 16,
+    mergeEngine: String = "last-wins",
+    checkpointEvery: Int = 0,
+    snapshotsKeep: Int = 0)
+    extends DataSink {
+
+  require(format == "delta" || format == "iceberg", s"unknown mirror format $format")
+
+  private val inner = new LakehouseSink(
+    spark, Paths.get(rootDir, "_staging").toString, buckets,
+    collectStats = true, changelog = false, mergeEngine = mergeEngine)
+
+  def table(t: TableId): LakehouseTable = inner.table(t)
+
+  /** The externally-readable Delta/Iceberg directory of one sink table. */
+  def mirrorDir(t: TableId): String =
+    Paths.get(rootDir, t.identifier.replace('.', '_')).toString
+
+  private def sync(t: TableId): Unit = format match {
+    case "delta" =>
+      DeltaInterchange.mirror(spark, inner.table(t), mirrorDir(t))
+      if (checkpointEvery > 0)
+        DeltaInterchange.maintainCheckpoint(spark, mirrorDir(t), checkpointEvery)
+    case "iceberg" =>
+      IcebergInterchange.mirror(spark, inner.table(t), mirrorDir(t))
+      if (snapshotsKeep > 0)
+        IcebergInterchange.expireSnapshots(mirrorDir(t), snapshotsKeep)
+  }
+
+  override def applySchemaChange(event: SchemaChangeEvent): Unit = {
+    inner.applySchemaChange(event)
+    event match {
+      case _: DropTableEvent => // the inner table is gone; nothing to mirror
+      case e => sync(e.tableId)
+    }
+  }
+
+  override def writeBatch(t: TableId, upserts: DataFrame, deletedKeys: DataFrame): Unit = {
+    inner.writeBatch(t, upserts, deletedKeys)
+    sync(t)
+  }
+
+  override def writeBatch(
+      t: TableId, upserts: DataFrame, deletedKeys: DataFrame,
+      batchId: Long, runId: String): Unit = {
+    inner.writeBatch(t, upserts, deletedKeys, batchId, runId)
+    sync(t)
+  }
+
+  override def lastCommittedBatch(t: TableId, runId: String): Option[Long] =
+    inner.lastCommittedBatch(t, runId)
+
+  override def schemaOf(t: TableId): Option[TableSchema] = inner.schemaOf(t)
+}

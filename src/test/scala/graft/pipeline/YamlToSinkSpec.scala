@@ -162,6 +162,41 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("yaml 'iceberg' sink: composed pipeline mirrors to an Iceberg v2 table") {
+    val dir = java.nio.file.Files.createTempDirectory("yamliceberg").toString
+    val (_, sink) = runPipeline(
+      s"""  type: iceberg
+         |  path: $dir
+         |  buckets: 2""".stripMargin)
+    val m = sink.asInstanceOf[graft.sinks.MirroredLakehouseSink]
+    val mdir = m.mirrorDir(TableId.of("app", "users"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(mdir, "metadata", "version-hint.text")))
+    val back = graft.sinks.IcebergInterchange.importIceberg(spark, mdir)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+  }
+
+  test("yaml 'delta' sink: composed pipeline mirrors to a _delta_log table") {
+    val dir = java.nio.file.Files.createTempDirectory("yamldelta").toString
+    val (_, sink) = runPipeline(
+      s"""  type: delta
+         |  path: $dir""".stripMargin)
+    val m = sink.asInstanceOf[graft.sinks.MirroredLakehouseSink]
+    val mdir = m.mirrorDir(TableId.of("app", "users"))
+    val back = graft.sinks.DeltaInterchange.importDelta(spark, mdir)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
+  }
+
+  test("yaml 'paimon' resolves to the native lakehouse sink (semantics superset)") {
+    val dir = java.nio.file.Files.createTempDirectory("yamlpaimon").toString
+    val sink = DataSinks.forDef(spark, SinkDef("paimon", None, Map("path" -> dir)))
+    assert(sink.isInstanceOf[graft.sinks.LakehouseSink])
+  }
+
   test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {
     Seq("mysql", "oceanbase", "postgres").foreach { t =>
       val sink = DataSinks.forDef(spark, SinkDef(t, None, Map("url" -> "jdbc:none")))
