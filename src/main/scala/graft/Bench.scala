@@ -555,6 +555,79 @@ object Bench {
       } finally double.stop()
     }
 
+    // B12: interchange-mirror envelope. (a) Per-commit mirror cost over a
+    // real 40-commit lakehouse history (Delta and Iceberg — metadata write
+    // + data-file copy; this is the standing pipeline's per-micro-batch
+    // overhead). (b) Reader startup at metadata scale: a spec-shaped
+    // 2000-commit churn log (~33h of one-commit-per-minute mirroring)
+    // replayed from zero vs seeded from a classic checkpoint after
+    // cleanupLog — the metadata-scaling claim measured, not asserted.
+    once("b12") {
+      import graft.sinks.{DeltaInterchange, IcebergInterchange, LakehouseTable}
+      val root = java.nio.file.Files.createTempDirectory("bench_mirror").toString
+      val tb = new LakehouseTable(spark, s"$root/src")
+      tb.create(TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "k", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val nCommits = 40
+      (0 until nCommits).foreach(i =>
+        tb.append(spark.range(i * 5000L, (i + 1) * 5000L)
+          .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))))
+      val d0 = System.nanoTime()
+      DeltaInterchange.mirror(spark, tb, s"$root/delta")
+      out += "b12_delta_mirror_commits_per_sec" ->
+        nCommits / ((System.nanoTime() - d0) / 1e9)
+      val i0 = System.nanoTime()
+      IcebergInterchange.mirror(spark, tb, s"$root/iceberg")
+      out += "b12_iceberg_mirror_commits_per_sec" ->
+        nCommits / ((System.nanoTime() - i0) / 1e9)
+      timed("b12_iceberg_read_meta") {
+        require(IcebergInterchange.readTable(s"$root/iceberg").files.nonEmpty)
+      }.foreach(sec => out += "b12_iceberg_read_meta_sec" -> sec)
+
+      // (b) startup at history scale: spec-shaped synthetic churn log
+      // (each commit adds one file and removes the previous — the mirror's
+      // steady-state shape; replay cost is what is measured, so data files
+      // are not materialized). 20k commits ≈ two weeks of one-commit-per-
+      // minute mirroring — sized past the point where the checkpoint
+      // read's fixed cost amortizes (at 2k commits from-zero replay still
+      // wins on per-read fixed costs, the B9 crossover lesson)
+      val churn = java.nio.file.Paths.get(s"$root/churn/_delta_log")
+      java.nio.file.Files.createDirectories(churn)
+      val nChurn = 20000
+      (0 until nChurn).foreach { v =>
+        val sb = new StringBuilder
+        if (v == 0) {
+          sb ++= """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" += '\n'
+          sb ++= """{"metaData":{"id":"b12","format":{"provider":"parquet","options":{}},""" +
+            """"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",""" +
+            """\"type\":\"long\",\"nullable\":false,\"metadata\":{}}]}",""" +
+            """"partitionColumns":[],"configuration":{},"createdTime":0}}""" += '\n'
+        }
+        sb ++= s"""{"txn":{"appId":"${DeltaInterchange.MirrorAppId}","version":$v}}""" += '\n'
+        sb ++= s"""{"add":{"path":"f$v.parquet","partitionValues":{},"size":100,""" +
+          s""""modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":10}"}}""" += '\n'
+        if (v > 0)
+          sb ++= s"""{"remove":{"path":"f${v - 1}.parquet","deletionTimestamp":0,""" +
+            """"dataChange":true}}""" += '\n'
+        java.nio.file.Files.write(churn.resolve(f"${v.toLong}%020d.json"),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      timed("b12_replay_zero") {
+        require(DeltaInterchange.readLog(s"$root/churn").numRecords == 10L)
+      }.foreach(sec => out += "b12_delta_replay_zero_sec" -> sec)
+      DeltaInterchange.checkpoint(spark, s"$root/churn")
+      require(DeltaInterchange.cleanupLog(s"$root/churn") == nChurn,
+        "cleanup must drop every pre-checkpoint commit")
+      timed("b12_replay_ckpt") {
+        require(DeltaInterchange.readLog(spark, s"$root/churn").numRecords == 10L)
+      }.foreach(sec => out += "b12_delta_replay_checkpoint_sec" -> sec)
+    }
+
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the
     // schema-evolution stall probe. Same warmup + median-of-3 + raw
     // discipline as B1–B5 (r08's single un-instrumented run drifted 3.7×
