@@ -370,6 +370,35 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(metadata(dest).get("snapshots").size() == 2)
   }
 
+  test("readAppendsBetween tails appended snapshots; overwrites refuse") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_ib_inc").toString
+    t.append((0L until 10L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")))
+    IcebergInterchange.mirror(spark, t, dest)
+    val s1 = IcebergInterchange.readTable(dest).snapshotId
+    t.append((10L until 25L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")))
+    t.append((25L until 30L).toDF("k").select($"k", concat(lit("c"), $"k").as("v")))
+    IcebergInterchange.mirror(spark, t, dest)
+    val s3 = IcebergInterchange.readTable(dest).snapshotId
+
+    val inc = IcebergInterchange.readAppendsBetween(spark, dest, s1, s3)
+    assert(inc.count() == 20L, "exactly the two appended snapshots' rows")
+    assert(inc.agg(min($"k")).head().getLong(0) == 10L)
+    val all = IcebergInterchange.readAppendsBetween(spark, dest, -1L, s3)
+    assert(all.count() == 30L, "from -1 reads from the beginning")
+
+    // a rewriting merge creates an overwrite snapshot: incremental
+    // consumers must refuse it, not double-count rewritten history
+    t.merge((0L until 10L).toDF("k").select($"k", concat(lit("z"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+    val s4 = IcebergInterchange.readTable(dest).snapshotId
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterchange.readAppendsBetween(spark, dest, s3, s4).count()
+    }
+    assert(e.getMessage.contains("not an append"))
+  }
+
   test("empty table mirrors to a snapshot-less metadata; import is empty") {
     val t = newTable() // create() only: version 0 exists, no files
     val dest = Files.createTempDirectory("graft_ib_mir").toString
