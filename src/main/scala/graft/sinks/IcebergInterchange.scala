@@ -30,8 +30,11 @@ import scala.jdk.CollectionConverters._
   *    name-based fallback readers apply to id-less files.
   *  - [[importIceberg]] / [[readTable]]: replay the latest metadata
   *    version → current snapshot → manifest list → manifests into a
-  *    DataFrame. Unsupported features fail LOUDLY instead of reading
-  *    wrong data: delete manifests (content=1), non-parquet data files,
+  *    DataFrame, applying BOTH v2 delete flavors by their sequence rules
+  *    (equality deletes mask data sequence < S; position deletes mask the
+  *    named (file, row-offset) pairs at data sequence <= S, resolved via
+  *    Spark's parquet `_metadata.row_index`). Unsupported features fail
+  *    LOUDLY instead of reading wrong data: non-parquet data files,
   *    partitioned specs, format-version != 2.
   *  - [[mirror]]: continuous mirroring, ONE Iceberg snapshot per
   *    lakehouse commit. Adds go into one new manifest; removes rewrite
@@ -59,7 +62,7 @@ object IcebergInterchange {
   // ---------------------------------------------------------------- schemas
 
   /** Avro schema of one manifest-list row (spec: manifest_file, v2). */
-  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+  private[sinks] val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
@@ -82,7 +85,7 @@ object IcebergInterchange {
     * side). `partition` is the empty record of the unpartitioned spec;
     * `equality_ids` (field-id 135) carries the equality columns of
     * content=2 EQUALITY_DELETES files, null for data files. */
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+  private[sinks] val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -213,7 +216,7 @@ object IcebergInterchange {
 
   // ----------------------------------------------------------- avro helpers
 
-  private def writeAvro(path: Path, schema: Schema, meta: Map[String, String],
+  private[sinks] def writeAvro(path: Path, schema: Schema, meta: Map[String, String],
       rows: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     meta.toSeq.sortBy(_._1).foreach { case (k, v) => w.setMeta(k, v) }
@@ -221,7 +224,7 @@ object IcebergInterchange {
     try rows.foreach(w.append) finally w.close()
   }
 
-  private def readAvro(path: Path): Seq[GenericRecord] = {
+  private[sinks] def readAvro(path: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](path.toFile,
       new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toVector finally r.close()
@@ -238,13 +241,13 @@ object IcebergInterchange {
   /** One live-or-deleted manifest entry as tracked across mirror calls.
     * `content` 0 = data, 2 = equality deletes (spec data_file.content);
     * `equalityIds` is non-empty only for content=2. */
-  private final case class Entry(status: Int, snapshotId: Long, seq: Long,
+  private[sinks] final case class Entry(status: Int, snapshotId: Long, seq: Long,
       filePath: String, rows: Long, size: Long,
       content: Int = 0, equalityIds: Seq[Int] = Nil)
 
   /** `content` 0 = data manifest, 1 = delete manifest (spec manifest_file
     * content). */
-  private final case class ManifestInfo(path: Path, length: Long, seq: Long,
+  private[sinks] final case class ManifestInfo(path: Path, length: Long, seq: Long,
       minSeq: Long, addedSnapshotId: Long, entries: Seq[Entry],
       content: Int = 0) {
     def live: Seq[Entry] = entries.filter(_.status != Deleted)
@@ -271,7 +274,7 @@ object IcebergInterchange {
     rec
   }
 
-  private def writeManifest(path: Path, schemaJson: String,
+  private[sinks] def writeManifest(path: Path, schemaJson: String,
       entries: Seq[Entry], deletes: Boolean = false): Unit =
     writeAvro(path, manifestEntrySchema, Map(
       "schema" -> schemaJson,
@@ -285,10 +288,9 @@ object IcebergInterchange {
     readAvro(path).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
       val content = int(df, "content")
-      require(content == 0 || content == 2,
-        s"manifest $path: data_file.content $content is not supported " +
-          "(data=0 and equality-deletes=2 only; position deletes need " +
-          "row-offset apply this importer does not have)")
+      require(content >= 0 && content <= 2,
+        s"manifest $path: data_file.content $content is not a spec value " +
+          "(data=0, position-deletes=1, equality-deletes=2)")
       val fmt = str(df, "file_format")
       require(fmt.equalsIgnoreCase("PARQUET"),
         s"data file format $fmt is not supported (parquet only)")
@@ -303,7 +305,7 @@ object IcebergInterchange {
         long(df, "file_size_in_bytes"), content, eqIds)
     }
 
-  private def manifestListRecord(m: ManifestInfo): GenericRecord = {
+  private[sinks] def manifestListRecord(m: ManifestInfo): GenericRecord = {
     val rec = new GenericData.Record(manifestFileSchema)
     rec.put("manifest_path", m.path.toString)
     rec.put("manifest_length", m.length)
@@ -326,9 +328,9 @@ object IcebergInterchange {
 
   // -------------------------------------------------------------- metadata
 
-  private def metadataDir(dest: String): Path = Paths.get(dest, "metadata")
+  private[sinks] def metadataDir(dest: String): Path = Paths.get(dest, "metadata")
 
-  private def latestMetadataVersion(dest: String): Option[Int] = {
+  private[sinks] def latestMetadataVersion(dest: String): Option[Int] = {
     val hint = metadataDir(dest).resolve("version-hint.text")
     if (Files.exists(hint))
       Some(new String(Files.readAllBytes(hint), UTF_8).trim.toInt)
@@ -341,11 +343,11 @@ object IcebergInterchange {
     else None
   }
 
-  private def readMetadata(dest: String, v: Int): JsonNode =
+  private[sinks] def readMetadata(dest: String, v: Int): JsonNode =
     mapper.readTree(Files.readAllBytes(
       metadataDir(dest).resolve(s"v$v.metadata.json")))
 
-  private def writeMetadata(dest: String, v: Int, node: ObjectNode): Unit = {
+  private[sinks] def writeMetadata(dest: String, v: Int, node: ObjectNode): Unit = {
     Files.createDirectories(metadataDir(dest))
     Files.write(metadataDir(dest).resolve(s"v$v.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
@@ -492,9 +494,13 @@ object IcebergInterchange {
 
   /** `files`/`numRecords` describe live DATA files (numRecords is the
     * pre-delete-apply manifest sum); `dataSeqs` pairs each data file with
-    * its data sequence number, and `deletes` lists live equality-delete
-    * files as (path, sequence, equality field ids) — an equality delete at
-    * sequence S masks matching rows in data files with sequence < S. */
+    * its data sequence number; `deletes` lists live equality-delete files
+    * as (path, sequence, equality field ids) — an equality delete at
+    * sequence S masks matching rows in data files with sequence < S; and
+    * `posDeletes` lists live position-delete files as (path, sequence) —
+    * a position delete at sequence S masks the (file, row-offset) pairs it
+    * names in data files with sequence <= S (the spec's `<=` vs the
+    * equality rule's `<`). */
   final case class IcebergSnapshot(
       schema: StructType,
       files: Seq[String], // absolute live data file paths
@@ -502,7 +508,8 @@ object IcebergInterchange {
       snapshotId: Long,
       properties: Map[String, String],
       dataSeqs: Seq[(String, Long)] = Nil,
-      deletes: Seq[(String, Long, Seq[Int])] = Nil)
+      deletes: Seq[(String, Long, Seq[Int])] = Nil,
+      posDeletes: Seq[(String, Long)] = Nil)
 
   /** Replay the latest metadata version into the current live state. */
   def readTable(srcDir: String): IcebergSnapshot = {
@@ -535,16 +542,18 @@ object IcebergInterchange {
     val listPath = resolvePath(location, snapNode.get("manifest-list").asText())
     val data = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val dels = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[Entry]
     readAvro(listPath).foreach { mf =>
       val content = int(mf, "content")
       val mPath = resolvePath(location, str(mf, "manifest_path"))
       val live = readManifest(mPath).filter(_.status != Deleted)
       if (content == 0) data ++= live
-      else {
-        live.foreach(e => require(e.content == 2 && e.equalityIds.nonEmpty,
-          s"delete manifest $mPath carries a non-equality delete file " +
-            "(position deletes are not supported)"))
-        dels ++= live
+      else live.foreach {
+        case e if e.content == 2 && e.equalityIds.nonEmpty => dels += e
+        case e if e.content == 1 => pos += e
+        case e => throw new IllegalArgumentException(
+          s"delete manifest $mPath entry ${e.filePath}: content ${e.content} " +
+            s"with equality ids ${e.equalityIds} is not a valid delete file shape")
       }
     }
     IcebergSnapshot(sparkStruct(schemaNode),
@@ -552,7 +561,8 @@ object IcebergInterchange {
       data.map(_.rows).sum, curId, props,
       data.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq,
       dels.map(e => (resolvePath(location, e.filePath).toString, e.seq,
-        e.equalityIds)).toSeq)
+        e.equalityIds)).toSeq,
+      pos.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq)
   }
 
   private def resolvePath(location: String, p: String): Path = {
@@ -620,41 +630,72 @@ object IcebergInterchange {
     * hash join on the equality columns — per key, only the MAX delete
     * sequence matters, so deletes aggregate to one row per key first. */
   def importIceberg(spark: SparkSession, srcDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, max}
+    import org.apache.spark.sql.functions.{col, lit, max, regexp_replace}
     val snap = readTable(srcDir)
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    if (snap.deletes.isEmpty)
+    if (snap.deletes.isEmpty && snap.posDeletes.isEmpty)
       return spark.read.schema(snap.schema).parquet(snap.files: _*)
 
-    val eqIds = snap.deletes.map(_._3).distinct
-    require(eqIds.size == 1,
-      s"mixed equality-id sets across delete files ($eqIds) — refusing " +
-        "rather than mis-applying deletes")
-    // field ids → column names under the current schema (top-level ids
-    // are assigned 1..n in declaration order)
-    val names = snap.schema.fields.map(_.name)
-    val eqCols = eqIds.head.map { id =>
-      require(id >= 1 && id <= names.length, s"equality id $id is not a top-level field")
-      names(id - 1)
-    }
-    val keySchema = StructType(snap.schema.fields.filter(f => eqCols.contains(f.name)))
     // data rows tagged with their file's sequence number, one scan per
-    // distinct sequence (files of one commit share it)
-    val data = snap.dataSeqs.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
-      spark.read.schema(snap.schema).parquet(fs.map(_._1): _*)
-        .withColumn("_ib_seq", lit(seq))
+    // distinct sequence (files of one commit share it); position deletes
+    // additionally need the row's (file, offset) identity — Spark's
+    // parquet `_metadata` column provides both without touching row data
+    val needPos = snap.posDeletes.nonEmpty
+    // "file:///x" and "file:/x" both normalize to "/x" so delete-file
+    // references match however the writer spelled the URI
+    def normUri(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:(//)?", "")
+    var data = snap.dataSeqs.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      val base = spark.read.schema(snap.schema).parquet(fs.map(_._1): _*)
+      val tagged = base.withColumn("_ib_seq", lit(seq))
+      if (needPos)
+        tagged.withColumn("_ib_file", normUri(col("_metadata.file_path")))
+          .withColumn("_ib_pos", col("_metadata.row_index"))
+      else tagged
     }.reduce(_ unionAll _)
-    val delMax = snap.deletes.groupBy(_._2).toSeq.map { case (seq, fs) =>
-      spark.read.schema(keySchema).parquet(fs.map(_._1): _*)
-        .withColumn("_ib_dseq", lit(seq))
-    }.reduce(_ unionAll _)
-      .groupBy(eqCols.map(col): _*).agg(max(col("_ib_dseq")).as("_ib_dmax"))
-    data.join(delMax, eqCols, "left")
-      .filter(col("_ib_dmax").isNull || col("_ib_dmax") <= col("_ib_seq"))
-      .drop("_ib_seq", "_ib_dmax")
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+
+    if (snap.deletes.nonEmpty) {
+      val eqIds = snap.deletes.map(_._3).distinct
+      require(eqIds.size == 1,
+        s"mixed equality-id sets across delete files ($eqIds) — refusing " +
+          "rather than mis-applying deletes")
+      // field ids → column names under the current schema (top-level ids
+      // are assigned 1..n in declaration order)
+      val names = snap.schema.fields.map(_.name)
+      val eqCols = eqIds.head.map { id =>
+        require(id >= 1 && id <= names.length, s"equality id $id is not a top-level field")
+        names(id - 1)
+      }
+      val keySchema = StructType(snap.schema.fields.filter(f => eqCols.contains(f.name)))
+      val delMax = snap.deletes.groupBy(_._2).toSeq.map { case (seq, fs) =>
+        spark.read.schema(keySchema).parquet(fs.map(_._1): _*)
+          .withColumn("_ib_dseq", lit(seq))
+      }.reduce(_ unionAll _)
+        .groupBy(eqCols.map(col): _*).agg(max(col("_ib_dseq")).as("_ib_dmax"))
+      data = data.join(delMax, eqCols, "left")
+        .filter(col("_ib_dmax").isNull || col("_ib_dmax") <= col("_ib_seq"))
+        .drop("_ib_dmax")
+    }
+
+    if (needPos) {
+      // spec position-delete file columns: file_path (2147483546),
+      // pos (2147483545); applies to data files with sequence <= S
+      val posSchema = StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("pos", LongType, nullable = false)))
+      val posMax = snap.posDeletes.groupBy(_._2).toSeq.map { case (seq, fs) =>
+        spark.read.schema(posSchema).parquet(fs.map(_._1): _*)
+          .select(normUri(col("file_path")).as("_ib_file"), col("pos").as("_ib_pos"),
+            lit(seq).as("_ib_pseq"))
+      }.reduce(_ unionAll _)
+        .groupBy(col("_ib_file"), col("_ib_pos"))
+        .agg(max(col("_ib_pseq")).as("_ib_pmax"))
+      data = data.join(posMax, Seq("_ib_file", "_ib_pos"), "left")
+        .filter(col("_ib_pmax").isNull || col("_ib_pmax") < col("_ib_seq"))
+    }
+    data.select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 
   // ---------------------------------------------------------------- expiry

@@ -370,6 +370,67 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(metadata(dest).get("snapshots").size() == 2)
   }
 
+  test("position deletes apply by (file, row offset) under the <= sequence rule") {
+    val t = newTable()
+    t.merge((0L until 10L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_pos").toString
+    IcebergInterchange.export(spark, t, dest)
+    val snap0 = IcebergInterchange.readTable(dest)
+    // all data files carry seq 1; pick one with at least two rows
+    val target = snap0.dataSeqs.map(_._1).maxBy(f =>
+      spark.read.schema(schema.struct).parquet(f).count())
+
+    // which keys sit at row offsets 0 and 1 of that file
+    val victims = spark.read.schema(schema.struct).parquet(target)
+      .select($"k", col("_metadata.row_index").as("pos"))
+      .filter($"pos".isin(0L, 1L)).collect().map(_.getLong(0)).toSet
+    assert(victims.size == 2)
+
+    // spec-shaped position-delete file (file_path, pos) + delete manifest
+    // at sequence 1 — the SAME sequence as the data, which must still
+    // apply (position deletes use <=, unlike equality's strict <)
+    val tmp = Files.createTempDirectory("posdel").toString
+    Seq((target, 0L), (target, 1L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val posPath = Paths.get(dest, "data", "posdel-0.parquet")
+    Files.move(part, posPath)
+
+    val root = metadata(dest)
+    val schemaJson = mapper.writeValueAsString(root.get("schemas").get(0))
+    val mPath = Paths.get(dest, "metadata", "m-posdel.avro")
+    IcebergInterchange.writeManifest(mPath, schemaJson, Seq(
+      IcebergInterchange.Entry(1, 2L, 1L, posPath.toString, 2L,
+        Files.size(posPath), content = 1)), deletes = true)
+    val oldList = Paths.get(root.get("snapshots").get(0).get("manifest-list").asText())
+    val newListRows = IcebergInterchange.readAvro(oldList) :+
+      IcebergInterchange.manifestListRecord(IcebergInterchange.ManifestInfo(
+        mPath, Files.size(mPath), 1L, 1L, 2L,
+        Seq(IcebergInterchange.Entry(1, 2L, 1L, posPath.toString, 2L,
+          Files.size(posPath), content = 1)), content = 1))
+    val newList = Paths.get(dest, "metadata", "snap-2.avro")
+    IcebergInterchange.writeAvro(newList, IcebergInterchange.manifestFileSchema,
+      Map("format-version" -> "2"), newListRows)
+    val root2 = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root2.put("current-snapshot-id", 2L)
+    val sn = root2.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    sn.put("snapshot-id", 2L); sn.put("sequence-number", 1L)
+    sn.put("timestamp-ms", 0L); sn.put("manifest-list", newList.toString)
+    sn.put("schema-id", 0)
+    sn.putObject("summary").put("operation", "delete")
+    IcebergInterchange.writeMetadata(dest, 2, root2)
+
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.posDeletes.size == 1)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.count() == 8L)
+    assert(back.filter($"k".isin(victims.toSeq: _*)).isEmpty,
+      "exactly the rows at the deleted offsets disappear")
+  }
+
   test("readAppendsBetween tails appended snapshots; overwrites refuse") {
     val t = newTable()
     val dest = Files.createTempDirectory("graft_ib_inc").toString
