@@ -9,13 +9,18 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-/** Delta Lake `_delta_log` interchange — the ecosystem wire-compatibility
-  * slice of the lakehouse (the reference ships Paimon/Iceberg pipeline
-  * connectors; Iceberg's manifests are Avro, unavailable offline, but the
-  * public Delta transaction-log format is newline-delimited JSON actions
-  * over plain parquet — fully writable and readable here, per the
-  * delta-io PROTOCOL.md specification):
+/** Delta Lake `_delta_log` interchange — one of the two ecosystem wire
+  * formats next to [[IcebergInterchange]] (the reference ships
+  * Paimon/Iceberg pipeline connectors). The public Delta transaction-log
+  * format is newline-delimited JSON actions over plain parquet, per the
+  * delta-io PROTOCOL.md specification:
   *
+  *  - [[readChangeFeed]] + changelog-table mirroring: a changelog-enabled
+  *    lakehouse table forwards its row-level change files as Delta CDF
+  *    `cdc` actions (the files already speak CDF's `_change_type`
+  *    vocabulary), under `delta.enableChangeDataFeed` and writer
+  *    version 4 — downstream CDF readers consume the pipeline's changes
+  *    at commit granularity.
   *  - [[export]]: materialize a [[LakehouseTable]] snapshot as a
   *    Delta-readable directory — data files copied to the root, one
   *    `_delta_log/00000000000000000000.json` commit with `protocol`,
@@ -63,18 +68,8 @@ object DeltaInterchange {
     Files.createDirectories(logDir)
 
     val actions = scala.collection.mutable.Buffer.empty[String]
-    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    val metaNode = mapper.createObjectNode()
-    val m = metaNode.putObject("metaData")
-    m.put("id", java.util.UUID.nameUUIDFromBytes(
-      meta.schema.struct.json.getBytes(UTF_8)).toString)
-    val fmt = m.putObject("format")
-    fmt.put("provider", "parquet"); fmt.putObject("options")
-    m.put("schemaString", meta.schema.struct.json)
-    m.putArray("partitionColumns")
-    m.putObject("configuration")
-    m.put("createdTime", 0L)
-    actions += mapper.writeValueAsString(metaNode)
+    actions += protocolJson(meta.changelog)
+    actions += metaActionJson(meta.schema, meta.changelog)
 
     snap.txns.toSeq.sortBy(_._1).foreach { case (appId, version) =>
       val n = mapper.createObjectNode()
@@ -209,11 +204,18 @@ object DeltaInterchange {
       val prevTxns = prev.map(_.txns).getOrElse(Map.empty)
       val newTxns = cur.txns.toSeq
         .filter { case (a, ver) => !prevTxns.get(a).contains(ver) }.sortBy(_._1)
-      if (adds.nonEmpty || removes.nonEmpty || schemaChanged || newTxns.nonEmpty) {
+      // changelog tables forward their row-level change files as Delta CDF
+      // `cdc` actions in the SAME commit — the change-data files already
+      // carry Delta's `_change_type` vocabulary (insert / update_preimage /
+      // update_postimage / delete), so downstream CDF readers consume the
+      // pipeline's changes directly
+      val changeFiles = if (curMeta.changelog) table.changeFilesOf(v) else Seq.empty
+      if (adds.nonEmpty || removes.nonEmpty || schemaChanged || newTxns.nonEmpty ||
+          changeFiles.nonEmpty) {
         val actions = scala.collection.mutable.Buffer.empty[String]
         if (deltaV == 0L)
-          actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        if (schemaChanged) actions += metaActionJson(curMeta.schema)
+          actions += protocolJson(curMeta.changelog)
+        if (schemaChanged) actions += metaActionJson(curMeta.schema, curMeta.changelog)
         newTxns.foreach { case (appId, ver) =>
           val n = mapper.createObjectNode()
           val x = n.putObject("txn")
@@ -240,6 +242,19 @@ object DeltaInterchange {
           r.put("dataChange", true)
           actions += mapper.writeValueAsString(n)
         }
+        changeFiles.sorted.foreach { p =>
+          val srcPath = Paths.get(table.dir, p)
+          val flat = "_change_data/" + p.replace('/', '-')
+          Files.createDirectories(dest.resolve("_change_data"))
+          Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
+          val n = mapper.createObjectNode()
+          val c = n.putObject("cdc")
+          c.put("path", flat)
+          c.putObject("partitionValues")
+          c.put("size", Files.size(srcPath))
+          c.put("dataChange", false)
+          actions += mapper.writeValueAsString(n)
+        }
         Files.write(logDir.resolve(f"$deltaV%020d.json"),
           actions.mkString("", "\n", "\n").getBytes(UTF_8))
         deltaV += 1
@@ -255,8 +270,9 @@ object DeltaInterchange {
     if (written == 0) {
       val actions = scala.collection.mutable.Buffer.empty[String]
       if (deltaV == 0L) {
-        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        actions += metaActionJson(table.snapshot().schema)
+        val changelog = table.snapshot().meta.exists(_.changelog)
+        actions += protocolJson(changelog)
+        actions += metaActionJson(table.snapshot().schema, changelog)
       }
       val t = mapper.createObjectNode()
       val tx = t.putObject("txn")
@@ -269,7 +285,12 @@ object DeltaInterchange {
     written
   }
 
-  private def metaActionJson(schema: TableSchema): String = {
+  private def protocolJson(cdf: Boolean): String =
+    if (cdf)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+    else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaActionJson(schema: TableSchema, cdf: Boolean = false): String = {
     val metaNode = mapper.createObjectNode()
     val m = metaNode.putObject("metaData")
     m.put("id", java.util.UUID.nameUUIDFromBytes(
@@ -278,7 +299,8 @@ object DeltaInterchange {
     fmt.put("provider", "parquet"); fmt.putObject("options")
     m.put("schemaString", schema.struct.json)
     m.putArray("partitionColumns")
-    m.putObject("configuration")
+    val conf = m.putObject("configuration")
+    if (cdf) conf.put("delta.enableChangeDataFeed", "true")
     m.put("createdTime", 0L)
     mapper.writeValueAsString(metaNode)
   }
@@ -397,10 +419,15 @@ object DeltaInterchange {
           p.get("minWriterVersion").asInt())
       } else if (node.has("metaData")) {
         val m = node.get("metaData")
+        // configuration survives checkpointing (delta.enableChangeDataFeed
+        // must remain visible once the JSON commits are cleaned up)
+        val conf = Option(m.get("configuration"))
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
         metaRow = Row(m.get("id").asText(),
           Row(m.get("format").get("provider").asText(), Map.empty[String, String]),
           m.get("schemaString").asText(),
-          Seq.empty[String], Map.empty[String, String],
+          Seq.empty[String], conf,
           m.get("createdTime").asLong())
       } else if (node.has("add")) {
         val a = node.get("add")
@@ -613,6 +640,70 @@ object DeltaInterchange {
       schema.getOrElse(throw new IllegalStateException("log has no metaData action")),
       live.toSeq.map(p => Paths.get(srcDir, p).toString),
       txns.toMap, numRecords)
+  }
+
+  /** Delta Change Data Feed read: the row-level changes of commits in
+    * `(fromVersion, toVersion]` — the `cdc` actions' files, whose rows
+    * carry `_change_type` (insert / update_preimage / update_postimage /
+    * delete), plus a `_commit_version` column. Requires the table
+    * property `delta.enableChangeDataFeed` (refuses otherwise — a window
+    * read on a non-CDF table would silently return nothing). Commits
+    * removed by [[cleanupLog]] are gone with their cdc actions, so a
+    * window reaching below the earliest retained commit refuses loudly —
+    * expire only past consumed cursors, the lakehouse changelog's own
+    * retention rule. */
+  def readChangeFeed(spark: SparkSession, srcDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val logDir = Paths.get(srcDir, "_delta_log")
+    val snap = readLog(spark, srcDir)
+    // CDF flag: newest metaData wins — checkpoint first (older), then the
+    // JSON commits (configuration survives checkpointing)
+    var cdfOn = false
+    lastCheckpointVersion(logDir).foreach { c =>
+      spark.read.schema(checkpointSchema)
+        .parquet(logDir.resolve(f"$c%020d.checkpoint.parquet").toString)
+        .collect().foreach { r =>
+          if (!r.isNullAt(3))
+            cdfOn = r.getStruct(3).getMap[String, String](4)
+              .get("delta.enableChangeDataFeed").contains("true")
+        }
+    }
+    replayRawActions(logDir, listJsonVersions(logDir)) { node =>
+      if (node.has("metaData"))
+        cdfOn = Option(node.get("metaData").get("configuration"))
+          .exists(c => Option(c.get("delta.enableChangeDataFeed"))
+            .exists(_.asText() == "true"))
+    }
+    require(cdfOn, "delta.enableChangeDataFeed is not set on this table — " +
+      "a window read would silently return nothing")
+    val versions = listJsonVersions(logDir)
+      .filter(v => v > fromVersion && v <= toVersion)
+    require(versions.size == (toVersion - fromVersion),
+      s"change-feed window ($fromVersion, $toVersion] reaches below the " +
+        "earliest retained commit (cleaned up past a checkpoint) — those " +
+        "changes are undeliverable")
+    val perCommit = versions.flatMap { v =>
+      val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+      replayRawActions(logDir, Seq(v)) { node =>
+        if (node.has("cdc"))
+          paths += Paths.get(srcDir, node.get("cdc").get("path").asText()).toString
+      }
+      if (paths.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.lit
+        val withCt = StructType(snap.schema.fields :+
+          StructField("_change_type", StringType, nullable = false))
+        Some(spark.read.schema(withCt).parquet(paths.toSeq: _*)
+          .withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (perCommit.isEmpty) {
+      val schema = StructType(snap.schema.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else perCommit.reduce(_ unionAll _)
   }
 
   /** Read the live table state as a DataFrame under the log's schema

@@ -1504,6 +1504,13 @@ final class LakehouseTable(
     (readChangelogBetween(fromVersion, latest), latest)
   }
 
+  /** Relative change-data file paths of ONE commit (empty when the commit
+    * wrote none) — the per-version accessor interchange mirrors use to
+    * forward row-level changes at O(commit), not O(history). */
+  def changeFilesOf(v: Long): Seq[String] =
+    Files.readAllLines(logFile(v)).asScala.filter(_.nonEmpty)
+      .map(LakehouseFormat.decode).collect { case ChangeFile(p) => p }.toSeq
+
   /** (version, action) history — the audit trail a lakehouse DESCRIBE HISTORY
     * surfaces. */
   def history(): Seq[(Long, Action)] =

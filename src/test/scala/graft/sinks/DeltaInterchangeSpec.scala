@@ -220,6 +220,62 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     assert(snap.files.size == 1 && snap.files.head.endsWith(adds(1)))
   }
 
+  test("CDF: changelog tables mirror cdc actions; readChangeFeed windows them") {
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_dl_cdf").toString)
+    t.create(schema, buckets = 2, changelog = true)
+    val dest = Files.createTempDirectory("graft_dl_cdf_dst").toString
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    DeltaInterchange.mirror(spark, t, dest)
+    t.merge(Seq((1L, "a2")).toDF("k", "v"), Seq(2L).toDF("k"))
+    DeltaInterchange.mirror(spark, t, dest)
+
+    // protocol + property are CDF-shaped
+    val lines = logLines(dest)
+    assert(lines.head.get("protocol").get("minWriterVersion").asInt() == 4)
+    assert(lines(1).get("metaData").get("configuration")
+      .get("delta.enableChangeDataFeed").asText() == "true")
+
+    // the full window carries inserts, the update pair, and the delete
+    val feed = DeltaInterchange.readChangeFeed(spark, dest, -1L, 2L)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 2L)
+    assert(byType("update_preimage") == 1L && byType("update_postimage") == 1L)
+    assert(byType("delete") == 1L)
+    // windowing: only the second commit's changes
+    val w = DeltaInterchange.readChangeFeed(spark, dest, 1L, 2L)
+    assert(w.select($"_commit_version").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    assert(w.count() == 3L)
+    assert(w.filter($"_change_type" === "update_postimage")
+      .select($"v").head().getString(0) == "a2")
+
+    // CDF survives checkpoint + cleanup for NEWER windows; a window
+    // reaching below the cleaned-up history refuses
+    DeltaInterchange.checkpoint(spark, dest)
+    DeltaInterchange.cleanupLog(dest)
+    t.merge(Seq((3L, "c")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    DeltaInterchange.mirror(spark, t, dest)
+    val w2 = DeltaInterchange.readChangeFeed(spark, dest, 2L, 3L)
+    assert(w2.count() == 1L &&
+      w2.head().getString(w2.schema.fieldIndex("_change_type")) == "insert")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterchange.readChangeFeed(spark, dest, -1L, 3L)
+    }
+    assert(e.getMessage.contains("undeliverable"))
+
+    // a non-CDF table refuses the API outright
+    val plain = newTable()
+    plain.merge(Seq((1L, "x")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest2 = Files.createTempDirectory("graft_dl_cdf2").toString
+    DeltaInterchange.mirror(spark, plain, dest2)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterchange.readChangeFeed(spark, dest2, -1L, 1L)
+    }
+    assert(e2.getMessage.contains("enableChangeDataFeed"))
+  }
+
   test("checkpoint: consolidated single-file state + _last_checkpoint pointer") {
     val t = newTable()
     val dest = Files.createTempDirectory("graft_dl_ck").toString
