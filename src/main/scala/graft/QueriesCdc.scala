@@ -320,6 +320,39 @@ object QueriesCdc {
       DeltaInterchange.importDelta(s, dest).orderBy("k")
     }),
 
+    "c_delta_cdf" -> ((s, dir) => {
+      // the Delta Change Data Feed surface, oracle-checked row-for-row: a
+      // changelog-enabled lakehouse table mirrors its change files as cdc
+      // actions, and the windowed feed must reproduce the exact
+      // insert / update_preimage / update_postimage rows SQL derives from
+      // the two batches (batch 2's per-user max always exceeds batch 1's,
+      // so every overlapping user is an update with a known pre-image).
+      import graft.sinks.{DeltaInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_cdf_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4, changelog = true)
+      val dest = java.nio.file.Files.createTempDirectory("graft_cdf_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 300 && col("user_id") < 150)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      require(DeltaInterchange.mirror(s, t, dest) == 1) // commit 0: create
+      t.merge(batch(col("event_id") < 150), s.range(0).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) == 1) // commit 1
+      t.merge(batch(col("event_id") >= 150), s.range(0).select(col("id").as("k")))
+      require(DeltaInterchange.mirror(s, t, dest) == 1) // commit 2
+      DeltaInterchange.readChangeFeed(s, dest, -1L, 2L)
+        .select(col("k"), col("v"), col("_change_type"),
+          col("_commit_version").cast("long").as("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "k")
+    }),
+
     "c_iceberg_interchange" -> ((s, dir) => {
       // the SECOND ecosystem wire format (the reference ships an Iceberg
       // pipeline connector): a lakehouse table built by two merges (the
@@ -2240,6 +2273,32 @@ object QueriesCdc {
         |WHERE event_id < 300 AND user_id < 140
         |GROUP BY user_id
         |ORDER BY k""".stripMargin,
+    // the change feed itself, derived in SQL: batch-1 users insert at
+    // commit 1; at commit 2 new users insert, overlapping users emit an
+    // update pre-image (their batch-1 value) and post-image (batch-2 max,
+    // which is the overall max since event ids >= 150 dominate)
+    "c_delta_cdf" ->
+      """WITH b1 AS (
+        |  SELECT user_id, max(event_id) AS me FROM events
+        |  WHERE event_id < 150 AND user_id < 150 GROUP BY user_id),
+        |b2 AS (
+        |  SELECT user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 150 AND event_id < 300 AND user_id < 150
+        |  GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT user_id AS k, 'e' || CAST(me AS VARCHAR) AS v,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT user_id, 'e' || CAST(me AS VARCHAR), 'insert', 2
+        |  FROM b2 WHERE user_id NOT IN (SELECT user_id FROM b1)
+        |  UNION ALL
+        |  SELECT b1.user_id, 'e' || CAST(b1.me AS VARCHAR), 'update_preimage', 2
+        |  FROM b1 JOIN b2 ON b1.user_id = b2.user_id
+        |  UNION ALL
+        |  SELECT b2.user_id, 'e' || CAST(b2.me AS VARCHAR), 'update_postimage', 2
+        |  FROM b1 JOIN b2 ON b1.user_id = b2.user_id
+        |) ORDER BY _commit_version, _change_type, k""".stripMargin,
     // checkpointed mirror converges to the same state as the plain mirror
     "c_delta_checkpoint" ->
       """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
