@@ -98,9 +98,42 @@ object IcebergInterchange {
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]}}
       |]}""".stripMargin)
+
+  /** Iceberg single-value serialization (spec Appendix D) for the bound
+    * types the zone maps cover; None for types whose bounds are omitted
+    * (bounds are optional per column). Integers are little-endian;
+    * strings are raw UTF-8. */
+  private def boundBytes(v: String, dt: DataType): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    scala.util.Try(dt match {
+      case ByteType | ShortType | IntegerType =>
+        Some(le(4).putInt(v.toInt).array())
+      case LongType => Some(le(8).putLong(v.toLong).array())
+      case FloatType => Some(le(4).putFloat(v.toFloat).array())
+      case DoubleType => Some(le(8).putDouble(v.toDouble).array())
+      case BooleanType => Some(Array[Byte](if (v.toBoolean) 1 else 0))
+      case StringType => Some(v.getBytes(UTF_8))
+      case _ => None
+    }).toOption.flatten // an unparseable zone-map rendering just omits bounds
+  }
+
+  /** field-id → (lower, upper) byte bounds from a lakehouse zone map. */
+  private def boundsOf(stats: Map[String, LakehouseFormat.ColStats],
+      struct: StructType): Map[Int, (Array[Byte], Array[Byte])] =
+    stats.flatMap { case (name, cs) =>
+      val i = struct.fieldNames.indexOf(name)
+      if (i < 0) None
+      else for {
+        lo <- boundBytes(cs.min, struct.fields(i).dataType)
+        hi <- boundBytes(cs.max, struct.fields(i).dataType)
+      } yield (i + 1) -> (lo, hi)
+    }
 
   /** Spark → Iceberg type JSON (primitives as JSON strings, lists as
     * objects with element ids). `nextId` allocates nested field ids
@@ -243,7 +276,8 @@ object IcebergInterchange {
     * `equalityIds` is non-empty only for content=2. */
   private[sinks] final case class Entry(status: Int, snapshotId: Long, seq: Long,
       filePath: String, rows: Long, size: Long,
-      content: Int = 0, equalityIds: Seq[Int] = Nil)
+      content: Int = 0, equalityIds: Seq[Int] = Nil,
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
 
   /** `content` 0 = data manifest, 1 = delete manifest (spec manifest_file
     * content). */
@@ -263,6 +297,21 @@ object IcebergInterchange {
       df.getSchema.getField("partition").schema()))
     df.put("record_count", e.rows)
     df.put("file_size_in_bytes", e.size)
+    if (e.bounds.nonEmpty) {
+      def kvs(recName: String, pick: ((Array[Byte], Array[Byte])) => Array[Byte]) = {
+        val itemSchema = df.getSchema.getField(
+          if (recName == "k126_v127") "lower_bounds" else "upper_bounds")
+          .schema().getTypes.get(1).getElementType
+        e.bounds.toSeq.sortBy(_._1).map { case (id, b) =>
+          val r = new GenericData.Record(itemSchema)
+          r.put("key", id)
+          r.put("value", java.nio.ByteBuffer.wrap(pick(b)))
+          r: AnyRef
+        }.asJava
+      }
+      df.put("lower_bounds", kvs("k126_v127", _._1))
+      df.put("upper_bounds", kvs("k129_v130", _._2))
+    }
     if (e.equalityIds.nonEmpty)
       df.put("equality_ids", e.equalityIds.map(Integer.valueOf).asJava)
     val rec = new GenericData.Record(manifestEntrySchema)
@@ -298,11 +347,22 @@ object IcebergInterchange {
         .map(_.asInstanceOf[java.util.List[_]].asScala
           .map(_.asInstanceOf[Number].intValue()).toSeq)
         .getOrElse(Nil)
+      // bounds parse back so rewritten manifests keep them for kept entries
+      def boundMap(field: String): Map[Int, Array[Byte]] =
+        Option(df.get(field)).map(_.asInstanceOf[java.util.List[_]].asScala.map { o =>
+          val kv = o.asInstanceOf[GenericRecord]
+          val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          val arr = new Array[Byte](buf.remaining()); buf.duplicate().get(arr)
+          kv.get("key").asInstanceOf[Number].intValue() -> arr
+        }.toMap).getOrElse(Map.empty)
+      val lows = boundMap("lower_bounds"); val highs = boundMap("upper_bounds")
+      val bounds = lows.keySet.intersect(highs.keySet)
+        .map(k => k -> (lows(k), highs(k))).toMap
       Entry(int(r, "status"),
         Option(r.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         str(df, "file_path"), long(df, "record_count"),
-        long(df, "file_size_in_bytes"), content, eqIds)
+        long(df, "file_size_in_bytes"), content, eqIds, bounds)
     }
 
   private[sinks] def manifestListRecord(m: ManifestInfo): GenericRecord = {
@@ -453,7 +513,8 @@ object IcebergInterchange {
     val snapshotId = table.latestVersion() + 1
     val entries = snap.files.sortBy(_.path).map { f =>
       val (out, size) = copyDataFile(table, destDir, f)
-      Entry(Added, snapshotId, 1L, out.toString, rows(f.path), size)
+      Entry(Added, snapshotId, 1L, out.toString, rows(f.path), size,
+        bounds = boundsOf(f.stats, meta.schema.struct))
     }
     Files.createDirectories(metadataDir(destDir))
     val mPath = metadataDir(destDir).resolve(s"m-$snapshotId-0.avro")
@@ -906,7 +967,8 @@ object IcebergInterchange {
             val rows = resolveRowCounts(spark, table, adds)
             val entries = adds.map { f =>
               val (out, size) = copyDataFile(table, destDir, f)
-              Entry(Added, snapshotId, lastSeq, out.toString, rows(f.path), size)
+              Entry(Added, snapshotId, lastSeq, out.toString, rows(f.path), size,
+                bounds = boundsOf(f.stats, curMeta.schema.struct))
             }
             val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
             writeManifest(p, schemaJson, entries)

@@ -122,6 +122,21 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(df.get("content").asInstanceOf[Int] == 0)
     assert(Files.exists(Paths.get(df.get("file_path").toString)),
       "file_path points at a real copied parquet")
+    // column bounds: spec single-value serialization keyed by field id —
+    // the long PK's min across all files is 1L, little-endian 8 bytes
+    val allLows = entries.flatMap { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      Option(d.get("lower_bounds")).toSeq.flatMap(
+        _.asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[GenericRecord]))
+    }
+    assert(allLows.nonEmpty, "data entries carry lower_bounds from the zone maps")
+    val kLows = allLows.filter(_.get("key").asInstanceOf[Number].intValue() == 1)
+      .map { kv =>
+        val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+        buf.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      }
+    assert(kLows.min == 1L, "min(k) serializes as little-endian long")
+
     // manifest avro metadata carries the iceberg schema + spec info
     val r = new DataFileReader[GenericRecord](
       Paths.get(mf.get("manifest_path").toString).toFile,
