@@ -1067,8 +1067,8 @@ object QueriesML {
         |  FROM f),
         |g AS (
         |  SELECT doc_id, domain, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, doc_id
-        |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM q)
         |SELECT doc_id, domain, n_tokens, cum_tokens
         |FROM g

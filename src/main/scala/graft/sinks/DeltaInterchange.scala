@@ -676,8 +676,12 @@ object DeltaInterchange {
     }
     require(cdfOn, "delta.enableChangeDataFeed is not set on this table — " +
       "a window read would silently return nothing")
-    val versions = listJsonVersions(logDir)
-      .filter(v => v > fromVersion && v <= toVersion)
+    val retained = listJsonVersions(logDir)
+    val latest = retained.maxOption.getOrElse(-1L)
+    require(toVersion <= latest,
+      s"toVersion $toVersion is beyond the latest commit $latest — " +
+        "nothing has been written there yet")
+    val versions = retained.filter(v => v > fromVersion && v <= toVersion)
     require(versions.size == (toVersion - fromVersion),
       s"change-feed window ($fromVersion, $toVersion] reaches below the " +
         "earliest retained commit (cleaned up past a checkpoint) — those " +

@@ -193,6 +193,70 @@ object IcebergInterchange {
     (root, id)
   }
 
+  /** Evolve the previous Iceberg schema node under append-only evolution,
+    * keeping every existing field id STABLE — including nested element-ids
+    * (the spec's id-stability rule): common-prefix fields carry their
+    * previous ids verbatim (primitive promotion and requiredness changes
+    * rewrite the type in place without touching ids); appended fields
+    * allocate fresh ids after `lastColumnId`, so no id is ever reused. A
+    * drop or reorder refuses loudly — the lakehouse's own evolution is
+    * append-only, so hitting that means the mirror is out of sync. */
+  private def extendIcebergSchema(prev: ObjectNode, struct: StructType,
+      schemaId: Int, lastColumnId: Int, lakehouseVersion: Long): (ObjectNode, Int) = {
+    val prevFields = prev.get("fields").elements().asScala
+      .map(_.deepCopy[ObjectNode]()).toVector
+    require(struct.fields.length >= prevFields.size &&
+      prevFields.zip(struct.fields).forall { case (pn, sf) =>
+        pn.get("name").asText() == sf.name },
+      s"lakehouse version $lakehouseVersion drops or reorders columns: " +
+        "field ids cannot survive that — refusing rather than " +
+        "re-identifying columns under readers")
+    var id = lastColumnId
+    val nextId = () => { id += 1; id }
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", schemaId)
+    val fields = root.putArray("fields")
+    prevFields.zip(struct.fields).foreach { case (pn, sf) =>
+      pn.put("required", !sf.nullable)
+      (sf.dataType, pn.get("type").isObject) match {
+        case (ArrayType(el, containsNull), true) =>
+          // keep the existing element-id; only the element type/required
+          // flag may change (primitive promotion)
+          val tn = pn.get("type").asInstanceOf[ObjectNode]
+          icebergType(el, nextId, tn, sf.name) match {
+            case s: String => tn.put("element", s)
+            case _ => throw new IllegalArgumentException(
+              s"column '${sf.name}': nested non-primitive list elements " +
+                "are not supported by this mirror")
+          }
+          tn.put("element-required", !containsNull)
+        case (dt, false) if !dt.isInstanceOf[ArrayType] =>
+          icebergType(dt, nextId, pn, sf.name) match {
+            case s: String => pn.put("type", s)
+            case _ => throw new IllegalArgumentException(
+              s"column '${sf.name}': cannot evolve a primitive column " +
+                "into a nested type under stable field ids")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"column '${sf.name}': evolution between nested and primitive " +
+            "shapes has no id-stable mapping — refusing")
+      }
+      fields.add(pn)
+    }
+    struct.fields.drop(prevFields.size).foreach { sf =>
+      val fn = fields.addObject()
+      fn.put("id", nextId())
+      fn.put("name", sf.name)
+      fn.put("required", !sf.nullable)
+      icebergType(sf.dataType, nextId, fn, sf.name) match {
+        case s: String => fn.put("type", s)
+        case n: JsonNode => fn.set[JsonNode]("type", n)
+      }
+    }
+    (root, id)
+  }
+
   /** `schema.name-mapping.default`: maps names → field ids so readers can
     * resolve the id-less parquet files this sandbox writes (the spec's
     * fallback for imported files). */
@@ -333,7 +397,13 @@ object IcebergInterchange {
       "content" -> (if (deletes) "deletes" else "data"),
     ), entries.map(entryRecord))
 
-  private def readManifest(path: Path): Seq[Entry] =
+  /** `listSeq` is the owning manifest-list row's sequence_number: the spec
+    * writes ADDED entries with a null sequence_number that INHERITS it (the
+    * entry was added by the snapshot that wrote the manifest). A null on an
+    * EXISTING/DELETED entry has nothing to inherit from — those must carry
+    * their original data sequence explicitly — so it refuses loudly rather
+    * than defaulting to 0 and letting every equality delete mask the file. */
+  private def readManifest(path: Path, listSeq: Long): Seq[Entry] =
     readAvro(path).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
       val content = int(df, "content")
@@ -358,9 +428,20 @@ object IcebergInterchange {
       val lows = boundMap("lower_bounds"); val highs = boundMap("upper_bounds")
       val bounds = lows.keySet.intersect(highs.keySet)
         .map(k => k -> (lows(k), highs(k))).toMap
-      Entry(int(r, "status"),
+      val status = int(r, "status")
+      val seq = Option(r.get("sequence_number"))
+        .map(_.asInstanceOf[Number].longValue())
+        .getOrElse {
+          require(status == Added,
+            s"manifest $path entry ${str(df, "file_path")}: null " +
+              "sequence_number on a non-ADDED entry — inheritance applies " +
+              "only to entries added by this manifest's own snapshot; " +
+              "refusing rather than guessing the data sequence")
+          listSeq
+        }
+      Entry(status,
         Option(r.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
-        Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        seq,
         str(df, "file_path"), long(df, "record_count"),
         long(df, "file_size_in_bytes"), content, eqIds, bounds)
     }
@@ -570,7 +651,11 @@ object IcebergInterchange {
       properties: Map[String, String],
       dataSeqs: Seq[(String, Long)] = Nil,
       deletes: Seq[(String, Long, Seq[Int])] = Nil,
-      posDeletes: Seq[(String, Long)] = Nil)
+      posDeletes: Seq[(String, Long)] = Nil,
+      // top-level field id -> column name from the CURRENT schema's actual
+      // ids (real Iceberg schemas keep original ids across drops/reorders,
+      // so id != position in general)
+      fieldIds: Map[Int, String] = Map.empty)
 
   /** Replay the latest metadata version into the current live state. */
   def readTable(srcDir: String): IcebergSnapshot = {
@@ -594,9 +679,12 @@ object IcebergInterchange {
     val props = Option(root.get("properties")).map(p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
+    val fieldIds = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     val curId = root.get("current-snapshot-id").asLong()
     if (curId == -1L)
-      return IcebergSnapshot(sparkStruct(schemaNode), Seq.empty, 0L, -1L, props)
+      return IcebergSnapshot(sparkStruct(schemaNode), Seq.empty, 0L, -1L, props,
+        fieldIds = fieldIds)
     val snapNode = root.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curId)
       .getOrElse(throw new IllegalStateException(s"current snapshot $curId not listed"))
@@ -607,7 +695,8 @@ object IcebergInterchange {
     readAvro(listPath).foreach { mf =>
       val content = int(mf, "content")
       val mPath = resolvePath(location, str(mf, "manifest_path"))
-      val live = readManifest(mPath).filter(_.status != Deleted)
+      val live = readManifest(mPath, long(mf, "sequence_number"))
+        .filter(_.status != Deleted)
       if (content == 0) data ++= live
       else live.foreach {
         case e if e.content == 2 && e.equalityIds.nonEmpty => dels += e
@@ -623,7 +712,8 @@ object IcebergInterchange {
       data.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq,
       dels.map(e => (resolvePath(location, e.filePath).toString, e.seq,
         e.equalityIds)).toSeq,
-      pos.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq)
+      pos.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq,
+      fieldIds)
   }
 
   private def resolvePath(location: String, p: String): Path = {
@@ -672,7 +762,8 @@ object IcebergInterchange {
           "rewritten history — an incremental consumer would double-count")
       readAvro(resolvePath(location, s.get("manifest-list").asText())).flatMap { mf =>
         if (int(mf, "content") != 0) Nil
-        else readManifest(resolvePath(location, str(mf, "manifest_path")))
+        else readManifest(resolvePath(location, str(mf, "manifest_path")),
+            long(mf, "sequence_number"))
           .filter(e => e.status == Added && e.snapshotId == id)
           .map(e => resolvePath(location, e.filePath).toString)
       }
@@ -722,12 +813,15 @@ object IcebergInterchange {
       require(eqIds.size == 1,
         s"mixed equality-id sets across delete files ($eqIds) — refusing " +
           "rather than mis-applying deletes")
-      // field ids → column names under the current schema (top-level ids
-      // are assigned 1..n in declaration order)
-      val names = snap.schema.fields.map(_.name)
+      // field ids → column names via the current schema's ACTUAL ids (real
+      // Iceberg schemas keep original ids after drops/reorders, so an
+      // in-range id may not be at position id-1 — positional resolution
+      // would apply deletes on the wrong key)
       val eqCols = eqIds.head.map { id =>
-        require(id >= 1 && id <= names.length, s"equality id $id is not a top-level field")
-        names(id - 1)
+        snap.fieldIds.getOrElse(id, throw new IllegalArgumentException(
+          s"equality id $id is not a top-level field of the current schema " +
+            s"(ids present: ${snap.fieldIds.keys.toSeq.sorted.mkString(", ")}) — " +
+            "refusing rather than mis-keying deletes"))
       }
       val keySchema = StructType(snap.schema.fields.filter(f => eqCols.contains(f.name)))
       val delMax = snap.deletes.groupBy(_._2).toSeq.map { case (seq, fs) =>
@@ -788,13 +882,16 @@ object IcebergInterchange {
     // reachability from the retained snapshots only
     val keepLists = retained.map(s =>
       resolvePath(location, s.get("manifest-list").asText())).toSet
-    val keepManifests = keepLists.flatMap(lp =>
-      readAvro(lp).map(mf => resolvePath(location, str(mf, "manifest_path"))))
+    val keepManifestSeqs = keepLists.flatMap(lp =>
+      readAvro(lp).map(mf =>
+        resolvePath(location, str(mf, "manifest_path")) ->
+          long(mf, "sequence_number")))
+    val keepManifests = keepManifestSeqs.map(_._1)
     // LIVE references only: a DELETED entry in a retained manifest records
     // a removal, it does not keep the bytes reachable for scans
-    val keepData = keepManifests.flatMap(mp =>
-      readManifest(mp).filter(_.status != Deleted)
-        .map(e => resolvePath(location, e.filePath)))
+    val keepData = keepManifestSeqs.flatMap { case (mp, seq) =>
+      readManifest(mp, seq).filter(_.status != Deleted)
+        .map(e => resolvePath(location, e.filePath)) }
 
     val expired = snaps.dropRight(keepLast)
     var metaDeleted = 0
@@ -803,10 +900,11 @@ object IcebergInterchange {
       val lp = resolvePath(location, s.get("manifest-list").asText())
       if (!keepLists.contains(lp)) {
         val manifests = readAvro(lp).map(mf =>
-          resolvePath(location, str(mf, "manifest_path")))
-        manifests.foreach { mp =>
+          resolvePath(location, str(mf, "manifest_path")) ->
+            long(mf, "sequence_number"))
+        manifests.foreach { case (mp, seq) =>
           if (!keepManifests.contains(mp) && Files.exists(mp)) {
-            readManifest(mp).foreach { e =>
+            readManifest(mp, seq).foreach { e =>
               val dp = resolvePath(location, e.filePath)
               if (!keepData.contains(dp) && Files.deleteIfExists(dp))
                 dataDeleted += 1
@@ -873,7 +971,8 @@ object IcebergInterchange {
           // manifest re-lists only its live entries
           ManifestInfo(p, long(mf, "manifest_length"), long(mf, "sequence_number"),
             long(mf, "min_sequence_number"), long(mf, "added_snapshot_id"),
-            readManifest(p).filter(_.status != Deleted), int(mf, "content"))
+            readManifest(p, long(mf, "sequence_number"))
+              .filter(_.status != Deleted), int(mf, "content"))
         }.toVector
       }
     }
@@ -905,23 +1004,20 @@ object IcebergInterchange {
       // compare at the Iceberg-schema level (field nodes, schema-id aside):
       // Spark structs do not round-trip exactly through Iceberg types
       // (short → int), so a struct compare would re-append forever after
-      // a recovery
-      val (candNode, candLc) = icebergSchema(curMeta.schema.struct, schemas.size)
+      // a recovery. Evolution EXTENDS the previous schema node (common
+      // fields keep their ids — including nested element-ids — and new
+      // fields allocate ids after last-column-id), so the spec's
+      // id-stability rule holds across append-only evolution; a fresh
+      // positional allocation would shift nested ids whenever a top-level
+      // column is appended after an array column.
+      val (candNode, candLc) = schemas.lastOption match {
+        case None => icebergSchema(curMeta.schema.struct, 0)
+        case Some(prevNode) => extendIcebergSchema(
+          prevNode, curMeta.schema.struct, schemas.size, lastColumnId, v)
+      }
       val schemaChanged = schemas.isEmpty ||
         candNode.get("fields") != schemas.last.get("fields")
       if (schemaChanged) {
-        // field ids here are positional, so they stay stable only under
-        // append-only evolution (which is what the lakehouse schema
-        // evolution performs) — a drop or reorder would silently re-id
-        schemas.lastOption.foreach { prevNode =>
-          val pf = prevNode.get("fields").elements().asScala.toSeq
-          val nf = candNode.get("fields").elements().asScala.toSeq
-          require(pf.size <= nf.size && pf.zip(nf).forall { case (a, b) =>
-            a.get("name") == b.get("name") && a.get("id") == b.get("id") },
-            s"lakehouse version $v drops or reorders columns: positional " +
-              "field ids cannot survive that — refusing rather than " +
-              "re-identifying columns under readers")
-        }
         schemas :+= candNode
         lastColumnId = math.max(lastColumnId, candLc)
       }

@@ -60,7 +60,17 @@ final class MirroredLakehouseSink(
   override def applySchemaChange(event: SchemaChangeEvent): Unit = {
     inner.applySchemaChange(event)
     event match {
-      case _: DropTableEvent => // the inner table is gone; nothing to mirror
+      case d: DropTableEvent =>
+        // the inner staging table restarts at version 0 if the table is
+        // later recreated; a surviving mirror directory would then either
+        // keep serving the dropped table's data or diff new-table versions
+        // against the old head's recorded progress — delete it so a
+        // recreate mirrors from scratch
+        val dir = java.nio.file.Paths.get(mirrorDir(d.tableId))
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
       case e => sync(e.tableId)
     }
   }

@@ -265,6 +265,13 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("undeliverable"))
 
+    // a toVersion beyond the latest commit gets its own diagnostic, not
+    // the misleading retention message
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaInterchange.readChangeFeed(spark, dest, 2L, 99L)
+    }
+    assert(e3.getMessage.contains("beyond the latest commit"))
+
     // a non-CDF table refuses the API outright
     val plain = newTable()
     plain.merge(Seq((1L, "x")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
@@ -325,5 +332,30 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     assert(back2.exceptAll(want).isEmpty && want.exceptAll(back2).isEmpty)
     // cleanup without a checkpoint advance is a no-op for newer commits
     assert(DeltaInterchange.cleanupLog(dest) == 0)
+  }
+
+  test("mirrored sink: drop removes the external mirror; recreate starts clean") {
+    val root = Files.createTempDirectory("graft_dl_drop").toString
+    val sink = new MirroredLakehouseSink(spark, root, "delta", buckets = 2)
+    val tid = TableId.of("app", "users")
+    sink.applySchemaChange(CreateTableEvent(tid, schema))
+    sink.writeBatch(tid, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val mdir = Paths.get(sink.mirrorDir(tid))
+    assert(Files.exists(mdir.resolve("_delta_log")))
+
+    sink.applySchemaChange(DropTableEvent(tid))
+    assert(!Files.exists(mdir),
+      "the external mirror dies with the table — a survivor would serve " +
+        "the dropped table's data or diff a recreate against its old head")
+
+    // recreate: the inner table restarts at version 0 and the mirror
+    // rebuilds from scratch with only the new table's rows
+    sink.applySchemaChange(CreateTableEvent(tid, schema))
+    sink.writeBatch(tid, Seq((9L, "z")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val back = DeltaInterchange.importDelta(spark, mdir.toString)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((9L, "z")))
   }
 }

@@ -475,6 +475,127 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not an append"))
   }
 
+  test("null sequence_number: ADDED entries inherit the list's; others refuse") {
+    val t = newTable()
+    t.merge((0L until 10L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_inh").toString
+    IcebergInterchange.export(spark, t, dest)
+    val root = metadata(dest)
+    val listRows = IcebergInterchange.readAvro(Paths.get(
+      root.get("snapshots").get(0).get("manifest-list").asText()))
+    // real Iceberg writers emit null sequence numbers on entries added by
+    // the manifest's own snapshot — rewrite ours to that shape
+    def rewrite(mutate: GenericRecord => Unit): Unit =
+      listRows.foreach { mf =>
+        val mp = Paths.get(mf.get("manifest_path").toString)
+        val rows = IcebergInterchange.readAvro(mp)
+        rows.foreach(mutate)
+        IcebergInterchange.writeAvro(mp, IcebergInterchange.manifestEntrySchema,
+          Map("format-version" -> "2"), rows)
+      }
+    rewrite { r =>
+      r.put("sequence_number", null); r.put("file_sequence_number", null)
+    }
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.dataSeqs.nonEmpty && snap.dataSeqs.forall(_._2 == 1L),
+      "inherited from the manifest list's sequence_number, not defaulted to 0")
+    assert(IcebergInterchange.importIceberg(spark, dest).count() == 10L)
+    // EXISTING entries have nothing to inherit from: refuse loudly
+    rewrite(_.put("status", 0))
+    val e = intercept[IllegalArgumentException](IcebergInterchange.readTable(dest))
+    assert(e.getMessage.contains("non-ADDED"))
+  }
+
+  test("equality ids resolve via the schema's actual field ids, not position") {
+    val t = newTable()
+    t.merge((0L until 10L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_ids").toString
+    IcebergInterchange.export(spark, t, dest)
+    // a real table whose columns were reordered keeps original ids:
+    // rewrite the schema to k -> id 2, v -> id 1
+    val root = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val fs = root.get("schemas").get(0).get("fields")
+    fs.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("id", 2)
+    fs.get(1).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("id", 1)
+    // equality delete on k (= field id 2 under the rewritten schema)
+    val tmp = Files.createTempDirectory("eqdel").toString
+    Seq(3L, 4L).toDF("k").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val delPath = Paths.get(dest, "data", "eqdel-0.parquet")
+    Files.move(part, delPath)
+    val schemaJson = mapper.writeValueAsString(root.get("schemas").get(0))
+    val mPath = Paths.get(dest, "metadata", "m-eqdel.avro")
+    val delEntry = IcebergInterchange.Entry(1, 2L, 2L, delPath.toString, 2L,
+      Files.size(delPath), content = 2, equalityIds = Seq(2))
+    IcebergInterchange.writeManifest(mPath, schemaJson, Seq(delEntry), deletes = true)
+    val oldList = Paths.get(root.get("snapshots").get(0).get("manifest-list").asText())
+    val newList = Paths.get(dest, "metadata", "snap-2.avro")
+    IcebergInterchange.writeAvro(newList, IcebergInterchange.manifestFileSchema,
+      Map("format-version" -> "2"),
+      IcebergInterchange.readAvro(oldList) :+
+        IcebergInterchange.manifestListRecord(IcebergInterchange.ManifestInfo(
+          mPath, Files.size(mPath), 2L, 2L, 2L, Seq(delEntry), content = 1)))
+    root.put("current-snapshot-id", 2L)
+    val sn = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    sn.put("snapshot-id", 2L); sn.put("sequence-number", 2L)
+    sn.put("timestamp-ms", 0L); sn.put("manifest-list", newList.toString)
+    sn.put("schema-id", 0)
+    sn.putObject("summary").put("operation", "delete")
+    IcebergInterchange.writeMetadata(dest, 2, root)
+
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.count() == 8L)
+    assert(back.filter($"k".isin(3L, 4L)).isEmpty,
+      "id 2 keys on column k — positional resolution would have keyed on v")
+    // an id absent from the schema refuses instead of guessing
+    val root3 = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val fs3 = root3.get("schemas").get(0).get("fields")
+    fs3.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("id", 7)
+    IcebergInterchange.writeMetadata(dest, 3, root3)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterchange.importIceberg(spark, dest))
+    assert(e.getMessage.contains("equality id 2"))
+  }
+
+  test("mirror: appending a column after an array keeps nested ids stable") {
+    val aSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("tags", ArrayType(LongType)))),
+      primaryKeys = Seq("k"))
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_ib_nest").toString)
+    t.create(aSchema, buckets = 2)
+    t.merge(Seq((1L, Seq(1L, 2L))).toDF("k", "tags"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_nestd").toString
+    IcebergInterchange.mirror(spark, t, dest)
+    val evolved = TableSchema(
+      StructType(aSchema.struct.fields :+ StructField("extra", LongType)),
+      primaryKeys = Seq("k"))
+    t.updateMeta(evolved)
+    t.merge(Seq((2L, Seq(3L), 7L)).toDF("k", "tags", "extra"),
+      spark.range(0).select($"id".as("k")))
+    IcebergInterchange.mirror(spark, t, dest)
+    val root = metadata(dest)
+    val s0 = root.get("schemas").get(0).get("fields")
+    val s1 = root.get("schemas").get(1).get("fields")
+    val el0 = s0.get(1).get("type").get("element-id").asInt()
+    val el1 = s1.get(1).get("type").get("element-id").asInt()
+    assert(el0 == el1,
+      "the list element keeps its field id across append-only evolution " +
+        "(a fresh positional allocation would have shifted it)")
+    assert(s1.get(2).get("id").asInt() > el0,
+      "the appended column allocates a fresh id after last-column-id")
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
   test("empty table mirrors to a snapshot-less metadata; import is empty") {
     val t = newTable() // create() only: version 0 exists, no files
     val dest = Files.createTempDirectory("graft_ib_mir").toString
