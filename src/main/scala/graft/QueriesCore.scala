@@ -410,6 +410,17 @@ object QueriesCore {
           "round(aggregate(GET_EMBEDDING(c_mktsegment), 0D, (a, v) -> a + CAST(v AS DOUBLE)), 4) AS esum")
         .orderBy("c_mktsegment")
     }),
+    "t_model_langchain" -> ((s, dir) => {
+      // AI_LANGCHAIN_PREDICT (TransformSqlOperatorTable.java:377-385): the
+      // chat-protocol alias, exercised through the same real HTTP loopback
+      // round trip as t_model_chat but registered under its own name
+      graft.functions.ModelFunctions.registerLangchainPredict(
+        s, "stub-model",
+        endpoint = Some(graft.functions.MockModelServer.endpoint("stub-model")))
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .selectExpr("c_mktsegment", "AI_LANGCHAIN_PREDICT(c_mktsegment) AS prediction")
+        .orderBy("c_mktsegment")
+    }),
     "t_kafka_debezium" -> ((s, dir) => {
       // wire-format contract: serialize the changelog with the debezium-json
       // sink format, parse the bytes back, and oracle the op codes, source
@@ -1684,6 +1695,14 @@ object QueriesCore {
         |  ('HOUSEHOLD', 16, 7.031),
         |  ('MACHINERY', 16, 7.2211)
         |) AS t(c_mktsegment, dim, esum) ORDER BY c_mktsegment""".stripMargin,
+    "t_model_langchain" ->
+      """SELECT c_mktsegment, prediction FROM (VALUES
+        |  ('AUTOMOBILE', '[stub-model] 322b1b11'),
+        |  ('BUILDING', '[stub-model] d96002b4'),
+        |  ('FURNITURE', '[stub-model] 837f67d2'),
+        |  ('HOUSEHOLD', '[stub-model] e3be3bbf'),
+        |  ('MACHINERY', '[stub-model] 50096cae')
+        |) AS t(c_mktsegment, prediction) ORDER BY c_mktsegment""".stripMargin,
     "t_kafka_debezium" -> (evCte +
       """SELECT event_id AS seq,
         |  CASE op WHEN 'INSERT' THEN 'c' WHEN 'DELETE' THEN 'd' ELSE 'u' END AS op,

@@ -231,6 +231,10 @@ object QueriesML {
       val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
       val a = d.select(col("source"), col("doc_id").as("idA"), col("text").as("tA"))
       val b = d.select(col("source"), col("doc_id").as("idB"), col("text").as("tB"))
+      // FIXTURE-ONLY candidate generation: a banded per-source self-join is
+      // quadratic per source and fine only at gate scale; the production
+      // pair path is MinHash/SemDeDup banding (Dedup.minhashLsh /
+      // semDedup), which shuffles signatures, never document pairs.
       val pairs = a.join(b, Seq("source"))
         .filter(col("idB") > col("idA") && col("idB") - col("idA") <= 60)
         .withColumn("wa", array_distinct(split(lower(trim(col("tA"))), "\\s+")))
@@ -255,6 +259,10 @@ object QueriesML {
       val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
       val a = d.select(col("source"), col("doc_id").as("idA"), col("text").as("tA"))
       val b = d.select(col("source"), col("doc_id").as("idB"), col("text").as("tB"))
+      // FIXTURE-ONLY candidate generation: a banded per-source self-join is
+      // quadratic per source and fine only at gate scale; the production
+      // pair path is MinHash/SemDeDup banding (Dedup.minhashLsh /
+      // semDedup), which shuffles signatures, never document pairs.
       val pairs = a.join(b, Seq("source"))
         .filter(col("idB") > col("idA") && col("idB") - col("idA") <= 60)
         .withColumn("wa", array_distinct(split(lower(trim(col("tA"))), "\\s+")))

@@ -116,6 +116,21 @@ object ModelFunctions {
           if (input == null) null else deterministicChat(modelName, input))
     }
 
+  /** `AI_LANGCHAIN_PREDICT(input) -> STRING` — the third registered model
+    * function (`TransformSqlOperatorTable.java:377-385`); semantically a
+    * chat-protocol alias of AI_CHAT_PREDICT (both resolve to a
+    * one-completion-per-eval call), registered under its own name so
+    * reference pipelines using either spelling run unchanged. */
+  def registerLangchainPredict(
+      spark: SparkSession, modelName: String, endpoint: Option[ModelEndpoint] = None): Unit =
+    endpoint match {
+      case Some(ep) =>
+        spark.udf.register("AI_LANGCHAIN_PREDICT", new ChatUdf(ep))
+      case None =>
+        spark.udf.register("AI_LANGCHAIN_PREDICT", (input: String) =>
+          if (input == null) null else deterministicChat(modelName, input))
+    }
+
   /** `GET_EMBEDDING(input) -> ARRAY<FLOAT>` (`OpenAIEmbeddingModel.eval:57`).
     * Null/blank contract matches the reference
     * (`OpenAIEmbeddingModel.getEmbedding`): null or blank input yields an
