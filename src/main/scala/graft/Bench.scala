@@ -209,6 +209,15 @@ object Bench {
       t.merge(
         spark.range(1000000).select(col("id").as("k"), col("id").as("v")),
         spark.range(0).select(col("id").as("k")))
+      // Round-9's committed B5 drifted 2× INSIDE a sentinel-clean window
+      // ([13.8 … 6.7] s): the fresh load leaves each bucket fragmented by
+      // the loader's shuffle layout, and every merge re-fragments touched
+      // buckets by its own layout, so the live-file count (and per-run read
+      // cost) converges over ~6 merges (measured: 256→425→377→…→305).
+      // Compacting once canonicalizes every bucket, pinning the live-file
+      // count from run 1 (measured flat at 288 for 8+ merges) — per-run
+      // work is constant and the median sits on the steady state.
+      t.compact()
       t
     }
 
