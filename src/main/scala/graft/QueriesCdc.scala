@@ -1553,6 +1553,114 @@ object QueriesCdc {
       } finally ChangeSourceRegistry.remove(srcId)
     }),
 
+    // Db2 ASN: the same poll family as SQL Server change tables, but with
+    // ASN's family-distinct update encoding — NO update operation code in
+    // the CD table; the Capture program records an update as a 'D' row
+    // (full before) immediately followed by an 'I' row (full after) in one
+    // COMMITSEQ, and the reader reassembles them POSITIONALLY (the
+    // reference's LEAD/LAG query, Db2Connection.java:62-73) — including the
+    // corollary that a bare delete immediately followed by a bare insert in
+    // one transaction reads as a single update (the id-120 probe below,
+    // which the oracle encodes).
+    "c_db2_asn" -> ((s, dir) => {
+      import graft.sources.db2.Db2AsnChangeSource
+      val t = TableId.parse("asn.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val src = new Db2AsnChangeSource(t, schema, initial)
+      val srcId = s"verify-db2-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") >= 600 && col("event_id") < 900 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        def upd(r: Row): DataChangeEvent = DataChangeEvent.update(
+          t,
+          Map("id" -> r.getLong(1)), // key-only input; the CD row records the FULL image
+          Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}"))
+        val (q1, rest) = ev.partition(_.getLong(0) < 700)
+        val (q2, q3) = rest.partition(_.getLong(0) < 800)
+
+        // q1: committed AND captured before the stream exists — snapshot-only
+        q1.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+        src.runCaptureProgram()
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_db2").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def start() = s.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", srcId)
+          .option("chunk.size", "40")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => buf ++= b.collect(); () }
+          .start()
+
+        // run 1: snapshot, the capture-lag probe, then live polling
+        val q = start()
+        q.processAllAvailable()
+        require(buf.size == 150, s"snapshot must emit 150 rows, got ${buf.size}")
+        q2.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+        require(src.uncapturedTxCount > 0, "txs must be pending capture")
+        q.processAllAvailable()
+        require(buf.size == 150,
+          s"SYNCHPOINT lag violated: polling saw ${buf.size - 150} rows " +
+            "before the Capture program ran")
+        src.runCaptureProgram()
+        q.processAllAvailable()
+        q.stop()
+        require(buf.size == 150 + q2.length,
+          s"each D/I pair must reassemble into ONE update (expected " +
+            s"${q2.length} events, got ${buf.size - 150})")
+        require(buf.drop(150).forall(r =>
+          r.getString(1) != "UPDATE" || (r.getStruct(2) != null && !r.getStruct(2).isNullAt(1))),
+          "update events must carry FULL before images from the 'D' half")
+
+        // down-time: q3, the positional-pairing corollary probe (one tx:
+        // delete id 120 then insert id 120 — ASN reads it as ONE update),
+        // and trailing deletes, all captured while the stream is DOWN
+        q3.grouped(7).foreach(g => src.commitTx(g.map(upd).toSeq))
+        src.commitTx(Seq(
+          DataChangeEvent.delete(t, Map("id" -> 120L)),
+          DataChangeEvent.insert(t, Map[String, Any]("id" -> 120L, "v" -> "pair120"))))
+        src.commitTx((140L until 150L).map(id =>
+          DataChangeEvent.delete(t, Map("id" -> id))))
+        src.runCaptureProgram()
+        val q2nd = start()
+        q2nd.processAllAvailable()
+        q2nd.stop()
+        val run2 = buf.size - 150 - q2.length
+        require(run2 == q3.length + 1 + 10,
+          s"restart must replay the down-time capture with the delete+insert " +
+            s"probe read as ONE update (${q3.length + 11} events), got $run2")
+        val pairEvents = buf.filter { r =>
+          r.getString(1) == "UPDATE" && r.getStruct(3) != null &&
+            !r.getStruct(3).isNullAt(1) && r.getStruct(3).getString(1) == "pair120"
+        }
+        require(pairEvents.size == 1 && !pairEvents.head.getStruct(2).isNullAt(1),
+          "the delete+insert tx must surface as exactly one update with a full before image")
+
+        val byKey = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        buf.foreach { r =>
+          val op = r.getString(1)
+          val after = r.getStruct(3); val before = r.getStruct(2)
+          val id = if (after != null) after.getLong(0) else before.getLong(0)
+          val seq = r.getLong(4)
+          if (byKey.get(id).forall(_._1 <= seq))
+            byKey(id) = (seq, if (op == "DELETE") null else after.getString(1))
+        }
+        val rows = byKey.toSeq.collect { case (id, (_, v)) if v != null => (id, v) }
+        import s.implicits._
+        rows.toDF("id", "v").orderBy("id")
+      } finally ChangeSourceRegistry.remove(srcId)
+    }),
+
     // SQL Server schema evolution = CAPTURE-INSTANCE MIGRATION: an ALTER
     // evolves the catalog immediately but the active capture instance keeps
     // recording the OLD column set (cdc.ddl_history logs the change) until
@@ -2447,6 +2555,20 @@ object QueriesCdc {
         |SELECT u.id, COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS v
         |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
         |WHERE u.id < 140
+        |ORDER BY u.id""".stripMargin,
+    // Db2 ASN final state: updates for 600 <= event_id < 900, the id-120
+    // delete+insert tx that ASN's positional pairing reads as one update
+    // (so 120 survives with the inserted value), then deletes of 140-149
+    "c_db2_asn" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events
+        |  WHERE event_id >= 600 AND event_id < 900 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id)
+        |SELECT u.id,
+        |  CASE WHEN u.id = 120 THEN 'pair120'
+        |       ELSE COALESCE('e' || CAST(l.me AS VARCHAR), 'init') END AS v
+        |FROM range(150) AS u(id) LEFT JOIN last l ON l.user_id = u.id
+        |WHERE u.id NOT BETWEEN 140 AND 149
         |ORDER BY u.id""".stripMargin,
     // capture-instance migration: score exists only for users whose LAST
     // update was captured by the NEW instance (event_id >= 500); migration-
