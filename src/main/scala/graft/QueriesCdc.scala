@@ -386,6 +386,24 @@ object QueriesCdc {
       back.orderBy("k")
     }),
 
+    "c_iceberg_partitioned" -> ((s, dir) => {
+      // identity-partitioned Iceberg: the documents table exports
+      // partitioned by lang — data files do NOT store the partition column
+      // (asserted below); the importer restores it per file from the
+      // manifests' partition structs, the spec's Column Projection rule.
+      import graft.sinks.IcebergInterchange
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibp_dst").toString
+      IcebergInterchange.exportPartitioned(s, docs, dest, Seq("lang"))
+      val snap = IcebergInterchange.readTable(dest)
+      require(snap.partitionCols == Seq("lang" -> "lang"),
+        "the default spec must carry the identity partition field")
+      require(!s.read.parquet(snap.files.head).columns.contains("lang"),
+        "identity partition columns must come from metadata, not the files")
+      IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
+    }),
+
     "c_iceberg_mirror" -> ((s, dir) => {
       // continuous Iceberg mirroring: one Iceberg SNAPSHOT per lakehouse
       // commit (adds in a new manifest, removes rewriting only the
@@ -2422,6 +2440,11 @@ object QueriesCdc {
         |WHERE event_id < 400 AND user_id < 150
         |GROUP BY user_id
         |ORDER BY k""".stripMargin,
+    // identity-partitioned export/import: partition values round trip
+    // through manifest metadata (files never store the lang column)
+    "c_iceberg_partitioned" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // per-commit snapshot mirroring converges to the one-shot export state
     "c_iceberg_mirror" ->
       """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v

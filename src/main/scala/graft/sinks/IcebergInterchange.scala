@@ -33,9 +33,13 @@ import scala.jdk.CollectionConverters._
   *    DataFrame, applying BOTH v2 delete flavors by their sequence rules
   *    (equality deletes mask data sequence < S; position deletes mask the
   *    named (file, row-offset) pairs at data sequence <= S, resolved via
-  *    Spark's parquet `_metadata.row_index`). Unsupported features fail
-  *    LOUDLY instead of reading wrong data: non-parquet data files,
-  *    partitioned specs, format-version != 2.
+  *    Spark's parquet `_metadata.row_index`). IDENTITY-partitioned specs
+  *    are supported: per-file partition values from the manifests project
+  *    back as constant columns (the spec's Column Projection rule), so
+  *    files that do not store the partition column — [[exportPartitioned]]
+  *    output, Hive-migrated tables — read correctly. Unsupported features
+  *    fail LOUDLY instead of reading wrong data: non-parquet data files,
+  *    non-identity partition transforms, format-version != 2.
   *  - [[mirror]]: continuous mirroring, ONE Iceberg snapshot per
   *    lakehouse commit. Adds go into one new manifest; removes rewrite
   *    ONLY the manifests that contain the removed files (kept entries
@@ -85,8 +89,8 @@ object IcebergInterchange {
     * side). `partition` is the empty record of the unpartitioned spec;
     * `equality_ids` (field-id 135) carries the equality columns of
     * content=2 EQUALITY_DELETES files, null for data files. */
-  private[sinks] val manifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+  private def manifestEntrySchemaJson(partFieldsJson: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -95,14 +99,37 @@ object IcebergInterchange {
       |  {"name":"content","type":"int","field-id":134},
       |  {"name":"file_path","type":"string","field-id":100},
       |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFieldsJson]}},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
       |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
       |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]}}
-      |]}""".stripMargin)
+      |]}""".stripMargin
+
+  private[sinks] val manifestEntrySchema: Schema =
+    new Schema.Parser().parse(manifestEntrySchemaJson(""))
+
+  /** The manifest-entry schema for an identity-partitioned table: the
+    * partition record carries one optional field per spec field, with
+    * spec partition field-ids (1000, 1001, …). */
+  private[sinks] def manifestEntrySchemaFor(
+      parts: Seq[(String, DataType)]): Schema = {
+    val fields = parts.zipWithIndex.map { case ((n, dt), i) =>
+      val t = dt match {
+        case ByteType | ShortType | IntegerType => "\"int\""
+        case LongType => "\"long\""
+        case StringType => "\"string\""
+        case BooleanType => "\"boolean\""
+        case other => throw new IllegalArgumentException(
+          s"partition column '$n': type $other has no Iceberg partition " +
+            "serialization here — refusing")
+      }
+      s"""{"name":"$n","type":["null",$t],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(manifestEntrySchemaJson(fields))
+  }
 
   /** Iceberg single-value serialization (spec Appendix D) for the bound
     * types the zone maps cover; None for types whose bounds are omitted
@@ -341,7 +368,10 @@ object IcebergInterchange {
   private[sinks] final case class Entry(status: Int, snapshotId: Long, seq: Long,
       filePath: String, rows: Long, size: Long,
       content: Int = 0, equalityIds: Seq[Int] = Nil,
-      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
+      // spec-field-name -> value from the manifest's partition struct
+      // (empty for unpartitioned tables)
+      partition: Map[String, Any] = Map.empty)
 
   /** `content` 0 = data manifest, 1 = delete manifest (spec manifest_file
     * content). */
@@ -351,14 +381,19 @@ object IcebergInterchange {
     def live: Seq[Entry] = entries.filter(_.status != Deleted)
   }
 
-  private def entryRecord(e: Entry): GenericRecord = {
+  private def entryRecord(e: Entry,
+      entrySchema: Schema = manifestEntrySchema): GenericRecord = {
     val df = new GenericData.Record(
-      manifestEntrySchema.getField("data_file").schema())
+      entrySchema.getField("data_file").schema())
     df.put("content", e.content)
     df.put("file_path", e.filePath)
     df.put("file_format", "PARQUET")
-    df.put("partition", new GenericData.Record(
-      df.getSchema.getField("partition").schema()))
+    val partSchema = df.getSchema.getField("partition").schema()
+    val part = new GenericData.Record(partSchema)
+    partSchema.getFields.asScala.foreach { f =>
+      part.put(f.name(), e.partition.getOrElse(f.name(), null))
+    }
+    df.put("partition", part)
     df.put("record_count", e.rows)
     df.put("file_size_in_bytes", e.size)
     if (e.bounds.nonEmpty) {
@@ -378,7 +413,7 @@ object IcebergInterchange {
     }
     if (e.equalityIds.nonEmpty)
       df.put("equality_ids", e.equalityIds.map(Integer.valueOf).asJava)
-    val rec = new GenericData.Record(manifestEntrySchema)
+    val rec = new GenericData.Record(entrySchema)
     rec.put("status", e.status)
     rec.put("snapshot_id", e.snapshotId)
     rec.put("sequence_number", e.seq)
@@ -388,14 +423,20 @@ object IcebergInterchange {
   }
 
   private[sinks] def writeManifest(path: Path, schemaJson: String,
-      entries: Seq[Entry], deletes: Boolean = false): Unit =
-    writeAvro(path, manifestEntrySchema, Map(
+      entries: Seq[Entry], deletes: Boolean = false,
+      partitionTypes: Seq[(String, DataType)] = Nil,
+      partitionSpecJson: String = "[]"): Unit = {
+    val es =
+      if (partitionTypes.isEmpty) manifestEntrySchema
+      else manifestEntrySchemaFor(partitionTypes)
+    writeAvro(path, es, Map(
       "schema" -> schemaJson,
-      "partition-spec" -> "[]",
+      "partition-spec" -> partitionSpecJson,
       "partition-spec-id" -> "0",
       "format-version" -> "2",
       "content" -> (if (deletes) "deletes" else "data"),
-    ), entries.map(entryRecord))
+    ), entries.map(e => entryRecord(e, es)))
+  }
 
   /** `listSeq` is the owning manifest-list row's sequence_number: the spec
     * writes ADDED entries with a null sequence_number that INHERITS it (the
@@ -428,6 +469,21 @@ object IcebergInterchange {
       val lows = boundMap("lower_bounds"); val highs = boundMap("upper_bounds")
       val bounds = lows.keySet.intersect(highs.keySet)
         .map(k => k -> (lows(k), highs(k))).toMap
+      // the partition struct is read under the FILE's writer schema, so a
+      // foreign partitioned manifest's fields are visible here even though
+      // this library writes an empty record for unpartitioned tables
+      val partRec = df.get("partition").asInstanceOf[GenericRecord]
+      val partition = partRec.getSchema.getFields.asScala.map { f =>
+        f.name() -> (partRec.get(f.name()) match {
+          case null => null
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case n: Number => n
+          case b: java.lang.Boolean => b
+          case other => throw new IllegalArgumentException(
+            s"manifest $path: partition value type ${other.getClass.getName} " +
+              "is not supported by this importer")
+        })
+      }.toMap
       val status = int(r, "status")
       val seq = Option(r.get("sequence_number"))
         .map(_.asInstanceOf[Number].longValue())
@@ -443,7 +499,7 @@ object IcebergInterchange {
         Option(r.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         seq,
         str(df, "file_path"), long(df, "record_count"),
-        long(df, "file_size_in_bytes"), content, eqIds, bounds)
+        long(df, "file_size_in_bytes"), content, eqIds, bounds, partition)
     }
 
   private[sinks] def manifestListRecord(m: ManifestInfo): GenericRecord = {
@@ -632,6 +688,126 @@ object IcebergInterchange {
     writeMetadata(destDir, 1, root)
   }
 
+  /** Export a DataFrame as an identity-partitioned Iceberg v2 table: one
+    * snapshot whose manifest entries carry the spec's per-file partition
+    * struct (partition field-ids 1000+) under an identity-transform
+    * partition spec. Data files are written WITHOUT the partition
+    * columns — the spec's Column Projection rule restores them from
+    * partition metadata on read (what [[importIceberg]] does), so each
+    * constant is stored once per FILE, not once per row, and partition
+    * pruning needs no file I/O. Partition source columns are bounded to
+    * int/long/string/boolean; anything else refuses loudly. */
+  def exportPartitioned(spark: SparkSession, df: DataFrame, destDir: String,
+      partitionCols: Seq[String]): Unit = {
+    val schema = df.schema
+    require(partitionCols.nonEmpty, "use export for unpartitioned tables")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the schema"))
+    val partTypes = partitionCols.map(c => c -> schema(c).dataType)
+    partTypes.foreach { case (c, dt) =>
+      require(Seq(IntegerType, LongType, StringType, BooleanType).contains(dt),
+        s"partition column '$c': type $dt has no identity-partition " +
+          "serialization here — refusing")
+    }
+
+    // partitionBy writes the data WITHOUT the partition columns, grouped
+    // one directory per partition tuple — exactly the spec's file layout
+    val tmp = Files.createTempDirectory("graft_ib_partexp")
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
+    val dataDir = Paths.get(destDir, "data")
+    Files.createDirectories(dataDir)
+    // Hive path escaping: %XX byte escapes; the null-partition sentinel
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def typed(c: String, raw: String): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else schema(c).dataType match {
+        case ByteType | ShortType | IntegerType => Integer.valueOf(raw)
+        case LongType => java.lang.Long.valueOf(raw)
+        case BooleanType => java.lang.Boolean.valueOf(raw)
+        case _ => raw
+      }
+    var n = 0
+    val moved = Files.walk(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.toString)
+      .map { p =>
+        val rel = tmp.relativize(p)
+        val part: Map[String, Any] =
+          (0 until rel.getNameCount - 1).map(rel.getName(_).toString).map { seg =>
+            val Array(c, raw) = seg.split("=", 2)
+            c -> typed(c, unescape(raw))
+          }.toMap
+        val out = dataDir.resolve(f"part-$n%05d.parquet"); n += 1
+        Files.move(p, out)
+        (out, part)
+      }
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    val rows = countRows(spark, moved.map(_._1.toString))
+
+    val (schemaNode, lastCol) = icebergSchema(schema, 0)
+    val schemaJson = mapper.writeValueAsString(schemaNode)
+    val snapshotId = 1L
+    val entries = moved.map { case (out, part) =>
+      Entry(Added, snapshotId, 1L, out.toString,
+        rows(out.toString), Files.size(out), partition = part)
+    }
+    val specJson = {
+      val arr = mapper.createArrayNode()
+      partitionCols.zipWithIndex.foreach { case (c, i) =>
+        val f = arr.addObject()
+        f.put("name", c); f.put("transform", "identity")
+        f.put("source-id", schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
+      }
+      mapper.writeValueAsString(arr)
+    }
+    Files.createDirectories(metadataDir(destDir))
+    val mPath = metadataDir(destDir).resolve(s"m-$snapshotId-0.avro")
+    writeManifest(mPath, schemaJson, entries,
+      partitionTypes = partTypes, partitionSpecJson = specJson)
+    val info = ManifestInfo(mPath, Files.size(mPath), 1L, 1L, snapshotId, entries)
+    val listPath = metadataDir(destDir).resolve(s"snap-$snapshotId.avro")
+    writeAvro(listPath, manifestFileSchema, Map(
+      "format-version" -> "2", "snapshot-id" -> snapshotId.toString,
+      "sequence-number" -> "1",
+    ), Seq(manifestListRecord(info)))
+
+    val root = baseMetadata(destDir, Seq(schemaNode), 0, lastCol, Map(
+      "schema.name-mapping.default" -> nameMapping(schemaNode)))
+    val specs = root.putArray("partition-specs") // replace the empty default
+    specs.add(mapper.readTree(s"""{"spec-id":0,"fields":$specJson}"""))
+    root.put("last-partition-id", 999 + partitionCols.size)
+    root.put("last-sequence-number", 1L)
+    root.put("current-snapshot-id", snapshotId)
+    val refs = root.putObject("refs")
+    val main = refs.putObject("main")
+    main.put("snapshot-id", snapshotId); main.put("type", "branch")
+    val snaps = root.putArray("snapshots")
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", 1L)
+    sn.put("timestamp-ms", 0L)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", 0)
+    sn.putObject("summary").put("operation", "append")
+    val slog = root.putArray("snapshot-log")
+    val sl = slog.addObject()
+    sl.put("timestamp-ms", 0L); sl.put("snapshot-id", snapshotId)
+    root.putArray("metadata-log")
+    writeMetadata(destDir, 1, root)
+  }
+
   // ---------------------------------------------------------------- import
 
   /** `files`/`numRecords` describe live DATA files (numRecords is the
@@ -655,7 +831,12 @@ object IcebergInterchange {
       // top-level field id -> column name from the CURRENT schema's actual
       // ids (real Iceberg schemas keep original ids across drops/reorders,
       // so id != position in general)
-      fieldIds: Map[Int, String] = Map.empty)
+      fieldIds: Map[Int, String] = Map.empty,
+      // identity partitioning: (spec field name, source column name) in
+      // spec order; empty for unpartitioned tables
+      partitionCols: Seq[(String, String)] = Nil,
+      // absolute data file path -> spec-field-name -> partition value
+      filePartitions: Map[String, Map[String, Any]] = Map.empty)
 
   /** Replay the latest metadata version into the current live state. */
   def readTable(srcDir: String): IcebergSnapshot = {
@@ -671,20 +852,40 @@ object IcebergInterchange {
     val schemaNode = root.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == schemaId)
       .getOrElse(throw new IllegalStateException(s"schema-id $schemaId not in schemas"))
+    val fieldIds = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    // IDENTITY-transform partitioning is supported: partition values ride
+    // in the manifests' partition structs and project back as constant
+    // columns per file (the spec's Column Projection rule — the common
+    // case for real Iceberg tables, including Hive-migrated files that do
+    // not store the partition column at all). Any other transform
+    // (bucket/truncate/year/...) cannot be inverted to column values, so
+    // it refuses loudly rather than dropping or corrupting the column.
     root.get("partition-specs").elements().asScala.foreach { s =>
-      require(s.get("fields").size() == 0,
-        "partitioned Iceberg tables are not supported: partition values " +
-          "live in manifests, not the files — reading them flat would drop columns")
+      s.get("fields").elements().asScala.foreach { f =>
+        val tr = f.get("transform").asText()
+        require(tr == "identity",
+          s"partition transform '$tr' is not supported (identity only): " +
+            "non-identity partition values cannot be projected back to " +
+            "column values — refusing rather than dropping the column")
+      }
     }
+    val defaultSpecId = root.get("default-spec-id").asInt()
+    val partitionCols = root.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpecId)
+      .map(_.get("fields").elements().asScala.map { f =>
+        val srcId = f.get("source-id").asInt()
+        val srcCol = fieldIds.getOrElse(srcId, throw new IllegalArgumentException(
+          s"partition spec source-id $srcId is not a field of the current schema"))
+        f.get("name").asText() -> srcCol
+      }.toSeq).getOrElse(Nil)
     val props = Option(root.get("properties")).map(p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
-    val fieldIds = schemaNode.get("fields").elements().asScala
-      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     val curId = root.get("current-snapshot-id").asLong()
     if (curId == -1L)
       return IcebergSnapshot(sparkStruct(schemaNode), Seq.empty, 0L, -1L, props,
-        fieldIds = fieldIds)
+        fieldIds = fieldIds, partitionCols = partitionCols)
     val snapNode = root.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curId)
       .getOrElse(throw new IllegalStateException(s"current snapshot $curId not listed"))
@@ -713,7 +914,8 @@ object IcebergInterchange {
       dels.map(e => (resolvePath(location, e.filePath).toString, e.seq,
         e.equalityIds)).toSeq,
       pos.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq,
-      fieldIds)
+      fieldIds, partitionCols,
+      data.map(e => resolvePath(location, e.filePath).toString -> e.partition).toMap)
   }
 
   private def resolvePath(location: String, p: String): Path = {
@@ -787,7 +989,8 @@ object IcebergInterchange {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    if (snap.deletes.isEmpty && snap.posDeletes.isEmpty)
+    if (snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
+        snap.partitionCols.isEmpty)
       return spark.read.schema(snap.schema).parquet(snap.files: _*)
 
     // data rows tagged with their file's sequence number, one scan per
@@ -799,14 +1002,32 @@ object IcebergInterchange {
     // references match however the writer spelled the URI
     def normUri(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:(//)?", "")
-    var data = snap.dataSeqs.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
-      val base = spark.read.schema(snap.schema).parquet(fs.map(_._1): _*)
-      val tagged = base.withColumn("_ib_seq", lit(seq))
-      if (needPos)
-        tagged.withColumn("_ib_file", normUri(col("_metadata.file_path")))
-          .withColumn("_ib_pos", col("_metadata.row_index"))
-      else tagged
-    }.reduce(_ unionAll _)
+    // files group by (sequence, partition tuple): identity partition
+    // columns project back as per-group CONSTANTS from manifest metadata
+    // (the spec's Column Projection rule) — correct whether or not the
+    // data file stores the column (for identity transforms every row of
+    // the file carries exactly the partition value), and it keeps
+    // Hive-migrated column-less files readable
+    def partsOf(p: String): Seq[(String, Any)] = {
+      val m = snap.filePartitions.getOrElse(p, Map.empty)
+      snap.partitionCols.map { case (specName, srcCol) =>
+        srcCol -> m.getOrElse(specName, null)
+      }
+    }
+    var data = snap.dataSeqs.groupBy { case (p, seq) => (seq, partsOf(p)) }
+      .toSeq.sortBy { case ((seq, parts), _) => (seq, parts.mkString(",")) }
+      .map { case ((seq, parts), fs) =>
+        var base = spark.read.schema(snap.schema).parquet(fs.map(_._1): _*)
+        parts.foreach { case (srcCol, v) =>
+          base = base.withColumn(srcCol,
+            lit(v).cast(snap.schema(srcCol).dataType))
+        }
+        val tagged = base.withColumn("_ib_seq", lit(seq))
+        if (needPos)
+          tagged.withColumn("_ib_file", normUri(col("_metadata.file_path")))
+            .withColumn("_ib_pos", col("_metadata.row_index"))
+        else tagged
+      }.reduce(_ unionAll _)
 
     if (snap.deletes.nonEmpty) {
       val eqIds = snap.deletes.map(_._3).distinct

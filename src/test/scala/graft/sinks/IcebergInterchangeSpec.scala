@@ -596,6 +596,69 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 
+  test("identity-partitioned round trip: column-less files, metadata projection") {
+    val df = spark.range(100).select(
+      $"id".as("k"),
+      concat(lit("v"), $"id").as("v"),
+      when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "de")
+        .otherwise("fr").as("lang"),
+      ($"id" % 4).as("bucket_no"))
+    val dest = Files.createTempDirectory("graft_ib_part").toString
+    IcebergInterchange.exportPartitioned(spark, df, dest, Seq("lang", "bucket_no"))
+
+    // the data files must NOT store the partition columns (Column
+    // Projection restores them) — the storage-level contract
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.partitionCols == Seq("lang" -> "lang", "bucket_no" -> "bucket_no"))
+    assert(snap.files.nonEmpty)
+    val raw = spark.read.parquet(snap.files.head)
+    assert(!raw.columns.contains("lang") && !raw.columns.contains("bucket_no"))
+    // every (lang, bucket) combination is its own file group
+    assert(snap.filePartitions.values.map(m => (m("lang"), m("bucket_no"))).toSet.size == 12)
+
+    // metadata is spec-shaped: identity transform, partition field-ids 1000+
+    val root = metadata(dest)
+    val spec = root.get("partition-specs").get(0)
+    assert(spec.get("fields").get(0).get("transform").asText() == "identity")
+    assert(spec.get("fields").get(0).get("field-id").asInt() == 1000)
+    assert(spec.get("fields").get(1).get("field-id").asInt() == 1001)
+    assert(root.get("last-partition-id").asInt() == 1001)
+
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "v", "lang", "bucket_no"),
+      "projected columns come back in schema order")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "round trip is value-identical including the projected partition columns")
+  }
+
+  test("null partition values survive the round trip") {
+    val df = spark.range(20).select(
+      $"id".as("k"),
+      when($"id" % 2 === 0, concat(lit("g"), $"id" % 3)).otherwise(lit(null))
+        .cast("string").as("grp"))
+    val dest = Files.createTempDirectory("graft_ib_pnull").toString
+    IcebergInterchange.exportPartitioned(spark, df, dest, Seq("grp"))
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.filter($"grp".isNull).count() == 10L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("non-identity partition transforms refuse loudly") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_ptr").toString
+    IcebergInterchange.export(spark, t, dest)
+    val root = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val spec = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+      .get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val f = spec.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields").addObject()
+    f.put("name", "k_bucket"); f.put("transform", "bucket[16]")
+    f.put("source-id", 1); f.put("field-id", 1000)
+    IcebergInterchange.writeMetadata(dest, 2, root)
+    val e = intercept[IllegalArgumentException](IcebergInterchange.readTable(dest))
+    assert(e.getMessage.contains("bucket[16]"))
+  }
+
   test("empty table mirrors to a snapshot-less metadata; import is empty") {
     val t = newTable() // create() only: version 0 exists, no files
     val dest = Files.createTempDirectory("graft_ib_mir").toString
