@@ -386,6 +386,77 @@ object QueriesCdc {
       back.orderBy("k")
     }),
 
+    "c_paimon_interchange" -> ((s, dir) => {
+      // the THIRD ecosystem wire format (the reference ships a first-class
+      // Paimon pipeline connector): a lakehouse table built by two merges
+      // and a COW delete exports as a complete Paimon table —
+      // snapshot/schema JSON + Avro manifests + bucket-N key-value parquet
+      // per the public table format — and imports back data-identical
+      // through the LSM merge reader.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pm_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 400 && col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 200), s.range(0).select(col("id").as("k")))
+      t.merge(batch(col("event_id") >= 200), s.range(0).select(col("id").as("k")))
+      t.merge(s.range(0).select(col("id").as("k"), lit("").as("v")),
+        s.range(150, 160).select(col("id").as("k")))
+      val dest = java.nio.file.Files.createTempDirectory("graft_pm_dst").toString
+      PaimonInterchange.export(s, t, dest)
+      val back = PaimonInterchange.importPaimon(s, dest)
+      require(back.schema == t.read().schema, "the Paimon schema must round trip")
+      require(PaimonInterchange.readTable(dest).files.forall(_.deleteRows == 0),
+        "a compacted export carries no tombstones")
+      back.orderBy("k")
+    }),
+
+    "c_paimon_mirror" -> ((s, dir) => {
+      // continuous Paimon mirroring: one Paimon SNAPSHOT per lakehouse
+      // commit (level-0 key-value adds; MOR deletes as LSM tombstone rows
+      // whose sequence reproduces the lakehouse masking rule; bucket
+      // rewrites as DELETE manifest entries). Final imported state equals
+      // the one-shot export; commitIdentifier tracks the lakehouse head.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmm_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmm_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 400 && col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 200), s.range(0).select(col("id").as("k")))
+      require(PaimonInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 200), s.range(0).select(col("id").as("k")))
+      require(PaimonInterchange.mirror(s, t, dest) == 1, "exactly the new commit mirrors")
+      // MOR delete -> tombstones at the delete's sequence
+      t.deleteWhere(s.range(150, 160).select(col("id").as("k")))
+      require(PaimonInterchange.mirror(s, t, dest) == 1)
+      require(PaimonInterchange.mirror(s, t, dest) == 0, "a no-op call writes nothing")
+      val snap = PaimonInterchange.readTable(dest)
+      require(snap.commitIdentifier == t.latestVersion(),
+        "commitIdentifier must track the lakehouse head")
+      require(snap.files.exists(_.deleteRows > 0),
+        "the MOR delete must ride as tombstone rows")
+      PaimonInterchange.importPaimon(s, dest).orderBy("k")
+    }),
+
     "c_iceberg_partitioned" -> ((s, dir) => {
       // identity-partitioned Iceberg: the documents table exports
       // partitioned by lang — data files do NOT store the partition column
@@ -2435,6 +2506,22 @@ object QueriesCdc {
     // Iceberg v2 interchange: last event per user under max-merge
     // semantics, users 150-159 deleted by the COW delete keys
     "c_iceberg_interchange" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 400 AND user_id < 150
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // Paimon interchange: last event per user under max-merge semantics,
+    // users 150-159 deleted by the COW delete keys
+    "c_paimon_interchange" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id < 400 AND user_id < 150
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
+    // per-commit Paimon mirroring with MOR-delete tombstones converges to
+    // the same state (deletes of 150-159 applied via the LSM merge)
+    "c_paimon_mirror" ->
       """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
         |FROM events
         |WHERE event_id < 400 AND user_id < 150

@@ -793,6 +793,38 @@ object QueriesCore {
         .orderBy("user_id")
     }),
 
+    "c_pipeline_paimon_sink" -> ((s, dir) => {
+      // the reference's `sink.type: paimon` pipeline connector shape
+      // (PaimonDataSink.java): the changelog flows as three micro-batches
+      // through the mirrored sink — internal lakehouse staging + one
+      // PAIMON snapshot per batch (snapshot/schema/manifest layout,
+      // level-0 key-value files, commitIdentifier exactly-once marker) —
+      // and the final state read back through the EXTERNAL Paimon
+      // directory's LSM merge must equal the one-shot materialization
+      import graft.sinks.{MirroredLakehouseSink, PaimonInterchange}
+      val root = java.nio.file.Files.createTempDirectory("graft_pmsink_q").toString
+      val sink = new MirroredLakehouseSink(s, root, "paimon", buckets = 8)
+      val tid = TableId.parse("app.events")
+      val env = eventsChangelog(s, dir)
+      val afterT = env.schema(Envelope.AfterCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+      val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+      var lo = Long.MinValue
+      Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+        val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+        Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+        }
+        lo = hi
+      }
+      val snap = PaimonInterchange.readTable(sink.mirrorDir(tid))
+      require(snap.snapshotId >= 1, "the mirror must hold a current snapshot")
+      PaimonInterchange.importPaimon(s, sink.mirrorDir(tid))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id")
+    }),
+
     "c_pipeline_delta_sink" -> ((s, dir) => {
       // `sink.type: delta`: same flow, mirrored as one Delta commit per
       // batch with INLINE checkpoint maintenance (every 2 commits a classic
@@ -1733,6 +1765,12 @@ object QueriesCore {
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     "c_pipeline_delta_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value, ts FROM last
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    "c_pipeline_paimon_sink" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)

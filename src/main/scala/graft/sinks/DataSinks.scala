@@ -46,11 +46,11 @@ object DataSinks {
           rootDir = sinkDef.config.getOrElse(
             "path", throw new IllegalArgumentException("parquet sink requires 'path'")),
           buckets = sinkDef.config.getOrElse("buckets", "16").toInt)
-      case t @ ("delta" | "iceberg") =>
+      case t @ ("delta" | "iceberg" | "paimon") =>
         // the reference's lakehouse pipeline connectors (`iceberg`,
         // `paimon`) as open wire formats: CDC merges into an internal
         // lakehouse staging table, mirrored per batch into a directory any
-        // external Delta/Iceberg reader opens
+        // external Delta/Iceberg/Paimon reader opens
         new MirroredLakehouseSink(
           spark,
           rootDir = sinkDef.config.getOrElse(
@@ -60,10 +60,7 @@ object DataSinks {
           mergeEngine = sinkDef.config.getOrElse("merge-engine", "last-wins"),
           checkpointEvery = sinkDef.config.getOrElse("checkpoint.every", "0").toInt,
           snapshotsKeep = sinkDef.config.getOrElse("snapshots.keep", "0").toInt)
-      case "lakehouse" | "paimon" =>
-        // `paimon` is the reference's name for the native lakehouse
-        // format this sink implements the semantics superset of (merge
-        // engines, changelog, sequence fields) — accepted as an alias
+      case "lakehouse" =>
         new LakehouseSink(
           spark,
           rootDir = sinkDef.config.getOrElse(

@@ -4,14 +4,15 @@ import graft.core._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.Paths
 
-/** Pipeline-facing Delta / Iceberg sink (the reference ships
+/** Pipeline-facing Delta / Iceberg / Paimon sink (the reference ships
   * `flink-cdc-pipeline-connector-iceberg/` and `.../paimon/` as first-class
   * `sink.type`s): CDC batches merge into an internal [[LakehouseTable]]
   * under `<path>/_staging/<table>` (buckets, COW merge, txn exactly-once),
   * and after every batch/DDL the table mirrors incrementally into the open
-  * wire format at `<path>/<table>` — `_delta_log` commits or Iceberg v2
-  * snapshots — so an external Delta/Iceberg reader tails the pipeline's
-  * output at the pipeline's own commit granularity.
+  * wire format at `<path>/<table>` — `_delta_log` commits, Iceberg v2
+  * snapshots, or Paimon snapshot/manifest files — so an external reader of
+  * that format tails the pipeline's output at the pipeline's own commit
+  * granularity.
   *
   * Metadata maintenance runs inline, because a standing pipeline writes
   * one interchange commit per micro-batch forever:
@@ -27,14 +28,15 @@ import java.nio.file.Paths
 final class MirroredLakehouseSink(
     spark: SparkSession,
     rootDir: String,
-    format: String, // "delta" | "iceberg"
+    format: String, // "delta" | "iceberg" | "paimon"
     buckets: Int = 16,
     mergeEngine: String = "last-wins",
     checkpointEvery: Int = 0,
     snapshotsKeep: Int = 0)
     extends DataSink {
 
-  require(format == "delta" || format == "iceberg", s"unknown mirror format $format")
+  require(format == "delta" || format == "iceberg" || format == "paimon",
+    s"unknown mirror format $format")
 
   private val inner = new LakehouseSink(
     spark, Paths.get(rootDir, "_staging").toString, buckets,
@@ -55,6 +57,8 @@ final class MirroredLakehouseSink(
       IcebergInterchange.mirror(spark, inner.table(t), mirrorDir(t))
       if (snapshotsKeep > 0)
         IcebergInterchange.expireSnapshots(mirrorDir(t), snapshotsKeep)
+    case "paimon" =>
+      PaimonInterchange.mirror(spark, inner.table(t), mirrorDir(t))
   }
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = {

@@ -191,10 +191,21 @@ class YamlToSinkSpec extends AnyFunSuite {
       Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
   }
 
-  test("yaml 'paimon' resolves to the native lakehouse sink (semantics superset)") {
+  test("yaml 'paimon' sink: composed pipeline mirrors to a real Paimon table") {
     val dir = java.nio.file.Files.createTempDirectory("yamlpaimon").toString
-    val sink = DataSinks.forDef(spark, SinkDef("paimon", None, Map("path" -> dir)))
-    assert(sink.isInstanceOf[graft.sinks.LakehouseSink])
+    val (_, sink) = runPipeline(
+      s"""  type: paimon
+         |  path: $dir
+         |  buckets: 2""".stripMargin)
+    val m = sink.asInstanceOf[graft.sinks.MirroredLakehouseSink]
+    val mdir = m.mirrorDir(TableId.of("app", "users"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(mdir, "snapshot", "LATEST")),
+      "the external directory is a Paimon table, not the internal format")
+    val back = graft.sinks.PaimonInterchange.importPaimon(spark, mdir)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
   }
 
   test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {

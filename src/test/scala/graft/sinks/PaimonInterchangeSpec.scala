@@ -1,0 +1,327 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Paimon table-format interchange: the snapshot/schema/manifest layout is
+  * pinned against the public format (JSON field names, Avro `_KIND` /
+  * `_PARTITION` / `_FILE` records, bucket-N data dirs, key-value system
+  * columns), the export/import round trip is data-identical, the mirror
+  * writes one snapshot per lakehouse commit with Paimon's own
+  * commitIdentifier as the resume marker, MOR deletes ride as LSM
+  * tombstones, and the importer implements the real merge (max sequence
+  * per key, retracts dropped) proven on hand-written overlapping files. */
+class PaimonInterchangeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private val schema = TableSchema(
+    StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))),
+    primaryKeys = Seq("k"))
+
+  private def newTable(): LakehouseTable = {
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_pm_src").toString)
+    t.create(schema, buckets = 2)
+    t
+  }
+
+  private def json(p: java.nio.file.Path) =
+    mapper.readTree(Files.readAllBytes(p))
+
+  test("binary row: 8-byte empty header, little-endian 8-byte slots") {
+    assert(PaimonInterchange.emptyRow.length == 8)
+    assert(PaimonInterchange.emptyRow.forall(_ == 0))
+    val one = PaimonInterchange.binaryRow(Seq(0x0102030405060708L))
+    assert(one.length == 16)
+    assert(one(8) == 0x08.toByte && one(15) == 0x01.toByte, "little-endian")
+  }
+
+  test("export layout is format-shaped: snapshot JSON, hints, schema, buckets") {
+    val t = newTable()
+    t.merge((0L until 50L).toDF("k").select($"k", concat(lit("v"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_dst").toString
+    PaimonInterchange.export(spark, t, dest)
+
+    assert(new String(Files.readAllBytes(
+      Paths.get(dest, "snapshot", "LATEST")), UTF_8).trim == "1")
+    assert(new String(Files.readAllBytes(
+      Paths.get(dest, "snapshot", "EARLIEST")), UTF_8).trim == "1")
+    val snap = json(Paths.get(dest, "snapshot", "snapshot-1"))
+    for (f <- Seq("version", "id", "schemaId", "baseManifestList",
+        "deltaManifestList", "commitUser", "commitIdentifier", "commitKind",
+        "timeMillis", "totalRecordCount", "deltaRecordCount"))
+      assert(snap.has(f), s"snapshot field $f")
+    assert(snap.get("commitKind").asText() == "APPEND")
+    assert(snap.get("totalRecordCount").asLong() == 50L)
+
+    val sch = json(Paths.get(dest, "schema", "schema-0"))
+    assert(sch.get("primaryKeys").get(0).asText() == "k")
+    assert(sch.get("partitionKeys").size() == 0)
+    assert(sch.get("fields").get(0).get("type").asText() == "BIGINT NOT NULL")
+    assert(sch.get("fields").get(1).get("type").asText() == "STRING")
+    assert(sch.get("options").get("bucket").asText() == "2")
+    assert(sch.get("options").get("file.format").asText() == "parquet")
+
+    // data lives in bucket-N dirs as KEY-VALUE parquet
+    assert(Files.isDirectory(Paths.get(dest, "bucket-0")) ||
+      Files.isDirectory(Paths.get(dest, "bucket-1")))
+    val snap2 = PaimonInterchange.readTable(dest)
+    val f0 = snap2.files.head
+    val raw = spark.read.parquet(
+      Paths.get(dest, s"bucket-${f0.bucket}", f0.fileName).toString)
+    assert(raw.columns.toSeq ==
+      Seq("_KEY_k", "_SEQUENCE_NUMBER", "_VALUE_KIND", "k", "v"))
+    assert(raw.filter($"_VALUE_KIND" =!= 0).isEmpty, "export rows are all +I")
+
+    // manifest entries are _KIND/_PARTITION/_BUCKET/_FILE records
+    val delta = IcebergInterchange.readAvro(Paths.get(dest, "manifest",
+      snap.get("deltaManifestList").asText()))
+    assert(delta.nonEmpty)
+    val mf = IcebergInterchange.readAvro(Paths.get(dest, "manifest",
+      delta.head.get("_FILE_NAME").toString))
+    val e0 = mf.head
+    assert(e0.get("_KIND").asInstanceOf[Int] == 0)
+    val fileRec = e0.get("_FILE").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(fileRec.get("_LEVEL").asInstanceOf[Int] == 5)
+    assert(fileRec.get("_MIN_KEY").asInstanceOf[java.nio.ByteBuffer].remaining == 16,
+      "single-BIGINT key bounds are real binary rows")
+  }
+
+  test("round trip: export -> import is data-identical") {
+    val t = newTable()
+    t.merge((0L until 100L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    t.merge((50L until 120L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_dst").toString
+    PaimonInterchange.export(spark, t, dest)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.schema == want.schema)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("mirror: one snapshot per commit; tombstones encode MOR deletes") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_pm_mir").toString
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    assert(PaimonInterchange.mirror(spark, t, dest) >= 1)
+    assert(PaimonInterchange.importPaimon(spark, dest).count() == 30L)
+
+    // MOR delete -> tombstone file at the delete's sequence
+    t.deleteWhere(Seq(5L, 6L, 7L).toDF("k"))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(back.count() == 27L)
+    assert(back.filter($"k".isin(5L, 6L, 7L)).isEmpty,
+      "the tombstone masks earlier sequences")
+    val snap = PaimonInterchange.readTable(dest)
+    assert(snap.files.exists(_.deleteRows > 0),
+      "_DELETE_ROW_COUNT records the tombstones")
+
+    // re-add one deleted key at a higher sequence: it survives the merge
+    t.merge(Seq((5L, "z")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    val back2 = PaimonInterchange.importPaimon(spark, dest)
+    assert(back2.filter($"k" === 5L).select($"v").head().getString(0) == "z")
+    val want2 = t.read()
+    assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
+
+    // rewriting merge: DELETE entries cancel the dead mirrored files
+    t.merge((0L until 30L).toDF("k").select($"k", concat(lit("c"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assert(PaimonInterchange.mirror(spark, t, dest) == 0, "no-op mirrors write nothing")
+    val back3 = PaimonInterchange.importPaimon(spark, dest)
+    val want3 = t.read()
+    assert(back3.exceptAll(want3).isEmpty && want3.exceptAll(back3).isEmpty)
+    val s3 = json(Paths.get(dest, "snapshot",
+      s"snapshot-${PaimonInterchange.latestSnapshotId(dest).get}"))
+    assert(s3.get("commitKind").asText() == "COMPACT",
+      "a rewriting commit is not an APPEND")
+    assert(s3.get("commitIdentifier").asLong() == t.latestVersion(),
+      "commitIdentifier records mirror progress — Paimon's exactly-once marker")
+  }
+
+  test("mirror resumes from an export; snapshot ids continue") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_res").toString
+    PaimonInterchange.export(spark, t, dest)
+    t.merge(Seq((2L, "b")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assert(PaimonInterchange.latestSnapshotId(dest).get == 2L)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("LSM merge on foreign overlapping files: max sequence wins, retracts drop") {
+    // hand-write a table whose live files OVERLAP in sequence ranges —
+    // what a real Paimon LSM (which this library's writer never produces)
+    // looks like: level-2 base, level-0 updates, a tombstone between
+    val dest = Files.createTempDirectory("graft_pm_lsm").toString
+    val t = newTable() // reuse export to lay down layout + schema
+    t.merge(Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.export(spark, t, dest)
+
+    // append a foreign level-0 file into bucket dirs: k=2 deleted at seq 7,
+    // k=3 rewritten at seq 9, k=4 inserted at seq 9
+    val kv = Seq(
+      (2L, 7L, 3, null.asInstanceOf[java.lang.Long], null),
+      (3L, 9L, 0, java.lang.Long.valueOf(3L), "new3"),
+      (4L, 9L, 0, java.lang.Long.valueOf(4L), "new4"))
+      .toDF("_KEY_k", "_SEQUENCE_NUMBER", "_VALUE_KIND", "k", "v")
+    // write one foreign file per bucket the keys hash into
+    val withB = kv.withColumn("__b", pmod(hash($"_KEY_k"), lit(2)))
+    val buckets = withB.select("__b").distinct().collect().map(_.getInt(0))
+    val mapper2 = new ObjectMapper()
+    val snapNode = mapper2.readTree(Files.readAllBytes(
+      Paths.get(dest, "snapshot", "snapshot-1")))
+    val oldDelta = IcebergInterchange.readAvro(Paths.get(dest, "manifest",
+      snapNode.get("deltaManifestList").asText()))
+    val entrySchema = PaimonInterchange.manifestEntrySchema
+    val newEntries = buckets.map { b =>
+      val rows = withB.filter($"__b" === b).drop("__b")
+      val tmp = Files.createTempDirectory("pm_foreign").toString
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val name = s"data-foreign-$b.parquet"
+      Files.createDirectories(Paths.get(dest, s"bucket-$b"))
+      val out = Paths.get(dest, s"bucket-$b", name)
+      Files.move(part, out)
+      val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      rec.put("_KIND", 0)
+      rec.put("_PARTITION", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      rec.put("_BUCKET", b)
+      rec.put("_TOTAL_BUCKETS", 2)
+      val fr = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("_FILE").schema())
+      fr.put("_FILE_NAME", name)
+      fr.put("_FILE_SIZE", Files.size(out))
+      fr.put("_ROW_COUNT", rows.count())
+      fr.put("_MIN_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      fr.put("_MAX_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      def st(f: String) = {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          entrySchema.getField("_FILE").schema().getField(f).schema())
+        r.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+        r.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+        r.put("_NULL_COUNTS", null)
+        r
+      }
+      fr.put("_KEY_STATS", st("_KEY_STATS"))
+      fr.put("_VALUE_STATS", st("_VALUE_STATS"))
+      fr.put("_MIN_SEQUENCE_NUMBER", 7L)
+      fr.put("_MAX_SEQUENCE_NUMBER", 9L)
+      fr.put("_SCHEMA_ID", 0L)
+      fr.put("_LEVEL", 0)
+      fr.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+      fr.put("_CREATION_TIME", null)
+      fr.put("_DELETE_ROW_COUNT", null)
+      rec.put("_FILE", fr)
+      rec: org.apache.avro.generic.GenericRecord
+    }.toSeq
+    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-foreign-0"),
+      entrySchema, Map.empty, newEntries)
+    // manifest list for snapshot 2 = old delta manifests + the foreign one
+    val listSchema = PaimonInterchange.manifestFileSchema
+    val foreignMf = {
+      val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+      r.put("_FILE_NAME", "manifest-foreign-0")
+      r.put("_FILE_SIZE", Files.size(Paths.get(dest, "manifest", "manifest-foreign-0")))
+      r.put("_NUM_ADDED_FILES", newEntries.size.toLong)
+      r.put("_NUM_DELETED_FILES", 0L)
+      val ps = new org.apache.avro.generic.GenericData.Record(
+        listSchema.getField("_PARTITION_STATS").schema())
+      ps.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      ps.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      ps.put("_NULL_COUNTS", null)
+      r.put("_PARTITION_STATS", ps)
+      r.put("_SCHEMA_ID", 0L)
+      r: org.apache.avro.generic.GenericRecord
+    }
+    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-list-2-delta"),
+      listSchema, Map.empty, Seq(foreignMf))
+    val sn2 = snapNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    sn2.put("id", 2L)
+    sn2.put("baseManifestList", snapNode.get("deltaManifestList").asText())
+    sn2.put("deltaManifestList", "manifest-list-2-delta")
+    Files.write(Paths.get(dest, "snapshot", "snapshot-2"),
+      mapper2.writerWithDefaultPrettyPrinter().writeValueAsBytes(sn2))
+    Files.write(Paths.get(dest, "snapshot", "LATEST"), "2".getBytes(UTF_8))
+
+    val back = PaimonInterchange.importPaimon(spark, dest)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "old1"), (3L, "new3"), (4L, "new4")),
+      "k=2 tombstoned, k=3 superseded by seq 9, k=4 inserted, k=1 untouched")
+  }
+
+  test("refusals: partitioned tables, dynamic buckets, no primary key") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_ref").toString
+    PaimonInterchange.export(spark, t, dest)
+    val p = Paths.get(dest, "schema", "schema-0")
+    val orig = Files.readAllBytes(p)
+
+    val withPart = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    withPart.putArray("partitionKeys").add("v")
+    Files.write(p, mapper.writeValueAsBytes(withPart))
+    val e1 = intercept[IllegalArgumentException](PaimonInterchange.readTable(dest))
+    assert(e1.getMessage.contains("partitioned"))
+
+    Files.write(p, orig)
+    val withDyn = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    withDyn.withObject("/options").put("bucket", "-1")
+    Files.write(p, mapper.writeValueAsBytes(withDyn))
+    val e2 = intercept[IllegalArgumentException](PaimonInterchange.readTable(dest))
+    assert(e2.getMessage.contains("dynamic bucket"))
+
+    Files.write(p, orig)
+    val noPk = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    noPk.putArray("primaryKeys")
+    Files.write(p, mapper.writeValueAsBytes(noPk))
+    val e3 = intercept[IllegalArgumentException](
+      PaimonInterchange.importPaimon(spark, dest))
+    assert(e3.getMessage.contains("primary key"))
+  }
+
+  test("mirror: schema evolution appends schema-1; old files read as null") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_pm_evo").toString
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val evolved = TableSchema(
+      StructType(schema.struct.fields :+ StructField("extra", LongType)),
+      primaryKeys = Seq("k"))
+    t.updateMeta(evolved)
+    t.merge(Seq((2L, "b", 7L)).toDF("k", "v", "extra"),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    assert(Files.exists(Paths.get(dest, "schema", "schema-1")))
+    val latest = json(Paths.get(dest, "snapshot",
+      s"snapshot-${PaimonInterchange.latestSnapshotId(dest).get}"))
+    assert(latest.get("schemaId").asLong() == 1L)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "v", "extra"))
+    assert(back.filter($"k" === 1L).select($"extra").head().isNullAt(0))
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+}
