@@ -59,6 +59,8 @@ final class MirroredLakehouseSink(
         IcebergInterchange.expireSnapshots(mirrorDir(t), snapshotsKeep)
     case "paimon" =>
       PaimonInterchange.mirror(spark, inner.table(t), mirrorDir(t))
+      if (snapshotsKeep > 0)
+        PaimonInterchange.expireSnapshots(mirrorDir(t), snapshotsKeep)
   }
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = {

@@ -657,6 +657,69 @@ object PaimonInterchange {
     Files.write(trackingPath(dir), mapper.writeValueAsBytes(tn))
   }
 
+  /** Expire all but the newest `keepLast` snapshots and delete the files
+    * only they reference (manifest lists, manifests, data files) —
+    * Paimon's `snapshot.num-retained.max` maintenance. Without this a
+    * continuous [[mirror]] accrues snapshot history without bound. A path
+    * is deleted only when NO retained snapshot's lists reference it — a
+    * file ADDed long ago but still live is reachable through every later
+    * base list, so live data never dangles. Advances the EARLIEST hint.
+    * Returns (snapshots expired, manifest/list files deleted, data files
+    * deleted). */
+  def expireSnapshots(destDir: String, keepLast: Int): (Int, Int, Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val latest = latestSnapshotId(destDir).getOrElse(
+      throw new IllegalArgumentException(s"no Paimon snapshot under $destDir"))
+    val earliestPath = snapshotDir(destDir).resolve("EARLIEST")
+    val earliest = new String(Files.readAllBytes(earliestPath), UTF_8).trim.toLong
+    val cut = latest - keepLast + 1
+    if (cut <= earliest) return (0, 0, 0)
+
+    def listsOf(id: Long): Seq[String] = {
+      val s = readSnapshot(destDir, id)
+      Seq(s.get("baseManifestList").asText(), s.get("deltaManifestList").asText())
+    }
+    val keepLists = (cut to latest).flatMap(listsOf).toSet
+    val keepManifests = keepLists.flatMap(l =>
+      readManifestList(destDir, l).map(_._1))
+    val keepData = keepManifests.flatMap(m =>
+      readManifest(manifestDir(destDir).resolve(m))
+        .filter(_.kind == Add)
+        .map(e => Paths.get(destDir, s"bucket-${e.file.bucket}", e.file.fileName)))
+
+    var metaDeleted = 0
+    var dataDeleted = 0
+    (earliest until cut).foreach { id =>
+      listsOf(id).filterNot(keepLists.contains).foreach { l =>
+        readManifestList(destDir, l).map(_._1)
+          .filterNot(keepManifests.contains).foreach { m =>
+            val mp = manifestDir(destDir).resolve(m)
+            if (Files.exists(mp)) {
+              readManifest(mp).filter(_.kind == Add).foreach { e =>
+                val dp = Paths.get(destDir, s"bucket-${e.file.bucket}", e.file.fileName)
+                if (!keepData.contains(dp) && Files.deleteIfExists(dp))
+                  dataDeleted += 1
+              }
+              Files.delete(mp); metaDeleted += 1
+            }
+          }
+        if (Files.deleteIfExists(manifestDir(destDir).resolve(l))) metaDeleted += 1
+      }
+      Files.deleteIfExists(snapshotDir(destDir).resolve(s"snapshot-$id"))
+    }
+    Files.write(earliestPath, cut.toString.getBytes(UTF_8))
+    ((cut - earliest).toInt, metaDeleted, dataDeleted)
+  }
+
+  /** Manifest full-compaction threshold: the live manifest list grows by
+    * one manifest per commit, and every snapshot rewrites the base LIST
+    * (O(live manifests)) — at standing-pipeline cadence that is quadratic
+    * over time. Past this many live manifests, [[mirror]] consolidates the
+    * net live entries into ONE manifest (Paimon's own ManifestFileMerger
+    * full-compaction behavior), so list size stays bounded and per-commit
+    * cost stays O(delta + threshold). */
+  private val ManifestCompactThreshold = 16
+
   /** Incrementally mirror NEW lakehouse commits, one Paimon snapshot per
     * commit. Adds become level-0 key-value files at the commit's sequence
     * number; MOR delete files become TOMBSTONE files (`_VALUE_KIND` = 3 at
@@ -753,6 +816,23 @@ object PaimonInterchange {
             deadMirrored.map(f => entryRecord(Delete, buckets, f, emptyRow, emptyRow))
         val mMeta = writeManifest(destDir,
           f"manifest-s$nextSnapshotId%04d-0", schemaId, entries)
+        if (liveManifests.size > ManifestCompactThreshold) {
+          // full-compact the base: net live entries (ADDs minus later
+          // DELETEs) re-listed as ADDs in one manifest; expired manifests
+          // stay on disk for retained-history readers until expiry
+          val net = scala.collection.mutable.LinkedHashMap.empty[String, PaimonFile]
+          liveManifests.foreach { case (n, _, _, _, _) =>
+            readManifest(manifestDir(destDir).resolve(n)).foreach { e =>
+              if (e.kind == Add) net(e.file.fileName) = e.file
+              else net.remove(e.file.fileName)
+            }
+          }
+          val merged = writeManifest(destDir,
+            f"manifest-s$nextSnapshotId%04d-compacted", schemaId,
+            net.values.toSeq.map(f =>
+              entryRecord(Add, buckets, f, emptyRow, emptyRow)))
+          liveManifests = Vector(merged)
+        }
         val baseList = f"manifest-list-s$nextSnapshotId%04d-base"
         val deltaList = f"manifest-list-s$nextSnapshotId%04d-delta"
         writeManifestList(destDir, baseList, liveManifests)

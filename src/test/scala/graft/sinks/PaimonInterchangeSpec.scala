@@ -302,6 +302,48 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("primary key"))
   }
 
+  test("manifest compaction bounds the list; expiry prunes history and orphans") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_pm_exp").toString
+    // 20 commits: every mirror rewrites both buckets, so the live manifest
+    // list would grow past the compaction threshold without consolidation
+    t.merge(Seq((1 % 7L, "v1")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    assert(PaimonInterchange.mirror(spark, t, dest) >= 1)
+    (2 to 20).foreach { i =>
+      t.merge(Seq((i % 7L, s"v$i")).toDF("k", "v"),
+        spark.range(0).select($"id".as("k")))
+      assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    }
+    val latest = PaimonInterchange.latestSnapshotId(dest).get
+    val snapNode = json(Paths.get(dest, "snapshot", s"snapshot-$latest"))
+    val baseRows = IcebergInterchange.readAvro(Paths.get(dest, "manifest",
+      snapNode.get("baseManifestList").asText()))
+    assert(baseRows.size <= 17,
+      s"the base list must stay bounded by compaction, got ${baseRows.size}")
+
+    val dataBefore = Files.walk(Paths.get(dest)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val want = t.read()
+    val (expired, metaDel, dataDel) = PaimonInterchange.expireSnapshots(dest, 2)
+    assert(expired == latest.toInt - 2 && metaDel > 0 && dataDel > 0)
+    assert(new String(Files.readAllBytes(
+      Paths.get(dest, "snapshot", "EARLIEST")), UTF_8).trim.toLong == latest - 1)
+    assert(!Files.exists(Paths.get(dest, "snapshot", "snapshot-1")))
+    val dataAfter = Files.walk(Paths.get(dest)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(dataAfter < dataBefore, "orphaned data files are reclaimed")
+
+    // live state intact after expiry; mirror continues past it
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    t.merge(Seq((99L, "z")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    val back2 = PaimonInterchange.importPaimon(spark, dest)
+    val want2 = t.read()
+    assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
+  }
+
   test("mirror: schema evolution appends schema-1; old files read as null") {
     val t = newTable()
     val dest = Files.createTempDirectory("graft_pm_evo").toString
