@@ -457,6 +457,42 @@ object QueriesCdc {
       PaimonInterchange.importPaimon(s, dest).orderBy("k")
     }),
 
+    "c_paimon_delta" -> ((s, dir) => {
+      // Paimon incremental changelog read: a downstream consumer tails the
+      // delta manifests between two snapshots and receives UPSERTS AND
+      // DELETES (tombstone rows with _VALUE_KIND=3) — the LSM advantage
+      // over append-only incremental scans. The gate returns the tailed
+      // change rows themselves: kind + key + value.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmd_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmd_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.append(batch(col("event_id") < 200))
+      PaimonInterchange.mirror(s, t, dest)
+      val s1 = PaimonInterchange.latestSnapshotId(dest).get
+      // down-stream window: MOR deletes of 150-159 + an appended batch
+      t.deleteWhere(s.range(150, 160).select(col("id").as("k")))
+      t.append(batch(col("event_id") >= 200 && col("event_id") < 300
+        && col("user_id") < 120))
+      PaimonInterchange.mirror(s, t, dest)
+      val s2 = PaimonInterchange.latestSnapshotId(dest).get
+      PaimonInterchange.readDeltaBetween(s, dest, s1, s2)
+        .select(col(PaimonInterchange.KindCol).as("kind"),
+          col("_KEY_k").as("k"), col("v"))
+        .orderBy("kind", "k")
+    }),
+
     "c_iceberg_partitioned" -> ((s, dir) => {
       // identity-partitioned Iceberg: the documents table exports
       // partitioned by lang — data files do NOT store the partition column
@@ -2527,6 +2563,22 @@ object QueriesCdc {
         |WHERE event_id < 400 AND user_id < 150
         |GROUP BY user_id
         |ORDER BY k""".stripMargin,
+    // Paimon incremental read: the tailed window carries tombstones for
+    // users 150-159 (kind 3, null value) and upserts (kind 0) for users
+    // <120 with events in [200,300)
+    "c_paimon_delta" ->
+      """WITH dels AS (
+        |  SELECT 3 AS kind, CAST(u.id AS BIGINT) AS k, CAST(NULL AS VARCHAR) AS v
+        |  FROM range(150, 160) AS u(id)),
+        |ups AS (
+        |  SELECT 0 AS kind, user_id AS k,
+        |    'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |  FROM events
+        |  WHERE event_id >= 200 AND event_id < 300 AND user_id < 120
+        |  GROUP BY user_id)
+        |SELECT kind, k, v FROM dels
+        |UNION ALL SELECT kind, k, v FROM ups
+        |ORDER BY kind, k""".stripMargin,
     // identity-partitioned export/import: partition values round trip
     // through manifest metadata (files never store the lang column)
     "c_iceberg_partitioned" ->

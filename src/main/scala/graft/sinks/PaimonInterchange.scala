@@ -64,12 +64,12 @@ object PaimonInterchange {
   private val Add = 0
   private val Delete = 1
   // row kinds (RowKind byte values): +I=0, -U=1, +U=2, -D=3
-  private[sinks] val KindInsert = 0
-  private[sinks] val KindUpdateAfter = 2
-  private[sinks] val KindDelete = 3
+  val KindInsert = 0
+  val KindUpdateAfter = 2
+  val KindDelete = 3
 
-  private[sinks] val SeqCol = "_SEQUENCE_NUMBER"
-  private[sinks] val KindCol = "_VALUE_KIND"
+  val SeqCol = "_SEQUENCE_NUMBER"
+  val KindCol = "_VALUE_KIND"
 
   // ---------------------------------------------------------------- schemas
 
@@ -218,7 +218,7 @@ object PaimonInterchange {
   private def schemaDir(dir: String): Path = Paths.get(dir, "schema")
   private def manifestDir(dir: String): Path = Paths.get(dir, "manifest")
 
-  private[sinks] def latestSnapshotId(dir: String): Option[Long] = {
+  def latestSnapshotId(dir: String): Option[Long] = {
     val hint = snapshotDir(dir).resolve("LATEST")
     if (Files.exists(hint))
       Some(new String(Files.readAllBytes(hint), UTF_8).trim.toLong)
@@ -655,6 +655,56 @@ object PaimonInterchange {
       val arr = tn.putArray(k); vs.foreach(arr.add)
     }
     Files.write(trackingPath(dir), mapper.writeValueAsBytes(tn))
+  }
+
+  /** Incremental changelog read (Paimon's `incremental-between` scan): the
+    * key-value rows of data files ADDed by snapshots in
+    * `(fromSnapshotId, toSnapshotId]`, with `_VALUE_KIND` preserved — so a
+    * downstream consumer tails upserts AND deletes (tombstones surface as
+    * retract rows — the LSM advantage over Iceberg's append-only
+    * incremental scan, where a delete forces a refusing rewrite). DELETE
+    * manifest entries are file-replacement bookkeeping, not data changes,
+    * and are ignored. COMPACT snapshots refuse LOUDLY: a mirrored
+    * copy-on-write bucket rewrite may drop keys with no tombstone in the
+    * delta, so tailing it as changes would silently miss deletions (MOR
+    * delete commits are APPEND-kind and carry real tombstones, so delete
+    * flows DO tail). Cost is O(delta manifests + added files in range),
+    * never O(table). */
+  def readDeltaBetween(spark: SparkSession, srcDir: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val latest = latestSnapshotId(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"no Paimon snapshot under $srcDir"))
+    require(toSnapshotId <= latest,
+      s"toSnapshot $toSnapshotId is beyond the latest snapshot $latest")
+    val earliest = new String(Files.readAllBytes(
+      snapshotDir(srcDir).resolve("EARLIEST")), UTF_8).trim.toLong
+    require(fromSnapshotId >= earliest - 1,
+      s"snapshot window ($fromSnapshotId, $toSnapshotId] reaches below the " +
+        s"earliest retained snapshot $earliest (expired) — those changes " +
+        "are undeliverable")
+    require(fromSnapshotId < toSnapshotId,
+      s"empty or inverted window ($fromSnapshotId, $toSnapshotId]")
+    val head = readSnapshot(srcDir, toSnapshotId)
+    val (struct, pks, _, _) = readSchemaFile(srcDir, head.get("schemaId").asLong())
+    val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+      val s = readSnapshot(srcDir, id)
+      require(s.get("commitKind").asText() == "APPEND",
+        s"snapshot $id is '${s.get("commitKind").asText()}', not an APPEND: " +
+          "a rewritten bucket may drop keys with no tombstone in the " +
+          "delta — an incremental consumer would silently miss deletions")
+      readManifestList(srcDir, s.get("deltaManifestList").asText())
+        .flatMap { case (mf, _, _, _, _) =>
+          readManifest(manifestDir(srcDir).resolve(mf))
+            .filter(_.kind == Add)
+            .map(e => Paths.get(srcDir,
+              s"bucket-${e.file.bucket}", e.file.fileName).toString)
+        }
+    }.distinct
+    val kvSchema = keyValueSchema(struct, pks)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kvSchema)
+    else spark.read.schema(kvSchema).parquet(files: _*)
   }
 
   /** Expire all but the newest `keepLast` snapshots and delete the files

@@ -344,6 +344,46 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
   }
 
+  test("readDeltaBetween tails appends and tombstones; compaction refuses") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_pm_inc").toString
+    t.append((0L until 10L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val s1 = PaimonInterchange.latestSnapshotId(dest).get
+
+    t.deleteWhere(Seq(3L, 4L).toDF("k"))          // APPEND with tombstones
+    t.append((10L until 15L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val s3 = PaimonInterchange.latestSnapshotId(dest).get
+
+    val delta = PaimonInterchange.readDeltaBetween(spark, dest, s1, s3)
+    val byKind = delta.groupBy($"_VALUE_KIND").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byKind(3) == 2L, "the MOR delete tails as two tombstone rows")
+    assert(byKind(0) == 5L, "the append tails as five inserts")
+    assert(delta.filter($"_VALUE_KIND" === 3)
+      .select($"_KEY_k").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+
+    // a rewriting merge is a COMPACT snapshot: tailing it would silently
+    // miss copy-on-write deletions, so it refuses
+    t.merge((0L until 5L).toDF("k").select($"k", lit("z").as("v")),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val s4 = PaimonInterchange.latestSnapshotId(dest).get
+    val e = intercept[IllegalArgumentException](
+      PaimonInterchange.readDeltaBetween(spark, dest, s3, s4).count())
+    assert(e.getMessage.contains("not an APPEND"))
+
+    // windows beyond the head or below retained history refuse
+    val e2 = intercept[IllegalArgumentException](
+      PaimonInterchange.readDeltaBetween(spark, dest, s1, s4 + 10))
+    assert(e2.getMessage.contains("beyond the latest"))
+    PaimonInterchange.expireSnapshots(dest, 1)
+    val e3 = intercept[IllegalArgumentException](
+      PaimonInterchange.readDeltaBetween(spark, dest, s1, s4))
+    assert(e3.getMessage.contains("undeliverable"))
+  }
+
   test("mirror: schema evolution appends schema-1; old files read as null") {
     val t = newTable()
     val dest = Files.createTempDirectory("graft_pm_evo").toString
