@@ -637,6 +637,46 @@ object Bench {
       }.foreach(sec => out += "b12_delta_replay_checkpoint_sec" -> sec)
     }
 
+    // B13: the Paimon leg of the interchange envelope. (a) Per-commit
+    // mirror cost over the same 40-commit history — HIGHER than Delta/
+    // Iceberg by design (the key-value rewrite is a Spark job per commit
+    // batch, not a file copy), which is the honest cost of producing
+    // LSM-mergeable output; (b) the import MERGE cost vs the no-overlap
+    // fast path — the price a reader pays while level-0 deltas await
+    // compaction vs after a one-shot export.
+    once("b13") {
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val root = java.nio.file.Files.createTempDirectory("bench_paimon").toString
+      val tb = new LakehouseTable(spark, s"$root/src")
+      tb.create(TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "k", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val nCommits = 40
+      (0 until nCommits).foreach(i =>
+        tb.append(spark.range(i * 5000L, (i + 1) * 5000L)
+          .select(col("id").as("k"), concat(lit("v"), col("id").as("v")))))
+      val p0 = System.nanoTime()
+      PaimonInterchange.mirror(spark, tb, s"$root/paimon")
+      out += "b13_paimon_mirror_commits_per_sec" ->
+        nCommits / ((System.nanoTime() - p0) / 1e9)
+      // merged read: 40 level-0 files with distinct sequences -> the LSM
+      // window merge runs
+      timed("b13_import_merge") {
+        require(PaimonInterchange.importPaimon(spark, s"$root/paimon")
+          .count() == nCommits * 5000L)
+      }.foreach(sec => out += "b13_paimon_import_merge_sec" -> sec)
+      // exported read: one sequence, no tombstones -> fast path, no merge
+      PaimonInterchange.export(spark, tb, s"$root/paimon_flat")
+      timed("b13_import_flat") {
+        require(PaimonInterchange.importPaimon(spark, s"$root/paimon_flat")
+          .count() == nCommits * 5000L)
+      }.foreach(sec => out += "b13_paimon_import_flat_sec" -> sec)
+    }
+
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the
     // schema-evolution stall probe. Same warmup + median-of-3 + raw
     // discipline as B1–B5 (r08's single un-instrumented run drifted 3.7×
