@@ -735,6 +735,46 @@ object QueriesCore {
           .orderBy("user_id")
       } finally server.stop()
     }),
+    "c_maxcompute_sink" -> ((s, dir) => {
+      // MaxCompute tunnel-session family end-to-end: the changelog flows
+      // as three batch-tracked upsert SESSIONS (label-idempotent create,
+      // PK-hash-bucketed block upload per partition, ordered commit) into
+      // the loopback tunnel double, whose PK store applies the __op flag;
+      // final store state must equal the one-shot materialization. The
+      // middle batch is delivered TWICE to prove replay skip.
+      import graft.sinks.{MaxComputeSink, MockTunnelServer}
+      import org.apache.spark.sql.types._
+      val server = new MockTunnelServer
+      try {
+        val tid = TableId.parse("app.events")
+        val env = eventsChangelog(s, dir)
+        val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        val sink = new MaxComputeSink(server.url(), buckets = 8)
+        sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+        var lo = Long.MinValue
+        Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+          val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+          Upsert.withMaterialized(batch, Seq("user_id")) { (ups, dels) =>
+            sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+            if (i == 1) // replayed micro-batch: must skip, not double-apply
+              sink.writeBatch(tid, ups, dels, batchId = i.toLong, runId = "verify")
+          }
+          lo = hi
+        }
+        require(sink.lastCommittedBatch(tid, "verify").contains(2L),
+          "the session ids must record batch progress")
+        import s.implicits._
+        val parsed = server.rowsOf("graft", "events").toDF("_id", "doc").select(
+          from_json(col("doc"),
+            StructType(Seq(
+              StructField("user_id", LongType), StructField("event_type", StringType),
+              StructField("value", DoubleType), StructField("ts", StringType)))).as("d"))
+        parsed.select(col("d.user_id").as("user_id"), col("d.event_type").as("event_type"),
+          col("d.value").as("value"), col("d.ts").as("ts_str"))
+          .orderBy("user_id")
+      } finally server.stop()
+    }),
     "c_lakehouse_upsert" -> ((s, dir) => {
       // the changelog flows as three seq-ordered micro-batches through the
       // lakehouse table format (commit log, hash-bucketed files, file-granular
@@ -1831,6 +1871,15 @@ object QueriesCore {
         |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // final stream-load store = changelog final state (same shape as c_es_sink)
     "c_starrocks_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // tunnel-session final state converges to the same materialization;
+    // the doubled middle batch proves replay skip
+    "c_maxcompute_sink" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)

@@ -74,6 +74,13 @@ object DataSinks {
           baseUrl = sinkDef.config.getOrElse("hosts", sinkDef.config.getOrElse(
             "url", throw new IllegalArgumentException("elasticsearch sink requires 'hosts'"))),
           maxActions = sinkDef.config.getOrElse("batch.size.max", "500").toInt)
+      case "maxcompute" =>
+        new MaxComputeSink(
+          baseUrl = sinkDef.config.getOrElse("tunnel.endpoint",
+            sinkDef.config.getOrElse("url", throw new IllegalArgumentException(
+              "maxcompute sink requires 'tunnel.endpoint'"))),
+          project = sinkDef.config.getOrElse("project", "graft"),
+          buckets = sinkDef.config.getOrElse("buckets.num", "8").toInt)
       case "starrocks" =>
         new StarRocksSink(
           baseUrl = sinkDef.config.getOrElse("load-url", sinkDef.config.getOrElse(
@@ -91,6 +98,6 @@ object DataSinks {
         throw new IllegalArgumentException(
           s"unknown sink type '$other' (supported: values, jdbc, mysql, postgres, " +
             "oceanbase, jdbc-exactly-once, parquet, lakehouse, paimon, delta, " +
-            "iceberg, elasticsearch, starrocks, doris)")
+            "iceberg, elasticsearch, starrocks, doris, maxcompute)")
     }
 }
