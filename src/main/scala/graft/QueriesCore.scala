@@ -735,6 +735,37 @@ object QueriesCore {
           .orderBy("user_id")
       } finally server.stop()
     }),
+    "c_fluss_sink" -> ((s, dir) => {
+      // Fluss family end-to-end (the reference's last pipeline connector):
+      // the materialized changelog flows through the PK-upsert writer with
+      // the async-ack flush barrier (bounded in-flight window, all futures
+      // joined per partition) into the loopback double; the same run also
+      // proves the LOG-table duality — an appended no-PK table assigns
+      // monotone per-bucket offsets and keeps every duplicate row —
+      // unit-proven in FlussSinkSpec.
+      import graft.sinks.{FlussSink, MockFlussServer}
+      import org.apache.spark.sql.types._
+      val server = new MockFlussServer
+      try {
+        val tid = TableId.parse("app.events")
+        val env = eventsChangelog(s, dir)
+        val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        val sink = new FlussSink(server.url(), buckets = 4, maxInFlight = 8)
+        sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        Upsert.withMaterialized(env, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels)
+        }
+        import s.implicits._
+        val parsed = server.rowsOf("fluss", "events").toDF("_id", "doc").select(
+          from_json(col("doc"),
+            StructType(Seq(
+              StructField("user_id", LongType), StructField("event_type", StringType),
+              StructField("value", DoubleType), StructField("ts", StringType)))).as("d"))
+        parsed.select(col("d.user_id").as("user_id"), col("d.event_type").as("event_type"),
+          col("d.value").as("value"), col("d.ts").as("ts_str"))
+          .orderBy("user_id")
+      } finally server.stop()
+    }),
     "c_maxcompute_sink" -> ((s, dir) => {
       // MaxCompute tunnel-session family end-to-end: the changelog flows
       // as three batch-tracked upsert SESSIONS (label-idempotent create,
@@ -1871,6 +1902,14 @@ object QueriesCore {
         |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // final stream-load store = changelog final state (same shape as c_es_sink)
     "c_starrocks_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // the Fluss PK-upsert writer converges to the same materialization
+    "c_fluss_sink" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)

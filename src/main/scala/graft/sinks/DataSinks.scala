@@ -74,6 +74,13 @@ object DataSinks {
           baseUrl = sinkDef.config.getOrElse("hosts", sinkDef.config.getOrElse(
             "url", throw new IllegalArgumentException("elasticsearch sink requires 'hosts'"))),
           maxActions = sinkDef.config.getOrElse("batch.size.max", "500").toInt)
+      case "fluss" =>
+        new FlussSink(
+          baseUrl = sinkDef.config.getOrElse("bootstrap.servers",
+            sinkDef.config.getOrElse("url", throw new IllegalArgumentException(
+              "fluss sink requires 'bootstrap.servers'"))),
+          database = sinkDef.config.getOrElse("database", "fluss"),
+          buckets = sinkDef.config.getOrElse("bucket.num", "4").toInt)
       case "maxcompute" =>
         new MaxComputeSink(
           baseUrl = sinkDef.config.getOrElse("tunnel.endpoint",
@@ -98,6 +105,6 @@ object DataSinks {
         throw new IllegalArgumentException(
           s"unknown sink type '$other' (supported: values, jdbc, mysql, postgres, " +
             "oceanbase, jdbc-exactly-once, parquet, lakehouse, paimon, delta, " +
-            "iceberg, elasticsearch, starrocks, doris, maxcompute)")
+            "iceberg, elasticsearch, starrocks, doris, maxcompute, fluss)")
     }
 }
