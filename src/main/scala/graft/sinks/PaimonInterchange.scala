@@ -563,7 +563,10 @@ object PaimonInterchange {
         val dir = Paths.get(destDir, s"bucket-$bucket")
         Files.createDirectories(dir)
         val name = f"data-$tag-$n%04d.parquet"; n += 1
-        Files.move(p, dir.resolve(name))
+        // REPLACE: a crash-redo of the same snapshot re-writes the same
+        // deterministic file names over any orphans
+        Files.move(p, dir.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         (bucket, name)
       }
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
@@ -620,7 +623,7 @@ object PaimonInterchange {
       files.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx) })
     writeManifestList(destDir, "manifest-list-export-base", Nil)
     writeManifestList(destDir, "manifest-list-export-delta", Seq(mMeta))
-    writeSourceTracking(destDir, files.map { case (f, _, _) =>
+    writeSourceTracking(destDir, 1L, files.map { case (f, _, _) =>
       f.fileName -> snap.files.filter(_.bucket == f.bucket).map(_.path)
     }.toMap)
     val total = files.map(_._1.rows).sum
@@ -636,25 +639,33 @@ object PaimonInterchange {
     * files whose rows it carries (bucket-granular, so lakehouse COW bucket
     * rewrites map to whole-file DELETE entries). Tombstone files map to no
     * sources — they age out only via compaction, and a stale tombstone is
-    * harmless (it masks only sequences below its own). Lives next to the
-    * manifests; a graft-private sidecar, not part of the public format. */
-  private def trackingPath(dir: String): Path =
-    manifestDir(dir).resolve("graft-source-files")
+    * harmless (it masks only sequences below its own). A graft-private
+    * sidecar next to the manifests, not part of the public format.
+    *
+    * VERSIONED BY SNAPSHOT ID for crash safety: the sidecar for snapshot
+    * N is written BEFORE `snapshot-N`, and resume reads the one matching
+    * the LATEST snapshot. A crash between sidecar and snapshot leaves the
+    * last snapshot's sidecar authoritative and the redo overwrites the
+    * orphan; a shared mutable sidecar would instead poison the redo (the
+    * half-applied update already dropped the removed sources). */
+  private def trackingPath(dir: String, snapshotId: Long): Path =
+    manifestDir(dir).resolve(s"graft-source-files-$snapshotId")
 
-  private def readSourceTracking(dir: String): Map[String, Seq[String]] =
-    if (!Files.exists(trackingPath(dir))) Map.empty
-    else mapper.readTree(Files.readAllBytes(trackingPath(dir)))
+  private def readSourceTracking(dir: String, snapshotId: Long): Map[String, Seq[String]] =
+    if (!Files.exists(trackingPath(dir, snapshotId))) Map.empty
+    else mapper.readTree(Files.readAllBytes(trackingPath(dir, snapshotId)))
       .properties().asScala
       .map(e => e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
       .toMap
 
-  private def writeSourceTracking(dir: String, track: Map[String, Seq[String]]): Unit = {
+  private def writeSourceTracking(dir: String, snapshotId: Long,
+      track: Map[String, Seq[String]]): Unit = {
     Files.createDirectories(manifestDir(dir))
     val tn = mapper.createObjectNode()
     track.toSeq.sortBy(_._1).foreach { case (k, vs) =>
       val arr = tn.putArray(k); vs.foreach(arr.add)
     }
-    Files.write(trackingPath(dir), mapper.writeValueAsBytes(tn))
+    Files.write(trackingPath(dir, snapshotId), mapper.writeValueAsBytes(tn))
   }
 
   /** Incremental changelog read (Paimon's `incremental-between` scan): the
@@ -756,6 +767,7 @@ object PaimonInterchange {
         if (Files.deleteIfExists(manifestDir(destDir).resolve(l))) metaDeleted += 1
       }
       Files.deleteIfExists(snapshotDir(destDir).resolve(s"snapshot-$id"))
+      Files.deleteIfExists(trackingPath(destDir, id)) // graft sidecar
     }
     Files.write(earliestPath, cut.toString.getBytes(UTF_8))
     ((cut - earliest).toInt, metaDeleted, dataDeleted)
@@ -801,7 +813,9 @@ object PaimonInterchange {
     if (lastMirrored >= head) return 0
 
     var written = 0
-    var track = readSourceTracking(destDir)
+    // the sidecar of the LATEST durable snapshot is authoritative; an
+    // orphan left by a crash between sidecar and snapshot is overwritten
+    var track = prior.map(id => readSourceTracking(destDir, id)).getOrElse(Map.empty)
     var prev = if (lastMirrored < 0) None else Some(table.snapshot(Some(lastMirrored)))
     ((lastMirrored + 1) to head).foreach { v =>
       val cur = table.snapshot(Some(v))
@@ -893,7 +907,7 @@ object PaimonInterchange {
           dataFiles.map { case (f, _, _) =>
             f.fileName -> adds.filter(_.bucket == f.bucket).map(_.path) } ++
           tombFiles.map { case (f, _, _) => f.fileName -> Seq.empty[String] }
-        writeSourceTracking(destDir, track)
+        writeSourceTracking(destDir, nextSnapshotId, track)
 
         val deltaRecords = newFiles.map(_._1.rows).sum
         totalRecords = totalRecords + deltaRecords - deadMirrored.map(_.rows).sum
@@ -905,11 +919,14 @@ object PaimonInterchange {
         nextSnapshotId += 1
         written += 1
       } else {
-        // metadata-only lakehouse commit: empty delta, progress advances
+        // metadata-only lakehouse commit: empty delta, progress advances;
+        // the tracking sidecar carries forward under the new snapshot id
+        // so resume always finds the latest snapshot's sidecar
         val baseList = f"manifest-list-s$nextSnapshotId%04d-base"
         val deltaList = f"manifest-list-s$nextSnapshotId%04d-delta"
         writeManifestList(destDir, baseList, liveManifests)
         writeManifestList(destDir, deltaList, Nil)
+        writeSourceTracking(destDir, nextSnapshotId, track)
         writeSnapshot(destDir, nextSnapshotId, snapshotNode(
           nextSnapshotId, schemaId, baseList, deltaList,
           commitIdentifier = v, commitKind = "APPEND",

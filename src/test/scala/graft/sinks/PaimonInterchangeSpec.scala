@@ -384,6 +384,42 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("undeliverable"))
   }
 
+  test("mirror crash recovery: a commit without its snapshot redoes cleanly") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_pm_crash").toString
+    t.merge((0L until 20L).toDF("k").select($"k", concat(lit("a"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val s1 = PaimonInterchange.latestSnapshotId(dest).get
+
+    // a bucket-rewriting merge, mirrored — then simulate a crash BEFORE
+    // snapshot-N landed: everything else of the commit (manifests, data
+    // files, the versioned tracking sidecar) is already on disk
+    t.merge((0L until 20L).toDF("k").select($"k", concat(lit("b"), $"k").as("v")),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val s2 = PaimonInterchange.latestSnapshotId(dest).get
+    assert(s2 == s1 + 1)
+    Files.delete(Paths.get(dest, "snapshot", s"snapshot-$s2"))
+    Files.write(Paths.get(dest, "snapshot", "LATEST"),
+      s1.toString.getBytes(UTF_8))
+
+    // resume: the redo must not be poisoned by the orphaned sidecar (the
+    // pre-fix shared sidecar had already dropped the removed sources, so
+    // the redo's coverage check exploded)
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assert(PaimonInterchange.latestSnapshotId(dest).get == s2)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    // and the mirror continues normally afterwards
+    t.deleteWhere(Seq(5L).toDF("k"))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    val back2 = PaimonInterchange.importPaimon(spark, dest)
+    val want2 = t.read()
+    assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
+  }
+
   test("mirror: schema evolution appends schema-1; old files read as null") {
     val t = newTable()
     val dest = Files.createTempDirectory("graft_pm_evo").toString
