@@ -96,6 +96,23 @@ class MaxComputeSinkSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("schema evolution: AddColumn reaches the tunnel catalog; writes carry it") {
+    val server = new MockTunnelServer
+    try {
+      val sink = new MaxComputeSink(server.url(), buckets = 2)
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      sink.applySchemaChange(AddColumnEvent(tid,
+        Seq(AddColumnEvent.ColumnWithPosition("score", graft.core.CdcTypes.IntT()))))
+      assert(server.columnsOf("graft", "users") == Seq("id", "v", "score"))
+      val evolved = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(1L, "a", 7)),
+        StructType(schema.struct.fields :+ StructField("score", IntegerType)))
+      sink.writeBatch(tid, evolved, spark.range(0).select($"id"),
+        batchId = 0L, runId = "r1")
+      assert(server.rowsOf("graft", "users").head._2.contains(""""score":7"""))
+    } finally server.stop()
+  }
+
   test("SessionCommitCoordinator: min-across-queues with END terminators") {
     val c = new SessionCommitCoordinator(3)
     assert(c.toCommit().isEmpty, "no subtask has reported")

@@ -272,6 +272,35 @@ class PaimonInterchangeSpec extends AnyFunSuite {
       "k=2 tombstoned, k=3 superseded by seq 9, k=4 inserted, k=1 untouched")
   }
 
+  test("composite string+long primary key: full round trip, empty key bounds") {
+    val cSchema = TableSchema(
+      StructType(Seq(
+        StructField("tenant", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("tenant", "k"))
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_pm_cpk").toString)
+    t.create(cSchema, buckets = 2)
+    t.merge(Seq(("a", 1L, "x"), ("b", 1L, "y"), ("a", 2L, "z"))
+      .toDF("tenant", "k", "v"), spark.range(0)
+      .select(lit("").as("tenant"), $"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_cpkd").toString
+    PaimonInterchange.mirror(spark, t, dest)
+    // same tenant+k upserted: the composite key collapses correctly
+    t.merge(Seq(("a", 1L, "x2")).toDF("tenant", "k", "v"),
+      spark.range(0).select(lit("").as("tenant"), $"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    assert(back.filter($"tenant" === "a" && $"k" === 1L)
+      .select($"v").head().getString(0) == "x2")
+    // non-BIGINT keys write the empty bounds row (pruning off, never wrong)
+    val snap = PaimonInterchange.readTable(dest)
+    assert(snap.primaryKeys == Seq("tenant", "k"))
+  }
+
   test("refusals: partitioned tables, dynamic buckets, no primary key") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
