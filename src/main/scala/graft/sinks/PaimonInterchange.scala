@@ -135,7 +135,7 @@ object PaimonInterchange {
   // ------------------------------------------------------------- type names
 
   /** Spark → Paimon SQL type string (what schema-N files carry). */
-  private def paimonType(dt: DataType, nullable: Boolean): String = {
+  private[sinks] def paimonType(dt: DataType, nullable: Boolean): String = {
     val base = dt match {
       case BooleanType => "BOOLEAN"
       case ByteType => "TINYINT"

@@ -108,4 +108,21 @@ class OffsetAlgebraLawsSpec extends AnyFunSuite {
         Integer.signum(Ordering[(Long, Long)].compare((t1, q1), (t2, q2)))
     })
   }
+
+  test("Db2 AsnSeq packing: (commitSeq << 16 | intentSeq) order is lexicographic") {
+    import graft.sources.db2.AsnSeq
+    val g = for {
+      cs <- Gen.chooseNum(1L, 0x7fffffffffffL)
+      is <- Gen.chooseNum(0L, 0xffffL)
+    } yield AsnSeq.of(cs, is)
+    check(Prop.forAll(g) { a =>
+      a.value >= 0 && AsnSeq.of(a.commitSeq, a.intentSeq) == a &&
+        a.asString.length == 20
+    })
+    check(Prop.forAll(g, g) { (a, b) =>
+      Integer.signum(a.compare(b)) == Integer.signum(
+        Ordering[(Long, Long)].compare(
+          (a.commitSeq, a.intentSeq), (b.commitSeq, b.intentSeq)))
+    })
+  }
 }
