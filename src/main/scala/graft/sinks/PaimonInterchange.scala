@@ -291,11 +291,16 @@ object PaimonInterchange {
           schemaDir(dir).resolve(s"schema-$id")))
         if (prev.get("fields") == schemaFieldsNode(struct)) id
         else {
+          // append-only evolution with stable positional ids: common-prefix
+          // fields keep name+id (type promotion and requiredness changes are
+          // allowed — Paimon schema evolution supports both); drops and
+          // reorders refuse loudly
           val pf = prev.get("fields").elements().asScala.toSeq
           val nf = schemaFieldsNode(struct).elements().asScala.toSeq
-          require(pf.size <= nf.size && pf.zip(nf).forall(t => t._1 == t._2),
-            "schema evolution drops, reorders, or retypes columns: " +
-              "positional field ids cannot survive that — refusing")
+          require(pf.size <= nf.size && pf.zip(nf).forall { case (a, b) =>
+            a.get("name") == b.get("name") && a.get("id") == b.get("id") },
+            "schema evolution drops or reorders columns: positional field " +
+              "ids cannot survive that — refusing")
           writeSchemaFile(dir, id + 1, struct, primaryKeys, buckets); id + 1
         }
     }
