@@ -333,9 +333,11 @@ final class MockTunnelServer {
         if (t == null) { respond(ex, 404, """{"error":"no such table"}"""); return }
         val q = query(ex)
         if (q.contains("last_committed")) {
-          val prefix = q("last_committed") + "-"
+          // exact run match: the id is <run>-<12-digit batch>, so a run id
+          // that PREFIXES another ("r1" vs "r1-b") must not cross-match
+          val pat = java.util.regex.Pattern.quote(q("last_committed")) + "-\\d{12}"
           val last = t.sessions.asScala.values.toSeq
-            .filter(s => s.status == "committed" && s.id.startsWith(prefix))
+            .filter(s => s.status == "committed" && s.id.matches(pat))
             .map(_.id).sorted.lastOption
           respond(ex, 200, s"""{"session_id":"${last.getOrElse("")}"}""")
         } else {
