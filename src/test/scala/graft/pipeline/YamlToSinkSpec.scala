@@ -208,6 +208,31 @@ class YamlToSinkSpec extends AnyFunSuite {
       Seq((1L, "ann", "ANN"), (2L, "bob", "BOB")))
   }
 
+  test("yaml 'maxcompute' sink: composed pipeline writes through tunnel sessions") {
+    val server = new graft.sinks.MockTunnelServer
+    try {
+      runPipeline(
+        s"""  type: maxcompute
+           |  tunnel.endpoint: ${server.url()}
+           |  project: graft""".stripMargin)
+      val rows = server.rowsOf("graft", "users").toMap
+      assert(rows.keySet == Set("1", "2"))
+      assert(rows("1").contains(""""uname":"ANN""""))
+    } finally server.stop()
+  }
+
+  test("yaml 'fluss' sink: composed pipeline upserts through the async writer") {
+    val server = new graft.sinks.MockFlussServer
+    try {
+      runPipeline(
+        s"""  type: fluss
+           |  bootstrap.servers: ${server.url()}""".stripMargin)
+      val rows = server.rowsOf("fluss", "users").toMap
+      assert(rows.keySet == Set("1", "2"))
+      assert(rows("2").contains(""""uname":"BOB""""))
+    } finally server.stop()
+  }
+
   test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {
     Seq("mysql", "oceanbase", "postgres").foreach { t =>
       val sink = DataSinks.forDef(spark, SinkDef(t, None, Map("url" -> "jdbc:none")))
