@@ -457,6 +457,39 @@ object QueriesCdc {
       PaimonInterchange.importPaimon(s, dest).orderBy("k")
     }),
 
+    "c_paimon_changelog" -> ((s, dir) => {
+      // the Paimon changelog surface at Delta-CDF parity: a
+      // changelog-enabled lakehouse table mirrors its change files as
+      // changelog key-value files (per-row RowKind in _VALUE_KIND) under
+      // the snapshot's changelogManifestList, and the windowed read must
+      // reproduce the exact insert / update pre+post rows SQL derives —
+      // same data recipe and oracle shape as c_delta_cdf, different
+      // event-id window so the two gates are independent fixtures.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmcl_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4, changelog = true)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmcl_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") >= 300 && col("event_id") < 600 && col("user_id") < 150)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 450), s.range(0).select(col("id").as("k")))
+      PaimonInterchange.mirror(s, t, dest)
+      t.merge(batch(col("event_id") >= 450), s.range(0).select(col("id").as("k")))
+      PaimonInterchange.mirror(s, t, dest)
+      val latest = PaimonInterchange.latestSnapshotId(dest).get
+      PaimonInterchange.readChangelogBetween(s, dest, 0L, latest)
+        .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "k")
+    }),
+
     "c_paimon_delta" -> ((s, dir) => {
       // Paimon incremental changelog read: a downstream consumer tails the
       // delta manifests between two snapshots and receives UPSERTS AND
@@ -2563,6 +2596,32 @@ object QueriesCdc {
         |WHERE event_id < 400 AND user_id < 150
         |GROUP BY user_id
         |ORDER BY k""".stripMargin,
+    // Paimon changelog at Delta-CDF parity: inserts at commit 1, the
+    // overlap as update pre/post pairs at commit 2 (batch 2's per-user max
+    // always exceeds batch 1's in this window)
+    "c_paimon_changelog" ->
+      """WITH b1 AS (
+        |  SELECT user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 300 AND event_id < 450 AND user_id < 150
+        |  GROUP BY user_id),
+        |b2 AS (
+        |  SELECT user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 450 AND event_id < 600 AND user_id < 150
+        |  GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT user_id AS k, 'e' || CAST(me AS VARCHAR) AS v,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT user_id, 'e' || CAST(me AS VARCHAR), 'insert', 2
+        |  FROM b2 WHERE user_id NOT IN (SELECT user_id FROM b1)
+        |  UNION ALL
+        |  SELECT b1.user_id, 'e' || CAST(b1.me AS VARCHAR), 'update_preimage', 2
+        |  FROM b1 JOIN b2 ON b1.user_id = b2.user_id
+        |  UNION ALL
+        |  SELECT b2.user_id, 'e' || CAST(b2.me AS VARCHAR), 'update_postimage', 2
+        |  FROM b1 JOIN b2 ON b1.user_id = b2.user_id
+        |) ORDER BY _commit_version, _change_type, k""".stripMargin,
     // Paimon incremental read: the tailed window carries tombstones for
     // users 150-159 (kind 3, null value) and upserts (kind 0) for users
     // <120 with events in [200,300)

@@ -423,14 +423,19 @@ object PaimonInterchange {
 
   private def snapshotNode(id: Long, schemaId: Long, baseList: String,
       deltaList: String, commitIdentifier: Long, commitKind: String,
-      totalRecords: Long, deltaRecords: Long): ObjectNode = {
+      totalRecords: Long, deltaRecords: Long,
+      changelogList: Option[String] = None,
+      changelogRecords: Long = 0L): ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("version", 3)
     root.put("id", id)
     root.put("schemaId", schemaId)
     root.put("baseManifestList", baseList)
     root.put("deltaManifestList", deltaList)
-    root.putNull("changelogManifestList")
+    changelogList match {
+      case Some(l) => root.put("changelogManifestList", l)
+      case None => root.putNull("changelogManifestList")
+    }
     root.putNull("indexManifest")
     root.put("commitUser", "graft")
     root.put("commitIdentifier", commitIdentifier)
@@ -439,7 +444,7 @@ object PaimonInterchange {
     root.putObject("logOffsets")
     root.put("totalRecordCount", totalRecords)
     root.put("deltaRecordCount", deltaRecords)
-    root.put("changelogRecordCount", 0L)
+    root.put("changelogRecordCount", changelogRecords)
     root.putNull("watermark")
     root
   }
@@ -529,6 +534,16 @@ object PaimonInterchange {
     val sys = Seq(lit(seq).as(SeqCol), lit(kind).as(KindCol))
     val values = struct.fieldNames.map(n =>
       (if (kind == KindDelete) lit(null).cast(struct(n).dataType) else col(n)).as(n))
+    df.select(keyCols ++ sys ++ values :+ bucketCol(pks, buckets).as("__pm_bucket"): _*)
+  }
+
+  /** Key-value shape with a PER-ROW kind column (changelog files carry all
+    * four RowKinds in one file). */
+  private def toKeyValueKinded(df: DataFrame, struct: StructType, pks: Seq[String],
+      seq: Long, kindCol: Column, buckets: Int): DataFrame = {
+    val keyCols = pks.map(p => col(p).as(s"_KEY_$p"))
+    val sys = Seq(lit(seq).as(SeqCol), kindCol.cast("int").as(KindCol))
+    val values = struct.fieldNames.map(n => col(n).as(n))
     df.select(keyCols ++ sys ++ values :+ bucketCol(pks, buckets).as("__pm_bucket"): _*)
   }
 
@@ -723,6 +738,69 @@ object PaimonInterchange {
     else spark.read.schema(kvSchema).parquet(files: _*)
   }
 
+  /** Windowed changelog read (Paimon's `scan.mode = changelog` over a
+    * snapshot range; Delta CDF parity): the changelog files of snapshots
+    * in `(fromSnapshotId, toSnapshotId]`, rows mapped back to change-type
+    * strings with `_commit_version` = the snapshot's commitIdentifier (the
+    * mirrored lakehouse version). Refuses a window whose snapshots carry
+    * no changelog (either a non-changelog table, or the files were
+    * expired) rather than silently returning a partial feed. */
+  def readChangelogBetween(spark: SparkSession, srcDir: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val latest = latestSnapshotId(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"no Paimon snapshot under $srcDir"))
+    require(toSnapshotId <= latest,
+      s"toSnapshot $toSnapshotId is beyond the latest snapshot $latest")
+    val earliest = new String(Files.readAllBytes(
+      snapshotDir(srcDir).resolve("EARLIEST")), UTF_8).trim.toLong
+    require(fromSnapshotId >= earliest - 1,
+      s"changelog window ($fromSnapshotId, $toSnapshotId] reaches below " +
+        s"the earliest retained snapshot $earliest (expired) — those " +
+        "changes are undeliverable")
+    require(fromSnapshotId < toSnapshotId,
+      s"empty or inverted window ($fromSnapshotId, $toSnapshotId]")
+    val head = readSnapshot(srcDir, toSnapshotId)
+    val (struct, pks, _, _) = readSchemaFile(srcDir, head.get("schemaId").asLong())
+    val perSnapshot = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+      val s = readSnapshot(srcDir, id)
+      val cl = s.get("changelogManifestList")
+      if (cl == null || cl.isNull) {
+        require(s.get("deltaRecordCount").asLong() == 0L,
+          s"snapshot $id changed data but carries no changelog manifests — " +
+            "either the table is not changelog-enabled or the feed was " +
+            "expired; refusing a silently partial change feed")
+        None
+      } else {
+        val files = readManifestList(srcDir, cl.asText())
+          .flatMap { case (mf, _, _, _, _) =>
+            readManifest(manifestDir(srcDir).resolve(mf))
+              .filter(_.kind == Add)
+              .map(e => Paths.get(srcDir,
+                s"bucket-${e.file.bucket}", e.file.fileName).toString)
+          }
+        if (files.isEmpty) None
+        else Some((s.get("commitIdentifier").asLong(), files))
+      }
+    }
+    val kvSchema = keyValueSchema(struct, pks)
+    val outSchema = StructType(struct.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    if (perSnapshot.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    perSnapshot.map { case (commit, files) =>
+      spark.read.schema(kvSchema).parquet(files: _*)
+        .withColumn("_change_type",
+          when(col(KindCol) === KindInsert, "insert")
+            .when(col(KindCol) === 1, "update_preimage")
+            .when(col(KindCol) === KindUpdateAfter, "update_postimage")
+            .otherwise("delete"))
+        .withColumn("_commit_version", lit(commit))
+        .select(outSchema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_ unionAll _)
+  }
+
   /** Expire all but the newest `keepLast` snapshots and delete the files
     * only they reference (manifest lists, manifests, data files) —
     * Paimon's `snapshot.num-retained.max` maintenance. Without this a
@@ -743,7 +821,8 @@ object PaimonInterchange {
 
     def listsOf(id: Long): Seq[String] = {
       val s = readSnapshot(destDir, id)
-      Seq(s.get("baseManifestList").asText(), s.get("deltaManifestList").asText())
+      Seq(s.get("baseManifestList").asText(), s.get("deltaManifestList").asText()) ++
+        Option(s.get("changelogManifestList")).filterNot(_.isNull).map(_.asText())
     }
     val keepLists = (cut to latest).flatMap(listsOf).toSet
     val keepManifests = keepLists.flatMap(l =>
@@ -914,13 +993,43 @@ object PaimonInterchange {
           tombFiles.map { case (f, _, _) => f.fileName -> Seq.empty[String] }
         writeSourceTracking(destDir, nextSnapshotId, track)
 
+        // changelog tables forward their row-level change files as Paimon
+        // CHANGELOG FILES in the same snapshot (changelogManifestList) —
+        // key-value files whose per-row `_VALUE_KIND` carries the real
+        // RowKind (+I / -U / +U / -D), the exact Delta-CDF parity
+        val changeFiles = if (meta.changelog) table.changeFilesOf(v) else Seq.empty
+        val clResult =
+          if (changeFiles.isEmpty) None
+          else {
+            val withCt = StructType(struct.fields :+
+              StructField("_change_type", StringType, nullable = false))
+            val cdf = spark.read.schema(withCt).parquet(
+              changeFiles.map(p => Paths.get(table.dir, p).toString): _*)
+            val kindCol = when(col("_change_type") === "insert", KindInsert)
+              .when(col("_change_type") === "update_preimage", 1)
+              .when(col("_change_type") === "update_postimage", KindUpdateAfter)
+              .otherwise(KindDelete)
+            val clFiles = writeKeyValueFiles(spark, destDir,
+              toKeyValueKinded(cdf, struct, pks, v, kindCol, buckets),
+              pks, struct, v, schemaId, level = 0,
+              tag = f"s$nextSnapshotId%04d-cl")
+            val clMeta = writeManifest(destDir,
+              f"manifest-s$nextSnapshotId%04d-cl", schemaId,
+              clFiles.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx) })
+            val clList = f"manifest-list-s$nextSnapshotId%04d-changelog"
+            writeManifestList(destDir, clList, Seq(clMeta))
+            Some((clList, clFiles.map(_._1.rows).sum))
+          }
+
         val deltaRecords = newFiles.map(_._1.rows).sum
         totalRecords = totalRecords + deltaRecords - deadMirrored.map(_.rows).sum
         val kind = if (removes.isEmpty) "APPEND" else "COMPACT"
         writeSnapshot(destDir, nextSnapshotId, snapshotNode(
           nextSnapshotId, schemaId, baseList, deltaList,
           commitIdentifier = v, commitKind = kind,
-          totalRecords = totalRecords, deltaRecords = deltaRecords))
+          totalRecords = totalRecords, deltaRecords = deltaRecords,
+          changelogList = clResult.map(_._1),
+          changelogRecords = clResult.map(_._2).getOrElse(0L)))
         nextSnapshotId += 1
         written += 1
       } else {

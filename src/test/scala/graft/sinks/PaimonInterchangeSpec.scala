@@ -413,6 +413,50 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("undeliverable"))
   }
 
+  test("changelog mirroring: CDF parity with RowKinds; expiry reclaims the feed") {
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_pm_cl").toString)
+    t.create(schema, buckets = 2, changelog = true)
+    val dest = Files.createTempDirectory("graft_pm_cld").toString
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    t.merge(Seq((1L, "a2")).toDF("k", "v"), Seq(2L).toDF("k"))
+    PaimonInterchange.mirror(spark, t, dest)
+    val latest = PaimonInterchange.latestSnapshotId(dest).get
+
+    val feed = PaimonInterchange.readChangelogBetween(spark, dest, 0L, latest)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 2L)
+    assert(byType("update_preimage") == 1L && byType("update_postimage") == 1L)
+    assert(byType("delete") == 1L)
+    assert(feed.filter($"_change_type" === "update_preimage")
+      .select($"v").head().getString(0) == "a", "pre-images carry the OLD value")
+    // windowing: only the second data commit's changes
+    val w = PaimonInterchange.readChangelogBetween(spark, dest, latest - 1, latest)
+    assert(w.count() == 3L)
+    assert(w.select($"_commit_version").distinct().head().getLong(0) ==
+      t.latestVersion(), "_commit_version is the mirrored lakehouse version")
+    // the snapshot records changelog bookkeeping
+    val snapNode = json(Paths.get(dest, "snapshot", s"snapshot-$latest"))
+    assert(!snapNode.get("changelogManifestList").isNull)
+    assert(snapNode.get("changelogRecordCount").asLong() == 3L)
+    // changelog files never pollute live state
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+
+    // expiry reclaims expired changelog files; a window into them refuses
+    t.merge(Seq((9L, "z")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    PaimonInterchange.expireSnapshots(dest, 1)
+    val e = intercept[IllegalArgumentException](
+      PaimonInterchange.readChangelogBetween(spark, dest, 0L,
+        PaimonInterchange.latestSnapshotId(dest).get).count())
+    assert(e.getMessage.contains("undeliverable"), e.getMessage)
+  }
+
   test("mirror crash recovery: a commit without its snapshot redoes cleanly") {
     val t = newTable()
     val dest = Files.createTempDirectory("graft_pm_crash").toString
