@@ -41,4 +41,14 @@ class VerifySpec extends AnyFunSuite {
     Verify.assertHashSafeSchema("q", ok) // must not throw
   }
 
+  test("every query has an oracle and every oracle has a query") {
+    // a queries entry without an oracle degrades to the driver's weaker
+    // rows-only check; an orphaned oracle is dead weight hiding a rename —
+    // both are silent drift the contract forbids
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${(o -- q).toSeq.sorted}")
+  }
+
 }
