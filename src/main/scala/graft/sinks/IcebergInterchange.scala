@@ -989,6 +989,24 @@ object IcebergInterchange {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    // RENAME guard: this importer resolves columns by NAME (the name-
+    // mapping fallback for id-less files). Real Iceberg resolves by field
+    // id, so a foreign table with a RENAMED column has files whose old
+    // name is absent from the current schema AND a current name absent
+    // from the files — name-based reads would silently return nulls for
+    // it. One footer probe catches the whole-table case; added columns
+    // (missing-only) and dropped columns (extra-only) are fine by name.
+    val sample = spark.read.parquet(snap.files.minBy(identity)).schema.fieldNames.toSet
+    val missingInFile = snap.schema.fieldNames.filterNot(sample.contains)
+    val extraInFile = sample.filterNot(n =>
+      snap.schema.fieldNames.contains(n) || snap.partitionCols.exists(_._2 == n))
+    require(missingInFile.isEmpty || extraInFile.isEmpty ||
+      missingInFile.forall(n => snap.partitionCols.exists(_._2 == n)),
+      s"data file columns ${extraInFile.mkString(", ")} are not in the " +
+        s"current schema while ${missingInFile.mkString(", ")} are missing " +
+        "from the file — likely a renamed column, which NAME-based " +
+        "resolution would read as silent nulls; refusing (id-based " +
+        "resolution of renamed foreign columns is not supported)")
     if (snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
         snap.partitionCols.isEmpty)
       return spark.read.schema(snap.schema).parquet(snap.files: _*)

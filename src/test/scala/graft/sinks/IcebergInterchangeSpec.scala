@@ -561,6 +561,34 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality id 2"))
   }
 
+  test("foreign rename guard: a renamed column refuses instead of reading nulls") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_ren").toString
+    IcebergInterchange.export(spark, t, dest)
+    // a real Iceberg writer would rename v -> val keeping field id 2; our
+    // name-based reader would silently null the column out
+    val root = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root.get("schemas").get(0).get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", "val")
+    IcebergInterchange.writeMetadata(dest, 2, root)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterchange.importIceberg(spark, dest))
+    assert(e.getMessage.contains("renamed"))
+    // added columns (schema has more than old files) still read fine
+    val root3 = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val fs = root3.get("schemas").get(0).get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    fs.get(1).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", "v")
+    val extra = fs.addObject()
+    extra.put("id", 3); extra.put("name", "later"); extra.put("required", false)
+    extra.put("type", "long")
+    IcebergInterchange.writeMetadata(dest, 3, root3)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "v", "later"))
+    assert(back.select($"later").head().isNullAt(0))
+  }
+
   test("mirror: appending a column after an array keeps nested ids stable") {
     val aSchema = TableSchema(
       StructType(Seq(
