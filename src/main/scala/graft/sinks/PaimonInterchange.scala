@@ -505,6 +505,18 @@ object PaimonInterchange {
     val kvSchema = keyValueSchema(snap.schema, snap.primaryKeys)
     val paths = snap.files.map(f =>
       Paths.get(srcDir, s"bucket-${f.bucket}", f.fileName).toString)
+    // rename guard, same contract as the Iceberg importer: name-based
+    // resolution cannot follow an id-preserving rename — the signature
+    // (schema names missing from the file AND unknown names in it) refuses
+    // loudly instead of reading silent nulls; pure adds/drops are fine
+    val sample = spark.read.parquet(paths.minBy(identity)).schema.fieldNames.toSet
+    val known = kvSchema.fieldNames.toSet
+    val missingInFile = snap.schema.fieldNames.filterNot(sample.contains)
+    val extraInFile = sample.filterNot(known.contains)
+    require(missingInFile.isEmpty || extraInFile.isEmpty,
+      s"data file columns ${extraInFile.mkString(", ")} are unknown while " +
+        s"${missingInFile.mkString(", ")} are missing from the file — " +
+        "likely a renamed column; refusing rather than reading silent nulls")
     val kv = spark.read.schema(kvSchema).parquet(paths: _*)
     val noMerge = snap.files.forall(f => f.deleteRows == 0) &&
       snap.files.map(f => (f.minSeq, f.maxSeq)).distinct.size == 1

@@ -301,6 +301,21 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(snap.primaryKeys == Seq("tenant", "k"))
   }
 
+  test("foreign rename guard: a renamed column refuses instead of silent nulls") {
+    val t = newTable()
+    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_ren").toString
+    PaimonInterchange.export(spark, t, dest)
+    val p = Paths.get(dest, "schema", "schema-0")
+    val node = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    node.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", "val")
+    Files.write(p, mapper.writeValueAsBytes(node))
+    val e = intercept[IllegalArgumentException](
+      PaimonInterchange.importPaimon(spark, dest))
+    assert(e.getMessage.contains("renamed"))
+  }
+
   test("refusals: partitioned tables, dynamic buckets, no primary key") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
