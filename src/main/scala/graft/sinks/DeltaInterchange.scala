@@ -30,10 +30,13 @@ import scala.jdk.CollectionConverters._
   *    exactly-once bookkeeping survives interchange.
   *  - [[importDelta]]: replay a `_delta_log` directory (versioned JSON
   *    commits, `add`/`remove` with `dataChange` replay, `metaData` schema,
-  *    `txn` map) into a DataFrame + metadata. Unsupported Delta features
-  *    fail LOUDLY rather than read wrong data: reader version > 1
-  *    (column mapping / deletion vectors) and partitioned tables
-  *    (partition values live outside the files) are explicit errors.
+  *    `txn` map) into a DataFrame + metadata. Hive-layout PARTITIONED
+  *    tables are supported: per-file `add.partitionValues` project back
+  *    as constant columns (files do not store them — the Delta analog of
+  *    Iceberg's Column Projection rule). Unsupported features fail
+  *    LOUDLY rather than read wrong data: reader version > 1 (column
+  *    mapping / deletion vectors) and timestamp/binary partition-value
+  *    serialization are explicit errors.
   *  - [[checkpoint]] / [[cleanupLog]] / `readLog(spark, dir)`: classic
   *    single-file parquet checkpoints per the protocol spec — the
   *    consolidated state at a version plus `_last_checkpoint`, after
@@ -345,7 +348,11 @@ object DeltaInterchange {
       schema: StructType,
       files: Seq[String], // absolute paths of live data files
       txns: Map[String, Long],
-      numRecords: Long)
+      numRecords: Long,
+      // Hive-layout partitioning: files do NOT store these columns; the
+      // values ride in add.partitionValues and project back per file
+      partitionColumns: Seq[String] = Nil,
+      filePartitions: Map[String, Map[String, String]] = Map.empty)
 
   // ----------------------------------------------------------- checkpoints
 
@@ -526,6 +533,8 @@ object DeltaInterchange {
           s"_last_checkpoint points at version $ckptV but ${ckptFile.getFileName} " +
             "is missing — refusing rather than replaying a truncated log")
         var schema: Option[StructType] = None
+        var partitionCols: Seq[String] = Nil
+        val fileParts = scala.collection.mutable.Map.empty[String, Map[String, String]]
         val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         val txns = scala.collection.mutable.Map.empty[String, Long]
         spark.read.schema(checkpointSchema).parquet(ckptFile.toString)
@@ -536,14 +545,21 @@ object DeltaInterchange {
                 s"minReaderVersion $reader requires Delta reader features " +
                   "this importer does not have")
             }
-            if (!r.isNullAt(3))
-              schema = Some(DataType.fromJson(r.getStruct(3).getString(2))
+            if (!r.isNullAt(3)) {
+              val md = r.getStruct(3)
+              schema = Some(DataType.fromJson(md.getString(2))
                 .asInstanceOf[StructType])
+              partitionCols =
+                if (md.isNullAt(3)) Nil else md.getSeq[String](3)
+            }
             if (!r.isNullAt(1)) {
               val a = r.getStruct(1)
               val rows = Option(a.getString(5))
                 .map(s => mapper.readTree(s).get("numRecords").asLong()).getOrElse(0L)
               live(a.getString(0)) = rows
+              fileParts(a.getString(0)) =
+                if (a.isNullAt(1)) Map.empty
+                else a.getMap[String, String](1).toMap
             }
             if (!r.isNullAt(0)) {
               val t = r.getStruct(0)
@@ -567,6 +583,10 @@ object DeltaInterchange {
               .map(s => mapper.readTree(s.asText()).get("numRecords").asLong())
               .getOrElse(0L)
             live(a.get("path").asText()) = rows
+            fileParts(a.get("path").asText()) = Option(a.get("partitionValues"))
+              .map(_.properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+                .toMap).getOrElse(Map.empty)
           } else if (node.has("remove"))
             live.remove(node.get("remove").get("path").asText())
           else if (node.has("txn")) {
@@ -577,7 +597,9 @@ object DeltaInterchange {
         DeltaSnapshot(
           schema.getOrElse(throw new IllegalStateException("no metaData in log")),
           live.keys.toSeq.map(p => Paths.get(srcDir, p).toString),
-          txns.toMap, live.values.sum)
+          txns.toMap, live.values.sum, partitionCols,
+          live.keys.toSeq.map(p =>
+            Paths.get(srcDir, p).toString -> fileParts.getOrElse(p, Map.empty)).toMap)
     }
   }
 
@@ -598,6 +620,8 @@ object DeltaInterchange {
         "truncated log cannot be replayed without a checkpoint")
 
     var schema: Option[StructType] = None
+    var partitionCols: Seq[String] = Nil
+    val fileParts = scala.collection.mutable.Map.empty[String, Map[String, String]]
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var numRecords = 0L
@@ -615,15 +639,19 @@ object DeltaInterchange {
         } else if (node.has("metaData")) {
           val md = node.get("metaData")
           val parts = md.get("partitionColumns")
-          require(parts == null || parts.size() == 0,
-            "partitioned Delta tables are not supported: partition values " +
-              "live in the log, not the files — reading them flat would drop columns")
+          partitionCols =
+            if (parts == null) Nil
+            else parts.elements().asScala.map(_.asText()).toSeq
           schema = Some(DataType.fromJson(md.get("schemaString").asText())
             .asInstanceOf[StructType])
         } else if (node.has("add")) {
           val a = node.get("add")
           val p = a.get("path").asText()
           live += p
+          fileParts(p) = Option(a.get("partitionValues"))
+            .map(_.properties().asScala.map(e =>
+              e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+              .toMap).getOrElse(Map.empty)
           val rows = Option(a.get("stats"))
             .map(s => mapper.readTree(s.asText()).get("numRecords").asLong()).getOrElse(0L)
           fileRecords(p) = rows
@@ -639,7 +667,9 @@ object DeltaInterchange {
     DeltaSnapshot(
       schema.getOrElse(throw new IllegalStateException("log has no metaData action")),
       live.toSeq.map(p => Paths.get(srcDir, p).toString),
-      txns.toMap, numRecords)
+      txns.toMap, numRecords, partitionCols,
+      live.toSeq.map(p =>
+        Paths.get(srcDir, p).toString -> fileParts.getOrElse(p, Map.empty)).toMap)
   }
 
   /** Delta Change Data Feed read: the row-level changes of commits in
@@ -656,6 +686,11 @@ object DeltaInterchange {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val logDir = Paths.get(srcDir, "_delta_log")
     val snap = readLog(spark, srcDir)
+    require(snap.partitionColumns.isEmpty,
+      "change-feed reads of PARTITIONED Delta tables are not supported: " +
+        "cdc files do not store partition columns and this reader does " +
+        "not project cdc partitionValues — refusing rather than feeding " +
+        "silent nulls")
     // CDF flag: newest metaData wins — checkpoint first (older), then the
     // JSON commits (configuration survives checkpointing)
     var cdfOn = false
@@ -713,10 +748,34 @@ object DeltaInterchange {
   /** Read the live table state as a DataFrame under the log's schema
     * (checkpoint-aware: seeds from `_last_checkpoint` when present). */
   def importDelta(spark: SparkSession, srcDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val snap = readLog(spark, srcDir)
     if (snap.files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+    if (snap.partitionColumns.isEmpty)
+      return spark.read.schema(snap.schema).parquet(snap.files: _*)
+    // Hive-layout partitioning: the files do NOT store partition columns;
+    // the per-file string values from add.partitionValues project back as
+    // constants per file group (the Delta analog of Iceberg's Column
+    // Projection). Bounded to types whose partition-value strings cast
+    // unambiguously; timestamp/binary partition columns refuse.
+    snap.partitionColumns.foreach { c =>
+      val dt = snap.schema(c).dataType
+      require(!Seq(TimestampType, TimestampNTZType, BinaryType).contains(dt),
+        s"partition column '$c': $dt partition-value serialization is " +
+          "not supported by this importer — refusing")
+    }
+    snap.files.groupBy(f => snap.partitionColumns.map(c =>
+        snap.filePartitions.getOrElse(f, Map.empty).getOrElse(c, null)))
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (vals, fs) =>
+        var df = spark.read.schema(snap.schema).parquet(fs: _*)
+        snap.partitionColumns.zip(vals).foreach { case (c, v) =>
+          df = df.withColumn(c, lit(v).cast(snap.schema(c).dataType))
+        }
+        df
+      }.reduce(_ unionAll _)
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 }

@@ -128,11 +128,20 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
     assert(e1.getMessage.contains("minReaderVersion"))
 
-    // partitioned table
+    // partitioned tables now READ (partitionValues project back); the
+    // refusal that remains is a partition column whose string
+    // serialization is ambiguous (timestamp)
     Files.write(logFile, original.replace(
       "\"partitionColumns\":[]", "\"partitionColumns\":[\"v\"]").getBytes(UTF_8))
-    val e2 = intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
-    assert(e2.getMessage.contains("partitioned"))
+    assert(DeltaInterchange.readLog(dest).partitionColumns == Seq("v"))
+    Files.write(logFile, original
+      .replace("\"partitionColumns\":[]", "\"partitionColumns\":[\"v\"]")
+      .replace("""{\"name\":\"v\",\"type\":\"string\"""",
+        """{\"name\":\"v\",\"type\":\"timestamp\"""").getBytes(UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterchange.importDelta(spark, dest)
+    }
+    assert(e2.getMessage.contains("serialization"))
 
     // checkpoint marker
     Files.write(logFile, original.getBytes(UTF_8))
@@ -332,6 +341,49 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     assert(back2.exceptAll(want).isEmpty && want.exceptAll(back2).isEmpty)
     // cleanup without a checkpoint advance is a no-op for newer commits
     assert(DeltaInterchange.cleanupLog(dest) == 0)
+  }
+
+  test("foreign partitioned table: add.partitionValues project back as columns") {
+    // hand-write the log a real partitioned Delta writer produces: files
+    // in Hive layout WITHOUT the partition column, values only in the log
+    val dest = Files.createTempDirectory("graft_dl_part").toString
+    val logDir = Paths.get(dest, "_delta_log")
+    Files.createDirectories(logDir)
+    def writeData(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("dlp").toString
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dest, name))
+    }
+    writeData("p-en-0.parquet", Seq((1L, "a"), (2L, "b")))
+    writeData("p-de-0.parquet", Seq((3L, "c")))
+    writeData("p-null-0.parquet", Seq((4L, "d")))
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"k\",\"type\":\"long\",\"nullable\":false,\"metadata\":{}},""" +
+        """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}",""" +
+        """"partitionColumns":["lang"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"p-en-0.parquet","partitionValues":{"lang":"en"},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":2}"}}""",
+      """{"add":{"path":"p-de-0.parquet","partitionValues":{"lang":"de"},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":1}"}}""",
+      """{"add":{"path":"p-null-0.parquet","partitionValues":{"lang":null},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":1}"}}""")
+    Files.write(logDir.resolve(f"${0L}%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+
+    val snap = DeltaInterchange.readLog(dest)
+    assert(snap.partitionColumns == Seq("lang"))
+    val back = DeltaInterchange.importDelta(spark, dest).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(back == Seq((1L, "a", "en"), (2L, "b", "en"),
+      (3L, "c", "de"), (4L, "d", null)),
+      "partition values project back per file, nulls included")
   }
 
   test("mirrored sink: drop removes the external mirror; recreate starts clean") {
