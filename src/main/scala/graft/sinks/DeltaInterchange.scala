@@ -431,15 +431,25 @@ object DeltaInterchange {
         val conf = Option(m.get("configuration"))
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty[String, String])
+        // partitionColumns survive checkpointing: a Hive-layout partitioned
+        // table whose JSONs were cleaned up must still project per-file
+        // partitionValues — dropping them here would silently read the
+        // table as unpartitioned (partition columns all null)
+        val partCols = Option(m.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq.empty[String])
         metaRow = Row(m.get("id").asText(),
           Row(m.get("format").get("provider").asText(), Map.empty[String, String]),
           m.get("schemaString").asText(),
-          Seq.empty[String], conf,
+          partCols, conf,
           m.get("createdTime").asLong())
       } else if (node.has("add")) {
         val a = node.get("add")
+        val partVals = Option(a.get("partitionValues"))
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
         adds(a.get("path").asText()) = Row(a.get("path").asText(),
-          Map.empty[String, String], a.get("size").asLong(),
+          partVals, a.get("size").asLong(),
           a.get("modificationTime").asLong(), a.get("dataChange").asBoolean(),
           Option(a.get("stats")).map(_.asText()).orNull)
       } else if (node.has("remove")) {

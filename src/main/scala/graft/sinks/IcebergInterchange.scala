@@ -711,23 +711,48 @@ object IcebergInterchange {
     }
 
     // partitionBy writes the data WITHOUT the partition columns, grouped
-    // one directory per partition tuple — exactly the spec's file layout
+    // one directory per partition tuple — exactly the spec's file layout.
+    // STRING partition values ride as ASCII-safe tokens (v0, v1, …) so the
+    // transient Hive dir names never carry arbitrary bytes — the dirs are
+    // renamed to data/part-N.parquet anyway, and a JVM whose filesystem
+    // encoding is ASCII cannot even create a UTF-8 path; the token map
+    // restores exact values (any character, including '/', '=', '%') when
+    // the manifest partition structs are built
+    val tokenMaps: Map[String, Map[String, String]] = partTypes.collect {
+      case (c, StringType) =>
+        val vals = df.select(c).distinct().collect()
+          .flatMap(r => Option(r.getString(0))).sorted
+        require(vals.length <= 100000,
+          s"partition column '$c' has ${vals.length} distinct values — " +
+            "identity-partitioning on near-unique strings is a layout " +
+            "error at any scale; refusing")
+        c -> vals.zipWithIndex.map { case (v, i) => s"v$i" -> v }.toMap
+    }.toMap
+    val tokenized = tokenMaps.foldLeft(df) { case (d, (c, m)) =>
+      import org.apache.spark.sql.functions.{col, udf}
+      val enc = m.map(_.swap)
+      val tok = udf((s: String) => if (s == null) null else enc(s))
+      d.withColumn(c, tok(col(c)))
+    }
     val tmp = Files.createTempDirectory("graft_ib_partexp")
-    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
+    tokenized.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
     val dataDir = Paths.get(destDir, "data")
     Files.createDirectories(dataDir)
-    // Hive path escaping: %XX byte escapes; the null-partition sentinel
+    // Hive path escaping: %XX escapes ONE UTF-8 BYTE (a multi-byte char
+    // escapes as several consecutive %XX), so the segment must unescape to
+    // a byte array first and decode as UTF-8 whole — per-escape .toChar
+    // would mojibake every non-ASCII partition value into the manifest
     def unescape(s: String): String = {
-      val sb = new StringBuilder
+      val out = new java.io.ByteArrayOutputStream
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
         if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
-        } else { sb.append(c); i += 1 }
+        } else { out.write(c.toString.getBytes(UTF_8)); i += 1 }
       }
-      sb.toString
+      new String(out.toByteArray, UTF_8)
     }
     def typed(c: String, raw: String): Any =
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
@@ -735,6 +760,7 @@ object IcebergInterchange {
         case ByteType | ShortType | IntegerType => Integer.valueOf(raw)
         case LongType => java.lang.Long.valueOf(raw)
         case BooleanType => java.lang.Boolean.valueOf(raw)
+        case StringType => tokenMaps(c)(raw)
         case _ => raw
       }
     var n = 0

@@ -69,8 +69,18 @@ final class MaxComputeSink(
   private def sessionLabel(runId: String, batchId: Long): String =
     f"${if (runId.isEmpty) "adhoc" else runId}-$batchId%012d"
 
+  /** Untracked writes (batchId < 0) must be repeatable: session create is
+    * label-idempotent and the tunnel rejects block uploads to a committed
+    * session, so reusing one constant label would 409 the second ad-hoc
+    * batch. A fresh label per call keeps each untracked write its own
+    * session. The `oneshot-` prefix is deliberately disjoint from every
+    * tracked label (`adhoc-NNN` / `<runId>-NNN`), so `lastCommittedSession`'s
+    * prefix match can never surface an ad-hoc session to a tracked run's
+    * replay check (whose `.toLong` would choke on the uuid).
+    */
   override def writeBatch(t: TableId, upserts: DataFrame, deletedKeys: DataFrame): Unit =
-    writeSession(t, upserts, deletedKeys, sessionLabel("", 0L), tracked = false)
+    writeSession(t, upserts, deletedKeys,
+      s"oneshot-${java.util.UUID.randomUUID().toString.take(12)}", tracked = false)
 
   override def writeBatch(t: TableId, upserts: DataFrame, deletedKeys: DataFrame,
       batchId: Long, runId: String): Unit = {

@@ -32,7 +32,12 @@ import scala.jdk.CollectionConverters._
   *    the merge-on-read model this library's lakehouse MOR delete files map
   *    onto 1:1 (`EqualityDeleteFile.ver` becomes the tombstone sequence, so
   *    Paimon's per-key max-sequence merge reproduces the lakehouse
-  *    `AddFile.ver < delete.ver` masking rule exactly).
+  *    `AddFile.ver < delete.ver` masking rule — with one deliberate
+  *    deviation: a data row and a tombstone sharing one sequence number tie
+  *    in favor of the TOMBSTONE, the conservative direction, where the
+  *    lakehouse's strict `<` would keep the row. This writer never produces
+  *    such a tie — `deleteWhere` commits no adds — but a foreign table
+  *    could, and dropping a row beats resurrecting a deleted one).
   *  - '''Snapshots''': `baseManifestList` carries the prior full state by
   *    reference, `deltaManifestList` exactly this commit's changes (ADD
   *    entries for new files, DELETE entries cancelling earlier ADDs);
@@ -240,6 +245,22 @@ object PaimonInterchange {
 
   // ----------------------------------------------------------------- schema
 
+  /** The evolution widening lattice: `old` readable as `new` without loss.
+    * Identity, integer widening, float->double, and decimal precision
+    * growth at fixed scale; everything else refuses.
+    */
+  private def widens(oldT: DataType, newT: DataType): Boolean = (oldT, newT) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale == a.scale && b.precision >= a.precision
+    case (ArrayType(a, an), ArrayType(b, bn)) => widens(a, b) && (bn || !an)
+    case _ => false
+  }
+
   private def schemaFieldsNode(struct: StructType): com.fasterxml.jackson.databind.node.ArrayNode = {
     val fields = mapper.createArrayNode()
     struct.fields.zipWithIndex.foreach { case (f, i) =>
@@ -281,7 +302,7 @@ object PaimonInterchange {
   /** Write a new schema file iff the current struct differs from the latest
     * one (append-only schema evolution — ids are positional, which is what
     * the lakehouse evolution produces). Returns the schema id to commit. */
-  private def ensureSchema(dir: String, struct: StructType,
+  private[sinks] def ensureSchema(dir: String, struct: StructType,
       primaryKeys: Seq[String], buckets: Int): Long =
     latestSchemaId(dir) match {
       case None =>
@@ -292,15 +313,30 @@ object PaimonInterchange {
         if (prev.get("fields") == schemaFieldsNode(struct)) id
         else {
           // append-only evolution with stable positional ids: common-prefix
-          // fields keep name+id (type promotion and requiredness changes are
-          // allowed — Paimon schema evolution supports both); drops and
-          // reorders refuse loudly
+          // fields keep name+id; type changes must follow the WIDENING
+          // lattice (the promotions Paimon schema evolution actually
+          // supports) — a narrowing or cross-family change accepted here
+          // would only surface later as a confusing parquet conversion
+          // error (or a misread) at import time, so refuse at mirror time
           val pf = prev.get("fields").elements().asScala.toSeq
           val nf = schemaFieldsNode(struct).elements().asScala.toSeq
           require(pf.size <= nf.size && pf.zip(nf).forall { case (a, b) =>
             a.get("name") == b.get("name") && a.get("id") == b.get("id") },
             "schema evolution drops or reorders columns: positional field " +
               "ids cannot survive that — refusing")
+          pf.zip(nf).foreach { case (a, b) =>
+            val (oldT, oldNullable) = sparkType(a.get("type").asText())
+            val (newT, newNullable) = sparkType(b.get("type").asText())
+            require(widens(oldT, newT),
+              s"column ${a.get("name").asText()} changes $oldT -> $newT, " +
+                "which is not a supported widening promotion " +
+                "(TINYINT<SMALLINT<INT<BIGINT, FLOAT<DOUBLE, decimal " +
+                "precision growth at fixed scale) — refusing rather than " +
+                "writing a schema whose old files misread")
+            require(!(oldNullable && !newNullable),
+              s"column ${a.get("name").asText()} evolves nullable -> NOT " +
+                "NULL: existing files may hold nulls — refusing")
+          }
           writeSchemaFile(dir, id + 1, struct, primaryKeys, buckets); id + 1
         }
     }
@@ -502,22 +538,49 @@ object PaimonInterchange {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val kvSchema = keyValueSchema(snap.schema, snap.primaryKeys)
-    val paths = snap.files.map(f =>
-      Paths.get(srcDir, s"bucket-${f.bucket}", f.fileName).toString)
-    // rename guard, same contract as the Iceberg importer: name-based
-    // resolution cannot follow an id-preserving rename — the signature
-    // (schema names missing from the file AND unknown names in it) refuses
-    // loudly instead of reading silent nulls; pure adds/drops are fine
-    val sample = spark.read.parquet(paths.minBy(identity)).schema.fieldNames.toSet
-    val known = kvSchema.fieldNames.toSet
-    val missingInFile = snap.schema.fieldNames.filterNot(sample.contains)
-    val extraInFile = sample.filterNot(known.contains)
-    require(missingInFile.isEmpty || extraInFile.isEmpty,
-      s"data file columns ${extraInFile.mkString(", ")} are unknown while " +
-        s"${missingInFile.mkString(", ")} are missing from the file — " +
-        "likely a renamed column; refusing rather than reading silent nulls")
-    val kv = spark.read.schema(kvSchema).parquet(paths: _*)
+    // Schema-aware read: each file reads under ITS schema-N (the manifest
+    // records every file's schemaId) and aligns to the latest schema BY
+    // POSITION — positional field ids are stable across Paimon evolution,
+    // so a mid-history RENAME (position keeps its id, changes its name)
+    // resolves correctly instead of reading silent nulls, and a type
+    // PROMOTION (INT -> BIGINT) casts old files up. One sampled footer per
+    // distinct schemaId (O(schemas), not O(files)) still guards against a
+    // foreign table whose files don't match their claimed schema-N.
+    val latest = snap.schema
+    val frames = snap.files.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
+      case (sid, files) =>
+        val (fileStruct, filePks, _, _) = readSchemaFile(srcDir, sid)
+        require(fileStruct.length <= latest.length &&
+          latest.fields.take(fileStruct.length).zip(fileStruct.fields).forall {
+            case (l, f) => widens(f.dataType, l.dataType)
+          },
+          s"schema-$sid is not a widening-compatible positional prefix of " +
+            s"the latest schema — refusing rather than misreading its files")
+        require(filePks.map(fileStruct.fieldIndex) ==
+          snap.primaryKeys.map(latest.fieldIndex),
+          s"schema-$sid has different primary-key positions than the " +
+            "latest schema — the LSM merge key would be wrong; refusing")
+        val fileKv = keyValueSchema(fileStruct, filePks)
+        val paths = files.map(f =>
+          Paths.get(srcDir, s"bucket-${f.bucket}", f.fileName).toString)
+        val sample = spark.read.parquet(paths.minBy(identity)).schema.fieldNames
+        require(sample.sameElements(fileKv.fieldNames),
+          s"file ${paths.minBy(identity)} columns (${sample.mkString(", ")}) " +
+            s"do not match its schema-$sid key-value layout — the table's " +
+            "schema history is inconsistent with its data files; refusing")
+        val kvF = spark.read.schema(fileKv).parquet(paths: _*)
+        // align to the latest value row: rename by position, cast
+        // promotions, pad columns newer than this schema with typed nulls
+        val keyCols = filePks.zip(snap.primaryKeys).map { case (o, n) =>
+          col(s"_KEY_$o").cast(latest(n).dataType).as(s"_KEY_$n") }
+        val valueCols = latest.fields.zipWithIndex.map { case (l, i) =>
+          if (i < fileStruct.length)
+            col(fileStruct.fields(i).name).cast(l.dataType).as(l.name)
+          else lit(null).cast(l.dataType).as(l.name)
+        }
+        kvF.select(keyCols ++ Seq(col(SeqCol), col(KindCol)) ++ valueCols: _*)
+    }
+    val kv = frames.reduce(_.unionByName(_))
     val noMerge = snap.files.forall(f => f.deleteRows == 0) &&
       snap.files.map(f => (f.minSeq, f.maxSeq)).distinct.size == 1
     val merged =

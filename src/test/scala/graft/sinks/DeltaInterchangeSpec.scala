@@ -386,6 +386,46 @@ class DeltaInterchangeSpec extends AnyFunSuite {
       "partition values project back per file, nulls included")
   }
 
+  test("checkpoint preserves partition info: partitioned tables survive cleanup") {
+    // a checkpoint that dropped add.partitionValues / metaData
+    // .partitionColumns would silently read the table as unpartitioned
+    // once cleanupLog removes the JSON commits — the partition columns
+    // would come back all-null
+    val dest = Files.createTempDirectory("graft_dl_pck").toString
+    val logDir = Paths.get(dest, "_delta_log")
+    Files.createDirectories(logDir)
+    def writeData(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("dlpc").toString
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dest, name))
+    }
+    writeData("p-en-0.parquet", Seq((1L, "a"), (2L, "b")))
+    writeData("p-de-0.parquet", Seq((3L, "c")))
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"k\",\"type\":\"long\",\"nullable\":false,\"metadata\":{}},""" +
+        """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}",""" +
+        """"partitionColumns":["lang"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"p-en-0.parquet","partitionValues":{"lang":"en"},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":2}"}}""",
+      """{"add":{"path":"p-de-0.parquet","partitionValues":{"lang":"de"},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":1}"}}""")
+    Files.write(logDir.resolve(f"${0L}%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    DeltaInterchange.checkpoint(spark, dest)
+    assert(DeltaInterchange.cleanupLog(dest) == 1,
+      "the only JSON commit is gone; the checkpoint is the whole state")
+    val back = DeltaInterchange.importDelta(spark, dest).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(back == Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de")),
+      "partition values project back from the checkpoint alone")
+  }
+
   test("mirrored sink: drop removes the external mirror; recreate starts clean") {
     val root = Files.createTempDirectory("graft_dl_drop").toString
     val sink = new MirroredLakehouseSink(spark, root, "delta", buckets = 2)

@@ -57,6 +57,24 @@ class MaxComputeSinkSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("untracked writes are repeatable: each gets its own one-shot session") {
+    val server = new MockTunnelServer
+    try {
+      val sink = new MaxComputeSink(server.url(), buckets = 2)
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      // two batchId-less writes in a row: a shared constant label would
+      // 409 the second one (block upload to a committed session)
+      sink.writeBatch(tid, Seq((1L, "a")).toDF("id", "v"),
+        spark.range(0).select($"id"))
+      sink.writeBatch(tid, Seq((1L, "a2"), (2L, "b")).toDF("id", "v"),
+        spark.range(0).select($"id"))
+      val rows = server.rowsOf("graft", "users").toMap
+      assert(rows.keySet == Set("1", "2") && rows("1").contains("a2"))
+      // one-shot sessions never satisfy a tracked run's replay check
+      assert(sink.lastCommittedBatch(tid, "").isEmpty)
+    } finally server.stop()
+  }
+
   test("ordered commit: the server refuses committing past an open earlier session") {
     val server = new MockTunnelServer
     try {

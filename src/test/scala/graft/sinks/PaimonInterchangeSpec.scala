@@ -39,6 +39,90 @@ class PaimonInterchangeSpec extends AnyFunSuite {
   private def json(p: java.nio.file.Path) =
     mapper.readTree(Files.readAllBytes(p))
 
+  /** Append a hand-written foreign commit on top of an exported table's
+    * snapshot-1: one level-0 file per bucket from `withB` (key-value rows
+    * plus a `__b` bucket column), a delta manifest claiming `schemaId`,
+    * and snapshot-2 whose base list is snapshot-1's delta. Models what a
+    * real Paimon LSM writer (which this library's exporter never is)
+    * leaves behind. */
+  private def appendForeignCommit(dest: String, withB: org.apache.spark.sql.DataFrame,
+      schemaId: Long, minSeq: Long, maxSeq: Long, totalBuckets: Int = 2): Unit = {
+    val buckets = withB.select("__b").distinct().collect().map(_.getInt(0))
+    val snapNode = mapper.readTree(Files.readAllBytes(
+      Paths.get(dest, "snapshot", "snapshot-1")))
+    val entrySchema = PaimonInterchange.manifestEntrySchema
+    val newEntries = buckets.map { b =>
+      val rows = withB.filter($"__b" === b).drop("__b")
+      val tmp = Files.createTempDirectory("pm_foreign").toString
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val name = s"data-foreign-$schemaId-$b.parquet"
+      Files.createDirectories(Paths.get(dest, s"bucket-$b"))
+      val out = Paths.get(dest, s"bucket-$b", name)
+      Files.move(part, out)
+      val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      rec.put("_KIND", 0)
+      rec.put("_PARTITION", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      rec.put("_BUCKET", b)
+      rec.put("_TOTAL_BUCKETS", totalBuckets)
+      val fr = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("_FILE").schema())
+      fr.put("_FILE_NAME", name)
+      fr.put("_FILE_SIZE", Files.size(out))
+      fr.put("_ROW_COUNT", rows.count())
+      fr.put("_MIN_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      fr.put("_MAX_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      def st(f: String) = {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          entrySchema.getField("_FILE").schema().getField(f).schema())
+        r.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+        r.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+        r.put("_NULL_COUNTS", null)
+        r
+      }
+      fr.put("_KEY_STATS", st("_KEY_STATS"))
+      fr.put("_VALUE_STATS", st("_VALUE_STATS"))
+      fr.put("_MIN_SEQUENCE_NUMBER", minSeq)
+      fr.put("_MAX_SEQUENCE_NUMBER", maxSeq)
+      fr.put("_SCHEMA_ID", schemaId)
+      fr.put("_LEVEL", 0)
+      fr.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+      fr.put("_CREATION_TIME", null)
+      fr.put("_DELETE_ROW_COUNT", null)
+      rec.put("_FILE", fr)
+      rec: org.apache.avro.generic.GenericRecord
+    }.toSeq
+    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-foreign-0"),
+      entrySchema, Map.empty, newEntries)
+    val listSchema = PaimonInterchange.manifestFileSchema
+    val foreignMf = {
+      val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+      r.put("_FILE_NAME", "manifest-foreign-0")
+      r.put("_FILE_SIZE", Files.size(Paths.get(dest, "manifest", "manifest-foreign-0")))
+      r.put("_NUM_ADDED_FILES", newEntries.size.toLong)
+      r.put("_NUM_DELETED_FILES", 0L)
+      val ps = new org.apache.avro.generic.GenericData.Record(
+        listSchema.getField("_PARTITION_STATS").schema())
+      ps.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      ps.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      ps.put("_NULL_COUNTS", null)
+      r.put("_PARTITION_STATS", ps)
+      r.put("_SCHEMA_ID", schemaId)
+      r: org.apache.avro.generic.GenericRecord
+    }
+    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-list-2-delta"),
+      listSchema, Map.empty, Seq(foreignMf))
+    val sn2 = snapNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    sn2.put("id", 2L)
+    sn2.put("schemaId", schemaId)
+    sn2.put("baseManifestList", snapNode.get("deltaManifestList").asText())
+    sn2.put("deltaManifestList", "manifest-list-2-delta")
+    Files.write(Paths.get(dest, "snapshot", "snapshot-2"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(sn2))
+    Files.write(Paths.get(dest, "snapshot", "LATEST"), "2".getBytes(UTF_8))
+  }
+
   test("binary row: 8-byte empty header, little-endian 8-byte slots") {
     assert(PaimonInterchange.emptyRow.length == 8)
     assert(PaimonInterchange.emptyRow.forall(_ == 0))
@@ -188,83 +272,7 @@ class PaimonInterchangeSpec extends AnyFunSuite {
       .toDF("_KEY_k", "_SEQUENCE_NUMBER", "_VALUE_KIND", "k", "v")
     // write one foreign file per bucket the keys hash into
     val withB = kv.withColumn("__b", pmod(hash($"_KEY_k"), lit(2)))
-    val buckets = withB.select("__b").distinct().collect().map(_.getInt(0))
-    val mapper2 = new ObjectMapper()
-    val snapNode = mapper2.readTree(Files.readAllBytes(
-      Paths.get(dest, "snapshot", "snapshot-1")))
-    val oldDelta = IcebergInterchange.readAvro(Paths.get(dest, "manifest",
-      snapNode.get("deltaManifestList").asText()))
-    val entrySchema = PaimonInterchange.manifestEntrySchema
-    val newEntries = buckets.map { b =>
-      val rows = withB.filter($"__b" === b).drop("__b")
-      val tmp = Files.createTempDirectory("pm_foreign").toString
-      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val name = s"data-foreign-$b.parquet"
-      Files.createDirectories(Paths.get(dest, s"bucket-$b"))
-      val out = Paths.get(dest, s"bucket-$b", name)
-      Files.move(part, out)
-      val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
-      rec.put("_KIND", 0)
-      rec.put("_PARTITION", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-      rec.put("_BUCKET", b)
-      rec.put("_TOTAL_BUCKETS", 2)
-      val fr = new org.apache.avro.generic.GenericData.Record(
-        entrySchema.getField("_FILE").schema())
-      fr.put("_FILE_NAME", name)
-      fr.put("_FILE_SIZE", Files.size(out))
-      fr.put("_ROW_COUNT", rows.count())
-      fr.put("_MIN_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-      fr.put("_MAX_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-      def st(f: String) = {
-        val r = new org.apache.avro.generic.GenericData.Record(
-          entrySchema.getField("_FILE").schema().getField(f).schema())
-        r.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-        r.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-        r.put("_NULL_COUNTS", null)
-        r
-      }
-      fr.put("_KEY_STATS", st("_KEY_STATS"))
-      fr.put("_VALUE_STATS", st("_VALUE_STATS"))
-      fr.put("_MIN_SEQUENCE_NUMBER", 7L)
-      fr.put("_MAX_SEQUENCE_NUMBER", 9L)
-      fr.put("_SCHEMA_ID", 0L)
-      fr.put("_LEVEL", 0)
-      fr.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
-      fr.put("_CREATION_TIME", null)
-      fr.put("_DELETE_ROW_COUNT", null)
-      rec.put("_FILE", fr)
-      rec: org.apache.avro.generic.GenericRecord
-    }.toSeq
-    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-foreign-0"),
-      entrySchema, Map.empty, newEntries)
-    // manifest list for snapshot 2 = old delta manifests + the foreign one
-    val listSchema = PaimonInterchange.manifestFileSchema
-    val foreignMf = {
-      val r = new org.apache.avro.generic.GenericData.Record(listSchema)
-      r.put("_FILE_NAME", "manifest-foreign-0")
-      r.put("_FILE_SIZE", Files.size(Paths.get(dest, "manifest", "manifest-foreign-0")))
-      r.put("_NUM_ADDED_FILES", newEntries.size.toLong)
-      r.put("_NUM_DELETED_FILES", 0L)
-      val ps = new org.apache.avro.generic.GenericData.Record(
-        listSchema.getField("_PARTITION_STATS").schema())
-      ps.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-      ps.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
-      ps.put("_NULL_COUNTS", null)
-      r.put("_PARTITION_STATS", ps)
-      r.put("_SCHEMA_ID", 0L)
-      r: org.apache.avro.generic.GenericRecord
-    }
-    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-list-2-delta"),
-      listSchema, Map.empty, Seq(foreignMf))
-    val sn2 = snapNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-    sn2.put("id", 2L)
-    sn2.put("baseManifestList", snapNode.get("deltaManifestList").asText())
-    sn2.put("deltaManifestList", "manifest-list-2-delta")
-    Files.write(Paths.get(dest, "snapshot", "snapshot-2"),
-      mapper2.writerWithDefaultPrettyPrinter().writeValueAsBytes(sn2))
-    Files.write(Paths.get(dest, "snapshot", "LATEST"), "2".getBytes(UTF_8))
+    appendForeignCommit(dest, withB, schemaId = 0L, minSeq = 7L, maxSeq = 9L)
 
     val back = PaimonInterchange.importPaimon(spark, dest)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -301,10 +309,78 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(snap.primaryKeys == Seq("tenant", "k"))
   }
 
-  test("foreign rename guard: a renamed column refuses instead of silent nulls") {
+  test("mid-history rename: every file reads under ITS schema-N, by position") {
+    // snapshot-1 writes (k, v) under schema-0; a foreign ALTER TABLE then
+    // renames v -> val (schema-1, same positional ids) and snapshot-2 adds
+    // files under schema-1. The importer must resolve schema-0 files
+    // through their own schema and align positionally — the single-sample
+    // guard this replaces would have read them as silent nulls.
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_ren").toString
+    PaimonInterchange.export(spark, t, dest)
+    val s0 = Paths.get(dest, "schema", "schema-0")
+    val s1 = json(s0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    s1.put("id", 1L)
+    s1.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", "val")
+    Files.write(Paths.get(dest, "schema", "schema-1"), mapper.writeValueAsBytes(s1))
+    // schema-1 files carry the NEW column name; k=2 rewritten, k=9 added
+    val kv = Seq(
+      (2L, 9L, 0, java.lang.Long.valueOf(2L), "b2"),
+      (9L, 9L, 0, java.lang.Long.valueOf(9L), "new9"))
+      .toDF("_KEY_k", "_SEQUENCE_NUMBER", "_VALUE_KIND", "k", "val")
+    appendForeignCommit(dest, kv.withColumn("__b", pmod(hash($"_KEY_k"), lit(2))),
+      schemaId = 1L, minSeq = 9L, maxSeq = 9L)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "val"),
+      "the latest schema's names win")
+    val got = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "new9")),
+      "schema-0 rows keep their values under the renamed column")
+  }
+
+  test("ensureSchema evolution: widening promotes, narrowing/cross-family refuse") {
+    val dir = Files.createTempDirectory("graft_pm_widen").toString
+    val base = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", IntegerType)))
+    assert(PaimonInterchange.ensureSchema(dir, base, Seq("k"), 2) == 0L)
+    // INT -> BIGINT widens: schema-1 appends
+    val widened = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType)))
+    assert(PaimonInterchange.ensureSchema(dir, widened, Seq("k"), 2) == 1L)
+    // BIGINT -> INT narrows: refuse at mirror time, not at import time
+    val narrowed = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", IntegerType)))
+    val e1 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(dir, narrowed, Seq("k"), 2))
+    assert(e1.getMessage.contains("widening"))
+    // BIGINT -> STRING crosses families: refuse
+    val crossed = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", StringType)))
+    val e2 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(dir, crossed, Seq("k"), 2))
+    assert(e2.getMessage.contains("widening"))
+    // nullable -> NOT NULL: existing files may hold nulls — refuse
+    val tightened = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val e3 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(dir, tightened, Seq("k"), 2))
+    assert(e3.getMessage.contains("NOT"))
+  }
+
+  test("inconsistent schema history: file columns vs schema-N refuse loudly") {
+    // editing schema-0 in place leaves data files that no longer match the
+    // schema they were written under — not a rename, a corrupt table
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
-    val dest = Files.createTempDirectory("graft_pm_ren").toString
+    val dest = Files.createTempDirectory("graft_pm_corrupt").toString
     PaimonInterchange.export(spark, t, dest)
     val p = Paths.get(dest, "schema", "schema-0")
     val node = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
@@ -313,7 +389,7 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     Files.write(p, mapper.writeValueAsBytes(node))
     val e = intercept[IllegalArgumentException](
       PaimonInterchange.importPaimon(spark, dest))
-    assert(e.getMessage.contains("renamed"))
+    assert(e.getMessage.contains("inconsistent"))
   }
 
   test("refusals: partitioned tables, dynamic buckets, no primary key") {
