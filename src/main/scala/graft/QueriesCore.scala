@@ -766,6 +766,63 @@ object QueriesCore {
           .orderBy("user_id")
       } finally server.stop()
     }),
+    "c_kafka_pipeline_sink" -> ((s, dir) => {
+      // Kafka pipeline sink end-to-end OVER THE REAL WIRE: the changelog
+      // flows as three tracked micro-batches (middle delivered twice —
+      // commit-marker replay skip) through the event-level serializer into
+      // the loopback broker double as RecordBatch v2 bytes (CRC32C,
+      // murmur2 HASH_BY_KEY placement), is fetched back via Fetch v4,
+      // decoded through the debezium-json READER, and PK-materialized —
+      // the full produce/fetch byte contract closing the reference's
+      // KafkaDataSink coverage (`flink-cdc-pipeline-connector-kafka`).
+      import graft.sinks.{KafkaBrokerDouble, KafkaDataSink, KafkaJsonFormats, KafkaWireConsumer}
+      import org.apache.spark.sql.types._
+      val broker = new KafkaBrokerDouble(autoCreatePartitions = 4)
+      broker.start()
+      try {
+        val tid = TableId.parse("app.events")
+        val env = eventsChangelog(s, dir)
+        val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        val sink = new KafkaDataSink(broker.bootstrap, partitionStrategy = "HASH_BY_KEY")
+        sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
+        val total = env.count()
+        val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+        var lo = Long.MinValue
+        Seq(maxSeq / 3, 2 * maxSeq / 3, maxSeq).zipWithIndex.foreach { case (hi, i) =>
+          val batch = env.filter(col(Envelope.SeqCol) > lo && col(Envelope.SeqCol) <= hi)
+          sink.writeChangelog(tid, batch, batchId = i.toLong, runId = "verify")
+          if (i == 1) // replayed micro-batch: the marker must skip it
+            sink.writeChangelog(tid, batch, batchId = i.toLong, runId = "verify")
+          lo = hi
+        }
+        require(sink.lastCommittedBatch(tid, "verify").contains(2L),
+          "commit markers must record batch progress")
+        // drain every partition over the wire; keys are disjoint across
+        // partitions (murmur2 routing), so a per-partition offset is a
+        // valid per-key changelog order
+        val consumer = new KafkaWireConsumer(broker.bootstrap)
+        val recs =
+          try (0 until 4).flatMap { p =>
+            consumer.readAll("app.events", p).zipWithIndex.map { case (r, i) =>
+              (p.toLong * (1L << 40) + i,
+                new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          } finally consumer.close()
+        require(recs.size == total,
+          s"every event exactly once on the wire (replay skipped): " +
+            s"${recs.size} records vs $total events")
+        import s.implicits._
+        val wire = recs.toDF("offset", "value")
+        val payloadT = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("ts", TimestampType)))
+        val env2 = KafkaJsonFormats.fromDebeziumJson(wire, payloadT, col("offset"))
+        Upsert.materialize(env2, Seq("user_id"))
+          .select(col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+          .orderBy("user_id")
+      } finally broker.stop()
+    }),
     "c_maxcompute_sink" -> ((s, dir) => {
       // MaxCompute tunnel-session family end-to-end: the changelog flows
       // as three batch-tracked upsert SESSIONS (label-idempotent create,
@@ -1908,6 +1965,14 @@ object QueriesCore {
         |SELECT user_id, event_type, value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
         |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // event-level kafka produce/fetch round trip converges to the same
+    // materialization; the doubled middle batch proves marker replay skip
+    "c_kafka_pipeline_sink" -> (evCte +
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM ev) t
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
     // the Fluss PK-upsert writer converges to the same materialization
     "c_fluss_sink" -> (evCte +
       """, last AS (

@@ -89,11 +89,17 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
         .orElse(evolution.evolvedSchemas.latest(sinkT))
         .getOrElse(throw new IllegalStateException(s"sink table $sinkT not created"))
       val coerced = SchemaDerivator.coerceEnvelope(transformed, sinkSchema.struct)
-      val keys =
-        if (sinkSchema.primaryKeys.nonEmpty) sinkSchema.primaryKeys
-        else sinkSchema.struct.fieldNames.toSeq
-      Upsert.withMaterialized(coerced, keys) { (upserts, deletes) =>
-        sink.writeBatch(sinkT, upserts, deletes, batchId, runId)
+      sink match {
+        case cs: graft.sinks.ChangelogSink =>
+          // log-shaped sink: every event reaches the wire, no materialization
+          cs.writeChangelog(sinkT, coerced, batchId, runId)
+        case _ =>
+          val keys =
+            if (sinkSchema.primaryKeys.nonEmpty) sinkSchema.primaryKeys
+            else sinkSchema.struct.fieldNames.toSeq
+          Upsert.withMaterialized(coerced, keys) { (upserts, deletes) =>
+            sink.writeBatch(sinkT, upserts, deletes, batchId, runId)
+          }
       }
     }
   }

@@ -56,6 +56,17 @@ trait DataSink extends MetadataApplier {
   def schemaOf(sinkTableId: TableId): Option[TableSchema]
 }
 
+/** A sink that consumes the CHANGELOG (the envelope frame) rather than the
+  * materialized per-key batch — log-shaped targets (Kafka) where every
+  * INSERT/UPDATE/REPLACE/DELETE must reach the wire as its own event. The
+  * composer routes the coerced envelope here INSTEAD of materializing
+  * (`PipelineComposer.processBatch`); the inherited [[DataSink.writeBatch]]
+  * remains the degraded direct-SPI path.
+  */
+trait ChangelogSink { this: DataSink =>
+  def writeChangelog(sinkTableId: TableId, env: DataFrame, batchId: Long, runId: String): Unit
+}
+
 /** In-memory PK-upsert database — the test oracle, mirroring
   * `flink-cdc-pipeline-connector-values/.../ValuesDatabase.java` (a
   * `Map[pk, row]` per table that INSERT/UPDATE/REPLACE overwrite and DELETE

@@ -88,6 +88,27 @@ object DataSinks {
               "maxcompute sink requires 'tunnel.endpoint'"))),
           project = sinkDef.config.getOrElse("project", "graft"),
           buckets = sinkDef.config.getOrElse("buckets.num", "8").toInt)
+      case "kafka" =>
+        // the reference's most-used streaming sink
+        // (`flink-cdc-pipeline-connector-kafka/.../KafkaDataSinkOptions.java`):
+        // value.format debezium-json|canal-json, key.format json|csv,
+        // partition.strategy ALL_TO_ZERO|HASH_BY_KEY, a global `topic`
+        // override, and `sink.tableId-to-topic.mapping` "selector:topic;…"
+        new KafkaDataSink(
+          bootstrap = sinkDef.config.getOrElse("properties.bootstrap.servers",
+            sinkDef.config.getOrElse("bootstrap.servers",
+              sinkDef.config.getOrElse("url", throw new IllegalArgumentException(
+                "kafka sink requires 'properties.bootstrap.servers'")))),
+          valueFormat = sinkDef.config.getOrElse("value.format", "debezium-json"),
+          keyFormat = sinkDef.config.getOrElse("key.format", "json"),
+          partitionStrategy = sinkDef.config.getOrElse("partition.strategy", "ALL_TO_ZERO"),
+          topicOverride = sinkDef.config.get("topic"),
+          topicMapping = sinkDef.config.get("sink.tableId-to-topic.mapping")
+            .map(_.split(";").toSeq.filter(_.nonEmpty).map { m =>
+              val i = m.lastIndexOf(':')
+              require(i > 0, s"malformed tableId-to-topic mapping entry '$m'")
+              (m.substring(0, i), m.substring(i + 1))
+            }).getOrElse(Seq.empty))
       case "starrocks" =>
         new StarRocksSink(
           baseUrl = sinkDef.config.getOrElse("load-url", sinkDef.config.getOrElse(
@@ -105,6 +126,6 @@ object DataSinks {
         throw new IllegalArgumentException(
           s"unknown sink type '$other' (supported: values, jdbc, mysql, postgres, " +
             "oceanbase, jdbc-exactly-once, parquet, lakehouse, paimon, delta, " +
-            "iceberg, elasticsearch, starrocks, doris, maxcompute, fluss)")
+            "iceberg, kafka, elasticsearch, starrocks, doris, maxcompute, fluss)")
     }
 }

@@ -1,0 +1,626 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.zip.CRC32C
+import scala.collection.mutable
+
+/** The Kafka wire protocol, implemented from the PUBLIC protocol guide
+  * (kafka.apache.org/protocol) for the slice a pipeline sink needs:
+  * ApiVersions v0, Metadata v1, Produce v3 and Fetch v4 — all pre-"flexible
+  * version" encodings — carrying REAL RecordBatch v2 record sets (varint
+  * zigzag record framing, CRC32C over the batch body, magic 2). The
+  * reference's Kafka connector delegates these bytes to the Kafka client
+  * library (`flink-cdc-pipeline-connector-kafka/.../KafkaDataSink.java`);
+  * offline, this module IS the client (and the loopback broker double), so
+  * tests prove the actual produce/fetch byte contract, not a JSON stand-in —
+  * the BinlogSocket/walsender/OP_MSG precedent applied to the sink side.
+  *
+  * Scale shape: one [[KafkaWireProducer]] per Spark task (opened inside
+  * `foreachPartition`), writing whole RecordBatches per (topic, partition) —
+  * the unit Kafka's own producer batches by. Nothing here is driver-side
+  * except topic metadata.
+  */
+object KafkaWire {
+
+  // api keys (public protocol ids)
+  val ApiProduce = 0
+  val ApiFetch = 1
+  val ApiMetadata = 3
+  val ApiApiVersions = 18
+
+  // ------------------------------------------------------------ primitives
+
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def int8(v: Int): Writer = { out.write(v & 0xff); this }
+    def int16(v: Int): Writer = { out.write((v >> 8) & 0xff); out.write(v & 0xff); this }
+    def int32(v: Int): Writer = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff); this
+    }
+    def int64(v: Long): Writer = { int32((v >> 32).toInt); int32(v.toInt); this }
+    def string(s: String): Writer = {
+      val b = s.getBytes(UTF_8); int16(b.length); out.write(b); this
+    }
+    def nullableString(s: String): Writer =
+      if (s == null) int16(-1) else string(s)
+    def bytes(b: Array[Byte]): Writer = {
+      if (b == null) int32(-1) else { int32(b.length); out.write(b) }; this
+    }
+    def raw(b: Array[Byte]): Writer = { out.write(b); this }
+    /** Zigzag varint (the RecordBatch record framing). */
+    def varint(v: Int): Writer = varlong(v.toLong)
+    def varlong(v: Long): Writer = {
+      var z = (v << 1) ^ (v >> 63)
+      while ((z & ~0x7fL) != 0) { out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      out.write(z.toInt); this
+    }
+    def result(): Array[Byte] = out.toByteArray
+    def size: Int = out.size()
+  }
+
+  final class Reader(buf: ByteBuffer) {
+    def this(b: Array[Byte]) = this(ByteBuffer.wrap(b))
+    def int8(): Int = buf.get().toInt
+    def int16(): Int = buf.getShort().toInt
+    def int32(): Int = buf.getInt()
+    def int64(): Long = buf.getLong()
+    def string(): String = {
+      val n = int16(); val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8)
+    }
+    def nullableString(): String = {
+      val n = int16()
+      if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8) }
+    }
+    def bytes(): Array[Byte] = {
+      val n = int32()
+      if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
+    }
+    def varint(): Int = varlong().toInt
+    def varlong(): Long = {
+      var z = 0L; var shift = 0; var b = 0
+      while ({ b = buf.get() & 0xff; (b & 0x80) != 0 }) { z |= (b & 0x7fL) << shift; shift += 7 }
+      z |= b.toLong << shift
+      (z >>> 1) ^ -(z & 1)
+    }
+    def remaining: Int = buf.remaining()
+    def position: Int = buf.position()
+    def skip(n: Int): Unit = buf.position(buf.position() + n)
+  }
+
+  // --------------------------------------------------------- record batches
+
+  /** One decoded record: (offset, timestamp, key, value) — headers are
+    * parsed and discarded (the sink writes none). */
+  final case class WireRecord(offset: Long, timestamp: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  /** Encode a RecordBatch v2. The CRC32C covers attributes..end — the spec
+    * excludes baseOffset/batchLength/leaderEpoch/magic/crc precisely so a
+    * broker can re-stamp the base offset at append time without recomputing
+    * the checksum (the double does exactly that).
+    */
+  def encodeBatch(baseOffset: Long,
+      records: Seq[(Array[Byte], Array[Byte], Long)]): Array[Byte] = {
+    require(records.nonEmpty, "a RecordBatch must carry at least one record")
+    val firstTs = records.map(_._3).min
+    val maxTs = records.map(_._3).max
+    val body = new Writer
+    body.int16(0) // attributes: no compression, CreateTime
+    body.int32(records.size - 1) // lastOffsetDelta
+    body.int64(firstTs)
+    body.int64(maxTs)
+    body.int64(-1L) // producerId
+    body.int16(-1) // producerEpoch
+    body.int32(-1) // baseSequence
+    body.int32(records.size)
+    records.zipWithIndex.foreach { case ((k, v, ts), i) =>
+      val r = new Writer
+      r.int8(0) // record attributes
+      r.varlong(ts - firstTs)
+      r.varint(i) // offsetDelta
+      if (k == null) r.varint(-1) else { r.varint(k.length); r.raw(k) }
+      if (v == null) r.varint(-1) else { r.varint(v.length); r.raw(v) }
+      r.varint(0) // headers
+      val rb = r.result()
+      body.varint(rb.length); body.raw(rb)
+    }
+    val bodyBytes = body.result()
+    val crc = new CRC32C
+    crc.update(bodyBytes)
+    val out = new Writer
+    out.int64(baseOffset)
+    out.int32(4 + 1 + 4 + bodyBytes.length) // batchLength: leaderEpoch+magic+crc+body
+    out.int32(0) // partitionLeaderEpoch
+    out.int8(2) // magic
+    out.int32(crc.getValue.toInt)
+    out.raw(bodyBytes)
+    out.result()
+  }
+
+  /** Decode ALL batches in a record set, validating magic and CRC32C on
+    * each — a corrupt batch throws, never yields garbage records. */
+  def decodeBatches(recordSet: Array[Byte]): Seq[WireRecord] = {
+    if (recordSet == null || recordSet.isEmpty) return Seq.empty
+    val out = mutable.ArrayBuffer.empty[WireRecord]
+    val buf = ByteBuffer.wrap(recordSet)
+    while (buf.remaining() >= 12) {
+      val baseOffset = buf.getLong()
+      val batchLength = buf.getInt()
+      if (buf.remaining() < batchLength) {
+        // trailing partial batch: a real broker may truncate the tail of a
+        // fetch response at max_bytes; the consumer drops it and refetches
+        buf.position(buf.limit())
+      } else {
+        val batch = new Array[Byte](batchLength)
+        buf.get(batch)
+        val r = new Reader(batch)
+        r.int32() // partitionLeaderEpoch
+        val magic = r.int8()
+        require(magic == 2, s"RecordBatch magic $magic is not v2")
+        val crcStored = r.int32()
+        val body = java.util.Arrays.copyOfRange(batch, 9, batch.length)
+        val crc = new CRC32C
+        crc.update(body)
+        require(crc.getValue.toInt == crcStored,
+          f"RecordBatch CRC32C mismatch (stored 0x$crcStored%08x, " +
+            f"computed 0x${crc.getValue.toInt}%08x) — corrupt batch")
+        val attrs = r.int16()
+        require((attrs & 0x07) == 0, s"compression codec ${attrs & 0x07} not supported here")
+        r.int32() // lastOffsetDelta
+        val firstTs = r.int64()
+        r.int64() // maxTimestamp
+        r.int64(); r.int16(); r.int32() // producer id/epoch/baseSequence
+        val count = r.int32()
+        (0 until count).foreach { _ =>
+          val len = r.varint()
+          val end = r.position + len
+          r.int8() // record attributes
+          val tsDelta = r.varlong()
+          val offDelta = r.varint()
+          val kLen = r.varint()
+          val key = if (kLen < 0) null else {
+            val b = new Array[Byte](kLen); (0 until kLen).foreach(i => b(i) = r.int8().toByte); b
+          }
+          val vLen = r.varint()
+          val value = if (vLen < 0) null else {
+            val b = new Array[Byte](vLen); (0 until vLen).foreach(i => b(i) = r.int8().toByte); b
+          }
+          r.skip(end - r.position) // headers
+          out += WireRecord(baseOffset + offDelta, firstTs + tsDelta, key, value)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Kafka's default partitioner hash (murmur2, public algorithm): the
+    * byte-identical routing real consumers expect for HASH_BY_KEY. */
+  def murmur2(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    var h = 0x9747b28c ^ data.length
+    val length4 = (data.length / 4) * 4
+    var i = 0
+    while (i < length4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    (data.length % 4) match {
+      case 3 =>
+        h ^= (data(length4 + 2) & 0xff) << 16
+        h ^= (data(length4 + 1) & 0xff) << 8
+        h ^= data(length4) & 0xff; h *= m
+      case 2 =>
+        h ^= (data(length4 + 1) & 0xff) << 8
+        h ^= data(length4) & 0xff; h *= m
+      case 1 =>
+        h ^= data(length4) & 0xff; h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  def partitionForKey(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+
+  // ------------------------------------------------------------- transport
+
+  private[sinks] def sendRequest(sock: Socket, apiKey: Int, apiVersion: Int,
+      correlationId: Int, clientId: String, body: Array[Byte]): Array[Byte] = {
+    val req = new Writer
+    req.int16(apiKey); req.int16(apiVersion)
+    req.int32(correlationId); req.nullableString(clientId)
+    req.raw(body)
+    val payload = req.result()
+    val out = new DataOutputStream(sock.getOutputStream)
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val respLen = in.readInt()
+    val resp = new Array[Byte](respLen)
+    in.readFully(resp)
+    val rr = new Reader(resp)
+    val corr = rr.int32()
+    require(corr == correlationId, s"correlation id mismatch ($corr != $correlationId)")
+    java.util.Arrays.copyOfRange(resp, 4, resp.length)
+  }
+}
+
+/** Minimal produce-side client: Metadata for partition discovery +
+  * auto-create, Produce v3 with acks=-1 (the leader's append is the ack —
+  * at-least-once; redelivered batches are the consumer's to dedupe, same
+  * contract as the reference's non-transactional KafkaSink). One socket,
+  * reused; NOT thread-safe — one instance per Spark task. */
+final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-producer") {
+  import KafkaWire._
+
+  private val (host, port) = KafkaWireProducer.parseBootstrap(bootstrap)
+  private lazy val sock = new Socket(host, port)
+  private val corr = new AtomicInteger(0)
+
+  private def call(apiKey: Int, version: Int, body: Array[Byte]): Reader =
+    new Reader(sendRequest(sock, apiKey, version, corr.incrementAndGet(), clientId, body))
+
+  /** Partition count for a topic (Metadata v1; the double auto-creates). */
+  def partitionsOf(topic: String): Int = {
+    val body = new Writer
+    body.int32(1); body.string(topic)
+    val r = call(ApiMetadata, 1, body.result())
+    val brokers = r.int32()
+    (0 until brokers).foreach { _ => r.int32(); r.string(); r.int32(); r.nullableString() }
+    r.int32() // controller id
+    val topics = r.int32()
+    require(topics == 1, s"metadata returned $topics topics for one request")
+    val err = r.int16()
+    require(err == 0, s"metadata error $err for topic $topic")
+    r.string(); r.int8() // name, is_internal
+    val parts = r.int32()
+    (0 until parts).foreach { _ =>
+      r.int16(); r.int32(); r.int32()
+      val nr = r.int32(); (0 until nr).foreach(_ => r.int32())
+      val ni = r.int32(); (0 until ni).foreach(_ => r.int32())
+    }
+    parts
+  }
+
+  /** Produce one RecordBatch to (topic, partition); returns the assigned
+    * base offset. */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte], Long)]): Long = {
+    val batch = encodeBatch(0L, records)
+    val body = new Writer
+    body.nullableString(null) // transactional_id
+    body.int16(-1) // acks: full ISR
+    body.int32(30000) // timeout
+    body.int32(1); body.string(topic)
+    body.int32(1); body.int32(partition); body.bytes(batch)
+    val r = call(ApiProduce, 3, body.result())
+    val topics = r.int32()
+    require(topics == 1, "produce response topic count")
+    r.string()
+    val parts = r.int32()
+    require(parts == 1, "produce response partition count")
+    r.int32() // partition index
+    val err = r.int16()
+    require(err == 0, s"produce error code $err on $topic/$partition")
+    val baseOffset = r.int64()
+    r.int64() // log_append_time
+    baseOffset
+  }
+
+  def close(): Unit = sock.close()
+}
+
+object KafkaWireProducer {
+  private[sinks] def parseBootstrap(bootstrap: String): (String, Int) = {
+    val first = bootstrap.split(",").head.trim
+    val Array(h, p) = first.split(":")
+    (h, p.toInt)
+  }
+}
+
+/** Fetch-side client (Fetch v4): reads a partition from an offset — the
+  * read-back half that closes the wire round trip in tests and gates. */
+final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consumer") {
+  import KafkaWire._
+
+  private val (host, port) = KafkaWireProducer.parseBootstrap(bootstrap)
+  private lazy val sock = new Socket(host, port)
+  private val corr = new AtomicInteger(0)
+
+  private def call(apiKey: Int, version: Int, body: Array[Byte]): Reader =
+    new Reader(sendRequest(sock, apiKey, version, corr.incrementAndGet(), clientId, body))
+
+  /** One fetch: records at `offset` and after, plus the high watermark. */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 8 * 1024 * 1024): (Seq[KafkaWire.WireRecord], Long) = {
+    val body = new Writer
+    body.int32(-1) // replica_id: consumer
+    body.int32(100) // max_wait_ms
+    body.int32(1) // min_bytes
+    body.int32(maxBytes)
+    body.int8(0) // isolation_level: read_uncommitted
+    body.int32(1); body.string(topic)
+    body.int32(1)
+    body.int32(partition); body.int64(offset); body.int32(maxBytes)
+    val r = call(ApiFetch, 4, body.result())
+    r.int32() // throttle_time
+    val topics = r.int32()
+    require(topics == 1, "fetch response topic count")
+    r.string()
+    val parts = r.int32()
+    require(parts == 1, "fetch response partition count")
+    r.int32() // partition index
+    val err = r.int16()
+    require(err == 0, s"fetch error code $err on $topic/$partition")
+    val hw = r.int64()
+    r.int64() // last_stable_offset
+    val aborted = r.int32()
+    (0 until aborted).foreach { _ => r.int64(); r.int64() }
+    val recordSet = r.bytes()
+    (decodeBatches(recordSet).filter(_.offset >= offset), hw)
+  }
+
+  /** Drain a partition from `from` to the current high watermark. */
+  def readAll(topic: String, partition: Int, from: Long = 0L): Seq[KafkaWire.WireRecord] = {
+    val out = mutable.ArrayBuffer.empty[KafkaWire.WireRecord]
+    var off = from
+    var hw = Long.MaxValue
+    while (off < hw) {
+      val (recs, highWater) = fetch(topic, partition, off)
+      hw = highWater
+      if (recs.isEmpty) return out.toSeq
+      out ++= recs
+      off = recs.map(_.offset).max + 1
+    }
+    out.toSeq
+  }
+
+  def close(): Unit = sock.close()
+}
+
+/** Loopback Kafka broker double: a single-node broker speaking ApiVersions
+  * v0, Metadata v1 (with topic auto-create), Produce v3 (CRC-validated
+  * append, base-offset re-stamp) and Fetch v4 over real sockets. In-memory
+  * log per (topic, partition) storing the produced batch BYTES — a fetch
+  * returns the same bytes the producer sent, re-based, so the round trip
+  * exercises both codec directions. */
+final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
+  import KafkaWire._
+
+  // (topic, partition) -> (batches as raw bytes, log end offset)
+  private val logs = mutable.LinkedHashMap.empty[(String, Int), mutable.ArrayBuffer[Array[Byte]]]
+  private val ends = mutable.HashMap.empty[(String, Int), Long]
+  private val topics = mutable.LinkedHashMap.empty[String, Int]
+
+  private var serverSocket: Option[ServerSocket] = None
+  @volatile private var running = false
+  @volatile private var produceRequests = 0
+
+  def start(): Unit = synchronized {
+    val ss = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    serverSocket = Some(ss)
+    running = true
+    val t = new Thread(() => acceptLoop(ss), "kafka-broker-double")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    serverSocket.foreach(s => scala.util.Try(s.close()))
+  }
+
+  def bootstrap: String =
+    s"127.0.0.1:${serverSocket.map(_.getLocalPort).getOrElse(sys.error("not started"))}"
+
+  def topicNames: Seq[String] = synchronized(topics.keys.toSeq)
+  def partitionsOf(topic: String): Int = synchronized(topics.getOrElse(topic, 0))
+  def endOffset(topic: String, partition: Int): Long =
+    synchronized(ends.getOrElse((topic, partition), 0L))
+  def produceCount: Int = produceRequests
+
+  private def ensureTopic(topic: String): Int = synchronized {
+    topics.getOrElseUpdate(topic, {
+      (0 until autoCreatePartitions).foreach { p =>
+        logs((topic, p)) = mutable.ArrayBuffer.empty
+        ends((topic, p)) = 0L
+      }
+      autoCreatePartitions
+    })
+  }
+
+  private def acceptLoop(ss: ServerSocket): Unit =
+    while (running) {
+      try {
+        val sock = ss.accept()
+        val t = new Thread(() => serve(sock), "kafka-broker-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable if !running => () case _: Throwable => () }
+    }
+
+  private def serve(sock: Socket): Unit =
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (running) {
+        val len = in.readInt()
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        val r = new Reader(payload)
+        val apiKey = r.int16()
+        val apiVersion = r.int16()
+        val correlationId = r.int32()
+        r.nullableString() // client id
+        val respBody: Array[Byte] = apiKey match {
+          case ApiApiVersions => apiVersionsResponse()
+          case ApiMetadata => metadataResponse(r, apiVersion)
+          case ApiProduce => produceResponse(r, apiVersion)
+          case ApiFetch => fetchResponse(r, apiVersion)
+          case other => sys.error(s"api key $other not implemented in the double")
+        }
+        val w = new Writer
+        w.int32(correlationId)
+        w.raw(respBody)
+        val resp = w.result()
+        out.writeInt(resp.length)
+        out.write(resp)
+        out.flush()
+      }
+    } catch {
+      case _: java.io.EOFException => ()
+      case _: java.net.SocketException => ()
+    } finally scala.util.Try(sock.close())
+
+  private def apiVersionsResponse(): Array[Byte] = {
+    val w = new Writer
+    w.int16(0) // error
+    val versions = Seq((ApiProduce, 0, 3), (ApiFetch, 0, 4),
+      (ApiMetadata, 0, 1), (ApiApiVersions, 0, 0))
+    w.int32(versions.size)
+    versions.foreach { case (k, lo, hi) => w.int16(k); w.int16(lo); w.int16(hi) }
+    w.result()
+  }
+
+  private def metadataResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 1, s"metadata v$version not supported by the double")
+    val n = r.int32()
+    val requested: Seq[String] =
+      if (n < 0) synchronized(topics.keys.toSeq)
+      else (0 until n).map(_ => r.string())
+    requested.foreach(ensureTopic)
+    val port = serverSocket.get.getLocalPort
+    val w = new Writer
+    w.int32(1) // brokers
+    w.int32(0); w.string("127.0.0.1"); w.int32(port); w.nullableString(null)
+    w.int32(0) // controller id
+    val resolved = synchronized(requested.map(t => t -> topics(t)))
+    w.int32(resolved.size)
+    resolved.foreach { case (t, parts) =>
+      w.int16(0) // error
+      w.string(t)
+      w.int8(0) // is_internal
+      w.int32(parts)
+      (0 until parts).foreach { p =>
+        w.int16(0); w.int32(p); w.int32(0)
+        w.int32(1); w.int32(0) // replicas [0]
+        w.int32(1); w.int32(0) // isr [0]
+      }
+    }
+    w.result()
+  }
+
+  private def produceResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 3, s"produce v$version not supported by the double")
+    produceRequests += 1
+    r.nullableString() // transactional id
+    r.int16() // acks
+    r.int32() // timeout
+    val topicCount = r.int32()
+    val results = (0 until topicCount).map { _ =>
+      val topic = r.string()
+      val partCount = r.int32()
+      topic -> (0 until partCount).map { _ =>
+        val partition = r.int32()
+        val recordSet = r.bytes()
+        // error codes are the public protocol's: 2 = CORRUPT_MESSAGE
+        // (CRC/magic validation failed), 3 = UNKNOWN_TOPIC_OR_PARTITION
+        val (err, assigned) =
+          try {
+            val a = append(topic, partition, recordSet)
+            (if (a < 0) 3 else 0, a)
+          } catch { case _: IllegalArgumentException => (2, -1L) }
+        (partition, err, assigned)
+      }
+    }
+    val w = new Writer
+    w.int32(results.size)
+    results.foreach { case (topic, parts) =>
+      w.string(topic)
+      w.int32(parts.size)
+      parts.foreach { case (partition, err, assigned) =>
+        w.int32(partition)
+        w.int16(err)
+        w.int64(assigned)
+        w.int64(-1L) // log append time (CreateTime batches)
+      }
+    }
+    w.int32(0) // throttle
+    w.result()
+  }
+
+  /** Append a produced batch: validate (magic, CRC — decodeBatches throws
+    * on corruption), re-stamp the base offset in place (safe because the
+    * CRC excludes it), store the bytes. */
+  private def append(topic: String, partition: Int, recordSet: Array[Byte]): Long =
+    synchronized {
+      ensureTopic(topic)
+      if (!logs.contains((topic, partition))) return -1L
+      val records = decodeBatches(recordSet) // validates
+      val base = ends((topic, partition))
+      val stamped = recordSet.clone()
+      ByteBuffer.wrap(stamped).putLong(0, base)
+      logs((topic, partition)) += stamped
+      ends((topic, partition)) = base + records.size
+      base
+    }
+
+  private def fetchResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 4, s"fetch v$version not supported by the double")
+    r.int32(); r.int32(); r.int32(); r.int32(); r.int8()
+    val topicCount = r.int32()
+    val results = (0 until topicCount).map { _ =>
+      val topic = r.string()
+      val partCount = r.int32()
+      topic -> (0 until partCount).map { _ =>
+        val partition = r.int32()
+        val offset = r.int64()
+        r.int32() // partition max bytes
+        synchronized {
+          logs.get((topic, partition)) match {
+            case None => (partition, -1L, Array.empty[Byte])
+            case Some(batches) =>
+              val hw = ends((topic, partition))
+              val keep = batches.filter { b =>
+                val bb = ByteBuffer.wrap(b)
+                val baseOff = bb.getLong(0)
+                // lastOffsetDelta sits after base(8)+len(4)+epoch(4)+magic(1)+crc(4)+attrs(2)
+                val lastDelta = bb.getInt(23)
+                baseOff + lastDelta >= offset
+              }
+              val set = new java.io.ByteArrayOutputStream()
+              keep.foreach(set.write)
+              (partition, hw, set.toByteArray)
+          }
+        }
+      }
+    }
+    val w = new Writer
+    w.int32(0) // throttle
+    w.int32(results.size)
+    results.foreach { case (topic, parts) =>
+      w.string(topic)
+      w.int32(parts.size)
+      parts.foreach { case (partition, hw, set) =>
+        w.int32(partition)
+        w.int16(if (hw < 0) 3 else 0)
+        w.int64(hw)
+        w.int64(hw) // last stable offset
+        w.int32(0) // aborted txns
+        w.bytes(if (hw < 0) null else set)
+      }
+    }
+    w.result()
+  }
+}

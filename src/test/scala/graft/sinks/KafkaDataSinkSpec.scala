@@ -1,0 +1,178 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.core._
+import graft.operators.Envelope
+import graft.pipeline.SinkDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Kafka pipeline sink over the real wire: event-level changelog fidelity,
+  * HASH_BY_KEY placement identical to Kafka's default partitioner, per-key
+  * ordering, topic routing, commit-marker replay skip, and the YAML
+  * registry spelling. */
+class KafkaDataSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val rowT = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType)))
+  private val schema = TableSchema(rowT, primaryKeys = Seq("id"))
+  private val tid = TableId.parse("app.users")
+
+  private def changelog(rows: Seq[(Long, String, String, Long)]) =
+    Envelope.fromChangelog(
+      rows.toDF("id", "v", "__op", "__seq"),
+      tid, col("__op"), col("__seq"), Seq("id", "v"))
+
+  test("changelog write: every event reaches the wire as debezium-json, in key order") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap)
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      val env = changelog(Seq(
+        (1L, "a", "INSERT", 0L), (2L, "b", "INSERT", 1L),
+        (1L, "a2", "UPDATE", 2L), (2L, null, "DELETE", 3L),
+        (3L, "c", "REPLACE", 4L)))
+      sink.writeChangelog(tid, env, batchId = -1L, runId = "")
+
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val recs = c.readAll("app.users", 0)
+      c.close()
+      assert(recs.size == 5, "five events, five records — no materialization")
+      val values = recs.map(r => new String(r.value, UTF_8))
+      // ops serialize per the debezium contract: c/u/d, REPLACE -> u
+      assert(values.count(_.contains("\"op\":\"c\"")) == 2)
+      assert(values.count(_.contains("\"op\":\"u\"")) == 2)
+      assert(values.count(_.contains("\"op\":\"d\"")) == 1)
+      // key rides as json of the PK
+      assert(recs.forall(r => new String(r.key, UTF_8).startsWith("{\"id\":")))
+      // per-key order: id=1 INSERT precedes its UPDATE in the log
+      val id1 = values.zipWithIndex.filter(_._1.contains("\"id\":1"))
+      assert(id1.head._1.contains("\"op\":\"c\"") && id1.last._1.contains("\"op\":\"u\""))
+    } finally broker.stop()
+  }
+
+  test("HASH_BY_KEY places records where Kafka's own partitioner would") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 4)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap, partitionStrategy = "HASH_BY_KEY")
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      val env = changelog((0 until 40).map(i =>
+        (i.toLong, s"v$i", "INSERT", i.toLong)))
+      sink.writeChangelog(tid, env, batchId = -1L, runId = "")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val byPart = (0 until 4).map(p => p -> c.readAll("app.users", p)).toMap
+      c.close()
+      assert(byPart.values.map(_.size).sum == 40)
+      byPart.foreach { case (p, recs) =>
+        recs.foreach { r =>
+          assert(KafkaWire.partitionForKey(r.key, 4) == p,
+            s"record keyed ${new String(r.key, UTF_8)} belongs on its murmur2 partition")
+        }
+        // within a partition, sequence order is preserved
+        val ids = recs.map(r => new String(r.key, UTF_8))
+        assert(ids == ids.sortBy(k => recs.map(x => new String(x.key, UTF_8)).indexOf(k)))
+      }
+      assert(byPart.count(_._2.nonEmpty) > 1, "keys actually spread across partitions")
+    } finally broker.stop()
+  }
+
+  test("commit markers: a replayed micro-batch is skipped, a new run is not masked") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap)
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      val b0 = changelog(Seq((1L, "a", "INSERT", 0L)))
+      sink.writeChangelog(tid, b0, batchId = 0L, runId = "run1")
+      sink.writeChangelog(tid, b0, batchId = 0L, runId = "run1") // replay: skip
+      assert(sink.lastCommittedBatch(tid, "run1").contains(0L))
+      assert(sink.lastCommittedBatch(tid, "run2").isEmpty,
+        "a different run's markers do not mask batches")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.readAll("app.users", 0).size == 1, "the replay produced nothing")
+      c.close()
+      sink.writeChangelog(tid, changelog(Seq((2L, "b", "INSERT", 1L))),
+        batchId = 1L, runId = "run1")
+      assert(sink.lastCommittedBatch(tid, "run1").contains(1L))
+    } finally broker.stop()
+  }
+
+  test("topic routing: mapping selectors, then the global topic override") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val mapped = new KafkaDataSink(broker.bootstrap,
+        topicMapping = Seq(("app.\\.*", "app-events"), ("other.t", "other-topic")))
+      assert(mapped.topicFor(TableId.parse("app.users")) == "app-events")
+      assert(mapped.topicFor(TableId.parse("other.t")) == "other-topic")
+      assert(mapped.topicFor(TableId.parse("x.y")) == "x.y", "unmapped falls back to tableId")
+      val overridden = new KafkaDataSink(broker.bootstrap,
+        topicOverride = Some("all-events"),
+        topicMapping = Seq(("app.\\.*", "app-events")))
+      assert(overridden.topicFor(TableId.parse("app.users")) == "all-events")
+    } finally broker.stop()
+  }
+
+  test("canal-json value + csv key") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap,
+        valueFormat = "canal-json", keyFormat = "csv")
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      sink.writeChangelog(tid,
+        changelog(Seq((7L, "x", "INSERT", 0L), (7L, "x2", "UPDATE", 1L))),
+        batchId = -1L, runId = "")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val recs = c.readAll("app.users", 0)
+      c.close()
+      assert(recs.size == 2)
+      assert(recs.forall(r => new String(r.key, UTF_8) == "7"), "csv key is the bare pk")
+      val v = recs.map(r => new String(r.value, UTF_8))
+      assert(v.head.contains("\"type\":\"INSERT\"") && v.last.contains("\"type\":\"UPDATE\""))
+      assert(v.last.contains("\"data\":[{") && v.last.contains("\"database\":\"app\""))
+    } finally broker.stop()
+  }
+
+  test("materialized SPI path downgrades to REPLACE/DELETE events") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap)
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      sink.writeBatch(tid, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+        Seq(3L).toDF("id"))
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val values = c.readAll("app.users", 0).map(r => new String(r.value, UTF_8))
+      c.close()
+      assert(values.count(_.contains("\"op\":\"u\"")) == 2, "upserts ride as u")
+      assert(values.count(_.contains("\"op\":\"d\"")) == 1, "deletes ride as d")
+    } finally broker.stop()
+  }
+
+  test("YAML registry: sink.type kafka resolves with the reference's options") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 2)
+    broker.start()
+    try {
+      val sink = DataSinks.forDef(spark, SinkDef("kafka", None, Map(
+        "properties.bootstrap.servers" -> broker.bootstrap,
+        "value.format" -> "debezium-json",
+        "partition.strategy" -> "HASH_BY_KEY",
+        "sink.tableId-to-topic.mapping" -> "app.\\.*:routed;x.y:other")))
+      val k = sink.asInstanceOf[KafkaDataSink]
+      assert(k.topicFor(TableId.parse("app.users")) == "routed")
+      k.applySchemaChange(CreateTableEvent(tid, schema))
+      k.writeBatch(tid, Seq((1L, "a")).toDF("id", "v"), spark.range(0).select($"id"))
+      assert(broker.topicNames.contains("routed"))
+      intercept[IllegalArgumentException](
+        DataSinks.forDef(spark, SinkDef("kafka", None, Map.empty)))
+    } finally broker.stop()
+  }
+}

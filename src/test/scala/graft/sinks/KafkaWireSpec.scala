@@ -1,0 +1,113 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Kafka wire protocol: varint framing, RecordBatch v2 CRC32C round trip,
+  * murmur2 against the vectors from Kafka's own public test suite, and the
+  * produce/fetch/metadata flow over real loopback sockets. */
+class KafkaWireSpec extends AnyFunSuite {
+  import KafkaWire._
+
+  test("zigzag varint/varlong round trip, including negatives and extremes") {
+    val ints = Seq(0, 1, -1, 63, 64, -64, -65, 300, -300, Int.MaxValue, Int.MinValue)
+    ints.foreach { v =>
+      val w = new Writer; w.varint(v)
+      assert(new Reader(w.result()).varint() == v, s"varint $v")
+    }
+    val longs = Seq(0L, -1L, 1L << 40, -(1L << 40), Long.MaxValue, Long.MinValue)
+    longs.foreach { v =>
+      val w = new Writer; w.varlong(v)
+      assert(new Reader(w.result()).varlong() == v, s"varlong $v")
+    }
+    // one-byte encodings for small values (the spec's zigzag property)
+    val w = new Writer; w.varint(-1)
+    assert(w.result().length == 1 && (w.result()(0) & 0xff) == 1)
+  }
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // org.apache.kafka.common.utils.UtilsTest#testMurmur2 (public)
+    assert(murmur2("21".getBytes(UTF_8)) == -973932308)
+    assert(murmur2("foobar".getBytes(UTF_8)) == -790332482)
+    assert(murmur2("a-little-bit-long-string".getBytes(UTF_8)) == -985981536)
+    assert(murmur2("a-little-bit-longer-string".getBytes(UTF_8)) == -1486304829)
+    assert(murmur2(
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8".getBytes(UTF_8)) == -58897971)
+    assert(murmur2(Array[Byte]('a', 'b', 'c')) == 479470107)
+    assert((0 until 100).forall(i =>
+      partitionForKey(s"key-$i".getBytes(UTF_8), 6) >= 0))
+  }
+
+  test("RecordBatch v2: encode -> decode round trip; CRC catches corruption") {
+    val records = Seq(
+      ("k1".getBytes(UTF_8), "v1".getBytes(UTF_8), 1000L),
+      (null.asInstanceOf[Array[Byte]], "v2".getBytes(UTF_8), 1001L),
+      ("k3".getBytes(UTF_8), null.asInstanceOf[Array[Byte]], 999L))
+    val batch = encodeBatch(42L, records)
+    val back = decodeBatches(batch)
+    assert(back.map(_.offset) == Seq(42L, 43L, 44L))
+    assert(back.map(_.timestamp) == Seq(1000L, 1001L, 999L))
+    assert(new String(back(0).key, UTF_8) == "k1" && back(1).key == null)
+    assert(new String(back(1).value, UTF_8) == "v2" && back(2).value == null)
+    // flip one payload byte: CRC32C must refuse
+    val corrupt = batch.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](decodeBatches(corrupt))
+    assert(e.getMessage.contains("CRC32C"))
+    // two concatenated batches decode as one stream (the fetch shape)
+    val two = batch ++ encodeBatch(45L, Seq(("k".getBytes(UTF_8), "v".getBytes(UTF_8), 5L)))
+    assert(decodeBatches(two).map(_.offset) == Seq(42L, 43L, 44L, 45L))
+  }
+
+  test("produce/fetch over real sockets: offsets, ordering, high watermark") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 3)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      assert(p.partitionsOf("events") == 3, "metadata auto-creates the topic")
+      val off0 = p.produce("events", 1,
+        (0 until 5).map(i => (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8), i.toLong)))
+      assert(off0 == 0L)
+      val off1 = p.produce("events", 1,
+        (5 until 8).map(i => (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8), i.toLong)))
+      assert(off1 == 5L, "base offsets advance by record count")
+      p.produce("events", 0, Seq(("a".getBytes(UTF_8), "b".getBytes(UTF_8), 0L)))
+      p.close()
+
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val all = c.readAll("events", 1)
+      assert(all.map(_.offset) == (0L until 8L))
+      assert(all.map(r => new String(r.value, UTF_8)) == (0 until 8).map(i => s"v$i"))
+      // fetch from a mid offset skips earlier records (batch-granular
+      // delivery, record-granular filter)
+      val (tail, hw) = c.fetch("events", 1, 6L)
+      assert(hw == 8L && tail.map(_.offset) == Seq(6L, 7L))
+      assert(c.readAll("events", 0).size == 1)
+      assert(c.readAll("events", 2).isEmpty)
+      c.close()
+      assert(broker.endOffset("events", 1) == 8L)
+    } finally broker.stop()
+  }
+
+  test("the broker answers CORRUPT_MESSAGE (2) for a CRC-broken batch") {
+    val broker = new KafkaBrokerDouble()
+    broker.start()
+    try {
+      val good = encodeBatch(0L, Seq(("k".getBytes(UTF_8), "v".getBytes(UTF_8), 0L)))
+      val bad = good.clone()
+      bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+      // hand-roll the produce call so we can send corrupt bytes
+      val sock = new java.net.Socket("127.0.0.1",
+        broker.bootstrap.split(":")(1).toInt)
+      val body = new Writer
+      body.nullableString(null); body.int16(-1); body.int32(1000)
+      body.int32(1); body.string("t")
+      body.int32(1); body.int32(0); body.bytes(bad)
+      val resp = new Reader(KafkaWire.sendRequest(sock, ApiProduce, 3, 7, "c", body.result()))
+      resp.int32(); resp.string(); resp.int32(); resp.int32()
+      assert(resp.int16() == 2, "CORRUPT_MESSAGE")
+      sock.close()
+      assert(broker.endOffset("t", 0) == 0L, "nothing was appended")
+    } finally broker.stop()
+  }
+}
