@@ -420,6 +420,71 @@ object QueriesCdc {
       back.orderBy("k")
     }),
 
+    "c_paimon_partitioned" -> ((s, dir) => {
+      // identity-PARTITIONED Paimon: the table partitions by event_type
+      // (string identity partition), primary key (event_type, user_id),
+      // so the LSM key is the TRIMMED pk (user_id) and files land under
+      // `event_type=<v>/bucket-N` with the partition tuple in every
+      // manifest entry's _PARTITION BinaryRow. Export -> import is
+      // data-identical, and a partition-filtered import proves
+      // manifest-level pruning: only the named partition's files open.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmp_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id"),
+        partitionKeys = Seq("event_type")), buckets = 4)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 400 && col("user_id") < 160)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      t.merge(batch(col("event_id") < 200), noKeys)
+      t.merge(batch(col("event_id") >= 200), noKeys)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmp_dst").toString
+      PaimonInterchange.export(s, t, dest)
+      val snap = PaimonInterchange.readTable(dest)
+      require(snap.partitionKeys == Seq("event_type") &&
+        snap.trimmedKeys == Seq("user_id"),
+        "partition keys and the trimmed LSM key must survive the schema")
+      val oneType = ev.select(col("event_type")).head().getString(0)
+      val pruned = PaimonInterchange.importPaimon(s, dest,
+        partitionFilter = Map("event_type" -> oneType))
+      require(pruned.inputFiles.nonEmpty &&
+        pruned.inputFiles.forall(_.contains(s"event_type=$oneType")),
+        "a partition-filtered import must open only that partition's files")
+      PaimonInterchange.importPaimon(s, dest).orderBy("event_type", "user_id")
+    }),
+
+    "c_paimon_append" -> ((s, dir) => {
+      // APPEND-ONLY (no primary key) Paimon: plain rows, no key-value
+      // system columns, no merge — two overlapping appends keep every
+      // duplicate, which the multiset oracle (UNION ALL) pins exactly.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pma_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_id", LongType, nullable = false),
+          StructField("user_id", LongType, nullable = false))),
+        primaryKeys = Seq.empty), buckets = 4)
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      t.append(ev.filter(col("event_id") < 300))
+      t.append(ev.filter(col("event_id") >= 200 && col("event_id") < 400))
+      val dest = java.nio.file.Files.createTempDirectory("graft_pma_dst").toString
+      PaimonInterchange.export(s, t, dest)
+      require(PaimonInterchange.readTable(dest).primaryKeys.isEmpty,
+        "the schema must record an append table")
+      PaimonInterchange.importPaimon(s, dest).orderBy("event_id", "user_id")
+    }),
+
     "c_paimon_mirror" -> ((s, dir) => {
       // continuous Paimon mirroring: one Paimon SNAPSHOT per lakehouse
       // commit (level-0 key-value adds; MOR deletes as LSM tombstone rows
@@ -2588,6 +2653,24 @@ object QueriesCdc {
         |WHERE event_id < 400 AND user_id < 150
         |GROUP BY user_id
         |ORDER BY k""".stripMargin,
+    // identity-partitioned Paimon: per (event_type, user_id) the overall
+    // max event_id survives the two range-batched merges (range 2's ids
+    // all exceed range 1's, so last-wins = global max)
+    "c_paimon_partitioned" ->
+      """SELECT event_type, user_id, max(event_id) AS last_event
+        |FROM events
+        |WHERE event_id < 400 AND user_id < 160
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    // append-only Paimon: two overlapping appends keep every duplicate —
+    // the multiset equals the UNION ALL of the two batches
+    "c_paimon_append" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id < 160 AND event_id < 300
+        |UNION ALL
+        |SELECT event_id, user_id FROM events
+        |WHERE user_id < 160 AND event_id >= 200 AND event_id < 400
+        |ORDER BY event_id, user_id""".stripMargin,
     // per-commit Paimon mirroring with MOR-delete tombstones converges to
     // the same state (deletes of 150-159 applied via the LSM merge)
     "c_paimon_mirror" ->

@@ -113,6 +113,9 @@ object LakehouseFormat {
         val n = root.putObject("meta")
         n.put("schemaJson", s.struct.json)
         val pks = n.putArray("pks"); s.primaryKeys.foreach(pks.add)
+        if (s.partitionKeys.nonEmpty) { // absent = none: old logs decode fine
+          val pk = n.putArray("partitionKeys"); s.partitionKeys.foreach(pk.add)
+        }
         n.put("buckets", b)
         if (cl) n.put("changelog", true) // absent = false: old logs decode fine
         if (me != "last-wins") n.put("mergeEngine", me)
@@ -155,7 +158,10 @@ object LakehouseFormat {
       Meta(
         TableSchema(
           DataType.fromJson(m.get("schemaJson").asText).asInstanceOf[StructType],
-          m.get("pks").elements.asScala.map(_.asText).toSeq),
+          m.get("pks").elements.asScala.map(_.asText).toSeq,
+          partitionKeys =
+            if (!m.has("partitionKeys")) Seq.empty
+            else m.get("partitionKeys").elements.asScala.map(_.asText).toSeq),
         m.get("buckets").asInt,
         m.has("changelog") && m.get("changelog").asBoolean,
         if (m.has("mergeEngine")) m.get("mergeEngine").asText else "last-wins",

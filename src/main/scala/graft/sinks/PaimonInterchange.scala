@@ -56,10 +56,15 @@ import scala.jdk.CollectionConverters._
   * offline to cross-validate, same as the Delta/Iceberg interchanges —
   * SCALE.md documents this): `_PARTITION`, `_MIN_KEY`/`_MAX_KEY` and the
   * stats rows use BinaryRow serialization, implemented here for the empty
-  * row and all-BIGINT key rows (8-byte header word + 8-byte little-endian
-  * slots); other key types write the empty row, which only disables key
-  * pruning. Partitioned Paimon tables, dynamic buckets, append-only (no-PK)
-  * tables, and non-parquet data files refuse loudly on import.
+  * row, all-BIGINT key rows, and INT/BIGINT/STRING partition tuples
+  * (8-byte header word + 8-byte little-endian slots + the public
+  * var-length string encoding); other key types write the empty row, which
+  * only disables key pruning. Identity-PARTITIONED tables (`p=v/bucket-N`
+  * dirs, `_PARTITION` tuples, trimmed-primary-key LSM, manifest-level
+  * partition pruning on import) and APPEND-ONLY (no-PK) tables (plain
+  * rows, no merge) are supported on export/import; the per-commit mirror
+  * family stays unpartitioned-PK scope. Dynamic buckets, non-identity
+  * partitioning, and non-parquet data files refuse loudly on import.
   */
 object PaimonInterchange {
 
@@ -137,6 +142,81 @@ object PaimonInterchange {
   }
   private[sinks] val emptyRow: Array[Byte] = binaryRow(Nil)
 
+  /** BinaryRow for the typed values a partition tuple can carry (the
+    * `_PARTITION` manifest field): INT/BIGINT in the fixed slot, STRING in
+    * the public var-length encoding — data bytes compacted into the slot
+    * when <= 7 bytes (highest slot byte = 0x80 | len), otherwise appended
+    * after the fixed part with the slot holding (offset << 32) | len, the
+    * offset measured from the row start. Null sets bit (8 + i) of the
+    * header word (the first 8 bits are the row-kind header). Anything
+    * outside these types refuses loudly. */
+  private[sinks] def binaryRowAny(values: Seq[(Any, DataType)]): Array[Byte] = {
+    require(values.size <= 56, "binary row arity > 56 not supported")
+    val fixed = 8 + 8 * values.size
+    val varParts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var varOffset = fixed
+    var header = 0L
+    val slots = values.zipWithIndex.map { case ((v, dt), i) =>
+      (v, dt) match {
+        case (null, _) => header |= 1L << (8 + i); 0L
+        case (l: Long, LongType) => l
+        case (n: Int, IntegerType) => n.toLong & 0xffffffffL
+        case (s: String, StringType) =>
+          val b = s.getBytes(UTF_8)
+          if (b.length <= 7) {
+            var slot = (0x80L | b.length.toLong) << 56
+            b.zipWithIndex.foreach { case (byte, j) =>
+              slot |= (byte.toLong & 0xff) << (8 * j)
+            }
+            slot
+          } else {
+            val off = varOffset
+            varParts += b
+            varOffset += b.length
+            (off.toLong << 32) | b.length.toLong
+          }
+        case (other, dt2) => throw new IllegalArgumentException(
+          s"partition value $other of type $dt2 has no BinaryRow " +
+            "serialization here — refusing")
+      }
+    }
+    val buf = java.nio.ByteBuffer.allocate(varOffset)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(header)
+    slots.foreach(buf.putLong)
+    varParts.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Inverse of [[binaryRowAny]]. */
+  private[sinks] def decodeBinaryRow(bytes: Array[Byte], types: Seq[DataType]): Seq[Any] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val header = buf.getLong(0)
+    types.zipWithIndex.map { case (dt, i) =>
+      if ((header & (1L << (8 + i))) != 0) null
+      else {
+        val slot = buf.getLong(8 + 8 * i)
+        dt match {
+          case LongType => slot
+          case IntegerType => slot.toInt
+          case StringType =>
+            if ((slot >>> 63) == 1L) { // compact in-slot
+              val len = ((slot >>> 56) & 0x7f).toInt
+              val b = new Array[Byte](len)
+              (0 until len).foreach(j => b(j) = ((slot >>> (8 * j)) & 0xff).toByte)
+              new String(b, UTF_8)
+            } else {
+              val off = (slot >>> 32).toInt
+              val len = (slot & 0xffffffffL).toInt
+              new String(bytes, off, len, UTF_8)
+            }
+          case other => throw new IllegalArgumentException(
+            s"partition type $other has no BinaryRow decoding here — refusing")
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------- type names
 
   /** Spark → Paimon SQL type string (what schema-N files carry). */
@@ -203,7 +283,14 @@ object PaimonInterchange {
   private[sinks] final case class PaimonFile(
       fileName: String, size: Long, rows: Long, bucket: Int,
       minSeq: Long, maxSeq: Long, level: Int, schemaId: Long,
-      deleteRows: Long)
+      deleteRows: Long,
+      /** Identity partition values, in partitionKeys order; Nil when the
+        * table is unpartitioned. */
+      partition: Seq[Any] = Nil) {
+    /** `p1=v1/p2=v2/` path prefix (empty when unpartitioned). */
+    def partitionPath(keys: Seq[String]): String =
+      keys.zip(partition).map { case (k, v) => s"$k=$v/" }.mkString
+  }
 
   private[sinks] final case class PaimonSnapshot(
       schema: StructType,
@@ -212,7 +299,12 @@ object PaimonInterchange {
       files: Seq[PaimonFile],
       snapshotId: Long,
       commitIdentifier: Long,
-      options: Map[String, String])
+      options: Map[String, String],
+      partitionKeys: Seq[String] = Nil) {
+    /** The LSM key: Paimon's trimmed primary key (pk minus partition
+      * fields) — uniqueness holds within a partition. */
+    def trimmedKeys: Seq[String] = primaryKeys.filterNot(partitionKeys.contains)
+  }
 
   /** One manifest-list row: (file name, size, added, deleted, schemaId). */
   private type ManifestMeta = (String, Long, Long, Long, Long)
@@ -273,13 +365,15 @@ object PaimonInterchange {
   }
 
   private def writeSchemaFile(dir: String, schemaId: Long, struct: StructType,
-      primaryKeys: Seq[String], buckets: Int): Unit = {
+      primaryKeys: Seq[String], buckets: Int,
+      partitionKeys: Seq[String] = Nil): Unit = {
     val root = mapper.createObjectNode()
     root.put("version", 3)
     root.put("id", schemaId)
     root.set[JsonNode]("fields", schemaFieldsNode(struct))
     root.put("highestFieldId", struct.fields.length - 1)
-    root.putArray("partitionKeys")
+    val parts = root.putArray("partitionKeys")
+    partitionKeys.foreach(parts.add)
     val pks = root.putArray("primaryKeys")
     primaryKeys.foreach(pks.add)
     val opts = root.putObject("options")
@@ -303,13 +397,36 @@ object PaimonInterchange {
     * one (append-only schema evolution — ids are positional, which is what
     * the lakehouse evolution produces). Returns the schema id to commit. */
   private[sinks] def ensureSchema(dir: String, struct: StructType,
-      primaryKeys: Seq[String], buckets: Int): Long =
+      primaryKeys: Seq[String], buckets: Int,
+      partitionKeys: Seq[String] = Nil): Long = {
+    partitionKeys.foreach { p =>
+      require(struct.fieldNames.contains(p), s"partition key '$p' not in schema")
+      require(Seq(LongType, IntegerType, StringType).contains(struct(p).dataType),
+        s"partition key '$p': type ${struct(p).dataType} has no identity-" +
+          "partition serialization here — refusing")
+    }
+    if (primaryKeys.nonEmpty) {
+      // Paimon's own constraint: primary keys must contain all partition
+      // fields (so a key lives in exactly one partition and the per-key
+      // LSM merge is sound), and the trimmed key must be non-empty
+      require(partitionKeys.forall(primaryKeys.contains),
+        "partition keys must be a subset of the primary keys " +
+          "(Paimon's primary-key-table constraint)")
+      require(primaryKeys.exists(k => !partitionKeys.contains(k)),
+        "the primary key must have at least one non-partition field " +
+          "(the trimmed bucket key would be empty)")
+    }
     latestSchemaId(dir) match {
       case None =>
-        writeSchemaFile(dir, 0, struct, primaryKeys, buckets); 0L
+        writeSchemaFile(dir, 0, struct, primaryKeys, buckets, partitionKeys); 0L
       case Some(id) =>
         val prev = mapper.readTree(Files.readAllBytes(
           schemaDir(dir).resolve(s"schema-$id")))
+        val prevParts = prev.get("partitionKeys").elements().asScala
+          .map(_.asText()).toSeq
+        require(prevParts == partitionKeys,
+          s"partition keys cannot evolve ($prevParts -> $partitionKeys) — " +
+            "the directory layout is fixed at table creation; refusing")
         if (prev.get("fields") == schemaFieldsNode(struct)) id
         else {
           // append-only evolution with stable positional ids: common-prefix
@@ -337,18 +454,18 @@ object PaimonInterchange {
               s"column ${a.get("name").asText()} evolves nullable -> NOT " +
                 "NULL: existing files may hold nulls — refusing")
           }
-          writeSchemaFile(dir, id + 1, struct, primaryKeys, buckets); id + 1
+          writeSchemaFile(dir, id + 1, struct, primaryKeys, buckets, partitionKeys)
+          id + 1
         }
     }
+  }
 
   private[sinks] def readSchemaFile(dir: String, schemaId: Long)
-      : (StructType, Seq[String], Int, Map[String, String]) = {
+      : (StructType, Seq[String], Int, Map[String, String], Seq[String]) = {
     val root = mapper.readTree(Files.readAllBytes(
       schemaDir(dir).resolve(s"schema-$schemaId")))
-    require(root.get("partitionKeys").size() == 0,
-      "partitioned Paimon tables are not supported: partition directories " +
-        "and partition-aware merge are out of this interchange's scope — " +
-        "refusing rather than reading a partial table")
+    val partitionKeys = root.get("partitionKeys").elements().asScala
+      .map(_.asText()).toSeq
     val fields = root.get("fields").elements().asScala.map { f =>
       val (dt, nullable) = sparkType(f.get("type").asText())
       StructField(f.get("name").asText(), dt, nullable)
@@ -362,7 +479,14 @@ object PaimonInterchange {
     val buckets = opts.getOrElse("bucket", "1").toInt
     require(buckets > 0,
       "dynamic bucket mode (bucket = -1) is not supported by this importer")
-    (StructType(fields), pks, buckets, opts)
+    partitionKeys.foreach { p =>
+      require(fields.exists(_.name == p), s"partition key '$p' not in schema")
+      require(Seq(LongType, IntegerType, StringType)
+        .contains(fields.find(_.name == p).get.dataType),
+        s"partition key '$p': type has no identity-partition decoding " +
+          "here — refusing rather than reading a partial table")
+    }
+    (StructType(fields), pks, buckets, opts, partitionKeys)
   }
 
   // -------------------------------------------------------------- manifests
@@ -376,7 +500,8 @@ object PaimonInterchange {
   }
 
   private def entryRecord(kind: Int, totalBuckets: Int, f: PaimonFile,
-      minKey: Array[Byte], maxKey: Array[Byte]): GenericRecord = {
+      minKey: Array[Byte], maxKey: Array[Byte],
+      partTypes: Seq[DataType] = Nil): GenericRecord = {
     val fileSchema = manifestEntrySchema.getField("_FILE").schema()
     val fileRec = new GenericData.Record(fileSchema)
     fileRec.put("_FILE_NAME", f.fileName)
@@ -396,7 +521,9 @@ object PaimonInterchange {
       if (f.deleteRows == 0) null else java.lang.Long.valueOf(f.deleteRows))
     val rec = new GenericData.Record(manifestEntrySchema)
     rec.put("_KIND", kind)
-    rec.put("_PARTITION", java.nio.ByteBuffer.wrap(emptyRow))
+    rec.put("_PARTITION", java.nio.ByteBuffer.wrap(
+      if (f.partition.isEmpty) emptyRow
+      else binaryRowAny(f.partition.zip(partTypes))))
     rec.put("_BUCKET", f.bucket)
     rec.put("_TOTAL_BUCKETS", totalBuckets)
     rec.put("_FILE", fileRec)
@@ -405,10 +532,14 @@ object PaimonInterchange {
 
   private final case class ParsedEntry(kind: Int, file: PaimonFile)
 
-  private def readManifest(p: Path): Seq[ParsedEntry] =
+  private def readManifest(p: Path, partTypes: Seq[DataType] = Nil): Seq[ParsedEntry] =
     IcebergInterchange.readAvro(p).map { r =>
       val f = r.get("_FILE").asInstanceOf[GenericRecord]
       def l(n: String): Long = f.get(n).asInstanceOf[Number].longValue()
+      val partBytes = {
+        val bb = r.get("_PARTITION").asInstanceOf[java.nio.ByteBuffer]
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      }
       ParsedEntry(
         r.get("_KIND").asInstanceOf[Number].intValue(),
         PaimonFile(
@@ -417,7 +548,9 @@ object PaimonInterchange {
           l("_MIN_SEQUENCE_NUMBER"), l("_MAX_SEQUENCE_NUMBER"),
           f.get("_LEVEL").asInstanceOf[Number].intValue(), l("_SCHEMA_ID"),
           Option(f.get("_DELETE_ROW_COUNT"))
-            .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)))
+            .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+          partition = if (partTypes.isEmpty) Nil
+            else decodeBinaryRow(partBytes, partTypes)))
     }
 
   private def writeManifest(dir: String, name: String, schemaId: Long,
@@ -493,16 +626,19 @@ object PaimonInterchange {
       throw new IllegalArgumentException(s"no Paimon snapshot under $srcDir"))
     val snap = readSnapshot(srcDir, id)
     val schemaId = snap.get("schemaId").asLong()
-    val (struct, pks, buckets, opts) = readSchemaFile(srcDir, schemaId)
+    val (struct, pks, buckets, opts, partitionKeys) = readSchemaFile(srcDir, schemaId)
+    val partTypes = partitionKeys.map(struct(_).dataType)
     val lists = readManifestList(srcDir, snap.get("baseManifestList").asText()) ++
       readManifestList(srcDir, snap.get("deltaManifestList").asText())
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, PaimonFile]
+    // live keyed by (partition tuple, file name): per-partition counters
+    // mean a name alone is ambiguous across partitions
+    val live = scala.collection.mutable.LinkedHashMap.empty[(Seq[Any], String), PaimonFile]
     lists.foreach { case (mf, _, _, _, _) =>
-      readManifest(manifestDir(srcDir).resolve(mf)).foreach { e =>
+      readManifest(manifestDir(srcDir).resolve(mf), partTypes).foreach { e =>
         e.kind match {
-          case Add => live(e.file.fileName) = e.file
+          case Add => live((e.file.partition, e.file.fileName)) = e.file
           case Delete =>
-            require(live.remove(e.file.fileName).isDefined,
+            require(live.remove((e.file.partition, e.file.fileName)).isDefined,
               s"DELETE entry for ${e.file.fileName} cancels no prior ADD — " +
                 "the manifest chain is corrupt")
           case other =>
@@ -511,7 +647,7 @@ object PaimonInterchange {
       }
     }
     PaimonSnapshot(struct, pks, buckets, live.values.toSeq, id,
-      snap.get("commitIdentifier").asLong(), opts)
+      snap.get("commitIdentifier").asLong(), opts, partitionKeys)
   }
 
   // ----------------------------------------------------------------- import
@@ -526,30 +662,53 @@ object PaimonInterchange {
         struct.fields.map(f => f.copy(nullable = true)))
 
   /** Read the live table state: union the live key-value files and run the
-    * LSM merge — per key keep the highest `_SEQUENCE_NUMBER` (retract kinds
-    * win sequence ties, which is the conservative direction), then drop
-    * tombstones. One hash exchange on the key. Skipped entirely when live
-    * files share one sequence number and carry no tombstones — Paimon's own
-    * no-overlap fast path, which one-shot exports always hit. */
-  def importPaimon(spark: SparkSession, srcDir: String): DataFrame = {
+    * LSM merge — per (partition, trimmed key) keep the highest
+    * `_SEQUENCE_NUMBER` (retract kinds win sequence ties, the conservative
+    * direction), then drop tombstones. One hash exchange on the key.
+    * Skipped entirely when live files share one sequence number and carry
+    * no tombstones — Paimon's own no-overlap fast path, which one-shot
+    * exports always hit. APPEND tables (no primary key) store plain rows
+    * and union without any merge.
+    *
+    * `partitionFilter` prunes by identity partition values BEFORE any file
+    * is opened — the manifest's partition tuples are the only thing
+    * consulted, so a one-partition read of a 10k-partition table opens
+    * O(one partition's files). Keys absent from the filter are
+    * unconstrained.
+    */
+  def importPaimon(spark: SparkSession, srcDir: String,
+      partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
     val snap = readTable(srcDir)
-    require(snap.primaryKeys.nonEmpty,
-      "append-only (no primary key) Paimon tables are not supported by this importer")
-    if (snap.files.isEmpty)
+    partitionFilter.keys.foreach(k => require(snap.partitionKeys.contains(k),
+      s"'$k' is not a partition key (${snap.partitionKeys.mkString(", ")})"))
+    val files0 =
+      if (partitionFilter.isEmpty) snap.files
+      else snap.files.filter { f =>
+        snap.partitionKeys.zip(f.partition).forall { case (k, v) =>
+          partitionFilter.get(k).forall(_ == v)
+        }
+      }
+    if (files0.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    // Schema-aware read: each file reads under ITS schema-N (the manifest
-    // records every file's schemaId) and aligns to the latest schema BY
-    // POSITION — positional field ids are stable across Paimon evolution,
-    // so a mid-history RENAME (position keeps its id, changes its name)
-    // resolves correctly instead of reading silent nulls, and a type
-    // PROMOTION (INT -> BIGINT) casts old files up. One sampled footer per
-    // distinct schemaId (O(schemas), not O(files)) still guards against a
-    // foreign table whose files don't match their claimed schema-N.
+    val keys = snap.trimmedKeys
+    // Schema-aware read: each (schema, partition) file group reads under
+    // ITS schema-N (the manifest records every file's schemaId) and aligns
+    // to the latest schema BY POSITION — positional field ids are stable
+    // across Paimon evolution, so a mid-history RENAME (position keeps its
+    // id, changes its name) resolves correctly instead of reading silent
+    // nulls, and a type PROMOTION (INT -> BIGINT) casts old files up. One
+    // sampled footer per distinct schemaId (O(schemas), not O(files))
+    // still guards against a foreign table whose files don't match their
+    // claimed schema-N. Partition value columns are overwritten from the
+    // manifest tuple: identical for live rows (identity partitioning) and
+    // the only source of truth for tombstones, whose value columns are
+    // null.
     val latest = snap.schema
-    val frames = snap.files.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
-      case (sid, files) =>
-        val (fileStruct, filePks, _, _) = readSchemaFile(srcDir, sid)
+    val checkedSchemas = scala.collection.mutable.Set.empty[Long]
+    val frames = files0.groupBy(f => (f.schemaId, f.partition)).toSeq
+      .sortBy(_._1.toString).map { case ((sid, partition), files) =>
+        val (fileStruct, filePks, _, _, fileParts) = readSchemaFile(srcDir, sid)
         require(fileStruct.length <= latest.length &&
           latest.fields.take(fileStruct.length).zip(fileStruct.fields).forall {
             case (l, f) => widens(f.dataType, l.dataType)
@@ -560,33 +719,53 @@ object PaimonInterchange {
           snap.primaryKeys.map(latest.fieldIndex),
           s"schema-$sid has different primary-key positions than the " +
             "latest schema — the LSM merge key would be wrong; refusing")
-        val fileKv = keyValueSchema(fileStruct, filePks)
+        val fileKeys = filePks.filterNot(fileParts.contains)
+        val fileKv =
+          if (keys.isEmpty) StructType(fileStruct.fields.toSeq)
+          else keyValueSchema(fileStruct, fileKeys)
+        val prefix = files.head.partitionPath(snap.partitionKeys)
         val paths = files.map(f =>
-          Paths.get(srcDir, s"bucket-${f.bucket}", f.fileName).toString)
-        val sample = spark.read.parquet(paths.minBy(identity)).schema.fieldNames
-        require(sample.sameElements(fileKv.fieldNames),
-          s"file ${paths.minBy(identity)} columns (${sample.mkString(", ")}) " +
-            s"do not match its schema-$sid key-value layout — the table's " +
-            "schema history is inconsistent with its data files; refusing")
+          Paths.get(srcDir, s"${prefix}bucket-${f.bucket}", f.fileName).toString)
+        if (!checkedSchemas.contains(sid)) {
+          checkedSchemas += sid
+          val sample = spark.read.parquet(paths.minBy(identity)).schema.fieldNames
+          require(sample.sameElements(fileKv.fieldNames),
+            s"file ${paths.minBy(identity)} columns (${sample.mkString(", ")}) " +
+              s"do not match its schema-$sid key-value layout — the table's " +
+              "schema history is inconsistent with its data files; refusing")
+        }
         val kvF = spark.read.schema(fileKv).parquet(paths: _*)
         // align to the latest value row: rename by position, cast
-        // promotions, pad columns newer than this schema with typed nulls
-        val keyCols = filePks.zip(snap.primaryKeys).map { case (o, n) =>
+        // promotions, pad columns newer than this schema with typed nulls,
+        // project the manifest's partition values over their columns
+        val partByName = snap.partitionKeys.zip(partition).toMap
+        val keyCols = fileKeys.zip(keys).map { case (o, n) =>
           col(s"_KEY_$o").cast(latest(n).dataType).as(s"_KEY_$n") }
         val valueCols = latest.fields.zipWithIndex.map { case (l, i) =>
-          if (i < fileStruct.length)
+          if (partByName.contains(l.name))
+            lit(partByName(l.name)).cast(l.dataType).as(l.name)
+          else if (i < fileStruct.length)
             col(fileStruct.fields(i).name).cast(l.dataType).as(l.name)
           else lit(null).cast(l.dataType).as(l.name)
         }
-        kvF.select(keyCols ++ Seq(col(SeqCol), col(KindCol)) ++ valueCols: _*)
-    }
+        val sys = if (keys.isEmpty) Nil else Seq(col(SeqCol), col(KindCol))
+        kvF.select(keyCols ++ sys ++ valueCols: _*)
+      }
     val kv = frames.reduce(_.unionByName(_))
-    val noMerge = snap.files.forall(f => f.deleteRows == 0) &&
-      snap.files.map(f => (f.minSeq, f.maxSeq)).distinct.size == 1
+    if (keys.isEmpty) {
+      // APPEND table: every row is live; duplicates are data
+      require(files0.forall(_.deleteRows == 0),
+        "append tables cannot carry tombstones — the table is corrupt")
+      return kv.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    }
+    val noMerge = files0.forall(f => f.deleteRows == 0) &&
+      files0.map(f => (f.minSeq, f.maxSeq)).distinct.size == 1
     val merged =
       if (noMerge) kv
       else {
-        val keyCols = snap.primaryKeys.map(p => col(s"_KEY_$p"))
+        // the window partitions by (partition values, trimmed key): the
+        // full primary key. Cross-partition keys never meet.
+        val keyCols = snap.partitionKeys.map(col) ++ keys.map(p => col(s"_KEY_$p"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols: _*)
           .orderBy(col(SeqCol).desc, col(KindCol).desc)
@@ -639,49 +818,86 @@ object PaimonInterchange {
       }.toMap
 
   /** Write `rows` (key-value shape + `__pm_bucket`) as one data file per
-    * bucket under `bucket-N/` — one partitionBy job, not a per-bucket
-    * loop — returning the [[PaimonFile]]s with their key bounds. */
+    * (partition, bucket) under `p1=v1/…/bucket-N/` — one partitionBy job,
+    * not a per-group loop — returning the [[PaimonFile]]s with their key
+    * bounds. When `partitionKeys` is non-empty the rows must still carry
+    * the partition VALUE columns (Paimon data files store the full row;
+    * the directory layout and manifest tuple exist for pruning, not
+    * reconstruction); they are duplicated into `__pm_pN` path columns
+    * here. Null partition values and values Spark's path writer would
+    * escape refuse loudly at parse time. */
   private def writeKeyValueFiles(spark: SparkSession, destDir: String,
       rows: DataFrame, pks: Seq[String], struct: StructType,
-      seq: Long, schemaId: Long, level: Int, tag: String)
+      seq: Long, schemaId: Long, level: Int, tag: String,
+      partitionKeys: Seq[String] = Nil)
       : Seq[(PaimonFile, Array[Byte], Array[Byte])] = {
-    val bounds = keyBounds(rows, pks, struct)
+    // per-bucket key bounds only make sense unpartitioned (one file per
+    // bucket); partitioned tables write the empty row (pruning off, never
+    // wrong), and prune via the partition tuple instead
+    val bounds: Map[Int, (Array[Byte], Array[Byte])] =
+      if (partitionKeys.isEmpty) keyBounds(rows, pks, struct) else Map.empty
+    val partTypes = partitionKeys.map(struct(_).dataType)
+    val pathCols = partitionKeys.zipWithIndex.map { case (k, i) => s"__pm_p$i" -> k }
+    val withPath = pathCols.foldLeft(rows) { case (d, (pc, k)) => d.withColumn(pc, col(k)) }
     val tmp = Files.createTempDirectory("graft_pm_write")
-    rows.write.partitionBy("__pm_bucket").mode("overwrite").parquet(tmp.toString)
+    withPath.write.partitionBy(pathCols.map(_._1) :+ "__pm_bucket": _*)
+      .mode("overwrite").parquet(tmp.toString)
+    def parsePart(seg: String, i: Int): Any = {
+      val raw = seg.stripPrefix(s"__pm_p$i=")
+      require(raw != "__HIVE_DEFAULT_PARTITION__",
+        s"null value in partition key '${partitionKeys(i)}' — identity " +
+          "partition values must be non-null; refusing")
+      require(!raw.contains('%'),
+        s"partition value '$raw' needs path escaping — values are limited " +
+          "to path-safe characters here; refusing rather than writing a " +
+          "layout other readers unescape differently")
+      partTypes(i) match {
+        case LongType => raw.toLong
+        case IntegerType => raw.toInt
+        case _ => raw
+      }
+    }
     var n = 0
     val out = Files.walk(tmp).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       .sortBy(_.toString)
       .map { p =>
-        val bucket = tmp.relativize(p).getName(0).toString
+        val rel = tmp.relativize(p)
+        val partVals = partitionKeys.indices.map(i => parsePart(rel.getName(i).toString, i))
+        val bucket = rel.getName(partitionKeys.size).toString
           .stripPrefix("__pm_bucket=").toInt
-        val dir = Paths.get(destDir, s"bucket-$bucket")
+        val prefix = partitionKeys.zip(partVals)
+          .map { case (k, v) => s"$k=$v/" }.mkString
+        val dir = Paths.get(destDir, s"${prefix}bucket-$bucket")
         Files.createDirectories(dir)
         val name = f"data-$tag-$n%04d.parquet"; n += 1
         // REPLACE: a crash-redo of the same snapshot re-writes the same
         // deterministic file names over any orphans
         Files.move(p, dir.resolve(name),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        (bucket, name)
+        (bucket, name, partVals, prefix)
       }
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(p => Files.deleteIfExists(p))
-    val paths = out.map { case (b, name) =>
-      Paths.get(destDir, s"bucket-$b", name).toString }
+    val paths = out.map { case (b, name, _, prefix) =>
+      Paths.get(destDir, s"${prefix}bucket-$b", name).toString }
+    val hasKind = rows.columns.contains(KindCol)
     val counts =
       if (paths.isEmpty) Map.empty[String, (Long, Long)]
       else spark.read.parquet(paths: _*)
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"),
-          sum(when(col(KindCol) === KindDelete, 1L).otherwise(0L)).as("dels"))
+          (if (hasKind) sum(when(col(KindCol) === KindDelete, 1L).otherwise(0L))
+           else sum(lit(0L))).as("dels"))
         .collect()
         .map(r => (new java.net.URI(r.getString(0)).getPath, (r.getLong(1), r.getLong(2))))
         .toMap
-    out.map { case (b, name) =>
-      val p = Paths.get(destDir, s"bucket-$b", name)
+    out.map { case (b, name, partVals, prefix) =>
+      val p = Paths.get(destDir, s"${prefix}bucket-$b", name)
       val (rc, dc) = counts(p.toString)
       val (mn, mx) = bounds.getOrElse(b, (emptyRow, emptyRow))
-      (PaimonFile(name, Files.size(p), rc, b, seq, seq, level, schemaId, dc), mn, mx)
+      (PaimonFile(name, Files.size(p), rc, b, seq, seq, level, schemaId, dc,
+        partition = partVals.toSeq), mn, mx)
     }
   }
 
@@ -689,9 +905,14 @@ object PaimonInterchange {
 
   /** Export the table's LATEST snapshot as a complete Paimon table: one
     * snapshot whose delta manifest ADDs one max-level key-value file per
-    * bucket (fully merged state — the no-overlap fast path on read). MOR
-    * delete files refuse (compact first), exactly like the Delta/Iceberg
-    * exporters. */
+    * (partition, bucket) (fully merged state — the no-overlap fast path on
+    * read). Identity partitions (the schema's partitionKeys) write the
+    * public `p1=v1/…/bucket-N` layout with the partition tuple in every
+    * manifest entry's `_PARTITION` BinaryRow; the LSM key is Paimon's
+    * TRIMMED primary key (pk minus partition fields). A table WITHOUT
+    * primary keys exports as a Paimon APPEND table: plain rows, no
+    * key-value system columns, level 0. MOR delete files refuse (compact
+    * first), exactly like the Delta/Iceberg exporters. */
   def export(spark: SparkSession, table: LakehouseTable, destDir: String): Unit = {
     val snap = table.snapshot()
     require(snap.deleteFiles.isEmpty,
@@ -701,9 +922,10 @@ object PaimonInterchange {
       throw new IllegalStateException("table has no meta action (not created)"))
     val struct = meta.schema.struct
     val pks = meta.schema.primaryKeys
-    require(pks.nonEmpty, "Paimon primary-key export needs primary keys")
+    val partitionKeys = meta.schema.partitionKeys
     val buckets = meta.buckets
-    val schemaId = ensureSchema(destDir, struct, pks, buckets)
+    val schemaId = ensureSchema(destDir, struct, pks, buckets, partitionKeys)
+    val partTypes = partitionKeys.map(struct(_).dataType)
     val live =
       if (snap.files.isEmpty)
         spark.createDataFrame(
@@ -711,11 +933,19 @@ object PaimonInterchange {
       else spark.read.schema(struct)
         .parquet(snap.files.map(f => Paths.get(table.dir, f.path).toString): _*)
     val seq = math.max(table.latestVersion(), 0L)
-    val files = writeKeyValueFiles(spark, destDir,
-      toKeyValue(live, struct, pks, seq, KindInsert, buckets),
-      pks, struct, seq, schemaId, level = 5, tag = "export")
+    val keys = pks.filterNot(partitionKeys.contains)
+    val (rows, level) =
+      if (pks.isEmpty)
+        // APPEND table: plain rows, round-robin bucket spread (Paimon's
+        // bucket-key-less append distribution), level 0
+        (live.select(struct.fieldNames.map(col).toSeq :+
+          pmod(spark_partition_id(), lit(buckets)).as("__pm_bucket"): _*), 0)
+      else
+        (toKeyValue(live, struct, keys, seq, KindInsert, buckets), 5)
+    val files = writeKeyValueFiles(spark, destDir, rows,
+      keys, struct, seq, schemaId, level = level, tag = "export", partitionKeys)
     val mMeta = writeManifest(destDir, "manifest-export-0", schemaId,
-      files.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx) })
+      files.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx, partTypes) })
     writeManifestList(destDir, "manifest-list-export-base", Nil)
     writeManifestList(destDir, "manifest-list-export-delta", Seq(mMeta))
     writeSourceTracking(destDir, 1L, files.map { case (f, _, _) =>
@@ -791,7 +1021,10 @@ object PaimonInterchange {
     require(fromSnapshotId < toSnapshotId,
       s"empty or inverted window ($fromSnapshotId, $toSnapshotId]")
     val head = readSnapshot(srcDir, toSnapshotId)
-    val (struct, pks, _, _) = readSchemaFile(srcDir, head.get("schemaId").asLong())
+    val (struct, pks, _, _, dbParts) = readSchemaFile(srcDir, head.get("schemaId").asLong())
+    require(dbParts.isEmpty,
+      "incremental reads of partitioned tables are not supported here — " +
+        "partitioned tables are export/import scope; refusing")
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val s = readSnapshot(srcDir, id)
       require(s.get("commitKind").asText() == "APPEND",
@@ -835,7 +1068,10 @@ object PaimonInterchange {
     require(fromSnapshotId < toSnapshotId,
       s"empty or inverted window ($fromSnapshotId, $toSnapshotId]")
     val head = readSnapshot(srcDir, toSnapshotId)
-    val (struct, pks, _, _) = readSchemaFile(srcDir, head.get("schemaId").asLong())
+    val (struct, pks, _, _, dbParts) = readSchemaFile(srcDir, head.get("schemaId").asLong())
+    require(dbParts.isEmpty,
+      "incremental reads of partitioned tables are not supported here — " +
+        "partitioned tables are export/import scope; refusing")
     val perSnapshot = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val s = readSnapshot(srcDir, id)
       val cl = s.get("changelogManifestList")
@@ -955,6 +1191,9 @@ object PaimonInterchange {
   def mirror(spark: SparkSession, table: LakehouseTable, destDir: String): Int = {
     val head = table.latestVersion()
     require(head >= 0, "cannot mirror a table with no commits")
+    require(table.snapshot().meta.forall(_.schema.partitionKeys.isEmpty),
+      "partitioned tables are export/import scope — the per-commit mirror " +
+        "(tombstones, changelog, expiry) is unpartitioned only; refusing")
     val prior = latestSnapshotId(destDir)
     var lastMirrored = -1L
     var nextSnapshotId = 1L

@@ -392,34 +392,234 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inconsistent"))
   }
 
-  test("refusals: partitioned tables, dynamic buckets, no primary key") {
+  test("refusals: dynamic buckets; mirror on a partitioned table") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
     val dest = Files.createTempDirectory("graft_pm_ref").toString
     PaimonInterchange.export(spark, t, dest)
     val p = Paths.get(dest, "schema", "schema-0")
-    val orig = Files.readAllBytes(p)
-
-    val withPart = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-    withPart.putArray("partitionKeys").add("v")
-    Files.write(p, mapper.writeValueAsBytes(withPart))
-    val e1 = intercept[IllegalArgumentException](PaimonInterchange.readTable(dest))
-    assert(e1.getMessage.contains("partitioned"))
-
-    Files.write(p, orig)
     val withDyn = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     withDyn.withObject("/options").put("bucket", "-1")
     Files.write(p, mapper.writeValueAsBytes(withDyn))
     val e2 = intercept[IllegalArgumentException](PaimonInterchange.readTable(dest))
     assert(e2.getMessage.contains("dynamic bucket"))
 
-    Files.write(p, orig)
-    val noPk = json(p).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-    noPk.putArray("primaryKeys")
-    Files.write(p, mapper.writeValueAsBytes(noPk))
+    val pt = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_pm_refp").toString)
+    pt.create(TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt")), buckets = 2)
+    pt.merge(Seq(("a", 1L, "x")).toDF("dt", "k", "v"),
+      spark.range(0).select(lit("").as("dt"), $"id".as("k")))
+    val e3 = intercept[IllegalArgumentException](PaimonInterchange.mirror(
+      spark, pt, Files.createTempDirectory("graft_pm_refm").toString))
+    assert(e3.getMessage.contains("export/import scope"))
+  }
+
+  test("binary row: typed partition tuples round-trip (long/int/string/null)") {
+    import PaimonInterchange.{binaryRowAny, decodeBinaryRow}
+    val types = Seq[org.apache.spark.sql.types.DataType](
+      LongType, IntegerType, StringType, StringType, StringType)
+    val vals = Seq[Any](42L, -7, "ab", "longer-than-seven-bytes", null)
+    val bytes = binaryRowAny(vals.zip(types))
+    assert(decodeBinaryRow(bytes, types) == vals)
+    // compact strings (<= 7 bytes) stay inside the fixed part
+    val short = binaryRowAny(Seq(("abcdefg", StringType)))
+    assert(short.length == 8 + 8, "7-byte string compacts into its slot")
+    assert(decodeBinaryRow(short, Seq(StringType)) == Seq("abcdefg"))
+    val long = binaryRowAny(Seq(("abcdefgh", StringType)))
+    assert(long.length == 8 + 8 + 8, "8-byte string spills to the var part")
+    assert(decodeBinaryRow(long, Seq(StringType)) == Seq("abcdefgh"))
+    // null marks bit 8 + i of the header word
+    val withNull = binaryRowAny(Seq((null, LongType), (5L, LongType)))
+    assert((java.nio.ByteBuffer.wrap(withNull)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0) & (1L << 8)) != 0)
+  }
+
+  test("identity-partitioned round trip: layout, _PARTITION tuples, trimmed keys") {
+    val pSchema = TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("region", LongType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("dt", "region", "k"), partitionKeys = Seq("dt", "region"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_pm_part").toString)
+    t.create(pSchema, buckets = 2)
+    val rows = (0 until 60).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 3).toLong, i.toLong, s"v$i"))
+    t.merge(rows.toDF("dt", "region", "k", "v"),
+      spark.range(0).select(lit("").as("dt"), lit(0L).as("region"), $"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_partd").toString
+    PaimonInterchange.export(spark, t, dest)
+
+    // layout: p=v dirs, bucket dirs inside them; schema-0 records the keys
+    assert(Files.isDirectory(Paths.get(dest, "dt=a", "region=0", "bucket-0")) ||
+      Files.isDirectory(Paths.get(dest, "dt=a", "region=0", "bucket-1")))
+    val s0 = json(Paths.get(dest, "schema", "schema-0"))
+    assert(s0.get("partitionKeys").elements().asScala.map(_.asText()).toSeq ==
+      Seq("dt", "region"))
+    // data files carry the TRIMMED key only (_KEY_k), plus the full row
+    val snap = PaimonInterchange.readTable(dest)
+    assert(snap.partitionKeys == Seq("dt", "region") && snap.trimmedKeys == Seq("k"))
+    assert(snap.files.forall(_.partition.size == 2))
+    val aFile = snap.files.find(_.partition == Seq("a", 0L)).get
+    val raw = spark.read.parquet(
+      Paths.get(dest, s"dt=a/region=0/bucket-${aFile.bucket}", aFile.fileName).toString)
+    assert(raw.columns.toSeq ==
+      Seq("_KEY_k", "_SEQUENCE_NUMBER", "_VALUE_KIND", "dt", "region", "k", "v"))
+
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = rows.toDF("dt", "region", "k", "v")
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+
+    // manifest-level partition pruning: a one-partition read opens ONLY
+    // that partition's files
+    val pruned = PaimonInterchange.importPaimon(spark, dest,
+      partitionFilter = Map("dt" -> "a", "region" -> 0L))
+    assert(pruned.count() == rows.count(r => r._1 == "a" && r._2 == 0L))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("dt=a/region=0")),
+      s"pruned read must touch only dt=a/region=0, got ${pruned.inputFiles.toSeq}")
+  }
+
+  test("partitioned LSM merge: cross-partition same trimmed key stays separate") {
+    // k=1 exists in BOTH partitions; an upsert to (a, 1) must not touch
+    // (b, 1) — the merge window includes the partition tuple
+    val pSchema = TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt"))
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_pm_xp").toString)
+    t.create(pSchema, buckets = 2)
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("dt", "k", "v"),
+      spark.range(0).select(lit("").as("dt"), $"id".as("k")))
+    val dest = Files.createTempDirectory("graft_pm_xpd").toString
+    PaimonInterchange.export(spark, t, dest)
+    // foreign level-0 file in dt=a only: k=1 rewritten at a higher sequence
+    val kv = Seq((1L, 99L, 0, "a", java.lang.Long.valueOf(1L), "a1-new"))
+      .toDF("_KEY_k", "_SEQUENCE_NUMBER", "_VALUE_KIND", "dt", "k", "v")
+    val withB = kv.withColumn("__b", pmod(hash($"_KEY_k"), lit(2)))
+    val b = withB.select("__b").head().getInt(0)
+    val tmp = Files.createTempDirectory("pm_xpf").toString
+    withB.drop("__b").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dir = Paths.get(dest, "dt=a", s"bucket-$b")
+    Files.createDirectories(dir)
+    Files.move(part, dir.resolve("data-foreign-0.parquet"))
+    // hand-append the manifest entry with the dt=a partition tuple
+    val entrySchema = PaimonInterchange.manifestEntrySchema
+    val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    rec.put("_KIND", 0)
+    rec.put("_PARTITION", java.nio.ByteBuffer.wrap(
+      PaimonInterchange.binaryRowAny(Seq(("a", StringType)))))
+    rec.put("_BUCKET", b); rec.put("_TOTAL_BUCKETS", 2)
+    val fr = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("_FILE").schema())
+    fr.put("_FILE_NAME", "data-foreign-0.parquet")
+    fr.put("_FILE_SIZE", Files.size(dir.resolve("data-foreign-0.parquet")))
+    fr.put("_ROW_COUNT", 1L)
+    fr.put("_MIN_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+    fr.put("_MAX_KEY", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+    def st(f: String) = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("_FILE").schema().getField(f).schema())
+      r.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      r.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+      r.put("_NULL_COUNTS", null)
+      r
+    }
+    fr.put("_KEY_STATS", st("_KEY_STATS"))
+    fr.put("_VALUE_STATS", st("_VALUE_STATS"))
+    fr.put("_MIN_SEQUENCE_NUMBER", 99L)
+    fr.put("_MAX_SEQUENCE_NUMBER", 99L)
+    fr.put("_SCHEMA_ID", 0L)
+    fr.put("_LEVEL", 0)
+    fr.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+    fr.put("_CREATION_TIME", null)
+    fr.put("_DELETE_ROW_COUNT", null)
+    rec.put("_FILE", fr)
+    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-foreign-0"),
+      entrySchema, Map.empty, Seq(rec))
+    val snapNode = json(Paths.get(dest, "snapshot", "snapshot-1"))
+    val listSchema = PaimonInterchange.manifestFileSchema
+    val mf = new org.apache.avro.generic.GenericData.Record(listSchema)
+    mf.put("_FILE_NAME", "manifest-foreign-0")
+    mf.put("_FILE_SIZE", Files.size(Paths.get(dest, "manifest", "manifest-foreign-0")))
+    mf.put("_NUM_ADDED_FILES", 1L); mf.put("_NUM_DELETED_FILES", 0L)
+    val ps = new org.apache.avro.generic.GenericData.Record(
+      listSchema.getField("_PARTITION_STATS").schema())
+    ps.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+    ps.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(PaimonInterchange.emptyRow))
+    ps.put("_NULL_COUNTS", null)
+    mf.put("_PARTITION_STATS", ps)
+    mf.put("_SCHEMA_ID", 0L)
+    IcebergInterchange.writeAvro(Paths.get(dest, "manifest", "manifest-list-2-delta"),
+      listSchema, Map.empty, Seq(mf: org.apache.avro.generic.GenericRecord))
+    val sn2 = snapNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    sn2.put("id", 2L)
+    sn2.put("baseManifestList", snapNode.get("deltaManifestList").asText())
+    sn2.put("deltaManifestList", "manifest-list-2-delta")
+    Files.write(Paths.get(dest, "snapshot", "snapshot-2"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(sn2))
+    Files.write(Paths.get(dest, "snapshot", "LATEST"), "2".getBytes(UTF_8))
+
+    val back = PaimonInterchange.importPaimon(spark, dest)
+      .orderBy("dt").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(back.toSeq == Seq(("a", 1L, "a1-new"), ("b", 1L, "b1")),
+      "the dt=a upsert wins in its partition; dt=b keeps its row")
+  }
+
+  test("append-only table: plain rows, duplicates preserved, no merge") {
+    val aSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq.empty)
+    val t = new LakehouseTable(spark, Files.createTempDirectory("graft_pm_app").toString)
+    t.create(aSchema, buckets = 2)
+    t.append(Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v"))
+    t.append(Seq((1L, "x")).toDF("k", "v"))
+    val dest = Files.createTempDirectory("graft_pm_appd").toString
+    PaimonInterchange.export(spark, t, dest)
+    val s0 = json(Paths.get(dest, "schema", "schema-0"))
+    assert(s0.get("primaryKeys").size() == 0)
+    val snap = PaimonInterchange.readTable(dest)
+    // append files carry NO key-value system columns — just the row
+    val f0 = snap.files.head
+    val raw = spark.read.parquet(
+      Paths.get(dest, s"bucket-${f0.bucket}", f0.fileName).toString)
+    assert(raw.columns.toSeq == Seq("k", "v"))
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(back.count() == 4, "all four rows, duplicates included")
+    assert(back.filter($"k" === 1L && $"v" === "x").count() == 3)
+  }
+
+  test("ensureSchema partition validation: subset-of-pk, fixed keys, types") {
+    val struct = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    val d1 = Files.createTempDirectory("graft_pm_val1").toString
+    val e1 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(d1, struct, Seq("k"), 2, Seq("dt")))
+    assert(e1.getMessage.contains("subset of the primary keys"))
+    val e2 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(d1, struct, Seq("dt"), 2, Seq("dt")))
+    assert(e2.getMessage.contains("non-partition field"))
     val e3 = intercept[IllegalArgumentException](
-      PaimonInterchange.importPaimon(spark, dest))
-    assert(e3.getMessage.contains("primary key"))
+      PaimonInterchange.ensureSchema(d1, struct, Seq("v", "k"), 2, Seq("v")))
+    assert(e3.getMessage.contains("serialization"))
+    assert(PaimonInterchange.ensureSchema(d1, struct, Seq("dt", "k"), 2, Seq("dt")) == 0L)
+    val e4 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(d1, struct, Seq("dt", "k"), 2, Seq.empty))
+    assert(e4.getMessage.contains("cannot evolve"))
   }
 
   test("manifest compaction bounds the list; expiry prunes history and orphans") {
