@@ -609,6 +609,46 @@ object QueriesCdc {
       IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
     }),
 
+    "c_iceberg_bucket_import" -> ((s, dir) => {
+      // NON-identity transforms on import: a foreign table whose spec
+      // buckets doc_id and day-partitions n_chars' source column — the
+      // importer needs no Column Projection because the spec stores
+      // source columns in the data files for derived partition fields;
+      // the derived tuple is pruning metadata only. (Export of such specs
+      // still refuses — this library never derives transforms.)
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_ibb_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType))),
+        primaryKeys = Seq("doc_id")), buckets = 4)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      t.merge(docs, s.range(0).select(col("id").as("doc_id")))
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibb_dst").toString
+      IcebergInterchange.export(s, t, dest)
+      // graft a foreign bucket[8] spec over doc_id, as a real engine's
+      // ALTER TABLE ADD PARTITION FIELD would record it
+      val v = IcebergInterchange.latestMetadataVersion(dest).get
+      val root = IcebergInterchange.readMetadata(dest, v)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val spec = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "partition-specs").get(0)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val f = spec.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "fields").addObject()
+      f.put("name", "doc_bucket"); f.put("transform", "bucket[8]")
+      f.put("source-id", 1); f.put("field-id", 1000)
+      IcebergInterchange.writeMetadata(dest, v + 1, root)
+      val snap = IcebergInterchange.readTable(dest)
+      require(snap.partitionCols.isEmpty,
+        "a derived-only spec projects nothing — values come from the files")
+      IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
+    }),
+
     "c_iceberg_mirror" -> ((s, dir) => {
       // continuous Iceberg mirroring: one Iceberg SNAPSHOT per lakehouse
       // commit (adds in a new manifest, removes rewriting only the
@@ -2725,6 +2765,11 @@ object QueriesCdc {
     // through manifest metadata (files never store the lang column)
     "c_iceberg_partitioned" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // bucket[8]-partitioned foreign spec: source columns live in the data
+    // files, so the import equals the plain table
+    "c_iceberg_bucket_import" ->
+      """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // per-commit snapshot mirroring converges to the one-shot export state
     "c_iceberg_mirror" ->

@@ -37,9 +37,13 @@ import scala.jdk.CollectionConverters._
   *    are supported: per-file partition values from the manifests project
   *    back as constant columns (the spec's Column Projection rule), so
   *    files that do not store the partition column — [[exportPartitioned]]
-  *    output, Hive-migrated tables — read correctly. Unsupported features
+  *    output, Hive-migrated tables — read correctly. NON-identity
+  *    transforms (bucket/truncate/year/month/day/hour/void) import
+  *    without projection: the spec stores the SOURCE column in the data
+  *    files for derived partition fields, so the derived tuple is pruning
+  *    metadata only (export stays identity-only). Unsupported features
   *    fail LOUDLY instead of reading wrong data: non-parquet data files,
-  *    non-identity partition transforms, format-version != 2.
+  *    unknown partition transforms, format-version != 2.
   *  - [[mirror]]: continuous mirroring, ONE Iceberg snapshot per
   *    lakehouse commit. Adds go into one new manifest; removes rewrite
   *    ONLY the manifests that contain the removed files (kept entries
@@ -527,7 +531,7 @@ object IcebergInterchange {
 
   private[sinks] def metadataDir(dest: String): Path = Paths.get(dest, "metadata")
 
-  private[sinks] def latestMetadataVersion(dest: String): Option[Int] = {
+  private[graft] def latestMetadataVersion(dest: String): Option[Int] = {
     val hint = metadataDir(dest).resolve("version-hint.text")
     if (Files.exists(hint))
       Some(new String(Files.readAllBytes(hint), UTF_8).trim.toInt)
@@ -540,11 +544,11 @@ object IcebergInterchange {
     else None
   }
 
-  private[sinks] def readMetadata(dest: String, v: Int): JsonNode =
+  private[graft] def readMetadata(dest: String, v: Int): JsonNode =
     mapper.readTree(Files.readAllBytes(
       metadataDir(dest).resolve(s"v$v.metadata.json")))
 
-  private[sinks] def writeMetadata(dest: String, v: Int, node: ObjectNode): Unit = {
+  private[graft] def writeMetadata(dest: String, v: Int, node: ObjectNode): Unit = {
     Files.createDirectories(metadataDir(dest))
     Files.write(metadataDir(dest).resolve(s"v$v.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
@@ -880,31 +884,38 @@ object IcebergInterchange {
       .getOrElse(throw new IllegalStateException(s"schema-id $schemaId not in schemas"))
     val fieldIds = schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-    // IDENTITY-transform partitioning is supported: partition values ride
-    // in the manifests' partition structs and project back as constant
-    // columns per file (the spec's Column Projection rule — the common
-    // case for real Iceberg tables, including Hive-migrated files that do
-    // not store the partition column at all). Any other transform
-    // (bucket/truncate/year/...) cannot be inverted to column values, so
-    // it refuses loudly rather than dropping or corrupting the column.
+    // Partition transforms on IMPORT: IDENTITY values ride in the
+    // manifests' partition structs and project back as constant columns
+    // per file (the spec's Column Projection rule — needed for
+    // Hive-migrated files that do not store the partition column at all).
+    // NON-identity transforms (bucket/truncate/year/month/day/hour/void)
+    // need NO projection: the spec requires data files to store the
+    // SOURCE column for derived partition fields, so reading the files is
+    // already complete — the derived tuple is pruning metadata only.
+    // (EXPORT stays identity-only: this library never derives transforms.)
+    // Unknown transform names still refuse: an unrecognized derivation on
+    // a spec this reader has never seen could mean unreadable files.
+    val knownDerived = Set("year", "month", "day", "hour", "void")
     root.get("partition-specs").elements().asScala.foreach { s =>
       s.get("fields").elements().asScala.foreach { f =>
         val tr = f.get("transform").asText()
-        require(tr == "identity",
-          s"partition transform '$tr' is not supported (identity only): " +
-            "non-identity partition values cannot be projected back to " +
-            "column values — refusing rather than dropping the column")
+        require(tr == "identity" || knownDerived.contains(tr) ||
+          tr.matches("bucket\\[\\d+\\]") || tr.matches("truncate\\[\\d+\\]"),
+          s"partition transform '$tr' is not a transform this importer " +
+            "knows — refusing rather than guessing at its read semantics")
       }
     }
     val defaultSpecId = root.get("default-spec-id").asInt()
     val partitionCols = root.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpecId)
-      .map(_.get("fields").elements().asScala.map { f =>
-        val srcId = f.get("source-id").asInt()
-        val srcCol = fieldIds.getOrElse(srcId, throw new IllegalArgumentException(
-          s"partition spec source-id $srcId is not a field of the current schema"))
-        f.get("name").asText() -> srcCol
-      }.toSeq).getOrElse(Nil)
+      .map(_.get("fields").elements().asScala
+        .filter(_.get("transform").asText() == "identity")
+        .map { f =>
+          val srcId = f.get("source-id").asInt()
+          val srcCol = fieldIds.getOrElse(srcId, throw new IllegalArgumentException(
+            s"partition spec source-id $srcId is not a field of the current schema"))
+          f.get("name").asText() -> srcCol
+        }.toSeq).getOrElse(Nil)
     val props = Option(root.get("properties")).map(p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])

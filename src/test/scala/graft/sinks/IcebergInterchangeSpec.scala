@@ -688,9 +688,13 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
-  test("non-identity partition transforms refuse loudly") {
+  test("non-identity transforms import without projection; unknown ones refuse") {
+    // bucket[16] on k: the data files store k itself (the spec requires
+    // source columns for derived partition fields), so the import needs no
+    // Column Projection — the derived tuple is pruning metadata only
     val t = newTable()
-    t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
     val dest = Files.createTempDirectory("graft_ib_ptr").toString
     IcebergInterchange.export(spark, t, dest)
     val root = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
@@ -700,8 +704,15 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     f.put("name", "k_bucket"); f.put("transform", "bucket[16]")
     f.put("source-id", 1); f.put("field-id", 1000)
     IcebergInterchange.writeMetadata(dest, 2, root)
+    val back = IcebergInterchange.importIceberg(spark, dest).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b")),
+      "bucket-partitioned import reads the source column from the files")
+    // an unknown derivation could mean unreadable files: refuse
+    f.put("transform", "zorder[2]")
+    IcebergInterchange.writeMetadata(dest, 3, root)
     val e = intercept[IllegalArgumentException](IcebergInterchange.readTable(dest))
-    assert(e.getMessage.contains("bucket[16]"))
+    assert(e.getMessage.contains("zorder[2]"))
   }
 
   test("empty table mirrors to a snapshot-less metadata; import is empty") {
