@@ -233,6 +233,26 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("yaml 'kafka' sink: composed pipeline produces debezium-json over the wire") {
+    val broker = new graft.sinks.KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      runPipeline(
+        s"""  type: kafka
+           |  properties.bootstrap.servers: ${broker.bootstrap}""".stripMargin)
+      // the composer hands the ENVELOPE to the ChangelogSink: both
+      // transformed INSERTs reach the topic as their own records
+      val c = new graft.sinks.KafkaWireConsumer(broker.bootstrap)
+      val values = c.readAll("app.users", 0)
+        .map(r => new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
+      c.close()
+      assert(values.size == 2)
+      assert(values.forall(_.contains("\"op\":\"c\"")))
+      assert(values.exists(v => v.contains(""""uname":"ANN"""")))
+      assert(values.forall(_.contains(""""table":"users"""")))
+    } finally broker.stop()
+  }
+
   test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {
     Seq("mysql", "oceanbase", "postgres").foreach { t =>
       val sink = DataSinks.forDef(spark, SinkDef(t, None, Map("url" -> "jdbc:none")))
