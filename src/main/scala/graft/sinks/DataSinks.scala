@@ -108,6 +108,14 @@ object DataSinks {
               val i = m.lastIndexOf(':')
               require(i > 0, s"malformed tableId-to-topic mapping entry '$m'")
               (m.substring(0, i), m.substring(i + 1))
+            }).getOrElse(Seq.empty),
+          addTableIdHeaders = sinkDef.config
+            .getOrElse("sink.add-tableId-to-header-enabled", "false").toBoolean,
+          customHeaders = sinkDef.config.get("sink.custom-header")
+            .map(_.split(",").toSeq.filter(_.nonEmpty).map { h =>
+              val i = h.indexOf(':')
+              require(i > 0, s"malformed custom header '$h' (want key:value)")
+              (h.substring(0, i).trim, h.substring(i + 1).trim)
             }).getOrElse(Seq.empty))
       case "starrocks" =>
         new StarRocksSink(

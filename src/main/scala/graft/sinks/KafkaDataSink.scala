@@ -48,6 +48,13 @@ final class KafkaDataSink(
     partitionStrategy: String = "ALL_TO_ZERO",
     topicOverride: Option[String] = None,
     topicMapping: Seq[(String, String)] = Seq.empty,
+    /** `sink.add-tableId-to-header-enabled`: stamp namespace/schemaName/
+      * tableName record headers (the reference's
+      * `PipelineKafkaRecordSerializationSchema` shape) so consumers of a
+      * merged custom topic can route without parsing the value. */
+    addTableIdHeaders: Boolean = false,
+    /** `sink.custom-header`: "k1:v1,k2:v2" stamped on every record. */
+    customHeaders: Seq[(String, String)] = Seq.empty,
     commitTopic: String = "__graft_commits")
     extends DataSink with ChangelogSink {
 
@@ -120,6 +127,15 @@ final class KafkaDataSink(
       valueCol.as("value"),
       col(Envelope.SeqCol).as("seq"))
     val boot = bootstrap
+    // record headers are constant per (table, batch): the tableId triple
+    // (reference: PipelineKafkaRecordSerializationSchema) plus any
+    // configured custom headers
+    val headers: Seq[(String, Array[Byte])] =
+      (if (addTableIdHeaders)
+        Seq("namespace" -> Option(t.namespace).getOrElse("").getBytes(UTF_8),
+          "schemaName" -> Option(t.schemaName).getOrElse("").getBytes(UTF_8),
+          "tableName" -> t.tableName.getBytes(UTF_8))
+      else Nil) ++ customHeaders.map { case (k, v) => k -> v.getBytes(UTF_8) }
     // all rows of one Kafka partition land in one task, in sequence order:
     // a single producer appends them as one ordered run of batches
     frame
@@ -132,9 +148,9 @@ final class KafkaDataSink(
           try {
             rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).foreach { case (kp, rs) =>
               rs.grouped(1000).foreach { group =>
-                p.produce(topic, kp, group.toSeq.map { r =>
+                p.produceWithHeaders(topic, kp, group.toSeq.map { r =>
                   (r.getString(1).getBytes(UTF_8), r.getString(2).getBytes(UTF_8),
-                    r.getLong(3))
+                    r.getLong(3), headers)
                 })
               }
             }

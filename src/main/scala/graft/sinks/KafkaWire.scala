@@ -94,10 +94,10 @@ object KafkaWire {
 
   // --------------------------------------------------------- record batches
 
-  /** One decoded record: (offset, timestamp, key, value) — headers are
-    * parsed and discarded (the sink writes none). */
+  /** One decoded record: (offset, timestamp, key, value, headers). */
   final case class WireRecord(offset: Long, timestamp: Long,
-      key: Array[Byte], value: Array[Byte])
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])] = Nil)
 
   /** Encode a RecordBatch v2. The CRC32C covers attributes..end — the spec
     * excludes baseOffset/batchLength/leaderEpoch/magic/crc precisely so a
@@ -105,7 +105,13 @@ object KafkaWire {
     * the checksum (the double does exactly that).
     */
   def encodeBatch(baseOffset: Long,
-      records: Seq[(Array[Byte], Array[Byte], Long)]): Array[Byte] = {
+      records: Seq[(Array[Byte], Array[Byte], Long)]): Array[Byte] =
+    encodeBatchWithHeaders(baseOffset,
+      records.map { case (k, v, ts) => (k, v, ts, Nil) })
+
+  def encodeBatchWithHeaders(baseOffset: Long,
+      records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])])
+      : Array[Byte] = {
     require(records.nonEmpty, "a RecordBatch must carry at least one record")
     val firstTs = records.map(_._3).min
     val maxTs = records.map(_._3).max
@@ -118,14 +124,19 @@ object KafkaWire {
     body.int16(-1) // producerEpoch
     body.int32(-1) // baseSequence
     body.int32(records.size)
-    records.zipWithIndex.foreach { case ((k, v, ts), i) =>
+    records.zipWithIndex.foreach { case ((k, v, ts, headers), i) =>
       val r = new Writer
       r.int8(0) // record attributes
       r.varlong(ts - firstTs)
       r.varint(i) // offsetDelta
       if (k == null) r.varint(-1) else { r.varint(k.length); r.raw(k) }
       if (v == null) r.varint(-1) else { r.varint(v.length); r.raw(v) }
-      r.varint(0) // headers
+      r.varint(headers.size)
+      headers.foreach { case (hk, hv) =>
+        val hkb = hk.getBytes(UTF_8)
+        r.varint(hkb.length); r.raw(hkb)
+        if (hv == null) r.varint(-1) else { r.varint(hv.length); r.raw(hv) }
+      }
       val rb = r.result()
       body.varint(rb.length); body.raw(rb)
     }
@@ -190,8 +201,18 @@ object KafkaWire {
           val value = if (vLen < 0) null else {
             val b = new Array[Byte](vLen); (0 until vLen).foreach(i => b(i) = r.int8().toByte); b
           }
-          r.skip(end - r.position) // headers
-          out += WireRecord(baseOffset + offDelta, firstTs + tsDelta, key, value)
+          val nHeaders = r.varint()
+          val headers = (0 until nHeaders).map { _ =>
+            val kl = r.varint()
+            val kb = new Array[Byte](kl); (0 until kl).foreach(i => kb(i) = r.int8().toByte)
+            val vl = r.varint()
+            val vb = if (vl < 0) null else {
+              val b = new Array[Byte](vl); (0 until vl).foreach(i => b(i) = r.int8().toByte); b
+            }
+            new String(kb, UTF_8) -> vb
+          }
+          r.skip(end - r.position)
+          out += WireRecord(baseOffset + offDelta, firstTs + tsDelta, key, value, headers)
         }
       }
     }
@@ -296,8 +317,14 @@ final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-produ
   /** Produce one RecordBatch to (topic, partition); returns the assigned
     * base offset. */
   def produce(topic: String, partition: Int,
-      records: Seq[(Array[Byte], Array[Byte], Long)]): Long = {
-    val batch = encodeBatch(0L, records)
+      records: Seq[(Array[Byte], Array[Byte], Long)]): Long =
+    produceWithHeaders(topic, partition,
+      records.map { case (k, v, ts) => (k, v, ts, Nil) })
+
+  def produceWithHeaders(topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])])
+      : Long = {
+    val batch = encodeBatchWithHeaders(0L, records)
     val body = new Writer
     body.nullableString(null) // transactional_id
     body.int16(-1) // acks: full ISR

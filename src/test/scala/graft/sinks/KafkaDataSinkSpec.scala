@@ -157,6 +157,27 @@ class KafkaDataSinkSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("record headers: tableId triple + custom headers ride the wire") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap,
+        topicOverride = Some("merged"),
+        addTableIdHeaders = true,
+        customHeaders = Seq("env" -> "prod"))
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      sink.writeChangelog(tid, changelog(Seq((1L, "a", "INSERT", 0L))),
+        batchId = -1L, runId = "")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val recs = c.readAll("merged", 0)
+      c.close()
+      assert(recs.size == 1)
+      val hs = recs.head.headers.map { case (k, v) => k -> new String(v, UTF_8) }.toMap
+      assert(hs("tableName") == "users" && hs("schemaName") == "app")
+      assert(hs("env") == "prod")
+    } finally broker.stop()
+  }
+
   test("YAML registry: sink.type kafka resolves with the reference's options") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 2)
     broker.start()
