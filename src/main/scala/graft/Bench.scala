@@ -799,6 +799,40 @@ object Bench {
       }.foreach(sec => out += "b13_paimon_import_flat_sec" -> sec)
     }
 
+    // B14: Kafka wire round trip — RecordBatch v2 encode (varints, CRC32C)
+    // + Produce v3 over a real loopback socket + broker append on the
+    // produce side; Fetch v4 + batch decode on the fetch side. Like
+    // B10/B11 this is per-producer driver-side cost that bounds one sink
+    // task's rate regardless of executor count — measured, not assumed.
+    once("b14") {
+      val broker = new graft.sinks.KafkaBrokerDouble(autoCreatePartitions = 1)
+      broker.start()
+      try {
+        val n = 50000
+        val recs = (0 until n).map { i =>
+          (s"""{"id":$i}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"""{"before":null,"after":{"id":$i,"v":"val-$i"},"op":"c"}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            i.toLong)
+        }
+        var run = 0
+        timed("b14_produce") {
+          run += 1 // append-only wire: each run produces to a fresh topic
+          val p = new graft.sinks.KafkaWireProducer(broker.bootstrap)
+          try {
+            val topic = s"bench-$run"
+            p.partitionsOf(topic)
+            recs.grouped(1000).foreach(g => p.produce(topic, 0, g))
+          } finally p.close()
+        }.foreach(sec => out += "b14_kafka_produce_events_per_sec" -> n / sec)
+        timed("b14_fetch") {
+          val c = new graft.sinks.KafkaWireConsumer(broker.bootstrap)
+          try require(c.readAll("bench-1", 0).size == n, "fetch must drain the topic")
+          finally c.close()
+        }.foreach(sec => out += "b14_kafka_fetch_events_per_sec" -> n / sec)
+      } finally broker.stop()
+    }
+
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the
     // schema-evolution stall probe. Same warmup + median-of-3 + raw
     // discipline as B1–B5 (r08's single un-instrumented run drifted 3.7×

@@ -80,6 +80,9 @@ object KafkaWire {
       val n = int32()
       if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
     }
+    def bytesRaw(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); buf.get(b); b
+    }
     def varint(): Int = varlong().toInt
     def varlong(): Long = {
       var z = 0L; var shift = 0; var b = 0
@@ -194,21 +197,14 @@ object KafkaWire {
           val tsDelta = r.varlong()
           val offDelta = r.varint()
           val kLen = r.varint()
-          val key = if (kLen < 0) null else {
-            val b = new Array[Byte](kLen); (0 until kLen).foreach(i => b(i) = r.int8().toByte); b
-          }
+          val key = if (kLen < 0) null else r.bytesRaw(kLen)
           val vLen = r.varint()
-          val value = if (vLen < 0) null else {
-            val b = new Array[Byte](vLen); (0 until vLen).foreach(i => b(i) = r.int8().toByte); b
-          }
+          val value = if (vLen < 0) null else r.bytesRaw(vLen)
           val nHeaders = r.varint()
           val headers = (0 until nHeaders).map { _ =>
-            val kl = r.varint()
-            val kb = new Array[Byte](kl); (0 until kl).foreach(i => kb(i) = r.int8().toByte)
+            val kb = r.bytesRaw(r.varint())
             val vl = r.varint()
-            val vb = if (vl < 0) null else {
-              val b = new Array[Byte](vl); (0 until vl).foreach(i => b(i) = r.int8().toByte); b
-            }
+            val vb = if (vl < 0) null else r.bytesRaw(vl)
             new String(kb, UTF_8) -> vb
           }
           r.skip(end - r.position)
@@ -286,7 +282,11 @@ final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-produ
   import KafkaWire._
 
   private val (host, port) = KafkaWireProducer.parseBootstrap(bootstrap)
-  private lazy val sock = new Socket(host, port)
+  private lazy val sock = {
+    val s = new Socket(host, port)
+    s.setTcpNoDelay(true) // request/response protocol: Nagle + delayed
+    s                     // ACK would add ~40 ms per produce round trip
+  }
   private val corr = new AtomicInteger(0)
 
   private def call(apiKey: Int, version: Int, body: Array[Byte]): Reader =
@@ -362,7 +362,11 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
   import KafkaWire._
 
   private val (host, port) = KafkaWireProducer.parseBootstrap(bootstrap)
-  private lazy val sock = new Socket(host, port)
+  private lazy val sock = {
+    val s = new Socket(host, port)
+    s.setTcpNoDelay(true)
+    s
+  }
   private val corr = new AtomicInteger(0)
 
   private def call(apiKey: Int, version: Int, body: Array[Byte]): Reader =
@@ -471,6 +475,7 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
     while (running) {
       try {
         val sock = ss.accept()
+        sock.setTcpNoDelay(true)
         val t = new Thread(() => serve(sock), "kafka-broker-conn")
         t.setDaemon(true)
         t.start()

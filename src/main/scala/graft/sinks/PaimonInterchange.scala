@@ -1125,6 +1125,13 @@ object PaimonInterchange {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val latest = latestSnapshotId(destDir).getOrElse(
       throw new IllegalArgumentException(s"no Paimon snapshot under $destDir"))
+    latestSchemaId(destDir).foreach { sid =>
+      require(readSchemaFile(destDir, sid)._5.isEmpty,
+        "expiry on a partitioned table is not supported (partitioned " +
+          "tables are export/import scope; orphan resolution here is " +
+          "bucket-dir based) — refusing rather than silently deleting " +
+          "nothing")
+    }
     val earliestPath = snapshotDir(destDir).resolve("EARLIEST")
     val earliest = new String(Files.readAllBytes(earliestPath), UTF_8).trim.toLong
     val cut = latest - keepLast + 1
