@@ -202,6 +202,10 @@ final class MongoServerDouble(val source: DocumentChangeSource, batchSize: Int =
 
   private def acceptLoop(ss: ServerSocket): Unit =
     try while (!ss.isClosed) {
+      // NB: the server side deliberately KEEPS Nagle: the dump stream is
+      // written event-by-event, and coalescing small writes into full
+      // packets is worth 3x throughput (measured on B11); the CLIENT sets
+      // TCP_NODELAY because its commands are request-response.
       val sock = ss.accept()
       val t = new Thread(
         () => try handle(sock) catch { case _: Throwable => () } finally sock.close(),
@@ -336,6 +340,7 @@ object MongoChangeStreamClient {
     val sock = new Socket(host, port)
     try {
       sock.setSoTimeout(30000)
+      sock.setTcpNoDelay(true) // command round trips: avoid Nagle+delayed-ACK stalls
       val in = new BufferedInputStream(sock.getInputStream)
       val out = new BufferedOutputStream(sock.getOutputStream)
       var reqId = 1

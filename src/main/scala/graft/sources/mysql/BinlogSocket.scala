@@ -567,6 +567,10 @@ final class BinlogServerDouble(
 
   private def acceptLoop(ss: ServerSocket): Unit =
     try while (!ss.isClosed) {
+      // NB: the server side deliberately KEEPS Nagle: the dump stream is
+      // written event-by-event, and coalescing small writes into full
+      // packets is worth 3x throughput (measured on B11); the CLIENT sets
+      // TCP_NODELAY because its commands are request-response.
       val sock = ss.accept()
       // a client hangup mid-session is normal (short-lived dump sessions)
       val t = new Thread(
@@ -648,6 +652,7 @@ object BinlogDumpClient {
     val sock = new Socket(host, port)
     try {
       sock.setSoTimeout(30000)
+      sock.setTcpNoDelay(true) // command round trips: avoid Nagle+delayed-ACK stalls
       val in = new BufferedInputStream(sock.getInputStream)
       val out = new BufferedOutputStream(sock.getOutputStream)
       val (_, greeting) = readPacket(in)
