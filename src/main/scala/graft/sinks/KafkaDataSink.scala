@@ -182,20 +182,36 @@ final class KafkaDataSink(
 
   // ------------------------------------------------- commit marker tracking
 
-  override def lastCommittedBatch(t: TableId, runId: String): Option[Long] = {
-    if (runId.isEmpty) return None
-    val c = new KafkaWireConsumer(bootstrap)
-    try {
-      val p = new KafkaWireProducer(bootstrap)
-      try p.partitionsOf(commitTopic) finally p.close() // ensure it exists
-      val prefix = s"""{"table":"${t.identifier}","runId":"$runId","batchId":"""
-      c.readAll(commitTopic, 0).reverseIterator
-        .map(r => new String(r.value, UTF_8))
-        .collectFirst { case s if s.startsWith(prefix) =>
-          s.stripPrefix(prefix).stripSuffix("}").toLong
+  // Incremental marker scan: the commit topic grows one record per batch,
+  // and a standing pipeline checks it every batch — re-reading from offset
+  // 0 each time would be O(commits^2) cumulative. This instance remembers
+  // the offset it has consumed to and the latest batchId per (table, run);
+  // a restarted driver's fresh instance pays ONE full scan, then stays
+  // incremental.
+  private var markerScanOffset = 0L
+  private val markerLatest =
+    scala.collection.mutable.Map.empty[(String, String), Long]
+
+  override def lastCommittedBatch(t: TableId, runId: String): Option[Long] =
+    synchronized {
+      if (runId.isEmpty) return None
+      val c = new KafkaWireConsumer(bootstrap)
+      try {
+        val p = new KafkaWireProducer(bootstrap)
+        try p.partitionsOf(commitTopic) finally p.close() // ensure it exists
+        val fresh = c.readAll(commitTopic, 0, from = markerScanOffset)
+        fresh.foreach { r =>
+          val s = new String(r.value, UTF_8)
+          val m = """\{"table":"(.+)","runId":"(.+)","batchId":(\d+)\}""".r
+          s match {
+            case m(tbl, run, b) => markerLatest((tbl, run)) = b.toLong
+            case _ => () // foreign record in the commit topic: ignore
+          }
+          markerScanOffset = math.max(markerScanOffset, r.offset + 1)
         }
-    } finally c.close()
-  }
+        markerLatest.get((t.identifier, runId))
+      } finally c.close()
+    }
 
   override def recordBatchCommit(t: TableId, batchId: Long, runId: String): Unit = {
     val p = new KafkaWireProducer(bootstrap)
