@@ -767,14 +767,18 @@ object QueriesCore {
       } finally server.stop()
     }),
     "c_kafka_pipeline_sink" -> ((s, dir) => {
-      // Kafka pipeline sink end-to-end OVER THE REAL WIRE: the changelog
-      // flows as three tracked micro-batches (middle delivered twice —
-      // commit-marker replay skip) through the event-level serializer into
-      // the loopback broker double as RecordBatch v2 bytes (CRC32C,
-      // murmur2 HASH_BY_KEY placement), is fetched back via Fetch v4,
-      // decoded through the debezium-json READER, and PK-materialized —
-      // the full produce/fetch byte contract closing the reference's
-      // KafkaDataSink coverage (`flink-cdc-pipeline-connector-kafka`).
+      // Kafka pipeline sink end-to-end OVER THE REAL WIRE at EXACTLY-ONCE:
+      // the changelog flows as three tracked micro-batches (middle
+      // delivered twice — commit-marker replay skip) through the
+      // event-level serializer into the loopback broker double as
+      // TRANSACTIONAL RecordBatch v2 bytes (CRC32C, murmur2 HASH_BY_KEY
+      // placement, per-task transactions with InitProducerId/
+      // AddPartitionsToTxn/EndTxn and epoch fencing), is fetched back at
+      // READ_COMMITTED via Fetch v4 (control markers dropped, aborted
+      // ranges filtered), decoded through the debezium-json READER, and
+      // PK-materialized — the full EOS produce/fetch byte contract of the
+      // reference's KafkaDataSink (`flink-cdc-pipeline-connector-kafka`,
+      // DeliveryGuarantee.EXACTLY_ONCE).
       import graft.sinks.{KafkaBrokerDouble, KafkaDataSink, KafkaJsonFormats, KafkaWireConsumer}
       import org.apache.spark.sql.types._
       val broker = new KafkaBrokerDouble(autoCreatePartitions = 4)
@@ -783,7 +787,8 @@ object QueriesCore {
         val tid = TableId.parse("app.events")
         val env = eventsChangelog(s, dir)
         val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
-        val sink = new KafkaDataSink(broker.bootstrap, partitionStrategy = "HASH_BY_KEY")
+        val sink = new KafkaDataSink(broker.bootstrap,
+          partitionStrategy = "HASH_BY_KEY", deliveryGuarantee = "exactly-once")
         sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
         val total = env.count()
         val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
@@ -797,13 +802,13 @@ object QueriesCore {
         }
         require(sink.lastCommittedBatch(tid, "verify").contains(2L),
           "commit markers must record batch progress")
-        // drain every partition over the wire; keys are disjoint across
-        // partitions (murmur2 routing), so a per-partition offset is a
-        // valid per-key changelog order
+        // drain every partition at READ_COMMITTED; keys are disjoint
+        // across partitions (murmur2 routing), so a per-partition offset
+        // is a valid per-key changelog order
         val consumer = new KafkaWireConsumer(broker.bootstrap)
         val recs =
           try (0 until 4).flatMap { p =>
-            consumer.readAll("app.events", p).zipWithIndex.map { case (r, i) =>
+            consumer.readAllCommitted("app.events", p).zipWithIndex.map { case (r, i) =>
               (p.toLong * (1L << 40) + i,
                 new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
             }

@@ -116,7 +116,11 @@ object DataSinks {
               val i = h.indexOf(':')
               require(i > 0, s"malformed custom header '$h' (want key:value)")
               (h.substring(0, i).trim, h.substring(i + 1).trim)
-            }).getOrElse(Seq.empty))
+            }).getOrElse(Seq.empty),
+          deliveryGuarantee =
+            sinkDef.config.getOrElse("sink.delivery-guarantee", "at-least-once"),
+          transactionalIdPrefix =
+            sinkDef.config.getOrElse("sink.transactional-id-prefix", "graft-cdc"))
       case "starrocks" =>
         new StarRocksSink(
           baseUrl = sinkDef.config.getOrElse("load-url", sinkDef.config.getOrElse(

@@ -55,8 +55,20 @@ final class KafkaDataSink(
     addTableIdHeaders: Boolean = false,
     /** `sink.custom-header`: "k1:v1,k2:v2" stamped on every record. */
     customHeaders: Seq[(String, String)] = Seq.empty,
+    /** `sink.delivery-guarantee`: `at-least-once` (default) or
+      * `exactly-once`. Exactly-once wraps each task's produce in a REAL
+      * Kafka transaction: a stable per-(topic, task) transactional id, so
+      * a retried task FENCES its zombie predecessor (epoch bump aborts
+      * the orphaned transaction) and read_committed consumers never see a
+      * failed attempt's records — the reference's
+      * `DeliveryGuarantee.EXACTLY_ONCE` KafkaSink mode. */
+    deliveryGuarantee: String = "at-least-once",
+    transactionalIdPrefix: String = "graft-cdc",
     commitTopic: String = "__graft_commits")
     extends DataSink with ChangelogSink {
+
+  require(Seq("at-least-once", "exactly-once").contains(deliveryGuarantee),
+    s"delivery guarantee '$deliveryGuarantee' is not at-least-once|exactly-once")
 
   require(Seq("debezium-json", "canal-json").contains(valueFormat),
     s"value.format '$valueFormat' is not debezium-json|canal-json")
@@ -138,6 +150,8 @@ final class KafkaDataSink(
       else Nil) ++ customHeaders.map { case (k, v) => k -> v.getBytes(UTF_8) }
     // all rows of one Kafka partition land in one task, in sequence order:
     // a single producer appends them as one ordered run of batches
+    val exactlyOnce = deliveryGuarantee == "exactly-once"
+    val txnPrefix = transactionalIdPrefix
     frame
       .repartition(math.max(numPartitions, 1), col("kpart"))
       .sortWithinPartitions("kpart", "seq")
@@ -146,13 +160,39 @@ final class KafkaDataSink(
         if (rows.nonEmpty) {
           val p = new KafkaWireProducer(boot)
           try {
-            rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).foreach { case (kp, rs) =>
-              rs.grouped(1000).foreach { group =>
-                p.produceWithHeaders(topic, kp, group.toSeq.map { r =>
-                  (r.getString(1).getBytes(UTF_8), r.getString(2).getBytes(UTF_8),
-                    r.getLong(3), headers)
-                })
+            val txn: Option[(String, Long, Int)] =
+              if (!exactlyOnce) None
+              else {
+                // STABLE per (topic, task) id: a retry of this task
+                // re-inits the same id, which bumps the epoch and aborts
+                // the zombie attempt's open transaction — its records
+                // stay invisible to read_committed consumers forever
+                val txnId = s"$txnPrefix-$topic-" +
+                  org.apache.spark.TaskContext.getPartitionId()
+                p.findTxnCoordinator(txnId)
+                val (pid, epoch) = p.initProducerId(txnId)
+                p.addPartitionsToTxn(txnId, pid, epoch, topic,
+                  rows.map(_.getInt(0)).distinct.toSeq)
+                Some((txnId, pid, epoch))
               }
+            try {
+              rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).foreach { case (kp, rs) =>
+                rs.grouped(1000).foreach { group =>
+                  p.produceWithHeaders(topic, kp, group.toSeq.map { r =>
+                    (r.getString(1).getBytes(UTF_8), r.getString(2).getBytes(UTF_8),
+                      r.getLong(3), headers)
+                  }, txn = txn)
+                }
+              }
+              txn.foreach { case (id, pid, epoch) =>
+                p.endTxn(id, pid, epoch, commit = true)
+              }
+            } catch {
+              case e: Throwable =>
+                txn.foreach { case (id, pid, epoch) =>
+                  scala.util.Try(p.endTxn(id, pid, epoch, commit = false))
+                }
+                throw e
             }
           } finally p.close()
         }

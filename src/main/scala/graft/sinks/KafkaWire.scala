@@ -30,7 +30,21 @@ object KafkaWire {
   val ApiProduce = 0
   val ApiFetch = 1
   val ApiMetadata = 3
+  val ApiFindCoordinator = 10
   val ApiApiVersions = 18
+  val ApiInitProducerId = 22
+  val ApiAddPartitionsToTxn = 24
+  val ApiEndTxn = 26
+
+  // RecordBatch attribute bits (public spec)
+  val AttrTransactional = 0x10
+  val AttrControl = 0x20
+
+  // error codes used here (public protocol ids)
+  val ErrCorruptMessage = 2
+  val ErrUnknownTopicOrPartition = 3
+  val ErrInvalidProducerEpoch = 47
+  val ErrInvalidTxnState = 48
 
   // ------------------------------------------------------------ primitives
 
@@ -113,18 +127,19 @@ object KafkaWire {
       records.map { case (k, v, ts) => (k, v, ts, Nil) })
 
   def encodeBatchWithHeaders(baseOffset: Long,
-      records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])])
+      records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])],
+      attributes: Int = 0, producerId: Long = -1L, producerEpoch: Int = -1)
       : Array[Byte] = {
     require(records.nonEmpty, "a RecordBatch must carry at least one record")
     val firstTs = records.map(_._3).min
     val maxTs = records.map(_._3).max
     val body = new Writer
-    body.int16(0) // attributes: no compression, CreateTime
+    body.int16(attributes) // no compression, CreateTime (+ txn/control bits)
     body.int32(records.size - 1) // lastOffsetDelta
     body.int64(firstTs)
     body.int64(maxTs)
-    body.int64(-1L) // producerId
-    body.int16(-1) // producerEpoch
+    body.int64(producerId)
+    body.int16(producerEpoch)
     body.int32(-1) // baseSequence
     body.int32(records.size)
     records.zipWithIndex.foreach { case ((k, v, ts, headers), i) =>
@@ -156,11 +171,21 @@ object KafkaWire {
     out.result()
   }
 
-  /** Decode ALL batches in a record set, validating magic and CRC32C on
-    * each — a corrupt batch throws, never yields garbage records. */
-  def decodeBatches(recordSet: Array[Byte]): Seq[WireRecord] = {
+  /** Per-batch envelope metadata, needed for transactional reads:
+    * read_committed consumers drop control batches and the data batches
+    * of aborted producers. */
+  final case class WireBatchMeta(baseOffset: Long, lastOffset: Long,
+      producerId: Long, producerEpoch: Int, attributes: Int) {
+    def isControl: Boolean = (attributes & AttrControl) != 0
+    def isTransactional: Boolean = (attributes & AttrTransactional) != 0
+  }
+
+  /** Decode ALL batches in a record set with their envelope metadata,
+    * validating magic and CRC32C on each — a corrupt batch throws, never
+    * yields garbage records. */
+  def decodeBatchesMeta(recordSet: Array[Byte]): Seq[(WireBatchMeta, Seq[WireRecord])] = {
     if (recordSet == null || recordSet.isEmpty) return Seq.empty
-    val out = mutable.ArrayBuffer.empty[WireRecord]
+    val out = mutable.ArrayBuffer.empty[(WireBatchMeta, Seq[WireRecord])]
     val buf = ByteBuffer.wrap(recordSet)
     while (buf.remaining() >= 12) {
       val baseOffset = buf.getLong()
@@ -185,12 +210,14 @@ object KafkaWire {
             f"computed 0x${crc.getValue.toInt}%08x) — corrupt batch")
         val attrs = r.int16()
         require((attrs & 0x07) == 0, s"compression codec ${attrs & 0x07} not supported here")
-        r.int32() // lastOffsetDelta
+        val lastOffsetDelta = r.int32()
         val firstTs = r.int64()
         r.int64() // maxTimestamp
-        r.int64(); r.int16(); r.int32() // producer id/epoch/baseSequence
+        val producerId = r.int64()
+        val producerEpoch = r.int16()
+        r.int32() // baseSequence
         val count = r.int32()
-        (0 until count).foreach { _ =>
+        val records = (0 until count).map { _ =>
           val len = r.varint()
           val end = r.position + len
           r.int8() // record attributes
@@ -208,11 +235,31 @@ object KafkaWire {
             new String(kb, UTF_8) -> vb
           }
           r.skip(end - r.position)
-          out += WireRecord(baseOffset + offDelta, firstTs + tsDelta, key, value, headers)
+          WireRecord(baseOffset + offDelta, firstTs + tsDelta, key, value, headers)
         }
+        out += ((WireBatchMeta(baseOffset, baseOffset + lastOffsetDelta,
+          producerId, producerEpoch, attrs), records))
       }
     }
     out.toSeq
+  }
+
+  /** Flat record view (control records included — read_uncommitted). */
+  def decodeBatches(recordSet: Array[Byte]): Seq[WireRecord] =
+    decodeBatchesMeta(recordSet).flatMap(_._2)
+
+  /** A transaction CONTROL batch (the marker the broker appends at
+    * EndTxn): one record whose key is version INT16 = 0 + type INT16
+    * (1 = commit, 0 = abort), value empty — the public control-record
+    * shape read_committed consumers use to resolve open ranges. */
+  def encodeControlBatch(commit: Boolean, producerId: Long,
+      producerEpoch: Int): Array[Byte] = {
+    val key = new Writer
+    key.int16(0) // control record version
+    key.int16(if (commit) 1 else 0)
+    encodeBatchWithHeaders(0L, Seq((key.result(), Array.empty[Byte], 0L, Nil)),
+      attributes = AttrTransactional | AttrControl,
+      producerId = producerId, producerEpoch = producerEpoch)
   }
 
   /** Kafka's default partitioner hash (murmur2, public algorithm): the
@@ -322,11 +369,15 @@ final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-produ
       records.map { case (k, v, ts) => (k, v, ts, Nil) })
 
   def produceWithHeaders(topic: String, partition: Int,
-      records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])])
-      : Long = {
-    val batch = encodeBatchWithHeaders(0L, records)
+      records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])],
+      txn: Option[(String, Long, Int)] = None): Long = {
+    val batch = txn match {
+      case Some((_, pid, epoch)) => encodeBatchWithHeaders(0L, records,
+        attributes = AttrTransactional, producerId = pid, producerEpoch = epoch)
+      case None => encodeBatchWithHeaders(0L, records)
+    }
     val body = new Writer
-    body.nullableString(null) // transactional_id
+    body.nullableString(txn.map(_._1).orNull) // transactional_id
     body.int16(-1) // acks: full ISR
     body.int32(30000) // timeout
     body.int32(1); body.string(topic)
@@ -343,6 +394,75 @@ final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-produ
     val baseOffset = r.int64()
     r.int64() // log_append_time
     baseOffset
+  }
+
+  // ------------------------------------------------------- transactions
+  // The public EOS protocol slice: FindCoordinator locates the txn
+  // coordinator (this single-node double IS it), InitProducerId assigns
+  // (producerId, epoch) and FENCES prior incarnations of the same
+  // transactional id (epoch bump + abort of its open txn),
+  // AddPartitionsToTxn registers partitions, EndTxn commits or aborts by
+  // writing control markers.
+
+  def findTxnCoordinator(transactionalId: String): (String, Int) = {
+    val body = new Writer
+    body.string(transactionalId)
+    body.int8(1) // key_type: transaction
+    val r = call(ApiFindCoordinator, 1, body.result())
+    r.int32() // throttle
+    val err = r.int16()
+    require(err == 0, s"find coordinator error $err")
+    r.nullableString() // error message
+    r.int32() // node id
+    (r.string(), r.int32())
+  }
+
+  /** Returns (producerId, producerEpoch). Re-initializing an existing
+    * transactional id bumps the epoch — the zombie-fencing handshake. */
+  def initProducerId(transactionalId: String,
+      txnTimeoutMs: Int = 60000): (Long, Int) = {
+    val body = new Writer
+    body.nullableString(transactionalId)
+    body.int32(txnTimeoutMs)
+    val r = call(ApiInitProducerId, 0, body.result())
+    r.int32() // throttle
+    val err = r.int16()
+    require(err == 0, s"init producer id error $err")
+    (r.int64(), r.int16())
+  }
+
+  def addPartitionsToTxn(transactionalId: String, producerId: Long,
+      producerEpoch: Int, topic: String, partitions: Seq[Int]): Unit = {
+    val body = new Writer
+    body.string(transactionalId)
+    body.int64(producerId); body.int16(producerEpoch)
+    body.int32(1); body.string(topic)
+    body.int32(partitions.size); partitions.foreach(body.int32)
+    val r = call(ApiAddPartitionsToTxn, 0, body.result())
+    r.int32() // throttle
+    val topics = r.int32()
+    (0 until topics).foreach { _ =>
+      r.string()
+      val parts = r.int32()
+      (0 until parts).foreach { _ =>
+        r.int32()
+        val err = r.int16()
+        require(err == 0, s"add partitions to txn error $err " +
+          s"(47 = fenced by a newer producer epoch)")
+      }
+    }
+  }
+
+  def endTxn(transactionalId: String, producerId: Long, producerEpoch: Int,
+      commit: Boolean): Unit = {
+    val body = new Writer
+    body.string(transactionalId)
+    body.int64(producerId); body.int16(producerEpoch)
+    body.int8(if (commit) 1 else 0)
+    val r = call(ApiEndTxn, 0, body.result())
+    r.int32() // throttle
+    val err = r.int16()
+    require(err == 0, s"end txn error $err (47 = fenced by a newer epoch)")
   }
 
   def close(): Unit = sock.close()
@@ -372,15 +492,15 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
   private def call(apiKey: Int, version: Int, body: Array[Byte]): Reader =
     new Reader(sendRequest(sock, apiKey, version, corr.incrementAndGet(), clientId, body))
 
-  /** One fetch: records at `offset` and after, plus the high watermark. */
-  def fetch(topic: String, partition: Int, offset: Long,
-      maxBytes: Int = 8 * 1024 * 1024): (Seq[KafkaWire.WireRecord], Long) = {
+  private def fetchRaw(topic: String, partition: Int, offset: Long,
+      maxBytes: Int, isolation: Int)
+      : (Array[Byte], Long, Long, Seq[(Long, Long)]) = {
     val body = new Writer
     body.int32(-1) // replica_id: consumer
     body.int32(100) // max_wait_ms
     body.int32(1) // min_bytes
     body.int32(maxBytes)
-    body.int8(0) // isolation_level: read_uncommitted
+    body.int8(isolation)
     body.int32(1); body.string(topic)
     body.int32(1)
     body.int32(partition); body.int64(offset); body.int32(maxBytes)
@@ -395,11 +515,64 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
     val err = r.int16()
     require(err == 0, s"fetch error code $err on $topic/$partition")
     val hw = r.int64()
-    r.int64() // last_stable_offset
-    val aborted = r.int32()
-    (0 until aborted).foreach { _ => r.int64(); r.int64() }
-    val recordSet = r.bytes()
-    (decodeBatches(recordSet).filter(_.offset >= offset), hw)
+    val lso = r.int64()
+    val aborted = (0 until r.int32()).map(_ => (r.int64(), r.int64()))
+    (r.bytes(), hw, lso, aborted)
+  }
+
+  /** One fetch: records at `offset` and after, plus the high watermark
+    * (read_uncommitted — control records included). */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 8 * 1024 * 1024): (Seq[KafkaWire.WireRecord], Long) = {
+    val (set, hw, _, _) = fetchRaw(topic, partition, offset, maxBytes, 0)
+    (decodeBatches(set).filter(_.offset >= offset), hw)
+  }
+
+  /** Drain at READ_COMMITTED: data of still-open transactions is held
+    * back by the last-stable-offset, control batches are dropped, and
+    * aborted producers' batches resolve against the response's
+    * aborted_transactions ranges — each range [firstOffset, abort marker]
+    * closes when its ABORT control record passes, so a producer that
+    * aborts and then (re-fenced) commits keeps its committed data. */
+  def readAllCommitted(topic: String, partition: Int, from: Long = 0L)
+      : Seq[KafkaWire.WireRecord] = {
+    val out = mutable.ArrayBuffer.empty[KafkaWire.WireRecord]
+    // pid -> queue of aborted firstOffsets not yet closed by a marker
+    val pendingAborts = mutable.Map.empty[Long, mutable.Queue[Long]]
+    var off = from
+    var continue = true
+    while (continue) {
+      val (set, _, lso, aborted) = fetchRaw(topic, partition, off, 8 * 1024 * 1024, 1)
+      // ranges arrive in abort order, which is offset order per pid (the
+      // double appends each abort's range as it happens) — keep the queue
+      // sorted on insert so head is always the earliest open range
+      aborted.foreach { case (pid, first) =>
+        val q = pendingAborts.getOrElseUpdate(pid, mutable.Queue.empty)
+        if (!q.contains(first)) {
+          val sorted = (q.toSeq :+ first).sorted
+          q.clear(); q ++= sorted
+        }
+      }
+      val batches = decodeBatchesMeta(set).sortBy(_._1.baseOffset)
+      if (batches.isEmpty || off >= lso) continue = false
+      else batches.foreach { case (meta, recs) =>
+        if (meta.isControl) {
+          // key: version INT16, type INT16 (0 = abort, 1 = commit)
+          val k = new Reader(recs.head.key)
+          k.int16()
+          if (k.int16() == 0)
+            pendingAborts.get(meta.producerId).foreach(q =>
+              if (q.nonEmpty) q.dequeue())
+        } else {
+          val isAborted = meta.isTransactional &&
+            pendingAborts.get(meta.producerId).exists(q =>
+              q.nonEmpty && q.head <= meta.baseOffset)
+          if (!isAborted) out ++= recs.filter(_.offset >= from)
+        }
+        off = math.max(off, meta.lastOffset + 1)
+      }
+    }
+    out.toSeq
   }
 
   /** Drain a partition from `from` to the current high watermark. */
@@ -433,6 +606,16 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
   private val logs = mutable.LinkedHashMap.empty[(String, Int), mutable.ArrayBuffer[Array[Byte]]]
   private val ends = mutable.HashMap.empty[(String, Int), Long]
   private val topics = mutable.LinkedHashMap.empty[String, Int]
+
+  // --- transaction coordinator state (this single node IS the coordinator)
+  private var producerIdSeq = 1000L
+  // transactionalId -> (producerId, epoch)
+  private val producers = mutable.HashMap.empty[String, (Long, Int)]
+  // transactionalId -> partitions in the OPEN txn -> first data offset (-1
+  // until the first produce lands there)
+  private val openTxns = mutable.HashMap.empty[String, mutable.LinkedHashMap[(String, Int), Long]]
+  // per partition: ABORTED ranges as (producerId, firstOffset)
+  private val abortedRanges = mutable.HashMap.empty[(String, Int), mutable.ArrayBuffer[(Long, Long)]]
 
   private var serverSocket: Option[ServerSocket] = None
   @volatile private var running = false
@@ -500,6 +683,10 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
           case ApiMetadata => metadataResponse(r, apiVersion)
           case ApiProduce => produceResponse(r, apiVersion)
           case ApiFetch => fetchResponse(r, apiVersion)
+          case ApiFindCoordinator => findCoordinatorResponse(r, apiVersion)
+          case ApiInitProducerId => initProducerIdResponse(r, apiVersion)
+          case ApiAddPartitionsToTxn => addPartitionsResponse(r, apiVersion)
+          case ApiEndTxn => endTxnResponse(r, apiVersion)
           case other => sys.error(s"api key $other not implemented in the double")
         }
         val w = new Writer
@@ -519,9 +706,134 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
     val w = new Writer
     w.int16(0) // error
     val versions = Seq((ApiProduce, 0, 3), (ApiFetch, 0, 4),
-      (ApiMetadata, 0, 1), (ApiApiVersions, 0, 0))
+      (ApiMetadata, 0, 1), (ApiFindCoordinator, 0, 1),
+      (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
+      (ApiAddPartitionsToTxn, 0, 0), (ApiEndTxn, 0, 0))
     w.int32(versions.size)
     versions.foreach { case (k, lo, hi) => w.int16(k); w.int16(lo); w.int16(hi) }
+    w.result()
+  }
+
+  private def findCoordinatorResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 1, s"find coordinator v$version not supported")
+    r.string() // key
+    r.int8() // key type
+    val w = new Writer
+    w.int32(0) // throttle
+    w.int16(0) // error
+    w.nullableString(null)
+    w.int32(0) // node id: this broker
+    w.string("127.0.0.1"); w.int32(serverSocket.get.getLocalPort)
+    w.result()
+  }
+
+  private def initProducerIdResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 0, s"init producer id v$version not supported")
+    val txnId = r.nullableString()
+    r.int32() // txn timeout
+    val (pid, epoch) = synchronized {
+      txnId match {
+        case null =>
+          producerIdSeq += 1; (producerIdSeq, 0)
+        case id =>
+          producers.get(id) match {
+            case Some((oldPid, oldEpoch)) =>
+              // re-initialization FENCES the prior incarnation: epoch
+              // bump, and its still-open transaction ABORTS (the real
+              // coordinator's recovery path for a restarted producer)
+              abortOpen(id, oldPid, oldEpoch)
+              val next = (oldPid, oldEpoch + 1)
+              producers(id) = next
+              next
+            case None =>
+              producerIdSeq += 1
+              producers(id) = (producerIdSeq, 0)
+              (producerIdSeq, 0)
+          }
+      }
+    }
+    val w = new Writer
+    w.int32(0); w.int16(0)
+    w.int64(pid); w.int16(epoch)
+    w.result()
+  }
+
+  /** Abort the open transaction of `txnId` (if any): write abort markers
+    * to every touched partition, record the aborted data ranges. MUST be
+    * called under `synchronized`. */
+  private def abortOpen(txnId: String, pid: Long, epoch: Int): Unit =
+    openTxns.remove(txnId).foreach { parts =>
+      parts.foreach { case ((topic, p), firstOff) =>
+        appendControl(topic, p, commit = false, pid, epoch)
+        if (firstOff >= 0)
+          abortedRanges.getOrElseUpdate((topic, p), mutable.ArrayBuffer.empty) +=
+            ((pid, firstOff))
+      }
+    }
+
+  private def appendControl(topic: String, partition: Int, commit: Boolean,
+      pid: Long, epoch: Int): Unit = {
+    val marker = encodeControlBatch(commit, pid, epoch)
+    val base = ends((topic, partition))
+    val stamped = marker.clone()
+    ByteBuffer.wrap(stamped).putLong(0, base)
+    logs((topic, partition)) += stamped
+    ends((topic, partition)) = base + 1
+  }
+
+  private def addPartitionsResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 0, s"add partitions to txn v$version not supported")
+    val txnId = r.string()
+    val pid = r.int64(); val epoch = r.int16()
+    val topicCount = r.int32()
+    val reqs = (0 until topicCount).map { _ =>
+      val topic = r.string()
+      val n = r.int32()
+      topic -> (0 until n).map(_ => r.int32())
+    }
+    val err = synchronized {
+      if (!producers.get(txnId).contains((pid, epoch))) ErrInvalidProducerEpoch
+      else {
+        val parts = openTxns.getOrElseUpdate(txnId, mutable.LinkedHashMap.empty)
+        reqs.foreach { case (topic, ps) =>
+          ensureTopic(topic)
+          ps.foreach(p => parts.getOrElseUpdate((topic, p), -1L))
+        }
+        0
+      }
+    }
+    val w = new Writer
+    w.int32(0) // throttle
+    w.int32(reqs.size)
+    reqs.foreach { case (topic, ps) =>
+      w.string(topic)
+      w.int32(ps.size)
+      ps.foreach { p => w.int32(p); w.int16(err) }
+    }
+    w.result()
+  }
+
+  private def endTxnResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 0, s"end txn v$version not supported")
+    val txnId = r.string()
+    val pid = r.int64(); val epoch = r.int16()
+    val commit = r.int8() == 1
+    val err = synchronized {
+      if (!producers.get(txnId).contains((pid, epoch))) ErrInvalidProducerEpoch
+      else openTxns.remove(txnId) match {
+        case None => ErrInvalidTxnState // no open transaction to end
+        case Some(parts) =>
+          parts.foreach { case ((topic, p), firstOff) =>
+            appendControl(topic, p, commit, pid, epoch)
+            if (!commit && firstOff >= 0)
+              abortedRanges.getOrElseUpdate((topic, p), mutable.ArrayBuffer.empty) +=
+                ((pid, firstOff))
+          }
+          0
+      }
+    }
+    val w = new Writer
+    w.int32(0); w.int16(err)
     w.result()
   }
 
@@ -556,7 +868,7 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
   private def produceResponse(r: Reader, version: Int): Array[Byte] = {
     require(version == 3, s"produce v$version not supported by the double")
     produceRequests += 1
-    r.nullableString() // transactional id
+    val txnId = r.nullableString() // transactional id
     r.int16() // acks
     r.int32() // timeout
     val topicCount = r.int32()
@@ -567,12 +879,30 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
         val partition = r.int32()
         val recordSet = r.bytes()
         // error codes are the public protocol's: 2 = CORRUPT_MESSAGE
-        // (CRC/magic validation failed), 3 = UNKNOWN_TOPIC_OR_PARTITION
+        // (CRC/magic validation failed), 3 = UNKNOWN_TOPIC_OR_PARTITION,
+        // 47 = INVALID_PRODUCER_EPOCH (fenced), 48 = INVALID_TXN_STATE
         val (err, assigned) =
           try {
-            val a = append(topic, partition, recordSet)
-            (if (a < 0) 3 else 0, a)
-          } catch { case _: IllegalArgumentException => (2, -1L) }
+            val txnErr = if (txnId == null) 0 else synchronized {
+              val meta = decodeBatchesMeta(recordSet)
+              val pidEpoch = meta.headOption
+                .map(m => (m._1.producerId, m._1.producerEpoch)).getOrElse((-1L, -1))
+              if (!producers.get(txnId).contains(pidEpoch) ||
+                  !meta.forall(_._1.isTransactional)) ErrInvalidProducerEpoch
+              else if (!openTxns.get(txnId).exists(_.contains((topic, partition))))
+                ErrInvalidTxnState // partition was never added to the txn
+              else 0
+            }
+            if (txnErr != 0) (txnErr, -1L)
+            else {
+              val a = append(topic, partition, recordSet)
+              if (a >= 0 && txnId != null) synchronized {
+                val parts = openTxns(txnId)
+                if (parts((topic, partition)) < 0) parts((topic, partition)) = a
+              }
+              (if (a < 0) ErrUnknownTopicOrPartition else 0, a)
+            }
+          } catch { case _: IllegalArgumentException => (ErrCorruptMessage, -1L) }
         (partition, err, assigned)
       }
     }
@@ -610,7 +940,8 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
 
   private def fetchResponse(r: Reader, version: Int): Array[Byte] = {
     require(version == 4, s"fetch v$version not supported by the double")
-    r.int32(); r.int32(); r.int32(); r.int32(); r.int8()
+    r.int32(); r.int32(); r.int32(); r.int32()
+    val isolation = r.int8() // 0 = read_uncommitted, 1 = read_committed
     val topicCount = r.int32()
     val results = (0 until topicCount).map { _ =>
       val topic = r.string()
@@ -621,19 +952,31 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
         r.int32() // partition max bytes
         synchronized {
           logs.get((topic, partition)) match {
-            case None => (partition, -1L, Array.empty[Byte])
+            case None =>
+              (partition, -1L, -1L, Seq.empty[(Long, Long)], Array.empty[Byte])
             case Some(batches) =>
               val hw = ends((topic, partition))
+              // last stable offset: everything below the FIRST offset any
+              // still-open transaction wrote here — read_committed reads
+              // stop there so an in-flight txn's data never leaks
+              val lso = openTxns.values
+                .flatMap(_.get((topic, partition))).filter(_ >= 0)
+                .minOption.getOrElse(hw)
+              val bound = if (isolation == 1) lso else hw
               val keep = batches.filter { b =>
                 val bb = ByteBuffer.wrap(b)
                 val baseOff = bb.getLong(0)
                 // lastOffsetDelta sits after base(8)+len(4)+epoch(4)+magic(1)+crc(4)+attrs(2)
                 val lastDelta = bb.getInt(23)
-                baseOff + lastDelta >= offset
+                baseOff + lastDelta >= offset && baseOff + lastDelta < bound
               }
               val set = new java.io.ByteArrayOutputStream()
               keep.foreach(set.write)
-              (partition, hw, set.toByteArray)
+              val abortedList =
+                if (isolation == 1)
+                  abortedRanges.getOrElse((topic, partition), Nil).toSeq
+                else Seq.empty[(Long, Long)]
+              (partition, hw, lso, abortedList, set.toByteArray)
           }
         }
       }
@@ -644,12 +987,13 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
     results.foreach { case (topic, parts) =>
       w.string(topic)
       w.int32(parts.size)
-      parts.foreach { case (partition, hw, set) =>
+      parts.foreach { case (partition, hw, lso, abortedList, set) =>
         w.int32(partition)
         w.int16(if (hw < 0) 3 else 0)
         w.int64(hw)
-        w.int64(hw) // last stable offset
-        w.int32(0) // aborted txns
+        w.int64(if (hw < 0) -1L else lso) // last stable offset
+        w.int32(abortedList.size)
+        abortedList.foreach { case (pid, first) => w.int64(pid); w.int64(first) }
         w.bytes(if (hw < 0) null else set)
       }
     }

@@ -178,6 +178,33 @@ class KafkaDataSinkSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("exactly-once delivery: batches ride real transactions, read_committed sees them") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 2)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap,
+        partitionStrategy = "HASH_BY_KEY",
+        deliveryGuarantee = "exactly-once")
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      sink.writeChangelog(tid,
+        changelog((0 until 20).map(i => (i.toLong, s"v$i", "INSERT", i.toLong))),
+        batchId = 0L, runId = "r1")
+      // a second batch re-inits the same per-task transactional ids: the
+      // epoch bumps and commits keep flowing — no stuck state
+      sink.writeChangelog(tid,
+        changelog(Seq((5L, "v5b", "UPDATE", 100L))),
+        batchId = 1L, runId = "r1")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val committed = (0 until 2).flatMap(p =>
+        c.readAllCommitted("app.users", p))
+      c.close()
+      assert(committed.size == 21,
+        s"all 21 events committed transactionally, got ${committed.size}")
+      assert(committed.map(r => new String(r.value, UTF_8))
+        .count(_.contains("v5b")) == 1)
+    } finally broker.stop()
+  }
+
   test("YAML registry: sink.type kafka resolves with the reference's options") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 2)
     broker.start()

@@ -89,6 +89,88 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("transactions: commit visible, abort invisible, open txn held back") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("t")
+      // committed transaction
+      val txn1 = "txn-a"
+      assert(p.findTxnCoordinator(txn1)._2 > 0)
+      val (pid1, ep1) = p.initProducerId(txn1)
+      p.addPartitionsToTxn(txn1, pid1, ep1, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "c1".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn1, pid1, ep1)))
+      p.endTxn(txn1, pid1, ep1, commit = true)
+      // aborted transaction
+      val txn2 = "txn-b"
+      val (pid2, ep2) = p.initProducerId(txn2)
+      p.addPartitionsToTxn(txn2, pid2, ep2, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "a1".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn2, pid2, ep2)))
+      p.endTxn(txn2, pid2, ep2, commit = false)
+      // open (never-ended) transaction: read_committed must hold back
+      val txn3 = "txn-c"
+      val (pid3, ep3) = p.initProducerId(txn3)
+      p.addPartitionsToTxn(txn3, pid3, ep3, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "o1".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn3, pid3, ep3)))
+
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val committed = c.readAllCommitted("t", 0)
+        .map(r => new String(r.value, UTF_8))
+      assert(committed == Seq("c1"),
+        s"only the committed record is visible, got $committed")
+      // read_uncommitted sees everything incl. control markers' absence
+      val uncommitted = c.readAll("t", 0).filter(_.value.nonEmpty)
+        .map(r => new String(r.value, UTF_8))
+      assert(uncommitted.contains("a1") && uncommitted.contains("o1"))
+      c.close()
+
+      // after txn-c commits, its record becomes visible
+      p.endTxn(txn3, pid3, ep3, commit = true)
+      val c2 = new KafkaWireConsumer(broker.bootstrap)
+      assert(c2.readAllCommitted("t", 0).map(r => new String(r.value, UTF_8)) ==
+        Seq("c1", "o1"))
+      c2.close()
+      p.close()
+    } finally broker.stop()
+  }
+
+  test("zombie fencing: re-init bumps the epoch, aborts the orphan, fences the old") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val zombie = new KafkaWireProducer(broker.bootstrap)
+      zombie.partitionsOf("t")
+      val txnId = "task-0"
+      val (pid, ep0) = zombie.initProducerId(txnId)
+      zombie.addPartitionsToTxn(txnId, pid, ep0, "t", Seq(0))
+      zombie.produceWithHeaders("t", 0, Seq((null, "zombie".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txnId, pid, ep0)))
+      // the task "dies"; its retry re-initializes the SAME id
+      val retry = new KafkaWireProducer(broker.bootstrap)
+      val (pid2, ep1) = retry.initProducerId(txnId)
+      assert(pid2 == pid && ep1 == ep0 + 1, "same producer id, bumped epoch")
+      retry.addPartitionsToTxn(txnId, pid2, ep1, "t", Seq(0))
+      retry.produceWithHeaders("t", 0, Seq((null, "good".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txnId, pid2, ep1)))
+      retry.endTxn(txnId, pid2, ep1, commit = true)
+      // the zombie wakes up and tries to commit: fenced (error 47)
+      val e = intercept[IllegalArgumentException](
+        zombie.endTxn(txnId, pid, ep0, commit = true))
+      assert(e.getMessage.contains("47"))
+      // read_committed: the zombie's record is gone, the retry's survives —
+      // even though both share ONE producer id (range-bounded filtering)
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.readAllCommitted("t", 0).map(r => new String(r.value, UTF_8)) ==
+        Seq("good"))
+      c.close()
+      zombie.close(); retry.close()
+    } finally broker.stop()
+  }
+
   test("the broker answers CORRUPT_MESSAGE (2) for a CRC-broken batch") {
     val broker = new KafkaBrokerDouble()
     broker.start()
