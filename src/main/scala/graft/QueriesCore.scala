@@ -828,6 +828,76 @@ object QueriesCore {
           .orderBy("user_id")
       } finally broker.stop()
     }),
+    "c_kafka_stream_source" -> ((s, dir) => {
+      // Kafka as a STREAMING CDC source over the real wire: the changelog
+      // is produced to a topic through the exactly-once sink (txn batches,
+      // control markers interleaved in the offsets), then a standing
+      // incremental-framework query TAILS the topic partition through
+      // read_committed Fetch — first half live, stream stopped, second
+      // half produced while DOWN, checkpoint resume replays exactly the
+      // missed suffix — and the PK-materialized state matches the oracle.
+      // The Debezium-Connect-topic topology of SURVEY §7.6, end to end.
+      import graft.sinks.{KafkaBrokerDouble, KafkaDataSink}
+      import graft.sources.kafka.KafkaTopicChangeSource
+      import graft.sources.cdc.{ChangeSourceRegistry, GraftCdcProvider}
+      import org.apache.spark.sql.types._
+      val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+      broker.start()
+      val tid = TableId.parse("app.events")
+      val srcId = s"verify-kafkastream-${java.util.UUID.randomUUID()}"
+      try {
+        val env = eventsChangelog(s, dir)
+        val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        val tschema = TableSchema(afterT, Seq("user_id"))
+        val sink = new KafkaDataSink(broker.bootstrap,
+          deliveryGuarantee = "exactly-once")
+        sink.applySchemaChange(CreateTableEvent(tid, tschema))
+        val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)
+        val half = maxSeq / 2
+        sink.writeChangelog(tid,
+          env.filter(col(Envelope.SeqCol) <= half), batchId = 0L, runId = "src")
+
+        val src = new KafkaTopicChangeSource(
+          broker.bootstrap, "app.events", 0, tid, tschema)
+        ChangeSourceRegistry.register(srcId, src)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_kstream").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        def run(): Unit = {
+          val q = s.readStream.format(classOf[GraftCdcProvider].getName)
+            .option("sourceId", srcId)
+            .option("startup.mode", "earliest")
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              buf ++= b.collect(); ()
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        run() // first half over the wire
+        val firstHalf = buf.size
+        require(firstHalf > 0, "the stream must deliver the produced half")
+        // second half (and the changelog's deletes) land while DOWN
+        sink.writeChangelog(tid,
+          env.filter(col(Envelope.SeqCol) > half), batchId = 1L, runId = "src")
+        run() // checkpoint resume: exactly the missed suffix
+        require(buf.size == env.count(),
+          s"resume must deliver every event exactly once " +
+            s"(${buf.size} of ${env.count()}, first run $firstHalf)")
+        val delivered = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(buf.toSeq: _*)),
+          Envelope.envelopeSchema(afterT))
+        Upsert.materialize(delivered, Seq("user_id"))
+          .select(col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+          .orderBy("user_id")
+      } finally {
+        ChangeSourceRegistry.remove(srcId)
+        broker.stop()
+      }
+    }),
     "c_maxcompute_sink" -> ((s, dir) => {
       // MaxCompute tunnel-session family end-to-end: the changelog flows
       // as three batch-tracked upsert SESSIONS (label-idempotent create,
@@ -1973,6 +2043,14 @@ object QueriesCore {
     // event-level kafka produce/fetch round trip converges to the same
     // materialization; the doubled middle batch proves marker replay skip
     "c_kafka_pipeline_sink" -> (evCte +
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM ev) t
+        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // streaming wire tail with mid-stream restart converges to the same
+    // final state (the Debezium-Connect-topic ingestion topology)
+    "c_kafka_stream_source" -> (evCte +
       """SELECT user_id, event_type, value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -1,0 +1,104 @@
+package graft.sources.kafka
+
+import graft.core._
+import graft.sinks.{KafkaWireConsumer, KafkaWire}
+import graft.sources.cdc.{ChangeSource, LogRecord}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Kafka topic-partition as a CHANGE SOURCE: the Debezium-Connect-topic
+  * ingestion topology of SURVEY §7.6, read over the REAL wire (Fetch v4 at
+  * READ_COMMITTED through [[KafkaWireConsumer]]) instead of a captured file
+  * dump. One instance per topic PARTITION — exactly the unit a consumer
+  * group assigns — so multi-partition topics compose through the same
+  * multi-source merge as multi-database pipelines.
+  *
+  * Offset mapping: the framework's log offsets are "fromExclusive <
+  * offset <= toInclusive" monotone longs; a record at Kafka offset k rides
+  * as log offset k+1, so log offset 0 = "nothing consumed" and the head is
+  * the partition's end offset. Control markers of the transactional wire
+  * consume Kafka offsets without producing records — the framework only
+  * needs monotone offsets, not dense ones.
+  *
+  * The topic is LOG-ONLY: there is no keyed snapshot to chunk, so
+  * `snapshotRead` is empty and startup mode `earliest` replays the topic
+  * through the log path (the Kafka-source `startingOffsets` semantics the
+  * reference's startup modes mirror — SURVEY §2 row 7).
+  */
+final class KafkaTopicChangeSource(
+    bootstrap: String,
+    topic: String,
+    partition: Int,
+    val tableId: TableId,
+    val schema: TableSchema)
+    extends ChangeSource {
+
+  private val mapper = new ObjectMapper()
+
+  private def withConsumer[T](f: KafkaWireConsumer => T): T = {
+    val c = new KafkaWireConsumer(bootstrap)
+    try f(c) finally c.close()
+  }
+
+  override def currentOffset: Long =
+    withConsumer(_.fetch(topic, partition, Long.MaxValue >> 1)._2)
+
+  override def snapshotRead(lo: Option[Long], hi: Option[Long]): Seq[Map[String, Any]] =
+    Seq.empty // log-only source: the topic IS the history
+
+  override def keyStats: (Option[Long], Option[Long], Long) = (None, None, 0L)
+
+  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
+    None // a data topic carries no DDL; the per-trigger probe must be free
+
+  override def offsetAtTimestamp(ts: Long): Long =
+    withConsumer(_.readAllCommitted(topic, partition))
+      .find(_.timestamp >= ts)
+      .map(_.offset) // fromExclusive = k delivers the record at k (log k+1)
+      .getOrElse(currentOffset)
+
+  override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
+    graft.sources.cdc.WireRetry.withRetries() {
+      withConsumer(_.readAllCommitted(topic, partition, from = fromExclusive))
+    }.filter(r => r.offset >= fromExclusive && r.offset < toInclusive)
+      .map(r => LogRecord(r.offset + 1, r.timestamp, parse(r)))
+
+  /** debezium-json record value → DataChangeEvent, typed by the table
+    * schema. An unparseable value THROWS — a corrupt topic must surface,
+    * not coin null-image updates (the dead-letter split is a downstream
+    * choice; a CDC source's contract is faithful decode). */
+  private def parse(r: KafkaWire.WireRecord): DataChangeEvent = {
+    val node = mapper.readTree(new String(r.value, UTF_8))
+    val before = image(node.get("before"))
+    val after = image(node.get("after"))
+    node.get("op").asText() match {
+      case "c" => DataChangeEvent.insert(tableId, after)
+      case "r" => DataChangeEvent.replace(tableId, after)
+      case "u" => DataChangeEvent.update(tableId,
+        if (before == null) Map.empty[String, Any] else before, after)
+      case "d" => DataChangeEvent.delete(tableId, before)
+      case other => throw new IllegalArgumentException(
+        s"record at $topic/$partition offset ${r.offset}: op '$other' is " +
+          "not a debezium op code — refusing rather than guessing")
+    }
+  }
+
+  private def image(n: JsonNode): Map[String, Any] =
+    if (n == null || n.isNull) null
+    else schema.struct.fields.map { f =>
+      val v = n.get(f.name)
+      f.name -> (if (v == null || v.isNull) null else f.dataType match {
+        case LongType => v.asLong()
+        case IntegerType => v.asInt()
+        case DoubleType => v.asDouble()
+        case FloatType => v.floatValue()
+        case BooleanType => v.asBoolean()
+        case TimestampType =>
+          java.sql.Timestamp.from(java.time.OffsetDateTime.parse(v.asText()).toInstant)
+        case TimestampNTZType =>
+          java.time.LocalDateTime.parse(v.asText())
+        case _ => v.asText()
+      })
+    }.toMap
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.core._
+import graft.sinks.{KafkaBrokerDouble, KafkaWireProducer}
+import graft.sources.kafka.KafkaTopicChangeSource
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Kafka topic-partition as a change source: offset mapping (+1, sparse
+  * over control markers), debezium op decode, schema-typed images, and
+  * read_committed semantics at the source boundary. */
+class KafkaTopicSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val tid = TableId.parse("app.t")
+  private val schema = TableSchema(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType))),
+    primaryKeys = Seq("id"))
+
+  test("readLog decodes ops, maps offsets +1, skips uncommitted data") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.t")
+      def rec(json: String) = (null.asInstanceOf[Array[Byte]],
+        json.getBytes(UTF_8), 5L)
+      p.produce("app.t", 0, Seq(
+        rec("""{"before":null,"after":{"id":1,"v":"a"},"op":"c"}"""),
+        rec("""{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u"}"""),
+        rec("""{"before":{"id":1,"v":"a2"},"after":null,"op":"d"}""")))
+      // an OPEN transaction's record must not reach the source
+      val txn = "open-txn"
+      val (pid, ep) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, ep, "app.t", Seq(0))
+      p.produceWithHeaders("app.t", 0,
+        Seq((null, """{"before":null,"after":{"id":9,"v":"x"},"op":"c"}"""
+          .getBytes(UTF_8), 9L, Nil)),
+        txn = Some((txn, pid, ep)))
+
+      val src = new KafkaTopicChangeSource(broker.bootstrap, "app.t", 0, tid, schema)
+      val recs = src.readLog(0L, src.currentOffset)
+      assert(recs.size == 3, "the open txn's record is held back")
+      assert(recs.map(_.offset) == Seq(1L, 2L, 3L), "kafka offset k rides as k+1")
+      val evs = recs.map(_.event.asInstanceOf[DataChangeEvent])
+      assert(evs.map(_.op.toString) == Seq("INSERT", "UPDATE", "DELETE"))
+      assert(evs(1).after("v") == "a2" && evs(1).before("v") == "a")
+      assert(evs(2).before("id") == 1L && evs(2).after == Map.empty,
+        "absent images ride as the empty map (the DataChangeEvent convention)")
+      // resume mid-log: fromExclusive = 1 delivers only offsets 2..3
+      assert(src.readLog(1L, src.currentOffset).map(_.offset) == Seq(2L, 3L))
+      // commit the txn: its record becomes visible past the markers
+      p.endTxn(txn, pid, ep, commit = true)
+      val all = src.readLog(0L, src.currentOffset)
+      assert(all.size == 4 &&
+        all.last.event.asInstanceOf[DataChangeEvent].after("id") == 9L)
+      assert(src.snapshotRead(None, None).isEmpty && src.keyStats._3 == 0L)
+      p.close()
+    } finally broker.stop()
+  }
+
+  test("a non-debezium value refuses loudly instead of coining events") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.t")
+      p.produce("app.t", 0, Seq((null, """{"op":"zzz"}""".getBytes(UTF_8), 0L)))
+      p.close()
+      val src = new KafkaTopicChangeSource(broker.bootstrap, "app.t", 0, tid, schema)
+      val e = intercept[IllegalArgumentException](src.readLog(0L, src.currentOffset))
+      assert(e.getMessage.contains("zzz"))
+    } finally broker.stop()
+  }
+}
