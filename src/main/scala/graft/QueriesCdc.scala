@@ -591,6 +591,98 @@ object QueriesCdc {
         .orderBy("kind", "k")
     }),
 
+    "c_paimon_partitioned_mirror" -> ((s, dir) => {
+      // per-commit mirror of an identity-PARTITIONED Paimon table: adds,
+      // COW bucket rewrites (DELETE manifest entries) and MOR tombstones
+      // all land under `event_type=<v>/bucket-N` with the partition tuple
+      // in every manifest entry; a partition-filtered import of the
+      // MIRRORED table prunes at manifest level before any file opens.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmpm_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id"),
+        partitionKeys = Seq("event_type")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmpm_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 400 && col("user_id") < 160)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      t.merge(batch(col("event_id") < 200), noKeys)
+      require(PaimonInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 200), noKeys)
+      require(PaimonInterchange.mirror(s, t, dest) == 1,
+        "exactly the new commit mirrors")
+      // MOR delete of users 150-159 in every partition -> tombstone files
+      // under their own partition dirs
+      t.deleteWhere(ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(150, 160).select(col("id").as("user_id"))))
+      require(PaimonInterchange.mirror(s, t, dest) == 1)
+      require(PaimonInterchange.mirror(s, t, dest) == 0, "no-op call writes nothing")
+      val snap = PaimonInterchange.readTable(dest)
+      require(snap.commitIdentifier == t.latestVersion(),
+        "commitIdentifier must track the lakehouse head")
+      require(snap.partitionKeys == Seq("event_type") &&
+        snap.trimmedKeys == Seq("user_id"),
+        "partition keys and the trimmed LSM key must survive the mirror")
+      require(snap.files.exists(_.deleteRows > 0),
+        "the MOR delete must ride as tombstone rows")
+      require(snap.files.forall(_.partition.nonEmpty),
+        "every live mirrored file carries its partition tuple")
+      val oneType = ev.select(col("event_type")).head().getString(0)
+      val pruned = PaimonInterchange.importPaimon(s, dest,
+        partitionFilter = Map("event_type" -> oneType))
+      require(pruned.inputFiles.nonEmpty &&
+        pruned.inputFiles.forall(_.contains(s"event_type=$oneType")),
+        "a partition-filtered import must open only that partition's files")
+      PaimonInterchange.importPaimon(s, dest).orderBy("event_type", "user_id")
+    }),
+
+    "c_paimon_partitioned_changelog" -> ((s, dir) => {
+      // the Paimon changelog surface on a PARTITIONED table: change files
+      // land under partition dirs in the snapshot's changelogManifestList
+      // and the windowed read walks `p=v/bucket-N` paths — same CDF recipe
+      // as c_paimon_changelog keyed by the full (event_type, user_id) pk.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmpc_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id"),
+        partitionKeys = Seq("event_type")), buckets = 4, changelog = true)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmpc_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") >= 300 && col("event_id") < 600 &&
+          col("user_id") < 150)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      t.merge(batch(col("event_id") < 450), noKeys)
+      PaimonInterchange.mirror(s, t, dest)
+      t.merge(batch(col("event_id") >= 450), noKeys)
+      PaimonInterchange.mirror(s, t, dest)
+      val latest = PaimonInterchange.latestSnapshotId(dest).get
+      val feed = PaimonInterchange.readChangelogBetween(s, dest, 0L, latest)
+      require(feed.inputFiles.nonEmpty &&
+        feed.inputFiles.forall(_.contains("event_type=")),
+        "changelog files must live under partition directories")
+      feed.select(col("event_type"), col("user_id"), col("last_event"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "event_type", "user_id")
+    }),
+
     "c_iceberg_partitioned" -> ((s, dir) => {
       // identity-partitioned Iceberg: the documents table exports
       // partitioned by lang — data files do NOT store the partition column
@@ -2761,6 +2853,45 @@ object QueriesCdc {
         |SELECT kind, k, v FROM dels
         |UNION ALL SELECT kind, k, v FROM ups
         |ORDER BY kind, k""".stripMargin,
+    // partitioned per-commit mirror: two merges + MOR deletes of users
+    // 150-159 in every partition converge through the partitioned LSM to
+    // the plain per-(event_type, user) max with those users gone
+    "c_paimon_partitioned_mirror" ->
+      """SELECT event_type, user_id, max(event_id) AS last_event
+        |FROM events
+        |WHERE event_id < 400 AND user_id < 150
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    // partitioned changelog at CDF parity, keyed by the full
+    // (event_type, user_id) pk: inserts at commit 1, commit-2-only keys
+    // as inserts, overlapping keys as update pre/post pairs (batch 2's
+    // max always exceeds batch 1's in this window)
+    "c_paimon_partitioned_changelog" ->
+      """WITH b1 AS (
+        |  SELECT event_type, user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 300 AND event_id < 450 AND user_id < 150
+        |  GROUP BY event_type, user_id),
+        |b2 AS (
+        |  SELECT event_type, user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 450 AND event_id < 600 AND user_id < 150
+        |  GROUP BY event_type, user_id)
+        |SELECT * FROM (
+        |  SELECT event_type, user_id, me AS last_event,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT event_type, user_id, me, 'insert', 2 FROM b2
+        |  WHERE NOT EXISTS (SELECT 1 FROM b1
+        |    WHERE b1.event_type = b2.event_type AND b1.user_id = b2.user_id)
+        |  UNION ALL
+        |  SELECT b1.event_type, b1.user_id, b1.me, 'update_preimage', 2
+        |  FROM b1 JOIN b2
+        |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
+        |  UNION ALL
+        |  SELECT b2.event_type, b2.user_id, b2.me, 'update_postimage', 2
+        |  FROM b1 JOIN b2
+        |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
+        |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
     // identity-partitioned export/import: partition values round trip
     // through manifest metadata (files never store the lang column)
     "c_iceberg_partitioned" ->

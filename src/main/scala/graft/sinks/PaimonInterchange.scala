@@ -61,9 +61,11 @@ import scala.jdk.CollectionConverters._
   * var-length string encoding); other key types write the empty row, which
   * only disables key pruning. Identity-PARTITIONED tables (`p=v/bucket-N`
   * dirs, `_PARTITION` tuples, trimmed-primary-key LSM, manifest-level
-  * partition pruning on import) and APPEND-ONLY (no-PK) tables (plain
-  * rows, no merge) are supported on export/import; the per-commit mirror
-  * family stays unpartitioned-PK scope. Dynamic buckets, non-identity
+  * partition pruning on import) are supported across the WHOLE surface —
+  * export, import, the per-commit [[mirror]] (tombstones, changelog,
+  * [[readDeltaBetween]]/[[readChangelogBetween]], [[expireSnapshots]]).
+  * APPEND-ONLY (no-PK) tables (plain rows, no merge) are export/import
+  * scope (the mirror needs primary keys). Dynamic buckets, non-identity
   * partitioning, and non-parquet data files refuse loudly on import.
   */
 object PaimonInterchange {
@@ -453,6 +455,11 @@ object PaimonInterchange {
             require(!(oldNullable && !newNullable),
               s"column ${a.get("name").asText()} evolves nullable -> NOT " +
                 "NULL: existing files may hold nulls — refusing")
+            require(!partitionKeys.contains(a.get("name").asText()) ||
+              oldT == newT,
+              s"partition column ${a.get("name").asText()} changes type " +
+                s"$oldT -> $newT: the manifest _PARTITION BinaryRows are " +
+                "type-pinned, so old tuples would misread — refusing")
           }
           writeSchemaFile(dir, id + 1, struct, primaryKeys, buckets, partitionKeys)
           id + 1
@@ -781,13 +788,20 @@ object PaimonInterchange {
   private def bucketCol(pks: Seq[String], buckets: Int): Column =
     pmod(hash(pks.map(col): _*), lit(buckets))
 
-  /** Rows in key-value shape with their bucket column. */
+  /** Rows in key-value shape with their bucket column. `pks` is the
+    * TRIMMED key (pk minus partition fields) — the LSM/bucket key.
+    * Tombstones null their value columns EXCEPT the identity partition
+    * columns: those must stay real to route the file into its
+    * `p=v/bucket-N` directory (the import overwrites them from the
+    * manifest tuple anyway, so the file contents stay conventional). */
   private def toKeyValue(df: DataFrame, struct: StructType, pks: Seq[String],
-      seq: Long, kind: Int, buckets: Int): DataFrame = {
+      seq: Long, kind: Int, buckets: Int,
+      partitionKeys: Seq[String] = Nil): DataFrame = {
     val keyCols = pks.map(p => col(p).as(s"_KEY_$p"))
     val sys = Seq(lit(seq).as(SeqCol), lit(kind).as(KindCol))
     val values = struct.fieldNames.map(n =>
-      (if (kind == KindDelete) lit(null).cast(struct(n).dataType) else col(n)).as(n))
+      (if (kind == KindDelete && !partitionKeys.contains(n))
+        lit(null).cast(struct(n).dataType) else col(n)).as(n))
     df.select(keyCols ++ sys ++ values :+ bucketCol(pks, buckets).as("__pm_bucket"): _*)
   }
 
@@ -817,6 +831,12 @@ object PaimonInterchange {
         r.getInt(0) -> (binaryRow(Seq(asLong(r.get(1)))), binaryRow(Seq(asLong(r.get(2)))))
       }.toMap
 
+  /** One written key-value data file: its metadata, its BinaryRow key
+    * bounds, and (when tracked) the SOURCE lakehouse bucket whose rows it
+    * carries — the mirror's sidecar granularity. */
+  private final case class KvFile(file: PaimonFile,
+      minKey: Array[Byte], maxKey: Array[Byte], srcBucket: Int = -1)
+
   /** Write `rows` (key-value shape + `__pm_bucket`) as one data file per
     * (partition, bucket) under `p1=v1/…/bucket-N/` — one partitionBy job,
     * not a per-group loop — returning the [[PaimonFile]]s with their key
@@ -825,12 +845,21 @@ object PaimonInterchange {
     * the directory layout and manifest tuple exist for pruning, not
     * reconstruction); they are duplicated into `__pm_pN` path columns
     * here. Null partition values and values Spark's path writer would
-    * escape refuse loudly at parse time. */
+    * escape refuse loudly at parse time.
+    *
+    * `trackSrcBucket`: when true, `rows` must carry a `__pm_srcb` column
+    * (the SOURCE lakehouse bucket of each row, hash of the FULL primary
+    * key) which joins the partitionBy — so every output file holds rows
+    * of exactly one lakehouse bucket and the mirror's sidecar can map it
+    * to exactly the source adds whose rows it carries. Under identity
+    * partitioning the Paimon bucket (trimmed-key hash) and the lakehouse
+    * bucket (full-pk hash) disagree, so bucket equality is NOT that map;
+    * unpartitioned they coincide and the extra split is a no-op. */
   private def writeKeyValueFiles(spark: SparkSession, destDir: String,
       rows: DataFrame, pks: Seq[String], struct: StructType,
       seq: Long, schemaId: Long, level: Int, tag: String,
-      partitionKeys: Seq[String] = Nil)
-      : Seq[(PaimonFile, Array[Byte], Array[Byte])] = {
+      partitionKeys: Seq[String] = Nil,
+      trackSrcBucket: Boolean = false): Seq[KvFile] = {
     // per-bucket key bounds only make sense unpartitioned (one file per
     // bucket); partitioned tables write the empty row (pruning off, never
     // wrong), and prune via the partition tuple instead
@@ -839,8 +868,10 @@ object PaimonInterchange {
     val partTypes = partitionKeys.map(struct(_).dataType)
     val pathCols = partitionKeys.zipWithIndex.map { case (k, i) => s"__pm_p$i" -> k }
     val withPath = pathCols.foldLeft(rows) { case (d, (pc, k)) => d.withColumn(pc, col(k)) }
+    val splitCols = pathCols.map(_._1) ++
+      (if (trackSrcBucket) Seq("__pm_srcb") else Nil) :+ "__pm_bucket"
     val tmp = Files.createTempDirectory("graft_pm_write")
-    withPath.write.partitionBy(pathCols.map(_._1) :+ "__pm_bucket": _*)
+    withPath.write.partitionBy(splitCols: _*)
       .mode("overwrite").parquet(tmp.toString)
     def parsePart(seg: String, i: Int): Any = {
       val raw = seg.stripPrefix(s"__pm_p$i=")
@@ -864,8 +895,12 @@ object PaimonInterchange {
       .map { p =>
         val rel = tmp.relativize(p)
         val partVals = partitionKeys.indices.map(i => parsePart(rel.getName(i).toString, i))
-        val bucket = rel.getName(partitionKeys.size).toString
-          .stripPrefix("__pm_bucket=").toInt
+        val srcb =
+          if (!trackSrcBucket) -1
+          else rel.getName(partitionKeys.size).toString
+            .stripPrefix("__pm_srcb=").toInt
+        val bucket = rel.getName(partitionKeys.size + (if (trackSrcBucket) 1 else 0))
+          .toString.stripPrefix("__pm_bucket=").toInt
         val prefix = partitionKeys.zip(partVals)
           .map { case (k, v) => s"$k=$v/" }.mkString
         val dir = Paths.get(destDir, s"${prefix}bucket-$bucket")
@@ -875,11 +910,11 @@ object PaimonInterchange {
         // deterministic file names over any orphans
         Files.move(p, dir.resolve(name),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        (bucket, name, partVals, prefix)
+        (bucket, name, partVals, prefix, srcb)
       }
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(p => Files.deleteIfExists(p))
-    val paths = out.map { case (b, name, _, prefix) =>
+    val paths = out.map { case (b, name, _, prefix, _) =>
       Paths.get(destDir, s"${prefix}bucket-$b", name).toString }
     val hasKind = rows.columns.contains(KindCol)
     val counts =
@@ -892,12 +927,12 @@ object PaimonInterchange {
         .collect()
         .map(r => (new java.net.URI(r.getString(0)).getPath, (r.getLong(1), r.getLong(2))))
         .toMap
-    out.map { case (b, name, partVals, prefix) =>
+    out.map { case (b, name, partVals, prefix, srcb) =>
       val p = Paths.get(destDir, s"${prefix}bucket-$b", name)
       val (rc, dc) = counts(p.toString)
       val (mn, mx) = bounds.getOrElse(b, (emptyRow, emptyRow))
-      (PaimonFile(name, Files.size(p), rc, b, seq, seq, level, schemaId, dc,
-        partition = partVals.toSeq), mn, mx)
+      KvFile(PaimonFile(name, Files.size(p), rc, b, seq, seq, level, schemaId, dc,
+        partition = partVals.toSeq), mn, mx, srcb)
     }
   }
 
@@ -941,17 +976,27 @@ object PaimonInterchange {
         (live.select(struct.fieldNames.map(col).toSeq :+
           pmod(spark_partition_id(), lit(buckets)).as("__pm_bucket"): _*), 0)
       else
-        (toKeyValue(live, struct, keys, seq, KindInsert, buckets), 5)
+        (toKeyValue(live, struct, keys, seq, KindInsert, buckets, partitionKeys), 5)
     val files = writeKeyValueFiles(spark, destDir, rows,
       keys, struct, seq, schemaId, level = level, tag = "export", partitionKeys)
     val mMeta = writeManifest(destDir, "manifest-export-0", schemaId,
-      files.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx, partTypes) })
+      files.map(w => entryRecord(Add, buckets, w.file, w.minKey, w.maxKey, partTypes)))
     writeManifestList(destDir, "manifest-list-export-base", Nil)
     writeManifestList(destDir, "manifest-list-export-delta", Seq(mMeta))
-    writeSourceTracking(destDir, 1L, files.map { case (f, _, _) =>
-      f.fileName -> snap.files.filter(_.bucket == f.bucket).map(_.path)
+    // Sidecar: unpartitioned, the Paimon bucket IS the lakehouse bucket
+    // (both hash the full pk), so each file maps to exactly its sources.
+    // Partitioned, an exported (partition, bucket) file spans MANY
+    // lakehouse buckets (trimmed-key hash vs full-pk hash) — it maps to
+    // every source file, and a resumed [[mirror]]'s partial-source-death
+    // rescue cuts it apart on the first source rewrite. The one-file-per-
+    // (partition, bucket) level-5 layout is kept either way: Paimon's
+    // level>0 sorted-run invariant forbids overlapping files in a level.
+    writeSourceTracking(destDir, 1L, files.map { w =>
+      w.file.fileName -> (
+        if (partitionKeys.isEmpty) snap.files.filter(_.bucket == w.file.bucket)
+        else snap.files).map(_.path)
     }.toMap)
-    val total = files.map(_._1.rows).sum
+    val total = files.map(_.file.rows).sum
     writeSnapshot(destDir, 1, snapshotNode(1, schemaId,
       "manifest-list-export-base", "manifest-list-export-delta",
       commitIdentifier = table.latestVersion(), commitKind = "APPEND",
@@ -1022,9 +1067,8 @@ object PaimonInterchange {
       s"empty or inverted window ($fromSnapshotId, $toSnapshotId]")
     val head = readSnapshot(srcDir, toSnapshotId)
     val (struct, pks, _, _, dbParts) = readSchemaFile(srcDir, head.get("schemaId").asLong())
-    require(dbParts.isEmpty,
-      "incremental reads of partitioned tables are not supported here — " +
-        "partitioned tables are export/import scope; refusing")
+    val partTypes = dbParts.map(struct(_).dataType)
+    val keys = pks.filterNot(dbParts.contains)
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val s = readSnapshot(srcDir, id)
       require(s.get("commitKind").asText() == "APPEND",
@@ -1033,13 +1077,14 @@ object PaimonInterchange {
           "delta — an incremental consumer would silently miss deletions")
       readManifestList(srcDir, s.get("deltaManifestList").asText())
         .flatMap { case (mf, _, _, _, _) =>
-          readManifest(manifestDir(srcDir).resolve(mf))
+          readManifest(manifestDir(srcDir).resolve(mf), partTypes)
             .filter(_.kind == Add)
             .map(e => Paths.get(srcDir,
-              s"bucket-${e.file.bucket}", e.file.fileName).toString)
+              s"${e.file.partitionPath(dbParts)}bucket-${e.file.bucket}",
+              e.file.fileName).toString)
         }
     }.distinct
-    val kvSchema = keyValueSchema(struct, pks)
+    val kvSchema = keyValueSchema(struct, keys)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kvSchema)
@@ -1069,9 +1114,8 @@ object PaimonInterchange {
       s"empty or inverted window ($fromSnapshotId, $toSnapshotId]")
     val head = readSnapshot(srcDir, toSnapshotId)
     val (struct, pks, _, _, dbParts) = readSchemaFile(srcDir, head.get("schemaId").asLong())
-    require(dbParts.isEmpty,
-      "incremental reads of partitioned tables are not supported here — " +
-        "partitioned tables are export/import scope; refusing")
+    val partTypes = dbParts.map(struct(_).dataType)
+    val keys = pks.filterNot(dbParts.contains)
     val perSnapshot = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val s = readSnapshot(srcDir, id)
       val cl = s.get("changelogManifestList")
@@ -1084,16 +1128,17 @@ object PaimonInterchange {
       } else {
         val files = readManifestList(srcDir, cl.asText())
           .flatMap { case (mf, _, _, _, _) =>
-            readManifest(manifestDir(srcDir).resolve(mf))
+            readManifest(manifestDir(srcDir).resolve(mf), partTypes)
               .filter(_.kind == Add)
               .map(e => Paths.get(srcDir,
-                s"bucket-${e.file.bucket}", e.file.fileName).toString)
+                s"${e.file.partitionPath(dbParts)}bucket-${e.file.bucket}",
+                e.file.fileName).toString)
           }
         if (files.isEmpty) None
         else Some((s.get("commitIdentifier").asLong(), files))
       }
     }
-    val kvSchema = keyValueSchema(struct, pks)
+    val kvSchema = keyValueSchema(struct, keys)
     val outSchema = StructType(struct.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))
@@ -1125,13 +1170,15 @@ object PaimonInterchange {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val latest = latestSnapshotId(destDir).getOrElse(
       throw new IllegalArgumentException(s"no Paimon snapshot under $destDir"))
-    latestSchemaId(destDir).foreach { sid =>
-      require(readSchemaFile(destDir, sid)._5.isEmpty,
-        "expiry on a partitioned table is not supported (partitioned " +
-          "tables are export/import scope; orphan resolution here is " +
-          "bucket-dir based) — refusing rather than silently deleting " +
-          "nothing")
-    }
+    // partition types from the latest schema: partition keys cannot evolve
+    // and partition-column types are pinned (ensureSchema), so one decode
+    // covers every manifest in the history
+    val (pStruct, _, _, _, pKeys) = readSchemaFile(destDir,
+      latestSchemaId(destDir).getOrElse(
+        throw new IllegalArgumentException(s"no Paimon schema under $destDir")))
+    val partTypes = pKeys.map(pStruct(_).dataType)
+    def dataPath(f: PaimonFile): Path = Paths.get(destDir,
+      s"${f.partitionPath(pKeys)}bucket-${f.bucket}", f.fileName)
     val earliestPath = snapshotDir(destDir).resolve("EARLIEST")
     val earliest = new String(Files.readAllBytes(earliestPath), UTF_8).trim.toLong
     val cut = latest - keepLast + 1
@@ -1146,9 +1193,9 @@ object PaimonInterchange {
     val keepManifests = keepLists.flatMap(l =>
       readManifestList(destDir, l).map(_._1))
     val keepData = keepManifests.flatMap(m =>
-      readManifest(manifestDir(destDir).resolve(m))
+      readManifest(manifestDir(destDir).resolve(m), partTypes)
         .filter(_.kind == Add)
-        .map(e => Paths.get(destDir, s"bucket-${e.file.bucket}", e.file.fileName)))
+        .map(e => dataPath(e.file)))
 
     var metaDeleted = 0
     var dataDeleted = 0
@@ -1158,8 +1205,8 @@ object PaimonInterchange {
           .filterNot(keepManifests.contains).foreach { m =>
             val mp = manifestDir(destDir).resolve(m)
             if (Files.exists(mp)) {
-              readManifest(mp).filter(_.kind == Add).foreach { e =>
-                val dp = Paths.get(destDir, s"bucket-${e.file.bucket}", e.file.fileName)
+              readManifest(mp, partTypes).filter(_.kind == Add).foreach { e =>
+                val dp = dataPath(e.file)
                 if (!keepData.contains(dp) && Files.deleteIfExists(dp))
                   dataDeleted += 1
               }
@@ -1198,9 +1245,6 @@ object PaimonInterchange {
   def mirror(spark: SparkSession, table: LakehouseTable, destDir: String): Int = {
     val head = table.latestVersion()
     require(head >= 0, "cannot mirror a table with no commits")
-    require(table.snapshot().meta.forall(_.schema.partitionKeys.isEmpty),
-      "partitioned tables are export/import scope — the per-commit mirror " +
-        "(tombstones, changelog, expiry) is unpartitioned only; refusing")
     val prior = latestSnapshotId(destDir)
     var lastMirrored = -1L
     var nextSnapshotId = 1L
@@ -1229,8 +1273,18 @@ object PaimonInterchange {
       val struct = meta.schema.struct
       val pks = meta.schema.primaryKeys
       require(pks.nonEmpty, "Paimon primary-key mirror needs primary keys")
+      val partitionKeys = meta.schema.partitionKeys
+      val partTypes = partitionKeys.map(struct(_).dataType)
+      val keys = pks.filterNot(partitionKeys.contains) // trimmed LSM key
       val buckets = meta.buckets
-      val schemaId = ensureSchema(destDir, struct, pks, buckets)
+      val schemaId = ensureSchema(destDir, struct, pks, buckets, partitionKeys)
+      // the SOURCE lakehouse bucket of a row — full-pk hash, the removal
+      // granularity of the lakehouse (COW rewrites remove whole buckets).
+      // Under partitioning this is NOT the Paimon bucket (trimmed-key
+      // hash), so the sidecar map must be derived from it, not from
+      // bucket equality.
+      def withSrcBucket(df: DataFrame): DataFrame =
+        df.withColumn("__pm_srcb", pmod(hash(pks.map(col): _*), lit(buckets)))
       val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
       val adds = cur.files.filterNot(f => prevFiles.contains(f.path)).sortBy(_.path)
@@ -1246,24 +1300,24 @@ object PaimonInterchange {
         val dataFiles =
           if (adds.isEmpty) Nil
           else writeKeyValueFiles(spark, destDir,
-            toKeyValue(
+            withSrcBucket(toKeyValue(
               spark.read.schema(struct)
                 .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*),
-              struct, pks, v, KindInsert, buckets),
-            pks, struct, v, schemaId, level = 0, tag = f"s$nextSnapshotId%04d")
+              struct, keys, v, KindInsert, buckets, partitionKeys)),
+            keys, struct, v, schemaId, level = 0, tag = f"s$nextSnapshotId%04d",
+            partitionKeys, trackSrcBucket = true)
         val tombFiles = delAdds.zipWithIndex.flatMap { case (d, i) =>
-          val keys = spark.read
+          val pkRows = spark.read
             .schema(StructType(pks.map(p => struct(p))))
             .parquet(Paths.get(table.dir, d.path).toString)
-          val full = keys.select(struct.fieldNames.map(n =>
+          val full = pkRows.select(struct.fieldNames.map(n =>
             (if (pks.contains(n)) col(n)
              else lit(null).cast(struct(n).dataType)).as(n)): _*)
           writeKeyValueFiles(spark, destDir,
-            toKeyValue(full, struct, pks, d.ver, KindDelete, buckets),
-            pks, struct, d.ver, schemaId, level = 0,
-            tag = f"s$nextSnapshotId%04d-d$i")
+            toKeyValue(full, struct, keys, d.ver, KindDelete, buckets, partitionKeys),
+            keys, struct, d.ver, schemaId, level = 0,
+            tag = f"s$nextSnapshotId%04d-d$i", partitionKeys)
         }
-        val newFiles = dataFiles ++ tombFiles
 
         // removed lakehouse files -> DELETE entries for the mirrored files
         // that carried their rows (via the bucket-granular sidecar)
@@ -1275,31 +1329,68 @@ object PaimonInterchange {
         }.toSet
         val deadMirrored: Seq[PaimonFile] = liveManifests.flatMap {
           case (n, _, _, _, _) =>
-            readManifest(manifestDir(destDir).resolve(n))
+            readManifest(manifestDir(destDir).resolve(n), partTypes)
               .filter(e => e.kind == Add && deadNames.contains(e.file.fileName))
               .map(_.file)
         }.distinctBy(_.fileName)
 
+        // PARTIAL source death: a dead mirrored file some of whose sources
+        // SURVIVE this commit. Only an export-seeded PARTITIONED sidecar
+        // can produce one (export writes one file per (partition, Paimon
+        // bucket) spanning many lakehouse buckets; mirror-written files map
+        // to exactly one). Its surviving rows — those whose full-pk hash
+        // lands outside the removed lakehouse buckets — are re-written as
+        // new level-0 adds at their ORIGINAL per-row sequence before the
+        // file goes dead, so a whole-bucket source rewrite never drops
+        // other buckets' rows. O(partially-dead files), and only on the
+        // first rewrites after an export seed.
+        val removedBuckets = removes.map(_.bucket).toSet
+        val rescueFiles = deadMirrored
+          .filter(f => track(f.fileName).exists(s => !removedNames.contains(s)))
+          .sortBy(_.fileName).zipWithIndex.flatMap { case (f, i) =>
+            require(f.schemaId == schemaId,
+              s"partially-dead mirrored file ${f.fileName} was written under " +
+                s"schema-${f.schemaId}, not the current schema-$schemaId — " +
+                "refusing to rewrite it across an evolution")
+            require(f.deleteRows == 0,
+              s"partially-dead mirrored file ${f.fileName} carries " +
+                "tombstones — tombstone files map to no sources; corrupt sidecar")
+            val kvPath = Paths.get(destDir,
+              s"${f.partitionPath(partitionKeys)}bucket-${f.bucket}", f.fileName)
+            val surviving = withSrcBucket(
+              spark.read.schema(keyValueSchema(struct, keys)).parquet(kvPath.toString))
+              .filter(!col("__pm_srcb").isin(removedBuckets.toSeq: _*))
+              .withColumn("__pm_bucket", lit(f.bucket))
+            writeKeyValueFiles(spark, destDir, surviving, keys, struct,
+              f.minSeq, schemaId, level = 0,
+              tag = f"s$nextSnapshotId%04d-r$i", partitionKeys,
+              trackSrcBucket = true)
+          }
+        val newFiles = dataFiles ++ tombFiles ++ rescueFiles
+
         val entries =
-          newFiles.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx) } ++
-            deadMirrored.map(f => entryRecord(Delete, buckets, f, emptyRow, emptyRow))
+          newFiles.map(w => entryRecord(Add, buckets, w.file, w.minKey, w.maxKey,
+            partTypes)) ++
+            deadMirrored.map(f => entryRecord(Delete, buckets, f, emptyRow, emptyRow,
+              partTypes))
         val mMeta = writeManifest(destDir,
           f"manifest-s$nextSnapshotId%04d-0", schemaId, entries)
         if (liveManifests.size > ManifestCompactThreshold) {
           // full-compact the base: net live entries (ADDs minus later
           // DELETEs) re-listed as ADDs in one manifest; expired manifests
           // stay on disk for retained-history readers until expiry
-          val net = scala.collection.mutable.LinkedHashMap.empty[String, PaimonFile]
+          val net = scala.collection.mutable.LinkedHashMap
+            .empty[(Seq[Any], String), PaimonFile]
           liveManifests.foreach { case (n, _, _, _, _) =>
-            readManifest(manifestDir(destDir).resolve(n)).foreach { e =>
-              if (e.kind == Add) net(e.file.fileName) = e.file
-              else net.remove(e.file.fileName)
+            readManifest(manifestDir(destDir).resolve(n), partTypes).foreach { e =>
+              if (e.kind == Add) net((e.file.partition, e.file.fileName)) = e.file
+              else net.remove((e.file.partition, e.file.fileName))
             }
           }
           val merged = writeManifest(destDir,
             f"manifest-s$nextSnapshotId%04d-compacted", schemaId,
             net.values.toSeq.map(f =>
-              entryRecord(Add, buckets, f, emptyRow, emptyRow)))
+              entryRecord(Add, buckets, f, emptyRow, emptyRow, partTypes)))
           liveManifests = Vector(merged)
         }
         val baseList = f"manifest-list-s$nextSnapshotId%04d-base"
@@ -1308,10 +1399,18 @@ object PaimonInterchange {
         writeManifestList(destDir, deltaList, Seq(mMeta))
         liveManifests :+= mMeta
 
+        val survivingSrcsOf: Map[String, Seq[String]] = deadMirrored.map(f =>
+          f.fileName -> track(f.fileName).filterNot(removedNames.contains)).toMap
         track = (track -- deadNames) ++
-          dataFiles.map { case (f, _, _) =>
-            f.fileName -> adds.filter(_.bucket == f.bucket).map(_.path) } ++
-          tombFiles.map { case (f, _, _) => f.fileName -> Seq.empty[String] }
+          dataFiles.map(w =>
+            w.file.fileName -> adds.filter(_.bucket == w.srcBucket).map(_.path)) ++
+          tombFiles.map(w => w.file.fileName -> Seq.empty[String]) ++
+          rescueFiles.map { w =>
+            // a rescue file inherits the surviving sources of ITS lakehouse
+            // bucket from the partially-dead files it was cut from
+            w.file.fileName -> survivingSrcsOf.values.flatten.toSeq.distinct
+              .filter(p => prevFiles(p).bucket == w.srcBucket).sorted
+          }
         writeSourceTracking(destDir, nextSnapshotId, track)
 
         // changelog tables forward their row-level change files as Paimon
@@ -1331,18 +1430,19 @@ object PaimonInterchange {
               .when(col("_change_type") === "update_postimage", KindUpdateAfter)
               .otherwise(KindDelete)
             val clFiles = writeKeyValueFiles(spark, destDir,
-              toKeyValueKinded(cdf, struct, pks, v, kindCol, buckets),
-              pks, struct, v, schemaId, level = 0,
-              tag = f"s$nextSnapshotId%04d-cl")
+              toKeyValueKinded(cdf, struct, keys, v, kindCol, buckets),
+              keys, struct, v, schemaId, level = 0,
+              tag = f"s$nextSnapshotId%04d-cl", partitionKeys)
             val clMeta = writeManifest(destDir,
               f"manifest-s$nextSnapshotId%04d-cl", schemaId,
-              clFiles.map { case (f, mn, mx) => entryRecord(Add, buckets, f, mn, mx) })
+              clFiles.map(w =>
+                entryRecord(Add, buckets, w.file, w.minKey, w.maxKey, partTypes)))
             val clList = f"manifest-list-s$nextSnapshotId%04d-changelog"
             writeManifestList(destDir, clList, Seq(clMeta))
-            Some((clList, clFiles.map(_._1.rows).sum))
+            Some((clList, clFiles.map(_.file.rows).sum))
           }
 
-        val deltaRecords = newFiles.map(_._1.rows).sum
+        val deltaRecords = newFiles.map(_.file.rows).sum
         totalRecords = totalRecords + deltaRecords - deadMirrored.map(_.rows).sum
         val kind = if (removes.isEmpty) "APPEND" else "COMPACT"
         writeSnapshot(destDir, nextSnapshotId, snapshotNode(

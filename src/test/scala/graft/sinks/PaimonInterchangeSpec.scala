@@ -392,7 +392,7 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inconsistent"))
   }
 
-  test("refusals: dynamic buckets; mirror on a partitioned table") {
+  test("refusals: dynamic buckets; partition-column type change") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
     val dest = Files.createTempDirectory("graft_pm_ref").toString
@@ -404,19 +404,27 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](PaimonInterchange.readTable(dest))
     assert(e2.getMessage.contains("dynamic bucket"))
 
-    val pt = new LakehouseTable(spark,
-      Files.createTempDirectory("graft_pm_refp").toString)
-    pt.create(TableSchema(
-      StructType(Seq(
-        StructField("dt", StringType, nullable = false),
-        StructField("k", LongType, nullable = false),
-        StructField("v", StringType))),
-      primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt")), buckets = 2)
-    pt.merge(Seq(("a", 1L, "x")).toDF("dt", "k", "v"),
-      spark.range(0).select(lit("").as("dt"), $"id".as("k")))
-    val e3 = intercept[IllegalArgumentException](PaimonInterchange.mirror(
-      spark, pt, Files.createTempDirectory("graft_pm_refm").toString))
-    assert(e3.getMessage.contains("export/import scope"))
+    // a partition column may NOT widen (INT -> BIGINT): the manifests'
+    // _PARTITION BinaryRows are type-pinned, old tuples would misread
+    val pdir = Files.createTempDirectory("graft_pm_ptpin").toString
+    val s0 = StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("w", IntegerType)))
+    PaimonInterchange.ensureSchema(pdir, s0, Seq("p", "k"), 2, Seq("p"))
+    val s1 = StructType(Seq(
+      StructField("p", LongType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("w", IntegerType)))
+    val e3 = intercept[IllegalArgumentException](
+      PaimonInterchange.ensureSchema(pdir, s1, Seq("p", "k"), 2, Seq("p")))
+    assert(e3.getMessage.contains("type-pinned"))
+    // the same widening on a NON-partition column stays legal
+    val s2 = StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("w", LongType)))
+    assert(PaimonInterchange.ensureSchema(pdir, s2, Seq("p", "k"), 2, Seq("p")) == 1L)
   }
 
   test("binary row: typed partition tuples round-trip (long/int/string/null)") {
@@ -805,5 +813,135 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(back.filter($"k" === 1L).select($"extra").head().isNullAt(0))
     val want = t.read()
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  private val partSchema = TableSchema(
+    StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))),
+    primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt"))
+
+  private def newPartTable(changelog: Boolean = false): LakehouseTable = {
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_pmp_src").toString)
+    t.create(partSchema, buckets = 2, changelog = changelog)
+    t
+  }
+
+  private val noPartKeys = spark.range(0)
+    .select(lit("").as("dt"), $"id".as("k"))
+
+  private def assertSame(dest: String, t: LakehouseTable): Unit = {
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+      "the mirrored Paimon state must equal the lakehouse live state")
+  }
+
+  test("partitioned mirror: rewrites, tombstones, pruning, expiry") {
+    val t = newPartTable()
+    val dest = Files.createTempDirectory("graft_pmp_m").toString
+    val rows = for (dt <- Seq("a", "b"); k <- 1L to 4L) yield (dt, k, s"$dt$k")
+    t.merge(rows.toDF("dt", "k", "v"), noPartKeys)
+    // 2 snapshots: the create (meta-only) commit and the first merge
+    assert(PaimonInterchange.mirror(spark, t, dest) == 2)
+    // update a subset -> lakehouse COW bucket rewrites -> DELETE entries
+    // against partition-qualified mirrored files
+    t.merge(Seq(("a", 1L, "A1"), ("b", 3L, "B3")).toDF("dt", "k", "v"), noPartKeys)
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assertSame(dest, t)
+    // MOR deletes -> tombstone files under their own partition dirs
+    t.deleteWhere(Seq(("a", 2L), ("b", 4L)).toDF("dt", "k"))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assert(PaimonInterchange.mirror(spark, t, dest) == 0)
+    assertSame(dest, t)
+    val snap = PaimonInterchange.readTable(dest)
+    assert(snap.partitionKeys == Seq("dt") && snap.trimmedKeys == Seq("k"))
+    assert(snap.files.exists(_.deleteRows > 0), "tombstones must ride as files")
+    assert(snap.files.forall(_.partition.nonEmpty),
+      "every live mirrored file carries its partition tuple")
+    // manifest-level partition pruning on the mirrored table
+    val pruned = PaimonInterchange.importPaimon(spark, dest,
+      partitionFilter = Map("dt" -> "a"))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("dt=a")),
+      "a partition-filtered import must open only that partition's files")
+    assert(pruned.select($"k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // expiry walks partition-qualified data paths: push past the manifest
+    // compaction threshold so net-dead files drop out of the base chain,
+    // then expire — the rewritten files must be PHYSICALLY reclaimed from
+    // their p=v/bucket-N dirs (a wrong path would silently delete nothing)
+    (1 to 17).foreach { i =>
+      t.merge(Seq(("a", 1L, s"A$i")).toDF("dt", "k", "v"), noPartKeys)
+    }
+    assert(PaimonInterchange.mirror(spark, t, dest) == 17)
+    val (expired, _, dataGone) = PaimonInterchange.expireSnapshots(dest, 1)
+    assert(expired == 20 && dataGone > 0,
+      s"expiry must reclaim rewritten partitioned files (got $expired/$dataGone)")
+    assertSame(dest, t)
+  }
+
+  test("partitioned mirror resumes from an export: partial death rescues") {
+    val t = newPartTable()
+    val dest = Files.createTempDirectory("graft_pmp_rsc").toString
+    val rows = for (dt <- Seq("a", "b"); k <- 1L to 8L) yield (dt, k, s"$dt$k")
+    t.merge(rows.toDF("dt", "k", "v"), noPartKeys)
+    assert(t.snapshot().files.map(_.bucket).distinct.size == 2,
+      "fixture must occupy both lakehouse buckets")
+    PaimonInterchange.export(spark, t, dest)
+    // rewrite ONE lakehouse bucket: the exported (partition, bucket) files
+    // span BOTH lakehouse buckets, so each goes partially dead — without
+    // the rescue, the untouched bucket's rows would silently vanish
+    t.merge(Seq(("a", 1L, "A1")).toDF("dt", "k", "v"), noPartKeys)
+    assert(t.snapshot().files.map(_.bucket).distinct.size == 2,
+      "the rewrite must leave the other lakehouse bucket's files live")
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assertSame(dest, t)
+    // post-rescue the sidecar is exact per lakehouse bucket: further
+    // rewrites kill only their own bucket's mirrored rows
+    t.merge(Seq(("b", 2L, "B2")).toDF("dt", "k", "v"), noPartKeys)
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assertSame(dest, t)
+    t.deleteWhere(Seq(("a", 3L), ("b", 5L)).toDF("dt", "k"))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assertSame(dest, t)
+  }
+
+  test("partitioned changelog + delta reads walk p=v paths") {
+    val t = newPartTable(changelog = true)
+    val dest = Files.createTempDirectory("graft_pmp_cl").toString
+    t.merge(Seq(("a", 1L, "x"), ("b", 1L, "y")).toDF("dt", "k", "v"), noPartKeys)
+    PaimonInterchange.mirror(spark, t, dest)
+    t.merge(Seq(("a", 1L, "x2")).toDF("dt", "k", "v"), noPartKeys)
+    PaimonInterchange.mirror(spark, t, dest)
+    val latest = PaimonInterchange.latestSnapshotId(dest).get
+    val feed = PaimonInterchange.readChangelogBetween(spark, dest, 0L, latest)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 2L)
+    assert(byType("update_preimage") == 1L && byType("update_postimage") == 1L)
+    assert(feed.filter($"_change_type" === "update_preimage")
+      .select($"v").head().getString(0) == "x")
+    assert(feed.inputFiles.forall(f => f.contains("dt=a") || f.contains("dt=b")),
+      "changelog files live under partition directories")
+
+    // delta tail: appends + a MOR delete, tombstone rows carry their
+    // partition in the value columns' dt (for routing) and _KEY_ trimmed key
+    val t2 = newPartTable()
+    val d2 = Files.createTempDirectory("graft_pmp_dl").toString
+    t2.append(Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("dt", "k", "v"))
+    PaimonInterchange.mirror(spark, t2, d2)
+    val s1 = PaimonInterchange.latestSnapshotId(d2).get
+    t2.deleteWhere(Seq(("b", 2L)).toDF("dt", "k"))
+    t2.append(Seq(("a", 3L, "z")).toDF("dt", "k", "v"))
+    PaimonInterchange.mirror(spark, t2, d2)
+    val s2 = PaimonInterchange.latestSnapshotId(d2).get
+    val delta = PaimonInterchange.readDeltaBetween(spark, d2, s1, s2)
+    assert(delta.filter(col(PaimonInterchange.KindCol) ===
+      PaimonInterchange.KindDelete).select($"_KEY_k").head().getLong(0) == 2L)
+    assert(delta.filter(col(PaimonInterchange.KindCol) ===
+      PaimonInterchange.KindInsert).select($"_KEY_k").head().getLong(0) == 3L)
   }
 }
