@@ -797,6 +797,17 @@ object Bench {
         require(PaimonInterchange.importPaimon(spark, s"$root/paimon_flat")
           .count() == nCommits * 5000L)
       }.foreach(sec => out += "b13_paimon_import_flat_sec" -> sec)
+      // maintained read: FULL COMPACTION on the mirrored table (the path a
+      // real deployment runs), then the same import — one file per bucket,
+      // no merge window; brackets the merge/flat gap with the number a
+      // maintained mirror actually sees. Compaction cost is its own metric.
+      timed("b13_compact") {
+        require(PaimonInterchange.compact(spark, s"$root/paimon") > 0)
+      }.foreach(sec => out += "b13_paimon_compact_sec" -> sec)
+      timed("b13_import_compacted") {
+        require(PaimonInterchange.importPaimon(spark, s"$root/paimon")
+          .count() == nCommits * 5000L)
+      }.foreach(sec => out += "b13_paimon_import_compacted_sec" -> sec)
     }
 
     // B14: Kafka wire round trip — RecordBatch v2 encode (varints, CRC32C)

@@ -591,6 +591,51 @@ object QueriesCdc {
         .orderBy("kind", "k")
     }),
 
+    "c_paimon_compact" -> ((s, dir) => {
+      // Paimon FULL COMPACTION: a continuously mirrored table fragments
+      // (level-0 files + tombstones accrue per commit) and the import
+      // pays an LSM merge; compact() rewrites each fragmented bucket to
+      // ONE max-level tombstone-free file in a COMPACT snapshot, after
+      // which the import takes the no-overlap fast path (plan asserted:
+      // no merge window) and incremental readers skip the compaction.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmc_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmc_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") >= 400 && col("event_id") < 800 &&
+          col("user_id") < 140)
+        .select(col("event_id"), col("user_id"))
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("me"))
+        .select(col("user_id").as("k"), concat(lit("e"), col("me")).as("v"))
+      t.merge(batch(col("event_id") < 600), s.range(0).select(col("id").as("k")))
+      PaimonInterchange.mirror(s, t, dest)
+      t.merge(batch(col("event_id") >= 600), s.range(0).select(col("id").as("k")))
+      PaimonInterchange.mirror(s, t, dest)
+      t.deleteWhere(s.range(130, 140).select(col("id").as("k")))
+      PaimonInterchange.mirror(s, t, dest)
+      require(PaimonInterchange.readTable(dest).files.exists(_.deleteRows > 0),
+        "the fixture must carry tombstones before compaction")
+      require(PaimonInterchange.compact(s, dest) > 0, "buckets must compact")
+      require(PaimonInterchange.compact(s, dest) == 0, "compaction is idempotent")
+      val snap = PaimonInterchange.readTable(dest)
+      require(snap.files.groupBy(f => (f.partition, f.bucket)).forall(_._2.size == 1),
+        "full compaction leaves at most one file per bucket")
+      require(snap.files.forall(_.deleteRows == 0), "tombstones merge away")
+      require(snap.commitIdentifier == t.latestVersion(),
+        "a compaction repeats the head's commitIdentifier")
+      val back = PaimonInterchange.importPaimon(s, dest)
+      require(!back.queryExecution.optimizedPlan.toString.contains("row_number"),
+        "a fully compacted table must import on the no-overlap fast path")
+      back.orderBy("k")
+    }),
+
     "c_paimon_partitioned_mirror" -> ((s, dir) => {
       // per-commit mirror of an identity-PARTITIONED Paimon table: adds,
       // COW bucket rewrites (DELETE manifest entries) and MOR tombstones
@@ -2853,6 +2898,14 @@ object QueriesCdc {
         |SELECT kind, k, v FROM dels
         |UNION ALL SELECT kind, k, v FROM ups
         |ORDER BY kind, k""".stripMargin,
+    // full compaction is data-identical: the merged state equals the
+    // mirrored history's converged per-user max minus deleted users
+    "c_paimon_compact" ->
+      """SELECT user_id AS k, 'e' || CAST(max(event_id) AS VARCHAR) AS v
+        |FROM events
+        |WHERE event_id >= 400 AND event_id < 800 AND user_id < 130
+        |GROUP BY user_id
+        |ORDER BY k""".stripMargin,
     // partitioned per-commit mirror: two merges + MOR deletes of users
     // 150-159 in every partition converge through the partitioned LSM to
     // the plain per-(event_type, user) max with those users gone

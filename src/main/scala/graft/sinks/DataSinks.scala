@@ -59,7 +59,9 @@ object DataSinks {
           buckets = sinkDef.config.getOrElse("buckets", "16").toInt,
           mergeEngine = sinkDef.config.getOrElse("merge-engine", "last-wins"),
           checkpointEvery = sinkDef.config.getOrElse("checkpoint.every", "0").toInt,
-          snapshotsKeep = sinkDef.config.getOrElse("snapshots.keep", "0").toInt)
+          snapshotsKeep = sinkDef.config.getOrElse("snapshots.keep", "0").toInt,
+          fullCompactionEvery = sinkDef.config.getOrElse(
+            "full-compaction.delta-commits", "0").toInt)
       case "lakehouse" =>
         new LakehouseSink(
           spark,

@@ -32,11 +32,20 @@ final class MirroredLakehouseSink(
     buckets: Int = 16,
     mergeEngine: String = "last-wins",
     checkpointEvery: Int = 0,
-    snapshotsKeep: Int = 0)
+    snapshotsKeep: Int = 0,
+    fullCompactionEvery: Int = 0)
     extends DataSink {
 
   require(format == "delta" || format == "iceberg" || format == "paimon",
     s"unknown mirror format $format")
+  require(fullCompactionEvery == 0 || format == "paimon",
+    "full-compaction.delta-commits is a Paimon option (LSM full compaction)")
+
+  // delta commits since the last full compaction, per table. In-memory:
+  // a restart delays the next compaction by at most one cycle, which is
+  // maintenance cadence, not correctness
+  private val sinceCompaction =
+    scala.collection.mutable.Map.empty[TableId, Int].withDefaultValue(0)
 
   private val inner = new LakehouseSink(
     spark, Paths.get(rootDir, "_staging").toString, buckets,
@@ -58,7 +67,17 @@ final class MirroredLakehouseSink(
       if (snapshotsKeep > 0)
         IcebergInterchange.expireSnapshots(mirrorDir(t), snapshotsKeep)
     case "paimon" =>
-      PaimonInterchange.mirror(spark, inner.table(t), mirrorDir(t))
+      val written = PaimonInterchange.mirror(spark, inner.table(t), mirrorDir(t))
+      // the reference Paimon connector's `full-compaction.delta-commits`:
+      // run a FULL COMPACTION every N delta commits so readers keep the
+      // no-overlap fast path instead of paying an ever-growing LSM merge
+      if (fullCompactionEvery > 0) {
+        sinceCompaction(t) += written
+        if (sinceCompaction(t) >= fullCompactionEvery) {
+          PaimonInterchange.compact(spark, mirrorDir(t))
+          sinceCompaction(t) = 0
+        }
+      }
       if (snapshotsKeep > 0)
         PaimonInterchange.expireSnapshots(mirrorDir(t), snapshotsKeep)
   }

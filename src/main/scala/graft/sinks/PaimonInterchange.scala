@@ -668,53 +668,30 @@ object PaimonInterchange {
           StructField(KindCol, IntegerType, nullable = false)) ++
         struct.fields.map(f => f.copy(nullable = true)))
 
-  /** Read the live table state: union the live key-value files and run the
-    * LSM merge — per (partition, trimmed key) keep the highest
-    * `_SEQUENCE_NUMBER` (retract kinds win sequence ties, the conservative
-    * direction), then drop tombstones. One hash exchange on the key.
-    * Skipped entirely when live files share one sequence number and carry
-    * no tombstones — Paimon's own no-overlap fast path, which one-shot
-    * exports always hit. APPEND tables (no primary key) store plain rows
-    * and union without any merge.
-    *
-    * `partitionFilter` prunes by identity partition values BEFORE any file
-    * is opened — the manifest's partition tuples are the only thing
-    * consulted, so a one-partition read of a 10k-partition table opens
-    * O(one partition's files). Keys absent from the filter are
-    * unconstrained.
-    */
-  def importPaimon(spark: SparkSession, srcDir: String,
-      partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
-    val snap = readTable(srcDir)
-    partitionFilter.keys.foreach(k => require(snap.partitionKeys.contains(k),
-      s"'$k' is not a partition key (${snap.partitionKeys.mkString(", ")})"))
-    val files0 =
-      if (partitionFilter.isEmpty) snap.files
-      else snap.files.filter { f =>
-        snap.partitionKeys.zip(f.partition).forall { case (k, v) =>
-          partitionFilter.get(k).forall(_ == v)
-        }
-      }
-    if (files0.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val keys = snap.trimmedKeys
-    // Schema-aware read: each (schema, partition) file group reads under
-    // ITS schema-N (the manifest records every file's schemaId) and aligns
-    // to the latest schema BY POSITION — positional field ids are stable
-    // across Paimon evolution, so a mid-history RENAME (position keeps its
-    // id, changes its name) resolves correctly instead of reading silent
-    // nulls, and a type PROMOTION (INT -> BIGINT) casts old files up. One
-    // sampled footer per distinct schemaId (O(schemas), not O(files))
-    // still guards against a foreign table whose files don't match their
-    // claimed schema-N. Partition value columns are overwritten from the
-    // manifest tuple: identical for live rows (identity partitioning) and
-    // the only source of truth for tombstones, whose value columns are
-    // null.
+  /** The schema-aware aligned key-value read shared by [[importPaimon]]
+    * and [[compact]]: each (schemaId, partition) file group reads under
+    * ITS schema-N (the manifest records every file's schemaId) and aligns
+    * to the LATEST schema by position — positional field ids are stable
+    * across Paimon evolution, so a mid-history RENAME resolves correctly
+    * and a type PROMOTION casts old files up. One sampled footer per
+    * distinct schemaId (O(schemas), not O(files)) guards against a
+    * foreign table whose files don't match their claimed schema-N. The
+    * manifest's partition tuple is projected over the partition value
+    * columns: identical for live rows (identity partitioning) and the
+    * only source of truth for tombstones whose value columns are null.
+    * Returns `_KEY_*` (latest names) + system columns (PK tables) +
+    * latest value columns; `tagBucket` adds a `__pm_bucket` column
+    * carrying each file's MANIFEST bucket, so the compaction writer
+    * preserves placement instead of re-hashing foreign layouts. */
+  private def readAlignedKv(spark: SparkSession, srcDir: String,
+      snap: PaimonSnapshot, files0: Seq[PaimonFile],
+      tagBucket: Boolean = false): DataFrame = {
     val latest = snap.schema
+    val keys = snap.trimmedKeys
     val checkedSchemas = scala.collection.mutable.Set.empty[Long]
-    val frames = files0.groupBy(f => (f.schemaId, f.partition)).toSeq
-      .sortBy(_._1.toString).map { case ((sid, partition), files) =>
+    val frames = files0.groupBy(f =>
+        (f.schemaId, f.partition, if (tagBucket) f.bucket else -1)).toSeq
+      .sortBy(_._1.toString).map { case ((sid, partition, bucket), files) =>
         val (fileStruct, filePks, _, _, fileParts) = readSchemaFile(srcDir, sid)
         require(fileStruct.length <= latest.length &&
           latest.fields.take(fileStruct.length).zip(fileStruct.fields).forall {
@@ -756,17 +733,63 @@ object PaimonInterchange {
           else lit(null).cast(l.dataType).as(l.name)
         }
         val sys = if (keys.isEmpty) Nil else Seq(col(SeqCol), col(KindCol))
-        kvF.select(keyCols ++ sys ++ valueCols: _*)
+        val tag = if (tagBucket) Seq(lit(bucket).as("__pm_bucket")) else Nil
+        kvF.select(keyCols ++ sys ++ valueCols ++ tag: _*)
       }
-    val kv = frames.reduce(_.unionByName(_))
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Read the live table state: union the live key-value files and run the
+    * LSM merge — per (partition, trimmed key) keep the highest
+    * `_SEQUENCE_NUMBER` (retract kinds win sequence ties, the conservative
+    * direction), then drop tombstones. One hash exchange on the key.
+    * Skipped entirely when live files share one sequence number and carry
+    * no tombstones — Paimon's own no-overlap fast path, which one-shot
+    * exports always hit. APPEND tables (no primary key) store plain rows
+    * and union without any merge.
+    *
+    * `partitionFilter` prunes by identity partition values BEFORE any file
+    * is opened — the manifest's partition tuples are the only thing
+    * consulted, so a one-partition read of a 10k-partition table opens
+    * O(one partition's files). Keys absent from the filter are
+    * unconstrained.
+    */
+  def importPaimon(spark: SparkSession, srcDir: String,
+      partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
+    val snap = readTable(srcDir)
+    partitionFilter.keys.foreach(k => require(snap.partitionKeys.contains(k),
+      s"'$k' is not a partition key (${snap.partitionKeys.mkString(", ")})"))
+    val files0 =
+      if (partitionFilter.isEmpty) snap.files
+      else snap.files.filter { f =>
+        snap.partitionKeys.zip(f.partition).forall { case (k, v) =>
+          partitionFilter.get(k).forall(_ == v)
+        }
+      }
+    if (files0.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val keys = snap.trimmedKeys
+    val kv = readAlignedKv(spark, srcDir, snap, files0)
     if (keys.isEmpty) {
       // APPEND table: every row is live; duplicates are data
       require(files0.forall(_.deleteRows == 0),
         "append tables cannot carry tombstones — the table is corrupt")
       return kv.select(snap.schema.fieldNames.map(col).toSeq: _*)
     }
+    // the no-overlap fast path, two sufficient conditions: every live
+    // file shares ONE sequence window (a one-shot export), or every
+    // (partition, bucket) holds at most one file under one schema (the
+    // post-[[compact]] state — keys are unique within a Paimon file and
+    // cross-bucket keys never collide, so no key appears twice). The
+    // same-schema guard keeps differently-bucketed histories (a foreign
+    // rescale) off the fast path.
+    val oneFilePerBucket =
+      files0.map(_.schemaId).distinct.size == 1 &&
+        files0.groupBy(f => (f.partition, f.bucket)).forall(_._2.size == 1)
     val noMerge = files0.forall(f => f.deleteRows == 0) &&
-      files0.map(f => (f.minSeq, f.maxSeq)).distinct.size == 1
+      (files0.map(f => (f.minSeq, f.maxSeq)).distinct.size == 1 ||
+        oneFilePerBucket)
     val merged =
       if (noMerge) kv
       else {
@@ -917,21 +940,27 @@ object PaimonInterchange {
     val paths = out.map { case (b, name, _, prefix, _) =>
       Paths.get(destDir, s"${prefix}bucket-$b", name).toString }
     val hasKind = rows.columns.contains(KindCol)
+    val hasSeq = rows.columns.contains(SeqCol)
     val counts =
-      if (paths.isEmpty) Map.empty[String, (Long, Long)]
+      if (paths.isEmpty) Map.empty[String, (Long, Long, Long, Long)]
       else spark.read.parquet(paths: _*)
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"),
           (if (hasKind) sum(when(col(KindCol) === KindDelete, 1L).otherwise(0L))
-           else sum(lit(0L))).as("dels"))
+           else sum(lit(0L))).as("dels"),
+          // real per-file sequence bounds: single-commit writers collapse
+          // to (seq, seq); a compaction file spans its merged history
+          (if (hasSeq) min(col(SeqCol)) else min(lit(seq))).as("mnseq"),
+          (if (hasSeq) max(col(SeqCol)) else max(lit(seq))).as("mxseq"))
         .collect()
-        .map(r => (new java.net.URI(r.getString(0)).getPath, (r.getLong(1), r.getLong(2))))
+        .map(r => (new java.net.URI(r.getString(0)).getPath,
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
     out.map { case (b, name, partVals, prefix, srcb) =>
       val p = Paths.get(destDir, s"${prefix}bucket-$b", name)
-      val (rc, dc) = counts(p.toString)
+      val (rc, dc, mnSeq, mxSeq) = counts(p.toString)
       val (mn, mx) = bounds.getOrElse(b, (emptyRow, emptyRow))
-      KvFile(PaimonFile(name, Files.size(p), rc, b, seq, seq, level, schemaId, dc,
+      KvFile(PaimonFile(name, Files.size(p), rc, b, mnSeq, mxSeq, level, schemaId, dc,
         partition = partVals.toSeq), mn, mx, srcb)
     }
   }
@@ -1003,6 +1032,112 @@ object PaimonInterchange {
       totalRecords = total, deltaRecords = total))
   }
 
+  // ------------------------------------------------------------- compaction
+
+  /** Paimon FULL COMPACTION — the maintenance op behind the reference
+    * connector's compaction options (`flink-cdc-pipeline-connector-paimon`
+    * forwards `full-compaction.delta-commits` to Paimon's CompactProcedure
+    * semantics): merge every fragmented (partition, bucket)'s live
+    * key-value files through the SAME LSM rule the importer applies
+    * (highest sequence per trimmed key, retract kinds win ties) into one
+    * max-level file per bucket, dropping tombstones (nothing below max
+    * level remains for them to mask) and superseded versions, kinds
+    * normalized to `+I`. Writes ONE `COMPACT` snapshot whose delta
+    * manifest DELETEs the replaced files and ADDs the merged ones;
+    * `commitIdentifier` repeats the head's (as Paimon's own compaction
+    * snapshots do), so a resumed [[mirror]] is unaffected, and
+    * incremental readers SKIP pure compactions (all-max-level delta).
+    *
+    * After a full compaction every bucket holds at most one
+    * tombstone-free file — the importer's no-overlap fast path, closing
+    * the measured merge-vs-flat read gap (B13). Buckets already compact
+    * are untouched: cost is O(fragmented buckets' data), never O(table);
+    * at warehouse scale shard the work by `partitionFilter`, exactly how
+    * a per-partition Paimon compaction job is scoped. Returns the number
+    * of (partition, bucket) groups rewritten. */
+  def compact(spark: SparkSession, destDir: String,
+      partitionFilter: Map[String, Any] = Map.empty): Int = {
+    val snap = readTable(destDir)
+    require(snap.primaryKeys.nonEmpty,
+      "append tables have no LSM to compact here — refusing")
+    partitionFilter.keys.foreach(k => require(snap.partitionKeys.contains(k),
+      s"'$k' is not a partition key (${snap.partitionKeys.mkString(", ")})"))
+    val keys = snap.trimmedKeys
+    val partTypes = snap.partitionKeys.map(snap.schema(_).dataType)
+    val inScope = snap.files.filter { f =>
+      snap.partitionKeys.zip(f.partition).forall { case (k, v) =>
+        partitionFilter.get(k).forall(_ == v) } }
+    val candidates = inScope.groupBy(f => (f.partition, f.bucket))
+      .filter { case (_, fs) => fs.size > 1 || fs.exists(_.deleteRows > 0) }
+    if (candidates.isEmpty) return 0
+    val replaced = candidates.values.flatten.toSeq.sortBy(_.fileName)
+    val kv = readAlignedKv(spark, destDir, snap, replaced, tagBucket = true)
+    val keyCols = snap.partitionKeys.map(col) ++ keys.map(p => col(s"_KEY_$p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(SeqCol).desc, col(KindCol).desc)
+    val merged = kv.withColumn("_pm_rn", row_number().over(w))
+      .filter(col("_pm_rn") === 1)
+      .filter(col(KindCol) === KindInsert || col(KindCol) === KindUpdateAfter)
+      .drop("_pm_rn")
+      .withColumn(KindCol, lit(KindInsert))
+    val prior = latestSnapshotId(destDir).get
+    val snapshotId = prior + 1
+    val schemaId = latestSchemaId(destDir).get
+    val newFiles = writeKeyValueFiles(spark, destDir, merged, keys, snap.schema,
+      snap.commitIdentifier, schemaId, level = 5, tag = f"c$snapshotId%04d",
+      snap.partitionKeys)
+    val prevSnap = readSnapshot(destDir, prior)
+    val liveManifests =
+      (readManifestList(destDir, prevSnap.get("baseManifestList").asText()) ++
+        readManifestList(destDir, prevSnap.get("deltaManifestList").asText())).toVector
+    val entries =
+      newFiles.map(x =>
+        entryRecord(Add, snap.buckets, x.file, x.minKey, x.maxKey, partTypes)) ++
+        replaced.map(f =>
+          entryRecord(Delete, snap.buckets, f, emptyRow, emptyRow, partTypes))
+    val mMeta = writeManifest(destDir, f"manifest-c$snapshotId%04d-0",
+      schemaId, entries)
+    val baseList = f"manifest-list-c$snapshotId%04d-base"
+    val deltaList = f"manifest-list-c$snapshotId%04d-delta"
+    writeManifestList(destDir, baseList, liveManifests)
+    writeManifestList(destDir, deltaList, Seq(mMeta))
+    // sidecar: a merged file inherits the union of its group's sources, so
+    // a later source-bucket rewrite triggers the mirror's partial-death
+    // rescue instead of dropping unrelated rows
+    val track = readSourceTracking(destDir, prior)
+    val groupSources: Map[(Seq[Any], Int), Seq[String]] =
+      candidates.map { case (g, fs) =>
+        g -> fs.flatMap(f => track.getOrElse(f.fileName, Nil)).distinct.sorted }
+    val newTrack = (track -- replaced.map(_.fileName)) ++
+      newFiles.map(x => x.file.fileName ->
+        groupSources.getOrElse((x.file.partition, x.file.bucket), Nil))
+    writeSourceTracking(destDir, snapshotId, newTrack)
+    val newRows = newFiles.map(_.file.rows).sum
+    val total = prevSnap.get("totalRecordCount").asLong() -
+      replaced.map(_.rows).sum + newRows
+    writeSnapshot(destDir, snapshotId, snapshotNode(snapshotId, schemaId,
+      baseList, deltaList,
+      commitIdentifier = prevSnap.get("commitIdentifier").asLong(),
+      commitKind = "COMPACT",
+      totalRecords = total, deltaRecords = newRows))
+    candidates.size
+  }
+
+  /** True when a snapshot is a PURE COMPACTION — `COMPACT` kind and every
+    * delta ADD at max level (merged state, zero new changes): incremental
+    * consumers skip it, unlike a mirrored data rewrite (level-0 adds),
+    * whose silent deletions force the loud refusal. */
+  private def isPureCompaction(srcDir: String,
+      s: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    s.get("commitKind").asText() == "COMPACT" && {
+      val adds = readManifestList(srcDir, s.get("deltaManifestList").asText())
+        .flatMap { case (mf, _, _, _, _) =>
+          readManifest(manifestDir(srcDir).resolve(mf)) }
+        .filter(_.kind == Add)
+      adds.nonEmpty && adds.forall(_.file.level == 5)
+    }
+
   // ----------------------------------------------------------------- mirror
 
   /** Mirror bookkeeping: mirrored data file name -> the lakehouse source
@@ -1045,12 +1180,13 @@ object PaimonInterchange {
     * retract rows — the LSM advantage over Iceberg's append-only
     * incremental scan, where a delete forces a refusing rewrite). DELETE
     * manifest entries are file-replacement bookkeeping, not data changes,
-    * and are ignored. COMPACT snapshots refuse LOUDLY: a mirrored
-    * copy-on-write bucket rewrite may drop keys with no tombstone in the
-    * delta, so tailing it as changes would silently miss deletions (MOR
-    * delete commits are APPEND-kind and carry real tombstones, so delete
-    * flows DO tail). Cost is O(delta manifests + added files in range),
-    * never O(table). */
+    * and are ignored. PURE COMPACTIONS (all-max-level delta, see
+    * [[compact]]) are SKIPPED — merged state, zero new changes; any other
+    * COMPACT snapshot refuses LOUDLY: a mirrored copy-on-write bucket
+    * rewrite may drop keys with no tombstone in the delta, so tailing it
+    * as changes would silently miss deletions (MOR delete commits are
+    * APPEND-kind and carry real tombstones, so delete flows DO tail).
+    * Cost is O(delta manifests + added files in range), never O(table). */
   def readDeltaBetween(spark: SparkSession, srcDir: String,
       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val latest = latestSnapshotId(srcDir).getOrElse(
@@ -1071,18 +1207,21 @@ object PaimonInterchange {
     val keys = pks.filterNot(dbParts.contains)
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val s = readSnapshot(srcDir, id)
-      require(s.get("commitKind").asText() == "APPEND",
-        s"snapshot $id is '${s.get("commitKind").asText()}', not an APPEND: " +
-          "a rewritten bucket may drop keys with no tombstone in the " +
-          "delta — an incremental consumer would silently miss deletions")
-      readManifestList(srcDir, s.get("deltaManifestList").asText())
-        .flatMap { case (mf, _, _, _, _) =>
-          readManifest(manifestDir(srcDir).resolve(mf), partTypes)
-            .filter(_.kind == Add)
-            .map(e => Paths.get(srcDir,
-              s"${e.file.partitionPath(dbParts)}bucket-${e.file.bucket}",
-              e.file.fileName).toString)
-        }
+      if (isPureCompaction(srcDir, s)) Nil // merged state, zero new changes
+      else {
+        require(s.get("commitKind").asText() == "APPEND",
+          s"snapshot $id is '${s.get("commitKind").asText()}', not an APPEND: " +
+            "a rewritten bucket may drop keys with no tombstone in the " +
+            "delta — an incremental consumer would silently miss deletions")
+        readManifestList(srcDir, s.get("deltaManifestList").asText())
+          .flatMap { case (mf, _, _, _, _) =>
+            readManifest(manifestDir(srcDir).resolve(mf), partTypes)
+              .filter(_.kind == Add)
+              .map(e => Paths.get(srcDir,
+                s"${e.file.partitionPath(dbParts)}bucket-${e.file.bucket}",
+                e.file.fileName).toString)
+          }
+      }
     }.distinct
     val kvSchema = keyValueSchema(struct, keys)
     if (files.isEmpty)
@@ -1120,7 +1259,8 @@ object PaimonInterchange {
       val s = readSnapshot(srcDir, id)
       val cl = s.get("changelogManifestList")
       if (cl == null || cl.isNull) {
-        require(s.get("deltaRecordCount").asLong() == 0L,
+        require(s.get("deltaRecordCount").asLong() == 0L ||
+          isPureCompaction(srcDir, s),
           s"snapshot $id changed data but carries no changelog manifests — " +
             "either the table is not changelog-enabled or the feed was " +
             "expired; refusing a silently partial change feed")

@@ -944,4 +944,111 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(delta.filter(col(PaimonInterchange.KindCol) ===
       PaimonInterchange.KindInsert).select($"_KEY_k").head().getLong(0) == 3L)
   }
+
+  test("full compaction: one file per bucket, fast-path import, mirror resumes") {
+    val t = newTable()
+    val dest = Files.createTempDirectory("graft_pm_cpt").toString
+    t.merge((1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    t.merge((1L to 10L).map(k => (k, s"w$k")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    t.deleteWhere(Seq(39L, 40L).toDF("k"))
+    PaimonInterchange.mirror(spark, t, dest)
+    val before = PaimonInterchange.readTable(dest)
+    assert(before.files.groupBy(_.bucket).exists(_._2.size > 1) &&
+      before.files.exists(_.deleteRows > 0), "fixture must be fragmented")
+
+    val compacted = PaimonInterchange.compact(spark, dest)
+    assert(compacted > 0)
+    val after = PaimonInterchange.readTable(dest)
+    assert(after.files.groupBy(f => (f.partition, f.bucket)).forall(_._2.size == 1),
+      "full compaction leaves at most one file per bucket")
+    assert(after.files.forall(_.deleteRows == 0), "tombstones are merged away")
+    assert(after.files.exists(_.level == 5), "merged files sit at max level")
+    assert(after.commitIdentifier == before.commitIdentifier,
+      "a compaction repeats the head's commitIdentifier")
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    // the no-overlap fast path: the import plan carries NO merge window
+    assert(!back.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "a fully compacted table must import without the LSM merge window")
+    assert(PaimonInterchange.compact(spark, dest) == 0, "idempotent when compact")
+
+    // incremental consumers SKIP the pure compaction instead of refusing
+    val sBefore = PaimonInterchange.latestSnapshotId(dest).get
+    t.append(Seq((50L, "x")).toDF("k", "v"))
+    PaimonInterchange.mirror(spark, t, dest)
+    val sAfter = PaimonInterchange.latestSnapshotId(dest).get
+    val delta = PaimonInterchange.readDeltaBetween(spark, dest, sBefore - 1, sAfter)
+    assert(delta.select($"_KEY_k").collect().map(_.getLong(0)).toSeq == Seq(50L),
+      "the window spanning the compaction carries only the real new change")
+    // the resumed mirror stays exact after a source rewrite of the
+    // compacted files (sidecar unions sources; rescue handles splits)
+    t.merge(Seq((5L, "z5")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
+    PaimonInterchange.mirror(spark, t, dest)
+    val back2 = PaimonInterchange.importPaimon(spark, dest)
+    val want2 = t.read()
+    assert(back2.exceptAll(want2).isEmpty && want2.exceptAll(back2).isEmpty)
+  }
+
+  test("sink option full-compaction.delta-commits compacts the mirror") {
+    import graft.core.{CreateTableEvent, TableId}
+    val root = Files.createTempDirectory("graft_pm_fce").toString
+    val sink = DataSinks.forDef(spark, graft.pipeline.SinkDef(
+      "paimon", None, Map(
+        "path" -> root, "buckets" -> "2",
+        "full-compaction.delta-commits" -> "3")))
+      .asInstanceOf[MirroredLakehouseSink]
+    val tid = TableId.of("app", "kv")
+    sink.applySchemaChange(CreateTableEvent(tid, schema))
+    val noKeys = spark.range(0).select($"id".as("k"))
+    // two overlapping batches fragment the buckets; the third mirrored
+    // snapshot (create-meta + 2 data commits) crosses the cadence and the
+    // sink runs a full compaction, so the external table stays fast-path
+    sink.writeBatch(tid, (1L to 20L).map(k => (k, s"a$k")).toDF("k", "v"), noKeys)
+    sink.writeBatch(tid, (1L to 10L).map(k => (k, s"b$k")).toDF("k", "v"), noKeys)
+    val mdir = sink.mirrorDir(tid)
+    val snap = PaimonInterchange.readTable(mdir)
+    assert(snap.files.groupBy(f => (f.partition, f.bucket)).forall(_._2.size == 1),
+      "the compaction cadence must leave one file per bucket")
+    val back = PaimonInterchange.importPaimon(spark, mdir)
+    assert(!back.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "the maintained mirror imports on the no-overlap fast path")
+    val got = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.take(10).toSeq == (1L to 10L).map(k => (k, s"b$k")) &&
+      got.drop(10).toSeq == (11L to 20L).map(k => (k, s"a$k")))
+    // non-paimon formats refuse the option instead of ignoring it
+    intercept[IllegalArgumentException](DataSinks.forDef(spark,
+      graft.pipeline.SinkDef("delta", None, Map(
+        "path" -> root, "full-compaction.delta-commits" -> "2"))))
+  }
+
+  test("partitioned compaction scopes by partitionFilter") {
+    val t = newPartTable()
+    val dest = Files.createTempDirectory("graft_pmp_cpt").toString
+    val rows = for (dt <- Seq("a", "b"); k <- 1L to 6L) yield (dt, k, s"$dt$k")
+    t.merge(rows.toDF("dt", "k", "v"), noPartKeys)
+    PaimonInterchange.mirror(spark, t, dest)
+    t.merge(Seq(("a", 1L, "A1"), ("b", 1L, "B1")).toDF("dt", "k", "v"), noPartKeys)
+    PaimonInterchange.mirror(spark, t, dest)
+    t.deleteWhere(Seq(("a", 6L), ("b", 6L)).toDF("dt", "k"))
+    PaimonInterchange.mirror(spark, t, dest)
+    // scoped: only dt=a compacts; dt=b stays fragmented
+    assert(PaimonInterchange.compact(spark, dest,
+      partitionFilter = Map("dt" -> "a")) > 0)
+    val mid = PaimonInterchange.readTable(dest)
+    assert(mid.files.filter(_.partition == Seq("a"))
+      .groupBy(_.bucket).forall(_._2.size == 1))
+    assert(mid.files.filter(_.partition == Seq("b"))
+      .exists(_.deleteRows > 0), "the out-of-scope partition is untouched")
+    assertSame(dest, t)
+    // the rest compacts; import takes the fast path
+    assert(PaimonInterchange.compact(spark, dest) > 0)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(!back.queryExecution.optimizedPlan.toString.contains("row_number"))
+    assertSame(dest, t)
+  }
 }
