@@ -728,6 +728,58 @@ object QueriesCdc {
         .orderBy("_commit_version", "_change_type", "event_type", "user_id")
     }),
 
+    "c_iceberg_partitioned_mirror" -> ((s, dir) => {
+      // per-commit mirror of an identity-PARTITIONED Iceberg table: each
+      // commit's adds split into one data file per (partition, source
+      // lakehouse bucket) — partition values in manifest structs (Column
+      // Projection restores them; files never store event_type), the
+      // source bucket in the file NAME so whole-bucket rewrites map to
+      // DELETED entries with no sidecar, MOR deletes as equality-delete
+      // manifests on the secondary unpartitioned spec.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_ibpm_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id"),
+        partitionKeys = Seq("event_type")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibpm_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 500 && col("user_id") < 150)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      t.merge(batch(col("event_id") < 250), noKeys)
+      require(IcebergInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 250), noKeys)
+      require(IcebergInterchange.mirror(s, t, dest) == 1,
+        "exactly the new commit mirrors")
+      t.deleteWhere(ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(140, 150).select(col("id").as("user_id"))))
+      require(IcebergInterchange.mirror(s, t, dest) == 1)
+      require(IcebergInterchange.mirror(s, t, dest) == 0, "no-op writes nothing")
+      val dataDir = java.nio.file.Paths.get(dest, "data")
+      val splitFiles = {
+        val it = java.nio.file.Files.list(dataDir).iterator()
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) buf += it.next().toString
+        buf.result().filter(_.matches(""".*part-s\d+-b\d+-\d+\.parquet"""))
+      }
+      require(splitFiles.nonEmpty,
+        "partitioned adds must split per (partition, source bucket)")
+      require(!s.read.parquet(splitFiles.min).columns.contains("event_type"),
+        "data files never store the partition column (Column Projection)")
+      val back = IcebergInterchange.importIceberg(s, dest)
+      require(back.columns.contains("event_type"),
+        "the import restores the partition column from the manifests")
+      back.orderBy("event_type", "user_id")
+    }),
+
     "c_iceberg_partitioned" -> ((s, dir) => {
       // identity-partitioned Iceberg: the documents table exports
       // partitioned by lang — data files do NOT store the partition column
@@ -2945,6 +2997,16 @@ object QueriesCdc {
         |  FROM b1 JOIN b2
         |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
         |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
+    // partitioned per-commit Iceberg mirror: two merges + equality
+    // deletes of users 140-149 converge to the per-(event_type, user)
+    // max with those users gone — same recipe shape as the Paimon
+    // partitioned mirror, different window for independence
+    "c_iceberg_partitioned_mirror" ->
+      """SELECT event_type, user_id, max(event_id) AS last_event
+        |FROM events
+        |WHERE event_id < 500 AND user_id < 140
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
     // identity-partitioned export/import: partition values round trip
     // through manifest metadata (files never store the lang column)
     "c_iceberg_partitioned" ->

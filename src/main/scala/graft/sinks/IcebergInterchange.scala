@@ -378,10 +378,12 @@ object IcebergInterchange {
       partition: Map[String, Any] = Map.empty)
 
   /** `content` 0 = data manifest, 1 = delete manifest (spec manifest_file
-    * content). */
+    * content); `specId` the manifest's partition-spec id (0 = the table's
+    * default; partitioned mirrors park their equality-delete manifests on
+    * the secondary UNPARTITIONED spec). */
   private[sinks] final case class ManifestInfo(path: Path, length: Long, seq: Long,
       minSeq: Long, addedSnapshotId: Long, entries: Seq[Entry],
-      content: Int = 0) {
+      content: Int = 0, specId: Int = 0) {
     def live: Seq[Entry] = entries.filter(_.status != Deleted)
   }
 
@@ -429,14 +431,15 @@ object IcebergInterchange {
   private[sinks] def writeManifest(path: Path, schemaJson: String,
       entries: Seq[Entry], deletes: Boolean = false,
       partitionTypes: Seq[(String, DataType)] = Nil,
-      partitionSpecJson: String = "[]"): Unit = {
+      partitionSpecJson: String = "[]",
+      specId: Int = 0): Unit = {
     val es =
       if (partitionTypes.isEmpty) manifestEntrySchema
       else manifestEntrySchemaFor(partitionTypes)
     writeAvro(path, es, Map(
       "schema" -> schemaJson,
       "partition-spec" -> partitionSpecJson,
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> (if (deletes) "deletes" else "data"),
     ), entries.map(e => entryRecord(e, es)))
@@ -510,7 +513,7 @@ object IcebergInterchange {
     val rec = new GenericData.Record(manifestFileSchema)
     rec.put("manifest_path", m.path.toString)
     rec.put("manifest_length", m.length)
-    rec.put("partition_spec_id", 0)
+    rec.put("partition_spec_id", m.specId)
     rec.put("content", m.content)
     rec.put("sequence_number", m.seq)
     rec.put("min_sequence_number", m.minSeq)
@@ -634,6 +637,15 @@ object IcebergInterchange {
     * reflected, so restarts resume with no side-channel state. */
   val MirrorProperty = "graft.mirror.lakehouse-version"
 
+  /** The source lakehouse bucket a partitioned-mirror data file was split
+    * from, parsed back from its `part-s<snap>-b<bucket>-<n>` name; None
+    * for any other naming (unpartitioned copies, foreign files). */
+  private val SrcBucketName = """part-s\d+-b(\d+)-\d+\.parquet""".r
+  private def srcBucketOf(fileName: String): Option[Int] = fileName match {
+    case SrcBucketName(b) => Some(b.toInt)
+    case _ => None
+  }
+
   // ---------------------------------------------------------------- export
 
   /** Export the table's LATEST snapshot as a complete Iceberg v2 table:
@@ -701,29 +713,27 @@ object IcebergInterchange {
     * constant is stored once per FILE, not once per row, and partition
     * pruning needs no file I/O. Partition source columns are bounded to
     * int/long/string/boolean; anything else refuses loudly. */
-  def exportPartitioned(spark: SparkSession, df: DataFrame, destDir: String,
-      partitionCols: Seq[String]): Unit = {
-    val schema = df.schema
-    require(partitionCols.nonEmpty, "use export for unpartitioned tables")
-    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the schema"))
-    val partTypes = partitionCols.map(c => c -> schema(c).dataType)
-    partTypes.foreach { case (c, dt) =>
-      require(Seq(IntegerType, LongType, StringType, BooleanType).contains(dt),
-        s"partition column '$c': type $dt has no identity-partition " +
-          "serialization here — refusing")
-    }
-
-    // partitionBy writes the data WITHOUT the partition columns, grouped
-    // one directory per partition tuple — exactly the spec's file layout.
-    // STRING partition values ride as ASCII-safe tokens (v0, v1, …) so the
-    // transient Hive dir names never carry arbitrary bytes — the dirs are
-    // renamed to data/part-N.parquet anyway, and a JVM whose filesystem
-    // encoding is ASCII cannot even create a UTF-8 path; the token map
-    // restores exact values (any character, including '/', '=', '%') when
-    // the manifest partition structs are built
-    val tokenMaps: Map[String, Map[String, String]] = partTypes.collect {
-      case (c, StringType) =>
+  /** Split `df` into one parquet file per partition tuple (and optional
+    * integer `extraCol`, consumed by the split and NOT part of the public
+    * layout) under `dest/data/`, dropping the partition columns from the
+    * data files — identity values restore from the manifest partition
+    * structs on read (Column Projection). One `partitionBy` Spark job,
+    * never a per-group loop.
+    *
+    * STRING partition values ride as ASCII-safe tokens (v0, v1, …) so the
+    * transient Hive dir names never carry arbitrary bytes — the dirs are
+    * renamed to their final `nameFor` names anyway, and a JVM whose
+    * filesystem encoding is ASCII cannot even create a UTF-8 path; the
+    * token map restores exact values (any character, including '/', '=',
+    * '%') when the manifest partition structs are built. Returns
+    * (moved path, typed partition tuple, extra value) per file. */
+  private def writeSplitDataFiles(df: DataFrame, destDir: String,
+      partitionCols: Seq[String], schema: StructType,
+      extraCol: Option[String],
+      nameFor: (Int, Map[String, Any], Option[Int]) => String)
+      : Seq[(Path, Map[String, Any], Option[Int])] = {
+    val tokenMaps: Map[String, Map[String, String]] = partitionCols
+      .filter(c => schema(c).dataType == StringType).map { c =>
         val vals = df.select(c).distinct().collect()
           .flatMap(r => Option(r.getString(0))).sorted
         require(vals.length <= 100000,
@@ -731,7 +741,7 @@ object IcebergInterchange {
             "identity-partitioning on near-unique strings is a layout " +
             "error at any scale; refusing")
         c -> vals.zipWithIndex.map { case (v, i) => s"v$i" -> v }.toMap
-    }.toMap
+      }.toMap
     val tokenized = tokenMaps.foldLeft(df) { case (d, (c, m)) =>
       import org.apache.spark.sql.functions.{col, udf}
       val enc = m.map(_.swap)
@@ -739,7 +749,8 @@ object IcebergInterchange {
       d.withColumn(c, tok(col(c)))
     }
     val tmp = Files.createTempDirectory("graft_ib_partexp")
-    tokenized.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
+    tokenized.write.partitionBy(partitionCols ++ extraCol: _*)
+      .mode("overwrite").parquet(tmp.toString)
     val dataDir = Paths.get(destDir, "data")
     Files.createDirectories(dataDir)
     // Hive path escaping: %XX escapes ONE UTF-8 BYTE (a multi-byte char
@@ -774,16 +785,36 @@ object IcebergInterchange {
       .map { p =>
         val rel = tmp.relativize(p)
         val part: Map[String, Any] =
-          (0 until rel.getNameCount - 1).map(rel.getName(_).toString).map { seg =>
+          partitionCols.indices.map(rel.getName(_).toString).map { seg =>
             val Array(c, raw) = seg.split("=", 2)
             c -> typed(c, unescape(raw))
           }.toMap
-        val out = dataDir.resolve(f"part-$n%05d.parquet"); n += 1
-        Files.move(p, out)
-        (out, part)
+        val extra = extraCol.map(_ => rel.getName(partitionCols.size).toString
+          .split("=", 2)(1).toInt)
+        val out = dataDir.resolve(nameFor(n, part, extra)); n += 1
+        Files.move(p, out, StandardCopyOption.REPLACE_EXISTING)
+        (out, part, extra)
       }
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(p => Files.deleteIfExists(p))
+    moved
+  }
+
+  def exportPartitioned(spark: SparkSession, df: DataFrame, destDir: String,
+      partitionCols: Seq[String]): Unit = {
+    val schema = df.schema
+    require(partitionCols.nonEmpty, "use export for unpartitioned tables")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the schema"))
+    val partTypes = partitionCols.map(c => c -> schema(c).dataType)
+    partTypes.foreach { case (c, dt) =>
+      require(Seq(IntegerType, LongType, StringType, BooleanType).contains(dt),
+        s"partition column '$c': type $dt has no identity-partition " +
+          "serialization here — refusing")
+    }
+
+    val moved = writeSplitDataFiles(df, destDir, partitionCols, schema, None,
+      (n, _, _) => f"part-$n%05d.parquet").map { case (p, part, _) => (p, part) }
     val rows = countRows(spark, moved.map(_._1.toString))
 
     val (schemaNode, lastCol) = icebergSchema(schema, 0)
@@ -1248,7 +1279,8 @@ object IcebergInterchange {
           ManifestInfo(p, long(mf, "manifest_length"), long(mf, "sequence_number"),
             long(mf, "min_sequence_number"), long(mf, "added_snapshot_id"),
             readManifest(p, long(mf, "sequence_number"))
-              .filter(_.status != Deleted), int(mf, "content"))
+              .filter(_.status != Deleted), int(mf, "content"),
+            int(mf, "partition_spec_id"))
         }.toVector
       }
     }
@@ -1256,11 +1288,38 @@ object IcebergInterchange {
 
     var written = 0
     var prev = if (lastMirrored < 0) None else Some(table.snapshot(Some(lastMirrored)))
+    // pinned on the first mirrored version: identity-partition layout is
+    // fixed for the table's life (like Paimon's partition-key pin)
+    var mirrorPartitionKeys: Option[Seq[String]] = None
 
     ((lastMirrored + 1) to head).foreach { v =>
       val cur = table.snapshot(Some(v))
       val curMeta = cur.meta.getOrElse(
         throw new IllegalStateException("table has no meta action (not created)"))
+      val partitionKeys = curMeta.schema.partitionKeys
+      mirrorPartitionKeys match {
+        case None => mirrorPartitionKeys = Some(partitionKeys)
+        case Some(pk) => require(pk == partitionKeys,
+          s"partition keys cannot evolve mid-mirror ($pk -> $partitionKeys) " +
+            "— the identity layout is fixed at table creation; refusing")
+      }
+      val partitioned = partitionKeys.nonEmpty
+      val struct = curMeta.schema.struct
+      val partTypes: Seq[(String, DataType)] =
+        partitionKeys.map(c => c -> struct(c).dataType)
+      if (partitioned) {
+        partitionKeys.foreach(c => require(struct.fieldNames.contains(c),
+          s"partition column '$c' is not in the schema"))
+        partTypes.foreach { case (c, dt) =>
+          require(Seq(IntegerType, LongType, StringType, BooleanType).contains(dt),
+            s"partition column '$c': type $dt has no identity-partition " +
+              "serialization here — refusing")
+        }
+        require(curMeta.schema.primaryKeys.nonEmpty,
+          "a partitioned Iceberg mirror needs primary keys: mirrored files " +
+            "split per source lakehouse bucket (full-pk hash) so removals " +
+            "map exactly — refusing a pk-less partitioned table")
+      }
       val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
       val adds = cur.files.filterNot(f => prevFiles.contains(f.path)).sortBy(_.path)
@@ -1302,6 +1361,24 @@ object IcebergInterchange {
         val snapshotId = v + 1
         lastSeq += 1
         val schemaJson = mapper.writeValueAsString(schemas.last)
+        // identity spec over the CURRENT schema node's field ids (stable
+        // across append-only evolution)
+        val specJson =
+          if (!partitioned) "[]"
+          else {
+            val fields = schemas.last.get("fields").elements().asScala.toSeq
+            val arr = mapper.createArrayNode()
+            partitionKeys.zipWithIndex.foreach { case (c, i) =>
+              val id = fields.find(_.get("name").asText() == c).getOrElse(
+                throw new IllegalStateException(
+                  s"partition column '$c' missing from the Iceberg schema"))
+                .get("id").asInt()
+              val f = arr.addObject()
+              f.put("name", c); f.put("transform", "identity")
+              f.put("source-id", id); f.put("field-id", 1000 + i)
+            }
+            mapper.writeValueAsString(arr)
+          }
         val mdir = metadataDir(destDir)
         Files.createDirectories(mdir)
 
@@ -1309,8 +1386,30 @@ object IcebergInterchange {
         // them: rewrite ONLY those (kept entries → EXISTING at their
         // original sequence numbers, removed → DELETED), carry the rest
         // forward untouched
-        val removedNames = (removes.map(_.path) ++ delRemoves.map(_.path))
-          .map(_.replace('/', '-')).toSet
+        val removedNames: Set[String] =
+          if (!partitioned)
+            (removes.map(_.path) ++ delRemoves.map(_.path))
+              .map(_.replace('/', '-')).toSet
+          else {
+            // partitioned mirrored data files are named
+            // `part-s<snap>-b<srcBucket>-<n>`: the source lakehouse bucket
+            // (the COW removal granularity — whole buckets rewrite) rides
+            // in the NAME, so removals map exactly with no sidecar
+            val rb = removes.map(_.bucket).toSet
+            prev.foreach { p =>
+              val partial = p.files.filter(f => rb.contains(f.bucket))
+                .filterNot(f => removes.exists(_.path == f.path))
+              require(partial.isEmpty,
+                s"version $v removes only part of lakehouse bucket(s) " +
+                  s"${partial.map(_.bucket).distinct.sorted.mkString(",")} — " +
+                  "the name-mapped removal model assumes whole-bucket " +
+                  "rewrites; refusing")
+            }
+            val deadData = manifests.filter(_.content == 0).flatMap(_.live)
+              .map(e => Paths.get(e.filePath).getFileName.toString)
+              .filter(n => srcBucketOf(n).exists(rb.contains))
+            deadData.toSet ++ delRemoves.map(_.path.replace('/', '-')).toSet
+          }
         def holdsRemoved(m: ManifestInfo): Boolean =
           m.live.exists(e => removedNames.contains(Paths.get(e.filePath)
             .getFileName.toString))
@@ -1328,14 +1427,20 @@ object IcebergInterchange {
             else e.copy(status = Existing)
           }
           val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
-          writeManifest(p, schemaJson, entries, deletes = m.content == 1)
+          // rewritten DATA manifests of a partitioned table keep their
+          // partition struct (entries parsed it under the writer schema)
+          val dataPart = m.content == 0 && partitioned
+          writeManifest(p, schemaJson, entries, deletes = m.content == 1,
+            partitionTypes = if (dataPart) partTypes else Nil,
+            partitionSpecJson = if (dataPart) specJson else "[]",
+            specId = m.specId)
           ManifestInfo(p, Files.size(p), m.seq,
             entries.filter(_.status != Deleted).map(_.seq).minOption.getOrElse(m.seq),
-            snapshotId, entries, m.content)
+            snapshotId, entries, m.content, m.specId)
         }
         val addedManifest =
           if (adds.isEmpty) None
-          else {
+          else if (!partitioned) {
             val rows = resolveRowCounts(spark, table, adds)
             val entries = adds.map { f =>
               val (out, size) = copyDataFile(table, destDir, f)
@@ -1344,6 +1449,32 @@ object IcebergInterchange {
             }
             val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
             writeManifest(p, schemaJson, entries)
+            Some(ManifestInfo(p, Files.size(p), lastSeq, lastSeq, snapshotId, entries))
+          } else {
+            // partitioned: ONE partitionBy job splits the commit's adds by
+            // (partition tuple, source lakehouse bucket) — the bucket rides
+            // in the file name for removal mapping; partition columns stay
+            // OUT of the data files (Column Projection restores them).
+            // Per-file zone-map bounds are dropped (the lakehouse stats are
+            // per source file) — pruning comes from the partition tuple.
+            import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+            val pks = curMeta.schema.primaryKeys
+            val addsDf = spark.read.schema(struct)
+              .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
+              .withColumn("__srcb",
+                pmod(hash(pks.map(col): _*), lit(curMeta.buckets)))
+            val moved = writeSplitDataFiles(addsDf, destDir, partitionKeys,
+              struct, Some("__srcb"),
+              (n, _, srcb) => f"part-s$snapshotId-b${srcb.get}-$n%05d.parquet")
+            val rows = countRows(spark, moved.map(_._1.toString))
+            val entries = moved.map { case (out, part, _) =>
+              Entry(Added, snapshotId, lastSeq, out.toString,
+                rows(out.toAbsolutePath.toString), Files.size(out),
+                partition = part)
+            }
+            val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
+            writeManifest(p, schemaJson, entries,
+              partitionTypes = partTypes, partitionSpecJson = specJson)
             Some(ManifestInfo(p, Files.size(p), lastSeq, lastSeq, snapshotId, entries))
           }
         // new MOR delete files → a delete manifest (manifest content=1,
@@ -1366,9 +1497,12 @@ object IcebergInterchange {
                 size, content = 2, equalityIds = eqIds)
             }
             val p = mdir.resolve(s"m-$snapshotId-$mNum.avro"); mNum += 1
-            writeManifest(p, schemaJson, entries, deletes = true)
+            // equality deletes mask by key GLOBALLY: on a partitioned table
+            // they park on the secondary UNPARTITIONED spec (id 1)
+            writeManifest(p, schemaJson, entries, deletes = true,
+              specId = if (partitioned) 1 else 0)
             Some(ManifestInfo(p, Files.size(p), lastSeq, lastSeq, snapshotId,
-              entries, content = 1))
+              entries, content = 1, specId = if (partitioned) 1 else 0))
           }
         // a rewritten manifest that became ALL-DELETED still appears in
         // THIS snapshot's list (it records the deletion), then ages out of
@@ -1410,6 +1544,24 @@ object IcebergInterchange {
     val root = baseMetadata(destDir, schemas, schemas.size - 1, lastColumnId, Map(
       "schema.name-mapping.default" -> nameMapping(curSchemaNode),
       MirrorProperty -> head.toString))
+    mirrorPartitionKeys.filter(_.nonEmpty).foreach { pk =>
+      // spec 0 (default): the identity layout; spec 1: the UNPARTITIONED
+      // spec the equality-delete manifests ride on
+      val fields = curSchemaNode.get("fields").elements().asScala.toSeq
+      val specs = root.putArray("partition-specs")
+      val s0 = specs.addObject()
+      s0.put("spec-id", 0)
+      val f0 = s0.putArray("fields")
+      pk.zipWithIndex.foreach { case (c, i) =>
+        val id = fields.find(_.get("name").asText() == c).get.get("id").asInt()
+        val f = f0.addObject()
+        f.put("name", c); f.put("transform", "identity")
+        f.put("source-id", id); f.put("field-id", 1000 + i)
+      }
+      val s1 = specs.addObject()
+      s1.put("spec-id", 1); s1.putArray("fields")
+      root.put("last-partition-id", 999 + pk.size)
+    }
     root.put("last-sequence-number", lastSeq)
     root.put("current-snapshot-id", currentSnapshotId)
     if (currentSnapshotId >= 0) {

@@ -724,4 +724,72 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     val back = IcebergInterchange.importIceberg(spark, dest)
     assert(back.count() == 0L && back.schema == schema.struct)
   }
+
+  private def newPartTable(): LakehouseTable = {
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_ib_pmsrc").toString)
+    t.create(TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt")), buckets = 2)
+    t
+  }
+
+  test("partitioned mirror: split files, name-mapped removals, MOR deletes") {
+    val t = newPartTable()
+    val dest = Files.createTempDirectory("graft_ib_pmd").toString
+    val noKeys = spark.range(0).select(lit("").as("dt"), $"id".as("k"))
+    def same(): Unit = {
+      val back = IcebergInterchange.importIceberg(spark, dest)
+      val want = t.read()
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+        "the mirrored Iceberg state must equal the lakehouse live state")
+    }
+    val rows = for (dt <- Seq("a", "b"); k <- 1L to 8L) yield (dt, k, s"$dt$k")
+    t.merge(rows.toDF("dt", "k", "v"), noKeys)
+    assert(t.snapshot().files.map(_.bucket).distinct.size == 2,
+      "fixture must occupy both lakehouse buckets")
+    assert(IcebergInterchange.mirror(spark, t, dest) >= 1)
+    same()
+    // data files: split per (partition, source bucket), no dt column, the
+    // source bucket in the NAME (the removal map needs no sidecar)
+    val dataFiles = Files.list(Paths.get(dest, "data")).iterator().asScala.toSeq
+    assert(dataFiles.nonEmpty && dataFiles.forall(
+      _.getFileName.toString.matches("""part-s\d+-b\d+-\d+\.parquet""")))
+    assert(!spark.read.parquet(dataFiles.head.toString).columns.contains("dt"),
+      "identity partition values live in manifests, not data files")
+    // metadata: identity spec 0 (default) + unpartitioned spec 1
+    val root1 = metadata(dest)
+    assert(root1.get("partition-specs").size() == 2)
+    assert(root1.get("partition-specs").get(0).get("fields").get(0)
+      .get("transform").asText() == "identity")
+    assert(root1.get("default-spec-id").asInt() == 0)
+
+    // whole-bucket rewrite: only the touched source bucket's mirrored
+    // files die; the other bucket's rows survive by name mapping
+    t.merge(Seq(("a", 1L, "A1")).toDF("dt", "k", "v"), noKeys)
+    assert(t.snapshot().files.map(_.bucket).distinct.size == 2)
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    same()
+    val snaps = metadata(dest).get("snapshots").elements().asScala.toSeq
+    assert(snaps.last.get("summary").get("operation").asText() == "overwrite")
+
+    // MOR equality deletes on a partitioned table park on spec 1
+    t.deleteWhere(Seq(("a", 2L), ("b", 3L)).toDF("dt", "k"))
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    same()
+    val lastList = readAvroFile(Paths.get(metadata(dest).get("snapshots")
+      .elements().asScala.toSeq.last.get("manifest-list").asText()))
+    val deleteRows = lastList.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(deleteRows.nonEmpty &&
+      deleteRows.forall(_.get("partition_spec_id").asInstanceOf[Int] == 1),
+      "equality-delete manifests ride the unpartitioned spec")
+
+    // a second deleting+rewriting commit after deletes (sequence rule)
+    t.merge(Seq(("b", 3L, "B3B")).toDF("dt", "k", "v"), noKeys)
+    assert(IcebergInterchange.mirror(spark, t, dest) == 1)
+    same()
+  }
 }
