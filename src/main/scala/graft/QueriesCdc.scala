@@ -728,6 +728,58 @@ object QueriesCdc {
         .orderBy("_commit_version", "_change_type", "event_type", "user_id")
     }),
 
+    "c_delta_partitioned_mirror" -> ((s, dir) => {
+      // per-commit mirror of a Hive-partitioned Delta table: adds split
+      // per (partition, source lakehouse bucket) with the partition tuple
+      // in add.partitionValues (files never store event_type; the import
+      // projects it back), metaData.partitionColumns recorded, removals
+      // name-mapped through the source bucket each file name encodes,
+      // COW merge deletes, checkpoint + log cleanup mid-stream.
+      import graft.sinks.{DeltaInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_dlpm_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id"),
+        partitionKeys = Seq("event_type")), buckets = 4)
+      val dest = java.nio.file.Files.createTempDirectory("graft_dlpm_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 600 && col("user_id") < 130)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      val noUpserts = s.range(0).select(lit("").as("event_type"),
+        col("id").as("user_id"), col("id").as("last_event"))
+      t.merge(batch(col("event_id") < 300), noKeys)
+      require(DeltaInterchange.mirror(s, t, dest) >= 1)
+      t.merge(batch(col("event_id") >= 300), noKeys)
+      require(DeltaInterchange.mirror(s, t, dest) == 1,
+        "exactly the new commit mirrors")
+      // checkpoint + cleanup mid-stream: partition info must survive
+      DeltaInterchange.checkpoint(s, dest)
+      DeltaInterchange.cleanupLog(dest)
+      // COW deletes of users 120-129 in every partition
+      t.merge(noUpserts, ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(120, 130).select(col("id").as("user_id"))))
+      require(DeltaInterchange.mirror(s, t, dest) == 1)
+      require(DeltaInterchange.mirror(s, t, dest) == 0, "no-op writes nothing")
+      val snap = DeltaInterchange.readLog(s, dest)
+      require(snap.partitionColumns == Seq("event_type"),
+        "metaData.partitionColumns must record the layout")
+      require(snap.files.nonEmpty && snap.files.forall(f =>
+        java.nio.file.Paths.get(f).getFileName.toString
+          .matches("""part-v\d+-b\d+-\d+\.parquet""")),
+        "partitioned adds must split per (partition, source bucket)")
+      require(!s.read.parquet(snap.files.min).columns.contains("event_type"),
+        "data files never store the partition column")
+      DeltaInterchange.importDelta(s, dest).orderBy("event_type", "user_id")
+    }),
+
     "c_iceberg_partitioned_mirror" -> ((s, dir) => {
       // per-commit mirror of an identity-PARTITIONED Iceberg table: each
       // commit's adds split into one data file per (partition, source
@@ -2997,6 +3049,15 @@ object QueriesCdc {
         |  FROM b1 JOIN b2
         |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
         |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
+    // partitioned per-commit Delta mirror: two merges + COW deletes of
+    // users 120-129 converge to the per-(event_type, user) max with
+    // those users gone
+    "c_delta_partitioned_mirror" ->
+      """SELECT event_type, user_id, max(event_id) AS last_event
+        |FROM events
+        |WHERE event_id < 600 AND user_id < 120
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
     // partitioned per-commit Iceberg mirror: two merges + equality
     // deletes of users 140-149 converge to the per-(event_type, user)
     // max with those users gone — same recipe shape as the Paimon

@@ -81,6 +81,29 @@ object DeltaInterchange {
       actions += mapper.writeValueAsString(n)
     }
 
+    val partitionKeys = meta.schema.partitionKeys
+    if (partitionKeys.nonEmpty) {
+      // Hive-style partitioned export: the live rows split into one file
+      // per partition tuple under data/, partition columns OUT of the
+      // files — add.partitionValues is the source of truth the importer
+      // projects back (the Delta analog of Iceberg Column Projection)
+      validatePartitionCols(meta.schema.struct, partitionKeys)
+      val live =
+        if (snap.files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            meta.schema.struct)
+        else spark.read.schema(meta.schema.struct)
+          .parquet(snap.files.map(f => Paths.get(table.dir, f.path).toString): _*)
+      val moved = IcebergInterchange.writeSplitDataFiles(live, destDir,
+        partitionKeys, meta.schema.struct, None,
+        (n, _, _) => f"part-$n%05d.parquet")
+      val rows = IcebergInterchange.countRows(spark, moved.map(_._1.toString))
+      moved.foreach { case (out, part, _) =>
+        actions += splitAddActionJson(s"data/${out.getFileName}",
+          Files.size(out), rows(out.toAbsolutePath.toString), part, partitionKeys)
+      }
+    } else {
     // merge-written files carry rows = -1 (unknown) in the native log;
     // Delta stats need the real count — one footer-only pass resolves them
     // (a parquet count() never touches row data)
@@ -114,8 +137,56 @@ object DeltaInterchange {
       a.put("stats", statsJson(meta.schema, f.copy(rows = rows)))
       actions += mapper.writeValueAsString(n)
     }
+    }
     Files.write(logDir.resolve(f"${0L}%020d.json"),
       actions.mkString("", "\n", "\n").getBytes(UTF_8))
+  }
+
+  /** Partition-column types whose partition-value STRINGS round trip
+    * unambiguously through `add.partitionValues` (what [[importDelta]]
+    * casts back); everything else refuses loudly. */
+  private def validatePartitionCols(struct: StructType,
+      partitionKeys: Seq[String]): Unit =
+    partitionKeys.foreach { c =>
+      require(struct.fieldNames.contains(c),
+        s"partition column '$c' is not in the schema")
+      require(Seq(IntegerType, LongType, StringType, BooleanType)
+        .contains(struct(c).dataType),
+        s"partition column '$c': type ${struct(c).dataType} has no " +
+          "partition-value serialization here — refusing")
+    }
+
+  /** `add` action for a SPLIT partitioned data file: partitionValues carry
+    * the tuple (all strings, the spec's serialization; null stays null),
+    * stats shrink to numRecords (zone maps were per SOURCE file — pruning
+    * comes from partitionValues instead). */
+  private def splitAddActionJson(path: String, size: Long, rows: Long,
+      part: Map[String, Any], partitionKeys: Seq[String]): String = {
+    val n = mapper.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", path)
+    val pv = a.putObject("partitionValues")
+    partitionKeys.foreach { c =>
+      part.get(c).flatMap(Option(_)) match {
+        case Some(v) => pv.put(c, v.toString)
+        case None => pv.putNull(c)
+      }
+    }
+    a.put("size", size)
+    a.put("modificationTime", 0L)
+    a.put("dataChange", true)
+    val st = mapper.createObjectNode()
+    st.put("numRecords", rows)
+    a.put("stats", mapper.writeValueAsString(st))
+    mapper.writeValueAsString(n)
+  }
+
+  /** The source lakehouse bucket of a partitioned-mirror data file, parsed
+    * from its `part-v<ver>-b<bucket>-<n>` name (None for other namings). */
+  private val SrcBucketName = """part-v\d+-b(\d+)-\d+\.parquet""".r
+  private def srcBucketOf(fileName: String): Option[Int] = fileName match {
+    case SrcBucketName(b) => Some(b.toInt)
+    case _ => None
   }
 
   /** Delta `stats` string: numRecords always; min/maxValues typed from the
@@ -170,6 +241,9 @@ object DeltaInterchange {
     Files.createDirectories(logDir)
     val jsonVers = listJsonVersions(logDir)
     val ckptVer = lastCheckpointVersion(logDir)
+    // partitioned mirrors: the live SPLIT file names (relative action
+    // paths) — removals map through the source bucket each name encodes
+    val liveNames = scala.collection.mutable.Set.empty[String]
     val (lastMirrored, nextDeltaVersion) =
       if (jsonVers.isEmpty && ckptVer.isEmpty) (-1L, 0L)
       else {
@@ -177,6 +251,8 @@ object DeltaInterchange {
         // below the checkpoint are gone, so the resume point is whichever
         // of (last JSON, checkpoint) is newest
         val s = readLog(spark, destDir)
+        s.files.foreach(p => liveNames += dest.toAbsolutePath
+          .relativize(Paths.get(p).toAbsolutePath).toString)
         (s.txns.getOrElse(MirrorAppId,
           throw new IllegalStateException(
             s"$destDir has a _delta_log but no $MirrorAppId txn — it is not a mirror")),
@@ -188,6 +264,7 @@ object DeltaInterchange {
     var deltaV = nextDeltaVersion
     var prev = if (lastMirrored < 0) None else Some(table.snapshot(Some(lastMirrored)))
     var prevSchema = prev.flatMap(_.meta).map(_.schema.struct)
+    var mirrorPartitionKeys: Option[Seq[String]] = None
     ((lastMirrored + 1) to head).foreach { v =>
       val cur = table.snapshot(Some(v))
       val curMeta = cur.meta.getOrElse(
@@ -195,6 +272,26 @@ object DeltaInterchange {
       require(cur.deleteFiles.isEmpty,
         s"lakehouse version $v carries MERGE-ON-READ delete files: Delta has no " +
           "equality deletes — compact() before mirroring past this version")
+      val partitionKeys = curMeta.schema.partitionKeys
+      mirrorPartitionKeys match {
+        case None => mirrorPartitionKeys = Some(partitionKeys)
+        case Some(pk) => require(pk == partitionKeys,
+          s"partition keys cannot evolve mid-mirror ($pk -> $partitionKeys) " +
+            "— the Hive layout is fixed at table creation; refusing")
+      }
+      val partitioned = partitionKeys.nonEmpty
+      if (partitioned) {
+        validatePartitionCols(curMeta.schema.struct, partitionKeys)
+        require(!curMeta.changelog,
+          "a PARTITIONED changelog mirror is not supported: cdc actions " +
+            "would need per-partition change files and readChangeFeed " +
+            "refuses partitioned tables — refusing rather than writing a " +
+            "feed no reader accepts")
+        require(curMeta.schema.primaryKeys.nonEmpty,
+          "a partitioned Delta mirror needs primary keys: mirrored files " +
+            "split per source lakehouse bucket (full-pk hash) so removals " +
+            "map exactly — refusing a pk-less partitioned table")
+      }
       val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
       val adds = cur.files.filterNot(f => prevFiles.contains(f.path)).sortBy(_.path)
@@ -229,21 +326,70 @@ object DeltaInterchange {
         val tx = t.putObject("txn")
         tx.put("appId", MirrorAppId); tx.put("version", v)
         actions += mapper.writeValueAsString(t)
-        val rowCounts = resolveRowCounts(spark, table, adds)
-        adds.foreach { f =>
-          val srcPath = Paths.get(table.dir, f.path)
-          val flat = f.path.replace('/', '-')
-          Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
-          actions += addActionJson(curMeta.schema, f, rowCounts(f.path), flat,
-            Files.size(srcPath))
-        }
-        removes.foreach { f =>
-          val n = mapper.createObjectNode()
-          val r = n.putObject("remove")
-          r.put("path", f.path.replace('/', '-'))
-          r.put("deletionTimestamp", 0L)
-          r.put("dataChange", true)
-          actions += mapper.writeValueAsString(n)
+        if (!partitioned) {
+          val rowCounts = resolveRowCounts(spark, table, adds)
+          adds.foreach { f =>
+            val srcPath = Paths.get(table.dir, f.path)
+            val flat = f.path.replace('/', '-')
+            Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
+            actions += addActionJson(curMeta.schema, f, rowCounts(f.path), flat,
+              Files.size(srcPath))
+          }
+          removes.foreach { f =>
+            val n = mapper.createObjectNode()
+            val r = n.putObject("remove")
+            r.put("path", f.path.replace('/', '-'))
+            r.put("deletionTimestamp", 0L)
+            r.put("dataChange", true)
+            actions += mapper.writeValueAsString(n)
+          }
+        } else {
+          // removals FIRST state-wise: whole-bucket COW rewrites kill every
+          // live split file whose name encodes a removed source bucket
+          if (removes.nonEmpty) {
+            val rb = removes.map(_.bucket).toSet
+            prev.foreach { p =>
+              val partial = p.files.filter(f => rb.contains(f.bucket))
+                .filterNot(f => removes.exists(_.path == f.path))
+              require(partial.isEmpty,
+                s"version $v removes only part of lakehouse bucket(s) " +
+                  s"${partial.map(_.bucket).distinct.sorted.mkString(",")} — " +
+                  "the name-mapped removal model assumes whole-bucket " +
+                  "rewrites; refusing")
+            }
+            val dead = liveNames.filter(n => srcBucketOf(
+              Paths.get(n).getFileName.toString).exists(rb.contains)).toSeq.sorted
+            dead.foreach { n =>
+              val node = mapper.createObjectNode()
+              val r = node.putObject("remove")
+              r.put("path", n)
+              r.put("deletionTimestamp", 0L)
+              r.put("dataChange", true)
+              actions += mapper.writeValueAsString(node)
+              liveNames -= n
+            }
+          }
+          if (adds.nonEmpty) {
+            // ONE partitionBy job splits the commit's adds by (partition
+            // tuple, source lakehouse bucket); partition columns stay OUT
+            // of the files — add.partitionValues restores them on import
+            import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+            val pks = curMeta.schema.primaryKeys
+            val addsDf = spark.read.schema(curMeta.schema.struct)
+              .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
+              .withColumn("__srcb",
+                pmod(hash(pks.map(col): _*), lit(curMeta.buckets)))
+            val moved = IcebergInterchange.writeSplitDataFiles(addsDf, destDir,
+              partitionKeys, curMeta.schema.struct, Some("__srcb"),
+              (n, _, srcb) => f"part-v$v-b${srcb.get}-$n%05d.parquet")
+            val rows = IcebergInterchange.countRows(spark, moved.map(_._1.toString))
+            moved.foreach { case (out, part, _) =>
+              val rel = s"data/${out.getFileName}"
+              actions += splitAddActionJson(rel, Files.size(out),
+                rows(out.toAbsolutePath.toString), part, partitionKeys)
+              liveNames += rel
+            }
+          }
         }
         changeFiles.sorted.foreach { p =>
           val srcPath = Paths.get(table.dir, p)
@@ -301,7 +447,8 @@ object DeltaInterchange {
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
     m.put("schemaString", schema.struct.json)
-    m.putArray("partitionColumns")
+    val pc = m.putArray("partitionColumns")
+    schema.partitionKeys.foreach(pc.add)
     val conf = m.putObject("configuration")
     if (cdf) conf.put("delta.enableChangeDataFeed", "true")
     m.put("createdTime", 0L)

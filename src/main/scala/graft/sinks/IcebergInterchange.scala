@@ -598,7 +598,7 @@ object IcebergInterchange {
 
   /** Footer-only row counts for arbitrary parquet paths (delete files do
     * not carry row counts in the lakehouse log). */
-  private def countRows(spark: SparkSession, paths: Seq[String]): Map[String, Long] =
+  private[sinks] def countRows(spark: SparkSession, paths: Seq[String]): Map[String, Long] =
     if (paths.isEmpty) Map.empty
     else {
       import org.apache.spark.sql.functions.input_file_name
@@ -727,7 +727,7 @@ object IcebergInterchange {
     * token map restores exact values (any character, including '/', '=',
     * '%') when the manifest partition structs are built. Returns
     * (moved path, typed partition tuple, extra value) per file. */
-  private def writeSplitDataFiles(df: DataFrame, destDir: String,
+  private[sinks] def writeSplitDataFiles(df: DataFrame, destDir: String,
       partitionCols: Seq[String], schema: StructType,
       extraCol: Option[String],
       nameFor: (Int, Map[String, Any], Option[Int]) => String)

@@ -450,4 +450,76 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((9L, "z")))
   }
+
+  private def newPartTable(): LakehouseTable = {
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_dl_pmsrc").toString)
+    t.create(TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt")), buckets = 2)
+    t
+  }
+
+  test("partitioned export: split files, partitionValues, metaData columns") {
+    val t = newPartTable()
+    val rows = for (dt <- Seq("a", "b"); k <- 1L to 5L) yield (dt, k, s"$dt$k")
+    t.merge(rows.toDF("dt", "k", "v"),
+      spark.range(0).select(lit("").as("dt"), $"id".as("k")))
+    val dest = Files.createTempDirectory("graft_dl_pexp").toString
+    DeltaInterchange.export(spark, t, dest)
+    val lines = logLines(dest)
+    val metaLine = lines.find(_.has("metaData")).get.get("metaData")
+    assert(metaLine.get("partitionColumns").elements().asScala
+      .map(_.asText()).toSeq == Seq("dt"))
+    val addLines = lines.filter(_.has("add")).map(_.get("add"))
+    assert(addLines.nonEmpty && addLines.forall(a =>
+      a.get("partitionValues").has("dt")))
+    assert(addLines.map(_.get("partitionValues").get("dt").asText()).toSet ==
+      Set("a", "b"))
+    // data files never store the partition column
+    val f = Paths.get(dest, addLines.head.get("path").asText())
+    assert(!spark.read.parquet(f.toString).columns.contains("dt"))
+    val back = DeltaInterchange.importDelta(spark, dest)
+    val want = t.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned mirror: split adds, name-mapped removals, checkpoint") {
+    val t = newPartTable()
+    val dest = Files.createTempDirectory("graft_dl_pmir").toString
+    val noKeys = spark.range(0).select(lit("").as("dt"), $"id".as("k"))
+    def same(): Unit = {
+      val back = DeltaInterchange.importDelta(spark, dest)
+      val want = t.read()
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+        "the mirrored Delta state must equal the lakehouse live state")
+    }
+    val rows = for (dt <- Seq("a", "b"); k <- 1L to 8L) yield (dt, k, s"$dt$k")
+    t.merge(rows.toDF("dt", "k", "v"), noKeys)
+    assert(t.snapshot().files.map(_.bucket).distinct.size == 2,
+      "fixture must occupy both lakehouse buckets")
+    assert(DeltaInterchange.mirror(spark, t, dest) >= 1)
+    same()
+    // whole-bucket rewrite: only that source bucket's split files die
+    t.merge(Seq(("a", 1L, "A1")).toDF("dt", "k", "v"), noKeys)
+    assert(t.snapshot().files.map(_.bucket).distinct.size == 2)
+    assert(DeltaInterchange.mirror(spark, t, dest) == 1)
+    same()
+    // deletions flow as COW merge deletes (the mirror refuses MOR delete
+    // FILES for all Delta mirrors — Delta has no equality deletes)
+    t.merge(spark.range(0).select(lit("").as("dt"), $"id".as("k"),
+      lit("").as("v")), Seq(("a", 2L), ("b", 3L)).toDF("dt", "k"))
+    assert(DeltaInterchange.mirror(spark, t, dest) == 1)
+    same()
+    // checkpoint + cleanup keep the partition info; a resumed mirror and
+    // import still agree after further commits
+    DeltaInterchange.checkpoint(spark, dest)
+    DeltaInterchange.cleanupLog(dest)
+    t.merge(Seq(("b", 4L, "B4B")).toDF("dt", "k", "v"), noKeys)
+    assert(DeltaInterchange.mirror(spark, t, dest) == 1)
+    same()
+  }
 }
