@@ -6,6 +6,7 @@ import graft.sources.cdc._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** End-to-end correctness entry for the DSv2 incremental-snapshot source: a
   * scripted change source seeded from the `events` table runs through the real
@@ -778,6 +779,107 @@ object QueriesCdc {
       require(!s.read.parquet(snap.files.min).columns.contains("event_type"),
         "data files never store the partition column")
       DeltaInterchange.importDelta(s, dest).orderBy("event_type", "user_id")
+    }),
+
+    "c_delta_dv_import" -> ((s, dir) => {
+      // a FOREIGN Delta table using DELETION VECTORS (the modern writer's
+      // default delete path, reader version 3): two data files over
+      // events, one masked by a Z85/portable-roaring SIDECAR deletion
+      // vector, the other by an INLINE one — import filters the marked
+      // row indexes map-side and must match the row-predicate oracle.
+      import graft.sinks.{DeltaInterchange, DeltaReaderFeatures}
+      val dest = java.nio.file.Files.createTempDirectory("graft_dvimp").toString
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 2000 &&
+          col("event_id").isNotNull && col("user_id").isNotNull)
+        .select("event_id", "user_id", "event_type")
+      def fileOf(name: String, rows: Seq[Row]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("dvf").toString
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(dest, name))
+      }
+      // the collected order IS the in-file row order (local-seq
+      // DataFrames preserve it), so DV positions derive from the same seq
+      val a = ev.filter(col("event_id") < 1000).orderBy("event_id").collect().toSeq
+      val b = ev.filter(col("event_id") >= 1000).orderBy("event_id").collect().toSeq
+      fileOf("fa.parquet", a); fileOf("fb.parquet", b)
+      def deadPositions(rows: Seq[Row]) = rows.zipWithIndex
+        .collect { case (r, i) if r.getLong(1) % 7 == 3 => i.toLong }
+      val Seq((podA, offA, szA, cardA)) =
+        DeltaReaderFeatures.writeDvFile(dest, Seq(deadPositions(a)))
+      val (podB, szB, cardB) = DeltaReaderFeatures.inlineDv(deadPositions(b))
+      val schemaEsc = schema.json.replace("\"", "\\\"")
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$schemaEsc","partitionColumns":[],""" +
+          s""""configuration":{},"createdTime":0}}""",
+        s"""{"add":{"path":"fa.parquet","partitionValues":{},"size":1,""" +
+          s""""modificationTime":0,"dataChange":true,""" +
+          s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$podA",""" +
+          s""""offset":$offA,"sizeInBytes":$szA,"cardinality":$cardA}}}""",
+        s"""{"add":{"path":"fb.parquet","partitionValues":{},"size":1,""" +
+          s""""modificationTime":0,"dataChange":true,""" +
+          s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$podB",""" +
+          s""""sizeInBytes":$szB,"cardinality":$cardB}}}""")
+      val logDir = java.nio.file.Paths.get(dest, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      DeltaInterchange.importDelta(s, dest).orderBy("event_id")
+    }),
+
+    "c_delta_colmap_import" -> ((s, dir) => {
+      // a FOREIGN column-mapped Delta table (name mode, reader version
+      // 2): the parquet files store col-<id> PHYSICAL names; the logical
+      // names live only in per-field schemaString metadata. Import reads
+      // under the physical schema and surfaces logical names.
+      import graft.sinks.DeltaInterchange
+      val dest = java.nio.file.Files.createTempDirectory("graft_cmimp").toString
+      val ev = Tables.load(s, dir, "events").filter(col("event_id") < 1500)
+        .select(col("event_id").as("col-a7f3"),
+          col("user_id").as("col-b2c9"), col("event_type").as("col-d511"))
+      val tmp = java.nio.file.Files.createTempDirectory("cmf").toString
+      ev.write.mode("overwrite").parquet(tmp)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      val names = parts.zipWithIndex.map { case (p, i) =>
+        val n = s"f$i.parquet"
+        java.nio.file.Files.move(p, java.nio.file.Paths.get(dest, n)); n
+      }
+      def fm(id: Int, phys: String) =
+        s"""{\\"delta.columnMapping.id\\":$id,""" +
+          s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\"}"""
+      val schemaEsc =
+        s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+          s"""{\\"name\\":\\"event_id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":${fm(1, "col-a7f3")}},""" +
+          s"""{\\"name\\":\\"user_id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":${fm(2, "col-b2c9")}},""" +
+          s"""{\\"name\\":\\"event_type\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":${fm(3, "col-d511")}}]}"""
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$schemaEsc","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""") ++
+        names.map(n =>
+          s"""{"add":{"path":"$n","partitionValues":{},"size":1,""" +
+            s""""modificationTime":0,"dataChange":true}}""")
+      val logDir = java.nio.file.Paths.get(dest, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      DeltaInterchange.importDelta(s, dest).orderBy("event_id")
     }),
 
     "c_iceberg_partitioned_mirror" -> ((s, dir) => {
@@ -3049,6 +3151,19 @@ object QueriesCdc {
         |  FROM b1 JOIN b2
         |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
         |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
+    // deletion vectors: a foreign v3 table masks exactly the rows whose
+    // user_id % 7 == 3 (one sidecar DV, one inline DV) — the import
+    // equals the plain predicate
+    "c_delta_dv_import" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id < 2000 AND event_id IS NOT NULL
+        |  AND user_id IS NOT NULL AND user_id % 7 <> 3
+        |ORDER BY event_id""".stripMargin,
+    // column mapping (name mode): physical col-<id> parquet names surface
+    // as the logical schema — values are the plain projection
+    "c_delta_colmap_import" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id < 1500 ORDER BY event_id""".stripMargin,
     // partitioned per-commit Delta mirror: two merges + COW deletes of
     // users 120-129 converge to the per-(event_type, user) max with
     // those users gone

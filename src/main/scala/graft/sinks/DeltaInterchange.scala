@@ -33,9 +33,16 @@ import scala.jdk.CollectionConverters._
   *    `txn` map) into a DataFrame + metadata. Hive-layout PARTITIONED
   *    tables are supported: per-file `add.partitionValues` project back
   *    as constant columns (files do not store them — the Delta analog of
-  *    Iceberg's Column Projection rule). Unsupported features fail
-  *    LOUDLY rather than read wrong data: reader version > 1 (column
-  *    mapping / deletion vectors) and timestamp/binary partition-value
+  *    Iceberg's Column Projection rule). Reader TABLE FEATURES up to
+  *    protocol version 3 are implemented via [[DeltaReaderFeatures]]:
+  *    column mapping (`name` and `id` modes — physical-name / field-id
+  *    resolution with a positional cast back to logical names) and
+  *    deletion vectors (Z85 + portable-RoaringBitmapArray descriptors,
+  *    masked row indexes filtered map-side against `_metadata.row_index`).
+  *    Unsupported features still fail LOUDLY rather than read wrong data:
+  *    unknown `readerFeatures`, column-mapped PARTITIONED tables (the
+  *    physical-name keying of `partitionValues`), checkpoints over
+  *    reader-feature tables, and timestamp/binary partition-value
   *    serialization are explicit errors.
   *  - [[checkpoint]] / [[cleanupLog]] / `readLog(spark, dir)`: classic
   *    single-file parquet checkpoints per the protocol spec — the
@@ -499,7 +506,12 @@ object DeltaInterchange {
       // Hive-layout partitioning: files do NOT store these columns; the
       // values ride in add.partitionValues and project back per file
       partitionColumns: Seq[String] = Nil,
-      filePartitions: Map[String, Map[String, String]] = Map.empty)
+      filePartitions: Map[String, Map[String, String]] = Map.empty,
+      // reader features (PROTOCOL.md table features): files store PHYSICAL
+      // column names when mapping is on; a deletion vector masks row
+      // indexes of its file
+      columnMappingMode: String = "none",
+      fileDvs: Map[String, DeltaReaderFeatures.DvDescriptor] = Map.empty)
 
   // ----------------------------------------------------------- checkpoints
 
@@ -569,8 +581,21 @@ object DeltaInterchange {
     replayRawActions(logDir, versions) { node =>
       if (node.has("protocol")) {
         val p = node.get("protocol")
+        // the classic checkpoint row schema drops deletionVector and
+        // readerFeatures — checkpointing a reader-feature table would
+        // silently resurrect DV-masked rows on the next read
+        require(p.get("minReaderVersion").asInt() <= 1,
+          s"minReaderVersion ${p.get("minReaderVersion").asInt()}: " +
+            "checkpointing reader-feature tables (column mapping / deletion " +
+            "vectors) is not supported — the checkpoint would drop their " +
+            "add-action fields; refusing")
         protocolRow = Row(p.get("minReaderVersion").asInt(),
           p.get("minWriterVersion").asInt())
+      } else if (node.has("add") && node.get("add").has("deletionVector")) {
+        throw new IllegalArgumentException(
+          "add action carries a deletionVector — checkpointing deletion-" +
+            "vector tables is not supported (the classic checkpoint row " +
+            "schema here would drop the descriptor); refusing")
       } else if (node.has("metaData")) {
         val m = node.get("metaData")
         // configuration survives checkpointing (delta.enableChangeDataFeed
@@ -698,9 +723,14 @@ object DeltaInterchange {
           .collect().foreach { r =>
             if (!r.isNullAt(4)) {
               val reader = r.getStruct(4).getInt(0)
+              // the classic checkpoint schema here has no deletionVector /
+              // readerFeatures columns, so a checkpoint-SEEDED read of a
+              // reader-feature table could silently resurrect DV-masked
+              // rows — those tables must retain their full JSON log
               require(reader <= 1,
-                s"minReaderVersion $reader requires Delta reader features " +
-                  "this importer does not have")
+                s"minReaderVersion $reader: checkpoint-seeded reads support " +
+                  "base tables only; reader-feature tables (column mapping / " +
+                  "deletion vectors) must keep their JSON commits")
             }
             if (!r.isNullAt(3)) {
               val md = r.getStruct(3)
@@ -778,7 +808,10 @@ object DeltaInterchange {
 
     var schema: Option[StructType] = None
     var partitionCols: Seq[String] = Nil
+    var mappingMode = "none"
     val fileParts = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    val fileDvs =
+      scala.collection.mutable.Map.empty[String, DeltaReaderFeatures.DvDescriptor]
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var numRecords = 0L
@@ -787,24 +820,32 @@ object DeltaInterchange {
       Files.readAllLines(logDir.resolve(v)).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
-          val p = node.get("protocol")
-          val reader = p.get("minReaderVersion").asInt()
-          require(reader <= 1,
-            s"minReaderVersion $reader requires Delta reader features " +
-              "(column mapping / deletion vectors) this importer does not have — " +
-              "refusing rather than reading wrong data")
+          checkReaderSupport(node.get("protocol"))
         } else if (node.has("metaData")) {
           val md = node.get("metaData")
           val parts = md.get("partitionColumns")
           partitionCols =
             if (parts == null) Nil
             else parts.elements().asScala.map(_.asText()).toSeq
+          mappingMode = Option(md.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+            .map(_.asText()).getOrElse("none")
+          require(Seq("none", "name", "id").contains(mappingMode),
+            s"delta.columnMapping.mode '$mappingMode' is not in the " +
+              "protocol (none / name / id) — refusing")
           schema = Some(DataType.fromJson(md.get("schemaString").asText())
             .asInstanceOf[StructType])
         } else if (node.has("add")) {
           val a = node.get("add")
           val p = a.get("path").asText()
           live += p
+          // a DV update re-adds the same path with a new descriptor — the
+          // latest add wins, and an add WITHOUT one clears it
+          Option(a.get("deletionVector")) match {
+            case Some(dv) =>
+              fileDvs(p) = DeltaReaderFeatures.parseDescriptor(dv, srcDir)
+            case None => fileDvs.remove(p)
+          }
           fileParts(p) = Option(a.get("partitionValues"))
             .map(_.properties().asScala.map(e =>
               e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
@@ -813,20 +854,51 @@ object DeltaInterchange {
             .map(s => mapper.readTree(s.asText()).get("numRecords").asLong()).getOrElse(0L)
           fileRecords(p) = rows
         } else if (node.has("remove")) {
-          live -= node.get("remove").get("path").asText()
+          val p = node.get("remove").get("path").asText()
+          live -= p
+          fileDvs.remove(p)
         } else if (node.has("txn")) {
           val t = node.get("txn")
           txns(t.get("appId").asText()) = t.get("version").asLong()
         } // commitInfo / cdc / domainMetadata: informational, skipped
       }
     }
-    numRecords = live.iterator.map(p => fileRecords.getOrElse(p, 0L)).sum
+    // numRecords is the LOGICAL row count: physical stats minus the rows
+    // each live deletion vector masks
+    numRecords = live.iterator.map(p => fileRecords.getOrElse(p, 0L)).sum -
+      live.iterator.flatMap(fileDvs.get).map(_.cardinality).sum
     DeltaSnapshot(
       schema.getOrElse(throw new IllegalStateException("log has no metaData action")),
       live.toSeq.map(p => Paths.get(srcDir, p).toString),
       txns.toMap, numRecords, partitionCols,
       live.toSeq.map(p =>
-        Paths.get(srcDir, p).toString -> fileParts.getOrElse(p, Map.empty)).toMap)
+        Paths.get(srcDir, p).toString -> fileParts.getOrElse(p, Map.empty)).toMap,
+      mappingMode,
+      live.toSeq.flatMap(p => fileDvs.get(p).map(d =>
+        Paths.get(srcDir, p).toString -> d)).toMap)
+  }
+
+  /** Reader-version gate: base tables (1), column mapping (2), and
+    * version-3 tables whose `readerFeatures` this importer implements —
+    * `columnMapping`, `deletionVectors`, plus the read-neutral
+    * `timestampNtz` (a type the schema already expresses) and
+    * `vacuumProtocolCheck` (constrains VACUUM, not reads). Anything else
+    * refuses loudly rather than reading wrong data. */
+  private def checkReaderSupport(p: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val reader = p.get("minReaderVersion").asInt()
+    require(reader <= 3,
+      s"minReaderVersion $reader is newer than the table-features protocol " +
+        "(3) this importer implements — refusing")
+    if (reader == 3) {
+      val supported = Set("columnMapping", "deletionVectors", "timestampNtz",
+        "vacuumProtocolCheck")
+      val features = Option(p.get("readerFeatures"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      val unknown = features.filterNot(supported)
+      require(unknown.isEmpty,
+        s"reader features ${unknown.mkString(", ")} are not implemented " +
+          "by this importer — refusing rather than reading wrong data")
+    }
   }
 
   /** Delta Change Data Feed read: the row-level changes of commits in
@@ -905,13 +977,56 @@ object DeltaInterchange {
   /** Read the live table state as a DataFrame under the log's schema
     * (checkpoint-aware: seeds from `_last_checkpoint` when present). */
   def importDelta(spark: SparkSession, srcDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, udf}
     val snap = readLog(spark, srcDir)
+    // column mapping: files store PHYSICAL names; read under the physical
+    // schema, surface logical names via a positional struct cast (free —
+    // a rename, not a conversion). id mode resolves by parquet field id:
+    // the session flag stays on (it only affects read schemas that CARRY
+    // field-id metadata, i.e. exactly these reads). Validated before the
+    // empty-table shortcut so an unsupported layout refuses consistently.
+    val mapped = snap.columnMappingMode != "none"
+    if (mapped) {
+      require(snap.partitionColumns.isEmpty,
+        "column-mapped PARTITIONED tables are not supported: the protocol " +
+          "keys add.partitionValues by physical name and this importer " +
+          "does not resolve that indirection — refusing rather than " +
+          "reading wrong columns")
+      if (snap.columnMappingMode == "id")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val readSchema =
+      if (mapped)
+        DeltaReaderFeatures.physicalSchema(snap.schema,
+          idMode = snap.columnMappingMode == "id")
+      else snap.schema
+
+    // deletion vectors: broadcast the O(files) descriptors; executors open
+    // the sidecars and the row filter runs map-side inside the one scan —
+    // no extra shuffle, bitmap bytes never funnel through the driver
+    val dvs = snap.fileDvs.map { case (p, d) =>
+      Paths.get(p).toAbsolutePath.toString -> d }
+    val dvB =
+      if (dvs.isEmpty) null else spark.sparkContext.broadcast(dvs)
+    lazy val keep = udf((fp: String, idx: Long) =>
+      !DeltaReaderFeatures.isDeleted(dvB.value, fp, idx))
+    def scan(files: Seq[String]): DataFrame = {
+      var df = spark.read.schema(readSchema).parquet(files: _*)
+      if (dvB != null)
+        df = df.where(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      df
+    }
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(snap.schema.fields.zip(readSchema.fields).map {
+        case (lf, pf) => df.col(pf.name).cast(lf.dataType).as(lf.name)
+      }.toSeq: _*)
+
     if (snap.partitionColumns.isEmpty)
-      return spark.read.schema(snap.schema).parquet(snap.files: _*)
+      return toLogical(scan(snap.files))
     // Hive-layout partitioning: the files do NOT store partition columns;
     // the per-file string values from add.partitionValues project back as
     // constants per file group (the Delta analog of Iceberg's Column
@@ -927,7 +1042,7 @@ object DeltaInterchange {
         snap.filePartitions.getOrElse(f, Map.empty).getOrElse(c, null)))
       .toSeq.sortBy(_._1.mkString(","))
       .map { case (vals, fs) =>
-        var df = spark.read.schema(snap.schema).parquet(fs: _*)
+        var df = scan(fs)
         snap.partitionColumns.zip(vals).foreach { case (c, v) =>
           df = df.withColumn(c, lit(v).cast(snap.schema(c).dataType))
         }

@@ -122,9 +122,11 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     val logFile = Paths.get(dest, "_delta_log", f"${0L}%020d.json")
     val original = new String(Files.readAllBytes(logFile), UTF_8)
 
-    // reader version 3 (deletion vectors / column mapping)
+    // reader versions past the table-features protocol (3) refuse; v3
+    // itself now reads (column mapping / deletion vectors implemented —
+    // unknown readerFeatures refusals live in DeltaReaderFeaturesSpec)
     Files.write(logFile, original.replace(
-      "\"minReaderVersion\":1", "\"minReaderVersion\":3").getBytes(UTF_8))
+      "\"minReaderVersion\":1", "\"minReaderVersion\":4").getBytes(UTF_8))
     val e1 = intercept[IllegalArgumentException] { DeltaInterchange.readLog(dest) }
     assert(e1.getMessage.contains("minReaderVersion"))
 
