@@ -787,8 +787,11 @@ object QueriesCore {
         val tid = TableId.parse("app.events")
         val env = eventsChangelog(s, dir)
         val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        // zstd on the wire: the broker stores and serves the compressed
+        // batches as-is; the read_committed fetch decodes them back
         val sink = new KafkaDataSink(broker.bootstrap,
-          partitionStrategy = "HASH_BY_KEY", deliveryGuarantee = "exactly-once")
+          partitionStrategy = "HASH_BY_KEY", deliveryGuarantee = "exactly-once",
+          compressionType = "zstd")
         sink.applySchemaChange(CreateTableEvent(tid, TableSchema(afterT, Seq("user_id"))))
         val total = env.count()
         val maxSeq = env.agg(max(col(Envelope.SeqCol))).head().getLong(0)

@@ -122,7 +122,10 @@ object DataSinks {
           deliveryGuarantee =
             sinkDef.config.getOrElse("sink.delivery-guarantee", "at-least-once"),
           transactionalIdPrefix =
-            sinkDef.config.getOrElse("sink.transactional-id-prefix", "graft-cdc"))
+            sinkDef.config.getOrElse("sink.transactional-id-prefix", "graft-cdc"),
+          compressionType = sinkDef.config.getOrElse(
+            "properties.compression.type",
+            sinkDef.config.getOrElse("compression.type", "none")))
       case "starrocks" =>
         new StarRocksSink(
           baseUrl = sinkDef.config.getOrElse("load-url", sinkDef.config.getOrElse(

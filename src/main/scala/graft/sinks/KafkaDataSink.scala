@@ -64,8 +64,15 @@ final class KafkaDataSink(
       * `DeliveryGuarantee.EXACTLY_ONCE` KafkaSink mode. */
     deliveryGuarantee: String = "at-least-once",
     transactionalIdPrefix: String = "graft-cdc",
-    commitTopic: String = "__graft_commits")
+    commitTopic: String = "__graft_commits",
+    /** `properties.compression.type`: none (default) | gzip | snappy |
+      * lz4 | zstd — data batches compress on the wire under the codec's
+      * standard framing; commit markers stay uncompressed (tiny, and a
+      * recovering scan should never fail on a codec). */
+    compressionType: String = "none")
     extends DataSink with ChangelogSink {
+
+  private val compressionCodec = KafkaWire.codecId(compressionType)
 
   require(Seq("at-least-once", "exactly-once").contains(deliveryGuarantee),
     s"delivery guarantee '$deliveryGuarantee' is not at-least-once|exactly-once")
@@ -152,6 +159,7 @@ final class KafkaDataSink(
     // a single producer appends them as one ordered run of batches
     val exactlyOnce = deliveryGuarantee == "exactly-once"
     val txnPrefix = transactionalIdPrefix
+    val codec = compressionCodec
     frame
       .repartition(math.max(numPartitions, 1), col("kpart"))
       .sortWithinPartitions("kpart", "seq")
@@ -181,7 +189,7 @@ final class KafkaDataSink(
                   p.produceWithHeaders(topic, kp, group.toSeq.map { r =>
                     (r.getString(1).getBytes(UTF_8), r.getString(2).getBytes(UTF_8),
                       r.getLong(3), headers)
-                  }, txn = txn)
+                  }, txn = txn, compression = codec)
                 }
               }
               txn.foreach { case (id, pid, epoch) =>

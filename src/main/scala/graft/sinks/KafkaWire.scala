@@ -40,6 +40,59 @@ object KafkaWire {
   val AttrTransactional = 0x10
   val AttrControl = 0x20
 
+  // attribute bits 0-2: compression codec (public spec ids). The batch
+  // HEADER (baseOffset..recordCount) stays uncompressed; the record
+  // entries blob compresses as one unit under the codec's stream framing
+  // — gzip, snappy-java's framed stream, the LZ4 frame format, and the
+  // zstd frame, exactly the framings the Kafka clients use.
+  val CodecMask = 0x07
+  val CodecNone = 0
+  val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
+
+  /** `compression.type` option value -> codec id; unknown names refuse. */
+  def codecId(name: String): Int = name.toLowerCase match {
+    case "none" | "uncompressed" => CodecNone
+    case "gzip" => CodecGzip
+    case "snappy" => CodecSnappy
+    case "lz4" => CodecLz4
+    case "zstd" => CodecZstd
+    case other => throw new IllegalArgumentException(
+      s"compression.type '$other' is not none|gzip|snappy|lz4|zstd")
+  }
+
+  private def compress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
+    if (codec == CodecNone) return bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    val out: java.io.OutputStream = codec match {
+      case CodecGzip => new java.util.zip.GZIPOutputStream(bos)
+      case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
+      case CodecLz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case CodecZstd => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case other => throw new IllegalArgumentException(
+        s"compression codec id $other is not in the protocol (0-4)")
+    }
+    out.write(bytes); out.close()
+    bos.toByteArray
+  }
+
+  private def decompress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
+    if (codec == CodecNone) return bytes
+    val bis = new java.io.ByteArrayInputStream(bytes)
+    val in: java.io.InputStream = codec match {
+      case CodecGzip => new java.util.zip.GZIPInputStream(bis)
+      case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case CodecLz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case CodecZstd => new com.github.luben.zstd.ZstdInputStream(bis)
+      case other => throw new IllegalArgumentException(
+        s"compression codec id $other is not in the protocol (0-4) — " +
+          "refusing rather than yielding garbage records")
+    }
+    try in.readAllBytes() finally in.close()
+  }
+
   // error codes used here (public protocol ids)
   val ErrCorruptMessage = 2
   val ErrUnknownTopicOrPartition = 3
@@ -128,20 +181,15 @@ object KafkaWire {
 
   def encodeBatchWithHeaders(baseOffset: Long,
       records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])],
-      attributes: Int = 0, producerId: Long = -1L, producerEpoch: Int = -1)
+      attributes: Int = 0, producerId: Long = -1L, producerEpoch: Int = -1,
+      compression: Int = CodecNone)
       : Array[Byte] = {
     require(records.nonEmpty, "a RecordBatch must carry at least one record")
+    require((attributes & CodecMask) == 0,
+      "pass the codec via the compression parameter, not attribute bits")
     val firstTs = records.map(_._3).min
     val maxTs = records.map(_._3).max
-    val body = new Writer
-    body.int16(attributes) // no compression, CreateTime (+ txn/control bits)
-    body.int32(records.size - 1) // lastOffsetDelta
-    body.int64(firstTs)
-    body.int64(maxTs)
-    body.int64(producerId)
-    body.int16(producerEpoch)
-    body.int32(-1) // baseSequence
-    body.int32(records.size)
+    val entries = new Writer
     records.zipWithIndex.foreach { case ((k, v, ts, headers), i) =>
       val r = new Writer
       r.int8(0) // record attributes
@@ -156,8 +204,18 @@ object KafkaWire {
         if (hv == null) r.varint(-1) else { r.varint(hv.length); r.raw(hv) }
       }
       val rb = r.result()
-      body.varint(rb.length); body.raw(rb)
+      entries.varint(rb.length); entries.raw(rb)
     }
+    val body = new Writer
+    body.int16(attributes | compression) // codec + CreateTime (+ txn/control)
+    body.int32(records.size - 1) // lastOffsetDelta
+    body.int64(firstTs)
+    body.int64(maxTs)
+    body.int64(producerId)
+    body.int16(producerEpoch)
+    body.int32(-1) // baseSequence
+    body.int32(records.size)
+    body.raw(compress(compression, entries.result()))
     val bodyBytes = body.result()
     val crc = new CRC32C
     crc.update(bodyBytes)
@@ -209,7 +267,6 @@ object KafkaWire {
           f"RecordBatch CRC32C mismatch (stored 0x$crcStored%08x, " +
             f"computed 0x${crc.getValue.toInt}%08x) — corrupt batch")
         val attrs = r.int16()
-        require((attrs & 0x07) == 0, s"compression codec ${attrs & 0x07} not supported here")
         val lastOffsetDelta = r.int32()
         val firstTs = r.int64()
         r.int64() // maxTimestamp
@@ -217,24 +274,32 @@ object KafkaWire {
         val producerEpoch = r.int16()
         r.int32() // baseSequence
         val count = r.int32()
+        // codec bits: the record-entries blob (everything after the
+        // header) decompresses as one unit; the CRC above already covered
+        // the COMPRESSED form, matching the spec
+        val codec = attrs & CodecMask
+        val re =
+          if (codec == CodecNone) r
+          else new Reader(decompress(codec,
+            r.bytesRaw(batch.length - r.position)))
         val records = (0 until count).map { _ =>
-          val len = r.varint()
-          val end = r.position + len
-          r.int8() // record attributes
-          val tsDelta = r.varlong()
-          val offDelta = r.varint()
-          val kLen = r.varint()
-          val key = if (kLen < 0) null else r.bytesRaw(kLen)
-          val vLen = r.varint()
-          val value = if (vLen < 0) null else r.bytesRaw(vLen)
-          val nHeaders = r.varint()
+          val len = re.varint()
+          val end = re.position + len
+          re.int8() // record attributes
+          val tsDelta = re.varlong()
+          val offDelta = re.varint()
+          val kLen = re.varint()
+          val key = if (kLen < 0) null else re.bytesRaw(kLen)
+          val vLen = re.varint()
+          val value = if (vLen < 0) null else re.bytesRaw(vLen)
+          val nHeaders = re.varint()
           val headers = (0 until nHeaders).map { _ =>
-            val kb = r.bytesRaw(r.varint())
-            val vl = r.varint()
-            val vb = if (vl < 0) null else r.bytesRaw(vl)
+            val kb = re.bytesRaw(re.varint())
+            val vl = re.varint()
+            val vb = if (vl < 0) null else re.bytesRaw(vl)
             new String(kb, UTF_8) -> vb
           }
-          r.skip(end - r.position)
+          re.skip(end - re.position)
           WireRecord(baseOffset + offDelta, firstTs + tsDelta, key, value, headers)
         }
         out += ((WireBatchMeta(baseOffset, baseOffset + lastOffsetDelta,
@@ -370,11 +435,13 @@ final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-produ
 
   def produceWithHeaders(topic: String, partition: Int,
       records: Seq[(Array[Byte], Array[Byte], Long, Seq[(String, Array[Byte])])],
-      txn: Option[(String, Long, Int)] = None): Long = {
+      txn: Option[(String, Long, Int)] = None,
+      compression: Int = KafkaWire.CodecNone): Long = {
     val batch = txn match {
       case Some((_, pid, epoch)) => encodeBatchWithHeaders(0L, records,
-        attributes = AttrTransactional, producerId = pid, producerEpoch = epoch)
-      case None => encodeBatchWithHeaders(0L, records)
+        attributes = AttrTransactional, producerId = pid, producerEpoch = epoch,
+        compression = compression)
+      case None => encodeBatchWithHeaders(0L, records, compression = compression)
     }
     val body = new Writer
     body.nullableString(txn.map(_._1).orNull) // transactional_id

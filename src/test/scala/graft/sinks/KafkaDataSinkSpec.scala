@@ -213,6 +213,7 @@ class KafkaDataSinkSpec extends AnyFunSuite {
         "properties.bootstrap.servers" -> broker.bootstrap,
         "value.format" -> "debezium-json",
         "partition.strategy" -> "HASH_BY_KEY",
+        "properties.compression.type" -> "snappy",
         "sink.tableId-to-topic.mapping" -> "app.\\.*:routed;x.y:other")))
       val k = sink.asInstanceOf[KafkaDataSink]
       assert(k.topicFor(TableId.parse("app.users")) == "routed")
@@ -221,6 +222,10 @@ class KafkaDataSinkSpec extends AnyFunSuite {
       assert(broker.topicNames.contains("routed"))
       intercept[IllegalArgumentException](
         DataSinks.forDef(spark, SinkDef("kafka", None, Map.empty)))
+      intercept[IllegalArgumentException](
+        DataSinks.forDef(spark, SinkDef("kafka", None, Map(
+          "properties.bootstrap.servers" -> broker.bootstrap,
+          "properties.compression.type" -> "brotli"))))
     } finally broker.stop()
   }
 }

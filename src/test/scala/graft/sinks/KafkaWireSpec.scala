@@ -192,4 +192,58 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(broker.endOffset("t", 0) == 0L, "nothing was appended")
     } finally broker.stop()
   }
+
+  test("compression: every codec round-trips; CRC covers the compressed form") {
+    val records = (0 until 50).map(i =>
+      (s"key-$i".getBytes(UTF_8), (s"value-$i-" + "x" * 100).getBytes(UTF_8),
+        1000L + i, Seq("h" -> s"hv$i".getBytes(UTF_8))))
+    Seq(CodecGzip, CodecSnappy, CodecLz4, CodecZstd).foreach { codec =>
+      val batch = encodeBatchWithHeaders(7L, records, compression = codec)
+      val plain = encodeBatchWithHeaders(7L, records)
+      assert(batch.length < plain.length,
+        s"codec $codec must shrink this repetitive payload " +
+          s"(${batch.length} vs ${plain.length})")
+      val (meta, back) = decodeBatchesMeta(batch).head
+      assert((meta.attributes & CodecMask) == codec)
+      assert(back.size == 50)
+      assert(back.map(_.offset) == (7L until 57L))
+      assert(back.map(_.timestamp) == (1000L until 1050L))
+      assert(new String(back(49).value, UTF_8).startsWith("value-49-"))
+      assert(new String(back(3).headers.head._2, UTF_8) == "hv3")
+      // flip one byte inside the compressed blob: CRC32C refuses before
+      // the codec ever sees the corruption
+      val corrupt = batch.clone()
+      corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 0x01).toByte
+      assert(intercept[IllegalArgumentException](decodeBatches(corrupt))
+        .getMessage.contains("CRC32C"))
+    }
+    // codec ids outside the protocol refuse loudly
+    assert(intercept[IllegalArgumentException](codecId("brotli"))
+      .getMessage.contains("compression.type"))
+  }
+
+  test("compressed produce/fetch over the wire; txn batches compress too") {
+    val broker = new KafkaBrokerDouble()
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      val recs = (0 until 20).map(i =>
+        (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8), i.toLong, Nil))
+      p.produceWithHeaders("ct", 0, recs, compression = CodecZstd)
+      // a transactional compressed batch, committed — read_committed
+      // consumers must decode it past the control marker
+      p.findTxnCoordinator("tx-c")
+      val (pid, epoch) = p.initProducerId("tx-c")
+      p.addPartitionsToTxn("tx-c", pid, epoch, "ct", Seq(0))
+      p.produceWithHeaders("ct", 0,
+        Seq(("tk".getBytes(UTF_8), "tv".getBytes(UTF_8), 99L, Nil)),
+        txn = Some(("tx-c", pid, epoch)), compression = CodecLz4)
+      p.endTxn("tx-c", pid, epoch, commit = true)
+      p.close()
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val vals = c.readAllCommitted("ct", 0).map(r => new String(r.value, UTF_8))
+      c.close()
+      assert(vals == (0 until 20).map(i => s"v$i") :+ "tv")
+    } finally broker.stop()
+  }
 }
