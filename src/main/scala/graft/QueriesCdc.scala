@@ -781,6 +781,58 @@ object QueriesCdc {
       DeltaInterchange.importDelta(s, dest).orderBy("event_type", "user_id")
     }),
 
+    "c_time_travel_import" -> ((s, dir) => {
+      // TIME TRAVEL on import for all three interchange formats: a
+      // lakehouse table takes two data commits, mirrors to Delta /
+      // Iceberg / Paimon, and each mirror is read AS OF the FIRST data
+      // commit — all three must reproduce exactly the pre-second-commit
+      // state, i.e. the batch-1 aggregation.
+      import graft.sinks.{DeltaInterchange, IcebergInterchange, PaimonInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_tt_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id")), buckets = 4)
+      val ev = Tables.load(s, dir, "events").filter(col("event_id") < 800)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      val dl = java.nio.file.Files.createTempDirectory("graft_tt_dl").toString
+      val ib = java.nio.file.Files.createTempDirectory("graft_tt_ib").toString
+      val pm = java.nio.file.Files.createTempDirectory("graft_tt_pm").toString
+      t.merge(batch(col("event_id") < 400), noKeys)
+      // capture each format's head id after the FIRST data commit, before
+      // the second commit moves the heads: Delta versions are 0-based
+      // commit counts; Iceberg ids list in the metadata; Paimon keeps the
+      // LATEST hint
+      val n1 = DeltaInterchange.mirror(s, t, dl)
+      require(n1 >= 1)
+      require(IcebergInterchange.mirror(s, t, ib) >= 1)
+      require(PaimonInterchange.mirror(s, t, pm) >= 1)
+      val dlV = n1 - 1L
+      val ibIds = IcebergInterchange.snapshotIds(ib)
+      val pmId = PaimonInterchange.latestSnapshotId(pm).get
+      t.merge(batch(col("event_id") >= 400), noKeys)
+      require(DeltaInterchange.mirror(s, t, dl) == 1)
+      require(IcebergInterchange.mirror(s, t, ib) == 1)
+      require(PaimonInterchange.mirror(s, t, pm) == 1)
+      def tag(df: DataFrame, fmt: String) =
+        df.select(lit(fmt).as("fmt"), col("event_type"), col("user_id"),
+          col("last_event"))
+      tag(DeltaInterchange.importDelta(s, dl,
+          Some(dlV)), "delta")
+        .unionAll(tag(IcebergInterchange.importIceberg(s, ib,
+          Some(ibIds.last)), "iceberg"))
+        .unionAll(tag(PaimonInterchange.importPaimon(s, pm,
+          asOfSnapshotId = Some(pmId)), "paimon"))
+        .orderBy("fmt", "event_type", "user_id")
+    }),
+
     "c_delta_dv_import" -> ((s, dir) => {
       // a FOREIGN Delta table using DELETION VECTORS (the modern writer's
       // default delete path, reader version 3): two data files over
@@ -3151,6 +3203,15 @@ object QueriesCdc {
         |  FROM b1 JOIN b2
         |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
         |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
+    // time travel: all three mirrors read AS OF the first data commit
+    // must equal the batch-1 aggregation, once per format tag
+    "c_time_travel_import" ->
+      """SELECT f.fmt, e.event_type, e.user_id, e.last_event FROM (
+        |  SELECT event_type, user_id, max(event_id) AS last_event
+        |  FROM events WHERE event_id < 400 GROUP BY event_type, user_id
+        |) e CROSS JOIN (
+        |  SELECT unnest(['delta','iceberg','paimon']) AS fmt
+        |) f ORDER BY f.fmt, e.event_type, e.user_id""".stripMargin,
     // deletion vectors: a foreign v3 table masks exactly the rows whose
     // user_id % 7 == 3 (one sidecar DV, one inline DV) — the import
     // equals the plain predicate

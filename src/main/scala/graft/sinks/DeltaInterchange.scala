@@ -704,11 +704,19 @@ object DeltaInterchange {
   /** Checkpoint-aware replay: seed from the last checkpoint when one
     * exists, then replay only the newer JSON commits. Falls back to the
     * plain from-zero [[readLog]] otherwise. */
-  def readLog(spark: SparkSession, srcDir: String): DeltaSnapshot = {
+  def readLog(spark: SparkSession, srcDir: String): DeltaSnapshot =
+    readLog(spark, srcDir, None)
+
+  /** Checkpoint-aware replay with optional time travel: `asOfVersion`
+    * must be AT or AFTER the checkpointed version — the commits below it
+    * were cleaned up, so older states are gone (Delta's own
+    * `versionAsOf` retention behavior). */
+  def readLog(spark: SparkSession, srcDir: String,
+      asOfVersion: Option[Long]): DeltaSnapshot = {
     val logDir = Paths.get(srcDir, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $srcDir")
     lastCheckpointVersion(logDir) match {
-      case None => readLog(srcDir)
+      case None => readLog(srcDir, asOfVersion)
       case Some(ckptV) =>
         val ckptFile = logDir.resolve(f"$ckptV%020d.checkpoint.parquet")
         require(Files.exists(ckptFile),
@@ -753,7 +761,16 @@ object DeltaInterchange {
               txns(t.getString(0)) = t.getLong(1)
             }
           }
-        val newer = listJsonVersions(logDir).filter(_ > ckptV)
+        asOfVersion.foreach { v =>
+          require(v >= ckptV,
+            s"versionAsOf $v is below the checkpoint at $ckptV — those " +
+              "commits were cleaned up, the state is gone")
+          require(v <= listJsonVersions(logDir).maxOption.getOrElse(ckptV),
+            s"versionAsOf $v is beyond the latest commit — nothing was " +
+              "committed there")
+        }
+        val newer = listJsonVersions(logDir)
+          .filter(v => v > ckptV && asOfVersion.forall(v <= _))
         newer.headOption.foreach(first => require(first == ckptV + 1,
           s"commit gap after checkpoint $ckptV (next JSON is $first) — " +
             "refusing rather than skipping commits"))
@@ -791,20 +808,35 @@ object DeltaInterchange {
   }
 
   /** Replay a `_delta_log` into the live state at the latest version. */
-  def readLog(srcDir: String): DeltaSnapshot = {
+  def readLog(srcDir: String): DeltaSnapshot = readLog(srcDir, None)
+
+  /** Replay a `_delta_log`, optionally stopping AT `asOfVersion` — Delta
+    * time travel (`versionAsOf`): the state is exactly what a reader at
+    * that commit saw. A version beyond the head refuses loudly. */
+  def readLog(srcDir: String, asOfVersion: Option[Long]): DeltaSnapshot = {
     val logDir = Paths.get(srcDir, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $srcDir")
     require(!Files.exists(logDir.resolve("_last_checkpoint")),
       "checkpointed Delta logs are not supported (parquet checkpoint reader " +
         "not implemented) — refusing rather than replaying a partial log")
-    val versions = Files.list(logDir).iterator.asScala
+    val allVersions = Files.list(logDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json"))
       .toSeq.sorted
-    require(versions.nonEmpty, s"empty _delta_log under $srcDir")
-    require(versions.head == f"${0L}%020d.json",
-      s"log does not start at version 0 (earliest: ${versions.head}) — a " +
+    require(allVersions.nonEmpty, s"empty _delta_log under $srcDir")
+    require(allVersions.head == f"${0L}%020d.json",
+      s"log does not start at version 0 (earliest: ${allVersions.head}) — a " +
         "truncated log cannot be replayed without a checkpoint")
+    asOfVersion.foreach { v =>
+      require(v >= 0 && allVersions.contains(f"$v%020d.json"),
+        s"versionAsOf $v is not in the log (head: " +
+          s"${allVersions.last.stripSuffix(".json").toLong}) — nothing was " +
+          "committed there")
+    }
+    val versions = asOfVersion match {
+      case None => allVersions
+      case Some(v) => allVersions.filter(_ <= f"$v%020d.json")
+    }
 
     var schema: Option[StructType] = None
     var partitionCols: Seq[String] = Nil
@@ -976,9 +1008,14 @@ object DeltaInterchange {
 
   /** Read the live table state as a DataFrame under the log's schema
     * (checkpoint-aware: seeds from `_last_checkpoint` when present). */
-  def importDelta(spark: SparkSession, srcDir: String): DataFrame = {
+  def importDelta(spark: SparkSession, srcDir: String): DataFrame =
+    importDelta(spark, srcDir, None)
+
+  /** Import, optionally AS OF a retained commit version (time travel). */
+  def importDelta(spark: SparkSession, srcDir: String,
+      versionAsOf: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, udf}
-    val snap = readLog(spark, srcDir)
+    val snap = readLog(spark, srcDir, versionAsOf)
     // column mapping: files store PHYSICAL names; read under the physical
     // schema, surface logical names via a positional struct cast (free —
     // a rename, not a conversion). id mode resolves by parquet field id:

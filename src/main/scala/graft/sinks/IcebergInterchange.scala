@@ -899,8 +899,13 @@ object IcebergInterchange {
       // absolute data file path -> spec-field-name -> partition value
       filePartitions: Map[String, Map[String, Any]] = Map.empty)
 
-  /** Replay the latest metadata version into the current live state. */
-  def readTable(srcDir: String): IcebergSnapshot = {
+  /** Replay the latest metadata version into the current live state —
+    * or, with `asOfSnapshotId`, TIME TRAVEL to that snapshot: its
+    * manifest list replays instead of the current one, under the schema
+    * the snapshot recorded (`schema-id` per the spec; tables predating
+    * per-snapshot schema ids read under the current schema). A snapshot
+    * no longer in the metadata (expired) refuses loudly. */
+  def readTable(srcDir: String, asOfSnapshotId: Option[Long] = None): IcebergSnapshot = {
     val v = latestMetadataVersion(srcDir).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg metadata under $srcDir"))
     val root = readMetadata(srcDir, v)
@@ -909,7 +914,13 @@ object IcebergInterchange {
       s"format-version $fv is not supported (this importer reads v2) — " +
         "refusing rather than mis-replaying v1 manifest semantics")
     val location = root.get("location").asText()
-    val schemaId = root.get("current-schema-id").asInt()
+    // time travel reads under the SNAPSHOT's schema when it records one
+    val asOfSchemaId = asOfSnapshotId.flatMap { id =>
+      root.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == id)
+        .flatMap(s => Option(s.get("schema-id")).map(_.asInt()))
+    }
+    val schemaId = asOfSchemaId.getOrElse(root.get("current-schema-id").asInt())
     val schemaNode = root.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == schemaId)
       .getOrElse(throw new IllegalStateException(s"schema-id $schemaId not in schemas"))
@@ -950,13 +961,17 @@ object IcebergInterchange {
     val props = Option(root.get("properties")).map(p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
-    val curId = root.get("current-snapshot-id").asLong()
+    val curId = asOfSnapshotId.getOrElse(root.get("current-snapshot-id").asLong())
     if (curId == -1L)
       return IcebergSnapshot(sparkStruct(schemaNode), Seq.empty, 0L, -1L, props,
         fieldIds = fieldIds, partitionCols = partitionCols)
     val snapNode = root.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curId)
-      .getOrElse(throw new IllegalStateException(s"current snapshot $curId not listed"))
+      .getOrElse(
+        if (asOfSnapshotId.isDefined) throw new IllegalArgumentException(
+          s"snapshot $curId is not in the table metadata — it expired or " +
+            "never existed; time travel only reaches retained snapshots")
+        else throw new IllegalStateException(s"current snapshot $curId not listed"))
     val listPath = resolvePath(location, snapNode.get("manifest-list").asText())
     val data = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val dels = scala.collection.mutable.ArrayBuffer.empty[Entry]
@@ -1051,9 +1066,23 @@ object IcebergInterchange {
     * key deleted then re-written survives). The apply is one broadcastable
     * hash join on the equality columns — per key, only the MAX delete
     * sequence matters, so deletes aggregate to one row per key first. */
-  def importIceberg(spark: SparkSession, srcDir: String): DataFrame = {
+  /** Snapshot ids retained in the table metadata, oldest first — the
+    * discoverable range [[readTable]]'s time travel accepts. */
+  def snapshotIds(srcDir: String): Seq[Long] = {
+    val v = latestMetadataVersion(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg metadata under $srcDir"))
+    readMetadata(srcDir, v).get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq.sorted
+  }
+
+  def importIceberg(spark: SparkSession, srcDir: String): DataFrame =
+    importIceberg(spark, srcDir, None)
+
+  /** Import, optionally AS OF a retained snapshot id (time travel). */
+  def importIceberg(spark: SparkSession, srcDir: String,
+      asOfSnapshotId: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max, regexp_replace}
-    val snap = readTable(srcDir)
+    val snap = readTable(srcDir, asOfSnapshotId)
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -627,10 +627,21 @@ object PaimonInterchange {
 
   /** Replay the LATEST snapshot into the current live file set: base-list
     * manifests then delta-list manifests, DELETE entries cancelling earlier
-    * ADDs by file name — Paimon's full-scan plan. */
-  def readTable(srcDir: String): PaimonSnapshot = {
-    val id = latestSnapshotId(srcDir).getOrElse(
+    * ADDs by file name — Paimon's full-scan plan. With `asOfSnapshotId`,
+    * TIME TRAVEL: that snapshot's lists replay instead, under ITS
+    * schemaId; ids outside `[EARLIEST, LATEST]` (expired or unborn)
+    * refuse loudly. */
+  def readTable(srcDir: String, asOfSnapshotId: Option[Long] = None): PaimonSnapshot = {
+    val latest = latestSnapshotId(srcDir).getOrElse(
       throw new IllegalArgumentException(s"no Paimon snapshot under $srcDir"))
+    val id = asOfSnapshotId.getOrElse(latest)
+    asOfSnapshotId.foreach { v =>
+      require(v <= latest,
+        s"snapshot $v is beyond LATEST ($latest) — nothing committed there")
+      require(Files.exists(snapshotDir(srcDir).resolve(s"snapshot-$v")),
+        s"snapshot $v is no longer retained (expired) — time travel only " +
+          "reaches snapshots at or after the EARLIEST hint")
+    }
     val snap = readSnapshot(srcDir, id)
     val schemaId = snap.get("schemaId").asLong()
     val (struct, pks, buckets, opts, partitionKeys) = readSchemaFile(srcDir, schemaId)
@@ -755,8 +766,9 @@ object PaimonInterchange {
     * unconstrained.
     */
   def importPaimon(spark: SparkSession, srcDir: String,
-      partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
-    val snap = readTable(srcDir)
+      partitionFilter: Map[String, Any] = Map.empty,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val snap = readTable(srcDir, asOfSnapshotId)
     partitionFilter.keys.foreach(k => require(snap.partitionKeys.contains(k),
       s"'$k' is not a partition key (${snap.partitionKeys.mkString(", ")})"))
     val files0 =
