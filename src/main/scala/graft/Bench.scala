@@ -841,7 +841,72 @@ object Bench {
           try require(c.readAll("bench-1", 0).size == n, "fetch must drain the topic")
           finally c.close()
         }.foreach(sec => out += "b14_kafka_fetch_events_per_sec" -> n / sec)
+        // zstd variant: same payloads under attribute-bit compression —
+        // brackets what a codec costs on produce (compress inside the
+        // batch encode) and buys on fetch (fewer wire bytes, decompress
+        // in decode); real producers default to a codec, so this is the
+        // number a deployment actually sees
+        var zrun = 0
+        val hrecs = recs.map { case (k, v, ts) => (k, v, ts, Nil) }
+        timed("b14_produce_zstd") {
+          zrun += 1
+          val p = new graft.sinks.KafkaWireProducer(broker.bootstrap)
+          try {
+            val topic = s"bench-z$zrun"
+            p.partitionsOf(topic)
+            hrecs.grouped(1000).foreach(g => p.produceWithHeaders(topic, 0, g,
+              compression = graft.sinks.KafkaWire.CodecZstd))
+          } finally p.close()
+        }.foreach(sec => out += "b14_kafka_produce_zstd_events_per_sec" -> n / sec)
+        timed("b14_fetch_zstd") {
+          val c = new graft.sinks.KafkaWireConsumer(broker.bootstrap)
+          try require(c.readAll("bench-z1", 0).size == n, "fetch must drain the topic")
+          finally c.close()
+        }.foreach(sec => out += "b14_kafka_fetch_zstd_events_per_sec" -> n / sec)
       } finally broker.stop()
+    }
+
+    // B15: PARTITIONED mirror cost (Delta + Iceberg; the Paimon mirror
+    // refuses partitioned by design). Unlike B12's metadata-plus-copy
+    // commits, a partitioned mirror runs one partitionBy SPARK JOB per
+    // commit to split adds by (partition, source bucket) — this probe
+    // prices that job so the B12-vs-B15 gap is measured, not assumed.
+    once("b15") {
+      import graft.sinks.{DeltaInterchange, IcebergInterchange, LakehouseTable}
+      val root = java.nio.file.Files.createTempDirectory("bench_pmirror").toString
+      val tb = new LakehouseTable(spark, s"$root/src")
+      tb.create(TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "dt", org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "k", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("dt", "k"),
+        partitionKeys = Seq("dt")), buckets = 4)
+      val nCommits = 12
+      val noKeys = spark.range(0).select(lit("").as("dt"), col("id").as("k"))
+      (0 until nCommits).foreach(i =>
+        tb.merge(spark.range(i * 5000L, (i + 1) * 5000L).select(
+          concat(lit("d"), col("id") % 4).as("dt"), col("id").as("k"),
+          concat(lit("v"), col("id")).as("v")), noKeys))
+      out += "b15_delta_part_mirror_commits_per_sec" ->
+        sentinel.windowed("b15_delta_part_mirror", maxRetries = 0) {
+          val d0 = System.nanoTime()
+          DeltaInterchange.mirror(spark, tb, s"$root/delta")
+          nCommits / ((System.nanoTime() - d0) / 1e9)
+        }
+      out += "b15_iceberg_part_mirror_commits_per_sec" ->
+        sentinel.windowed("b15_iceberg_part_mirror", maxRetries = 0) {
+          val i0 = System.nanoTime()
+          IcebergInterchange.mirror(spark, tb, s"$root/iceberg")
+          nCommits / ((System.nanoTime() - i0) / 1e9)
+        }
+      timed("b15_delta_part_import") {
+        require(DeltaInterchange.importDelta(spark, s"$root/delta")
+          .count() == nCommits * 5000L)
+      }.foreach(sec => out += "b15_delta_part_import_sec" -> sec)
     }
 
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the

@@ -952,6 +952,11 @@ object DeltaInterchange {
         "cdc files do not store partition columns and this reader does " +
         "not project cdc partitionValues — refusing rather than feeding " +
         "silent nulls")
+    require(snap.columnMappingMode == "none",
+      "change-feed reads of COLUMN-MAPPED Delta tables are not supported: " +
+        "cdc files store physical column names and this reader resolves " +
+        "cdc rows by logical name — refusing rather than feeding silent " +
+        "nulls")
     // CDF flag: newest metaData wins — checkpoint first (older), then the
     // JSON commits (configuration survives checkpointing)
     var cdfOn = false

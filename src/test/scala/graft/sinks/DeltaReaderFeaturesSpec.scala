@@ -300,6 +300,12 @@ class DeltaReaderFeaturesSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       DeltaInterchange.importDelta(spark, d4))
       .getMessage.contains("physicalName"))
+
+    // change-feed reads refuse column-mapped tables (cdc files store
+    // PHYSICAL names; logical-name resolution would feed silent nulls)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterchange.readChangeFeed(spark, d4, 0L, 0L))
+      .getMessage.contains("COLUMN-MAPPED"))
   }
 
   test("deletion vectors compose with Hive-layout partition projection") {
