@@ -29,6 +29,7 @@ object KafkaWire {
   // api keys (public protocol ids)
   val ApiProduce = 0
   val ApiFetch = 1
+  val ApiListOffsets = 2
   val ApiMetadata = 3
   val ApiFindCoordinator = 10
   val ApiApiVersions = 18
@@ -587,6 +588,29 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
     (r.bytes(), hw, lso, aborted)
   }
 
+  /** ListOffsets v1: the FIRST offset whose record timestamp is >=
+    * `timestamp` (Kafka's `offsetsForTimes`), resolved broker-side from
+    * the log — O(log metadata + one batch decode), never a topic scan.
+    * `-1L` asks for the log-end offset, `-2L` for the earliest. Returns
+    * (offset, record timestamp); None when no record is that late. */
+  def offsetForTimestamp(topic: String, partition: Int,
+      timestamp: Long): Option[(Long, Long)] = {
+    val body = new Writer
+    body.int32(-1) // replica_id
+    body.int32(1); body.string(topic)
+    body.int32(1); body.int32(partition); body.int64(timestamp)
+    val r = call(ApiListOffsets, 1, body.result())
+    require(r.int32() == 1, "ListOffsets response topic count")
+    r.string()
+    require(r.int32() == 1, "ListOffsets response partition count")
+    require(r.int32() == partition, "ListOffsets response partition id")
+    val err = r.int16()
+    require(err == 0, s"ListOffsets error $err for $topic/$partition")
+    val ts = r.int64()
+    val off = r.int64()
+    if (off < 0) None else Some((off, ts))
+  }
+
   /** One fetch: records at `offset` and after, plus the high watermark
     * (read_uncommitted — control records included). */
   def fetch(topic: String, partition: Int, offset: Long,
@@ -750,6 +774,7 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
           case ApiMetadata => metadataResponse(r, apiVersion)
           case ApiProduce => produceResponse(r, apiVersion)
           case ApiFetch => fetchResponse(r, apiVersion)
+          case ApiListOffsets => listOffsetsResponse(r, apiVersion)
           case ApiFindCoordinator => findCoordinatorResponse(r, apiVersion)
           case ApiInitProducerId => initProducerIdResponse(r, apiVersion)
           case ApiAddPartitionsToTxn => addPartitionsResponse(r, apiVersion)
@@ -773,7 +798,7 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
     val w = new Writer
     w.int16(0) // error
     val versions = Seq((ApiProduce, 0, 3), (ApiFetch, 0, 4),
-      (ApiMetadata, 0, 1), (ApiFindCoordinator, 0, 1),
+      (ApiListOffsets, 1, 1), (ApiMetadata, 0, 1), (ApiFindCoordinator, 0, 1),
       (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
       (ApiAddPartitionsToTxn, 0, 0), (ApiEndTxn, 0, 0))
     w.int32(versions.size)
@@ -1004,6 +1029,57 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
       ends((topic, partition)) = base + records.size
       base
     }
+
+  /** ListOffsets v1: timestamp -> first offset with record ts >= target.
+    * The real broker answers from its time index in O(log segments); the
+    * double prefilters on each batch header's maxTimestamp (byte 35) and
+    * decodes only candidate batches — same contract, never a topic scan
+    * on the CLIENT side, which is the scale property the API exists for.
+    * -1 = log end, -2 = earliest. Control batches are skipped (markers
+    * carry no consumable rows). */
+  private def listOffsetsResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 1, s"ListOffsets v$version not supported by the double")
+    r.int32() // replica_id
+    val topicCount = r.int32()
+    val w = new Writer
+    w.int32(topicCount)
+    (0 until topicCount).foreach { _ =>
+      val topic = r.string()
+      val partCount = r.int32()
+      w.string(topic)
+      w.int32(partCount)
+      (0 until partCount).foreach { _ =>
+        val partition = r.int32()
+        val target = r.int64()
+        val (err, ts, off) = synchronized {
+          logs.get((topic, partition)) match {
+            case None => (ErrUnknownTopicOrPartition, -1L, -1L)
+            case Some(batches) =>
+              target match {
+                case -1L => (0, -1L, ends((topic, partition)))
+                case -2L => (0, -1L, batches.headOption
+                  .map(b => ByteBuffer.wrap(b).getLong(0)).getOrElse(0L))
+                case t =>
+                  batches.iterator
+                    .filter(b => ByteBuffer.wrap(b).getLong(35) >= t)
+                    .flatMap(b => decodeBatchesMeta(b).iterator)
+                    .filterNot(_._1.isControl)
+                    .flatMap(_._2)
+                    .find(_.timestamp >= t) match {
+                    case Some(rec) => (0, rec.timestamp, rec.offset)
+                    case None => (0, -1L, -1L)
+                  }
+              }
+          }
+        }
+        w.int32(partition)
+        w.int16(err)
+        w.int64(ts)
+        w.int64(off)
+      }
+    }
+    w.result()
+  }
 
   private def fetchResponse(r: Reader, version: Int): Array[Byte] = {
     require(version == 4, s"fetch v$version not supported by the double")

@@ -53,9 +53,11 @@ final class KafkaTopicChangeSource(
     None // a data topic carries no DDL; the per-trigger probe must be free
 
   override def offsetAtTimestamp(ts: Long): Long =
-    withConsumer(_.readAllCommitted(topic, partition))
-      .find(_.timestamp >= ts)
-      .map(_.offset) // fromExclusive = k delivers the record at k (log k+1)
+    // broker-side ListOffsets (Kafka's offsetsForTimes): the broker's
+    // time index answers in O(log metadata), never a client topic scan —
+    // at warehouse scale a startup probe must not read the topic
+    withConsumer(_.offsetForTimestamp(topic, partition, ts))
+      .map(_._1) // fromExclusive = k delivers the record at k (log k+1)
       .getOrElse(currentOffset)
 
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =

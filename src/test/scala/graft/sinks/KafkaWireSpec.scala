@@ -222,6 +222,40 @@ class KafkaWireSpec extends AnyFunSuite {
       .getMessage.contains("compression.type"))
   }
 
+  test("ListOffsets: timestamp -> first offset, log end, earliest, errors") {
+    val broker = new KafkaBrokerDouble()
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      // three batches with ascending timestamps; the middle one compressed
+      // (the maxTimestamp prefilter reads the uncompressed header)
+      p.produce("lo", 0, (0 until 5).map(i =>
+        (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8), 100L + i)))
+      p.produceWithHeaders("lo", 0, (5 until 10).map(i =>
+        (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8), 100L + i,
+          Seq.empty[(String, Array[Byte])])), compression = CodecGzip)
+      p.produce("lo", 0, (10 until 15).map(i =>
+        (s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8), 100L + i)))
+      p.close()
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      try {
+        assert(c.offsetForTimestamp("lo", 0, 100L) == Some((0L, 100L)))
+        assert(c.offsetForTimestamp("lo", 0, 107L) == Some((7L, 107L)),
+          "timestamps inside a compressed batch resolve")
+        assert(c.offsetForTimestamp("lo", 0, 114L) == Some((14L, 114L)))
+        assert(c.offsetForTimestamp("lo", 0, 115L) == None,
+          "no record is that late")
+        assert(c.offsetForTimestamp("lo", 0, -1L) == Some((15L, -1L)),
+          "-1 asks for the log-end offset")
+        assert(c.offsetForTimestamp("lo", 0, -2L) == Some((0L, -1L)),
+          "-2 asks for the earliest offset")
+        val e = intercept[IllegalArgumentException](
+          c.offsetForTimestamp("nope", 0, 0L))
+        assert(e.getMessage.contains("error 3"), "unknown topic surfaces")
+      } finally c.close()
+    } finally broker.stop()
+  }
+
   test("compressed produce/fetch over the wire; txn batches compress too") {
     val broker = new KafkaBrokerDouble()
     broker.start()

@@ -76,4 +76,28 @@ class KafkaTopicSourceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("zzz"))
     } finally broker.stop()
   }
+
+  test("startup by timestamp resolves via broker-side ListOffsets") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.t")
+      def rec(i: Int, ts: Long) = (null.asInstanceOf[Array[Byte]],
+        s"""{"before":null,"after":{"id":$i,"v":"x$i"},"op":"c"}"""
+          .getBytes(UTF_8), ts)
+      p.produce("app.t", 0, (0 until 6).map(i => rec(i, 1000L + i * 10)))
+      p.close()
+      val src = new KafkaTopicChangeSource(broker.bootstrap, "app.t", 0, tid, schema)
+      // first record at or after ts=1025 is offset 3 (ts 1030); the
+      // fromExclusive contract delivers that record and everything after
+      val off = src.offsetAtTimestamp(1025L)
+      assert(off == 3L)
+      val got = src.readLog(off, src.currentOffset)
+        .map(_.event.asInstanceOf[DataChangeEvent].after("id"))
+      assert(got == Seq(3L, 4L, 5L))
+      assert(src.offsetAtTimestamp(99999L) == src.currentOffset,
+        "a future timestamp starts at the log end")
+    } finally broker.stop()
+  }
 }
