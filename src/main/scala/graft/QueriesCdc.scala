@@ -781,6 +781,88 @@ object QueriesCdc {
       DeltaInterchange.importDelta(s, dest).orderBy("event_type", "user_id")
     }),
 
+    "c_iceberg_v1_import" -> ((s, dir) => {
+      // a FOREIGN format-version 1 Iceberg table in the LEGACY metadata
+      // shape (single `schema`, flat `partition-spec`, manifests without
+      // content/sequence fields) — the tables pre-v2 warehouses still
+      // hold. Import reads them under the spec's v1 semantics.
+      import graft.sinks.IcebergInterchange
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericRecord}
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibv1").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dest, "metadata"))
+      val ev = Tables.load(s, dir, "events").filter(col("event_id") < 1200)
+        .select("event_id", "user_id", "event_type")
+      val tmp = java.nio.file.Files.createTempDirectory("ibv1f").toString
+      ev.write.mode("overwrite").parquet(tmp)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString).zipWithIndex.map { case (p, i) =>
+          val out = java.nio.file.Paths.get(dest, s"f$i.parquet")
+          java.nio.file.Files.move(p, out); out
+        }
+      val entrySchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"snapshot_id","type":["null","long"],"default":null},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      val listSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"},
+          |{"name":"partition_spec_id","type":"int"},
+          |{"name":"added_snapshot_id","type":["null","long"],"default":null}]}"""
+          .stripMargin)
+      val entries: Seq[GenericRecord] = files.map { f =>
+        val df = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        df.put("file_path", f.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(
+          df.getSchema.getField("partition").schema()))
+        df.put("record_count", 1L) // v1 counts are advisory for this read
+        df.put("file_size_in_bytes", java.nio.file.Files.size(f))
+        val r = new GenericData.Record(entrySchema)
+        r.put("status", 1); r.put("snapshot_id", 9L); r.put("data_file", df)
+        r
+      }
+      val mPath = java.nio.file.Paths.get(dest, "metadata", "m-v1.avro")
+      IcebergInterchange.writeAvro(mPath, entrySchema,
+        Map("format-version" -> "1"), entries)
+      val listPath = java.nio.file.Paths.get(dest, "metadata", "snap-9.avro")
+      val mf = new GenericData.Record(listSchema)
+      mf.put("manifest_path", mPath.toString)
+      mf.put("manifest_length", java.nio.file.Files.size(mPath))
+      mf.put("partition_spec_id", 0)
+      mf.put("added_snapshot_id", 9L)
+      IcebergInterchange.writeAvro(listPath, listSchema,
+        Map("format-version" -> "1"), Seq(mf))
+      val meta =
+        s"""{"format-version":1,"table-uuid":"u","location":"$dest",
+           |"last-updated-ms":0,"last-column-id":3,
+           |"schema":{"type":"struct","schema-id":0,"fields":[
+           |{"id":1,"name":"event_id","required":false,"type":"long"},
+           |{"id":2,"name":"user_id","required":false,"type":"long"},
+           |{"id":3,"name":"event_type","required":false,"type":"string"}]},
+           |"partition-spec":[],"properties":{},
+           |"current-snapshot-id":9,
+           |"snapshots":[{"snapshot-id":9,"timestamp-ms":0,
+           |"manifest-list":"$listPath"}]}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dest, "metadata", "v1.metadata.json"),
+        meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dest, "metadata", "version-hint.text"),
+        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      IcebergInterchange.importIceberg(s, dest).orderBy("event_id")
+    }),
+
     "c_time_travel_import" -> ((s, dir) => {
       // TIME TRAVEL on import for all three interchange formats: a
       // lakehouse table takes two data commits, mirrors to Delta /
@@ -3203,6 +3285,10 @@ object QueriesCdc {
         |  FROM b1 JOIN b2
         |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
         |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
+    // legacy v1 Iceberg: the import equals the plain projection
+    "c_iceberg_v1_import" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id < 1200 ORDER BY event_id""".stripMargin,
     // time travel: all three mirrors read AS OF the first data commit
     // must equal the batch-1 aggregation, once per format tag
     "c_time_travel_import" ->

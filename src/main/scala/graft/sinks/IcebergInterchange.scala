@@ -43,7 +43,10 @@ import scala.jdk.CollectionConverters._
   *    files for derived partition fields, so the derived tuple is pruning
   *    metadata only (export stays identity-only). Unsupported features
   *    fail LOUDLY instead of reading wrong data: non-parquet data files,
-  *    unknown partition transforms, format-version != 2.
+  *    unknown partition transforms, format-version > 2 (v1 tables READ —
+  *    missing manifest fields default to the spec's v1 semantics, legacy
+  *    single-`schema`/flat-`partition-spec` metadata accepted; writes
+  *    stay v2).
   *  - [[mirror]]: continuous mirroring, ONE Iceberg snapshot per
   *    lakehouse commit. Adds go into one new manifest; removes rewrite
   *    ONLY the manifests that contain the removed files (kept entries
@@ -344,7 +347,7 @@ object IcebergInterchange {
 
   // ----------------------------------------------------------- avro helpers
 
-  private[sinks] def writeAvro(path: Path, schema: Schema, meta: Map[String, String],
+  private[graft] def writeAvro(path: Path, schema: Schema, meta: Map[String, String],
       rows: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     meta.toSeq.sortBy(_._1).foreach { case (k, v) => w.setMeta(k, v) }
@@ -363,6 +366,14 @@ object IcebergInterchange {
     r.get(f).asInstanceOf[Number].intValue()
   private def long(r: GenericRecord, f: String): Long =
     r.get(f).asInstanceOf[Number].longValue()
+  // v1 Avro files lack the v2-only fields entirely (Record.get throws on
+  // unknown names); reads default to the spec's v1 semantics instead
+  private def intOr(r: GenericRecord, f: String, default: Int): Int =
+    if (r.getSchema.getField(f) == null) default
+    else Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(default)
+  private def longOr(r: GenericRecord, f: String, default: Long): Long =
+    if (r.getSchema.getField(f) == null) default
+    else Option(r.get(f)).map(_.asInstanceOf[Number].longValue()).getOrElse(default)
 
   // ----------------------------------------------------------------- model
 
@@ -454,20 +465,23 @@ object IcebergInterchange {
   private def readManifest(path: Path, listSeq: Long): Seq[Entry] =
     readAvro(path).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
-      val content = int(df, "content")
+      val content = intOr(df, "content", 0) // v1 data_file: data only
       require(content >= 0 && content <= 2,
         s"manifest $path: data_file.content $content is not a spec value " +
           "(data=0, position-deletes=1, equality-deletes=2)")
       val fmt = str(df, "file_format")
       require(fmt.equalsIgnoreCase("PARQUET"),
         s"data file format $fmt is not supported (parquet only)")
-      val eqIds = Option(df.get("equality_ids"))
+      // v1 data_file schemas may omit any of these optional fields
+      def optField(f: String): Option[AnyRef] =
+        if (df.getSchema.getField(f) == null) None else Option(df.get(f))
+      val eqIds = optField("equality_ids")
         .map(_.asInstanceOf[java.util.List[_]].asScala
           .map(_.asInstanceOf[Number].intValue()).toSeq)
         .getOrElse(Nil)
       // bounds parse back so rewritten manifests keep them for kept entries
       def boundMap(field: String): Map[Int, Array[Byte]] =
-        Option(df.get(field)).map(_.asInstanceOf[java.util.List[_]].asScala.map { o =>
+        optField(field).map(_.asInstanceOf[java.util.List[_]].asScala.map { o =>
           val kv = o.asInstanceOf[GenericRecord]
           val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
           val arr = new Array[Byte](buf.remaining()); buf.duplicate().get(arr)
@@ -492,16 +506,19 @@ object IcebergInterchange {
         })
       }.toMap
       val status = int(r, "status")
-      val seq = Option(r.get("sequence_number"))
-        .map(_.asInstanceOf[Number].longValue())
-        .getOrElse {
-          require(status == Added,
-            s"manifest $path entry ${str(df, "file_path")}: null " +
-              "sequence_number on a non-ADDED entry — inheritance applies " +
-              "only to entries added by this manifest's own snapshot; " +
-              "refusing rather than guessing the data sequence")
-          listSeq
-        }
+      val seq =
+        if (r.getSchema.getField("sequence_number") == null)
+          0L // v1 entry schema: no sequences exist in the format at all
+        else Option(r.get("sequence_number"))
+          .map(_.asInstanceOf[Number].longValue())
+          .getOrElse {
+            require(status == Added,
+              s"manifest $path entry ${str(df, "file_path")}: null " +
+                "sequence_number on a non-ADDED entry — inheritance applies " +
+                "only to entries added by this manifest's own snapshot; " +
+                "refusing rather than guessing the data sequence")
+            listSeq
+          }
       Entry(status,
         Option(r.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         seq,
@@ -910,9 +927,13 @@ object IcebergInterchange {
       throw new IllegalArgumentException(s"no Iceberg metadata under $srcDir"))
     val root = readMetadata(srcDir, v)
     val fv = root.get("format-version").asInt()
-    require(fv == 2,
-      s"format-version $fv is not supported (this importer reads v2) — " +
-        "refusing rather than mis-replaying v1 manifest semantics")
+    // v1 tables READ (missing manifest fields default to the spec's v1
+    // semantics: content 0, no sequences, no delete files); writes stay
+    // v2-only. fv > 2 refuses — v3 semantics (row lineage, DVs) are not
+    // implemented.
+    require(fv == 1 || fv == 2,
+      s"format-version $fv is not supported (this importer reads v1-v2) — " +
+        "refusing rather than mis-replaying newer manifest semantics")
     val location = root.get("location").asText()
     // time travel reads under the SNAPSHOT's schema when it records one
     val asOfSchemaId = asOfSnapshotId.flatMap { id =>
@@ -920,10 +941,18 @@ object IcebergInterchange {
         .find(_.get("snapshot-id").asLong() == id)
         .flatMap(s => Option(s.get("schema-id")).map(_.asInt()))
     }
-    val schemaId = asOfSchemaId.getOrElse(root.get("current-schema-id").asInt())
-    val schemaNode = root.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == schemaId)
-      .getOrElse(throw new IllegalStateException(s"schema-id $schemaId not in schemas"))
+    val schemaId = asOfSchemaId.getOrElse(
+      Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0))
+    val schemaNode = Option(root.get("schemas"))
+      .map(_.elements().asScala.find(_.get("schema-id").asInt() == schemaId)
+        .getOrElse(throw new IllegalStateException(
+          s"schema-id $schemaId not in schemas")))
+      .getOrElse {
+        // legacy v1 metadata: a single top-level "schema"
+        require(fv == 1 && root.has("schema"),
+          "metadata has neither schemas nor a legacy v1 schema field")
+        root.get("schema")
+      }
     val fieldIds = schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     // Partition transforms on IMPORT: IDENTITY values ride in the
@@ -938,26 +967,46 @@ object IcebergInterchange {
     // Unknown transform names still refuse: an unrecognized derivation on
     // a spec this reader has never seen could mean unreadable files.
     val knownDerived = Set("year", "month", "day", "hour", "void")
-    root.get("partition-specs").elements().asScala.foreach { s =>
-      s.get("fields").elements().asScala.foreach { f =>
-        val tr = f.get("transform").asText()
-        require(tr == "identity" || knownDerived.contains(tr) ||
-          tr.matches("bucket\\[\\d+\\]") || tr.matches("truncate\\[\\d+\\]"),
-          s"partition transform '$tr' is not a transform this importer " +
-            "knows — refusing rather than guessing at its read semantics")
+    // legacy v1 metadata carries a single flat "partition-spec" field list
+    // instead of "partition-specs" — treat it as the one-and-only spec 0
+    val defaultSpecFields: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Option(root.get("partition-specs")) match {
+        case Some(specs) =>
+          specs.elements().asScala.foreach { s =>
+            s.get("fields").elements().asScala.foreach { f =>
+              val tr = f.get("transform").asText()
+              require(tr == "identity" || knownDerived.contains(tr) ||
+                tr.matches("bucket\\[\\d+\\]") || tr.matches("truncate\\[\\d+\\]"),
+                s"partition transform '$tr' is not a transform this importer " +
+                  "knows — refusing rather than guessing at its read semantics")
+            }
+          }
+          val defaultSpecId =
+            Option(root.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+          specs.elements().asScala
+            .find(_.get("spec-id").asInt() == defaultSpecId)
+            .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
+        case None =>
+          require(fv == 1,
+            "v2 metadata without partition-specs is corrupt — refusing")
+          Option(root.get("partition-spec"))
+            .map(_.elements().asScala.toSeq).getOrElse(Nil)
       }
+    defaultSpecFields.foreach { f =>
+      val tr = f.get("transform").asText()
+      require(tr == "identity" || knownDerived.contains(tr) ||
+        tr.matches("bucket\\[\\d+\\]") || tr.matches("truncate\\[\\d+\\]"),
+        s"partition transform '$tr' is not a transform this importer " +
+          "knows — refusing rather than guessing at its read semantics")
     }
-    val defaultSpecId = root.get("default-spec-id").asInt()
-    val partitionCols = root.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == defaultSpecId)
-      .map(_.get("fields").elements().asScala
-        .filter(_.get("transform").asText() == "identity")
-        .map { f =>
-          val srcId = f.get("source-id").asInt()
-          val srcCol = fieldIds.getOrElse(srcId, throw new IllegalArgumentException(
-            s"partition spec source-id $srcId is not a field of the current schema"))
-          f.get("name").asText() -> srcCol
-        }.toSeq).getOrElse(Nil)
+    val partitionCols = defaultSpecFields
+      .filter(_.get("transform").asText() == "identity")
+      .map { f =>
+        val srcId = f.get("source-id").asInt()
+        val srcCol = fieldIds.getOrElse(srcId, throw new IllegalArgumentException(
+          s"partition spec source-id $srcId is not a field of the current schema"))
+        f.get("name").asText() -> srcCol
+      }
     val props = Option(root.get("properties")).map(p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
@@ -977,9 +1026,9 @@ object IcebergInterchange {
     val dels = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val pos = scala.collection.mutable.ArrayBuffer.empty[Entry]
     readAvro(listPath).foreach { mf =>
-      val content = int(mf, "content")
+      val content = intOr(mf, "content", 0) // v1 lists: data manifests only
       val mPath = resolvePath(location, str(mf, "manifest_path"))
-      val live = readManifest(mPath, long(mf, "sequence_number"))
+      val live = readManifest(mPath, longOr(mf, "sequence_number", 0L))
         .filter(_.status != Deleted)
       if (content == 0) data ++= live
       else live.foreach {

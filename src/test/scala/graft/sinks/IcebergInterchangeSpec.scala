@@ -197,7 +197,7 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no Iceberg interchange"))
   }
 
-  test("import refuses format-version 1") {
+  test("import refuses format-versions past 2 (v1 now reads)") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
     val dest = Files.createTempDirectory("graft_ib_dst").toString
@@ -207,12 +207,17 @@ class IcebergInterchangeSpec extends AnyFunSuite {
       s"v${new String(Files.readAllBytes(hint), UTF_8).trim}.metadata.json")
     val root = mapper.readTree(Files.readAllBytes(mPath))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    root.put("format-version", 1)
+    root.put("format-version", 3)
     Files.write(mPath, mapper.writeValueAsBytes(root))
     val e = intercept[IllegalArgumentException] {
       IcebergInterchange.readTable(dest)
     }
     assert(e.getMessage.contains("format-version"))
+    // a v2-shaped table RELABELED v1 still reads (v2 manifest fields are
+    // a superset; the v1 path only relaxes missing-field handling)
+    root.put("format-version", 1)
+    Files.write(mPath, mapper.writeValueAsBytes(root))
+    assert(IcebergInterchange.importIceberg(spark, dest).count() == 1L)
   }
 
   test("mirror: one snapshot per commit, overwrite rewrites only affected manifests") {
@@ -791,5 +796,98 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     t.merge(Seq(("b", 3L, "B3B")).toDF("dt", "k", "v"), noKeys)
     assert(IcebergInterchange.mirror(spark, t, dest) == 1)
     same()
+  }
+
+  test("format-version 1 tables read: legacy metadata, no sequence fields") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    val dest = Files.createTempDirectory("graft_ib_v1").toString
+    Files.createDirectories(Paths.get(dest, "metadata"))
+    def dataFile(name: String, rows: Seq[(Long, String)]): (String, Long) = {
+      val tmp = Files.createTempDirectory("v1f").toString
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val out = Paths.get(dest, name)
+      Files.move(part, out)
+      (out.toString, rows.size.toLong)
+    }
+    val (f0, n0) = dataFile("f0.parquet", (0L until 5L).map(k => (k, s"a$k")))
+    val (f1, n1) = dataFile("f1.parquet", (5L until 8L).map(k => (k, s"b$k")))
+    // the spec's v1 Avro shapes: no content / sequence_number anywhere
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}]}"""
+        .stripMargin)
+    def entry(path: String, rows: Long): GenericRecord = {
+      val df = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        df.getSchema.getField("partition").schema()))
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", 1L)
+      val r = new GenericData.Record(entrySchema)
+      r.put("status", 1); r.put("snapshot_id", 77L); r.put("data_file", df)
+      r
+    }
+    val mPath = Paths.get(dest, "metadata", "m-v1.avro")
+    IcebergInterchange.writeAvro(mPath, entrySchema,
+      Map("format-version" -> "1"), Seq(entry(f0, n0), entry(f1, n1)))
+    val listPath = Paths.get(dest, "metadata", "snap-77.avro")
+    val mf = new GenericData.Record(listSchema)
+    mf.put("manifest_path", mPath.toString)
+    mf.put("manifest_length", Files.size(mPath))
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", 77L)
+    IcebergInterchange.writeAvro(listPath, listSchema,
+      Map("format-version" -> "1"), Seq(mf))
+    // LEGACY v1 metadata: single `schema`, flat `partition-spec`, no
+    // current-schema-id / partition-specs / default-spec-id
+    val meta =
+      s"""{"format-version":1,"table-uuid":"u","location":"$dest",
+         |"last-updated-ms":0,"last-column-id":2,
+         |"schema":{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":true,"type":"long"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]},
+         |"partition-spec":[],"properties":{},
+         |"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":0,
+         |"manifest-list":"$listPath"}]}""".stripMargin
+    Files.write(Paths.get(dest, "metadata", "v1.metadata.json"),
+      meta.getBytes(UTF_8))
+    Files.write(Paths.get(dest, "metadata", "version-hint.text"),
+      "1".getBytes(UTF_8))
+
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.snapshotId == 77L && snap.files.size == 2)
+    val got = IcebergInterchange.importIceberg(spark, dest).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == ((0L until 5L).map(k => (k, s"a$k")) ++
+      (5L until 8L).map(k => (k, s"b$k"))))
+    // time travel by the v1 snapshot id works too
+    assert(IcebergInterchange.importIceberg(spark, dest, Some(77L))
+      .count() == 8L)
+    // format versions past 2 still refuse
+    Files.write(Paths.get(dest, "metadata", "v1.metadata.json"),
+      meta.replace(""""format-version":1""", """"format-version":3""")
+        .getBytes(UTF_8))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterchange.readTable(dest))
+      .getMessage.contains("format-version 3"))
   }
 }
