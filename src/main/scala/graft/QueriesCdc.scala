@@ -729,6 +729,47 @@ object QueriesCdc {
         .orderBy("_commit_version", "_change_type", "event_type", "user_id")
     }),
 
+    "c_delta_partitioned_cdf" -> ((s, dir) => {
+      // the Delta CDF surface on a PARTITIONED table: each commit's
+      // change rows split into per-partition cdc files whose partition
+      // tuple rides in the cdc action's partitionValues (files never
+      // store event_type), and readChangeFeed projects it back — the
+      // partitioned leg of c_delta_cdf, same recipe shape as the Paimon
+      // partitioned changelog gate.
+      import graft.sinks.{DeltaInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_dpcdf_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("user_id", LongType, nullable = false),
+          StructField("last_event", LongType))),
+        primaryKeys = Seq("event_type", "user_id"),
+        partitionKeys = Seq("event_type")), buckets = 4, changelog = true)
+      val dest = java.nio.file.Files.createTempDirectory("graft_dpcdf_dst").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") >= 300 && col("event_id") < 600 &&
+          col("user_id") < 150)
+      def batch(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("event_id")).as("last_event"))
+      val noKeys = s.range(0).select(
+        lit("").as("event_type"), col("id").as("user_id"))
+      t.merge(batch(col("event_id") < 450), noKeys)
+      require(DeltaInterchange.mirror(s, t, dest) == 2) // create + commit 1
+      t.merge(batch(col("event_id") >= 450), noKeys)
+      require(DeltaInterchange.mirror(s, t, dest) == 1) // commit 2
+      val feed = DeltaInterchange.readChangeFeed(s, dest, -1L, 2L)
+      require(feed.inputFiles.nonEmpty &&
+        feed.inputFiles.forall(f =>
+          f.contains("_change_data/") && f.contains("cdc-v")),
+        "cdc files must be the per-partition split files")
+      feed.select(col("event_type"), col("user_id"), col("last_event"),
+          col("_change_type"),
+          col("_commit_version").cast("long").as("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "event_type", "user_id")
+    }),
+
     "c_delta_partitioned_mirror" -> ((s, dir) => {
       // per-commit mirror of a Hive-partitioned Delta table: adds split
       // per (partition, source lakehouse bucket) with the partition tuple
@@ -3260,6 +3301,35 @@ object QueriesCdc {
     // as inserts, overlapping keys as update pre/post pairs (batch 2's
     // max always exceeds batch 1's in this window)
     "c_paimon_partitioned_changelog" ->
+      """WITH b1 AS (
+        |  SELECT event_type, user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 300 AND event_id < 450 AND user_id < 150
+        |  GROUP BY event_type, user_id),
+        |b2 AS (
+        |  SELECT event_type, user_id, max(event_id) AS me FROM events
+        |  WHERE event_id >= 450 AND event_id < 600 AND user_id < 150
+        |  GROUP BY event_type, user_id)
+        |SELECT * FROM (
+        |  SELECT event_type, user_id, me AS last_event,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT event_type, user_id, me, 'insert', 2 FROM b2
+        |  WHERE NOT EXISTS (SELECT 1 FROM b1
+        |    WHERE b1.event_type = b2.event_type AND b1.user_id = b2.user_id)
+        |  UNION ALL
+        |  SELECT b1.event_type, b1.user_id, b1.me, 'update_preimage', 2
+        |  FROM b1 JOIN b2
+        |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
+        |  UNION ALL
+        |  SELECT b2.event_type, b2.user_id, b2.me, 'update_postimage', 2
+        |  FROM b1 JOIN b2
+        |    ON b1.event_type = b2.event_type AND b1.user_id = b2.user_id
+        |) ORDER BY _commit_version, _change_type, event_type, user_id""".stripMargin,
+    // partitioned Delta CDF: same change-row algebra as the Paimon
+    // partitioned changelog — inserts at commit 1, commit-2-only keys as
+    // inserts, overlapping keys as update pre/post pairs
+    "c_delta_partitioned_cdf" ->
       """WITH b1 AS (
         |  SELECT event_type, user_id, max(event_id) AS me FROM events
         |  WHERE event_id >= 300 AND event_id < 450 AND user_id < 150

@@ -289,11 +289,6 @@ object DeltaInterchange {
       val partitioned = partitionKeys.nonEmpty
       if (partitioned) {
         validatePartitionCols(curMeta.schema.struct, partitionKeys)
-        require(!curMeta.changelog,
-          "a PARTITIONED changelog mirror is not supported: cdc actions " +
-            "would need per-partition change files and readChangeFeed " +
-            "refuses partitioned tables — refusing rather than writing a " +
-            "feed no reader accepts")
         require(curMeta.schema.primaryKeys.nonEmpty,
           "a partitioned Delta mirror needs primary keys: mirrored files " +
             "split per source lakehouse bucket (full-pk hash) so removals " +
@@ -398,18 +393,49 @@ object DeltaInterchange {
             }
           }
         }
-        changeFiles.sorted.foreach { p =>
-          val srcPath = Paths.get(table.dir, p)
-          val flat = "_change_data/" + p.replace('/', '-')
-          Files.createDirectories(dest.resolve("_change_data"))
-          Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
-          val n = mapper.createObjectNode()
-          val c = n.putObject("cdc")
-          c.put("path", flat)
-          c.putObject("partitionValues")
-          c.put("size", Files.size(srcPath))
-          c.put("dataChange", false)
-          actions += mapper.writeValueAsString(n)
+        if (!partitioned) {
+          changeFiles.sorted.foreach { p =>
+            val srcPath = Paths.get(table.dir, p)
+            val flat = "_change_data/" + p.replace('/', '-')
+            Files.createDirectories(dest.resolve("_change_data"))
+            Files.copy(srcPath, dest.resolve(flat), StandardCopyOption.REPLACE_EXISTING)
+            val n = mapper.createObjectNode()
+            val c = n.putObject("cdc")
+            c.put("path", flat)
+            c.putObject("partitionValues")
+            c.put("size", Files.size(srcPath))
+            c.put("dataChange", false)
+            actions += mapper.writeValueAsString(n)
+          }
+        } else if (changeFiles.nonEmpty) {
+          // PARTITIONED changelog: one partitionBy job splits the commit's
+          // change rows per partition tuple — cdc files never store the
+          // partition columns; the cdc action's partitionValues restore
+          // them in readChangeFeed (the same projection rule as adds).
+          // `_change_type` stays a DATA column of the cdc files.
+          val ctSchema = StructType(curMeta.schema.struct.fields :+
+            StructField("_change_type", StringType, nullable = false))
+          val cdcDf = spark.read.schema(ctSchema)
+            .parquet(changeFiles.sorted.map(p =>
+              Paths.get(table.dir, p).toString): _*)
+          val moved = IcebergInterchange.writeSplitDataFiles(cdcDf, destDir,
+            partitionKeys, ctSchema, None,
+            (n, _, _) => f"cdc-v$v-$n%05d.parquet", subDir = "_change_data")
+          moved.foreach { case (out, part, _) =>
+            val n = mapper.createObjectNode()
+            val c = n.putObject("cdc")
+            c.put("path", s"_change_data/${out.getFileName}")
+            val pv = c.putObject("partitionValues")
+            partitionKeys.foreach { col =>
+              part.get(col).flatMap(Option(_)) match {
+                case Some(value) => pv.put(col, value.toString)
+                case None => pv.putNull(col)
+              }
+            }
+            c.put("size", Files.size(out))
+            c.put("dataChange", false)
+            actions += mapper.writeValueAsString(n)
+          }
         }
         Files.write(logDir.resolve(f"$deltaV%020d.json"),
           actions.mkString("", "\n", "\n").getBytes(UTF_8))
@@ -947,11 +973,15 @@ object DeltaInterchange {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val logDir = Paths.get(srcDir, "_delta_log")
     val snap = readLog(spark, srcDir)
-    require(snap.partitionColumns.isEmpty,
-      "change-feed reads of PARTITIONED Delta tables are not supported: " +
-        "cdc files do not store partition columns and this reader does " +
-        "not project cdc partitionValues — refusing rather than feeding " +
-        "silent nulls")
+    // PARTITIONED tables: cdc files do not store partition columns — the
+    // per-action partitionValues project back exactly like data files
+    // (bounded to the same unambiguous serializations as importDelta)
+    snap.partitionColumns.foreach { c =>
+      val dt = snap.schema(c).dataType
+      require(!Seq(TimestampType, TimestampNTZType, BinaryType).contains(dt),
+        s"partition column '$c': $dt partition-value serialization is " +
+          "not supported by this reader — refusing")
+    }
     require(snap.columnMappingMode == "none",
       "change-feed reads of COLUMN-MAPPED Delta tables are not supported: " +
         "cdc files store physical column names and this reader resolves " +
@@ -988,18 +1018,41 @@ object DeltaInterchange {
         "earliest retained commit (cleaned up past a checkpoint) — those " +
         "changes are undeliverable")
     val perCommit = versions.flatMap { v =>
-      val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+      val paths = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Map[String, String])]
       replayRawActions(logDir, Seq(v)) { node =>
-        if (node.has("cdc"))
-          paths += Paths.get(srcDir, node.get("cdc").get("path").asText()).toString
+        if (node.has("cdc")) {
+          val c = node.get("cdc")
+          paths += ((Paths.get(srcDir, c.get("path").asText()).toString,
+            Option(c.get("partitionValues"))
+              .map(_.properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+                .toMap).getOrElse(Map.empty)))
+        }
       }
       if (paths.isEmpty) None
       else {
-        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.functions.{col, lit}
         val withCt = StructType(snap.schema.fields :+
           StructField("_change_type", StringType, nullable = false))
-        Some(spark.read.schema(withCt).parquet(paths.toSeq: _*)
-          .withColumn("_commit_version", lit(v)))
+        val df =
+          if (snap.partitionColumns.isEmpty)
+            spark.read.schema(withCt).parquet(paths.map(_._1).toSeq: _*)
+          else
+            // per-partition file groups: the cdc files do not store the
+            // partition columns; the action's partitionValues project
+            // back as constants, exactly the importDelta rule
+            paths.groupBy(_._2).toSeq
+              .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+              .map { case (vals, fs) =>
+                var d = spark.read.schema(withCt).parquet(fs.map(_._1).toSeq: _*)
+                snap.partitionColumns.foreach { c =>
+                  d = d.withColumn(c,
+                    lit(vals.getOrElse(c, null)).cast(snap.schema(c).dataType))
+                }
+                d.select(withCt.fieldNames.map(col).toSeq: _*)
+              }.reduce(_ unionAll _)
+        Some(df.withColumn("_commit_version", lit(v)))
       }
     }
     if (perCommit.isEmpty) {

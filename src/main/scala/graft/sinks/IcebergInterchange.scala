@@ -747,7 +747,8 @@ object IcebergInterchange {
   private[sinks] def writeSplitDataFiles(df: DataFrame, destDir: String,
       partitionCols: Seq[String], schema: StructType,
       extraCol: Option[String],
-      nameFor: (Int, Map[String, Any], Option[Int]) => String)
+      nameFor: (Int, Map[String, Any], Option[Int]) => String,
+      subDir: String = "data")
       : Seq[(Path, Map[String, Any], Option[Int])] = {
     val tokenMaps: Map[String, Map[String, String]] = partitionCols
       .filter(c => schema(c).dataType == StringType).map { c =>
@@ -768,7 +769,7 @@ object IcebergInterchange {
     val tmp = Files.createTempDirectory("graft_ib_partexp")
     tokenized.write.partitionBy(partitionCols ++ extraCol: _*)
       .mode("overwrite").parquet(tmp.toString)
-    val dataDir = Paths.get(destDir, "data")
+    val dataDir = Paths.get(destDir, subDir)
     Files.createDirectories(dataDir)
     // Hive path escaping: %XX escapes ONE UTF-8 BYTE (a multi-byte char
     // escapes as several consecutive %XX), so the segment must unescape to

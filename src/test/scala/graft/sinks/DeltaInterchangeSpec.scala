@@ -489,6 +489,36 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 
+  test("partitioned changelog mirror: cdc splits per partition, CDF projects back") {
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_dl_pcdc").toString)
+    t.create(TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("dt", "k"), partitionKeys = Seq("dt")),
+      buckets = 2, changelog = true)
+    val dest = Files.createTempDirectory("graft_dl_pcdcd").toString
+    val noKeys = spark.range(0).select(lit("").as("dt"), $"id".as("k"))
+    t.merge(Seq(("a", 1L, "a1"), ("b", 2L, "b2")).toDF("dt", "k", "v"), noKeys)
+    t.merge(Seq(("a", 1L, "A1"), ("b", 3L, "b3")).toDF("dt", "k", "v"), noKeys)
+    assert(DeltaInterchange.mirror(spark, t, dest) == 3) // create + 2
+    val feed = DeltaInterchange.readChangeFeed(spark, dest, -1L, 2L)
+    // cdc files are the per-partition split files and never store dt
+    assert(feed.inputFiles.nonEmpty && feed.inputFiles.forall(f =>
+      f.contains("_change_data/") && f.contains("cdc-v")))
+    assert(!spark.read.parquet(feed.inputFiles.min).columns.contains("dt"))
+    val got = feed.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("a", 1L, "a1", "insert", 1L), ("b", 2L, "b2", "insert", 1L),
+      ("a", 1L, "a1", "update_preimage", 2L),
+      ("a", 1L, "A1", "update_postimage", 2L),
+      ("b", 3L, "b3", "insert", 2L)),
+      "partition values project back onto every change row")
+  }
+
   test("partitioned mirror: split adds, name-mapped removals, checkpoint") {
     val t = newPartTable()
     val dest = Files.createTempDirectory("graft_dl_pmir").toString
