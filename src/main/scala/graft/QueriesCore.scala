@@ -1066,6 +1066,64 @@ object QueriesCore {
         .orderBy("user_id")
     }),
 
+    "c_cli_pipeline" -> ((s, dir) => {
+      // the CLI front-end end to end (`flink-cdc.sh pipeline.yaml` —
+      // CliFrontend.java:67-88): a YAML definition FILE on disk, a global
+      // config merged under it, the manifest-stamped checkpoint, transform +
+      // route, and the parquet sink — the full user entry path, oracled
+      // against the equivalent SQL over the same table
+      import graft.pipeline.CliFrontend
+      import graft.sources.cdc.{ChangeSourceRegistry, ScriptedChangeSource}
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+      val rows = nation.collect().map(r => Map[String, Any](
+        "n_nationkey" -> r.getLong(0), "n_name" -> r.getString(1),
+        "n_regionkey" -> r.getLong(2)))
+      val tid = TableId.parse("tpch.nation")
+      val src = new ScriptedChangeSource(
+        tid, TableSchema(nation.schema, Seq("n_nationkey")), rows.toSeq)
+      val id = s"cli-gate-${java.util.UUID.randomUUID().toString.take(8)}"
+      ChangeSourceRegistry.register(id, src)
+      try {
+        val root = java.nio.file.Files.createTempDirectory("graft_cli_q")
+        val out = s"$root/out"
+        java.nio.file.Files.write(root.resolve("global.yaml"),
+          "parallelism: 4\n".getBytes("UTF-8"))
+        java.nio.file.Files.write(root.resolve("p.yaml"),
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id
+             |  chunk.size: 7
+             |sink:
+             |  type: parquet
+             |  path: $out
+             |  buckets: 2
+             |transform:
+             |  - source-table: tpch.\\.*
+             |    projection: "*, UPPER(n_name) AS uname"
+             |    filter: "n_regionkey <> 2"
+             |route:
+             |  - source-table: tpch.nation
+             |    sink-table: tpch.nation_out
+             |pipeline:
+             |  name: cli-gate
+             |  checkpoint.dir: $root/ck
+             |""".stripMargin.getBytes("UTF-8"))
+        val info = CliFrontend.run(Seq(
+          s"$root/p.yaml", "--global-config", s"$root/global.yaml"))(s)
+        require(info.exists(_.id == "cli-gate"), "the CLI must report the pipeline name")
+        require(CliFrontend.readManifest(s"$root/ck").isDefined,
+          "the CLI must stamp the state manifest")
+        val tdir = java.nio.file.Paths.get(out, "tpch_nation_out")
+        val v = new String(java.nio.file.Files.readAllBytes(
+          tdir.resolve("_VERSION"))).trim.toInt
+        s.read.parquet(tdir.resolve(s"v$v").toString)
+          .select("n_nationkey", "n_name", "n_regionkey", "uname")
+          .orderBy("n_nationkey")
+      } finally ChangeSourceRegistry.remove(id)
+    }),
+
     "c_lakehouse_concurrent" -> ((s, dir) => {
       // optimistic concurrency under REAL contention: eight writer threads
       // race MERGE commits into ONE table (writer w owns the users with
@@ -1982,6 +2040,10 @@ object QueriesCore {
         |  FROM ev)
         |SELECT user_id, event_type, value, ts FROM last
         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    "c_cli_pipeline" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey, UPPER(n_name) AS uname
+        |FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
     // compaction is data-identical: the appended slices re-read as the table
     "c_lakehouse_append" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts

@@ -30,6 +30,16 @@ final case class PipelineDef(
 
   def name: String = config.getOrElse("name", "graft-pipeline")
   def parallelism: Int = config.getOrElse("parallelism", "1").toInt
+  /** `pipeline.execution.runtime-mode` (`PipelineOptions.java:49-53`,
+    * defaulted in `PipelineDef.java:190-194`): STREAMING runs the changelog
+    * stream; BATCH is a bounded one-shot materialization of the snapshot.
+    */
+  def runtimeMode: String = {
+    val m = config.getOrElse("execution.runtime-mode", "STREAMING").toUpperCase
+    require(m == "STREAMING" || m == "BATCH",
+      s"unknown execution.runtime-mode '$m' (STREAMING or BATCH)")
+    m
+  }
   def schemaChangeBehavior: SchemaChangeBehavior.Value =
     SchemaChangeBehavior.withName(
       config.getOrElse("schema.change.behavior", "LENIENT").toUpperCase)

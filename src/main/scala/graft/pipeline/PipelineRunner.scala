@@ -28,6 +28,7 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
 
   private def sourceId: String = pdef.source.sourceType.toLowerCase match {
     case "debezium-file" => debeziumFileSourceId
+    case "kafka" => kafkaSourceId
     case _ => pdef.source.config.getOrElse(
       "sourceId",
       throw new IllegalArgumentException("cdc source requires 'sourceId' in this environment"))
@@ -52,6 +53,32 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     id
   }
 
+  /** `source.type: kafka` — one topic PARTITION read over the wire as a
+    * log-only change source ([[graft.sources.kafka.KafkaTopicChangeSource]]).
+    * Config: `properties.bootstrap.servers`, `topic`, `partition` (default
+    * 0), `table` (db.table), `schema` (Spark DDL string), `primary-key`,
+    * and optional `properties.group.id` — with a group id, checkpoint
+    * commits flow to the broker as consumer-group offsets and
+    * `startup.mode: committed` resumes from them.
+    */
+  private lazy val kafkaSourceId: String = {
+    val cfg = pdef.source.config
+    def req(k: String) = cfg.getOrElse(k, throw new IllegalArgumentException(
+      s"kafka source requires '$k'"))
+    val topic = req("topic")
+    val partition = cfg.getOrElse("partition", "0").toInt
+    val src = new graft.sources.kafka.KafkaTopicChangeSource(
+      req("properties.bootstrap.servers"), topic, partition,
+      TableId.parse(req("table")),
+      TableSchema(
+        org.apache.spark.sql.types.StructType.fromDDL(req("schema")),
+        req("primary-key").split(",").map(_.trim).toSeq),
+      groupId = cfg.get("properties.group.id"))
+    val id = s"kafka:$topic/$partition"
+    ChangeSourceRegistry.register(id, src)
+    id
+  }
+
   /** Source tables this pipeline reads (single-table for the scripted source;
     * a live dialect source would enumerate via catalog metadata).
     */
@@ -60,11 +87,34 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     // ... — `flink-cdc-pipeline-connector-*` factories) are accepted as
     // aliases of `cdc`: every dialect reads through the same registered
     // ChangeSource + DSv2 incremental-snapshot format in this environment
-    case "cdc" | "values" | "debezium-file" | "mysql" | "postgres" | "mongodb" |
+    case "cdc" | "values" | "debezium-file" | "kafka" | "mysql" | "postgres" | "mongodb" |
         "sqlserver" | "oracle" | "db2" | "tidb" | "vitess" | "oceanbase" =>
       val src = ChangeSourceRegistry.get(sourceId)
       Map(src.tableId -> src.schema)
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")
+  }
+
+  /** `pipeline.execution.runtime-mode: BATCH`
+    * (`FlinkPipelineComposer.java:121-128`): one bounded materialization —
+    * the chunk plan read as a plain batch DataFrame (no log phase, no
+    * checkpoint) through the same transform → route → schema-coerce →
+    * PK-upsert path. Per-chunk HW backfill still applies, so each chunk is
+    * internally consistent; changes after a chunk's HW are out of the run's
+    * scope by definition of batch mode.
+    */
+  def runBatch(): Unit = {
+    require(pdef.runtimeMode == "BATCH",
+      s"runBatch is the BATCH runtime-mode path; this pipeline is ${pdef.runtimeMode}")
+    composer.createTables(sourceSchemas)
+    var reader = spark.read.format(classOf[GraftCdcProvider].getName)
+      .option("sourceId", sourceId)
+    Seq("chunk.size", "backfill.skip").foreach { k =>
+      pdef.source.config.get(k).foreach(v => reader = reader.option(k, v))
+    }
+    val env = reader.load()
+    PipelineComposer.splitByTable(env).toSeq
+      .sortBy(_._1.identifier)
+      .foreach { case (tableId, e) => composer.processBatch(tableId, e) }
   }
 
   /** Create sink tables and start the stream. */

@@ -31,6 +31,8 @@ object KafkaWire {
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiOffsetCommit = 8
+  val ApiOffsetFetch = 9
   val ApiFindCoordinator = 10
   val ApiApiVersions = 18
   val ApiInitProducerId = 22
@@ -611,6 +613,67 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
     if (off < 0) None else Some((off, ts))
   }
 
+  /** FindCoordinator v1 with key_type GROUP (0) — where a consumer group's
+    * offsets live (the txn variant at `:1` locates the txn coordinator). */
+  def findGroupCoordinator(groupId: String): (String, Int) = {
+    val body = new Writer
+    body.string(groupId)
+    body.int8(0) // key_type: group
+    val r = call(ApiFindCoordinator, 1, body.result())
+    r.int32() // throttle
+    val err = r.int16()
+    require(err == 0, s"find group coordinator error $err")
+    r.nullableString() // error message
+    r.int32() // node id
+    (r.string(), r.int32())
+  }
+
+  /** OffsetCommit v2: durably record `offset` (the NEXT offset the group
+    * will read — Kafka's committed-offset convention) for
+    * (group, topic, partition) at the coordinator. */
+  def commitOffset(groupId: String, topic: String, partition: Int,
+      offset: Long, metadata: String = ""): Unit = {
+    val body = new Writer
+    body.string(groupId)
+    body.int32(-1) // generation_id: not using the group membership protocol
+    body.string("") // member_id
+    body.int64(-1L) // retention_time_ms: broker default
+    body.int32(1); body.string(topic)
+    body.int32(1)
+    body.int32(partition); body.int64(offset); body.nullableString(metadata)
+    val r = call(ApiOffsetCommit, 2, body.result())
+    val topics = r.int32()
+    require(topics == 1, "OffsetCommit response topic count")
+    r.string()
+    val parts = r.int32()
+    require(parts == 1, "OffsetCommit response partition count")
+    require(r.int32() == partition, "OffsetCommit response partition id")
+    val err = r.int16()
+    require(err == 0, s"OffsetCommit error $err for $groupId@$topic/$partition")
+  }
+
+  /** OffsetFetch v1 (broker-stored offsets): the group's committed offset,
+    * `None` when the group has never committed for this partition
+    * (the protocol's offset `-1`). */
+  def committedOffset(groupId: String, topic: String, partition: Int): Option[Long] = {
+    val body = new Writer
+    body.string(groupId)
+    body.int32(1); body.string(topic)
+    body.int32(1); body.int32(partition)
+    val r = call(ApiOffsetFetch, 1, body.result())
+    val topics = r.int32()
+    require(topics == 1, "OffsetFetch response topic count")
+    r.string()
+    val parts = r.int32()
+    require(parts == 1, "OffsetFetch response partition count")
+    require(r.int32() == partition, "OffsetFetch response partition id")
+    val off = r.int64()
+    r.nullableString() // metadata
+    val err = r.int16()
+    require(err == 0, s"OffsetFetch error $err for $groupId@$topic/$partition")
+    if (off < 0) None else Some(off)
+  }
+
   /** One fetch: records at `offset` and after, plus the high watermark
     * (read_uncommitted — control records included). */
   def fetch(topic: String, partition: Int, offset: Long,
@@ -708,6 +771,10 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
   // per partition: ABORTED ranges as (producerId, firstOffset)
   private val abortedRanges = mutable.HashMap.empty[(String, Int), mutable.ArrayBuffer[(Long, Long)]]
 
+  // --- group coordinator state: (group, topic, partition) -> (offset, metadata)
+  // (the __consumer_offsets compacted-topic content, as a map)
+  private val groupOffsets = mutable.HashMap.empty[(String, String, Int), (Long, String)]
+
   private var serverSocket: Option[ServerSocket] = None
   @volatile private var running = false
   @volatile private var produceRequests = 0
@@ -775,6 +842,8 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
           case ApiProduce => produceResponse(r, apiVersion)
           case ApiFetch => fetchResponse(r, apiVersion)
           case ApiListOffsets => listOffsetsResponse(r, apiVersion)
+          case ApiOffsetCommit => offsetCommitResponse(r, apiVersion)
+          case ApiOffsetFetch => offsetFetchResponse(r, apiVersion)
           case ApiFindCoordinator => findCoordinatorResponse(r, apiVersion)
           case ApiInitProducerId => initProducerIdResponse(r, apiVersion)
           case ApiAddPartitionsToTxn => addPartitionsResponse(r, apiVersion)
@@ -799,10 +868,69 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
     w.int16(0) // error
     val versions = Seq((ApiProduce, 0, 3), (ApiFetch, 0, 4),
       (ApiListOffsets, 1, 1), (ApiMetadata, 0, 1), (ApiFindCoordinator, 0, 1),
+      (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
       (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
       (ApiAddPartitionsToTxn, 0, 0), (ApiEndTxn, 0, 0))
     w.int32(versions.size)
     versions.foreach { case (k, lo, hi) => w.int16(k); w.int16(lo); w.int16(hi) }
+    w.result()
+  }
+
+  /** OffsetCommit v2 (pre-flexible): the group coordinator durably stores
+    * each (topic, partition) -> offset; committing to a partition the
+    * broker does not host answers UNKNOWN_TOPIC_OR_PARTITION per entry. */
+  private def offsetCommitResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 2, s"offset commit v$version not supported")
+    val group = r.string()
+    r.int32() // generation_id (no group-membership protocol in the double)
+    r.string() // member_id
+    r.int64() // retention_time_ms
+    val w = new Writer
+    val topicCount = r.int32()
+    w.int32(topicCount)
+    (0 until topicCount).foreach { _ =>
+      val topic = r.string()
+      w.string(topic)
+      val partCount = r.int32()
+      w.int32(partCount)
+      (0 until partCount).foreach { _ =>
+        val partition = r.int32()
+        val offset = r.int64()
+        val metadata = Option(r.nullableString()).getOrElse("")
+        val known = synchronized {
+          val hosted = topics.get(topic).exists(partition < _)
+          if (hosted) groupOffsets((group, topic, partition)) = (offset, metadata)
+          hosted
+        }
+        w.int32(partition)
+        w.int16(if (known) 0 else ErrUnknownTopicOrPartition)
+      }
+    }
+    w.result()
+  }
+
+  /** OffsetFetch v1 (broker-stored): never-committed partitions answer
+    * offset -1 with no error — the protocol's "nothing stored" shape. */
+  private def offsetFetchResponse(r: Reader, version: Int): Array[Byte] = {
+    require(version == 1, s"offset fetch v$version not supported")
+    val group = r.string()
+    val w = new Writer
+    val topicCount = r.int32()
+    w.int32(topicCount)
+    (0 until topicCount).foreach { _ =>
+      val topic = r.string()
+      w.string(topic)
+      val partCount = r.int32()
+      w.int32(partCount)
+      (0 until partCount).foreach { _ =>
+        val partition = r.int32()
+        val stored = synchronized(groupOffsets.get((group, topic, partition)))
+        w.int32(partition)
+        w.int64(stored.map(_._1).getOrElse(-1L))
+        w.nullableString(stored.map(_._2).orNull)
+        w.int16(0)
+      }
+    }
     w.result()
   }
 

@@ -36,6 +36,13 @@ trait ChangeSource {
     * advance `confirmed_flush_lsn` and let the server recycle WAL. */
   def commitOffset(offset: Long): Unit = ()
 
+  /** The position an EXTERNAL offset store holds for this source — what
+    * startup mode `committed` resumes from (`StartupOptions.committed()`:
+    * Kafka consumer-group committed offsets). `None` = no external store or
+    * nothing committed yet, and `committed` falls back to `latest` exactly
+    * as the reference documents for a missing committed offset. */
+  def committedOffset: Option[Long] = None
+
   /** First schema-change record in `(fromExclusive, toInclusive]`, if the
     * log can carry DDL. Default scans the log; implementations whose log is
     * data-only (e.g. a capture-table source) return None without I/O — this

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,10 +53,21 @@ final class GraftCdcTable(
   override def name(): String = s"graft-cdc($sourceId)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = tableSchema
+      /** `spark.read` (bounded): the pipeline BATCH runtime mode
+        * (`PipelineOptions.java:49-53`, `FlinkPipelineComposer.java:121-128`)
+        * — snapshot chunks only, one `InputPartition` per chunk, no log
+        * phase; each chunk is still HW-consistent via the backfill protocol.
+        */
+      override def toBatch(): Batch =
+        new GraftCdcBatch(
+          sourceId,
+          tableSchema,
+          options.getInt("chunk.size", 8096),
+          options.getBoolean("backfill.skip", false))
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftCdcMicroBatchStream(
           sourceId,
@@ -84,6 +95,48 @@ object CdcOffset {
     case P(c, l) => CdcOffset(c.toInt, l.toLong)
     case other => throw new IllegalArgumentException(s"bad offset: $other")
   }
+}
+
+/** Bounded batch scan: the chunk plan as plain `InputPartition`s, sharing the
+  * streaming path's reader (LW/HW backfill per chunk). This is the
+  * `execution.runtime-mode: BATCH` source shape — the reference runs the same
+  * topology with a bounded source and no binlog phase; changes committed
+  * after a chunk's HIGH watermark are deliberately out of scope for the run.
+  */
+final class GraftCdcBatch(
+    sourceId: String,
+    envSchema: StructType,
+    chunkSize: Int,
+    backfillSkip: Boolean)
+    extends Batch {
+
+  private def source = ChangeSourceRegistry.get(sourceId)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val src = source
+    val (mn, mx, cnt) = src.keyStats
+    val chunks = ChunkSplitter.generateSplits(
+      mn, mx, cnt,
+      ChunkSplitter.Config(chunkSize = chunkSize),
+      new ChunkSplitter.Probe { // same dense-key probe as the streaming plan
+        def nextChunkMax(from: Long, c: Int) = {
+          val keys = src.snapshotRead(Some(from + 1), None)
+            .map(r => r(src.schema.primaryKeys.head).toString.toLong).sorted.take(c)
+          keys.lastOption
+        }
+        def minAfter(v: Long) = {
+          val keys = src.snapshotRead(Some(v + 1), None)
+            .map(r => r(src.schema.primaryKeys.head).toString.toLong)
+          if (keys.isEmpty) None else Some(keys.min)
+        }
+      })
+    chunks.zipWithIndex.map { case (c, idx) =>
+      SnapshotChunkPartition(sourceId, idx, c.start, c.end, backfillSkip): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(envSchema, source.schema.struct)
 }
 
 final class GraftCdcMicroBatchStream(
@@ -146,10 +199,11 @@ final class GraftCdcMicroBatchStream(
     */
   private val logBase: Long = restored.map(_.logBase).getOrElse(startupMode match {
     case "initial" | "snapshot" | "latest" => source.currentOffset
-    // `committed`: no external offset store in this environment, so it falls
-    // back to `latest` exactly as `StartupOptions.committed()` documents for
-    // a missing committed offset
-    case "committed" => source.currentOffset
+    // `committed`: resume from the source's EXTERNAL offset store (Kafka
+    // consumer-group offsets) when one holds a position; otherwise fall back
+    // to `latest` exactly as `StartupOptions.committed()` documents for a
+    // missing committed offset
+    case "committed" => source.committedOffset.getOrElse(source.currentOffset)
     case "earliest" => 0L
     case "specific-offset" => specificOffset
     case "timestamp" => source.offsetAtTimestamp(startupTimestamp)

@@ -31,7 +31,8 @@ final class KafkaTopicChangeSource(
     topic: String,
     partition: Int,
     val tableId: TableId,
-    val schema: TableSchema)
+    val schema: TableSchema,
+    groupId: Option[String] = None)
     extends ChangeSource {
 
   private val mapper = new ObjectMapper()
@@ -43,6 +44,28 @@ final class KafkaTopicChangeSource(
 
   override def currentOffset: Long =
     withConsumer(_.fetch(topic, partition, Long.MaxValue >> 1)._2)
+
+  /** With a `groupId`, checkpoint commits flow to the broker's group
+    * coordinator as OffsetCommit — progress is visible to every Kafka
+    * tool (lag monitors, `kafka-consumer-groups.sh`) and survives a LOST
+    * checkpoint. The mapping is identity: a consumed log offset o means
+    * "next Kafka fetch starts at o", which is exactly Kafka's
+    * committed-offset convention (committed = next offset to read).
+    *
+    * The committed position TRAILS the stream by one trigger: Spark feeds
+    * a batch's offset back only after the batch is durably in the commit
+    * log (`commitSources` at the next trigger's cleanup) — the same safety
+    * rule as the Postgres slot feedback above this method's caller
+    * (`GraftCdcMicroBatchStream.commit`): never acknowledge past the
+    * checkpoint, so a crash-restart replays at-most-one batch. */
+  override def commitOffset(offset: Long): Unit =
+    groupId.foreach(g => withConsumer(_.commitOffset(g, topic, partition, offset)))
+
+  /** Startup mode `committed` (`StartupOptions.committed()`): the group's
+    * OffsetFetch answer, `None` (→ fall back to latest) when the group has
+    * never committed for this partition. */
+  override def committedOffset: Option[Long] =
+    groupId.flatMap(g => withConsumer(_.committedOffset(g, topic, partition)))
 
   override def snapshotRead(lo: Option[Long], hi: Option[Long]): Seq[Map[String, Any]] =
     Seq.empty // log-only source: the topic IS the history

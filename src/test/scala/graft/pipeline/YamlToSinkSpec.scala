@@ -253,6 +253,60 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("yaml 'kafka' SOURCE: topic tail through the composed pipeline, group offsets committed") {
+    val broker = new graft.sinks.KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new graft.sinks.KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.users")
+      def rec(i: Int, v: String) = (null.asInstanceOf[Array[Byte]],
+        s"""{"before":null,"after":{"id":$i,"name":"$v"},"op":"c"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), i.toLong)
+      p.produce("app.users", 0, Seq(rec(1, "ann"), rec(2, "bob")))
+      val ckpt = java.nio.file.Files.createTempDirectory("kafka_src_yaml").toString
+      val yaml =
+        s"""source:
+           |  type: kafka
+           |  properties.bootstrap.servers: ${broker.bootstrap}
+           |  properties.group.id: g-yaml
+           |  topic: app.users
+           |  table: app.users
+           |  schema: "id BIGINT, name STRING"
+           |  primary-key: id
+           |  startup.mode: earliest
+           |sink:
+           |  type: values
+           |pipeline:
+           |  name: kafka-src
+           |  checkpoint.dir: $ckpt
+           |""".stripMargin
+      try {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+        runner.runHandlingDdl()
+        val sink = runner.sink.asInstanceOf[graft.sinks.MemoryDatabase]
+        assert(sink.rowsOf(TableId.parse("app.users")).map(_(1)).toSet == Set("ann", "bob"))
+        // group offsets carry the DURABLE checkpoint position, which Spark
+        // feeds back at the NEXT trigger (commitSources on cleanup) — the
+        // same one-trigger trail as a Postgres slot's confirmed_flush_lsn:
+        // pass 1's batch is not yet acknowledged when the query stops...
+        val c = new graft.sinks.KafkaWireConsumer(broker.bootstrap)
+        assert(c.committedOffset("g-yaml", "app.users", 0).isEmpty)
+        p.produce("app.users", 0, Seq(rec(3, "cam")))
+        runner.runHandlingDdl()
+        assert(sink.rowsOf(TableId.parse("app.users")).map(_(1)).toSet ==
+          Set("ann", "bob", "cam"))
+        // ...pass 2 restores the checkpoint and acknowledges pass 1 (offset 2)
+        assert(c.committedOffset("g-yaml", "app.users", 0).contains(2L))
+        // each subsequent data batch acknowledges its predecessor
+        p.produce("app.users", 0, Seq(rec(4, "dee")))
+        runner.runHandlingDdl()
+        assert(c.committedOffset("g-yaml", "app.users", 0).contains(3L))
+        c.close()
+      } finally graft.sources.cdc.ChangeSourceRegistry.remove("kafka:app.users/0")
+      p.close()
+    } finally broker.stop()
+  }
+
   test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {
     Seq("mysql", "oceanbase", "postgres").foreach { t =>
       val sink = DataSinks.forDef(spark, SinkDef(t, None, Map("url" -> "jdbc:none")))

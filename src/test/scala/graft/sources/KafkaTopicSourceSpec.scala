@@ -77,6 +77,55 @@ class KafkaTopicSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("consumer-group offsets: commits reach the coordinator; committed startup resumes") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.t")
+      def rec(i: Int) = (null.asInstanceOf[Array[Byte]],
+        s"""{"before":null,"after":{"id":$i,"v":"v$i"},"op":"c"}""".getBytes(UTF_8), i.toLong)
+      p.produce("app.t", 0, (1 to 6).map(rec))
+      val src = new KafkaTopicChangeSource(broker.bootstrap, "app.t", 0, tid, schema,
+        groupId = Some("g1"))
+      // never committed: the protocol's -1 answer surfaces as None
+      assert(src.committedOffset.isEmpty)
+      // the stream's durable-commit feedback -> OffsetCommit at the coordinator
+      src.commitOffset(4L)
+      assert(src.committedOffset.contains(4L))
+      // wire-visible to ANY kafka client, not just this source
+      val c = new graft.sinks.KafkaWireConsumer(broker.bootstrap)
+      assert(c.committedOffset("g1", "app.t", 0).contains(4L))
+      assert(c.committedOffset("other-group", "app.t", 0).isEmpty)
+      assert(c.findGroupCoordinator("g1")._2 > 0)
+      // committing to a topic the broker does not host answers error 3
+      intercept[IllegalArgumentException](c.commitOffset("g1", "ghost.topic", 0, 1L))
+      c.close()
+      // committed log offset 4 = next kafka fetch at 4: records 5..6 remain
+      assert(src.readLog(src.committedOffset.get, src.currentOffset)
+        .map(_.offset) == Seq(5L, 6L))
+
+      // and through the streaming framework: startup.mode committed anchors
+      // the log base at the group's committed offset, not at latest/earliest
+      import graft.sources.cdc.{ChangeSourceRegistry, GraftCdcProvider}
+      val id = s"kafka-committed-${java.util.UUID.randomUUID().toString.take(8)}"
+      ChangeSourceRegistry.register(id, src)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val q = spark.readStream.format(classOf[GraftCdcProvider].getName)
+          .option("sourceId", id).option("startup.mode", "committed")
+          .load().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf ++= b.select("after.id").collect().map(_.getLong(0)); ()
+          }.start()
+        q.processAllAvailable(); q.stop()
+        assert(buf.sorted.toSeq == Seq(5L, 6L),
+          "committed startup must replay only past the group's committed offset")
+      } finally ChangeSourceRegistry.remove(id)
+      p.close()
+    } finally broker.stop()
+  }
+
   test("startup by timestamp resolves via broker-side ListOffsets") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
     broker.start()

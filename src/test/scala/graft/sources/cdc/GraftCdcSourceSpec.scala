@@ -473,4 +473,31 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     assert(state(7L) == "x"); assert(!state.contains(8L))
     ChangeSourceRegistry.remove(id)
   }
+
+  test("batch scan (runtime-mode BATCH): spark.read plans one partition per chunk") {
+    val t = TableId.parse("db.t")
+    val id = "cdc-batch"
+    val src = new ScriptedChangeSource(t, schema, (1L to 40L).map(i => row(i, s"v$i")))
+    ChangeSourceRegistry.register(id, src)
+    try {
+      val df = spark.read.format(classOf[GraftCdcProvider].getName)
+        .option("sourceId", id).option("chunk.size", "16").load()
+      // bounded: 40 snapshot INSERT envelopes, distributed over ceil(40/16)=3 chunks
+      assert(df.rdd.getNumPartitions == 3)
+      val rows = df.select($"op", $"after.id", $"after.v").collect()
+      assert(rows.length == 40)
+      assert(rows.forall(_.getString(0) == OperationType.INSERT.toString))
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 40L))
+      // a change committed AFTER the batch read is NOT in the earlier result
+      // but a re-read (new bounded job) sees the new live state
+      src.append(DataChangeEvent.update(t, row(7L, "v7"), row(7L, "x")))
+      val again = spark.read.format(classOf[GraftCdcProvider].getName)
+        .option("sourceId", id).option("chunk.size", "16").load()
+        .select($"after.id", $"after.v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again(7L) == "x")
+      assert(rows.collectFirst { case r if r.getLong(1) == 7L => r.getString(2) }
+        .contains("v7"))
+    } finally ChangeSourceRegistry.remove(id)
+  }
 }
