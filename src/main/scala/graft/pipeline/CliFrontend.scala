@@ -191,8 +191,15 @@ object CliFrontend {
         "Only one of the operator.uid.prefix and schema.operator.uid pipeline options can be set.")
     pdef.config.getOrElse("schema.operator.uid", {
       val prefix = pdef.config.getOrElse("operator.uid.prefix", "graft")
-      val sourceId = pdef.source.config.getOrElse("sourceId",
-        pdef.source.config.getOrElse("path", ""))
+      // the config keys that IDENTIFY the stream, per source family — a
+      // kafka source has no sourceId, so topic/partition must feed the uid
+      // or two kafka pipelines would share an identity and the savepoint
+      // guard could not tell their offsets apart
+      val cfg = pdef.source.config
+      val sourceId = cfg.get("sourceId")
+        .orElse(cfg.get("topic").map(t => s"$t/${cfg.getOrElse("partition", "0")}"))
+        .orElse(cfg.get("path"))
+        .getOrElse("")
       s"$prefix:${pdef.source.sourceType}:$sourceId:${pdef.sink.sinkType}"
     })
   }

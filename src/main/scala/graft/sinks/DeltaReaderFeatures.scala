@@ -271,9 +271,23 @@ object DeltaReaderFeatures {
 
   // --------------------------------------------------- executor filter
   /** Per-executor parsed-bitmap cache: descriptors broadcast, bitmap
-    * bytes loaded (and sidecars opened) where the filter runs. */
+    * bytes loaded (and sidecars opened) where the filter runs. Bounded:
+    * on overflow the cache clears (a reload is cheap; unbounded growth
+    * across many imports in one long-lived executor is not). */
   private val bitmapCache =
     new java.util.concurrent.ConcurrentHashMap[String, LongBitmap]()
+  private val BitmapCacheMax = 512
+
+  /** Cache identity must be CONTENT identity. A sidecar bitmap is pinned
+    * by its immutable (file, offset); an INLINE one has no path (the
+    * descriptor's binPath/offset are empty/0 for every `storageType "i"`
+    * entry), so the encoded bytes themselves are the key — keying inline
+    * entries by path would collide every inline DV of the import onto one
+    * cache slot and mask other files' rows with the first file's bitmap. */
+  private def cacheKey(d: DvDescriptor): String = d.inline match {
+    case Some(b) => "i:" + java.util.Base64.getEncoder.encodeToString(b)
+    case None    => s"f:${d.binPath}@${d.offset}"
+  }
 
   /** True when `rowIndex` of the file at `filePathUri` is deleted.
     * `dvs` is keyed by absolute filesystem path. */
@@ -283,9 +297,13 @@ object DeltaReaderFeatures {
     dvs.get(fsPath) match {
       case None => false
       case Some(d) =>
-        val key = s"${d.binPath}@${d.offset}#${System.identityHashCode(dvs)}"
+        val key = cacheKey(d)
         var bm = bitmapCache.get(key)
-        if (bm == null) { bm = d.load(); bitmapCache.put(key, bm) }
+        if (bm == null) {
+          bm = d.load()
+          if (bitmapCache.size >= BitmapCacheMax) bitmapCache.clear()
+          bitmapCache.put(key, bm)
+        }
         bm.contains(rowIndex)
     }
   }

@@ -144,7 +144,15 @@ final class KafkaDataSink(
       partCol.as("kpart"),
       keyCol.as("key"),
       valueCol.as("value"),
-      col(Envelope.SeqCol).as("seq"))
+      col(Envelope.SeqCol).as("seq"),
+      // record CreateTime = EVENT time (connector meta ts_ms) with batch
+      // wall-clock as the fallback — never the sequence number: seq values
+      // are small integers, and a topic stamped with them breaks every
+      // timestamp consumer (broker-side ListOffsets startup, lag monitors
+      // that subtract record time from now, retention by time)
+      coalesce(
+        col(Envelope.MetaCol).getItem("ts_ms").cast("long"),
+        lit(System.currentTimeMillis())).as("ts"))
     val boot = bootstrap
     // record headers are constant per (table, batch): the tableId triple
     // (reference: PipelineKafkaRecordSerializationSchema) plus any
@@ -188,7 +196,7 @@ final class KafkaDataSink(
                 rs.grouped(1000).foreach { group =>
                   p.produceWithHeaders(topic, kp, group.toSeq.map { r =>
                     (r.getString(1).getBytes(UTF_8), r.getString(2).getBytes(UTF_8),
-                      r.getLong(3), headers)
+                      r.getLong(4), headers)
                   }, txn = txn, compression = codec)
                 }
               }

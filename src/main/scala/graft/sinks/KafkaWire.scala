@@ -693,6 +693,11 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
     val out = mutable.ArrayBuffer.empty[KafkaWire.WireRecord]
     // pid -> queue of aborted firstOffsets not yet closed by a marker
     val pendingAborts = mutable.Map.empty[Long, mutable.Queue[Long]]
+    // every range ever enqueued in THIS scan: a broker may legally re-send a
+    // range on later fetches while its marker is still ahead; re-enqueueing
+    // one whose marker this scan already consumed would leave it open
+    // forever and mask the producer's later committed batches
+    val seenRanges = mutable.Set.empty[(Long, Long)]
     var off = from
     var continue = true
     while (continue) {
@@ -701,8 +706,8 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
       // double appends each abort's range as it happens) — keep the queue
       // sorted on insert so head is always the earliest open range
       aborted.foreach { case (pid, first) =>
-        val q = pendingAborts.getOrElseUpdate(pid, mutable.Queue.empty)
-        if (!q.contains(first)) {
+        if (seenRanges.add((pid, first))) {
+          val q = pendingAborts.getOrElseUpdate(pid, mutable.Queue.empty)
           val sorted = (q.toSeq :+ first).sorted
           q.clear(); q ++= sorted
         }
@@ -768,8 +773,8 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
   // transactionalId -> partitions in the OPEN txn -> first data offset (-1
   // until the first produce lands there)
   private val openTxns = mutable.HashMap.empty[String, mutable.LinkedHashMap[(String, Int), Long]]
-  // per partition: ABORTED ranges as (producerId, firstOffset)
-  private val abortedRanges = mutable.HashMap.empty[(String, Int), mutable.ArrayBuffer[(Long, Long)]]
+  // per partition: ABORTED ranges as (producerId, firstOffset, abortMarkerOffset)
+  private val abortedRanges = mutable.HashMap.empty[(String, Int), mutable.ArrayBuffer[(Long, Long, Long)]]
 
   // --- group coordinator state: (group, topic, partition) -> (offset, metadata)
   // (the __consumer_offsets compacted-topic content, as a map)
@@ -984,10 +989,11 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
   private def abortOpen(txnId: String, pid: Long, epoch: Int): Unit =
     openTxns.remove(txnId).foreach { parts =>
       parts.foreach { case ((topic, p), firstOff) =>
+        val markerOff = ends((topic, p)) // where appendControl lands the marker
         appendControl(topic, p, commit = false, pid, epoch)
         if (firstOff >= 0)
           abortedRanges.getOrElseUpdate((topic, p), mutable.ArrayBuffer.empty) +=
-            ((pid, firstOff))
+            ((pid, firstOff, markerOff))
       }
     }
 
@@ -1044,10 +1050,11 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
         case None => ErrInvalidTxnState // no open transaction to end
         case Some(parts) =>
           parts.foreach { case ((topic, p), firstOff) =>
+            val markerOff = ends((topic, p))
             appendControl(topic, p, commit, pid, epoch)
             if (!commit && firstOff >= 0)
               abortedRanges.getOrElseUpdate((topic, p), mutable.ArrayBuffer.empty) +=
-                ((pid, firstOff))
+                ((pid, firstOff, markerOff))
           }
           0
       }
@@ -1103,8 +1110,12 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
         // 47 = INVALID_PRODUCER_EPOCH (fenced), 48 = INVALID_TXN_STATE
         val (err, assigned) =
           try {
+            // ONE decode validates magic/CRC/codec and yields the record
+            // count; the append below just re-stamps and stores the bytes
+            // (decoding again would decompress every transactional zstd
+            // batch twice on the B14 hot path)
+            val meta = decodeBatchesMeta(recordSet)
             val txnErr = if (txnId == null) 0 else synchronized {
-              val meta = decodeBatchesMeta(recordSet)
               val pidEpoch = meta.headOption
                 .map(m => (m._1.producerId, m._1.producerEpoch)).getOrElse((-1L, -1))
               if (!producers.get(txnId).contains(pidEpoch) ||
@@ -1115,7 +1126,7 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
             }
             if (txnErr != 0) (txnErr, -1L)
             else {
-              val a = append(topic, partition, recordSet)
+              val a = append(topic, partition, recordSet, meta.map(_._2.size).sum)
               if (a >= 0 && txnId != null) synchronized {
                 val parts = openTxns(txnId)
                 if (parts((topic, partition)) < 0) parts((topic, partition)) = a
@@ -1142,19 +1153,19 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
     w.result()
   }
 
-  /** Append a produced batch: validate (magic, CRC — decodeBatches throws
-    * on corruption), re-stamp the base offset in place (safe because the
-    * CRC excludes it), store the bytes. */
-  private def append(topic: String, partition: Int, recordSet: Array[Byte]): Long =
+  /** Append an ALREADY-VALIDATED batch (the caller's decodeBatchesMeta
+    * checked magic + CRC and counted records): re-stamp the base offset in
+    * place (safe because the CRC excludes it), store the bytes. */
+  private def append(topic: String, partition: Int, recordSet: Array[Byte],
+      recordCount: Int): Long =
     synchronized {
       ensureTopic(topic)
       if (!logs.contains((topic, partition))) return -1L
-      val records = decodeBatches(recordSet) // validates
       val base = ends((topic, partition))
       val stamped = recordSet.clone()
       ByteBuffer.wrap(stamped).putLong(0, base)
       logs((topic, partition)) += stamped
-      ends((topic, partition)) = base + records.size
+      ends((topic, partition)) = base + recordCount
       base
     }
 
@@ -1245,7 +1256,14 @@ final class KafkaBrokerDouble(autoCreatePartitions: Int = 3) {
               keep.foreach(set.write)
               val abortedList =
                 if (isolation == 1)
+                  // real-broker semantics: only ranges whose ABORT MARKER is
+                  // at or past the fetch offset overlap this read. A range
+                  // whose marker the consumer already passed must NOT be
+                  // re-delivered — the client would re-open it with no
+                  // closing marker left ahead and mask the producer's later
+                  // COMMITTED batches (silent data loss)
                   abortedRanges.getOrElse((topic, partition), Nil).toSeq
+                    .filter(_._3 >= offset).map(t => (t._1, t._2))
                 else Seq.empty[(Long, Long)]
               (partition, hw, lso, abortedList, set.toByteArray)
           }

@@ -97,6 +97,26 @@ object CdcOffset {
   }
 }
 
+/** The chunk splitter's key probe over a [[ChangeSource]] — shared by the
+  * streaming plan and the batch scan so the uneven-distribution path can
+  * never drift between them. Scripted sources are dense; the probe drives
+  * the uneven path only when the splitter's distribution check asks for it.
+  */
+private[cdc] object DenseKeyProbe {
+  def apply(src: ChangeSource): ChunkSplitter.Probe = new ChunkSplitter.Probe {
+    def nextChunkMax(from: Long, c: Int) = {
+      val keys = src.snapshotRead(Some(from + 1), None)
+        .map(r => r(src.schema.primaryKeys.head).toString.toLong).sorted.take(c)
+      keys.lastOption
+    }
+    def minAfter(v: Long) = {
+      val keys = src.snapshotRead(Some(v + 1), None)
+        .map(r => r(src.schema.primaryKeys.head).toString.toLong)
+      if (keys.isEmpty) None else Some(keys.min)
+    }
+  }
+}
+
 /** Bounded batch scan: the chunk plan as plain `InputPartition`s, sharing the
   * streaming path's reader (LW/HW backfill per chunk). This is the
   * `execution.runtime-mode: BATCH` source shape — the reference runs the same
@@ -116,20 +136,7 @@ final class GraftCdcBatch(
     val src = source
     val (mn, mx, cnt) = src.keyStats
     val chunks = ChunkSplitter.generateSplits(
-      mn, mx, cnt,
-      ChunkSplitter.Config(chunkSize = chunkSize),
-      new ChunkSplitter.Probe { // same dense-key probe as the streaming plan
-        def nextChunkMax(from: Long, c: Int) = {
-          val keys = src.snapshotRead(Some(from + 1), None)
-            .map(r => r(src.schema.primaryKeys.head).toString.toLong).sorted.take(c)
-          keys.lastOption
-        }
-        def minAfter(v: Long) = {
-          val keys = src.snapshotRead(Some(v + 1), None)
-            .map(r => r(src.schema.primaryKeys.head).toString.toLong)
-          if (keys.isEmpty) None else Some(keys.min)
-        }
-      })
+      mn, mx, cnt, ChunkSplitter.Config(chunkSize = chunkSize), DenseKeyProbe(src))
     chunks.zipWithIndex.map { case (c, idx) =>
       SnapshotChunkPartition(sourceId, idx, c.start, c.end, backfillSkip): InputPartition
     }.toArray
@@ -173,20 +180,8 @@ final class GraftCdcMicroBatchStream(
       case "initial" | "snapshot" =>
         val (mn, mx, cnt) = source.keyStats
         ChunkSplitter.generateSplits(
-          mn, mx, cnt,
-          ChunkSplitter.Config(chunkSize = chunkSize),
-          new ChunkSplitter.Probe { // scripted sources are dense; probe unused on the even path
-            def nextChunkMax(from: Long, c: Int) = {
-              val keys = source.snapshotRead(Some(from + 1), None)
-                .map(r => r(source.schema.primaryKeys.head).toString.toLong).sorted.take(c)
-              keys.lastOption
-            }
-            def minAfter(v: Long) = {
-              val keys = source.snapshotRead(Some(v + 1), None)
-                .map(r => r(source.schema.primaryKeys.head).toString.toLong)
-              if (keys.isEmpty) None else Some(keys.min)
-            }
-          })
+          mn, mx, cnt, ChunkSplitter.Config(chunkSize = chunkSize),
+          DenseKeyProbe(source))
       case _ => Seq.empty
     }
   }

@@ -252,6 +252,15 @@ class CliFrontendSpec extends AnyFunSuite {
       assert(CliFrontend.operatorUid(pdef.copy(
         config = pdef.config + ("operator.uid.prefix" -> "teamA")))
         == "teamA:cdc:cli-uid:parquet")
+      // setting both uid options is the reference's config error
+      intercept[IllegalArgumentException](CliFrontend.operatorUid(pdef.copy(
+        config = pdef.config +
+          ("operator.uid.prefix" -> "a") + ("schema.operator.uid" -> "b"))))
+      // kafka sources identify by topic/partition, not sourceId — two
+      // pipelines on different topics must NOT share a savepoint identity
+      val kdef = YamlPipelineParser.parse(
+        "source:\n  type: kafka\n  topic: tA\nsink:\n  type: values\n")
+      assert(CliFrontend.operatorUid(kdef) == "graft:kafka:tA/0:values")
     } finally ChangeSourceRegistry.remove("cli-uid")
   }
 }

@@ -162,6 +162,40 @@ class DeltaReaderFeaturesSpec extends AnyFunSuite {
     assert(got2 == Seq(0L, 2L, 4L, 6L, 8L))
   }
 
+  test("two files with DIFFERENT inline DVs mask independently (cache keys by content)") {
+    // regression: the executor bitmap cache once keyed inline descriptors by
+    // (binPath, offset), which are ""/0 for EVERY storageType "i" entry —
+    // the first file's bitmap masked every other file's rows
+    val dest = Files.createTempDirectory("graft_dv_inline2").toString
+    val a = (0L until 5L).map(k => (k, s"a$k"))
+    val b = (10L until 15L).map(k => (k, s"b$k"))
+    writeFile(dest, "fa.parquet", a.toDF("k", "v").coalesce(1))
+    writeFile(dest, "fb.parquet", b.toDF("k", "v").coalesce(1))
+    val (podA, szA, cardA) = DeltaReaderFeatures.inlineDv(Seq(0L)) // drops k=0
+    val (podB, szB, cardB) = DeltaReaderFeatures.inlineDv(Seq(4L)) // drops k=14
+    val schemaJson = new StructType().add("k", LongType, nullable = false)
+      .add("v", StringType).json.replace("\"", "\\\"")
+    writeLog(dest, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"fa.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":5}",""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$podA",""" +
+        s""""sizeInBytes":$szA,"cardinality":$cardA}}}""",
+      s"""{"add":{"path":"fb.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":5}",""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$podB",""" +
+        s""""sizeInBytes":$szB,"cardinality":$cardB}}}"""))
+    val got = DeltaInterchange.importDelta(spark, dest)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L),
+      s"fa loses row 0, fb loses row 4 (k=14) — got $got")
+  }
+
   test("column mapping (name mode): nested physical names surface logically") {
     val dest = Files.createTempDirectory("graft_cm_name").toString
     // physical layout: col-p1 (long), col-p2 struct<col-p3 string, col-p4 long>

@@ -54,6 +54,10 @@ class KafkaDataSinkSpec extends AnyFunSuite {
       // per-key order: id=1 INSERT precedes its UPDATE in the log
       val id1 = values.zipWithIndex.filter(_._1.contains("\"id\":1"))
       assert(id1.head._1.contains("\"op\":\"c\"") && id1.last._1.contains("\"op\":\"u\""))
+      // record CreateTime is wall-clock (or meta ts_ms), NEVER the envelope
+      // sequence — a seq-stamped topic breaks every timestamp consumer
+      assert(recs.forall(_.timestamp > 1600000000000L),
+        s"timestamps must be epoch-millis, got ${recs.map(_.timestamp)}")
     } finally broker.stop()
   }
 

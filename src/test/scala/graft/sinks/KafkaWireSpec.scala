@@ -138,6 +138,40 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("resumed read past an abort marker keeps the producer's later committed data") {
+    // the task-retry shape: one aborted txn, then a committed txn from the
+    // SAME producer. A consumer resuming PAST the abort marker (checkpoint
+    // restart) must not have the closed range re-delivered — pre-fix the
+    // broker re-sent it, the client re-opened it with no marker ahead, and
+    // every later committed batch of that pid was silently dropped
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("t")
+      val txn = "txn-retry"
+      val (pid, e0) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, e0, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "dead".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn, pid, e0)))
+      p.endTxn(txn, pid, e0, commit = false) // data@0, abort marker@1
+      val (pid2, e1) = p.initProducerId(txn) // retry incarnation, epoch bump
+      assert(pid2 == pid && e1 > e0)
+      p.addPartitionsToTxn(txn, pid, e1, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "alive".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn, pid, e1)))
+      p.endTxn(txn, pid, e1, commit = true) // data@2, commit marker@3
+
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.readAllCommitted("t", 0).map(r => new String(r.value, UTF_8))
+        == Seq("alive"))
+      // resume past the abort marker: the committed batch must survive
+      assert(c.readAllCommitted("t", 0, from = 2).map(r => new String(r.value, UTF_8))
+        == Seq("alive"))
+      c.close(); p.close()
+    } finally broker.stop()
+  }
+
   test("zombie fencing: re-init bumps the epoch, aborts the orphan, fences the old") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
     broker.start()
