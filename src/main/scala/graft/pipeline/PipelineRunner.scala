@@ -53,31 +53,60 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     id
   }
 
-  /** `source.type: kafka` — one topic PARTITION read over the wire as a
-    * log-only change source ([[graft.sources.kafka.KafkaTopicChangeSource]]).
-    * Config: `properties.bootstrap.servers`, `topic`, `partition` (default
-    * 0), `table` (db.table), `schema` (Spark DDL string), `primary-key`,
-    * and optional `properties.group.id` — with a group id, checkpoint
-    * commits flow to the broker as consumer-group offsets and
+  /** `source.type: kafka` — a topic read over the wire as log-only change
+    * sources ([[graft.sources.kafka.KafkaTopicChangeSource]], one per
+    * PARTITION — the unit a consumer group assigns). Config:
+    * `properties.bootstrap.servers`, `topic`, `partition` (an index,
+    * default 0, or `all` to enumerate the topic via broker Metadata),
+    * `table` (db.table), `schema` (Spark DDL string), `primary-key`, and
+    * optional `properties.group.id` — with a group id, checkpoint commits
+    * flow to the broker as consumer-group offsets and
     * `startup.mode: committed` resumes from them.
+    *
+    * Multi-partition soundness: a keyed topic routes each key to exactly
+    * ONE partition (Kafka's producer contract), so per-partition `seq`
+    * values never race for the same key in the PK-upsert merge — the same
+    * invariant the multi-database route-merge relies on (distinct key
+    * spaces per source).
     */
-  private lazy val kafkaSourceId: String = {
+  private lazy val kafkaSourceIds: Seq[String] = {
     val cfg = pdef.source.config
     def req(k: String) = cfg.getOrElse(k, throw new IllegalArgumentException(
       s"kafka source requires '$k'"))
     val topic = req("topic")
-    val partition = cfg.getOrElse("partition", "0").toInt
-    val src = new graft.sources.kafka.KafkaTopicChangeSource(
-      req("properties.bootstrap.servers"), topic, partition,
-      TableId.parse(req("table")),
-      TableSchema(
-        org.apache.spark.sql.types.StructType.fromDDL(req("schema")),
-        req("primary-key").split(",").map(_.trim).toSeq),
-      groupId = cfg.get("properties.group.id"))
-    val id = s"kafka:$topic/$partition"
-    ChangeSourceRegistry.register(id, src)
-    id
+    val bootstrap = req("properties.bootstrap.servers")
+    val partitions: Seq[Int] = cfg.getOrElse("partition", "0") match {
+      case "all" =>
+        val p = new graft.sinks.KafkaWireProducer(bootstrap)
+        try 0 until p.partitionsOf(topic) finally p.close()
+      case n => Seq(n.toInt)
+    }
+    val schema = TableSchema(
+      org.apache.spark.sql.types.StructType.fromDDL(req("schema")),
+      req("primary-key").split(",").map(_.trim).toSeq)
+    partitions.map { partition =>
+      val src = new graft.sources.kafka.KafkaTopicChangeSource(
+        bootstrap, topic, partition, TableId.parse(req("table")), schema,
+        groupId = cfg.get("properties.group.id"))
+      val id = s"kafka:$topic/$partition"
+      ChangeSourceRegistry.register(id, src)
+      id
+    }
   }
+
+  private def kafkaSourceId: String = kafkaSourceIds.head
+
+  /** Partitions past the first run as their own checkpointed streams (the
+    * `addTable` shape) — drained by [[runHandlingDdl]] after the primary.
+    */
+  private def secondarySourceIds: Seq[String] =
+    pdef.source.sourceType.toLowerCase match {
+      case "kafka" => kafkaSourceIds.drop(1)
+      case _ => Seq.empty
+    }
+
+  private def checkpointSafe(id: String): String =
+    id.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Source tables this pipeline reads (single-table for the scripted source;
     * a live dialect source would enumerate via catalog metadata).
@@ -87,7 +116,11 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     // ... — `flink-cdc-pipeline-connector-*` factories) are accepted as
     // aliases of `cdc`: every dialect reads through the same registered
     // ChangeSource + DSv2 incremental-snapshot format in this environment
-    case "cdc" | "values" | "debezium-file" | "kafka" | "mysql" | "postgres" | "mongodb" |
+    case "kafka" =>
+      kafkaSourceIds.map { id =>
+        val src = ChangeSourceRegistry.get(id); src.tableId -> src.schema
+      }.toMap
+    case "cdc" | "values" | "debezium-file" | "mysql" | "postgres" | "mongodb" |
         "sqlserver" | "oracle" | "db2" | "tidb" | "vitess" | "oceanbase" =>
       val src = ChangeSourceRegistry.get(sourceId)
       Map(src.tableId -> src.schema)
@@ -119,6 +152,10 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
 
   /** Create sink tables and start the stream. */
   def run(): StreamingQuery = {
+    require(secondarySourceIds.isEmpty,
+      "a multi-partition kafka source runs one stream per partition — " +
+        "drive it with runHandlingDdl (or the CLI with pipeline.checkpoint.dir), " +
+        "which drains every partition; run() returns a single stream")
     composer.createTables(sourceSchemas)
     CdcStream.start(readerFor(sourceId).load(), composer, queryName = pdef.name,
       checkpointDir = pdef.config.get("checkpoint.dir"))
@@ -171,6 +208,18 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
       throw new IllegalStateException(
         s"runHandlingDdl exhausted $maxRestarts restarts with schema changes still arriving " +
           s"(applied $applied); raise maxRestarts or inspect the DDL stream")
+    // partitions past the first (multi-partition kafka): each drains as its
+    // own checkpointed stream — data topics carry no DDL, so a plain
+    // AvailableNow pass per partition completes the drain
+    secondarySourceIds.foreach { id =>
+      val q = CdcStream.start(
+        readerFor(id).load(), composer,
+        queryName = s"${pdef.name}-${checkpointSafe(id)}",
+        checkpointDir = pdef.config.get("checkpoint.dir")
+          .map(d => s"$d/${checkpointSafe(id)}"))
+      q.processAllAvailable()
+      q.stop()
+    }
     applied
   }
 

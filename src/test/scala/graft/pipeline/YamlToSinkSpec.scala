@@ -307,6 +307,57 @@ class YamlToSinkSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("yaml 'kafka' SOURCE with partition: all drains every partition of the topic") {
+    val broker = new graft.sinks.KafkaBrokerDouble(autoCreatePartitions = 2)
+    broker.start()
+    try {
+      val p = new graft.sinks.KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.multi")
+      def rec(i: Int, v: String) = (null.asInstanceOf[Array[Byte]],
+        s"""{"before":null,"after":{"id":$i,"name":"$v"},"op":"c"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), i.toLong)
+      // a keyed topic puts each key in ONE partition; model that directly
+      p.produce("app.multi", 0, Seq(rec(1, "ann"), rec(3, "cam")))
+      p.produce("app.multi", 1, Seq(rec(2, "bob"), rec(4, "dee")))
+      val ckpt = java.nio.file.Files.createTempDirectory("kafka_all_yaml").toString
+      val yaml =
+        s"""source:
+           |  type: kafka
+           |  properties.bootstrap.servers: ${broker.bootstrap}
+           |  topic: app.multi
+           |  partition: all
+           |  table: app.multi
+           |  schema: "id BIGINT, name STRING"
+           |  primary-key: id
+           |  startup.mode: earliest
+           |sink:
+           |  type: values
+           |pipeline:
+           |  name: kafka-all
+           |  checkpoint.dir: $ckpt
+           |""".stripMargin
+      try {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+        // run() is single-stream by contract: multi-partition must refuse
+        intercept[IllegalArgumentException](runner.run())
+        runner.runHandlingDdl()
+        val sink = runner.sink.asInstanceOf[graft.sinks.MemoryDatabase]
+        assert(sink.rowsOf(TableId.parse("app.multi")).map(r => (r(0), r(1))).toSet ==
+          Set((1L, "ann"), (2L, "bob"), (3L, "cam"), (4L, "dee")))
+        // a second pass after new data in BOTH partitions resumes each
+        // partition's own checkpoint (no re-read, no loss)
+        p.produce("app.multi", 0, Seq(rec(5, "eve")))
+        p.produce("app.multi", 1, Seq(rec(6, "fox")))
+        runner.runHandlingDdl()
+        assert(sink.rowsOf(TableId.parse("app.multi")).size == 6)
+      } finally {
+        graft.sources.cdc.ChangeSourceRegistry.remove("kafka:app.multi/0")
+        graft.sources.cdc.ChangeSourceRegistry.remove("kafka:app.multi/1")
+      }
+      p.close()
+    } finally broker.stop()
+  }
+
   test("dialect-aliased jdbc sink types resolve (oceanbase speaks mysql wire)") {
     Seq("mysql", "oceanbase", "postgres").foreach { t =>
       val sink = DataSinks.forDef(spark, SinkDef(t, None, Map("url" -> "jdbc:none")))
