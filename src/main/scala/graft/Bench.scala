@@ -800,10 +800,18 @@ object Bench {
       // maintained read: FULL COMPACTION on the mirrored table (the path a
       // real deployment runs), then the same import — one file per bucket,
       // no merge window; brackets the merge/flat gap with the number a
-      // maintained mirror actually sees. Compaction cost is its own metric.
-      timed("b13_compact") {
-        require(PaimonInterchange.compact(spark, s"$root/paimon") > 0)
-      }.foreach(sec => out += "b13_paimon_compact_sec" -> sec)
+      // maintained mirror actually sees. Compaction cost is its own metric,
+      // timed as ONE shot (compact is idempotent — a repeat finds zero
+      // candidates and returns 0, so timed()'s warmup+repeat shape would
+      // measure the no-op and fail its own require; the c_paimon_compact
+      // gate asserts exactly that idempotence).
+      out += "b13_paimon_compact_sec" ->
+        sentinel.windowed("b13_compact", maxRetries = 0) {
+          val t0 = System.nanoTime()
+          require(PaimonInterchange.compact(spark, s"$root/paimon") > 0,
+            "first compaction of the fragmented mirror must rewrite files")
+          (System.nanoTime() - t0) / 1e9
+        }
       timed("b13_import_compacted") {
         require(PaimonInterchange.importPaimon(spark, s"$root/paimon")
           .count() == nCommits * 5000L)

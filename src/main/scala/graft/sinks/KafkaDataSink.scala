@@ -2,6 +2,7 @@ package graft.sinks
 
 import graft.core._
 import graft.operators.Envelope
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets.UTF_8
@@ -85,6 +86,7 @@ final class KafkaDataSink(
     s"partition.strategy '$partitionStrategy' is not ALL_TO_ZERO|HASH_BY_KEY")
 
   private val schemas = new SchemaManager
+  private val mapper = new ObjectMapper()
   private val compiledMapping: Seq[(Selectors, String)] =
     topicMapping.map { case (sel, t) => (Selectors.parse(sel), t) }
 
@@ -110,9 +112,39 @@ final class KafkaDataSink(
 
   /** Envelope write: serialize and produce every change event, per-key
     * ordered. The composer calls this instead of the materialized
-    * [[writeBatch]] because Kafka is a CHANGELOG target. */
+    * [[writeBatch]] because Kafka is a CHANGELOG target.
+    *
+    * Exactly-once is TWO-PHASE across the batch's tasks (the micro-batch
+    * form of the reference KafkaSink's EXACTLY_ONCE, which holds every
+    * subtask's transaction open until the checkpoint completes): tasks
+    * produce inside their transactions and leave them OPEN, returning
+    * (transactionalId, producerId, epoch) handles to the driver; only
+    * after EVERY task has succeeded does the driver write a PREPARE
+    * ledger record (the checkpoint analog of Flink's persisted
+    * transaction state) and then commit each transaction. Committing at
+    * task end instead would let a batch whose job fails after some tasks
+    * committed be re-produced whole on replay — duplicating those tasks'
+    * records for read_committed consumers. A replay that finds the
+    * PREPARE record but no commit marker finishes the COMMITS (by the
+    * recorded pid/epoch, no epoch bump) instead of re-producing; a replay
+    * that finds neither re-produces cleanly, because re-initializing the
+    * stable transactional ids fences and aborts the crashed attempt's
+    * open transactions. */
   def writeChangelog(t: TableId, env: DataFrame, batchId: Long, runId: String): Unit = {
     if (batchId >= 0 && lastCommittedBatch(t, runId).exists(_ >= batchId)) return
+    if (deliveryGuarantee == "exactly-once" && batchId >= 0) {
+      preparedTxns(t, batchId, runId) match {
+        case Some(handles) =>
+          // a crashed attempt produced EVERYTHING (prepare is written only
+          // after every task succeeded) and died mid-commit: finish its
+          // commits — re-producing would duplicate the already-committed
+          // transactions' records under read_committed
+          commitHandles(handles, recovery = true)
+          recordBatchCommit(t, batchId, runId)
+          return
+        case None => () // no prepared attempt: produce from scratch below
+      }
+    }
     val schema = schemas.latest(t).getOrElse(
       throw new IllegalStateException(s"table $t not created"))
     val topic = topicFor(t)
@@ -168,12 +200,15 @@ final class KafkaDataSink(
     val exactlyOnce = deliveryGuarantee == "exactly-once"
     val txnPrefix = transactionalIdPrefix
     val codec = compressionCodec
-    frame
+    // phase 1: every task produces (transactionally in exactly-once mode,
+    // leaving its transaction OPEN) and returns its txn handle
+    val handles: Array[(String, Long, Int)] = frame
       .repartition(math.max(numPartitions, 1), col("kpart"))
       .sortWithinPartitions("kpart", "seq")
-      .foreachPartition { (it: Iterator[Row]) =>
+      .mapPartitions { (it: Iterator[Row]) =>
         val rows = it.toArray
-        if (rows.nonEmpty) {
+        if (rows.isEmpty) Iterator.empty
+        else {
           val p = new KafkaWireProducer(boot)
           try {
             val txn: Option[(String, Long, Int)] =
@@ -200,9 +235,11 @@ final class KafkaDataSink(
                   }, txn = txn, compression = codec)
                 }
               }
-              txn.foreach { case (id, pid, epoch) =>
-                p.endTxn(id, pid, epoch, commit = true)
-              }
+              // exactly-once: the transaction stays OPEN — the driver
+              // commits it after ALL tasks succeed (phase 2); an eager
+              // commit here would make a multi-task batch non-atomic
+              // under replay
+              txn.iterator
             } catch {
               case e: Throwable =>
                 txn.foreach { case (id, pid, epoch) =>
@@ -212,8 +249,42 @@ final class KafkaDataSink(
             }
           } finally p.close()
         }
-      }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt))
+      .collect()
+    // phase 2 (exactly-once): write the prepare ledger — every task has
+    // succeeded, so the data is fully produced — then commit every task's
+    // transaction. A crash between prepare and the last commit is healed
+    // by the recovery path at the top of this method.
+    if (handles.nonEmpty) {
+      if (batchId >= 0) recordPrepare(t, batchId, runId, handles.toSeq)
+      commitHandles(handles.toSeq, recovery = false)
+    }
     if (batchId >= 0) recordBatchCommit(t, batchId, runId)
+  }
+
+  /** Commit every prepared transaction by its recorded handle — no
+    * InitProducerId (an epoch bump would ABORT the open transaction, the
+    * opposite of recovery). In `recovery` mode INVALID_TXN_STATE with the
+    * matching epoch means the crashed attempt already committed this one
+    * (after a prepare the driver only ever commits) — a no-op;
+    * INVALID_PRODUCER_EPOCH means a newer incarnation fenced the producer
+    * and its prepared data was aborted — exactly-once is unrecoverable and
+    * the failure must surface, never be absorbed as at-least-once. */
+  private def commitHandles(handles: Seq[(String, Long, Int)],
+      recovery: Boolean): Unit = {
+    val p = new KafkaWireProducer(bootstrap)
+    try handles.foreach { case (id, pid, epoch) =>
+      val err = p.endTxnCode(id, pid, epoch, commit = true)
+      if (!(err == 0 || (recovery && err == KafkaWire.ErrInvalidTxnState)))
+        throw new IllegalStateException(
+          s"commit of prepared transaction $id (pid=$pid epoch=$epoch) " +
+            s"failed with error $err" + (if (err == 47)
+              " — fenced by a newer producer epoch; its prepared data was " +
+                "aborted and exactly-once cannot be guaranteed" else ""))
+    } finally p.close()
   }
 
   /** Materialized SPI path (direct [[DataSink]] use outside the composer):
@@ -238,36 +309,85 @@ final class KafkaDataSink(
 
   // ------------------------------------------------- commit marker tracking
 
-  // Incremental marker scan: the commit topic grows one record per batch,
-  // and a standing pipeline checks it every batch — re-reading from offset
-  // 0 each time would be O(commits^2) cumulative. This instance remembers
-  // the offset it has consumed to and the latest batchId per (table, run);
-  // a restarted driver's fresh instance pays ONE full scan, then stays
-  // incremental.
+  // Incremental marker scan: the commit topic grows one record per batch
+  // (two in exactly-once mode: prepare + commit), and a standing pipeline
+  // checks it every batch — re-reading from offset 0 each time would be
+  // O(commits^2) cumulative. This instance remembers the offset it has
+  // consumed to, the latest committed batchId per (table, run), and the
+  // prepared-but-uncommitted transaction ledger; a restarted driver's
+  // fresh instance pays ONE full scan, then stays incremental.
   private var markerScanOffset = 0L
   private val markerLatest =
     scala.collection.mutable.Map.empty[(String, String), Long]
+  private val preparedLedger =
+    scala.collection.mutable.Map.empty[(String, String, Long), Seq[(String, Long, Int)]]
+
+  private def scanMarkers(): Unit = synchronized {
+    val c = new KafkaWireConsumer(bootstrap)
+    try {
+      val p = new KafkaWireProducer(bootstrap)
+      try p.partitionsOf(commitTopic) finally p.close() // ensure it exists
+      val fresh = c.readAll(commitTopic, 0, from = markerScanOffset)
+      val committed = """\{"table":"(.+)","runId":"(.+)","batchId":(\d+)\}""".r
+      fresh.foreach { r =>
+        val s = new String(r.value, UTF_8)
+        s match {
+          case committed(tbl, run, b) =>
+            markerLatest((tbl, run)) = b.toLong
+            preparedLedger.remove((tbl, run, b.toLong)) // batch done: drop
+          case _ if s.startsWith("""{"prepare":""") =>
+            val n = mapper.readTree(s).get("prepare")
+            val key = (n.get("table").asText(), n.get("runId").asText(),
+              n.get("batchId").asLong())
+            import scala.jdk.CollectionConverters._
+            preparedLedger(key) = n.get("txns").elements().asScala.map(e =>
+              (e.get(0).asText(), e.get(1).asLong(), e.get(2).asInt())).toSeq
+          case _ => () // foreign record in the commit topic: ignore
+        }
+        markerScanOffset = math.max(markerScanOffset, r.offset + 1)
+      }
+    } finally c.close()
+  }
 
   override def lastCommittedBatch(t: TableId, runId: String): Option[Long] =
     synchronized {
       if (runId.isEmpty) return None
-      val c = new KafkaWireConsumer(bootstrap)
-      try {
-        val p = new KafkaWireProducer(bootstrap)
-        try p.partitionsOf(commitTopic) finally p.close() // ensure it exists
-        val fresh = c.readAll(commitTopic, 0, from = markerScanOffset)
-        fresh.foreach { r =>
-          val s = new String(r.value, UTF_8)
-          val m = """\{"table":"(.+)","runId":"(.+)","batchId":(\d+)\}""".r
-          s match {
-            case m(tbl, run, b) => markerLatest((tbl, run)) = b.toLong
-            case _ => () // foreign record in the commit topic: ignore
-          }
-          markerScanOffset = math.max(markerScanOffset, r.offset + 1)
-        }
-        markerLatest.get((t.identifier, runId))
-      } finally c.close()
+      scanMarkers()
+      markerLatest.get((t.identifier, runId))
     }
+
+  /** The prepare ledger for an uncommitted batch: present iff a prior
+    * attempt produced every task's data and wrote the prepare record but
+    * crashed before all its transaction commits landed. */
+  private def preparedTxns(t: TableId, batchId: Long,
+      runId: String): Option[Seq[(String, Long, Int)]] = synchronized {
+    if (runId.isEmpty) return None
+    scanMarkers()
+    preparedLedger.get((t.identifier, runId, batchId))
+  }
+
+  /** Write the prepare ledger record — the micro-batch analog of Flink's
+    * checkpointed transaction state: {table, runId, batchId, every task's
+    * (transactionalId, producerId, epoch)}. Written AFTER all tasks
+    * succeed, BEFORE any transaction commits (write-ahead). */
+  private[sinks] def recordPrepare(t: TableId, batchId: Long, runId: String,
+      handles: Seq[(String, Long, Int)]): Unit = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("prepare")
+    n.put("table", t.identifier); n.put("runId", runId); n.put("batchId", batchId)
+    val arr = n.putArray("txns")
+    handles.foreach { case (id, pid, epoch) =>
+      val e = arr.addArray(); e.add(id); e.add(pid); e.add(epoch)
+    }
+    val p = new KafkaWireProducer(bootstrap)
+    try {
+      p.partitionsOf(commitTopic)
+      p.produce(commitTopic, 0, Seq((
+        t.identifier.getBytes(UTF_8),
+        mapper.writeValueAsString(root).getBytes(UTF_8),
+        batchId)))
+    } finally p.close()
+  }
 
   override def recordBatchCommit(t: TableId, batchId: Long, runId: String): Unit = {
     val p = new KafkaWireProducer(bootstrap)

@@ -525,14 +525,24 @@ final class KafkaWireProducer(bootstrap: String, clientId: String = "graft-produ
 
   def endTxn(transactionalId: String, producerId: Long, producerEpoch: Int,
       commit: Boolean): Unit = {
+    val err = endTxnCode(transactionalId, producerId, producerEpoch, commit)
+    require(err == 0, s"end txn error $err (47 = fenced by a newer epoch)")
+  }
+
+  /** [[endTxn]] returning the raw error code instead of throwing — the
+    * crash-recovery commit path needs to distinguish "already ended by the
+    * crashed attempt" (INVALID_TXN_STATE with a matching epoch, a no-op)
+    * from "fenced by a newer producer" (INVALID_PRODUCER_EPOCH, which means
+    * the prepared data was aborted and exactly-once is unrecoverable). */
+  def endTxnCode(transactionalId: String, producerId: Long,
+      producerEpoch: Int, commit: Boolean): Int = {
     val body = new Writer
     body.string(transactionalId)
     body.int64(producerId); body.int16(producerEpoch)
     body.int8(if (commit) 1 else 0)
     val r = call(ApiEndTxn, 0, body.result())
     r.int32() // throttle
-    val err = r.int16()
-    require(err == 0, s"end txn error $err (47 = fenced by a newer epoch)")
+    r.int16()
   }
 
   def close(): Unit = sock.close()
@@ -682,13 +692,24 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
     (decodeBatches(set).filter(_.offset >= offset), hw)
   }
 
+  /** The partition's last-stable offset: the first offset any still-OPEN
+    * transaction wrote (= the high watermark when no transaction is open).
+    * This — not the high watermark — is the only safe frame for a
+    * read_committed batch window: a window cut at the HW can cross records
+    * the fetch withholds, and once the caller's offset cursor advances
+    * past them they are skipped forever (silent data loss when the
+    * producer later commits). */
+  def lastStableOffset(topic: String, partition: Int): Long =
+    fetchRaw(topic, partition, Long.MaxValue >> 1, 1024, 1)._3
+
   /** Drain at READ_COMMITTED: data of still-open transactions is held
     * back by the last-stable-offset, control batches are dropped, and
     * aborted producers' batches resolve against the response's
     * aborted_transactions ranges — each range [firstOffset, abort marker]
     * closes when its ABORT control record passes, so a producer that
     * aborts and then (re-fenced) commits keeps its committed data. */
-  def readAllCommitted(topic: String, partition: Int, from: Long = 0L)
+  def readAllCommitted(topic: String, partition: Int, from: Long = 0L,
+      untilExclusive: Long = Long.MaxValue)
       : Seq[KafkaWire.WireRecord] = {
     val out = mutable.ArrayBuffer.empty[KafkaWire.WireRecord]
     // pid -> queue of aborted firstOffsets not yet closed by a marker
@@ -713,23 +734,33 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
         }
       }
       val batches = decodeBatchesMeta(set).sortBy(_._1.baseOffset)
-      if (batches.isEmpty || off >= lso) continue = false
+      if (batches.isEmpty || off >= lso || off >= untilExclusive) continue = false
       else batches.foreach { case (meta, recs) =>
         if (meta.isControl) {
           // key: version INT16, type INT16 (0 = abort, 1 = commit)
           val k = new Reader(recs.head.key)
           k.int16()
           if (k.int16() == 0)
+            // a marker closes only a range that STARTED before it — a
+            // data-less abort (txn registered partitions but produced
+            // nothing, or was fenced empty) has no range, and consuming a
+            // LATER range here would deliver that range's aborted data
             pendingAborts.get(meta.producerId).foreach(q =>
-              if (q.nonEmpty) q.dequeue())
+              if (q.nonEmpty && q.head <= meta.baseOffset) q.dequeue())
         } else {
           val isAborted = meta.isTransactional &&
             pendingAborts.get(meta.producerId).exists(q =>
               q.nonEmpty && q.head <= meta.baseOffset)
-          if (!isAborted) out ++= recs.filter(_.offset >= from)
+          if (!isAborted)
+            out ++= recs.filter(r => r.offset >= from && r.offset < untilExclusive)
         }
         off = math.max(off, meta.lastOffset + 1)
       }
+      // a caller framing a bounded micro-batch must not drain the whole
+      // backlog past its window: with admission control (ReadMaxRows) a
+      // catch-up would otherwise re-fetch the entire remaining tail on
+      // every trigger — O(backlog²/limit) bytes over the wire
+      if (off >= untilExclusive) continue = false
     }
     out.toSeq
   }

@@ -42,8 +42,15 @@ final class KafkaTopicChangeSource(
     try f(c) finally c.close()
   }
 
+  /** The LAST-STABLE offset, not the high watermark: this source reads at
+    * READ_COMMITTED, so the batch window must never be framed past data
+    * the fetch withholds. Cutting at the HW while a producer's transaction
+    * is still open would advance the checkpoint over the held-back
+    * records; when the producer then commits, `readLog`'s fromExclusive
+    * filter skips them forever — silent data loss. With no open
+    * transaction the LSO equals the HW. */
   override def currentOffset: Long =
-    withConsumer(_.fetch(topic, partition, Long.MaxValue >> 1)._2)
+    withConsumer(_.lastStableOffset(topic, partition))
 
   /** With a `groupId`, checkpoint commits flow to the broker's group
     * coordinator as OffsetCommit — progress is visible to every Kafka
@@ -83,9 +90,15 @@ final class KafkaTopicChangeSource(
       .map(_._1) // fromExclusive = k delivers the record at k (log k+1)
       .getOrElse(currentOffset)
 
+  /** Bounded at `toInclusive` (kafka offsets < toInclusive ride as log
+    * offsets <= toInclusive): a rate-limited catch-up (ReadMaxRows
+    * admission) must fetch only its window, not drain the whole backlog
+    * and filter — that would be O(backlog²/limit) wire bytes across the
+    * catch-up's triggers. */
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
     graft.sources.cdc.WireRetry.withRetries() {
-      withConsumer(_.readAllCommitted(topic, partition, from = fromExclusive))
+      withConsumer(_.readAllCommitted(topic, partition,
+        from = fromExclusive, untilExclusive = toInclusive))
     }.filter(r => r.offset >= fromExclusive && r.offset < toInclusive)
       .map(r => LogRecord(r.offset + 1, r.timestamp, parse(r)))
 

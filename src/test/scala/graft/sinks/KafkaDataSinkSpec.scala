@@ -209,6 +209,57 @@ class KafkaDataSinkSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("two-phase exactly-once: a crash between prepare and commit is healed, never re-produced") {
+    // The non-atomic-batch shape this protocol exists for: every task
+    // produced, the prepare ledger landed, and only SOME of the
+    // transactions committed before the driver died. The replay must
+    // finish the COMMITS by the recorded (pid, epoch) — re-producing the
+    // batch would duplicate the already-committed transaction's records
+    // for read_committed consumers.
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap,
+        deliveryGuarantee = "exactly-once")
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      // the crashed attempt, by hand: two open transactions, fully produced
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.users")
+      val id0 = "graft-cdc-app.users-0"
+      val (pid0, ep0) = p.initProducerId(id0)
+      p.addPartitionsToTxn(id0, pid0, ep0, "app.users", Seq(0))
+      p.produceWithHeaders("app.users", 0, (1 to 3).map(i =>
+        (s"$i".getBytes(UTF_8), s"""{"v":"crashed-$i"}""".getBytes(UTF_8),
+          i.toLong, Nil)),
+        txn = Some((id0, pid0, ep0)))
+      val id1 = "graft-cdc-app.users-1"
+      val (pid1, ep1) = p.initProducerId(id1)
+      p.addPartitionsToTxn(id1, pid1, ep1, "app.users", Seq(0))
+      p.produceWithHeaders("app.users", 0, Seq(
+        ("9".getBytes(UTF_8), """{"v":"crashed-9"}""".getBytes(UTF_8), 9L, Nil)),
+        txn = Some((id1, pid1, ep1)))
+      sink.recordPrepare(tid, 0L, "r1", Seq((id0, pid0, ep0), (id1, pid1, ep1)))
+      p.endTxn(id1, pid1, ep1, commit = true) // one commit landed, then crash
+      p.close()
+      // the replay: commits the surviving transaction, skips producing
+      sink.writeChangelog(tid,
+        changelog(Seq((99L, "MUST_NOT_APPEAR", "INSERT", 0L))),
+        batchId = 0L, runId = "r1")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val vals = c.readAllCommitted("app.users", 0)
+        .map(r => new String(r.value, UTF_8))
+      c.close()
+      assert(vals.size == 4 && vals.count(_.contains("crashed-")) == 4,
+        s"every prepared record committed exactly once, got $vals")
+      // the batch is now marker-committed: a further replay is a plain skip
+      sink.writeChangelog(tid,
+        changelog(Seq((100L, "ALSO_NOT", "INSERT", 0L))), 0L, "r1")
+      val c2 = new KafkaWireConsumer(broker.bootstrap)
+      assert(c2.readAllCommitted("app.users", 0).size == 4)
+      c2.close()
+    } finally broker.stop()
+  }
+
   test("YAML registry: sink.type kafka resolves with the reference's options") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 2)
     broker.start()

@@ -314,4 +314,79 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(vals == (0 until 20).map(i => s"v$i") :+ "tv")
     } finally broker.stop()
   }
+
+  test("data-less abort marker must not close a LATER aborted range") {
+    // txn 1 registers the partition but produces NOTHING, then aborts —
+    // its marker carries no range. txn 2 (same producer id) produces and
+    // aborts. A consumer matching markers to ranges by count alone would
+    // let the data-less marker consume txn 2's range and deliver txn 2's
+    // aborted data under read_committed.
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("t")
+      val txn = "txn-dataless"
+      val (pid, e0) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, e0, "t", Seq(0))
+      p.endTxn(txn, pid, e0, commit = false) // abort marker@0, NO range
+      val (_, e1) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, e1, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "dead".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn, pid, e1)))
+      p.endTxn(txn, pid, e1, commit = false) // data@1, marker@2, range (pid,1)
+      val (_, e2) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, e2, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "alive".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn, pid, e2)))
+      p.endTxn(txn, pid, e2, commit = true) // data@3, commit marker@4
+      p.close()
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.readAllCommitted("t", 0).map(r => new String(r.value, UTF_8))
+        == Seq("alive"),
+        "the data-less marker must not unmask txn 2's aborted record")
+      c.close()
+    } finally broker.stop()
+  }
+
+  test("lastStableOffset: open txn holds it below the high watermark") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("t")
+      p.produceWithHeaders("t", 0, Seq((null, "plain".getBytes(UTF_8), 0L, Nil)))
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.lastStableOffset("t", 0) == 1L, "no open txn: LSO = HW")
+      val txn = "txn-lso"
+      p.findTxnCoordinator(txn)
+      val (pid, ep) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, ep, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "held".getBytes(UTF_8), 0L, Nil)),
+        txn = Some((txn, pid, ep)))
+      assert(c.lastStableOffset("t", 0) == 1L,
+        "open txn wrote offset 1: LSO stays at its first offset")
+      assert(c.fetch("t", 0, Long.MaxValue >> 1)._2 == 2L, "HW is past it")
+      p.endTxn(txn, pid, ep, commit = true)
+      assert(c.lastStableOffset("t", 0) == 3L, "commit marker@2: LSO = HW = 3")
+      c.close(); p.close()
+    } finally broker.stop()
+  }
+
+  test("readAllCommitted honors untilExclusive: bounded fetch, bounded records") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("t")
+      (0 until 10).foreach(i => p.produceWithHeaders("t", 0,
+        Seq((null, s"v$i".getBytes(UTF_8), i.toLong, Nil))))
+      p.close()
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.readAllCommitted("t", 0, from = 2, untilExclusive = 7)
+        .map(r => new String(r.value, UTF_8)) == (2 until 7).map(i => s"v$i"))
+      assert(c.readAllCommitted("t", 0, untilExclusive = 0).isEmpty)
+      c.close()
+    } finally broker.stop()
+  }
 }

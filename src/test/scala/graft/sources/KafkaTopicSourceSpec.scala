@@ -63,6 +63,42 @@ class KafkaTopicSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("batch frame at the LSO: an open transaction never strands committed records") {
+    // The silent-data-loss shape: an EOS producer holds a transaction open
+    // across a trigger. A window framed at the HIGH WATERMARK would cross
+    // the held-back records — readLog (read_committed) delivers nothing,
+    // the checkpoint advances past them, and when the producer commits
+    // they are filtered out forever. Framing at the LAST-STABLE offset
+    // stops the window short; the records deliver in the next trigger.
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.t")
+      val txn = "eos-producer"
+      val (pid, ep) = p.initProducerId(txn)
+      p.addPartitionsToTxn(txn, pid, ep, "app.t", Seq(0))
+      (1 to 3).foreach(i => p.produceWithHeaders("app.t", 0,
+        Seq((null, s"""{"before":null,"after":{"id":$i,"v":"x$i"},"op":"c"}"""
+          .getBytes(UTF_8), i.toLong, Nil)),
+        txn = Some((txn, pid, ep))))
+      val src = new KafkaTopicChangeSource(broker.bootstrap, "app.t", 0, tid, schema)
+      val frame1 = src.currentOffset
+      assert(frame1 == 0L,
+        s"the window must stop at the LSO, not cross the open txn (got $frame1)")
+      assert(src.readLog(0L, frame1).isEmpty)
+      // the trigger boundary passes; the producer now commits
+      p.endTxn(txn, pid, ep, commit = true)
+      val frame2 = src.currentOffset
+      val recs = src.readLog(frame1, frame2)
+      assert(recs.size == 3,
+        "every committed record delivers in the next window — none stranded")
+      assert(recs.map(_.event.asInstanceOf[DataChangeEvent].after("id"))
+        == Seq(1L, 2L, 3L))
+      p.close()
+    } finally broker.stop()
+  }
+
   test("a non-debezium value refuses loudly instead of coining events") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
     broker.start()
