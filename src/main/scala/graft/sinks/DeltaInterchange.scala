@@ -188,14 +188,6 @@ object DeltaInterchange {
     mapper.writeValueAsString(n)
   }
 
-  /** The source lakehouse bucket of a partitioned-mirror data file, parsed
-    * from its `part-v<ver>-b<bucket>-<n>` name (None for other namings). */
-  private val SrcBucketName = """part-v\d+-b(\d+)-\d+\.parquet""".r
-  private def srcBucketOf(fileName: String): Option[Int] = fileName match {
-    case SrcBucketName(b) => Some(b.toInt)
-    case _ => None
-  }
-
   /** Delta `stats` string: numRecords always; min/maxValues typed from the
     * zone maps where present (numbers re-parsed to JSON numbers — a string
     * "42" would break readers' data skipping on numeric columns). */
@@ -349,17 +341,8 @@ object DeltaInterchange {
           // removals FIRST state-wise: whole-bucket COW rewrites kill every
           // live split file whose name encodes a removed source bucket
           if (removes.nonEmpty) {
-            val rb = removes.map(_.bucket).toSet
-            prev.foreach { p =>
-              val partial = p.files.filter(f => rb.contains(f.bucket))
-                .filterNot(f => removes.exists(_.path == f.path))
-              require(partial.isEmpty,
-                s"version $v removes only part of lakehouse bucket(s) " +
-                  s"${partial.map(_.bucket).distinct.sorted.mkString(",")} — " +
-                  "the name-mapped removal model assumes whole-bucket " +
-                  "rewrites; refusing")
-            }
-            val dead = liveNames.filter(n => srcBucketOf(
+            val rb = PartitionedMirror.wholeBucketRemovalSet(v, removes, prev)
+            val dead = liveNames.filter(n => PartitionedMirror.srcBucketOf(
               Paths.get(n).getFileName.toString).exists(rb.contains)).toSeq.sorted
             dead.foreach { n =>
               val node = mapper.createObjectNode()
@@ -375,16 +358,10 @@ object DeltaInterchange {
             // ONE partitionBy job splits the commit's adds by (partition
             // tuple, source lakehouse bucket); partition columns stay OUT
             // of the files — add.partitionValues restores them on import
-            import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-            val pks = curMeta.schema.primaryKeys
-            val addsDf = spark.read.schema(curMeta.schema.struct)
-              .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
-              .withColumn("__srcb",
-                pmod(hash(pks.map(col): _*), lit(curMeta.buckets)))
-            val moved = IcebergInterchange.writeSplitDataFiles(addsDf, destDir,
-              partitionKeys, curMeta.schema.struct, Some("__srcb"),
+            val (moved, rows) = PartitionedMirror.splitAddsBySourceBucket(
+              spark, table.dir, adds, curMeta.schema.struct,
+              curMeta.schema.primaryKeys, curMeta.buckets, destDir, partitionKeys,
               (n, _, srcb) => f"part-v$v-b${srcb.get}-$n%05d.parquet")
-            val rows = IcebergInterchange.countRows(spark, moved.map(_._1.toString))
             moved.foreach { case (out, part, _) =>
               val rel = s"data/${out.getFileName}"
               actions += splitAddActionJson(rel, Files.size(out),

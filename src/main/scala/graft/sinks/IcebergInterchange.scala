@@ -654,15 +654,6 @@ object IcebergInterchange {
     * reflected, so restarts resume with no side-channel state. */
   val MirrorProperty = "graft.mirror.lakehouse-version"
 
-  /** The source lakehouse bucket a partitioned-mirror data file was split
-    * from, parsed back from its `part-s<snap>-b<bucket>-<n>` name; None
-    * for any other naming (unpartitioned copies, foreign files). */
-  private val SrcBucketName = """part-s\d+-b(\d+)-\d+\.parquet""".r
-  private def srcBucketOf(fileName: String): Option[Int] = fileName match {
-    case SrcBucketName(b) => Some(b.toInt)
-    case _ => None
-  }
-
   // ---------------------------------------------------------------- export
 
   /** Export the table's LATEST snapshot as a complete Iceberg v2 table:
@@ -1474,19 +1465,10 @@ object IcebergInterchange {
             // `part-s<snap>-b<srcBucket>-<n>`: the source lakehouse bucket
             // (the COW removal granularity — whole buckets rewrite) rides
             // in the NAME, so removals map exactly with no sidecar
-            val rb = removes.map(_.bucket).toSet
-            prev.foreach { p =>
-              val partial = p.files.filter(f => rb.contains(f.bucket))
-                .filterNot(f => removes.exists(_.path == f.path))
-              require(partial.isEmpty,
-                s"version $v removes only part of lakehouse bucket(s) " +
-                  s"${partial.map(_.bucket).distinct.sorted.mkString(",")} — " +
-                  "the name-mapped removal model assumes whole-bucket " +
-                  "rewrites; refusing")
-            }
+            val rb = PartitionedMirror.wholeBucketRemovalSet(v, removes, prev)
             val deadData = manifests.filter(_.content == 0).flatMap(_.live)
               .map(e => Paths.get(e.filePath).getFileName.toString)
-              .filter(n => srcBucketOf(n).exists(rb.contains))
+              .filter(n => PartitionedMirror.srcBucketOf(n).exists(rb.contains))
             deadData.toSet ++ delRemoves.map(_.path.replace('/', '-')).toSet
           }
         def holdsRemoved(m: ManifestInfo): Boolean =
@@ -1536,16 +1518,10 @@ object IcebergInterchange {
             // OUT of the data files (Column Projection restores them).
             // Per-file zone-map bounds are dropped (the lakehouse stats are
             // per source file) — pruning comes from the partition tuple.
-            import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-            val pks = curMeta.schema.primaryKeys
-            val addsDf = spark.read.schema(struct)
-              .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
-              .withColumn("__srcb",
-                pmod(hash(pks.map(col): _*), lit(curMeta.buckets)))
-            val moved = writeSplitDataFiles(addsDf, destDir, partitionKeys,
-              struct, Some("__srcb"),
+            val (moved, rows) = PartitionedMirror.splitAddsBySourceBucket(
+              spark, table.dir, adds, struct, curMeta.schema.primaryKeys,
+              curMeta.buckets, destDir, partitionKeys,
               (n, _, srcb) => f"part-s$snapshotId-b${srcb.get}-$n%05d.parquet")
-            val rows = countRows(spark, moved.map(_._1.toString))
             val entries = moved.map { case (out, part, _) =>
               Entry(Added, snapshotId, lastSeq, out.toString,
                 rows(out.toAbsolutePath.toString), Files.size(out),
