@@ -37,26 +37,48 @@ object Bench {
     val driftTolerance = 0.05
     private val bean = java.lang.management.ManagementFactory.getThreadMXBean
 
-    /** ~0.1 s of fixed single-thread work, returning (wall sec, thread-CPU
-      * sec). The DETECTOR is their ratio, not the wall time: measured on
-      * this box class, raw wall time swings ±13% at idle purely from CPU
-      * frequency variation (which slows the measured queries identically,
-      * so medians already absorb it), while wall/cpu sits at 1.000 ± 0.001
-      * idle and under self-load — scheduler STEAL, the round-10 failure
-      * mode where another tenant's work deschedules this JVM, is the one
-      * thing that inflates wall but not thread-CPU time. Zero false
-      * positives in 50 calibration runs; a reference-free, self-normalizing
-      * signal immune to JIT tiering and turbo states.
+    /** ~0.1 s of fixed work on EVERY core — one spinner thread per
+      * available processor — returning (wall sec, avg per-thread CPU sec).
+      * The DETECTOR is their ratio, not the wall time: raw wall swings
+      * ±13% at idle purely from CPU frequency variation (which slows the
+      * measured queries identically, so medians absorb it), while
+      * wall/cpu sits at ~1.000 idle — scheduler STEAL is the one thing
+      * that inflates wall but not thread-CPU time. A reference-free,
+      * self-normalizing signal immune to JIT tiering and turbo states.
+      *
+      * The probe must be PARALLEL: a single-thread probe has a blind spot
+      * — a competitor running exactly this box's core count leaves near
+      * zero steal for ONE extra thread (N+1 runnable on N cores schedules
+      * it almost immediately) while halving every N-thread Spark stage.
+      * N probe threads against an N-thread competitor see wall ≈ 2× cpu,
+      * the same contention the measured stages feel.
       */
     def probe(): (Double, Double) = {
-      val c0 = bean.getCurrentThreadCpuTime
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 60000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      if (x == 42L) Console.err.println("xorshift fixpoint") // defeat DCE
-      ((System.nanoTime() - t0) / 1e9,
-        (bean.getCurrentThreadCpuTime - c0) / 1e9)
+      val n = Runtime.getRuntime.availableProcessors()
+      val walls = new java.util.concurrent.atomic.AtomicLongArray(n)
+      val cpus = new java.util.concurrent.atomic.AtomicLongArray(n)
+      // latch-released, per-thread-timed: each thread times ONLY its own
+      // spin (thread creation and join-tail skew would otherwise inflate
+      // a shared wall clock into a false steal floor)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until n).map { ti =>
+        val t = new Thread(() => {
+          gate.await()
+          val w0 = System.nanoTime()
+          val c0 = bean.getCurrentThreadCpuTime
+          var x = 0x9E3779B97F4A7C15L + ti
+          var i = 0
+          while (i < 60000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42L) Console.err.println("xorshift fixpoint") // defeat DCE
+          walls.set(ti, System.nanoTime() - w0)
+          cpus.set(ti, bean.getCurrentThreadCpuTime - c0)
+        })
+        t.start(); t
+      }
+      gate.countDown()
+      threads.foreach(_.join())
+      ((0 until n).map(walls.get(_).toDouble).sum / n / 1e9,
+        (0 until n).map(cpus.get(_).toDouble).sum / n / 1e9)
     }
     def probeWall(): Double = probe()._1
     def init(): Unit = { probe(); probe() } // reach C2 before any window
@@ -874,8 +896,9 @@ object Bench {
       } finally broker.stop()
     }
 
-    // B15: PARTITIONED mirror cost (Delta + Iceberg; the Paimon mirror
-    // refuses partitioned by design). Unlike B12's metadata-plus-copy
+    // B15: PARTITIONED mirror cost (Delta + Iceberg; the partitioned
+    // Paimon mirror's cost rides in B13 — its key-value rewrite dominates
+    // the partition split). Unlike B12's metadata-plus-copy
     // commits, a partitioned mirror runs one partitionBy SPARK JOB per
     // commit to split adds by (partition, source bucket) — this probe
     // prices that job so the B12-vs-B15 gap is measured, not assumed.

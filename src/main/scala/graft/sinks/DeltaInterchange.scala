@@ -620,8 +620,12 @@ object DeltaInterchange {
           m.get("createdTime").asLong())
       } else if (node.has("add")) {
         val a = node.get("add")
+        // null partition values must survive as NULLS: NullNode.asText()
+        // is the string "null", which importDelta would project as
+        // lit("null") — a silently wrong value for string partitions
         val partVals = Option(a.get("partitionValues"))
-          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .map(_.properties().asScala.map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
           .getOrElse(Map.empty[String, String])
         adds(a.get("path").asText()) = Row(a.get("path").asText(),
           partVals, a.get("size").asLong(),

@@ -64,6 +64,10 @@ final class KafkaDataSink(
       * failed attempt's records — the reference's
       * `DeliveryGuarantee.EXACTLY_ONCE` KafkaSink mode. */
     deliveryGuarantee: String = "at-least-once",
+    /** `sink.transactional-id-prefix`: ids are `<prefix>-<runId>-<topic>-
+      * <task>` — the runId scopes them to one pipeline run, so pipelines
+      * sharing a topic (even with the default prefix) never fence each
+      * other's prepared transactions. */
     transactionalIdPrefix: String = "graft-cdc",
     commitTopic: String = "__graft_commits",
     /** `properties.compression.type`: none (default) | gzip | snappy |
@@ -131,9 +135,17 @@ final class KafkaDataSink(
     * stable transactional ids fences and aborts the crashed attempt's
     * open transactions. */
   def writeChangelog(t: TableId, env: DataFrame, batchId: Long, runId: String): Unit = {
-    if (batchId >= 0 && lastCommittedBatch(t, runId).exists(_ >= batchId)) return
-    if (deliveryGuarantee == "exactly-once" && batchId >= 0) {
-      preparedTxns(t, batchId, runId) match {
+    if (batchId >= 0 && runId.nonEmpty) {
+      // ONE incremental marker scan answers both replay questions (a scan
+      // per question would double the consumer connects and Fetch round
+      // trips on the standing-pipeline hot path)
+      val (committed, prepared) = synchronized {
+        scanMarkers()
+        (markerLatest.get((t.identifier, runId)),
+          preparedLedger.get((t.identifier, runId, batchId)))
+      }
+      if (committed.exists(_ >= batchId)) return
+      if (deliveryGuarantee == "exactly-once") prepared match {
         case Some(handles) =>
           // a crashed attempt produced EVERYTHING (prepare is written only
           // after every task succeeded) and died mid-commit: finish its
@@ -198,6 +210,16 @@ final class KafkaDataSink(
     // all rows of one Kafka partition land in one task, in sequence order:
     // a single producer appends them as one ordered run of batches
     val exactlyOnce = deliveryGuarantee == "exactly-once"
+    // transactional ids must be scoped to THIS pipeline run: ids keyed only
+    // by (prefix, topic, task) would let an independent pipeline sharing
+    // the topic fence a crashed run's PREPARED transactions (aborting data
+    // its recovery path was about to commit). The runId is the streaming
+    // query id — stable across restarts of one checkpoint lineage, so a
+    // restart still fences ITS OWN zombies. Untracked writes (no runId)
+    // get a unique scope per call: they have no recovery path, and a fixed
+    // id would make two concurrent untracked writers fence each other.
+    val txnScope =
+      if (runId.nonEmpty) runId else java.util.UUID.randomUUID().toString
     val txnPrefix = transactionalIdPrefix
     val codec = compressionCodec
     // phase 1: every task produces (transactionally in exactly-once mode,
@@ -218,7 +240,7 @@ final class KafkaDataSink(
                 // re-inits the same id, which bumps the epoch and aborts
                 // the zombie attempt's open transaction — its records
                 // stay invisible to read_committed consumers forever
-                val txnId = s"$txnPrefix-$topic-" +
+                val txnId = s"$txnPrefix-$txnScope-$topic-" +
                   org.apache.spark.TaskContext.getPartitionId()
                 p.findTxnCoordinator(txnId)
                 val (pid, epoch) = p.initProducerId(txnId)
@@ -328,21 +350,30 @@ final class KafkaDataSink(
       val p = new KafkaWireProducer(bootstrap)
       try p.partitionsOf(commitTopic) finally p.close() // ensure it exists
       val fresh = c.readAll(commitTopic, 0, from = markerScanOffset)
-      val committed = """\{"table":"(.+)","runId":"(.+)","batchId":(\d+)\}""".r
       fresh.foreach { r =>
-        val s = new String(r.value, UTF_8)
-        s match {
-          case committed(tbl, run, b) =>
-            markerLatest((tbl, run)) = b.toLong
-            preparedLedger.remove((tbl, run, b.toLong)) // batch done: drop
-          case _ if s.startsWith("""{"prepare":""") =>
-            val n = mapper.readTree(s).get("prepare")
+        // both record kinds are Jackson-written and Jackson-parsed: a
+        // regex over interpolated JSON would silently fail to match a
+        // table name or runId containing a quote, and an unseen commit
+        // marker downgrades replay-skip to duplicate delivery
+        try {
+          val node = mapper.readTree(new String(r.value, UTF_8))
+          if (node != null && node.has("prepare")) {
+            val n = node.get("prepare")
             val key = (n.get("table").asText(), n.get("runId").asText(),
               n.get("batchId").asLong())
             import scala.jdk.CollectionConverters._
             preparedLedger(key) = n.get("txns").elements().asScala.map(e =>
               (e.get(0).asText(), e.get(1).asLong(), e.get(2).asInt())).toSeq
-          case _ => () // foreign record in the commit topic: ignore
+          } else if (node != null && node.has("table") && node.has("runId") &&
+              node.has("batchId")) {
+            val tbl = node.get("table").asText(); val run = node.get("runId").asText()
+            val b = node.get("batchId").asLong()
+            markerLatest((tbl, run)) = b
+            preparedLedger.remove((tbl, run, b)) // batch done: drop its ledger
+          }
+        } catch {
+          case _: com.fasterxml.jackson.core.JacksonException =>
+            () // foreign record in the commit topic: ignore
         }
         markerScanOffset = math.max(markerScanOffset, r.offset + 1)
       }
@@ -355,16 +386,6 @@ final class KafkaDataSink(
       scanMarkers()
       markerLatest.get((t.identifier, runId))
     }
-
-  /** The prepare ledger for an uncommitted batch: present iff a prior
-    * attempt produced every task's data and wrote the prepare record but
-    * crashed before all its transaction commits landed. */
-  private def preparedTxns(t: TableId, batchId: Long,
-      runId: String): Option[Seq[(String, Long, Int)]] = synchronized {
-    if (runId.isEmpty) return None
-    scanMarkers()
-    preparedLedger.get((t.identifier, runId, batchId))
-  }
 
   /** Write the prepare ledger record — the micro-batch analog of Flink's
     * checkpointed transaction state: {table, runId, batchId, every task's
@@ -390,13 +411,15 @@ final class KafkaDataSink(
   }
 
   override def recordBatchCommit(t: TableId, batchId: Long, runId: String): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("table", t.identifier); root.put("runId", runId)
+    root.put("batchId", batchId)
     val p = new KafkaWireProducer(bootstrap)
     try {
       p.partitionsOf(commitTopic)
       p.produce(commitTopic, 0, Seq((
         t.identifier.getBytes(UTF_8),
-        s"""{"table":"${t.identifier}","runId":"$runId","batchId":$batchId}"""
-          .getBytes(UTF_8),
+        mapper.writeValueAsString(root).getBytes(UTF_8),
         batchId)))
     } finally p.close()
   }

@@ -43,6 +43,12 @@ trait ChangeSource {
     * as the reference documents for a missing committed offset. */
   def committedOffset: Option[Long] = None
 
+  /** Release any long-lived connection this source holds (called from the
+    * micro-batch stream's `stop()`). Default no-op: most scripted/file
+    * sources hold nothing; wire sources that pool a connection override
+    * and must tolerate further calls after close (reconnect on demand). */
+  def close(): Unit = ()
+
   /** First schema-change record in `(fromExclusive, toInclusive]`, if the
     * log can carry DDL. Default scans the log; implementations whose log is
     * data-only (e.g. a capture-table source) return None without I/O — this

@@ -360,7 +360,7 @@ final class GraftCdcMicroBatchStream(
       m
     }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = source.close()
 }
 
 /** Durable assigner state: `{logBase, chunk plan, chunk HWs}` as one JSON file

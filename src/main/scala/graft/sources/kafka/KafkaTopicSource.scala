@@ -37,9 +37,24 @@ final class KafkaTopicChangeSource(
 
   private val mapper = new ObjectMapper()
 
-  private def withConsumer[T](f: KafkaWireConsumer => T): T = {
-    val c = new KafkaWireConsumer(bootstrap)
-    try f(c) finally c.close()
+  // ONE pooled connection: every trigger calls currentOffset + readLog (+
+  // commitOffset with a group), and a fresh TCP connect per call would
+  // multiply socket churn by partitions × triggers for nothing. A failed
+  // call may leave the socket mid-frame, so the pool drops it and the
+  // retry layer (WireRetry around readLog) reconnects clean.
+  private var pooled: KafkaWireConsumer = null
+
+  private def withConsumer[T](f: KafkaWireConsumer => T): T = synchronized {
+    if (pooled == null) pooled = new KafkaWireConsumer(bootstrap)
+    try f(pooled)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(pooled.close()); pooled = null; throw e
+    }
+  }
+
+  override def close(): Unit = synchronized {
+    if (pooled != null) { scala.util.Try(pooled.close()); pooled = null }
   }
 
   /** The LAST-STABLE offset, not the high watermark: this source reads at

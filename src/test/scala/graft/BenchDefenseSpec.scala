@@ -25,6 +25,30 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(s.drifts.contains("t"))
   }
 
+  test("EQUAL subscription fires the detector (the single-thread blind spot)") {
+    // a competitor with exactly this box's core count leaves ~zero steal
+    // for one extra thread, but halves every N-thread Spark stage — the
+    // parallel probe must read it as contention
+    val s = new Bench.SentinelDefense
+    s.init()
+    val cores = Runtime.getRuntime.availableProcessors()
+    val spinners = (1 to cores).map { _ =>
+      val t = new Thread(() => {
+        var y = 1L
+        while (!Thread.currentThread().isInterrupted) { y ^= y << 13; y ^= y >>> 7 }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try {
+      Thread.sleep(200)
+      s.windowed("equal", maxRetries = 0) { () }
+      assert(s.drifts("equal") > s.driftTolerance,
+        s"an equal-size competitor must read as steal, got ${s.drifts("equal")}")
+    } finally spinners.foreach(_.interrupt())
+  }
+
   test("oversubscription fires the steal detector and exhausts retries") {
     val s = new Bench.SentinelDefense
     s.init()

@@ -405,6 +405,7 @@ class DeltaInterchangeSpec extends AnyFunSuite {
     }
     writeData("p-en-0.parquet", Seq((1L, "a"), (2L, "b")))
     writeData("p-de-0.parquet", Seq((3L, "c")))
+    writeData("p-nul-0.parquet", Seq((4L, "d")))
     val lines = Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
@@ -416,6 +417,11 @@ class DeltaInterchangeSpec extends AnyFunSuite {
       """{"add":{"path":"p-en-0.parquet","partitionValues":{"lang":"en"},"size":1,""" +
         """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":2}"}}""",
       """{"add":{"path":"p-de-0.parquet","partitionValues":{"lang":"de"},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":1}"}}""",
+      // a NULL partition value: the checkpoint must carry it as a null,
+      // not stringify it to "null" (NullNode.asText()), which would come
+      // back as a wrong non-null string partition value
+      """{"add":{"path":"p-nul-0.parquet","partitionValues":{"lang":null},"size":1,""" +
         """"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":1}"}}""")
     Files.write(logDir.resolve(f"${0L}%020d.json"),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
@@ -424,8 +430,9 @@ class DeltaInterchangeSpec extends AnyFunSuite {
       "the only JSON commit is gone; the checkpoint is the whole state")
     val back = DeltaInterchange.importDelta(spark, dest).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    assert(back == Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de")),
-      "partition values project back from the checkpoint alone")
+    assert(back == Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
+      (4L, "d", null)),
+      "partition values project back from the checkpoint alone, nulls as NULLS")
   }
 
   test("mirrored sink: drop removes the external mirror; recreate starts clean") {

@@ -225,14 +225,14 @@ class KafkaDataSinkSpec extends AnyFunSuite {
       // the crashed attempt, by hand: two open transactions, fully produced
       val p = new KafkaWireProducer(broker.bootstrap)
       p.partitionsOf("app.users")
-      val id0 = "graft-cdc-app.users-0"
+      val id0 = "graft-cdc-r1-app.users-0"
       val (pid0, ep0) = p.initProducerId(id0)
       p.addPartitionsToTxn(id0, pid0, ep0, "app.users", Seq(0))
       p.produceWithHeaders("app.users", 0, (1 to 3).map(i =>
         (s"$i".getBytes(UTF_8), s"""{"v":"crashed-$i"}""".getBytes(UTF_8),
           i.toLong, Nil)),
         txn = Some((id0, pid0, ep0)))
-      val id1 = "graft-cdc-app.users-1"
+      val id1 = "graft-cdc-r1-app.users-1"
       val (pid1, ep1) = p.initProducerId(id1)
       p.addPartitionsToTxn(id1, pid1, ep1, "app.users", Seq(0))
       p.produceWithHeaders("app.users", 0, Seq(
