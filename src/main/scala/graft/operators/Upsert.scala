@@ -28,15 +28,27 @@ object Upsert {
     * @return one row per surviving key, payload columns only, where the
     *         highest-`seq` event is not a DELETE
     */
-  def materialize(env: DataFrame, keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "upsert materialization requires primary keys")
-    val latest = env
-      .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
+  /** The shared per-key last-event aggregate: ONE `max_by(payload, seq)`
+    * hash aggregate per (optional route, key) group. Every materialize
+    * variant derives from this single definition so tie-breaking and the
+    * packed struct cannot drift between them. */
+  private def latestByKey(env: DataFrame, groupCols: Seq[Column]): DataFrame =
+    env
+      .groupBy(groupCols.toIndexedSeq: _*)
       .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
         .as("__last"))
-    latest
-      .filter(col("__last.op") =!= "DELETE")
-      .select(col("__last.after.*"))
+
+  /** Split the aggregate into (surviving rows, deleted keys). */
+  private def splitLatest(latest: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
+    val deletes = latest.filter(col("__last.op") === "DELETE")
+      .select(keyCols.map(col).toIndexedSeq: _*)
+    (upserts, deletes)
+  }
+
+  def materialize(env: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsert materialization requires primary keys")
+    splitLatest(latestByKey(env, keyCols.map(keyCol)), keyCols)._1
   }
 
   /** Multi-table variant: group additionally by the routed sink table id, so a
@@ -44,11 +56,8 @@ object Upsert {
     * Returns (sinkTableId, payload...) rows.
     */
   def materializeRouted(env: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val groupCols = col("sinkTableId") +: keyCols.map(keyCol)
-    env
-      .groupBy(groupCols.toIndexedSeq: _*)
-      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
-        .as("__last"))
+    require(keyCols.nonEmpty, "upsert materialization requires primary keys")
+    latestByKey(env, col("sinkTableId") +: keyCols.map(keyCol))
       .filter(col("__last.op") =!= "DELETE")
       .select(col("sinkTableId"), col("__last.after.*"))
   }
@@ -61,14 +70,7 @@ object Upsert {
     */
   def materializeWithDeletes(env: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty, "upsert materialization requires primary keys")
-    val latest = env
-      .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
-      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
-        .as("__last"))
-    val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
-    val deletes = latest.filter(col("__last.op") === "DELETE")
-      .select(keyCols.map(col).toIndexedSeq: _*)
-    (upserts, deletes)
+    splitLatest(latestByKey(env, keyCols.map(keyCol)), keyCols)
   }
 
   /** Bracket form for per-batch sinks: persists the shared per-key aggregate,
@@ -79,15 +81,9 @@ object Upsert {
   def withMaterialized[T](env: DataFrame, keyCols: Seq[String])(
       use: (DataFrame, DataFrame) => T): T = {
     require(keyCols.nonEmpty, "upsert materialization requires primary keys")
-    val latest = env
-      .groupBy(keyCols.map(keyCol).toIndexedSeq: _*)
-      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
-        .as("__last"))
-      .persist()
+    val latest = latestByKey(env, keyCols.map(keyCol)).persist()
     try {
-      val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
-      val deletes = latest.filter(col("__last.op") === "DELETE")
-        .select(keyCols.map(col).toIndexedSeq: _*)
+      val (upserts, deletes) = splitLatest(latest, keyCols)
       use(upserts, deletes)
     } finally {
       latest.unpersist()

@@ -97,7 +97,11 @@ object SchemaDerivator {
       }.toIndexedSeq: _*)).as(c)
     }
     env.select(env.columns.map {
-      case c @ ("before" | "after") => coerceStruct(c)
+      // the shared envelope contract (graft.operators.Envelope) names the
+      // image columns; matching string literals here would silently stop
+      // coercing if the constants ever changed
+      case c @ (graft.operators.Envelope.BeforeCol |
+                graft.operators.Envelope.AfterCol) => coerceStruct(c)
       case other => col(other)
     }.toIndexedSeq: _*)
   }
@@ -168,15 +172,21 @@ final class SchemaEvolutionDriver(
           case _ => Seq(event)
         }
         val applied = derived.filter(passesSinkFilter)
-        applied.foreach { e =>
-          evolvedSchemas.applySchemaChange(e)
-          try applier.applySchemaChange(e)
-          catch {
-            case ex: Exception if behavior == SchemaChangeBehavior.TRY_EVOLVE =>
-              () // swallowed, as in SchemaCoordinator's TRY_EVOLVE path
+        // the reference's applyAndUpdateEvolvedSchemaChange order: the SINK
+        // applies FIRST, the evolved registry records only on success — a
+        // swallowed TRY_EVOLVE failure must not leave the registry ahead of
+        // the real sink schema, or every later coerceBatch would coerce to
+        // a column the physical table lacks and every write would fail
+        applied.filter { e =>
+          try {
+            applier.applySchemaChange(e)
+            evolvedSchemas.applySchemaChange(e)
+            true
+          } catch {
+            case _: Exception if behavior == SchemaChangeBehavior.TRY_EVOLVE =>
+              false // swallowed, as in SchemaCoordinator's TRY_EVOLVE path
           }
         }
-        applied
     }
   }
 

@@ -71,7 +71,8 @@ class JdbcTwoPhaseSink(
         // PKs), no PK constraint (op rows are not unique rows of the target),
         // plus the op marker and run/batch audit columns
         val stageCols = s.struct.fields.map(f => s"${f.name} ${JdbcDdl.sqlType(f.dataType)}") ++
-          Seq("G_OP CHAR(1) NOT NULL", "G_RUN VARCHAR(1024)", "G_BATCH BIGINT")
+          Seq("G_OP CHAR(1) NOT NULL", "G_RUN VARCHAR(1024)", "G_BATCH BIGINT",
+            "G_PART INT")
         JdbcDdl.statements(event, tableName, dialectName) :+
           s"CREATE TABLE ${stageName(t)} (${stageCols.mkString(", ")})"
       case other =>
@@ -127,20 +128,33 @@ class JdbcTwoPhaseSink(
     val (jdbcUrl, properties, bs) = (url, props, batchSize)
     def stagePartitioned(df: DataFrame, op: String): Unit = {
       val cols = df.columns.toSeq
-      val sql = s"INSERT INTO $stage (${cols.mkString(", ")}, G_OP, G_RUN, G_BATCH) " +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")}, ?, ?, ?)"
+      val sql = s"INSERT INTO $stage (${cols.mkString(", ")}, G_OP, G_RUN, G_BATCH, G_PART) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}, ?, ?, ?, ?)"
       val n = cols.length
       df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
         val p = new java.util.Properties()
         properties.foreach { case (k, v) => p.setProperty(k, v) }
         val c = DriverManager.getConnection(jdbcUrl, p)
         c.setAutoCommit(false)
         try {
+          // task-level idempotence: a RETRY of a task whose commit landed
+          // but whose success report was lost would double its partition's
+          // staged rows (the driver-side stage reset runs once per batch,
+          // not per task). Replacing this task's own slice inside the ONE
+          // staging transaction makes the last committed attempt win.
+          // (Concurrent SPECULATIVE duplicates could still interleave —
+          // this sink requires spark.speculation=false, Spark's default.)
+          val del = c.prepareStatement(
+            s"DELETE FROM $stage WHERE G_PART = ? AND G_OP = ?")
+          del.setInt(1, part); del.setString(2, op)
+          del.executeUpdate(); del.close()
           val ps = c.prepareStatement(sql)
           var i = 0
           rows.foreach { r =>
             (0 until n).foreach(j => ps.setObject(j + 1, r.get(j)))
             ps.setString(n + 1, op); ps.setString(n + 2, runId); ps.setLong(n + 3, batchId)
+            ps.setInt(n + 4, part)
             ps.addBatch(); i += 1
             if (i % bs == 0) ps.executeBatch()
           }

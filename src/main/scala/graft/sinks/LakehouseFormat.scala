@@ -209,9 +209,18 @@ final class LakehouseTable(
   private val commitName = """^(\d{20})\.json$""".r
   private val checkpointName = """^(\d{20})\.checkpoint\.json$""".r
 
+  /** `Files.list`/`Files.walk` return RESOURCE-backed streams: unclosed,
+    * each holds a directory fd until GC, and the snapshot()/commit hot
+    * paths run several per micro-batch — enough to hit EMFILE on a
+    * long-running stream under low GC pressure. Every directory listing
+    * in this file goes through this bracket. */
+  private def usingStream[A, B](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => B): B =
+    try f(s.iterator.asScala) finally s.close()
+
   private def listLogNames(): Seq[String] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator.asScala.map(_.getFileName.toString).toSeq
+    else usingStream(Files.list(logDir))(_.map(_.getFileName.toString).toSeq)
 
   private def listVersions(): Seq[Long] =
     listLogNames().collect { case commitName(v) => v.toLong }.sorted
@@ -628,7 +637,7 @@ final class LakehouseTable(
           .write.partitionBy(bucketCol)
           .parquet(Paths.get(dir, commitRel).toString)
         // sequence number: these files postdate every outstanding delete
-        val adds = listCommitFiles(commitRel, bucketCol).map(_.copy(ver = snap.version + 1))
+        val adds = listCommitFiles(commitRel, bucketCol, snap.meta).map(_.copy(ver = snap.version + 1))
         // Row-level change data (Delta CDF / Paimon changelog-producer
         // shape), classified by LOOKUP against the touched buckets we scan
         // for the rewrite anyway: pre-images of updated keys, the old rows
@@ -659,10 +668,10 @@ final class LakehouseTable(
             }
             changes.write.parquet(Paths.get(dir, cdcRel).toString)
             val root = Paths.get(dir, cdcRel)
-            Files.walk(root).iterator.asScala
+            usingStream(Files.walk(root))(_
               .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
               .map(p => ChangeFile(Paths.get(dir).relativize(p).toString))
-              .toSeq
+              .toSeq)
           }
         def actionsAt(v: Long): Seq[Action] =
           adds.map(_.copy(ver = v)) ++ oldFiles.map(f => RemoveFile(f.path)) ++
@@ -725,7 +734,7 @@ final class LakehouseTable(
         coerced.withColumn(bucketColName, bucketOf(bucketKeyCols(snap.schema), snap.buckets))
           .write.partitionBy(bucketColName)
           .parquet(Paths.get(dir, commitRel).toString)
-        val adds = listCommitFiles(commitRel, bucketColName)
+        val adds = listCommitFiles(commitRel, bucketColName, snap.meta)
           .map(_.copy(ver = snap.version + 1))
         // Delta-style OVERWRITE: the removes of the currently-live files ride
         // in the SAME commit as the adds — readers see the old table or the
@@ -806,11 +815,11 @@ final class LakehouseTable(
         val delRel = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}"
         keys.select(pks.map(col): _*).distinct()
           .write.parquet(Paths.get(dir, delRel).toString)
-        val delFiles = Files.walk(Paths.get(dir, delRel)).iterator.asScala
+        val delFiles = usingStream(Files.walk(Paths.get(dir, delRel)))(_
           .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
           .map(p => EqualityDeleteFile(
             Paths.get(dir).relativize(p).toString, snap.version + 1))
-          .toSeq
+          .toSeq)
         val actions = delFiles ++ txn.map { case (run, b) => Txn(run, b) }
         if (tryCommit(snap.version + 1, actions)) done = true
         else {
@@ -877,7 +886,7 @@ final class LakehouseTable(
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.partitionBy(bucketColName)
         .parquet(Paths.get(dir, commitRel).toString)
-      val adds = listCommitFiles(commitRel, bucketColName)
+      val adds = listCommitFiles(commitRel, bucketColName, snap.meta)
         .map(_.copy(ver = snap.version + 1, sorted = snap.schema.primaryKeys.nonEmpty))
       val removes = oldFiles.map(f => RemoveFile(f.path)) ++
         snap.deleteFiles.map(d => RemoveFile(d.path))
@@ -932,7 +941,10 @@ final class LakehouseTable(
       val bitsPer = 16
       val n = cols.size
       val ranks = cols.zipWithIndex.map { case (c, i) =>
-        val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
+        // an all-null column has null min/max: every row ranks 0 (the
+        // coalesce below), which is correct — not a crash
+        val lo = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+        val hi = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
         val span = if (hi > lo) hi - lo else 1.0
         coalesce(
           least(lit(65535L), greatest(lit(0L),
@@ -955,7 +967,7 @@ final class LakehouseTable(
         .drop("__graft_z")
         .write.partitionBy(bucketColName)
         .parquet(Paths.get(dir, commitRel).toString)
-      val adds = listCommitFiles(commitRel, bucketColName).map(_.copy(ver = snap.version + 1))
+      val adds = listCommitFiles(commitRel, bucketColName, snap.meta).map(_.copy(ver = snap.version + 1))
       val removes = snap.files.map(f => RemoveFile(f.path)) ++
         snap.deleteFiles.map(d => RemoveFile(d.path))
       if (tryCommit(snap.version + 1, adds ++ removes)) return adds.size
@@ -990,7 +1002,8 @@ final class LakehouseTable(
           .repartition(col(bucketColName))
           .write.partitionBy(bucketColName)
           .parquet(Paths.get(dir, commitRel).toString)
-        listCommitFiles(commitRel, bucketColName).map(_.copy(ver = snap.version + 1))
+        listCommitFiles(commitRel, bucketColName, snap.meta)
+          .map(_.copy(ver = snap.version + 1))
       }
       val actions = Meta(snap.schema, newBuckets, snap.meta.exists(_.changelog),
         snap.meta.map(_.mergeEngine).getOrElse("last-wins"),
@@ -1009,16 +1022,17 @@ final class LakehouseTable(
     }
   }
 
-  private def listCommitFiles(commitRel: String, bucketCol: String): Seq[AddFile] = {
+  private def listCommitFiles(commitRel: String, bucketCol: String,
+      meta: Option[Meta]): Seq[AddFile] = {
     val root = Paths.get(dir, commitRel)
-    val adds = Files.walk(root).iterator.asScala
+    val adds = usingStream(Files.walk(root))(_
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map { p =>
         val rel = Paths.get(dir).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
         AddFile(rel, bucket, -1L)
-      }.toSeq
-    attachBlooms(attachStats(adds))
+      }.toSeq)
+    attachBlooms(attachStats(adds, meta), meta)
   }
 
   /** Columns that get zone maps: top-level orderable scalars. */
@@ -1036,11 +1050,13 @@ final class LakehouseTable(
     * cost proportional to the commit, not the table. Stats ride in the
     * AddFile action, so pruning at read time is metadata-only.
     */
-  private def attachStats(adds: Seq[AddFile]): Seq[AddFile] = {
+  private def attachStats(adds: Seq[AddFile], meta: Option[Meta]): Seq[AddFile] = {
     // the stats scan costs one pass over the commit's files (~25% of B5's
     // merge wall); `collectStats = false` trades data skipping for it
     if (!collectStats || adds.isEmpty) return adds
-    val cols = snapshot().meta.map(m => statColumns(m.schema.struct)).getOrElse(Seq.empty)
+    // the caller's snapshot meta — re-reading the log here would replay
+    // the whole commit tail a second and third time per commit
+    val cols = meta.map(m => statColumns(m.schema.struct)).getOrElse(Seq.empty)
     if (cols.isEmpty) return adds
     val paths = adds.map(a => Paths.get(dir, a.path).toString)
     val aggs = cols.flatMap(f => Seq(
@@ -1080,8 +1096,8 @@ final class LakehouseTable(
     * AddFile carries only a flag, so the manifest never bloats with filter
     * bytes, and sidecars are immutable like their data files.
     */
-  private def attachBlooms(adds: Seq[AddFile]): Seq[AddFile] = {
-    val bloomCols = snapshot().meta.map(_.bloomColumns).getOrElse(Seq.empty)
+  private def attachBlooms(adds: Seq[AddFile], meta: Option[Meta]): Seq[AddFile] = {
+    val bloomCols = meta.map(_.bloomColumns).getOrElse(Seq.empty)
     if (!collectStats || bloomCols.isEmpty || adds.isEmpty) return adds
     import spark.implicits._
     val paths = adds.map(a => Paths.get(dir, a.path).toString)
@@ -1213,6 +1229,26 @@ final class LakehouseTable(
       value: Any): Boolean =
     zoneAdmits(file, colName, dt, value) && bloomAdmits(file, colName, dt, value)
 
+  /** Stat-string ordering: stats come from Spark min/max over UTF8String
+    * (unsigned UTF-8 BYTE order), so prune-time comparisons must use the
+    * SAME order. Java String's UTF-16 code-unit order disagrees above the
+    * BMP — U+FFFF compares above a surrogate pair there — and a
+    * mis-ordered comparison PRUNES files that contain matches (silently
+    * missing rows). Dates/timestamps render to ASCII, where the two
+    * orders agree; this matters for genuine string columns. */
+  private def utf8Le(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   private def zoneAdmits(
       file: AddFile,
       colName: String,
@@ -1232,7 +1268,7 @@ final class LakehouseTable(
             } catch { case scala.util.control.NonFatal(_) => true }
           case _ =>
             val v = renderProbe(dt, value)
-            cs.min <= v && v <= cs.max
+            utf8Le(cs.min, v) && utf8Le(v, cs.max)
         }
       case _ => true
     }
@@ -1262,7 +1298,8 @@ final class LakehouseTable(
             try BigDecimal(cs.min) <= BigDecimal(hi.toString) &&
               BigDecimal(lo.toString) <= BigDecimal(cs.max)
             catch { case scala.util.control.NonFatal(_) => true }
-          case _ => cs.min <= renderProbe(dt, hi) && renderProbe(dt, lo) <= cs.max
+          case _ => utf8Le(cs.min, renderProbe(dt, hi)) &&
+            utf8Le(renderProbe(dt, lo), cs.max)
         }
       case _ => true
     }
@@ -1287,7 +1324,7 @@ final class LakehouseTable(
           case _: NumericType =>
             try BigDecimal(cs.max) >= BigDecimal(v.toString)
             catch { case scala.util.control.NonFatal(_) => true }
-          case _ => cs.max >= renderProbe(dt, v)
+          case _ => utf8Le(renderProbe(dt, v), cs.max)
         }
       case _ => true
     }
@@ -1302,7 +1339,7 @@ final class LakehouseTable(
           case _: NumericType =>
             try BigDecimal(cs.min) <= BigDecimal(v.toString)
             catch { case scala.util.control.NonFatal(_) => true }
-          case _ => cs.min <= renderProbe(dt, v)
+          case _ => utf8Le(cs.min, renderProbe(dt, v))
         }
       case _ => true
     }
@@ -1376,7 +1413,8 @@ final class LakehouseTable(
   /** Drop data files no longer referenced by any snapshot >= `retainFrom`
     * (defaults to the latest version only). The log itself is never vacuumed.
     */
-  def vacuum(retainFromVersion: Option[Long] = None): Seq[String] = {
+  def vacuum(retainFromVersion: Option[Long] = None,
+      retentionMs: Long = 6L * 3600 * 1000): Seq[String] = {
     val from = retainFromVersion.getOrElse(latestVersion())
     // change-data files of RETAINED commits must survive: they are reachable
     // through readChangelogBetween even though no snapshot references them
@@ -1391,19 +1429,28 @@ final class LakehouseTable(
         s.files.map(_.path) ++ s.deleteFiles.map(_.path)
       }.toSet ++ cdcReferenced
     val root = Paths.get(dir)
-    val removed = Files.walk(root).iterator.asScala
+    // retention window (Delta VACUUM's retain-hours): a CONCURRENT writer
+    // follows write-data-then-claim, so its fresh files are unreferenced by
+    // every committed snapshot right up until its commit lands — reaping
+    // them would make that commit point at deleted files (silent data
+    // loss). Only files older than the retention horizon are candidates;
+    // an in-flight write older than hours is a crashed writer whose claim
+    // can no longer win, which is exactly what vacuum exists to reclaim.
+    val horizon = System.currentTimeMillis() - math.max(0L, retentionMs)
+    val removed = usingStream(Files.walk(root))(_
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < horizon)
       .map(p => root.relativize(p).toString)
       .filterNot(referenced.contains)
-      .toSeq
+      .toSeq)
     removed.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
     // bloom sidecars live and die with their data file: reclaim any whose
     // data file is no longer referenced (the sidecar of a vacuumed file)
     val idx = root.resolve("_index")
     if (Files.isDirectory(idx)) {
-      Files.walk(idx).iterator.asScala
+      usingStream(Files.walk(idx))(_
         .filter(p => p.toString.endsWith(".bloom") && Files.isRegularFile(p))
-        .toSeq
+        .toSeq)
         .foreach { p =>
           val dataRel = idx.relativize(p).toString.stripSuffix(".bloom")
           if (!referenced.contains(dataRel)) Files.deleteIfExists(p)
@@ -1525,9 +1572,10 @@ final class LakehouseTable(
         .map(l => v -> decode(l)))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
+    if (Files.exists(p)) {
+      val s = Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      try s.iterator.asScala.foreach(Files.deleteIfExists(_)) finally s.close()
+    }
 }
 
 /** [[DataSink]] over [[LakehouseTable]]s — the pipeline-facing lakehouse sink.
@@ -1555,8 +1603,10 @@ final class LakehouseSink(
       tb.snapshot().files.foreach(f =>
         Files.deleteIfExists(Paths.get(tb.dir, f.path)))
       val log = Paths.get(tb.dir, "_log")
-      if (Files.isDirectory(log))
-        Files.list(log).iterator.asScala.foreach(Files.deleteIfExists(_))
+      if (Files.isDirectory(log)) {
+        val s = Files.list(log)
+        try s.iterator.asScala.foreach(Files.deleteIfExists(_)) finally s.close()
+      }
     case TruncateTableEvent(t) =>
       // truncation = one commit removing every live file (time travel to the
       // pre-truncate version still works; vacuum reclaims the bytes)

@@ -115,13 +115,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
-  test("TRY_EVOLVE: applier failure swallowed, registry still evolves") {
+  test("TRY_EVOLVE: applier failure swallowed, registry stays AT the sink schema") {
+    // reference applyAndUpdateEvolvedSchemaChange order: the sink applies
+    // FIRST, the evolved registry records only on success — a registry
+    // that ran ahead would make every later coerceBatch target a column
+    // the physical sink table lacks, failing every write
+    var fail = false
     val d = new SchemaEvolutionDriver(
       SchemaChangeBehavior.TRY_EVOLVE,
-      _ => throw new RuntimeException("sink DDL failed"))
+      _ => if (fail) throw new RuntimeException("sink DDL failed"))
     d.handle(CreateTableEvent(t, schema("id" -> IntT())))
-    d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("x", IntT()))))
-    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "x"))
+    fail = true
+    val applied =
+      d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("x", IntT()))))
+    assert(applied.isEmpty, "a swallowed evolution reports as NOT applied")
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id"),
+      "the registry must not run ahead of the real sink schema")
+    fail = false
+    d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("y", IntT()))))
+    assert(d.evolvedSchemas.latest(t).get.columnNames == Seq("id", "y"),
+      "recovery: the next successful evolution still lands")
   }
 
   test("coerce pads missing columns with null and casts") {

@@ -174,7 +174,7 @@ class LakehouseSpec extends AnyFunSuite {
     // compaction rewrites carry blooms; vacuum reclaims orphaned sidecars
     t.compact(maxFilesPerBucket = 1)
     assert(t.snapshot().files.forall(_.bloom))
-    t.vacuum()
+    t.vacuum(retentionMs = 0)
     val idx = Paths.get(dir, "_index")
     val sidecars = Files.walk(idx).iterator()
     val live = Iterator.continually(sidecars).takeWhile(_.hasNext).map(_.next())
@@ -256,7 +256,7 @@ class LakehouseSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](t.snapshot(Some(expired.max)))
     assert(e.getMessage.contains("expired"))
     // vacuum after expiry reclaims files only expired versions referenced
-    t.vacuum(Some(latest - 2))
+    t.vacuum(Some(latest - 2), retentionMs = 0)
     assert(t.read().count() == 16)
   }
 
@@ -337,7 +337,7 @@ class LakehouseSpec extends AnyFunSuite {
     assert(c3.isEmpty)
 
     // vacuum must not reclaim change files of retained commits
-    t.vacuum()
+    t.vacuum(retentionMs = 0)
     assert(t.readChangelogBetween(-1L, v2).count() == all.count())
 
     // expiry bounds the changelog like the change feed
@@ -386,7 +386,7 @@ class LakehouseSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L, 9L))
 
     // vacuum before compaction must keep live delete files
-    t.vacuum()
+    t.vacuum(retentionMs = 0)
     assert(t.read().count() == 8)
 
     // compaction materializes the deletes and drops the delete files; the
@@ -900,10 +900,50 @@ class LakehouseSpec extends AnyFunSuite {
     val t = newTable()
     t.merge((0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
     t.merge((0L until 50L).map(i => (i, s"w$i")).toDF("k", "v"), empty(t))
-    val removed = t.vacuum()
+    val removed = t.vacuum(retentionMs = 0)
     assert(removed.nonEmpty) // the fully rewritten first-commit files
     assert(t.read().count() == 50)
     assert(t.read().filter($"v" === "w0").count() == 1)
+  }
+
+  test("vacuum retention protects an in-flight concurrent writer's fresh files") {
+    // write-data-then-claim: a concurrent writer's parquet is unreferenced
+    // by every committed snapshot until its commit lands — the default
+    // retention window must keep it, or the commit would point at deleted
+    // files (silent data loss). Files older than the window ARE reclaimed
+    // (a crashed writer whose claim can no longer win).
+    val t = newTable()
+    t.merge((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), empty(t))
+    val inflight = Paths.get(t.dir, "merge-inflight")
+    Files.createDirectories(inflight)
+    val fresh = inflight.resolve("part-00000.parquet")
+    Files.write(fresh, Array[Byte](1, 2, 3))
+    assert(t.vacuum().isEmpty, "a fresh unreferenced file survives the window")
+    assert(Files.exists(fresh))
+    Files.setLastModifiedTime(fresh, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(t.vacuum().nonEmpty, "past the window the orphan is reclaimed")
+    assert(!Files.exists(fresh))
+  }
+
+  test("string zone maps prune in UTF-8 byte order, not UTF-16 code units") {
+    // stats come from Spark min/max over UTF8String: U+1F600 (a surrogate
+    // pair in UTF-16) sorts ABOVE U+FFFF in UTF-8 byte order but BELOW it
+    // in Java String order — a Java-ordered comparison would prune the
+    // file that holds the match
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val t = new LakehouseTable(spark, dir)
+    t.create(TableSchema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "s", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "n", org.apache.spark.sql.types.LongType))),
+      primaryKeys = Seq.empty), buckets = 1)
+    t.append(Seq(("a", 1L), ("￿", 2L), ("😀", 3L)).toDF("s", "n"))
+    val hit = t.prunedFiles("s", "￿")
+    assert(hit.nonEmpty, "the file containing \\uFFFF must survive pruning")
+    assert(t.readWhere("s", "￿").count() == 1)
   }
 
   test("LakehouseSink SPI: schema evolution null-fills old files, txn tracking") {
