@@ -143,10 +143,13 @@ object SchemaMerging {
     val upMap = upcoming.toMap
     val widened = current.map { case (name, t) =>
       upMap.get(name) match {
-        case Some(u) if !sameIgnoringNullability(t, u) => name -> leastCommonType(t, u)
+        // ALWAYS merge through leastCommonType (reference getLeastCommonSchema
+        // :147-156 has no same-type shortcut): nullability ORs even when the
+        // base types agree — keeping a NOT NULL declaration while upcoming
+        // rows carry nulls would violate the declared schema downstream
+        case Some(u) => name -> leastCommonType(t, u)
         // a column missing from the upcoming schema must become nullable
         case None => name -> t.withNullable(true)
-        case _ => name -> t
       }
     }
     val appended = upcoming.collect {
@@ -163,8 +166,12 @@ object SchemaMerging {
       before: Seq[(String, CdcType)],
       after: Seq[(String, CdcType)]): Seq[SchemaChangeEvent] = {
     val beforeMap = before.toMap
+    // EXACT type comparison (reference getSchemaDifference:214 uses
+    // Objects.equals): a nullability-only widening must still emit
+    // AlterColumnType, or the sink keeps a NOT NULL column the merged
+    // schema already relaxed
     val altered = after.collect {
-      case (name, t) if beforeMap.get(name).exists(b => !sameIgnoringNullability(b, t)) =>
+      case (name, t) if beforeMap.get(name).exists(b => b != t) =>
         name -> t
     }.toMap
     val added = after.filter { case (name, _) => !beforeMap.contains(name) }

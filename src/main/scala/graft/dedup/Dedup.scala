@@ -36,6 +36,21 @@ object Dedup {
     graft.functions.CatalystExprs.minHashSig(
       graft.functions.CatalystExprs.wordShingles(text, shingleSize), numHashes)
 
+  /** Per-band chunk width and mask for splitting an LSH signature into
+    * bands. Requires bands to divide bits — a remainder would silently
+    * drop the signature's top bits from every bucket key (recall loss) —
+    * and handles the 64-bit band: `1L << 64` wraps to 1 on the JVM, so the
+    * naive mask would be 0 and every row would land in bucket 0 — the
+    * single-bucket all-pairs join this module's header promises never
+    * happens. */
+  private[graft] def bandSplit(bits: Int, bands: Int): (Int, Long) = {
+    require(bands > 0 && bits % bands == 0,
+      s"bands ($bands) must divide signature bits ($bits)")
+    val perBand = bits / bands
+    require(perBand <= 64, s"per-band width $perBand exceeds 64 bits")
+    (perBand, if (perBand == 64) -1L else (1L << perBand) - 1)
+  }
+
   /** Shared LSH pair generation: `banded` has columns
     * (band, bucketKey, id, payload); returns (idA, idB, payloadA, payloadB)
     * with idA < idB.
@@ -169,8 +184,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
-    val perBand = 64 / bands
-    val mask = if (perBand == 64) -1L else (1L << perBand) - 1
+    val (perBand, mask) = bandSplit(64, bands)
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("payload"))
     val chunkArray = array((0 until bands).map(b =>
       shiftright(col("payload"), b * perBand).bitwiseAND(lit(mask))): _*)
@@ -255,6 +269,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a non-converged exit would be INDISTINGUISHABLE from success: one
+    // connected component would carry several cluster ids, so canonical
+    // selection keeps several "survivors" of one duplicate cluster and the
+    // duplicates silently stay in the corpus. min-label propagation needs
+    // at most the graph diameter in rounds — a diameter past maxIterations
+    // means the caller must raise the bound, not receive wrong labels.
+    require(converged,
+      s"duplicate-cluster label propagation did not converge in " +
+        s"$maxIterations iterations (duplicate-chain diameter exceeds the " +
+        "bound) — raise maxIterations rather than using split clusters")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -467,8 +491,7 @@ object Dedup {
       bits: Int = 16,
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val perBand = bits / bands
-    val mask = (1L << perBand) - 1
+    val (perBand, mask) = bandSplit(bits, bands)
     val sigs = df.select(
       col(idCol).as("id"),
       col(vecCol).as("payload"),
@@ -541,8 +564,7 @@ object Dedup {
       seed: Long): DataFrame = {
     require(centroids.nonEmpty, "semantic dedup needs at least one centroid")
     require(centroids.forall(_.length == dim), s"centroids must have dim=$dim")
-    val perBand = bits / bands
-    val mask = (1L << perBand) - 1
+    val (perBand, mask) = bandSplit(bits, bands)
     // argmax over k per-row cosines; array_position takes the FIRST maximal
     // index, so the tie-break is deterministic (lowest centroid wins). The
     // centroid literal is cast to the vector column's element type so the

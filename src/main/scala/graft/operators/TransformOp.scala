@@ -112,8 +112,15 @@ object TransformOp {
     val outNames = projExprs.map { e =>
       aliasOf.findFirstMatchIn(e).map(_.group(1)).getOrElse(e)
     }
+    // ALWAYS evaluate the projection expression (the envelope twin's
+    // contract, EnvelopeTransform.projectImage): selecting col(name) when
+    // an alias shadows an existing column would silently return the
+    // ORIGINAL value for a redefinition like `UPPER(name) AS name`
     filtered.select(outNames.zip(projExprs).map { case (name, e) =>
-      if (filtered.columns.contains(name)) col(name).as(name) else expr(e).as(name)
+      aliasOf.findFirstMatchIn(e) match {
+        case Some(m) => expr(e.substring(0, m.start)).as(name)
+        case None => expr(e).as(name)
+      }
     }.toIndexedSeq: _*)
   }
 

@@ -59,8 +59,7 @@ object Ann {
       bits: Int = 16,
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val perBand = bits / bands
-    val mask = (1L << perBand) - 1
+    val (perBand, mask) = graft.dedup.Dedup.bandSplit(bits, bands)
     def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
       df.select(
         col(id).as(idAs),
@@ -129,10 +128,14 @@ object Ann {
         k: Int,
         nprobe: Int)(implicit spark: SparkSession): DataFrame = {
       import spark.implicits._
-      val probes = queries.flatMap { case (qid, v) =>
+      val probePairs = queries.flatMap { case (qid, v) =>
         nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat)))
-      }.toDF("qid", "bucket", "qvec")
-      val needed = probes.select("bucket").as[Int].collect().distinct.toSeq
+      }
+      val probes = probePairs.toDF("qid", "bucket", "qvec")
+      // the bucket list was computed DRIVER-side just above: deriving it
+      // locally avoids launching a Spark job per query batch to collect
+      // back data the driver already holds
+      val needed = probePairs.map(_._2).distinct
       val cands = readBuckets(spark, path, needed).join(broadcast(probes), Seq("bucket"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       cands
@@ -157,10 +160,11 @@ object Ann {
         k: Int,
         nprobe: Int)(implicit spark: SparkSession): DataFrame = {
       import spark.implicits._
-      val probes = queries.flatMap { case (qid, v, attr) =>
+      val probePairs = queries.flatMap { case (qid, v, attr) =>
         nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat), attr.toString))
-      }.toDF("qid", "bucket", "qvec", "__qattr")
-      val needed = probes.select("bucket").as[Int].collect().distinct.toSeq
+      }
+      val probes = probePairs.toDF("qid", "bucket", "qvec", "__qattr")
+      val needed = probePairs.map(_._2).distinct
       // raw (uncast) values on the partition columns: a cast would block
       // partition pruning — the cast-to-string match lives in the join filter
       val attrs = queries.map(_._3).distinct
@@ -310,15 +314,12 @@ object Ann {
         m: Int,
         ks: Int,
         sampleSize: Int = 2000,
-        iters: Int = 5): PqIndex = {
+        iters: Int = 5,
+        presample: Option[Array[Array[Double]]] = None): PqIndex = {
       require(m >= 1 && m <= 8, s"m must be in [1,8] (8-bit codes pack a long), got $m")
       require(ks >= 1 && ks <= 256, s"ks must be in [1,256], got $ks")
-      val sample = corpus
-        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-        .orderBy("id")
-        .limit(sampleSize)
-        .collect()
-        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+      val sample = presample.getOrElse(
+        IvfIndex.collectTrainingSample(corpus, idCol, vecCol, sampleSize))
       require(sample.nonEmpty, "empty corpus")
       val dim = sample(0).length
       require(dim % m == 0, s"dim $dim must divide into $m blocks")
@@ -430,8 +431,11 @@ object Ann {
         ks: Int,
         sampleSize: Int = 2000,
         iters: Int = 3): IvfPqIndex = {
-      val ivf = IvfIndex.build(corpus, idCol, vecCol, numCentroids, sampleSize, iters)
-      val pq = PqIndex.build(corpus, idCol, vecCol, m, ks, sampleSize, iters)
+      val sample = IvfIndex.collectTrainingSample(corpus, idCol, vecCol, sampleSize)
+      val ivf = IvfIndex.build(corpus, idCol, vecCol, numCentroids, sampleSize, iters,
+        presample = Some(sample))
+      val pq = PqIndex.build(corpus, idCol, vecCol, m, ks, sampleSize, iters,
+        presample = Some(sample))
       val cents = ivf.centroids.map(_._2)
       val encoded = corpus.select(
         col(idCol).as("cid"),
@@ -442,6 +446,20 @@ object Ann {
   }
 
   object IvfIndex {
+    /** Driver-side training sample: deterministic (orderBy id, limit) so
+      * rebuilds are reproducible. Shared by the IVF and PQ trainers — the
+      * composite [[IvfPqIndex.build]] collects ONE sample and hands it to
+      * both, instead of running the global-sort-bounded corpus scan twice
+      * at index-build time. */
+    private[similarity] def collectTrainingSample(corpus: DataFrame,
+        idCol: String, vecCol: String, sampleSize: Int): Array[Array[Double]] =
+      corpus
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .orderBy("id")
+        .limit(sampleSize)
+        .collect()
+        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+
     private[similarity] def l2sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -459,13 +477,10 @@ object Ann {
         numCentroids: Int,
         sampleSize: Int = 2000,
         iters: Int = 3,
-        attrCols: Seq[String] = Seq.empty): IvfIndex = {
-      val sample = corpus
-        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-        .orderBy("id")
-        .limit(sampleSize)
-        .collect()
-        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+        attrCols: Seq[String] = Seq.empty,
+        presample: Option[Array[Array[Double]]] = None): IvfIndex = {
+      val sample = presample.getOrElse(
+        IvfIndex.collectTrainingSample(corpus, idCol, vecCol, sampleSize))
       require(sample.nonEmpty, "empty corpus")
       val step = math.max(sample.length / numCentroids, 1)
       var cents: Array[Array[Double]] =

@@ -41,8 +41,14 @@ class GraftCdcProvider extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftCdcTable(schema, properties.get("sourceId"), properties)
+      properties: util.Map[String, String]): Table = {
+    // Spark hands getTable the CASE-SENSITIVE original options while
+    // inferSchema got a CaseInsensitiveStringMap: a differently-cased
+    // `sourceid` would pass schema inference and then fail later with a
+    // confusing "no change source 'null'" — resolve both the same way
+    val ci = new CaseInsensitiveStringMap(properties)
+    new GraftCdcTable(schema, ci.get("sourceId"), properties)
+  }
 }
 
 final class GraftCdcTable(
@@ -466,7 +472,13 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
         source.snapshotRead(lo, hi).foreach { r =>
           rows(r(source.schema.primaryKeys.head).toString.toLong) = r
         }
-        val hw = source.currentOffset
+        // skip-backfill sets HW = LW (reference AbstractScanFetchTask:76):
+        // events that landed DURING the select were not merged into the
+        // snapshot rows, so the log-phase suppression filter must not
+        // swallow them, and the rows' seq must not outrank them in the
+        // downstream max_by(seq) upsert — they replay in the stream phase
+        // (the mode's documented at-least-once contract)
+        val hw = if (skipBackfill) lw else source.currentOffset
         if (!skipBackfill && hw > lw) {
           source.readLog(lw, hw).foreach { rec =>
             rec.event match {

@@ -151,6 +151,21 @@ class SchemaMergingSpec extends AnyFunSuite {
       "x" -> IntT(), // missing from upcoming → nullable (already was)
       "y" -> DoubleT()))
   }
+  test("leastCommonSchema ORs nullability even when the base type is unchanged") {
+    // reference getLeastCommonSchema has no same-type shortcut: a NOT NULL
+    // current column whose upcoming twin is nullable must widen to nullable,
+    // or upcoming null rows violate the declared schema downstream — and
+    // schemaDifference must emit the nullability-only AlterColumnType
+    // (reference getSchemaDifference compares with Objects.equals)
+    val cur = Seq("a" -> IntT(nullable = false))
+    val up = Seq("a" -> IntT(nullable = true))
+    val merged = leastCommonSchema(cur, up)
+    assert(merged == Seq("a" -> IntT(nullable = true)))
+    val events = schemaDifference(TableId.parse("db.t"), cur, merged)
+    assert(events == Seq(AlterColumnTypeEvent(
+      TableId.parse("db.t"), Map("a" -> IntT(nullable = true)))))
+  }
+
   test("schemaDifference emits AlterColumnType + AddColumn") {
     val t = TableId.parse("db.t")
     val before = Seq("id" -> IntT(), "name" -> StringT())

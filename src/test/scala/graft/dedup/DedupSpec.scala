@@ -323,6 +323,18 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@10 $mean too low: $recalls")
   }
 
+  test("bandSplit: 64-bit band masks all bits; non-dividing bands refuse") {
+    // `1L << 64` wraps to 1 on the JVM: a naive (1L << 64) - 1 mask would
+    // be ZERO, sending every row to bucket 0 — the single-bucket all-pairs
+    // join the module's header promises never happens. And a non-dividing
+    // band count would silently drop the signature's top bits (recall
+    // loss), so it refuses instead.
+    assert(Dedup.bandSplit(64, 1) == ((64, -1L)))
+    assert(Dedup.bandSplit(64, 4) == ((16, 0xFFFFL)))
+    intercept[IllegalArgumentException](Dedup.bandSplit(16, 3))
+    intercept[IllegalArgumentException](Dedup.bandSplit(16, 0))
+  }
+
   test("lsh top-k finds the identical vector") {
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

@@ -66,6 +66,17 @@ class TransformOpSpec extends AnyFunSuite {
     assert(out.filter($"id" === 1).select($"uname").head().getString(0) == "ALICE")
   }
 
+  test("projection REDEFINING an existing column evaluates the expression") {
+    // `UPPER(name) AS name` shadows a source column: the projection must
+    // return the computed value, not silently pass the original through
+    // (the envelope twin EnvelopeTransform.projectImage always evaluates)
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule("db.t", projection = Some("id, UPPER(name) AS name"))
+    val out = TransformOp.applyToRows(df, rule)
+    assert(out.columns.toSeq == Seq("id", "name"))
+    assert(out.filter($"id" === 1).select($"name").head().getString(0) == "ALICE")
+  }
+
   test("filter sees computed columns (PostTransformOperator semantics)") {
     val df = rows.toDF("id", "name", "bal")
     val rule = TransformRule(

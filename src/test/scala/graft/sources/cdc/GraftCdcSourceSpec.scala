@@ -285,6 +285,48 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     ChangeSourceRegistry.remove(id)
   }
 
+  test("backfill.skip: an update during the select replays in the stream phase (HW = LW)") {
+    // skip-backfill's contract is at-least-once (reference
+    // AbstractScanFetchTask:76 "Directly set HW = LW if backfill is
+    // skipped"): an event landing during the chunk select is NOT merged
+    // into the snapshot rows, so it MUST replay in the log phase.
+    // Reporting the post-select offset as the chunk HW would suppress it
+    // there (off <= HW), and the stale snapshot row (stamped seq = HW)
+    // would outrank the update in the downstream max_by(seq) — the change
+    // would be lost forever.
+    val id = "cdc-skipbf"
+    val t = TableId.parse("db.t")
+    val src = new ScriptedChangeSource(t, schema,
+      (1L to 20L).map(i => row(i, s"v$i"))) {
+      private var injected = false
+      override def snapshotRead(
+          lo: Option[Long], hiExclusive: Option[Long]): Seq[Map[String, Any]] = {
+        // read the STALE view first, then let the update land "during" the
+        // select — inside the LW/HW window, invisible to the chunk rows
+        val out = super.snapshotRead(lo, hiExclusive)
+        if (!injected) {
+          injected = true
+          append(DataChangeEvent.update(t, row(5L, "v5"), row(5L, "v5-live")))
+        }
+        out
+      }
+    }
+    ChangeSourceRegistry.register(id, src)
+    val events = collectStream(id,
+      Map("chunk.size" -> "50", "backfill.skip" -> "true"))
+    val updates = events.filter(_._1 == "UPDATE")
+    assert(updates.size == 1 && updates.head._3.contains("v5-live"),
+      s"the skipped-backfill update must replay in the stream phase: $events")
+    // seq ordering: the update's seq outranks the stale snapshot row's, so
+    // the downstream max_by(seq) upsert lands on the live value
+    val staleSeq = events.find(_._3.contains("v5")).map(_._2).get
+    val liveSeq = updates.head._2
+    assert(liveSeq > staleSeq,
+      s"the log event (seq $liveSeq) must outrank the stale snapshot row " +
+        s"(seq $staleSeq)")
+    ChangeSourceRegistry.remove(id)
+  }
+
   test("chunk partition re-read is deterministic (Spark retry idempotence)") {
     // SURVEY §7 hard-list (a): Spark may re-run a partition after failure —
     // the chunk reader (LW/select/HW/backfill) must produce identical rows
