@@ -1089,8 +1089,8 @@ object QueriesML {
         |  SELECT doc_id,
         |    ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS key
         |  FROM documents)
-        |SELECT doc_id, key % 8 AS shard,
-        |  CAST(row_number() OVER (PARTITION BY key % 8
+        |SELECT doc_id, key * 8 // 2147483648 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key * 8 // 2147483648
         |                          ORDER BY key, doc_id) AS INT) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
     // same segmentation as d_span_dedup, but the filter is corpus-wide
@@ -1532,14 +1532,16 @@ object QueriesML {
         |FROM p ORDER BY doc_id""".stripMargin,
     "x_sample_stratified" ->
       """SELECT doc_id, source FROM documents
-        |WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2048 <
+        |WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |    * 2048 // 2147483648 <
         |  CASE WHEN source = 'src1' THEN 512 WHEN source = 'src0' THEN 1024 ELSE 256 END
         |ORDER BY doc_id""".stripMargin,
     "x_sample_topk" ->
       """WITH r AS (
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2048, doc_id) AS rn
+        |      ORDER BY (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |        * 2048 // 2147483648, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "x_pack_bins" ->
@@ -1733,7 +1735,8 @@ object QueriesML {
         |  AND q.quality >= 0.8
         |  AND a.doc_id IN (SELECT doc_id FROM surv)
         |  AND a.doc_id NOT IN (SELECT doc_id FROM contam)
-        |  AND ((a.doc_id % 2147483648) * 1103515245 + 12345) % 2048 < 1024
+        |  AND (((a.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |    * 2048 // 2147483648 < 1024
         |ORDER BY a.doc_id""".stripMargin,
     // dimension-major per-label mean; i is 1-based in DuckDB lists, Spark's
     // posexplode pos is 0-based → dim = i - 1

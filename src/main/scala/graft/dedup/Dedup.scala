@@ -112,6 +112,16 @@ object Dedup {
       .withColumnRenamed("col", "bucketKey")
   }
 
+  /** Signature-level similarity of two MinHash payload arrays: the fraction
+    * of equal minima — the unbiased Jaccard estimator LSH verification uses.
+    * The payloads must be FULL signatures of `numHashes` minima (the divide
+    * encodes that contract); one definition serves both the in-run candidate
+    * join and the maintained cross-run index probe. */
+  def signatureSimilarity(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v).divide(lit(numHashes))
+
   def minHashLshCandidates(
       df: DataFrame,
       idCol: String,
@@ -124,11 +134,7 @@ object Dedup {
       .select(
         col("idA"),
         col("idB"),
-        aggregate(
-          zip_with(col("payloadA"), col("payloadB"),
-            (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0),
-          (acc, v) => acc + v).divide(lit(numHashes)).as("sigSim"))
+        signatureSimilarity(col("payloadA"), col("payloadB"), numHashes).as("sigSim"))
       .groupBy("idA", "idB")
       .agg(max("sigSim").as("sigSim"))
   }

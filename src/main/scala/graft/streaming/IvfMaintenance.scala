@@ -89,10 +89,13 @@ object IvfMaintenance {
       k: Int,
       nprobe: Int)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val probes = queries.flatMap { case (qid, v) =>
+    val probePairs = queries.flatMap { case (qid, v) =>
       nearestBuckets(centroids, v, nprobe).map(b => (qid, b, v.map(_.toFloat)))
-    }.toDF("qid", "bucket", "qvec")
-    val needed = probes.select("bucket").as[Int].collect().distinct
+    }
+    val probes = probePairs.toDF("qid", "bucket", "qvec")
+    // bucket ids were computed DRIVER-side just above: derive the distinct
+    // list locally rather than launching a Spark job to collect it back
+    val needed = probePairs.map(_._2).distinct.toArray
     val cands = index
       .scanWithFilters(Array("cid", "cvec", "bucket"),
         Array(org.apache.spark.sql.sources.In("bucket",
@@ -112,7 +115,11 @@ object IvfMaintenance {
   /** `nprobe` nearest centroid ids for a query vector (L2, ties to the lower
     * id — the assignment expression's contract). */
   def nearestBuckets(
-      centroids: Array[Array[Double]], vec: Array[Double], nprobe: Int): Seq[Int] =
+      centroids: Array[Array[Double]], vec: Array[Double], nprobe: Int): Seq[Int] = {
+    require(centroids.forall(_.length == vec.length),
+      s"query vector dim ${vec.length} does not match centroid dim " +
+        s"${centroids.headOption.map(_.length).getOrElse(0)} — a silent " +
+        "truncated distance would return wrong buckets")
     centroids.zipWithIndex
       .map { case (c, i) =>
         var s = 0.0; var j = 0
@@ -123,4 +130,5 @@ object IvfMaintenance {
       .take(nprobe)
       .map(_._2)
       .toSeq
+  }
 }

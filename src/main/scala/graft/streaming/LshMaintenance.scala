@@ -41,6 +41,38 @@ object LshMaintenance {
     * `txn` action in the signature table's commits. */
   val LshRunId = "graft-lsh-maintain"
 
+  /** The signature parameters are part of the index's IDENTITY: a probe
+    * computed with different (shingleSize, numHashes, bands) produces
+    * different payloads and bucket keys, so the (band, bucketKey) join
+    * matches NOTHING and every near-duplicate passes as unique with no
+    * error. Maintenance persists the parameters beside the table; probes
+    * and resumed maintainers refuse a mismatch loudly. */
+  private def paramsPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_lsh_params.json")
+
+  private def writeParams(indexDir: String, shingleSize: Int, numHashes: Int,
+      bands: Int): Unit =
+    java.nio.file.Files.write(paramsPath(indexDir),
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"bands":$bands}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def checkParams(indexDir: String, shingleSize: Int, numHashes: Int,
+      bands: Int, what: String): Unit = {
+    val p = paramsPath(indexDir)
+    if (java.nio.file.Files.exists(p)) {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p))
+      val stored = (n.get("shingleSize").asInt(), n.get("numHashes").asInt(),
+        n.get("bands").asInt())
+      require(stored == ((shingleSize, numHashes, bands)),
+        s"$what with (shingleSize=$shingleSize, numHashes=$numHashes, " +
+          s"bands=$bands) against an index built with (shingleSize=" +
+          s"${stored._1}, numHashes=${stored._2}, bands=${stored._3}) — " +
+          "the signatures would never match and every near-duplicate " +
+          "would silently pass as unique; use the index's parameters")
+    }
+  }
+
   /** Start the standing maintenance query over `sourceDir`'s change feed,
     * appending banded signature rows to the index table at `indexDir`. */
   def maintain(
@@ -63,8 +95,11 @@ object LshMaintenance {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val banded = Dedup.bandedSignatures(
           batch, idCol, textCol, shingleSize, numHashes, bands)
-        if (target.snapshot().meta.isEmpty)
+        if (target.snapshot().meta.isEmpty) {
           target.create(TableSchema(banded.schema), buckets = 1)
+          writeParams(indexDir, shingleSize, numHashes, bands)
+        } else checkParams(indexDir, shingleSize, numHashes, bands,
+          "resuming LSH maintenance")
         // range-partition the increment on (band, bucketKey): each data file
         // covers a contiguous band/bucket range, so single-probe lookups
         // prune through the zone maps; bulk batch probes instead broadcast
@@ -79,13 +114,6 @@ object LshMaintenance {
       .start()
   }
 
-  /** Signature-level similarity of two MinHash payload arrays: the fraction
-    * of equal minima — the unbiased Jaccard estimator LSH verification uses. */
-  private def sigSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      numHashes: Int): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, v) => acc + v).divide(lit(numHashes))
 
   /** Drop members of `newDocs` that near-duplicate an INDEXED document
     * (signature similarity ≥ `threshold` on any shared band bucket) or an
@@ -107,13 +135,14 @@ object LshMaintenance {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    checkParams(indexDir, shingleSize, numHashes, bands, "probing the LSH index")
     val newBanded = Dedup.bandedSignatures(
         newDocs, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("band"), col("bucketKey"),
         col("id").as("__new_id"), col("payload").as("__new_payload"))
     val index = new LakehouseTable(spark, indexDir).read()
     val vsIndex = index.join(broadcast(newBanded), Seq("band", "bucketKey"))
-      .filter(sigSim(col("payload"), col("__new_payload"), numHashes) >= threshold)
+      .filter(graft.dedup.Dedup.signatureSimilarity(col("payload"), col("__new_payload"), numHashes) >= threshold)
       .select(col("__new_id").as(idCol))
     // within-batch: candidate pairs among the new docs themselves; the
     // HIGHER id of a verified pair drops (chains resolve greedily: if a~b

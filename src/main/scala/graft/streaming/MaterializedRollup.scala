@@ -76,6 +76,11 @@ object MaterializedRollup {
     val keyFields = spec.keys.map(k => field(k).copy(nullable = false))
     val aggFields = spec.aggs.toSeq.sortBy(_._1).map {
       case (c, "approx_distinct") => StructField(c, BinaryType) // HLL sketch
+      case (c, "sum") =>
+        spec.decimalSum.get(c) match {
+          case Some((p, s)) => StructField(c, DecimalType(p, s))
+          case None => StructField(c, widenedSumType(field(c).dataType))
+        }
       case (c, _) =>
         spec.decimalSum.get(c) match {
           case Some((p, s)) => StructField(c, DecimalType(p, s))
@@ -88,13 +93,27 @@ object MaterializedRollup {
       primaryKeys = spec.keys)
   }
 
+  /** A SUM column's stored type: Spark's `sum()` itself widens integrals
+    * to LONG and float to DOUBLE — casting the running total back down to
+    * the source type would WRAP silently past 2^31 on any count-like fact
+    * column, in both the per-batch partial and the merge engine's
+    * cross-batch fold (which casts to this stored type). At the 100 TB
+    * target an INT running total overflows by construction. */
+  private def widenedSumType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case other => other
+  }
+
   /** Pre-aggregate one increment per key: the batch-bounded shuffle whose
     * output the merge engine folds into the stored rollup. */
   def preAggregate(batch: DataFrame, spec: RollupSpec): DataFrame = {
     def sumCol(c: String): Column = spec.decimalSum.get(c) match {
       case Some((p, s)) =>
         sum(col(c).cast(DecimalType(p, s))).cast(DecimalType(p, s))
-      case None => sum(col(c)).cast(batch.schema(c).dataType)
+      case None =>
+        sum(col(c)).cast(widenedSumType(batch.schema(c).dataType))
     }
     val aggExprs = spec.aggs.toSeq.sortBy(_._1).map {
       case (c, "sum") => sumCol(c).as(c)

@@ -81,14 +81,21 @@ object InvertedIndex {
           .as("term"))
       .select(col("term"), col("doc_id"))
 
-  /** Start the standing maintenance query over `sourceDir`'s change feed,
-    * appending each increment's postings to the index table at `indexDir`. */
-  def maintain(
+  /** The shared maintainer scaffold: the standing change-feed query with
+    * the exactly-once txn discipline, create-if-absent with a `term` bloom
+    * sidecar, one localCheckpoint per increment (the postings feed both
+    * the index and the dictionary), and the (term, doc_id) range
+    * partitioning that gives files narrow term ranges while the doc_id
+    * tiebreak spreads a skewed term (a stopword in every document) across
+    * tasks. Both the plain and the positional maintainer are this scaffold
+    * with a different schema + postings function — one definition, so the
+    * txn/partitioning/bloom discipline cannot drift between them. */
+  private def maintainWith(
       spark: SparkSession,
       sourceDir: String,
       indexDir: String,
-      idCol: String,
-      textCol: String): StreamingQuery = {
+      indexSchema: StructType,
+      postingsOf: DataFrame => DataFrame): StreamingQuery = {
     val target = new LakehouseTable(spark, indexDir)
     val ckpt = java.nio.file.Paths.get(indexDir, "_invidx_checkpoint").toString
     spark.readStream.format("graft-lakehouse")
@@ -100,25 +107,33 @@ object InvertedIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (target.snapshot().meta.isEmpty)
           target.create(
-            TableSchema(
-              StructType(Seq(
-                StructField("term", StringType, nullable = false),
-                StructField("doc_id", LongType, nullable = false))),
-              primaryKeys = Seq.empty),
+            TableSchema(indexSchema, primaryKeys = Seq.empty),
             buckets = 1, // file boundaries == range partitions: zone maps rule
             bloomColumns = Seq("term"))
-        // one tokenize pass feeds both the postings and the dictionary
-        val p = postings(batch, idCol, textCol).localCheckpoint()
-        // narrow per-file term ranges; doc_id as tiebreak spreads a skewed
-        // term (a stopword in every document) across tasks
+        val p = postingsOf(batch).localCheckpoint()
         val partitions = spark.sessionState.conf.numShufflePartitions
         target.append(
           p.repartitionByRange(partitions, col("term"), col("doc_id")),
           txn = Some((IndexRunId, batchId)))
         appendDictionary(dictionaryTable(spark, indexDir), p, batchId)
+        ()
       }
       .start()
   }
+
+  /** Start the standing maintenance query over `sourceDir`'s change feed,
+    * appending each increment's postings to the index table at `indexDir`. */
+  def maintain(
+      spark: SparkSession,
+      sourceDir: String,
+      indexDir: String,
+      idCol: String,
+      textCol: String): StreamingQuery =
+    maintainWith(spark, sourceDir, indexDir,
+      StructType(Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("doc_id", LongType, nullable = false))),
+      postings(_, idCol, textCol))
 
   /** Distinct `(term, doc_id, positions)` postings with token positions
     * (0-based, sorted): the positional layout phrase queries need. One
@@ -141,34 +156,13 @@ object InvertedIndex {
       sourceDir: String,
       indexDir: String,
       idCol: String,
-      textCol: String): StreamingQuery = {
-    val target = new LakehouseTable(spark, indexDir)
-    val ckpt = java.nio.file.Paths.get(indexDir, "_invidx_checkpoint").toString
-    spark.readStream.format("graft-lakehouse")
-      .option("path", sourceDir)
-      .option("startingVersion", "0")
-      .load()
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (target.snapshot().meta.isEmpty)
-          target.create(
-            TableSchema(
-              StructType(Seq(
-                StructField("term", StringType, nullable = false),
-                StructField("doc_id", LongType, nullable = false),
-                StructField("positions", ArrayType(IntegerType), nullable = false))),
-              primaryKeys = Seq.empty),
-            buckets = 1, bloomColumns = Seq("term"))
-        val p = positionalPostings(batch, idCol, textCol).localCheckpoint()
-        val partitions = spark.sessionState.conf.numShufflePartitions
-        target.append(
-          p.repartitionByRange(partitions, col("term"), col("doc_id")),
-          txn = Some((IndexRunId, batchId)))
-        appendDictionary(dictionaryTable(spark, indexDir), p, batchId)
-      }
-      .start()
-  }
+      textCol: String): StreamingQuery =
+    maintainWith(spark, sourceDir, indexDir,
+      StructType(Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("positions", ArrayType(IntegerType), nullable = false))),
+      positionalPostings(_, idCol, textCol))
 
   /** Documents containing `terms` CONSECUTIVELY (a phrase query) against a
     * positional index: probe each term's (pruned) posting list, inner-join
@@ -220,6 +214,9 @@ object InvertedIndex {
       // cheap length band cut before the quadratic edit-distance
       .filter(abs(length(col("term")) - lit(term.length)) <= maxDist)
       .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+      // bound BEFORE collecting: an unbounded collect of a huge fuzzy
+      // vocabulary match would OOM the driver before the guard below fires
+      .limit(maxCandidates + 1)
       .collect().map(_.getString(0)).sorted // matched vocabulary: tiny
     require(cands.length <= maxCandidates,
       s"fuzzy lookup for '$term' (maxDist=$maxDist) matched ${cands.length} " +

@@ -72,9 +72,22 @@ object TrainingData {
     * never overflows int64 — under Spark's ANSI mode an unreduced multiply
     * would throw ARITHMETIC_OVERFLOW for ids above ~8.36e9, exactly the
     * 100 TB regime this operator exists for.
+    *
+    * The bucket takes the LCG's HIGH bits — `floor(lcg · buckets / 2^31)` —
+    * never `lcg mod buckets`: an LCG's LOW bits depend only on the id's low
+    * bits (for a power-of-two bucket count dividing 2^31, `mod` makes the
+    * bucket a pure function of `id mod buckets`), so structured ids — bit-
+    * packed, snowflake-style, multiples of the bucket count — would all
+    * collapse into ONE bucket and a 50% keep-fraction would keep 100% or 0%
+    * of such a stratum. The product `lcg · buckets` is < 2^31 · 2^20 = 2^51,
+    * exact in double, so the floor is engine-portable arithmetic.
     */
-  def deterministicBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(id, lit(1L << 31)) * lit(1103515245L) + lit(12345L), lit(buckets.toLong))
+  def deterministicBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 20), s"buckets out of range: $buckets")
+    val lcg = pmod(
+      pmod(id, lit(1L << 31)) * lit(1103515245L) + lit(12345L), lit(1L << 31))
+    floor(lcg * lit(buckets.toLong) / lit(1L << 31)).cast("long")
+  }
 
   /** Stratified sample: per-stratum keep-fractions (in 1/2048ths for exact
     * integer arithmetic) with a default for unlisted strata. Map-only — a
@@ -135,8 +148,15 @@ object TrainingData {
       costCol: String,
       orderCol: String,
       shardCols: Seq[String],
-      budget: Long): DataFrame = {
-    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
+      budget: Long,
+      /** appended to the window ORDER: when `orderCol` has ties, the
+        * running sum near a budget boundary would otherwise be
+        * partition-order-dependent and the bin assignment nondeterministic
+        * across runs/engines — breaking this file's oracle-hash contract.
+        * Pass the row id (or leave empty only when `orderCol` is unique). */
+      tiebreakCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreakCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("bin",
       floor((sum(col(costCol)).over(w) - col(costCol)) / lit(budget)))
@@ -247,14 +267,19 @@ object TrainingData {
     * 4-shard toy run concentrating the sort is the misuse, not the design.
     */
   def shardShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
-    require(shards > 0, s"shards must be positive: $shards")
+    require(shards > 0 && shards <= (1 << 20),
+      s"shards out of range (1 to 2^20): $shards")
     val keyCol = "__graft_shuffle_key"
     val key = pmod(
       pmod(col(idCol), lit(1L << 31)) * lit(1103515245L) + lit(12345L),
       lit(1L << 31))
     val w = Window.partitionBy(col("shard")).orderBy(col(keyCol), col(idCol))
     df.withColumn(keyCol, key)
-      .withColumn("shard", pmod(col(keyCol), lit(shards.toLong)))
+      // shard from the key's HIGH bits (never `key mod shards` — the LCG's
+      // low bits are a pure function of the id's low bits for power-of-two
+      // shard counts, so structured ids would all land in one shard)
+      .withColumn("shard",
+        floor(col(keyCol) * lit(shards.toLong) / lit(1L << 31)).cast("long"))
       .withColumn("pos", row_number().over(w))
       .drop(keyCol)
   }
@@ -264,7 +289,14 @@ object TrainingData {
 
   /** Reference formulation of [[strictWordGrams]] in Spark higher-order
     * functions — formula-identical to the DuckDB oracle's `w[i:i+k-1]`
-    * slices; kept as the cross-check spec for the native expression. */
+    * slices; kept as the cross-check spec for the native expression.
+    *
+    * Locale caveat: Spark's `lower()` falls back to the JVM DEFAULT locale
+    * for strings containing non-ASCII bytes, while the native expression
+    * lowercases with Locale.ROOT — on a Turkish-locale JVM the two diverge
+    * on a dotted/dotless I inside a non-ASCII string. The equivalence
+    * assertion (and the oracle) hold on ROOT-equivalent locales; run the
+    * JVM with -Duser.language= (as the driver does) when comparing. */
   def strictWordGramsHof(text: Column, k: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")
     when(size(words) < k, array().cast("array<string>"))

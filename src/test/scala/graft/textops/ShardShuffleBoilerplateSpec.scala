@@ -21,14 +21,13 @@ class ShardShuffleSpec extends AnyFunSuite {
     val got = TrainingData.shardShuffle(df, "doc_id", 4)
       .select($"doc_id", $"shard", $"pos")
       .as[(Long, Long, Int)].collect().toSet
-    // key(id) = (id*1103515245 + 12345) mod 2^31; shard = key mod 4;
-    // pos ranks (key, id) inside the shard
+    // key(id) = (id*1103515245 + 12345) mod 2^31; shard = the key's HIGH
+    // bits (key*4 // 2^31) — never `key mod shards`, whose low bits are a
+    // pure function of the id's low bits; pos ranks (key, id) in the shard
     assert(lcg(0) == 12345L && lcg(1) == 1103527590L)
     val expected = Set(
-      (3L, 0L, 1), // key 1163074432
-      (0L, 1L, 1), (4L, 1L, 2), // keys 12345 < 119106029
-      (1L, 2L, 1), (5L, 2L, 2), // keys 1103527590 < 1222621274
-      (2L, 3L, 1)) // key 59559187
+      (0L, 0L, 1), (2L, 0L, 2), (4L, 0L, 3), // keys 12345 < 59559187 < 119106029
+      (1L, 2L, 1), (3L, 2L, 2), (5L, 2L, 3)) // 1103527590 < 1163074432 < 1222621274
     assert(got == expected)
   }
 
@@ -55,6 +54,17 @@ class ShardShuffleSpec extends AnyFunSuite {
     val shardsHit = TrainingData.shardShuffle(df, "doc_id", 8)
       .select("shard").distinct().count()
     assert(shardsHit == 8, "a sequential id range must not collapse to few shards")
+  }
+
+  test("STRUCTURED ids (multiples of the shard count) disperse too") {
+    // the regression the high-bits shard exists for: with `key mod shards`,
+    // ids that are all multiples of a power-of-two shard count produce keys
+    // whose low bits are constant — every row lands in ONE shard
+    val df = (0L until 64L).map(_ * 8L).toDF("doc_id")
+    val shardsHit = TrainingData.shardShuffle(df, "doc_id", 8)
+      .select("shard").distinct().count()
+    assert(shardsHit == 8,
+      "multiples of the shard count must not collapse into one shard")
   }
 }
 

@@ -43,8 +43,10 @@ class TrainingDataSpec extends AnyFunSuite {
     // ids above ~8.36e9 overflow the naive id*1103515245 multiply; the
     // reduced form must stay exact — reference value computed in plain Scala
     val big = 9000000000L
+    // high-bits bucket: floor(lcg * 2048 / 2^31) = lcg >> 20
     val expected = java.lang.Math.floorMod(
-      java.lang.Math.floorMod(big, 1L << 31) * 1103515245L + 12345L, 2048L)
+      java.lang.Math.floorMod(big, 1L << 31) * 1103515245L + 12345L,
+      1L << 31) >> 20
     val got = Seq(big).toDF("id")
       .select(TrainingData.deterministicBucket($"id", 2048)).as[Long].head()
     assert(got == expected)
