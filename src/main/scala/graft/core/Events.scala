@@ -78,6 +78,32 @@ object SchemaChangeEventType extends Enumeration {
   val CREATE_TABLE, ADD_COLUMN, DROP_COLUMN, RENAME_COLUMN, ALTER_COLUMN_TYPE, DROP_TABLE,
   TRUNCATE_TABLE = Value
 
+  /** The reference's include/exclude tag grammar
+    * (`ChangeEventUtils.resolveSchemaEvolutionTag`,
+    * `SchemaChangeEventTypeFamily.ofTag`, `SchemaChangeEventType.ofTag`):
+    * FAMILY tags (all / none / column / table / add / alter / create /
+    * drop / rename) and the dotted specific tags ("add.column", ...).
+    * Unknown tags refuse loudly — the reference silently resolves them to
+    * nothing, which reads back as "schema evolution mysteriously off". */
+  def ofTag(tag: String): Seq[Value] = tag.trim.toLowerCase match {
+    case "all" => values.toSeq
+    case "none" => Seq.empty
+    case "column" => Seq(ADD_COLUMN, ALTER_COLUMN_TYPE, DROP_COLUMN, RENAME_COLUMN)
+    case "table" => Seq(CREATE_TABLE, DROP_TABLE, TRUNCATE_TABLE)
+    case "add" => Seq(ADD_COLUMN)
+    case "alter" => Seq(ALTER_COLUMN_TYPE)
+    case "create" => Seq(CREATE_TABLE)
+    case "drop" => Seq(DROP_COLUMN, DROP_TABLE)
+    case "rename" => Seq(RENAME_COLUMN)
+    case dotted =>
+      val norm = dotted.replace('.', '_').toUpperCase
+      values.find(_.toString == norm).map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown schema-change tag '$tag' (family tags all/none/column/" +
+            "table/add/alter/create/drop/rename, or specific tags like " +
+            "add.column, alter.column.type)"))
+  }
+
   def of(e: SchemaChangeEvent): Value = e match {
     case _: CreateTableEvent     => CREATE_TABLE
     case _: AddColumnEvent       => ADD_COLUMN

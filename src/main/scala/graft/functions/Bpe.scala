@@ -70,7 +70,11 @@ object Bpe {
 
     /** Whitespace-split, lowercased, per-word greedy encoding. */
     def encode(text: String): Seq[String] = {
-      val t = text.trim.toLowerCase
+      // Locale.ROOT: learn() lowercases with Spark's locale-independent
+      // lower(); a default-locale toLowerCase here would diverge on a
+      // Turkish-locale JVM (dotless I) and the learned merges would never
+      // match the encoder's tokens
+      val t = text.trim.toLowerCase(java.util.Locale.ROOT)
       if (t.isEmpty) Seq.empty
       else t.split("\\s+").toSeq.flatMap(encodeWord)
     }

@@ -26,7 +26,10 @@ object MediaCodecs {
 
   def encodePng(w: Int, h: Int, argb: Array[Int]): Array[Byte] = {
     require(argb.length == w * h, s"pixel buffer ${argb.length} != ${w}x$h")
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // ARGB, not RGB: an RGB raster silently forces every alpha byte to 0xFF,
+    // so decode(encode(px)) != px for any translucent pixel — breaking the
+    // file's bit-exact roundtrip contract (PNG carries alpha losslessly)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
     img.setRGB(0, 0, w, h, argb, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)

@@ -32,7 +32,7 @@ object TransformOp {
     * parens, brackets, and quoted strings) — the reference gets this from
     * Calcite's SELECT-list parser (`TransformParser.parseProjectionExpression:525`).
     */
-  private[operators] def splitProjection(projection: String): Seq[String] = {
+  private[graft] def splitProjection(projection: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0

@@ -24,13 +24,14 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
   val evolution = new SchemaEvolutionDriver(
     pdef.schemaChangeBehavior,
     sink,
+    // the reference's TAG grammar (family + dotted specific tags) — a plain
+    // enum withName on "create.table" would throw before the pipeline starts
     includedTypes =
       if (pdef.sink.includeSchemaChanges.isEmpty) SchemaChangeEventType.values
       else SchemaChangeEventType.ValueSet(
-        pdef.sink.includeSchemaChanges.map(s =>
-          SchemaChangeEventType.withName(s.toUpperCase)): _*),
+        pdef.sink.includeSchemaChanges.flatMap(SchemaChangeEventType.ofTag): _*),
     excludedTypes = SchemaChangeEventType.ValueSet(
-      pdef.sink.excludeSchemaChanges.map(s => SchemaChangeEventType.withName(s.toUpperCase)): _*))
+      pdef.sink.excludeSchemaChanges.flatMap(SchemaChangeEventType.ofTag): _*))
 
   private def ruleFor(tableId: TableId): Option[TransformRule] =
     pdef.transforms.find(_.matches(tableId))
@@ -63,7 +64,12 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
       .flatMap { case (t, s) => router.route(t).map(sinkT => (sinkT, t, s)) }
       .groupBy(_._1)
     bySink.toSeq.sortBy(_._1.identifier).foreach { case (sinkT, group) =>
-      val schemas = group.map(_._3)
+      // DETERMINISTIC source order: mergedCreateTable keys the merged table
+      // on the FIRST source's primary keys (the reference's
+      // getLeastCommonSchema keeps the current schema's keys), so hash-map
+      // iteration order would let an unrelated rename flip the sink's
+      // upsert key between runs
+      val schemas = group.sortBy(_._2.identifier).map(_._3)
       val create =
         if (schemas.size == 1) CreateTableEvent(sinkT, schemas.head)
         else SchemaDerivator.mergedCreateTable(sinkT, schemas)
@@ -80,7 +86,17 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
   def processBatch(
       tableId: TableId, env: DataFrame, batchId: Long = -1L, runId: String = ""): Unit = {
     val transformed = ruleFor(tableId) match {
-      case Some(rule) => EnvelopeTransform(env, rule, tableId)
+      case Some(rule) =>
+        val t = EnvelopeTransform(env, rule, tableId)
+        // `converter-after-transform` (the reference's
+        // PostTransformOperator converter hook): SOFT_DELETE rewrites
+        // DELETE events as before-image INSERTs so the sink retains the row
+        rule.postTransformConverter.map(_.toUpperCase) match {
+          case Some("SOFT_DELETE") => Envelope.softDelete(t)
+          case Some(other) => throw new IllegalArgumentException(
+            s"unknown converter-after-transform '$other' (supported: SOFT_DELETE)")
+          case None => t
+        }
       case None => env
     }
     router.route(tableId).foreach { sinkT =>
@@ -104,12 +120,67 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
     }
   }
 
+  /** Project a schema-change event through the table's TRANSFORM before it
+    * reaches the sink (the reference PreTransformOperator's schema path):
+    * with an explicit projection the sink schema is the projected shape, so
+    * column events on projected-away columns must not reach the applier —
+    * an AlterColumnType for an absent column would crash the sink DDL, and
+    * an AddColumn would create a phantom column the data path (which always
+    * projects) never populates. A wildcard (or absent) projection passes
+    * events through; a mid-stream CreateTable re-derives the transformed
+    * schema exactly like [[createTables]]. Column events narrow to the
+    * projection's PASS-THROUGH columns (bare names in the output — computed
+    * outputs have no 1:1 upstream column). */
+  private def throughTransform(
+      tableId: TableId, e: SchemaChangeEvent): Option[SchemaChangeEvent] =
+    ruleFor(tableId) match {
+      case None => Some(e)
+      case Some(rule) =>
+        e match {
+          case ev: CreateTableEvent =>
+            Some(ev.copy(schema = transformedSchema(tableId, ev.schema)))
+          case _ if rule.projection.forall(
+              p => TransformOp.splitProjection(p).contains("*")) => Some(e)
+          case _: AddColumnEvent => None // a fixed projection cannot grow
+          case ev: DropColumnEvent =>
+            val keep = ev.droppedColumns.filter(passThrough(rule).contains)
+            if (keep.isEmpty) None else Some(ev.copy(droppedColumns = keep))
+          case ev: AlterColumnTypeEvent =>
+            val keep = ev.typeMapping.view
+              .filterKeys(passThrough(rule).contains).toMap
+            if (keep.isEmpty) None else Some(ev.copy(typeMapping = keep))
+          case ev: RenameColumnEvent =>
+            // lenient evolution turns a rename into an add of the NEW name,
+            // which a fixed projection never includes; a projected-away old
+            // name affects the sink not at all — either way nothing reaches
+            // the sink unless the OLD name passes through, and then the
+            // projection itself still selects the old (now absent) column:
+            // refuse loudly rather than ship a broken projection
+            val hit = ev.nameMapping.keys.filter(passThrough(rule).contains)
+            require(hit.isEmpty,
+              s"rename of projected column(s) ${hit.mkString(", ")} on " +
+                s"$tableId would break the transform's projection " +
+                s"'${rule.projection.get}' — update the pipeline definition")
+            None
+          case other => Some(other) // table-level events pass
+        }
+    }
+
+  /** The projection's pass-through outputs: bare column names (no alias,
+    * no computation). */
+  private def passThrough(rule: TransformRule): Set[String] =
+    rule.projection.map(p => TransformOp.splitProjection(p)
+      .map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*")).toSet)
+      .getOrElse(Set.empty)
+
   /** Handle a schema-change event on the control path (between batches). */
   def processSchemaChange(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
-    // route the event to each sink table it affects
-    router.route(event.tableId).flatMap { sinkT =>
-      val routed: SchemaChangeEvent = reRoute(event, sinkT)
-      evolution.handle(routed)
+    // transform-project the event, then route it to each sink table
+    throughTransform(event.tableId, event).toSeq.flatMap { projected =>
+      router.route(projected.tableId).flatMap { sinkT =>
+        val routed: SchemaChangeEvent = reRoute(projected, sinkT)
+        evolution.handle(routed)
+      }
     }
   }
 

@@ -108,7 +108,13 @@ object Bm25Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val (postings, doclen) = tables(spark, rootDir)
-    val qTerms = terms.distinct
+    // normalize through the INDEX analyzer (lowercase [a-z0-9]+ runs): the
+    // postings only ever store analyzed tokens, so an uppercase or
+    // punctuated query term would silently match nothing
+    val qTerms = terms
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+"))
+      .filter(_.nonEmpty)
+      .distinct
     require(qTerms.nonEmpty, "BM25 search needs at least one term")
     val lists = qTerms
       .map(t => postings.readWhere("term", t)) // zone-map + bloom pruned

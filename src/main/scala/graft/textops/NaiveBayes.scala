@@ -34,13 +34,23 @@ object NaiveBayes {
       textCol: String): (DataFrame, DataFrame) = {
     val toks = labeled.select(col(labelCol).as("label"),
       PerplexityLm.tokens(col(textCol)).as("w"))
+    // persisted: vocab count, the model projection, and the per-label
+    // totals all read this aggregate — without the cache the corpus is
+    // tokenized three times over ("trains in one pass" means one pass)
     val tokenCounts = toks.select(col("label"), explode(col("w")).as("w"))
       .groupBy("label", "w").agg(count(lit(1)).as("c"))
+      .persist()
     val vocab = tokenCounts.select(col("w")).distinct().count()
     val docCounts = labeled.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("docs"))
     val totalDocs = labeled.count()
-    val labelTokens = tokenCounts.groupBy("label").agg(sum("c").as("n"))
+    // LEFT join + zero fill: a label whose documents all tokenize to zero
+    // tokens has no tokenCounts rows — an inner join would silently drop
+    // it from the stats, so zero-token candidates could never classify to
+    // it and its prior mass would vanish
+    val labelTokens = docCounts.select(col("label"))
+      .join(tokenCounts.groupBy("label").agg(sum("c").as("n")), Seq("label"), "left")
+      .select(col("label"), coalesce(col("n"), lit(0L)).as("n"))
     // Laplace add-one over the training vocabulary; log10 terms are rounded
     // at TRAIN time so every scorer sees identical per-token constants
     val model = tokenCounts.join(labelTokens, "label")
@@ -53,6 +63,7 @@ object NaiveBayes {
           .cast("decimal(18,6)").as("prior"),
         round(log10(lit(1.0) / (col("n") + lit(vocab))), 6)
           .cast("decimal(18,6)").as("llUnseen"))
+    tokenCounts.unpersist()
     (model, stats)
   }
 

@@ -45,8 +45,11 @@ object PerplexityLm {
     val bi = toks.select(explode(bigrams(col("w"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val n = uni.agg(sum("c1")).head.getLong(0)
-    (uni, bi, n)
+    val total = uni.agg(sum("c1")).head
+    require(!total.isNullAt(0) && total.getLong(0) > 0L,
+      "empty reference corpus (no rows, or every text tokenizes to " +
+        "nothing) — a language model needs at least one token")
+    (uni, bi, total.getLong(0))
   }
 
   /** Per-document LM score: `(idCol, n_bigrams, lp_avg)` where `lp_avg` is

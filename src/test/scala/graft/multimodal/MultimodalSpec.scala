@@ -16,12 +16,14 @@ class MultimodalSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- codecs
 
-  test("PNG round trip is pixel-exact") {
-    val px = Array.tabulate(40 * 30) { p => ((p * 2654435761L) & 0xffffff).toInt }
+  test("PNG round trip is pixel-exact, INCLUDING the alpha channel") {
+    // full 32-bit ARGB: an RGB raster would silently force every alpha
+    // byte to 0xFF, so decode(encode(px)) != px for translucent pixels —
+    // violating the codec's bit-exact contract
+    val px = Array.tabulate(40 * 30) { p => (p * 2654435761L).toInt }
     val (w, h, got) = MediaCodecs.decodePng(MediaCodecs.encodePng(40, 30, px))
     assert((w, h) === (40, 30))
-    // TYPE_INT_RGB fills alpha with 0xff on read
-    assert(got.map(_ & 0xffffff).toSeq === px.map(_ & 0xffffff).toSeq)
+    assert(got.toSeq === px.toSeq, "all 32 bits survive, alpha included")
   }
 
   test("WAV round trip is sample-exact and parses via chunk walk") {

@@ -182,6 +182,74 @@ class PipelineComposerSpec extends AnyFunSuite {
     assert(rows == Seq("1,x,1x", "5,6,56"))
   }
 
+  test("include.schema.changes accepts the reference TAG grammar (dotted + families)") {
+    val t = TableId.parse("db.t")
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty,
+        includeSchemaChanges = Seq("create.table", "add.column"),
+        excludeSchemaChanges = Seq.empty))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink) // must not throw on dots
+    composer.processSchemaChange(CreateTableEvent(t, ValuesSource.customersSchema))
+    assert(sink.tableIds == Set(t))
+    // DropColumn is outside the include set: swallowed, sink unchanged
+    assert(composer.processSchemaChange(DropColumnEvent(t, Seq("col2"))).isEmpty)
+    assert(sink.schemaOf(t).get.columnNames == Seq("col1", "col2"))
+    // family tag resolution
+    assert(SchemaChangeEventType.ofTag("column").size == 4)
+    assert(SchemaChangeEventType.ofTag("all") == SchemaChangeEventType.values.toSeq)
+    intercept[IllegalArgumentException](SchemaChangeEventType.ofTag("bogus"))
+  }
+
+  test("converter-after-transform SOFT_DELETE retains deleted rows end-to-end") {
+    val t = TableId.parse("db.t")
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty),
+      transforms = Seq(TransformRule("db.t",
+        postTransformConverter = Some("SOFT_DELETE"))))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    composer.createTables(Map(t -> ValuesSource.customersSchema))
+    composer.processBatch(t, ValuesSource.toEnvelope(spark, ValuesSource.customersSchema, Seq(
+      DataChangeEvent.insert(t, Map("col1" -> "1", "col2" -> "a")),
+      DataChangeEvent.delete(t, Map("col1" -> "1", "col2" -> "a")))))
+    // the declared converter must reach the data path: the DELETE lands as
+    // a before-image INSERT, so the row SURVIVES in the sink
+    assert(sink.rowsOf(t).map(_.mkString(",")) == Seq("1,a"))
+  }
+
+  test("schema events project through the transform before reaching the sink") {
+    import org.apache.spark.sql.types._
+    val t = TableId.parse("db.t")
+    val s = TableSchema(StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType),
+      StructField("age", IntegerType))), primaryKeys = Seq("id"))
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty),
+      transforms = Seq(TransformRule("db.t", projection = Some("id, name"))))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    composer.createTables(Map(t -> s))
+    assert(sink.schemaOf(t).get.columnNames == Seq("id", "name"))
+    // events on the projected-away column never reach the sink: an Alter
+    // would crash the applier on an absent column, an Add would create a
+    // phantom column the (always-projecting) data path never populates
+    assert(composer.processSchemaChange(
+      AlterColumnTypeEvent(t, Map("age" -> graft.core.CdcTypes.BigIntT()))).isEmpty)
+    assert(composer.processSchemaChange(
+      AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition(
+        "extra", graft.core.CdcTypes.StringT())))).isEmpty)
+    assert(sink.schemaOf(t).get.columnNames == Seq("id", "name"))
+    // an event on a PASS-THROUGH column still evolves the sink
+    val applied = composer.processSchemaChange(
+      AlterColumnTypeEvent(t, Map("name" -> graft.core.CdcTypes.StringT())))
+    assert(applied.nonEmpty)
+  }
+
   test("merge route: two tables with different schemas into one sink table") {
     import org.apache.spark.sql.types._
     val t1 = TableId.parse("db.shard_1")

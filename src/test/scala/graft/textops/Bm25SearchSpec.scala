@@ -69,5 +69,11 @@ class Bm25SearchSpec extends AnyFunSuite {
     assert(m.head == ((1L, 1)))
     // absent terms contribute nothing; all-absent query returns empty
     assert(Bm25Search.search(spark, idxRoot, Seq("zzz"), k = 5).isEmpty)
+    // query terms normalize through the INDEX analyzer: the postings only
+    // store lowercase [a-z0-9] tokens, so a raw "Spark!" must match them
+    // instead of silently returning nothing
+    val up = Bm25Search.search(spark, idxRoot, Seq("Spark!"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(up == Seq(0L, 1L, 2L), s"analyzer-normalized query must hit: $up")
   }
 }
