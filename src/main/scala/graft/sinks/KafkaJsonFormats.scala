@@ -89,7 +89,10 @@ object KafkaJsonFormats {
     */
   def routeInvalid(env: DataFrame): (DataFrame, DataFrame) = {
     val ok = col(Envelope.OpCol).isin(ValidOps: _*)
-    (env.filter(ok), env.filter(!ok))
+    // NULL op: `isin` yields SQL NULL, and both filter(ok) and filter(!ok)
+    // drop NULL — the record would vanish from BOTH frames instead of
+    // reaching the dead letter it is promised to land in
+    (env.filter(ok), env.filter(!coalesce(ok, lit(false))))
   }
 
   /** debezium-json READER — the inverse projection, completing the wire
@@ -161,7 +164,11 @@ object KafkaJsonFormats {
       coalesce(col(s"${Envelope.AfterCol}.$k"), col(s"${Envelope.BeforeCol}.$k")).as(k)): _*)
     strategy.toUpperCase match {
       case "ALL_TO_ZERO" => env.withColumn("key", lit("")).withColumn("partition", lit(0))
-      case _ => env.withColumn("key", to_json(keyStruct))
+      case "HASH_BY_KEY" => env.withColumn("key", to_json(keyStruct))
+      case other => throw new IllegalArgumentException(
+        s"unknown partition strategy '$other' (ALL_TO_ZERO or HASH_BY_KEY) — " +
+          "silently hashing would scatter records a caller expected on one " +
+          "partition, breaking cross-key ordering")
     }
   }
 }

@@ -175,7 +175,11 @@ final class StreamLoadClient(baseUrl: String) extends Serializable {
         s"stream load HTTP ${resp.statusCode()}: ${resp.body().take(300)}")
     val root = mapper.readTree(resp.body())
     val status = root.path("Status").asText("")
-    if (status != "Success" && status != "OK")
+    // "Label Already Exists" is the SUCCESS of a retried request: the
+    // labeled load already committed durably — failing here would fail the
+    // Spark task for a load that landed (labels exist precisely for this
+    // server-side retry dedup; the reference clients treat it as done)
+    if (status != "Success" && status != "OK" && status != "Label Already Exists")
       throw new java.io.IOException(s"stream load status $status: ${resp.body().take(300)}")
   }
 }

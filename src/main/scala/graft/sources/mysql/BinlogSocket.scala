@@ -260,7 +260,13 @@ object BinlogWire {
       colTypes: Seq[Int], varcharMax: Seq[Int],
       images: Seq[Seq[Any]]): Array[Byte] = {
     val n = colTypes.size
-    val b = le(16 + images.map(im => 8 + (n + 7) / 8 + im.map(sizeOf(_)).sum).sum)
+    // exact-enough allocation: header (tableId 6 + flags 2 + extra 2 +
+    // lenc(n) <= 9) + included bitmap(s) + per-image nulls bitmap + values.
+    // A fixed headroom under-allocates for wide tables (the bitmaps grow
+    // with n) and putLong then throws BufferOverflowException
+    val bitmapLen = (n + 7) / 8
+    val b = le(32 + 2 * bitmapLen +
+      images.map(im => bitmapLen + im.map(sizeOf(_)).sum).sum)
     putTableId6(b, tableNum); b.putShort(1.toShort)
     b.putShort(2.toShort) // extra-data length (2 = none beyond the field itself)
     putLenc(b, n)
@@ -277,7 +283,12 @@ object BinlogWire {
       image.zipWithIndex.foreach {
         case (null, _) => ()
         case (v, i) => colTypes(i) match {
-          case TypeLongLong => b.putLong(v.asInstanceOf[Long])
+          case TypeLongLong => b.putLong(v match {
+            case l: Long => l
+            case iv: Int => iv.toLong // IntegerType columns map to LONGLONG
+            case other => throw new IllegalArgumentException(
+              s"LONGLONG column got ${other.getClass.getSimpleName}")
+          })
           case TypeVarchar =>
             val s = v.toString.getBytes(UTF_8)
             if (varcharMax(i) > 255) b.putShort(s.length.toShort) else b.put(s.length.toByte)
@@ -291,7 +302,7 @@ object BinlogWire {
 
   private def sizeOf(v: Any): Int = v match {
     case null => 0
-    case _: Long => 8
+    case _: Long | _: Int => 8 // both encode as LONGLONG
     case s => 3 + s.toString.getBytes(UTF_8).length
   }
 
@@ -425,6 +436,22 @@ final class BinlogServerDouble(
   private val schemaMgr = { val m = new SchemaManager; m.register(tableId, initialSchema); m }
   def schema: TableSchema = synchronized(liveSchema)
 
+  /** Schema HISTORY — the Debezium schema-history-topic role: the binlog
+    * wire carries types and arity but never NAMES, so row images must be
+    * name-mapped against the schema as of the RECORD's position, not the
+    * live catalog. Mapping against the live schema would mis-attribute (or
+    * crash on) an in-flight bounded read racing a concurrent DDL. Entries:
+    * (DDL end offset, fields AFTER that DDL). */
+  private val schemaHistory = mutable.ArrayBuffer[(Long, Seq[org.apache.spark.sql.types.StructField])](
+    (0L, initialSchema.struct.fields.toSeq))
+
+  /** Fields in effect for a record at end-offset `off`: the latest history
+    * entry strictly BELOW it (a DDL at offset d governs records after d). */
+  def fieldsAt(off: Long): Seq[org.apache.spark.sql.types.StructField] = synchronized {
+    schemaHistory.takeWhile(_._1 < off).lastOption
+      .getOrElse(schemaHistory.head)._2
+  }
+
   @volatile private var dumpSessions = 0
   def dumpSessionCount: Int = dumpSessions
   def fileCount: Int = synchronized(curFile + 1)
@@ -515,10 +542,19 @@ final class BinlogServerDouble(
   def appendDdl(sql: String, tsMillis: Long = 0L): Long = synchronized {
     val evs = MySqlDdlParser.parse(sql)
     require(evs.nonEmpty, s"not a DDL statement: $sql")
+    // one event per QUERY offset: the framework's DDL parking consumes ONE
+    // SchemaChangeEvent per boundary (firstDdlOffset) and the dump client
+    // records one — accepting a multi-clause ALTER here would apply every
+    // clause to the live catalog but deliver only the first downstream,
+    // silently misaligning row decode against the sink schema
+    require(evs.size == 1,
+      s"multi-clause DDL is not supported by the one-event-per-offset " +
+        s"contract — split '$sql' into separate statements")
     evs.foreach(e => liveSchema = schemaMgr.applySchemaChange(e))
     val off = appendEvent(QueryEvent,
       encodeQueryPayload(tableId.schemaName, sql), tsMillis)
     recordIndex += ((off, tsMillis, Some(evs.head)))
+    schemaHistory += ((off, liveSchema.struct.fields.toSeq))
     maybeRotate()
     off
   }
@@ -539,7 +575,17 @@ final class BinlogServerDouble(
   def currentOffset: Long = synchronized(BinlogOffsets.encode(curFile, curPos))
 
   def offsetAtTimestamp(ts: Long): Long = synchronized {
-    recordIndex.find(_._2 >= ts).map(_._1 - 1).getOrElse(currentOffset)
+    // fromExclusive doubles as the DUMP START: it must lie at or before
+    // the target record's TABLE_MAP start and strictly below the record's
+    // own (end) offset. In this sparse byte-offset space `end - 1` is
+    // MID-EVENT — the dump filter (startPos >= from) would exclude the
+    // very record the timestamp resolved to, losing it forever. The
+    // PREVIOUS record's end offset satisfies both bounds (only that
+    // record's XID and the target's own TABLE_MAP lie between).
+    val idx = recordIndex.indexWhere(_._2 >= ts)
+    if (idx < 0) currentOffset
+    else if (idx == 0) 0L
+    else recordIndex(idx - 1)._1
   }
 
   def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
@@ -647,7 +693,8 @@ object BinlogDumpClient {
 
   def dump(
       host: String, port: Int, fromOffset: Long,
-      fieldNames: Seq[String], ddlParse: String => Seq[SchemaChangeEvent]): Seq[LogRecord] = {
+      fieldsAt: Long => Seq[org.apache.spark.sql.types.StructField],
+      ddlParse: String => Seq[SchemaChangeEvent]): Seq[LogRecord] = {
     import BinlogWire._
     val sock = new Socket(host, port)
     try {
@@ -694,10 +741,21 @@ object BinlogDumpClient {
                 val tm = tableMap.getOrElse(
                   throw new IllegalStateException("rows event before TABLE_MAP"))
                 val off = BinlogOffsets.encode(curFile, h.nextPos)
-                // positional name mapping against the catalog schema — the
-                // wire has types and arity, never names (Debezium contract)
+                // positional name mapping against the schema AS OF THIS
+                // RECORD (the schema-history contract) — the wire has types
+                // and arity, never names, and the LIVE catalog may already
+                // be ahead of this record if a DDL raced the bounded read.
+                // LONGLONG wire values narrow back to the declared Int type
+                // so the envelope encoder sees the schema's own types.
+                val fields = fieldsAt(off)
                 def toMap(image: Seq[Any]): Map[String, Any] =
-                  image.zipWithIndex.map { case (v, i) => fieldNames(i) -> v }.toMap
+                  image.zipWithIndex.map { case (v, i) =>
+                    val f = fields(i)
+                    f.name -> ((v, f.dataType) match {
+                      case (l: Long, org.apache.spark.sql.types.IntegerType) => l.toInt
+                      case _ => v
+                    })
+                  }.toMap
                 val images = decodeRows(p, h.eventType == UpdateRowsV2, tm)
                 h.eventType match {
                   case WriteRowsV2 => images.foreach(im =>
@@ -742,6 +800,6 @@ final class BinlogSocketChangeSource(double: BinlogServerDouble) extends ChangeS
     graft.sources.cdc.WireRetry.withRetries() {
       BinlogDumpClient.dump(
         "127.0.0.1", double.port, fromExclusive,
-        double.schema.struct.fieldNames.toSeq, MySqlDdlParser.parse(_))
+        double.fieldsAt, MySqlDdlParser.parse(_))
     }.filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
 }

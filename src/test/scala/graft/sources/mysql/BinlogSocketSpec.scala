@@ -24,7 +24,7 @@ class BinlogSocketSpec extends AnyFunSuite {
 
   private def dumpAll(d: BinlogServerDouble, from: Long): Seq[LogRecord] =
     BinlogDumpClient.dump("127.0.0.1", d.port,
-      from, schema.struct.fieldNames.toSeq, MySqlDdlParser.parse(_))
+      from, d.fieldsAt, MySqlDdlParser.parse(_))
 
   test("dump over a real socket: insert/update/delete round trip with nulls") {
     val d = newDouble()
