@@ -109,6 +109,14 @@ final class Db2AsnChangeSource(
     * SYNCHPOINT. Updates become the D/I pair ASN actually records. */
   def commitTx(changes: Seq[DataChangeEvent], tsMillis: Long = 0L): AsnSeq = synchronized {
     require(changes.nonEmpty, "empty transactions are not captured")
+    // fail fast BEFORE mutating the base table or queueing the tx: the
+    // 16-bit intent sequence caps at 65535 and an UPDATE emits a D/I PAIR
+    // (two intents) — discovering the overflow later (in AsnSeq.of after
+    // the rows landed, or worse inside the capture program after cdRows
+    // grew) corrupts state and duplicates rows on retry
+    require(changes.size * 2 <= 0xffff,
+      s"tx of ${changes.size} changes can exceed the 65535-intent cap " +
+        "(updates pair D/I) — split the transaction")
     commitSeqGen += 0x10 + (commitSeqGen % 5) // content-sized stride, never 1
     val commitSeq = commitSeqGen
     var intent = 0L

@@ -143,6 +143,7 @@ final class DocumentChangeSource(
   private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
 
   def invalidateToken: Option[ResumeToken] = synchronized(invalidateTok)
+  def dropPosition: Option[Long] = synchronized(dropPos)
 
   /** One change-stream event as the SERVER delivers it — including the
     * `drop`/`invalidate` pair a dying stream ends with, which the
@@ -186,6 +187,14 @@ final class DocumentChangeSource(
   /** The resume token at a monotone position (the checkpointed pair). */
   def tokenAt(offset: Long): Option[ResumeToken] = synchronized {
     oplog.find(_.token.decodePosition == offset).map(_.token)
+  }
+
+  /** The nearest data token AT OR BELOW a position — the resume identity
+    * for offsets that are not data-event positions (timestamp startup,
+    * control positions): resuming from scratch instead would page the
+    * whole retained oplog on every read. */
+  def tokenAtOrBefore(offset: Long): Option[ResumeToken] = synchronized {
+    oplog.reverseIterator.find(_.token.decodePosition <= offset).map(_.token)
   }
 
   /** `resumeAfter(token)`: the entries strictly after the token — the

@@ -183,7 +183,14 @@ final class MongoServerDouble(val source: DocumentChangeSource, batchSize: Int =
     injectedFailures.getAndUpdate(v => math.max(0, v - 1)) > 0
 
   // live cursors: id -> remaining events
-  private val cursors = mutable.Map.empty[Long, mutable.Queue[DocumentChangeSource#StreamEvent]]
+  // insertion-ordered so abandonment eviction drops the OLDEST cursor: a
+  // client killed between getMore calls (timeout, injected fault, retry)
+  // never drains its queue, and an unbounded map would grow by one oplog
+  // tail per abandoned read over a long pipeline run (real servers reap
+  // idle cursors by timeout; a bounded LRU is this double's equivalent)
+  private val cursors =
+    mutable.LinkedHashMap.empty[Long, mutable.Queue[DocumentChangeSource#StreamEvent]]
+  private val MaxOpenCursors = 64
   private var cursorCounter = 7000L
 
   private var serverSocket: Option[ServerSocket] = None
@@ -267,7 +274,10 @@ final class MongoServerDouble(val source: DocumentChangeSource, batchSize: Int =
     val events = mutable.Queue.empty[DocumentChangeSource#StreamEvent]
     source.streamEventsAfter(from).foreach(e => events.enqueue(e))
     val (batch, cursorId) = takeBatch(events)
-    if (cursorId != 0L) cursors(cursorId) = events
+    if (cursorId != 0L) {
+      while (cursors.size >= MaxOpenCursors) cursors.remove(cursors.head._1)
+      cursors(cursorId) = events
+    }
     ok("cursor" -> BDoc(Seq(
       "firstBatch" -> batch, "id" -> cursorId,
       "ns" -> s"${source.tableId.schemaName}.${source.tableId.tableName}")))
@@ -313,6 +323,10 @@ final class MongoServerDouble(val source: DocumentChangeSource, batchSize: Int =
       "_id" -> BDoc(Seq("_data" -> hex)),
       "operationType" -> e.opType,
       "clusterTime" -> Bson.BTs((e.tsMillis / 1000L).toInt, 1),
+      // wallTime (Mongo 6.0+): exact event millis — clusterTime truncates
+      // to seconds, and the in-process source emits exact tsMillis, so the
+      // two paths would otherwise disagree inside a 999 ms window
+      "wallTime" -> e.tsMillis,
       "ns" -> BDoc(Seq(
         "db" -> source.tableId.schemaName, "coll" -> source.tableId.tableName)))
     val key = e.id.map(id => "documentKey" -> BDoc(Seq("_id" -> id))).toSeq
@@ -333,7 +347,7 @@ object MongoChangeStreamClient {
 
   final case class WireEvent(
       tokenHex: String, opType: String, id: Option[Long], fullDocument: Option[String],
-      clusterTimeSeconds: Int)
+      tsMillis: Long)
 
   def dump(host: String, port: Int, db: String, coll: String,
       resumeAfter: Option[String], startAfter: Option[String] = None): Seq[WireEvent] = {
@@ -381,7 +395,11 @@ object MongoChangeStreamClient {
               d.getStr("operationType").get,
               d.getDoc("documentKey").flatMap(_.getNum("_id")),
               d.getDoc("fullDocument").flatMap(_.getStr("doc")),
-              d.get("clusterTime").collect { case t: Bson.BTs => t.seconds }.getOrElse(0))
+              // prefer the exact wallTime; clusterTime seconds as fallback
+              d.getNum("wallTime").getOrElse(
+                d.get("clusterTime").collect {
+                  case t: Bson.BTs => t.seconds.toLong * 1000L
+                }.getOrElse(0L)))
           case other => throw new IllegalStateException(s"non-document batch entry: $other")
         }
         val cid = cursor.getNum("id").getOrElse(0L)
@@ -416,13 +434,34 @@ final class MongoSocketChangeSource(double: MongoServerDouble) extends ChangeSou
     src.firstDdlOffset(fromEx, toInc)
   override def keyOfEvent(e: DataChangeEvent): Long = src.keyOfEvent(e)
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] = {
-    val resume = src.tokenAt(fromExclusive).map { t =>
+    // TOKEN-based resume identity, like a real change-stream client:
+    //  - a window at/after the DROP position belongs to the startAfter
+    //    SUCCESSOR stream — open it with startAfter(invalidate token); the
+    //    previous exact-token lookup missed (control positions are not
+    //    data tokens), replayed from 0, and the server closed the cursor
+    //    at the invalidate: every post-recreate record was silently LOST;
+    //  - a window crossing the invalidate from under the drop is a DEAD
+    //    stream: refuse loudly, matching the in-process source;
+    //  - otherwise resume after the nearest data token AT OR BELOW
+    //    fromExclusive (timestamp startup lands between tokens; resuming
+    //    from scratch would page the whole retained oplog per read).
+    def hex(t: ResumeToken): String = {
       val j = t.json; val i = j.indexOf("\"_data\": \"") + 10
       j.substring(i, j.indexOf('"', i))
     }
+    val (resume, start) = (src.dropPosition, src.invalidateToken) match {
+      case (Some(d), Some(tok)) if fromExclusive >= d => (None, Some(hex(tok)))
+      case (Some(_), Some(tok)) =>
+        require(toInclusive < tok.decodePosition,
+          s"change stream invalidated at position ${tok.decodePosition} " +
+            "(collection dropped): open a new stream with startAfter")
+        (src.tokenAtOrBefore(fromExclusive).map(hex), None)
+      case _ => (src.tokenAtOrBefore(fromExclusive).map(hex), None)
+    }
     graft.sources.cdc.WireRetry.withRetries() {
       MongoChangeStreamClient.dump(
-        "127.0.0.1", double.port, tableId.schemaName, tableId.tableName, resume)
+        "127.0.0.1", double.port, tableId.schemaName, tableId.tableName,
+        resume, start)
     }.filter(e => e.opType != "drop" && e.opType != "invalidate")
       .map { e =>
         val off = ResumeToken(s"""{"_data": "${e.tokenHex}"}""").decodePosition
@@ -438,7 +477,7 @@ final class MongoSocketChangeSource(double: MongoServerDouble) extends ChangeSou
           case "delete" => DataChangeEvent.delete(tableId, Map[String, Any]("_id" -> id))
           case other => throw new IllegalStateException(s"unexpected operationType $other")
         }
-        LogRecord(off, e.clusterTimeSeconds * 1000L, event)
+        LogRecord(off, e.tsMillis, event)
       }
       .filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
   }

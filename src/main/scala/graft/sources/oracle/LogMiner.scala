@@ -62,7 +62,6 @@ final class LogMinerChangeSource(
   private val redo = scala.collection.mutable.ArrayBuffer.empty[RedoEntry]
   /** xid → (commitScn, tsMillis), in commit order. */
   private val commits = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-  private val rolledBack = scala.collection.mutable.Set.empty[String]
   /** DDL entries: auto-committed, (packed offset, event). */
   private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
 
@@ -124,7 +123,6 @@ final class LogMinerChangeSource(
     /** ROLLBACK: the buffered entries are discarded — mined, never emitted. */
     def rollback(): Unit = LogMinerChangeSource.this.synchronized {
       require(open, s"tx $xid is closed"); open = false
-      rolledBack += xid
       openTxs.remove(xid)
     }
   }

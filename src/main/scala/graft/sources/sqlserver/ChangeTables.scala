@@ -152,6 +152,14 @@ final class SqlServerChangeSource(
     */
   def commitTx(changes: Seq[DataChangeEvent], tsMillis: Long = 0L): CtLsn = synchronized {
     require(changes.nonEmpty, "empty transactions are not captured")
+    // fail fast BEFORE mutating the base table or queueing the tx: the
+    // packed LSN gives the row slot 12 bits, and discovering the overflow
+    // inside the capture job (AFTER the rows were appended to the change
+    // table, with the tx still queued) poisons the change table — every
+    // retry re-appends the queued rows and every later read throws
+    require(changes.size <= 0xfff,
+      s"tx of ${changes.size} changes exceeds the 4095-row slot cap of the " +
+        "packed LSN — split the transaction (LogMiner's guard, same reason)")
     def captured(m: Map[String, Any]): Map[String, Any] =
       m.view.filterKeys(captureColumns.contains).toMap
     val commitLsn = nextCommitLsn()
@@ -224,6 +232,12 @@ final class SqlServerChangeSource(
     * table and advance `fn_cdc_get_max_lsn`. Until this runs, polling sees
     * nothing of them. */
   def runCaptureJob(): CtLsn = synchronized {
+    // validate EVERY pending slot before appending ANY row: an overflow
+    // discovered mid-append leaves earlier txs copied with logPending
+    // uncleared — duplicated on the next run
+    logPending.foreach { case (lsn, _, rows) =>
+      CtLsn.of(lsn.vlf, lsn.block, rows.map(_.seqval).max.toLong)
+    }
     logPending.foreach { case (lsn, ts, rows) =>
       rows.foreach(r => changeTable += ((r, ts)))
       // the head is the tx's LAST ROW position (slot = max seqval), so a

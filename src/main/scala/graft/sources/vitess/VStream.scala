@@ -176,6 +176,13 @@ final class VStreamChangeSource(
   def write(e: DataChangeEvent, tsMillis: Long = 0L): Long = synchronized {
     val key = if (e.op == OperationType.DELETE) keyOf(e.before) else keyOf(e.after)
     val shard = shardOf(key)
+    // validate BEFORE mutating the shard table: applying the change and
+    // THEN throwing would leave snapshot state permanently divergent from
+    // the journal — rows visible to snapshotRead that no readLog window
+    // ever emits
+    require(gtids(shard) + 1 <= 0xfffL,
+      s"shard $shard gtid would overflow the packing range — the epoch " +
+        "must reshard/rotate first")
     e.op match {
       case OperationType.DELETE => shardTables(shard).remove(keyOf(e.before))
       case OperationType.UPDATE | OperationType.REPLACE =>
@@ -188,7 +195,6 @@ final class VStreamChangeSource(
       case _ => shardTables(shard)(keyOf(e.after)) = e.after
     }
     gtids = gtids.updated(shard, gtids(shard) + 1)
-    require(gtids(shard) <= 0xfffL, s"shard $shard gtid overflowed the packing range")
     val vg = VGtid(gtids, epoch)
     val wire = e.copy(meta = e.meta ++ Map(
       "shard" -> names(shard),

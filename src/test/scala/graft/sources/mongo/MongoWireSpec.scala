@@ -98,6 +98,48 @@ class MongoWireSpec extends AnyFunSuite {
     } finally d.stop()
   }
 
+  test("socket source resumes PAST a drop: post-recreate events survive") {
+    // the silent-data-loss shape: drop + implicit recreate, then a window
+    // entirely after the drop. An exact-token resume lookup misses the
+    // control positions, replays from 0, and the server closes the cursor
+    // at the invalidate — every post-recreate record vanished. The socket
+    // source must open the startAfter SUCCESSOR stream instead.
+    val d = newDouble()
+    try {
+      val src = d.source
+      val dropOff = {
+        val tok = src.dropCollection()
+        tok.decodePosition - 1 // the drop position (invalidate is +1)
+      }
+      src.insertDoc(100L, """{"v": 100}""")
+      src.insertDoc(101L, """{"v": 101}""")
+      val sock = new MongoSocketChangeSource(d)
+      val got = sock.readLog(dropOff, src.currentOffset)
+      assert(got.size == 2,
+        s"post-recreate events must survive the drop, got $got")
+      assert(got.map(_.event.asInstanceOf[DataChangeEvent].after("_id"))
+        == Seq(100L, 101L))
+      assert(got == src.readLog(dropOff, src.currentOffset),
+        "socket and in-process reads agree across the drop")
+      // a window crossing the invalidate from under the drop refuses
+      // loudly, matching the in-process source
+      val e = intercept[IllegalArgumentException](
+        sock.readLog(0L, src.currentOffset))
+      assert(e.getMessage.contains("invalidated"))
+    } finally d.stop()
+  }
+
+  test("socket records carry exact event millis (wallTime), not truncated seconds") {
+    val d = newDouble()
+    try {
+      d.source.insertDoc(50L, """{"v": 50}""", tsMillis = 1700000000500L)
+      val sock = new MongoSocketChangeSource(d)
+      val recs = sock.readLog(0L, d.source.currentOffset)
+      assert(recs.nonEmpty && recs.last.tsMillis == 1700000000500L,
+        s"clusterTime truncates to seconds; wallTime must carry the millis: $recs")
+    } finally d.stop()
+  }
+
   test("unknown collection and bad cursor are wire errors") {
     val d = newDouble()
     try {
