@@ -96,15 +96,25 @@ object TransformOp {
       case Some(p) => expandProjection(p, physical)
       case None => physical
     }
-    // computed columns must be visible to the filter: extend, filter, then narrow
+    // computed columns must be visible to the filter: extend, filter, then
+    // narrow. A redefinition like `UPPER(name) AS name` OVERWRITES the
+    // original column in the extended frame — the filter sees the
+    // post-projection value uniformly, for redefined columns exactly as
+    // for new computed columns (the computed-columns-visible-to-filter
+    // contract; the reference evaluates the filter on the projected row).
+    // Every projection expression evaluates against the ORIGINAL input
+    // columns in ONE select — no sequential withColumn fold, so
+    // `UPPER(name) AS name, name AS name2` gives name2 the original value,
+    // matching the reference's evaluate-all-against-the-input-record.
     val aliasOf = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
-    val extended = projExprs.foldLeft(withMeta) { (df, e) =>
-      aliasOf.findFirstMatchIn(e) match {
-        case Some(m) if !df.columns.contains(m.group(1)) =>
-          df.withColumn(m.group(1), expr(e.substring(0, m.start)))
-        case _ => df
-      }
+    val aliased: Seq[(String, org.apache.spark.sql.Column)] = projExprs.flatMap { e =>
+      aliasOf.findFirstMatchIn(e).map(m =>
+        m.group(1) -> expr(e.substring(0, m.start)))
     }
+    val aliasNames = aliased.map(_._1).toSet
+    val extended = withMeta.select(
+      (withMeta.columns.filterNot(aliasNames.contains).map(col).toSeq ++
+        aliased.map { case (n, c) => c.as(n) }): _*)
     val filtered = rule.filter match {
       case Some(f) => extended.filter(expr(f))
       case None => extended
@@ -112,15 +122,14 @@ object TransformOp {
     val outNames = projExprs.map { e =>
       aliasOf.findFirstMatchIn(e).map(_.group(1)).getOrElse(e)
     }
-    // ALWAYS evaluate the projection expression (the envelope twin's
-    // contract, EnvelopeTransform.projectImage): selecting col(name) when
-    // an alias shadows an existing column would silently return the
-    // ORIGINAL value for a redefinition like `UPPER(name) AS name`
+    // aliased outputs were already computed (against the original inputs)
+    // in the extended frame — select them BY NAME, never re-evaluate: a
+    // second evaluation of `x + 1 AS x` against the extended frame would
+    // double-apply the redefinition
     filtered.select(outNames.zip(projExprs).map { case (name, e) =>
-      aliasOf.findFirstMatchIn(e) match {
-        case Some(m) => expr(e.substring(0, m.start)).as(name)
-        case None => expr(e).as(name)
-      }
+      if (aliasNames.contains(name) && aliasOf.findFirstMatchIn(e).isDefined)
+        col(name)
+      else expr(e).as(name)
     }.toIndexedSeq: _*)
   }
 

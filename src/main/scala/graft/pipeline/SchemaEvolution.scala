@@ -178,14 +178,22 @@ final class SchemaEvolutionDriver(
         // the real sink schema, or every later coerceBatch would coerce to
         // a column the physical table lacks and every write would fail
         applied.filter { e =>
-          try {
-            applier.applySchemaChange(e)
-            evolvedSchemas.applySchemaChange(e)
-            true
-          } catch {
-            case _: Exception if behavior == SchemaChangeBehavior.TRY_EVOLVE =>
-              false // swallowed, as in SchemaCoordinator's TRY_EVOLVE path
-          }
+          // TRY_EVOLVE swallows only SINK failures (a sink that cannot take
+          // the change, SchemaCoordinator's TRY_EVOLVE contract). A REGISTRY
+          // failure after the sink already applied must propagate: the
+          // physical sink is now ahead of the registry — the inverse
+          // divergence of the one the sink-first order prevents — and
+          // swallowing it would make every later coerceBatch omit a column
+          // the sink has. Registry failures indicate a bug, not a sink
+          // limitation.
+          val sinkOk =
+            try { applier.applySchemaChange(e); true }
+            catch {
+              case _: Exception if behavior == SchemaChangeBehavior.TRY_EVOLVE =>
+                false // swallowed, as in SchemaCoordinator's TRY_EVOLVE path
+            }
+          if (sinkOk) evolvedSchemas.applySchemaChange(e)
+          sinkOk
         }
     }
   }

@@ -151,7 +151,7 @@ final class KafkaDataSink(
           // after every task succeeded) and died mid-commit: finish its
           // commits — re-producing would duplicate the already-committed
           // transactions' records under read_committed
-          commitHandles(handles, recovery = true)
+          commitHandles(topicFor(t), handles, recovery = true)
           recordBatchCommit(t, batchId, runId)
           return
         case None => () // no prepared attempt: produce from scratch below
@@ -210,6 +210,16 @@ final class KafkaDataSink(
     // all rows of one Kafka partition land in one task, in sequence order:
     // a single producer appends them as one ordered run of batches
     val exactlyOnce = deliveryGuarantee == "exactly-once"
+    // The two-phase path leaves every task's transaction OPEN across task
+    // completion; a concurrent SPECULATIVE duplicate attempt would re-init
+    // the same transactional id and fence (abort) the completed attempt's
+    // open transaction AFTER the driver collected its handle — corrupting
+    // the commit phase. Refuse up front rather than fail confusingly later
+    // (same requirement JdbcTwoPhaseSink documents; Spark's default is off).
+    if (exactlyOnce)
+      KafkaDataSink.requireNoSpeculation(
+        frame.sparkSession.sparkContext.getConf
+          .getBoolean("spark.speculation", defaultValue = false))
     // transactional ids must be scoped to THIS pipeline run: ids keyed only
     // by (prefix, topic, task) would let an independent pipeline sharing
     // the topic fence a crashed run's PREPARED transactions (aborting data
@@ -282,30 +292,60 @@ final class KafkaDataSink(
     // by the recovery path at the top of this method.
     if (handles.nonEmpty) {
       if (batchId >= 0) recordPrepare(t, batchId, runId, handles.toSeq)
-      commitHandles(handles.toSeq, recovery = false)
+      commitHandles(topic, handles.toSeq, recovery = false)
     }
     if (batchId >= 0) recordBatchCommit(t, batchId, runId)
   }
 
   /** Commit every prepared transaction by its recorded handle — no
     * InitProducerId (an epoch bump would ABORT the open transaction, the
-    * opposite of recovery). In `recovery` mode INVALID_TXN_STATE with the
-    * matching epoch means the crashed attempt already committed this one
-    * (after a prepare the driver only ever commits) — a no-op;
-    * INVALID_PRODUCER_EPOCH means a newer incarnation fenced the producer
-    * and its prepared data was aborted — exactly-once is unrecoverable and
-    * the failure must surface, never be absorbed as at-least-once. */
-  private def commitHandles(handles: Seq[(String, Long, Int)],
+    * opposite of recovery). In `recovery` mode INVALID_TXN_STATE USUALLY
+    * means the crashed attempt already committed this one (after a prepare
+    * the driver only ever commits) — but a coordinator-side transaction-
+    * timeout ABORT on a broker that does not epoch-bump on abort surfaces
+    * with the SAME code, and absorbing that would silently mark a lost
+    * batch committed under exactly-once. So a tolerated INVALID_TXN_STATE
+    * is verified against the log itself: the commit is accepted only when
+    * a COMMIT control marker from this exact (pid, epoch) is present in
+    * the topic (the marker the broker appends at EndTxn — a timeout abort
+    * leaves an ABORT marker or none). INVALID_PRODUCER_EPOCH means a newer
+    * incarnation fenced the producer and its prepared data was aborted —
+    * exactly-once is unrecoverable and the failure must surface, never be
+    * absorbed as at-least-once. */
+  private def commitHandles(topic: String, handles: Seq[(String, Long, Int)],
       recovery: Boolean): Unit = {
     val p = new KafkaWireProducer(bootstrap)
-    try handles.foreach { case (id, pid, epoch) =>
-      val err = p.endTxnCode(id, pid, epoch, commit = true)
-      if (!(err == 0 || (recovery && err == KafkaWire.ErrInvalidTxnState)))
-        throw new IllegalStateException(
-          s"commit of prepared transaction $id (pid=$pid epoch=$epoch) " +
-            s"failed with error $err" + (if (err == 47)
-              " — fenced by a newer producer epoch; its prepared data was " +
-                "aborted and exactly-once cannot be guaranteed" else ""))
+    try {
+      // built lazily: only a recovery commit that actually returns
+      // INVALID_TXN_STATE pays the marker scan (batch-envelope decode over
+      // the topic's partitions, O(log bytes) on the rare recovery path —
+      // never on the per-batch hot path)
+      lazy val committedMarkers: Set[(Long, Int)] = {
+        val c = new KafkaWireConsumer(bootstrap)
+        try {
+          val n = math.max(p.partitionsOf(topic), 1)
+          (0 until n).flatMap(pt => c.controlMarkers(topic, pt))
+            .collect { case (pid, epoch, committed) if committed => (pid, epoch) }
+            .toSet
+        } finally c.close()
+      }
+      handles.foreach { case (id, pid, epoch) =>
+        val err = p.endTxnCode(id, pid, epoch, commit = true)
+        val tolerated = recovery && err == KafkaWire.ErrInvalidTxnState &&
+          committedMarkers.contains((pid, epoch))
+        if (!(err == 0 || tolerated))
+          throw new IllegalStateException(
+            s"commit of prepared transaction $id (pid=$pid epoch=$epoch) " +
+              s"failed with error $err" + (if (err == 47)
+                " — fenced by a newer producer epoch; its prepared data was " +
+                  "aborted and exactly-once cannot be guaranteed"
+              else if (err == KafkaWire.ErrInvalidTxnState && recovery)
+                " — no transaction to commit AND no COMMIT control marker " +
+                  "from this (pid, epoch) in the log: the prepared " +
+                  "transaction was aborted server-side (e.g. coordinator " +
+                  "transaction timeout); exactly-once cannot be guaranteed"
+              else ""))
+      }
     } finally p.close()
   }
 
@@ -372,8 +412,13 @@ final class KafkaDataSink(
             preparedLedger.remove((tbl, run, b)) // batch done: drop its ledger
           }
         } catch {
-          case _: com.fasterxml.jackson.core.JacksonException =>
-            () // foreign record in the commit topic: ignore
+          // foreign record in the commit topic: ignore — and not just
+          // malformed JSON. A record that PARSES but has the wrong shape
+          // (e.g. {"prepare":"x"}: get("table") on a text node is null →
+          // NPE) must also be skipped, or one poison record pins
+          // markerScanOffset forever and every lastCommittedBatch /
+          // writeChangelog call on this instance fails from then on.
+          case scala.util.control.NonFatal(_) => ()
         }
         markerScanOffset = math.max(markerScanOffset, r.offset + 1)
       }
@@ -423,4 +468,19 @@ final class KafkaDataSink(
         batchId)))
     } finally p.close()
   }
+}
+
+object KafkaDataSink {
+  /** Exactly-once precondition: the two-phase path leaves every task's
+    * transaction OPEN across task completion, and a concurrent SPECULATIVE
+    * duplicate attempt would re-init the same transactional id and fence
+    * (abort) the completed attempt's open transaction AFTER the driver
+    * collected its handle — corrupting the commit phase. Refuse up front
+    * rather than fail confusingly later (the same requirement
+    * JdbcTwoPhaseSink documents; Spark's default is off). */
+  private[sinks] def requireNoSpeculation(speculationEnabled: Boolean): Unit =
+    require(!speculationEnabled,
+      "exactly-once Kafka sink requires spark.speculation=false: a " +
+        "speculative duplicate task would fence the completed attempt's " +
+        "open transaction before the driver commits it")
 }

@@ -765,6 +765,35 @@ final class KafkaWireConsumer(bootstrap: String, clientId: String = "graft-consu
     out.toSeq
   }
 
+  /** Every transaction CONTROL marker in a partition as (producerId,
+    * producerEpoch, committed) in log order — the recovery probe that lets
+    * a driver distinguish "already committed" from "aborted server-side"
+    * when EndTxn answers INVALID_TXN_STATE. Reads at read_uncommitted so
+    * markers of still-open ranges are visible too; decodes only batch
+    * envelopes plus the one-record control payloads. */
+  def controlMarkers(topic: String, partition: Int): Seq[(Long, Int, Boolean)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Int, Boolean)]
+    var off = 0L
+    var hw = Long.MaxValue
+    var continue = true
+    while (continue && off < hw) {
+      val (set, highWater, _, _) = fetchRaw(topic, partition, off, 8 * 1024 * 1024, 0)
+      hw = highWater
+      val batches = KafkaWire.decodeBatchesMeta(set)
+      if (batches.isEmpty) continue = false
+      else batches.foreach { case (meta, recs) =>
+        if (meta.isControl && recs.nonEmpty && recs.head.key != null &&
+            recs.head.key.length >= 4) {
+          val k = new KafkaWire.Reader(recs.head.key)
+          k.int16() // control record version
+          out += ((meta.producerId, meta.producerEpoch, k.int16() == 1))
+        }
+        off = math.max(off, meta.lastOffset + 1)
+      }
+    }
+    out.toSeq
+  }
+
   /** Drain a partition from `from` to the current high watermark. */
   def readAll(topic: String, partition: Int, from: Long = 0L): Seq[KafkaWire.WireRecord] = {
     val out = mutable.ArrayBuffer.empty[KafkaWire.WireRecord]

@@ -77,6 +77,35 @@ class TransformOpSpec extends AnyFunSuite {
     assert(out.filter($"id" === 1).select($"name").head().getString(0) == "ALICE")
   }
 
+  test("filter sees REDEFINED columns post-projection, uniformly with computed ones") {
+    // `UPPER(name) AS name` redefines a source column; the filter must
+    // observe the redefined value (the computed-columns-visible-to-filter
+    // contract), not the pre-projection original — a filter on `name`
+    // seeing 'alice' while the projection emits 'ALICE' would pass rows
+    // the projected output then contradicts
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule("db.t",
+      projection = Some("id, UPPER(name) AS name"),
+      filter = Some("name = 'ALICE'"))
+    val out = TransformOp.applyToRows(df, rule)
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "ALICE")))
+  }
+
+  test("redefinition is applied ONCE, and sibling expressions see the ORIGINAL input") {
+    // all projection expressions evaluate against the input record: after
+    // `bal + 1 AS bal`, the output is bal+1 (never double-applied through
+    // the filter-visible extended frame), and `bal AS bal0` alongside it
+    // still reads the original value
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule("db.t",
+      projection = Some("id, bal + 1 AS bal, bal AS bal0"),
+      filter = Some("bal > 8")) // post-projection: 11.5, 21.0, 8.25 all pass
+    val out = TransformOp.applyToRows(df, rule)
+    val got = out.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set((1, 11.5, 10.5), (2, 21.0, 20.0), (3, 8.25, 7.25)))
+  }
+
   test("filter sees computed columns (PostTransformOperator semantics)") {
     val df = rows.toDF("id", "name", "bal")
     val rule = TransformRule(

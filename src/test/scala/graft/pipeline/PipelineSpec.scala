@@ -137,6 +137,20 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "recovery: the next successful evolution still lands")
   }
 
+  test("TRY_EVOLVE: a REGISTRY failure after a successful sink apply propagates") {
+    // TRY_EVOLVE swallows only sink limitations. Here the sink accepts
+    // (no-op applier) but the registry cannot (the anchor column does not
+    // exist): swallowing would leave the physical sink AHEAD of the
+    // registry — later coerceBatch would omit a column the sink has — the
+    // inverse of the divergence the sink-first order prevents.
+    val d = new SchemaEvolutionDriver(SchemaChangeBehavior.TRY_EVOLVE, _ => ())
+    d.handle(CreateTableEvent(t, schema("id" -> IntT())))
+    intercept[IllegalArgumentException] {
+      d.handle(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition(
+        "x", IntT(), AddColumnEvent.After("no_such_column")))))
+    }
+  }
+
   test("coerce pads missing columns with null and casts") {
     val spark = SparkTestBase.spark
     import spark.implicits._

@@ -260,6 +260,80 @@ class KafkaDataSinkSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("a poison record in the commit topic is skipped, never pins the marker scan") {
+    // Foreign records land in the commit topic first — including one that
+    // PARSES as JSON but has the wrong shape ({"prepare":"x"}: get("table")
+    // on a text node is null). The scan must skip all of them AND advance
+    // its offset past them; a poison record that pinned markerScanOffset
+    // would fail every later lastCommittedBatch/writeChangelog call.
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap)
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("__graft_commits")
+      p.produce("__graft_commits", 0, Seq(
+        ("junk".getBytes(UTF_8), """{"prepare":"x"}""".getBytes(UTF_8), 1L),
+        ("junk".getBytes(UTF_8), "not json at all".getBytes(UTF_8), 2L),
+        ("junk".getBytes(UTF_8), """{"prepare":{"batchId":7}}""".getBytes(UTF_8), 3L)))
+      p.close()
+      sink.writeChangelog(tid, changelog(Seq((1L, "a", "INSERT", 0L))), 0L, "r1")
+      assert(sink.lastCommittedBatch(tid, "r1").contains(0L),
+        "the real marker behind the poison records must be seen")
+      // replay of batch 0 is a plain skip — nothing re-produced
+      sink.writeChangelog(tid, changelog(Seq((2L, "DUP", "INSERT", 1L))), 0L, "r1")
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      assert(c.readAll("app.users", 0).size == 1)
+      c.close()
+    } finally broker.stop()
+  }
+
+  test("recovery refuses a prepared transaction that was aborted server-side") {
+    // INVALID_TXN_STATE on a recovery commit is ambiguous: "already
+    // committed" and "aborted by the coordinator (transaction timeout, no
+    // epoch bump)" answer the same code. The recovery path verifies against
+    // the log: no COMMIT control marker from the recorded (pid, epoch) →
+    // the batch is LOST, and exactly-once must fail loudly, never silently
+    // mark it committed.
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val sink = new KafkaDataSink(broker.bootstrap,
+        deliveryGuarantee = "exactly-once")
+      sink.applySchemaChange(CreateTableEvent(tid, schema))
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("app.users")
+      val id0 = "graft-cdc-r1-app.users-0"
+      val (pid0, ep0) = p.initProducerId(id0)
+      p.addPartitionsToTxn(id0, pid0, ep0, "app.users", Seq(0))
+      p.produceWithHeaders("app.users", 0, Seq(
+        ("1".getBytes(UTF_8), """{"v":"lost"}""".getBytes(UTF_8), 1L, Nil)),
+        txn = Some((id0, pid0, ep0)))
+      sink.recordPrepare(tid, 0L, "r1", Seq((id0, pid0, ep0)))
+      p.endTxn(id0, pid0, ep0, commit = false) // server-side abort, then crash
+      p.close()
+      val ex = intercept[IllegalStateException] {
+        sink.writeChangelog(tid,
+          changelog(Seq((99L, "X", "INSERT", 0L))), 0L, "r1")
+      }
+      assert(ex.getMessage.contains("aborted server-side"), ex.getMessage)
+    } finally broker.stop()
+  }
+
+  test("exactly-once refuses spark.speculation=true up front") {
+    // the two-phase path leaves transactions open across task completion; a
+    // speculative duplicate would fence the completed attempt's transaction
+    // after the driver collected its handle. (spark.speculation is a core
+    // conf immutable at runtime, so the guard is exercised directly; the
+    // write path feeds it sparkContext.getConf's value.)
+    val ex = intercept[IllegalArgumentException] {
+      KafkaDataSink.requireNoSpeculation(speculationEnabled = true)
+    }
+    assert(ex.getMessage.contains("speculation"))
+    KafkaDataSink.requireNoSpeculation(speculationEnabled = false) // no throw
+  }
+
   test("YAML registry: sink.type kafka resolves with the reference's options") {
     val broker = new KafkaBrokerDouble(autoCreatePartitions = 2)
     broker.start()

@@ -138,6 +138,31 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("controlMarkers surfaces every (pid, epoch, committed) marker in log order") {
+    val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+    broker.start()
+    try {
+      val p = new KafkaWireProducer(broker.bootstrap)
+      p.partitionsOf("t")
+      val (pidC, epC) = p.initProducerId("txn-commit")
+      p.addPartitionsToTxn("txn-commit", pidC, epC, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "c".getBytes(UTF_8), 0L, Nil)),
+        txn = Some(("txn-commit", pidC, epC)))
+      p.endTxn("txn-commit", pidC, epC, commit = true)
+      val (pidA, epA) = p.initProducerId("txn-abort")
+      p.addPartitionsToTxn("txn-abort", pidA, epA, "t", Seq(0))
+      p.produceWithHeaders("t", 0, Seq((null, "a".getBytes(UTF_8), 0L, Nil)),
+        txn = Some(("txn-abort", pidA, epA)))
+      p.endTxn("txn-abort", pidA, epA, commit = false)
+      p.close()
+      val c = new KafkaWireConsumer(broker.bootstrap)
+      val markers = c.controlMarkers("t", 0)
+      c.close()
+      assert(markers == Seq((pidC, epC, true), (pidA, epA, false)),
+        s"got $markers")
+    } finally broker.stop()
+  }
+
   test("resumed read past an abort marker keeps the producer's later committed data") {
     // the task-retry shape: one aborted txn, then a committed txn from the
     // SAME producer. A consumer resuming PAST the abort marker (checkpoint
