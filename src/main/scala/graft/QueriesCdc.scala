@@ -1167,6 +1167,62 @@ object QueriesCdc {
       IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
     }),
 
+    "c_iceberg_rename_import" -> ((s, dir) => {
+      // A foreign table whose LIVE FILES SPAN A RENAME (lang -> language
+      // at field id 2): pre-rename files store `lang`, post-rename files
+      // store `language`, all footers stamped with Iceberg field ids as
+      // every real Iceberg writer stamps them. NAME-based resolution
+      // would silently read NULLs for the renamed column from the
+      // pre-rename files; the importer aligns EVERY file's footer to the
+      // current schema by field id, so both shapes read correctly.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      import org.apache.spark.sql.types.MetadataBuilder
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_ibr_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType))),
+        primaryKeys = Seq("doc_id")), buckets = 4)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      t.merge(docs, s.range(0).select(col("id").as("doc_id")))
+      val dest = java.nio.file.Files.createTempDirectory("graft_ibr_dst").toString
+      IcebergInterchange.export(s, t, dest)
+      // the rename lands in the metadata: field id 2 keeps its id
+      val v = IcebergInterchange.latestMetadataVersion(dest).get
+      val root = IcebergInterchange.readMetadata(dest, v)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      root.get("schemas").get(0).get("fields").get(1)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("name", "language")
+      IcebergInterchange.writeMetadata(dest, v + 1, root)
+      // half the files keep the PRE-rename footer (lang), half take the
+      // POST-rename footer (language); all carry field ids 1..3
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dest, "data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toVector.sortBy(_.toString)
+      files.zipWithIndex.foreach { case (p, i) =>
+        val names = if (i % 2 == 0) Seq("doc_id", "lang", "n_chars")
+                    else Seq("doc_id", "language", "n_chars")
+        val df = s.read.parquet(p.toString).toDF(names: _*)
+        val st = StructType(df.schema.fields.zipWithIndex.map { case (f, j) =>
+          f.copy(metadata = new MetadataBuilder()
+            .putLong("parquet.field.id", j + 1L).build())
+        })
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ibr_rw")
+        s.createDataFrame(df.rdd, st).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
+    }),
+
     "c_iceberg_mirror" -> ((s, dir) => {
       // continuous Iceberg mirroring: one Iceberg SNAPSHOT per lakehouse
       // commit (adds in a new manifest, removes rewriting only the
@@ -3409,6 +3465,11 @@ object QueriesCdc {
     // files, so the import equals the plain table
     "c_iceberg_bucket_import" ->
       """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // live files spanning a rename (lang -> language at field id 2) read
+    // correctly by footer field-id alignment; no silent nulls
+    "c_iceberg_rename_import" ->
+      """SELECT doc_id, lang AS language, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // per-commit snapshot mirroring converges to the one-shot export state
     "c_iceberg_mirror" ->

@@ -1116,6 +1116,98 @@ object IcebergInterchange {
       .map(_.get("snapshot-id").asLong()).toSeq.sorted
   }
 
+  /** Top-level (name, field-id) pairs of each data file's parquet FOOTER —
+    * O(files) driver-side metadata reads, no data scan, parallelized on a
+    * bounded pool. This recovers the per-file schema identity Iceberg
+    * manifests do not carry (unlike Paimon's per-file `schemaId`,
+    * `PaimonInterchange.importPaimon`): a table whose retained history
+    * spans a RENAME has live files under BOTH names, and only the footer
+    * says which name each file stores. */
+  private def footerFields(spark: SparkSession, files: Seq[String])
+      : Map[String, Seq[(String, Option[Int])]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val distinct = files.distinct
+    if (distinct.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, distinct.size)))
+    try {
+      val futures = distinct.map { f =>
+        f -> pool.submit(new java.util.concurrent.Callable[Seq[(String, Option[Int])]] {
+          def call(): Seq[(String, Option[Int])] = {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+            try r.getFileMetaData.getSchema.getFields.asScala.toSeq
+              .map(t => (t.getName, Option(t.getId).map(_.intValue())))
+            finally r.close()
+          }
+        })
+      }
+      futures.map { case (f, fut) => f -> fut.get() }.toMap
+    } finally pool.shutdown()
+  }
+
+  /** The read plan aligning one file's footer schema to the current table
+    * schema: for each current column, the footer column that stores it
+    * (None = null-pad, the added-after-this-file-was-written case).
+    *
+    *  - Footers carrying Iceberg field ids on every column resolve by ID —
+    *    real Iceberg resolution, so a file written BEFORE a rename reads
+    *    its data correctly under the old physical name.
+    *  - Id-less footers (name-mapping fallback) resolve by NAME, with a
+    *    rename guard applied to THIS footer: a current column missing from
+    *    the file alongside an extra non-schema file column can only be
+    *    explained by a rename, which name-based resolution would read as
+    *    silent nulls — refuse loudly. Added columns (missing-only) and
+    *    dropped columns (extra-only) are unambiguous by name and read fine.
+    */
+  private def alignmentFor(snap: IcebergSnapshot,
+      footer: Seq[(String, Option[Int])]): Seq[(String, Option[String])] = {
+    val idsComplete = footer.nonEmpty && footer.forall(_._2.isDefined)
+    if (idsComplete) {
+      val nameById: Map[Int, String] = footer.map { case (n, id) => id.get -> n }.toMap
+      val idByCurrent: Map[String, Int] =
+        snap.fieldIds.map { case (id, n) => n -> id }
+      snap.schema.fieldNames.toSeq.map { n =>
+        n -> idByCurrent.get(n).flatMap(nameById.get)
+      }
+    } else {
+      val names = footer.map(_._1).toSet
+      val isPart = (n: String) => snap.partitionCols.exists(_._2 == n)
+      val missing = snap.schema.fieldNames.filterNot(n =>
+        names.contains(n) || isPart(n))
+      val extra = names.filterNot(n =>
+        snap.schema.fieldNames.contains(n) || isPart(n))
+      require(missing.isEmpty || extra.isEmpty,
+        s"data file columns ${extra.mkString(", ")} are not in the " +
+          s"current schema while ${missing.mkString(", ")} are missing " +
+          "from the file — likely a renamed column, which NAME-based " +
+          "resolution would read as silent nulls; refusing (this file's " +
+          "footer carries no Iceberg field ids to resolve the rename)")
+      snap.schema.fieldNames.toSeq.map(n =>
+        n -> (if (names.contains(n)) Some(n) else None))
+    }
+  }
+
+  /** Read one group of files that share a read plan, aligned to the
+    * current schema. The identity plan takes the pushdown-friendly
+    * explicit-schema scan (absent columns null-pad in the reader); a
+    * renamed plan reads under the footer names and projects — casts cover
+    * Iceberg's legal type promotions (int→long, float→double) for files
+    * written under a pre-promotion type. */
+  private def readAlignedGroup(spark: SparkSession, snap: IcebergSnapshot,
+      files: Seq[String], plan: Seq[(String, Option[String])]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (plan.forall { case (n, src) => src.forall(_ == n) })
+      spark.read.schema(snap.schema).parquet(files: _*)
+    else
+      spark.read.parquet(files: _*).select(plan.map { case (n, src) =>
+        src.map(s => col(s).cast(snap.schema(n).dataType).as(n))
+          .getOrElse(lit(null).cast(snap.schema(n).dataType).as(n))
+      }: _*)
+  }
+
   def importIceberg(spark: SparkSession, srcDir: String): DataFrame =
     importIceberg(spark, srcDir, None)
 
@@ -1127,27 +1219,24 @@ object IcebergInterchange {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    // RENAME guard: this importer resolves columns by NAME (the name-
-    // mapping fallback for id-less files). Real Iceberg resolves by field
-    // id, so a foreign table with a RENAMED column has files whose old
-    // name is absent from the current schema AND a current name absent
-    // from the files — name-based reads would silently return nulls for
-    // it. One footer probe catches the whole-table case; added columns
-    // (missing-only) and dropped columns (extra-only) are fine by name.
-    val sample = spark.read.parquet(snap.files.minBy(identity)).schema.fieldNames.toSet
-    val missingInFile = snap.schema.fieldNames.filterNot(sample.contains)
-    val extraInFile = sample.filterNot(n =>
-      snap.schema.fieldNames.contains(n) || snap.partitionCols.exists(_._2 == n))
-    require(missingInFile.isEmpty || extraInFile.isEmpty ||
-      missingInFile.forall(n => snap.partitionCols.exists(_._2 == n)),
-      s"data file columns ${extraInFile.mkString(", ")} are not in the " +
-        s"current schema while ${missingInFile.mkString(", ")} are missing " +
-        "from the file — likely a renamed column, which NAME-based " +
-        "resolution would read as silent nulls; refusing (id-based " +
-        "resolution of renamed foreign columns is not supported)")
+    // RENAME-safe resolution: every file's FOOTER schema is probed
+    // (O(files) metadata reads, no data scan) and aligned to the current
+    // schema — by Iceberg field id when the footer carries ids (a rename
+    // landing MID-HISTORY reads correctly: pre-rename files read under
+    // their old physical name), by name with a per-footer rename guard
+    // otherwise. A single-file probe would miss a mid-history rename
+    // whenever the sampled file postdates it — files written under the
+    // other schema would silently read NULLs for the renamed column.
+    val plans: Map[String, Seq[(String, Option[String])]] =
+      footerFields(spark, snap.files).map { case (f, ft) =>
+        f -> alignmentFor(snap, ft)
+      }
     if (snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
         snap.partitionCols.isEmpty)
-      return spark.read.schema(snap.schema).parquet(snap.files: _*)
+      return snap.files.groupBy(plans).toSeq
+        .sortBy { case (_, fs) => fs.min }
+        .map { case (plan, fs) => readAlignedGroup(spark, snap, fs, plan) }
+        .reduce(_ unionAll _)
 
     // data rows tagged with their file's sequence number, one scan per
     // distinct sequence (files of one commit share it); position deletes
@@ -1170,10 +1259,12 @@ object IcebergInterchange {
         srcCol -> m.getOrElse(specName, null)
       }
     }
-    var data = snap.dataSeqs.groupBy { case (p, seq) => (seq, partsOf(p)) }
-      .toSeq.sortBy { case ((seq, parts), _) => (seq, parts.mkString(",")) }
-      .map { case ((seq, parts), fs) =>
-        var base = spark.read.schema(snap.schema).parquet(fs.map(_._1): _*)
+    var data = snap.dataSeqs
+      .groupBy { case (p, seq) => (seq, partsOf(p), plans(p)) }
+      .toSeq.sortBy { case ((seq, parts, plan), _) =>
+        (seq, parts.mkString(","), plan.toString) }
+      .map { case ((seq, parts, plan), fs) =>
+        var base = readAlignedGroup(spark, snap, fs.map(_._1), plan)
         parts.foreach { case (srcCol, v) =>
           base = base.withColumn(srcCol,
             lit(v).cast(snap.schema(srcCol).dataType))

@@ -594,6 +594,61 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(back.select($"later").head().isNullAt(0))
   }
 
+  test("MID-HISTORY rename: id-less files refuse regardless of probe order; field-id files read correctly") {
+    // The table's live files SPAN a rename: one file written before
+    // (stores `v`), one after (stores `val`). A single-file footer probe
+    // passes whenever the sampled file postdates the rename — and the
+    // stale file then silently reads NULLs for the renamed column. The
+    // per-file alignment must refuse the id-less shape no matter which
+    // file sorts first, and read the id-stamped shape CORRECTLY by field
+    // id like a real Iceberg reader.
+    def rewriteParquet(path: java.nio.file.Path, names: Seq[String],
+        ids: Option[Seq[Long]]): Unit = {
+      val df = spark.read.parquet(path.toString).toDF(names: _*)
+      val schema2 = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        ids match {
+          case Some(idSeq) => f.copy(metadata = new MetadataBuilder()
+            .putLong("parquet.field.id", idSeq(i)).build())
+          case None => f
+        }
+      })
+      val stamped = spark.createDataFrame(df.collectAsList(), schema2)
+      val tmp = Files.createTempDirectory("graft_ib_rw")
+      stamped.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val t = newTable()
+    // two pks landing in different buckets -> two data files
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_midren").toString
+    IcebergInterchange.export(spark, t, dest)
+    val dataFiles = Files.list(Paths.get(dest, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toVector.sortBy(_.toString)
+    assert(dataFiles.size == 2, s"need two files, got $dataFiles")
+    // the metadata renames v -> val, field id 2 unchanged
+    val root = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root.get("schemas").get(0).get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", "val")
+    IcebergInterchange.writeMetadata(dest, 2, root)
+    // id-less: the MIN-path file carries the POST-rename shape — the shape
+    // a one-file probe would sample and wave through
+    rewriteParquet(dataFiles.head, Seq("k", "val"), ids = None)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterchange.importIceberg(spark, dest))
+    assert(e.getMessage.contains("renamed"), e.getMessage)
+    // field ids on BOTH shapes: the pre-rename file resolves val <- v by
+    // id 2; the post-rename file reads val directly; nothing nulls out
+    rewriteParquet(dataFiles.head, Seq("k", "val"), ids = Some(Seq(1L, 2L)))
+    rewriteParquet(dataFiles.last, Seq("k", "v"), ids = Some(Seq(1L, 2L)))
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "val"))
+    assert(back.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("mirror: appending a column after an array keeps nested ids stable") {
     val aSchema = TableSchema(
       StructType(Seq(
