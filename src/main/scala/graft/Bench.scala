@@ -245,9 +245,35 @@ object Bench {
     }.mkString("{", ",", "}")
     val calib =
       f"""{"start_sec":$calibStart%.3f,"end_sec":$calibEnd%.3f,"tolerance":${sentinel.driftTolerance}%.2f,"detector":"wall-over-cpu steal ratio"}"""
-    println(
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"baseline":$bs,"calibration":$calib,"drift":$driftJson,"retries":$retriesJson,"sf":${jq(
-          sfDir)}}""")
+          sfDir)}}"""
+    // The committed artifact keeps only the LAST ~2 KB of stdout (r11's
+    // grown drift/raw maps truncated the headline B1-B8 metrics clean out
+    // of BENCH_r11.json). So: the full record (per-run raw arrays,
+    // per-query medians, per-window drift) goes to a file and an earlier
+    // stdout line; the FINAL stdout line is a compact essential record —
+    // headline baseline, calibration, drift summary, retries — sized to
+    // survive the tail window whole.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(fullLine)
+    val driftVals = sentinel.drifts.values
+    val overTol = sentinel.drifts.filter(_._2 > sentinel.driftTolerance)
+    val overJson = overTol.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val driftSummary =
+      f"""{"windows":${sentinel.drifts.size},"max":${driftVals.foldLeft(0.0)(math.max)}%.3f,"tolerance":${sentinel.driftTolerance}%.2f,"over_tolerance":$overJson}"""
+    val errSummary =
+      if (errors.isEmpty) "0"
+      else s"${errors.size}" // full messages in the line above + bench_full.json
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","baseline":$bs,"calibration":$calib,"drift":$driftSummary,"retries":$retriesJson,"errors_count":$errSummary,"sf":${jq(
+          sfDir)},"full":"target/bench_full.json"}""")
     spark.stop()
     // same discipline as graft.Verify: the driver must never hang on a stray
     // non-daemon thread after the JSON line is out
@@ -938,6 +964,41 @@ object Bench {
         require(DeltaInterchange.importDelta(spark, s"$root/delta")
           .count() == nCommits * 5000L)
       }.foreach(sec => out += "b15_delta_part_import_sec" -> sec)
+
+      // the COPY path: a pk-less append-only table whose every commit
+      // lands in ONE partition (the steady-state time-partitioned CDC
+      // cadence) — footers prove single-partition, each commit hard-
+      // copies files with ZERO Spark jobs. This is the no-repartition
+      // number a real minute-cadence deployment sees; the job path above
+      // stays gated for the mixed-partition shape.
+      val tc = new LakehouseTable(spark, s"$root/src_copy")
+      tc.create(TableSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "dt", org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "k", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.StringType))),
+        partitionKeys = Seq("dt")), buckets = 4)
+      (0 until nCommits).foreach(i =>
+        tc.append(spark.range(i * 5000L, (i + 1) * 5000L).select(
+          lit(f"d$i%02d").as("dt"), col("id").as("k"),
+          concat(lit("v"), col("id")).as("v"))))
+      out += "b15_delta_copy_mirror_commits_per_sec" ->
+        sentinel.windowed("b15_delta_copy_mirror", maxRetries = 0) {
+          val d0 = System.nanoTime()
+          DeltaInterchange.mirror(spark, tc, s"$root/delta_copy")
+          nCommits / ((System.nanoTime() - d0) / 1e9)
+        }
+      out += "b15_iceberg_copy_mirror_commits_per_sec" ->
+        sentinel.windowed("b15_iceberg_copy_mirror", maxRetries = 0) {
+          val i0 = System.nanoTime()
+          IcebergInterchange.mirror(spark, tc, s"$root/iceberg_copy")
+          nCommits / ((System.nanoTime() - i0) / 1e9)
+        }
+      require(DeltaInterchange.importDelta(spark, s"$root/delta_copy")
+        .count() == nCommits * 5000L, "copy-path mirror must be complete")
     }
 
     // B4: 100 interleaved ADD COLUMN DDLs amid coerced micro-batches — the
@@ -971,10 +1032,40 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, maxStall)
       }
+      // The SCHEDULING FLOOR: the same 100 micro-jobs with no DDL and no
+      // coercion. Measured r12 (local[32], 5 runs ≤7% spread): bare 100
+      // counts 11.4 s of b4's ~13 s — ~95% of b4 is per-job task-launch
+      // overhead (≈3.5 ms/task × 32 tasks × 100 jobs), which moves with
+      // box state (CPU frequency) across sessions; and a unique plan per
+      // job costs the SAME as a cached plan (13.25 s == 13.25 s), ruling
+      // out the cumulative-analysis/codegen-growth hypothesis — per-
+      // iteration cost is flat (first-10 avg ≈ last-10 avg). Reporting
+      // the floor alongside makes the artifact self-explaining: the
+      // schema-evolution path itself is b4_total − b4_sched_floor,
+      // stable when the floor swings.
+      def floorRun(): Double = {
+        val tid = TableId.parse("app.floor")
+        val batch = Envelope.fromSnapshot(
+          spark.range(1000).select(col("id").as("k"), col("id").as("v")),
+          tid, col("k"))
+        batch.count() // materialize plan + codegen before timing
+        val t0 = System.nanoTime()
+        (1 to 100).foreach(_ => batch.count())
+        (System.nanoTime() - t0) / 1e9
+      }
       b4Run() // warmup
-      val runs = sentinel.windowed("b4") { (1 to 3).map(_ => b4Run()) }
+      // median-of-5: b4 is 100 sequential sub-second jobs whose sum hides
+      // per-job jitter worse than the single-query probes — 3 runs left a
+      // 2x committed spread unarbitrated in r11
+      val runs = sentinel.windowed("b4") { (1 to 5).map(_ => b4Run()) }
+      val floors = sentinel.windowed("b4_floor") { (1 to 3).map(_ => floorRun()) }
       rawTimes("b4") = runs.map(_._1)
-      out += "b4_total_wall_sec" -> runs.map(_._1).sorted.apply(1)
+      rawTimes("b4_floor") = floors
+      val b4Med = runs.map(_._1).sorted.apply(2)
+      val floorMed = floors.sorted.apply(1)
+      out += "b4_total_wall_sec" -> b4Med
+      out += "b4_sched_floor_sec" -> floorMed
+      out += "b4_evolution_cost_sec" -> math.max(b4Med - floorMed, 0.0)
       out += "b4_max_stall_sec" -> runs.map(_._2).max
     }
     out.toSeq

@@ -770,6 +770,42 @@ object QueriesCdc {
         .orderBy("_commit_version", "_change_type", "event_type", "user_id")
     }),
 
+    "c_part_mirror_copy" -> ((s, dir) => {
+      // the METADATA-ONLY partitioned-mirror path: a pk-less APPEND-ONLY
+      // table (the classic time-partitioned fact stream) appends one
+      // partition per commit; the footers prove every add single-
+      // partition, so each Iceberg mirror commit HARD-COPIES files with
+      // zero Spark jobs. Import equals the plain per-partition union.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmc_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("event_id", LongType, nullable = false),
+          StructField("user_id", LongType))),
+        partitionKeys = Seq("event_type")), buckets = 4)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      types.foreach(et => t.append(ev.filter(col("event_type") === et)))
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmc_dst").toString
+      require(IcebergInterchange.mirror(s, t, dest) == types.length,
+        "one copy-path snapshot per appended partition")
+      // every mirrored data file is a hard copy: stores the partition
+      // column, single-valued (a real Iceberg reader sees exact data)
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dest, "data")).iterator().asScala.toSeq
+      require(files.nonEmpty && files.forall(p =>
+        s.read.parquet(p.toString).select("event_type").distinct().count() == 1),
+        "copy-path files must be single-partition")
+      IcebergInterchange.importIceberg(s, dest)
+        .orderBy("event_type", "event_id")
+    }),
+
     "c_delta_partitioned_mirror" -> ((s, dir) => {
       // per-commit mirror of a Hive-partitioned Delta table: adds split
       // per (partition, source lakehouse bucket) with the partition tuple
@@ -3466,6 +3502,11 @@ object QueriesCdc {
     "c_iceberg_bucket_import" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // pk-less append-only partitioned mirror, metadata-only copy commits
+    "c_part_mirror_copy" ->
+      """SELECT event_type, event_id, user_id FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_type, event_id""".stripMargin,
     // live files spanning a rename (lang -> language at field id 2) read
     // correctly by footer field-id alignment; no silent nulls
     "c_iceberg_rename_import" ->

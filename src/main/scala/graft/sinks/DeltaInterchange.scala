@@ -281,10 +281,11 @@ object DeltaInterchange {
       val partitioned = partitionKeys.nonEmpty
       if (partitioned) {
         validatePartitionCols(curMeta.schema.struct, partitionKeys)
-        require(curMeta.schema.primaryKeys.nonEmpty,
-          "a partitioned Delta mirror needs primary keys: mirrored files " +
-            "split per source lakehouse bucket (full-pk hash) so removals " +
-            "map exactly — refusing a pk-less partitioned table")
+        // pk-less tables (append-only fact streams — the classic time-
+        // partitioned shape) mirror too: appends never remove, so the
+        // pk-bucket removal mapping is not needed; single-partition
+        // commits take the metadata-only copy path. A commit that DOES
+        // remove on a pk-less partitioned mirror refuses below.
       }
       val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
@@ -341,6 +342,12 @@ object DeltaInterchange {
           // removals FIRST state-wise: whole-bucket COW rewrites kill every
           // live split file whose name encodes a removed source bucket
           if (removes.nonEmpty) {
+            require(curMeta.schema.primaryKeys.nonEmpty,
+              s"version $v removes files from a PK-LESS partitioned Delta " +
+                "mirror: removals map through the pk-hash bucket in split-" +
+                "file names, which pk-less tables do not have — only " +
+                "append-only commits mirror for them (compaction/overwrite/" +
+                "delete are unsupported); refusing")
             val rb = PartitionedMirror.wholeBucketRemovalSet(v, removes, prev)
             val dead = liveNames.filter(n => PartitionedMirror.srcBucketOf(
               Paths.get(n).getFileName.toString).exists(rb.contains)).toSeq.sorted
@@ -355,10 +362,12 @@ object DeltaInterchange {
             }
           }
           if (adds.nonEmpty) {
-            // ONE partitionBy job splits the commit's adds by (partition
-            // tuple, source lakehouse bucket); partition columns stay OUT
-            // of the files — add.partitionValues restores them on import
-            val (moved, rows) = PartitionedMirror.splitAddsBySourceBucket(
+            // metadata-only when the footers prove every add single-
+            // partition (hard-copy, no Spark job); else ONE partitionBy
+            // job splits the commit's adds by (partition tuple, source
+            // lakehouse bucket); partition columns come back on import
+            // from add.partitionValues either way
+            val (moved, rows) = PartitionedMirror.splitOrCopyAdds(
               spark, table.dir, adds, curMeta.schema.struct,
               curMeta.schema.primaryKeys, curMeta.buckets, destDir, partitionKeys,
               (n, _, srcb) => f"part-v$v-b${srcb.get}-$n%05d.parquet")

@@ -1476,10 +1476,11 @@ object IcebergInterchange {
             s"partition column '$c': type $dt has no identity-partition " +
               "serialization here — refusing")
         }
-        require(curMeta.schema.primaryKeys.nonEmpty,
-          "a partitioned Iceberg mirror needs primary keys: mirrored files " +
-            "split per source lakehouse bucket (full-pk hash) so removals " +
-            "map exactly — refusing a pk-less partitioned table")
+        // pk-less tables (append-only fact streams — the classic time-
+        // partitioned shape) mirror too: appends never remove, so the
+        // pk-bucket removal mapping is not needed; single-partition
+        // commits take the metadata-only copy path. A commit that DOES
+        // remove on a pk-less partitioned mirror refuses below.
       }
       val prevFiles = prev.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
@@ -1556,6 +1557,12 @@ object IcebergInterchange {
             // `part-s<snap>-b<srcBucket>-<n>`: the source lakehouse bucket
             // (the COW removal granularity — whole buckets rewrite) rides
             // in the NAME, so removals map exactly with no sidecar
+            require(curMeta.schema.primaryKeys.nonEmpty || removes.isEmpty,
+              s"version $v removes files from a PK-LESS partitioned " +
+                "Iceberg mirror: removals map through the pk-hash bucket " +
+                "in split-file names, which pk-less tables do not have — " +
+                "only append-only commits mirror for them (compaction/" +
+                "overwrite/delete are unsupported); refusing")
             val rb = PartitionedMirror.wholeBucketRemovalSet(v, removes, prev)
             val deadData = manifests.filter(_.content == 0).flatMap(_.live)
               .map(e => Paths.get(e.filePath).getFileName.toString)
@@ -1603,13 +1610,17 @@ object IcebergInterchange {
             writeManifest(p, schemaJson, entries)
             Some(ManifestInfo(p, Files.size(p), lastSeq, lastSeq, snapshotId, entries))
           } else {
-            // partitioned: ONE partitionBy job splits the commit's adds by
-            // (partition tuple, source lakehouse bucket) — the bucket rides
-            // in the file name for removal mapping; partition columns stay
-            // OUT of the data files (Column Projection restores them).
-            // Per-file zone-map bounds are dropped (the lakehouse stats are
-            // per source file) — pruning comes from the partition tuple.
-            val (moved, rows) = PartitionedMirror.splitAddsBySourceBucket(
+            // partitioned: metadata-only when the footers prove every add
+            // single-partition (hard-copy, no Spark job); else ONE
+            // partitionBy job splits the commit's adds by (partition
+            // tuple, source lakehouse bucket) — the bucket rides in the
+            // file name for removal mapping; the job path keeps partition
+            // columns OUT of the data files (Column Projection restores
+            // them), the copy path leaves them in (the constant override
+            // on import reads identically). Per-file zone-map bounds are
+            // dropped (the lakehouse stats are per source file) — pruning
+            // comes from the partition tuple.
+            val (moved, rows) = PartitionedMirror.splitOrCopyAdds(
               spark, table.dir, adds, struct, curMeta.schema.primaryKeys,
               curMeta.buckets, destDir, partitionKeys,
               (n, _, srcb) => f"part-s$snapshotId-b${srcb.get}-$n%05d.parquet")

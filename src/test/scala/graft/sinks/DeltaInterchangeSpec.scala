@@ -526,6 +526,37 @@ class DeltaInterchangeSpec extends AnyFunSuite {
       "partition values project back onto every change row")
   }
 
+  test("pk-less APPEND-ONLY partitioned mirror: copy commits; removals refuse") {
+    // time-partitioned fact stream, Delta side (same shared machinery as
+    // the Iceberg twin): single-partition append commits hard-copy with
+    // no Spark job; an overwrite (removal) on a pk-less table refuses
+    val tp = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_dl_ap_src").toString)
+    tp.create(TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      partitionKeys = Seq("dt")), buckets = 2)
+    val dest = Files.createTempDirectory("graft_dl_ap_dst").toString
+    (0 until 3).foreach { i =>
+      tp.append(Seq.tabulate(4)(j => (s"d$i", j.toLong, s"v$i$j"))
+        .toDF("dt", "k", "v"))
+    }
+    assert(DeltaInterchange.mirror(spark, tp, dest) >= 3)
+    val back = DeltaInterchange.importDelta(spark, dest)
+    val want = tp.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    val snap = DeltaInterchange.readLog(spark, dest)
+    assert(snap.files.nonEmpty && snap.files.forall(f =>
+      spark.read.parquet(f).select("dt").distinct().count() == 1),
+      "append-only commit files hard-copy (single partition)")
+    tp.append(Seq(("d9", 0L, "x")).toDF("dt", "k", "v"), overwrite = true)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterchange.mirror(spark, tp, dest))
+    assert(e.getMessage.contains("PK-LESS"), e.getMessage)
+  }
+
   test("partitioned mirror: split adds, name-mapped removals, checkpoint") {
     val t = newPartTable()
     val dest = Files.createTempDirectory("graft_dl_pmir").toString

@@ -813,13 +813,21 @@ class IcebergInterchangeSpec extends AnyFunSuite {
       "fixture must occupy both lakehouse buckets")
     assert(IcebergInterchange.mirror(spark, t, dest) >= 1)
     same()
-    // data files: split per (partition, source bucket), no dt column, the
-    // source bucket in the NAME (the removal map needs no sidecar)
+    // data files: split per (partition, source bucket), the source bucket
+    // in the NAME (the removal map needs no sidecar). A commit whose adds
+    // are footer-proven single-partition takes the metadata-only COPY
+    // path and its files still STORE dt — every stored value must then be
+    // the single manifest partition value (an external Iceberg reader
+    // reads the stored column as-is); job-path files never store it.
     val dataFiles = Files.list(Paths.get(dest, "data")).iterator().asScala.toSeq
     assert(dataFiles.nonEmpty && dataFiles.forall(
       _.getFileName.toString.matches("""part-s\d+-b\d+-\d+\.parquet""")))
-    assert(!spark.read.parquet(dataFiles.head.toString).columns.contains("dt"),
-      "identity partition values live in manifests, not data files")
+    dataFiles.foreach { p =>
+      val df = spark.read.parquet(p.toString)
+      if (df.columns.contains("dt"))
+        assert(df.select("dt").distinct().count() == 1,
+          s"copy-path file $p must be single-partition")
+    }
     // metadata: identity spec 0 (default) + unpartitioned spec 1
     val root1 = metadata(dest)
     assert(root1.get("partition-specs").size() == 2)
@@ -851,6 +859,49 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     t.merge(Seq(("b", 3L, "B3B")).toDF("dt", "k", "v"), noKeys)
     assert(IcebergInterchange.mirror(spark, t, dest) == 1)
     same()
+  }
+
+  test("pk-less APPEND-ONLY partitioned mirror: metadata-only copy commits; removals refuse") {
+    // The classic time-partitioned fact stream: each commit appends one
+    // partition's rows. Footers prove every add single-partition, so every
+    // commit takes the COPY path — zero Spark jobs, files keep dt and the
+    // manifests carry the partition tuple. A removal (overwrite) refuses:
+    // pk-less tables have no bucket removal mapping.
+    val dest = Files.createTempDirectory("graft_ib_ap_dst").toString
+    val tp = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_ib_ap2_src").toString)
+    tp.create(TableSchema(
+      StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      partitionKeys = Seq("dt")), buckets = 2)
+    (0 until 3).foreach { i =>
+      tp.append(Seq.tabulate(4)(j => (s"d$i", j.toLong, s"v$i$j"))
+        .toDF("dt", "k", "v"))
+    }
+    assert(IcebergInterchange.mirror(spark, tp, dest) == 3) // one per append
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    val want = tp.read()
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    // every data file came from the copy path: it still stores dt, single-valued
+    val dataFiles = Files.list(Paths.get(dest, "data")).iterator().asScala.toSeq
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { p =>
+      val df = spark.read.parquet(p.toString)
+      assert(df.columns.contains("dt") &&
+        df.select("dt").distinct().count() == 1,
+        s"append-only commit files hard-copy (single partition), got $p")
+    }
+    // manifests carry the partition tuples (pruning works for a real reader)
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.filePartitions.values.map(_("dt")).toSet ==
+      Set("d0", "d1", "d2"))
+    // a removal (overwrite-append) refuses loudly
+    tp.append(Seq(("d9", 0L, "x")).toDF("dt", "k", "v"), overwrite = true)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterchange.mirror(spark, tp, dest))
+    assert(e.getMessage.contains("PK-LESS"), e.getMessage)
   }
 
   test("format-version 1 tables read: legacy metadata, no sequence fields") {
