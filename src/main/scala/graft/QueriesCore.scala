@@ -766,6 +766,40 @@ object QueriesCore {
           .orderBy("user_id")
       } finally server.stop()
     }),
+    "c_oceanbase_sink" -> ((s, dir) => {
+      // dedicated OceanBase pipeline sink end-to-end over the MySQL text
+      // wire: tenant discovery (@@ob_compatibility_mode), catalog DDL
+      // (CREATE DATABASE/TABLE with keys), batched
+      // INSERT .. ON DUPLICATE KEY UPDATE upserts and keyed DELETEs from
+      // executor partitions into the loopback OB double; the double's
+      // final PK store must equal the changelog's final state
+      import graft.sinks.{OceanBaseDataSink, OceanBaseServerDouble}
+      import org.apache.spark.sql.types._
+      val server = new OceanBaseServerDouble()
+      server.start()
+      try {
+        val tid = TableId.parse("app.events")
+        val env = eventsChangelog(s, dir)
+        val afterT = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
+        val sink = new OceanBaseDataSink(server.host, server.boundPort, "root")
+        // key columns must be NOT NULL in OceanBase (the connector refuses
+        // otherwise); the parquet-derived struct is all-nullable, so the
+        // declared sink schema tightens the key — as a real pipeline's
+        // source schema (pk implies not-null) already would
+        val keyedT = StructType(afterT.fields.map(f =>
+          if (f.name == "user_id") f.copy(nullable = false) else f))
+        sink.applySchemaChange(CreateTableEvent(tid, TableSchema(keyedT, Seq("user_id"))))
+        Upsert.withMaterialized(env, Seq("user_id")) { (ups, dels) =>
+          sink.writeBatch(tid, ups, dels)
+        }
+        import s.implicits._
+        val rows = server.rowsOf("app", "events").map { r =>
+          (r("user_id").get.toLong, r("event_type").orNull,
+            r("value").map(_.toDouble).getOrElse(0.0), r("ts").orNull)
+        }
+        rows.toDF("user_id", "event_type", "value", "ts_str").orderBy("user_id")
+      } finally server.stop()
+    }),
     "c_kafka_pipeline_sink" -> ((s, dir) => {
       // Kafka pipeline sink end-to-end OVER THE REAL WIRE at EXACTLY-ONCE:
       // the changelog flows as three tracked micro-batches (middle
@@ -2091,6 +2125,15 @@ object QueriesCore {
     // final ES documents = changelog final state; ts in the reference's
     // microsecond DATE_TIME_FORMATTER rendering
     "c_es_sink" -> (evCte +
+      """, last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM last WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin),
+    // final OB PK store = changelog final state; ts rendered in the
+    // sink's microsecond literal format (same shape as c_es_sink)
+    "c_oceanbase_sink" -> (evCte +
       """, last AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM ev)

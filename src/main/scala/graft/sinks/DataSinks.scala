@@ -13,10 +13,36 @@ object DataSinks {
   def forDef(spark: SparkSession, sinkDef: SinkDef): DataSink =
     sinkDef.sinkType.toLowerCase match {
       case "values" | "memory" => new MemoryDatabase
+      case "oceanbase" if sinkDef.config.contains("username") =>
+        // the DEDICATED OceanBase pipeline connector (the reference's
+        // flink-cdc-pipeline-connector-oceanbase, required options url +
+        // username + password): tenant-dialect catalog DDL + buffered
+        // upsert/delete writer with memstore back-pressure over the MySQL
+        // text wire. Without `username` the type stays the legacy
+        // mysql-dialect JDBC alias below (OB's MySQL-compat JDBC mode).
+        val raw = sinkDef.config.getOrElse("url",
+          throw new IllegalArgumentException("oceanbase sink requires 'url'"))
+        sinkDef.config.getOrElse("password",
+          throw new IllegalArgumentException("oceanbase sink requires 'password'"))
+        val hp = raw.replaceFirst("^jdbc:mysql://", "").replaceFirst("^jdbc:oceanbase://", "")
+          .takeWhile(_ != '/')
+        val (host, port) = hp.split(":") match {
+          case Array(h, p) => (h, p.toInt)
+          case Array(h) => (h, 2881)
+          case _ => throw new IllegalArgumentException(s"malformed oceanbase url '$raw'")
+        }
+        new OceanBaseDataSink(
+          host = host, port = port,
+          username = sinkDef.config("username"),
+          memstoreCheckEnabled =
+            sinkDef.config.getOrElse("memstore-check.enabled", "true").toBoolean,
+          memstoreThreshold =
+            sinkDef.config.getOrElse("memstore-check.threshold", "0.9").toDouble,
+          bufferSize = sinkDef.config.getOrElse("buffer-flush.buffer-size", "1024").toInt)
       case t @ ("jdbc" | "mysql" | "oceanbase" | "postgres") =>
-        // oceanbase speaks the mysql wire protocol (the reference's OceanBase
-        // pipeline connector is a mysql-dialect JDBC sink); mysql/postgres
-        // are the dialect-explicit spellings of the jdbc type
+        // oceanbase WITHOUT username stays the mysql-wire JDBC alias (OB's
+        // MySQL-compat JDBC mode); mysql/postgres are the dialect-explicit
+        // spellings of the jdbc type
         val dialectDefault = t match {
           case "mysql" | "oceanbase" => "mysql"
           case "postgres" => "postgres"
