@@ -1203,6 +1203,42 @@ object QueriesCdc {
       IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
     }),
 
+    "c_iceberg_v3_dv" -> ((s, dir) => {
+      // Iceberg FORMAT-VERSION 3 import, deletion-vector subset: DVs ride
+      // in Puffin sidecars as the SAME portable RoaringBitmapArray bytes
+      // the Delta reader features decode (the two specs share the
+      // serialization), referenced per data file from the manifest's
+      // v3 fields (143-145), and apply as a MAP-SIDE bitmap probe against
+      // broadcast descriptors — no extra shuffle. Rows with
+      // doc_id % 7 == 0 are deleted by DV; the import equals the
+      // filtered table. Row lineage / column defaults / v4 still refuse.
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_dv_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType))),
+        primaryKeys = Seq("doc_id")), buckets = 4)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      t.merge(docs, s.range(0).select(col("id").as("doc_id")))
+      val dest = java.nio.file.Files.createTempDirectory("graft_dv_dst").toString
+      IcebergInterchange.export(s, t, dest)
+      val snap = IcebergInterchange.readTable(dest)
+      val pos = s.read.parquet(snap.files: _*)
+        .selectExpr("doc_id", "_metadata.file_path AS f",
+          "_metadata.row_index AS i")
+        .filter(col("doc_id") % 7 === 0)
+        .select(regexp_replace(col("f"), "^file:(//)?", "").as("f"), col("i"))
+        .collect().groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)).toSeq }
+      require(pos.nonEmpty, "fixture must delete something")
+      IcebergInterchange.attachDeletionVectors(dest, pos)
+      IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
+    }),
+
     "c_iceberg_rename_import" -> ((s, dir) => {
       // A foreign table whose LIVE FILES SPAN A RENAME (lang -> language
       // at field id 2): pre-rename files store `lang`, post-rename files
@@ -3507,6 +3543,11 @@ object QueriesCdc {
       """SELECT event_type, event_id, user_id FROM events
         |WHERE event_id < 500
         |ORDER BY event_type, event_id""".stripMargin,
+    // v3 deletion vectors mask doc_id % 7 == 0 row positions per file
+    "c_iceberg_v3_dv" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // live files spanning a rename (lang -> language at field id 2) read
     // correctly by footer field-id alignment; no silent nulls
     "c_iceberg_rename_import" ->

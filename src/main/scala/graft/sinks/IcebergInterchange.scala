@@ -43,7 +43,8 @@ import scala.jdk.CollectionConverters._
   *    files for derived partition fields, so the derived tuple is pruning
   *    metadata only (export stays identity-only). Unsupported features
   *    fail LOUDLY instead of reading wrong data: non-parquet data files,
-  *    unknown partition transforms, format-version > 2 (v1 tables READ —
+  *    unknown partition transforms, format-version > 3 (v3 reads when its
+  *    only v3 feature is Puffin deletion vectors; v1 tables READ —
   *    missing manifest fields default to the spec's v1 semantics, legacy
   *    single-`schema`/flat-`partition-spec` metadata accepted; writes
   *    stay v2).
@@ -111,7 +112,10 @@ object IcebergInterchange {
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
       |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
       |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
       |]}}
       |]}""".stripMargin
 
@@ -386,7 +390,13 @@ object IcebergInterchange {
       bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
       // spec-field-name -> value from the manifest's partition struct
       // (empty for unpartitioned tables)
-      partition: Map[String, Any] = Map.empty)
+      partition: Map[String, Any] = Map.empty,
+      // v3 deletion-vector fields (spec field-ids 143/144/145): the ONE
+      // data file this DV masks, and the blob's [offset, size) in the
+      // Puffin file at filePath
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   /** `content` 0 = data manifest, 1 = delete manifest (spec manifest_file
     * content); `specId` the manifest's partition-spec id (0 = the table's
@@ -404,7 +414,8 @@ object IcebergInterchange {
       entrySchema.getField("data_file").schema())
     df.put("content", e.content)
     df.put("file_path", e.filePath)
-    df.put("file_format", "PARQUET")
+    // a deletion vector rides in a PUFFIN file (v3); everything else parquet
+    df.put("file_format", if (e.referencedDataFile.isDefined) "PUFFIN" else "PARQUET")
     val partSchema = df.getSchema.getField("partition").schema()
     val part = new GenericData.Record(partSchema)
     partSchema.getFields.asScala.foreach { f =>
@@ -430,6 +441,10 @@ object IcebergInterchange {
     }
     if (e.equalityIds.nonEmpty)
       df.put("equality_ids", e.equalityIds.map(Integer.valueOf).asJava)
+    e.referencedDataFile.foreach(df.put("referenced_data_file", _))
+    e.contentOffset.foreach(v => df.put("content_offset", java.lang.Long.valueOf(v)))
+    e.contentSize.foreach(v =>
+      df.put("content_size_in_bytes", java.lang.Long.valueOf(v)))
     val rec = new GenericData.Record(entrySchema)
     rec.put("status", e.status)
     rec.put("snapshot_id", e.snapshotId)
@@ -470,11 +485,17 @@ object IcebergInterchange {
         s"manifest $path: data_file.content $content is not a spec value " +
           "(data=0, position-deletes=1, equality-deletes=2)")
       val fmt = str(df, "file_format")
-      require(fmt.equalsIgnoreCase("PARQUET"),
-        s"data file format $fmt is not supported (parquet only)")
       // v1 data_file schemas may omit any of these optional fields
       def optField(f: String): Option[AnyRef] =
         if (df.getSchema.getField(f) == null) None else Option(df.get(f))
+      val referenced = optField("referenced_data_file").map(_.toString)
+      val isDv = content == 1 && fmt.equalsIgnoreCase("PUFFIN")
+      require(fmt.equalsIgnoreCase("PARQUET") || isDv,
+        s"data file format $fmt is not supported (parquet, or puffin for " +
+          "v3 deletion vectors)")
+      if (isDv) require(referenced.isDefined,
+        s"manifest $path: a PUFFIN deletion vector must reference exactly " +
+          "one data file (referenced_data_file is null)")
       val eqIds = optField("equality_ids")
         .map(_.asInstanceOf[java.util.List[_]].asScala
           .map(_.asInstanceOf[Number].intValue()).toSeq)
@@ -523,7 +544,12 @@ object IcebergInterchange {
         Option(r.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         seq,
         str(df, "file_path"), long(df, "record_count"),
-        long(df, "file_size_in_bytes"), content, eqIds, bounds, partition)
+        long(df, "file_size_in_bytes"), content, eqIds, bounds, partition,
+        referencedDataFile = referenced,
+        contentOffset = optField("content_offset")
+          .map(_.asInstanceOf[Number].longValue()),
+        contentSize = optField("content_size_in_bytes")
+          .map(_.asInstanceOf[Number].longValue()))
     }
 
   private[sinks] def manifestListRecord(m: ManifestInfo): GenericRecord = {
@@ -906,7 +932,10 @@ object IcebergInterchange {
       // spec order; empty for unpartitioned tables
       partitionCols: Seq[(String, String)] = Nil,
       // absolute data file path -> spec-field-name -> partition value
-      filePartitions: Map[String, Map[String, Any]] = Map.empty)
+      filePartitions: Map[String, Map[String, Any]] = Map.empty,
+      // v3 deletion vectors: (puffin path, data sequence, referenced data
+      // file absolute path, blob offset, blob size)
+      dvs: Seq[(String, Long, String, Long, Long)] = Nil)
 
   /** Replay the latest metadata version into the current live state —
     * or, with `asOfSnapshotId`, TIME TRAVEL to that snapshot: its
@@ -921,11 +950,26 @@ object IcebergInterchange {
     val fv = root.get("format-version").asInt()
     // v1 tables READ (missing manifest fields default to the spec's v1
     // semantics: content 0, no sequences, no delete files); writes stay
-    // v2-only. fv > 2 refuses — v3 semantics (row lineage, DVs) are not
-    // implemented.
-    require(fv == 1 || fv == 2,
-      s"format-version $fv is not supported (this importer reads v1-v2) — " +
+    // v2-only. v3 tables READ when their only v3 feature is DELETION
+    // VECTORS (Puffin blobs, same portable RoaringBitmapArray the Delta
+    // side decodes); row lineage and column defaults refuse below. fv > 3
+    // refuses — unreleased manifest semantics must never be guessed at.
+    require(fv >= 1 && fv <= 3,
+      s"format-version $fv is not supported (this importer reads v1-v3) — " +
         "refusing rather than mis-replaying newer manifest semantics")
+    if (fv == 3) {
+      require(!Option(root.get("row-lineage")).exists(_.asBoolean(false)),
+        "v3 row lineage is not supported by this importer — refusing " +
+          "rather than dropping _row_id/_last_updated_sequence_number " +
+          "semantics silently")
+      Option(root.get("schemas")).foreach(_.elements().asScala.foreach(s =>
+        s.get("fields").elements().asScala.foreach { f =>
+          require(!f.has("initial-default") && !f.has("write-default"),
+            s"v3 column default on field '${f.get("name").asText()}' is " +
+              "not supported by this importer — a default-bearing column " +
+              "read as null would be silently wrong; refusing")
+        }))
+    }
     val location = root.get("location").asText()
     // time travel reads under the SNAPSHOT's schema when it records one
     val asOfSchemaId = asOfSnapshotId.flatMap { id =>
@@ -1017,6 +1061,7 @@ object IcebergInterchange {
     val data = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val dels = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val pos = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val dvEntries = scala.collection.mutable.ArrayBuffer.empty[Entry]
     readAvro(listPath).foreach { mf =>
       val content = intOr(mf, "content", 0) // v1 lists: data manifests only
       val mPath = resolvePath(location, str(mf, "manifest_path"))
@@ -1025,6 +1070,15 @@ object IcebergInterchange {
       if (content == 0) data ++= live
       else live.foreach {
         case e if e.content == 2 && e.equalityIds.nonEmpty => dels += e
+        case e if e.content == 1 && e.referencedDataFile.isDefined =>
+          require(fv >= 3, s"delete manifest $mPath entry ${e.filePath}: " +
+            "PUFFIN deletion vectors are a format-version 3 feature, but " +
+            s"the table metadata declares v$fv — refusing an inconsistent table")
+          require(e.contentOffset.isDefined && e.contentSize.isDefined,
+            s"delete manifest $mPath entry ${e.filePath}: a deletion " +
+              "vector entry must carry content_offset and " +
+              "content_size_in_bytes")
+          dvEntries += e
         case e if e.content == 1 => pos += e
         case e => throw new IllegalArgumentException(
           s"delete manifest $mPath entry ${e.filePath}: content ${e.content} " +
@@ -1039,7 +1093,10 @@ object IcebergInterchange {
         e.equalityIds)).toSeq,
       pos.map(e => (resolvePath(location, e.filePath).toString, e.seq)).toSeq,
       fieldIds, partitionCols,
-      data.map(e => resolvePath(location, e.filePath).toString -> e.partition).toMap)
+      data.map(e => resolvePath(location, e.filePath).toString -> e.partition).toMap,
+      dvs = dvEntries.map(e => (resolvePath(location, e.filePath).toString,
+        e.seq, resolvePath(location, e.referencedDataFile.get).toString,
+        e.contentOffset.get, e.contentSize.get)).toSeq)
   }
 
   private def resolvePath(location: String, p: String): Path = {
@@ -1214,7 +1271,7 @@ object IcebergInterchange {
   /** Import, optionally AS OF a retained snapshot id (time travel). */
   def importIceberg(spark: SparkSession, srcDir: String,
       asOfSnapshotId: Option[Long]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, max, regexp_replace}
+    import org.apache.spark.sql.functions.{col, lit, max, regexp_replace, udf}
     val snap = readTable(srcDir, asOfSnapshotId)
     if (snap.files.isEmpty)
       return spark.createDataFrame(
@@ -1232,7 +1289,7 @@ object IcebergInterchange {
         f -> alignmentFor(snap, ft)
       }
     if (snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
-        snap.partitionCols.isEmpty)
+        snap.dvs.isEmpty && snap.partitionCols.isEmpty)
       return snap.files.groupBy(plans).toSeq
         .sortBy { case (_, fs) => fs.min }
         .map { case (plan, fs) => readAlignedGroup(spark, snap, fs, plan) }
@@ -1242,7 +1299,7 @@ object IcebergInterchange {
     // distinct sequence (files of one commit share it); position deletes
     // additionally need the row's (file, offset) identity — Spark's
     // parquet `_metadata` column provides both without touching row data
-    val needPos = snap.posDeletes.nonEmpty
+    val needPos = snap.posDeletes.nonEmpty || snap.dvs.nonEmpty
     // "file:///x" and "file:/x" both normalize to "/x" so delete-file
     // references match however the writer spelled the URI
     def normUri(c: org.apache.spark.sql.Column) =
@@ -1302,7 +1359,7 @@ object IcebergInterchange {
         .drop("_ib_dmax")
     }
 
-    if (needPos) {
+    if (snap.posDeletes.nonEmpty) {
       // spec position-delete file columns: file_path (2147483546),
       // pos (2147483545); applies to data files with sequence <= S
       val posSchema = StructType(Seq(
@@ -1318,7 +1375,113 @@ object IcebergInterchange {
       data = data.join(posMax, Seq("_ib_file", "_ib_pos"), "left")
         .filter(col("_ib_pmax").isNull || col("_ib_pmax") < col("_ib_seq"))
     }
+
+    if (snap.dvs.nonEmpty) {
+      // v3 deletion vectors: each masks exactly ONE data file, and (the
+      // position-delete sequence rule) only when its sequence covers the
+      // file's — a file re-added AFTER the DV is not masked. Descriptors
+      // prune driver-side against the known file sequences, broadcast as
+      // O(files) metadata, and the row filter runs MAP-SIDE against
+      // per-executor cached bitmaps — the Delta DV import's plan shape,
+      // zero extra exchanges.
+      val fileSeq = snap.dataSeqs.toMap
+      val dvByFile: Map[String, (String, Long, Long)] = snap.dvs.flatMap {
+        case (puffin, dvSeq, ref, off, size) =>
+          if (fileSeq.get(ref).exists(_ <= dvSeq))
+            Some(ref -> (puffin, off, size))
+          else None
+      }.toMap
+      require(snap.dvs.map(_._3).distinct.size == snap.dvs.size,
+        "multiple deletion vectors reference one data file — the v3 spec " +
+          "allows at most one live DV per file; refusing an invalid table")
+      if (dvByFile.nonEmpty) {
+        val dvB = spark.sparkContext.broadcast(dvByFile)
+        val keep = udf((fp: String, idx: Long) =>
+          !IcebergDvCache.isDeleted(dvB.value, fp, idx))
+        data = data.filter(keep(col("_ib_file"), col("_ib_pos")))
+      }
+    }
     data.select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Commit deletion vectors to a table, upgrading it to format-version 3
+    * — the v3 DV write path (and the fixture a foreign v3 reader test
+    * needs): one Puffin file holds a `deletion-vector-v1` blob per
+    * referenced data file, a new DELETE manifest records each blob with
+    * `referenced_data_file`/`content_offset`/`content_size_in_bytes`
+    * (spec field-ids 143-145), and a new snapshot carries the prior
+    * manifests forward plus the DV manifest at the next sequence number.
+    * `dvs` maps ABSOLUTE data-file paths (as [[readTable]] resolves them)
+    * to deleted row positions. */
+  def attachDeletionVectors(destDir: String,
+      dvs: Map[String, Seq[Long]]): Unit = {
+    require(dvs.nonEmpty, "no deletion vectors to attach")
+    val v = latestMetadataVersion(destDir).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg metadata under $destDir"))
+    val root = readMetadata(destDir, v).deepCopy[ObjectNode]()
+    val fv = root.get("format-version").asInt()
+    require(fv == 2 || fv == 3,
+      s"cannot attach deletion vectors to a v$fv table (v2 upgrades to v3)")
+    val location = root.get("location").asText()
+    val snaps = root.get("snapshots").elements().asScala.toVector
+    require(snaps.nonEmpty, "cannot attach deletion vectors to an empty table")
+    val curId = root.get("current-snapshot-id").asLong()
+    val cur = snaps.find(_.get("snapshot-id").asLong() == curId).getOrElse(
+      throw new IllegalStateException(s"current snapshot $curId not listed"))
+    // validate every referenced file is LIVE before any mutation
+    val live = readTable(destDir)
+    dvs.keys.foreach(f => require(live.files.contains(f),
+      s"deletion vector references $f, which is not a live data file"))
+    val lastSeq = root.get("last-sequence-number").asLong()
+    val newSeq = lastSeq + 1
+    val snapshotId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    val puffinPath = Paths.get(destDir, "data", s"dv-$snapshotId.puffin")
+    val placed = IcebergPuffin.writeDvFile(puffinPath, snapshotId, newSeq,
+      dvs.toSeq.sortBy(_._1))
+    val schemaId = Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val schemaNode = root.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId).get
+    val entries = placed.map { case (file, offset, size, card) =>
+      Entry(Added, snapshotId, newSeq, puffinPath.toString, card, size,
+        content = 1, referencedDataFile = Some(file),
+        contentOffset = Some(offset), contentSize = Some(size))
+    }
+    val mPath = metadataDir(destDir).resolve(s"m-$snapshotId-dv.avro")
+    writeManifest(mPath, mapper.writeValueAsString(schemaNode), entries,
+      deletes = true)
+    val newInfo = ManifestInfo(mPath, Files.size(mPath), newSeq, newSeq,
+      snapshotId, entries, content = 1)
+    // carry the prior snapshot's manifest list rows forward untouched
+    val priorList = resolvePath(location, cur.get("manifest-list").asText())
+    val carried = readAvro(priorList).map { r =>
+      val rec = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.asScala.foreach(f =>
+        rec.put(f.name(), r.get(f.name())))
+      rec: GenericRecord
+    }
+    val listPath = metadataDir(destDir).resolve(s"snap-$snapshotId.avro")
+    writeAvro(listPath, manifestFileSchema, Map(
+      "format-version" -> "2", "snapshot-id" -> snapshotId.toString,
+      "sequence-number" -> newSeq.toString,
+    ), carried :+ manifestListRecord(newInfo))
+    root.put("format-version", 3)
+    root.put("last-sequence-number", newSeq)
+    root.put("current-snapshot-id", snapshotId)
+    val refs = root.withObject("/refs")
+    val main = refs.withObject("/main")
+    main.put("snapshot-id", snapshotId); main.put("type", "branch")
+    val sn = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", newSeq)
+    sn.put("timestamp-ms", 0L)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", schemaId)
+    val sum = sn.putObject("summary")
+    sum.put("operation", "delete")
+    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject().put("timestamp-ms", 0L).put("snapshot-id", snapshotId)
+    writeMetadata(destDir, v + 1, root)
   }
 
   // ---------------------------------------------------------------- expiry

@@ -197,7 +197,7 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no Iceberg interchange"))
   }
 
-  test("import refuses format-versions past 2 (v1 now reads)") {
+  test("import refuses format-versions past 3 (v1 and v3-DV read)") {
     val t = newTable()
     t.merge(Seq((1L, "a")).toDF("k", "v"), spark.range(0).select($"id".as("k")))
     val dest = Files.createTempDirectory("graft_ib_dst").toString
@@ -207,12 +207,17 @@ class IcebergInterchangeSpec extends AnyFunSuite {
       s"v${new String(Files.readAllBytes(hint), UTF_8).trim}.metadata.json")
     val root = mapper.readTree(Files.readAllBytes(mPath))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    root.put("format-version", 3)
+    root.put("format-version", 4)
     Files.write(mPath, mapper.writeValueAsBytes(root))
     val e = intercept[IllegalArgumentException] {
       IcebergInterchange.readTable(dest)
     }
     assert(e.getMessage.contains("format-version"))
+    // a v2-shaped table relabeled v3 reads (v3's DV subset is supported
+    // and this table carries no other v3 feature)
+    root.put("format-version", 3)
+    Files.write(mPath, mapper.writeValueAsBytes(root))
+    assert(IcebergInterchange.importIceberg(spark, dest).count() == 1L)
     // a v2-shaped table RELABELED v1 still reads (v2 manifest fields are
     // a superset; the v1 path only relaxes missing-field handling)
     root.put("format-version", 1)
@@ -904,6 +909,96 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PK-LESS"), e.getMessage)
   }
 
+  test("v3 deletion vectors: Puffin blobs import; other v3 features refuse") {
+    val t = newTable()
+    t.merge((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_v3dv").toString
+    IcebergInterchange.export(spark, t, dest)
+    val before = IcebergInterchange.importIceberg(spark, dest)
+      .as[(Long, String)].collect().toSet
+    assert(before.size == 20)
+    val preDvSnapshot = IcebergInterchange.snapshotIds(dest).max
+    // delete row positions 0 and 2 of one file, 1 of another — by DV
+    val files = IcebergInterchange.readTable(dest).files.sorted
+    assert(files.size >= 2)
+    def rowsAt(f: String, ps: Seq[Long]) =
+      spark.read.parquet(f).selectExpr("k", "v", "_metadata.row_index AS i")
+        .filter(col("i").isin(ps.map(Long.box): _*))
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+    val dead = rowsAt(files.head, Seq(0L, 2L)) ++ rowsAt(files(1), Seq(1L))
+    IcebergInterchange.attachDeletionVectors(dest,
+      Map(files.head -> Seq(0L, 2L), files(1) -> Seq(1L)))
+    // the table is now v3, and the import masks exactly the DV'd rows
+    assert(IcebergInterchange.readMetadata(dest,
+      IcebergInterchange.latestMetadataVersion(dest).get)
+      .get("format-version").asInt() == 3)
+    val after = IcebergInterchange.importIceberg(spark, dest)
+      .as[(Long, String)].collect().toSet
+    assert(after == before -- dead, s"DV must mask exactly $dead")
+    // time travel to the pre-DV snapshot still sees every row
+    assert(IcebergInterchange.importIceberg(spark, dest, Some(preDvSnapshot))
+      .as[(Long, String)].collect().toSet == before)
+    // a DV for a file that is not live refuses before any mutation
+    intercept[IllegalArgumentException](
+      IcebergInterchange.attachDeletionVectors(dest, Map("/nope.parquet" -> Seq(0L))))
+    // other v3 features refuse loudly: row lineage...
+    val root = IcebergInterchange.readMetadata(dest,
+        IcebergInterchange.latestMetadataVersion(dest).get)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root.put("row-lineage", true)
+    IcebergInterchange.writeMetadata(dest,
+      IcebergInterchange.latestMetadataVersion(dest).get + 1, root)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergInterchange.importIceberg(spark, dest))
+    assert(e1.getMessage.contains("row lineage"), e1.getMessage)
+    // ...column defaults...
+    val root2 = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root2.put("row-lineage", false)
+    root2.get("schemas").get(0).get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("initial-default", "x")
+    IcebergInterchange.writeMetadata(dest,
+      IcebergInterchange.latestMetadataVersion(dest).get + 1, root2)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergInterchange.importIceberg(spark, dest))
+    assert(e2.getMessage.contains("default"), e2.getMessage)
+    // ...and format-version 4
+    val root3 = root2.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root3.get("schemas").get(0).get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove("initial-default")
+    root3.put("format-version", 4)
+    IcebergInterchange.writeMetadata(dest,
+      IcebergInterchange.latestMetadataVersion(dest).get + 1, root3)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergInterchange.importIceberg(spark, dest))
+    assert(e3.getMessage.contains("format-version 4"), e3.getMessage)
+  }
+
+  test("a corrupt DV blob (bad CRC) refuses instead of yielding garbage") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dvcrc").toString
+    IcebergInterchange.export(spark, t, dest)
+    val f = IcebergInterchange.readTable(dest).files.head
+    IcebergInterchange.attachDeletionVectors(dest, Map(f -> Seq(0L)))
+    // flip one byte INSIDE the vector region of the puffin blob
+    val puffin = Files.list(Paths.get(dest, "data")).iterator().asScala
+      .find(_.toString.endsWith(".puffin")).get
+    val bytes = Files.readAllBytes(puffin)
+    bytes(12) = (bytes(12) ^ 0x01).toByte
+    Files.write(puffin, bytes)
+    val e = intercept[Exception] {
+      IcebergInterchange.importIceberg(spark, dest).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("CRC") || m.contains("magic")),
+      chain(e).mkString(" | "))
+  }
+
   test("format-version 1 tables read: legacy metadata, no sequence fields") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.GenericData
@@ -988,12 +1083,12 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     // time travel by the v1 snapshot id works too
     assert(IcebergInterchange.importIceberg(spark, dest, Some(77L))
       .count() == 8L)
-    // format versions past 2 still refuse
+    // format versions past 3 still refuse (3's DV subset now reads)
     Files.write(Paths.get(dest, "metadata", "v1.metadata.json"),
-      meta.replace(""""format-version":1""", """"format-version":3""")
+      meta.replace(""""format-version":1""", """"format-version":4""")
         .getBytes(UTF_8))
     assert(intercept[IllegalArgumentException](
       IcebergInterchange.readTable(dest))
-      .getMessage.contains("format-version 3"))
+      .getMessage.contains("format-version 4"))
   }
 }
