@@ -1158,6 +1158,69 @@ object QueriesCore {
       } finally ChangeSourceRegistry.remove(id)
     }),
 
+    "c_savepoint_kill" -> ((s, dir) => {
+      // savepoint restore UNDER KILL: the pipeline dies in the window
+      // after its sink write but before the checkpoint commit (commits/N
+      // lost), then restores with --claim-mode claim. Structured
+      // Streaming re-delivers the uncommitted batch — handing its offsets
+      // to the source as SerializedOffset json, the crash-recovery path a
+      // blind offset cast used to die on — the PK-upsert sink absorbs the
+      // redelivery exactly once, and the rows appended after the kill
+      // flow in the continued lineage. Final state = one-shot oracle.
+      import graft.pipeline.CliFrontend
+      import graft.sources.cdc.{ChangeSourceRegistry, ScriptedChangeSource}
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+      val all = nation.collect().map(r => Map[String, Any](
+        "n_nationkey" -> r.getLong(0), "n_name" -> r.getString(1),
+        "n_regionkey" -> r.getLong(2)))
+      val (firstRows, lateRows) = all.partition(
+        _("n_nationkey").asInstanceOf[Long] < 13L)
+      val tid = TableId.parse("tpch.nation")
+      val src = new ScriptedChangeSource(
+        tid, TableSchema(nation.schema, Seq("n_nationkey")), firstRows.toSeq)
+      val id = s"kill-gate-${java.util.UUID.randomUUID().toString.take(8)}"
+      ChangeSourceRegistry.register(id, src)
+      try {
+        val root = java.nio.file.Files.createTempDirectory("graft_kill_q")
+        val out = s"$root/out"; val ck = s"$root/ck"
+        def yaml(name: String, withCk: Boolean): String = {
+          val p = root.resolve(name)
+          java.nio.file.Files.write(p,
+            s"""source:
+               |  type: cdc
+               |  sourceId: $id
+               |sink:
+               |  type: parquet
+               |  path: $out
+               |  buckets: 2
+               |pipeline:
+               |  name: kill-gate${if (withCk) s"\n  checkpoint.dir: $ck" else ""}
+               |""".stripMargin.getBytes("UTF-8"))
+          p.toString
+        }
+        CliFrontend.run(Seq(yaml("p1.yaml", withCk = true)))(s)
+        // the kill: drop the newest commit (and the local-FS crc sidecar)
+        val commits = java.nio.file.Paths.get(ck, "commits")
+        import scala.jdk.CollectionConverters._
+        val last = java.nio.file.Files.list(commits).iterator()
+          .asScala.map(_.getFileName.toString).filter(_.forall(_.isDigit))
+          .map(_.toLong).max
+        java.nio.file.Files.delete(commits.resolve(last.toString))
+        java.nio.file.Files.deleteIfExists(commits.resolve(s".$last.crc"))
+        lateRows.foreach(r => src.append(DataChangeEvent.insert(tid, r)))
+        CliFrontend.run(Seq(yaml("p2.yaml", withCk = false),
+          "--from-savepoint", ck, "--claim-mode", "claim"))(s)
+        val tdir = java.nio.file.Paths.get(out, "tpch_nation")
+        val v = new String(java.nio.file.Files.readAllBytes(
+          tdir.resolve("_VERSION"))).trim.toInt
+        s.read.parquet(tdir.resolve(s"v$v").toString)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      } finally ChangeSourceRegistry.remove(id)
+    }),
+
     "c_lakehouse_concurrent" -> ((s, dir) => {
       // optimistic concurrency under REAL contention: eight writer threads
       // race MERGE commits into ONE table (writer w owns the users with
@@ -2078,6 +2141,12 @@ object QueriesCore {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, UPPER(n_name) AS uname
         |FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
+    // kill between sink write and checkpoint commit, then claim restore:
+    // the redelivered batch lands exactly once
+    "c_savepoint_kill" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // compaction is data-identical: the appended slices re-read as the table
     "c_lakehouse_append" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts

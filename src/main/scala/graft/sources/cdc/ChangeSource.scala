@@ -175,6 +175,7 @@ class ScriptedChangeSource(
 object ChangeSourceRegistry {
   private val sources = scala.collection.concurrent.TrieMap.empty[String, ChangeSource]
   private val chunkHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+  private val sealedHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Unit]
   private val pendingDdls =
     scala.collection.concurrent.TrieMap.empty[String, (Long, SchemaChangeEvent)]
 
@@ -184,12 +185,26 @@ object ChangeSourceRegistry {
   def remove(id: String): Unit = {
     sources.remove(id)
     chunkHWs.filterInPlace((k, _) => k._1 != id)
+    sealedHWs.filterInPlace((k, _) => k._1 != id)
     pendingDdls.remove(id)
   }
 
   def reportChunkHW(id: String, chunkIdx: Int, hw: Long): Unit =
-    chunkHWs.put((id, chunkIdx), hw)
+    // a SEALED chunk keeps its checkpoint-persisted HW: after a restart, a
+    // REDELIVERED chunk read re-reads the live table and would report a
+    // FRESH (higher) HW — but a replay-skipping sink discards that
+    // redelivery's output, so suppressing log events up to the fresh HW
+    // would silently drop events the sink never received. The persisted
+    // HW is the one whose content actually committed.
+    if (!sealedHWs.contains((id, chunkIdx))) chunkHWs.put((id, chunkIdx), hw)
   def chunkHW(id: String, chunkIdx: Int): Option[Long] = chunkHWs.get((id, chunkIdx))
+
+  /** Restore a chunk's HW from committed checkpoint state and SEAL it:
+    * later reports (redelivered reads after a restart) are ignored. */
+  def sealChunkHW(id: String, chunkIdx: Int, hw: Long): Unit = {
+    chunkHWs.put((id, chunkIdx), hw)
+    sealedHWs.put((id, chunkIdx), ())
+  }
 
   /** Control path for mid-stream DDL (the `SchemaChangeEvent` flow of
     * `MySqlEventDeserializer.java:57`): the micro-batch stream parks at the

@@ -214,8 +214,16 @@ final class GraftCdcMicroBatchStream(
   restored match {
     case Some(st) =>
       // re-seed the HW report channel so the log phase keeps suppressing
-      // events already merged into finished chunks after a restart
-      st.hws.foreach { case (idx, hw) => ChangeSourceRegistry.reportChunkHW(sourceId, idx, hw) }
+      // events already merged into finished chunks after a restart — and
+      // SEAL the restored values: a redelivered chunk read (a restart
+      // replaying an uncommitted batch whose output a replay-skipping
+      // sink then discards) re-reads the LIVE table and would otherwise
+      // bump the HW past content that was never delivered, silently
+      // dropping the in-between log events from the next batch. (A kill
+      // in the sub-window after the sink commit but before this state
+      // persisted leaves that chunk unsealed — its redelivered events
+      // then arrive at-least-once and PK-upsert sinks absorb them.)
+      st.hws.foreach { case (idx, hw) => ChangeSourceRegistry.sealChunkHW(sourceId, idx, hw) }
     case None =>
       stateFile.foreach(p =>
         CdcSourceState.write(p, CdcSourceState.State(logBase, chunks, Map.empty)))
@@ -265,6 +273,16 @@ final class GraftCdcMicroBatchStream(
       }
     }
 
+  /** Accept any Offset shape: a RESTART that must replay an uncommitted
+    * batch hands offsets recovered from the offset log to the stream as
+    * `SerializedOffset` (raw json), not as this source's own class — a
+    * blind cast dies exactly on the crash-recovery path it exists for.
+    * (The same both-shapes tolerance Spark's Kafka source applies.) */
+  private def asCdc(o: Offset): CdcOffset = o match {
+    case c: CdcOffset => c
+    case other => CdcOffset.parse(other.json())
+  }
+
   override def initialOffset(): Offset = CdcOffset(0, logBase)
 
   override def latestOffset(): Offset =
@@ -276,9 +294,32 @@ final class GraftCdcMicroBatchStream(
     * phase machine.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
-    lastEnd = next(start.asInstanceOf[CdcOffset], limit)
+    val s = asCdc(start)
+    // First planning call after a RESTART: every chunk inside the restart
+    // offset was delivered by a batch of the previous incarnation — and if
+    // that batch is being REDELIVERED (its checkpoint commit died with the
+    // driver), its re-read of the live table reports a FRESH, higher HW
+    // while a replay-skipping sink discards the re-read's output. Seal
+    // those chunks at the checkpoint-persisted HW so log-phase suppression
+    // only trusts content the sink actually holds. The persisted state can
+    // LAG one batch (Spark commits sources a batch late), so a chunk whose
+    // HW never persisted seals at logBase: it then under-suppresses — its
+    // backfilled events re-deliver and the PK-upsert data plane absorbs
+    // them — instead of over-suppressing, which would silently DROP every
+    // event between the restart and the redelivered read.
+    if (!restartSealed) {
+      restartSealed = true
+      if (restored.isDefined)
+        (0 until s.chunksDone).foreach { i =>
+          val hw = restored.flatMap(_.hws.get(i)).getOrElse(logBase)
+          ChangeSourceRegistry.sealChunkHW(sourceId, i, hw)
+        }
+    }
+    lastEnd = next(s, limit)
     lastEnd
   }
+
+  private var restartSealed = false
 
   /** `log.max-events-per-trigger` — log-phase rate limiting through Spark's
     * admission control, so Trigger.AvailableNow and continuous runs both
@@ -307,8 +348,8 @@ final class GraftCdcMicroBatchStream(
   override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CdcOffset]
-    val e = end.asInstanceOf[CdcOffset]
+    val s = asCdc(start)
+    val e = asCdc(end)
     val chunkParts: Seq[InputPartition] =
       (s.chunksDone until e.chunksDone).map { idx =>
         SnapshotChunkPartition(sourceId, idx, chunks(idx).start, chunks(idx).end, backfillSkip)
@@ -339,7 +380,7 @@ final class GraftCdcMicroBatchStream(
     // PostgresStreamFetchTask.commitCurrentOffset:126-149 caveat: committing
     // the latest COMMIT LSN instead would let the slot discard WAL a failover
     // restart still needs). Sources without retention feedback no-op this.
-    source.commitOffset(end.asInstanceOf[CdcOffset].logOffset)
+    source.commitOffset(asCdc(end).logOffset)
   }
 
   /** Source metrics surfaced in `StreamingQueryProgress.sources[i].metrics` —
@@ -352,7 +393,7 @@ final class GraftCdcMicroBatchStream(
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] =
     synchronized {
       val consumed = if (latestConsumed.isPresent)
-        Some(latestConsumed.get.asInstanceOf[CdcOffset]) else None
+        Some(asCdc(latestConsumed.get)) else None
       val chunksDone = consumed.map(_.chunksDone).getOrElse(0)
       val logConsumed = consumed.map(_.logOffset).getOrElse(logBase)
       val logAvailable = source.currentOffset

@@ -199,6 +199,67 @@ class CliFrontendSpec extends AnyFunSuite {
     } finally ChangeSourceRegistry.remove("cli-noclaim")
   }
 
+  test("KILL mid-batch: claim and no_claim restores redeliver exactly once") {
+    // The crash window that matters: the micro-batch's SINK write landed
+    // but its checkpoint commit did not (a kill between the sink flush
+    // and commits/N). Structured Streaming then re-delivers batch N on
+    // restart — the restore must absorb the redelivery (PK-upsert sink),
+    // leaving the oracle state exactly once, under BOTH claim modes.
+    val dir = Files.createTempDirectory("cli_kill").toString
+    val ck = s"$dir/ck"; val ck2 = s"$dir/ck2"; val out = s"$dir/out"
+    val t = TableId.parse("app.users")
+    val src = newSource(1L, 2L)
+    ChangeSourceRegistry.register("cli-kill", src)
+    try {
+      CliFrontend.run(Seq(write(dir, "p1.yaml",
+        pipelineYaml("cli-kill", out, Some(ck)))))
+      src.append(DataChangeEvent.insert(t, Map("id" -> 3L, "name" -> "u3")))
+      CliFrontend.run(Seq(write(dir, "p2.yaml", pipelineYaml("cli-kill", out)),
+        "-s", ck, "-cm", "claim"))
+      assert(sinkIds(out) == Seq(1L, 2L, 3L))
+      val lastBatch = maxOffsetBatch(ck)
+      // the kill: offsets/N exists, commits/N does not, sink already wrote.
+      // (the Hadoop local FS keeps a .N.crc checksum sidecar beside each
+      // commit file — a real kill loses both, and leaving the stale crc
+      // would fail the re-commit's rename)
+      def killCommit(ckDir: String): Unit = {
+        Files.delete(Paths.get(ckDir, "commits", lastBatch.toString))
+        Files.deleteIfExists(Paths.get(ckDir, "commits", s".$lastBatch.crc"))
+      }
+      killCommit(ck)
+
+      // rows appended AFTER the kill must flow in the SAME restore — the
+      // redelivered chunk re-read reports a fresh HW whose output the
+      // replay-skipping sink discards; without the restart HW seal, the
+      // log-phase suppression would silently drop exactly these rows
+      src.append(DataChangeEvent.insert(t, Map("id" -> 4L, "name" -> "u4")))
+
+      // claim restore after the kill: batch N re-delivers IN PLACE
+      CliFrontend.run(Seq(write(dir, "p3.yaml", pipelineYaml("cli-kill", out)),
+        "-s", ck, "-cm", "claim"))
+      assert(sinkIds(out) == Seq(1L, 2L, 3L, 4L),
+        "redelivery absorbed exactly once AND post-kill rows must flow")
+      assert(Files.exists(Paths.get(ck, "commits", lastBatch.toString)),
+        "the re-run must commit the killed batch")
+
+      // kill again (the NEWEST batch — the claim restore advanced the
+      // lineage), restore with no_claim into a fresh dir: the COPY
+      // carries the torn state, re-runs the batch there, and the
+      // savepoint itself stays torn (pristine = untouched by the restore)
+      val lastBatch2 = maxOffsetBatch(ck)
+      Files.delete(Paths.get(ck, "commits", lastBatch2.toString))
+      Files.deleteIfExists(Paths.get(ck, "commits", s".$lastBatch2.crc"))
+      CliFrontend.run(Seq(write(dir, "p4.yaml",
+        pipelineYaml("cli-kill", out, Some(ck2))), "-s", ck))
+      assert(sinkIds(out) == Seq(1L, 2L, 3L, 4L),
+        "no_claim redelivery must be absorbed exactly once")
+      assert(!Files.exists(Paths.get(ck, "commits", lastBatch2.toString)),
+        "no_claim must leave the savepoint exactly as the kill left it")
+      assert(Files.exists(Paths.get(ck2, "commits", lastBatch2.toString)),
+        "the copy must carry and then commit the killed batch")
+    } finally ChangeSourceRegistry.remove("cli-kill")
+  }
+
   test("execution.runtime-mode BATCH: bounded one-shot run; savepoint flags refuse") {
     val dir = Files.createTempDirectory("cli_batch").toString
     val out = s"$dir/out"
