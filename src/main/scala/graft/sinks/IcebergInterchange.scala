@@ -1180,8 +1180,16 @@ object IcebergInterchange {
     * `PaimonInterchange.importPaimon`): a table whose retained history
     * spans a RENAME has live files under BOTH names, and only the footer
     * says which name each file stores. */
+  /** One footer column's identity: (name, Iceberg field id if stamped,
+    * physical type spelling). The type is part of the identity so files
+    * written under a pre-promotion type (int32 before an int→long
+    * promotion) land in their OWN read group — grouping them with
+    * post-promotion files would scan under one inferred schema and
+    * misread the other's pages. */
+  private[sinks] type FooterField = (String, Option[Int], String)
+
   private def footerFields(spark: SparkSession, files: Seq[String])
-      : Map[String, Seq[(String, Option[Int])]] = {
+      : Map[String, Seq[FooterField]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
@@ -1191,12 +1199,14 @@ object IcebergInterchange {
       math.max(1, math.min(16, distinct.size)))
     try {
       val futures = distinct.map { f =>
-        f -> pool.submit(new java.util.concurrent.Callable[Seq[(String, Option[Int])]] {
-          def call(): Seq[(String, Option[Int])] = {
+        f -> pool.submit(new java.util.concurrent.Callable[Seq[FooterField]] {
+          def call(): Seq[FooterField] = {
             val r = ParquetFileReader.open(
               HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
             try r.getFileMetaData.getSchema.getFields.asScala.toSeq
-              .map(t => (t.getName, Option(t.getId).map(_.intValue())))
+              .map(t => (t.getName, Option(t.getId).map(_.intValue()),
+                if (t.isPrimitive) t.asPrimitiveType().getPrimitiveTypeName.name()
+                else t.toString))
             finally r.close()
           }
         })
@@ -1284,15 +1294,20 @@ object IcebergInterchange {
     // otherwise. A single-file probe would miss a mid-history rename
     // whenever the sampled file postdates it — files written under the
     // other schema would silently read NULLs for the renamed column.
-    val plans: Map[String, Seq[(String, Option[String])]] =
+    // the read-group key is (column alignment, physical type signature):
+    // files sharing an alignment but written under DIFFERENT physical
+    // types (a pre-promotion int32 file after an int→long promotion) must
+    // scan in their own group, or one inferred schema would misread the
+    // other's pages
+    val plans: Map[String, (Seq[(String, Option[String])], Seq[String])] =
       footerFields(spark, snap.files).map { case (f, ft) =>
-        f -> alignmentFor(snap, ft)
+        f -> (alignmentFor(snap, ft.map(x => (x._1, x._2))), ft.map(_._3))
       }
     if (snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
         snap.dvs.isEmpty && snap.partitionCols.isEmpty)
       return snap.files.groupBy(plans).toSeq
         .sortBy { case (_, fs) => fs.min }
-        .map { case (plan, fs) => readAlignedGroup(spark, snap, fs, plan) }
+        .map { case ((plan, _), fs) => readAlignedGroup(spark, snap, fs, plan) }
         .reduce(_ unionAll _)
 
     // data rows tagged with their file's sequence number, one scan per
@@ -1320,7 +1335,7 @@ object IcebergInterchange {
       .groupBy { case (p, seq) => (seq, partsOf(p), plans(p)) }
       .toSeq.sortBy { case ((seq, parts, plan), _) =>
         (seq, parts.mkString(","), plan.toString) }
-      .map { case ((seq, parts, plan), fs) =>
+      .map { case ((seq, parts, (plan, _)), fs) =>
         var base = readAlignedGroup(spark, snap, fs.map(_._1), plan)
         parts.foreach { case (srcCol, v) =>
           base = base.withColumn(srcCol,
