@@ -1190,29 +1190,15 @@ object IcebergInterchange {
 
   private def footerFields(spark: SparkSession, files: Seq[String])
       : Map[String, Seq[FooterField]] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sessionState.newHadoopConf()
-    val distinct = files.distinct
-    if (distinct.isEmpty) return Map.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, distinct.size)))
-    try {
-      val futures = distinct.map { f =>
-        f -> pool.submit(new java.util.concurrent.Callable[Seq[FooterField]] {
-          def call(): Seq[FooterField] = {
-            val r = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
-            try r.getFileMetaData.getSchema.getFields.asScala.toSeq
-              .map(t => (t.getName, Option(t.getId).map(_.intValue()),
-                if (t.isPrimitive) t.asPrimitiveType().getPrimitiveTypeName.name()
-                else t.toString))
-            finally r.close()
-          }
-        })
-      }
-      futures.map { case (f, fut) => f -> fut.get() }.toMap
-    } finally pool.shutdown()
+    lazy val conf = spark.sessionState.newHadoopConf()
+    ParquetFooters.mapPooled(files.distinct) { f =>
+      val r = ParquetFooters.open(f, conf)
+      try r.getFileMetaData.getSchema.getFields.asScala.toSeq
+        .map(t => (t.getName, Option(t.getId).map(_.intValue()),
+          if (t.isPrimitive) t.asPrimitiveType().getPrimitiveTypeName.name()
+          else t.toString))
+      finally r.close()
+    }
   }
 
   /** The read plan aligning one file's footer schema to the current table

@@ -419,12 +419,19 @@ final class OceanBaseDataSink(
       val delCols = deletedKeys.columns.toSeq
       deletedKeys.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val c = new OceanBaseWireClient(h, p, u)
-        try rows.foreach { r =>
+        // deletes batch like the upserts (one statement per bufferSize
+        // keys, the OB record flusher's shape): a round trip per key
+        // would dominate a large retraction at deployment scale
+        try rows.grouped(bs).foreach { group =>
           OceanBaseDataSink.awaitMemstore(c, msEnabled, msThreshold,
             msInterval, msMax)
-          val where = delCols.indices.map(i =>
-            s"`${delCols(i)}`=${OceanBaseDataSink.literal(r.get(i))}")
-            .mkString(" AND ")
+          val where =
+            if (delCols.size == 1)
+              s"`${delCols.head}` IN (" + group.map(r =>
+                OceanBaseDataSink.literal(r.get(0))).mkString(", ") + ")"
+            else group.map(r => "(" + delCols.indices.map(i =>
+              s"`${delCols(i)}`=${OceanBaseDataSink.literal(r.get(i))}")
+              .mkString(" AND ") + ")").mkString(" OR ")
           c.query(s"DELETE FROM `$db`.`$tbl` WHERE $where")
         } finally c.close()
       }

@@ -573,18 +573,41 @@ final class OceanBaseServerDouble(
 
       case delete(dbQ, tblQ, where) =>
         val t = requireTable(ident(dbQ), ident(tblQ))
-        val conds = where.toUpperCase.split("\\s+AND\\s+")
-        val pairs = splitTopAnd(where).map { c =>
-          val i = c.indexOf('=')
-          require(i > 0, s"malformed predicate $c")
-          (ident(c.substring(0, i)), parseValue(c.substring(i + 1)))
+        // the three shapes the sink's batched deletes emit: a single-key
+        // IN list, an OR of parenthesized conjunctions (composite keys),
+        // and a plain conjunction — each resolves to key-tuple groups
+        def conj(s: String): Seq[(String, Option[String])] =
+          splitTopKeyword(s, "AND").map { c =>
+            val i = c.indexOf('=')
+            require(i > 0, s"malformed predicate $c")
+            (ident(c.substring(0, i)), parseValue(c.substring(i + 1)))
+          }
+        val inRe = """(?is)\s*(`(?:[^`]|``)+`)\s+IN\s*\((.*)\)\s*""".r
+        val groups: Seq[Seq[(String, Option[String])]] = where match {
+          case inRe(colQ, vals) =>
+            val c = ident(colQ)
+            splitTop(vals, ',').map(v => Seq(c -> parseValue(v)))
+          case _ =>
+            val parts = splitTopKeyword(where, "OR")
+            parts.map { p0 =>
+              val p = p0.trim
+              // each group may be parenthesized (always is when several
+              // OR together; a single-tuple batch parenthesizes too)
+              require(parts.size == 1 ||
+                (p.startsWith("(") && p.endsWith(")")),
+                s"malformed OR group $p")
+              if (p.startsWith("(") && p.endsWith(")"))
+                conj(p.substring(1, p.length - 1))
+              else conj(p)
+            }
         }
-        require(conds.nonEmpty, "DELETE without WHERE is refused")
-        pairs.foreach { case (c, _) =>
+        require(groups.nonEmpty && groups.forall(_.nonEmpty),
+          "DELETE without WHERE is refused")
+        groups.flatten.foreach { case (c, _) =>
           require(t.columns.exists(_.name == c), s"Unknown column '$c'") }
         val before = t.rows.size
         val dead = t.rows.filter { case (_, r) =>
-          pairs.forall { case (c, v) => r.get(c).exists(_ == v) }
+          groups.exists(_.forall { case (c, v) => r.get(c).exists(_ == v) })
         }.keys.toSeq
         dead.foreach(t.rows.remove)
         Seq(OceanBaseWire.okPacket((before - t.rows.size).toLong))
@@ -594,26 +617,30 @@ final class OceanBaseServerDouble(
     }
   }
 
-  private def splitTopAnd(s: String): Seq[String] = {
-    // split on top-level AND (case-insensitive, not inside quotes)
+  /** Split on a top-level keyword (case-insensitive, not inside quotes or
+    * parens) — the AND/OR splitter of the DELETE predicate grammar. */
+  private def splitTopKeyword(s: String, kw: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
-    var rest = s
-    var continue = true
-    while (continue) {
-      val m = """(?i)\s+AND\s+""".r.findFirstMatchIn(rest)
-      m match {
-        case Some(mm) =>
-          // only split when not inside a quote: count unescaped quotes before
-          val before = rest.substring(0, mm.start)
-          val quotes = before.replaceAll("\\\\'", "").count(_ == '\'')
-          if (quotes % 2 == 0) { out += before; rest = rest.substring(mm.end) }
-          else {
-            // inside a string: find the next AND after the close quote
-            out += rest; continue = false
-          }
-        case None => out += rest; continue = false
-      }
+    val cur = new StringBuilder
+    var inStr = false; var depth = 0
+    var i = 0
+    val pat = s" $kw "
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\\' && i + 1 < s.length) { cur += s.charAt(i + 1); i += 1 }
+        else if (c == '\'') inStr = false
+      } else if (c == '\'') { inStr = true; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (depth == 0 && c == ' ' &&
+          s.regionMatches(true, i, pat, 0, pat.length)) {
+        out += cur.toString; cur.clear(); i += pat.length - 1
+      } else cur += c
+      i += 1
     }
+    if (cur.nonEmpty) out += cur.toString
     out.toSeq
   }
 

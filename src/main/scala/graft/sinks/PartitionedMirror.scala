@@ -13,6 +13,44 @@ import java.nio.file.{Path, Paths}
   * invariant, and the split job in one place means a fix to the removal
   * model cannot drift between the two formats.
   */
+/** Driver-side parquet footer access shared by the mirrors and the
+  * Iceberg importer. Local paths read through parquet's plain-NIO
+  * `LocalInputFile` — the Hadoop input path costs ~4x per footer (filesystem
+  * cache + checksum layers) and serializes badly under thread contention;
+  * measured on 1536 small files: 10.5 s sequential-Hadoop vs ~0.3 s
+  * pooled-local. Non-local schemes still go through Hadoop. */
+private[sinks] object ParquetFooters {
+  def open(path: String,
+      conf: => org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.ParquetFileReader = {
+    val localPath =
+      if (path.startsWith("file:")) Some(path.stripPrefix("file:")
+        .replaceFirst("^//(?=/)", ""))
+      else if (!path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) Some(path)
+      else None
+    localPath match {
+      case Some(p) => org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.parquet.io.LocalInputFile(java.nio.file.Paths.get(p)))
+      case None => org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+    }
+  }
+
+  /** Run `f` over items on a bounded pool, preserving the item -> result
+    * mapping. O(items) metadata work spreads across 16 threads. */
+  def mapPooled[T](items: Seq[String])(f: String => T): Map[String, T] = {
+    if (items.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, items.size)))
+    try {
+      val futs = items.map(i => i -> pool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = f(i) }))
+      futs.map { case (i, fu) => i -> fu.get() }.toMap
+    } finally pool.shutdown()
+  }
+}
+
 private[sinks] object PartitionedMirror {
 
   /** Mirrored split-file names encode the SOURCE lakehouse bucket (the
@@ -79,47 +117,48 @@ private[sinks] object PartitionedMirror {
   def provenSinglePartition(spark: SparkSession, tableDir: String,
       adds: Seq[AddFile], struct: StructType, partitionKeys: Seq[String])
       : Option[Map[String, (Map[String, Any], Long)]] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
-    val out = scala.collection.mutable.Map.empty[String, (Map[String, Any], Long)]
-    adds.foreach { a =>
-      val abs = Paths.get(tableDir, a.path).toString
-      val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs), conf))
+    lazy val conf = spark.sessionState.newHadoopConf()
+    // one bounded-pool pass over the footers; any unprovable file makes
+    // the whole commit take the job path
+    def probe(rel: String): Option[(Map[String, Any], Long)] = {
+      val r = ParquetFooters.open(Paths.get(tableDir, rel).toString, conf)
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         if (blocks.isEmpty) return None // empty file: no tuple to assign
         val tuple = partitionKeys.map { c =>
-          val perBlock = blocks.map { b =>
-            val chunk = b.getColumns.asScala
-              .find(_.getPath.toDotString == c).getOrElse(return None)
-            val st = chunk.getStatistics
-            if (st == null || st.isEmpty || st.getNumNulls != 0 ||
-                !st.hasNonNullValue || st.genericGetMin != st.genericGetMax)
-              return None
-            struct(c).dataType match {
-              case ByteType | ShortType | IntegerType =>
-                Integer.valueOf(st.genericGetMin.toString)
-              case LongType => java.lang.Long.valueOf(st.genericGetMin.toString)
-              case BooleanType =>
-                java.lang.Boolean.valueOf(st.genericGetMin.toString)
-              case StringType => st.genericGetMin match {
-                case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-                case other => other.toString
+          val perBlock: Seq[Option[Any]] = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { chunk =>
+              val st = chunk.getStatistics
+              if (st == null || st.isEmpty || st.getNumNulls != 0 ||
+                  !st.hasNonNullValue || st.genericGetMin != st.genericGetMax)
+                None
+              else struct(c).dataType match {
+                case ByteType | ShortType | IntegerType =>
+                  Some(Integer.valueOf(st.genericGetMin.toString))
+                case LongType =>
+                  Some(java.lang.Long.valueOf(st.genericGetMin.toString))
+                case BooleanType =>
+                  Some(java.lang.Boolean.valueOf(st.genericGetMin.toString))
+                case StringType => Some(st.genericGetMin match {
+                  case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+                  case other => other.toString
+                })
+                case _ => None // unproven type: take the job path
               }
-              case _ => return None // unproven type: take the job path
             }
           }
-          if (perBlock.distinct.size != 1) return None
-          c -> (perBlock.head: Any)
+          if (perBlock.exists(_.isEmpty) || perBlock.flatten.distinct.size != 1)
+            return None
+          c -> perBlock.head.get
         }.toMap
-        out(a.path) = (tuple, r.getRecordCount)
+        Some((tuple, r.getRecordCount))
       } finally r.close()
     }
-    Some(out.toMap)
+    val probed = ParquetFooters.mapPooled(adds.map(_.path).distinct)(probe)
+    if (probed.values.exists(_.isEmpty)) None
+    else Some(probed.map { case (k, v) => k -> v.get })
   }
 
   /** The metadata-only commit path: when [[provenSinglePartition]] holds

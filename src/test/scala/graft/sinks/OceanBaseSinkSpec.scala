@@ -149,6 +149,51 @@ class OceanBaseSinkSpec extends AnyFunSuite {
     } finally d.stop()
   }
 
+  test("batched deletes: single-key IN lists and composite-key OR groups") {
+    // the sink batches deletes (one statement per bufferSize keys, the OB
+    // record flusher's shape) — the double's grammar covers both forms
+    val d = new OceanBaseServerDouble()
+    d.start()
+    try {
+      val c = new OceanBaseWireClient(d.host, d.boundPort, "root")
+      try {
+        c.query("CREATE DATABASE `db`")
+        c.query("CREATE TABLE `db`.`t` (\n`a` BIGINT NOT NULL,\n`b` BIGINT NOT NULL,\n`v` VARCHAR(10) NULL,\nPRIMARY KEY (`a`, `b`)\n) ;")
+        c.query("INSERT INTO `db`.`t` (`a`, `b`, `v`) VALUES (1, 1, 'x'), (1, 2, 'y'), (2, 1, 'z')")
+        val r = c.query(
+          "DELETE FROM `db`.`t` WHERE (`a`=1 AND `b`=2) OR (`a`=2 AND `b`=1)")
+        assert(r.affected == 2)
+        assert(d.rowsOf("db", "t").map(m => (m("a").get, m("b").get)) ==
+          Seq(("1", "1")))
+        c.query("CREATE TABLE `db`.`s` (\n`k` BIGINT NOT NULL,\n`v` VARCHAR(5) NULL,\nPRIMARY KEY (`k`)\n) ;")
+        c.query("INSERT INTO `db`.`s` (`k`, `v`) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        assert(c.query("DELETE FROM `db`.`s` WHERE `k` IN (1, 3)").affected == 2)
+        assert(d.rowsOf("db", "s").map(_("k").get) == Seq("2"))
+      } finally c.close()
+    } finally d.stop()
+    // and through the sink: composite-key retraction takes the OR shape
+    val d2 = new OceanBaseServerDouble()
+    d2.start()
+    try {
+      val tid2 = TableId.parse("test.pairs")
+      val sch = TableSchema(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false),
+        StructField("v", StringType))), primaryKeys = Seq("a", "b"))
+      val sink = new OceanBaseDataSink(d2.host, d2.boundPort, "root",
+        memstoreCheckEnabled = false)
+      sink.applySchemaChange(CreateTableEvent(tid2, sch))
+      sink.writeBatch(tid2,
+        Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "z")).toDF("a", "b", "v"),
+        spark.range(0).select($"id".as("a"), $"id".as("b")))
+      sink.writeBatch(tid2,
+        Seq.empty[(Long, Long, String)].toDF("a", "b", "v"),
+        Seq((1L, 2L), (2L, 1L)).toDF("a", "b"))
+      assert(d2.rowsOf("test", "pairs").map(m => (m("a").get, m("b").get)) ==
+        Seq(("1", "1")))
+    } finally d2.stop()
+  }
+
   test("memstore back-pressure: writes wait while over threshold, fail when stuck") {
     val d = new OceanBaseServerDouble()
     d.start()
