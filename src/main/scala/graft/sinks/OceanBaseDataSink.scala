@@ -406,7 +406,11 @@ final class OceanBaseDataSink(
             OceanBaseDataSink.literal(r.get(i))).mkString("(", ", ", ")"))
             .mkString(", ")
           val updateClause =
-            if (keys.isEmpty || nonKeys.isEmpty) ""
+            if (keys.isEmpty) "" // DUPLICATE_KEY table: plain append
+            else if (nonKeys.isEmpty)
+              // all-columns-key table: a redelivered key must still be an
+              // upsert no-op, not a duplicate-key error — MySQL's idiom
+              s" ON DUPLICATE KEY UPDATE `${keys.head}`=VALUES(`${keys.head}`)"
             else " ON DUPLICATE KEY UPDATE " + nonKeys.map(cn =>
               s"`$cn`=VALUES(`$cn`)").mkString(", ")
           c.query(s"INSERT INTO `$db`.`$tbl` " +
