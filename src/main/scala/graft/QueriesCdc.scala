@@ -486,6 +486,33 @@ object QueriesCdc {
       PaimonInterchange.importPaimon(s, dest).orderBy("event_id", "user_id")
     }),
 
+    "c_paimon_append_mirror" -> ((s, dir) => {
+      // CONTINUOUS append-only Paimon mirroring (completing the
+      // mirror x {pk, append} matrix across all three formats): each
+      // append commit becomes one Paimon snapshot of plain level-0 rows —
+      // no key-value system columns, no LSM machinery, duplicates kept.
+      // The multiset oracle (UNION ALL of the two overlapping slices)
+      // pins exact append semantics.
+      import graft.sinks.{LakehouseTable, PaimonInterchange}
+      val t = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft_pmam_src").toString)
+      t.create(TableSchema(
+        StructType(Seq(
+          StructField("event_id", LongType, nullable = false),
+          StructField("user_id", LongType, nullable = false))),
+        primaryKeys = Seq.empty), buckets = 4)
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 160)
+        .select(col("event_id"), col("user_id"))
+      val dest = java.nio.file.Files.createTempDirectory("graft_pmam_dst").toString
+      t.append(ev.filter(col("event_id") < 300))
+      require(PaimonInterchange.mirror(s, t, dest) >= 1)
+      t.append(ev.filter(col("event_id") >= 200 && col("event_id") < 400))
+      require(PaimonInterchange.mirror(s, t, dest) == 1,
+        "one snapshot per append commit")
+      require(PaimonInterchange.mirror(s, t, dest) == 0, "no-op writes nothing")
+      PaimonInterchange.importPaimon(s, dest).orderBy("event_id", "user_id")
+    }),
+
     "c_paimon_mirror" -> ((s, dir) => {
       // continuous Paimon mirroring: one Paimon SNAPSHOT per lakehouse
       // commit (level-0 key-value adds; MOR deletes as LSM tombstone rows
@@ -3351,6 +3378,15 @@ object QueriesCdc {
     // append-only Paimon: two overlapping appends keep every duplicate —
     // the multiset equals the UNION ALL of the two batches
     "c_paimon_append" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id < 160 AND event_id < 300
+        |UNION ALL
+        |SELECT event_id, user_id FROM events
+        |WHERE user_id < 160 AND event_id >= 200 AND event_id < 400
+        |ORDER BY event_id, user_id""".stripMargin,
+    // continuous append-only mirroring: per-commit snapshots of plain
+    // rows keep the exact multiset of the two overlapping appends
+    "c_paimon_append_mirror" ->
       """SELECT event_id, user_id FROM events
         |WHERE user_id < 160 AND event_id < 300
         |UNION ALL

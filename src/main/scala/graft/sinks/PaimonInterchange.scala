@@ -1424,7 +1424,12 @@ object PaimonInterchange {
         throw new IllegalStateException("table has no meta action (not created)"))
       val struct = meta.schema.struct
       val pks = meta.schema.primaryKeys
-      require(pks.nonEmpty, "Paimon primary-key mirror needs primary keys")
+      // pk-less APPEND-ONLY tables mirror too (the round-11 append-table
+      // surface, now continuous): each commit's adds become level-0 plain
+      // rows with the append bucket spread — appends never remove, so the
+      // LSM tombstone/rescue machinery is not needed; any removal
+      // (overwrite/compaction/delete) refuses below.
+      val isAppend = pks.isEmpty
       val partitionKeys = meta.schema.partitionKeys
       val partTypes = partitionKeys.map(struct(_).dataType)
       val keys = pks.filterNot(partitionKeys.contains) // trimmed LSM key
@@ -1445,12 +1450,27 @@ object PaimonInterchange {
       val delPrev = prev.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
       val delAdds = cur.deleteFiles.filterNot(f => delPrev.contains(f.path)).sortBy(_.path)
 
+      if (isAppend)
+        require(removes.isEmpty && delAdds.isEmpty,
+          s"version $v removes or deletes on an APPEND-ONLY Paimon mirror " +
+            "— append tables never remove; overwrite/compaction/delete are " +
+            "unsupported for them; refusing")
       if (adds.nonEmpty || removes.nonEmpty || delAdds.nonEmpty) {
         // data adds -> level-0 key-value files; tombstones ride in their
         // OWN files so a later bucket rewrite can drop data files without
         // touching live tombstones
         val dataFiles =
           if (adds.isEmpty) Nil
+          else if (isAppend)
+            // append shape (the export's pk-less path): plain rows, no
+            // key-value system columns, round-robin bucket spread
+            writeKeyValueFiles(spark, destDir,
+              spark.read.schema(struct)
+                .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
+                .select(struct.fieldNames.map(col).toSeq :+
+                  pmod(spark_partition_id(), lit(buckets)).as("__pm_bucket"): _*),
+              keys, struct, v, schemaId, level = 0,
+              tag = f"s$nextSnapshotId%04d", partitionKeys)
           else writeKeyValueFiles(spark, destDir,
             withSrcBucket(toKeyValue(
               spark.read.schema(struct)
@@ -1555,7 +1575,10 @@ object PaimonInterchange {
           f.fileName -> track(f.fileName).filterNot(removedNames.contains)).toMap
         track = (track -- deadNames) ++
           dataFiles.map(w =>
-            w.file.fileName -> adds.filter(_.bucket == w.srcBucket).map(_.path)) ++
+            // append mirrors never remove, so their files need no source
+            // mapping (and have no meaningful srcBucket)
+            w.file.fileName -> (if (isAppend) Seq.empty[String]
+              else adds.filter(_.bucket == w.srcBucket).map(_.path))) ++
           tombFiles.map(w => w.file.fileName -> Seq.empty[String]) ++
           rescueFiles.map { w =>
             // a rescue file inherits the surviving sources of ITS lakehouse

@@ -609,6 +609,39 @@ class PaimonInterchangeSpec extends AnyFunSuite {
     assert(back.filter($"k" === 1L && $"v" === "x").count() == 3)
   }
 
+  test("append-only MIRROR: one snapshot per append; removals refuse") {
+    val aSchema = TableSchema(
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq.empty)
+    val t = new LakehouseTable(spark,
+      Files.createTempDirectory("graft_pm_amr").toString)
+    t.create(aSchema, buckets = 2)
+    val dest = Files.createTempDirectory("graft_pm_amrd").toString
+    t.append(Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v"))
+    t.append(Seq((1L, "x"), (3L, "z")).toDF("k", "v"))
+    assert(PaimonInterchange.mirror(spark, t, dest) >= 2)
+    val back = PaimonInterchange.importPaimon(spark, dest)
+    assert(back.count() == 5, "all rows, duplicates included")
+    assert(back.filter($"k" === 1L).count() == 3)
+    // incremental: a third append mirrors as ONE more snapshot
+    t.append(Seq((4L, "w")).toDF("k", "v"))
+    assert(PaimonInterchange.mirror(spark, t, dest) == 1)
+    assert(PaimonInterchange.importPaimon(spark, dest).count() == 6)
+    // mirrored files carry NO key-value system columns
+    val snap = PaimonInterchange.readTable(dest)
+    val f0 = snap.files.head
+    assert(spark.read.parquet(
+      Paths.get(dest, s"bucket-${f0.bucket}", f0.fileName).toString)
+      .columns.toSeq == Seq("k", "v"))
+    // an overwrite (removal) refuses loudly
+    t.append(Seq((9L, "q")).toDF("k", "v"), overwrite = true)
+    val e = intercept[IllegalArgumentException](
+      PaimonInterchange.mirror(spark, t, dest))
+    assert(e.getMessage.contains("APPEND-ONLY"), e.getMessage)
+  }
+
   test("ensureSchema partition validation: subset-of-pk, fixed keys, types") {
     val struct = StructType(Seq(
       StructField("dt", StringType, nullable = false),
