@@ -112,9 +112,21 @@ object TransformOp {
         m.group(1) -> expr(e.substring(0, m.start)))
     }
     val aliasNames = aliased.map(_._1).toSet
+    // non-aliased expressions compute in the SAME single select, under
+    // generated internal names — evaluating them later against the
+    // extended frame would see sibling aliases' redefinitions
+    // (`bal + 1 AS bal, bal * 2` must NOT yield (bal+1)*2); every
+    // projection expression evaluates against the original input columns
+    val nonAliased: Seq[(Int, org.apache.spark.sql.Column)] =
+      projExprs.zipWithIndex.collect {
+        case (e, i) if aliasOf.findFirstMatchIn(e).isEmpty =>
+          i -> expr(e)
+      }
+    def internal(i: Int) = s"__graft_p$i"
     val extended = withMeta.select(
       (withMeta.columns.filterNot(aliasNames.contains).map(col).toSeq ++
-        aliased.map { case (n, c) => c.as(n) }): _*)
+        aliased.map { case (n, c) => c.as(n) } ++
+        nonAliased.map { case (i, c) => c.as(internal(i)) }): _*)
     val filtered = rule.filter match {
       case Some(f) => extended.filter(expr(f))
       case None => extended
@@ -122,14 +134,14 @@ object TransformOp {
     val outNames = projExprs.map { e =>
       aliasOf.findFirstMatchIn(e).map(_.group(1)).getOrElse(e)
     }
-    // aliased outputs were already computed (against the original inputs)
-    // in the extended frame — select them BY NAME, never re-evaluate: a
-    // second evaluation of `x + 1 AS x` against the extended frame would
+    // every output was already computed (against the original inputs) in
+    // the extended frame — select it BY NAME, never re-evaluate: a second
+    // evaluation of `x + 1 AS x` against the extended frame would
     // double-apply the redefinition
-    filtered.select(outNames.zip(projExprs).map { case (name, e) =>
-      if (aliasNames.contains(name) && aliasOf.findFirstMatchIn(e).isDefined)
-        col(name)
-      else expr(e).as(name)
+    filtered.select(outNames.zipWithIndex.map { case (name, i) =>
+      if (aliasNames.contains(name) &&
+          aliasOf.findFirstMatchIn(projExprs(i)).isDefined) col(name)
+      else col(internal(i)).as(name)
     }.toIndexedSeq: _*)
   }
 

@@ -132,6 +132,14 @@ object DeltaReaderFeatures {
       hi >= 0 && hi < maps.length && maps(hi).contains(v.toInt)
     }
     def cardinality: Long = maps.map(_.getLongCardinality).sum
+
+    /** All set positions, ascending — what a DV MERGE needs (the v3 spec
+      * requires a new deletion vector to supersede the previous one for
+      * the same data file, so the writer unions the old positions in). */
+    def positions: Seq[Long] = maps.toSeq.zipWithIndex.flatMap {
+      case (rb, hi) =>
+        rb.toArray.map(lo => (hi.toLong << 32) | (lo.toLong & 0xffffffffL)).toSeq
+    }
   }
 
   /** Parse a portable RoaringBitmapArray; refuses a wrong magic. */

@@ -950,18 +950,21 @@ object IcebergInterchange {
     val fv = root.get("format-version").asInt()
     // v1 tables READ (missing manifest fields default to the spec's v1
     // semantics: content 0, no sequences, no delete files); writes stay
-    // v2-only. v3 tables READ when their only v3 feature is DELETION
-    // VECTORS (Puffin blobs, same portable RoaringBitmapArray the Delta
-    // side decodes); row lineage and column defaults refuse below. fv > 3
-    // refuses — unreleased manifest semantics must never be guessed at.
+    // v2-only. v3 tables READ with DELETION VECTORS (Puffin blobs, same
+    // portable RoaringBitmapArray the Delta side decodes) and with ROW
+    // LINEAGE: lineage stamps metadata identity (_row_id /
+    // _last_updated_sequence_number derived from first_row_id + row
+    // position) that never alters row CONTENT, so a plain read of the
+    // user columns is exact — WRITES into lineage tables still refuse
+    // ([[attachDeletionVectors]]; [[mirror]] pins its target to v2),
+    // because a writer that does not maintain first_row_id would corrupt
+    // the lineage chain. Column defaults refuse below (they DO alter
+    // read content). fv > 3 refuses — unreleased manifest semantics must
+    // never be guessed at.
     require(fv >= 1 && fv <= 3,
       s"format-version $fv is not supported (this importer reads v1-v3) — " +
         "refusing rather than mis-replaying newer manifest semantics")
     if (fv == 3) {
-      require(!Option(root.get("row-lineage")).exists(_.asBoolean(false)),
-        "v3 row lineage is not supported by this importer — refusing " +
-          "rather than dropping _row_id/_last_updated_sequence_number " +
-          "semantics silently")
       Option(root.get("schemas")).foreach(_.elements().asScala.foreach(s =>
         s.get("fields").elements().asScala.foreach { f =>
           require(!f.has("initial-default") && !f.has("write-default"),
@@ -1250,9 +1253,17 @@ object IcebergInterchange {
     * Iceberg's legal type promotions (int→long, float→double) for files
     * written under a pre-promotion type. */
   private def readAlignedGroup(spark: SparkSession, snap: IcebergSnapshot,
-      files: Seq[String], plan: Seq[(String, Option[String])]): DataFrame = {
+      files: Seq[String], plan: Seq[(String, Option[String])],
+      staleNameCollision: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    if (plan.forall { case (n, src) => src.forall(_ == n) })
+    // the explicit-schema scan null-pads ABSENT columns by NAME — safe
+    // only when no null-pad entry's name survives physically in the
+    // footer under a DIFFERENT field id (a dropped-then-re-added column):
+    // there the name-based read would resurrect the old column's stale
+    // values, where real Iceberg id resolution reads null. Those groups
+    // take the select path, whose lit(null) projection shadows the stale
+    // physical column.
+    if (!staleNameCollision && plan.forall { case (n, src) => src.forall(_ == n) })
       spark.read.schema(snap.schema).parquet(files: _*)
     else
       spark.read.parquet(files: _*).select(plan.map { case (n, src) =>
@@ -1285,15 +1296,26 @@ object IcebergInterchange {
     // types (a pre-promotion int32 file after an int→long promotion) must
     // scan in their own group, or one inferred schema would misread the
     // other's pages
-    val plans: Map[String, (Seq[(String, Option[String])], Seq[String])] =
+    // the third component flags a STALE-NAME COLLISION: a null-pad plan
+    // entry (current column resolving to no footer column by id) whose
+    // NAME is still physically present in the footer under a different
+    // id — the dropped-then-re-added case readAlignedGroup must not read
+    // by name. It is part of the group key so colliding and clean files
+    // never share a scan.
+    val plans: Map[String, (Seq[(String, Option[String])], Seq[String], Boolean)] =
       footerFields(spark, snap.files).map { case (f, ft) =>
-        f -> (alignmentFor(snap, ft.map(x => (x._1, x._2))), ft.map(_._3))
+        val plan = alignmentFor(snap, ft.map(x => (x._1, x._2)))
+        val footerNames = ft.map(_._1).toSet
+        val stale = plan.exists { case (n, src) =>
+          src.isEmpty && footerNames.contains(n) }
+        f -> ((plan, ft.map(_._3), stale))
       }
     if (snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
         snap.dvs.isEmpty && snap.partitionCols.isEmpty)
       return snap.files.groupBy(plans).toSeq
         .sortBy { case (_, fs) => fs.min }
-        .map { case ((plan, _), fs) => readAlignedGroup(spark, snap, fs, plan) }
+        .map { case ((plan, _, stale), fs) =>
+          readAlignedGroup(spark, snap, fs, plan, stale) }
         .reduce(_ unionAll _)
 
     // data rows tagged with their file's sequence number, one scan per
@@ -1321,8 +1343,8 @@ object IcebergInterchange {
       .groupBy { case (p, seq) => (seq, partsOf(p), plans(p)) }
       .toSeq.sortBy { case ((seq, parts, plan), _) =>
         (seq, parts.mkString(","), plan.toString) }
-      .map { case ((seq, parts, (plan, _)), fs) =>
-        var base = readAlignedGroup(spark, snap, fs.map(_._1), plan)
+      .map { case ((seq, parts, (plan, _, stale)), fs) =>
+        var base = readAlignedGroup(spark, snap, fs.map(_._1), plan, stale)
         parts.foreach { case (srcCol, v) =>
           base = base.withColumn(srcCol,
             lit(v).cast(snap.schema(srcCol).dataType))
@@ -1423,6 +1445,14 @@ object IcebergInterchange {
     val fv = root.get("format-version").asInt()
     require(fv == 2 || fv == 3,
       s"cannot attach deletion vectors to a v$fv table (v2 upgrades to v3)")
+    // reads of lineage tables are fine (lineage never alters row content),
+    // but a WRITE by a writer that does not maintain first_row_id would
+    // corrupt the lineage chain — refuse
+    require(!Option(root.get("row-lineage")).exists(_.asBoolean(false)),
+      "cannot write into a v3 table with row lineage enabled — this " +
+        "writer does not maintain first_row_id, and a lineage-blind " +
+        "commit would corrupt _row_id assignment; refusing (reads of " +
+        "lineage tables are supported)")
     val location = root.get("location").asText()
     val snaps = root.get("snapshots").elements().asScala.toVector
     require(snaps.nonEmpty, "cannot attach deletion vectors to an empty table")
@@ -1436,9 +1466,26 @@ object IcebergInterchange {
     val lastSeq = root.get("last-sequence-number").asLong()
     val newSeq = lastSeq + 1
     val snapshotId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    // v3 spec: a NEW deletion vector for a data file SUPERSEDES the
+    // previous one — a table never carries two live DVs for one file.
+    // Union any prior live DV's positions into the new vector (the old
+    // deletions must survive the replacement), and below carry the
+    // superseded manifest entry forward as DELETED in a rewritten
+    // manifest instead of live.
+    val priorDvByFile: Map[String, (String, Long, Long)] =
+      live.dvs.map { case (p, _, ref, off, sz) => ref -> ((p, off, sz)) }.toMap
+    val mergedDvs: Seq[(String, Seq[Long])] = dvs.toSeq.sortBy(_._1).map {
+      case (f, ps) =>
+        f -> (priorDvByFile.get(f) match {
+          case Some((p, off, sz)) =>
+            (ps ++ IcebergPuffin.readDvBlob(p, off, sz).positions).distinct
+          case None => ps
+        })
+    }
+    val superseded: Set[String] = dvs.keySet.intersect(priorDvByFile.keySet)
     val puffinPath = Paths.get(destDir, "data", s"dv-$snapshotId.puffin")
     val placed = IcebergPuffin.writeDvFile(puffinPath, snapshotId, newSeq,
-      dvs.toSeq.sortBy(_._1))
+      mergedDvs)
     val schemaId = Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0)
     val schemaNode = root.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == schemaId).get
@@ -1452,13 +1499,44 @@ object IcebergInterchange {
       deletes = true)
     val newInfo = ManifestInfo(mPath, Files.size(mPath), newSeq, newSeq,
       snapshotId, entries, content = 1)
-    // carry the prior snapshot's manifest list rows forward untouched
+    // carry the prior snapshot's manifest list rows forward — untouched,
+    // EXCEPT delete manifests holding a DV this commit supersedes: those
+    // rewrite with the superseded entries marked DELETED (their prior
+    // ADDED siblings downgrade to EXISTING), so exactly one DV per data
+    // file stays live
     val priorList = resolvePath(location, cur.get("manifest-list").asText())
+    var rwIdx = 0
     val carried = readAvro(priorList).map { r =>
-      val rec = new GenericData.Record(manifestFileSchema)
-      manifestFileSchema.getFields.asScala.foreach(f =>
-        rec.put(f.name(), r.get(f.name())))
-      rec: GenericRecord
+      val mContent = intOr(r, "content", 0)
+      lazy val mEntries = readManifest(
+        resolvePath(location, str(r, "manifest_path")),
+        longOr(r, "sequence_number", 0L))
+      def supersedes(e: Entry): Boolean =
+        e.status != Deleted && e.referencedDataFile.exists(rf =>
+          superseded.contains(resolvePath(location, rf).toString))
+      if (superseded.isEmpty || mContent != 1 || !mEntries.exists(supersedes)) {
+        val rec = new GenericData.Record(manifestFileSchema)
+        manifestFileSchema.getFields.asScala.foreach(f =>
+          rec.put(f.name(), r.get(f.name())))
+        rec: GenericRecord
+      } else {
+        val rewritten = mEntries.map { e =>
+          require(e.partition.isEmpty,
+            s"cannot rewrite a PARTITIONED delete manifest entry " +
+              s"(${e.filePath}) while superseding its deletion vector — " +
+              "refusing rather than dropping its partition tuple")
+          if (supersedes(e)) e.copy(status = Deleted, snapshotId = snapshotId)
+          else if (e.status == Added) e.copy(status = Existing)
+          else e
+        }
+        rwIdx += 1
+        val np = metadataDir(destDir).resolve(s"m-$snapshotId-dv-rw$rwIdx.avro")
+        writeManifest(np, mapper.writeValueAsString(schemaNode), rewritten,
+          deletes = true)
+        manifestListRecord(ManifestInfo(np, Files.size(np), newSeq,
+          rewritten.map(_.seq).min, snapshotId, rewritten, content = 1,
+          specId = intOr(r, "partition_spec_id", 0)))
+      }
     }
     val listPath = metadataDir(destDir).resolve(s"snap-$snapshotId.avro")
     writeAvro(listPath, manifestFileSchema, Map(

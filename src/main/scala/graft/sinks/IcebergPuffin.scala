@@ -92,16 +92,37 @@ object IcebergPuffin {
 
   /** Read + verify one deletion-vector blob: the file must be a Puffin
     * (header magic), the blob's declared length and CRC-32 must hold, and
-    * the vector must parse as a portable RoaringBitmapArray. */
+    * the vector must parse as a portable RoaringBitmapArray. The blob is
+    * read with a RANGED channel read at its long offset — never the whole
+    * sidecar — so a multi-gigabyte Puffin file costs one header probe
+    * plus one blob-sized read, and offsets past 2 GiB stay exact (an int
+    * cast would silently wrap them). */
   def readDvBlob(path: String, offset: Long, size: Long)
       : DeltaReaderFeatures.LongBitmap = {
-    val all = Files.readAllBytes(Paths.get(path))
-    require(all.length >= 4 && java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(all, 0, 4), Magic),
-      s"$path is not a Puffin file (bad header magic)")
-    require(offset >= 4 && offset + size <= all.length,
-      s"DV blob [$offset, ${offset + size}) is outside $path (${all.length} bytes)")
-    val blob = java.util.Arrays.copyOfRange(all, offset.toInt, (offset + size).toInt)
+    require(size >= 8 && size <= Int.MaxValue.toLong,
+      s"DV blob size $size is outside the readable range [8, 2^31) — " +
+        "a single deletion-vector blob larger than 2 GiB is not a shape " +
+        "the v3 spec produces; refusing")
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    val blob =
+      try {
+        val len = ch.size()
+        def readFully(at: Long, n: Int): Array[Byte] = {
+          val buf = ByteBuffer.allocate(n)
+          var pos = at
+          while (buf.hasRemaining) {
+            val r = ch.read(buf, pos)
+            require(r > 0, s"unexpected EOF reading $path at $pos")
+            pos += r
+          }
+          buf.array()
+        }
+        require(len >= 4 && java.util.Arrays.equals(readFully(0L, 4), Magic),
+          s"$path is not a Puffin file (bad header magic)")
+        require(offset >= 4 && offset + size <= len,
+          s"DV blob [$offset, ${offset + size}) is outside $path ($len bytes)")
+        readFully(offset, size.toInt)
+      } finally ch.close()
     val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
     val vectorLen = buf.getInt()
     require(vectorLen == size - 8,

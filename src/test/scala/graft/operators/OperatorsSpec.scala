@@ -106,6 +106,21 @@ class TransformOpSpec extends AnyFunSuite {
     assert(got == Set((1, 11.5, 10.5), (2, 21.0, 20.0), (3, 8.25, 7.25)))
   }
 
+  test("NON-ALIASED sibling expressions also see the ORIGINAL input, not redefinitions") {
+    // `bal + 1 AS bal, bal * 2` — the non-aliased expression must evaluate
+    // against the input record like its aliased siblings (the reference
+    // evaluates every projection expression against the input record):
+    // (bal+1)*2 would be silent wrong data
+    val df = rows.toDF("id", "name", "bal")
+    val rule = TransformRule("db.t",
+      projection = Some("id, bal + 1 AS bal, bal * 2"))
+    val out = TransformOp.applyToRows(df, rule)
+    assert(out.columns.toSeq == Seq("id", "bal", "bal * 2"))
+    val got = out.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set((1, 11.5, 21.0), (2, 21.0, 40.0), (3, 8.25, 14.5)),
+      s"non-aliased `bal * 2` must read the ORIGINAL bal; got $got")
+  }
+
   test("filter sees computed columns (PostTransformOperator semantics)") {
     val df = rows.toDF("id", "name", "bal")
     val rule = TransformRule(

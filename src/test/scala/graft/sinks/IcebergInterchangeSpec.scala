@@ -942,17 +942,24 @@ class IcebergInterchangeSpec extends AnyFunSuite {
     // a DV for a file that is not live refuses before any mutation
     intercept[IllegalArgumentException](
       IcebergInterchange.attachDeletionVectors(dest, Map("/nope.parquet" -> Seq(0L))))
-    // other v3 features refuse loudly: row lineage...
+    // row lineage READS (lineage stamps metadata identity, never row
+    // content — the plain read stays exact)...
     val root = IcebergInterchange.readMetadata(dest,
         IcebergInterchange.latestMetadataVersion(dest).get)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     root.put("row-lineage", true)
     IcebergInterchange.writeMetadata(dest,
       IcebergInterchange.latestMetadataVersion(dest).get + 1, root)
-    val e1 = intercept[IllegalArgumentException](
-      IcebergInterchange.importIceberg(spark, dest))
-    assert(e1.getMessage.contains("row lineage"), e1.getMessage)
-    // ...column defaults...
+    assert(IcebergInterchange.importIceberg(spark, dest)
+      .as[(Long, String)].collect().toSet == before -- dead,
+      "a lineage-stamped v3 table reads EQUAL (DVs still applied)")
+    // ...but WRITES into a lineage table refuse: this writer does not
+    // maintain first_row_id
+    val eW = intercept[IllegalArgumentException](
+      IcebergInterchange.attachDeletionVectors(dest,
+        Map(files.head -> Seq(3L))))
+    assert(eW.getMessage.contains("row lineage"), eW.getMessage)
+    // ...column defaults still refuse (they DO alter read content)...
     val root2 = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     root2.put("row-lineage", false)
     root2.get("schemas").get(0).get("fields").get(1)
@@ -997,6 +1004,74 @@ class IcebergInterchangeSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(m => m.contains("CRC") || m.contains("magic")),
       chain(e).mkString(" | "))
+  }
+
+  test("re-attaching a DV SUPERSEDES the prior one: positions union, one live DV per file") {
+    val t = newTable()
+    t.merge((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_dv2").toString
+    IcebergInterchange.export(spark, t, dest)
+    val before = IcebergInterchange.importIceberg(spark, dest)
+      .as[(Long, String)].collect().toSet
+    val f = IcebergInterchange.readTable(dest).files.sorted.head
+    def rowsAt(ps: Seq[Long]) =
+      spark.read.parquet(f).selectExpr("k", "v", "_metadata.row_index AS i")
+        .filter(col("i").isin(ps.map(Long.box): _*))
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+    IcebergInterchange.attachDeletionVectors(dest, Map(f -> Seq(0L)))
+    // second attach for the SAME file: the v3 spec requires the new DV to
+    // REPLACE the prior one — the old positions survive the replacement
+    // (they union into the new vector), and the superseded manifest entry
+    // carries forward DELETED, leaving exactly one live DV for the file
+    IcebergInterchange.attachDeletionVectors(dest, Map(f -> Seq(2L)))
+    val snap = IcebergInterchange.readTable(dest)
+    assert(snap.dvs.map(_._3) == Seq(f),
+      s"exactly one live DV, for $f; got ${snap.dvs.map(_._3)}")
+    val after = IcebergInterchange.importIceberg(spark, dest)
+      .as[(Long, String)].collect().toSet
+    assert(after == before -- rowsAt(Seq(0L, 2L)),
+      "both the superseded DV's position and the new one mask")
+  }
+
+  test("dropped-then-re-added column reads NULL by id, never the stale physical values") {
+    // The current schema carries v under a NEW field id (the column was
+    // dropped and re-added); the old data file still stores a column
+    // NAMED v under the OLD id. Real Iceberg id resolution reads null
+    // there — a name-based explicit-schema read would silently resurrect
+    // the stale physical values.
+    def stampIds(path: java.nio.file.Path, names: Seq[String],
+        ids: Seq[Long]): Unit = {
+      val df = spark.read.parquet(path.toString).toDF(names: _*)
+      val schema2 = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", ids(i)).build())
+      })
+      val stamped = spark.createDataFrame(df.collectAsList(), schema2)
+      val tmp = Files.createTempDirectory("graft_ib_readd_rw")
+      stamped.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val t = newTable()
+    t.merge(Seq((1L, "stale")).toDF("k", "v"),
+      spark.range(0).select($"id".as("k")))
+    val dest = Files.createTempDirectory("graft_ib_readd").toString
+    IcebergInterchange.export(spark, t, dest)
+    Files.list(Paths.get(dest, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => stampIds(p, Seq("k", "v"), Seq(1L, 2L)))
+    val root = metadata(dest).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root.get("schemas").get(0).get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("id", 3)
+    root.put("last-column-id", 3)
+    IcebergInterchange.writeMetadata(dest, 2, root)
+    val back = IcebergInterchange.importIceberg(spark, dest)
+    assert(back.columns.toSeq == Seq("k", "v"))
+    val row = back.orderBy("k").head()
+    assert(row.getLong(0) == 1L && row.isNullAt(1),
+      s"re-added v must read NULL, not the stale physical value; got $row")
   }
 
   test("format-version 1 tables read: legacy metadata, no sequence fields") {
