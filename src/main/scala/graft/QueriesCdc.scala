@@ -3273,6 +3273,86 @@ object QueriesCdc {
         .foreach(driver.handle)
       val env = Envelope.fromSnapshot(Tables.load(s, dir, "customer"), tid, col("c_custkey"))
       driver.coerceBatch(tid, env).selectExpr("after.*").orderBy("c_custkey")
+    }),
+
+    // ONE multi-clause ALTER statement through the binlog socket mid-stream:
+    // `ADD score INT, RENAME v TO label, MODIFY score BIGINT` is a single
+    // QUERY event at a single offset carrying THREE SchemaChangeEvents in
+    // clause order (the reference's CustomAlterTableParserListener.java:64
+    // accumulates a list per statement) — parked as a clause queue, applied
+    // one ack at a time at the batch boundary, then the stream resumes with
+    // the fully-evolved schema. Old-shape rows in flight before the ALTER
+    // keep their renamed-column values (reader epoch translation + pending-
+    // rename coercion bridge).
+    "c_multiclause_alter" -> ((s, dir) => {
+      import graft.pipeline._
+      import graft.sources.mysql.{BinlogServerDouble, BinlogSocketChangeSource}
+      val t = TableId.parse("app.users")
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("id"))
+      val initial = (0L until 150L).map(u => Map[String, Any]("id" -> u, "v" -> "init"))
+      val double = new BinlogServerDouble(t, schema, initial, rotateEvery = 60)
+      double.start()
+      val src = new BinlogSocketChangeSource(double)
+      val srcId = s"verify-mclause-${java.util.UUID.randomUUID()}"
+      ChangeSourceRegistry.register(srcId, src)
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_mclause").toString
+        val yaml =
+          s"""source:
+             |  type: cdc
+             |  sourceId: $srcId
+             |  chunk.size: 40
+             |sink:
+             |  type: values
+             |pipeline:
+             |  checkpoint.dir: $ckpt
+             |  schema.change.behavior: EVOLVE
+             |""".stripMargin
+        implicit val spark: SparkSession = s
+        val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+        require(runner.runHandlingDdl() == 0, "snapshot drain must see no DDL")
+        val sink = runner.sink.asInstanceOf[graft.sinks.MemoryDatabase]
+
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 300 && col("user_id") < 150)
+          .select(col("event_id"), col("user_id"))
+          .orderBy("event_id")
+          .collect()
+        val (batchA, batchB) = ev.partition(_.getLong(0) < 150)
+        // while the pipeline is between drains: old-shape updates, the
+        // multi-clause ALTER, then new-shape updates — all in one log
+        batchA.grouped(25).foreach(g => double.commitTx(g.toSeq.map(r =>
+          DataChangeEvent.update(t,
+            Map("id" -> r.getLong(1), "v" -> "old"),
+            Map("id" -> r.getLong(1), "v" -> s"e${r.getLong(0)}")))))
+        double.appendDdl(
+          "ALTER TABLE app.users ADD COLUMN score INT, " +
+            "RENAME COLUMN v TO label, MODIFY COLUMN score BIGINT")
+        batchB.grouped(25).foreach(g => double.commitTx(g.toSeq.map(r =>
+          DataChangeEvent.update(t,
+            Map("id" -> r.getLong(1), "label" -> "old"),
+            Map("id" -> r.getLong(1), "label" -> s"e${r.getLong(0)}",
+              "score" -> r.getLong(0))))))
+
+        val applied = runner.runHandlingDdl()
+        require(applied == 3,
+          s"the three clauses must apply as three acks at one offset, got $applied")
+        require(sink.schemaOf(t).exists(_.columnNames == Seq("id", "label", "score")),
+          s"evolved sink shape, got ${sink.schemaOf(t).map(_.columnNames)}")
+        import s.implicits._
+        sink.rowsOf(t)
+          .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+            Option(r(2)).map(_.asInstanceOf[Long])))
+          .toDF("id", "label", "score")
+          .orderBy("id")
+      } finally {
+        ChangeSourceRegistry.remove(srcId)
+        double.stop()
+      }
     }))
 
   val oracles: Map[String, String] = Map(
@@ -3839,5 +3919,22 @@ object QueriesCdc {
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  c_acctbal, c_mktsegment, CAST(NULL AS VARCHAR) AS loyalty_tier,
         |  CAST(NULL AS VARCHAR) AS segment
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // label = renamed v: last event overall (post-ALTER events dominate,
+    // their ids are >= 150); a user only touched before the ALTER keeps the
+    // old-shape value under the NEW name (rename carries values); score is
+    // set only by post-ALTER events (null-padded otherwise)
+    "c_multiclause_alter" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id FROM events WHERE event_id < 300 AND user_id < 150),
+        |last AS (SELECT user_id, max(event_id) AS me FROM e GROUP BY user_id),
+        |lastnew AS (
+        |  SELECT user_id, max(event_id) AS me FROM e WHERE event_id >= 150 GROUP BY user_id)
+        |SELECT u.id,
+        |  COALESCE('e' || CAST(l.me AS VARCHAR), 'init') AS label,
+        |  ln.me AS score
+        |FROM range(150) AS u(id)
+        |LEFT JOIN last l ON l.user_id = u.id
+        |LEFT JOIN lastnew ln ON ln.user_id = u.id
+        |ORDER BY u.id""".stripMargin)
 }

@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
   * ride the control path and are applied between batches
   * ([[SchemaEvolutionDriver]]), so only data rows shuffle.
   */
-final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: SparkSession) {
+final class PipelineComposer(
+    pdef: PipelineDef,
+    sink: DataSink,
+    // rename DDL history of the SOURCE feeding a table (ChangeSource
+    // .renameHistory) — lets batch coercion bridge a sink that is one
+    // rename behind the envelope's live schema (parked, not yet acked)
+    renameHistoryFor: TableId => Seq[(Long, Map[String, String])] = _ => Seq.empty)(
+    implicit spark: SparkSession) {
 
   val router = new TableIdRouter(pdef.routes)
   val evolution = new SchemaEvolutionDriver(
@@ -104,7 +111,8 @@ final class PipelineComposer(pdef: PipelineDef, sink: DataSink)(implicit spark: 
         .schemaOf(sinkT)
         .orElse(evolution.evolvedSchemas.latest(sinkT))
         .getOrElse(throw new IllegalStateException(s"sink table $sinkT not created"))
-      val coerced = SchemaDerivator.coerceEnvelope(transformed, sinkSchema.struct)
+      val coerced = SchemaDerivator.coerceEnvelope(
+        transformed, sinkSchema.struct, renameHistoryFor(tableId))
       sink match {
         case cs: graft.sinks.ChangelogSink =>
           // log-shaped sink: every event reaches the wire, no materialization

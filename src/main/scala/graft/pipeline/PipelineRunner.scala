@@ -24,7 +24,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
 
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
-  val composer = new PipelineComposer(pdef, sink)
+  val composer = new PipelineComposer(pdef, sink, renameHistoryFor = { t =>
+    // resolved lazily at batch time: the pipeline's registered sources may
+    // not exist yet at construction (debezium-file/kafka register on use)
+    scala.util.Try {
+      (sourceId +: secondarySourceIds).iterator
+        .map(ChangeSourceRegistry.get)
+        .find(_.tableId == t)
+        .map(_.renameHistory)
+        .getOrElse(Seq.empty)
+    }.getOrElse(Seq.empty)
+  })
 
   private def sourceId: String = pdef.source.sourceType.toLowerCase match {
     case "debezium-file" => debeziumFileSourceId
@@ -232,6 +242,35 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     * split continues; per-table DSv2 streams give the same effect with
     * driver-side discovery.
     */
+  /** Drain an ADDITIONAL source to completion with the same park/evolve/ack
+    * loop as [[runHandlingDdl]] — for multi-source pipelines whose secondary
+    * logs also carry DDL (the kafka-partition drain stays data-only; this is
+    * the multi-database merge shape). Returns schema changes applied.
+    */
+  def drainTableHandlingDdl(newSourceId: String, maxRestarts: Int = 100): Int = {
+    var applied = 0
+    var restarts = 0
+    var continue = true
+    while (continue && restarts <= maxRestarts) {
+      val q = addTable(newSourceId)
+      q.processAllAvailable()
+      q.stop()
+      ChangeSourceRegistry.pendingDdl(newSourceId) match {
+        case Some((_, ddl)) =>
+          composer.processSchemaChange(ddl)
+          ChangeSourceRegistry.ackPendingDdl(newSourceId)
+          applied += 1
+          restarts += 1
+        case None => continue = false
+      }
+    }
+    if (continue)
+      throw new IllegalStateException(
+        s"drainTableHandlingDdl($newSourceId) exhausted $maxRestarts restarts " +
+          s"with schema changes still arriving (applied $applied)")
+    applied
+  }
+
   def addTable(newSourceId: String): StreamingQuery = {
     val src = ChangeSourceRegistry.get(newSourceId)
     composer.createTables(Map(src.tableId -> src.schema))

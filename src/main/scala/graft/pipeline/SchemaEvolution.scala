@@ -83,16 +83,33 @@ object SchemaDerivator {
     * re-analyzes the whole projection, and with wide evolved schemas (the
     * B4 probe reaches 100+ fields per image struct) that doubles the
     * per-batch plan-compile cost for nothing. */
-  def coerceEnvelope(env: DataFrame, target: StructType): DataFrame = {
+  def coerceEnvelope(
+      env: DataFrame,
+      target: StructType,
+      pendingRenames: Seq[(Long, Map[String, String])] = Seq.empty): DataFrame = {
     def coerceStruct(c: String): org.apache.spark.sql.Column = {
       val src = env.schema(c).dataType.asInstanceOf[StructType]
       val present = src.fields.map(f => f.name -> f.dataType).toMap
       when(col(c).isNotNull, struct(target.fields.map { f =>
+        // a sink column absent from the envelope may exist there under a
+        // LATER name: the envelope rides the source's live schema while the
+        // sink only evolves at the ack boundary, so a parked-but-unacked
+        // rename leaves the sink one epoch behind. Chase the rename chain
+        // forward; only a name genuinely absent at both epochs pads null.
+        def chained: Option[String] = {
+          val end = pendingRenames.foldLeft(f.name) { case (n, (_, rm)) =>
+            rm.getOrElse(n, n)
+          }
+          if (end != f.name && present.contains(end)) Some(end) else None
+        }
         present.get(f.name) match {
           case Some(dt) if sameUpToNullability(dt, f.dataType) =>
             col(s"$c.${f.name}").as(f.name)
           case Some(_) => col(s"$c.${f.name}").cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          case None => chained match {
+            case Some(n) => col(s"$c.$n").cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }
       }.toIndexedSeq: _*)).as(c)
     }

@@ -87,16 +87,25 @@ final class MemoryDatabase extends DataSink {
       case graft.core.TruncateTableEvent(t) =>
         tables.get(t).foreach(_._2.clear())
       case other =>
-        // structural evolution: recompute schema, pad existing rows with nulls
+        // structural evolution: recompute schema, pad NEW columns with nulls.
+        // A RENAME carries existing values to the new name (a real sink's
+        // `ALTER TABLE ... RENAME COLUMN` preserves column data; only
+        // genuinely new columns pad null).
         val t = other.tableId
         tables.get(t).foreach { case (schema, rows) =>
           val mgr = new graft.core.SchemaManager
           mgr.applySchemaChange(graft.core.CreateTableEvent(t, schema))
           val evolved = mgr.applySchemaChange(other)
           val oldNames = schema.struct.fieldNames
+          val newToOld: Map[String, String] = other match {
+            case graft.core.RenameColumnEvent(_, m) => m.map(_.swap)
+            case _ => Map.empty
+          }
           val reindexed = rows.map { case (k, v) =>
             val byName = oldNames.zip(v).toMap
-            k -> evolved.struct.fieldNames.toSeq.map(n => byName.getOrElse(n, null))
+            k -> evolved.struct.fieldNames.toSeq.map { n =>
+              byName.getOrElse(if (byName.contains(n)) n else newToOld.getOrElse(n, n), null)
+            }
           }
           tables(t) = (evolved, scala.collection.mutable.LinkedHashMap(reindexed.toSeq: _*))
         }

@@ -49,15 +49,34 @@ trait ChangeSource {
     * and must tolerate further calls after close (reconnect on demand). */
   def close(): Unit = ()
 
-  /** First schema-change record in `(fromExclusive, toInclusive]`, if the
-    * log can carry DDL. Default scans the log; implementations whose log is
-    * data-only (e.g. a capture-table source) return None without I/O — this
-    * runs on the DRIVER at every trigger, so it must be cheap. */
+  /** First schema-change position in `(fromExclusive, toInclusive]` with ALL
+    * schema events recorded at that position, if the log can carry DDL — a
+    * multi-clause `ALTER TABLE` is ONE log position carrying one event per
+    * clause, in clause order (the reference's Antlr listener accumulates a
+    * list per statement, `CustomAlterTableParserListener.java:64,249-328`).
+    * Default scans the log; implementations whose log is data-only (e.g. a
+    * capture-table source) return None without I/O — this runs on the DRIVER
+    * at every trigger, so it must be cheap. */
   def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
-    readLog(fromExclusive, toInclusive).collectFirst {
-      case LogRecord(off, _, e: SchemaChangeEvent) => (off, e)
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] = {
+    val recs = readLog(fromExclusive, toInclusive)
+    recs.collectFirst {
+      case LogRecord(off, _, _: SchemaChangeEvent) => off
+    }.map { off =>
+      (off, recs.collect { case LogRecord(`off`, _, e: SchemaChangeEvent) => e })
     }
+  }
+
+  /** Column-rename DDL history, one entry per rename event in offset order:
+    * `(statementOffset, oldName -> newName)`. In-flight rows read AFTER a
+    * restart but BEFORE a parked rename carry their own epoch's names; the
+    * reader translates them forward through this chain so a rename never
+    * drops the values of rows that were already in the log when it applied
+    * (the reference processes events strictly in order, so a rename always
+    * sees old-shape rows land first — offset-windowed reads must reproduce
+    * that). Data-only logs and sources that refuse renames keep the empty
+    * default. Driver/executor-cheap: called once per partition read. */
+  def renameHistory: Seq[(Long, Map[String, String])] = Seq.empty
 
   /** numeric PK of a data event — the key lives in `before` for DELETE
     * (`DataChangeEvent.java` before/after contract). */
@@ -108,7 +127,9 @@ class ScriptedChangeSource(
   private def keyOf(r: Map[String, Any]): Long = r(pk) match {
     case l: Long => l
     case i: Int => i.toLong
-    case other => throw new IllegalArgumentException(s"non-numeric pk: $other")
+    // STRING pks with numeric text (the reference's values fixtures key on
+    // `col1` STRING = "1","2",...) — same contract as ChangeSource.keyOfEvent
+    case other => other.toString.toLong
   }
 
   def append(event: DataChangeEvent, tsMillis: Long = 0L): Long = synchronized {
@@ -161,6 +182,12 @@ class ScriptedChangeSource(
     log.find(_.tsMillis >= ts).map(_.offset - 1).getOrElse(offset)
   }
 
+  override def renameHistory: Seq[(Long, Map[String, String])] = synchronized {
+    log.collect {
+      case LogRecord(off, _, RenameColumnEvent(_, m)) => (off, m)
+    }.toSeq
+  }
+
   override def keyOfEvent(e: DataChangeEvent): Long =
     if (e.op == OperationType.DELETE) keyOf(e.before) else keyOf(e.after)
 }
@@ -177,7 +204,7 @@ object ChangeSourceRegistry {
   private val chunkHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
   private val sealedHWs = scala.collection.concurrent.TrieMap.empty[(String, Int), Unit]
   private val pendingDdls =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, SchemaChangeEvent)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, List[SchemaChangeEvent])]
 
   def register(id: String, s: ChangeSource): Unit = sources.put(id, s)
   def get(id: String): ChangeSource =
@@ -208,12 +235,24 @@ object ChangeSourceRegistry {
 
   /** Control path for mid-stream DDL (the `SchemaChangeEvent` flow of
     * `MySqlEventDeserializer.java:57`): the micro-batch stream parks at the
-    * DDL's log offset and posts it here; the pipeline driver handles it
-    * (schema evolution + sink DDL) at the batch boundary, acknowledges, and
-    * the stream — restarted with the evolved schema — resumes past it.
+    * DDL's log offset and posts its CLAUSE QUEUE here — a multi-clause
+    * `ALTER TABLE` is one statement offset carrying one event per clause
+    * (`CustomAlterTableParserListener.java:64` accumulates a list). The
+    * pipeline driver handles the HEAD clause at the batch boundary
+    * (schema evolution + sink DDL), acknowledges it — popping the queue —
+    * and repeats; the stream stays parked at the statement offset until the
+    * queue drains, then — restarted with the fully-evolved schema — resumes
+    * past it. Clause order is preserved (DROP a, ADD a ≠ ADD a, DROP a).
     */
-  def postPendingDdl(id: String, offset: Long, e: SchemaChangeEvent): Unit =
-    pendingDdls.putIfAbsent(id, (offset, e))
-  def pendingDdl(id: String): Option[(Long, SchemaChangeEvent)] = pendingDdls.get(id)
-  def ackPendingDdl(id: String): Unit = pendingDdls.remove(id)
+  def postPendingDdl(id: String, offset: Long, evs: Seq[SchemaChangeEvent]): Unit = {
+    require(evs.nonEmpty, "a DDL parking post must carry at least one clause event")
+    pendingDdls.putIfAbsent(id, (offset, evs.toList))
+  }
+  def pendingDdl(id: String): Option[(Long, SchemaChangeEvent)] =
+    pendingDdls.get(id).map { case (off, evs) => (off, evs.head) }
+  def ackPendingDdl(id: String): Unit =
+    pendingDdls.get(id).foreach {
+      case (_, _ :: Nil) | (_, Nil) => pendingDdls.remove(id)
+      case (off, _ :: rest) => pendingDdls.put(id, (off, rest))
+    }
 }

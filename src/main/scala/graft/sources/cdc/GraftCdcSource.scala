@@ -265,8 +265,8 @@ final class GraftCdcMicroBatchStream(
           // range so the batch boundary IS the flush barrier in front of it
           // (sources whose log cannot carry DDL answer None without I/O)
           source.firstDdlOffset(prev.logOffset, target) match {
-            case Some((d, e)) =>
-              ChangeSourceRegistry.postPendingDdl(sourceId, d, e)
+            case Some((d, evs)) =>
+              ChangeSourceRegistry.postPendingDdl(sourceId, d, evs)
               CdcOffset(chunks.size, d)
             case None => CdcOffset(chunks.size, target)
           }
@@ -552,6 +552,21 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
           }
           if (idx < 0) 0L else ChangeSourceRegistry.chunkHW(srcId, idx).getOrElse(0L)
         }
+        // A record between this window's start and a LATER rename carries its
+        // own epoch's column names; the envelope schema carries the LIVE
+        // names. Translate keys forward through the rename chain so the
+        // rename preserves in-flight values (the reference applies events
+        // strictly in order, where this cannot arise). The batch-never-
+        // crosses-a-DDL invariant guarantees every row in this window shares
+        // one epoch — the translation is the window's only schema bridge.
+        val renames = source.renameHistory
+        def liveNames(m: Map[String, Any], off: Long): Map[String, Any] =
+          if (m == null || m.isEmpty || renames.isEmpty) m
+          else m.map { case (k, v) =>
+            renames.foldLeft(k) { case (n, (dOff, rm)) =>
+              if (dOff > off) rm.getOrElse(n, n) else n
+            } -> v
+          }
         // IncrementalSourceStreamFetcher: suppress events already merged into
         // a finished chunk (offset <= that chunk's HW). Schema-change records
         // never enter the data plane — they travel the control path
@@ -564,8 +579,8 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
             // ...) rides the envelope's meta column — MetadataColumns.java's
             // purpose; snapshot rows have none (they are reads, not log records)
             envRow(source.tableId.identifier, e.op.toString,
-              if (e.before.isEmpty) null else e.before,
-              if (e.after.isEmpty) null else e.after,
+              if (e.before.isEmpty) null else liveNames(e.before, off),
+              if (e.after.isEmpty) null else liveNames(e.after, off),
               off, e.meta)
           }
         iteratorReader(it)

@@ -194,7 +194,7 @@ final class JdbcChangeSource(
   /** the capture log carries data changes only — no driver-side scan needed
     * per trigger (the default implementation would SELECT the whole backlog). */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] = None
 
   override def keyStats: (Option[Long], Option[Long], Long) = withReadConn { c =>
     val rs = c.createStatement().executeQuery(

@@ -234,7 +234,7 @@ final class Db2AsnChangeSource(
 
   /** CD tables are data-only: constant-None driver-cheap control path. */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] = None
 
   /** test probe: transactions the Capture program has not yet copied. */
   def uncapturedTxCount: Int = synchronized(logPending.size)

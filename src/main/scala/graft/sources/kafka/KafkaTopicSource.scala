@@ -94,7 +94,7 @@ final class KafkaTopicChangeSource(
 
   override def keyStats: (Option[Long], Option[Long], Long) = (None, None, 0L)
 
-  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
+  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     None // a data topic carries no DDL; the per-trigger probe must be free
 
   override def offsetAtTimestamp(ts: Long): Long =

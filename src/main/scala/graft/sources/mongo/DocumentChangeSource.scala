@@ -278,9 +278,10 @@ final class DocumentChangeSource(
   /** the drop surfaces on the driver-cheap control path (scanning the data
     * log would trip the invalidation guard). */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     synchronized {
       ddlLog.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+        .map { case (o, e) => (o, Seq(e)) }
     }
 
   override def offsetAtTimestamp(ts: Long): Long = synchronized {

@@ -430,7 +430,7 @@ final class MongoSocketChangeSource(double: MongoServerDouble) extends ChangeSou
     src.snapshotRead(lo, hi)
   override def keyStats: (Option[Long], Option[Long], Long) = src.keyStats
   override def offsetAtTimestamp(ts: Long): Long = src.offsetAtTimestamp(ts)
-  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
+  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     src.firstDdlOffset(fromEx, toInc)
   override def keyOfEvent(e: DataChangeEvent): Long = src.keyOfEvent(e)
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] = {

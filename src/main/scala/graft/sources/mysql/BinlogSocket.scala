@@ -425,7 +425,7 @@ final class BinlogServerDouble(
   private final case class Stored(fileIdx: Int, startPos: Long, endPos: Long, bytes: Array[Byte])
   private val events = mutable.ArrayBuffer.empty[Stored]
   // (encoded end offset, tsMillis, ddl event if QUERY) — driver-cheap indexes
-  private val recordIndex = mutable.ArrayBuffer.empty[(Long, Long, Option[SchemaChangeEvent])]
+  private val recordIndex = mutable.ArrayBuffer.empty[(Long, Long, Seq[SchemaChangeEvent])]
   private var curFile = 0
   private var curPos: Long = FileMagicLen
   private var eventsInFile = 0
@@ -529,7 +529,7 @@ final class BinlogServerDouble(
       }
       last = appendEvent(et,
         encodeRowsPayload(tableNumCounter, update, types, vmax, images), tsMillis)
-      recordIndex += ((last, tsMillis, None))
+      recordIndex += ((last, tsMillis, Seq.empty))
     }
     xidCounter += 1
     appendEvent(XidEvent, encodeXidPayload(xidCounter), tsMillis)
@@ -542,18 +542,19 @@ final class BinlogServerDouble(
   def appendDdl(sql: String, tsMillis: Long = 0L): Long = synchronized {
     val evs = MySqlDdlParser.parse(sql)
     require(evs.nonEmpty, s"not a DDL statement: $sql")
-    // one event per QUERY offset: the framework's DDL parking consumes ONE
-    // SchemaChangeEvent per boundary (firstDdlOffset) and the dump client
-    // records one — accepting a multi-clause ALTER here would apply every
-    // clause to the live catalog but deliver only the first downstream,
-    // silently misaligning row decode against the sink schema
-    require(evs.size == 1,
-      s"multi-clause DDL is not supported by the one-event-per-offset " +
-        s"contract — split '$sql' into separate statements")
+    // a multi-clause ALTER is ONE QUERY event carrying one SchemaChangeEvent
+    // per clause, in clause order — the reference's Antlr listener
+    // accumulates a list per statement (CustomAlterTableParserListener
+    // .java:64,249-328). All clauses apply to the live catalog here; the
+    // control path (firstDdlOffset → pendingDdl queue) delivers them
+    // one-per-ack at the SAME statement offset, so the stream stays parked
+    // until every clause evolved the sink. schemaHistory records the
+    // post-ALL-clauses shape at the statement offset: rows can only follow
+    // the full statement in the log, never land between clauses.
     evs.foreach(e => liveSchema = schemaMgr.applySchemaChange(e))
     val off = appendEvent(QueryEvent,
       encodeQueryPayload(tableId.schemaName, sql), tsMillis)
-    recordIndex += ((off, tsMillis, Some(evs.head)))
+    recordIndex += ((off, tsMillis, evs))
     schemaHistory += ((off, liveSchema.struct.fields.toSeq))
     maybeRotate()
     off
@@ -588,12 +589,19 @@ final class BinlogServerDouble(
     else recordIndex(idx - 1)._1
   }
 
-  def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
+  def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     synchronized {
       recordIndex.collectFirst {
-        case (off, _, Some(e)) if off > fromEx && off <= toInc => (off, e)
+        case (off, _, evs) if evs.nonEmpty && off > fromEx && off <= toInc => (off, evs)
       }
     }
+
+  /** rename events in offset+clause order (see ChangeSource.renameHistory). */
+  def renameHistory: Seq[(Long, Map[String, String])] = synchronized {
+    recordIndex.flatMap { case (off, _, evs) =>
+      evs.collect { case RenameColumnEvent(_, m) => (off, m) }
+    }.toSeq
+  }
 
   // ---- the TCP server -----------------------------------------------------
 
@@ -734,9 +742,12 @@ object BinlogDumpClient {
               case FormatDescriptionEvent | XidEvent => ()
               case TableMapEvent => tableMap = Some(decodeTableMap(p))
               case QueryEvent =>
+                // one QUERY event → one LogRecord per clause, all at the
+                // statement's offset (the data plane filters schema records
+                // out; the control path re-parses via firstDdlOffset)
                 val (_, sql) = decodeQuery(p)
                 val off = BinlogOffsets.encode(curFile, h.nextPos)
-                ddlParse(sql).headOption.foreach(e => records += LogRecord(off, h.tsMillis, e))
+                ddlParse(sql).foreach(e => records += LogRecord(off, h.tsMillis, e))
               case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
                 val tm = tableMap.getOrElse(
                   throw new IllegalStateException("rows event before TABLE_MAP"))
@@ -794,8 +805,9 @@ final class BinlogSocketChangeSource(double: BinlogServerDouble) extends ChangeS
   override def keyStats: (Option[Long], Option[Long], Long) = double.keyStats
   override def offsetAtTimestamp(ts: Long): Long = double.offsetAtTimestamp(ts)
   /** driver-cheap: the per-trigger DDL probe must not open a socket. */
-  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
+  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     double.firstDdlOffset(fromEx, toInc)
+  override def renameHistory: Seq[(Long, Map[String, String])] = double.renameHistory
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
     graft.sources.cdc.WireRetry.withRetries() {
       BinlogDumpClient.dump(

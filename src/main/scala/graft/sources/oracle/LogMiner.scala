@@ -215,9 +215,10 @@ final class LogMinerChangeSource(
   }
 
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     synchronized {
       ddlLog.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+        .map { case (o, e) => (o, Seq(e)) }
     }
 
   /** test probes */

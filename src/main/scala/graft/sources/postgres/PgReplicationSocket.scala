@@ -444,7 +444,7 @@ final class PgSocketChangeSource(double: PgReplicationServerDouble) extends Chan
     wal.snapshotRead(lo, hi)
   override def keyStats: (Option[Long], Option[Long], Long) = wal.keyStats
   override def offsetAtTimestamp(ts: Long): Long = wal.offsetAtTimestamp(ts)
-  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, SchemaChangeEvent)] =
+  override def firstDdlOffset(fromEx: Long, toInc: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     wal.firstDdlOffset(fromEx, toInc)
   override def readLog(fromExclusive: Long, toInclusive: Long): Seq[LogRecord] =
     graft.sources.cdc.WireRetry.withRetries() {

@@ -334,9 +334,10 @@ final class WalChangeSource(
   private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[(Long, SchemaChangeEvent)]
 
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     synchronized {
       ddlLog.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+        .map { case (o, e) => (o, Seq(e)) }
     }
 
   /** The streaming runtime acknowledges the CHECKPOINTED position here after

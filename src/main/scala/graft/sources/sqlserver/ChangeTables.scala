@@ -321,9 +321,10 @@ final class SqlServerChangeSource(
     * (cdc.ddl_history), scanned here driver-cheap — absent a migration this
     * is constant None. */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] =
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] =
     synchronized {
       ddlHistory.find { case (o, _) => o > fromExclusive && o <= toInclusive }
+        .map { case (o, e) => (o, Seq(e)) }
     }
 
   /** test probe: rows the capture job has not yet copied. */

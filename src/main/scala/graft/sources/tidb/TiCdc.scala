@@ -221,7 +221,7 @@ final class TiCdcChangeSource(
   /** TiKV CDC is data-only (DDL flows through TiDB's schema version
     * mechanism, not the row streams): constant None, driver-cheap. */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] = None
 
   /** test probes */
   def pendingPrewriteCount: Int = synchronized(prewrites.size)

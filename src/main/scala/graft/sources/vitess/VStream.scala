@@ -257,7 +257,7 @@ final class VStreamChangeSource(
   /** VStream DDL (Vitess journals schema changes per shard) is out of scope
     * for the double: data-only, constant None, driver-cheap. */
   override def firstDdlOffset(
-      fromExclusive: Long, toInclusive: Long): Option[(Long, SchemaChangeEvent)] = None
+      fromExclusive: Long, toInclusive: Long): Option[(Long, Seq[SchemaChangeEvent])] = None
 
   /** test probes */
   def journalCountsByShard: Vector[Int] = synchronized {

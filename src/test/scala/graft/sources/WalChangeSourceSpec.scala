@@ -147,7 +147,7 @@ class WalChangeSourceSpec extends AnyFunSuite {
         Seq(DataChangeEvent.insert(tid, Map("id" -> 50L, "v" -> "post"))))))
     assert(s.snapshotRead(None, None) == Seq(Map("id" -> 50L, "v" -> "post")))
     val Some((at, ev)) = s.firstDdlOffset(preTrunc, s.currentOffset)
-    assert(ev == TruncateTableEvent(tid) && at > preTrunc && at < s.currentOffset)
+    assert(ev == Seq(TruncateTableEvent(tid)) && at > preTrunc && at < s.currentOffset)
     // in-range scan semantics: past the truncate there is no further ddl
     assert(s.firstDdlOffset(at, s.currentOffset).isEmpty)
   }

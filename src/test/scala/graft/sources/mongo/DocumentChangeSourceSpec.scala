@@ -78,7 +78,7 @@ class DocumentChangeSourceSpec extends AnyFunSuite {
     val invalidTok = src.dropCollection()
     // the drop surfaced on the control path as the DropTableEvent family
     assert(src.firstDdlOffset(0L, src.currentOffset).exists(_._2 ==
-      DropTableEvent(TableId.parse("app.collection"))))
+      Seq(DropTableEvent(TableId.parse("app.collection")))))
     assert(src.keyStats == ((None, None, 0L)), "the collection is gone")
     // post-drop writes implicitly recreate the collection; the oplog goes on
     src.insertDoc(100L, """{"n": "reborn"}""")
