@@ -1,0 +1,353 @@
+package graft
+
+import graft.core._
+import graft.pipeline._
+import graft.sinks.MemoryDatabase
+import graft.sources.cdc.{ChangeSourceRegistry, ScriptedChangeSource}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Reference conformance corpus: the scripted event sets of the reference's
+  * composer integration tests, re-expressed as oracle gates over THIS
+  * pipeline. Each gate scripts the exact event sequence of one reference
+  * ITCase (fixtures: `flink-cdc-pipeline-connector-values/.../ValuesDataSourceHelper.java:52-540`;
+  * expectations: `flink-cdc-composer/src/test/.../FlinkPipelineComposerITCase.java`,
+  * `FlinkPipelineComposerLenientITCase.java`) through
+  * [[graft.pipeline.PipelineRunner]] and asserts the reference's expected
+  * FINAL MATERIALIZED STATE — the strongest offline-runnable parity evidence:
+  * same events in, same table out.
+  *
+  * Events flow through the RUNNING pipeline in order, exactly as the
+  * reference's in-band event stream does: the script receives a `drain`
+  * callback and calls it at each epoch boundary (before appending DDL and
+  * after), so every data window is read under the schema it was written in
+  * — the park/evolve/ack loop then applies each DDL at a batch boundary.
+  * Fixtures that interleave two tables in one split run as two sources here
+  * (each table's own order intact — final state is insensitive to
+  * cross-table interleave because key spaces are disjoint and schema
+  * evolution is per-table).
+  */
+object QueriesConformance {
+
+  private val Str = StringType
+
+  private def schemaOf(cols: (String, DataType)*)(pks: String*): TableSchema =
+    TableSchema(
+      StructType(cols.map { case (n, t) => StructField(n, t) }),
+      primaryKeys = pks.toSeq)
+
+  /** The SINGLE_SPLIT_SINGLE_TABLE event script (ValuesDataSourceHelper
+    * .java:173-265): 3 inserts, add col3, rename {col2->newCol2,
+    * col3->newCol3}, drop newCol2, delete key 1, update key 2.
+    */
+  private def scriptSingleTable(
+      src: ScriptedChangeSource, t: TableId, drain: () => Unit): Unit = {
+    def ins(vals: (String, Any)*) = src.append(DataChangeEvent.insert(t, vals.toMap))
+    ins("col1" -> "1", "col2" -> "1")
+    ins("col1" -> "2", "col2" -> "2")
+    ins("col1" -> "3", "col2" -> "3")
+    drain()
+    src.appendDdl(AddColumnEvent(t,
+      Seq(AddColumnEvent.ColumnWithPosition("col3", CdcTypes.StringT()))))
+    src.appendDdl(RenameColumnEvent(t, Map("col2" -> "newCol2", "col3" -> "newCol3")))
+    src.appendDdl(DropColumnEvent(t, Seq("newCol2")))
+    drain()
+    src.append(DataChangeEvent.delete(t, Map("col1" -> "1", "newCol3" -> "1")))
+    src.append(DataChangeEvent.update(t,
+      Map("col1" -> "2", "newCol3" -> ""),
+      Map("col1" -> "2", "newCol3" -> "x")))
+  }
+
+  /** Run a scripted conformance case: start the pipeline on EMPTY sources
+    * (tables register with their INITIAL schemas, the snapshot pass drains
+    * nothing, the log phase starts at offset 0), then run `script`, which
+    * appends the fixture's event sequence and calls the provided callback to
+    * drain every source — park/evolve/ack on DDL — at each epoch boundary.
+    */
+  private def runPipeline(
+      s: SparkSession,
+      sources: Seq[(String, ScriptedChangeSource)],
+      behavior: String,
+      extraYaml: String = "")(script: (() => Unit) => Unit): MemoryDatabase = {
+    implicit val spark: SparkSession = s
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_conformance").toString
+    val yaml =
+      s"""source:
+         |  type: cdc
+         |  sourceId: ${sources.head._1}
+         |  chunk.size: 10
+         |sink:
+         |  type: values
+         |$extraYaml
+         |pipeline:
+         |  checkpoint.dir: $ckpt
+         |  schema.change.behavior: $behavior
+         |""".stripMargin
+    val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+    def drainAll(): Unit = {
+      runner.runHandlingDdl()
+      sources.drop(1).foreach { case (id, _) => runner.drainTableHandlingDdl(id) }
+    }
+    drainAll() // empty snapshot pass: log phase starts at offset 0
+    script(() => drainAll())
+    drainAll()
+    runner.sink.asInstanceOf[MemoryDatabase]
+  }
+
+  private def registered[A](sources: (String, ScriptedChangeSource)*)(
+      body: => A): A =
+    try {
+      sources.foreach { case (id, src) => ChangeSourceRegistry.register(id, src) }
+      body
+    } finally sources.foreach { case (id, _) => ChangeSourceRegistry.remove(id) }
+
+  private def freshId(tag: String) = s"conformance-$tag-${java.util.UUID.randomUUID()}"
+
+  /** MemoryDatabase rows -> DataFrame with explicit schema (values arrive
+    * with the sink table's evolved types). */
+  private def stateDf(
+      s: SparkSession, db: MemoryDatabase, t: TableId): DataFrame = {
+    val schema = db.schemaOf(t).getOrElse(
+      throw new IllegalStateException(s"sink table $t missing"))
+    val rows = db.rowsOf(t).map(Row.fromSeq)
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(schema.struct.fields.map(_.copy(nullable = true))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // FlinkPipelineComposerITCase.testSingleSplitSingleTable:129-184 (EVOLVE):
+    // final table1 = (col1, newCol3): ("2","x"), ("3",null)
+    "c_conformance_single_table" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("single")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE") { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("col1", "newCol3")),
+          s"evolved shape, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineComposerLenientITCase.testSingleSplitSingleTable:119-172
+    // (default LENIENT): rename -> additive newCol2+newCol3, drop swallowed;
+    // full-row upserts null the columns the post-rename images no longer
+    // carry. Final: (2,null,null,null,"x"), (3,"3",null,null,null)
+    "c_conformance_lenient_single_table" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("lenient")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT") { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(
+          _.columnNames == Seq("col1", "col2", "col3", "newCol2", "newCol3")),
+          s"lenient additive shape, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testSingleSplitMultipleTables:188-253
+    // (EVOLVE): table1 evolves (add/rename/drop), table2 untouched.
+    // Emitted as (tbl, col1, v): v = newCol3 for table1, col2 for table2.
+    "c_conformance_multi_tables" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val (id1, id2) = (freshId("multi1"), freshId("multi2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE") { drain =>
+          Seq("1", "2", "3").foreach(k =>
+            src2.append(DataChangeEvent.insert(t2, Map("col1" -> k, "col2" -> k))))
+          scriptSingleTable(src1, t1, drain)
+        }
+        import s.implicits._
+        val a = stateDf(s, db, t1).collect().toSeq
+          .map(r => ("table1", r.getString(0), r.getString(1)))
+        val b = stateDf(s, db, t2).collect().toSeq
+          .map(r => ("table2", r.getString(0), r.getString(1)))
+        (a ++ b).toDF("tbl", "col1", "v").orderBy("tbl", "col1")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testMultiSplitsSingleTable:257-297: splits
+    // are parallel slices of one table; the final state is split-interleave
+    // insensitive, so the four splits run as one ordered log here. Final:
+    // (1,1,x), (3,3,x), (5,5,null) — 2,4,6 deleted.
+    "c_conformance_multi_splits" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("splits")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE") { drain =>
+          Seq("1", "2", "3", "4", "5", "6").foreach(k =>
+            src.append(DataChangeEvent.insert(t, Map("col1" -> k, "col2" -> k))))
+          Seq("2", "4", "6").foreach(k =>
+            src.append(DataChangeEvent.delete(t, Map("col1" -> k, "col2" -> k))))
+          drain()
+          src.appendDdl(AddColumnEvent(t,
+            Seq(AddColumnEvent.ColumnWithPosition("col3", CdcTypes.StringT()))))
+          drain()
+          Seq("1", "3").foreach(k =>
+            src.append(DataChangeEvent.update(t,
+              Map("col1" -> k, "col2" -> k, "col3" -> ""),
+              Map("col1" -> k, "col2" -> k, "col3" -> "x"))))
+        }
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testOneToOneRouting:499-572 (EVOLVE):
+    // table1->routed1 (evolves), table2->routed2 (static).
+    "c_conformance_route_one_to_one" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val (id1, id2) = (freshId("route1"), freshId("route2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.table1
+              |    sink-table: default_schema.routed1
+              |  - source-table: default_schema.table2
+              |    sink-table: default_schema.routed2""".stripMargin) { drain =>
+          Seq("1", "2", "3").foreach(k =>
+            src2.append(DataChangeEvent.insert(t2, Map("col1" -> k, "col2" -> k))))
+          scriptSingleTable(src1, t1, drain)
+        }
+        import s.implicits._
+        val a = stateDf(s, db, TableId.parse("default_schema.routed1")).collect().toSeq
+          .map(r => ("routed1", r.getString(0), r.getString(1)))
+        val b = stateDf(s, db, TableId.parse("default_schema.routed2")).collect().toSeq
+          .map(r => ("routed2", r.getString(0), r.getString(1)))
+        (a ++ b).toDF("tbl", "col1", "v").orderBy("tbl", "col1")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testRouteWithReplaceSymbol:1258-1315
+    // (EVOLVE): pattern route `table[0-9]` -> `replaced.<>` keeps per-table
+    // identity under a new namespace.
+    "c_conformance_route_replace" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val (id1, id2) = (freshId("repl1"), freshId("repl2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.table\.*
+              |    sink-table: replaced_schema.<>
+              |    replace-symbol: <>""".stripMargin) { drain =>
+          Seq("1", "2", "3").foreach(k =>
+            src2.append(DataChangeEvent.insert(t2, Map("col1" -> k, "col2" -> k))))
+          scriptSingleTable(src1, t1, drain)
+        }
+        import s.implicits._
+        val a = stateDf(s, db, TableId.parse("replaced_schema.table1")).collect().toSeq
+          .map(r => ("table1", r.getString(0), r.getString(1)))
+        val b = stateDf(s, db, TableId.parse("replaced_schema.table2")).collect().toSeq
+          .map(r => ("table2", r.getString(0), r.getString(1)))
+        (a ++ b).toDF("tbl", "col1", "v").orderBy("tbl", "col1")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testMergingWithRoute:653-847 (EVOLVE):
+    // mytable1 (id INT, name, age INT) + mytable2 (id BIGINT, name
+    // VARCHAR(255), age TINYINT, description) route-merge into `merged`;
+    // id widens INT->BIGINT, description appends, the mytable1 rename
+    // name->last_name surfaces as ADD last_name (merged sinks evolve by
+    // least-common-schema DIFFERENCE, `SchemaCoordinator.java:297-322`),
+    // mytable2's ADD gender appends. Final merged rows reproduce
+    // ITCase :819-846.
+    "c_conformance_merge_route" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+        Seq.empty)
+      val (id1, id2) = (freshId("merge1"), freshId("merge2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.mytable\.*
+              |    sink-table: default_schema.merged""".stripMargin) { drain =>
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+          src1.append(DataChangeEvent.update(t1,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+            Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.delete(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          drain()
+          src1.appendDdl(RenameColumnEvent(t1, Map("name" -> "last_name")))
+          src2.appendDdl(AddColumnEvent(t2,
+            Seq(AddColumnEvent.ColumnWithPosition("gender", CdcTypes.StringT()))))
+          drain()
+          src1.append(DataChangeEvent.insert(t1,
+            Map("id" -> 5, "last_name" -> "Eliza", "age" -> 24)))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 6L, "name" -> "Frank", "age" -> 30.toByte,
+              "description" -> "student", "gender" -> "male")))
+        }
+        val merged = TableId.parse("default_schema.merged")
+        require(db.schemaOf(merged).exists(
+          _.columnNames == Seq("id", "name", "age", "description", "last_name", "gender")),
+          s"merged shape per ITCase:819-830, got ${db.schemaOf(merged).map(_.columnNames)}")
+        stateDf(s, db, merged).orderBy("id")
+      }
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "c_conformance_single_table" ->
+      """SELECT * FROM (VALUES ('2', 'x'), ('3', CAST(NULL AS VARCHAR)))
+        |AS t(col1, newCol3) ORDER BY col1""".stripMargin,
+    "c_conformance_lenient_single_table" ->
+      """SELECT * FROM (VALUES
+        |  ('2', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x'),
+        |  ('3', '3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
+        |AS t(col1, col2, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    "c_conformance_multi_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('table1', '2', 'x'), ('table1', '3', CAST(NULL AS VARCHAR)),
+        |  ('table2', '1', '1'), ('table2', '2', '2'), ('table2', '3', '3'))
+        |AS t(tbl, col1, v) ORDER BY tbl, col1""".stripMargin,
+    "c_conformance_multi_splits" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1', 'x'), ('3', '3', 'x'), ('5', '5', CAST(NULL AS VARCHAR)))
+        |AS t(col1, col2, col3) ORDER BY col1""".stripMargin,
+    "c_conformance_route_one_to_one" ->
+      """SELECT * FROM (VALUES
+        |  ('routed1', '2', 'x'), ('routed1', '3', CAST(NULL AS VARCHAR)),
+        |  ('routed2', '1', '1'), ('routed2', '2', '2'), ('routed2', '3', '3'))
+        |AS t(tbl, col1, v) ORDER BY tbl, col1""".stripMargin,
+    "c_conformance_route_replace" ->
+      """SELECT * FROM (VALUES
+        |  ('table1', '2', 'x'), ('table1', '3', CAST(NULL AS VARCHAR)),
+        |  ('table2', '1', '1'), ('table2', '2', '2'), ('table2', '3', '3'))
+        |AS t(tbl, col1, v) ORDER BY tbl, col1""".stripMargin,
+    "c_conformance_merge_route" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (2, 'Bob', 30, NULL, NULL, NULL),
+        |  (3, 'Charlie', 15, 'student', NULL, NULL),
+        |  (5, NULL, 24, NULL, 'Eliza', NULL),
+        |  (6, 'Frank', 30, 'student', NULL, 'male'))
+        |AS t(id, name, age, description, last_name, gender) ORDER BY id""".stripMargin)
+}

@@ -48,6 +48,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val written = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -55,8 +56,19 @@ object Verify {
         val df = fn(spark, sfDir)
         Verify.assertHashSafeSchema(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        written += name
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    // per-component coverage self-report (SURVEY §2 enumeration — Coverage):
+    // "green" here = the gate RAN and wrote output; the driver's DuckDB
+    // compare is the value-level verdict on top
+    if (only.isEmpty) {
+      println("[verify] per-component gate coverage:")
+      SparkEntry.components.toSeq.sortBy(_._1).foreach { case (comp, gates) =>
+        val ok = gates.count(written.contains)
+        println(f"[verify]   $ok%3d/${gates.size}%-3d $comp")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -61,26 +61,51 @@ final class PipelineComposer(
           options = source.options ++ rule.tableOptions)
     }
 
-  /** Register source tables: transform schemas, route them, emit (possibly
-    * merged) CreateTableEvents through the evolution driver to the sink.
+  /** Transformed source-table schemas — the UPSTREAM side of the reference
+    * coordinator's two registries (`SchemaCoordinator` keys its redundancy
+    * check and reverse lookups on upstream table ids, :364-379). Keyed by
+    * SOURCE table id; the evolution driver's registries are sink-keyed.
     */
-  def createTables(sourceSchemas: Map[TableId, TableSchema]): Unit = {
-    val transformed = sourceSchemas.map { case (t, s) => t -> transformedSchema(t, s) }
-    // group by routed sink table; merge schemas of co-routed tables
-    val bySink = transformed.toSeq
-      .flatMap { case (t, s) => router.route(t).map(sinkT => (sinkT, t, s)) }
-      .groupBy(_._1)
-    bySink.toSeq.sortBy(_._1.identifier).foreach { case (sinkT, group) =>
-      // DETERMINISTIC source order: mergedCreateTable keys the merged table
-      // on the FIRST source's primary keys (the reference's
-      // getLeastCommonSchema keeps the current schema's keys), so hash-map
-      // iteration order would let an unrelated rename flip the sink's
-      // upsert key between runs
-      val schemas = group.sortBy(_._2.identifier).map(_._3)
-      val create =
-        if (schemas.size == 1) CreateTableEvent(sinkT, schemas.head)
-        else SchemaDerivator.mergedCreateTable(sinkT, schemas)
-      evolution.handle(create)
+  private val upstreamSchemas = new SchemaManager
+
+  /** Register source tables by running their CreateTableEvents through the
+    * normal schema-change path — exactly how the reference's sources announce
+    * tables (each emits a CreateTableEvent at snapshot start; the coordinator
+    * deduces what the routed sink needs). Deterministic identifier order:
+    * many-to-one merges key the sink on the FIRST source's primary keys, so
+    * hash-map iteration order would flip the upsert key between runs.
+    */
+  def createTables(sourceSchemas: Map[TableId, TableSchema]): Unit =
+    sourceSchemas.toSeq.sortBy(_._1.identifier).foreach { case (t, s) =>
+      processSchemaChange(CreateTableEvent(t, s))
+    }
+
+  /** `SchemaCoordinator.deduceEvolvedSchemaChanges` (reference :258-340): a
+    * sink table fed by ONE upstream table forwards the event verbatim; a
+    * many-to-one (merged) sink re-derives the least-common schema over the
+    * current evolved schema and ALL depending upstream schemas and emits the
+    * DIFFERENCE (AlterColumnType widenings + appended AddColumns) — so a
+    * rename on one shard of a merged sink surfaces as an ADD of the new
+    * name, and a second shard's wider types arrive as widenings, never as a
+    * re-CREATE.
+    */
+  private def deduceForSink(
+      sinkT: TableId, projected: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
+    val upstreams = upstreamSchemas.knownTables
+      .filter(u => router.route(u).contains(sinkT))
+    if (upstreams.size <= 1) Seq(reRoute(projected, sinkT))
+    else {
+      val sources = upstreams.toSeq.sortBy(_.identifier)
+        .flatMap(upstreamSchemas.latest)
+      evolution.evolvedSchemas.latest(sinkT) match {
+        case None => Seq(SchemaDerivator.mergedCreateTable(sinkT, sources))
+        case Some(cur) =>
+          val curCols = SchemaMerging.fromStruct(cur.struct)
+          val merged = sources
+            .map(s => SchemaMerging.fromStruct(s.struct))
+            .foldLeft(curCols)(SchemaMerging.leastCommonSchema)
+          SchemaMerging.schemaDifference(sinkT, curCols, merged)
+      }
     }
   }
 
@@ -181,13 +206,24 @@ final class PipelineComposer(
       .map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*")).toSet)
       .getOrElse(Set.empty)
 
-  /** Handle a schema-change event on the control path (between batches). */
+  /** Handle a schema-change event on the control path (between batches):
+    * transform-project it, track the upstream schema, then deduce per routed
+    * sink table and run the deduced events through the evolution driver
+    * (behavior normalization + sink filter + apply). A CREATE for an
+    * already-known upstream table is skipped whole — the duplicate-CREATE
+    * redundancy case of `SchemaUtils.isSchemaChangeEventRedundant`
+    * (see [[SchemaDerivator.isRedundant]] for why only creates).
+    */
   def processSchemaChange(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
-    // transform-project the event, then route it to each sink table
     throughTransform(event.tableId, event).toSeq.flatMap { projected =>
-      router.route(projected.tableId).flatMap { sinkT =>
-        val routed: SchemaChangeEvent = reRoute(projected, sinkT)
-        evolution.handle(routed)
+      if (projected.isInstanceOf[CreateTableEvent] &&
+          SchemaDerivator.isRedundant(upstreamSchemas.latest(projected.tableId), projected))
+        Seq.empty
+      else {
+        upstreamSchemas.applySchemaChange(projected)
+        router.route(projected.tableId).flatMap { sinkT =>
+          deduceForSink(sinkT, projected).flatMap(evolution.handle)
+        }
       }
     }
   }

@@ -26,12 +26,23 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
   val composer = new PipelineComposer(pdef, sink, renameHistoryFor = { t =>
     // resolved lazily at batch time: the pipeline's registered sources may
-    // not exist yet at construction (debezium-file/kafka register on use)
+    // not exist yet at construction (debezium-file/kafka register on use).
+    // Only renames that are still PENDING (parked at or after the unacked
+    // DDL offset) may bridge coercion: once a rename is acked the sink
+    // either renamed the column (one-to-one — old name gone, no bridge
+    // needed) or turned it into an ADD (merged/LENIENT sinks — old and new
+    // names legitimately COEXIST, and chasing the applied rename would
+    // backfill the old column from the new one's values).
     scala.util.Try {
       (sourceId +: secondarySourceIds).iterator
-        .map(ChangeSourceRegistry.get)
-        .find(_.tableId == t)
-        .map(_.renameHistory)
+        .map(id => (id, ChangeSourceRegistry.get(id)))
+        .find(_._2.tableId == t)
+        .map { case (id, src) =>
+          ChangeSourceRegistry.pendingDdl(id) match {
+            case Some((parkedOff, _)) => src.renameHistory.filter(_._1 >= parkedOff)
+            case None => Seq.empty
+          }
+        }
         .getOrElse(Seq.empty)
     }.getOrElse(Seq.empty)
   })

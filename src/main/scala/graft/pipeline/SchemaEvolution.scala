@@ -132,6 +132,45 @@ object SchemaDerivator {
       SchemaMerging.toStruct(merged),
       primaryKeys = sources.headOption.map(_.primaryKeys).getOrElse(Seq.empty)))
   }
+
+  /** `SchemaUtils.isSchemaChangeEventRedundant` (reference
+    * `common/utils/SchemaUtils.java:308-391`): true when `current` already
+    * reflects the event — redundant events are skipped entirely (neither
+    * registry nor sink sees them). The motivating case is the snapshot
+    * stage re-emitting CreateTableEvents on every (re)start
+    * (`SchemaCoordinator.java:370` "possibly coming from duplicate emitted
+    * CreateTableEvents in snapshot stage"); without the skip a re-CREATE
+    * clobbers the evolved registry's additive history (LENIENT sinks
+    * derive from it).
+    *
+    * CALLERS in this repo apply the check to CreateTableEvents only: the
+    * reference restores its registries from checkpoint state, so a
+    * replayed-but-unacked column DDL is never "already reflected" there —
+    * this repo reconstructs the upstream registry from the source's LIVE
+    * catalog on restart, where the live schema already contains a parked
+    * rename/add and the full matrix would wrongly swallow its replay.
+    */
+  def isRedundant(current: Option[TableSchema], event: SchemaChangeEvent): Boolean = {
+    def hasColumn(s: TableSchema, name: String, t: CdcType): Boolean =
+      s.struct.fields.exists(f =>
+        f.name == name && f.dataType == t.toSpark && f.nullable == t.nullable)
+    event match {
+      case _: CreateTableEvent => current.isDefined
+      case AddColumnEvent(_, cols) =>
+        current.exists(s => cols.forall(c => hasColumn(s, c.name, c.cdcType)))
+      case AlterColumnTypeEvent(_, mapping) =>
+        current.exists(s => mapping.forall { case (n, t) => hasColumn(s, n, t) })
+      case DropColumnEvent(_, dropped) =>
+        current.exists(s => dropped.forall(d => !s.struct.fieldNames.contains(d)))
+      case RenameColumnEvent(_, mapping) =>
+        current.exists { s =>
+          val names = s.struct.fieldNames.toSet
+          mapping.forall { case (o, n) => !names.contains(o) && names.contains(n) }
+        }
+      case DropTableEvent(_) => current.isEmpty
+      case TruncateTableEvent(_) => false
+    }
+  }
 }
 
 /** Driver-side schema-evolution loop, the micro-batch replacement for the
@@ -166,6 +205,14 @@ final class SchemaEvolutionDriver(
     * IGNORE/TRY_EVOLVE error swallowing.
     */
   def handle(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
+    // a duplicate CREATE for an already-known table is skipped whole
+    // (SchemaUtils.isSchemaChangeEventRedundant via SchemaCoordinator:370) —
+    // re-registering would push the CURRENT live schema as a new version,
+    // erasing the evolved registry's additive history that LENIENT
+    // derivation reads
+    if (event.isInstanceOf[CreateTableEvent] &&
+        SchemaDerivator.isRedundant(originalSchemas.latest(event.tableId), event))
+      return Seq.empty
     // original side always tracks the source truth
     originalSchemas.applySchemaChange(event)
 
