@@ -44,11 +44,12 @@ object Coverage {
     "12 PreTransformOperator (column pruning)" ->
       Seq("t_projection"),
     "13 PostTransformOperator (projection/filter both images)" ->
-      Seq("t_projection", "t_filter"),
+      Seq("t_projection", "t_filter", "c_conformance_calculated_columns",
+        "c_conformance_wildcard_evolution"),
     "14 Projection spec (* expansion, computed cols)" ->
-      Seq("t_projection"),
+      Seq("t_projection", "c_conformance_calculated_columns"),
     "15 Filter spec (original + computed cols)" ->
-      Seq("t_filter"),
+      Seq("t_filter", "c_conformance_filter_rules"),
     "16 Metadata columns" ->
       Seq("t_metadata"),
     "17 SchemaMetadataTransform (PK/partition/options override)" ->
@@ -60,7 +61,7 @@ object Coverage {
     "20 Model functions (AI_CHAT_PREDICT, GET_EMBEDDING, AI_LANGCHAIN_PREDICT)" ->
       Seq("t_model_chat", "t_model_embedding", "t_model_langchain"),
     "21 SchemaOperator (evolve + coerce data path)" ->
-      Seq("c_ddl_evolution", "c_schema_coerce"),
+      Seq("c_ddl_evolution", "c_schema_coerce", "c_conformance_schema_evolution"),
     "22 SchemaCoordinator -> micro-batch flush barrier" ->
       Seq("c_ddl_evolution", "c_stream_ddl", "c_multiclause_alter"),
     "23 SchemaDerivator (lenient-ize, coerce, merged CREATE, deduce-diff)" ->
@@ -123,11 +124,13 @@ object Coverage {
       Seq("t_cast"),
     "44 CLI front-end (global-config, -D, savepoints, uid manifests)" ->
       Seq("c_cli_pipeline", "c_savepoint_kill"),
-    "45 Reference conformance corpus (composer ITCase event scripts)" ->
+    "45 Reference conformance corpus (composer/transform ITCase event scripts)" ->
       Seq("c_conformance_single_table", "c_conformance_lenient_single_table",
         "c_conformance_multi_tables", "c_conformance_multi_splits",
         "c_conformance_route_one_to_one", "c_conformance_route_replace",
-        "c_conformance_merge_route"),
+        "c_conformance_merge_route", "c_conformance_schema_evolution",
+        "c_conformance_wildcard_evolution", "c_conformance_calculated_columns",
+        "c_conformance_filter_rules"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

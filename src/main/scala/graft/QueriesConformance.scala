@@ -312,7 +312,183 @@ object QueriesConformance {
           s"merged shape per ITCase:819-830, got ${db.schemaOf(merged).map(_.columnNames)}")
         stateDf(s, db, merged).orderBy("id")
       }
+    }),
+
+    // FlinkPipelineTransformITCase.testVanillaTransformWithSchemaEvolution
+    // :1336-1419 (EVOLVE, generateSchemaEvolutionEvents :3118-3245): five
+    // stages — initial, ADD (rank FIRST + gender LAST), ALTER TYPE
+    // (gender->INT, name->VARCHAR(17), age->DOUBLE), RENAME
+    // (gender->biological_sex, age->toshi), DROP (both) — each with its own
+    // insert/update/delete traffic. Final shape (rank, id, name).
+    "c_conformance_schema_evolution" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("evo")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE") { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
+          s"final shape per ITCase, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testWildcardTransformWithSchemaEvolution
+    // :1422-1514: the SAME five-stage event set through a `*` transform —
+    // every schema event must project through the wildcard rule unchanged
+    // and produce the identical final state.
+    "c_conformance_wildcard_evolution" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("wild")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable1
+              |    projection: "*"""".stripMargin) { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
+          s"final shape per ITCase, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testCalculatedColumns:145-168: computed
+    // columns `*, id || name AS uid, age * 2 AS double_age` appended to two
+    // differently-shaped tables (getTestEvents :1274).
+    "c_conformance_calculated_columns" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "calc",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, id || name AS uid, age * 2 AS double_age"""".stripMargin)
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, r.getString(3), r.getInt(4)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), r.getString(4), r.getInt(5)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "uid", "double_age")
+        .orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testFilteringRules:222-247: filter-only
+    // rule `CHAR_LENGTH(name) > 3` — drops Bob's insert AND update (so the
+    // row never lands), keeps Carol, lets Derrida's delete through.
+    "c_conformance_filter_rules" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "filter",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    filter: "CHAR_LENGTH(name) > 3"""".stripMargin)
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description").orderBy("id")
     }))
+
+  /** generateSchemaEvolutionEvents (FlinkPipelineTransformITCase:3118-3245):
+    * the five-stage add/alter/rename/drop script with per-stage traffic.
+    */
+  private def scriptSchemaEvolution(
+      src: ScriptedChangeSource, t: TableId, drain: () => Unit): Unit = {
+    def ins(vals: (String, Any)*) = src.append(DataChangeEvent.insert(t, vals.toMap))
+    def upd(before: Map[String, Any], after: Map[String, Any]) =
+      src.append(DataChangeEvent.update(t, before, after))
+    def del(vals: (String, Any)*) = src.append(DataChangeEvent.delete(t, vals.toMap))
+
+    // initial stage
+    ins("id" -> 1, "name" -> "Alice", "age" -> 21)
+    ins("id" -> 2, "name" -> "Barcarolle", "age" -> 22)
+    ins("id" -> 3, "name" -> "Cecily", "age" -> 23)
+    upd(Map("id" -> 3, "name" -> "Cecily", "age" -> 23),
+      Map("id" -> 3, "name" -> "Colin", "age" -> 24))
+    del("id" -> 2, "name" -> "Barcarolle", "age" -> 22)
+    drain()
+    // add column stage: rank FIRST, gender LAST
+    src.appendDdl(AddColumnEvent(t, Seq(
+      AddColumnEvent.ColumnWithPosition("rank", CdcTypes.StringT(), AddColumnEvent.First),
+      AddColumnEvent.ColumnWithPosition("gender", CdcTypes.TinyIntT()))))
+    drain()
+    ins("rank" -> "1st", "id" -> 4, "name" -> "Derrida", "age" -> 24, "gender" -> 0.toByte)
+    ins("rank" -> "2nd", "id" -> 5, "name" -> "Eve", "age" -> 25, "gender" -> 1.toByte)
+    upd(Map("rank" -> "2nd", "id" -> 5, "name" -> "Eve", "age" -> 25, "gender" -> 1.toByte),
+      Map("rank" -> "2nd", "id" -> 5, "name" -> "Eva", "age" -> 20, "gender" -> 2.toByte))
+    ins("rank" -> "3rd", "id" -> 6, "name" -> "Fiona", "age" -> 26, "gender" -> 3.toByte)
+    del("rank" -> "3rd", "id" -> 6, "name" -> "Fiona", "age" -> 26, "gender" -> 3.toByte)
+    drain()
+    // alter column type stage: gender TINYINT->INT, name ->VARCHAR(17), age INT->DOUBLE
+    src.appendDdl(AlterColumnTypeEvent(t, Map(
+      "gender" -> CdcTypes.IntT(), "name" -> CdcTypes.VarCharT(17),
+      "age" -> CdcTypes.DoubleT())))
+    drain()
+    ins("rank" -> "4th", "id" -> 7, "name" -> "Gem", "age" -> 19.0, "gender" -> -1)
+    ins("rank" -> "5th", "id" -> 8, "name" -> "Helen", "age" -> 18.0, "gender" -> -2)
+    upd(Map("rank" -> "5th", "id" -> 8, "name" -> "Helen", "age" -> 18.0, "gender" -> -2),
+      Map("rank" -> "5th", "id" -> 8, "name" -> "Harry", "age" -> 18.0, "gender" -> -3))
+    ins("rank" -> "6th", "id" -> 9, "name" -> "IINA", "age" -> 17.0, "gender" -> 0)
+    del("rank" -> "6th", "id" -> 9, "name" -> "IINA", "age" -> 17.0, "gender" -> 0)
+    drain()
+    // rename column stage
+    src.appendDdl(RenameColumnEvent(t, Map("gender" -> "biological_sex", "age" -> "toshi")))
+    drain()
+    ins("rank" -> "7th", "id" -> 10, "name" -> "Julia", "toshi" -> 24.0, "biological_sex" -> 1)
+    ins("rank" -> "8th", "id" -> 11, "name" -> "Kalle", "toshi" -> 23.0, "biological_sex" -> 0)
+    upd(Map("rank" -> "8th", "id" -> 11, "name" -> "Kalle", "toshi" -> 23.0, "biological_sex" -> 0),
+      Map("rank" -> "8th", "id" -> 11, "name" -> "Kella", "toshi" -> 18.0, "biological_sex" -> 0))
+    ins("rank" -> "9th", "id" -> 12, "name" -> "Lynx", "toshi" -> 17.0, "biological_sex" -> 0)
+    del("rank" -> "9th", "id" -> 12, "name" -> "Lynx", "toshi" -> 17.0, "biological_sex" -> 0)
+    drain()
+    // drop column stage
+    src.appendDdl(DropColumnEvent(t, Seq("biological_sex", "toshi")))
+    drain()
+    ins("rank" -> "10th", "id" -> 13, "name" -> "Munroe")
+    ins("rank" -> "11th", "id" -> 14, "name" -> "Neko")
+    upd(Map("rank" -> "11th", "id" -> 14, "name" -> "Neko"),
+      Map("rank" -> "11th", "id" -> 14, "name" -> "Nein"))
+    ins("rank" -> "12th", "id" -> 15, "name" -> "Oops")
+    del("rank" -> "12th", "id" -> 15, "name" -> "Oops")
+  }
+
+  /** getTestEvents (FlinkPipelineTransformITCase:1274-1333): the two-table
+    * transform fixture — mytable1 (id INT, name, age INT): Alice, Bob,
+    * Bob age 20->30; mytable2 (id BIGINT, name VARCHAR(255), age TINYINT,
+    * description): Carol, Derrida inserted, Derrida deleted.
+    */
+  private def runTwoTableTransform(
+      s: SparkSession, tag: String, transformYaml: String): (MemoryDatabase, TableId, TableId) = {
+    val t1 = TableId.parse("default_schema.mytable1")
+    val t2 = TableId.parse("default_schema.mytable2")
+    val src1 = new ScriptedChangeSource(t1,
+      schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+    val src2 = new ScriptedChangeSource(t2,
+      schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+      Seq.empty)
+    val (id1, id2) = (freshId(s"$tag-1"), freshId(s"$tag-2"))
+    registered(id1 -> src1, id2 -> src2) {
+      val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE",
+        extraYaml = transformYaml) { _ =>
+        src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+        src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+        src1.append(DataChangeEvent.update(t1,
+          Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+          Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+        src2.append(DataChangeEvent.insert(t2,
+          Map("id" -> 3L, "name" -> "Carol", "age" -> 15.toByte, "description" -> "student")))
+        src2.append(DataChangeEvent.insert(t2,
+          Map("id" -> 4L, "name" -> "Derrida", "age" -> 25.toByte, "description" -> "student")))
+        src2.append(DataChangeEvent.delete(t2,
+          Map("id" -> 4L, "name" -> "Derrida", "age" -> 25.toByte, "description" -> "student")))
+      }
+      (db, t1, t2)
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "c_conformance_single_table" ->
@@ -349,5 +525,36 @@ object QueriesConformance {
         |  (3, 'Charlie', 15, 'student', NULL, NULL),
         |  (5, NULL, 24, NULL, 'Eliza', NULL),
         |  (6, 'Frank', 30, 'student', NULL, 'male'))
-        |AS t(id, name, age, description, last_name, gender) ORDER BY id""".stripMargin)
+        |AS t(id, name, age, description, last_name, gender) ORDER BY id""".stripMargin,
+    "c_conformance_schema_evolution" -> schemaEvolutionOracle,
+    "c_conformance_wildcard_evolution" -> schemaEvolutionOracle,
+    "c_conformance_calculated_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), '1Alice', 36),
+        |  ('mytable1', 2, 'Bob', 30, NULL, '2Bob', 60),
+        |  ('mytable2', 3, 'Carol', 15, 'student', '3Carol', 30))
+        |AS t(tbl, id, name, age, description, uid, double_age) ORDER BY id""".stripMargin,
+    "c_conformance_filter_rules" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR)),
+        |  ('mytable2', 3, 'Carol', 15, 'student'))
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin)
+
+  /** Final state of generateSchemaEvolutionEvents under EVOLVE (identical for
+    * the vanilla and wildcard-transform pipelines — ITCase asserts the same
+    * event stream for both).
+    */
+  private def schemaEvolutionOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(NULL AS VARCHAR), 1, 'Alice'),
+      |  (NULL, 3, 'Colin'),
+      |  ('1st', 4, 'Derrida'),
+      |  ('2nd', 5, 'Eva'),
+      |  ('4th', 7, 'Gem'),
+      |  ('5th', 8, 'Harry'),
+      |  ('7th', 10, 'Julia'),
+      |  ('8th', 11, 'Kella'),
+      |  ('10th', 13, 'Munroe'),
+      |  ('11th', 14, 'Nein'))
+      |AS t("rank", id, name) ORDER BY id""".stripMargin
 }
