@@ -33,6 +33,41 @@ object Bench {
     * "drift" map — a dirty window is healed when the box clears or
     * EXPLICITLY marked when it does not, never silently committed.
     */
+  /** Per-run executor-task CPU seconds via `SparkListenerTaskEnd.taskMetrics
+    * .executorCpuTime` — steal-invariant where wall time is not: shared-box
+    * scheduler contention inflates wall but not task CPU, so cross-round
+    * comparisons on `cpu` expose real regressions that the ±30% wall noise
+    * band masks. Probes whose work is driver-side (wire protocols, commit
+    * loops) honestly read ~0 Spark-task CPU.
+    */
+  final class CpuMeter(spark: SparkSession) {
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
+    /** Task-end events post asynchronously on the listener bus; a counter
+      * read without draining attributes a run's tail tasks to the next run.
+      * `listenerBus`/`waitUntilEmpty` are private[spark] (public in
+      * bytecode) — reflection, with a small sleep as the fallback.
+      */
+    private def drain(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(50) }
+    /** CPU seconds consumed by `body`'s Spark tasks. */
+    def measure[A](body: => A): (A, Double) = {
+      drain(); val c0 = cpuNs.get
+      val r = body
+      drain(); (r, (cpuNs.get - c0) / 1e9)
+    }
+  }
+
   final class SentinelDefense {
     val driftTolerance = 0.05
     private val bean = java.lang.management.ManagementFactory.getThreadMXBean
@@ -156,6 +191,9 @@ object Bench {
     // only way to tell shared-box noise from a real regression when a round's
     // median drifts (round 5's +11% would have been diagnosable from this)
     val rawTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-run Spark-task CPU seconds alongside wall (see [[CpuMeter]])
+    val cpuTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val cpuMeter = new CpuMeter(spark)
     // Each query runs once untimed (planning + codegen + shuffle-file warmup),
     // then the timed runs: the steady-state number is the one that
     // extrapolates to scale, where per-query compilation amortizes to zero.
@@ -189,23 +227,31 @@ object Bench {
         }
       }
       val warm = members.map(n => n -> attempt(n)).toMap
-      val timedRuns: Map[String, Seq[Double]] = sentinel.windowed(family) {
+      val timedRuns: Map[String, (Seq[Double], Seq[Double])] = sentinel.windowed(family) {
         members.filter(warm).map { name =>
           // median of 3 timed runs: single-run numbers on a shared box swing
           // ±2x with scheduler/GC noise; the median is the steady signal
           val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val cpus = scala.collection.mutable.ArrayBuffer.empty[Double]
           var failed = false
           while (!failed && times.length < 3) {
-            val t0 = System.nanoTime()
-            // a timed-run failure aborts the loop (not spin forever)
-            if (attempt(name)) times += (System.nanoTime() - t0) / 1e9 else failed = true
+            // wall clock INSIDE measure: the meter's listener-bus drains
+            // bracket the run and must not count into the wall number
+            val ((ok, wall), cpu) = cpuMeter.measure {
+              val t0 = System.nanoTime()
+              // a timed-run failure aborts the loop (not spin forever)
+              val ok = attempt(name)
+              (ok, (System.nanoTime() - t0) / 1e9)
+            }
+            if (ok) { times += wall; cpus += cpu } else failed = true
           }
-          name -> (if (failed) Seq.empty[Double] else times.toSeq)
+          name -> (if (failed) (Seq.empty[Double], Seq.empty[Double])
+                   else (times.toSeq, cpus.toSeq))
         }.toMap
       }
       members.map { name =>
-        val times = timedRuns.getOrElse(name, Seq.empty)
-        if (times.nonEmpty) rawTimes(name) = times
+        val (times, cpus) = timedRuns.getOrElse(name, (Seq.empty[Double], Seq.empty[Double]))
+        if (times.nonEmpty) { rawTimes(name) = times; cpuTimes(name) = cpus }
         name -> (if (times.nonEmpty) times.sorted.apply(1)
                  else -math.max(failSecs.getOrElse(name, 0.0), 1e-3))
       }
@@ -213,7 +259,8 @@ object Bench {
     require(families.flatMap(_._2) == headline,
       "the family split must cover exactly the headline list, in order")
 
-    val baseline = runBaselineBench(spark, sfDir, errors, rawTimes, sentinel)
+    val baseline = runBaselineBench(spark, sfDir, errors, rawTimes, sentinel,
+      cpuTimes, cpuMeter)
     val calibEnd = sentinel.probeWall()
 
     def jq(s: String): String = "\"" + s.flatMap {
@@ -231,6 +278,14 @@ object Bench {
     val raws = rawTimes.map { case (k, ts) =>
       jq(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-measurement MEDIAN Spark-task CPU seconds (steal-invariant
+    // cross-round comparison signal); raw per-run arrays in "cpu_raw"
+    val cpuMedians = cpuTimes.collect { case (k, cs) if cs.nonEmpty =>
+      jq(k) + ":" + f"${cs.sorted.apply(cs.size / 2)}%.3f"
+    }.mkString("{", ",", "}")
+    val cpuRaws = cpuTimes.map { case (k, cs) =>
+      jq(k) + ":" + cs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     // per-family window drift (fraction vs the start-of-bench reference
     // probe) and retry counts: the self-defense audit trail. A family whose
@@ -246,7 +301,7 @@ object Bench {
     val calib =
       f"""{"start_sec":$calibStart%.3f,"end_sec":$calibEnd%.3f,"tolerance":${sentinel.driftTolerance}%.2f,"detector":"wall-over-cpu steal ratio"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"baseline":$bs,"calibration":$calib,"drift":$driftJson,"retries":$retriesJson,"sf":${jq(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"cpu":$cpuMedians,"cpu_raw":$cpuRaws,"errors":$errs,"baseline":$bs,"calibration":$calib,"drift":$driftJson,"retries":$retriesJson,"sf":${jq(
           sfDir)}}"""
     // The committed artifact keeps only the LAST ~2 KB of stdout (r11's
     // grown drift/raw maps truncated the headline B1-B8 metrics clean out
@@ -271,8 +326,14 @@ object Bench {
     val errSummary =
       if (errors.isEmpty) "0"
       else s"${errors.size}" // full messages in the line above + bench_full.json
+    // headline-only CPU medians in the tail-surviving line (~300 B): the
+    // steal-invariant cross-round signal; the full map is in bench_full.json
+    val cpuCompact = headline.flatMap { k =>
+      cpuTimes.get(k).filter(_.nonEmpty).map(cs =>
+        jq(k) + ":" + f"${cs.sorted.apply(cs.size / 2)}%.2f")
+    }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","baseline":$bs,"calibration":$calib,"drift":$driftSummary,"retries":$retriesJson,"errors_count":$errSummary,"sf":${jq(
+      s"""{"metric":"total","value":$total,"unit":"sec","baseline":$bs,"cpu":$cpuCompact,"calibration":$calib,"drift":$driftSummary,"retries":$retriesJson,"errors_count":$errSummary,"sf":${jq(
           sfDir)},"full":"target/bench_full.json"}""")
     spark.stop()
     // same discipline as graft.Verify: the driver must never hang on a stray
@@ -296,7 +357,11 @@ object Bench {
         scala.collection.mutable.LinkedHashMap.empty,
       sentinel: SentinelDefense = {
         val s = new SentinelDefense; s.init(); s
-      }): Seq[(String, Double)] = {
+      },
+      cpuTimes: scala.collection.mutable.Map[String, Seq[Double]] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      cpuMeterIn: CpuMeter = null): Seq[(String, Double)] = {
+    val cpuMeter = if (cpuMeterIn != null) cpuMeterIn else new CpuMeter(spark)
     import org.apache.spark.sql.functions._
     import graft.core._
     import graft.operators._
@@ -317,12 +382,17 @@ object Bench {
     def timed(tag: String, runs: Int = 3)(f: => Unit): Option[Double] =
       try {
         f // warmup, untimed
-        val times = sentinel.windowed(tag) {
+        val measured = sentinel.windowed(tag) {
           (1 to runs).map { _ =>
-            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+            // wall clock inside measure: bus drains stay out of the number
+            cpuMeter.measure {
+              val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+            }
           }
         }
+        val times = measured.map(_._1)
         rawTimes(tag) = times
+        cpuTimes(tag) = measured.map(_._2)
         Some(times.sorted.apply(runs / 2))
       } catch {
         case e: Throwable =>

@@ -852,20 +852,6 @@ object PaimonInterchange {
 
   /** Per-bucket key bounds as BinaryRows — real bounds for a single
     * BIGINT/INT key, the empty row otherwise (disables key pruning only). */
-  private def keyBounds(rows: DataFrame, pks: Seq[String],
-      struct: StructType): Map[Int, (Array[Byte], Array[Byte])] =
-    if (pks.size != 1 ||
-        !Seq(LongType, IntegerType).contains(struct(pks.head).dataType)) Map.empty
-    else rows.groupBy(col("__pm_bucket"))
-      .agg(min(col(s"_KEY_${pks.head}")).as("mn"), max(col(s"_KEY_${pks.head}")).as("mx"))
-      .collect().map { r =>
-        def asLong(v: Any): Long = v match {
-          case l: Long => l; case i: Int => i.toLong
-          case other => throw new IllegalStateException(s"unexpected key $other")
-        }
-        r.getInt(0) -> (binaryRow(Seq(asLong(r.get(1)))), binaryRow(Seq(asLong(r.get(2)))))
-      }.toMap
-
   /** One written key-value data file: its metadata, its BinaryRow key
     * bounds, and (when tracked) the SOURCE lakehouse bucket whose rows it
     * carries — the mirror's sidecar granularity. */
@@ -895,11 +881,6 @@ object PaimonInterchange {
       seq: Long, schemaId: Long, level: Int, tag: String,
       partitionKeys: Seq[String] = Nil,
       trackSrcBucket: Boolean = false): Seq[KvFile] = {
-    // per-bucket key bounds only make sense unpartitioned (one file per
-    // bucket); partitioned tables write the empty row (pruning off, never
-    // wrong), and prune via the partition tuple instead
-    val bounds: Map[Int, (Array[Byte], Array[Byte])] =
-      if (partitionKeys.isEmpty) keyBounds(rows, pks, struct) else Map.empty
     val partTypes = partitionKeys.map(struct(_).dataType)
     val pathCols = partitionKeys.zipWithIndex.map { case (k, i) => s"__pm_p$i" -> k }
     val withPath = pathCols.foldLeft(rows) { case (d, (pc, k)) => d.withColumn(pc, col(k)) }
@@ -953,11 +934,70 @@ object PaimonInterchange {
       Paths.get(destDir, s"${prefix}bucket-$b", name).toString }
     val hasKind = rows.columns.contains(KindCol)
     val hasSeq = rows.columns.contains(SeqCol)
-    val counts =
-      if (paths.isEmpty) Map.empty[String, (Long, Long, Long, Long)]
-      else spark.read.parquet(paths: _*)
+    // key bounds only for unpartitioned single-numeric-pk tables (one
+    // encodable slot); partitioned tables write the empty row (pruning
+    // off, never wrong) and prune via the partition tuple instead
+    val keyStatCol: Option[String] =
+      if (partitionKeys.isEmpty && pks.size == 1 &&
+          Seq(LongType, IntegerType).contains(struct(pks.head).dataType))
+        Some(s"_KEY_${pks.head}")
+      else None
+    // Per-file stats straight from the just-written parquet FOOTERS
+    // (pooled driver-side metadata reads): row counts from block metadata,
+    // sequence/key bounds and the delete count from column statistics —
+    // replacing the full read-back Spark job this used to run per commit,
+    // which dominated the mirror's per-commit cost (the write job is the
+    // only data-sized work left). A file whose statistics cannot decide a
+    // number (mixed-kind changelog row groups, missing stats) falls back
+    // to ONE Spark aggregation over just those files.
+    final case class FStat(rows: Long, dels: Option[Long],
+        seqB: Option[(Long, Long)], keyB: Option[(Long, Long)])
+    def longStat(s: org.apache.parquet.column.statistics.Statistics[_])
+        : Option[(Long, Long)] =
+      if (s == null || s.isEmpty || !s.hasNonNullValue) None
+      else (s.genericGetMin, s.genericGetMax) match {
+        case (mn: java.lang.Number, mx: java.lang.Number) =>
+          Some((mn.longValue, mx.longValue))
+        case _ => None
+      }
+    val stats: Map[String, FStat] = ParquetFooters.mapPooled(paths.map(_.toString)) { p =>
+      val r = ParquetFooters.open(p, spark.sparkContext.hadoopConfiguration)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        def colStats(name: String): Seq[Option[(Long, Long)]] =
+          blocks.map(b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name)
+              .flatMap(c => longStat(c.getStatistics)))
+        val dels: Option[Long] =
+          if (!hasKind) Some(0L)
+          else {
+            val per = blocks.zip(colStats(KindCol)).map {
+              // a single-kind row group decides exactly; mixed kinds can't
+              case (b, Some((mn, mx))) if mn == mx =>
+                Some(if (mn == KindDelete.toLong) b.getRowCount else 0L)
+              case _ => None
+            }
+            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+          }
+        def boundsOf(name: String): Option[(Long, Long)] = {
+          val per = colStats(name)
+          if (per.nonEmpty && per.forall(_.isDefined))
+            Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+          else None
+        }
+        FStat(blocks.map(_.getRowCount).sum, dels,
+          if (hasSeq) boundsOf(SeqCol) else Some((seq, seq)),
+          keyStatCol.flatMap(boundsOf))
+      } finally r.close()
+    }
+    val needFallback = paths.filter(p => {
+      val st = stats(p); st.dels.isEmpty || st.seqB.isEmpty
+    })
+    val fallback: Map[String, (Long, Long, Long)] =
+      if (needFallback.isEmpty) Map.empty
+      else spark.read.parquet(needFallback: _*)
         .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("rows"),
+        .agg(
           (if (hasKind) sum(when(col(KindCol) === KindDelete, 1L).otherwise(0L))
            else sum(lit(0L))).as("dels"),
           // real per-file sequence bounds: single-commit writers collapse
@@ -966,14 +1006,23 @@ object PaimonInterchange {
           (if (hasSeq) max(col(SeqCol)) else max(lit(seq))).as("mxseq"))
         .collect()
         .map(r => (new java.net.URI(r.getString(0)).getPath,
-          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          (r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
     out.map { case (b, name, partVals, prefix, srcb) =>
       val p = Paths.get(destDir, s"${prefix}bucket-$b", name)
-      val (rc, dc, mnSeq, mxSeq) = counts(p.toString)
-      val (mn, mx) = bounds.getOrElse(b, (emptyRow, emptyRow))
-      KvFile(PaimonFile(name, Files.size(p), rc, b, mnSeq, mxSeq, level, schemaId, dc,
-        partition = partVals.toSeq), mn, mx, srcb)
+      val st = stats(p.toString)
+      val (dc, mnSeq, mxSeq) = (st.dels, st.seqB) match {
+        case (Some(d), Some((mn, mx))) => (d, mn, mx)
+        case _ =>
+          val (fd, fmn, fmx) = fallback(p.toString)
+          (st.dels.getOrElse(fd),
+            st.seqB.map(_._1).getOrElse(fmn), st.seqB.map(_._2).getOrElse(fmx))
+      }
+      val (mnK, mxK) = st.keyB
+        .map { case (mn, mx) => (binaryRow(Seq(mn)), binaryRow(Seq(mx))) }
+        .getOrElse((emptyRow, emptyRow))
+      KvFile(PaimonFile(name, Files.size(p), st.rows, b, mnSeq, mxSeq, level, schemaId, dc,
+        partition = partVals.toSeq), mnK, mxK, srcb)
     }
   }
 
@@ -1414,6 +1463,13 @@ object PaimonInterchange {
     if (lastMirrored >= head) return 0
 
     var written = 0
+    // manifest files are immutable once written: parse each at most once
+    // per mirror() call — the loop revisits the live set every commit, and
+    // without a cache that is O(commits x live manifests) Avro decodes
+    val manifestCache = scala.collection.mutable.HashMap.empty[String, Seq[ParsedEntry]]
+    def parsedManifest(n: String, partTypes: Seq[DataType]): Seq[ParsedEntry] =
+      manifestCache.getOrElseUpdate(
+        n, readManifest(manifestDir(destDir).resolve(n), partTypes))
     // the sidecar of the LATEST durable snapshot is authoritative; an
     // orphan left by a crash between sidecar and snapshot is overwritten
     var track = prior.map(id => readSourceTracking(destDir, id)).getOrElse(Map.empty)
@@ -1499,12 +1555,16 @@ object PaimonInterchange {
         val deadNames = track.collect {
           case (mf, srcs) if srcs.exists(removedNames.contains) => mf
         }.toSet
-        val deadMirrored: Seq[PaimonFile] = liveManifests.flatMap {
-          case (n, _, _, _, _) =>
-            readManifest(manifestDir(destDir).resolve(n), partTypes)
-              .filter(e => e.kind == Add && deadNames.contains(e.file.fileName))
-              .map(_.file)
-        }.distinctBy(_.fileName)
+        // pure-append commits (the standing-pipeline common case) kill no
+        // mirrored file: skip the live-manifest scan entirely
+        val deadMirrored: Seq[PaimonFile] =
+          if (deadNames.isEmpty) Seq.empty
+          else liveManifests.flatMap {
+            case (n, _, _, _, _) =>
+              parsedManifest(n, partTypes)
+                .filter(e => e.kind == Add && deadNames.contains(e.file.fileName))
+                .map(_.file)
+          }.distinctBy(_.fileName)
 
         // PARTIAL source death: a dead mirrored file some of whose sources
         // SURVIVE this commit. Only an export-seeded PARTITIONED sidecar
@@ -1554,7 +1614,7 @@ object PaimonInterchange {
           val net = scala.collection.mutable.LinkedHashMap
             .empty[(Seq[Any], String), PaimonFile]
           liveManifests.foreach { case (n, _, _, _, _) =>
-            readManifest(manifestDir(destDir).resolve(n), partTypes).foreach { e =>
+            parsedManifest(n, partTypes).foreach { e =>
               if (e.kind == Add) net((e.file.partition, e.file.fileName)) = e.file
               else net.remove((e.file.partition, e.file.fileName))
             }
