@@ -43,9 +43,10 @@ object Coverage {
       Seq("c_snapshot", "c_incremental"),
     "12 PreTransformOperator (column pruning)" ->
       Seq("t_projection"),
-    "13 PostTransformOperator (projection/filter both images)" ->
+    "13 PostTransformOperator (projection/filter both images, multi-rule dispatch)" ->
       Seq("t_projection", "t_filter", "c_conformance_calculated_columns",
-        "c_conformance_wildcard_evolution"),
+        "c_conformance_wildcard_evolution", "c_conformance_multi_dispatch",
+        "c_conformance_dispatch_ref_cols"),
     "14 Projection spec (* expansion, computed cols)" ->
       Seq("t_projection", "c_conformance_calculated_columns"),
     "15 Filter spec (original + computed cols)" ->
@@ -130,7 +131,8 @@ object Coverage {
         "c_conformance_route_one_to_one", "c_conformance_route_replace",
         "c_conformance_merge_route", "c_conformance_schema_evolution",
         "c_conformance_wildcard_evolution", "c_conformance_calculated_columns",
-        "c_conformance_filter_rules"),
+        "c_conformance_filter_rules", "c_conformance_multi_dispatch",
+        "c_conformance_dispatch_ref_cols"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

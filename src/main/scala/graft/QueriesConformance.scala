@@ -391,6 +391,49 @@ object QueriesConformance {
       val b = stateDf(s, db, t2).collect().toSeq.map(r =>
         ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
       (a ++ b).toDF("tbl", "id", "name", "age", "description").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultipleDispatchTransform:250-281:
+    // TWO rules match every table; each record goes to the FIRST rule
+    // whose filter accepts it (age<20 -> YOUNG, else OLD).
+    "c_conformance_multi_dispatch" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "dispatch",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, 'YOUNG' AS category"
+          |    filter: "age < 20"
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, 'OLD' AS category"
+          |    filter: "age >= 20"""".stripMargin)
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, r.getString(3)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), r.getString(4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "category")
+        .orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultipleTransformWithDiffRefColumn
+    // :285-316: dispatched rules whose projections REFERENCE DIFFERENT
+    // columns for the same output (constant 'Juvenile' vs `name`).
+    "c_conformance_dispatch_ref_cols" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "refcols",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "id, age, 'Juvenile' AS roleName"
+          |    filter: "age < 18"
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "id, age, name AS roleName"
+          |    filter: "age >= 18"""".stripMargin)
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getInt(1), r.getString(2)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getByte(1).toInt, r.getString(2)))
+      (a ++ b).toDF("tbl", "id", "age", "roleName").orderBy("id")
     }))
 
   /** generateSchemaEvolutionEvents (FlinkPipelineTransformITCase:3118-3245):
@@ -538,7 +581,19 @@ object QueriesConformance {
       """SELECT * FROM (VALUES
         |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR)),
         |  ('mytable2', 3, 'Carol', 15, 'student'))
-        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin)
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
+    "c_conformance_multi_dispatch" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), 'YOUNG'),
+        |  ('mytable1', 2, 'Bob', 30, NULL, 'OLD'),
+        |  ('mytable2', 3, 'Carol', 15, 'student', 'YOUNG'))
+        |AS t(tbl, id, name, age, description, category) ORDER BY id""".stripMargin,
+    "c_conformance_dispatch_ref_cols" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 18, 'Alice'),
+        |  ('mytable1', 2, 30, 'Bob'),
+        |  ('mytable2', 3, 15, 'Juvenile'))
+        |AS t(tbl, id, age, roleName) ORDER BY id""".stripMargin)
 
   /** Final state of generateSchemaEvolutionEvents under EVOLVE (identical for
     * the vanilla and wildcard-transform pipelines — ITCase asserts the same

@@ -40,26 +40,49 @@ final class PipelineComposer(
     excludedTypes = SchemaChangeEventType.ValueSet(
       pdef.sink.excludeSchemaChanges.flatMap(SchemaChangeEventType.ofTag): _*))
 
-  private def ruleFor(tableId: TableId): Option[TransformRule] =
-    pdef.transforms.find(_.matches(tableId))
-
-  /** Output schema of the transform for a source table — derived by running the
-    * projection over an empty frame (Catalyst analysis gives the exact types).
+  /** ALL transform rules matching a table, in definition order — the
+    * reference's PostTransformOperator keeps a LIST of transformers per
+    * table and dispatches each record to the first whose filter accepts it
+    * (`PostTransformOperator.java:164,288-345`).
     */
-  def transformedSchema(tableId: TableId, source: TableSchema): TableSchema =
-    ruleFor(tableId) match {
-      case None => source
-      case Some(rule) =>
+  private def rulesFor(tableId: TableId): Seq[TransformRule] =
+    pdef.transforms.filter(_.matches(tableId))
+
+  private def ruleFor(tableId: TableId): Option[TransformRule] =
+    rulesFor(tableId).headOption
+
+  /** Output schema of the transform for a source table — each rule's
+    * projection runs over an empty frame (Catalyst analysis gives the exact
+    * types) and multiple matching rules STRICTLY merge
+    * (`PostTransformOperator.processCreateTableEvent:204-210`
+    * strictlyMergeSchemas): same column names in the same order, types
+    * widened to the least common type.
+    */
+  def transformedSchema(tableId: TableId, source: TableSchema): TableSchema = {
+    val rules = rulesFor(tableId)
+    if (rules.isEmpty) source
+    else {
+      val outs = rules.map { rule =>
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.struct)
-        val out = TransformOp.applyToRows(empty, rule.copy(filter = None), Some(tableId))
-        TableSchema(
-          out.schema,
-          primaryKeys = if (rule.primaryKeys.nonEmpty) rule.primaryKeys else source.primaryKeys,
-          partitionKeys =
-            if (rule.partitionKeys.nonEmpty) rule.partitionKeys else source.partitionKeys,
-          options = source.options ++ rule.tableOptions)
+        TransformOp.applyToRows(empty, rule.copy(filter = None), Some(tableId)).schema
+      }
+      outs.foreach(o => require(
+        o.fieldNames.sameElements(outs.head.fieldNames),
+        s"transform rules for $tableId disagree on output columns: " +
+          s"${outs.map(_.fieldNames.mkString("(", ",", ")")).distinct.mkString(" vs ")} — " +
+          "multiple rules matching one table must project the same shape"))
+      val merged = outs.map(SchemaMerging.fromStruct)
+        .reduceLeft(SchemaMerging.leastCommonSchema)
+      val rule = rules.head
+      TableSchema(
+        SchemaMerging.toStruct(merged),
+        primaryKeys = if (rule.primaryKeys.nonEmpty) rule.primaryKeys else source.primaryKeys,
+        partitionKeys =
+          if (rule.partitionKeys.nonEmpty) rule.partitionKeys else source.partitionKeys,
+        options = source.options ++ rule.tableOptions)
     }
+  }
 
   /** Transformed source-table schemas — the UPSTREAM side of the reference
     * coordinator's two registries (`SchemaCoordinator` keys its redundancy
@@ -117,19 +140,35 @@ final class PipelineComposer(
     */
   def processBatch(
       tableId: TableId, env: DataFrame, batchId: Long = -1L, runId: String = ""): Unit = {
-    val transformed = ruleFor(tableId) match {
-      case Some(rule) =>
-        val t = EnvelopeTransform(env, rule, tableId)
-        // `converter-after-transform` (the reference's
-        // PostTransformOperator converter hook): SOFT_DELETE rewrites
-        // DELETE events as before-image INSERTs so the sink retains the row
-        rule.postTransformConverter.map(_.toUpperCase) match {
-          case Some("SOFT_DELETE") => Envelope.softDelete(t)
-          case Some(other) => throw new IllegalArgumentException(
-            s"unknown converter-after-transform '$other' (supported: SOFT_DELETE)")
-          case None => t
+    // `converter-after-transform` (the reference's PostTransformOperator
+    // converter hook, applied per transformer): SOFT_DELETE rewrites
+    // DELETE events as before-image INSERTs so the sink retains the row
+    def converted(rule: TransformRule, t: DataFrame): DataFrame =
+      rule.postTransformConverter.map(_.toUpperCase) match {
+        case Some("SOFT_DELETE") => Envelope.softDelete(t)
+        case Some(other) => throw new IllegalArgumentException(
+          s"unknown converter-after-transform '$other' (supported: SOFT_DELETE)")
+        case None => t
+      }
+    val transformed = rulesFor(tableId) match {
+      case Seq() => env
+      case Seq(rule) => converted(rule, EnvelopeTransform(env, rule, tableId))
+      case rules =>
+        // first-accepting-rule dispatch (PostTransformOperator:288-345):
+        // every rule's acceptance is computed as a boolean column, branch i
+        // takes the rows rule i accepts that no EARLIER rule accepted, and
+        // rows no rule accepts drop. Each branch projects filter-free (the
+        // acceptance already decided) and applies its own converter.
+        val accCols = rules.indices.map(i => s"__t_acc_$i")
+        val withAcc = rules.zip(accCols).foldLeft(env) { case (d, (r, c)) =>
+          EnvelopeTransform.acceptance(d, r, tableId, c)
         }
-      case None => env
+        rules.zipWithIndex.map { case (rule, i) =>
+          val residual = accCols.take(i)
+            .foldLeft(col(accCols(i))) { (acc, earlier) => acc && !col(earlier) }
+          val branch = withAcc.filter(residual).select(env.columns.map(col).toIndexedSeq: _*)
+          converted(rule, EnvelopeTransform(branch, rule.copy(filter = None), tableId))
+        }.reduce(_ unionByName _)
     }
     router.route(tableId).foreach { sinkT =>
       val sinkSchema = sink
@@ -165,39 +204,45 @@ final class PipelineComposer(
     * projection's PASS-THROUGH columns (bare names in the output — computed
     * outputs have no 1:1 upstream column). */
   private def throughTransform(
-      tableId: TableId, e: SchemaChangeEvent): Option[SchemaChangeEvent] =
-    ruleFor(tableId) match {
-      case None => Some(e)
-      case Some(rule) =>
-        e match {
-          case ev: CreateTableEvent =>
-            Some(ev.copy(schema = transformedSchema(tableId, ev.schema)))
-          case _ if rule.projection.forall(
-              p => TransformOp.splitProjection(p).contains("*")) => Some(e)
-          case _: AddColumnEvent => None // a fixed projection cannot grow
-          case ev: DropColumnEvent =>
-            val keep = ev.droppedColumns.filter(passThrough(rule).contains)
-            if (keep.isEmpty) None else Some(ev.copy(droppedColumns = keep))
-          case ev: AlterColumnTypeEvent =>
-            val keep = ev.typeMapping.view
-              .filterKeys(passThrough(rule).contains).toMap
-            if (keep.isEmpty) None else Some(ev.copy(typeMapping = keep))
-          case ev: RenameColumnEvent =>
-            // lenient evolution turns a rename into an add of the NEW name,
-            // which a fixed projection never includes; a projected-away old
-            // name affects the sink not at all — either way nothing reaches
-            // the sink unless the OLD name passes through, and then the
-            // projection itself still selects the old (now absent) column:
-            // refuse loudly rather than ship a broken projection
-            val hit = ev.nameMapping.keys.filter(passThrough(rule).contains)
-            require(hit.isEmpty,
-              s"rename of projected column(s) ${hit.mkString(", ")} on " +
-                s"$tableId would break the transform's projection " +
-                s"'${rule.projection.get}' — update the pipeline definition")
-            None
-          case other => Some(other) // table-level events pass
-        }
+      tableId: TableId, e: SchemaChangeEvent): Option[SchemaChangeEvent] = {
+    val rules = rulesFor(tableId)
+    if (rules.isEmpty) Some(e)
+    else {
+      // column events pass when EVERY rule is a wildcard; with a fixed
+      // projection anywhere, the narrowing below uses the UNION of the
+      // rules' pass-through columns (the reference merges the projected
+      // column sets of all matching transformers per table)
+      val allWildcard = rules.forall(_.projection.forall(
+        p => TransformOp.splitProjection(p).contains("*")))
+      val pass = rules.map(passThrough).foldLeft(Set.empty[String])(_ ++ _)
+      e match {
+        case ev: CreateTableEvent =>
+          Some(ev.copy(schema = transformedSchema(tableId, ev.schema)))
+        case _ if allWildcard => Some(e)
+        case _: AddColumnEvent => None // a fixed projection cannot grow
+        case ev: DropColumnEvent =>
+          val keep = ev.droppedColumns.filter(pass.contains)
+          if (keep.isEmpty) None else Some(ev.copy(droppedColumns = keep))
+        case ev: AlterColumnTypeEvent =>
+          val keep = ev.typeMapping.view.filterKeys(pass.contains).toMap
+          if (keep.isEmpty) None else Some(ev.copy(typeMapping = keep))
+        case ev: RenameColumnEvent =>
+          // lenient evolution turns a rename into an add of the NEW name,
+          // which a fixed projection never includes; a projected-away old
+          // name affects the sink not at all — either way nothing reaches
+          // the sink unless the OLD name passes through, and then the
+          // projection itself still selects the old (now absent) column:
+          // refuse loudly rather than ship a broken projection
+          val hit = ev.nameMapping.keys.filter(pass.contains)
+          require(hit.isEmpty,
+            s"rename of projected column(s) ${hit.mkString(", ")} on " +
+              s"$tableId would break the transform's projection — " +
+              "update the pipeline definition")
+          None
+        case other => Some(other) // table-level events pass
+      }
     }
+  }
 
   /** The projection's pass-through outputs: bare column names (no alias,
     * no computation). */
