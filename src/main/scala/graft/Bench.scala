@@ -326,15 +326,20 @@ object Bench {
     val errSummary =
       if (errors.isEmpty) "0"
       else s"${errors.size}" // full messages in the line above + bench_full.json
-    // headline-only CPU medians in the tail-surviving line (~300 B): the
-    // steal-invariant cross-round signal; the full map is in bench_full.json
-    val cpuCompact = headline.flatMap { k =>
-      cpuTimes.get(k).filter(_.nonEmpty).map(cs =>
-        jq(k) + ":" + f"${cs.sorted.apply(cs.size / 2)}%.2f")
-    }.mkString("{", ",", "}")
+    // Headline CPU medians as an ARRAY in `headline` order (~120 B vs ~440
+    // for a named map — the tail window is a hard 2000 chars and r12's line
+    // already used 1798): the steal-invariant cross-round signal. The NAMED
+    // cpu map with raw per-run arrays is in bench_full.json. Field order
+    // puts the least-critical fields FIRST: tail truncation eats the line's
+    // head, so if the window ever shrinks, retries/calibration go before
+    // the baseline envelope and the headline total.
+    val cpuCompact = headline.map { k =>
+      cpuTimes.get(k).filter(_.nonEmpty)
+        .map(cs => f"${cs.sorted.apply(cs.size / 2)}%.2f").getOrElse("-1")
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","baseline":$bs,"cpu":$cpuCompact,"calibration":$calib,"drift":$driftSummary,"retries":$retriesJson,"errors_count":$errSummary,"sf":${jq(
-          sfDir)},"full":"target/bench_full.json"}""")
+      s"""{"retries":$retriesJson,"calibration":$calib,"errors_count":$errSummary,"cpu_headline_order":$cpuCompact,"drift":$driftSummary,"baseline":$bs,"sf":${jq(
+          sfDir)},"full":"target/bench_full.json","metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
     spark.stop()
     // same discipline as graft.Verify: the driver must never hang on a stray
     // non-daemon thread after the JSON line is out

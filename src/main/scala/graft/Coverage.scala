@@ -97,7 +97,8 @@ object Coverage {
         "c_delta_partitioned_mirror", "c_iceberg_interchange", "c_iceberg_mirror",
         "c_iceberg_mor", "c_iceberg_partitioned", "c_iceberg_partitioned_mirror",
         "c_iceberg_v1_import", "c_iceberg_bucket_import", "c_iceberg_rename_import",
-        "c_iceberg_v3_dv", "c_paimon_interchange", "c_paimon_mirror", "c_paimon_append",
+        "c_iceberg_v3_dv", "c_iceberg_v3_defaults",
+        "c_paimon_interchange", "c_paimon_mirror", "c_paimon_append",
         "c_paimon_append_mirror", "c_paimon_changelog", "c_paimon_compact",
         "c_paimon_delta", "c_paimon_partitioned", "c_paimon_partitioned_changelog",
         "c_paimon_partitioned_mirror", "c_part_mirror_copy", "c_time_travel_import",

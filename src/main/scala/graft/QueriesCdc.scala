@@ -1266,6 +1266,74 @@ object QueriesCdc {
       IcebergInterchange.importIceberg(s, dest).orderBy("doc_id")
     }),
 
+    "c_iceberg_v3_defaults" -> ((s, dir) => {
+      // v3 COLUMN DEFAULTS on import (spec default-values rule):
+      // `initial-default` is the value rows in files written BEFORE the
+      // column existed must READ; `write-default` is writer-side only and
+      // never alters a read. Table A adds the column as METADATA ONLY —
+      // the common `ALTER TABLE ADD COLUMN ... DEFAULT` case, no file
+      // rewritten — so every row reads 42 (never the write-default 7,
+      // never null). Table B rewrites every file to STORE the column:
+      // stored values win over the default. Writes into default-bearing
+      // tables still refuse (attachDeletionVectors' guard).
+      import graft.sinks.{IcebergInterchange, LakehouseTable}
+      import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+      import org.apache.spark.sql.types.MetadataBuilder
+      import scala.jdk.CollectionConverters._
+      def exported(): String = {
+        val t = new LakehouseTable(s,
+          java.nio.file.Files.createTempDirectory("graft_dflt_src").toString)
+        t.create(TableSchema(
+          StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("lang", StringType),
+            StructField("n_chars", LongType))),
+          primaryKeys = Seq("doc_id")), buckets = 4)
+        t.merge(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+          s.range(0).select(col("id").as("doc_id")))
+        val dest = java.nio.file.Files.createTempDirectory("graft_dflt_dst").toString
+        IcebergInterchange.export(s, t, dest)
+        // v2 -> v3 with a defaulted column appended to the schema
+        val v = IcebergInterchange.latestMetadataVersion(dest).get
+        val root = IcebergInterchange.readMetadata(dest, v).deepCopy[ObjectNode]()
+        root.put("format-version", 3)
+        root.get("schemas").get(0).get("fields").asInstanceOf[ArrayNode]
+          .addObject().put("id", 4).put("name", "score").put("required", false)
+          .put("type", "int").put("initial-default", 42).put("write-default", 7)
+        if (root.has("last-column-id")) root.put("last-column-id", 4)
+        IcebergInterchange.writeMetadata(dest, v + 1, root)
+        dest
+      }
+      val destA = exported()
+      val destB = exported()
+      // B: every data file rewritten to STORE score = doc_id % 5, footers
+      // stamped with Iceberg field ids 1..4 like a real v3 writer
+      java.nio.file.Files.list(java.nio.file.Paths.get(destB, "data"))
+        .iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toVector.sortBy(_.toString)
+        .foreach { p =>
+          val df = s.read.parquet(p.toString)
+            .withColumn("score", (col("doc_id") % 5).cast(IntegerType))
+          val st = StructType(df.schema.fields.zipWithIndex.map { case (f, j) =>
+            f.copy(metadata = new MetadataBuilder()
+              .putLong("parquet.field.id", j + 1L).build())
+          })
+          val tmp = java.nio.file.Files.createTempDirectory("graft_dflt_rw")
+          s.createDataFrame(df.rdd, st).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      val a = IcebergInterchange.importIceberg(s, destA).withColumn("tbl", lit("A"))
+      val b = IcebergInterchange.importIceberg(s, destB).withColumn("tbl", lit("B"))
+      a.unionByName(b)
+        .select(col("tbl"), col("doc_id"), col("lang"), col("n_chars"), col("score"))
+        .orderBy("tbl", "doc_id")
+    }),
+
     "c_iceberg_rename_import" -> ((s, dir) => {
       // A foreign table whose LIVE FILES SPAN A RENAME (lang -> language
       // at field id 2): pre-rename files store `lang`, post-rename files
@@ -3664,6 +3732,13 @@ object QueriesCdc {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 7 <> 0
         |ORDER BY doc_id""".stripMargin,
+    // v3 column defaults: A = metadata-only add (initial-default 42 read
+    // for every pre-existing row, write-default ignored), B = stored wins
+    "c_iceberg_v3_defaults" ->
+      """SELECT 'A' AS tbl, doc_id, lang, n_chars, 42 AS score FROM documents
+        |UNION ALL
+        |SELECT 'B', doc_id, lang, n_chars, CAST(doc_id % 5 AS INTEGER) FROM documents
+        |ORDER BY tbl, doc_id""".stripMargin,
     // live files spanning a rename (lang -> language at field id 2) read
     // correctly by footer field-id alignment; no silent nulls
     "c_iceberg_rename_import" ->

@@ -935,7 +935,12 @@ object IcebergInterchange {
       filePartitions: Map[String, Map[String, Any]] = Map.empty,
       // v3 deletion vectors: (puffin path, data sequence, referenced data
       // file absolute path, blob offset, blob size)
-      dvs: Seq[(String, Long, String, Long, Long)] = Nil)
+      dvs: Seq[(String, Long, String, Long, Long)] = Nil,
+      // v3 `initial-default` per column of the READ schema: the value rows
+      // in files written BEFORE the column existed must read (the spec's
+      // default-values rule) — applied wherever the aligned read would
+      // otherwise null-pad
+      initialDefaults: Map[String, Any] = Map.empty)
 
   /** Replay the latest metadata version into the current live state —
     * or, with `asOfSnapshotId`, TIME TRAVEL to that snapshot: its
@@ -958,21 +963,15 @@ object IcebergInterchange {
     // user columns is exact — WRITES into lineage tables still refuse
     // ([[attachDeletionVectors]]; [[mirror]] pins its target to v2),
     // because a writer that does not maintain first_row_id would corrupt
-    // the lineage chain. Column defaults refuse below (they DO alter
-    // read content). fv > 3 refuses — unreleased manifest semantics must
-    // never be guessed at.
+    // the lineage chain. Column `initial-default`s are MODELLED on read
+    // (the aligned read pads the default where it would pad null);
+    // `write-default` is writer-side only and never alters a read, so it
+    // parses and is ignored here — WRITES into default-bearing tables
+    // refuse in [[attachDeletionVectors]]. fv > 3 refuses — unreleased
+    // manifest semantics must never be guessed at.
     require(fv >= 1 && fv <= 3,
       s"format-version $fv is not supported (this importer reads v1-v3) — " +
         "refusing rather than mis-replaying newer manifest semantics")
-    if (fv == 3) {
-      Option(root.get("schemas")).foreach(_.elements().asScala.foreach(s =>
-        s.get("fields").elements().asScala.foreach { f =>
-          require(!f.has("initial-default") && !f.has("write-default"),
-            s"v3 column default on field '${f.get("name").asText()}' is " +
-              "not supported by this importer — a default-bearing column " +
-              "read as null would be silently wrong; refusing")
-        }))
-    }
     val location = root.get("location").asText()
     // time travel reads under the SNAPSHOT's schema when it records one
     val asOfSchemaId = asOfSnapshotId.flatMap { id =>
@@ -994,6 +993,30 @@ object IcebergInterchange {
       }
     val fieldIds = schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    // v3 `initial-default` of the READ schema's fields, decoded per the
+    // spec's JSON single-value serialization for the primitive types this
+    // importer can materialize as a literal; any other defaulted type
+    // refuses loudly — a default read as null would be silently wrong
+    val initialDefaults: Map[String, Any] =
+      schemaNode.get("fields").elements().asScala.flatMap { f =>
+        Option(f.get("initial-default")).map { d =>
+          val name = f.get("name").asText()
+          val tpe = if (f.get("type").isTextual) f.get("type").asText() else ""
+          val v: Any = tpe match {
+            case "int" => d.asInt()
+            case "long" => d.asLong()
+            case "float" => d.floatValue()
+            case "double" => d.doubleValue()
+            case "string" => d.asText()
+            case "boolean" => d.asBoolean()
+            case other => throw new IllegalArgumentException(
+              s"v3 initial-default on field '$name' of type '$other' is not " +
+                "a default this importer can materialize — refusing rather " +
+                "than reading null for a defaulted column")
+          }
+          name -> v
+        }
+      }.toMap
     // Partition transforms on IMPORT: IDENTITY values ride in the
     // manifests' partition structs and project back as constant columns
     // per file (the spec's Column Projection rule — needed for
@@ -1052,7 +1075,8 @@ object IcebergInterchange {
     val curId = asOfSnapshotId.getOrElse(root.get("current-snapshot-id").asLong())
     if (curId == -1L)
       return IcebergSnapshot(sparkStruct(schemaNode), Seq.empty, 0L, -1L, props,
-        fieldIds = fieldIds, partitionCols = partitionCols)
+        fieldIds = fieldIds, partitionCols = partitionCols,
+        initialDefaults = initialDefaults)
     val snapNode = root.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curId)
       .getOrElse(
@@ -1099,7 +1123,8 @@ object IcebergInterchange {
       data.map(e => resolvePath(location, e.filePath).toString -> e.partition).toMap,
       dvs = dvEntries.map(e => (resolvePath(location, e.filePath).toString,
         e.seq, resolvePath(location, e.referencedDataFile.get).toString,
-        e.contentOffset.get, e.contentSize.get)).toSeq)
+        e.contentOffset.get, e.contentSize.get)).toSeq,
+      initialDefaults = initialDefaults)
   }
 
   private def resolvePath(location: String, p: String): Path = {
@@ -1263,12 +1288,21 @@ object IcebergInterchange {
     // values, where real Iceberg id resolution reads null. Those groups
     // take the select path, whose lit(null) projection shadows the stale
     // physical column.
-    if (!staleNameCollision && plan.forall { case (n, src) => src.forall(_ == n) })
+    // a null-pad slot whose column carries a v3 `initial-default` must
+    // materialize the DEFAULT, which the explicit-schema scan's reader
+    // padding cannot do — those groups take the select path
+    val defaultedPad = plan.exists { case (n, src) =>
+      src.isEmpty && snap.initialDefaults.contains(n)
+    }
+    if (!staleNameCollision && !defaultedPad &&
+        plan.forall { case (n, src) => src.forall(_ == n) })
       spark.read.schema(snap.schema).parquet(files: _*)
     else
       spark.read.parquet(files: _*).select(plan.map { case (n, src) =>
         src.map(s => col(s).cast(snap.schema(n).dataType).as(n))
-          .getOrElse(lit(null).cast(snap.schema(n).dataType).as(n))
+          .getOrElse(snap.initialDefaults.get(n)
+            .map(v => lit(v).cast(snap.schema(n).dataType).as(n))
+            .getOrElse(lit(null).cast(snap.schema(n).dataType).as(n)))
       }: _*)
   }
 
@@ -1453,6 +1487,17 @@ object IcebergInterchange {
         "writer does not maintain first_row_id, and a lineage-blind " +
         "commit would corrupt _row_id assignment; refusing (reads of " +
         "lineage tables are supported)")
+    // same read/write split for v3 column defaults: reads model
+    // initial-default (readTable), but this writer does not stamp
+    // default-aware metadata on its commits — refuse rather than risk
+    // a metadata round-trip dropping the default fields
+    Option(root.get("schemas")).foreach(_.elements().asScala.foreach(s =>
+      s.get("fields").elements().asScala.foreach { f =>
+        require(!f.has("initial-default") && !f.has("write-default"),
+          s"cannot write into a v3 table whose field " +
+            s"'${f.get("name").asText()}' carries a column default — " +
+            "refusing (reads of default-bearing tables are supported)")
+      }))
     val location = root.get("location").asText()
     val snaps = root.get("snapshots").elements().asScala.toVector
     require(snaps.nonEmpty, "cannot attach deletion vectors to an empty table")

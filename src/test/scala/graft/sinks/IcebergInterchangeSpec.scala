@@ -959,7 +959,9 @@ class IcebergInterchangeSpec extends AnyFunSuite {
       IcebergInterchange.attachDeletionVectors(dest,
         Map(files.head -> Seq(3L))))
     assert(eW.getMessage.contains("row lineage"), eW.getMessage)
-    // ...column defaults still refuse (they DO alter read content)...
+    // ...column defaults READ (c_iceberg_v3_defaults covers the null-pad
+    // default materialization; here every footer stores `v`, so stored
+    // values win and the read is unchanged)...
     val root2 = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     root2.put("row-lineage", false)
     root2.get("schemas").get(0).get("fields").get(1)
@@ -967,6 +969,22 @@ class IcebergInterchangeSpec extends AnyFunSuite {
       .put("initial-default", "x")
     IcebergInterchange.writeMetadata(dest,
       IcebergInterchange.latestMetadataVersion(dest).get + 1, root2)
+    assert(IcebergInterchange.importIceberg(spark, dest)
+      .as[(Long, String)].collect().toSet == before -- dead,
+      "a default-bearing v3 table READS (stored columns win)")
+    // ...but WRITES into default-bearing tables refuse...
+    val eD = intercept[IllegalArgumentException](
+      IcebergInterchange.attachDeletionVectors(dest,
+        Map(files.head -> Seq(3L))))
+    assert(eD.getMessage.contains("default"), eD.getMessage)
+    // ...an unsupported default TYPE refuses on read (a default read as
+    // null would be silently wrong)...
+    val rootD = root2.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    rootD.get("schemas").get(0).get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("type", "uuid")
+    IcebergInterchange.writeMetadata(dest,
+      IcebergInterchange.latestMetadataVersion(dest).get + 1, rootD)
     val e2 = intercept[IllegalArgumentException](
       IcebergInterchange.importIceberg(spark, dest))
     assert(e2.getMessage.contains("default"), e2.getMessage)
