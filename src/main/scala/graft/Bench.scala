@@ -887,11 +887,14 @@ object Bench {
     }
 
     // B13: the Paimon leg of the interchange envelope. (a) Per-commit
-    // mirror cost over the same 40-commit history — HIGHER than Delta/
-    // Iceberg by design (the key-value rewrite is a Spark job per commit
-    // batch, not a file copy), which is the honest cost of producing
-    // LSM-mergeable output; (b) the import MERGE cost vs the no-overlap
-    // fast path — the price a reader pays while level-0 deltas await
+    // mirror cost over the same 40-commit history — the key-value rewrite
+    // is a Spark job per commit batch (the honest cost of producing
+    // LSM-mergeable output); since round 13 that write job is the ONLY
+    // data-sized work per commit (file stats come from the written
+    // footers, pure-append commits skip the dead-file manifest scan), so
+    // the mirror sits at ~3 commits/s next to the Delta/Iceberg job-path
+    // mirrors' ~2; (b) the import MERGE cost vs the no-overlap fast
+    // path — the price a reader pays while level-0 deltas await
     // compaction vs after a one-shot export.
     once("b13") {
       import graft.sinks.{LakehouseTable, PaimonInterchange}

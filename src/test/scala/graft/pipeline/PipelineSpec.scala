@@ -318,6 +318,28 @@ class PipelineComposerSpec extends AnyFunSuite {
     assert(sink.rowsOf(t) == Seq(Seq(1L, nineThirty)))
   }
 
+  test("dispatch rules with incompatible output shapes refuse at create time") {
+    // the reference's testTransformMergingIncompatibleRules: multiple
+    // rules matching one table must project the SAME shape — schemas that
+    // cannot strictly merge fail the pipeline instead of silently
+    // unioning mismatched columns
+    import org.apache.spark.sql.types._
+    val t = TableId.parse("db.t")
+    val s = TableSchema(StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType),
+      StructField("age", IntegerType))), primaryKeys = Seq("id"))
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty),
+      transforms = Seq(
+        TransformRule("db.t", projection = Some("id, name"), filter = Some("age < 20")),
+        TransformRule("db.t", projection = Some("id, age"), filter = Some("age >= 20"))))
+    val composer = new PipelineComposer(pdef, new MemoryDatabase)
+    val e = intercept[IllegalArgumentException](composer.createTables(Map(t -> s)))
+    assert(e.getMessage.contains("disagree on output columns"), e.getMessage)
+  }
+
   test("processBatch over many micro-batches leaves no cached plans behind") {
     val t = TableId.parse("db.leak")
     val pdef = PipelineDef(
