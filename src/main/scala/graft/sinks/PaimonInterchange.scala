@@ -887,7 +887,14 @@ object PaimonInterchange {
     val splitCols = pathCols.map(_._1) ++
       (if (trackSrcBucket) Seq("__pm_srcb") else Nil) :+ "__pm_bucket"
     val tmp = Files.createTempDirectory("graft_pm_write")
-    withPath.write.partitionBy(splitCols: _*)
+    // ONE writer group per (partition, src-bucket, bucket): the shuffle
+    // bounds output files to the touched bucket combinations — Paimon's
+    // bucket is the unit of write parallelism — instead of multiplying
+    // INPUT partitions x buckets. Without it a fragmented upstream (many
+    // tiny input splits) explodes into input-x-bucket files per commit and
+    // the manifest grows with reader parallelism rather than with data.
+    withPath.repartition(splitCols.map(col): _*)
+      .write.partitionBy(splitCols: _*)
       .mode("overwrite").parquet(tmp.toString)
     def parsePart(seg: String, i: Int): Any = {
       val raw = seg.stripPrefix(s"__pm_p$i=")
@@ -1515,29 +1522,34 @@ object PaimonInterchange {
         // data adds -> level-0 key-value files; tombstones ride in their
         // OWN files so a later bucket rewrite can drop data files without
         // touching live tombstones
+        // cap the read at one wave of tasks: a fragmented upstream commit
+        // (the append fixture writes input-partitions x buckets files) is
+        // otherwise scanned with one near-empty task per tiny file, and
+        // those dominated the measured per-commit cost at local[32]
+        def readAdds = spark.read.schema(struct)
+          .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
+          .coalesce(math.max(1,
+            math.min(adds.size, spark.sparkContext.defaultParallelism)))
         val dataFiles =
           if (adds.isEmpty) Nil
           else if (isAppend)
             // append shape (the export's pk-less path): plain rows, no
             // key-value system columns, round-robin bucket spread
             writeKeyValueFiles(spark, destDir,
-              spark.read.schema(struct)
-                .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*)
-                .select(struct.fieldNames.map(col).toSeq :+
+              readAdds.select(struct.fieldNames.map(col).toSeq :+
                   pmod(spark_partition_id(), lit(buckets)).as("__pm_bucket"): _*),
               keys, struct, v, schemaId, level = 0,
               tag = f"s$nextSnapshotId%04d", partitionKeys)
           else writeKeyValueFiles(spark, destDir,
             withSrcBucket(toKeyValue(
-              spark.read.schema(struct)
-                .parquet(adds.map(f => Paths.get(table.dir, f.path).toString): _*),
-              struct, keys, v, KindInsert, buckets, partitionKeys)),
+              readAdds, struct, keys, v, KindInsert, buckets, partitionKeys)),
             keys, struct, v, schemaId, level = 0, tag = f"s$nextSnapshotId%04d",
             partitionKeys, trackSrcBucket = true)
         val tombFiles = delAdds.zipWithIndex.flatMap { case (d, i) =>
           val pkRows = spark.read
             .schema(StructType(pks.map(p => struct(p))))
             .parquet(Paths.get(table.dir, d.path).toString)
+            .coalesce(1) // one small delete file -> one task
           val full = pkRows.select(struct.fieldNames.map(n =>
             (if (pks.contains(n)) col(n)
              else lit(null).cast(struct(n).dataType)).as(n)): _*)
@@ -1590,7 +1602,8 @@ object PaimonInterchange {
             val kvPath = Paths.get(destDir,
               s"${f.partitionPath(partitionKeys)}bucket-${f.bucket}", f.fileName)
             val surviving = withSrcBucket(
-              spark.read.schema(keyValueSchema(struct, keys)).parquet(kvPath.toString))
+              spark.read.schema(keyValueSchema(struct, keys))
+                .parquet(kvPath.toString).coalesce(1)) // one file -> one task
               .filter(!col("__pm_srcb").isin(removedBuckets.toSeq: _*))
               .withColumn("__pm_bucket", lit(f.bucket))
             writeKeyValueFiles(spark, destDir, surviving, keys, struct,
@@ -1660,6 +1673,7 @@ object PaimonInterchange {
               StructField("_change_type", StringType, nullable = false))
             val cdf = spark.read.schema(withCt).parquet(
               changeFiles.map(p => Paths.get(table.dir, p).toString): _*)
+              .coalesce(math.max(1, changeFiles.size)) // one task per change file
             val kindCol = when(col("_change_type") === "insert", KindInsert)
               .when(col("_change_type") === "update_preimage", 1)
               .when(col("_change_type") === "update_postimage", KindUpdateAfter)
