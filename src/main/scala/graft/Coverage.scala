@@ -52,7 +52,8 @@ object Coverage {
     "15 Filter spec (original + computed cols)" ->
       Seq("t_filter", "c_conformance_filter_rules"),
     "16 Metadata columns" ->
-      Seq("t_metadata"),
+      Seq("t_metadata", "c_conformance_metadata_wildcard",
+        "c_conformance_metadata_literal"),
     "17 SchemaMetadataTransform (PK/partition/options override)" ->
       Seq("c_cli_pipeline"),
     "18 SoftDeleteConverter" ->
@@ -133,7 +134,8 @@ object Coverage {
         "c_conformance_merge_route", "c_conformance_schema_evolution",
         "c_conformance_wildcard_evolution", "c_conformance_calculated_columns",
         "c_conformance_filter_rules", "c_conformance_multi_dispatch",
-        "c_conformance_dispatch_ref_cols"),
+        "c_conformance_dispatch_ref_cols", "c_conformance_metadata_wildcard",
+        "c_conformance_metadata_literal"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

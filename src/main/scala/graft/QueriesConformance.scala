@@ -434,6 +434,46 @@ object QueriesConformance {
       val b = stateDf(s, db, t2).collect().toSeq.map(r =>
         ("mytable2", r.getLong(0), r.getByte(1).toInt, r.getString(2)))
       (a ++ b).toDF("tbl", "id", "age", "roleName").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMetadataColumnWithWildcard:620-647:
+    // `*, __namespace_name__, __schema_name__, __table_name__` appends the
+    // metadata columns per 3-part table id.
+    "c_conformance_metadata_wildcard" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "metaw",
+        """transform:
+          |  - source-table: default_namespace.default_schema.mytable\.*
+          |    projection: "*, __namespace_name__, __schema_name__, __table_name__"""".stripMargin,
+        idPrefix = "default_namespace.default_schema")
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String,
+          r.getString(3), r.getString(4), r.getString(5)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3),
+          r.getString(4), r.getString(5), r.getString(6)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description",
+        "namespace_name", "schema_name", "table_name").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testUsingMetadataColumnLiteralWithWildcard
+    // :650-675: a string LITERAL spelled like metadata identifiers must stay
+    // a literal — the parser distinguishes identifiers from quoted strings.
+    "c_conformance_metadata_literal" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "metal",
+        """transform:
+          |  - source-table: default_namespace.default_schema.mytable\.*
+          |    projection: "*, '__namespace_name____schema_name____table_name__' AS string_literal"""".stripMargin,
+        idPrefix = "default_namespace.default_schema")
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String,
+          r.getString(3)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3),
+          r.getString(4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "string_literal")
+        .orderBy("id")
     }))
 
   /** generateSchemaEvolutionEvents (FlinkPipelineTransformITCase:3118-3245):
@@ -505,9 +545,10 @@ object QueriesConformance {
     * description): Carol, Derrida inserted, Derrida deleted.
     */
   private def runTwoTableTransform(
-      s: SparkSession, tag: String, transformYaml: String): (MemoryDatabase, TableId, TableId) = {
-    val t1 = TableId.parse("default_schema.mytable1")
-    val t2 = TableId.parse("default_schema.mytable2")
+      s: SparkSession, tag: String, transformYaml: String,
+      idPrefix: String = "default_schema"): (MemoryDatabase, TableId, TableId) = {
+    val t1 = TableId.parse(s"$idPrefix.mytable1")
+    val t2 = TableId.parse(s"$idPrefix.mytable2")
     val src1 = new ScriptedChangeSource(t1,
       schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
     val src2 = new ScriptedChangeSource(t2,
@@ -593,7 +634,22 @@ object QueriesConformance {
         |  ('mytable1', CAST(1 AS BIGINT), 18, 'Alice'),
         |  ('mytable1', 2, 30, 'Bob'),
         |  ('mytable2', 3, 15, 'Juvenile'))
-        |AS t(tbl, id, age, roleName) ORDER BY id""".stripMargin)
+        |AS t(tbl, id, age, roleName) ORDER BY id""".stripMargin,
+    "c_conformance_metadata_wildcard" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),
+        |   'default_namespace', 'default_schema', 'mytable1'),
+        |  ('mytable1', 2, 'Bob', 30, NULL, 'default_namespace', 'default_schema', 'mytable1'),
+        |  ('mytable2', 3, 'Carol', 15, 'student', 'default_namespace', 'default_schema', 'mytable2'))
+        |AS t(tbl, id, name, age, description, namespace_name, schema_name, table_name)
+        |ORDER BY id""".stripMargin,
+    "c_conformance_metadata_literal" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),
+        |   '__namespace_name____schema_name____table_name__'),
+        |  ('mytable1', 2, 'Bob', 30, NULL, '__namespace_name____schema_name____table_name__'),
+        |  ('mytable2', 3, 'Carol', 15, 'student', '__namespace_name____schema_name____table_name__'))
+        |AS t(tbl, id, name, age, description, string_literal) ORDER BY id""".stripMargin)
 
   /** Final state of generateSchemaEvolutionEvents under EVOLVE (identical for
     * the vanilla and wildcard-transform pipelines — ITCase asserts the same
