@@ -337,9 +337,38 @@ object Bench {
       cpuTimes.get(k).filter(_.nonEmpty)
         .map(cs => f"${cs.sorted.apply(cs.size / 2)}%.2f").getOrElse("-1")
     }.mkString("[", ",", "]")
-    println(
-      s"""{"retries":$retriesJson,"calibration":$calib,"errors_count":$errSummary,"cpu_headline_order":$cpuCompact,"drift":$driftSummary,"baseline":$bs,"sf":${jq(
-          sfDir)},"full":"target/bench_full.json","metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
+    // The final line must survive the 2000-char tail window WHOLE — r13's
+    // line overflowed the moment one retry entry appeared, truncating the
+    // head and making the artifact unparseable (`parsed: null`). Fix is
+    // structural, not a one-off trim: assemble optional fields least-
+    // critical-first and DROP from the front until the line fits a 1900-char
+    // budget. The always-present tail (baseline, sf, metric, value) is a few
+    // hundred chars, so the essential record can never be evicted; anything
+    // dropped is still in bench_full.json and the fullLine println above.
+    val retriesCompact =
+      if (sentinel.retries.isEmpty) "{}"
+      else sentinel.retries.take(8).map { case (k, v) => jq(k) + ":" + v }
+        .mkString("{", ",",
+          if (sentinel.retries.size > 8) s""","_more":${sentinel.retries.size - 8}}"""
+          else "}")
+    val tailFields = Seq(
+      s""""baseline":$bs""",
+      s""""sf":${jq(sfDir)}""",
+      """"full":"target/bench_full.json"""",
+      """"metric":"total"""",
+      """"unit":"sec"""",
+      s""""value":${f"$total%.3f"}""")
+    val optionalFields = Seq( // least critical first — evicted first
+      s""""retries":$retriesCompact""",
+      s""""calibration":$calib""",
+      s""""errors_count":$errSummary""",
+      s""""cpu_headline_order":$cpuCompact""",
+      s""""drift":$driftSummary""")
+    def lineOf(opt: Seq[String]): String =
+      (opt ++ tailFields).mkString("{", ",", "}")
+    var opt = optionalFields
+    while (lineOf(opt).length > 1900 && opt.nonEmpty) opt = opt.tail
+    println(lineOf(opt))
     spark.stop()
     // same discipline as graft.Verify: the driver must never hang on a stray
     // non-daemon thread after the JSON line is out

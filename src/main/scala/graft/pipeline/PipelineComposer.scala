@@ -74,13 +74,30 @@ final class PipelineComposer(
           "multiple rules matching one table must project the same shape"))
       val merged = outs.map(SchemaMerging.fromStruct)
         .reduceLeft(SchemaMerging.leastCommonSchema)
-      val rule = rules.head
+      // pk/partition/option overrides come from rules.head — a LATER rule
+      // declaring a CONFLICTING override would be silently ignored, so be
+      // as loud as the shape check above: every matching rule must agree
+      // with (or leave empty) the head rule's overrides.
+      def agree[A](name: String, of: TransformRule => A, empty: A): Unit = {
+        val declared = rules.map(of).filter(_ != empty).distinct
+        require(declared.size <= 1,
+          s"transform rules for $tableId disagree on $name: " +
+            s"${declared.mkString(" vs ")} — multiple rules matching one " +
+            "table must declare the same override (or none)")
+      }
+      agree("primary-keys", _.primaryKeys, Seq.empty)
+      agree("partition-keys", _.partitionKeys, Seq.empty)
+      agree("table-options", _.tableOptions, Map.empty)
+      val rule = rules.find(_.primaryKeys.nonEmpty).getOrElse(rules.head)
+      val partitionRule = rules.find(_.partitionKeys.nonEmpty).getOrElse(rules.head)
+      val optionRules = rules
       TableSchema(
         SchemaMerging.toStruct(merged),
         primaryKeys = if (rule.primaryKeys.nonEmpty) rule.primaryKeys else source.primaryKeys,
         partitionKeys =
-          if (rule.partitionKeys.nonEmpty) rule.partitionKeys else source.partitionKeys,
-        options = source.options ++ rule.tableOptions)
+          if (partitionRule.partitionKeys.nonEmpty) partitionRule.partitionKeys
+          else source.partitionKeys,
+        options = optionRules.foldLeft(source.options)(_ ++ _.tableOptions))
     }
   }
 

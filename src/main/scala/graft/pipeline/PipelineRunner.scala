@@ -4,6 +4,7 @@ import graft.core.{TableId, TableSchema}
 import graft.sinks.DataSinks
 import graft.sources.cdc.{ChangeSourceRegistry, GraftCdcProvider}
 import graft.streaming.CdcStream
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -23,6 +24,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
 
+  /** Sources registered through [[addTable]], searched by renameHistoryFor —
+    * declared BEFORE the composer so the lambda never sees it uninitialized.
+    */
+  private val addedSourceIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
   val composer = new PipelineComposer(pdef, sink, renameHistoryFor = { t =>
     // resolved lazily at batch time: the pipeline's registered sources may
@@ -34,7 +41,11 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     // names legitimately COEXIST, and chasing the applied rename would
     // backfill the old column from the new one's values).
     scala.util.Try {
-      (sourceId +: secondarySourceIds).iterator
+      // addTable'd sources (the multi-database merge shape) must be in the
+      // search list too, or their batches lose the pending-rename coercion
+      // bridge — in-flight old-shape rows read while a rename is parked
+      // would null-pad at the sink instead of bridging.
+      (sourceId +: (secondarySourceIds ++ addedSourceIds.asScala)).iterator
         .map(id => (id, ChangeSourceRegistry.get(id)))
         .find(_._2.tableId == t)
         .map { case (id, src) =>
@@ -283,6 +294,7 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
   }
 
   def addTable(newSourceId: String): StreamingQuery = {
+    addedSourceIds.add(newSourceId)
     val src = ChangeSourceRegistry.get(newSourceId)
     composer.createTables(Map(src.tableId -> src.schema))
     CdcStream.start(

@@ -129,7 +129,13 @@ class ScriptedChangeSource(
     case i: Int => i.toLong
     // STRING pks with numeric text (the reference's values fixtures key on
     // `col1` STRING = "1","2",...) — same contract as ChangeSource.keyOfEvent
-    case other => other.toString.toLong
+    case other =>
+      try other.toString.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"non-numeric pk: column '$pk' of $tableId has value '$other' — " +
+            "the scripted source keys its table map on a numeric pk")
+      }
   }
 
   def append(event: DataChangeEvent, tsMillis: Long = 0L): Long = synchronized {

@@ -559,13 +559,27 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
         // strictly in order, where this cannot arise). The batch-never-
         // crosses-a-DDL invariant guarantees every row in this window shares
         // one epoch — the translation is the window's only schema bridge.
+        // Bound the translation at THIS stream's schema epoch: a stream
+        // created before a later rename still addresses the OLD name in its
+        // payload schema, so translating a key past what `fieldNames` can
+        // hold would make payloadRow's getOrElse null the value. Walk the
+        // chain and keep the FARTHEST name the payload schema knows,
+        // falling back to the record's own key when none along the chain is
+        // addressable (the schema-coercion bridge then handles it downstream).
         val renames = source.renameHistory
+        val payloadNames = fieldNames.toSet
         def liveNames(m: Map[String, Any], off: Long): Map[String, Any] =
           if (m == null || m.isEmpty || renames.isEmpty) m
           else m.map { case (k, v) =>
-            renames.foldLeft(k) { case (n, (dOff, rm)) =>
-              if (dOff > off) rm.getOrElse(n, n) else n
-            } -> v
+            var best = k
+            var cur = k
+            renames.foreach { case (dOff, rm) =>
+              if (dOff > off) {
+                cur = rm.getOrElse(cur, cur)
+                if (payloadNames.contains(cur)) best = cur
+              }
+            }
+            best -> v
           }
         // IncrementalSourceStreamFetcher: suppress events already merged into
         // a finished chunk (offset <= that chunk's HW). Schema-change records

@@ -64,6 +64,68 @@ class MidStreamDdlSpec extends AnyFunSuite {
     } finally ChangeSourceRegistry.remove("renflow")
   }
 
+  test("reader bounds rename translation at its payload schema epoch") {
+    // A stream's payload schema is fixed at stream CREATION; a rename that
+    // lands in renameHistory afterwards (live source, rename arrives
+    // mid-drain) must not translate record keys past what that schema can
+    // address — payloadRow's getOrElse would silently null the value and
+    // commit wrong data BEFORE any restart. Drive the partition reader
+    // directly with a pre-rename payload schema (deterministic — the e2e
+    // shape races the AvailableNow drain against the append).
+    val t = TableId.parse("app.renepoch")
+    val src = new ScriptedChangeSource(t, mkSchema,
+      Seq(Map[String, Any]("id" -> 1L, "v" -> "v1")))
+    ChangeSourceRegistry.register("renepoch", src)
+    try {
+      val oldPayload = mkSchema.struct // the stream's epoch: pre-rename names
+      src.append(DataChangeEvent.update(t, Map("id" -> 1L), Map("id" -> 1L, "v" -> "one")))
+      src.appendDdl(RenameColumnEvent(t, Map("v" -> "label"))) // after the epoch
+      val env = graft.operators.Envelope.envelopeSchema(oldPayload)
+      val reader = new CdcReaderFactory(env, oldPayload)
+        .createReader(LogRangePartition("renepoch", 0L, 1L, Array.empty))
+      assert(reader.next(), "the in-flight update must be in the window")
+      val after = reader.get().getStruct(3, oldPayload.size) // AfterCol
+      assert(after.getLong(0) == 1L)
+      assert(!after.isNullAt(1) && after.getUTF8String(1).toString == "one",
+        "rename translation crossed the reader's schema epoch — value nulled")
+      assert(!reader.next())
+    } finally ChangeSourceRegistry.remove("renepoch")
+  }
+
+  test("addTable'd source gets the pending-rename coercion bridge") {
+    // The multi-database merge shape: a source drained via addTable /
+    // drainTableHandlingDdl must be found by renameHistoryFor, or its
+    // post-restart batches (payload = NEW names, sink one epoch behind)
+    // null-pad the renamed column instead of bridging.
+    val tA = TableId.parse("app.addmain")
+    val tB = TableId.parse("app.addsec")
+    val srcA = new ScriptedChangeSource(tA, mkSchema,
+      Seq(Map[String, Any]("id" -> 1L, "v" -> "a1")))
+    val srcB = new ScriptedChangeSource(tB, mkSchema,
+      (1L to 2L).map(i => Map[String, Any]("id" -> i, "v" -> s"b$i")))
+    ChangeSourceRegistry.register("addmain", srcA)
+    ChangeSourceRegistry.register("addsec", srcB)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("addtbl-ckpt").toString
+      val runner = new PipelineRunner(YamlPipelineParser.parse(yamlFor("addmain", ckpt)))
+      assert(runner.runHandlingDdl() == 0)
+      assert(runner.drainTableHandlingDdl("addsec") == 0) // B's snapshot, checkpointed
+      // old-shape update in flight, then the rename: the NEXT drain's stream
+      // is created after the rename (payload = new names), the sink is still
+      // old-shape while the DDL is parked — only the bridge preserves "one"
+      srcB.append(DataChangeEvent.update(tB, Map("id" -> 1L), Map("id" -> 1L, "v" -> "one")))
+      srcB.appendDdl(RenameColumnEvent(tB, Map("v" -> "label")))
+      assert(runner.drainTableHandlingDdl("addsec") == 1)
+      val sink = runner.sink.asInstanceOf[MemoryDatabase]
+      assert(sink.schemaOf(tB).get.columnNames == Seq("id", "label"))
+      val rows = sink.rowsOf(tB).map(_.mkString(",")).sorted
+      assert(rows == Seq("1,one", "2,b2"), s"got $rows")
+    } finally {
+      ChangeSourceRegistry.remove("addmain")
+      ChangeSourceRegistry.remove("addsec")
+    }
+  }
+
   test("registry parks a clause queue: head served, acks pop in order") {
     val t = TableId.parse("app.q")
     val e1 = AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition("a", CdcTypes.IntT())))
