@@ -318,11 +318,16 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => () }
     println(fullLine)
     val driftVals = sentinel.drifts.values
+    // a dirty run can push dozens of windows over tolerance — cap the named
+    // map at the 6 worst (full map in bench_full.json) so the drift summary
+    // can't evict the other optional fields from the tail-window line
     val overTol = sentinel.drifts.filter(_._2 > sentinel.driftTolerance)
-    val overJson = overTol.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val overJson = overTol.toSeq.sortBy(-_._2).take(6)
+      .map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",",
+        if (overTol.size > 6) s""","_more":${overTol.size - 6}}""" else "}")
     val driftSummary =
-      f"""{"windows":${sentinel.drifts.size},"max":${driftVals.foldLeft(0.0)(math.max)}%.3f,"tolerance":${sentinel.driftTolerance}%.2f,"over_tolerance":$overJson}"""
+      f"""{"windows":${sentinel.drifts.size},"max":${driftVals.foldLeft(0.0)(math.max)}%.3f,"tolerance":${sentinel.driftTolerance}%.2f,"over_count":${overTol.size},"over_tolerance":$overJson}"""
     val errSummary =
       if (errors.isEmpty) "0"
       else s"${errors.size}" // full messages in the line above + bench_full.json

@@ -135,7 +135,18 @@ object Coverage {
         "c_conformance_wildcard_evolution", "c_conformance_calculated_columns",
         "c_conformance_filter_rules", "c_conformance_multi_dispatch",
         "c_conformance_dispatch_ref_cols", "c_conformance_metadata_wildcard",
-        "c_conformance_metadata_literal"),
+        "c_conformance_metadata_literal",
+        // round 14: transform × schema-evolution interplay, fallback rules,
+        // column shading, dialect function/cast blocks, precision merging
+        "c_conformance_fallback_rules", "c_conformance_explicit_evolution",
+        "c_conformance_pre_asterisk_evolution", "c_conformance_post_asterisk_evolution",
+        "c_conformance_unmatched_evolution", "c_conformance_shade_different_type",
+        "c_conformance_comparison_functions", "c_conformance_numeric_castings",
+        "c_conformance_merge_decimal_precisions",
+        "c_conformance_merge_temporal_precisions",
+        "c_conformance_delete_as_insert", "c_conformance_logical_functions",
+        "c_conformance_string_functions", "c_conformance_filter_no_projection",
+        "c_conformance_datetime_casting"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

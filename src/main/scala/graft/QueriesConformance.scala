@@ -1,10 +1,13 @@
 package graft
 
 import graft.core._
+import graft.functions.Dialect
+import graft.operators.{Envelope, EnvelopeTransform, TransformRule}
 import graft.pipeline._
 import graft.sinks.MemoryDatabase
 import graft.sources.cdc.{ChangeSourceRegistry, ScriptedChangeSource}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
 import org.apache.spark.sql.types._
 
 /** Reference conformance corpus: the scripted event sets of the reference's
@@ -307,6 +310,15 @@ object QueriesConformance {
               "description" -> "student", "gender" -> "male")))
         }
         val merged = TableId.parse("default_schema.merged")
+        // the DERIVED event sequence the reference asserts (:832-846):
+        // create, ADD description AFTER age + widen id BEFORE any mytable2
+        // data, then the rename surfacing as ADD last_name, then ADD gender
+        requireDdlSequence(db, merged, Seq(
+          "create:id,name,age",
+          "add:description AFTER age",
+          "alter:id->bigint",
+          "add:last_name AFTER description",
+          "add:gender AFTER last_name"))
         require(db.schemaOf(merged).exists(
           _.columnNames == Seq("id", "name", "age", "description", "last_name", "gender")),
           s"merged shape per ITCase:819-830, got ${db.schemaOf(merged).map(_.columnNames)}")
@@ -456,6 +468,402 @@ object QueriesConformance {
         "namespace_name", "schema_name", "table_name").orderBy("id")
     }),
 
+    // FlinkPipelineTransformITCase.testTransformWithFallbackRules:1175: a
+    // specific rule + catch-all fallback, BOTH filter-less, project DIFFERENT
+    // shapes — first-match truncation (`getEffectiveTransformers:399-414`)
+    // makes exactly one rule effective per table.
+    "c_conformance_fallback_rules" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "fallback",
+        """transform:
+          |  - source-table: default_schema.mytable1
+          |    projection: "*, 'rule_1_matched' AS rule_1_matched"
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, 'rule_fallback' AS rule_fallback"""".stripMargin)
+      require(db.schemaOf(t1).exists(
+        _.columnNames == Seq("id", "name", "age", "rule_1_matched")),
+        s"mytable1 takes rule 1's shape ONLY, got ${db.schemaOf(t1).map(_.columnNames)}")
+      require(db.schemaOf(t2).exists(
+        _.columnNames == Seq("id", "name", "age", "description", "rule_fallback")),
+        s"mytable2 takes the fallback shape, got ${db.schemaOf(t2).map(_.columnNames)}")
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, r.getString(3)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), r.getString(4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "rule_col")
+        .orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testExplicitTransformWithSchemaEvolution
+    // :1517: an EXPLICIT projection (no wildcard) over the five-stage
+    // evolution script — the ADD never surfaces, the ALTER narrows to the
+    // projected column (name only), RENAME/DROP of projected-away columns
+    // vanish. Final shape (id, name, extend_id).
+    "c_conformance_explicit_evolution" -> ((s, _) => {
+      val db = runEvolutionTransform(s, "explevo",
+        "id, name, CAST(id AS VARCHAR) || ' -> ' || name AS extend_id")
+      val t = TableId.parse("default_schema.mytable1")
+      // the ONLY surfaced schema event is the ALTER narrowed to the
+      // projected column (ITCase :1554 expects AlterColumnTypeEvent{name});
+      // ADD/RENAME/DROP of projected-away columns never reach the sink
+      requireDdlSequence(db, t, Seq(
+        "create:id,name,extend_id",
+        "alter:name->string"))
+      require(db.schemaOf(t).exists(_.columnNames == Seq("id", "name", "extend_id")),
+        s"explicit shape per ITCase:1554, got ${db.schemaOf(t).map(_.columnNames)}")
+      stateDf(s, db, t).orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testPreAsteriskWithSchemaEvolution:1600:
+    // `*, computed` — every schema event surfaces; FIRST/LAST add positions
+    // anchor to the PRE-transform schema (`rank FIRST` → BEFORE id,
+    // `gender LAST` → AFTER age) so extend_id stays the trailing column.
+    // Final shape (rank, id, name, extend_id).
+    "c_conformance_pre_asterisk_evolution" -> ((s, _) => {
+      val db = runEvolutionTransform(s, "preast",
+        "*, CAST(id AS VARCHAR) || ' -> ' || name AS extend_id")
+      val t = TableId.parse("default_schema.mytable1")
+      // derived events with REWRITTEN positions (ITCase :1731-1766):
+      // rank FIRST -> BEFORE id, gender LAST -> AFTER age
+      requireDdlSequence(db, t, Seq(
+        "create:id,name,age,extend_id",
+        "add:rank BEFORE id,gender AFTER age",
+        "alter:age->double,gender->int,name->string",
+        "rename:age->toshi,gender->biological_sex",
+        "drop:biological_sex,toshi"))
+      require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name", "extend_id")),
+        s"pre-asterisk shape per ITCase:1691, got ${db.schemaOf(t).map(_.columnNames)}")
+      stateDf(s, db, t).orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testPostAsteriskWithSchemaEvolution:1695:
+    // `computed, *` — same, with extend_id LEADING: the FIRST-positioned add
+    // still lands BEFORE id, inside the wildcard span. Final shape
+    // (extend_id, rank, id, name).
+    "c_conformance_post_asterisk_evolution" -> ((s, _) => {
+      val db = runEvolutionTransform(s, "postast",
+        "CAST(id AS VARCHAR) || ' -> ' || name AS extend_id, *")
+      val t = TableId.parse("default_schema.mytable1")
+      require(db.schemaOf(t).exists(_.columnNames == Seq("extend_id", "rank", "id", "name")),
+        s"post-asterisk shape per ITCase:1786, got ${db.schemaOf(t).map(_.columnNames)}")
+      stateDf(s, db, t).orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformUnmatchedSchemaEvolution:1885:
+    // a transform whose selector matches NOTHING leaves the pipeline
+    // untouched — identical to the no-transform evolution run.
+    "c_conformance_unmatched_evolution" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("unmatched")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: foo.bar.baz
+              |    projection: "*"""".stripMargin) { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
+          s"unmatched transform must not perturb evolution, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testShadeOriginalColumnsWithDifferentType
+    // :2755: `*, 0.5 + CAST(col1 AS DOUBLE) AS col1` REDEFINES the pk column
+    // in place with a DIFFERENT type (later projection columns override
+    // earlier ones, TransformParser.java:370-380); filter `col1 > 1.5` sees
+    // the computed value, dropping key "1"'s insert AND delete. Final:
+    // (2.5, 'x'), (3.5, null) under (col1 DOUBLE, newCol3).
+    "c_conformance_shade_different_type" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("shade")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, 0.5 + CAST(col1 AS DOUBLE) AS col1"
+              |    filter: "col1 > 1.5"""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("col1", "newCol3")),
+          s"shaded shape per ITCase:2791, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testBuiltinComparisonFunctions:705: the
+    // 14-operator comparison block, incl. the dialect's LIKE-as-regex-find
+    // (`name LIKE 'li'` is TRUE for Alice — SystemFunctionUtils.like:458).
+    "c_conformance_comparison_functions" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "cmpfn",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, id = 2 AS col1, id <> 3 AS col2, id > 2 AS col3, id >= 2 AS col4, id < 3 AS col5, id <= 4 AS col6, name IS NULL AS col7, name IS NOT NULL AS col8, id BETWEEN 1 AND 3 AS col9, id NOT BETWEEN 2 AND 4 AS col10, name LIKE 'li' AS col11, name LIKE 'ro' AS col12, CAST(id AS INT) IN (1, 3, 5) AS col13, name IN ('Bob', 'Derrida') AS col14"""".stripMargin)
+      import s.implicits._
+      def bools(r: Row, from: Int): Seq[Boolean] =
+        (from until from + 14).map(r.getBoolean)
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, bools(r, 3).mkString(",")))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), bools(r, 4).mkString(",")))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "cmp").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformWithFilterButNoProjection
+    // :274: a filter-only rule (`id > 1`) over the five-stage evolution
+    // script — schema events all pass through (no projection to narrow
+    // them), Alice's id=1 traffic drops at every stage.
+    "c_conformance_filter_no_projection" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("filtnoproj")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable1
+              |    filter: "id > 1"""".stripMargin) { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
+          s"filter-only keeps the evolved shape, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testDateAndTimeCastingFunctions:2904:
+    // DATE and TIME(p) string-casts. TIME(p) is modelled as INT millis-of-day
+    // with a StructField tag (no Spark TIME type — SURVEY §1.3), and
+    // CAST(time AS VARCHAR) renders `LocalTime.toString` at millisecond
+    // precision exactly like the reference's TimeData (`21:48:25.123` for
+    // p=3/6/9 — TimeData itself truncates to millis — and `21:48:25` for
+    // p=0). The raw TIME columns materialize as their INT millis (the
+    // documented representation cap); the casted strings are the
+    // reference-pinned surface.
+    "c_conformance_datetime_casting" -> ((s, _) => {
+      val t = TableId.parse("default_schema.my_table")
+      val timeMeta = new MetadataBuilder()
+        .putLong(graft.functions.DialectCastExpr.TimeTypeKey, 0L).build()
+      val schema = TableSchema(
+        StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("date_0", DateType),
+          StructField("time_0", IntegerType, nullable = true, timeMeta),
+          StructField("time_3", IntegerType, nullable = true, timeMeta),
+          StructField("time_6", IntegerType, nullable = true, timeMeta),
+          StructField("time_9", IntegerType, nullable = true, timeMeta))),
+        primaryKeys = Seq("id"))
+      val src = new ScriptedChangeSource(t, schema, Seq.empty)
+      val id = freshId("dtcast")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.my_table
+              |    projection: "*, CAST(date_0 AS VARCHAR) AS date_0_str, CAST(time_0 AS VARCHAR) AS time_0_str, CAST(time_3 AS VARCHAR) AS time_3_str, CAST(time_6 AS VARCHAR) AS time_6_str, CAST(time_9 AS VARCHAR) AS time_9_str"""".stripMargin) { _ =>
+          // 21:48:25 = 78505000 ms; TimeData truncates sub-ms, so the
+          // p=3/6/9 fixture values all land on .123 (78505123)
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 1, "date_0" -> java.sql.Date.valueOf("1999-12-31"),
+            "time_0" -> 78505000, "time_3" -> 78505123,
+            "time_6" -> 78505123, "time_9" -> 78505123)))
+          src.append(DataChangeEvent.insert(t, Map[String, Any]("id" -> 2)))
+        }
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testConvertDeleteAsInsert:678: explicit
+    // metadata projection incl. `__data_event_type__` (per-image RowKind
+    // tokens) + SOFT_DELETE — the DELETE projects its before-image with
+    // `-D`, then converts to an INSERT, so the deleted row is RETAINED
+    // carrying the -D marker.
+    "c_conformance_delete_as_insert" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "delins",
+        """transform:
+          |  - source-table: default_namespace.default_schema.mytable\.*
+          |    projection: "id, name, age, __namespace_name__, __schema_name__, __table_name__, __data_event_type__"
+          |    converter-after-transform: SOFT_DELETE""".stripMargin,
+        idPrefix = "default_namespace.default_schema")
+      import s.implicits._
+      def row(r: Row, tbl: String, id: Long, age: Int) =
+        (tbl, id, r.getString(1), age, r.getString(3), r.getString(4),
+          r.getString(5), r.getString(6))
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        row(r, "mytable1", r.getInt(0).toLong, r.getInt(2)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        row(r, "mytable2", r.getLong(0), r.getByte(2).toInt))
+      (a ++ b).toDF("tbl", "id", "name", "age", "namespace_name", "schema_name",
+        "table_name", "event_type").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testBuiltinLogicalFunctions:~745:
+    // OR/AND/NOT and the IS [NOT] TRUE/FALSE predicates, over the dialect's
+    // type-strict equality (BIGINT id = 3 is FALSE even when id is 3).
+    "c_conformance_logical_functions" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "logicfn",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, id = 2 OR true AS col1, id <> 3 OR false AS col2, name = 'Alice' AND true AS col4, name <> 'Bob' AND false AS col5, NOT id = 1 AS col6, id = 3 IS FALSE AS col7, name = 'Derrida' IS TRUE AS col8, name <> 'Carol' IS NOT FALSE AS col9, name <> 'Eve' IS NOT TRUE AS col10"""".stripMargin)
+      import s.implicits._
+      def bools(r: Row, from: Int): String =
+        (from until from + 9).map(r.getBoolean).mkString(",")
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, bools(r, 3)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), bools(r, 4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "logic").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testBuiltinStringFunctions:~795:
+    // ||, CHAR_LENGTH, UPPER, LOWER, TRIM, REGEXP_REPLACE (Java regex),
+    // SUBSTR 2- and 3-arg, CONCAT, CAST AS VARCHAR.
+    "c_conformance_string_functions" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "strfn",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, 'Dear ' || name AS col1, CHAR_LENGTH(name) AS col2, UPPER(name) AS col3, LOWER(name) AS col4, TRIM(name) AS col5, REGEXP_REPLACE(name, 'Al|Bo', '**') AS col6, SUBSTR(name, 1, 1) AS col7, SUBSTR(name, 2, 1) AS col8, SUBSTR(name, 3) AS col9, CONCAT(name, ' - ', CAST(id AS VARCHAR)) AS col10"""".stripMargin)
+      import s.implicits._
+      def strs(r: Row, from: Int): Seq[String] =
+        (from until from + 10).map(i => if (i == from + 1) r.getInt(i).toString else r.getString(i))
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, strs(r, 3).mkString("|")))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), strs(r, 4).mkString("|")))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "strs").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testNumericCastingsWithTruncation:2238:
+    // the dialect CAST matrix — never throws; integral truncation, lenient
+    // string parses, NULL on failure/precision overflow, Boolean.valueOf
+    // strings (SystemFunctionUtils.java:767-1047). Driven through the real
+    // envelope transform operator, one projection per target type; results
+    // stringified for the cross-type union.
+    "c_conformance_numeric_castings" -> ((s, _) => castingMatrix(s)),
+
+    // FlinkPipelineComposerITCase.testMergingDecimalWithVariousPrecisions
+    // :1433: eight tables (TINYINT → DECIMAL(29,19)) route-merge into one
+    // sink; the widening chain TINYINT → SMALLINT → INT → BIGINT →
+    // DECIMAL(19,0) → DECIMAL(24,5) → DECIMAL(38,19) fires as successive
+    // AlterColumnType events, and every committed row reads back in the
+    // final DECIMAL(38,19).
+    "c_conformance_merge_decimal_precisions" -> ((s, _) => {
+      val names = Seq("tiny", "small", "vanilla", "big",
+        "dec_15_0", "decimal_10_5", "decimal_16_2", "decimal_29_19")
+      val types: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType,
+        DecimalType(15, 0), DecimalType(10, 5), DecimalType(16, 2), DecimalType(29, 19))
+      def dec(v: String) = new java.math.BigDecimal(v)
+      val values: Seq[Any] = Seq(1.toByte, 22.toShort, 3333, 44444444L,
+        dec("555555555555555"), dec("66666.66666"), dec("77777777.17"),
+        dec("888888888.8888888888888888888"))
+      val sources = names.zip(types).map { case (n, ty) =>
+        val t = TableId.parse(s"default_schema.default_table_$n")
+        freshId(s"decmerge-$n") ->
+          new ScriptedChangeSource(t, schemaOf(
+            "id" -> IntegerType, "name" -> Str, "age" -> IntegerType, "fav_num" -> ty)("id"),
+            Seq.empty)
+      }
+      registered(sources: _*) {
+        val db = runPipeline(s, sources, "EVOLVE",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.default_table_\.*
+              |    sink-table: default_schema.default_everything_merged""".stripMargin) { _ =>
+          sources.zipWithIndex.foreach { case ((_, src), i) =>
+            src.append(DataChangeEvent.insert(src.tableId, Map(
+              "id" -> (1 + i), "name" -> "Alice", "age" -> 17, "fav_num" -> values(i))))
+          }
+          sources.zipWithIndex.foreach { case ((_, src), i) =>
+            src.append(DataChangeEvent.insert(src.tableId, Map(
+              "id" -> (101 + i), "name" -> "Zen", "age" -> 19, "fav_num" -> values(i))))
+          }
+        }
+        val merged = TableId.parse("default_schema.default_everything_merged")
+        // the widening chain as successive AlterColumnType events (:1502)
+        requireDdlSequence(db, merged, Seq(
+          "create:id,name,age,fav_num",
+          "alter:fav_num->smallint",
+          "alter:fav_num->int",
+          "alter:fav_num->bigint",
+          "alter:fav_num->decimal(19,0)",
+          "alter:fav_num->decimal(24,5)",
+          "alter:fav_num->decimal(38,19)"))
+        require(db.schemaOf(merged).exists(sch =>
+          sch.columnNames == Seq("id", "name", "age", "fav_num") &&
+            sch.struct("fav_num").dataType == DecimalType(38, 19)),
+          s"DECIMAL(38,19) merged shape per ITCase:1502, got ${db.schemaOf(merged)}")
+        // decimals stringify at the comparison surface (hash-fragile type,
+        // Verify.assertHashSafeSchema) — full 19-digit scale preserved
+        stateDf(s, db, merged)
+          .select(col("id"), col("name"), col("age"),
+            col("fav_num").cast("string").as("fav_num"))
+          .orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testMergingTemporalTypesWithPromotedPrecisions
+    // :1319, the per-family precision promotions (TIMESTAMP / TIMESTAMP_TZ /
+    // TIMESTAMP_LTZ, p=0 merged with higher p). The reference uses p=9; Spark
+    // timestamps are microsecond-bound, so this runs the same merge at p=0 vs
+    // p=6 — the lattice path and per-row widening are identical, the nanos
+    // digits are the environment cap (documented in SURVEY §1.3).
+    "c_conformance_merge_temporal_precisions" -> ((s, _) => {
+      val lo = java.time.LocalDateTime.parse("2020-01-01T14:28:57")
+      val hi = java.time.LocalDateTime.parse("2020-01-01T14:28:57.123456")
+      val families = Seq(
+        ("ts", TimestampNTZType: DataType,
+          (t: java.time.LocalDateTime) => t),
+        ("ltz", TimestampType: DataType,
+          (t: java.time.LocalDateTime) => java.sql.Timestamp.from(
+            t.toInstant(java.time.ZoneOffset.UTC))))
+      val sources = families.flatMap { case (fam, ty, conv) =>
+        Seq(0, 6).map { p =>
+          val t = TableId.parse(s"default_schema.default_table_${fam}_$p")
+          freshId(s"tsmerge-$fam-$p") ->
+            new ScriptedChangeSource(t, schemaOf(
+              "id" -> IntegerType, "name" -> Str, "birthday" -> ty)("id"), Seq.empty)
+        }
+      }
+      registered(sources: _*) {
+        val db = runPipeline(s, sources, "EVOLVE",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.default_table_ts_\.*
+              |    sink-table: default_schema.ts_merged
+              |  - source-table: default_schema.default_table_ltz_\.*
+              |    sink-table: default_schema.ltz_merged""".stripMargin) { _ =>
+          sources.zipWithIndex.foreach { case ((_, src), i) =>
+            val fam = families.find(f => src.tableId.tableName.contains(s"_${f._1}_")).get
+            val value = if (src.tableId.tableName.endsWith("_0")) fam._3(lo) else fam._3(hi)
+            src.append(DataChangeEvent.insert(src.tableId, Map(
+              "id" -> (1 + i), "name" -> "Alice", "birthday" -> value)))
+          }
+        }
+        import s.implicits._
+        val a = stateDf(s, db, TableId.parse("default_schema.ts_merged"))
+          .collect().toSeq.map(r => ("ts", r.getInt(0),
+            r.getAs[java.time.LocalDateTime](2).toString))
+        val b = stateDf(s, db, TableId.parse("default_schema.ltz_merged"))
+          .collect().toSeq.map(r => ("ltz", r.getInt(0),
+            r.getAs[java.sql.Timestamp](2).toInstant.toString))
+        (a ++ b).toDF("fam", "id", "birthday").orderBy("fam", "id")
+      }
+    }),
+
     // FlinkPipelineTransformITCase.testUsingMetadataColumnLiteralWithWildcard
     // :650-675: a string LITERAL spelled like metadata identifiers must stay
     // a literal — the parser distinguishes identifiers from quoted strings.
@@ -574,6 +982,101 @@ object QueriesConformance {
     }
   }
 
+  /** Compact stable rendering of a derived schema-change event for SEQUENCE
+    * assertions — the reference ITCases assert the exact derived-event ORDER
+    * and column POSITIONS (`FlinkPipelineComposerITCase.java:832-846`), not
+    * just final state; [[MemoryDatabase.ddlHistory]] records what the sink
+    * actually applied. Types render as Spark `simpleString` (VARCHAR(n)
+    * erases to `string` — the documented environment type cap).
+    */
+  private def renderDdl(e: SchemaChangeEvent): String = e match {
+    case CreateTableEvent(_, s) => "create:" + s.struct.fieldNames.mkString(",")
+    case AddColumnEvent(_, cols) => "add:" + cols.map { c =>
+      val pos = c.position match {
+        case AddColumnEvent.First => " FIRST"
+        case AddColumnEvent.Last => ""
+        case AddColumnEvent.After(x) => s" AFTER $x"
+        case AddColumnEvent.Before(x) => s" BEFORE $x"
+      }
+      s"${c.name}$pos"
+    }.mkString(",")
+    case AlterColumnTypeEvent(_, m) =>
+      "alter:" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k->${v.toSpark.simpleString}" }.mkString(",")
+    case RenameColumnEvent(_, m) =>
+      "rename:" + m.toSeq.sortBy(_._1).map { case (a, b) => s"$a->$b" }.mkString(",")
+    case DropColumnEvent(_, cols) => "drop:" + cols.mkString(",")
+    case other => other.getClass.getSimpleName
+  }
+
+  private def requireDdlSequence(
+      db: MemoryDatabase, t: TableId, expected: Seq[String]): Unit = {
+    val got = db.ddlHistory(t).map(renderDdl)
+    require(got == expected,
+      s"derived DDL sequence for $t:\n  got      ${got.mkString(" | ")}\n" +
+        s"  expected ${expected.mkString(" | ")}")
+  }
+
+  /** The five-stage evolution script through a single transform rule —
+    * shared by the explicit / pre-asterisk / post-asterisk gates.
+    */
+  private def runEvolutionTransform(
+      s: SparkSession, tag: String, projection: String): MemoryDatabase = {
+    val t = TableId.parse("default_schema.mytable1")
+    val src = new ScriptedChangeSource(t,
+      schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+    val id = freshId(tag)
+    registered(id -> src) {
+      runPipeline(s, Seq(id -> src), "EVOLVE",
+        extraYaml =
+          s"""transform:
+             |  - source-table: default_schema.mytable1
+             |    projection: "$projection"""".stripMargin) { drain =>
+        scriptSchemaEvolution(src, t, drain)
+      }
+    }
+  }
+
+  /** testNumericCastingsWithTruncation's table (ITCase:2178-2237) driven
+    * through [[EnvelopeTransform]] once per cast target; results stringified
+    * for the cross-type union (the ITCase runs one pipeline per target).
+    */
+  private def castingMatrix(s: SparkSession): DataFrame = {
+    val t = TableId.parse("ns.scm.tbl")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tiny_c", ByteType), StructField("small_c", ShortType),
+      StructField("int_c", IntegerType), StructField("bigint_c", LongType),
+      StructField("float_c", FloatType), StructField("double_c", DoubleType),
+      StructField("decimal_c", DecimalType(10, 2)),
+      StructField("valid_char_c", StringType), StructField("invalid_char_c", StringType)))
+    def bd(v: String) = new java.math.BigDecimal(v)
+    val rows: Seq[Row] = Seq(
+      Row(-1L, (-2).toByte, (-3).toShort, -4, -5L, -6.7f, -8.9d, bd("-10.11"), "-12.13", "foo"),
+      Row(0L, 0.toByte, 0.toShort, 0, 0L, 0f, 0d, bd("0.00"), "0", "bar"),
+      Row(1L, 2.toByte, 3.toShort, 4, 5L, 6.7f, 8.9d, bd("10.11"), "12.13", "baz"),
+      Row(2L, null, null, null, null, null, null, null, null, null))
+    val df = s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val env = Envelope.fromSnapshot(df, t, monotonically_increasing_id())
+    val castCols = Seq("tiny_c", "small_c", "int_c", "bigint_c", "float_c",
+      "double_c", "decimal_c", "valid_char_c", "invalid_char_c")
+    val targets = Seq("*", "BOOLEAN", "TINYINT", "SMALLINT", "INT", "BIGINT",
+      "FLOAT", "DOUBLE", "DECIMAL(1, 0)", "DECIMAL(2, 0)", "DECIMAL(3, 1)",
+      "DECIMAL(19, 10)")
+    targets.map { tg =>
+      val proj =
+        if (tg == "*") "*"
+        else "id, " + castCols.map(c => s"CAST($c AS $tg) AS $c").mkString(", ")
+      val rule = TransformRule("ns.scm.tbl", projection = Some(Dialect.translate(proj)))
+      EnvelopeTransform(env, rule, t).select(
+        col(s"${Envelope.AfterCol}.id").as("id") +:
+          castCols.map(c => col(s"${Envelope.AfterCol}.$c").cast("string").as(c)) :+
+          lit(tg).as("cast_to"): _*)
+    }.reduce(_ unionByName _).orderBy("cast_to", "id")
+  }
+
   val oracles: Map[String, String] = Map(
     "c_conformance_single_table" ->
       """SELECT * FROM (VALUES ('2', 'x'), ('3', CAST(NULL AS VARCHAR)))
@@ -612,6 +1115,129 @@ object QueriesConformance {
         |AS t(id, name, age, description, last_name, gender) ORDER BY id""".stripMargin,
     "c_conformance_schema_evolution" -> schemaEvolutionOracle,
     "c_conformance_wildcard_evolution" -> schemaEvolutionOracle,
+    "c_conformance_unmatched_evolution" -> schemaEvolutionOracle,
+    "c_conformance_fallback_rules" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), 'rule_1_matched'),
+        |  ('mytable1', 2, 'Bob', 30, NULL, 'rule_1_matched'),
+        |  ('mytable2', 3, 'Carol', 15, 'student', 'rule_fallback'))
+        |AS t(tbl, id, name, age, description, rule_col) ORDER BY id""".stripMargin,
+    "c_conformance_explicit_evolution" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', '1 -> Alice'), (3, 'Colin', '3 -> Colin'),
+        |  (4, 'Derrida', '4 -> Derrida'), (5, 'Eva', '5 -> Eva'),
+        |  (7, 'Gem', '7 -> Gem'), (8, 'Harry', '8 -> Harry'),
+        |  (10, 'Julia', '10 -> Julia'), (11, 'Kella', '11 -> Kella'),
+        |  (13, 'Munroe', '13 -> Munroe'), (14, 'Nein', '14 -> Nein'))
+        |AS t(id, name, extend_id) ORDER BY id""".stripMargin,
+    "c_conformance_pre_asterisk_evolution" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(NULL AS VARCHAR), 1, 'Alice', '1 -> Alice'),
+        |  (NULL, 3, 'Colin', '3 -> Colin'),
+        |  ('1st', 4, 'Derrida', '4 -> Derrida'),
+        |  ('2nd', 5, 'Eva', '5 -> Eva'),
+        |  ('4th', 7, 'Gem', '7 -> Gem'),
+        |  ('5th', 8, 'Harry', '8 -> Harry'),
+        |  ('7th', 10, 'Julia', '10 -> Julia'),
+        |  ('8th', 11, 'Kella', '11 -> Kella'),
+        |  ('10th', 13, 'Munroe', '13 -> Munroe'),
+        |  ('11th', 14, 'Nein', '14 -> Nein'))
+        |AS t("rank", id, name, extend_id) ORDER BY id""".stripMargin,
+    "c_conformance_post_asterisk_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('1 -> Alice', CAST(NULL AS VARCHAR), 1, 'Alice'),
+        |  ('3 -> Colin', NULL, 3, 'Colin'),
+        |  ('4 -> Derrida', '1st', 4, 'Derrida'),
+        |  ('5 -> Eva', '2nd', 5, 'Eva'),
+        |  ('7 -> Gem', '4th', 7, 'Gem'),
+        |  ('8 -> Harry', '5th', 8, 'Harry'),
+        |  ('10 -> Julia', '7th', 10, 'Julia'),
+        |  ('11 -> Kella', '8th', 11, 'Kella'),
+        |  ('13 -> Munroe', '10th', 13, 'Munroe'),
+        |  ('14 -> Nein', '11th', 14, 'Nein'))
+        |AS t(extend_id, "rank", id, name) ORDER BY id""".stripMargin,
+    "c_conformance_shade_different_type" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(2.5 AS DOUBLE), 'x'),
+        |  (3.5, CAST(NULL AS VARCHAR)))
+        |AS t(col1, newCol3) ORDER BY col1""".stripMargin,
+    "c_conformance_comparison_functions" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),
+        |   'false,true,false,false,true,true,false,true,true,true,true,false,true,false'),
+        |  ('mytable1', 2, 'Bob', 30, NULL,
+        |   'true,true,false,true,true,true,false,true,true,false,false,false,false,true'),
+        |  ('mytable2', 3, 'Carol', 15, 'student',
+        |   'false,true,true,true,false,true,false,true,true,false,false,true,true,false'))
+        |AS t(tbl, id, name, age, description, cmp) ORDER BY id""".stripMargin,
+    "c_conformance_numeric_castings" -> numericCastingsOracle,
+    "c_conformance_filter_no_projection" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(NULL AS VARCHAR), 3, 'Colin'),
+        |  ('1st', 4, 'Derrida'),
+        |  ('2nd', 5, 'Eva'),
+        |  ('4th', 7, 'Gem'),
+        |  ('5th', 8, 'Harry'),
+        |  ('7th', 10, 'Julia'),
+        |  ('8th', 11, 'Kella'),
+        |  ('10th', 13, 'Munroe'),
+        |  ('11th', 14, 'Nein'))
+        |AS t("rank", id, name) ORDER BY id""".stripMargin,
+    "c_conformance_datetime_casting" ->
+      """SELECT * FROM (VALUES
+        |  (1, DATE '1999-12-31', 78505000, 78505123, 78505123, 78505123,
+        |   '1999-12-31', '21:48:25', '21:48:25.123', '21:48:25.123', '21:48:25.123'),
+        |  (2, CAST(NULL AS DATE), CAST(NULL AS INT), NULL, NULL, NULL,
+        |   CAST(NULL AS VARCHAR), NULL, NULL, NULL, NULL))
+        |AS t(id, date_0, time_0, time_3, time_6, time_9,
+        |     date_0_str, time_0_str, time_3_str, time_6_str, time_9_str)
+        |ORDER BY id""".stripMargin,
+    "c_conformance_delete_as_insert" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, 'default_namespace', 'default_schema', 'mytable1', '+I'),
+        |  ('mytable1', 2, 'Bob', 30, 'default_namespace', 'default_schema', 'mytable1', '+U'),
+        |  ('mytable2', 3, 'Carol', 15, 'default_namespace', 'default_schema', 'mytable2', '+I'),
+        |  ('mytable2', 4, 'Derrida', 25, 'default_namespace', 'default_schema', 'mytable2', '-D'))
+        |AS t(tbl, id, name, age, namespace_name, schema_name, table_name, event_type)
+        |ORDER BY id""".stripMargin,
+    "c_conformance_logical_functions" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),
+        |   'true,true,true,false,false,true,false,true,false'),
+        |  ('mytable1', 2, 'Bob', 30, NULL,
+        |   'true,true,false,false,true,true,false,true,false'),
+        |  ('mytable2', 3, 'Carol', 15, 'student',
+        |   'true,true,false,false,true,true,false,false,false'))
+        |AS t(tbl, id, name, age, description, logic) ORDER BY id""".stripMargin,
+    "c_conformance_string_functions" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),
+        |   'Dear Alice|5|ALICE|alice|Alice|**ice|A|l|ice|Alice - 1'),
+        |  ('mytable1', 2, 'Bob', 30, NULL,
+        |   'Dear Bob|3|BOB|bob|Bob|**b|B|o|b|Bob - 2'),
+        |  ('mytable2', 3, 'Carol', 15, 'student',
+        |   'Dear Carol|5|CAROL|carol|Carol|Carol|C|a|rol|Carol - 3'))
+        |AS t(tbl, id, name, age, description, strs) ORDER BY id""".stripMargin,
+    "c_conformance_merge_decimal_precisions" ->
+      """SELECT id, name, age, CAST(CAST(v AS DECIMAL(38,19)) AS VARCHAR) AS fav_num FROM (VALUES
+        |  (1, 'Alice', 17, '1'), (2, 'Alice', 17, '22'),
+        |  (3, 'Alice', 17, '3333'), (4, 'Alice', 17, '44444444'),
+        |  (5, 'Alice', 17, '555555555555555'), (6, 'Alice', 17, '66666.66666'),
+        |  (7, 'Alice', 17, '77777777.17'),
+        |  (8, 'Alice', 17, '888888888.8888888888888888888'),
+        |  (101, 'Zen', 19, '1'), (102, 'Zen', 19, '22'),
+        |  (103, 'Zen', 19, '3333'), (104, 'Zen', 19, '44444444'),
+        |  (105, 'Zen', 19, '555555555555555'), (106, 'Zen', 19, '66666.66666'),
+        |  (107, 'Zen', 19, '77777777.17'),
+        |  (108, 'Zen', 19, '888888888.8888888888888888888'))
+        |AS t(id, name, age, v) ORDER BY id""".stripMargin,
+    "c_conformance_merge_temporal_precisions" ->
+      """SELECT * FROM (VALUES
+        |  ('ltz', 3, '2020-01-01T14:28:57Z'),
+        |  ('ltz', 4, '2020-01-01T14:28:57.123456Z'),
+        |  ('ts', 1, '2020-01-01T14:28:57'),
+        |  ('ts', 2, '2020-01-01T14:28:57.123456'))
+        |AS t(fam, id, birthday) ORDER BY fam, id""".stripMargin,
     "c_conformance_calculated_columns" ->
       """SELECT * FROM (VALUES
         |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), '1Alice', 36),
@@ -650,6 +1276,84 @@ object QueriesConformance {
         |  ('mytable1', 2, 'Bob', 30, NULL, '__namespace_name____schema_name____table_name__'),
         |  ('mytable2', 3, 'Carol', 15, 'student', '__namespace_name____schema_name____table_name__'))
         |AS t(tbl, id, name, age, description, string_literal) ORDER BY id""".stripMargin)
+
+  /** Expected values of testNumericCastingsWithTruncation, transcribed
+    * LITERALLY from the ITCase's asserted event strings (:2238-2343) — one
+    * row group of (-1, 0, 1, 2) per cast target, nine cast columns each.
+    * The strings below are the reference's own printed values; only the
+    * VALUES-table formatting is generated.
+    */
+  private def numericCastingsOracle: String = {
+    val N = null: String
+    def g(rows: Seq[String]*): Seq[Seq[String]] = rows.toSeq
+    val allNull = Seq(N, N, N, N, N, N, N, N, N)
+    val intLike = g(
+      Seq("-2", "-3", "-4", "-5", "-6", "-8", "-10", "-12", N),
+      Seq("0", "0", "0", "0", "0", "0", "0", "0", N),
+      Seq("2", "3", "4", "5", "6", "8", "10", "12", N),
+      allNull)
+    val expected: Seq[(String, Seq[Seq[String]])] = Seq(
+      "*" -> g(
+        Seq("-2", "-3", "-4", "-5", "-6.7", "-8.9", "-10.11", "-12.13", "foo"),
+        Seq("0", "0", "0", "0", "0.0", "0.0", "0.00", "0", "bar"),
+        Seq("2", "3", "4", "5", "6.7", "8.9", "10.11", "12.13", "baz"),
+        allNull),
+      "BOOLEAN" -> g(
+        Seq("true", "true", "true", "true", "true", "true", "true", "false", "false"),
+        Seq("false", "false", "false", "false", "false", "false", "false", "false", "false"),
+        Seq("true", "true", "true", "true", "true", "true", "true", "false", "false"),
+        allNull),
+      "TINYINT" -> intLike,
+      "SMALLINT" -> intLike,
+      "INT" -> intLike,
+      "BIGINT" -> intLike,
+      "FLOAT" -> g(
+        Seq("-2.0", "-3.0", "-4.0", "-5.0", "-6.7", "-8.9", "-10.11", "-12.13", N),
+        Seq("0.0", "0.0", "0.0", "0.0", "0.0", "0.0", "0.0", "0.0", N),
+        Seq("2.0", "3.0", "4.0", "5.0", "6.7", "8.9", "10.11", "12.13", N),
+        allNull),
+      "DOUBLE" -> g(
+        Seq("-2.0", "-3.0", "-4.0", "-5.0", "-6.699999809265137", "-8.9", "-10.11", "-12.13", N),
+        Seq("0.0", "0.0", "0.0", "0.0", "0.0", "0.0", "0.0", "0.0", N),
+        Seq("2.0", "3.0", "4.0", "5.0", "6.699999809265137", "8.9", "10.11", "12.13", N),
+        allNull),
+      "DECIMAL(1, 0)" -> g(
+        Seq("-2", "-3", "-4", "-5", "-7", "-9", N, N, N),
+        Seq("0", "0", "0", "0", "0", "0", "0", "0", N),
+        Seq("2", "3", "4", "5", "7", "9", N, N, N),
+        allNull),
+      "DECIMAL(2, 0)" -> g(
+        Seq("-2", "-3", "-4", "-5", "-7", "-9", "-10", "-12", N),
+        Seq("0", "0", "0", "0", "0", "0", "0", "0", N),
+        Seq("2", "3", "4", "5", "7", "9", "10", "12", N),
+        allNull),
+      "DECIMAL(3, 1)" -> g(
+        Seq("-2.0", "-3.0", "-4.0", "-5.0", "-6.7", "-8.9", "-10.1", "-12.1", N),
+        Seq("0.0", "0.0", "0.0", "0.0", "0.0", "0.0", "0.0", "0.0", N),
+        Seq("2.0", "3.0", "4.0", "5.0", "6.7", "8.9", "10.1", "12.1", N),
+        allNull),
+      "DECIMAL(19, 10)" -> g(
+        Seq("-2.0000000000", "-3.0000000000", "-4.0000000000", "-5.0000000000",
+          "-6.7000000000", "-8.9000000000", "-10.1100000000", "-12.1300000000", N),
+        Seq("0.0000000000", "0.0000000000", "0.0000000000", "0.0000000000",
+          "0.0000000000", "0.0000000000", "0.0000000000", "0.0000000000", N),
+        Seq("2.0000000000", "3.0000000000", "4.0000000000", "5.0000000000",
+          "6.7000000000", "8.9000000000", "10.1100000000", "12.1300000000", N),
+        allNull))
+    val ids = Seq(-1, 0, 1, 2)
+    def sqlStr(v: String) = if (v == null) "NULL" else s"'${v.replace("'", "''")}'"
+    val valueRows = expected.flatMap { case (tg, rows) =>
+      rows.zip(ids).map { case (vs, id) =>
+        (Seq(s"$id") ++ vs.map(sqlStr) :+ sqlStr(tg)).mkString("(", ", ", ")")
+      }
+    }
+    s"""SELECT CAST(id AS BIGINT) AS id, tiny_c, small_c, int_c, bigint_c, float_c,
+       |  double_c, decimal_c, valid_char_c, invalid_char_c, cast_to
+       |FROM (VALUES
+       |${valueRows.mkString(",\n")})
+       |AS t(id, tiny_c, small_c, int_c, bigint_c, float_c, double_c, decimal_c,
+       |     valid_char_c, invalid_char_c, cast_to) ORDER BY cast_to, id""".stripMargin
+  }
 
   /** Final state of generateSchemaEvolutionEvents under EVOLVE (identical for
     * the vanilla and wildcard-transform pipelines — ITCase asserts the same

@@ -1105,7 +1105,12 @@ object QueriesCore {
       // CliFrontend.java:67-88): a YAML definition FILE on disk, a global
       // config merged under it, the manifest-stamped checkpoint, transform +
       // route, and the parquet sink — the full user entry path, oracled
-      // against the equivalent SQL over the same table
+      // against the equivalent SQL over the same table.
+      // The filter spells CAST(2 AS BIGINT): the dialect's `=`/`<>` is Java
+      // object equality (SystemFunctionUtils.valueEquals:754), so a BIGINT
+      // column never equals a bare INT literal — the untyped spelling would
+      // be a no-op filter in the reference too (see graft.functions
+      // .StrictEquality and c_conformance_comparison_functions)
       import graft.pipeline.CliFrontend
       import graft.sources.cdc.{ChangeSourceRegistry, ScriptedChangeSource}
       val nation = t(s, dir, "nation")
@@ -1136,7 +1141,7 @@ object QueriesCore {
              |transform:
              |  - source-table: tpch.\\.*
              |    projection: "*, UPPER(n_name) AS uname"
-             |    filter: "n_regionkey <> 2"
+             |    filter: "n_regionkey <> CAST(2 AS BIGINT)"
              |route:
              |  - source-table: tpch.nation
              |    sink-table: tpch.nation_out
@@ -1925,12 +1930,16 @@ object QueriesCore {
         |  CAST(CAST(o_orderkey AS TINYINT) AS INT) AS key_i8
         |FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""".stripMargin,
     "t_metadata" ->
+      // __data_event_type__ carries the reference's RowKind tokens
+      // (DataChangeEvent.opTypeString:82-93), not full op names: +I / +U /
+      // -D; REPLACE (outside the reference's op set) renders as the upsert
+      // after-image token +U
       """SELECT event_id AS seq, '' AS "__namespace_name__", 'app' AS "__schema_name__",
         |  'events' AS "__table_name__",
-        |  CASE WHEN event_type='signup' THEN 'INSERT'
-        |       WHEN event_type='purchase' THEN 'REPLACE'
-        |       WHEN event_type='error' THEN 'DELETE'
-        |       ELSE 'UPDATE' END AS "__data_event_type__"
+        |  CASE WHEN event_type='signup' THEN '+I'
+        |       WHEN event_type='purchase' THEN '+U'
+        |       WHEN event_type='error' THEN '-D'
+        |       ELSE '+U' END AS "__data_event_type__"
         |FROM events ORDER BY seq""".stripMargin,
     "t_soft_delete" -> (evCte +
       """SELECT CASE WHEN op='DELETE' THEN 'INSERT' ELSE op END AS op,

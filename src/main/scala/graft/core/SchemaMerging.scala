@@ -174,13 +174,21 @@ object SchemaMerging {
       case (name, t) if beforeMap.get(name).exists(b => b != t) =>
         name -> t
     }.toMap
-    val added = after.filter { case (name, _) => !beforeMap.contains(name) }
+    // Added columns carry an EXPLICIT anchor — AFTER the preceding
+    // after-schema column (FIRST when leading), exactly
+    // `getSchemaDifference:209-234`; and the AddColumnEvent precedes the
+    // AlterColumnTypeEvent (:237-244) — the derived-event order the
+    // composer ITCases assert (`FlinkPipelineComposerITCase.java:838-839`).
+    val added = after.zipWithIndex.collect {
+      case ((name, t), i) if !beforeMap.contains(name) =>
+        val pos =
+          if (i == 0) AddColumnEvent.First
+          else AddColumnEvent.After(after(i - 1)._1)
+        AddColumnEvent.ColumnWithPosition(name, t, pos)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[SchemaChangeEvent]
+    if (added.nonEmpty) out += AddColumnEvent(tableId, added)
     if (altered.nonEmpty) out += AlterColumnTypeEvent(tableId, altered)
-    if (added.nonEmpty)
-      out += AddColumnEvent(
-        tableId,
-        added.map { case (n, t) => AddColumnEvent.ColumnWithPosition(n, t) })
     out.toSeq
   }
 

@@ -22,8 +22,9 @@ object Dialect {
     */
   def translate(sql0: String, epochTimeColumn: Option[String] = None): String = {
     // pre-pass: LIKE <literal> ESCAPE '<c>' needs the pattern literal, so it
-    // resolves BEFORE literal segmentation (see foldLikeEscape)
-    val sql = foldLikeEscape(sql0)
+    // resolves BEFORE literal segmentation (see foldLikeEscape); CAST
+    // rewriting is also literal-aware and recursive, so it runs on raw SQL
+    val sql = rewriteCasts(foldLikeEscape(sql0))
     // split into string-literal and non-literal segments; rewrite only outside
     val out = new StringBuilder
     var i = 0
@@ -74,6 +75,91 @@ object Dialect {
       }
       scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '${sb.toString}'")
     })
+  }
+
+  /** Rewrite dialect CASTs (recursive, string-literal-aware):
+    *
+    *  - `CAST(x AS VARCHAR)` / `VARCHAR(n)` / `CHAR(n)` → `CAST(x AS STRING)`
+    *    (Spark has no bare VARCHAR; the reference's `castToString` never
+    *    truncates to the declared length, so STRING is exact);
+    *  - `CAST(x AS <numeric|BOOLEAN>)` → `graft_cast(x, '<TYPE>')` — the
+    *    never-throwing dialect cast ([[DialectCastExpr]]); Spark's ANSI CAST
+    *    (default since 4.0) would raise where the reference yields NULL.
+    *
+    * Other target types (DATE, TIMESTAMP, STRING, ...) keep native CAST.
+    */
+  private[functions] def rewriteCasts(sql: String): String = {
+    val dialectTarget =
+      "(?i)^(TINYINT|SMALLINT|INT|INTEGER|BIGINT|FLOAT|DOUBLE|BOOLEAN|(?:DECIMAL|NUMERIC|DEC)\\s*(?:\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)$".r
+    val varcharTarget = "(?i)^(?:VARCHAR|CHAR)\\s*(?:\\(\\s*\\d+\\s*\\))?$".r
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') inStr = false // '' escape: next quote re-enters below
+        i += 1
+      } else if (c == '\'') { out.append(c); inStr = true; i += 1 }
+      else if ((c == 'C' || c == 'c') && sql.regionMatches(true, i, "CAST", 0, 4) &&
+          (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_') &&
+          { var j = i + 4; while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+            j < sql.length && sql.charAt(j) == '(' }) {
+        var j = i + 4
+        while (sql.charAt(j).isWhitespace) j += 1
+        val open = j
+        // find the matching close paren, literal-aware
+        var depth = 0; var k = open; var lit = false; var close = -1
+        while (k < sql.length && close < 0) {
+          val ch = sql.charAt(k)
+          if (lit) { if (ch == '\'') lit = false }
+          else ch match {
+            case '\'' => lit = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (close < 0) { out.append(c); i += 1 } // malformed: leave as-is
+        else {
+          val inner = sql.substring(open + 1, close)
+          // last top-level ` AS ` outside literals/parens
+          var asIdx = -1
+          var d2 = 0; var lit2 = false; var m = 0
+          while (m + 3 <= inner.length) {
+            val ch = inner.charAt(m)
+            if (lit2) { if (ch == '\'') lit2 = false; m += 1 }
+            else ch match {
+              case '\'' => lit2 = true; m += 1
+              case '(' | '[' => d2 += 1; m += 1
+              case ')' | ']' => d2 -= 1; m += 1
+              case _ =>
+                if (d2 == 0 && inner.regionMatches(true, m, "AS", 0, 2) &&
+                    (m == 0 || inner.charAt(m - 1).isWhitespace) &&
+                    m + 2 < inner.length && inner.charAt(m + 2).isWhitespace)
+                  asIdx = m
+                m += 1
+            }
+          }
+          if (asIdx < 0) { out.append(sql.substring(i, close + 1)); i = close + 1 }
+          else {
+            val operand = rewriteCasts(inner.substring(0, asIdx).trim)
+            val target = inner.substring(asIdx + 2).trim
+            val rewritten = target match {
+              case varcharTarget() => s"CAST($operand AS STRING)"
+              case dialectTarget(t) =>
+                s"graft_cast($operand, '${t.replaceAll("\\s+", "").toUpperCase}')"
+              case other => s"CAST($operand AS $other)"
+            }
+            out.append(rewritten)
+            i = close + 1
+          }
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private def rewriteSegment(s: String, epochCol: Option[String]): String = {

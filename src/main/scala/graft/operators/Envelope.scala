@@ -95,8 +95,21 @@ object Envelope {
         SchemaName,
         when(n === 3, parts.getItem(1)).when(n === 2, parts.getItem(0)).otherwise(lit("")))
       .withColumn(TableName, element_at(parts, -1))
-      .withColumn(DataEventType, col(OpCol))
+      .withColumn(DataEventType, opTypeToken(col(OpCol), isAfter = true))
   }
+
+  /** `__data_event_type__` values are the reference's per-image RowKind
+    * tokens (`DataChangeEvent.opTypeString:82-93`,
+    * `FlinkPipelineTransformITCase.testConvertDeleteAsInsert` expects `+I`,
+    * `-U`/`+U`, `-D`), NOT full op names. REPLACE (absent from the
+    * reference's op set — its opTypeString throws on it) renders as the
+    * upsert after-image token instead of faulting the pipeline.
+    */
+  def opTypeToken(op: Column, isAfter: Boolean): Column =
+    when(op === "INSERT", lit("+I"))
+      .when(op === "UPDATE", lit(if (isAfter) "+U" else "-U"))
+      .when(op === "DELETE", lit("-D"))
+      .otherwise(lit("+U"))
 
   /** `SoftDeleteConverter` (`transform/converter/SoftDeleteConverter.java:28-40`):
     * rewrite DELETE into an INSERT of the before-image so soft-delete sinks keep

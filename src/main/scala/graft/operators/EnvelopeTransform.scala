@@ -30,37 +30,78 @@ object EnvelopeTransform {
       case None => payloadFields
     }
     val aliasOf = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
-    exprs.map { e =>
+    val pairs = exprs.map { e =>
       aliasOf.findFirstMatchIn(e) match {
         case Some(m) => m.group(1) -> e.substring(0, m.start)
         case None => e -> e
       }
     }
+    // Shading: a later projection column with the SAME output name REPLACES
+    // the earlier one AT THE EARLIER POSITION (generateProjectionColumns,
+    // TransformParser.java:370-380) — `*, 0.5 + CAST(col1 AS DOUBLE) AS col1`
+    // redefines col1 in place instead of emitting a duplicate struct field.
+    val firstIdx = scala.collection.mutable.HashMap.empty[String, Int]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    pairs.foreach { case p @ (name, _) =>
+      firstIdx.get(name) match {
+        case Some(i) => kept(i) = p
+        case None => firstIdx(name) = kept.size; kept += p
+      }
+    }
+    kept.toSeq
   }
 
-  private def withMeta(df: DataFrame, tableId: TableId): DataFrame = df
+  /** Parse a dialect expression with the reference's type-strict equality
+    * ([[graft.functions.StrictEquality]]) — operand types resolved against
+    * the payload schema; unknown names (metadata/computed columns) are left
+    * to Spark's native semantics.
+    */
+  private def dExpr(
+      df: DataFrame, sql: String, payload: StructType): Column =
+    graft.functions.StrictEquality.parse(df.sparkSession, sql,
+      n => payload.fields.find(_.name == n).map(_.dataType),
+      timeTagged = n => payload.fields.find(_.name == n).exists(
+        _.metadata.contains(graft.functions.DialectCastExpr.TimeTypeKey)))
+
+  /** `isAfter` picks the RowKind token side — the reference computes
+    * `__data_event_type__` PER IMAGE (`PostTransformOperator.java:285-311`:
+    * beforeOp for the before projection, afterOp for the after), so an
+    * UPDATE's before-image reads `-U` and its after-image `+U`.
+    */
+  private def withMeta(df: DataFrame, tableId: TableId, isAfter: Boolean): DataFrame = df
     .withColumn(Envelope.NamespaceName, lit(tableId.namespace))
     .withColumn(Envelope.SchemaName, lit(tableId.schemaName))
     .withColumn(Envelope.TableName, lit(tableId.tableName))
-    .withColumn(Envelope.DataEventType, col(Envelope.OpCol))
+    .withColumn(Envelope.DataEventType,
+      Envelope.opTypeToken(col(Envelope.OpCol), isAfter))
 
   /** The DELETE-aware image with payload columns flattened to bare names and
     * the rule's computed columns in scope — the frame both the filter and the
     * acceptance predicate evaluate against. `keep` columns pass through. */
   private def filterFrame(
       env: DataFrame, rule: TransformRule, tableId: TableId,
-      payloadFields: Seq[String], keep: Seq[String]): DataFrame = {
+      payload: StructType, keep: Seq[String]): DataFrame = {
+    val payloadFields = payload.fieldNames.toSeq
     val img = when(col(Envelope.OpCol) === "DELETE", col(Envelope.BeforeCol))
       .otherwise(col(Envelope.AfterCol))
-    val flat = withMeta(env.withColumn("__img", img), tableId)
+    // the filter evaluates on the DELETE-aware image: after for
+    // INSERT/UPDATE (+I/+U), before for DELETE (-D) — isAfter tokens
+    // already render DELETE as -D
+    val flat = withMeta(env.withColumn("__img", img), tableId, isAfter = true)
       .select((keep.map(col) :+ col("__img")) ++ Envelope.MetadataColumns.map(col) ++
         payloadFields.map(n => col(s"__img.$n").as(n)): _*)
-    projectionExprs(rule, payloadFields).foldLeft(flat) { case (d, (name, e)) =>
-      if (d.columns.contains(name)) d else d.withColumn(name, expr(e))
-    }
+    // computed columns (incl. SHADED redefinitions of payload names) evaluate
+    // against the ORIGINAL flat frame in one select — the filter then sees
+    // the post-projection value uniformly (`col1 > 1.5` against the shaded
+    // double col1, testShadeOriginalColumnsWithDifferentType:2778)
+    val computed = projectionExprs(rule, payloadFields).filter { case (n, e) => n != e }
+    flat.select(
+      flat.columns.filterNot(c => computed.exists(_._1 == c)).map(col).toSeq ++
+        computed.map { case (n, e) => dExpr(flat, e, payload).as(n) }: _*)
   }
 
   def apply(env: DataFrame, rule: TransformRule, tableId: TableId): DataFrame = {
+    graft.functions.DialectCastExpr.ensureRegistered(env.sparkSession)
     val payload = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
     val payloadFields = payload.fieldNames.toSeq
     require(
@@ -72,14 +113,14 @@ object EnvelopeTransform {
     // ---- filter: evaluate on the DELETE-aware image, computed cols visible --
     val filtered = rule.filter match {
       case Some(f) =>
-        filterFrame(env, rule, tableId, payloadFields, EnvCols)
-          .filter(expr(f)).select(EnvCols.map(col): _*)
+        filterFrame(env, rule, tableId, payload, EnvCols)
+          .filter(dExpr(env, f, payload)).select(EnvCols.map(col): _*)
       case None => env
     }
 
     // ---- projection: re-project each image through the expressions ----------
     def projectImage(df: DataFrame, imageCol: String): DataFrame = {
-      val flat = withMeta(df, tableId)
+      val flat = withMeta(df, tableId, isAfter = imageCol == Envelope.AfterCol)
         .select((df.columns.map(col).toSeq :+ lit(1).as("__one")) ++
           Envelope.MetadataColumns.map(col) ++
           payloadFields.map(n => col(s"$imageCol.$n").as(s"__f_$n")): _*)
@@ -88,7 +129,8 @@ object EnvelopeTransform {
       val packed = scoped.withColumn(
         s"__new_$imageCol",
         when(col(imageCol).isNotNull,
-          struct(projExprs.map { case (name, e) => expr(e).as(name) }.toIndexedSeq: _*)))
+          struct(projExprs.map { case (name, e) =>
+            dExpr(df, e, payload).as(name) }.toIndexedSeq: _*)))
       packed.select(df.columns.map {
         case c if c == imageCol => col(s"__new_$imageCol").as(imageCol)
         case c => col(c)
@@ -112,10 +154,10 @@ object EnvelopeTransform {
     rule.filter match {
       case None => env.withColumn(outCol, lit(true))
       case Some(f) =>
+        graft.functions.DialectCastExpr.ensureRegistered(env.sparkSession)
         val payload = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
-        val payloadFields = payload.fieldNames.toSeq
-        val accepted: Column = coalesce(expr(f).cast("boolean"), lit(false))
-        filterFrame(env, rule, tableId, payloadFields, env.columns.toSeq)
+        val accepted: Column = coalesce(dExpr(env, f, payload).cast("boolean"), lit(false))
+        filterFrame(env, rule, tableId, payload, env.columns.toSeq)
           .withColumn(outCol, accepted)
           .select((env.columns.toSeq :+ outCol).map(col): _*)
     }

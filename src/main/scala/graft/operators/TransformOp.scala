@@ -80,8 +80,16 @@ object TransformOp {
       rows: DataFrame,
       rule: TransformRule,
       tableId: Option[TableId] = None,
-      opLiteral: String = "INSERT"): DataFrame = {
+      opLiteral: String = "+I"): DataFrame = {
+    graft.functions.DialectCastExpr.ensureRegistered(rows.sparkSession)
     val physical = rows.columns.toSeq
+    // dialect expression parse with type-strict equality (StrictEquality):
+    // operand types resolved against the input row schema
+    def dExpr(sql: String): org.apache.spark.sql.Column =
+      graft.functions.StrictEquality.parse(rows.sparkSession, sql,
+        n => rows.schema.fields.find(_.name == n).map(_.dataType),
+        timeTagged = n => rows.schema.fields.find(_.name == n).exists(
+          _.metadata.contains(graft.functions.DialectCastExpr.TimeTypeKey)))
     // make metadata columns referenceable
     val withMeta = tableId match {
       case Some(t) =>
@@ -92,9 +100,28 @@ object TransformOp {
           .withColumn(Envelope.DataEventType, lit(opLiteral))
       case None => rows
     }
-    val projExprs = rule.projection match {
+    val rawExprs = rule.projection match {
       case Some(p) => expandProjection(p, physical)
       case None => physical
+    }
+    // Shading: a later projection column with the SAME output name REPLACES
+    // the earlier one AT THE EARLIER POSITION (the reference's
+    // `generateProjectionColumns`, TransformParser.java:370-380) — so
+    // `*, 0.5 + CAST(col1 AS DOUBLE) AS col1` redefines col1 in place,
+    // possibly with a different type, instead of emitting a duplicate
+    // (`FlinkPipelineTransformITCase.testShadeOriginalColumnsWithDifferentType:2755`).
+    val shadeAlias = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    val projExprs: Seq[String] = {
+      val firstIdx = scala.collection.mutable.HashMap.empty[String, Int]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      rawExprs.foreach { e =>
+        val n = shadeAlias.findFirstMatchIn(e).map(_.group(1)).getOrElse(e.trim)
+        firstIdx.get(n) match {
+          case Some(i) => kept(i) = e
+          case None => firstIdx(n) = kept.size; kept += e
+        }
+      }
+      kept.toSeq
     }
     // computed columns must be visible to the filter: extend, filter, then
     // narrow. A redefinition like `UPPER(name) AS name` OVERWRITES the
@@ -109,7 +136,7 @@ object TransformOp {
     val aliasOf = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     val aliased: Seq[(String, org.apache.spark.sql.Column)] = projExprs.flatMap { e =>
       aliasOf.findFirstMatchIn(e).map(m =>
-        m.group(1) -> expr(e.substring(0, m.start)))
+        m.group(1) -> dExpr(e.substring(0, m.start)))
     }
     val aliasNames = aliased.map(_._1).toSet
     // non-aliased expressions compute in the SAME single select, under
@@ -120,7 +147,7 @@ object TransformOp {
     val nonAliased: Seq[(Int, org.apache.spark.sql.Column)] =
       projExprs.zipWithIndex.collect {
         case (e, i) if aliasOf.findFirstMatchIn(e).isEmpty =>
-          i -> expr(e)
+          i -> dExpr(e)
       }
     def internal(i: Int) = s"__graft_p$i"
     val extended = withMeta.select(
@@ -128,7 +155,7 @@ object TransformOp {
         aliased.map { case (n, c) => c.as(n) } ++
         nonAliased.map { case (i, c) => c.as(internal(i)) }): _*)
     val filtered = rule.filter match {
-      case Some(f) => extended.filter(expr(f))
+      case Some(f) => extended.filter(dExpr(f))
       case None => extended
     }
     val outNames = projExprs.map { e =>

@@ -40,13 +40,22 @@ final class PipelineComposer(
     excludedTypes = SchemaChangeEventType.ValueSet(
       pdef.sink.excludeSchemaChanges.flatMap(SchemaChangeEventType.ofTag): _*))
 
-  /** ALL transform rules matching a table, in definition order — the
+  /** The EFFECTIVE transform rules for a table, in definition order — the
     * reference's PostTransformOperator keeps a LIST of transformers per
     * table and dispatches each record to the first whose filter accepts it
-    * (`PostTransformOperator.java:164,288-345`).
+    * (`PostTransformOperator.java:164,288-345`). First-match truncation per
+    * `getEffectiveTransformers` (`PostTransformOperator.java:399-414`): a
+    * matching rule WITHOUT a filter accepts everything, so any later rule
+    * can never fire — it is excluded from the effective list entirely,
+    * which is what lets a specific rule + catch-all fallback rule project
+    * DIFFERENT shapes for different tables
+    * (`FlinkPipelineTransformITCase.testTransformWithFallbackRules:1175`).
     */
-  private def rulesFor(tableId: TableId): Seq[TransformRule] =
-    pdef.transforms.filter(_.matches(tableId))
+  private def rulesFor(tableId: TableId): Seq[TransformRule] = {
+    val matching = pdef.transforms.filter(_.matches(tableId))
+    val unconditional = matching.indexWhere(_.filter.isEmpty)
+    if (unconditional < 0) matching else matching.take(unconditional + 1)
+  }
 
   private def ruleFor(tableId: TableId): Option[TransformRule] =
     rulesFor(tableId).headOption
@@ -107,6 +116,16 @@ final class PipelineComposer(
     * SOURCE table id; the evolution driver's registries are sink-keyed.
     */
   private val upstreamSchemas = new SchemaManager
+
+  /** RAW (pre-transform) source schemas — the reference's
+    * `PostTransformChangeInfo.preTransformedSchema`. Needed to anchor
+    * FIRST/LAST add-column positions when a wildcard projection carries
+    * computed columns: the added column must land at the PRE-transform
+    * schema's boundary, not outside the wildcard span
+    * (`FlinkPipelineTransformITCase.testPreAsteriskWithSchemaEvolution:1600`
+    * expects `rank FIRST` → `BEFORE id` and `gender LAST` → `AFTER age`).
+    */
+  private val preTransformSchemas = new SchemaManager
 
   /** Register source tables by running their CreateTableEvents through the
     * normal schema-change path — exactly how the reference's sources announce
@@ -235,6 +254,30 @@ final class PipelineComposer(
       e match {
         case ev: CreateTableEvent =>
           Some(ev.copy(schema = transformedSchema(tableId, ev.schema)))
+        case ev: AddColumnEvent if allWildcard =>
+          // Computed columns ride before/after the wildcard's expansion, so
+          // FIRST/LAST must anchor to the PRE-transform schema's boundary
+          // columns — otherwise the sink would slot the new column outside
+          // the wildcard span (e.g. after a trailing computed column). The
+          // reference rewrites them to BEFORE/AFTER of the pre-schema's
+          // first/last column (testPreAsteriskWithSchemaEvolution:1600,
+          // testPostAsteriskWithSchemaEvolution:1695 expected events).
+          val hasComputed = rules.exists(_.projection.exists(p =>
+            TransformOp.splitProjection(p).exists(_.trim != "*")))
+          val preNames = preTransformSchemas.latest(tableId)
+            .map(_.struct.fieldNames.toSeq).filter(_.nonEmpty)
+          val rewritten = preNames.filter(_ => hasComputed).map { names =>
+            ev.copy(columns = ev.columns.map { c =>
+              c.position match {
+                case AddColumnEvent.First =>
+                  c.copy(position = AddColumnEvent.Before(names.head))
+                case AddColumnEvent.Last =>
+                  c.copy(position = AddColumnEvent.After(names.last))
+                case _ => c
+              }
+            })
+          }.getOrElse(ev)
+          Some(rewritten)
         case _ if allWildcard => Some(e)
         case _: AddColumnEvent => None // a fixed projection cannot grow
         case ev: DropColumnEvent =>
@@ -277,7 +320,9 @@ final class PipelineComposer(
     * (see [[SchemaDerivator.isRedundant]] for why only creates).
     */
   def processSchemaChange(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
-    throughTransform(event.tableId, event).toSeq.flatMap { projected =>
+    // throughTransform anchors FIRST/LAST add positions against the
+    // pre-transform schema BEFORE this event, so project first, track after
+    val result = throughTransform(event.tableId, event).toSeq.flatMap { projected =>
       if (projected.isInstanceOf[CreateTableEvent] &&
           SchemaDerivator.isRedundant(upstreamSchemas.latest(projected.tableId), projected))
         Seq.empty
@@ -288,6 +333,16 @@ final class PipelineComposer(
         }
       }
     }
+    // track the RAW schema after projection consumed the pre-event anchor.
+    // A CREATE for a KNOWN table is a source re-announce (runHandlingDdl
+    // re-creates tables from the source's LIVE schema on every restart) —
+    // re-registering it would fast-forward this registry past events still
+    // parked in the log, corrupting later position anchors.
+    event match {
+      case c: CreateTableEvent if preTransformSchemas.latest(c.tableId).isDefined => ()
+      case e => scala.util.Try(preTransformSchemas.applySchemaChange(e))
+    }
+    result
   }
 
   private def reRoute(e: SchemaChangeEvent, to: TableId): SchemaChangeEvent = e match {

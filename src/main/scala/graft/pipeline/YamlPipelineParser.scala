@@ -72,8 +72,12 @@ object YamlPipelineParser {
     val transforms = asList(root.getOrElse("transform", null)).map { t =>
       TransformRule(
         requireStr(t, "source-table", "transform"),
-        str(t, "projection"),
-        str(t, "filter"),
+        // YAML expressions are in the REFERENCE's dialect (LIKE-as-regex,
+        // never-throwing CAST, bare VARCHAR, ...) — translate to Spark SQL
+        // here, at the same boundary where the reference's TransformParser
+        // consumes them
+        str(t, "projection").map(graft.functions.Dialect.translate(_)),
+        str(t, "filter").map(graft.functions.Dialect.translate(_)),
         csv(str(t, "primary-keys")),
         csv(str(t, "partition-keys")),
         str(t, "table-options")

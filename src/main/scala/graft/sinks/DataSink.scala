@@ -78,7 +78,22 @@ final class MemoryDatabase extends DataSink {
   private val tables =
     scala.collection.mutable.Map.empty[TableId, (TableSchema, scala.collection.mutable.LinkedHashMap[Seq[Any], Seq[Any]])]
 
+  /** EFFECTIVE schema-change events in application order, per table — the
+    * derived-event stream the reference ITCases assert (event order and
+    * column positions, e.g. `FlinkPipelineComposerITCase.java:832-846`), not
+    * just the final shape. Re-announced CREATEs of known tables are not
+    * effective and are not recorded.
+    */
+  private val ddlLog = scala.collection.mutable.ArrayBuffer.empty[SchemaChangeEvent]
+
+  def ddlHistory(t: TableId): Seq[SchemaChangeEvent] =
+    synchronized(ddlLog.filter(_.tableId == t).toSeq)
+
   override def applySchemaChange(event: SchemaChangeEvent): Unit = synchronized {
+    event match {
+      case graft.core.CreateTableEvent(t, _) if tables.contains(t) => ()
+      case _ => ddlLog += event
+    }
     event match {
       case graft.core.CreateTableEvent(t, schema) =>
         if (!tables.contains(t))

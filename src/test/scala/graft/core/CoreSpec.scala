@@ -166,17 +166,27 @@ class SchemaMergingSpec extends AnyFunSuite {
       TableId.parse("db.t"), Map("a" -> IntT(nullable = true)))))
   }
 
-  test("schemaDifference emits AlterColumnType + AddColumn") {
+  test("schemaDifference emits AddColumn (anchored) then AlterColumnType") {
+    // reference getSchemaDifference:209-244 — adds FIRST with explicit
+    // AFTER anchors, then the type widenings (the composer ITCases assert
+    // this derived-event order, FlinkPipelineComposerITCase.java:838-839)
     val t = TableId.parse("db.t")
     val before = Seq("id" -> IntT(), "name" -> StringT())
     val after = Seq("id" -> BigIntT(), "name" -> StringT(), "z" -> DoubleT())
     val events = schemaDifference(t, before, after)
     assert(events.size == 2)
-    assert(events.head == AlterColumnTypeEvent(t, Map("id" -> BigIntT())))
-    assert(events(1) match {
-      case AddColumnEvent(`t`, cols) => cols.map(_.name) == Seq("z")
+    assert(events.head match {
+      case AddColumnEvent(`t`, cols) =>
+        cols.map(c => (c.name, c.position)) ==
+          Seq(("z", AddColumnEvent.After("name")))
       case _ => false
     })
+    assert(events(1) == AlterColumnTypeEvent(t, Map("id" -> BigIntT())))
+    // a LEADING new column anchors FIRST
+    val lead = schemaDifference(t, before,
+      Seq("z" -> DoubleT(), "id" -> IntT(), "name" -> StringT()))
+    assert(lead == Seq(AddColumnEvent(t,
+      Seq(AddColumnEvent.ColumnWithPosition("z", DoubleT(), AddColumnEvent.First)))))
   }
   test("isCompatible") {
     assert(isCompatible(Some(BigIntT()), IntT()))

@@ -9,6 +9,49 @@ import org.scalatest.funsuite.AnyFunSuite
 class DialectSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  test("CAST rewriting: dialect targets to graft_cast, VARCHAR to STRING") {
+    assert(Dialect.translate("CAST(id AS VARCHAR)") == "CAST(id AS STRING)")
+    assert(Dialect.translate("CAST(name AS VARCHAR(17))") == "CAST(name AS STRING)")
+    assert(Dialect.translate("CAST(x AS TINYINT)") == "graft_cast(x, 'TINYINT')")
+    assert(Dialect.translate("CAST(x AS DECIMAL(19, 10))") == "graft_cast(x, 'DECIMAL(19,10)')")
+    // nested: inner cast rewritten inside the outer operand
+    assert(Dialect.translate("CAST(CAST(id AS VARCHAR) || ' -> ' || name AS VARCHAR)") ==
+      "CAST(CAST(id AS STRING) || ' -> ' || name AS STRING)")
+    // non-dialect targets keep native CAST; literals with AS inside stay put
+    assert(Dialect.translate("CAST(d AS DATE)") == "CAST(d AS DATE)")
+    assert(Dialect.translate("CAST('x AS y' AS DOUBLE)") == "graft_cast('x AS y', 'DOUBLE')")
+    // a LIKE inside a cast operand still rewrites
+    assert(Dialect.translate("CAST(name LIKE 'li' AS BOOLEAN)") ==
+      "graft_cast(name RLIKE 'li', 'BOOLEAN')")
+  }
+
+  test("graft_cast: never-throwing reference cast semantics") {
+    DialectCastExpr.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cast('foo', 'TINYINT') AS bad_str,
+        |  graft_cast('12.13', 'INT') AS dec_str,
+        |  graft_cast(-6.7D, 'INT') AS trunc_neg,
+        |  graft_cast('foo', 'BOOLEAN') AS bool_bad,
+        |  graft_cast('TRUE', 'BOOLEAN') AS bool_true,
+        |  graft_cast(2, 'BOOLEAN') AS bool_num,
+        |  graft_cast(CAST(-10.11 AS DECIMAL(10,2)), 'DECIMAL(1,0)') AS dec_overflow,
+        |  graft_cast(CAST(-6.7 AS DECIMAL(10,2)), 'DECIMAL(1,0)') AS dec_round,
+        |  graft_cast(CAST(-6.7 AS FLOAT), 'DOUBLE') AS widen,
+        |  graft_cast(CAST(-6.7 AS FLOAT), 'DECIMAL(19,10)') AS via_str
+        |""".stripMargin).head()
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) == 12)
+    assert(r.getInt(2) == -6)
+    assert(!r.getBoolean(3))
+    assert(r.getBoolean(4))
+    assert(r.getBoolean(5))
+    assert(r.isNullAt(6))
+    assert(r.getDecimal(7).toPlainString == "-7")
+    assert(r.getDouble(8) == -6.699999809265137)
+    assert(r.getDecimal(9).toPlainString == "-6.7000000000")
+  }
+
   test("LIKE and NOT LIKE rewrite to RLIKE outside string literals") {
     assert(Dialect.translate("name LIKE 'a.c'") == "name RLIKE 'a.c'")
     assert(Dialect.translate("name NOT LIKE 'x'") == "name NOT RLIKE 'x'")
