@@ -287,27 +287,7 @@ object QueriesConformance {
             """route:
               |  - source-table: default_schema.mytable\.*
               |    sink-table: default_schema.merged""".stripMargin) { drain =>
-          src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
-          src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
-          src1.append(DataChangeEvent.update(t1,
-            Map("id" -> 2, "name" -> "Bob", "age" -> 20),
-            Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
-          src2.append(DataChangeEvent.insert(t2,
-            Map("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte, "description" -> "student")))
-          src2.append(DataChangeEvent.insert(t2,
-            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
-          src2.append(DataChangeEvent.delete(t2,
-            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
-          drain()
-          src1.appendDdl(RenameColumnEvent(t1, Map("name" -> "last_name")))
-          src2.appendDdl(AddColumnEvent(t2,
-            Seq(AddColumnEvent.ColumnWithPosition("gender", CdcTypes.StringT()))))
-          drain()
-          src1.append(DataChangeEvent.insert(t1,
-            Map("id" -> 5, "last_name" -> "Eliza", "age" -> 24)))
-          src2.append(DataChangeEvent.insert(t2,
-            Map("id" -> 6L, "name" -> "Frank", "age" -> 30.toByte,
-              "description" -> "student", "gender" -> "male")))
+          scriptMergeRoute(src1, t1, src2, t2, drain)
         }
         val merged = TableId.parse("default_schema.merged")
         // the DERIVED event sequence the reference asserts (:832-846):
@@ -322,6 +302,92 @@ object QueriesConformance {
         require(db.schemaOf(merged).exists(
           _.columnNames == Seq("id", "name", "age", "description", "last_name", "gender")),
           s"merged shape per ITCase:819-830, got ${db.schemaOf(merged).map(_.columnNames)}")
+        stateDf(s, db, merged).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineComposerLenientITCase.testMergingWithRoute:684: the SAME
+    // event script as the EVOLVE merge gate, under default-LENIENT — the
+    // derived adds are normalized to position LAST (:745-760 expect
+    // `position=LAST, existedColumnName=null`), and the final materialized
+    // state is identical.
+    "c_conformance_lenient_merge_route" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+        Seq.empty)
+      val (id1, id2) = (freshId("lmerge1"), freshId("lmerge2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "LENIENT",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.mytable\.*
+              |    sink-table: default_schema.merged_lenient""".stripMargin) { drain =>
+          scriptMergeRoute(src1, t1, src2, t2, drain)
+        }
+        val merged = TableId.parse("default_schema.merged_lenient")
+        requireDdlSequence(db, merged, Seq(
+          "create:id,name,age",
+          "add:description",
+          "alter:id->bigint",
+          "add:last_name",
+          "add:gender"))
+        stateDf(s, db, merged).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineComposerLenientITCase.testTransformMergingWithRoute:879:
+    // transform (`*,'last_name' as last_name` on BOTH tables) BEFORE the
+    // route-merge — the computed column rides into the merged schema, the
+    // deduced adds (description, gender) append LAST, id widens.
+    "c_conformance_transform_merge_route" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+        Seq.empty)
+      val (id1, id2) = (freshId("tmerge1"), freshId("tmerge2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "LENIENT",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable\.*
+              |    projection: "*,'last_name' as last_name"
+              |route:
+              |  - source-table: default_schema.mytable\.*
+              |    sink-table: default_schema.merged_transform""".stripMargin) { drain =>
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+          src1.append(DataChangeEvent.update(t1,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+            Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.delete(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          drain()
+          src2.appendDdl(AddColumnEvent(t2,
+            Seq(AddColumnEvent.ColumnWithPosition("gender", CdcTypes.StringT()))))
+          drain()
+          src1.append(DataChangeEvent.insert(t1,
+            Map("id" -> 5, "name" -> "Eliza", "age" -> 24)))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 6L, "name" -> "Frank", "age" -> 30.toByte,
+              "description" -> "student", "gender" -> "male")))
+        }
+        val merged = TableId.parse("default_schema.merged_transform")
+        requireDdlSequence(db, merged, Seq(
+          "create:id,name,age,last_name",
+          "add:description",
+          "alter:id->bigint",
+          "add:gender"))
         stateDf(s, db, merged).orderBy("id")
       }
     }),
@@ -747,6 +813,26 @@ object QueriesConformance {
       (a ++ b).toDF("tbl", "id", "name", "age", "description", "strs").orderBy("id")
     }),
 
+    // FlinkPipelineTransformITCase.testBuiltinArithmeticFunctions:~770:
+    // + - * / % ABS, type-PRESERVING CEIL/FLOOR (DOUBLE in, DOUBLE out —
+    // Spark's would return BIGINT), ROUND, CHAR_LENGTH(UUID()) = 36.
+    "c_conformance_arithmetic_functions" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "arithfn",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, id + 17 AS col1, id - 17 AS col2, id * 17 AS col3, CAST(id AS DOUBLE) / 1.7 AS col4, CAST(id AS INT) % 3 AS col5, ABS(id - 17) AS col6, CEIL(CAST(id AS DOUBLE) / 1.7) AS col7, FLOOR(CAST(id AS DOUBLE) / 1.7) AS col8, ROUND(CAST(id AS DOUBLE) / 1.7, 0) AS col9, CHAR_LENGTH(UUID()) AS col10"""".stripMargin)
+      import s.implicits._
+      def vals(r: Row, from: Int): String =
+        (from until from + 10).map(i => String.valueOf(r.get(i))).mkString(",")
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, vals(r, 3)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), vals(r, 4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "arith").orderBy("id")
+    }),
+
     // FlinkPipelineTransformITCase.testNumericCastingsWithTruncation:2238:
     // the dialect CAST matrix — never throws; integral truncation, lenient
     // string parses, NULL on failure/precision overflow, Boolean.valueOf
@@ -883,6 +969,37 @@ object QueriesConformance {
       (a ++ b).toDF("tbl", "id", "name", "age", "description", "string_literal")
         .orderBy("id")
     }))
+
+  /** testMergingWithRoute's event script (FlinkPipelineComposerITCase
+    * :653-780, reused verbatim by the LENIENT variant :684): two tables'
+    * traffic, then mytable1's name→last_name RENAME + mytable2's ADD gender,
+    * then post-DDL inserts.
+    */
+  private def scriptMergeRoute(
+      src1: ScriptedChangeSource, t1: TableId,
+      src2: ScriptedChangeSource, t2: TableId, drain: () => Unit): Unit = {
+    src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+    src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+    src1.append(DataChangeEvent.update(t1,
+      Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+      Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+    src2.append(DataChangeEvent.insert(t2,
+      Map("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte, "description" -> "student")))
+    src2.append(DataChangeEvent.insert(t2,
+      Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+    src2.append(DataChangeEvent.delete(t2,
+      Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+    drain()
+    src1.appendDdl(RenameColumnEvent(t1, Map("name" -> "last_name")))
+    src2.appendDdl(AddColumnEvent(t2,
+      Seq(AddColumnEvent.ColumnWithPosition("gender", CdcTypes.StringT()))))
+    drain()
+    src1.append(DataChangeEvent.insert(t1,
+      Map("id" -> 5, "last_name" -> "Eliza", "age" -> 24)))
+    src2.append(DataChangeEvent.insert(t2,
+      Map("id" -> 6L, "name" -> "Frank", "age" -> 30.toByte,
+        "description" -> "student", "gender" -> "male")))
+  }
 
   /** generateSchemaEvolutionEvents (FlinkPipelineTransformITCase:3118-3245):
     * the five-stage add/alter/rename/drop script with per-stage traffic.
@@ -1116,6 +1233,24 @@ object QueriesConformance {
     "c_conformance_schema_evolution" -> schemaEvolutionOracle,
     "c_conformance_wildcard_evolution" -> schemaEvolutionOracle,
     "c_conformance_unmatched_evolution" -> schemaEvolutionOracle,
+    // identical final state to the EVOLVE merge (LenientITCase:745-760
+    // asserts the same rows; only the derived-event POSITIONS differ)
+    "c_conformance_lenient_merge_route" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (2, 'Bob', 30, NULL, NULL, NULL),
+        |  (3, 'Charlie', 15, 'student', NULL, NULL),
+        |  (5, NULL, 24, NULL, 'Eliza', NULL),
+        |  (6, 'Frank', 30, 'student', NULL, 'male'))
+        |AS t(id, name, age, description, last_name, gender) ORDER BY id""".stripMargin,
+    "c_conformance_transform_merge_route" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Alice', 18, 'last_name', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (2, 'Bob', 30, 'last_name', NULL, NULL),
+        |  (3, 'Charlie', 15, 'last_name', 'student', NULL),
+        |  (5, 'Eliza', 24, 'last_name', NULL, NULL),
+        |  (6, 'Frank', 30, 'last_name', 'student', 'male'))
+        |AS t(id, name, age, last_name, description, gender) ORDER BY id""".stripMargin,
     "c_conformance_fallback_rules" ->
       """SELECT * FROM (VALUES
         |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), 'rule_1_matched'),
@@ -1171,6 +1306,16 @@ object QueriesConformance {
         |   'false,true,true,true,false,true,false,true,true,false,false,true,true,false'))
         |AS t(tbl, id, name, age, description, cmp) ORDER BY id""".stripMargin,
     "c_conformance_numeric_castings" -> numericCastingsOracle,
+    // values transcribed from the ITCase's asserted rows (col1..col10)
+    "c_conformance_arithmetic_functions" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),
+        |   '18,-16,17,0.5882352941176471,1,16,1.0,0.0,1.0,36'),
+        |  ('mytable1', 2, 'Bob', 30, NULL,
+        |   '19,-15,34,1.1764705882352942,2,15,2.0,1.0,1.0,36'),
+        |  ('mytable2', 3, 'Carol', 15, 'student',
+        |   '20,-14,51,1.7647058823529411,0,14,2.0,1.0,2.0,36'))
+        |AS t(tbl, id, name, age, description, arith) ORDER BY id""".stripMargin,
     "c_conformance_filter_no_projection" ->
       """SELECT * FROM (VALUES
         |  (CAST(NULL AS VARCHAR), 3, 'Colin'),

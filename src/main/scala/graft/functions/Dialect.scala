@@ -182,6 +182,11 @@ object Dialect {
     }
     // TIMESTAMP_DIFF alias (reference registers both spellings)
     r = r.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")
+    // type-PRESERVING ceil/floor (SystemFunctionUtils.java:594-675 returns
+    // the operand's own type; Spark's return BIGINT for doubles)
+    r = r.replaceAll("(?i)\\bCEIL\\s*\\(", "graft_ceil(")
+    r = r.replaceAll("(?i)\\bCEILING\\s*\\(", "graft_ceil(")
+    r = r.replaceAll("(?i)\\bFLOOR\\s*\\(", "graft_floor(")
     r
   }
 

@@ -70,6 +70,42 @@ case class TimeToStringExpr(child: Expression)
   override def prettyName: String = "graft_time_to_string"
 }
 
+/** Type-PRESERVING CEIL/FLOOR (`SystemFunctionUtils.java:594-675`): the
+  * reference returns the operand's own type (Double→Double, Float→Float,
+  * integrals identity, Decimal→scale-0 Decimal), where Spark's ceil/floor
+  * return BIGINT for doubles — pinned by
+  * `testBuiltinArithmeticFunctions` (`CEIL(...) AS col7` is DOUBLE 1.0).
+  * Registered as `graft_ceil` / `graft_floor`; Dialect.translate rewrites.
+  */
+case class DialectCeilFloorExpr(child: Expression, isCeil: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override lazy val dataType: DataType = child.dataType match {
+    case d: DecimalType => DecimalType(d.precision, 0)
+    case other => other
+  }
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else v match {
+      case b: Byte => b
+      case s: Short => s
+      case i: Int => i
+      case l: Long => l
+      case f: Float => if (isCeil) math.ceil(f).toFloat else math.floor(f).toFloat
+      case d: Double => if (isCeil) math.ceil(d) else math.floor(d)
+      case d: Decimal =>
+        val mode =
+          if (isCeil) java.math.RoundingMode.CEILING else java.math.RoundingMode.FLOOR
+        val bd = d.toBigDecimal.bigDecimal.setScale(0, mode)
+        Decimal(bd, dataType.asInstanceOf[DecimalType].precision, 0)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): DialectCeilFloorExpr =
+    copy(child = newChild)
+  override def prettyName: String = if (isCeil) "graft_ceil" else "graft_floor"
+}
+
 object DialectCastExpr {
 
   /** StructField metadata key tagging an INT column as TIME(p) millis-of-day. */
@@ -197,9 +233,10 @@ object DialectCastExpr {
     }
   }
 
-  /** Register `graft_cast` in the session (idempotent). */
-  def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the dialect functions in the session (idempotent). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_cast",
       { exprs =>
         require(exprs.size == 2, "graft_cast(expr, 'TYPE') takes exactly two arguments")
@@ -210,4 +247,11 @@ object DialectCastExpr {
         }
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_ceil",
+      exprs => DialectCeilFloorExpr(exprs.head, isCeil = true), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_floor",
+      exprs => DialectCeilFloorExpr(exprs.head, isCeil = false), "built-in")
+  }
 }
