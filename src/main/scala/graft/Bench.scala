@@ -363,12 +363,13 @@ object Bench {
       """"metric":"total"""",
       """"unit":"sec"""",
       s""""value":${f"$total%.3f"}""")
-    val optionalFields = Seq( // least critical first — evicted first
+    val optionalFields = Seq( // least critical first — evicted first; the
+      // CPU medians are the steal-invariant cross-round signal, keep longest
       s""""retries":$retriesCompact""",
       s""""calibration":$calib""",
       s""""errors_count":$errSummary""",
-      s""""cpu_headline_order":$cpuCompact""",
-      s""""drift":$driftSummary""")
+      s""""drift":$driftSummary""",
+      s""""cpu_headline_order":$cpuCompact""")
     def lineOf(opt: Seq[String]): String =
       (opt ++ tailFields).mkString("{", ",", "}")
     var opt = optionalFields

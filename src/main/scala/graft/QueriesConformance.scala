@@ -392,6 +392,123 @@ object QueriesConformance {
       }
     }),
 
+    // FlinkPipelineBatchComposerITCase.testSingleSplitSingleTableInBatchMode
+    // :182: `execution.runtime-mode: BATCH` — one bounded materialization of
+    // the snapshot, no log phase.
+    "c_conformance_batch_single_table" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"),
+        Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k)))
+      val id = freshId("batch1")
+      registered(id -> src) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id
+             |sink:
+             |  type: values
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch()
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testTransformInBatchMode:348: batch
+    // mode + transform (computed col12, filter drops key 3, pk col1,
+    // PARTITION-KEYS col12, table-options).
+    "c_conformance_batch_transform" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"),
+        Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k)))
+      val id = freshId("batch2")
+      registered(id -> src) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id
+             |sink:
+             |  type: values
+             |transform:
+             |  - source-table: default_schema.table1
+             |    projection: "*, concat(col1,'0') as col12"
+             |    filter: "col1 <> '3'"
+             |    primary-keys: col1
+             |    partition-keys: col12
+             |    table-options: key1=value1
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch()
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        require(db.schemaOf(t).exists(sch =>
+          sch.columnNames == Seq("col1", "col2", "col12") &&
+            sch.partitionKeys == Seq("col12") &&
+            sch.options.get("key1").contains("value1")),
+          s"batch transform shape per ITCase:392, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineUdfITCase.testTransformWithUdf:111: a YAML-declared UDF
+    // (classpath-resolved `format` = String.format) computed in the
+    // projection, with per-rule pk + table-options overrides, over the
+    // TRANSFORM_TABLE evolution script.
+    "c_conformance_udf_transform" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("udftr")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, format('from %s to %s is %s', col1, 'z', 'lie') AS fmt"
+              |    primary-keys: col1
+              |    table-options: key1=value1
+              |user-defined-function:
+              |  - name: format
+              |    classpath: graft.functions.udfexamples.FormatFunctionClass""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(sch =>
+          sch.columnNames == Seq("col1", "newCol3", "fmt") &&
+            sch.options.get("key1").contains("value1")),
+          s"udf-transform shape + options per ITCase:150, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineUdfITCase.testFilterWithUdf:182: the UDF referenced by
+    // BOTH projection and filter (`addone(col1) <> '2'` drops key 1's insert
+    // AND delete — string vs string, value semantics).
+    "c_conformance_udf_filter" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("udffl")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, addone(col1) as collen"
+              |    filter: "addone(col1) <> '2'"
+              |    primary-keys: col1
+              |user-defined-function:
+              |  - name: addone
+              |    classpath: graft.functions.udfexamples.AddOneFunctionClass""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("col1", "newCol3", "collen")),
+          s"udf-filter shape per ITCase:221, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
     // FlinkPipelineTransformITCase.testVanillaTransformWithSchemaEvolution
     // :1336-1419 (EVOLVE, generateSchemaEvolutionEvents :3118-3245): five
     // stages — initial, ADD (rank FIRST + gender LAST), ALTER TYPE
@@ -407,6 +524,14 @@ object QueriesConformance {
         val db = runPipeline(s, Seq(id -> src), "EVOLVE") { drain =>
           scriptSchemaEvolution(src, t, drain)
         }
+        // a transform-LESS pipeline has no Pre operator: the fixture's raw
+        // FIRST/LAST positions reach the sink unanchored
+        requireDdlSequence(db, t, Seq(
+          "create:id,name,age",
+          "add:rank FIRST,gender",
+          "alter:age->double,gender->int,name->string",
+          "rename:age->toshi,gender->biological_sex",
+          "drop:biological_sex,toshi"))
         require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
           s"final shape per ITCase, got ${db.schemaOf(t).map(_.columnNames)}")
         stateDf(s, db, t).orderBy("id")
@@ -430,6 +555,14 @@ object QueriesConformance {
               |    projection: "*"""".stripMargin) { drain =>
           scriptSchemaEvolution(src, t, drain)
         }
+        // with a transform in the chain (plain `*` included), FIRST/LAST
+        // anchor to the pre-transform schema (BEFORE id / AFTER age)
+        requireDdlSequence(db, t, Seq(
+          "create:id,name,age",
+          "add:rank BEFORE id,gender AFTER age",
+          "alter:age->double,gender->int,name->string",
+          "rename:age->toshi,gender->biological_sex",
+          "drop:biological_sex,toshi"))
         require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
           s"final shape per ITCase, got ${db.schemaOf(t).map(_.columnNames)}")
         stateDf(s, db, t).orderBy("id")
@@ -633,6 +766,14 @@ object QueriesConformance {
               |    projection: "*"""".stripMargin) { drain =>
           scriptSchemaEvolution(src, t, drain)
         }
+        // even an UNMATCHED transform puts the Pre operator in the chain:
+        // positions anchor (ITCase :1951 expects BEFORE id / AFTER age)
+        requireDdlSequence(db, t, Seq(
+          "create:id,name,age",
+          "add:rank BEFORE id,gender AFTER age",
+          "alter:age->double,gender->int,name->string",
+          "rename:age->toshi,gender->biological_sex",
+          "drop:biological_sex,toshi"))
         require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
           s"unmatched transform must not perturb evolution, got ${db.schemaOf(t).map(_.columnNames)}")
         stateDf(s, db, t).orderBy("id")
@@ -1306,6 +1447,24 @@ object QueriesConformance {
         |   'false,true,true,true,false,true,false,true,true,false,false,true,true,false'))
         |AS t(tbl, id, name, age, description, cmp) ORDER BY id""".stripMargin,
     "c_conformance_numeric_castings" -> numericCastingsOracle,
+    "c_conformance_batch_single_table" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1'), ('2', '2'), ('3', '3'))
+        |AS t(col1, col2) ORDER BY col1""".stripMargin,
+    "c_conformance_batch_transform" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1', '10'), ('2', '2', '20'))
+        |AS t(col1, col2, col12) ORDER BY col1""".stripMargin,
+    "c_conformance_udf_transform" ->
+      """SELECT * FROM (VALUES
+        |  ('2', 'x', 'from 2 to z is lie'),
+        |  ('3', CAST(NULL AS VARCHAR), 'from 3 to z is lie'))
+        |AS t(col1, newCol3, fmt) ORDER BY col1""".stripMargin,
+    "c_conformance_udf_filter" ->
+      """SELECT * FROM (VALUES
+        |  ('2', 'x', '3'),
+        |  ('3', CAST(NULL AS VARCHAR), '4'))
+        |AS t(col1, newCol3, collen) ORDER BY col1""".stripMargin,
     // values transcribed from the ITCase's asserted rows (col1..col10)
     "c_conformance_arithmetic_functions" ->
       """SELECT * FROM (VALUES

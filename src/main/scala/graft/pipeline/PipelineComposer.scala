@@ -255,29 +255,7 @@ final class PipelineComposer(
         case ev: CreateTableEvent =>
           Some(ev.copy(schema = transformedSchema(tableId, ev.schema)))
         case ev: AddColumnEvent if allWildcard =>
-          // Computed columns ride before/after the wildcard's expansion, so
-          // FIRST/LAST must anchor to the PRE-transform schema's boundary
-          // columns — otherwise the sink would slot the new column outside
-          // the wildcard span (e.g. after a trailing computed column). The
-          // reference rewrites them to BEFORE/AFTER of the pre-schema's
-          // first/last column (testPreAsteriskWithSchemaEvolution:1600,
-          // testPostAsteriskWithSchemaEvolution:1695 expected events).
-          val hasComputed = rules.exists(_.projection.exists(p =>
-            TransformOp.splitProjection(p).exists(_.trim != "*")))
-          val preNames = preTransformSchemas.latest(tableId)
-            .map(_.struct.fieldNames.toSeq).filter(_.nonEmpty)
-          val rewritten = preNames.filter(_ => hasComputed).map { names =>
-            ev.copy(columns = ev.columns.map { c =>
-              c.position match {
-                case AddColumnEvent.First =>
-                  c.copy(position = AddColumnEvent.Before(names.head))
-                case AddColumnEvent.Last =>
-                  c.copy(position = AddColumnEvent.After(names.last))
-                case _ => c
-              }
-            })
-          }.getOrElse(ev)
-          Some(rewritten)
+          Some(anchorAddPositions(tableId, ev))
         case _ if allWildcard => Some(e)
         case _: AddColumnEvent => None // a fixed projection cannot grow
         case ev: DropColumnEvent =>
@@ -319,10 +297,42 @@ final class PipelineComposer(
     * redundancy case of `SchemaUtils.isSchemaChangeEventRedundant`
     * (see [[SchemaDerivator.isRedundant]] for why only creates).
     */
+  /** FIRST/LAST add positions anchor to the PRE-transform schema's boundary
+    * columns whenever the pipeline carries ANY transform — the reference's
+    * PreTransformOperator sits in the chain for every table once a transform
+    * exists (matched or not) and rewrites positions relative to the
+    * referenced columns (`SchemaUtils.transformSchemaChangeEvent:234-265`;
+    * expected events in testPreAsteriskWithSchemaEvolution:1600 and
+    * testTransformUnmatchedSchemaEvolution:1885 both show `BEFORE id` /
+    * `AFTER age` for the fixture's FIRST/LAST adds). A transform-less
+    * pipeline has no Pre operator and passes raw positions through.
+    */
+  private def anchorAddPositions(tableId: TableId, ev: AddColumnEvent): AddColumnEvent =
+    preTransformSchemas.latest(tableId)
+      .map(_.struct.fieldNames.toSeq).filter(_.nonEmpty)
+      .map { names =>
+        ev.copy(columns = ev.columns.map { c =>
+          c.position match {
+            case AddColumnEvent.First =>
+              c.copy(position = AddColumnEvent.Before(names.head))
+            case AddColumnEvent.Last =>
+              c.copy(position = AddColumnEvent.After(names.last))
+            case _ => c
+          }
+        })
+      }.getOrElse(ev)
+
   def processSchemaChange(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
     // throughTransform anchors FIRST/LAST add positions against the
-    // pre-transform schema BEFORE this event, so project first, track after
-    val result = throughTransform(event.tableId, event).toSeq.flatMap { projected =>
+    // pre-transform schema BEFORE this event, so project first, track after;
+    // an unmatched table under a transform-carrying pipeline still gets its
+    // positions anchored (the Pre operator processes every table)
+    val normalized = event match {
+      case ev: AddColumnEvent if pdef.transforms.nonEmpty =>
+        anchorAddPositions(event.tableId, ev)
+      case other => other
+    }
+    val result = throughTransform(normalized.tableId, normalized).toSeq.flatMap { projected =>
       if (projected.isInstanceOf[CreateTableEvent] &&
           SchemaDerivator.isRedundant(upstreamSchemas.latest(projected.tableId), projected))
         Seq.empty

@@ -30,6 +30,30 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
   private val addedSourceIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // YAML `user-defined-function` entries resolve by CLASSPATH and register
+  // under the declared NAME before the pipeline composes — the reference's
+  // `UserDefinedFunctionDescriptor` flow (`UdfDef` in
+  // `YamlPipelineDefinitionParser.java:102-118`); the class must implement
+  // [[graft.functions.UserDefinedFunction]] (its `UserDefinedFunction.java`
+  // analog). Re-registering the same name is idempotent per session.
+  pdef.udfs.foreach { u =>
+    Class.forName(u.classpath).getDeclaredConstructor().newInstance() match {
+      case f: graft.functions.UserDefinedFunction =>
+        val named = new graft.functions.UserDefinedFunction {
+          override def name: String = u.name
+          override def returnType = f.returnType
+          override def arity: Int = f.arity
+          override def open(): Unit = f.open()
+          override def close(): Unit = f.close()
+          override def eval(args: Any*): Any = f.eval(args: _*)
+        }
+        graft.functions.UdfRegistry.register(spark, named)
+      case other => throw new IllegalArgumentException(
+        s"user-defined-function '${u.name}': ${u.classpath} does not implement " +
+          s"graft.functions.UserDefinedFunction (got ${other.getClass.getName})")
+    }
+  }
+
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
   val composer = new PipelineComposer(pdef, sink, renameHistoryFor = { t =>
     // resolved lazily at batch time: the pipeline's registered sources may
