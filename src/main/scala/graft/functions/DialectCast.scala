@@ -233,9 +233,14 @@ object DialectCastExpr {
     }
   }
 
-  /** Register the dialect functions in the session (idempotent). */
+  /** Register the dialect functions in the session (idempotent). Called on
+    * every transform application — the exists-probe keeps the per-batch cost
+    * to one registry lookup instead of three registry mutations.
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cast"))) return
     reg.createOrReplaceTempFunction(
       "graft_cast",
       { exprs =>
