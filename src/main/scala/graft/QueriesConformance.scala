@@ -130,6 +130,13 @@ object QueriesConformance {
         val db = runPipeline(s, Seq(id -> src), "EVOLVE") { drain =>
           scriptSingleTable(src, t, drain)
         }
+        // derived events verbatim (ComposerITCase :160-165): raw LAST add,
+        // rename applied as-is, drop applied as-is
+        requireDdlSequence(db, t, Seq(
+          "create:col1,col2",
+          "add:col3",
+          "rename:col2->newCol2,col3->newCol3",
+          "drop:newCol2"))
         require(db.schemaOf(t).exists(_.columnNames == Seq("col1", "newCol3")),
           s"evolved shape, got ${db.schemaOf(t).map(_.columnNames)}")
         stateDf(s, db, t).orderBy("col1")
@@ -148,6 +155,12 @@ object QueriesConformance {
         val db = runPipeline(s, Seq(id -> src), "LENIENT") { drain =>
           scriptSingleTable(src, t, drain)
         }
+        // derived events verbatim (LenientITCase :150-153): the rename
+        // lenient-izes into an ADD of the new names, the drop is swallowed
+        requireDdlSequence(db, t, Seq(
+          "create:col1,col2",
+          "add:col3",
+          "add:newCol2,newCol3"))
         require(db.schemaOf(t).exists(
           _.columnNames == Seq("col1", "col2", "col3", "newCol2", "newCol3")),
           s"lenient additive shape, got ${db.schemaOf(t).map(_.columnNames)}")
@@ -389,6 +402,79 @@ object QueriesConformance {
           "alter:id->bigint",
           "add:gender"))
         stateDf(s, db, merged).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineComposerLenientITCase.testOpTypeMetadataColumn:408:
+    // transform (computed col12 + `__data_event_type__ AS rk`) under
+    // default-LENIENT over the evolving single-table script — the per-image
+    // RowKind rides as a DATA column (the update materializes rk = '+U'),
+    // the filter drops key 3's insert but PASSES key 1's delete, and the
+    // lenient evolution appends col3 then newCol2/newCol3. Final state is
+    // ONE row (:462).
+    "c_conformance_lenient_optype_metadata" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("optype")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, concat(col1,'0') as col12, __data_event_type__ as rk"
+              |    filter: "col1 <> '3'"
+              |    primary-keys: col1
+              |    partition-keys: col12
+              |    table-options: key1=value1""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        requireDdlSequence(db, t, Seq(
+          "create:col1,col2,col12,rk",
+          "add:col3",
+          "add:newCol2,newCol3"))
+        require(db.schemaOf(t).exists(sch =>
+          sch.columnNames == Seq("col1", "col2", "col12", "rk", "col3", "newCol2", "newCol3") &&
+            sch.partitionKeys == Seq("col12") &&
+            sch.options.get("key1").contains("value1")),
+          s"lenient optype shape per ITCase:452, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineComposerLenientITCase.testTransformTwice:469: TWO
+    // dispatching rules on one table (different computed col12 per filter;
+    // only the FIRST declares pk/partition/options), default-LENIENT, over
+    // the evolving script — key 3 matches neither filter; key 1's delete
+    // dispatches through rule 1; final state is rule 2's updated row.
+    "c_conformance_lenient_transform_twice" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("twice")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, concat(col1,'1') as col12"
+              |    filter: "col1 = '1' OR col1 = '999'"
+              |    primary-keys: col1
+              |    partition-keys: col12
+              |    table-options: key1=value1
+              |  - source-table: default_schema.table1
+              |    projection: "*, concat(col1,'2') as col12"
+              |    filter: "col1 = '2'"""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain)
+        }
+        requireDdlSequence(db, t, Seq(
+          "create:col1,col2,col12",
+          "add:col3",
+          "add:newCol2,newCol3"))
+        require(db.schemaOf(t).exists(sch =>
+          sch.columnNames == Seq("col1", "col2", "col12", "col3", "newCol2", "newCol3") &&
+            sch.partitionKeys == Seq("col12") &&
+            sch.options.get("key1").contains("value1")),
+          s"transform-twice shape per ITCase:521, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("col1")
       }
     }),
 
@@ -1447,6 +1533,16 @@ object QueriesConformance {
         |   'false,true,true,true,false,true,false,true,true,false,false,true,true,false'))
         |AS t(tbl, id, name, age, description, cmp) ORDER BY id""".stripMargin,
     "c_conformance_numeric_castings" -> numericCastingsOracle,
+    "c_conformance_lenient_optype_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('2', CAST(NULL AS VARCHAR), '20', '+U', CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), 'x'))
+        |AS t(col1, col2, col12, rk, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    "c_conformance_lenient_transform_twice" ->
+      """SELECT * FROM (VALUES
+        |  ('2', CAST(NULL AS VARCHAR), '22', CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), 'x'))
+        |AS t(col1, col2, col12, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
     "c_conformance_batch_single_table" ->
       """SELECT * FROM (VALUES
         |  ('1', '1'), ('2', '2'), ('3', '3'))
