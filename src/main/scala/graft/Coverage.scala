@@ -150,7 +150,8 @@ object Coverage {
         "c_conformance_transform_merge_route", "c_conformance_arithmetic_functions",
         "c_conformance_udf_transform", "c_conformance_udf_filter",
         "c_conformance_batch_single_table", "c_conformance_batch_transform",
-        "c_conformance_lenient_optype_metadata", "c_conformance_lenient_transform_twice"),
+        "c_conformance_lenient_optype_metadata", "c_conformance_lenient_transform_twice",
+        "c_conformance_ignore_behavior"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

@@ -405,6 +405,54 @@ object QueriesConformance {
       }
     }),
 
+    // SchemaEvolveTest.testIgnoreEvolveSchema (runtime :727-1020, the
+    // create/add/rename stages): under IGNORE only CREATEs reach the sink
+    // (`SchemaDerivator.rewriteSchemaChangeEvents:197-200`); data written
+    // after an ignored ADD drops the extra columns, and data written after
+    // an ignored RENAME nulls the sink's old column (no rename is pending,
+    // so no coercion bridge — the reference coerces the missing name to
+    // NULL, :920-930).
+    "c_conformance_ignore_behavior" -> ((s, _) => {
+      val t = TableId.parse("db.customers")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> ShortType)("id"), Seq.empty)
+      val id = freshId("ignore")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "IGNORE") { drain =>
+          src.append(DataChangeEvent.insert(t, Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+          src.append(DataChangeEvent.insert(t, Map("id" -> 2, "name" -> "Bob", "age" -> 18.toShort)))
+          src.append(DataChangeEvent.insert(t, Map("id" -> 3, "name" -> "Carol", "age" -> 19.toShort)))
+          drain()
+          src.appendDdl(AddColumnEvent(t, Seq(
+            AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()),
+            AddColumnEvent.ColumnWithPosition("height", CdcTypes.DoubleT()))))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 4, "name" -> "Derrida", "age" -> 20.toShort,
+            "score" -> 100, "height" -> 173.25)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 5, "name" -> "Eve", "age" -> 21.toShort,
+            "score" -> 97, "height" -> 160.0)))
+          drain()
+          src.appendDdl(RenameColumnEvent(t, Map("name" -> "namae")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 6, "namae" -> "Fiona", "age" -> 22.toShort,
+            "score" -> 93, "height" -> 161.0)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 7, "namae" -> "Gloria", "age" -> 23.toShort,
+            "score" -> 95, "height" -> 162.0)))
+        }
+        // the sink NEVER evolves: one CREATE, nothing else
+        requireDdlSequence(db, t, Seq("create:id,name,age"))
+        require(db.schemaOf(t).exists(_.columnNames == Seq("id", "name", "age")),
+          s"IGNORE keeps the V1 shape, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t)
+          .select(col("id"), col("name"), col("age").cast("int").as("age"))
+          .orderBy("id")
+      }
+    }),
+
     // FlinkPipelineComposerLenientITCase.testOpTypeMetadataColumn:408:
     // transform (computed col12 + `__data_event_type__ AS rk`) under
     // default-LENIENT over the evolving single-table script — the per-image
@@ -1538,6 +1586,12 @@ object QueriesConformance {
         |  ('2', CAST(NULL AS VARCHAR), '20', '+U', CAST(NULL AS VARCHAR),
         |   CAST(NULL AS VARCHAR), 'x'))
         |AS t(col1, col2, col12, rk, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    "c_conformance_ignore_behavior" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', 17), (2, 'Bob', 18), (3, 'Carol', 19),
+        |  (4, 'Derrida', 20), (5, 'Eve', 21),
+        |  (6, CAST(NULL AS VARCHAR), 22), (7, NULL, 23))
+        |AS t(id, name, age) ORDER BY id""".stripMargin,
     "c_conformance_lenient_transform_twice" ->
       """SELECT * FROM (VALUES
         |  ('2', CAST(NULL AS VARCHAR), '22', CAST(NULL AS VARCHAR),
