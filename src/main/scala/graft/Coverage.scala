@@ -151,7 +151,15 @@ object Coverage {
         "c_conformance_udf_transform", "c_conformance_udf_filter",
         "c_conformance_batch_single_table", "c_conformance_batch_transform",
         "c_conformance_lenient_optype_metadata", "c_conformance_lenient_transform_twice",
-        "c_conformance_ignore_behavior"),
+        "c_conformance_ignore_behavior",
+        // round 15: change-order merge twin + event-SEQUENCE assertions
+        // (image pairs, op order) on the richest existing gates + the
+        // epoch-bound tz-aware temporal-function block
+        "c_conformance_merge_change_order", "c_conformance_temporal_functions",
+        "c_conformance_substring_functions", "c_conformance_conditional_functions",
+        "c_conformance_udf_overloaded", "c_conformance_udf_lifecycle",
+        "c_conformance_udf_typehint", "c_conformance_udf_flink_transform",
+        "c_conformance_udf_flink_filter", "c_conformance_udf_flink_overloaded"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

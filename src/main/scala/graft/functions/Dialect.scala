@@ -20,7 +20,14 @@ object Dialect {
   /** Rewrites performed on a dialect expression before handing it to Catalyst.
     * Conservative token-level rewrites outside of string literals.
     */
-  def translate(sql0: String, epochTimeColumn: Option[String] = None): String = {
+  /** the per-record epoch column name the parser binds the now-family to
+    * (the reference's `__epoch_time__`, JaninoCompiler.java:83-84) */
+  val EpochCol = "__epoch_time__"
+
+  def translate(
+      sql0: String,
+      epochTimeColumn: Option[String] = None,
+      timeZone: String = "UTC"): String = {
     // pre-pass: LIKE <literal> ESCAPE '<c>' needs the pattern literal, so it
     // resolves BEFORE literal segmentation (see foldLikeEscape); CAST
     // rewriting is also literal-aware and recursive, so it runs on raw SQL
@@ -30,7 +37,9 @@ object Dialect {
     var i = 0
     var inStr = false
     val seg = new StringBuilder
-    def flush(): Unit = { out.append(rewriteSegment(seg.toString, epochTimeColumn)); seg.clear() }
+    def flush(): Unit = {
+      out.append(rewriteSegment(seg.toString, epochTimeColumn, timeZone)); seg.clear()
+    }
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (!inStr && c == '\'') { flush(); inStr = true; out.append(c) }
@@ -162,23 +171,31 @@ object Dialect {
     out.toString
   }
 
-  private def rewriteSegment(s: String, epochCol: Option[String]): String = {
+  private def rewriteSegment(
+      s: String, epochCol: Option[String], timeZone: String = "UTC"): String = {
     var r = s
     // LIKE-as-regex quirk: reference compiles the pattern as a Java regex
     r = r.replaceAll("(?i)\\bNOT\\s+LIKE\\b", "NOT RLIKE")
     r = r.replaceAll("(?i)(?<!R)\\bLIKE\\b", "RLIKE")
-    // epoch-time binding for now-ish functions
+    // epoch-time binding for now-ish functions, rendered in the PIPELINE
+    // time zone like the reference (`SystemFunctionUtils.localtimestamp:65`
+    // shifts the epoch instant into PIPELINE_LOCAL_TIME_ZONE; CURRENT_TIME/
+    // CURRENT_DATE are its time/date parts, :70-82). With the default UTC
+    // zone the shift is the identity and the plain binding is emitted.
     epochCol.foreach { ec =>
-      r = r.replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", s"timestamp_millis($ec)")
-      r = r.replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", s"timestamp_millis($ec)")
-      r = r.replaceAll("(?i)\\bLOCALTIMESTAMP\\b", s"timestamp_millis($ec)")
-      r = r.replaceAll("(?i)\\bCURRENT_DATE\\b", s"to_date(timestamp_millis($ec))")
+      val local =
+        if (timeZone == "UTC") s"timestamp_millis($ec)"
+        else s"from_utc_timestamp(timestamp_millis($ec), '$timeZone')"
+      r = r.replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", local)
+      r = r.replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", local)
+      r = r.replaceAll("(?i)\\bLOCALTIMESTAMP\\b", local)
+      r = r.replaceAll("(?i)\\bCURRENT_DATE\\b", s"to_date($local)")
       r = r.replaceAll(
         "(?i)\\bCURRENT_TIME\\b",
-        s"date_format(timestamp_millis($ec), 'HH:mm:ss')")
+        s"date_format($local, 'HH:mm:ss')")
       r = r.replaceAll(
         "(?i)\\bLOCALTIME\\b",
-        s"date_format(timestamp_millis($ec), 'HH:mm:ss')")
+        s"date_format($local, 'HH:mm:ss')")
     }
     // TIMESTAMP_DIFF alias (reference registers both spellings)
     r = r.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")

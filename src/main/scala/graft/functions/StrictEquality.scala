@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,6 +73,22 @@ object StrictEquality {
       case _ => None
     }
 
+  /** The boxed type a projection EXPRESSION would carry at runtime — used to
+    * resolve filter operands against the POST-shading frame: a projection
+    * `*, CAST(col1 AS INT) AS col1` redefines col1's runtime class, and the
+    * filter's `col1 = 3` must fold (or not) against the SHADED type, not the
+    * raw payload's (the reference's filter evaluates on the projected row,
+    * `PostTransformOperator.java:285-345`). Uninferable expressions return
+    * None — the comparison is then left to Spark untouched, never folded
+    * from a stale type.
+    */
+  def inferType(
+      spark: SparkSession,
+      sql: String,
+      typeOf: String => Option[DataType]): Option[DataType] =
+    try typeOfExpr(spark.sessionState.sqlParser.parseExpression(sql), typeOf)
+    catch { case _: Exception => None }
+
   private[functions] def rewrite(
       expr: Expression,
       typeOf: String => Option[DataType],
@@ -83,16 +99,36 @@ object StrictEquality {
         b <- typeOfExpr(r, typeOf).flatMap(boxClass)
       } yield a != b).getOrElse(false)
 
+    // valueEquals is TWO-valued (`SystemFunctionUtils.valueEquals:755`
+    // returns plain false when either operand is null, and `<>` compiles to
+    // `!valueEquals`, `JaninoCompiler.java:267`), while Spark equality is
+    // three-valued. Kept equalities therefore wrap in COALESCE(eq, false):
+    // filters behave identically, and a MATERIALIZED boolean projection
+    // column reads false (reference) instead of NULL on null operands. The
+    // enclosing NOT of `<>` then yields true, matching !valueEquals.
+    def twoValued(e: Expression): Expression = Coalesce(Seq(e, Literal(false)))
     expr.transformUp {
       case eq @ EqualTo(l, r) =>
-        if (differentBox(l, r)) Literal(false) else eq
+        if (differentBox(l, r)) Literal(false) else twoValued(eq)
       case in @ In(v, list) if list.nonEmpty =>
         // per-element valueEquals: a list element of a different boxed class
-        // can never match; when no element can, the IN is constant false
+        // can never match; when no element can, the IN is constant false.
+        // IN stays three-valued: the reference's `in(null, ...)` NPEs the
+        // pipeline (`SystemFunctionUtils.in:361` calls value.equals), so
+        // there is no reference BOOLEAN result to reproduce — Spark's NULL
+        // is the non-faulting stand-in.
         val kept = list.filterNot(e => differentBox(v, e))
         if (kept.isEmpty) Literal(false)
         else if (kept.size == list.size) in
         else In(v, kept)
+      case f: UnresolvedFunction
+          if f.nameParts.size == 1 && UdfRegistry.isVariadic(f.nameParts.head) =>
+        // variadic UDF dispatch: the reference derives arity from the
+        // Object... eval signature; Spark's registry is fixed-arity, so the
+        // registry registered one wrapper per arity and the call renames to
+        // the matching one
+        f.copy(nameParts =
+          Seq(UdfRegistry.variadicArityName(f.nameParts.head, f.arguments.size)))
       case c: Cast if c.dataType == StringType =>
         c.child match {
           case a: UnresolvedAttribute if timeTagged(a.nameParts.last) =>

@@ -20,21 +20,151 @@ trait UserDefinedFunction extends Serializable {
     * overload's signature (`UserDefinedFunctionDescriptor.java:85-103`); here
     * it is declared. */
   def arity: Int = 1
+  /** a variadic `eval(Object... args)` in the reference accepts ANY argument
+    * count; declaring true here registers one fixed-arity wrapper per arity
+    * 0..6 and the dialect parser dispatches each call site to the matching
+    * one ([[graft.functions.StrictEquality]]). */
+  def variadic: Boolean = false
   def open(): Unit = ()
   def close(): Unit = ()
   def eval(args: Any*): Any
 }
 
+/** Adapter for SCALAR-FUNCTION-SHAPED classes — plain classes exposing
+  * public typed `eval` overloads WITHOUT implementing [[UserDefinedFunction]]
+  * (the reference accepts vanilla Flink `ScalarFunction` subclasses this
+  * way, `UserDefinedFunctionDescriptor.java:85-103`, resolving the overload
+  * at the call site like Java does). Dispatch here is by runtime argument
+  * classes: exact-count assignable match first, then a varargs overload.
+  * The return type derives from the eval signatures; `open`/`close` methods
+  * are honored when present. The instance must be Serializable (Spark ships
+  * the function to executors, as Flink serializes ScalarFunctions).
+  */
+final class ReflectiveUdf(val name: String, instance: AnyRef)
+    extends UserDefinedFunction {
+  import java.lang.reflect.{Array => JArray, Method, Modifier}
+
+  @transient private lazy val evals: Seq[Method] =
+    instance.getClass.getMethods.toSeq
+      .filter(m => m.getName == "eval" && Modifier.isPublic(m.getModifiers))
+
+  require(
+    instance.getClass.getMethods.exists(_.getName == "eval"),
+    s"UDF '$name': ${instance.getClass.getName} neither implements " +
+      "graft.functions.UserDefinedFunction nor exposes a public eval method")
+
+  override def returnType: DataType = {
+    val rts = instance.getClass.getMethods.filter(_.getName == "eval")
+      .map(_.getReturnType).distinct
+    rts.headOption.map {
+      case c if c == classOf[String] => StringType
+      case c if c == classOf[java.lang.Integer] || c == java.lang.Integer.TYPE =>
+        org.apache.spark.sql.types.IntegerType
+      case c if c == classOf[java.lang.Long] || c == java.lang.Long.TYPE =>
+        org.apache.spark.sql.types.LongType
+      case c if c == classOf[java.lang.Double] || c == java.lang.Double.TYPE =>
+        org.apache.spark.sql.types.DoubleType
+      case c if c == classOf[java.lang.Float] || c == java.lang.Float.TYPE =>
+        org.apache.spark.sql.types.FloatType
+      case c if c == classOf[java.lang.Boolean] || c == java.lang.Boolean.TYPE =>
+        org.apache.spark.sql.types.BooleanType
+      case _ => StringType
+    }.getOrElse(StringType)
+  }
+
+  private def counts: Seq[Int] =
+    instance.getClass.getMethods.filter(_.getName == "eval")
+      .map(_.getParameterCount).distinct.toSeq
+
+  override def arity: Int = counts match {
+    case Seq(n) if !variadic => n
+    case _ => counts.max
+  }
+
+  /** several arities or a Java-varargs overload → register every arity */
+  override def variadic: Boolean =
+    counts.size > 1 ||
+      instance.getClass.getMethods.exists(m => m.getName == "eval" && m.isVarArgs)
+
+  private def box(c: Class[_]): Class[_] = c match {
+    case java.lang.Integer.TYPE => classOf[java.lang.Integer]
+    case java.lang.Long.TYPE => classOf[java.lang.Long]
+    case java.lang.Double.TYPE => classOf[java.lang.Double]
+    case java.lang.Float.TYPE => classOf[java.lang.Float]
+    case java.lang.Boolean.TYPE => classOf[java.lang.Boolean]
+    case java.lang.Short.TYPE => classOf[java.lang.Short]
+    case java.lang.Byte.TYPE => classOf[java.lang.Byte]
+    case other => other
+  }
+
+  override def open(): Unit =
+    instance.getClass.getMethods
+      .find(m => m.getName == "open" && m.getParameterCount == 0)
+      .foreach(_.invoke(instance))
+
+  override def close(): Unit =
+    instance.getClass.getMethods
+      .find(m => m.getName == "close" && m.getParameterCount == 0)
+      .foreach(_.invoke(instance))
+
+  override def eval(args: Any*): Any = {
+    val boxed = args.map(_.asInstanceOf[AnyRef])
+    val exact = evals.find { m =>
+      !m.isVarArgs && m.getParameterCount == boxed.size &&
+        m.getParameterTypes.toSeq.zip(boxed).forall {
+          case (p, a) => a == null || box(p).isInstance(a)
+        }
+    }
+    val chosen = exact.orElse(evals.find(m =>
+      m.isVarArgs && boxed.size >= m.getParameterCount - 1))
+    chosen match {
+      case Some(m) if m.isVarArgs =>
+        val fixed = m.getParameterCount - 1
+        val compType = m.getParameterTypes.last.getComponentType
+        val rest = boxed.drop(fixed)
+        val arr = JArray.newInstance(compType, rest.size)
+        rest.zipWithIndex.foreach { case (v, i) => JArray.set(arr, i, v) }
+        m.invoke(instance, (boxed.take(fixed) :+ arr.asInstanceOf[AnyRef]): _*)
+      case Some(m) => m.invoke(instance, boxed: _*)
+      case None => throw new IllegalArgumentException(
+        s"UDF '$name': no eval overload matches argument classes (" +
+          boxed.map(v => if (v == null) "null" else v.getClass.getSimpleName)
+            .mkString(", ") + ")")
+    }
+  }
+}
+
 object UdfRegistry {
   import org.apache.spark.sql.api.java._
+
+  /** lowercase names registered as VARIADIC — the dialect parser renames
+    * each call site to [[variadicArityName]] of its argument count. */
+  private val variadics = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def isVariadic(name: String): Boolean = variadics.contains(name.toLowerCase)
+
+  /** registry-internal name of the `n`-argument wrapper of variadic `name`. */
+  def variadicArityName(name: String, n: Int): String = s"${name}__v$n"
 
   /** Register with lazy open-once semantics per executor instance. Multi-arity
     * typed `eval` (0..6 args, any Spark SQL types in/out) goes through the
     * Java UDF interfaces so the declared `returnType` reaches Catalyst — the
     * Spark analog of arbitrary typed `eval` overloads in the reference
-    * (`UserDefinedFunction.java:27-48`).
+    * (`UserDefinedFunction.java:27-48`). A `variadic` function additionally
+    * registers one wrapper per arity 0..6 under [[variadicArityName]]s.
     */
   def register(spark: SparkSession, f: UserDefinedFunction): Unit = {
+    if (f.variadic) {
+      variadics.add(f.name.toLowerCase)
+      (0 to 6).foreach { n =>
+        registerArity(spark, f, variadicArityName(f.name, n), n)
+      }
+    }
+    registerArity(spark, f, f.name, f.arity)
+  }
+
+  private def registerArity(
+      spark: SparkSession, f: UserDefinedFunction, regName: String, regArity: Int): Unit = {
     @transient lazy val opened0 = { f.open(); sys.addShutdownHook(f.close()); f }
     // defensive coercion for the declared-StringType default: an eval that
     // returns a non-String (the reference's Object-typed eval) must reach
@@ -46,27 +176,27 @@ object UdfRegistry {
         if (stringify && v != null && !v.isInstanceOf[String]) String.valueOf(v) else v
       }
     }
-    f.arity match {
-      case 0 => spark.udf.register(f.name,
+    regArity match {
+      case 0 => spark.udf.register(regName,
         new UDF0[Any] { def call(): Any = opened.eval() }, f.returnType)
-      case 1 => spark.udf.register(f.name,
+      case 1 => spark.udf.register(regName,
         new UDF1[Any, Any] { def call(a: Any): Any = opened.eval(a) }, f.returnType)
-      case 2 => spark.udf.register(f.name,
+      case 2 => spark.udf.register(regName,
         new UDF2[Any, Any, Any] { def call(a: Any, b: Any): Any = opened.eval(a, b) },
         f.returnType)
-      case 3 => spark.udf.register(f.name,
+      case 3 => spark.udf.register(regName,
         new UDF3[Any, Any, Any, Any] {
           def call(a: Any, b: Any, c: Any): Any = opened.eval(a, b, c)
         }, f.returnType)
-      case 4 => spark.udf.register(f.name,
+      case 4 => spark.udf.register(regName,
         new UDF4[Any, Any, Any, Any, Any] {
           def call(a: Any, b: Any, c: Any, d: Any): Any = opened.eval(a, b, c, d)
         }, f.returnType)
-      case 5 => spark.udf.register(f.name,
+      case 5 => spark.udf.register(regName,
         new UDF5[Any, Any, Any, Any, Any, Any] {
           def call(a: Any, b: Any, c: Any, d: Any, e: Any): Any = opened.eval(a, b, c, d, e)
         }, f.returnType)
-      case 6 => spark.udf.register(f.name,
+      case 6 => spark.udf.register(regName,
         new UDF6[Any, Any, Any, Any, Any, Any, Any] {
           def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any): Any =
             opened.eval(a, b, c, d, e, g)

@@ -63,6 +63,34 @@ object EnvelopeTransform {
       timeTagged = n => payload.fields.find(_.name == n).exists(
         _.metadata.contains(graft.functions.DialectCastExpr.TimeTypeKey)))
 
+  /** The filter evaluates on the POST-projection frame, so its operand types
+    * must resolve against the EFFECTIVE projection: a shading redefinition
+    * like `*, CAST(col1 AS INT) AS col1` (col1 BIGINT) changes col1's boxed
+    * class, and `col1 = 3` must compare the SHADED Integer like the
+    * reference does (filter runs on the projected row,
+    * `PostTransformOperator.java:285-345`) — folding from the raw payload
+    * type would silently drop matching rows. Names a projection redefines
+    * resolve to the redefining expression's INFERRED type; uninferable
+    * redefinitions resolve to None (left to Spark, never folded stale).
+    */
+  private def filterExpr(
+      df: DataFrame, sql: String, rule: TransformRule, payload: StructType): Column = {
+    val spark = df.sparkSession
+    val base: String => Option[org.apache.spark.sql.types.DataType] =
+      n => payload.fields.find(_.name == n).map(_.dataType)
+    val redefined: Map[String, Option[org.apache.spark.sql.types.DataType]] =
+      projectionExprs(rule, payload.fieldNames.toSeq)
+        .filter { case (n, e) => n != e }
+        .map { case (n, e) =>
+          n -> graft.functions.StrictEquality.inferType(spark, e, base)
+        }.toMap
+    graft.functions.StrictEquality.parse(spark, sql,
+      n => redefined.getOrElse(n, base(n)),
+      timeTagged = n => !redefined.contains(n) &&
+        payload.fields.find(_.name == n).exists(
+          _.metadata.contains(graft.functions.DialectCastExpr.TimeTypeKey)))
+  }
+
   /** `isAfter` picks the RowKind token side — the reference computes
     * `__data_event_type__` PER IMAGE (`PostTransformOperator.java:285-311`:
     * beforeOp for the before projection, afterOp for the after), so an
@@ -74,6 +102,20 @@ object EnvelopeTransform {
     .withColumn(Envelope.TableName, lit(tableId.tableName))
     .withColumn(Envelope.DataEventType,
       Envelope.opTypeToken(col(Envelope.OpCol), isAfter))
+    .withColumn(graft.functions.Dialect.EpochCol, epochMillis(df))
+
+  /** The per-record processing epoch the now-family binds to — the
+    * reference's `__epoch_time__` (JaninoCompiler.java:83-84 stamps
+    * System.currentTimeMillis per record). Here it is per BATCH
+    * (current_timestamp is micro-batch-consistent); a pinned
+    * `spark.graft.epoch.millis` makes conformance gates deterministic.
+    * Unused projections prune the column away.
+    */
+  private def epochMillis(df: DataFrame): Column =
+    df.sparkSession.conf.getOption("spark.graft.epoch.millis") match {
+      case Some(v) => lit(v.toLong)
+      case None => unix_millis(current_timestamp())
+    }
 
   /** The DELETE-aware image with payload columns flattened to bare names and
     * the rule's computed columns in scope — the frame both the filter and the
@@ -88,7 +130,8 @@ object EnvelopeTransform {
     // INSERT/UPDATE (+I/+U), before for DELETE (-D) — isAfter tokens
     // already render DELETE as -D
     val flat = withMeta(env.withColumn("__img", img), tableId, isAfter = true)
-      .select((keep.map(col) :+ col("__img")) ++ Envelope.MetadataColumns.map(col) ++
+      .select((keep.map(col) :+ col("__img")) ++
+        (Envelope.MetadataColumns :+ graft.functions.Dialect.EpochCol).map(col) ++
         payloadFields.map(n => col(s"__img.$n").as(n)): _*)
     // computed columns (incl. SHADED redefinitions of payload names) evaluate
     // against the ORIGINAL flat frame in one select — the filter then sees
@@ -114,7 +157,7 @@ object EnvelopeTransform {
     val filtered = rule.filter match {
       case Some(f) =>
         filterFrame(env, rule, tableId, payload, EnvCols)
-          .filter(dExpr(env, f, payload)).select(EnvCols.map(col): _*)
+          .filter(filterExpr(env, f, rule, payload)).select(EnvCols.map(col): _*)
       case None => env
     }
 
@@ -122,7 +165,7 @@ object EnvelopeTransform {
     def projectImage(df: DataFrame, imageCol: String): DataFrame = {
       val flat = withMeta(df, tableId, isAfter = imageCol == Envelope.AfterCol)
         .select((df.columns.map(col).toSeq :+ lit(1).as("__one")) ++
-          Envelope.MetadataColumns.map(col) ++
+          (Envelope.MetadataColumns :+ graft.functions.Dialect.EpochCol).map(col) ++
           payloadFields.map(n => col(s"$imageCol.$n").as(s"__f_$n")): _*)
       // expressions reference bare payload names: alias them in scope
       val scoped = payloadFields.foldLeft(flat)((d, n) => d.withColumn(n, col(s"__f_$n")))
@@ -156,7 +199,8 @@ object EnvelopeTransform {
       case Some(f) =>
         graft.functions.DialectCastExpr.ensureRegistered(env.sparkSession)
         val payload = env.schema(Envelope.AfterCol).dataType.asInstanceOf[StructType]
-        val accepted: Column = coalesce(dExpr(env, f, payload).cast("boolean"), lit(false))
+        val accepted: Column =
+          coalesce(filterExpr(env, f, rule, payload).cast("boolean"), lit(false))
         filterFrame(env, rule, tableId, payload, env.columns.toSeq)
           .withColumn(outCol, accepted)
           .select((env.columns.toSeq :+ outCol).map(col): _*)

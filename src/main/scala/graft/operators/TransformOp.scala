@@ -91,7 +91,7 @@ object TransformOp {
         timeTagged = n => rows.schema.fields.find(_.name == n).exists(
           _.metadata.contains(graft.functions.DialectCastExpr.TimeTypeKey)))
     // make metadata columns referenceable
-    val withMeta = tableId match {
+    val withMeta0 = tableId match {
       case Some(t) =>
         rows
           .withColumn(Envelope.NamespaceName, lit(t.namespace))
@@ -100,6 +100,13 @@ object TransformOp {
           .withColumn(Envelope.DataEventType, lit(opLiteral))
       case None => rows
     }
+    // per-record epoch for the now-family (see EnvelopeTransform.epochMillis);
+    // a pinned `spark.graft.epoch.millis` makes gates deterministic
+    val withMeta = withMeta0.withColumn(graft.functions.Dialect.EpochCol,
+      rows.sparkSession.conf.getOption("spark.graft.epoch.millis") match {
+        case Some(v) => lit(v.toLong)
+        case None => unix_millis(current_timestamp())
+      })
     val rawExprs = rule.projection match {
       case Some(p) => expandProjection(p, physical)
       case None => physical
@@ -155,7 +162,29 @@ object TransformOp {
         aliased.map { case (n, c) => c.as(n) } ++
         nonAliased.map { case (i, c) => c.as(internal(i)) }): _*)
     val filtered = rule.filter match {
-      case Some(f) => extended.filter(dExpr(f))
+      case Some(f) =>
+        // the filter sees POST-projection values, so its operand types must
+        // resolve against the effective projection: a shading redefinition
+        // (`CAST(col1 AS INT) AS col1`) changes the boxed class StrictEquality
+        // folds on — resolve redefined names to the redefining expression's
+        // inferred type, never the stale input type (see
+        // EnvelopeTransform.filterExpr for the envelope-side twin)
+        val base: String => Option[org.apache.spark.sql.types.DataType] =
+          n => rows.schema.fields.find(_.name == n).map(_.dataType)
+        val redefined = aliased.map(_._1).distinct.map { n =>
+          val e = projExprs.collectFirst {
+            case p if aliasOf.findFirstMatchIn(p).exists(_.group(1) == n) =>
+              aliasOf.findFirstMatchIn(p).map(m => p.substring(0, m.start)).get
+          }
+          n -> e.flatMap(ex =>
+            graft.functions.StrictEquality.inferType(rows.sparkSession, ex, base))
+        }.toMap
+        val fc = graft.functions.StrictEquality.parse(rows.sparkSession, f,
+          n => redefined.getOrElse(n, base(n)),
+          timeTagged = n => !redefined.contains(n) &&
+            rows.schema.fields.find(_.name == n).exists(
+              _.metadata.contains(graft.functions.DialectCastExpr.TimeTypeKey)))
+        extended.filter(fc)
       case None => extended
     }
     val outNames = projExprs.map { e =>

@@ -127,6 +127,10 @@ final class PipelineComposer(
     */
   private val preTransformSchemas = new SchemaManager
 
+  /** count of schema events the pre-transform registry failed to apply —
+    * observable stale-anchor risk (each failure is also logged). */
+  val preTransformTrackingFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Register source tables by running their CreateTableEvents through the
     * normal schema-change path — exactly how the reference's sources announce
     * tables (each emits a CreateTableEvent at snapshot start; the coordinator
@@ -138,6 +142,38 @@ final class PipelineComposer(
     sourceSchemas.toSeq.sortBy(_._1.identifier).foreach { case (t, s) =>
       processSchemaChange(CreateTableEvent(t, s))
     }
+
+  /** BATCH create path: every source schema is known BEFORE any data flows,
+    * so a merged sink gets ONE CreateTableEvent carrying the fully-merged
+    * schema — never create-then-widenings (the reference's batch composer
+    * derives the union statically; `FlinkPipelineBatchComposerITCase
+    * .testMergingWithRouteInBatchMode:949` asserts a single `id BIGINT …
+    * description` create). Single-upstream sinks behave exactly like
+    * [[createTables]].
+    */
+  def createTablesBatch(sourceSchemas: Map[TableId, TableSchema]): Unit = {
+    val ordered = sourceSchemas.toSeq.sortBy(_._1.identifier)
+    // project each source create through its transform and register the
+    // upstream + pre-transform registries, like processSchemaChange does
+    val projected: Seq[(TableId, CreateTableEvent)] = ordered.flatMap { case (t, s) =>
+      val raw = CreateTableEvent(t, s)
+      preTransformSchemas.applySchemaChange(raw)
+      throughTransform(t, raw).collect { case e: CreateTableEvent =>
+        upstreamSchemas.applySchemaChange(e)
+        t -> e
+      }
+    }
+    val bySink: Seq[(TableId, Seq[CreateTableEvent])] = projected
+      .flatMap { case (t, e) => router.route(t).map(sinkT => sinkT -> e) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1.identifier)
+    bySink.foreach { case (sinkT, creates) =>
+      val event =
+        if (creates.size == 1) reRoute(creates.head, sinkT)
+        else SchemaDerivator.mergedCreateTable(sinkT, creates.map(_.schema))
+      evolution.handle(event)
+    }
+  }
 
   /** `SchemaCoordinator.deduceEvolvedSchemaChanges` (reference :258-340): a
     * sink table fed by ONE upstream table forwards the event verbatim; a
@@ -213,6 +249,16 @@ final class PipelineComposer(
         .getOrElse(throw new IllegalStateException(s"sink table $sinkT not created"))
       val coerced = SchemaDerivator.coerceEnvelope(
         transformed, sinkSchema.struct, renameHistoryFor(tableId))
+      sink match {
+        // event-sequence recording tee (test sink only, opt-in): capture the
+        // post-transform post-coercion changelog in seq order BEFORE
+        // materialization — the reference ValuesDataSink's outCaptor surface
+        case md: graft.sinks.MemoryDatabase if md.recordEvents =>
+          md.recordDataEvents(sinkT,
+            coerced.orderBy(col(Envelope.SeqCol)).collect().toSeq
+              .map(graft.sinks.EventRender.fromEnvelopeRow))
+        case _ => ()
+      }
       sink match {
         case cs: graft.sinks.ChangelogSink =>
           // log-shaped sink: every event reaches the wire, no materialization
@@ -350,7 +396,19 @@ final class PipelineComposer(
     // parked in the log, corrupting later position anchors.
     event match {
       case c: CreateTableEvent if preTransformSchemas.latest(c.tableId).isDefined => ()
-      case e => scala.util.Try(preTransformSchemas.applySchemaChange(e))
+      case e =>
+        try preTransformSchemas.applySchemaChange(e)
+        catch {
+          case ex: Exception =>
+            // a tracking failure leaves this registry stale, and later
+            // FIRST/LAST add-position anchors for the table would compute
+            // from an outdated schema — surface it instead of swallowing
+            preTransformTrackingFailures.incrementAndGet()
+            System.err.println(
+              s"[graft] pre-transform schema registry could not apply $e " +
+                s"(${ex.getMessage}); add-position anchors for " +
+                s"${e.tableId} may use a stale schema")
+        }
     }
     result
   }

@@ -43,15 +43,32 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
           override def name: String = u.name
           override def returnType = f.returnType
           override def arity: Int = f.arity
+          override def variadic: Boolean = f.variadic
           override def open(): Unit = f.open()
           override def close(): Unit = f.close()
           override def eval(args: Any*): Any = f.eval(args: _*)
         }
         graft.functions.UdfRegistry.register(spark, named)
+      case plain: AnyRef if plain.getClass.getMethods.exists(_.getName == "eval") =>
+        // ScalarFunction-shaped class (public typed eval overloads, no CDC
+        // UDF interface) — the reference accepts vanilla Flink
+        // ScalarFunction subclasses the same way
+        // (`UserDefinedFunctionDescriptor.isCdcPipelineUdf:85-103`)
+        graft.functions.UdfRegistry.register(
+          spark, new graft.functions.ReflectiveUdf(u.name, plain))
       case other => throw new IllegalArgumentException(
-        s"user-defined-function '${u.name}': ${u.classpath} does not implement " +
-          s"graft.functions.UserDefinedFunction (got ${other.getClass.getName})")
+        s"user-defined-function '${u.name}': ${u.classpath} neither implements " +
+          s"graft.functions.UserDefinedFunction nor exposes a public eval " +
+          s"method (got ${other.getClass.getName})")
     }
+  }
+
+  // pinned epoch for the now-family (test determinism): set for THIS
+  // pipeline, cleared otherwise so a prior pipeline's pin cannot leak into
+  // the shared session
+  pdef.config.get("epoch.millis") match {
+    case Some(v) => spark.conf.set("spark.graft.epoch.millis", v)
+    case None => spark.conf.unset("spark.graft.epoch.millis")
   }
 
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
@@ -191,19 +208,32 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     * internally consistent; changes after a chunk's HW are out of the run's
     * scope by definition of batch mode.
     */
-  def runBatch(): Unit = {
+  /** BATCH runtime-mode: one bounded materialization pass. All sources'
+    * schemas are known up front, so sink creates derive from the FULL union
+    * ([[PipelineComposer.createTablesBatch]]); `extraSourceIds` lets the
+    * batch read several registered sources (the reference's batch fixtures
+    * interleave multiple tables in one bounded event set).
+    */
+  def runBatch(extraSourceIds: Seq[String] = Seq.empty): Unit = {
     require(pdef.runtimeMode == "BATCH",
       s"runBatch is the BATCH runtime-mode path; this pipeline is ${pdef.runtimeMode}")
-    composer.createTables(sourceSchemas)
-    var reader = spark.read.format(classOf[GraftCdcProvider].getName)
-      .option("sourceId", sourceId)
-    Seq("chunk.size", "backfill.skip").foreach { k =>
-      pdef.source.config.get(k).foreach(v => reader = reader.option(k, v))
+    val extras = extraSourceIds.map { id =>
+      addedSourceIds.add(id)
+      val src = ChangeSourceRegistry.get(id)
+      src.tableId -> src.schema
     }
-    val env = reader.load()
-    PipelineComposer.splitByTable(env).toSeq
-      .sortBy(_._1.identifier)
-      .foreach { case (tableId, e) => composer.processBatch(tableId, e) }
+    composer.createTablesBatch(sourceSchemas ++ extras)
+    (sourceId +: extraSourceIds).foreach { id =>
+      var reader = spark.read.format(classOf[GraftCdcProvider].getName)
+        .option("sourceId", id)
+      Seq("chunk.size", "backfill.skip").foreach { k =>
+        pdef.source.config.get(k).foreach(v => reader = reader.option(k, v))
+      }
+      val env = reader.load()
+      PipelineComposer.splitByTable(env).toSeq
+        .sortBy(_._1.identifier)
+        .foreach { case (tableId, e) => composer.processBatch(tableId, e) }
+    }
   }
 
   /** Create sink tables and start the stream. */

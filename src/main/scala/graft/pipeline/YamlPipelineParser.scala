@@ -69,6 +69,15 @@ object YamlPipelineParser {
         str(r, "description"))
     }
 
+    // pipeline config is needed BEFORE the transforms parse: the now-family
+    // binds to the per-record epoch in the PIPELINE time zone
+    // (`PIPELINE_LOCAL_TIME_ZONE`, `SystemFunctionUtils.localtimestamp:65`)
+    val tz = str(asMap(root.getOrElse("pipeline", null)), "local-time-zone")
+      .getOrElse("UTC")
+    def dialect(sql: String): String =
+      graft.functions.Dialect.translate(
+        sql, epochTimeColumn = Some(graft.functions.Dialect.EpochCol), timeZone = tz)
+
     val transforms = asList(root.getOrElse("transform", null)).map { t =>
       TransformRule(
         requireStr(t, "source-table", "transform"),
@@ -76,8 +85,8 @@ object YamlPipelineParser {
         // never-throwing CAST, bare VARCHAR, ...) — translate to Spark SQL
         // here, at the same boundary where the reference's TransformParser
         // consumes them
-        str(t, "projection").map(graft.functions.Dialect.translate(_)),
-        str(t, "filter").map(graft.functions.Dialect.translate(_)),
+        str(t, "projection").map(dialect),
+        str(t, "filter").map(dialect),
         csv(str(t, "primary-keys")),
         csv(str(t, "partition-keys")),
         str(t, "table-options")

@@ -67,13 +67,97 @@ trait ChangelogSink { this: DataSink =>
   def writeChangelog(sinkTableId: TableId, env: DataFrame, batchId: Long, runId: String): Unit
 }
 
+/** Renders sink-side events as compact strings for EVENT-SEQUENCE
+  * assertions — the offline analog of the reference ValuesDataSink's
+  * `outCaptor` stream, whose ITCases assert every event's rendered form
+  * (op, before/after image values, meta), not just final state
+  * (`FlinkPipelineComposerITCase.java:819-846`). The data render mirrors the
+  * reference's `DataChangeEvent.toString` minus the tableId (the log is
+  * keyed per table), so reference expectations transcribe 1:1.
+  */
+object EventRender {
+
+  def ddl(e: SchemaChangeEvent): String = e match {
+    case graft.core.CreateTableEvent(_, s) =>
+      "create:" + s.struct.fieldNames.mkString(",")
+    case graft.core.AddColumnEvent(_, cols) => "add:" + cols.map { c =>
+      val pos = c.position match {
+        case graft.core.AddColumnEvent.First => " FIRST"
+        case graft.core.AddColumnEvent.Last => ""
+        case graft.core.AddColumnEvent.After(x) => s" AFTER $x"
+        case graft.core.AddColumnEvent.Before(x) => s" BEFORE $x"
+      }
+      s"${c.name}$pos"
+    }.mkString(",")
+    case graft.core.AlterColumnTypeEvent(_, m) =>
+      "alter:" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k->${v.toSpark.simpleString}" }.mkString(",")
+    case graft.core.RenameColumnEvent(_, m) =>
+      "rename:" + m.toSeq.sortBy(_._1).map { case (a, b) => s"$a->$b" }.mkString(",")
+    case graft.core.DropColumnEvent(_, cols) => "drop:" + cols.mkString(",")
+    case other => other.getClass.getSimpleName
+  }
+
+  /** `before=[...], after=[...], op=OP, meta=(...)` — image values rendered
+    * like the reference's BinaryRecordData fields (nulls as `null`, numerics
+    * via toString), meta as `()` when empty else `({k=v, ...})` with sorted
+    * keys. */
+  def data(
+      op: String,
+      before: Seq[Any],
+      after: Seq[Any],
+      meta: Map[String, String]): String = {
+    def img(vals: Seq[Any]) = vals.map {
+      case null => "null"
+      case b: Array[Byte] => java.util.Arrays.toString(b)
+      case v => String.valueOf(v)
+    }.mkString(", ")
+    val m =
+      if (meta == null || meta.isEmpty) "()"
+      else meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("({", ", ", "})")
+    s"before=[${img(before)}], after=[${img(after)}], op=$op, meta=$m"
+  }
+
+  /** Render one coerced ENVELOPE row (tableId, op, before, after, seq, meta). */
+  def fromEnvelopeRow(r: org.apache.spark.sql.Row): String = {
+    def img(i: Int): Seq[Any] =
+      if (r.isNullAt(i)) Seq.empty else r.getStruct(i).toSeq
+    val meta =
+      if (r.isNullAt(5)) Map.empty[String, String]
+      else r.getMap[String, String](5).toMap
+    data(r.getString(1), img(2), img(3), meta)
+  }
+}
+
 /** In-memory PK-upsert database — the test oracle, mirroring
   * `flink-cdc-pipeline-connector-values/.../ValuesDatabase.java` (a
   * `Map[pk, row]` per table that INSERT/UPDATE/REPLACE overwrite and DELETE
   * removes). Driver-side state is acceptable here because this sink exists for
   * correctness tests; the scale path is an external MERGE INTO sink.
+  *
+  * `recordEvents` (YAML sink option `record.events: true`) additionally keeps
+  * a PER-TABLE UNIFIED LOG of every effective event in application order —
+  * DDL (rendered by [[EventRender.ddl]]) interleaved with data-change events
+  * (rendered by [[EventRender.data]], image pairs + op + meta) — so
+  * conformance gates can assert the reference ITCases' full `outCaptor`
+  * event sequences, not just final state. Opt-in because the log is O(events)
+  * driver memory: correctness scripts only, never benches.
   */
-final class MemoryDatabase extends DataSink {
+final class MemoryDatabase(val recordEvents: Boolean = false) extends DataSink {
+
+  private val eventLog =
+    scala.collection.mutable.ArrayBuffer.empty[(TableId, String)]
+
+  /** The unified DDL+data event sequence recorded for `t` (requires
+    * `recordEvents`). */
+  def eventHistory(t: TableId): Seq[String] =
+    synchronized(eventLog.collect { case (`t`, s) => s }.toSeq)
+
+  /** Called by the composer with the rendered per-batch data events of one
+    * sink table, in seq order. */
+  def recordDataEvents(t: TableId, rendered: Seq[String]): Unit =
+    synchronized { rendered.foreach(s => eventLog += t -> s) }
 
   private val tables =
     scala.collection.mutable.Map.empty[TableId, (TableSchema, scala.collection.mutable.LinkedHashMap[Seq[Any], Seq[Any]])]
@@ -92,7 +176,9 @@ final class MemoryDatabase extends DataSink {
   override def applySchemaChange(event: SchemaChangeEvent): Unit = synchronized {
     event match {
       case graft.core.CreateTableEvent(t, _) if tables.contains(t) => ()
-      case _ => ddlLog += event
+      case _ =>
+        ddlLog += event
+        if (recordEvents) eventLog += event.tableId -> EventRender.ddl(event)
     }
     event match {
       case graft.core.CreateTableEvent(t, schema) =>
@@ -116,10 +202,29 @@ final class MemoryDatabase extends DataSink {
             case graft.core.RenameColumnEvent(_, m) => m.map(_.swap)
             case _ => Map.empty
           }
+          // an ALTER converts values already stored under the old type —
+          // a real sink's `ALTER TABLE ... TYPE` rewrites/reinterprets the
+          // column; an Int stored pre-widening must read back as the Long
+          // the evolved schema declares
+          val newTypes = evolved.struct.fields.map(f => f.name -> f.dataType).toMap
+          def conv(v: Any, dt: org.apache.spark.sql.types.DataType): Any = (v, dt) match {
+            case (null, _) => null
+            case (n: Number, org.apache.spark.sql.types.ByteType) => n.byteValue
+            case (n: Number, org.apache.spark.sql.types.ShortType) => n.shortValue
+            case (n: Number, org.apache.spark.sql.types.IntegerType) => n.intValue
+            case (n: Number, org.apache.spark.sql.types.LongType) => n.longValue
+            case (n: Number, org.apache.spark.sql.types.FloatType) => n.floatValue
+            case (n: Number, org.apache.spark.sql.types.DoubleType) => n.doubleValue
+            case (x, org.apache.spark.sql.types.StringType) if !x.isInstanceOf[String] =>
+              String.valueOf(x)
+            case (x, _) => x
+          }
           val reindexed = rows.map { case (k, v) =>
             val byName = oldNames.zip(v).toMap
             k -> evolved.struct.fieldNames.toSeq.map { n =>
-              byName.getOrElse(if (byName.contains(n)) n else newToOld.getOrElse(n, n), null)
+              val raw = byName.getOrElse(
+                if (byName.contains(n)) n else newToOld.getOrElse(n, n), null)
+              conv(raw, newTypes(n))
             }
           }
           tables(t) = (evolved, scala.collection.mutable.LinkedHashMap(reindexed.toSeq: _*))

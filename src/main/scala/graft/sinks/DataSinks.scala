@@ -12,7 +12,11 @@ object DataSinks {
 
   def forDef(spark: SparkSession, sinkDef: SinkDef): DataSink =
     sinkDef.sinkType.toLowerCase match {
-      case "values" | "memory" => new MemoryDatabase
+      case "values" | "memory" =>
+        // `record.events: true` turns on the per-table unified DDL+data
+        // event log (the ValuesDataSink outCaptor analog) — test scripts only
+        new MemoryDatabase(
+          recordEvents = sinkDef.config.get("record.events").exists(_.toBoolean))
       case "oceanbase" if sinkDef.config.contains("username") =>
         // the DEDICATED OceanBase pipeline connector (the reference's
         // flink-cdc-pipeline-connector-oceanbase, required options url +

@@ -132,6 +132,48 @@ class TransformOpSpec extends AnyFunSuite {
     assert(out.select($"id").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("filter folds against POST-shading types, not the raw input's") {
+    // `*, CAST(col1 AS INT) AS col1` on a BIGINT col1 changes the boxed
+    // class the filter's `col1 = 3` compares — the reference evaluates the
+    // filter on the projected row, so the Integer-vs-Integer comparison is
+    // LIVE; folding from the pre-projection Long type silently drops rows
+    val df = Seq((1L, "a"), (3L, "b")).toDF("col1", "name")
+    val rule = TransformRule("db.t",
+      projection = Some(graft.functions.Dialect.translate("*, CAST(col1 AS INT) AS col1")),
+      filter = Some("col1 = 3"))
+    val out = TransformOp.applyToRows(df, rule)
+    assert(out.select($"name").as[String].collect().toSeq == Seq("b"),
+      "shaded INT col1 = 3 must keep the matching row")
+    // and the UN-shaded sibling still folds: BIGINT col1 = 3 is Long-vs-Integer
+    val folded = TransformOp.applyToRows(df,
+      TransformRule("db.t", projection = Some("*"), filter = Some("col1 = 3")))
+    assert(folded.count() == 0)
+  }
+
+  test("kept equalities are TWO-valued like valueEquals (null -> false, <> -> true)") {
+    // SystemFunctionUtils.valueEquals:755 returns false on a null operand
+    // and <> compiles to !valueEquals — a materialized boolean projection
+    // column must read false/true, not SQL NULL
+    val df = Seq(("1", "x"), ("2", null)).toDF("id", "name")
+    val rule = TransformRule("db.t",
+      projection = Some("id, name = 'x' AS eq, name <> 'x' AS ne"))
+    val out = TransformOp.applyToRows(df, rule).orderBy("id").collect()
+    assert(out(0).getBoolean(1) && !out(0).getBoolean(2))
+    assert(!out(1).isNullAt(1) && !out(1).getBoolean(1), "null = 'x' must be false")
+    assert(!out(1).isNullAt(2) && out(1).getBoolean(2), "null <> 'x' must be true")
+  }
+
+  test("variadic UDF dispatches by call-site arity (FormatFunctionClass)") {
+    graft.functions.UdfRegistry.register(spark,
+      new graft.functions.udfexamples.FormatFunctionClass)
+    val df = Seq(("1", "alice")).toDF("id", "name")
+    val rule = TransformRule("db.t", projection =
+      Some("id, format('%s!', name) AS two, format('from %s to %s is %s', name, 'z', 'lie') AS four"))
+    val r = TransformOp.applyToRows(df, rule).head()
+    assert(r.getString(1) == "alice!")
+    assert(r.getString(2) == "from alice to z is lie")
+  }
+
   test("metadata columns usable in projection and filter") {
     val df = rows.toDF("id", "name", "bal")
     val rule = TransformRule(
