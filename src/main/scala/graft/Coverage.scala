@@ -159,7 +159,11 @@ object Coverage {
         "c_conformance_substring_functions", "c_conformance_conditional_functions",
         "c_conformance_udf_overloaded", "c_conformance_udf_lifecycle",
         "c_conformance_udf_typehint", "c_conformance_udf_flink_transform",
-        "c_conformance_udf_flink_filter", "c_conformance_udf_flink_overloaded"),
+        "c_conformance_udf_flink_filter", "c_conformance_udf_flink_overloaded",
+        "c_conformance_batch_multi_tables", "c_conformance_batch_transform_twice",
+        "c_conformance_batch_merge_route", "c_conformance_batch_transform_merge",
+        "c_conformance_parallelized_single", "c_conformance_parallelized_multi",
+        "c_conformance_lenient_default_value", "c_conformance_lenient_transform"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

@@ -135,6 +135,62 @@ object QueriesConformance {
 
   private def freshId(tag: String) = s"conformance-$tag-${java.util.UUID.randomUUID()}"
 
+  /** The DistributedSourceFunction dummy-type table
+    * (`FlinkParallelizedPipelineITCase` fixture,
+    * `DistributedSourceFunction.java:149-200`) in graft's type models —
+    * TIME(p) is INT millis-of-day, TIMESTAMP_TZ is
+    * struct&lt;instant, offsetSeconds&gt; (SURVEY §1.3). The values render to
+    * the ITCase's expectedTokens (:925-945): `18:00:01`,
+    * `2020-07-17T18:00`, base64 `Q2ljYWRh`, `1088.00000000000`, … (the
+    * zoned token renders micros, not nanos — Spark's timestamp resolution).
+    */
+  private val parallelizedTypes: Seq[(String, CdcType, Any)] = Seq(
+    ("booleantype", CdcTypes.BooleanT(), true),
+    ("tinyinttype", CdcTypes.TinyIntT(), 17.toByte),
+    ("smallinttype", CdcTypes.SmallIntT(), 34.toShort),
+    ("inttype", CdcTypes.IntT(), 68),
+    ("biginttype", CdcTypes.BigIntT(), 136L),
+    ("floattype", CdcTypes.FloatT(), 272.0f),
+    ("doubletype", CdcTypes.DoubleT(), 544.0),
+    ("decimaltype", CdcTypes.DecimalT(17, 11), new java.math.BigDecimal("1088.000")),
+    ("chartype", CdcTypes.CharT(17), "Alice"),
+    ("varchartype", CdcTypes.VarCharT(17), "Bob"),
+    ("binarytype", CdcTypes.BinaryT(17), "Cicada".getBytes("UTF-8")),
+    ("varbinarytype", CdcTypes.VarBinaryT(17), "Derrida".getBytes("UTF-8")),
+    ("timetype", CdcTypes.TimeT(9), 64801000),
+    ("timestamptype", CdcTypes.TimestampT(9),
+      java.time.LocalDateTime.parse("2020-07-17T18:00")),
+    ("zonedtimestamptype", CdcTypes.ZonedTimestampT(9),
+      Row(java.sql.Timestamp.from(java.time.Instant.parse("1970-01-04T21:20:00.000123Z")),
+        28800)),
+    ("localzonedtimestamptype", CdcTypes.LocalZonedTimestampT(9),
+      java.sql.Timestamp.from(java.time.Instant.parse("2019-12-31T18:00:00Z"))))
+
+  /** dummy value for a `col_<type>` / `subtask_<k>_col_<type>` column —
+    * type-name suffixes are unambiguous (`_zonedtimestamptype` does not
+    * match `…local…`: the preceding char is `l`, not `_`). */
+  private def parallelizedValueOf(colName: String): Any =
+    parallelizedTypes.find { case (n, _, _) => colName.endsWith(s"_$n") }
+      .map(_._3)
+      .getOrElse(throw new IllegalArgumentException(s"no dummy value for $colName"))
+
+  /** render a stored value the way the ITCase's expectedTokens spell it */
+  private def renderParallelizedValue(colName: String, v: Any): String = (colName, v) match {
+    case (_, null) => "null"
+    case (c, i: Int) if c.endsWith("_timetype") =>
+      java.time.LocalTime.ofNanoOfDay(i * 1000000L).toString
+    case (_, b: Array[Byte]) => java.util.Base64.getEncoder.encodeToString(b)
+    case (_, d: java.math.BigDecimal) => d.toPlainString
+    case (_, ldt: java.time.LocalDateTime) => ldt.toString
+    case (_, ts: java.sql.Timestamp) =>
+      java.time.LocalDateTime.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC).toString
+    case (_, r: Row) =>
+      java.time.OffsetDateTime
+        .ofInstant(r.getTimestamp(0).toInstant,
+          java.time.ZoneOffset.ofTotalSeconds(r.getInt(1))).toString
+    case (_, other) => String.valueOf(other)
+  }
+
   /** MemoryDatabase rows -> DataFrame with explicit schema (values arrive
     * with the sink table's evolved types). */
   private def stateDf(
@@ -218,6 +274,43 @@ object QueriesConformance {
         require(db.schemaOf(t).exists(
           _.columnNames == Seq("col1", "col2", "col3", "newCol2", "newCol3")),
           s"lenient additive shape, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineComposerLenientITCase
+    // .testSingleSplitSingleTableWithDefaultValue:176 — the single-table
+    // script plus an ADD with a column DEFAULT ('flink') and a RENAME of that
+    // column: under LENIENT the default rides the add as-is AND carries into
+    // the rename-derived ADD of the new name (:230-235); neither backfills
+    // existing rows (final colWithDefault/newColWithDefault are null).
+    "c_conformance_lenient_default_value" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("ldflt")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT") { drain =>
+          scriptSingleTable(src, t, drain)
+          drain()
+          src.appendDdl(AddColumnEvent(t, Seq(AddColumnEvent.ColumnWithPosition(
+            "colWithDefault", CdcTypes.StringT(), defaultExpr = Some("flink")))))
+          src.appendDdl(RenameColumnEvent(t, Map("colWithDefault" -> "newColWithDefault")))
+        }
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2",
+          "before=[], after=[1, 1], op=INSERT, meta=()",
+          "before=[], after=[2, 2], op=INSERT, meta=()",
+          "before=[], after=[3, 3], op=INSERT, meta=()",
+          "add:col3",
+          "add:newCol2,newCol3",
+          "before=[1, null, null, null, 1], after=[], op=DELETE, meta=()",
+          "before=[2, null, null, null, ], after=[2, null, null, null, x], op=UPDATE, meta=()",
+          "add:colWithDefault DEFAULT 'flink'",
+          "add:newColWithDefault DEFAULT 'flink'"))
+        require(db.schemaOf(t).exists(_.columnNames == Seq(
+          "col1", "col2", "col3", "newCol2", "newCol3",
+          "colWithDefault", "newColWithDefault")),
+          s"default-value lenient shape per ITCase:212, got ${db.schemaOf(t).map(_.columnNames)}")
         stateDf(s, db, t).orderBy("col1")
       }
     }),
@@ -676,6 +769,43 @@ object QueriesConformance {
       }
     }),
 
+    // FlinkPipelineComposerLenientITCase.testTransform:347: computed col12 +
+    // filter under default-LENIENT over the evolving TRANSFORM_TABLE script —
+    // asserts the full event sequence (:389-399): key 3 filtered, lenient
+    // adds LAST, post-rename images null col2/col3/newCol2 with col12
+    // computed per image.
+    "c_conformance_lenient_transform" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("ltrans")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, concat(col1,'0') as col12"
+              |    filter: "col1 <> '3'"
+              |    primary-keys: col1
+              |    partition-keys: col12
+              |    table-options: key1=value1""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain, opTs = true)
+        }
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2,col12",
+          "before=[], after=[1, 1, 10], op=INSERT, meta=({op_ts=1})",
+          "before=[], after=[2, 2, 20], op=INSERT, meta=({op_ts=2})",
+          "add:col3",
+          "add:newCol2,newCol3",
+          "before=[1, null, 10, null, null, 1], after=[], op=DELETE, meta=({op_ts=4})",
+          "before=[2, null, 20, null, null, ], after=[2, null, 20, null, null, x], " +
+            "op=UPDATE, meta=({op_ts=5})"))
+        require(db.schemaOf(t).exists(sch =>
+          sch.partitionKeys == Seq("col12") && sch.options.get("key1").contains("value1")),
+          s"lenient transform pk/partition/options per ITCase:389, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
     // FlinkPipelineComposerLenientITCase.testTransformTwice:469: TWO
     // dispatching rules on one table (different computed col12 per filter;
     // only the FIRST declares pk/partition/options), default-LENIENT, over
@@ -773,6 +903,392 @@ object QueriesConformance {
           s"batch transform shape per ITCase:392, got ${db.schemaOf(t)}")
         stateDf(s, db, t).orderBy("col1")
       }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testSingleSplitMultipleTablesInBatchMode
+    // :237: two bounded tables through one BATCH pass — each keeps its own
+    // create + insert stream (:283-296).
+    "c_conformance_batch_multi_tables" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val rows3 = Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k))
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), rows3)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), rows3)
+      val (id1, id2) = (freshId("bmulti1"), freshId("bmulti2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id1
+             |sink:
+             |  type: values
+             |  record.events: true
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch(extraSourceIds = Seq(id2))
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        Seq(t1, t2).foreach { t =>
+          requireEventSequence(db, t, Seq(
+            s"create:col1,col2",
+            "before=[], after=[1, 1], op=INSERT, meta=()",
+            "before=[], after=[2, 2], op=INSERT, meta=()",
+            "before=[], after=[3, 3], op=INSERT, meta=()"))
+        }
+        import s.implicits._
+        (stateDf(s, db, t1).collect().toSeq.map(r => ("table1", r.getString(0), r.getString(1))) ++
+          stateDf(s, db, t2).collect().toSeq.map(r => ("table2", r.getString(0), r.getString(1))))
+          .toDF("tbl", "col1", "col2").orderBy("tbl", "col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testTransformTwiceInBatchMode:618: the
+    // two-rule first-match dispatch under BATCH — rule 1 takes key 1 (and
+    // declares pk/partition/options), rule 2 takes key 2, key 3 matches
+    // neither and drops (:666-673). Bounded reads are table READS, not log
+    // records, so connector metadata is absent here (the reference's values
+    // fixture replays op_ts-stamped events; graft's batch source snapshots
+    // state — `GraftCdcSource`'s documented model).
+    "c_conformance_batch_transform_twice" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"),
+        Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k)))
+      val id = freshId("btwice")
+      registered(id -> src) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id
+             |sink:
+             |  type: values
+             |  record.events: true
+             |transform:
+             |  - source-table: default_schema.table1
+             |    projection: "*,concat(col1,'1') as col12"
+             |    filter: "col1 = '1' OR col1 = '999'"
+             |    primary-keys: col1
+             |    partition-keys: col12
+             |    table-options: key1=value1
+             |  - source-table: default_schema.table1
+             |    projection: "*,concat(col1,'2') as col12"
+             |    filter: "col1 = '2'"
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch()
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2,col12",
+          "before=[], after=[1, 1, 11], op=INSERT, meta=()",
+          "before=[], after=[2, 2, 22], op=INSERT, meta=()"))
+        require(db.schemaOf(t).exists(sch =>
+          sch.partitionKeys == Seq("col12") && sch.options.get("key1").contains("value1")),
+          s"batch transform-twice pk/partition/options per ITCase:664, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testMergingWithRouteInBatchMode:831:
+    // BATCH route-merge derives the sink schema STATICALLY — one
+    // CreateTableEvent with the fully-merged (id BIGINT, name, age INT,
+    // description) schema, never create-then-widenings (:949-956); mytable1's
+    // rows pad description null.
+    "c_conformance_batch_merge_route" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"),
+        Seq(
+          Map[String, Any]("id" -> 1, "name" -> "Alice", "age" -> 18),
+          Map[String, Any]("id" -> 2, "name" -> "Bob", "age" -> 20)))
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+        Seq(
+          Map[String, Any]("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte,
+            "description" -> "student"),
+          Map[String, Any]("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte,
+            "description" -> "student")))
+      val (id1, id2) = (freshId("bmerge1"), freshId("bmerge2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id1
+             |sink:
+             |  type: values
+             |  record.events: true
+             |route:
+             |  - source-table: default_schema.mytable\\.*
+             |    sink-table: default_schema.merged
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch(extraSourceIds = Seq(id2))
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        val merged = TableId.parse("default_schema.merged")
+        requireEventSequence(db, merged, Seq(
+          "create:id,name,age,description",
+          "before=[], after=[1, Alice, 18, null], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 20, null], op=INSERT, meta=()",
+          "before=[], after=[3, Charlie, 15, student], op=INSERT, meta=()",
+          "before=[], after=[4, Donald, 25, student], op=INSERT, meta=()"))
+        stateDf(s, db, merged).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testTransformMergingWithRoute:958:
+    // transform (`*,'last_name' as last_name` on mytable[0-9]) + route-merge
+    // under BATCH, with an UNMATCHED third table riding the same pass — the
+    // merged create is the static union WITH the computed column
+    // (id BIGINT, name, age, last_name, description, :1131-1140), and
+    // mytable_other passes through untransformed.
+    "c_conformance_batch_transform_merge" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val tOther = TableId.parse("default_schema.mytable_other")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"),
+        Seq(
+          Map[String, Any]("id" -> 1, "name" -> "Alice", "age" -> 18),
+          Map[String, Any]("id" -> 2, "name" -> "Bob", "age" -> 20)))
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+        Seq(
+          Map[String, Any]("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte,
+            "description" -> "student"),
+          Map[String, Any]("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte,
+            "description" -> "student")))
+      val srcOther = new ScriptedChangeSource(tOther,
+        schemaOf("id" -> IntegerType, "name" -> Str, "address" -> Str)("id"),
+        Seq(
+          Map[String, Any]("id" -> 5, "name" -> "E", "address" -> "Beijing"),
+          Map[String, Any]("id" -> 6, "name" -> "F", "address" -> "Hangzhou")))
+      val (id1, id2, idO) = (freshId("btm1"), freshId("btm2"), freshId("btmo"))
+      registered(id1 -> src1, id2 -> src2, idO -> srcOther) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id1
+             |sink:
+             |  type: values
+             |  record.events: true
+             |transform:
+             |  - source-table: default_schema.mytable[0-9]
+             |    projection: "*,'last_name' as last_name"
+             |route:
+             |  - source-table: default_schema.mytable[0-9]
+             |    sink-table: default_schema.merged
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch(extraSourceIds = Seq(id2, idO))
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        val merged = TableId.parse("default_schema.merged")
+        requireEventSequence(db, merged, Seq(
+          "create:id,name,age,last_name,description",
+          "before=[], after=[1, Alice, 18, last_name, null], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 20, last_name, null], op=INSERT, meta=()",
+          "before=[], after=[3, Charlie, 15, last_name, student], op=INSERT, meta=()",
+          "before=[], after=[4, Donald, 25, last_name, student], op=INSERT, meta=()"))
+        requireEventSequence(db, tOther, Seq(
+          "create:id,name,address",
+          "before=[], after=[5, E, Beijing], op=INSERT, meta=()",
+          "before=[], after=[6, F, Hangzhou], op=INSERT, meta=()"))
+        import s.implicits._
+        (stateDf(s, db, merged).collect().toSeq.map(r =>
+          ("merged", r.getLong(0), r.getString(1), String.valueOf(r.getInt(2)),
+            r.getString(3), r.getString(4))) ++
+          stateDf(s, db, tOther).collect().toSeq.map(r =>
+            ("mytable_other", r.getInt(0).toLong, r.getString(1), null: String,
+              null: String, r.getString(2))))
+          .toDF("tbl", "id", "name", "age", "last_name", "extra").orderBy("id")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase
+    // .testDistributedTablesSourceInSingleParallelismWithLenientBehavior:162
+    // — the DistributedSourceFunction fixture (:149-290): 4 tables, each
+    // created as (id STRING pk) + 10 seeded inserts, then for each of the 16
+    // dummy types an ADD `col_<type>` + full-row insert followed by an ADD
+    // `subtask_0_col_<type>` + full-row insert. Asserts the EXACT interleaved
+    // 33-column order the ITCase pins (:168-215) and the dummy VALUE
+    // renderings of its expectedTokens (:925-945; iota ids adapt to numeric
+    // strings — the scripted source keys on a numeric pk — preserving the
+    // fixture's every-(subtask,seq)-exactly-once integrity intent; scaled
+    // to 2 of the fixture's 4 identical tables — each table restarts the
+    // stream 33 times through the park/evolve/ack loop, and the per-table
+    // assertions are independent).
+    "c_conformance_parallelized_single" -> ((s, _) => {
+      val tables = (0 until 2).map(i => TableId.parse(s"default_database.table_$i"))
+      val srcs = tables.map(t => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = tables.indices.map(i => freshId(s"par1t$i"))
+      registered(ids.zip(srcs): _*) {
+        var iota = -1
+        def nextId(): String = { iota += 1; String.valueOf(iota) }
+        val db = runPipeline(s, ids.zip(srcs), "LENIENT") { drain =>
+          // initial stage: 10 seeded inserts per table, fixture order 0..3
+          srcs.zip(tables).foreach { case (src, t) =>
+            (0 until 10).foreach { _ =>
+              src.append(DataChangeEvent.insert(t, Map("id" -> nextId())))
+            }
+          }
+          drain()
+          // 16 type stages × (shared col, then subtask_0 col), each add
+          // followed by a full-row insert — the park/evolve/ack loop applies
+          // every DDL at its own batch boundary within one drain
+          parallelizedTypes.foreach { case (typeName, cdcT, _) =>
+            Seq(s"col_$typeName", s"subtask_0_col_$typeName").foreach { colName =>
+              srcs.zip(tables).foreach { case (src, t) =>
+                src.appendDdl(AddColumnEvent(t,
+                  Seq(AddColumnEvent.ColumnWithPosition(colName, cdcT))))
+                val vals: Map[String, Any] =
+                  src.schema.struct.fieldNames.toSeq.map {
+                    case "id" => "id" -> (nextId(): Any)
+                    case c => c -> parallelizedValueOf(c)
+                  }.toMap
+                src.append(DataChangeEvent.insert(t, vals))
+              }
+            }
+            drain()
+          }
+        }
+        // the ITCase's pinned interleaved order: id, then col_X followed by
+        // subtask_0_col_X per type in fixture declaration order
+        val expectedCols = "id" +: parallelizedTypes.flatMap { case (n, _, _) =>
+          Seq(s"col_$n", s"subtask_0_col_$n") }
+        tables.foreach { t =>
+          val got = db.schemaOf(t).map(_.columnNames).getOrElse(Seq.empty)
+          require(got == expectedCols,
+            s"parallelized single column order for $t:\n  got      $got\n  expected $expectedCols")
+        }
+        import s.implicits._
+        tables.zipWithIndex.map { case (t, i) =>
+          val rows = db.rowsOf(t)
+          val full = rows.filter(_.forall(_ != null))
+          // exactly one row carries every column: the final stage's insert
+          require(full.size == 1, s"$t: expected 1 fully-populated row, got ${full.size}")
+          val colNames = db.schemaOf(t).get.columnNames.drop(1)
+          (s"table_$i", rows.size.toLong,
+            full.head.drop(1).zip(colNames)
+              .map { case (v, c) => renderParallelizedValue(c, v) }.mkString("|"))
+        }.toDF("tbl", "n_rows", "full_row").orderBy("tbl")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase
+    // .testDistributedTablesSourceInMultipleParallelismWithLenientBehavior
+    // :230 — four PARTITIONS observe the SAME tables and evolve them
+    // independently (each adds its own `subtask_<k>_col_<type>` columns, in a
+    // per-partition order — the reference shuffles; a deterministic
+    // per-subtask rotation stands in). Driven through the DISTRIBUTED schema
+    // variant ([[graft.pipeline.DistributedSchemaReducer]]): per batch the
+    // driver reduces the partitions' observed schemas to the least common
+    // schema, derives the sink diff, applies it, then coerces and writes each
+    // partition's rows — the micro-batch form of the reference's
+    // SchemaCoordinator#handleReduceSchemaRequest. Asserts the ITCase's
+    // order-INsensitive 81-column union (:243-910) and its
+    // every-(subtask,seq)-present token-count integrity (:911-954), scaled
+    // to 2 tables.
+    "c_conformance_parallelized_multi" -> ((s, _) => {
+      import graft.pipeline.DistributedSchemaReducer
+      import DistributedSchemaReducer.PartitionSchemaReport
+      val nSubtasks = 4
+      val tables = (0 until 2).map(i => TableId.parse(s"default_database.table_$i"))
+      val idSchema = TableSchema(
+        StructType(Seq(StructField("id", StringType))),
+        primaryKeys = Seq("id"), partitionKeys = Seq("id"))
+      val db = new MemoryDatabase(recordEvents = true)
+      val known = new SchemaManager
+      // per-partition live schema per table (each partition's own view)
+      val partSchemas = Array.fill(nSubtasks)(
+        scala.collection.mutable.Map(tables.map(_ -> idSchema): _*))
+      // stage rows accumulated per partition per table, flushed per batch
+      def flushBatch(rowsOf: (Int, TableId) => Seq[Map[String, Any]]): Unit = {
+        val reports = for {
+          k <- 0 until nSubtasks; t <- tables
+        } yield PartitionSchemaReport(k, t, partSchemas(k)(t))
+        val events = DistributedSchemaReducer.deriveEvents(known, reports)
+        events.foreach { e => known.applySchemaChange(e); db.applySchemaChange(e) }
+        tables.foreach { t =>
+          val evolved = known.latest(t).get
+          val rows = (0 until nSubtasks).flatMap(k => rowsOf(k, t))
+          if (rows.nonEmpty) {
+            val data = rows.map(m => Row.fromSeq(
+              evolved.struct.fieldNames.toSeq.map(c => m.getOrElse(c, null))))
+            val df = s.createDataFrame(
+              new java.util.ArrayList[Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+              StructType(evolved.struct.fields.map(_.copy(nullable = true))))
+            val noDeletes = s.createDataFrame(
+              new java.util.ArrayList[Row](),
+              StructType(Seq(StructField("id", StringType))))
+            db.writeBatch(t, df, noDeletes)
+          }
+        }
+      }
+      val iotas = Array.fill(nSubtasks)(-1)
+      def nextId(k: Int): String = { iotas(k) += 1; s"${k}000${iotas(k)}" }
+      // initial batch: every partition announces (id) and seeds 10 rows/table
+      flushBatch((k, t) => (0 until 10).map(_ => Map("id" -> nextId(k))))
+      // each partition works the 16 types in its OWN order (rotation by k)
+      val perPart = (0 until nSubtasks).map(k =>
+        parallelizedTypes.drop(k) ++ parallelizedTypes.take(k))
+      (0 until parallelizedTypes.size).foreach { stage =>
+        Seq(false, true).foreach { subtaskCol =>
+          // every partition adds its stage column to ITS schema view...
+          (0 until nSubtasks).foreach { k =>
+            val (typeName, cdcT, _) = perPart(k)(stage)
+            val colName =
+              if (subtaskCol) s"subtask_${k}_col_$typeName" else s"col_$typeName"
+            tables.foreach { t =>
+              val cur = partSchemas(k)(t)
+              if (!cur.struct.fieldNames.contains(colName))
+                partSchemas(k)(t) = TableSchema(
+                  StructType(cur.struct.fields :+
+                    StructField(colName, cdcT.toSpark)),
+                  primaryKeys = cur.primaryKeys,
+                  partitionKeys = cur.partitionKeys)
+            }
+          }
+          // ...then writes one full row under its OWN view
+          flushBatch((k, t) => Seq(
+            partSchemas(k)(t).struct.fieldNames.toSeq.map {
+              case "id" => "id" -> (nextId(k): Any)
+              case c => c -> parallelizedValueOf(c)
+            }.toMap))
+        }
+      }
+      // the ITCase's union assertion, order-insensitive (:243-910)
+      val expectedCols = ("id" +: parallelizedTypes.flatMap { case (n, _, _) =>
+        s"col_$n" +: (0 until nSubtasks).map(k => s"subtask_${k}_col_$n")
+      }).toSet
+      tables.foreach { t =>
+        val got = db.schemaOf(t).map(_.columnNames.toSet).getOrElse(Set.empty)
+        require(got == expectedCols,
+          s"parallelized multi column UNION for $t: missing ${expectedCols -- got}, " +
+            s"extra ${got -- expectedCols}")
+      }
+      // token-count integrity (:925-954): every dummy value appears at least
+      // tables × parallelism times; every (subtask, seq) id exactly once
+      import s.implicits._
+      tables.zipWithIndex.map { case (t, i) =>
+        val rows = db.rowsOf(t)
+        val ids = rows.map(_.head.asInstanceOf[String])
+        require(ids.distinct.size == ids.size, s"$t: duplicate iota ids")
+        val perSubtask = ids.groupBy(_.take(1)).view.mapValues(_.size).toMap
+        require((0 until nSubtasks).forall(k => perSubtask.getOrElse(k.toString, 0) > 0),
+          s"$t: some partition contributed no rows: $perSubtask")
+        (s"table_$i", rows.size.toLong, ids.map(_.toLong).max)
+      }.toDF("tbl", "n_rows", "max_iota").orderBy("tbl")
     }),
 
     // FlinkPipelineUdfITCase.testTransformWithUdf:111: a YAML-declared UDF
@@ -2055,6 +2571,22 @@ object QueriesConformance {
         |  ('2', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x'),
         |  ('3', '3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
         |AS t(col1, col2, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    // lenient transform final state (LenientITCase:382-386): rows 2 and 3
+    // of (col1, col2, col12, col3, newCol2, newCol3) — key 3 passed only
+    // the pre-evolution filter window, key 2 carries the updated newCol3
+    "c_conformance_lenient_transform" ->
+      """SELECT * FROM (VALUES
+        |  ('2', CAST(NULL AS VARCHAR), '20', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x'))
+        |AS t(col1, col2, col12, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    // same rows with the two default-carrying columns null (defaults never
+    // backfill existing rows, LenientITCase:212-216)
+    "c_conformance_lenient_default_value" ->
+      """SELECT * FROM (VALUES
+        |  ('2', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('3', '3', NULL, NULL, NULL, NULL, NULL))
+        |AS t(col1, col2, col3, newCol2, newCol3, colWithDefault, newColWithDefault)
+        |ORDER BY col1""".stripMargin,
     "c_conformance_multi_tables" ->
       """SELECT * FROM (VALUES
         |  ('table1', '2', 'x'), ('table1', '3', CAST(NULL AS VARCHAR)),
@@ -2221,6 +2753,52 @@ object QueriesConformance {
       """SELECT * FROM (VALUES
         |  ('1', '1'), ('2', '2'), ('3', '3'))
         |AS t(col1, col2) ORDER BY col1""".stripMargin,
+    // the fully-typed final row per table: col_X and subtask_0_col_X carry
+    // the SAME dummy per type, so each expectedToken appears as a pair —
+    // values transcribed from FlinkParallelizedPipelineITCase:925-945
+    // (zoned renders micros, Spark's timestamp resolution)
+    "c_conformance_parallelized_single" ->
+      ("""SELECT * FROM (VALUES
+        |  ('table_0', CAST(42 AS BIGINT), '@ROW@'),
+        |  ('table_1', 42, '@ROW@'))
+        |AS t(tbl, n_rows, full_row) ORDER BY tbl""".stripMargin
+        .replace("@ROW@", Seq(
+          "true", "17", "34", "68", "136", "272.0", "544.0", "1088.00000000000",
+          "Alice", "Bob", "Q2ljYWRh", "RGVycmlkYQ==", "18:00:01",
+          "2020-07-17T18:00", "1970-01-05T05:20:00.000123+08:00", "2019-12-31T18:00")
+          .flatMap(v => Seq(v, v)).mkString("|"))),
+    // 4 partitions x (10 seed + 32 stage rows) x 2 tables; iota ids encode
+    // (subtask, seq) so the max pins every partition's full contribution
+    "c_conformance_parallelized_multi" ->
+      """SELECT * FROM (VALUES
+        |  ('table_0', CAST(168 AS BIGINT), CAST(300082 AS BIGINT)),
+        |  ('table_1', 168, 300083))
+        |AS t(tbl, n_rows, max_iota) ORDER BY tbl""".stripMargin,
+    "c_conformance_batch_multi_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('table1', '1', '1'), ('table1', '2', '2'), ('table1', '3', '3'),
+        |  ('table2', '1', '1'), ('table2', '2', '2'), ('table2', '3', '3'))
+        |AS t(tbl, col1, col2) ORDER BY tbl, col1""".stripMargin,
+    "c_conformance_batch_transform_twice" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1', '11'), ('2', '2', '22'))
+        |AS t(col1, col2, col12) ORDER BY col1""".stripMargin,
+    "c_conformance_batch_merge_route" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR)),
+        |  (2, 'Bob', 20, NULL),
+        |  (3, 'Charlie', 15, 'student'),
+        |  (4, 'Donald', 25, 'student'))
+        |AS t(id, name, age, description) ORDER BY id""".stripMargin,
+    "c_conformance_batch_transform_merge" ->
+      """SELECT * FROM (VALUES
+        |  ('merged', CAST(1 AS BIGINT), 'Alice', '18', 'last_name', CAST(NULL AS VARCHAR)),
+        |  ('merged', 2, 'Bob', '20', 'last_name', NULL),
+        |  ('merged', 3, 'Charlie', '15', 'last_name', 'student'),
+        |  ('merged', 4, 'Donald', '25', 'last_name', 'student'),
+        |  ('mytable_other', 5, 'E', CAST(NULL AS VARCHAR), NULL, 'Beijing'),
+        |  ('mytable_other', 6, 'F', NULL, NULL, 'Hangzhou'))
+        |AS t(tbl, id, name, age, last_name, extra) ORDER BY id""".stripMargin,
     "c_conformance_batch_transform" ->
       """SELECT * FROM (VALUES
         |  ('1', '1', '10'), ('2', '2', '20'))

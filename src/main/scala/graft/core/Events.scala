@@ -57,7 +57,15 @@ object AddColumnEvent {
       name: String,
       cdcType: CdcType,
       position: Position = Last,
-      comment: Option[String] = None)
+      comment: Option[String] = None,
+      /** `Column.defaultValueExpression` — the reference's column DEFAULT
+        * (`Column.physicalColumn(name, type, comment, defaultExpr)`); rides
+        * into the StructField metadata under [[AddColumnEvent.DefaultKey]]
+        * and survives LENIENT rename-to-add derivation. */
+      defaultExpr: Option[String] = None)
+
+  /** StructField metadata key carrying a column's DEFAULT expression. */
+  val DefaultKey = "graft.default"
 }
 
 final case class DropColumnEvent(tableId: TableId, droppedColumns: Seq[String])

@@ -36,7 +36,12 @@ final class SchemaManager {
         val cur = latest(t).getOrElse(sys.error(s"unknown table $t"))
         var fields = cur.struct.fields.toVector
         cols.foreach { c =>
-          val f = StructField(c.name, c.cdcType.toSpark, c.cdcType.nullable)
+          val md = c.defaultExpr match {
+            case Some(d) => new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(AddColumnEvent.DefaultKey, d).build()
+            case None => org.apache.spark.sql.types.Metadata.empty
+          }
+          val f = StructField(c.name, c.cdcType.toSpark, c.cdcType.nullable, md)
           fields = c.position match {
             case AddColumnEvent.Last  => fields :+ f
             case AddColumnEvent.First => f +: fields

@@ -35,21 +35,29 @@ object SchemaDerivator {
       event: SchemaChangeEvent,
       currentEvolved: TableSchema): Seq[SchemaChangeEvent] = event match {
     case AddColumnEvent(t, cols) =>
-      // strip positions, force nullable, append at tail (reference :219-236)
+      // strip positions, force nullable, append at tail (reference :219-236);
+      // the column DEFAULT rides through
       Seq(AddColumnEvent(
         t,
         cols.map(c =>
-          AddColumnEvent.ColumnWithPosition(c.name, c.cdcType.withNullable(true)))))
+          AddColumnEvent.ColumnWithPosition(c.name, c.cdcType.withNullable(true),
+            defaultExpr = c.defaultExpr))))
     case DropColumnEvent(_, _) => Seq.empty // reference :238-247: swallowed
     case RenameColumnEvent(t, mapping) =>
-      // reference :249-272: appears as AddColumn of the new names (old kept)
+      // reference :249-272: appears as AddColumn of the new names (old kept);
+      // a renamed column's DEFAULT carries to the new name
+      // (LenientITCase.testSingleSplitSingleTableWithDefaultValue:230-235)
       val existing = currentEvolved.struct.fieldNames.toSet
       val adds = mapping.collect {
         case (oldName, newName) if !existing.contains(newName) =>
           val oldField = currentEvolved.struct(oldName)
           AddColumnEvent.ColumnWithPosition(
             newName,
-            CdcTypes.fromSpark(oldField.dataType, nullable = true))
+            CdcTypes.fromSpark(oldField.dataType, nullable = true),
+            defaultExpr =
+              if (oldField.metadata.contains(AddColumnEvent.DefaultKey))
+                Some(oldField.metadata.getString(AddColumnEvent.DefaultKey))
+              else None)
       }.toSeq
       if (adds.isEmpty) Seq.empty else Seq(AddColumnEvent(t, adds))
     case other => Seq(other)

@@ -87,7 +87,8 @@ object EventRender {
         case graft.core.AddColumnEvent.After(x) => s" AFTER $x"
         case graft.core.AddColumnEvent.Before(x) => s" BEFORE $x"
       }
-      s"${c.name}$pos"
+      val dflt = c.defaultExpr.map(d => s" DEFAULT '$d'").getOrElse("")
+      s"${c.name}$pos$dflt"
     }.mkString(",")
     case graft.core.AlterColumnTypeEvent(_, m) =>
       "alter:" + m.toSeq.sortBy(_._1)
