@@ -163,7 +163,8 @@ object Coverage {
         "c_conformance_batch_multi_tables", "c_conformance_batch_transform_twice",
         "c_conformance_batch_merge_route", "c_conformance_batch_transform_merge",
         "c_conformance_parallelized_single", "c_conformance_parallelized_multi",
-        "c_conformance_lenient_default_value", "c_conformance_lenient_transform"),
+        "c_conformance_lenient_default_value", "c_conformance_lenient_transform",
+        "c_conformance_transform_merge_events", "c_conformance_route_identical"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

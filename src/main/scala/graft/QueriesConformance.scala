@@ -395,6 +395,52 @@ object QueriesConformance {
       }
     }),
 
+    // FlinkPipelineComposerITCase.testIdenticalOneToOneRouting:576 (EVOLVE):
+    // routes mapping each table to ITSELF must be exact no-ops — per-table
+    // event sequences identical to the unrouted single-table case
+    // (:611-652).
+    "c_conformance_route_identical" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val (id1, id2) = (freshId("ident1"), freshId("ident2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE",
+          extraYaml =
+            """route:
+              |  - source-table: default_schema.table1
+              |    sink-table: default_schema.table1
+              |  - source-table: default_schema.table2
+              |    sink-table: default_schema.table2""".stripMargin) { drain =>
+          Seq("1", "2", "3").foreach(k =>
+            src2.append(DataChangeEvent.insert(t2, Map("col1" -> k, "col2" -> k))))
+          scriptSingleTable(src1, t1, drain)
+        }
+        requireEventSequence(db, t1, Seq(
+          "create:col1,col2",
+          "before=[], after=[1, 1], op=INSERT, meta=()",
+          "before=[], after=[2, 2], op=INSERT, meta=()",
+          "before=[], after=[3, 3], op=INSERT, meta=()",
+          "add:col3",
+          "rename:col2->newCol2,col3->newCol3",
+          "drop:newCol2",
+          "before=[1, 1], after=[], op=DELETE, meta=()",
+          "before=[2, ], after=[2, x], op=UPDATE, meta=()"))
+        requireEventSequence(db, t2, Seq(
+          "create:col1,col2",
+          "before=[], after=[1, 1], op=INSERT, meta=()",
+          "before=[], after=[2, 2], op=INSERT, meta=()",
+          "before=[], after=[3, 3], op=INSERT, meta=()"))
+        import s.implicits._
+        val a = stateDf(s, db, t1).collect().toSeq
+          .map(r => ("table1", r.getString(0), r.getString(1)))
+        val b = stateDf(s, db, t2).collect().toSeq
+          .map(r => ("table2", r.getString(0), r.getString(1)))
+        (a ++ b).toDF("tbl", "col1", "v").orderBy("tbl", "col1")
+      }
+    }),
+
     // FlinkPipelineComposerITCase.testRouteWithReplaceSymbol:1258-1315
     // (EVOLVE): pattern route `table[0-9]` -> `replaced.<>` keeps per-table
     // identity under a new namespace.
@@ -513,6 +559,73 @@ object QueriesConformance {
         require(db.schemaOf(merged).exists(
           _.columnNames == Seq("id", "name", "age", "description", "last_name", "gender")),
           s"merged shape per ITCase:819-830, got ${db.schemaOf(merged).map(_.columnNames)}")
+        stateDf(s, db, merged).orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineComposerITCase.testTransformMergingWithRoute:851 (EVOLVE):
+    // the transform (`*,'last_name' as last_name`) rides the route-merge with
+    // mytable2's create arriving MID-STREAM — the widening DDL (add
+    // description AFTER last_name, widen id) derives after mytable1's
+    // traffic; no rename in this variant. Full 12-event sequence
+    // (:1042-1058).
+    "c_conformance_transform_merge_events" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "age" -> ByteType, "description" -> Str)("id"),
+        Seq.empty)
+      val (id1, id2) = (freshId("tme1"), freshId("tme2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipelineR(s, Seq(id1 -> src1), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable\.*
+              |    projection: "*,'last_name' as last_name"
+              |route:
+              |  - source-table: default_schema.mytable\.*
+              |    sink-table: default_schema.merged""".stripMargin) { (runner, drain) =>
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+          src1.append(DataChangeEvent.update(t1,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+            Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+          drain()
+          runner.drainTableHandlingDdl(id2) // t2 joins empty: widening DDL here
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.delete(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          runner.drainTableHandlingDdl(id2)
+          src2.appendDdl(AddColumnEvent(t2,
+            Seq(AddColumnEvent.ColumnWithPosition("gender", CdcTypes.StringT()))))
+          runner.drainTableHandlingDdl(id2)
+          src1.append(DataChangeEvent.insert(t1,
+            Map("id" -> 5, "name" -> "Eliza", "age" -> 24)))
+          drain()
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 6L, "name" -> "Frank", "age" -> 30.toByte,
+              "description" -> "student", "gender" -> "male")))
+          runner.drainTableHandlingDdl(id2)
+        }
+        val merged = TableId.parse("default_schema.merged")
+        requireEventSequence(db, merged, Seq(
+          "create:id,name,age,last_name",
+          "before=[], after=[1, Alice, 18, last_name], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 20, last_name], op=INSERT, meta=()",
+          "before=[2, Bob, 20, last_name], after=[2, Bob, 30, last_name], op=UPDATE, meta=()",
+          "add:description AFTER last_name",
+          "alter:id->bigint",
+          "before=[], after=[3, Charlie, 15, last_name, student], op=INSERT, meta=()",
+          "before=[], after=[4, Donald, 25, last_name, student], op=INSERT, meta=()",
+          "before=[4, Donald, 25, last_name, student], after=[], op=DELETE, meta=()",
+          "add:gender AFTER description",
+          "before=[], after=[5, Eliza, 24, last_name, null, null], op=INSERT, meta=()",
+          "before=[], after=[6, Frank, 30, last_name, student, male], op=INSERT, meta=()"))
         stateDf(s, db, merged).orderBy("id")
       }
     }),
@@ -2596,6 +2709,13 @@ object QueriesConformance {
       """SELECT * FROM (VALUES
         |  ('1', '1', 'x'), ('3', '3', 'x'), ('5', '5', CAST(NULL AS VARCHAR)))
         |AS t(col1, col2, col3) ORDER BY col1""".stripMargin,
+    // identical routes are no-ops: same final state as the unrouted case
+    // (ITCase:605-608 materializes table1 = (2,x),(3,null); table2 static)
+    "c_conformance_route_identical" ->
+      """SELECT * FROM (VALUES
+        |  ('table1', '2', 'x'), ('table1', '3', CAST(NULL AS VARCHAR)),
+        |  ('table2', '1', '1'), ('table2', '2', '2'), ('table2', '3', '3'))
+        |AS t(tbl, col1, v) ORDER BY tbl, col1""".stripMargin,
     "c_conformance_route_one_to_one" ->
       """SELECT * FROM (VALUES
         |  ('routed1', '2', 'x'), ('routed1', '3', CAST(NULL AS VARCHAR)),
@@ -2614,6 +2734,16 @@ object QueriesConformance {
         |  (5, NULL, 24, NULL, 'Eliza', NULL),
         |  (6, 'Frank', 30, 'student', NULL, 'male'))
         |AS t(id, name, age, description, last_name, gender) ORDER BY id""".stripMargin,
+    // the EVOLVE transform-merge (ITCase:851): same final rows as the
+    // change-order twin — the interleave differs, the state must not
+    "c_conformance_transform_merge_events" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Alice', 18, 'last_name', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (2, 'Bob', 30, 'last_name', NULL, NULL),
+        |  (3, 'Charlie', 15, 'last_name', 'student', NULL),
+        |  (5, 'Eliza', 24, 'last_name', NULL, NULL),
+        |  (6, 'Frank', 30, 'last_name', 'student', 'male'))
+        |AS t(id, name, age, last_name, description, gender) ORDER BY id""".stripMargin,
     // change-order twin (ITCase:1228-1256): same merged rows, but the
     // computed last_name is populated everywhere and NO rename ran
     "c_conformance_merge_change_order" ->
