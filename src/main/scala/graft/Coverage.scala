@@ -164,7 +164,10 @@ object Coverage {
         "c_conformance_batch_merge_route", "c_conformance_batch_transform_merge",
         "c_conformance_parallelized_single", "c_conformance_parallelized_multi",
         "c_conformance_lenient_default_value", "c_conformance_lenient_transform",
-        "c_conformance_transform_merge_events", "c_conformance_route_identical"),
+        "c_conformance_transform_merge_events", "c_conformance_route_identical",
+        "c_conformance_udf_return_types", "c_conformance_column_name_map",
+        "c_conformance_floor_ceil_round", "c_conformance_abs_function",
+        "c_conformance_timestamp_formats"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

@@ -177,6 +177,10 @@ object Dialect {
     // LIKE-as-regex quirk: reference compiles the pattern as a Java regex
     r = r.replaceAll("(?i)\\bNOT\\s+LIKE\\b", "NOT RLIKE")
     r = r.replaceAll("(?i)(?<!R)\\bLIKE\\b", "RLIKE")
+    // DATE_FORMAT is a SimpleDateFormat render in the PIPELINE time zone
+    // (DialectDateFormatExpr) — rewritten BEFORE the now-family binding so
+    // the binding's own emitted date_format() calls stay native
+    r = r.replaceAll("(?i)\\bDATE_FORMAT\\s*\\(", "graft_date_format(")
     // epoch-time binding for now-ish functions, rendered in the PIPELINE
     // time zone like the reference (`SystemFunctionUtils.localtimestamp:65`
     // shifts the epoch instant into PIPELINE_LOCAL_TIME_ZONE; CURRENT_TIME/
@@ -204,6 +208,10 @@ object Dialect {
     r = r.replaceAll("(?i)\\bCEIL\\s*\\(", "graft_ceil(")
     r = r.replaceAll("(?i)\\bCEILING\\s*\\(", "graft_ceil(")
     r = r.replaceAll("(?i)\\bFLOOR\\s*\\(", "graft_floor(")
+    // type-preserving ROUND through BigDecimal (SystemFunctionUtils
+    // .round:676-744); the FLOAT overload rounds the float's SHORTEST
+    // string, not its double widening — ROUND(5.555f, 2) is 5.56
+    r = r.replaceAll("(?i)\\bROUND\\s*\\(", "graft_round(")
     r
   }
 

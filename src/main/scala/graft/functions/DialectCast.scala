@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -104,6 +104,109 @@ case class DialectCeilFloorExpr(child: Expression, isCeil: Boolean)
   override protected def withNewChildInternal(newChild: Expression): DialectCeilFloorExpr =
     copy(child = newChild)
   override def prettyName: String = if (isCeil) "graft_ceil" else "graft_floor"
+}
+
+/** Type-preserving ROUND with the reference's BigDecimal semantics
+  * (`SystemFunctionUtils.round:676-744`): every overload rounds through
+  * `BigDecimal` HALF_UP and returns the OPERAND's own type. The FLOAT
+  * overload goes through `new BigDecimal(value.toString())` — the float's
+  * SHORTEST DECIMAL string — so `ROUND(5.555f, 2)` is 5.56, while widening
+  * the binary float to double first (5.554999828…) would give 5.55
+  * (`testFloorCeilAndRoundFunction:2528` pins 5.56). DECIMAL(p,s) rounded to
+  * scale `o` returns DECIMAL(p-s+o, o) like Spark's own rule. Registered as
+  * `graft_round`; Dialect.translate rewrites ROUND calls.
+  */
+/** The reference's `DATE_FORMAT(ts, pattern)` — a SimpleDateFormat-pattern
+  * render (`SystemFunctionUtils.dateFormat` via `DateTimeUtils`) in the
+  * PIPELINE time zone: a TIMESTAMP_LTZ operand formats its instant AT
+  * `PIPELINE_LOCAL_TIME_ZONE`, a plain TIMESTAMP formats its wall-clock
+  * as-is (`FlinkPipelineTransformITCase.testTransformWithTimestamps:1039`
+  * expects identical strings under LA/UTC/Shanghai because the fixture
+  * builds the instants from the same local wall-clock). The SDF pattern
+  * translates through [[Dialect.translateDatePattern]]. Registered as
+  * `graft_date_format` with the zone captured from
+  * `spark.graft.local.tz` at analysis time.
+  */
+case class DialectDateFormatExpr(child: Expression, patternExpr: Expression, zoneId: String)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = patternExpr
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val p = patternExpr.eval(input)
+    if (v == null || p == null) return null
+    val dtf = java.time.format.DateTimeFormatter.ofPattern(
+      Dialect.translateDatePattern(p.toString), java.util.Locale.ROOT)
+    def ofMicros(micros: Long): java.time.LocalDateTime = {
+      val secs = java.lang.Math.floorDiv(micros, 1000000L)
+      val nanos = java.lang.Math.floorMod(micros, 1000000L) * 1000L
+      java.time.LocalDateTime.ofEpochSecond(secs, nanos.toInt, java.time.ZoneOffset.UTC)
+    }
+    val local = child.dataType match {
+      case TimestampType => // LTZ: the instant rendered AT the pipeline zone
+        val micros = v.asInstanceOf[Long]
+        java.time.Instant
+          .ofEpochSecond(java.lang.Math.floorDiv(micros, 1000000L),
+            java.lang.Math.floorMod(micros, 1000000L) * 1000L)
+          .atZone(java.time.ZoneId.of(zoneId)).toLocalDateTime
+      case TimestampNTZType => ofMicros(v.asInstanceOf[Long])
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).atStartOfDay()
+      case other => throw new IllegalArgumentException(
+        s"DATE_FORMAT: unsupported operand type ${other.simpleString(10)}")
+    }
+    UTF8String.fromString(local.format(dtf))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DialectDateFormatExpr =
+    copy(child = newLeft, patternExpr = newRight)
+  override def prettyName: String = "graft_date_format"
+}
+
+case class DialectRoundExpr(child: Expression, scaleExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = scaleExpr
+  private def pointOffset: Int = scaleExpr match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      "graft_round: the scale must be an INT literal (the reference's ROUND signature)")
+  }
+  override lazy val dataType: DataType = child.dataType match {
+    case d: DecimalType =>
+      // Calcite's ROUND return type, pinned by the ITCase's create line
+      // (:2524): DECIMAL(p,s) rounded to o -> DECIMAL(p - s + o + 1, o)
+      val o = math.max(pointOffset, 0)
+      DecimalType(math.max(1, math.min(d.precision - d.scale + o + 1, 38)), o)
+    case other => other
+  }
+  override def nullable: Boolean = child.nullable
+  private def roundBd(bd: java.math.BigDecimal): java.math.BigDecimal =
+    bd.movePointRight(pointOffset)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .movePointLeft(pointOffset)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else v match {
+      case b: Byte => roundBd(java.math.BigDecimal.valueOf(b.toLong)).byteValue
+      case s: Short => roundBd(java.math.BigDecimal.valueOf(s.toLong)).shortValue
+      case i: Int => roundBd(java.math.BigDecimal.valueOf(i.toLong)).intValue
+      case l: Long => roundBd(java.math.BigDecimal.valueOf(l)).longValue
+      // the float's SHORTEST string, not its double widening
+      case f: Float => roundBd(new java.math.BigDecimal(java.lang.Float.toString(f))).floatValue
+      case d: Double => roundBd(java.math.BigDecimal.valueOf(d)).doubleValue
+      case d: Decimal =>
+        val t = dataType.asInstanceOf[DecimalType]
+        Decimal(roundBd(d.toBigDecimal.bigDecimal).setScale(t.scale), t.precision, t.scale)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DialectRoundExpr =
+    copy(child = newLeft, scaleExpr = newRight)
+  override def prettyName: String = "graft_round"
 }
 
 object DialectCastExpr {
@@ -258,5 +361,17 @@ object DialectCastExpr {
     reg.createOrReplaceTempFunction(
       "graft_floor",
       exprs => DialectCeilFloorExpr(exprs.head, isCeil = false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_round",
+      exprs => DialectRoundExpr(exprs.head,
+        if (exprs.size > 1) exprs(1)
+        else Literal(0, IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_date_format",
+      { exprs =>
+        // the PIPELINE time zone, set per pipeline by the runner
+        val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
+        DialectDateFormatExpr(exprs.head, exprs(1), tz)
+      }, "built-in")
   }
 }

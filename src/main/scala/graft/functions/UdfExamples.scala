@@ -129,3 +129,54 @@ package flinkshaped {
     def eval(s: String): String = "String: " + s
   }
 }
+
+/** The reference's PRECISION-typed UDF example classes
+  * (`flink-cdc-pipeline-udf-examples/.../java/precision/` — the eight
+  * `…TypeReturningClass.java` files): arity-0 evals whose DECLARED return
+  * types (getReturnType) drive the sink schema —
+  * `FlinkPipelineUdfITCase.testComplicatedUdfReturnTypes:914`.
+  */
+package precision {
+  import org.apache.spark.sql.types._
+
+  class CharTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_char"; override def arity = 0
+    override def eval(args: Any*): Any = "This is a string."
+  }
+  class VarCharTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_varchar"; override def arity = 0
+    override def eval(args: Any*): Any = "This is a string."
+  }
+  class BinaryTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_binary"; override def arity = 0
+    override def returnType: DataType = BinaryType
+    override def eval(args: Any*): Any = "xyzzy".getBytes("UTF-8")
+  }
+  class VarBinaryTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_varbinary"; override def arity = 0
+    override def returnType: DataType = BinaryType
+    override def eval(args: Any*): Any = "xyzzy".getBytes("UTF-8")
+  }
+  /** TIMESTAMP(2) — `TimestampData.fromMillis(86400000)`, a LOCAL datetime. */
+  class TimestampTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_ts"; override def arity = 0
+    override def returnType: DataType = TimestampNTZType
+    override def eval(args: Any*): Any = java.time.LocalDateTime.parse("1970-01-02T00:00")
+  }
+  /** TIMESTAMP_LTZ(2) — `LocalZonedTimestampData.fromEpochMillis(86400000)`. */
+  class LocalZonedTimestampTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_ts_ltz"; override def arity = 0
+    override def returnType: DataType = TimestampType
+    override def eval(args: Any*): Any = java.time.Instant.ofEpochMilli(86400000L)
+  }
+  class DecimalTypeReturningClass extends UserDefinedFunction {
+    override def name = "get_decimal"; override def arity = 0
+    override def returnType: DataType = DecimalType(10, 3)
+    override def eval(args: Any*): Any = new java.math.BigDecimal("12.315")
+  }
+  class DecimalTypeNonNullReturningClass extends UserDefinedFunction {
+    override def name = "get_non_null"; override def arity = 0
+    override def returnType: DataType = DecimalType(10, 3)
+    override def eval(args: Any*): Any = new java.math.BigDecimal("12.315")
+  }
+}

@@ -33,7 +33,8 @@ object EnvelopeTransform {
     val pairs = exprs.map { e =>
       aliasOf.findFirstMatchIn(e) match {
         case Some(m) => m.group(1) -> e.substring(0, m.start)
-        case None => e -> e
+        // a bare backquoted identifier names its output WITHOUT the ticks
+        case None => TransformOp.outputName(e) -> e
       }
     }
     // Shading: a later projection column with the SAME output name REPLACES
@@ -132,6 +133,10 @@ object EnvelopeTransform {
     val flat = withMeta(env.withColumn("__img", img), tableId, isAfter = true)
       .select((keep.map(col) :+ col("__img")) ++
         (Envelope.MetadataColumns :+ graft.functions.Dialect.EpochCol).map(col) ++
+        // source-defined metadata columns read the event's meta map
+        // (SupportedMetadataColumn; see TransformOp.metaKeyColumns)
+        TransformOp.metaKeyColumns(rule, payloadFields)
+          .map(n => element_at(col(Envelope.MetaCol), n).as(n)) ++
         payloadFields.map(n => col(s"__img.$n").as(n)): _*)
     // computed columns (incl. SHADED redefinitions of payload names) evaluate
     // against the ORIGINAL flat frame in one select — the filter then sees
@@ -166,6 +171,8 @@ object EnvelopeTransform {
       val flat = withMeta(df, tableId, isAfter = imageCol == Envelope.AfterCol)
         .select((df.columns.map(col).toSeq :+ lit(1).as("__one")) ++
           (Envelope.MetadataColumns :+ graft.functions.Dialect.EpochCol).map(col) ++
+          TransformOp.metaKeyColumns(rule, payloadFields)
+            .map(n => element_at(col(Envelope.MetaCol), n).as(n)) ++
           payloadFields.map(n => col(s"$imageCol.$n").as(s"__f_$n")): _*)
       // expressions reference bare payload names: alias them in scope
       val scoped = payloadFields.foldLeft(flat)((d, n) => d.withColumn(n, col(s"__f_$n")))

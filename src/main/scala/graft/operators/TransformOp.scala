@@ -64,9 +64,39 @@ object TransformOp {
       projection: String,
       physicalColumns: Seq[String]): Seq[String] =
     splitProjection(projection).flatMap {
-      case "*" => physicalColumns
+      // a DASHED (or otherwise non-plain) physical name must expand
+      // BACKQUOTED or the parser reads `foo-bar` as a subtraction
+      case "*" => physicalColumns.map(n =>
+        if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n else s"`$n`")
       case e => Seq(e)
     }
+
+  /** SOURCE-DEFINED metadata columns: BACKQUOTED identifiers in the rule's
+    * expressions that are not payload columns resolve against the event's
+    * connector-metadata map — the reference's `SupportedMetadataColumn`
+    * surface (a source exposes extra metadata columns by name; the values
+    * test source exposes `timestamp-type`,
+    * `FlinkPipelineTransformITCase.testTransformWithColumnNameMap:975`).
+    */
+  private[operators] def metaKeyColumns(
+      rule: TransformRule, payloadFields: Seq[String]): Seq[String] = {
+    val tick = "`([^`]+)`".r
+    (rule.projection.toSeq ++ rule.filter.toSeq)
+      .flatMap(t => tick.findAllMatchIn(t).map(_.group(1)))
+      .distinct
+      .filterNot(payloadFields.contains)
+      .filterNot(Envelope.MetadataColumns.contains)
+      .filterNot(_ == graft.functions.Dialect.EpochCol)
+  }
+
+  /** a projection entry that is JUST a backquoted identifier names its
+    * output without the ticks */
+  private[operators] def outputName(expr: String): String = {
+    val e = expr.trim
+    if (e.length > 2 && e.head == '`' && e.last == '`' && !e.substring(1, e.length - 1).contains("`"))
+      e.substring(1, e.length - 1)
+    else e
+  }
 
   /** Apply projection+filter to a plain row DataFrame (one table's rows).
     *
@@ -102,11 +132,17 @@ object TransformOp {
     }
     // per-record epoch for the now-family (see EnvelopeTransform.epochMillis);
     // a pinned `spark.graft.epoch.millis` makes gates deterministic
-    val withMeta = withMeta0.withColumn(graft.functions.Dialect.EpochCol,
+    val withMeta1 = withMeta0.withColumn(graft.functions.Dialect.EpochCol,
       rows.sparkSession.conf.getOption("spark.graft.epoch.millis") match {
         case Some(v) => lit(v.toLong)
         case None => unix_millis(current_timestamp())
       })
+    // source-defined metadata columns: the PLAIN-ROW path carries no
+    // connector metadata, so they resolve to NULL strings here (the envelope
+    // path reads the event's meta map); the column must still EXIST so the
+    // projected schema derives correctly
+    val withMeta = metaKeyColumns(rule, physical).foldLeft(withMeta1)((d, n) =>
+      d.withColumn(n, lit(null).cast(org.apache.spark.sql.types.StringType)))
     val rawExprs = rule.projection match {
       case Some(p) => expandProjection(p, physical)
       case None => physical
@@ -122,7 +158,7 @@ object TransformOp {
       val firstIdx = scala.collection.mutable.HashMap.empty[String, Int]
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
       rawExprs.foreach { e =>
-        val n = shadeAlias.findFirstMatchIn(e).map(_.group(1)).getOrElse(e.trim)
+        val n = shadeAlias.findFirstMatchIn(e).map(_.group(1)).getOrElse(outputName(e))
         firstIdx.get(n) match {
           case Some(i) => kept(i) = e
           case None => firstIdx(n) = kept.size; kept += e
@@ -188,7 +224,7 @@ object TransformOp {
       case None => extended
     }
     val outNames = projExprs.map { e =>
-      aliasOf.findFirstMatchIn(e).map(_.group(1)).getOrElse(e)
+      aliasOf.findFirstMatchIn(e).map(_.group(1)).getOrElse(outputName(e))
     }
     // every output was already computed (against the original inputs) in
     // the extended frame — select it BY NAME, never re-evaluate: a second

@@ -70,6 +70,9 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     case Some(v) => spark.conf.set("spark.graft.epoch.millis", v)
     case None => spark.conf.unset("spark.graft.epoch.millis")
   }
+  // the PIPELINE time zone for DATE_FORMAT's LTZ rendering
+  // (DialectDateFormatExpr) — per-pipeline, cleared of any prior value
+  spark.conf.set("spark.graft.local.tz", pdef.localTimeZone)
 
   val sink: graft.sinks.DataSink = DataSinks.forDef(spark, pdef.sink)
   val composer = new PipelineComposer(pdef, sink, renameHistoryFor = { t =>

@@ -110,7 +110,12 @@ object EventRender {
       meta: Map[String, String]): String = {
     def img(vals: Seq[Any]) = vals.map {
       case null => "null"
-      case b: Array[Byte] => java.util.Arrays.toString(b)
+      // binaries render base64 like the reference's BinaryStringData output
+      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+      // instants render as the UTC LocalDateTime (java.sql.Timestamp's own
+      // toString depends on the JVM default zone — not deterministic)
+      case ts: java.sql.Timestamp =>
+        java.time.LocalDateTime.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC).toString
       case v => String.valueOf(v)
     }.mkString(", ")
     val m =
