@@ -53,13 +53,14 @@ object Coverage {
       Seq("t_filter", "c_conformance_filter_rules"),
     "16 Metadata columns" ->
       Seq("t_metadata", "c_conformance_metadata_wildcard",
-        "c_conformance_metadata_literal"),
+        "c_conformance_metadata_literal", "c_conformance_column_name_map"),
     "17 SchemaMetadataTransform (PK/partition/options override)" ->
       Seq("c_cli_pipeline"),
     "18 SoftDeleteConverter" ->
       Seq("t_soft_delete"),
-    "19 UDF surface (0-6-arg typed eval, lifecycle)" ->
-      Seq("t_udf", "t_udf2"),
+    "19 UDF surface (0-6-arg typed eval, lifecycle, ScalarFunction-shaped, typed returns)" ->
+      Seq("t_udf", "t_udf2", "c_conformance_udf_lifecycle",
+        "c_conformance_udf_return_types", "c_conformance_udf_flink_transform"),
     "20 Model functions (AI_CHAT_PREDICT, GET_EMBEDDING, AI_LANGCHAIN_PREDICT)" ->
       Seq("t_model_chat", "t_model_embedding", "t_model_langchain"),
     "21 SchemaOperator (evolve + coerce data path)" ->
@@ -81,9 +82,13 @@ object Coverage {
         "c_conformance_route_one_to_one", "c_conformance_route_replace",
         "c_conformance_merge_route"),
     "28 Distributed schema variant" ->
-      Seq("c_multi_source_merge"),
+      Seq("c_multi_source_merge", "c_conformance_parallelized_single",
+        "c_conformance_parallelized_multi"),
     "29 Batch schema variant + runtime-mode BATCH" ->
-      Seq("c_schema_coerce"),
+      Seq("c_schema_coerce", "c_conformance_batch_single_table",
+        "c_conformance_batch_transform", "c_conformance_batch_multi_tables",
+        "c_conformance_batch_transform_twice", "c_conformance_batch_merge_route",
+        "c_conformance_batch_transform_merge"),
     "30 PK-hash pre-partition" ->
       Seq("c_upsert"),
     "31 EventPartitioner / per-key ordered delivery" ->
@@ -115,14 +120,16 @@ object Coverage {
       Seq("t_filter", "t_like_regex"),
     "38 Logical ops" ->
       Seq("t_filter"),
-    "39 Arithmetic/math" ->
-      Seq("t_arith"),
-    "40 String fns" ->
-      Seq("t_projection", "t_json_path"),
-    "41 Temporal fns (epoch-bound NOW, SDF shim)" ->
-      Seq("t_temporal", "t_timestamp_tz"),
+    "39 Arithmetic/math (type-preserving CEIL/FLOOR/ROUND/ABS)" ->
+      Seq("t_arith", "c_conformance_floor_ceil_round", "c_conformance_abs_function"),
+    "40 String fns (incl. SUBSTR/SUBSTRING edges)" ->
+      Seq("t_projection", "t_json_path", "c_conformance_string_functions",
+        "c_conformance_substring_functions"),
+    "41 Temporal fns (epoch-bound tz-aware NOW family, SDF DATE_FORMAT)" ->
+      Seq("t_temporal", "t_timestamp_tz", "c_conformance_temporal_functions",
+        "c_conformance_timestamp_formats"),
     "42 Conditional (CASE, COALESCE, IF, NULLIF)" ->
-      Seq("t_conditional"),
+      Seq("t_conditional", "c_conformance_conditional_functions"),
     "43 CAST matrix (ANSI overflow)" ->
       Seq("t_cast"),
     "44 CLI front-end (global-config, -D, savepoints, uid manifests)" ->
@@ -167,7 +174,7 @@ object Coverage {
         "c_conformance_transform_merge_events", "c_conformance_route_identical",
         "c_conformance_udf_return_types", "c_conformance_column_name_map",
         "c_conformance_floor_ceil_round", "c_conformance_abs_function",
-        "c_conformance_timestamp_formats"),
+        "c_conformance_timestamp_formats", "c_conformance_comments_default_expr"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

@@ -1556,6 +1556,77 @@ object QueriesConformance {
       }
     }),
 
+    // FlinkPipelineTransformITCase.testTransformWithCommentsAndDefaultExpr
+    // :2076 — source columns carry COMMENTs and DEFAULT expressions; an
+    // ALIASED source column (`name AS new_name`) INHERITS both while a
+    // computed column (`age + 1 AS new_age`) carries neither, and the
+    // source's partition keys ride through (:2149-2158).
+    "c_conformance_comments_default_expr" -> ((s, _) => {
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      def fld(n: String, dt: DataType, comment: String, dflt: String) =
+        StructField(n, dt, nullable = true,
+          new MetadataBuilder().putString("comment", comment)
+            .putString(AddColumnEvent.DefaultKey, dflt).build())
+      val src1 = new ScriptedChangeSource(t1, TableSchema(
+        StructType(Seq(
+          fld("id", IntegerType, "id column", "AUTO_INCREMENT()"),
+          fld("name", StringType, "name column", "Jane Doe"),
+          fld("age", IntegerType, "age column", "17"))),
+        primaryKeys = Seq("id"), partitionKeys = Seq("id", "age")), Seq.empty)
+      val src2 = new ScriptedChangeSource(t2, TableSchema(
+        StructType(Seq(
+          fld("id", LongType, "column for id", "AUTO_DECREMENT()"),
+          fld("name", StringType, "column for name", "John Smith"),
+          fld("age", ByteType, "column for age", "91"),
+          fld("description", StringType, "column for descriptions", "not important"))),
+        primaryKeys = Seq("id"), partitionKeys = Seq("id", "name")), Seq.empty)
+      val (id1, id2) = (freshId("cmtdf1"), freshId("cmtdf2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable\.*
+              |    projection: "*, name AS new_name, age + 1 AS new_age, 'extras' AS extras"""".stripMargin) { _ =>
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+          src1.append(DataChangeEvent.update(t1,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+            Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 3L, "name" -> "Carol", "age" -> 15.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 4L, "name" -> "Derrida", "age" -> 25.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.delete(t2,
+            Map("id" -> 4L, "name" -> "Derrida", "age" -> 25.toByte, "description" -> "student")))
+        }
+        Seq(t1 -> Seq("id", "age"), t2 -> Seq("id", "name")).foreach { case (t, parts) =>
+          val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+          require(sch.partitionKeys == parts,
+            s"$t partition keys must ride through, got ${sch.partitionKeys}")
+          def meta(c: String) = sch.struct(c).metadata
+          val srcComment = if (t == t1) "name column" else "column for name"
+          val srcDefault = if (t == t1) "Jane Doe" else "John Smith"
+          require(meta("new_name").contains("comment") &&
+            meta("new_name").getString("comment") == srcComment &&
+            meta("new_name").getString(AddColumnEvent.DefaultKey) == srcDefault,
+            s"$t: aliased new_name must inherit comment+default, got ${meta("new_name")}")
+          require(!meta("new_age").contains("comment") &&
+            !meta("new_age").contains(AddColumnEvent.DefaultKey),
+            s"$t: computed new_age must carry no comment/default, got ${meta("new_age")}")
+        }
+        import s.implicits._
+        val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+          ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String,
+            r.getString(3), r.getInt(4), r.getString(5)))
+        val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+          ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3),
+            r.getString(4), r.getInt(5), r.getString(6)))
+        (a ++ b).toDF("tbl", "id", "name", "age", "description",
+          "new_name", "new_age", "extras").orderBy("id")
+      }
+    }),
+
     // FlinkPipelineTransformITCase.testTransformWithTimestamps:1039 —
     // DATE_FORMAT over TIMESTAMP and TIMESTAMP_LTZ with SDF-style patterns
     // under PIPELINE_LOCAL_TIME_ZONE=America/Los_Angeles: the LTZ operand
@@ -3236,6 +3307,15 @@ object QueriesConformance {
         |  ('2', 'x', '3'),
         |  ('3', CAST(NULL AS VARCHAR), '4'))
         |AS t(col1, newCol3, collen) ORDER BY col1""".stripMargin,
+    // final rows per ITCase :2150-2157 (mytable1: Alice/Bob with +1 ages;
+    // mytable2: Carol; Derrida deleted)
+    "c_conformance_comments_default_expr" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), 'Alice', 19, 'extras'),
+        |  ('mytable1', 2, 'Bob', 30, NULL, 'Bob', 31, 'extras'),
+        |  ('mytable2', 3, 'Carol', 15, 'student', 'Carol', 16, 'extras'))
+        |AS t(tbl, id, name, age, description, new_name, new_age, extras)
+        |ORDER BY id""".stripMargin,
     "c_conformance_timestamp_formats" ->
       """SELECT * FROM (VALUES
         |  (1, '2023~11~27', '2020~07~17', '2023->11->27 / 20->12->31',

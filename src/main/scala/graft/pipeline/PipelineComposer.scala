@@ -81,8 +81,17 @@ final class PipelineComposer(
         s"transform rules for $tableId disagree on output columns: " +
           s"${outs.map(_.fieldNames.mkString("(", ",", ")")).distinct.mkString(" vs ")} — " +
           "multiple rules matching one table must project the same shape"))
-      val merged = outs.map(SchemaMerging.fromStruct)
-        .reduceLeft(SchemaMerging.leastCommonSchema)
+      // single-rule: keep the projected struct AS-IS so per-field metadata
+      // survives — an aliased source column INHERITS its comment and
+      // DEFAULT expression (Spark's Alias propagates attribute metadata),
+      // exactly the reference's `testTransformWithCommentsAndDefaultExpr
+      // :2076` contract (`new_name` carries 'name column'/'Jane Doe',
+      // computed `new_age` carries neither). The multi-rule merge goes
+      // through the widening lattice, which is metadata-free.
+      val mergedStruct =
+        if (outs.size == 1) outs.head
+        else SchemaMerging.toStruct(outs.map(SchemaMerging.fromStruct)
+          .reduceLeft(SchemaMerging.leastCommonSchema))
       // pk/partition/option overrides come from rules.head — a LATER rule
       // declaring a CONFLICTING override would be silently ignored, so be
       // as loud as the shape check above: every matching rule must agree
@@ -101,7 +110,7 @@ final class PipelineComposer(
       val partitionRule = rules.find(_.partitionKeys.nonEmpty).getOrElse(rules.head)
       val optionRules = rules
       TableSchema(
-        SchemaMerging.toStruct(merged),
+        mergedStruct,
         primaryKeys = if (rule.primaryKeys.nonEmpty) rule.primaryKeys else source.primaryKeys,
         partitionKeys =
           if (partitionRule.partitionKeys.nonEmpty) partitionRule.partitionKeys
