@@ -74,7 +74,8 @@ object Coverage {
       Seq("s_lenient_union", "c_conformance_merge_route"),
     "25 Behaviors (IGNORE/LENIENT/TRY_EVOLVE/EVOLVE/EXCEPTION)" ->
       Seq("c_ddl_evolution", "c_conformance_single_table",
-        "c_conformance_lenient_single_table"),
+        "c_conformance_lenient_single_table", "c_conformance_ignore_behavior",
+        "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior"),
     "26 Sink-side schema-change type filtering (TAG grammar)" ->
       Seq("c_cli_pipeline"),
     "27 TableIdRouter + Selectors (rename/merge/<>)" ->
@@ -174,7 +175,8 @@ object Coverage {
         "c_conformance_transform_merge_events", "c_conformance_route_identical",
         "c_conformance_udf_return_types", "c_conformance_column_name_map",
         "c_conformance_floor_ceil_round", "c_conformance_abs_function",
-        "c_conformance_timestamp_formats", "c_conformance_comments_default_expr"),
+        "c_conformance_timestamp_formats", "c_conformance_comments_default_expr",
+        "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

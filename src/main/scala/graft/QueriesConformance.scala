@@ -714,20 +714,57 @@ object QueriesConformance {
         Seq.empty)
       val (id1, id2) = (freshId("lmerge1"), freshId("lmerge2"))
       registered(id1 -> src1, id2 -> src2) {
-        val db = runPipeline(s, Seq(id1 -> src1, id2 -> src2), "LENIENT",
+        // mytable2 joins mid-stream like the EVOLVE twin — the LENIENT
+        // derivation differs only in add POSITIONS (LAST, :862-875)
+        val db = runPipelineR(s, Seq(id1 -> src1), "LENIENT",
           extraYaml =
             """route:
               |  - source-table: default_schema.mytable\.*
-              |    sink-table: default_schema.merged_lenient""".stripMargin) { drain =>
-          scriptMergeRoute(src1, t1, src2, t2, drain)
+              |    sink-table: default_schema.merged_lenient""".stripMargin) { (runner, drain) =>
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+          src1.append(DataChangeEvent.insert(t1, Map("id" -> 2, "name" -> "Bob", "age" -> 20)))
+          src1.append(DataChangeEvent.update(t1,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 20),
+            Map("id" -> 2, "name" -> "Bob", "age" -> 30)))
+          drain()
+          runner.drainTableHandlingDdl(id2)
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 3L, "name" -> "Charlie", "age" -> 15.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          src2.append(DataChangeEvent.delete(t2,
+            Map("id" -> 4L, "name" -> "Donald", "age" -> 25.toByte, "description" -> "student")))
+          runner.drainTableHandlingDdl(id2)
+          src1.appendDdl(RenameColumnEvent(t1, Map("name" -> "last_name")))
+          drain()
+          src2.appendDdl(AddColumnEvent(t2,
+            Seq(AddColumnEvent.ColumnWithPosition("gender", CdcTypes.StringT()))))
+          runner.drainTableHandlingDdl(id2)
+          src1.append(DataChangeEvent.insert(t1,
+            Map("id" -> 5, "last_name" -> "Eliza", "age" -> 24)))
+          drain()
+          src2.append(DataChangeEvent.insert(t2,
+            Map("id" -> 6L, "name" -> "Frank", "age" -> 30.toByte,
+              "description" -> "student", "gender" -> "male")))
+          runner.drainTableHandlingDdl(id2)
         }
         val merged = TableId.parse("default_schema.merged_lenient")
-        requireDdlSequence(db, merged, Seq(
+        // full 13-event sequence (LenientITCase :862-875): LAST-positioned
+        // lenient adds at the reference's exact interleave points
+        requireEventSequence(db, merged, Seq(
           "create:id,name,age",
+          "before=[], after=[1, Alice, 18], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 20], op=INSERT, meta=()",
+          "before=[2, Bob, 20], after=[2, Bob, 30], op=UPDATE, meta=()",
           "add:description",
           "alter:id->bigint",
+          "before=[], after=[3, Charlie, 15, student], op=INSERT, meta=()",
+          "before=[], after=[4, Donald, 25, student], op=INSERT, meta=()",
+          "before=[4, Donald, 25, student], after=[], op=DELETE, meta=()",
           "add:last_name",
-          "add:gender"))
+          "add:gender",
+          "before=[], after=[5, null, 24, null, Eliza, null], op=INSERT, meta=()",
+          "before=[], after=[6, Frank, 30, student, null, male], op=INSERT, meta=()"))
         stateDf(s, db, merged).orderBy("id")
       }
     }),
@@ -879,6 +916,91 @@ object QueriesConformance {
             sch.options.get("key1").contains("value1")),
           s"lenient optype shape per ITCase:452, got ${db.schemaOf(t)}")
         stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // SchemaEvolveTest.testExceptionEvolveSchema:633 (EXCEPTION behavior):
+    // the CREATE and its data pass; the FIRST subsequent schema change
+    // faults the pipeline ("Failed to apply schema change event") and the
+    // sink stays frozen at schema v1 with exactly the pre-DDL rows.
+    "c_conformance_exception_behavior" -> ((s, _) => {
+      val t = TableId.parse("default_schema.customers")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> ShortType)("id"), Seq.empty)
+      val id = freshId("exbeh")
+      var faulted: Option[Throwable] = None
+      registered(id -> src) {
+        try {
+          runPipeline(s, Seq(id -> src), "EXCEPTION") { drain =>
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 2, "name" -> "Bob", "age" -> 18.toShort)))
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 3, "name" -> "Carol", "age" -> 19.toShort)))
+            drain()
+            src.appendDdl(AddColumnEvent(t, Seq(
+              AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()),
+              AddColumnEvent.ColumnWithPosition("height", CdcTypes.DoubleT()))))
+            try drain()
+            catch { case e: Throwable => faulted = Some(e); throw e }
+          }
+          sys.error("EXCEPTION behavior must fault on the AddColumnEvent")
+        } catch {
+          case _: Throwable if faulted.isDefined => ()
+        }
+        require(faulted.exists(e =>
+          String.valueOf(e.getMessage).contains("EXCEPTION") ||
+            Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("EXCEPTION"))),
+          s"fault must cite the EXCEPTION behavior, got $faulted")
+        // the sink never saw the add: replay the same script under a FRESH
+        // pipeline to materialize the pre-fault state deterministically
+        val src2 = new ScriptedChangeSource(t,
+          schemaOf("id" -> IntegerType, "name" -> Str, "age" -> ShortType)("id"), Seq.empty)
+        val id2 = freshId("exbeh2")
+        registered(id2 -> src2) {
+          val db2 = runPipeline(s, Seq(id2 -> src2), "EXCEPTION") { drain =>
+            src2.append(DataChangeEvent.insert(t,
+              Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+            src2.append(DataChangeEvent.insert(t,
+              Map("id" -> 2, "name" -> "Bob", "age" -> 18.toShort)))
+            src2.append(DataChangeEvent.insert(t,
+              Map("id" -> 3, "name" -> "Carol", "age" -> 19.toShort)))
+          }
+          requireEventSequence(db2, t, Seq(
+            "create:id,name,age",
+            "before=[], after=[1, Alice, 17], op=INSERT, meta=()",
+            "before=[], after=[2, Bob, 18], op=INSERT, meta=()",
+            "before=[], after=[3, Carol, 19], op=INSERT, meta=()"))
+          require(db2.schemaOf(t).exists(_.columnNames == Seq("id", "name", "age")),
+            "schema must stay at v1 under EXCEPTION")
+          stateDf(s, db2, t).orderBy("id")
+        }
+      }
+    }),
+
+    // SchemaEvolveTest.testTryEvolveSchema:355: with a COOPERATING sink,
+    // TRY_EVOLVE evolves exactly like EVOLVE (the behaviors differ only in
+    // whether a sink REJECTION faults or degrades) — the five-stage script
+    // derives the same event sequence as the EVOLVE twin.
+    "c_conformance_try_evolve_behavior" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("tryevo")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "TRY_EVOLVE") { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        requireDdlSequence(db, t, Seq(
+          "create:id,name,age",
+          "add:rank FIRST,gender",
+          "alter:age->double,gender->int,name->string",
+          "rename:age->toshi,gender->biological_sex",
+          "drop:biological_sex,toshi"))
+        require(db.schemaOf(t).exists(_.columnNames == Seq("rank", "id", "name")),
+          s"TRY_EVOLVE with a cooperating sink must equal EVOLVE, got ${db.schemaOf(t).map(_.columnNames)}")
+        stateDf(s, db, t).orderBy("id")
       }
     }),
 
@@ -3048,6 +3170,12 @@ object QueriesConformance {
         |  ('2', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x'),
         |  ('3', '3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
         |AS t(col1, col2, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    // pre-fault state only: schema v1 with the three inserts
+    "c_conformance_exception_behavior" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', 17), (2, 'Bob', 18), (3, 'Carol', 19))
+        |AS t(id, name, age) ORDER BY id""".stripMargin,
+    "c_conformance_try_evolve_behavior" -> schemaEvolutionOracle,
     // lenient transform final state (LenientITCase:382-386): rows 2 and 3
     // of (col1, col2, col12, col3, newCol2, newCol3) — key 3 passed only
     // the pre-evolution filter window, key 2 carries the updated newCol3
