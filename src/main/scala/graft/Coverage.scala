@@ -75,7 +75,8 @@ object Coverage {
     "25 Behaviors (IGNORE/LENIENT/TRY_EVOLVE/EVOLVE/EXCEPTION)" ->
       Seq("c_ddl_evolution", "c_conformance_single_table",
         "c_conformance_lenient_single_table", "c_conformance_ignore_behavior",
-        "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior"),
+        "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior",
+        "c_conformance_try_evolve_failure", "c_conformance_evolve_failure"),
     "26 Sink-side schema-change type filtering (TAG grammar)" ->
       Seq("c_cli_pipeline"),
     "27 TableIdRouter + Selectors (rename/merge/<>)" ->
@@ -176,7 +177,8 @@ object Coverage {
         "c_conformance_udf_return_types", "c_conformance_column_name_map",
         "c_conformance_floor_ceil_round", "c_conformance_abs_function",
         "c_conformance_timestamp_formats", "c_conformance_comments_default_expr",
-        "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior"),
+        "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior",
+        "c_conformance_try_evolve_failure", "c_conformance_evolve_failure"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

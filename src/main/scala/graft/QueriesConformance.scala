@@ -97,7 +97,8 @@ object QueriesConformance {
       sources: Seq[(String, ScriptedChangeSource)],
       behavior: String,
       extraYaml: String = "",
-      pipelineExtra: String = "")(
+      pipelineExtra: String = "",
+      sinkExtra: String = "")(
       script: (PipelineRunner, () => Unit) => Unit): MemoryDatabase = {
     implicit val spark: SparkSession = s
     val ckpt = java.nio.file.Files.createTempDirectory("graft_conformance").toString
@@ -109,6 +110,7 @@ object QueriesConformance {
          |sink:
          |  type: values
          |  record.events: true
+         |$sinkExtra
          |$extraYaml
          |pipeline:
          |  checkpoint.dir: $ckpt
@@ -976,6 +978,87 @@ object QueriesConformance {
             "schema must stay at v1 under EXCEPTION")
           stateDf(s, db2, t).orderBy("id")
         }
+      }
+    }),
+
+    // SchemaEvolveTest.testTryEvolveSchemaWithFailure:1121 — fine-grained
+    // failure injection: the sink REFUSES ALTER_COLUMN_TYPE and DROP_COLUMN.
+    // Under TRY_EVOLVE the adds evolve normally, the refused changes are
+    // swallowed WITHOUT trace (the sink schema keeps age SMALLINT and keeps
+    // height), and later data coerces back to the sink's older shape —
+    // degraded, never faulted.
+    "c_conformance_try_evolve_failure" -> ((s, _) => {
+      val t = TableId.parse("default_schema.customers")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> ShortType)("id"), Seq.empty)
+      val id = freshId("tryfail")
+      registered(id -> src) {
+        val db = runPipelineR(s, Seq(id -> src), "TRY_EVOLVE",
+          sinkExtra = "  reject.ddl: ALTER_COLUMN_TYPE,DROP_COLUMN") { (_, drain) =>
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 18.toShort)))
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 3, "name" -> "Carol", "age" -> 19.toShort)))
+          drain()
+          src.appendDdl(AddColumnEvent(t, Seq(
+            AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT()),
+            AddColumnEvent.ColumnWithPosition("height", CdcTypes.DoubleT()))))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 4, "name" -> "Derrida", "age" -> 20.toShort,
+            "score" -> 100, "height" -> 173.25)))
+          drain()
+          src.appendDdl(AlterColumnTypeEvent(t, Map("age" -> CdcTypes.IntT())))
+          drain() // refused by the sink; TRY_EVOLVE degrades, never faults
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 5, "name" -> "Eve", "age" -> 21,
+            "score" -> 97, "height" -> 160.0)))
+          drain()
+          src.appendDdl(DropColumnEvent(t, Seq("height")))
+          drain() // refused too
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 6, "name" -> "Fiona", "age" -> 22, "score" -> 95)))
+        }
+        // the refused changes leave NO trace in the sink's event stream
+        requireDdlSequence(db, t, Seq("create:id,name,age", "add:score,height"))
+        require(db.schemaOf(t).exists(sch =>
+          sch.columnNames == Seq("id", "name", "age", "score", "height") &&
+            sch.struct("age").dataType == ShortType),
+          s"sink must keep SMALLINT age and the height column, got ${db.schemaOf(t)}")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // SchemaEvolveTest.testEvolveSchemaWithFailure:1023 — the SAME refusal
+    // under EVOLVE faults the pipeline instead of degrading.
+    "c_conformance_evolve_failure" -> ((s, _) => {
+      val t = TableId.parse("default_schema.customers")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> ShortType)("id"), Seq.empty)
+      val id = freshId("evofail")
+      var faulted: Option[Throwable] = None
+      registered(id -> src) {
+        try {
+          runPipelineR(s, Seq(id -> src), "EVOLVE",
+            sinkExtra = "  reject.ddl: ALTER_COLUMN_TYPE") { (_, drain) =>
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+            drain()
+            src.appendDdl(AlterColumnTypeEvent(t, Map("age" -> CdcTypes.IntT())))
+            try drain()
+            catch { case e: Throwable => faulted = Some(e); throw e }
+          }
+          sys.error("EVOLVE must fault when the sink refuses the change")
+        } catch { case _: Throwable if faulted.isDefined => () }
+        def cites(e: Throwable): Boolean =
+          (Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(c => String.valueOf(c.getMessage).contains("ALTER_COLUMN_TYPE")))
+        require(faulted.exists(cites),
+          s"fault must cite the refused ALTER_COLUMN_TYPE, got $faulted")
+        import s.implicits._
+        Seq(("EVOLVE", true)).toDF("behavior", "faulted")
       }
     }),
 
@@ -3170,6 +3253,19 @@ object QueriesConformance {
         |  ('2', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x'),
         |  ('3', '3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
         |AS t(col1, col2, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    // degraded-not-faulted: adds landed, refused alter/drop left age
+    // SMALLINT and height in place; post-refusal data coerced back
+    "c_conformance_try_evolve_failure" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', CAST(17 AS SMALLINT), CAST(NULL AS INT), CAST(NULL AS DOUBLE)),
+        |  (2, 'Bob', 18, NULL, NULL),
+        |  (3, 'Carol', 19, NULL, NULL),
+        |  (4, 'Derrida', 20, 100, 173.25),
+        |  (5, 'Eve', 21, 97, 160.0),
+        |  (6, 'Fiona', 22, 95, NULL))
+        |AS t(id, name, age, score, height) ORDER BY id""".stripMargin,
+    "c_conformance_evolve_failure" ->
+      "SELECT 'EVOLVE' AS behavior, true AS faulted",
     // pre-fault state only: schema v1 with the three inserts
     "c_conformance_exception_behavior" ->
       """SELECT * FROM (VALUES

@@ -150,7 +150,25 @@ object EventRender {
   * event sequences, not just final state. Opt-in because the log is O(events)
   * driver memory: correctness scripts only, never benches.
   */
-final class MemoryDatabase(val recordEvents: Boolean = false) extends DataSink {
+final class MemoryDatabase(
+    val recordEvents: Boolean = false,
+    /** schema-change KINDS this sink refuses (`reject.ddl` option) — the
+      * test double for a sink that cannot take a DDL class, the surface the
+      * reference's fine-grained evolve tests inject errors through
+      * (`SchemaEvolveTest.testTryEvolveSchemaWithFailure:1121` fails
+      * ALTER_COLUMN_TYPE + DROP_COLUMN). Rejection happens BEFORE any
+      * logging or state change: a refused event leaves no trace. */
+    rejectDdl: Set[String] = Set.empty) extends DataSink {
+
+  private def kindOf(e: SchemaChangeEvent): String = e match {
+    case _: graft.core.CreateTableEvent => "CREATE_TABLE"
+    case _: graft.core.AddColumnEvent => "ADD_COLUMN"
+    case _: graft.core.AlterColumnTypeEvent => "ALTER_COLUMN_TYPE"
+    case _: graft.core.RenameColumnEvent => "RENAME_COLUMN"
+    case _: graft.core.DropColumnEvent => "DROP_COLUMN"
+    case _: graft.core.DropTableEvent => "DROP_TABLE"
+    case _: graft.core.TruncateTableEvent => "TRUNCATE_TABLE"
+  }
 
   private val eventLog =
     scala.collection.mutable.ArrayBuffer.empty[(TableId, String)]
@@ -180,6 +198,9 @@ final class MemoryDatabase(val recordEvents: Boolean = false) extends DataSink {
     synchronized(ddlLog.filter(_.tableId == t).toSeq)
 
   override def applySchemaChange(event: SchemaChangeEvent): Unit = synchronized {
+    if (rejectDdl.contains(kindOf(event)))
+      throw new UnsupportedOperationException(
+        s"sink rejects ${kindOf(event)} (configured reject.ddl)")
     event match {
       case graft.core.CreateTableEvent(t, _) if tables.contains(t) => ()
       case _ =>

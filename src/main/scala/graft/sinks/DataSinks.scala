@@ -14,9 +14,14 @@ object DataSinks {
     sinkDef.sinkType.toLowerCase match {
       case "values" | "memory" =>
         // `record.events: true` turns on the per-table unified DDL+data
-        // event log (the ValuesDataSink outCaptor analog) — test scripts only
+        // event log (the ValuesDataSink outCaptor analog); `reject.ddl` is
+        // the fine-grained failure-injection surface (comma-separated
+        // schema-change kinds the sink refuses) — test scripts only
         new MemoryDatabase(
-          recordEvents = sinkDef.config.get("record.events").exists(_.toBoolean))
+          recordEvents = sinkDef.config.get("record.events").exists(_.toBoolean),
+          rejectDdl = sinkDef.config.get("reject.ddl")
+            .map(_.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty))
       case "oceanbase" if sinkDef.config.contains("username") =>
         // the DEDICATED OceanBase pipeline connector (the reference's
         // flink-cdc-pipeline-connector-oceanbase, required options url +
