@@ -55,7 +55,7 @@ object Coverage {
       Seq("t_metadata", "c_conformance_metadata_wildcard",
         "c_conformance_metadata_literal", "c_conformance_column_name_map"),
     "17 SchemaMetadataTransform (PK/partition/options override)" ->
-      Seq("c_cli_pipeline"),
+      Seq("c_cli_pipeline", "c_conformance_metadata_info"),
     "18 SoftDeleteConverter" ->
       Seq("t_soft_delete"),
     "19 UDF surface (0-6-arg typed eval, lifecycle, ScalarFunction-shaped, typed returns)" ->
@@ -178,7 +178,8 @@ object Coverage {
         "c_conformance_floor_ceil_round", "c_conformance_abs_function",
         "c_conformance_timestamp_formats", "c_conformance_comments_default_expr",
         "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior",
-        "c_conformance_try_evolve_failure", "c_conformance_evolve_failure"),
+        "c_conformance_try_evolve_failure", "c_conformance_evolve_failure",
+        "c_conformance_metadata_info"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

@@ -981,6 +981,44 @@ object QueriesConformance {
       }
     }),
 
+    // FlinkPipelineTransformITCase.testMetadataInfo:536 — a wildcard
+    // transform whose only job is the metadata override block: COMPOSITE
+    // primary key (id,name), partition key, and two table options reach both
+    // sink tables' schemas while the data stream passes through untouched
+    // (:550-558).
+    "c_conformance_metadata_info" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "metainfo",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*"
+          |    primary-keys: id,name
+          |    partition-keys: id
+          |    table-options: replication_num=1,bucket=17""".stripMargin)
+      Seq(t1, t2).foreach { t =>
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.primaryKeys == Seq("id", "name") && sch.partitionKeys == Seq("id") &&
+          sch.options.get("replication_num").contains("1") &&
+          sch.options.get("bucket").contains("17"),
+          s"$t metadata overrides per ITCase:550, got $sch")
+      }
+      requireEventSequence(db, t1, Seq(
+        "create:id,name,age",
+        "before=[], after=[1, Alice, 18], op=INSERT, meta=()",
+        "before=[], after=[2, Bob, 20], op=INSERT, meta=()",
+        "before=[2, Bob, 20], after=[2, Bob, 30], op=UPDATE, meta=()"))
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description",
+        "before=[], after=[3, Carol, 15, student], op=INSERT, meta=()",
+        "before=[], after=[4, Derrida, 25, student], op=INSERT, meta=()",
+        "before=[4, Derrida, 25, student], after=[], op=DELETE, meta=()"))
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description").orderBy("id")
+    }),
+
     // SchemaEvolveTest.testTryEvolveSchemaWithFailure:1121 — fine-grained
     // failure injection: the sink REFUSES ALTER_COLUMN_TYPE and DROP_COLUMN.
     // Under TRY_EVOLVE the adds evolve normally, the refused changes are
@@ -3253,6 +3291,13 @@ object QueriesConformance {
         |  ('2', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'x'),
         |  ('3', '3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
         |AS t(col1, col2, col3, newCol2, newCol3) ORDER BY col1""".stripMargin,
+    // pass-through data under the metadata-only transform (ITCase:550-558)
+    "c_conformance_metadata_info" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR)),
+        |  ('mytable1', 2, 'Bob', 30, NULL),
+        |  ('mytable2', 3, 'Carol', 15, 'student'))
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
     // degraded-not-faulted: adds landed, refused alter/drop left age
     // SMALLINT and height in place; post-refusal data coerced back
     "c_conformance_try_evolve_failure" ->
