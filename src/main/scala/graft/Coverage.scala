@@ -46,11 +46,16 @@ object Coverage {
     "13 PostTransformOperator (projection/filter both images, multi-rule dispatch)" ->
       Seq("t_projection", "t_filter", "c_conformance_calculated_columns",
         "c_conformance_wildcard_evolution", "c_conformance_multi_dispatch",
-        "c_conformance_dispatch_ref_cols"),
+        "c_conformance_dispatch_ref_cols", "c_conformance_multi_transform_asterisk",
+        "c_conformance_multi_transform_missing_proj",
+        "c_conformance_multi_transform_null_empty_asterisk",
+        "c_conformance_multi_transform_incompatible",
+        "c_conformance_merging_incompatible_rules"),
     "14 Projection spec (* expansion, computed cols)" ->
-      Seq("t_projection", "c_conformance_calculated_columns"),
+      Seq("t_projection", "c_conformance_calculated_columns",
+        "c_conformance_multi_ref_projection", "c_conformance_large_literals"),
     "15 Filter spec (original + computed cols)" ->
-      Seq("t_filter", "c_conformance_filter_rules"),
+      Seq("t_filter", "c_conformance_filter_rules", "c_conformance_multi_ref_filter"),
     "16 Metadata columns" ->
       Seq("t_metadata", "c_conformance_metadata_wildcard",
         "c_conformance_metadata_literal", "c_conformance_column_name_map"),
@@ -85,7 +90,12 @@ object Coverage {
         "c_conformance_merge_route"),
     "28 Distributed schema variant" ->
       Seq("c_multi_source_merge", "c_conformance_parallelized_single",
-        "c_conformance_parallelized_multi"),
+        "c_conformance_parallelized_multi",
+        "c_conformance_distributed_runner_multi",
+        "c_conformance_distributed_ignore",
+        "c_conformance_distributed_exception",
+        "c_conformance_regular_parallelism",
+        "c_conformance_regular_merged"),
     "29 Batch schema variant + runtime-mode BATCH" ->
       Seq("c_schema_coerce", "c_conformance_batch_single_table",
         "c_conformance_batch_transform", "c_conformance_batch_multi_tables",
@@ -179,7 +189,21 @@ object Coverage {
         "c_conformance_timestamp_formats", "c_conformance_comments_default_expr",
         "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior",
         "c_conformance_try_evolve_failure", "c_conformance_evolve_failure",
-        "c_conformance_metadata_info"),
+        "c_conformance_metadata_info",
+        // round 16: multi-transform interaction block + literal typing
+        "c_conformance_multi_ref_projection", "c_conformance_multi_ref_filter",
+        "c_conformance_multi_transform_asterisk",
+        "c_conformance_multi_transform_missing_proj",
+        "c_conformance_multi_transform_null_empty_asterisk",
+        "c_conformance_multi_transform_incompatible",
+        "c_conformance_merging_incompatible_rules",
+        "c_conformance_large_literals",
+        // round 16: parallelized variants through the REAL streaming runner
+        "c_conformance_distributed_runner_multi",
+        "c_conformance_distributed_ignore",
+        "c_conformance_distributed_exception",
+        "c_conformance_regular_parallelism",
+        "c_conformance_regular_merged"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

@@ -128,6 +128,38 @@ object QueriesConformance {
     runner.sink.asInstanceOf[MemoryDatabase]
   }
 
+  /** [[runPipeline]] variant for DISTRIBUTED sources: every entry in
+    * `partitions` is one PARTITION of the same upstream table, drained
+    * through [[PipelineRunner.runDistributed]] — the coordinator-style
+    * least-common-schema reduce, running the REAL streaming loop at
+    * parallelism = `partitions.size`.
+    */
+  private def runDistributedPipeline(
+      s: SparkSession,
+      partitions: Seq[(String, ScriptedChangeSource)],
+      behavior: String)(script: (() => Unit) => Unit): MemoryDatabase = {
+    implicit val spark: SparkSession = s
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_distributed").toString
+    val yaml =
+      s"""source:
+         |  type: cdc
+         |  sourceId: ${partitions.head._1}
+         |  chunk.size: 10
+         |sink:
+         |  type: values
+         |  record.events: true
+         |pipeline:
+         |  checkpoint.dir: $ckpt
+         |  schema.change.behavior: $behavior
+         |""".stripMargin
+    val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
+    val drain = () => { runner.runDistributed(partitions.map(_._1)); () }
+    drain()
+    script(drain)
+    drain()
+    runner.sink.asInstanceOf[MemoryDatabase]
+  }
+
   private def registered[A](sources: (String, ScriptedChangeSource)*)(
       body: => A): A =
     try {
@@ -1647,6 +1679,308 @@ object QueriesConformance {
       }.toDF("tbl", "n_rows", "max_iota").orderBy("tbl")
     }),
 
+    // FlinkParallelizedPipelineITCase
+    // .testDistributedTablesSourceInMultipleParallelismWithLenientBehavior
+    // :230-407, through the REAL STREAMING RUNNER at parallelism 2
+    // ([[PipelineRunner.runDistributed]]): two PARTITIONS of the same table
+    // run as independent checkpointed streams, each evolving its own schema
+    // view in its OWN rotated order; a parked partition DDL updates only
+    // that partition's view and the sink evolves by the coordinator-style
+    // least-common-schema REDUCE — this executes the full park/reduce/
+    // evolve/ack/restart loop per partition, not the reducer component in
+    // isolation. Asserts the ITCase's order-insensitive column UNION and
+    // that every partition's rows landed null-padded to the union.
+    "c_conformance_distributed_runner_multi" -> ((s, _) => {
+      val nParts = 2
+      val t = TableId.parse("default_namespace.default_database.table_0")
+      val srcs = (0 until nParts).map(_ => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = (0 until nParts).map(k => freshId(s"distrun$k"))
+      val iotas = Array.fill(nParts)(-1)
+      def nextId(k: Int): String = { iotas(k) += 1; s"${(k + 1) * 100000 + iotas(k)}" }
+      registered(ids.zip(srcs): _*) {
+        val db = runDistributedPipeline(s, ids.zip(srcs), "LENIENT") { drain =>
+          // initial: each partition seeds 5 id-only rows
+          (0 until nParts).foreach { k =>
+            (0 until 5).foreach(_ =>
+              srcs(k).append(DataChangeEvent.insert(t, Map("id" -> nextId(k)))))
+          }
+          drain()
+          // each partition works the 16 types in its OWN rotated order —
+          // the reduce must union views that disagree mid-flight
+          val perPart = (0 until nParts).map(k =>
+            parallelizedTypes.drop(k) ++ parallelizedTypes.take(k))
+          parallelizedTypes.indices.foreach { stage =>
+            Seq(false, true).foreach { subtaskCol =>
+              (0 until nParts).foreach { k =>
+                val (typeName, cdcT, _) = perPart(k)(stage)
+                val colName =
+                  if (subtaskCol) s"subtask_${k}_col_$typeName" else s"col_$typeName"
+                if (!srcs(k).schema.struct.fieldNames.contains(colName))
+                  srcs(k).appendDdl(AddColumnEvent(t,
+                    Seq(AddColumnEvent.ColumnWithPosition(colName, cdcT))))
+                val vals: Map[String, Any] = srcs(k).schema.struct.fieldNames.toSeq.map {
+                  case "id" => "id" -> (nextId(k): Any)
+                  case c => c -> parallelizedValueOf(c)
+                }.toMap
+                srcs(k).append(DataChangeEvent.insert(t, vals))
+              }
+              drain()
+            }
+          }
+        }
+        // the ITCase's union assertion, order-insensitive (:243-910)
+        val expectedCols = ("id" +: parallelizedTypes.flatMap { case (n, _, _) =>
+          s"col_$n" +: (0 until nParts).map(k => s"subtask_${k}_col_$n")
+        }).toSet
+        val got = db.schemaOf(t).map(_.columnNames.toSet).getOrElse(Set.empty)
+        require(got == expectedCols,
+          s"distributed runner column UNION: missing ${expectedCols -- got}, " +
+            s"extra ${got -- expectedCols}")
+        val rows = db.rowsOf(t)
+        val byPart = rows.map(_.head.asInstanceOf[String])
+          .groupBy(id => id.head).view.mapValues(_.size).toMap
+        (0 until nParts).foreach { k =>
+          require(byPart.getOrElse((k + 1).toString.head, 0) == 5 + 32,
+            s"partition $k must land 37 rows, got $byPart")
+        }
+        // each partition's FINAL insert is fully populated under its own
+        // final view (id + all 48 type columns it declared by then)
+        (0 until nParts).foreach { k =>
+          val lastId = s"${(k + 1) * 100000 + iotas(k)}"
+          val schemaCols = db.schemaOf(t).get.columnNames
+          val row = rows.find(_.head == lastId).get
+          val nonNull = schemaCols.zip(row).filter(_._2 != null).map(_._1).toSet
+          val ownCols = srcs(k).schema.struct.fieldNames.toSet
+          require(ownCols.subsetOf(nonNull),
+            s"partition $k final row must populate its full view; missing " +
+              s"${ownCols -- nonNull}")
+        }
+        import s.implicits._
+        Seq(("table_0", rows.size.toLong, got.size)).toDF("tbl", "n_rows", "n_cols")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase
+    // .testDistributedTablesSourceIn{Single,Multiple}ParallelismWithIgnoreBehavior
+    // :410-455: under IGNORE the sink schema NEVER grows past the initial
+    // `id` column — every partition's adds are reduced, derived, and then
+    // dropped by the behavior filter; data still lands, trimmed to `id`.
+    "c_conformance_distributed_ignore" -> ((s, _) => {
+      val nParts = 2
+      val t = TableId.parse("default_namespace.default_database.table_0")
+      val srcs = (0 until nParts).map(_ => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = (0 until nParts).map(k => freshId(s"distign$k"))
+      val iotas = Array.fill(nParts)(-1)
+      def nextId(k: Int): String = { iotas(k) += 1; s"${(k + 1) * 100000 + iotas(k)}" }
+      registered(ids.zip(srcs): _*) {
+        val db = runDistributedPipeline(s, ids.zip(srcs), "IGNORE") { drain =>
+          (0 until nParts).foreach { k =>
+            (0 until 5).foreach(_ =>
+              srcs(k).append(DataChangeEvent.insert(t, Map("id" -> nextId(k)))))
+          }
+          drain()
+          parallelizedTypes.take(4).foreach { case (typeName, cdcT, _) =>
+            (0 until nParts).foreach { k =>
+              Seq(s"col_$typeName", s"subtask_${k}_col_$typeName").foreach { colName =>
+                if (!srcs(k).schema.struct.fieldNames.contains(colName))
+                  srcs(k).appendDdl(AddColumnEvent(t,
+                    Seq(AddColumnEvent.ColumnWithPosition(colName, cdcT))))
+              }
+              val vals: Map[String, Any] = srcs(k).schema.struct.fieldNames.toSeq.map {
+                case "id" => "id" -> (nextId(k): Any)
+                case c => c -> parallelizedValueOf(c)
+              }.toMap
+              srcs(k).append(DataChangeEvent.insert(t, vals))
+            }
+            drain()
+          }
+        }
+        require(db.schemaOf(t).exists(_.columnNames == Seq("id")),
+          s"IGNORE must keep the initial id-only schema, got ${db.schemaOf(t).map(_.columnNames)}")
+        require(db.ddlHistory(t).size == 1,
+          s"IGNORE sink sees ONLY the create, got ${db.ddlHistory(t).size} DDLs")
+        val rows = db.rowsOf(t)
+        require(rows.size == nParts * (5 + 4), s"expected 18 id-only rows, got ${rows.size}")
+        import s.implicits._
+        Seq(("table_0", rows.size.toLong, db.schemaOf(t).get.columnNames.size))
+          .toDF("tbl", "n_rows", "n_cols")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase
+    // .testDistributedTablesSourceIn{Single,Multiple}ParallelismWithExceptionBehavior
+    // :458-500: the FIRST reduced schema change faults the job with the
+    // reference's exact message (`distributed/SchemaOperator.java:147`).
+    "c_conformance_distributed_exception" -> ((s, _) => {
+      val nParts = 2
+      val t = TableId.parse("default_namespace.default_database.table_0")
+      val srcs = (0 until nParts).map(_ => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = (0 until nParts).map(k => freshId(s"distexc$k"))
+      var faulted: Option[Throwable] = None
+      registered(ids.zip(srcs): _*) {
+        try {
+          runDistributedPipeline(s, ids.zip(srcs), "EXCEPTION") { drain =>
+            (0 until nParts).foreach { k =>
+              (0 until 3).foreach(i =>
+                srcs(k).append(DataChangeEvent.insert(t,
+                  Map("id" -> s"${(k + 1) * 100 + i}"))))
+            }
+            drain()
+            srcs(0).appendDdl(AddColumnEvent(t,
+              Seq(AddColumnEvent.ColumnWithPosition("col_booleantype", CdcTypes.BooleanT()))))
+            try drain()
+            catch { case e: Throwable => faulted = Some(e); throw e }
+          }
+          sys.error("EXCEPTION behavior must fault on the first reduced change")
+        } catch { case _: Throwable if faulted.isDefined => () }
+        val expectMsg =
+          "Unexpected schema change events occurred in EXCEPTION mode. Job will fail now."
+        def cites(e: Throwable): Boolean =
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(c => String.valueOf(c.getMessage).contains(expectMsg))
+        require(faulted.exists(cites),
+          s"fault must carry the reference's EXCEPTION message, got $faulted")
+        import s.implicits._
+        Seq(("EXCEPTION", true)).toDF("behavior", "faulted")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase.testRegularTablesSourceIn{Single,
+    // Multiple}Parallelism:505-725: REGULAR tables live in per-subtask
+    // namespaces (`default_namespace_subtask_<k>`), so no reduce is needed —
+    // each partition's table evolves independently through the standard
+    // park/evolve/ack loop at parallelism 2. Asserts each table's pinned
+    // per-partition column ORDER (single-parallelism determinism, :518-565).
+    "c_conformance_regular_parallelism" -> ((s, _) => {
+      val nParts = 2
+      val nTypes = 6
+      val tables = (0 until nParts).map(k =>
+        TableId.parse(s"default_namespace_subtask_$k.default_database.table_0"))
+      val srcs = tables.map(t => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = (0 until nParts).map(k => freshId(s"regpar$k"))
+      val iotas = Array.fill(nParts)(-1)
+      def nextId(k: Int): String = { iotas(k) += 1; s"${(k + 1) * 100000 + iotas(k)}" }
+      registered(ids.zip(srcs): _*) {
+        val db = runPipeline(s, ids.zip(srcs), "LENIENT") { drain =>
+          (0 until nParts).foreach { k =>
+            (0 until 5).foreach(_ =>
+              srcs(k).append(DataChangeEvent.insert(tables(k), Map("id" -> nextId(k)))))
+          }
+          drain()
+          parallelizedTypes.take(nTypes).foreach { case (typeName, cdcT, _) =>
+            (0 until nParts).foreach { k =>
+              Seq(s"col_$typeName", s"subtask_${k}_col_$typeName").foreach { colName =>
+                srcs(k).appendDdl(AddColumnEvent(tables(k),
+                  Seq(AddColumnEvent.ColumnWithPosition(colName, cdcT))))
+                val vals: Map[String, Any] = srcs(k).schema.struct.fieldNames.toSeq.map {
+                  case "id" => "id" -> (nextId(k): Any)
+                  case c => c -> parallelizedValueOf(c)
+                }.toMap
+                srcs(k).append(DataChangeEvent.insert(tables(k), vals))
+              }
+            }
+            drain()
+          }
+        }
+        // single-parallelism determinism: each partition's table carries ITS
+        // OWN interleaved column order — col_X then subtask_<k>_col_X
+        (0 until nParts).foreach { k =>
+          val expect = "id" +: parallelizedTypes.take(nTypes).flatMap { case (n, _, _) =>
+            Seq(s"col_$n", s"subtask_${k}_col_$n") }
+          val got = db.schemaOf(tables(k)).map(_.columnNames).getOrElse(Seq.empty)
+          require(got == expect,
+            s"regular table $k column order:\n  got      $got\n  expected $expect")
+        }
+        import s.implicits._
+        tables.zipWithIndex.map { case (t, k) =>
+          (s"subtask_$k", db.rowsOf(t).size.toLong,
+            db.schemaOf(t).get.columnNames.size)
+        }.toDF("tbl", "n_rows", "n_cols").orderBy("tbl")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase.testRegularTablesSourceMergedIn
+    // SingleParallelism:708-775 (+ the @Disabled multi twin :778): the
+    // MERGING trait routes every per-subtask table into ONE sink table
+    // (`default_namespace_subtask_\d.… -> default_namespace.…`), so the
+    // sink's schema is the least-common UNION of the partitions' shapes —
+    // the regular-topology route-merge equivalent of the distributed reduce.
+    "c_conformance_regular_merged" -> ((s, _) => {
+      val nParts = 2
+      val nTypes = 6
+      val sinkT = TableId.parse("default_namespace.default_database.table_0")
+      val tables = (0 until nParts).map(k =>
+        TableId.parse(s"default_namespace_subtask_$k.default_database.table_0"))
+      val srcs = tables.map(t => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = (0 until nParts).map(k => freshId(s"regmerge$k"))
+      val iotas = Array.fill(nParts)(-1)
+      def nextId(k: Int): String = { iotas(k) += 1; s"${(k + 1) * 100000 + iotas(k)}" }
+      registered(ids.zip(srcs): _*) {
+        val db = runPipeline(s, ids.zip(srcs), "LENIENT",
+          extraYaml =
+            """route:
+              |  - source-table: default_namespace_subtask_\d.default_database.table_0
+              |    sink-table: default_namespace.default_database.table_0""".stripMargin) { drain =>
+          (0 until nParts).foreach { k =>
+            (0 until 5).foreach(_ =>
+              srcs(k).append(DataChangeEvent.insert(tables(k), Map("id" -> nextId(k)))))
+          }
+          drain()
+          parallelizedTypes.take(nTypes).foreach { case (typeName, cdcT, _) =>
+            (0 until nParts).foreach { k =>
+              Seq(s"col_$typeName", s"subtask_${k}_col_$typeName").foreach { colName =>
+                srcs(k).appendDdl(AddColumnEvent(tables(k),
+                  Seq(AddColumnEvent.ColumnWithPosition(colName, cdcT))))
+                val vals: Map[String, Any] = srcs(k).schema.struct.fieldNames.toSeq.map {
+                  case "id" => "id" -> (nextId(k): Any)
+                  case c => c -> parallelizedValueOf(c)
+                }.toMap
+                srcs(k).append(DataChangeEvent.insert(tables(k), vals))
+              }
+            }
+            drain()
+          }
+        }
+        val expectedCols = ("id" +: parallelizedTypes.take(nTypes).flatMap { case (n, _, _) =>
+          s"col_$n" +: (0 until nParts).map(k => s"subtask_${k}_col_$n")
+        }).toSet
+        val got = db.schemaOf(sinkT).map(_.columnNames.toSet).getOrElse(Set.empty)
+        require(got == expectedCols,
+          s"merged sink column UNION: missing ${expectedCols -- got}, " +
+            s"extra ${got -- expectedCols}")
+        val rows = db.rowsOf(sinkT)
+        require(rows.size == nParts * (5 + nTypes * 2),
+          s"expected ${nParts * (5 + nTypes * 2)} merged rows, got ${rows.size}")
+        import s.implicits._
+        Seq(("table_0", rows.size.toLong, got.size)).toDF("tbl", "n_rows", "n_cols")
+      }
+    }),
+
     // FlinkPipelineUdfITCase.testTransformWithUdf:111: a YAML-declared UDF
     // (classpath-resolved `format` = String.format) computed in the
     // projection, with per-rule pk + table-options overrides, over the
@@ -2438,6 +2772,287 @@ object QueriesConformance {
       val b = stateDf(s, db, t2).collect().toSeq.map(r =>
         ("mytable2", r.getLong(0), r.getByte(1).toInt, r.getString(2)))
       (a ++ b).toDF("tbl", "id", "age", "roleName").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultipleReferencedColumnsInProjection
+    // :172-196: one column referenced THREE times in a single projection
+    // expression (`CAST(age * age * age AS INT) AS cubic_age`) — pins the
+    // full event sequence incl. the update's 8000 -> 27000 image pair.
+    "c_conformance_multi_ref_projection" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "multiref",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    projection: "*, CAST(age * age * age AS INT) AS cubic_age"""".stripMargin)
+      requireEventSequence(db, t1, Seq(
+        "create:id,name,age,cubic_age",
+        "before=[], after=[1, Alice, 18, 5832], op=INSERT, meta=()",
+        "before=[], after=[2, Bob, 20, 8000], op=INSERT, meta=()",
+        "before=[2, Bob, 20, 8000], after=[2, Bob, 30, 27000], op=UPDATE, meta=()"))
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description,cubic_age",
+        "before=[], after=[3, Carol, 15, student, 3375], op=INSERT, meta=()",
+        "before=[], after=[4, Derrida, 25, student, 15625], op=INSERT, meta=()",
+        "before=[4, Derrida, 25, student, 15625], after=[], op=DELETE, meta=()"))
+      require(db.schemaOf(t1).exists(_.struct("cubic_age").dataType == IntegerType),
+        s"cubic_age must type INT per the explicit cast, got ${db.schemaOf(t1)}")
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, r.getInt(3)))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), r.getInt(4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "cubic_age")
+        .orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultipleReferencedColumnsInFilter
+    // :200-219: one column referenced twice in the filter
+    // (`id > 2 AND id < 4`) — mytable1 loses ALL rows (its CreateTableEvent
+    // still reaches the sink), mytable2 keeps only Carol's insert (Derrida's
+    // insert AND delete are both dropped).
+    "c_conformance_multi_ref_filter" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "multireff",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    filter: "id > 2 AND id < 4"""".stripMargin)
+      requireEventSequence(db, t1, Seq("create:id,name,age"))
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description",
+        "before=[], after=[3, Carol, 15, student], op=INSERT, meta=()"))
+      import s.implicits._
+      stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
+        .toDF("tbl", "id", "name", "age", "description").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultiTransformWithAsterisk:320-351:
+    // two rules on mytable2 — `*,'Juvenile' AS roleName` (age < 18) vs an
+    // EXPLICIT equivalent list `id,name,age,description,name AS roleName`
+    // (age >= 18). The wildcard and explicit shapes merge into ONE sink
+    // schema; dispatch picks the first accepting rule per record.
+    "c_conformance_multi_transform_asterisk" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "mtast",
+        """transform:
+          |  - source-table: default_schema.mytable2
+          |    projection: "*,'Juvenile' AS roleName"
+          |    filter: "age < 18"
+          |  - source-table: default_schema.mytable2
+          |    projection: "id,name,age,description,name AS roleName"
+          |    filter: "age >= 18"""".stripMargin)
+      // mytable1 is matched by NO rule: raw passthrough
+      requireEventSequence(db, t1, Seq(
+        "create:id,name,age",
+        "before=[], after=[1, Alice, 18], op=INSERT, meta=()",
+        "before=[], after=[2, Bob, 20], op=INSERT, meta=()",
+        "before=[2, Bob, 20], after=[2, Bob, 30], op=UPDATE, meta=()"))
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description,roleName",
+        "before=[], after=[3, Carol, 15, student, Juvenile], op=INSERT, meta=()",
+        "before=[], after=[4, Derrida, 25, student, Derrida], op=INSERT, meta=()",
+        "before=[4, Derrida, 25, student, Derrida], after=[], op=DELETE, meta=()"))
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2),
+          null: String, null: String))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt,
+          r.getString(3), r.getString(4)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description", "roleName")
+        .orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultiTransformMissingProjection
+    // :355-388: rule 1 has NO projection (identity passthrough) + filter
+    // age < 18; rule 2 projects `id,UPPER(name) AS name,age,description`
+    // for age >= 18. The merged sink schema widens name to STRING; Carol
+    // rides rule 1 unchanged, Derrida rides rule 2 uppercased.
+    "c_conformance_multi_transform_missing_proj" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "mtmiss",
+        """transform:
+          |  - source-table: default_schema.mytable2
+          |    filter: "age < 18"
+          |  - source-table: default_schema.mytable2
+          |    projection: "id,UPPER(name) AS name,age,description"
+          |    filter: "age >= 18"""".stripMargin)
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description",
+        "before=[], after=[3, Carol, 15, student], op=INSERT, meta=()",
+        "before=[], after=[4, DERRIDA, 25, student], op=INSERT, meta=()",
+        "before=[4, DERRIDA, 25, student], after=[], op=DELETE, meta=()"))
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultiTransformWithNullEmptyAsteriskProjections
+    // :470-532: null, "" and "*" projections are all the SAME identity rule —
+    // three equivalent age<18 rules stack in front of an explicit age>=18
+    // rule and the result is identical to the two-rule missing-projection
+    // case (first-match dispatch walks past the non-accepting clones).
+    "c_conformance_multi_transform_null_empty_asterisk" -> ((s, _) => {
+      val (db, _, t2) = runTwoTableTransform(s, "mtnull",
+        """transform:
+          |  - source-table: default_schema.mytable2
+          |    filter: "age < 18"
+          |  - source-table: default_schema.mytable2
+          |    projection: ""
+          |    filter: "age < 18"
+          |  - source-table: default_schema.mytable2
+          |    projection: "*"
+          |    filter: "age < 18"
+          |  - source-table: default_schema.mytable2
+          |    projection: "id,UPPER(name) AS name,age,description"
+          |    filter: "age >= 18"""".stripMargin)
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description",
+        "before=[], after=[3, Carol, 15, student], op=INSERT, meta=()",
+        "before=[], after=[4, DERRIDA, 25, student], op=INSERT, meta=()",
+        "before=[4, DERRIDA, 25, student], after=[], op=DELETE, meta=()"))
+      import s.implicits._
+      stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
+        .toDF("tbl", "id", "name", "age", "description").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testMultiTransformSchemaColumnsCompatibility
+    // WithNullProjection/WithEmptyProjection:391-467: an identity rule
+    // (null or "" projection) stacked with a PARTIAL projection
+    // (`id,UPPER(name) AS name`) cannot merge — the column-name views
+    // differ (4 columns vs 2) and composition must fail loudly, never
+    // silently pick one shape (`SchemaMergingUtils.strictlyMergeSchemas:371`).
+    "c_conformance_multi_transform_incompatible" -> ((s, _) => {
+      def attempt(projYaml: String): Option[String] =
+        try {
+          runTwoTableTransform(s, "mtbad",
+            s"""transform:
+               |  - source-table: default_schema.mytable2
+               |$projYaml
+               |    filter: "age < 18"
+               |  - source-table: default_schema.mytable2
+               |    projection: "id,UPPER(name) AS name"
+               |    filter: "age >= 18"""".stripMargin)
+          None
+        } catch { case e: Throwable =>
+          Some(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .map(c => String.valueOf(c.getMessage)).mkString(" | "))
+        }
+      val results = Seq(
+        "null_projection" -> attempt("    # no projection key at all"),
+        "empty_projection" -> attempt("    projection: \"\""))
+      results.foreach { case (tag, err) =>
+        require(err.exists(m => m.contains("more than one column name views") &&
+          m.contains("[id, name, age, description]") && m.contains("[id, name]")),
+          s"$tag must fail citing both column name views, got $err")
+      }
+      import s.implicits._
+      results.map { case (tag, err) => (tag, err.isDefined) }
+        .toDF("projection_case", "merge_rejected").orderBy("projection_case")
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformMergingIncompatibleRules
+    // :1142-1171: a table-specific rule (`*, 'rule_1_matched' ...`, id > 0)
+    // plus a catch-all fallback (`*, 'rule_fallback' ...`) both match
+    // mytable1 with DIFFERENT appended column names — composition fails
+    // citing both name views, per the reference's exact failure mode.
+    "c_conformance_merging_incompatible_rules" -> ((s, _) => {
+      val err =
+        try {
+          runTwoTableTransform(s, "mergebad",
+            """transform:
+              |  - source-table: \.*.mytable1
+              |    projection: "*, 'rule_1_matched' AS rule_1_matched"
+              |    filter: "id > 0"
+              |    primary-keys: id
+              |  - source-table: \.*.\.*
+              |    projection: "*, 'rule_fallback' AS rule_fallback"
+              |    primary-keys: id""".stripMargin)
+          None
+        } catch { case e: Throwable =>
+          Some(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .map(c => String.valueOf(c.getMessage)).mkString(" | "))
+        }
+      require(err.exists(m => m.contains("more than one column name views") &&
+        m.contains("[id, name, age, rule_1_matched]") &&
+        m.contains("[id, name, age, rule_fallback]")),
+        s"incompatible rules must fail citing both column name views, got $err")
+      import s.implicits._
+      Seq(("incompatible_rules", true)).toDF("rule_case", "merge_rejected")
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformWithLargeLiterals:2337-2433:
+    // boundary integer literals must type like the reference dialect —
+    // 2147483647 INT, 2147483648 BIGINT, -2147483648 INT (unary minus folds
+    // INTO the literal, it is not BIGINT-widened), -2147483649 BIGINT, and
+    // an explicit CAST to DECIMAL(19, 0) — through the full five-stage
+    // schema-evolution script with a BIGINT-overflow-proof filter
+    // (`CAST(id AS BIGINT) + 2147483648 > 2147483649`, i.e. id > 1).
+    "c_conformance_large_literals" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("biglit")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable1
+              |    projection: "*, 2147483647 AS int_max, 2147483648 AS greater_than_int_max, -2147483648 AS int_min, -2147483649 AS less_than_int_min, CAST(1234567890123456789 AS DECIMAL(19, 0)) AS really_big_decimal"
+              |    filter: "CAST(id AS BIGINT) + 2147483648 > 2147483649"""".stripMargin) { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        // the literal-typed sink schema is the point: INT/BIGINT straddle
+        // the int boundary exactly like Calcite's literal typing
+        val st = db.schemaOf(t).get.struct
+        val expectTypes = Seq(
+          "int_max" -> IntegerType, "greater_than_int_max" -> LongType,
+          "int_min" -> IntegerType, "less_than_int_min" -> LongType,
+          "really_big_decimal" -> DecimalType(19, 0))
+        expectTypes.foreach { case (n, dt) =>
+          require(st(n).dataType == dt,
+            s"$n must type ${dt.simpleString}, got ${st(n).dataType.simpleString}")
+        }
+        val L = "2147483647, 2147483648, -2147483648, -2147483649, 1234567890123456789"
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age,int_max,greater_than_int_max,int_min,less_than_int_min,really_big_decimal",
+          s"before=[], after=[2, Barcarolle, 22, $L], op=INSERT, meta=()",
+          s"before=[], after=[3, Cecily, 23, $L], op=INSERT, meta=()",
+          s"before=[3, Cecily, 23, $L], after=[3, Colin, 24, $L], op=UPDATE, meta=()",
+          s"before=[2, Barcarolle, 22, $L], after=[], op=DELETE, meta=()",
+          "add:rank BEFORE id,gender AFTER age",
+          s"before=[], after=[1st, 4, Derrida, 24, 0, $L], op=INSERT, meta=()",
+          s"before=[], after=[2nd, 5, Eve, 25, 1, $L], op=INSERT, meta=()",
+          s"before=[2nd, 5, Eve, 25, 1, $L], after=[2nd, 5, Eva, 20, 2, $L], op=UPDATE, meta=()",
+          s"before=[], after=[3rd, 6, Fiona, 26, 3, $L], op=INSERT, meta=()",
+          s"before=[3rd, 6, Fiona, 26, 3, $L], after=[], op=DELETE, meta=()",
+          "alter:age->double,gender->int,name->string",
+          s"before=[], after=[4th, 7, Gem, 19.0, -1, $L], op=INSERT, meta=()",
+          s"before=[], after=[5th, 8, Helen, 18.0, -2, $L], op=INSERT, meta=()",
+          s"before=[5th, 8, Helen, 18.0, -2, $L], after=[5th, 8, Harry, 18.0, -3, $L], op=UPDATE, meta=()",
+          s"before=[], after=[6th, 9, IINA, 17.0, 0, $L], op=INSERT, meta=()",
+          s"before=[6th, 9, IINA, 17.0, 0, $L], after=[], op=DELETE, meta=()",
+          "rename:age->toshi,gender->biological_sex",
+          s"before=[], after=[7th, 10, Julia, 24.0, 1, $L], op=INSERT, meta=()",
+          s"before=[], after=[8th, 11, Kalle, 23.0, 0, $L], op=INSERT, meta=()",
+          s"before=[8th, 11, Kalle, 23.0, 0, $L], after=[8th, 11, Kella, 18.0, 0, $L], op=UPDATE, meta=()",
+          s"before=[], after=[9th, 12, Lynx, 17.0, 0, $L], op=INSERT, meta=()",
+          s"before=[9th, 12, Lynx, 17.0, 0, $L], after=[], op=DELETE, meta=()",
+          "drop:biological_sex,toshi",
+          s"before=[], after=[10th, 13, Munroe, $L], op=INSERT, meta=()",
+          s"before=[], after=[11th, 14, Neko, $L], op=INSERT, meta=()",
+          s"before=[11th, 14, Neko, $L], after=[11th, 14, Nein, $L], op=UPDATE, meta=()",
+          s"before=[], after=[12th, 15, Oops, $L], op=INSERT, meta=()",
+          s"before=[12th, 15, Oops, $L], after=[], op=DELETE, meta=()"))
+        // DECIMAL(19, 0) is asserted above at the schema surface; the
+        // comparison surface renders it as STRING (exact digits — a DOUBLE
+        // cast would round 1234567890123456789)
+        stateDf(s, db, t)
+          .withColumn("really_big_decimal", col("really_big_decimal").cast("string"))
+          .orderBy("id")
+      }
     }),
 
     // FlinkPipelineTransformITCase.testMetadataColumnWithWildcard:620-647:
@@ -3537,6 +4152,26 @@ object QueriesConformance {
         |  ('table_0', CAST(168 AS BIGINT), CAST(300082 AS BIGINT)),
         |  ('table_1', 168, 300083))
         |AS t(tbl, n_rows, max_iota) ORDER BY tbl""".stripMargin,
+    "c_conformance_distributed_runner_multi" ->
+      """SELECT * FROM (VALUES
+        |  ('table_0', CAST(74 AS BIGINT), 49))
+        |AS t(tbl, n_rows, n_cols)""".stripMargin,
+    "c_conformance_distributed_ignore" ->
+      """SELECT * FROM (VALUES
+        |  ('table_0', CAST(18 AS BIGINT), 1))
+        |AS t(tbl, n_rows, n_cols)""".stripMargin,
+    "c_conformance_distributed_exception" ->
+      """SELECT * FROM (VALUES ('EXCEPTION', true))
+        |AS t(behavior, faulted)""".stripMargin,
+    "c_conformance_regular_parallelism" ->
+      """SELECT * FROM (VALUES
+        |  ('subtask_0', CAST(17 AS BIGINT), 13),
+        |  ('subtask_1', 17, 13))
+        |AS t(tbl, n_rows, n_cols) ORDER BY tbl""".stripMargin,
+    "c_conformance_regular_merged" ->
+      """SELECT * FROM (VALUES
+        |  ('table_0', CAST(34 AS BIGINT), 19))
+        |AS t(tbl, n_rows, n_cols)""".stripMargin,
     "c_conformance_batch_multi_tables" ->
       """SELECT * FROM (VALUES
         |  ('table1', '1', '1'), ('table1', '2', '2'), ('table1', '3', '3'),
@@ -3767,6 +4402,57 @@ object QueriesConformance {
         |  ('mytable1', 2, 30, 'Bob'),
         |  ('mytable2', 3, 15, 'Juvenile'))
         |AS t(tbl, id, age, roleName) ORDER BY id""".stripMargin,
+    "c_conformance_multi_ref_projection" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), 5832),
+        |  ('mytable1', 2, 'Bob', 30, NULL, 27000),
+        |  ('mytable2', 3, 'Carol', 15, 'student', 3375))
+        |AS t(tbl, id, name, age, description, cubic_age) ORDER BY id""".stripMargin,
+    "c_conformance_multi_ref_filter" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable2', CAST(3 AS BIGINT), 'Carol', 15, 'student'))
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
+    "c_conformance_multi_transform_asterisk" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('mytable1', 2, 'Bob', 30, NULL, NULL),
+        |  ('mytable2', 3, 'Carol', 15, 'student', 'Juvenile'))
+        |AS t(tbl, id, name, age, description, roleName) ORDER BY id""".stripMargin,
+    "c_conformance_multi_transform_missing_proj" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR)),
+        |  ('mytable1', 2, 'Bob', 30, NULL),
+        |  ('mytable2', 3, 'Carol', 15, 'student'))
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
+    "c_conformance_multi_transform_null_empty_asterisk" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable2', CAST(3 AS BIGINT), 'Carol', 15, 'student'))
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
+    "c_conformance_multi_transform_incompatible" ->
+      """SELECT * FROM (VALUES
+        |  ('empty_projection', true), ('null_projection', true))
+        |AS t(projection_case, merge_rejected) ORDER BY projection_case""".stripMargin,
+    "c_conformance_merging_incompatible_rules" ->
+      """SELECT * FROM (VALUES ('incompatible_rules', true))
+        |AS t(rule_case, merge_rejected)""".stripMargin,
+    "c_conformance_large_literals" ->
+      """SELECT "rank", id, name,
+        |  CAST(2147483647 AS INT) AS int_max,
+        |  CAST(2147483648 AS BIGINT) AS greater_than_int_max,
+        |  CAST(-2147483648 AS INT) AS int_min,
+        |  CAST(-2147483649 AS BIGINT) AS less_than_int_min,
+        |  CAST(CAST(1234567890123456789 AS DECIMAL(19,0)) AS VARCHAR) AS really_big_decimal
+        |FROM (VALUES
+        |  (CAST(NULL AS VARCHAR), 3, 'Colin'),
+        |  ('1st', 4, 'Derrida'),
+        |  ('2nd', 5, 'Eva'),
+        |  ('4th', 7, 'Gem'),
+        |  ('5th', 8, 'Harry'),
+        |  ('7th', 10, 'Julia'),
+        |  ('8th', 11, 'Kella'),
+        |  ('10th', 13, 'Munroe'),
+        |  ('11th', 14, 'Nein')) AS t("rank", id, name)
+        |ORDER BY id""".stripMargin,
     "c_conformance_metadata_wildcard" ->
       """SELECT * FROM (VALUES
         |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR),

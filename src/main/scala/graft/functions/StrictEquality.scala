@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryArithmetic, Cast, Coalesce, EqualTo, Expression, In, Literal, UnaryMinus}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,8 +70,38 @@ object StrictEquality {
             Some(DialectCastExpr.parseType(s.toString))
           case _ => None
         }
+      // arithmetic types like Java numeric promotion (the domain the
+      // reference's Janino-compiled expressions evaluate in): operands
+      // below int promote to int, then the wider primitive wins
+      case b: BinaryArithmetic =>
+        for {
+          l <- typeOfExpr(b.left, typeOf)
+          r <- typeOfExpr(b.right, typeOf)
+          w <- javaArithType(l, r)
+        } yield w
+      case UnaryMinus(c, _) =>
+        typeOfExpr(c, typeOf).map(t => if (isSubInt(t)) IntegerType else t)
       case _ => None
     }
+
+  private def isSubInt(dt: DataType): Boolean =
+    dt == ByteType || dt == ShortType
+
+  /** Java binary-numeric-promotion result type (JLS 5.6.2) — what the
+    * reference's generated `$0 * $1` evaluates in. None for non-primitive
+    * operand types (DECIMAL goes through DecimalData helpers instead).
+    */
+  private def javaArithType(l: DataType, r: DataType): Option[DataType] = {
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType | ShortType | IntegerType => Some(0)
+      case LongType => Some(1)
+      case FloatType => Some(2)
+      case DoubleType => Some(3)
+      case _ => None
+    }
+    for { a <- rank(l); b <- rank(r) } yield Seq(IntegerType, LongType, FloatType,
+      DoubleType)(math.max(a, b))
+  }
 
   /** The boxed type a projection EXPRESSION would carry at runtime — used to
     * resolve filter operands against the POST-shading frame: a projection
@@ -107,7 +137,19 @@ object StrictEquality {
     // column reads false (reference) instead of NULL on null operands. The
     // enclosing NOT of `<>` then yields true, matching !valueEquals.
     def twoValued(e: Expression): Expression = Coalesce(Seq(e, Literal(false)))
+    // Java numeric promotion (JLS 5.6.2): the reference's Janino-compiled
+    // arithmetic never computes in byte/short — `age * age * age` on a
+    // TINYINT column multiplies Java ints (testMultipleReferencedColumnsIn
+    // Projection:172 cubes a TINYINT 15 to 3375). Spark keeps byte*byte in
+    // the narrow type and overflows, so promote known sub-int operands.
+    def promoted(e: Expression): Expression =
+      if (typeOfExpr(e, typeOf).exists(isSubInt)) Cast(e, IntegerType) else e
     expr.transformUp {
+      case b: BinaryArithmetic if b.children.exists(
+          c => typeOfExpr(c, typeOf).exists(isSubInt)) =>
+        b.withNewChildren(b.children.map(promoted))
+      case u @ UnaryMinus(c, _) if typeOfExpr(c, typeOf).exists(isSubInt) =>
+        u.withNewChildren(Seq(promoted(c)))
       case eq @ EqualTo(l, r) =>
         if (differentBox(l, r)) Literal(false) else twoValued(eq)
       case in @ In(v, list) if list.nonEmpty =>

@@ -76,11 +76,17 @@ final class PipelineComposer(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.struct)
         TransformOp.applyToRows(empty, rule.copy(filter = None), Some(tableId)).schema
       }
-      outs.foreach(o => require(
-        o.fieldNames.sameElements(outs.head.fieldNames),
-        s"transform rules for $tableId disagree on output columns: " +
-          s"${outs.map(_.fieldNames.mkString("(", ",", ")")).distinct.mkString(" vs ")} — " +
-          "multiple rules matching one table must project the same shape"))
+      // the reference's strictlyMergeSchemas precondition
+      // (`SchemaMergingUtils.java:371-375`): all matching rules must project
+      // the SAME column-name view — phrased like the reference so the
+      // conformance gates can pin the failure wording
+      // (`FlinkPipelineTransformITCase.testTransformMergingIncompatibleRules:1142`)
+      val nameViews = outs.map(_.fieldNames.toSeq).distinct
+      require(nameViews.size == 1,
+        s"Trying to merge transformed schemas for $tableId " +
+          outs.map(o => s"columns={${o.fieldNames.mkString(",")}}").mkString("[", ", ", "]") +
+          s", but got more than one column name views: " +
+          nameViews.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
       // single-rule: keep the projected struct AS-IS so per-field metadata
       // survives — an aliased source column INHERITS its comment and
       // DEFAULT expression (Spark's Alias propagates attribute metadata),

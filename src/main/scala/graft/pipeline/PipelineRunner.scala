@@ -312,6 +312,97 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     applied
   }
 
+  /** DISTRIBUTED-topology drain (`DataSource.isParallelMetadataSource` —
+    * `FlinkPipelineComposer.java:203-224` wires such sources through
+    * `schema/distributed/SchemaOperator` + `SchemaCoordinator`): the
+    * partitions in `partitionIds` observe the SAME upstream table with
+    * INDEPENDENT schema views, so a partition's DDL must never reach the
+    * sink directly — the coordinator REDUCES all partitions' observed
+    * schemas to the least common schema and derives sink DDL from the
+    * reduced diff (`SchemaCoordinator#handleReduceSchemaRequest`).
+    *
+    * Micro-batch form: each partition drains as its own checkpointed
+    * stream; a parked DDL updates that partition's VIEW, the views reduce
+    * through [[DistributedSchemaReducer]], and only the derived diff goes
+    * through the behavior-filtered evolution path
+    * (`composer.processSchemaChange`) — IGNORE drops it, EXCEPTION faults
+    * with the reference's message, LENIENT/EVOLVE widen the sink. Safe to
+    * call repeatedly (the conformance scripts drain incrementally); sink
+    * tables are created once from the reduced initial views. Returns
+    * schema changes applied to the sink across all partitions.
+    */
+  def runDistributed(partitionIds: Seq[String], maxRestarts: Int = 1000): Int = {
+    require(pdef.config.contains("checkpoint.dir"),
+      "runDistributed requires pipeline.checkpoint.dir (restarts must resume)")
+    import DistributedSchemaReducer.PartitionSchemaReport
+    val (views, known) = distributedState match {
+      case Some(st) => st
+      case None =>
+        val vs = scala.collection.mutable.LinkedHashMap(partitionIds.map { id =>
+          val src = ChangeSourceRegistry.get(id)
+          val m = new graft.core.SchemaManager
+          m.register(src.tableId, src.schema)
+          id -> (src.tableId, m)
+        }: _*)
+        val kn = new graft.core.SchemaManager
+        // initial creates: the reduce over every partition's initial view
+        val reports = vs.zipWithIndex.map { case ((_, (t, m)), k) =>
+          PartitionSchemaReport(k, t, m.latest(t).get)
+        }.toSeq
+        val creates = DistributedSchemaReducer.deriveEvents(kn, reports)
+        creates.foreach(kn.applySchemaChange)
+        composer.createTables(creates.collect {
+          case graft.core.CreateTableEvent(t, sch) => t -> sch
+        }.toMap)
+        val st = (vs, kn)
+        distributedState = Some(st)
+        st
+    }
+    var applied = 0
+    var restarts = 0
+    var progress = true
+    while (progress && restarts <= maxRestarts) {
+      progress = false
+      views.foreach { case (id, (tableId, viewMgr)) =>
+        val q = CdcStream.start(
+          readerFor(id).load(), composer,
+          queryName = s"${pdef.name}-${checkpointSafe(id)}",
+          checkpointDir = pdef.config.get("checkpoint.dir")
+            .map(d => s"$d/${checkpointSafe(id)}"))
+        q.processAllAvailable()
+        q.stop()
+        ChangeSourceRegistry.pendingDdl(id) match {
+          case Some((_, ddl)) =>
+            // the partition's OWN view evolves; the sink sees the REDUCED diff
+            viewMgr.applySchemaChange(ddl)
+            val reports = views.values.zipWithIndex.collect {
+              case ((t, m), k) if t == tableId =>
+                PartitionSchemaReport(k, t, m.latest(t).get)
+            }.toSeq
+            val derived = DistributedSchemaReducer.deriveEvents(known, reports)
+            derived.foreach { e =>
+              known.applySchemaChange(e)
+              composer.processSchemaChange(e)
+              applied += 1
+            }
+            ChangeSourceRegistry.ackPendingDdl(id)
+            restarts += 1
+            progress = true
+          case None => ()
+        }
+      }
+    }
+    if (progress)
+      throw new IllegalStateException(
+        s"runDistributed exhausted $maxRestarts restarts with schema changes " +
+          s"still arriving (applied $applied)")
+    applied
+  }
+
+  private var distributedState: Option[(
+      scala.collection.mutable.LinkedHashMap[String, (TableId, graft.core.SchemaManager)],
+      graft.core.SchemaManager)] = None
+
   /** `scan.newly-added-table.enabled` analog (`MySqlDataSourceOptions.java:239`):
     * a table that appears mid-run is picked up WITHOUT disturbing running
     * streams — the driver routes + creates its sink tables and starts a

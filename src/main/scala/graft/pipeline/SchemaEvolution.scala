@@ -226,8 +226,11 @@ final class SchemaEvolutionDriver(
 
     behavior match {
       case SchemaChangeBehavior.EXCEPTION if !event.isInstanceOf[CreateTableEvent] =>
+        // the reference's exact wording (`SchemaCoordinator.java:399`,
+        // distributed `SchemaOperator.java:147`), event appended for debug
         throw new IllegalStateException(
-          s"Schema change $event rejected by EXCEPTION behavior")
+          "Unexpected schema change events occurred in EXCEPTION mode. " +
+            s"Job will fail now. (event: $event)")
       case SchemaChangeBehavior.IGNORE if !event.isInstanceOf[CreateTableEvent] =>
         Seq.empty
       case _ =>

@@ -85,8 +85,11 @@ object YamlPipelineParser {
         // never-throwing CAST, bare VARCHAR, ...) — translate to Spark SQL
         // here, at the same boundary where the reference's TransformParser
         // consumes them
-        str(t, "projection").map(dialect),
-        str(t, "filter").map(dialect),
+        // a BLANK projection is the same as no projection — the reference
+        // treats null, "" and "*" as equivalent identity projections
+        // (`FlinkPipelineTransformITCase.testMultiTransformWithNullEmptyAsteriskProjections:470`)
+        str(t, "projection").filter(_.trim.nonEmpty).map(dialect),
+        str(t, "filter").filter(_.trim.nonEmpty).map(dialect),
         csv(str(t, "primary-keys")),
         csv(str(t, "partition-keys")),
         str(t, "table-options")
