@@ -60,21 +60,27 @@ object Coverage {
       Seq("t_metadata", "c_conformance_metadata_wildcard",
         "c_conformance_metadata_literal", "c_conformance_column_name_map"),
     "17 SchemaMetadataTransform (PK/partition/options override)" ->
-      Seq("c_cli_pipeline", "c_conformance_metadata_info"),
+      Seq("c_cli_pipeline", "c_conformance_metadata_info",
+        "c_conformance_metadata_info_unchanged",
+        "c_conformance_explicit_pk_nullable"),
     "18 SoftDeleteConverter" ->
       Seq("t_soft_delete"),
     "19 UDF surface (0-6-arg typed eval, lifecycle, ScalarFunction-shaped, typed returns)" ->
       Seq("t_udf", "t_udf2", "c_conformance_udf_lifecycle",
-        "c_conformance_udf_return_types", "c_conformance_udf_flink_transform"),
+        "c_conformance_udf_return_types", "c_conformance_udf_flink_transform",
+        "c_conformance_complicated_udf"),
     "20 Model functions (AI_CHAT_PREDICT, GET_EMBEDDING, AI_LANGCHAIN_PREDICT)" ->
-      Seq("t_model_chat", "t_model_embedding", "t_model_langchain"),
+      Seq("t_model_chat", "t_model_embedding", "t_model_langchain",
+        "c_conformance_transform_model"),
     "21 SchemaOperator (evolve + coerce data path)" ->
       Seq("c_ddl_evolution", "c_schema_coerce", "c_conformance_schema_evolution"),
     "22 SchemaCoordinator -> micro-batch flush barrier" ->
       Seq("c_ddl_evolution", "c_stream_ddl", "c_multiclause_alter"),
     "23 SchemaDerivator (lenient-ize, coerce, merged CREATE, deduce-diff)" ->
       Seq("c_ddl_evolution", "s_lenient_union",
-        "c_conformance_lenient_single_table", "c_conformance_merge_route"),
+        "c_conformance_lenient_single_table", "c_conformance_merge_route",
+        "c_conformance_lenient_evolves", "c_conformance_fine_grained",
+        "c_conformance_lenient_tweaks"),
     "24 Schema merging/widening lattice" ->
       Seq("s_lenient_union", "c_conformance_merge_route"),
     "25 Behaviors (IGNORE/LENIENT/TRY_EVOLVE/EVOLVE/EXCEPTION)" ->
@@ -82,8 +88,8 @@ object Coverage {
         "c_conformance_lenient_single_table", "c_conformance_ignore_behavior",
         "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior",
         "c_conformance_try_evolve_failure", "c_conformance_evolve_failure"),
-    "26 Sink-side schema-change type filtering (TAG grammar)" ->
-      Seq("c_cli_pipeline"),
+    "26 Sink-side schema-change type filtering (TAG grammar + fine-grained support)" ->
+      Seq("c_cli_pipeline", "c_conformance_fine_grained"),
     "27 TableIdRouter + Selectors (rename/merge/<>)" ->
       Seq("c_route", "c_multi_source_merge",
         "c_conformance_route_one_to_one", "c_conformance_route_replace",
@@ -95,12 +101,19 @@ object Coverage {
         "c_conformance_distributed_ignore",
         "c_conformance_distributed_exception",
         "c_conformance_regular_parallelism",
-        "c_conformance_regular_merged"),
+        "c_conformance_regular_merged",
+        "c_conformance_distributed_lenient",
+        "c_conformance_distributed_ignore_trim",
+        "c_conformance_unixtime_functions"),
     "29 Batch schema variant + runtime-mode BATCH" ->
       Seq("c_schema_coerce", "c_conformance_batch_single_table",
         "c_conformance_batch_transform", "c_conformance_batch_multi_tables",
         "c_conformance_batch_transform_twice", "c_conformance_batch_merge_route",
-        "c_conformance_batch_transform_merge"),
+        "c_conformance_batch_transform_merge",
+        "c_conformance_batch_streaming_mode", "c_conformance_batch_multi_splits",
+        "c_conformance_batch_two_transform", "c_conformance_batch_optype_metadata",
+        "c_conformance_batch_route_one_to_one",
+        "c_conformance_batch_route_identical"),
     "30 PK-hash pre-partition" ->
       Seq("c_upsert"),
     "31 EventPartitioner / per-key ordered delivery" ->
@@ -137,9 +150,9 @@ object Coverage {
     "40 String fns (incl. SUBSTR/SUBSTRING edges)" ->
       Seq("t_projection", "t_json_path", "c_conformance_string_functions",
         "c_conformance_substring_functions"),
-    "41 Temporal fns (epoch-bound tz-aware NOW family, SDF DATE_FORMAT)" ->
+    "41 Temporal fns (epoch-bound tz-aware NOW family, SDF DATE_FORMAT, FROM_UNIXTIME/UNIX_TIMESTAMP)" ->
       Seq("t_temporal", "t_timestamp_tz", "c_conformance_temporal_functions",
-        "c_conformance_timestamp_formats"),
+        "c_conformance_timestamp_formats", "c_conformance_unixtime_functions"),
     "42 Conditional (CASE, COALESCE, IF, NULLIF)" ->
       Seq("t_conditional", "c_conformance_conditional_functions"),
     "43 CAST matrix (ANSI overflow)" ->
@@ -203,7 +216,26 @@ object Coverage {
         "c_conformance_distributed_ignore",
         "c_conformance_distributed_exception",
         "c_conformance_regular_parallelism",
-        "c_conformance_regular_merged"),
+        "c_conformance_regular_merged",
+        "c_conformance_distributed_lenient",
+        "c_conformance_distributed_ignore_trim",
+        // round 16: UdfITCase completion
+        "c_conformance_complicated_udf", "c_conformance_transform_model",
+        // round 16: fine-grained sink-supported types + tolerant coercion
+        "c_conformance_fine_grained", "c_conformance_lenient_evolves",
+        "c_conformance_lenient_tweaks",
+        // round 16: unicode + error-path + metadata-surface gates
+        "c_conformance_unicode_projection", "c_conformance_unicode_filter",
+        "c_conformance_unicode_matrix", "c_conformance_transform_error_message",
+        "c_conformance_metadata_info_unchanged",
+        "c_conformance_explicit_pk_nullable",
+        // round 16: batch composer breadth
+        "c_conformance_batch_streaming_mode",
+        "c_conformance_batch_multi_splits",
+        "c_conformance_batch_two_transform",
+        "c_conformance_batch_optype_metadata",
+        "c_conformance_batch_route_one_to_one",
+        "c_conformance_batch_route_identical"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

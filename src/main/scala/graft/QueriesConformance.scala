@@ -1101,6 +1101,334 @@ object QueriesConformance {
       }
     }),
 
+    // SchemaEvolveTest.testFineGrainedSchemaEvolves:1451 — EVOLVE with a
+    // sink that only SUPPORTS {CREATE_TABLE, ADD_COLUMN, RENAME_COLUMN}:
+    // supported changes evolve, unsupported ALTER/DROP are silently
+    // filtered, and later data written under the altered source shape
+    // coerces back TOLERANTLY — FLOAT age into the kept SMALLINT column and
+    // BIGINT sukoa into the kept INT column are REFUSED and NULLED
+    // (`SchemaMergingUtils.coerceObject:616`, toleranceMode), never
+    // truncating-cast.
+    "c_conformance_fine_grained" -> ((s, _) => {
+      val t = TableId.parse("default_schema.customers")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> ShortType)("id"), Seq.empty)
+      val id = freshId("finegrain")
+      registered(id -> src) {
+        val db = runPipelineR(s, Seq(id -> src), "EVOLVE",
+          sinkExtra = "  include.schema.changes: create.table,add.column,rename.column") {
+          (_, drain) =>
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 2, "name" -> "Bob", "age" -> 18.toShort)))
+            src.append(DataChangeEvent.insert(t,
+              Map("id" -> 3, "name" -> "Carol", "age" -> 19.toShort)))
+            drain()
+            src.appendDdl(AddColumnEvent(t, Seq(
+              AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT(),
+                comment = Some("Score data")),
+              AddColumnEvent.ColumnWithPosition("height", CdcTypes.DoubleT(),
+                comment = Some("Height data")))))
+            drain()
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 4, "name" -> "Derrida", "age" -> 20.toShort,
+              "score" -> 100, "height" -> 173.25)))
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 5, "name" -> "Eve", "age" -> 21.toShort,
+              "score" -> 97, "height" -> 160.0)))
+            drain()
+            src.appendDdl(RenameColumnEvent(t,
+              Map("name" -> "namae", "score" -> "sukoa")))
+            drain()
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 6, "namae" -> "Fiona", "age" -> 22.toShort,
+              "sukoa" -> 100, "height" -> 173.25)))
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 7, "namae" -> "Gloria", "age" -> 23.toShort,
+              "sukoa" -> 97, "height" -> 160.0)))
+            drain()
+            // unsupported by the sink: filtered, leaves NO trace
+            src.appendDdl(AlterColumnTypeEvent(t,
+              Map("sukoa" -> CdcTypes.BigIntT(), "age" -> CdcTypes.FloatT())))
+            drain()
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 8, "namae" -> "Helen", "age" -> 22.0f,
+              "sukoa" -> 100L, "height" -> 173.25)))
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 9, "namae" -> "Iva", "age" -> 23.0f,
+              "sukoa" -> 97L, "height" -> 160.0)))
+            drain()
+            src.appendDdl(DropColumnEvent(t, Seq("sukoa", "height")))
+            drain()
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 12, "namae" -> "Jane", "age" -> 11.0f)))
+            src.append(DataChangeEvent.insert(t, Map(
+              "id" -> 13, "namae" -> "Kryo", "age" -> 23.0f)))
+        }
+        // sink DDL: only the SUPPORTED types ever reached it
+        requireDdlSequence(db, t, Seq(
+          "create:id,name,age",
+          "add:score,height",
+          "rename:name->namae,score->sukoa"))
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.columnNames == Seq("id", "namae", "age", "sukoa", "height") &&
+          sch.struct("age").dataType == ShortType &&
+          sch.struct("sukoa").dataType == IntegerType,
+          s"sink must keep SMALLINT age / INT sukoa (schemaV5E), got $sch")
+        // the full stream: rows 8/9 NULL the refused FLOAT->SMALLINT and
+        // BIGINT->INT cells; rows 12/13 null-pad the kept columns
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age",
+          "before=[], after=[1, Alice, 17], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 18], op=INSERT, meta=()",
+          "before=[], after=[3, Carol, 19], op=INSERT, meta=()",
+          "add:score,height",
+          "before=[], after=[4, Derrida, 20, 100, 173.25], op=INSERT, meta=()",
+          "before=[], after=[5, Eve, 21, 97, 160.0], op=INSERT, meta=()",
+          "rename:name->namae,score->sukoa",
+          "before=[], after=[6, Fiona, 22, 100, 173.25], op=INSERT, meta=()",
+          "before=[], after=[7, Gloria, 23, 97, 160.0], op=INSERT, meta=()",
+          "before=[], after=[8, Helen, null, null, 173.25], op=INSERT, meta=()",
+          "before=[], after=[9, Iva, null, null, 160.0], op=INSERT, meta=()",
+          "before=[], after=[12, Jane, null, null, null], op=INSERT, meta=()",
+          "before=[], after=[13, Kryo, null, null, null], op=INSERT, meta=()"))
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // PostTransformOperatorTest.testFromUnixTimeTransform:~940,
+    // .testUnixTimestampTransformInBerlin:1010 / InShanghai:1130:
+    // FROM_UNIXTIME renders the epoch SECOND through SimpleDateFormat in
+    // the PIPELINE zone; UNIX_TIMESTAMP parses in the PIPELINE zone with
+    // SDF prefix semantics (trailing text ignored), an explicit offset in
+    // the PATTERN overrides the zone, and a parse failure returns the
+    // Long.MIN_VALUE sentinel — all pinned across UTC/Berlin/Shanghai.
+    "c_conformance_unixtime_functions" -> ((s, _) => {
+      import s.implicits._
+      def run(zone: String, rows: Seq[(Int, Long, String, String)]): Seq[Row] = {
+        val t = TableId.parse("default_schema.tstable")
+        val src = new ScriptedChangeSource(t,
+          schemaOf("id" -> IntegerType, "secs" -> LongType,
+            "dts" -> Str, "fmt" -> Str)("id"), Seq.empty)
+        val id = freshId(s"unixts-${zone.replaceAll("[^A-Za-z]", "")}")
+        registered(id -> src) {
+          val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+            extraYaml =
+              """transform:
+                |  - source-table: default_schema.tstable
+                |    projection: "id, FROM_UNIXTIME(secs) AS fut, FROM_UNIXTIME(secs, 'yyyy/MM/dd HH-mm-ss') AS futf, UNIX_TIMESTAMP(dts) AS uts, UNIX_TIMESTAMP(dts, fmt) AS utsf"""".stripMargin,
+            pipelineExtra = s"  local-time-zone: $zone") { _ =>
+            rows.foreach { case (i, secs, dts, fmt) =>
+              src.append(DataChangeEvent.insert(t,
+                Map("id" -> i, "secs" -> secs, "dts" -> dts, "fmt" -> fmt)))
+            }
+          }
+          stateDf(s, db, t).collect().toSeq.map(r =>
+            Row(zone, r.getInt(0), r.getString(1), r.getString(2),
+              r.getLong(3), r.getLong(4)))
+        }
+      }
+      val rows =
+        run("UTC", Seq(
+          (1, 0L, "1970-01-01 00:00:44", "yyyy-MM-dd HH:mm:ss"),
+          (2, 44L, "bogus", "yyyy-MM-dd"))) ++
+        run("Europe/Berlin", Seq(
+          (1, 44L, "1970-01-01 08:00:01.001", "yyyy-MM-dd HH:mm:ss.SSS"),
+          (2, 0L, "1970-01-01 08:00:01.001 +0800", "yyyy-MM-dd HH:mm:ss.SSS X"))) ++
+        run("Asia/Shanghai", Seq(
+          (1, 44L, "1970-01-01 08:00:01.001", "yyyy-MM-dd HH:mm:ss.SSS"),
+          (2, 0L, "1970-01-01 08:00:01.001 +0100", "yyyy-MM-dd HH:mm:ss.SSS X"),
+          (3, 0L, "1970-01-01 08:00:01.001", "yyyy-MM-dd HH:mm:ss.SSS X")))
+      s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("zone", StringType), StructField("id", IntegerType),
+          StructField("fut", StringType), StructField("futf", StringType),
+          StructField("uts", LongType), StructField("utsf", LongType))))
+        .orderBy("zone", "id")
+    }),
+
+    // SchemaEvolveTest.testLenientSchemaEvolves:1785-2184 — LENIENT over a
+    // source with a NOT-NULL column: a rename of {name NOT NULL, age}
+    // derives ADD(namae, toshi) PLUS AlterColumnType(name -> nullable
+    // STRING) (`SchemaDerivator.lenientizeRenameColumnEvent:223` — the old
+    // name's future values are null and a NOT-NULL sink column would
+    // reject them); a later ALTER of renamed columns passes through; the
+    // lenient DROP leaves already-nullable columns untouched. Evolved
+    // schema = schemaV5E (7 columns, name nullable).
+    "c_conformance_lenient_evolves" -> ((s, _) => {
+      val t = TableId.parse("default_schema.customers")
+      val src = new ScriptedChangeSource(t,
+        TableSchema(
+          StructType(Seq(
+            StructField("id", IntegerType),
+            StructField("name", Str, nullable = false),
+            StructField("age", ShortType))),
+          primaryKeys = Seq("id")), Seq.empty)
+      val id = freshId("lenevo")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT") { drain =>
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 1, "name" -> "Alice", "age" -> 17.toShort)))
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 2, "name" -> "Bob", "age" -> 18.toShort)))
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 3, "name" -> "Carol", "age" -> 19.toShort)))
+          drain()
+          src.appendDdl(AddColumnEvent(t, Seq(
+            AddColumnEvent.ColumnWithPosition("score", CdcTypes.IntT(),
+              comment = Some("Score data")),
+            AddColumnEvent.ColumnWithPosition("height", CdcTypes.DoubleT(),
+              comment = Some("Height data")))))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 4, "name" -> "Derrida", "age" -> 20.toShort,
+            "score" -> 100, "height" -> 173.25)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 5, "name" -> "Eve", "age" -> 21.toShort,
+            "score" -> 97, "height" -> 160.0)))
+          drain()
+          src.appendDdl(RenameColumnEvent(t, Map("name" -> "namae", "age" -> "toshi")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 6, "namae" -> "Fiona", "toshi" -> 22.toShort,
+            "score" -> 100, "height" -> 173.25)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 7, "namae" -> "Gloria", "toshi" -> 23.toShort,
+            "score" -> 97, "height" -> 160.0)))
+          drain()
+          src.appendDdl(AlterColumnTypeEvent(t,
+            Map("score" -> CdcTypes.BigIntT(), "toshi" -> CdcTypes.FloatT())))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 8, "namae" -> "Helen", "toshi" -> 22.0f,
+            "score" -> 100L, "height" -> 173.25)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 9, "namae" -> "Iva", "toshi" -> 23.0f,
+            "score" -> 97L, "height" -> 160.0)))
+          drain()
+          src.appendDdl(DropColumnEvent(t, Seq("score", "height")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 12, "namae" -> "Jane", "toshi" -> 11.0f)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 13, "namae" -> "Kryo", "toshi" -> 23.0f)))
+        }
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age",
+          "before=[], after=[1, Alice, 17], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 18], op=INSERT, meta=()",
+          "before=[], after=[3, Carol, 19], op=INSERT, meta=()",
+          "add:score,height",
+          "before=[], after=[4, Derrida, 20, 100, 173.25], op=INSERT, meta=()",
+          "before=[], after=[5, Eve, 21, 97, 160.0], op=INSERT, meta=()",
+          "add:namae,toshi",
+          "alter:name->string",
+          "before=[], after=[6, null, null, 100, 173.25, Fiona, 22], op=INSERT, meta=()",
+          "before=[], after=[7, null, null, 97, 160.0, Gloria, 23], op=INSERT, meta=()",
+          "alter:score->bigint,toshi->float",
+          "before=[], after=[8, null, null, 100, 173.25, Helen, 22.0], op=INSERT, meta=()",
+          "before=[], after=[9, null, null, 97, 160.0, Iva, 23.0], op=INSERT, meta=()",
+          "before=[], after=[12, null, null, null, null, Jane, 11.0], op=INSERT, meta=()",
+          "before=[], after=[13, null, null, null, null, Kryo, 23.0], op=INSERT, meta=()"))
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.columnNames ==
+          Seq("id", "name", "age", "score", "height", "namae", "toshi"),
+          s"evolved shape per schemaV5E, got ${sch.columnNames}")
+        require(sch.struct("name").nullable,
+          "lenient rename must nullable-ize the NOT-NULL old column " +
+            s"(lenientizeRenameColumnEvent:240), got ${sch.struct("name")}")
+        require(sch.struct("score").dataType == LongType &&
+          sch.struct("toshi").dataType == FloatType,
+          s"alters of renamed/added columns pass through, got $sch")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // SchemaEvolveTest.testLenientEvolveTweaks:2185-2560 — the lenient
+    // tweak corners: DROPPING a NOT-NULL column derives ONLY the
+    // nullable-izing AlterColumnType (`lenientizeDropColumnEvent:259`);
+    // ADDING a NOT-NULL column mid-schema lands LAST and NULLABLE;
+    // RENAMING a NOT-NULL column derives ADD(new, nullable) + Alter(old ->
+    // nullable). Re-used pks (12/13) upsert-overwrite across stages.
+    "c_conformance_lenient_tweaks" -> ((s, _) => {
+      val t = TableId.parse("default_schema.customers")
+      val src = new ScriptedChangeSource(t,
+        TableSchema(
+          StructType(Seq(
+            StructField("id", IntegerType),
+            StructField("iina", IntegerType, nullable = false),
+            StructField("name", Str, nullable = false),
+            StructField("age", ShortType))),
+          primaryKeys = Seq("id")), Seq.empty)
+      val id = freshId("lentweak")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "LENIENT") { drain =>
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 1, "iina" -> 0, "name" -> "Alice", "age" -> 17.toShort)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 2, "iina" -> 0, "name" -> "Bob", "age" -> 18.toShort)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 3, "iina" -> 0, "name" -> "Carol", "age" -> 19.toShort)))
+          drain()
+          // drop a NOT-NULL column
+          src.appendDdl(DropColumnEvent(t, Seq("name")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 12, "iina" -> 0, "age" -> 11.toShort)))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 13, "iina" -> 0, "age" -> 23.toShort)))
+          drain()
+          // insert a nullable column MID-schema + a NOT-NULL column LAST
+          src.appendDdl(AddColumnEvent(t, Seq(
+            AddColumnEvent.ColumnWithPosition("nickname", CdcTypes.StringT(),
+              AddColumnEvent.After("id")),
+            AddColumnEvent.ColumnWithPosition("extra", CdcTypes.StringT(nullable = false)))))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 12, "nickname" -> "Alice", "iina" -> 0,
+            "age" -> 11.toShort, "extra" -> "ailisi")))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 13, "nickname" -> "Bob", "iina" -> 0,
+            "age" -> 23.toShort, "extra" -> "baobo")))
+          drain()
+          // rename a NOT-NULL column
+          src.appendDdl(RenameColumnEvent(t, Map("iina" -> "yina")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 41, "nickname" -> "Carol", "yina" -> 0,
+            "age" -> 11.toShort, "extra" -> "kaluo")))
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 42, "nickname" -> "Dorothy", "yina" -> 0,
+            "age" -> 11.toShort, "extra" -> "duoluoxi")))
+        }
+        requireEventSequence(db, t, Seq(
+          "create:id,iina,name,age",
+          "before=[], after=[1, 0, Alice, 17], op=INSERT, meta=()",
+          "before=[], after=[2, 0, Bob, 18], op=INSERT, meta=()",
+          "before=[], after=[3, 0, Carol, 19], op=INSERT, meta=()",
+          "alter:name->string",
+          "before=[], after=[12, 0, null, 11], op=INSERT, meta=()",
+          "before=[], after=[13, 0, null, 23], op=INSERT, meta=()",
+          "add:nickname,extra",
+          "before=[], after=[12, 0, null, 11, Alice, ailisi], op=INSERT, meta=()",
+          "before=[], after=[13, 0, null, 23, Bob, baobo], op=INSERT, meta=()",
+          "add:yina",
+          "alter:iina->int",
+          "before=[], after=[41, null, null, 11, Carol, kaluo, 0], op=INSERT, meta=()",
+          "before=[], after=[42, null, null, 11, Dorothy, duoluoxi, 0], op=INSERT, meta=()"))
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.columnNames ==
+          Seq("id", "iina", "name", "age", "nickname", "extra", "yina"),
+          s"evolved shape per schemaV4E, got ${sch.columnNames}")
+        require(sch.struct("name").nullable && sch.struct("iina").nullable &&
+          sch.struct("extra").nullable,
+          s"dropped/renamed NOT-NULL columns and lenient adds are nullable, got $sch")
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
     // SchemaEvolveTest.testEvolveSchemaWithFailure:1023 — the SAME refusal
     // under EVOLVE faults the pipeline instead of degrading.
     "c_conformance_evolve_failure" -> ((s, _) => {
@@ -1262,8 +1590,14 @@ object QueriesConformance {
     "c_conformance_batch_transform" -> ((s, _) => {
       implicit val spark: SparkSession = s
       val t = TableId.parse("default_schema.table1")
+      // the TRANSFORM_BATCH_TABLE fixture stamps op_ts per insert
+      // (ValuesDataSourceHelper:1034-1100); appended (not constructor) rows
+      // keep the stamped metadata for the bounded snapshot replay
       val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"),
-        Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k)))
+        Seq.empty)
+      Seq("1", "2", "3").foreach(k => src.append(
+        DataChangeEvent.insert(t, Map("col1" -> k, "col2" -> k))
+          .copy(meta = Map("op_ts" -> k))))
       val id = freshId("batch2")
       registered(id -> src) {
         val runner = new PipelineRunner(YamlPipelineParser.parse(
@@ -1272,6 +1606,7 @@ object QueriesConformance {
              |  sourceId: $id
              |sink:
              |  type: values
+             |  record.events: true
              |transform:
              |  - source-table: default_schema.table1
              |    projection: "*, concat(col1,'0') as col12"
@@ -1289,7 +1624,252 @@ object QueriesConformance {
             sch.partitionKeys == Seq("col12") &&
             sch.options.get("key1").contains("value1")),
           s"batch transform shape per ITCase:392, got ${db.schemaOf(t)}")
+        // the reference's full batch event stream (:399-404): key 3 filtered,
+        // op_ts metadata riding the bounded replay
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2,col12",
+          "before=[], after=[1, 1, 10], op=INSERT, meta=({op_ts=1})",
+          "before=[], after=[2, 2, 20], op=INSERT, meta=({op_ts=2})"))
         stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testSingleSplitSingleTableInStreamingMode
+    // :126-180: the BOUNDED batch fixture through the STREAMING runtime —
+    // mode orthogonality: the same 3-insert event set produces the identical
+    // event stream whether executed bounded or micro-batch.
+    "c_conformance_batch_streaming_mode" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("bstream")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE") { _ =>
+          Seq("1", "2", "3").foreach(k => src.append(
+            DataChangeEvent.insert(t, Map("col1" -> k, "col2" -> k))))
+        }
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2",
+          "before=[], after=[1, 1], op=INSERT, meta=()",
+          "before=[], after=[2, 2], op=INSERT, meta=()",
+          "before=[], after=[3, 3], op=INSERT, meta=()"))
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testMultiSplitsSingleTableInBatchMode
+    // :302-345: one bounded table split into MULTIPLE chunks (parallelism 4,
+    // one split empty in the fixture) — every chunk's rows land exactly once.
+    "c_conformance_batch_multi_splits" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"),
+        (1 to 6).map(k => Map[String, Any]("col1" -> k.toString, "col2" -> k.toString)))
+      val id = freshId("bsplits")
+      registered(id -> src) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id
+             |  chunk.size: 2
+             |sink:
+             |  type: values
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch()
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        val rows = db.rowsOf(t)
+        require(rows.size == 6, s"all 6 rows across 3 chunks must land once, got ${rows.size}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testTwoTransformInBatchMode:406-557:
+    // two rules on DIFFERENT tables under BATCH — each sink create carries
+    // its own rule's appended literal column; full event streams asserted.
+    "c_conformance_batch_two_transform" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t1 = TableId.parse("default_schema.mytable1")
+      val t2 = TableId.parse("default_schema.mytable2")
+      val src1 = new ScriptedChangeSource(t1,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"),
+        Seq(
+          Map[String, Any]("id" -> 1, "name" -> "Alice", "age" -> 18),
+          Map[String, Any]("id" -> 2, "name" -> "Bob", "age" -> 20)))
+      val src2 = new ScriptedChangeSource(t2,
+        schemaOf("id" -> LongType, "name" -> Str, "description" -> Str)("id"),
+        Seq(
+          Map[String, Any]("id" -> 3L, "name" -> "Charlie", "description" -> "student"),
+          Map[String, Any]("id" -> 4L, "name" -> "Donald", "description" -> "student")))
+      val (id1, id2) = (freshId("btwo1"), freshId("btwo2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id1
+             |sink:
+             |  type: values
+             |  record.events: true
+             |transform:
+             |  - source-table: default_schema.mytable1
+             |    projection: "*,'last_name' as last_name"
+             |  - source-table: default_schema.mytable2
+             |    projection: "*,'new_address' as new_address"
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch(extraSourceIds = Seq(id2))
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        requireEventSequence(db, t1, Seq(
+          "create:id,name,age,last_name",
+          "before=[], after=[1, Alice, 18, last_name], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 20, last_name], op=INSERT, meta=()"))
+        requireEventSequence(db, t2, Seq(
+          "create:id,name,description,new_address",
+          "before=[], after=[3, Charlie, student, new_address], op=INSERT, meta=()",
+          "before=[], after=[4, Donald, student, new_address], op=INSERT, meta=()"))
+        import s.implicits._
+        (stateDf(s, db, t1).collect().toSeq.map(r =>
+          ("mytable1", r.getInt(0).toLong, r.getString(1), r.getString(3))) ++
+          stateDf(s, db, t2).collect().toSeq.map(r =>
+            ("mytable2", r.getLong(0), r.getString(1), r.getString(3))))
+          .toDF("tbl", "id", "name", "extra").orderBy("id")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testOpTypeMetadataColumnInBatchMode
+    // :560-616: `__data_event_type__ AS rk` renders +I for bounded inserts
+    // and the source-metadata column `op_ts AS opts` types BIGINT per the
+    // SupportedMetadataColumn contract (`OpTsMetadataColumn`) — both ride
+    // the batch STATIC create (partition keys + options intact).
+    "c_conformance_batch_optype_metadata" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"),
+        Seq.empty)
+      Seq("1", "2", "3").foreach(k => src.append(
+        DataChangeEvent.insert(t, Map("col1" -> k, "col2" -> k))
+          .copy(meta = Map("op_ts" -> k))))
+      val id = freshId("boptype")
+      registered(id -> src) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id
+             |sink:
+             |  type: values
+             |  record.events: true
+             |transform:
+             |  - source-table: default_schema.table1
+             |    projection: "*, concat(col1,'0') as col12, __data_event_type__ as rk, `op_ts` as opts"
+             |    filter: "col1 <> '3'"
+             |    primary-keys: col1
+             |    partition-keys: col12
+             |    table-options: key1=value1
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch()
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"sink table $t missing"))
+        require(sch.columnNames == Seq("col1", "col2", "col12", "rk", "opts") &&
+          sch.partitionKeys == Seq("col12") && sch.options.get("key1").contains("value1"),
+          s"batch optype shape per ITCase:611, got $sch")
+        require(sch.struct("opts").dataType == LongType,
+          s"opts must type BIGINT per OpTsMetadataColumn, got ${sch.struct("opts").dataType}")
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2,col12,rk,opts",
+          "before=[], after=[1, 1, 10, +I, 1], op=INSERT, meta=({op_ts=1})",
+          "before=[], after=[2, 2, 20, +I, 2], op=INSERT, meta=({op_ts=2})"))
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testOneToOneRoutingInBatchMode
+    // :685-757: two bounded tables each route to a RENAMED sink table; the
+    // routed creates and inserts are byte-identical minus the table id.
+    "c_conformance_batch_route_one_to_one" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val r1 = TableId.parse("default_schema.routed1")
+      val r2 = TableId.parse("default_schema.routed2")
+      val rows3 = Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k))
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), rows3)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), rows3)
+      val (id1, id2) = (freshId("broute1"), freshId("broute2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id1
+             |sink:
+             |  type: values
+             |  record.events: true
+             |route:
+             |  - source-table: default_schema.table1
+             |    sink-table: default_schema.routed1
+             |  - source-table: default_schema.table2
+             |    sink-table: default_schema.routed2
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch(extraSourceIds = Seq(id2))
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        Seq(r1, r2).foreach { t =>
+          requireEventSequence(db, t, Seq(
+            "create:col1,col2",
+            "before=[], after=[1, 1], op=INSERT, meta=()",
+            "before=[], after=[2, 2], op=INSERT, meta=()",
+            "before=[], after=[3, 3], op=INSERT, meta=()"))
+        }
+        import s.implicits._
+        (stateDf(s, db, r1).collect().toSeq.map(r => ("routed1", r.getString(0), r.getString(1))) ++
+          stateDf(s, db, r2).collect().toSeq.map(r => ("routed2", r.getString(0), r.getString(1))))
+          .toDF("tbl", "col1", "col2").orderBy("tbl", "col1")
+      }
+    }),
+
+    // FlinkPipelineBatchComposerITCase.testIdenticalOneToOneRoutingInBatchMode
+    // :758-830: routes whose sink id EQUALS the source id are per-table
+    // no-ops under BATCH — identical to the unrouted run.
+    "c_conformance_batch_route_identical" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      val t1 = TableId.parse("default_schema.table1")
+      val t2 = TableId.parse("default_schema.table2")
+      val rows3 = Seq("1", "2", "3").map(k => Map[String, Any]("col1" -> k, "col2" -> k))
+      val src1 = new ScriptedChangeSource(t1, schemaOf("col1" -> Str, "col2" -> Str)("col1"), rows3)
+      val src2 = new ScriptedChangeSource(t2, schemaOf("col1" -> Str, "col2" -> Str)("col1"), rows3)
+      val (id1, id2) = (freshId("bident1"), freshId("bident2"))
+      registered(id1 -> src1, id2 -> src2) {
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: $id1
+             |sink:
+             |  type: values
+             |  record.events: true
+             |route:
+             |  - source-table: default_schema.table1
+             |    sink-table: default_schema.table1
+             |  - source-table: default_schema.table2
+             |    sink-table: default_schema.table2
+             |pipeline:
+             |  execution.runtime-mode: BATCH
+             |""".stripMargin))
+        runner.runBatch(extraSourceIds = Seq(id2))
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
+        Seq(t1, t2).foreach { t =>
+          requireEventSequence(db, t, Seq(
+            "create:col1,col2",
+            "before=[], after=[1, 1], op=INSERT, meta=()",
+            "before=[], after=[2, 2], op=INSERT, meta=()",
+            "before=[], after=[3, 3], op=INSERT, meta=()"))
+        }
+        import s.implicits._
+        (stateDf(s, db, t1).collect().toSeq.map(r => ("table1", r.getString(0), r.getString(1))) ++
+          stateDf(s, db, t2).collect().toSeq.map(r => ("table2", r.getString(0), r.getString(1))))
+          .toDF("tbl", "col1", "col2").orderBy("tbl", "col1")
       }
     }),
 
@@ -1766,8 +2346,9 @@ object QueriesConformance {
     }),
 
     // FlinkParallelizedPipelineITCase
-    // .testDistributedTablesSourceIn{Single,Multiple}ParallelismWithIgnoreBehavior
-    // :410-455: under IGNORE the sink schema NEVER grows past the initial
+    // .testDistributedTablesSourceInSingleParallelismWithIgnoreBehavior:410 +
+    // .testDistributedTablesSourceInMultipleParallelismWithIgnoreBehavior
+    // :436-455: under IGNORE the sink schema NEVER grows past the initial
     // `id` column — every partition's adds are reduced, derived, and then
     // dropped by the behavior filter; data still lands, trimmed to `id`.
     "c_conformance_distributed_ignore" -> ((s, _) => {
@@ -1818,8 +2399,9 @@ object QueriesConformance {
     }),
 
     // FlinkParallelizedPipelineITCase
-    // .testDistributedTablesSourceIn{Single,Multiple}ParallelismWithExceptionBehavior
-    // :458-500: the FIRST reduced schema change faults the job with the
+    // .testDistributedTablesSourceInSingleParallelismWithExceptionBehavior:458
+    // + .testDistributedTablesSourceInMultipleParallelismWithExceptionBehavior
+    // :482-500: the FIRST reduced schema change faults the job with the
     // reference's exact message (`distributed/SchemaOperator.java:147`).
     "c_conformance_distributed_exception" -> ((s, _) => {
       val nParts = 2
@@ -1860,8 +2442,167 @@ object QueriesConformance {
       }
     }),
 
-    // FlinkParallelizedPipelineITCase.testRegularTablesSourceIn{Single,
-    // Multiple}Parallelism:505-725: REGULAR tables live in per-subtask
+    // distributed/SchemaEvolveTest.testLenientSchemaEvolution:62-222 — the
+    // DISTRIBUTED topology's LENIENT evolution through the real runner:
+    // positioned adds land LAST (the reduce appends new columns), a rename
+    // appears as ADD of the new name (old kept, later rows null it), an
+    // ALTER widens through the reduce, a column DROP is swallowed, and the
+    // TABLE-level TRUNCATE/DROP TABLE events reduce to NO diff — neither
+    // reaches the sink.
+    "c_conformance_distributed_lenient" -> ((s, _) => {
+      val t = TableId.parse("foo.bar.baz")
+      val src = new ScriptedChangeSource(t,
+        TableSchema(
+          StructType(Seq(
+            StructField("id", IntegerType, nullable = false),
+            StructField("name", Str),
+            StructField("age", FloatType),
+            StructField("notes", Str, nullable = false))),
+          primaryKeys = Seq("id")), Seq.empty)
+      val id = freshId("distlen")
+      registered(id -> src) {
+        val db = runDistributedPipeline(s, Seq(id -> src), "LENIENT") { drain =>
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 1, "name" -> "Alice", "age" -> 17.1828f, "notes" -> "Hello")))
+          drain()
+          src.appendDdl(AddColumnEvent(t, Seq(
+            AddColumnEvent.ColumnWithPosition("added_flag", CdcTypes.BooleanT(),
+              AddColumnEvent.After("id")))))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 2, "added_flag" -> false, "name" -> "Bob",
+            "age" -> 31.415926f, "notes" -> "Bye-bye")))
+          drain()
+          src.appendDdl(RenameColumnEvent(t, Map("notes" -> "footnotes")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 3, "added_flag" -> true, "name" -> "Cicada",
+            "age" -> 123.456f, "footnotes" -> "Ok")))
+          drain()
+          src.appendDdl(AlterColumnTypeEvent(t, Map("age" -> CdcTypes.DoubleT())))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 4, "added_flag" -> false, "name" -> "Derrida",
+            "age" -> 7.81876754837, "footnotes" -> "Nah")))
+          drain()
+          src.appendDdl(DropColumnEvent(t, Seq("footnotes")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 5, "added_flag" -> true, "name" -> "Eve", "age" -> 1.414)))
+          drain()
+          src.appendDdl(TruncateTableEvent(t))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 6, "added_flag" -> false, "name" -> "Ferris", "age" -> 0.001)))
+          drain()
+          src.appendDdl(DropTableEvent(t))
+        }
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age,notes",
+          "before=[], after=[1, Alice, 17.1828, Hello], op=INSERT, meta=()",
+          "add:added_flag",
+          "before=[], after=[2, Bob, 31.415926, Bye-bye, false], op=INSERT, meta=()",
+          "add:footnotes",
+          "before=[], after=[3, Cicada, 123.456, null, true, Ok], op=INSERT, meta=()",
+          "alter:age->double",
+          "before=[], after=[4, Derrida, 7.81876754837, null, false, Nah], op=INSERT, meta=()",
+          "before=[], after=[5, Eve, 1.414, null, true, null], op=INSERT, meta=()",
+          "before=[], after=[6, Ferris, 0.001, null, false, null], op=INSERT, meta=()"))
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.columnNames ==
+          Seq("id", "name", "age", "notes", "added_flag", "footnotes"),
+          s"distributed lenient shape, got ${sch.columnNames}")
+        require(sch.struct("age").dataType == DoubleType,
+          s"alter must widen age to DOUBLE, got ${sch.struct("age").dataType}")
+        import s.implicits._
+        stateDf(s, db, t).collect().toSeq.map(r =>
+          (r.getInt(0), r.getString(1), r.getDouble(2), r.getString(3),
+            if (r.isNullAt(4)) null.asInstanceOf[java.lang.Boolean]
+            else java.lang.Boolean.valueOf(r.getBoolean(4)),
+            r.getString(5)))
+          .toDF("id", "name", "age", "notes", "added_flag", "footnotes")
+          .orderBy("id")
+      }
+    }),
+
+    // distributed/SchemaEvolveTest.testIgnoreSchemaEvolution:225-334 — the
+    // SAME script under IGNORE: the sink schema never grows past the
+    // create; rows trim to the initial shape and the reduced-away column
+    // values NULL — including the post-ALTER DOUBLE age values, which the
+    // tolerant coercion REFUSES into the kept FLOAT column (row 4+ age
+    // null, per the ITCase's `genInsert(..., "ISFS", 4, "Derrida", null,
+    // null)`). The EXCEPTION twin (testExceptionSchemaEvolution:336) rides
+    // [[c_conformance_distributed_exception]].
+    "c_conformance_distributed_ignore_trim" -> ((s, _) => {
+      val t = TableId.parse("foo.bar.baz")
+      val src = new ScriptedChangeSource(t,
+        TableSchema(
+          StructType(Seq(
+            StructField("id", IntegerType, nullable = false),
+            StructField("name", Str),
+            StructField("age", FloatType),
+            StructField("notes", Str, nullable = false))),
+          primaryKeys = Seq("id")), Seq.empty)
+      val id = freshId("distigtrim")
+      registered(id -> src) {
+        val db = runDistributedPipeline(s, Seq(id -> src), "IGNORE") { drain =>
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 1, "name" -> "Alice", "age" -> 17.1828f, "notes" -> "Hello")))
+          drain()
+          src.appendDdl(AddColumnEvent(t, Seq(
+            AddColumnEvent.ColumnWithPosition("added_flag", CdcTypes.BooleanT(),
+              AddColumnEvent.After("id")))))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 2, "added_flag" -> false, "name" -> "Bob",
+            "age" -> 31.415926f, "notes" -> "Bye-bye")))
+          drain()
+          src.appendDdl(RenameColumnEvent(t, Map("notes" -> "footnotes")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 3, "added_flag" -> true, "name" -> "Cicada",
+            "age" -> 123.456f, "footnotes" -> "Ok")))
+          drain()
+          src.appendDdl(AlterColumnTypeEvent(t, Map("age" -> CdcTypes.DoubleT())))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 4, "added_flag" -> false, "name" -> "Derrida",
+            "age" -> 7.81876754837, "footnotes" -> "Nah")))
+          drain()
+          src.appendDdl(DropColumnEvent(t, Seq("footnotes")))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 5, "added_flag" -> true, "name" -> "Eve", "age" -> 1.414)))
+          drain()
+          src.appendDdl(TruncateTableEvent(t))
+          drain()
+          src.append(DataChangeEvent.insert(t, Map(
+            "id" -> 6, "added_flag" -> false, "name" -> "Ferris", "age" -> 0.001)))
+          drain()
+          src.appendDdl(DropTableEvent(t))
+        }
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age,notes",
+          "before=[], after=[1, Alice, 17.1828, Hello], op=INSERT, meta=()",
+          "before=[], after=[2, Bob, 31.415926, Bye-bye], op=INSERT, meta=()",
+          "before=[], after=[3, Cicada, 123.456, null], op=INSERT, meta=()",
+          "before=[], after=[4, Derrida, null, null], op=INSERT, meta=()",
+          "before=[], after=[5, Eve, null, null], op=INSERT, meta=()",
+          "before=[], after=[6, Ferris, null, null], op=INSERT, meta=()"))
+        require(db.schemaOf(t).exists(_.columnNames == Seq("id", "name", "age", "notes")),
+          s"IGNORE keeps the initial shape, got ${db.schemaOf(t).map(_.columnNames)}")
+        import s.implicits._
+        stateDf(s, db, t).collect().toSeq.map(r =>
+          (r.getInt(0), r.getString(1),
+            if (r.isNullAt(2)) null.asInstanceOf[java.lang.Float]
+            else java.lang.Float.valueOf(r.getFloat(2)),
+            r.getString(3)))
+          .toDF("id", "name", "age", "notes").orderBy("id")
+      }
+    }),
+
+    // FlinkParallelizedPipelineITCase.testRegularTablesSourceInSingleParallelism
+    // :505 + .testRegularTablesSourceInMultipleParallelism:574-725: REGULAR tables live in per-subtask
     // namespaces (`default_namespace_subtask_<k>`), so no reduce is needed —
     // each partition's table evolves independently through the standard
     // park/evolve/ack loop at parallelism 2. Asserts each table's pinned
@@ -1919,8 +2660,9 @@ object QueriesConformance {
       }
     }),
 
-    // FlinkParallelizedPipelineITCase.testRegularTablesSourceMergedIn
-    // SingleParallelism:708-775 (+ the @Disabled multi twin :778): the
+    // FlinkParallelizedPipelineITCase.testRegularTablesSourceMergedInSingleParallelism
+    // :708-775 (+ the @Disabled .testRegularTablesSourceMergedInMultipleParallelism
+    // twin :778): the
     // MERGING trait routes every per-subtask table into ONE sink table
     // (`default_namespace_subtask_\d.… -> default_namespace.…`), so the
     // sink's schema is the least-common UNION of the partitions' shapes —
@@ -2567,6 +3309,98 @@ object QueriesConformance {
       }
     }),
 
+    // FlinkPipelineUdfITCase.testComplicatedFlinkUdf:764-839: THREE
+    // ScalarFunction-shaped UDFs in one projection — NESTED calls
+    // (`addone(addone(col1))`), an int-literal dispatch (`typeof(42)` picks
+    // the Integer overload), and the VARIADIC format with a mixed
+    // String/int argument list — over the full TRANSFORM_TABLE evolution.
+    "c_conformance_complicated_udf" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("cudf")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.table1
+              |    projection: "*, addone(addone(col1)) as inccol, typeof(42) as typ, format('%s-%d', col1, 42) as fmt"
+              |    primary-keys: col1
+              |    table-options: key1=value1
+              |user-defined-function:
+              |  - name: addone
+              |    classpath: graft.functions.udfexamples.flinkshaped.AddOneFunctionClass
+              |  - name: typeof
+              |    classpath: graft.functions.udfexamples.flinkshaped.TypeOfFunctionClass
+              |  - name: format
+              |    classpath: graft.functions.udfexamples.flinkshaped.FormatFunctionClass""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain, opTs = true)
+        }
+        // full event sequence (ITCase :828-838)
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2,inccol,typ,fmt",
+          "before=[], after=[1, 1, 3, Integer: 42, 1-42], op=INSERT, meta=({op_ts=1})",
+          "before=[], after=[2, 2, 4, Integer: 42, 2-42], op=INSERT, meta=({op_ts=2})",
+          "before=[], after=[3, 3, 5, Integer: 42, 3-42], op=INSERT, meta=({op_ts=3})",
+          "add:col3 AFTER col2",
+          "rename:col2->newCol2,col3->newCol3",
+          "drop:newCol2",
+          "before=[1, 1, 3, Integer: 42, 1-42], after=[], op=DELETE, meta=({op_ts=4})",
+          "before=[2, , 4, Integer: 42, 2-42], after=[2, x, 4, Integer: 42, 2-42], " +
+            "op=UPDATE, meta=({op_ts=5})"))
+        require(db.schemaOf(t).exists(_.options.get("key1").contains("value1")),
+          s"table-options must reach the sink, got ${db.schemaOf(t).map(_.options)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
+    // FlinkPipelineUdfITCase.testTransformWithModel:844-908: a YAML
+    // `model:` entry (`model-name: CHAT`, `class-name: OpenAIChatModel`,
+    // openai.* options) makes `CHAT(col1)` a chat completion inside the
+    // projection — served here by the loopback OpenAI-protocol double
+    // speaking the genuine wire format (the reference's @Disabled note is
+    // quota, not semantics; the deterministic double pins the full stream
+    // where the reference could only pin hasSize(9)).
+    "c_conformance_transform_model" -> ((s, _) => {
+      val t = TableId.parse("default_schema.table1")
+      val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
+      val id = freshId("tmodel")
+      val ep = graft.functions.MockModelServer.endpoint("gpt-4o-mini")
+      def chat(v: String) = graft.functions.ModelFunctions.deterministicChat("gpt-4o-mini", v)
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            s"""transform:
+               |  - source-table: default_schema.table1
+               |    projection: "*, CHAT(col1) AS emb"
+               |    primary-keys: col1
+               |    table-options: key1=value1
+               |model:
+               |  - model-name: CHAT
+               |    class-name: OpenAIChatModel
+               |    openai.model: gpt-4o-mini
+               |    openai.host: ${ep.baseUrl}
+               |    openai.apikey: ${ep.apiKey.get}""".stripMargin) { drain =>
+          scriptSingleTable(src, t, drain, opTs = true)
+        }
+        // the reference asserts the create line + hasSize(9); the
+        // deterministic double lets the remaining 8 lines pin exactly
+        requireEventSequence(db, t, Seq(
+          "create:col1,col2,emb",
+          s"before=[], after=[1, 1, ${chat("1")}], op=INSERT, meta=({op_ts=1})",
+          s"before=[], after=[2, 2, ${chat("2")}], op=INSERT, meta=({op_ts=2})",
+          s"before=[], after=[3, 3, ${chat("3")}], op=INSERT, meta=({op_ts=3})",
+          "add:col3 AFTER col2",
+          "rename:col2->newCol2,col3->newCol3",
+          "drop:newCol2",
+          s"before=[1, 1, ${chat("1")}], after=[], op=DELETE, meta=({op_ts=4})",
+          s"before=[2, , ${chat("2")}], after=[2, x, ${chat("2")}], " +
+            "op=UPDATE, meta=({op_ts=5})"))
+        require(db.schemaOf(t).exists(_.options.get("key1").contains("value1")),
+          s"table-options must reach the sink, got ${db.schemaOf(t).map(_.options)}")
+        stateDf(s, db, t).orderBy("col1")
+      }
+    }),
+
     // FlinkPipelineUdfITCase.testFilterWithFlinkUdf:626: the ScalarFunction-
     // shaped addone (two typed overloads) referenced by projection AND
     // filter.
@@ -2918,8 +3752,9 @@ object QueriesConformance {
         .toDF("tbl", "id", "name", "age", "description").orderBy("id")
     }),
 
-    // FlinkPipelineTransformITCase.testMultiTransformSchemaColumnsCompatibility
-    // WithNullProjection/WithEmptyProjection:391-467: an identity rule
+    // FlinkPipelineTransformITCase
+    // .testMultiTransformSchemaColumnsCompatibilityWithNullProjection:391 +
+    // .testMultiTransformSchemaColumnsCompatibilityWithEmptyProjection:431-467: an identity rule
     // (null or "" projection) stacked with a PARTIAL projection
     // (`id,UPPER(name) AS name`) cannot merge — the column-name views
     // differ (4 columns vs 2) and composition must fail loudly, never
@@ -3053,6 +3888,254 @@ object QueriesConformance {
           .withColumn("really_big_decimal", col("really_big_decimal").cast("string"))
           .orderBy("id")
       }
+    }),
+
+    // FlinkPipelineTransformITCase.testMetadataInfoWithoutChangingSchema
+    // :566-590: a transform block with NEITHER projection NOR filter — only
+    // pk/partition/options overrides — leaves every data image untouched
+    // while the creates carry the overridden metadata.
+    "c_conformance_metadata_info_unchanged" -> ((s, _) => {
+      val (db, t1, t2) = runTwoTableTransform(s, "metaonly",
+        """transform:
+          |  - source-table: default_schema.mytable\.*
+          |    primary-keys: id,name
+          |    partition-keys: id
+          |    table-options: replication_num=1,bucket=17""".stripMargin)
+      requireEventSequence(db, t1, Seq(
+        "create:id,name,age",
+        "before=[], after=[1, Alice, 18], op=INSERT, meta=()",
+        "before=[], after=[2, Bob, 20], op=INSERT, meta=()",
+        "before=[2, Bob, 20], after=[2, Bob, 30], op=UPDATE, meta=()"))
+      requireEventSequence(db, t2, Seq(
+        "create:id,name,age,description",
+        "before=[], after=[3, Carol, 15, student], op=INSERT, meta=()",
+        "before=[], after=[4, Derrida, 25, student], op=INSERT, meta=()",
+        "before=[4, Derrida, 25, student], after=[], op=DELETE, meta=()"))
+      Seq(t1, t2).foreach { t =>
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.primaryKeys == Seq("id", "name") &&
+          sch.partitionKeys == Seq("id") &&
+          sch.options.get("replication_num").contains("1") &&
+          sch.options.get("bucket").contains("17"),
+          s"metadata-info overrides must reach $t, got $sch")
+      }
+      import s.implicits._
+      val a = stateDf(s, db, t1).collect().toSeq.map(r =>
+        ("mytable1", r.getInt(0).toLong, r.getString(1), r.getInt(2), null: String))
+      val b = stateDf(s, db, t2).collect().toSeq.map(r =>
+        ("mytable2", r.getLong(0), r.getString(1), r.getByte(2).toInt, r.getString(3)))
+      (a ++ b).toDF("tbl", "id", "name", "age", "description").orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testExplicitPrimaryKeyWithNullable
+    // :1981-2073: an explicit pk override onto a NULLABLE column (`name`)
+    // plus partition keys `id,name`, through the full five-stage evolution —
+    // the override does NOT rewrite images or force NOT NULL, and the sink
+    // materializes BY NAME (pk-changing updates follow update-is-insert,
+    // ValuesDatabase.java:382 — both Cecily and Colin survive the update).
+    "c_conformance_explicit_pk_nullable" -> ((s, _) => {
+      val t = TableId.parse("default_schema.mytable1")
+      val src = new ScriptedChangeSource(t,
+        schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+      val id = freshId("pknull")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.mytable1
+              |    primary-keys: name
+              |    partition-keys: id,name""".stripMargin) { drain =>
+          scriptSchemaEvolution(src, t, drain)
+        }
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(sch.primaryKeys == Seq("name") && sch.partitionKeys == Seq("id", "name"),
+          s"explicit nullable pk must override, got $sch")
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age",
+          "before=[], after=[1, Alice, 21], op=INSERT, meta=()",
+          "before=[], after=[2, Barcarolle, 22], op=INSERT, meta=()",
+          "before=[], after=[3, Cecily, 23], op=INSERT, meta=()",
+          "before=[3, Cecily, 23], after=[3, Colin, 24], op=UPDATE, meta=()",
+          "before=[2, Barcarolle, 22], after=[], op=DELETE, meta=()",
+          "add:rank BEFORE id,gender AFTER age",
+          "before=[], after=[1st, 4, Derrida, 24, 0], op=INSERT, meta=()",
+          "before=[], after=[2nd, 5, Eve, 25, 1], op=INSERT, meta=()",
+          "before=[2nd, 5, Eve, 25, 1], after=[2nd, 5, Eva, 20, 2], op=UPDATE, meta=()",
+          "before=[], after=[3rd, 6, Fiona, 26, 3], op=INSERT, meta=()",
+          "before=[3rd, 6, Fiona, 26, 3], after=[], op=DELETE, meta=()",
+          "alter:age->double,gender->int,name->string",
+          "before=[], after=[4th, 7, Gem, 19.0, -1], op=INSERT, meta=()",
+          "before=[], after=[5th, 8, Helen, 18.0, -2], op=INSERT, meta=()",
+          "before=[5th, 8, Helen, 18.0, -2], after=[5th, 8, Harry, 18.0, -3], op=UPDATE, meta=()",
+          "before=[], after=[6th, 9, IINA, 17.0, 0], op=INSERT, meta=()",
+          "before=[6th, 9, IINA, 17.0, 0], after=[], op=DELETE, meta=()",
+          "rename:age->toshi,gender->biological_sex",
+          "before=[], after=[7th, 10, Julia, 24.0, 1], op=INSERT, meta=()",
+          "before=[], after=[8th, 11, Kalle, 23.0, 0], op=INSERT, meta=()",
+          "before=[8th, 11, Kalle, 23.0, 0], after=[8th, 11, Kella, 18.0, 0], op=UPDATE, meta=()",
+          "before=[], after=[9th, 12, Lynx, 17.0, 0], op=INSERT, meta=()",
+          "before=[9th, 12, Lynx, 17.0, 0], after=[], op=DELETE, meta=()",
+          "drop:biological_sex,toshi",
+          "before=[], after=[10th, 13, Munroe], op=INSERT, meta=()",
+          "before=[], after=[11th, 14, Neko], op=INSERT, meta=()",
+          "before=[11th, 14, Neko], after=[11th, 14, Nein], op=UPDATE, meta=()",
+          "before=[], after=[12th, 15, Oops], op=INSERT, meta=()",
+          "before=[12th, 15, Oops], after=[], op=DELETE, meta=()"))
+        stateDf(s, db, t).orderBy("name")
+      }
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformProjectionWithUnicodeCharacters
+    // :2817-2851: non-ASCII literals survive the whole YAML → dialect →
+    // Catalyst → envelope → sink path byte-identically, composed into
+    // computed columns BEFORE and AFTER the wildcard. A representative
+    // subset runs the reference's per-string pipeline loop (ASCII-punct,
+    // CJK, RTL); the full 12-string matrix rides
+    // [[c_conformance_unicode_matrix]] in one run.
+    "c_conformance_unicode_projection" -> ((s, _) => {
+      import s.implicits._
+      val rows = Seq("ascii test!?", "测试数据", "בבקשה").flatMap { u =>
+        val (db, t1, t2) = runTwoTableTransform(s, "uproj",
+          s"""transform:
+             |  - source-table: default_schema.mytable\\.*
+             |    projection: "'$u' || ' -> ' || id AS prefix, *, id || ' <- ' || '$u' AS suffix"
+             |    partition-keys: id""".stripMargin)
+        requireEventSequence(db, t1, Seq(
+          "create:prefix,id,name,age,suffix",
+          s"before=[], after=[$u -> 1, 1, Alice, 18, 1 <- $u], op=INSERT, meta=()",
+          s"before=[], after=[$u -> 2, 2, Bob, 20, 2 <- $u], op=INSERT, meta=()",
+          s"before=[$u -> 2, 2, Bob, 20, 2 <- $u], after=[$u -> 2, 2, Bob, 30, 2 <- $u], " +
+            "op=UPDATE, meta=()"))
+        requireEventSequence(db, t2, Seq(
+          "create:prefix,id,name,age,description,suffix",
+          s"before=[], after=[$u -> 3, 3, Carol, 15, student, 3 <- $u], op=INSERT, meta=()",
+          s"before=[], after=[$u -> 4, 4, Derrida, 25, student, 4 <- $u], op=INSERT, meta=()",
+          s"before=[$u -> 4, 4, Derrida, 25, student, 4 <- $u], after=[], op=DELETE, meta=()"))
+        stateDf(s, db, t1).collect().toSeq.map(r =>
+          (u, "mytable1", r.getInt(1).toLong, r.getString(0), r.getString(4))) ++
+          stateDf(s, db, t2).collect().toSeq.map(r =>
+            (u, "mytable2", r.getLong(1), r.getString(0), r.getString(5)))
+      }
+      rows.toDF("ustr", "tbl", "id", "prefix", "suffix").orderBy("ustr", "id")
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformFilterWithUnicodeCharacters
+    // :2854-2901: a unicode literal in the FILTER — equality keeps every row
+    // (the computed extras equals the literal), inequality drops them ALL
+    // (creates still reach the sink).
+    "c_conformance_unicode_filter" -> ((s, _) => {
+      import s.implicits._
+      val keep = Seq("ascii test!?", "测试数据", "בבקשה").flatMap { u =>
+        val (db, t1, t2) = runTwoTableTransform(s, "ufilt",
+          s"""transform:
+             |  - source-table: default_schema.mytable\\.*
+             |    projection: "*, '$u' AS extras"
+             |    filter: "extras = '$u'"
+             |    partition-keys: id""".stripMargin)
+        requireEventSequence(db, t1, Seq(
+          "create:id,name,age,extras",
+          s"before=[], after=[1, Alice, 18, $u], op=INSERT, meta=()",
+          s"before=[], after=[2, Bob, 20, $u], op=INSERT, meta=()",
+          s"before=[2, Bob, 20, $u], after=[2, Bob, 30, $u], op=UPDATE, meta=()"))
+        stateDf(s, db, t1).collect().toSeq.map(r =>
+          (u, "mytable1", r.getInt(0).toLong, r.getString(3))) ++
+          stateDf(s, db, t2).collect().toSeq.map(r =>
+            // mytable2 carries description before extras: (id, name, age,
+            // description, extras)
+            (u, "mytable2", r.getLong(0), r.getString(4)))
+      }
+      // inequality variant: both tables keep ONLY their create events
+      val u = "测试数据"
+      val (db, t1, t2) = runTwoTableTransform(s, "ufiltneg",
+        s"""transform:
+           |  - source-table: default_schema.mytable\\.*
+           |    projection: "*, '$u' AS extras"
+           |    filter: "extras <> '$u'"
+           |    partition-keys: id""".stripMargin)
+      requireEventSequence(db, t1, Seq("create:id,name,age,extras"))
+      requireEventSequence(db, t2, Seq("create:id,name,age,description,extras"))
+      keep.toDF("ustr", "tbl", "id", "extras").orderBy("ustr", "id")
+    }),
+
+    // The reference's full UNICODE_STRINGS matrix (:2800-2813) in ONE run:
+    // all 12 literals as computed columns through the same path, each
+    // asserted byte-identical at the sink.
+    "c_conformance_unicode_matrix" -> ((s, _) => {
+      val ustrs = Seq(
+        "ascii test!?", "大五", "测试数据", "ひびぴ", "죠주쥬", "ÀÆÉ",
+        "ÓÔŐÖ", "αβγδε", "בבקשה", "твой", "ภาษาไทย", "piedzimst brīvi")
+      val cols = ustrs.indices.map(i => s"u$i")
+      val proj = "*, " + ustrs.zip(cols).map { case (u, c) => s"'$u' AS $c" }.mkString(", ")
+      val (db, t1, _) = runTwoTableTransform(s, "umatrix",
+        s"""transform:
+           |  - source-table: default_schema.mytable1
+           |    projection: "$proj"""".stripMargin)
+      val us = ustrs.mkString(", ")
+      requireEventSequence(db, t1, Seq(
+        "create:id,name,age," + cols.mkString(","),
+        s"before=[], after=[1, Alice, 18, $us], op=INSERT, meta=()",
+        s"before=[], after=[2, Bob, 20, $us], op=INSERT, meta=()",
+        s"before=[2, Bob, 20, $us], after=[2, Bob, 30, $us], op=UPDATE, meta=()"))
+      stateDf(s, db, t1).orderBy("id")
+    }),
+
+    // FlinkPipelineTransformITCase.testTransformErrorMessage:2603-2738: the
+    // transform failure surfaces — unknown columns in projection/filter,
+    // a primary key missing from the projected shape (the reference's exact
+    // wording), a pk that never existed, and string arithmetic faulting at
+    // evaluation instead of silently nulling.
+    "c_conformance_transform_error_message" -> ((s, _) => {
+      def attempt(
+          tag: String, projection: Option[String], filter: Option[String],
+          pk: String): (String, Boolean, String) = {
+        val t = TableId.parse("default_schema.mytable1")
+        val src = new ScriptedChangeSource(t,
+          schemaOf("id" -> IntegerType, "name" -> Str, "age" -> IntegerType)("id"), Seq.empty)
+        val id = freshId(s"terr-$tag")
+        registered(id -> src) {
+          try {
+            runPipeline(s, Seq(id -> src), "EVOLVE",
+              extraYaml =
+                s"""transform:
+                   |  - source-table: default_schema.mytable1
+                   |${projection.map(p => s"    projection: \"$p\"\n").getOrElse("")}${
+                  filter.map(f => s"    filter: \"$f\"\n").getOrElse("")}    primary-keys: $pk""".stripMargin) { _ =>
+              src.append(DataChangeEvent.insert(t,
+                Map("id" -> 1, "name" -> "Alice", "age" -> 18)))
+            }
+            (tag, false, "")
+          } catch { case e: Throwable =>
+            (tag, true,
+              Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+                .map(c => String.valueOf(c.getMessage)).mkString(" | "))
+          }
+        }
+      }
+      val cases = Seq(
+        attempt("unknown_projection_column", Some("id1"), None, "id"),
+        attempt("unknown_filter_column", Some("*"), Some("id1 > 0"), "id"),
+        attempt("pk_not_in_projection", Some("name"), None, "id"),
+        attempt("string_arithmetic_projection", Some("id, name + 1 AS new_name"), None, "id"),
+        attempt("string_arithmetic_filter", Some("*"), Some("name + 1 > 0"), "id"),
+        attempt("pk_not_exist", Some("*"), None, "not_even_exist"))
+      cases.foreach { case (tag, faulted, msg) =>
+        require(faulted, s"$tag must fault, produced a running pipeline instead")
+        tag match {
+          case "unknown_projection_column" | "unknown_filter_column" =>
+            require(msg.contains("id1"), s"$tag must cite the unknown column, got $msg")
+          case "pk_not_in_projection" =>
+            require(msg.contains("Unable to find column \"id\" which is defined as primary key"),
+              s"$tag must carry the reference's wording, got $msg")
+          case "pk_not_exist" =>
+            require(msg.contains(
+              "Unable to find column \"not_even_exist\" which is defined as primary key"),
+              s"$tag must carry the reference's wording, got $msg")
+          case _ => // string arithmetic: faulting (not silent NULL) is the pin
+        }
+      }
+      import s.implicits._
+      cases.map { case (tag, faulted, _) => (tag, faulted) }
+        .toDF("err_case", "faulted").orderBy("err_case")
     }),
 
     // FlinkPipelineTransformITCase.testMetadataColumnWithWildcard:620-647:
@@ -3915,17 +4998,75 @@ object QueriesConformance {
         |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
     // degraded-not-faulted: adds landed, refused alter/drop left age
     // SMALLINT and height in place; post-refusal data coerced back
+    // rows 5/6 arrive AFTER the refused ALTER with INT-typed age values —
+    // the reference's tolerant coercion refuses INT into the sink's kept
+    // SMALLINT column and NULLS the cell (`coerceToShort:756` accepts only
+    // TINYINT; `coerceRow:271` tolerance mode), exactly like the
+    // `SMALLINT, null` rows of `SchemaEvolveTest.testTryEvolveSchemaWithFailure`
     "c_conformance_try_evolve_failure" ->
       """SELECT * FROM (VALUES
         |  (1, 'Alice', CAST(17 AS SMALLINT), CAST(NULL AS INT), CAST(NULL AS DOUBLE)),
         |  (2, 'Bob', 18, NULL, NULL),
         |  (3, 'Carol', 19, NULL, NULL),
         |  (4, 'Derrida', 20, 100, 173.25),
-        |  (5, 'Eve', 21, 97, 160.0),
-        |  (6, 'Fiona', 22, 95, NULL))
+        |  (5, 'Eve', NULL, 97, 160.0),
+        |  (6, 'Fiona', NULL, 95, NULL))
         |AS t(id, name, age, score, height) ORDER BY id""".stripMargin,
     "c_conformance_evolve_failure" ->
       "SELECT 'EVOLVE' AS behavior, true AS faulted",
+    "c_conformance_unixtime_functions" ->
+      """SELECT * FROM (VALUES
+        |  ('Asia/Shanghai', 1, '1970-01-01 08:00:44', '1970/01/01 08-00-44',
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('Asia/Shanghai', 2, '1970-01-01 08:00:00', '1970/01/01 08-00-00', 1, 25201),
+        |  ('Asia/Shanghai', 3, '1970-01-01 08:00:00', '1970/01/01 08-00-00', 1,
+        |   -9223372036854775808),
+        |  ('Europe/Berlin', 1, '1970-01-01 01:00:44', '1970/01/01 01-00-44', 25201, 25201),
+        |  ('Europe/Berlin', 2, '1970-01-01 01:00:00', '1970/01/01 01-00-00', 25201, 1),
+        |  ('UTC', 1, '1970-01-01 00:00:00', '1970/01/01 00-00-00', 44, 44),
+        |  ('UTC', 2, '1970-01-01 00:00:44', '1970/01/01 00-00-44',
+        |   -9223372036854775808, -9223372036854775808))
+        |AS t(zone, id, fut, futf, uts, utsf) ORDER BY zone, id""".stripMargin,
+    "c_conformance_lenient_tweaks" ->
+      """SELECT * FROM (VALUES
+        |  (1, 0, 'Alice', CAST(17 AS SMALLINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS INT)),
+        |  (2, 0, 'Bob', 18, NULL, NULL, NULL),
+        |  (3, 0, 'Carol', 19, NULL, NULL, NULL),
+        |  (12, 0, NULL, 11, 'Alice', 'ailisi', NULL),
+        |  (13, 0, NULL, 23, 'Bob', 'baobo', NULL),
+        |  (41, NULL, NULL, 11, 'Carol', 'kaluo', 0),
+        |  (42, NULL, NULL, 11, 'Dorothy', 'duoluoxi', 0))
+        |AS t(id, iina, name, age, nickname, extra, yina) ORDER BY id""".stripMargin,
+    "c_conformance_lenient_evolves" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', CAST(17 AS SMALLINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS FLOAT)),
+        |  (2, 'Bob', 18, NULL, NULL, NULL, NULL),
+        |  (3, 'Carol', 19, NULL, NULL, NULL, NULL),
+        |  (4, 'Derrida', 20, 100, 173.25, NULL, NULL),
+        |  (5, 'Eve', 21, 97, 160.0, NULL, NULL),
+        |  (6, NULL, NULL, 100, 173.25, 'Fiona', 22.0),
+        |  (7, NULL, NULL, 97, 160.0, 'Gloria', 23.0),
+        |  (8, NULL, NULL, 100, 173.25, 'Helen', 22.0),
+        |  (9, NULL, NULL, 97, 160.0, 'Iva', 23.0),
+        |  (12, NULL, NULL, NULL, NULL, 'Jane', 11.0),
+        |  (13, NULL, NULL, NULL, NULL, 'Kryo', 23.0))
+        |AS t(id, name, age, score, height, namae, toshi) ORDER BY id""".stripMargin,
+    "c_conformance_fine_grained" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', CAST(17 AS SMALLINT), CAST(NULL AS INT), CAST(NULL AS DOUBLE)),
+        |  (2, 'Bob', 18, NULL, NULL),
+        |  (3, 'Carol', 19, NULL, NULL),
+        |  (4, 'Derrida', 20, 100, 173.25),
+        |  (5, 'Eve', 21, 97, 160.0),
+        |  (6, 'Fiona', 22, 100, 173.25),
+        |  (7, 'Gloria', 23, 97, 160.0),
+        |  (8, 'Helen', NULL, NULL, 173.25),
+        |  (9, 'Iva', NULL, NULL, 160.0),
+        |  (12, 'Jane', NULL, NULL, NULL),
+        |  (13, 'Kryo', NULL, NULL, NULL))
+        |AS t(id, namae, age, sukoa, height) ORDER BY id""".stripMargin,
     // pre-fault state only: schema v1 with the three inserts
     "c_conformance_exception_behavior" ->
       """SELECT * FROM (VALUES
@@ -4156,10 +5297,137 @@ object QueriesConformance {
       """SELECT * FROM (VALUES
         |  ('table_0', CAST(74 AS BIGINT), 49))
         |AS t(tbl, n_rows, n_cols)""".stripMargin,
+    "c_conformance_batch_streaming_mode" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1'), ('2', '2'), ('3', '3'))
+        |AS t(col1, col2) ORDER BY col1""".stripMargin,
+    "c_conformance_batch_multi_splits" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1'), ('2', '2'), ('3', '3'), ('4', '4'), ('5', '5'), ('6', '6'))
+        |AS t(col1, col2) ORDER BY col1""".stripMargin,
+    "c_conformance_batch_two_transform" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 'last_name'),
+        |  ('mytable1', 2, 'Bob', 'last_name'),
+        |  ('mytable2', 3, 'Charlie', 'new_address'),
+        |  ('mytable2', 4, 'Donald', 'new_address'))
+        |AS t(tbl, id, name, extra) ORDER BY id""".stripMargin,
+    "c_conformance_batch_optype_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '1', '10', '+I', CAST(1 AS BIGINT)),
+        |  ('2', '2', '20', '+I', 2))
+        |AS t(col1, col2, col12, rk, opts) ORDER BY col1""".stripMargin,
+    "c_conformance_batch_route_one_to_one" ->
+      """SELECT * FROM (VALUES
+        |  ('routed1', '1', '1'), ('routed1', '2', '2'), ('routed1', '3', '3'),
+        |  ('routed2', '1', '1'), ('routed2', '2', '2'), ('routed2', '3', '3'))
+        |AS t(tbl, col1, col2) ORDER BY tbl, col1""".stripMargin,
+    "c_conformance_batch_route_identical" ->
+      """SELECT * FROM (VALUES
+        |  ('table1', '1', '1'), ('table1', '2', '2'), ('table1', '3', '3'),
+        |  ('table2', '1', '1'), ('table2', '2', '2'), ('table2', '3', '3'))
+        |AS t(tbl, col1, col2) ORDER BY tbl, col1""".stripMargin,
+    "c_conformance_complicated_udf" ->
+      """SELECT * FROM (VALUES
+        |  ('2', 'x', '4', 'Integer: 42', '2-42'),
+        |  ('3', CAST(NULL AS VARCHAR), '5', 'Integer: 42', '3-42'))
+        |AS t(col1, newCol3, inccol, typ, fmt) ORDER BY col1""".stripMargin,
+    // deterministicChat("gpt-4o-mini", v) = '[gpt-4o-mini] ' || hex(hashCode)
+    "c_conformance_transform_model" ->
+      """SELECT * FROM (VALUES
+        |  ('2', 'x', '[gpt-4o-mini] 32'),
+        |  ('3', CAST(NULL AS VARCHAR), '[gpt-4o-mini] 33'))
+        |AS t(col1, newCol3, emb) ORDER BY col1""".stripMargin,
+    "c_conformance_metadata_info_unchanged" ->
+      """SELECT * FROM (VALUES
+        |  ('mytable1', CAST(1 AS BIGINT), 'Alice', 18, CAST(NULL AS VARCHAR)),
+        |  ('mytable1', 2, 'Bob', 30, NULL),
+        |  ('mytable2', 3, 'Carol', 15, 'student'))
+        |AS t(tbl, id, name, age, description) ORDER BY id""".stripMargin,
+    "c_conformance_explicit_pk_nullable" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(NULL AS VARCHAR), 1, 'Alice'),
+        |  (NULL, 3, 'Cecily'),
+        |  (NULL, 3, 'Colin'),
+        |  ('1st', 4, 'Derrida'),
+        |  ('2nd', 5, 'Eva'),
+        |  ('2nd', 5, 'Eve'),
+        |  ('4th', 7, 'Gem'),
+        |  ('5th', 8, 'Harry'),
+        |  ('5th', 8, 'Helen'),
+        |  ('7th', 10, 'Julia'),
+        |  ('8th', 11, 'Kalle'),
+        |  ('8th', 11, 'Kella'),
+        |  ('10th', 13, 'Munroe'),
+        |  ('11th', 14, 'Nein'),
+        |  ('11th', 14, 'Neko'))
+        |AS t("rank", id, name) ORDER BY name""".stripMargin,
+    "c_conformance_unicode_projection" ->
+      """SELECT * FROM (VALUES
+        |  ('ascii test!?', 'mytable1', CAST(1 AS BIGINT), 'ascii test!? -> 1', '1 <- ascii test!?'),
+        |  ('ascii test!?', 'mytable1', 2, 'ascii test!? -> 2', '2 <- ascii test!?'),
+        |  ('ascii test!?', 'mytable2', 3, 'ascii test!? -> 3', '3 <- ascii test!?'),
+        |  ('测试数据', 'mytable1', 1, '测试数据 -> 1', '1 <- 测试数据'),
+        |  ('测试数据', 'mytable1', 2, '测试数据 -> 2', '2 <- 测试数据'),
+        |  ('测试数据', 'mytable2', 3, '测试数据 -> 3', '3 <- 测试数据'),
+        |  ('בבקשה', 'mytable1', 1, 'בבקשה -> 1', '1 <- בבקשה'),
+        |  ('בבקשה', 'mytable1', 2, 'בבקשה -> 2', '2 <- בבקשה'),
+        |  ('בבקשה', 'mytable2', 3, 'בבקשה -> 3', '3 <- בבקשה'))
+        |AS t(ustr, tbl, id, prefix, suffix) ORDER BY ustr, id""".stripMargin,
+    "c_conformance_unicode_filter" ->
+      """SELECT * FROM (VALUES
+        |  ('ascii test!?', 'mytable1', CAST(1 AS BIGINT), 'ascii test!?'),
+        |  ('ascii test!?', 'mytable1', 2, 'ascii test!?'),
+        |  ('ascii test!?', 'mytable2', 3, 'ascii test!?'),
+        |  ('测试数据', 'mytable1', 1, '测试数据'),
+        |  ('测试数据', 'mytable1', 2, '测试数据'),
+        |  ('测试数据', 'mytable2', 3, '测试数据'),
+        |  ('בבקשה', 'mytable1', 1, 'בבקשה'),
+        |  ('בבקשה', 'mytable1', 2, 'בבקשה'),
+        |  ('בבקשה', 'mytable2', 3, 'בבקשה'))
+        |AS t(ustr, tbl, id, extras) ORDER BY ustr, id""".stripMargin,
+    "c_conformance_unicode_matrix" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', 18, 'ascii test!?', '大五', '测试数据', 'ひびぴ', '죠주쥬',
+        |   'ÀÆÉ', 'ÓÔŐÖ', 'αβγδε', 'בבקשה', 'твой', 'ภาษาไทย', 'piedzimst brīvi'),
+        |  (2, 'Bob', 30, 'ascii test!?', '大五', '测试数据', 'ひびぴ', '죠주쥬',
+        |   'ÀÆÉ', 'ÓÔŐÖ', 'αβγδε', 'בבקשה', 'твой', 'ภาษาไทย', 'piedzimst brīvi'))
+        |AS t(id, name, age, u0, u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11)
+        |ORDER BY id""".stripMargin,
+    "c_conformance_transform_error_message" ->
+      """SELECT * FROM (VALUES
+        |  ('pk_not_exist', true),
+        |  ('pk_not_in_projection', true),
+        |  ('string_arithmetic_filter', true),
+        |  ('string_arithmetic_projection', true),
+        |  ('unknown_filter_column', true),
+        |  ('unknown_projection_column', true))
+        |AS t(err_case, faulted) ORDER BY err_case""".stripMargin,
     "c_conformance_distributed_ignore" ->
       """SELECT * FROM (VALUES
         |  ('table_0', CAST(18 AS BIGINT), 1))
         |AS t(tbl, n_rows, n_cols)""".stripMargin,
+    // ages 1-3 are FLOAT values widened to DOUBLE by the alter — spell the
+    // same float->double widening so binary representations agree
+    "c_conformance_distributed_lenient" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', CAST(CAST(17.1828 AS FLOAT) AS DOUBLE), 'Hello',
+        |   CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)),
+        |  (2, 'Bob', CAST(CAST(31.415926 AS FLOAT) AS DOUBLE), 'Bye-bye', false, NULL),
+        |  (3, 'Cicada', CAST(CAST(123.456 AS FLOAT) AS DOUBLE), NULL, true, 'Ok'),
+        |  (4, 'Derrida', 7.81876754837, NULL, false, 'Nah'),
+        |  (5, 'Eve', 1.414, NULL, true, NULL),
+        |  (6, 'Ferris', 0.001, NULL, false, NULL))
+        |AS t(id, name, age, notes, added_flag, footnotes) ORDER BY id""".stripMargin,
+    "c_conformance_distributed_ignore_trim" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', CAST(17.1828 AS FLOAT), 'Hello'),
+        |  (2, 'Bob', CAST(31.415926 AS FLOAT), 'Bye-bye'),
+        |  (3, 'Cicada', CAST(123.456 AS FLOAT), NULL),
+        |  (4, 'Derrida', CAST(NULL AS FLOAT), NULL),
+        |  (5, 'Eve', NULL, NULL),
+        |  (6, 'Ferris', NULL, NULL))
+        |AS t(id, name, age, notes) ORDER BY id""".stripMargin,
     "c_conformance_distributed_exception" ->
       """SELECT * FROM (VALUES ('EXCEPTION', true))
         |AS t(behavior, faulted)""".stripMargin,

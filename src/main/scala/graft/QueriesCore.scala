@@ -278,9 +278,14 @@ object QueriesCore {
       TransformOp.applyToRows(t(s, dir, "customer"), rule).orderBy("c_custkey")
     }),
     "t_filter" -> ((s, dir) => {
+      // `=` is Java-object equality in the dialect (valueEquals) and `%` on
+      // a BIGINT computes a Long, so the modulo test must same-box its
+      // literal via CAST — exactly how the reference fixture spells
+      // `CAST(id AS INT) IN (1, 3, 5)` to get value semantics
+      // (testBuiltinComparisonFunctions:705)
       val rule = TransformRule("app.customer",
         filter = Some("c_acctbal BETWEEN 1000 AND 5000 AND " +
-          "c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_custkey % 2 = 0"))
+          "c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND CAST(c_custkey % 2 AS INT) = 0"))
       TransformOp.applyToRows(t(s, dir, "customer"), rule).orderBy("c_custkey")
     }),
     "t_like_regex" -> ((s, dir) => {

@@ -148,12 +148,18 @@ object SchemaMerging {
         // base types agree — keeping a NOT NULL declaration while upcoming
         // rows carry nulls would violate the declared schema downstream
         case Some(u) => name -> leastCommonType(t, u)
-        // a column missing from the upcoming schema must become nullable
-        case None => name -> t.withNullable(true)
+        // a column missing from the upcoming schema keeps its declared type
+        // UNCHANGED — the reference's getLeastCommonSchema (:163-170) copies
+        // current-only columns as-is (even NOT NULL ones whose future rows
+        // null them; `distributed/SchemaEvolveTest.testLenientSchemaEvolution`
+        // expects NO nullability alter after a rename strands the old name)
+        case None => name -> t
       }
     }
+    // upcoming-only columns append with THEIR OWN declared type (reference
+    // :158-159 appends upcomingColumn unchanged)
     val appended = upcoming.collect {
-      case (name, t) if !curMap.contains(name) => name -> t.withNullable(true)
+      case (name, t) if !curMap.contains(name) => name -> t
     }
     widened ++ appended
   }

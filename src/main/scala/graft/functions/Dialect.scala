@@ -181,17 +181,34 @@ object Dialect {
     // (DialectDateFormatExpr) — rewritten BEFORE the now-family binding so
     // the binding's own emitted date_format() calls stay native
     r = r.replaceAll("(?i)\\bDATE_FORMAT\\s*\\(", "graft_date_format(")
-    // epoch-time binding for now-ish functions, rendered in the PIPELINE
-    // time zone like the reference (`SystemFunctionUtils.localtimestamp:65`
-    // shifts the epoch instant into PIPELINE_LOCAL_TIME_ZONE; CURRENT_TIME/
-    // CURRENT_DATE are its time/date parts, :70-82). With the default UTC
-    // zone the shift is the identity and the plain binding is emitted.
+    // epoch-time binding for now-ish functions. NOW()/CURRENT_TIMESTAMP are
+    // the TRUE epoch instant — `SystemFunctionUtils.currentTimestamp:56` /
+    // `now:61` return `LocalZonedTimestampData.fromEpochMillis` UNSHIFTED
+    // (CAST to STRING renders the UTC instant) — while LOCALTIMESTAMP /
+    // CURRENT_TIME / CURRENT_DATE shift into PIPELINE_LOCAL_TIME_ZONE
+    // (`localtimestamp:65`, time/date parts :70-82). The zone reappears at
+    // exactly one more point: CAST(<LTZ> AS TIMESTAMP) goes through
+    // `castToTimestamp(LTZ, timezone):1031`, so a DIRECTLY-cast now-instant
+    // shifts there (pre-pass below, before the plain binding). With UTC the
+    // shift is the identity everywhere.
     epochCol.foreach { ec =>
+      val instant = s"timestamp_millis($ec)"
       val local =
-        if (timeZone == "UTC") s"timestamp_millis($ec)"
-        else s"from_utc_timestamp(timestamp_millis($ec), '$timeZone')"
-      r = r.replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", local)
-      r = r.replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", local)
+        if (timeZone == "UTC") instant
+        else s"from_utc_timestamp($instant, '$timeZone')"
+      if (timeZone != "UTC") {
+        // CAST(NOW()/CURRENT_TIMESTAMP AS TIMESTAMP[(p)]) is the reference's
+        // castToTimestamp(LTZ, timezone) point (`SystemFunctionUtils:1031`)
+        // — the ONE cast where the LTZ instant shifts into the pipeline
+        // zone. TIMESTAMP is not a graft_cast dialect target, so the native
+        // CAST form is what rewriteCasts leaves here; must run BEFORE the
+        // plain bindings below consume the NOW tokens.
+        r = r.replaceAll(
+          "(?i)\\bCAST\\s*\\(\\s*(?:NOW\\s*\\(\\s*\\)|CURRENT_TIMESTAMP)\\s+AS\\s+(TIMESTAMP(?:\\s*\\(\\s*\\d+\\s*\\))?)\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(s"CAST($local AS ") + "$1)")
+      }
+      r = r.replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", instant)
+      r = r.replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", instant)
       r = r.replaceAll("(?i)\\bLOCALTIMESTAMP\\b", local)
       r = r.replaceAll("(?i)\\bCURRENT_DATE\\b", s"to_date($local)")
       r = r.replaceAll(
@@ -201,6 +218,15 @@ object Dialect {
         "(?i)\\bLOCALTIME\\b",
         s"date_format($local, 'HH:mm:ss')")
     }
+    // FROM_UNIXTIME / UNIX_TIMESTAMP are SimpleDateFormat render/parse in
+    // the PIPELINE zone (`SystemFunctionUtils.fromUnixtime:84` /
+    // `.unixTimestamp:92-103`); Spark's natives use the SESSION zone. The
+    // no-arg UNIX_TIMESTAMP() is the record epoch in seconds (:92).
+    epochCol.foreach { ec =>
+      r = r.replaceAll("(?i)\\bUNIX_TIMESTAMP\\s*\\(\\s*\\)", s"($ec div 1000)")
+    }
+    r = r.replaceAll("(?i)\\bFROM_UNIXTIME\\s*\\(", "graft_from_unixtime(")
+    r = r.replaceAll("(?i)\\bUNIX_TIMESTAMP\\s*\\(", "graft_unix_timestamp(")
     // TIMESTAMP_DIFF alias (reference registers both spellings)
     r = r.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")
     // type-PRESERVING ceil/floor (SystemFunctionUtils.java:594-675 returns

@@ -165,42 +165,128 @@ case class DialectDateFormatExpr(child: Expression, patternExpr: Expression, zon
   override def prettyName: String = "graft_date_format"
 }
 
+/** `FROM_UNIXTIME(seconds[, format])` — the reference renders the epoch
+  * SECOND through a SimpleDateFormat in the PIPELINE time zone
+  * (`SystemFunctionUtils.fromUnixtime:84-90` →
+  * `DateTimeUtils.formatUnixTimestamp:153-171`, default pattern
+  * `yyyy-MM-dd HH:mm:ss`); a formatting failure logs and returns NULL.
+  * Spark's native from_unixtime uses the SESSION zone (UTC here) — under a
+  * non-UTC pipeline the rendered wall clock would be off by the offset.
+  */
+case class FromUnixTimeExpr(child: Expression, patternExpr: Expression, zoneId: String)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = patternExpr
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val p = patternExpr.eval(input)
+    if (v == null || p == null) return null
+    val seconds = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => return null
+    }
+    try {
+      val sdf = new java.text.SimpleDateFormat(p.toString, java.util.Locale.ROOT)
+      sdf.setTimeZone(java.util.TimeZone.getTimeZone(zoneId))
+      UTF8String.fromString(sdf.format(new java.util.Date(seconds * 1000L)))
+    } catch { case _: Exception => null }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FromUnixTimeExpr =
+    copy(child = newLeft, patternExpr = newRight)
+  override def prettyName: String = "graft_from_unixtime"
+}
+
+/** `UNIX_TIMESTAMP(dateStr[, format])` — SimpleDateFormat PARSE in the
+  * PIPELINE zone (`DateTimeUtils.unixTimestamp:177-193`): trailing text is
+  * ignored (SDF prefix parse), an explicit offset in the PATTERN overrides
+  * the zone, and a parse failure returns the reference's Long.MIN_VALUE
+  * sentinel, not NULL.
+  */
+case class UnixTimestampExpr(child: Expression, patternExpr: Expression, zoneId: String)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = patternExpr
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val p = patternExpr.eval(input)
+    if (v == null || p == null) return null
+    try {
+      val sdf = new java.text.SimpleDateFormat(p.toString, java.util.Locale.ROOT)
+      sdf.setTimeZone(java.util.TimeZone.getTimeZone(zoneId))
+      sdf.parse(v.toString).getTime / 1000L
+    } catch { case _: Exception => Long.MinValue }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnixTimestampExpr =
+    copy(child = newLeft, patternExpr = newRight)
+  override def prettyName: String = "graft_unix_timestamp"
+}
+
 case class DialectRoundExpr(child: Expression, scaleExpr: Expression)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = child
   override def right: Expression = scaleExpr
-  private def pointOffset: Int = scaleExpr match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => throw new IllegalArgumentException(
-      "graft_round: the scale must be an INT literal (the reference's ROUND signature)")
+  /** Folded scale when the expression is constant — covers plain literals,
+    * `ROUND(x, -1)` (UnaryMinus over a literal folds), and any other
+    * foldable expression. The reference's `round(value, pointOffset)`
+    * accepts arbitrary int offsets (`movePointRight` handles negatives). */
+  private lazy val staticPointOffset: Option[Int] =
+    if (scaleExpr.foldable) Option(scaleExpr.eval(null)).map(asOffset) else None
+  private def asOffset(v: Any): Int = v match {
+    case i: Int => i
+    case b: Byte => b.toInt
+    case s: Short => s.toInt
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_round: integral scale expected, got $other")
   }
   override lazy val dataType: DataType = child.dataType match {
     case d: DecimalType =>
       // Calcite's ROUND return type, pinned by the ITCase's create line
-      // (:2524): DECIMAL(p,s) rounded to o -> DECIMAL(p - s + o + 1, o)
-      val o = math.max(pointOffset, 0)
+      // (:2524): DECIMAL(p,s) rounded to o -> DECIMAL(p - s + o + 1, o).
+      // A DECIMAL operand needs a CONSTANT scale — the return type depends
+      // on it (the reference's Calcite typing has the same constraint).
+      val o = math.max(staticPointOffset.getOrElse(throw new IllegalArgumentException(
+        "graft_round: a DECIMAL operand requires a constant scale " +
+          "(Calcite's ROUND return type depends on it)")), 0)
       DecimalType(math.max(1, math.min(d.precision - d.scale + o + 1, 38)), o)
     case other => other
   }
-  override def nullable: Boolean = child.nullable
-  private def roundBd(bd: java.math.BigDecimal): java.math.BigDecimal =
-    bd.movePointRight(pointOffset)
+  override def nullable: Boolean = child.nullable || staticPointOffset.isEmpty
+  private def roundBd(bd: java.math.BigDecimal, po: Int): java.math.BigDecimal =
+    bd.movePointRight(po)
       .setScale(0, java.math.RoundingMode.HALF_UP)
-      .movePointLeft(pointOffset)
+      .movePointLeft(po)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) null
-    else v match {
-      case b: Byte => roundBd(java.math.BigDecimal.valueOf(b.toLong)).byteValue
-      case s: Short => roundBd(java.math.BigDecimal.valueOf(s.toLong)).shortValue
-      case i: Int => roundBd(java.math.BigDecimal.valueOf(i.toLong)).intValue
-      case l: Long => roundBd(java.math.BigDecimal.valueOf(l)).longValue
+    if (v == null) return null
+    // non-constant scales evaluate per row (non-decimal operands only —
+    // their return type does not depend on the offset)
+    val po = staticPointOffset.getOrElse {
+      val s = scaleExpr.eval(input)
+      if (s == null) return null
+      asOffset(s)
+    }
+    v match {
+      case b: Byte => roundBd(java.math.BigDecimal.valueOf(b.toLong), po).byteValue
+      case s: Short => roundBd(java.math.BigDecimal.valueOf(s.toLong), po).shortValue
+      case i: Int => roundBd(java.math.BigDecimal.valueOf(i.toLong), po).intValue
+      case l: Long => roundBd(java.math.BigDecimal.valueOf(l), po).longValue
       // the float's SHORTEST string, not its double widening
-      case f: Float => roundBd(new java.math.BigDecimal(java.lang.Float.toString(f))).floatValue
-      case d: Double => roundBd(java.math.BigDecimal.valueOf(d)).doubleValue
+      case f: Float =>
+        roundBd(new java.math.BigDecimal(java.lang.Float.toString(f)), po).floatValue
+      case d: Double => roundBd(java.math.BigDecimal.valueOf(d), po).doubleValue
       case d: Decimal =>
         val t = dataType.asInstanceOf[DecimalType]
-        Decimal(roundBd(d.toBigDecimal.bigDecimal).setScale(t.scale), t.precision, t.scale)
+        Decimal(roundBd(d.toBigDecimal.bigDecimal, po).setScale(t.scale), t.precision, t.scale)
     }
   }
   override protected def withNewChildrenInternal(
@@ -372,6 +458,20 @@ object DialectCastExpr {
         // the PIPELINE time zone, set per pipeline by the runner
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         DialectDateFormatExpr(exprs.head, exprs(1), tz)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_from_unixtime",
+      { exprs =>
+        val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
+        FromUnixTimeExpr(exprs.head,
+          if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_unix_timestamp",
+      { exprs =>
+        val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
+        UnixTimestampExpr(exprs.head,
+          if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
       }, "built-in")
   }
 }

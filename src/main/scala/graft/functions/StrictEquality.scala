@@ -37,7 +37,8 @@ object StrictEquality {
       typeOf: String => Option[DataType],
       timeTagged: String => Boolean = _ => false): Column =
     ColumnBridge.column(
-      rewrite(spark.sessionState.sqlParser.parseExpression(sql), typeOf, timeTagged))
+      rewrite(spark.sessionState.sqlParser.parseExpression(sql), typeOf, timeTagged,
+        session = Some(spark)))
 
   /** The Java boxed class a value of this Spark type carries in the
     * reference's runtime — the unit `Object.equals` discriminates on.
@@ -122,7 +123,8 @@ object StrictEquality {
   private[functions] def rewrite(
       expr: Expression,
       typeOf: String => Option[DataType],
-      timeTagged: String => Boolean = _ => false): Expression = {
+      timeTagged: String => Boolean = _ => false,
+      session: Option[SparkSession] = None): Expression = {
     def differentBox(l: Expression, r: Expression): Boolean =
       (for {
         a <- typeOfExpr(l, typeOf).flatMap(boxClass)
@@ -164,11 +166,17 @@ object StrictEquality {
         else if (kept.size == list.size) in
         else In(v, kept)
       case f: UnresolvedFunction
-          if f.nameParts.size == 1 && UdfRegistry.isVariadic(f.nameParts.head) =>
+          if f.nameParts.size == 1 &&
+            session.exists(UdfRegistry.isVariadic(_, f.nameParts.head)) =>
         // variadic UDF dispatch: the reference derives arity from the
         // Object... eval signature; Spark's registry is fixed-arity, so the
         // registry registered one wrapper per arity and the call renames to
         // the matching one
+        if (f.arguments.size > UdfRegistry.MaxVariadicArity)
+          throw new IllegalArgumentException(
+            s"variadic UDF '${f.nameParts.head}' called with " +
+              s"${f.arguments.size} arguments — too many arguments " +
+              s"(max ${UdfRegistry.MaxVariadicArity})")
         f.copy(nameParts =
           Seq(UdfRegistry.variadicArityName(f.nameParts.head, f.arguments.size)))
       case c: Cast if c.dataType == StringType =>

@@ -53,23 +53,51 @@ final class ReflectiveUdf(val name: String, instance: AnyRef)
     s"UDF '$name': ${instance.getClass.getName} neither implements " +
       "graft.functions.UserDefinedFunction nor exposes a public eval method")
 
+  /** Catalyst type of one Java eval return class — extended beyond the
+    * primitives to the classes the reference's typed-eval contract maps
+    * (`DataTypeConverter.java`: BigDecimal -> DECIMAL, byte[] -> BINARY,
+    * temporals -> their SQL types); unmapped classes fall back to STRING
+    * via toString, which is only safe when ALL overloads agree. */
+  private def sqlTypeOf(c: Class[_]): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    c match {
+      case x if x == classOf[String] => Some(StringType)
+      case x if x == classOf[java.lang.Integer] || x == java.lang.Integer.TYPE =>
+        Some(IntegerType)
+      case x if x == classOf[java.lang.Long] || x == java.lang.Long.TYPE => Some(LongType)
+      case x if x == classOf[java.lang.Double] || x == java.lang.Double.TYPE =>
+        Some(DoubleType)
+      case x if x == classOf[java.lang.Float] || x == java.lang.Float.TYPE => Some(FloatType)
+      case x if x == classOf[java.lang.Boolean] || x == java.lang.Boolean.TYPE =>
+        Some(BooleanType)
+      case x if x == classOf[java.lang.Short] || x == java.lang.Short.TYPE => Some(ShortType)
+      case x if x == classOf[java.lang.Byte] || x == java.lang.Byte.TYPE => Some(ByteType)
+      case x if x == classOf[java.math.BigDecimal] => Some(DecimalType(38, 18))
+      case x if x == classOf[Array[Byte]] => Some(BinaryType)
+      case x if x == classOf[java.sql.Timestamp] ||
+        x == classOf[java.time.Instant] => Some(TimestampType)
+      case x if x == classOf[java.time.LocalDateTime] => Some(TimestampNTZType)
+      case x if x == classOf[java.sql.Date] || x == classOf[java.time.LocalDate] =>
+        Some(DateType)
+      case _ => None
+    }
+  }
+
   override def returnType: DataType = {
-    val rts = instance.getClass.getMethods.filter(_.getName == "eval")
-      .map(_.getReturnType).distinct
-    rts.headOption.map {
-      case c if c == classOf[String] => StringType
-      case c if c == classOf[java.lang.Integer] || c == java.lang.Integer.TYPE =>
-        org.apache.spark.sql.types.IntegerType
-      case c if c == classOf[java.lang.Long] || c == java.lang.Long.TYPE =>
-        org.apache.spark.sql.types.LongType
-      case c if c == classOf[java.lang.Double] || c == java.lang.Double.TYPE =>
-        org.apache.spark.sql.types.DoubleType
-      case c if c == classOf[java.lang.Float] || c == java.lang.Float.TYPE =>
-        org.apache.spark.sql.types.FloatType
-      case c if c == classOf[java.lang.Boolean] || c == java.lang.Boolean.TYPE =>
-        org.apache.spark.sql.types.BooleanType
-      case _ => StringType
-    }.getOrElse(StringType)
+    // getMethods order is unspecified — distinct MAPPED types must agree or
+    // the declaration is ambiguous; failing loudly beats a coin-flip schema
+    val rts = evals.map(m => sqlTypeOf(m.getReturnType)).distinct
+    rts match {
+      case Seq() => StringType
+      case Seq(one) => one.getOrElse(StringType)
+      case many =>
+        val mapped = many.flatten.distinct
+        if (mapped.size == 1 && many.forall(_.isDefined)) mapped.head
+        else throw new IllegalArgumentException(
+          s"UDF '$name': eval overloads declare conflicting return types (" +
+            evals.map(_.getReturnType.getSimpleName).distinct.mkString(", ") +
+            ") — a scalar function must have ONE result type")
+    }
   }
 
   private def counts: Seq[Int] =
@@ -137,11 +165,27 @@ final class ReflectiveUdf(val name: String, instance: AnyRef)
 object UdfRegistry {
   import org.apache.spark.sql.api.java._
 
-  /** lowercase names registered as VARIADIC — the dialect parser renames
-    * each call site to [[variadicArityName]] of its argument count. */
-  private val variadics = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** lowercase names registered as VARIADIC, scoped PER SESSION — the
+    * dialect parser renames each call site to [[variadicArityName]] of its
+    * argument count. Scoping plus latest-registration-wins (a FIXED-arity
+    * re-registration under the same name CLEARS the flag) keeps one
+    * pipeline's variadic `format` from hijacking a later pipeline's
+    * fixed-arity `format` call sites in the same session. */
+  private val variadics =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+  // keyed by sharedState identity, not the session object: micro-batch
+  // execution hands expressions a CLONED SparkSession per batch, and a
+  // clone must still see the registration (clones share sharedState; the
+  // function registry itself is shared the same way)
+  private def key(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark.sharedState), name.toLowerCase)
 
-  def isVariadic(name: String): Boolean = variadics.contains(name.toLowerCase)
+  def isVariadic(spark: SparkSession, name: String): Boolean =
+    variadics.contains(key(spark, name))
+
+  /** the widest arity a variadic registration covers — calls beyond it have
+    * no registered wrapper and must fail with a CLEAR message */
+  val MaxVariadicArity = 6
 
   /** registry-internal name of the `n`-argument wrapper of variadic `name`. */
   def variadicArityName(name: String, n: Int): String = s"${name}__v$n"
@@ -155,10 +199,14 @@ object UdfRegistry {
     */
   def register(spark: SparkSession, f: UserDefinedFunction): Unit = {
     if (f.variadic) {
-      variadics.add(f.name.toLowerCase)
-      (0 to 6).foreach { n =>
+      variadics.add(key(spark, f.name))
+      (0 to MaxVariadicArity).foreach { n =>
         registerArity(spark, f, variadicArityName(f.name, n), n)
       }
+    } else {
+      // latest registration wins: a fixed-arity f under a previously
+      // variadic name must stop the call-site renaming
+      variadics.remove(key(spark, f.name))
     }
     registerArity(spark, f, f.name, f.arity)
   }
@@ -277,6 +325,37 @@ object ModelFunctions {
           if (input == null || input.trim.isEmpty) Array.empty[Float]
           else deterministicEmbedding(input, dim))
     }
+
+  /** Register a YAML `model:` entry as a function callable BY ITS DECLARED
+    * NAME — the reference's `ModelDef` flow: `model-name: CHAT` +
+    * `class-name: OpenAIChatModel` makes `CHAT(col1)` a chat completion in
+    * transform expressions (`FlinkPipelineUdfITCase.testTransformWithModel
+    * :844-908`, `ModelDef` options carry `openai.model` / `openai.host` /
+    * `openai.apikey`). `OpenAIEmbeddingModel` wires the embeddings endpoint
+    * (`ARRAY<FLOAT>`); every other class name is chat-shaped (STRING),
+    * matching the reference's model registry. Without `openai.host` the
+    * deterministic in-process double serves (same outputs as the loopback
+    * wire server, so oracles are identical either way).
+    */
+  def registerNamedModel(
+      spark: SparkSession,
+      name: String,
+      className: String,
+      options: Map[String, String]): Unit = {
+    val modelName = options.getOrElse("openai.model", name)
+    val ep = options.get("openai.host").map(h =>
+      ModelEndpoint(h, modelName, options.get("openai.apikey")))
+    val isEmbedding = className.toLowerCase.contains("embedding")
+    (isEmbedding, ep) match {
+      case (true, Some(e)) => spark.udf.register(name, new EmbedUdf(e))
+      case (true, None) => spark.udf.register(name, (input: String) =>
+        if (input == null || input.trim.isEmpty) Array.empty[Float]
+        else deterministicEmbedding(input, 16))
+      case (false, Some(e)) => spark.udf.register(name, new ChatUdf(e))
+      case (false, None) => spark.udf.register(name, (input: String) =>
+        if (input == null) null else deterministicChat(modelName, input))
+    }
+  }
 
   // plain Function1 classes, not lambdas-in-fields: a stored lambda field
   // deserializes as SerializedLambda and fails the Function1 cast across

@@ -133,10 +133,10 @@ object EnvelopeTransform {
     val flat = withMeta(env.withColumn("__img", img), tableId, isAfter = true)
       .select((keep.map(col) :+ col("__img")) ++
         (Envelope.MetadataColumns :+ graft.functions.Dialect.EpochCol).map(col) ++
-        // source-defined metadata columns read the event's meta map
-        // (SupportedMetadataColumn; see TransformOp.metaKeyColumns)
+        // source-defined metadata columns read the event's meta map, typed
+        // per the SupportedMetadataColumn contract (op_ts -> BIGINT)
         TransformOp.metaKeyColumns(rule, payloadFields)
-          .map(n => element_at(col(Envelope.MetaCol), n).as(n)) ++
+          .map(n => TransformOp.metaKeyColumn(col(Envelope.MetaCol), n)) ++
         payloadFields.map(n => col(s"__img.$n").as(n)): _*)
     // computed columns (incl. SHADED redefinitions of payload names) evaluate
     // against the ORIGINAL flat frame in one select — the filter then sees
@@ -172,7 +172,7 @@ object EnvelopeTransform {
         .select((df.columns.map(col).toSeq :+ lit(1).as("__one")) ++
           (Envelope.MetadataColumns :+ graft.functions.Dialect.EpochCol).map(col) ++
           TransformOp.metaKeyColumns(rule, payloadFields)
-            .map(n => element_at(col(Envelope.MetaCol), n).as(n)) ++
+            .map(n => TransformOp.metaKeyColumn(col(Envelope.MetaCol), n)) ++
           payloadFields.map(n => col(s"$imageCol.$n").as(s"__f_$n")): _*)
       // expressions reference bare payload names: alias them in scope
       val scoped = payloadFields.foldLeft(flat)((d, n) => d.withColumn(n, col(s"__f_$n")))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{Selectors, TableId}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A transform rule: per-table projection + filter, the reference's entire
@@ -78,11 +78,37 @@ object TransformOp {
     * test source exposes `timestamp-type`,
     * `FlinkPipelineTransformITCase.testTransformWithColumnNameMap:975`).
     */
+  /** Declared types of known source-metadata columns — the
+    * `SupportedMetadataColumn` contract: the values/scripted source's
+    * `op_ts` reads as BIGINT (`OpTsMetadataColumn.getType` = BIGINT,
+    * `read` = `Long.parseLong`), so a projection `op_ts AS opts` must type
+    * the sink column BIGINT, not the meta map's raw STRING
+    * (`FlinkPipelineBatchComposerITCase.testOpTypeMetadataColumnInBatchMode:611`
+    * pins `opts` BIGINT). Unlisted keys stay STRING
+    * (the generic `Map<String,String>` view). */
+  private[operators] val SourceMetadataTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    Map("op_ts" -> org.apache.spark.sql.types.LongType)
+
+  /** the envelope column reading source-metadata key `n`, cast to its
+    * declared type when the key is a known SupportedMetadataColumn */
+  private[operators] def metaKeyColumn(metaCol: Column, n: String): Column = {
+    val raw = org.apache.spark.sql.functions.element_at(metaCol, n)
+    SourceMetadataTypes.get(n).fold(raw)(t => raw.cast(t)).as(n)
+  }
+
   private[operators] def metaKeyColumns(
       rule: TransformRule, payloadFields: Seq[String]): Seq[String] = {
     val tick = "`([^`]+)`".r
-    (rule.projection.toSeq ++ rule.filter.toSeq)
-      .flatMap(t => tick.findAllMatchIn(t).map(_.group(1)))
+    // a backquote inside a STRING LITERAL is data, not an identifier, and a
+    // backquoted name in ALIAS position (`expr AS \`my-col\``) names an
+    // OUTPUT column — neither may become an element_at(meta, ...) read
+    def stripLiterals(t: String): String = t.replaceAll("'(?:[^']|'')*'", "''")
+    val aliasTick = "(?i)\\bAS\\s+`([^`]+)`".r
+    (rule.projection.toSeq ++ rule.filter.toSeq).map(stripLiterals)
+      .flatMap { t =>
+        val aliased = aliasTick.findAllMatchIn(t).map(_.group(1)).toSet
+        tick.findAllMatchIn(t).map(_.group(1)).filterNot(aliased.contains)
+      }
       .distinct
       .filterNot(payloadFields.contains)
       .filterNot(Envelope.MetadataColumns.contains)
@@ -142,7 +168,8 @@ object TransformOp {
     // path reads the event's meta map); the column must still EXIST so the
     // projected schema derives correctly
     val withMeta = metaKeyColumns(rule, physical).foldLeft(withMeta1)((d, n) =>
-      d.withColumn(n, lit(null).cast(org.apache.spark.sql.types.StringType)))
+      d.withColumn(n, lit(null).cast(
+        SourceMetadataTypes.getOrElse(n, org.apache.spark.sql.types.StringType))))
     val rawExprs = rule.projection match {
       case Some(p) => expandProjection(p, physical)
       case None => physical

@@ -112,6 +112,17 @@ final class PipelineComposer(
       agree("primary-keys", _.primaryKeys, Seq.empty)
       agree("partition-keys", _.partitionKeys, Seq.empty)
       agree("table-options", _.tableOptions, Map.empty)
+      // every declared (or inherited) primary-key column must exist in the
+      // projected shape — the reference's exact wording
+      // (`DefaultDataChangeEventHashFunctionProvider.java:85`, pinned by
+      // `FlinkPipelineTransformITCase.testTransformErrorMessage:2603`)
+      val effectivePks = rules.find(_.primaryKeys.nonEmpty)
+        .map(_.primaryKeys).getOrElse(source.primaryKeys)
+      effectivePks.foreach { pk =>
+        if (!mergedStruct.fieldNames.contains(pk))
+          throw new IllegalStateException(
+            s"""Unable to find column "$pk" which is defined as primary key""")
+      }
       val rule = rules.find(_.primaryKeys.nonEmpty).getOrElse(rules.head)
       val partitionRule = rules.find(_.partitionKeys.nonEmpty).getOrElse(rules.head)
       val optionRules = rules

@@ -63,6 +63,12 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     }
   }
 
+  // YAML `model:` entries register as named functions (the reference's
+  // ModelDef flow — `CHAT(col1)` in a projection calls the configured model,
+  // `FlinkPipelineUdfITCase.testTransformWithModel:844`)
+  pdef.models.foreach(m =>
+    graft.functions.ModelFunctions.registerNamedModel(spark, m.name, m.modelName, m.options))
+
   // pinned epoch for the now-family (test determinism): set for THIS
   // pipeline, cleared otherwise so a prior pipeline's pin cannot leak into
   // the shared session
@@ -373,13 +379,22 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
         q.stop()
         ChangeSourceRegistry.pendingDdl(id) match {
           case Some((_, ddl)) =>
-            // the partition's OWN view evolves; the sink sees the REDUCED diff
+            // the partition's OWN view evolves; the sink sees the REDUCED
+            // diff. TRUNCATE leaves the view unchanged and DROP TABLE
+            // removes it — both reduce to NO diff, so table-level events
+            // are swallowed in the distributed topology (the coordinator
+            // cannot truncate safely while other partitions still stream —
+            // `distributed/SchemaOperator` forwards only reduced column
+            // changes, `SchemaEvolveTest.testLenientSchemaEvolution:62`
+            // expects neither event downstream).
             viewMgr.applySchemaChange(ddl)
             val reports = views.values.zipWithIndex.collect {
-              case ((t, m), k) if t == tableId =>
+              case ((t, m), k) if t == tableId && m.latest(t).isDefined =>
                 PartitionSchemaReport(k, t, m.latest(t).get)
             }.toSeq
-            val derived = DistributedSchemaReducer.deriveEvents(known, reports)
+            val derived =
+              if (reports.isEmpty) Seq.empty
+              else DistributedSchemaReducer.deriveEvents(known, reports)
             derived.foreach { e =>
               known.applySchemaChange(e)
               composer.processSchemaChange(e)

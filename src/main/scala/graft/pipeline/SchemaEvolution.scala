@@ -42,11 +42,24 @@ object SchemaDerivator {
         cols.map(c =>
           AddColumnEvent.ColumnWithPosition(c.name, c.cdcType.withNullable(true),
             defaultExpr = c.defaultExpr))))
-    case DropColumnEvent(_, _) => Seq.empty // reference :238-247: swallowed
+    case DropColumnEvent(t, dropped) =>
+      // reference lenientizeDropColumnEvent (SchemaDerivator.java:259-275):
+      // the DROP itself is swallowed, but a dropped NOT-NULL column first
+      // nullable-izes — its future values are null, and a sink enforcing
+      // the constraint would otherwise reject every later row
+      val converts = dropped.flatMap { d =>
+        currentEvolved.struct.fields.find(_.name == d)
+          .filterNot(_.nullable)
+          .map(f => d -> CdcTypes.fromSpark(f.dataType, nullable = true))
+      }.toMap
+      if (converts.isEmpty) Seq.empty else Seq(AlterColumnTypeEvent(t, converts))
     case RenameColumnEvent(t, mapping) =>
-      // reference :249-272: appears as AddColumn of the new names (old kept);
-      // a renamed column's DEFAULT carries to the new name
-      // (LenientITCase.testSingleSplitSingleTableWithDefaultValue:230-235)
+      // reference lenientizeRenameColumnEvent (SchemaDerivator.java:223-257):
+      // appears as AddColumn of the new names (old kept); a renamed
+      // column's DEFAULT carries to the new name
+      // (LenientITCase.testSingleSplitSingleTableWithDefaultValue:230-235);
+      // a NOT-NULL old column additionally nullable-izes (same reasoning
+      // as the lenient DROP — the old name's future values are null)
       val existing = currentEvolved.struct.fieldNames.toSet
       val adds = mapping.collect {
         case (oldName, newName) if !existing.contains(newName) =>
@@ -59,7 +72,13 @@ object SchemaDerivator {
                 Some(oldField.metadata.getString(AddColumnEvent.DefaultKey))
               else None)
       }.toSeq
-      if (adds.isEmpty) Seq.empty else Seq(AddColumnEvent(t, adds))
+      val converts = mapping.keys.flatMap { oldName =>
+        currentEvolved.struct.fields.find(_.name == oldName)
+          .filterNot(_.nullable)
+          .map(f => oldName -> CdcTypes.fromSpark(f.dataType, nullable = true))
+      }.toMap
+      (if (adds.isEmpty) Seq.empty else Seq(AddColumnEvent(t, adds))) ++
+        (if (converts.isEmpty) Seq.empty else Seq(AlterColumnTypeEvent(t, converts)))
     case other => Seq(other)
   }
 
@@ -75,12 +94,49 @@ object SchemaDerivator {
   private def sameUpToNullability(a: DataType, b: DataType): Boolean =
     a.catalogString == b.catalogString
 
+  /** The reference's TOLERANT-coercion acceptance
+    * (`SchemaMergingUtils.coerceObject:616-755` + the per-target coerceToX
+    * helpers, called with toleranceMode=true from `coerceRow:271`): each
+    * target type accepts only WIDENING inputs — `coerceToShort:756` takes
+    * TINYINT alone, `coerceToInt:770` TINYINT/SMALLINT, `coerceToDecimal`
+    * integrals+DECIMAL, `coerceToFloat` those+FLOAT — and a refused cell
+    * becomes NULL, never a truncating cast. Spark's cast is far more
+    * permissive (INT→SMALLINT truncates, FLOAT→SMALLINT rounds), so the
+    * coerce path gates every cast here. String targets accept anything
+    * (`coerceToString` renders); unmapped/complex types stay permissive
+    * (engine-internal columns, not CDC payload).
+    */
+  private[pipeline] def coercible(from: DataType, to: DataType): Boolean = {
+    val integrals: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    if (sameUpToNullability(from, to)) true
+    else to match {
+      case ByteType => from == ByteType
+      case ShortType => Seq[DataType](ByteType, ShortType).contains(from)
+      case IntegerType => integrals.take(3).contains(from)
+      case LongType => integrals.contains(from)
+      case _: DecimalType => from.isInstanceOf[DecimalType] || integrals.contains(from)
+      case FloatType =>
+        from == FloatType || from.isInstanceOf[DecimalType] || integrals.contains(from)
+      case DoubleType =>
+        Seq[DataType](FloatType, DoubleType).contains(from) ||
+          from.isInstanceOf[DecimalType] || integrals.contains(from)
+      case StringType => true
+      case BinaryType => from == BinaryType
+      case DateType | TimestampType | TimestampNTZType =>
+        Seq[DataType](DateType, TimestampType, TimestampNTZType).contains(from)
+      case _ => true
+    }
+  }
+
   def coerce(df: DataFrame, target: StructType): DataFrame = {
     val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(target.fields.map { f =>
       present.get(f.name) match {
         case Some(dt) if sameUpToNullability(dt, f.dataType) => col(f.name)
-        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) if coercible(dt, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        // refused coercion: tolerance mode NULLS the cell
+        case Some(_) => lit(null).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }.toIndexedSeq: _*)
@@ -113,7 +169,10 @@ object SchemaDerivator {
         present.get(f.name) match {
           case Some(dt) if sameUpToNullability(dt, f.dataType) =>
             col(s"$c.${f.name}").as(f.name)
-          case Some(_) => col(s"$c.${f.name}").cast(f.dataType).as(f.name)
+          case Some(dt) if coercible(dt, f.dataType) =>
+            col(s"$c.${f.name}").cast(f.dataType).as(f.name)
+          // refused coercion: tolerance mode NULLS the cell (coerceRow:271)
+          case Some(_) => lit(null).cast(f.dataType).as(f.name)
           case None => chained match {
             case Some(n) => col(s"$c.$n").cast(f.dataType).as(f.name)
             case None => lit(null).cast(f.dataType).as(f.name)

@@ -78,6 +78,16 @@ trait ChangeSource {
     * default. Driver/executor-cheap: called once per partition read. */
   def renameHistory: Seq[(Long, Map[String, String])] = Seq.empty
 
+  /** Connector metadata for a SNAPSHOT row, by key. Default empty: real
+    * database snapshots are reads, not log records, and carry no per-row
+    * metadata. The values-style scripted source overrides it so a BOUNDED
+    * (batch runtime-mode) run reproduces the reference's event-replay
+    * semantics — the values connector's batch fixtures stamp `op_ts` on
+    * every insert (`ValuesDataSourceHelper.transformBatchTable:1034-1100`)
+    * and the batch ITCases assert it reaches the sink
+    * (`FlinkPipelineBatchComposerITCase.testTransformInBatchMode:404`). */
+  def snapshotMeta(key: Long): Map[String, String] = Map.empty
+
   /** numeric PK of a data event — the key lives in `before` for DELETE
     * (`DataChangeEvent.java` before/after contract). */
   def keyOfEvent(e: DataChangeEvent): Long = {
@@ -138,22 +148,37 @@ class ScriptedChangeSource(
       }
   }
 
+  /** per-key metadata of the event that last wrote the row — lets a BOUNDED
+    * read replay the fixture's stamped metadata (see
+    * [[ChangeSource.snapshotMeta]]) */
+  private val rowMeta = scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
+
   def append(event: DataChangeEvent, tsMillis: Long = 0L): Long = synchronized {
     offset += 1
     event.op match {
-      case OperationType.DELETE => table.remove(keyOf(event.before))
+      case OperationType.DELETE =>
+        table.remove(keyOf(event.before))
+        rowMeta.remove(keyOf(event.before))
       case OperationType.UPDATE | OperationType.REPLACE =>
         // a PK-changing UPDATE is delete+insert (the reference models it the
         // same way); leaving the stale row under the old key would make the
         // snapshot disagree with the log-derived materialization
-        if (event.before.nonEmpty && keyOf(event.before) != keyOf(event.after))
+        if (event.before.nonEmpty && keyOf(event.before) != keyOf(event.after)) {
           table.remove(keyOf(event.before))
+          rowMeta.remove(keyOf(event.before))
+        }
         table(keyOf(event.after)) = event.after
-      case _ => table(keyOf(event.after)) = event.after
+        rowMeta(keyOf(event.after)) = event.meta
+      case _ =>
+        table(keyOf(event.after)) = event.after
+        rowMeta(keyOf(event.after)) = event.meta
     }
     log += LogRecord(offset, tsMillis, event)
     offset
   }
+
+  override def snapshotMeta(key: Long): Map[String, String] =
+    synchronized(rowMeta.getOrElse(key, Map.empty))
 
   /** Append a DDL statement to the log: evolves the live schema (the catalog)
     * and records the event at its log position, exactly where a binlog carries

@@ -540,8 +540,14 @@ final class CdcReaderFactory(envSchema: StructType, payload: StructType)
           }
         }
         ChangeSourceRegistry.reportChunkHW(srcId, chunkIdx, hw)
-        val it = rows.valuesIterator
-          .map(r => envRow(source.tableId.identifier, "INSERT", null, r, hw))
+        // snapshot rows carry the source's per-key metadata, if it keeps any
+        // (scripted/values sources replay stamped metadata in bounded mode —
+        // ChangeSource.snapshotMeta; real DB snapshots return empty)
+        val it = rows.iterator
+          .map { case (k, r) =>
+            envRow(source.tableId.identifier, "INSERT", null, r, hw,
+              source.snapshotMeta(k))
+          }
         iteratorReader(it)
 
       case LogRangePartition(srcId, from, to, chunkRanges) =>

@@ -141,15 +141,18 @@ class SchemaMergingSpec extends AnyFunSuite {
       leastCommonType(IntT(nullable = false), BigIntT(nullable = false)) ==
         BigIntT(nullable = false))
   }
-  test("leastCommonSchema widens, appends, and nullable-izes missing") {
+  test("leastCommonSchema widens common columns, keeps others UNCHANGED") {
+    // reference getLeastCommonSchema (:158-170): current-only columns copy
+    // as-is and upcoming-only columns append with THEIR declared type —
+    // only columns present on BOTH sides merge through the lattice
     val cur = Seq("id" -> IntT(nullable = false), "name" -> StringT(), "x" -> IntT())
     val up = Seq("id" -> BigIntT(), "name" -> StringT(), "y" -> DoubleT(nullable = false))
     val merged = leastCommonSchema(cur, up)
     assert(merged == Seq(
       "id" -> BigIntT(),
       "name" -> StringT(),
-      "x" -> IntT(), // missing from upcoming → nullable (already was)
-      "y" -> DoubleT()))
+      "x" -> IntT(), // missing from upcoming → kept as-is
+      "y" -> DoubleT(nullable = false))) // appended with its own declared type
   }
   test("leastCommonSchema ORs nullability even when the base type is unchanged") {
     // reference getLeastCommonSchema has no same-type shortcut: a NOT NULL

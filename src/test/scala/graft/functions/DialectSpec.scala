@@ -88,6 +88,34 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.translate("NOW() > x") == "NOW() > x")
   }
 
+  test("non-UTC zone: NOW stays the UNSHIFTED instant, LOCALTIMESTAMP shifts") {
+    // SystemFunctionUtils.currentTimestamp:56/now:61 return the raw epoch
+    // instant; only localtimestamp:65 (and time/date parts) shift into the
+    // pipeline zone
+    val r = Dialect.translate(
+      "NOW() > x AND LOCALTIMESTAMP > y AND CURRENT_DATE = d",
+      epochTimeColumn = Some("__e__"), timeZone = "Asia/Shanghai")
+    assert(r.contains("timestamp_millis(__e__) > x"),
+      s"NOW must stay unshifted, got $r")
+    assert(r.contains("from_utc_timestamp(timestamp_millis(__e__), 'Asia/Shanghai') > y"))
+    assert(r.contains("to_date(from_utc_timestamp(timestamp_millis(__e__), 'Asia/Shanghai')) = d"))
+    // CAST(NOW() AS TIMESTAMP) goes through castToTimestamp(LTZ, tz):1031 —
+    // the ONE cast point where the zone reappears
+    val c = Dialect.translate("CAST(NOW() AS TIMESTAMP)",
+      epochTimeColumn = Some("__e__"), timeZone = "Asia/Shanghai")
+    assert(c.contains("from_utc_timestamp"), s"cast-to-TIMESTAMP must shift, got $c")
+  }
+
+  test("graft_round accepts negative and expression scales (non-decimal operands)") {
+    DialectCastExpr.ensureRegistered(spark)
+    val row = spark.sql(
+      "SELECT graft_round(12345, -2) AS a, graft_round(5.555D, 1 + 1) AS b, " +
+        "graft_round(CAST(5.555 AS FLOAT), 2) AS c").head()
+    assert(row.getInt(0) == 12300)
+    assert(row.getDouble(1) == 5.56)
+    assert(row.getFloat(2) == 5.56f)
+  }
+
   test("TIMESTAMP_DIFF alias and rewritten SQL parse and evaluate in Spark") {
     assert(Dialect.translate("TIMESTAMP_DIFF(DAY, a, b)") == "TIMESTAMPDIFF(DAY, a, b)")
     val sql = Dialect.translate(

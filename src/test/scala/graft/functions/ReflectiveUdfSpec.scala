@@ -43,4 +43,32 @@ class ReflectiveUdfSpec extends AnyFunSuite {
       new ReflectiveUdf("bad", new java.lang.Object))
     assert(e.getMessage.contains("eval"))
   }
+
+  test("typed return classes map beyond primitives (BigDecimal, byte[], temporal)") {
+    class DecimalReturning extends Serializable {
+      def eval(s: String): java.math.BigDecimal = new java.math.BigDecimal(s)
+    }
+    class BytesReturning extends Serializable {
+      def eval(s: String): Array[Byte] = s.getBytes("UTF-8")
+    }
+    class TsReturning extends Serializable {
+      def eval(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    }
+    assert(new ReflectiveUdf("d", new DecimalReturning).returnType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    assert(new ReflectiveUdf("b", new BytesReturning).returnType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(new ReflectiveUdf("t", new TsReturning).returnType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("conflicting eval return types fail loudly instead of a coin-flip schema") {
+    class Conflicting extends Serializable {
+      def eval(i: Integer): Integer = i
+      def eval(s: String): java.lang.Double = s.toDouble
+    }
+    val e = intercept[IllegalArgumentException](
+      new ReflectiveUdf("conflict", new Conflicting).returnType)
+    assert(e.getMessage.contains("conflicting return types"))
+  }
 }

@@ -196,6 +196,16 @@ class TransformOpSpec extends AnyFunSuite {
     assert(TransformOp.referencedColumns(rule, Seq("id", "name", "bal", "unused")) ==
       Seq("id", "name", "bal"))
   }
+
+  test("metaKeyColumns skips string literals and backquoted ALIASES") {
+    // a backquoted alias names an OUTPUT column; a backtick inside a string
+    // literal is data — neither is a source-metadata read
+    val rule = TransformRule("db.t",
+      projection = Some("id, UPPER(name) AS `my-col`, '`tick`' AS lit, `op_ts`"),
+      filter = Some("`shard-id` > 0"))
+    assert(TransformOp.metaKeyColumns(rule, Seq("id", "name")).sorted ==
+      Seq("op_ts", "shard-id"))
+  }
 }
 
 class TableIdRouterSpec extends AnyFunSuite {

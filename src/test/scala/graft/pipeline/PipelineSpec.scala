@@ -337,7 +337,10 @@ class PipelineComposerSpec extends AnyFunSuite {
         TransformRule("db.t", projection = Some("id, age"), filter = Some("age >= 20"))))
     val composer = new PipelineComposer(pdef, new MemoryDatabase)
     val e = intercept[IllegalArgumentException](composer.createTables(Map(t -> s)))
-    assert(e.getMessage.contains("disagree on output columns"), e.getMessage)
+    // the reference's strictlyMergeSchemas phrasing (SchemaMergingUtils:373)
+    assert(e.getMessage.contains("more than one column name views"), e.getMessage)
+    assert(e.getMessage.contains("[id, name]") && e.getMessage.contains("[id, age]"),
+      e.getMessage)
   }
 
   test("processBatch over many micro-batches leaves no cached plans behind") {
