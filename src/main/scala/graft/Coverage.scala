@@ -46,7 +46,8 @@ object Coverage {
     "13 PostTransformOperator (projection/filter both images, multi-rule dispatch)" ->
       Seq("t_projection", "t_filter", "c_conformance_calculated_columns",
         "c_conformance_wildcard_evolution", "c_conformance_multi_dispatch",
-        "c_conformance_dispatch_ref_cols", "c_conformance_multi_transform_asterisk",
+        "c_conformance_dispatch_ref_cols", "c_conformance_schema_nullability",
+        "c_conformance_multi_transform_asterisk",
         "c_conformance_multi_transform_missing_proj",
         "c_conformance_multi_transform_null_empty_asterisk",
         "c_conformance_multi_transform_incompatible",
@@ -104,7 +105,8 @@ object Coverage {
         "c_conformance_regular_merged",
         "c_conformance_distributed_lenient",
         "c_conformance_distributed_ignore_trim",
-        "c_conformance_unixtime_functions"),
+        "c_conformance_unixtime_functions", "c_conformance_to_timestamp",
+        "c_conformance_schema_nullability"),
     "29 Batch schema variant + runtime-mode BATCH" ->
       Seq("c_schema_coerce", "c_conformance_batch_single_table",
         "c_conformance_batch_transform", "c_conformance_batch_multi_tables",
@@ -152,7 +154,8 @@ object Coverage {
         "c_conformance_substring_functions"),
     "41 Temporal fns (epoch-bound tz-aware NOW family, SDF DATE_FORMAT, FROM_UNIXTIME/UNIX_TIMESTAMP)" ->
       Seq("t_temporal", "t_timestamp_tz", "c_conformance_temporal_functions",
-        "c_conformance_timestamp_formats", "c_conformance_unixtime_functions"),
+        "c_conformance_timestamp_formats", "c_conformance_unixtime_functions",
+        "c_conformance_to_timestamp"),
     "42 Conditional (CASE, COALESCE, IF, NULLIF)" ->
       Seq("t_conditional", "c_conformance_conditional_functions"),
     "43 CAST matrix (ANSI overflow)" ->

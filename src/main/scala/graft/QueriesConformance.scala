@@ -1249,6 +1249,91 @@ object QueriesConformance {
         .orderBy("zone", "id")
     }),
 
+    // UnifiedTransformOperatorTest.testSchemaNullabilityTransform: the
+    // transform processor's derived schema marks PRIMARY-KEY columns
+    // NOT NULL (nullable source id -> `id` INT NOT NULL post-transform),
+    // keeps passthrough columns' declared nullability (name/age stay
+    // NOT NULL), and computed columns are nullable.
+    "c_conformance_schema_nullability" -> ((s, _) => {
+      val t = TableId.parse("default_schema.schema_nullability")
+      val src = new ScriptedChangeSource(t,
+        TableSchema(
+          StructType(Seq(
+            StructField("id", IntegerType),
+            StructField("name", Str, nullable = false),
+            StructField("age", IntegerType, nullable = false))),
+          primaryKeys = Seq("id")), Seq.empty)
+      val id = freshId("nullab")
+      registered(id -> src) {
+        val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+          extraYaml =
+            """transform:
+              |  - source-table: default_schema.schema_nullability
+              |    projection: "id, name, age, id + age as computed"
+              |    filter: "id > 100"""".stripMargin) { _ =>
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 1000, "name" -> "Alice", "age" -> 17)))
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 2000, "name" -> "Bob", "age" -> 18)))
+          src.append(DataChangeEvent.update(t,
+            Map("id" -> 2000, "name" -> "Bob", "age" -> 18),
+            Map("id" -> 2000, "name" -> "Barcarolle", "age" -> 16)))
+          src.append(DataChangeEvent.insert(t,
+            Map("id" -> 50, "name" -> "Carol", "age" -> 19))) // filtered
+          src.append(DataChangeEvent.delete(t,
+            Map("id" -> 1000, "name" -> "Alice", "age" -> 17)))
+        }
+        val sch = db.schemaOf(t).getOrElse(sys.error(s"missing $t"))
+        require(!sch.struct("id").nullable,
+          s"pk id must force NOT NULL post-transform, got ${sch.struct("id")}")
+        require(!sch.struct("name").nullable && !sch.struct("age").nullable,
+          s"passthrough NOT NULL columns keep their declaration, got $sch")
+        require(sch.struct("computed").nullable,
+          s"computed columns are nullable, got ${sch.struct("computed")}")
+        requireEventSequence(db, t, Seq(
+          "create:id,name,age,computed",
+          "before=[], after=[1000, Alice, 17, 1017], op=INSERT, meta=()",
+          "before=[], after=[2000, Bob, 18, 2018], op=INSERT, meta=()",
+          "before=[2000, Bob, 18, 2018], after=[2000, Barcarolle, 16, 2016], " +
+            "op=UPDATE, meta=()",
+          "before=[1000, Alice, 17, 1017], after=[], op=DELETE, meta=()"))
+        stateDf(s, db, t).orderBy("id")
+      }
+    }),
+
+    // PostTransformOperatorTest.testTimestampTransform/.testTimezoneTransform
+    // :~880/2020 + SystemFunctionUtils.toTimestamp:131/toDate:123:
+    // TO_TIMESTAMP parses through SimpleDateFormat in the PIPELINE zone and
+    // reinterprets the epoch millis ZONE-LESS (TimestampData.fromMillis) —
+    // so under Asia/Shanghai the result is the parsed instant's UTC wall
+    // clock, 8h behind the input string; TO_DATE round-trips instant →
+    // local date at the zone, so the string's own date survives any zone.
+    // DATE_FORMAT(TO_TIMESTAMP(...)) composes (testTimezoneTransform).
+    "c_conformance_to_timestamp" -> ((s, _) => {
+      import s.implicits._
+      def run(zone: String): Seq[(String, Int, String, String, String, String)] = {
+        val t = TableId.parse("default_schema.t2ts")
+        val src = new ScriptedChangeSource(t,
+          schemaOf("id" -> IntegerType, "v" -> Str)("id"), Seq.empty)
+        val id = freshId(s"tots-${zone.replaceAll("[^A-Za-z]", "")}")
+        registered(id -> src) {
+          val db = runPipeline(s, Seq(id -> src), "EVOLVE",
+            extraYaml =
+              """transform:
+                |  - source-table: default_schema.t2ts
+                |    projection: "id, CAST(TO_TIMESTAMP('2024-08-01 00:00:00') AS STRING) AS ts_s, CAST(TO_TIMESTAMP('2024/08/01 12.34.56', 'yyyy/MM/dd HH.mm.ss') AS STRING) AS tsf_s, CAST(TO_DATE('2024-08-01') AS STRING) AS dt_s, DATE_FORMAT(TO_TIMESTAMP('2024-08-01 00:00:00'), 'yyyy-MM-dd HH:mm:ss') AS dfmt"""".stripMargin,
+            pipelineExtra = s"  local-time-zone: $zone") { _ =>
+            src.append(DataChangeEvent.insert(t, Map("id" -> 1, "v" -> "x")))
+          }
+          stateDf(s, db, t).collect().toSeq.map(r =>
+            (zone, r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+              r.getString(4)))
+        }
+      }
+      (run("UTC") ++ run("Asia/Shanghai"))
+        .toDF("zone", "id", "ts_s", "tsf_s", "dt_s", "dfmt").orderBy("zone")
+    }),
+
     // SchemaEvolveTest.testLenientSchemaEvolves:1785-2184 — LENIENT over a
     // source with a NOT-NULL column: a rename of {name NOT NULL, age}
     // derives ADD(namae, toshi) PLUS AlterColumnType(name -> nullable
@@ -5014,6 +5099,17 @@ object QueriesConformance {
         |AS t(id, name, age, score, height) ORDER BY id""".stripMargin,
     "c_conformance_evolve_failure" ->
       "SELECT 'EVOLVE' AS behavior, true AS faulted",
+    "c_conformance_schema_nullability" ->
+      """SELECT * FROM (VALUES
+        |  (2000, 'Barcarolle', 16, 2016))
+        |AS t(id, name, age, computed)""".stripMargin,
+    "c_conformance_to_timestamp" ->
+      """SELECT * FROM (VALUES
+        |  ('Asia/Shanghai', 1, '2024-07-31 16:00:00', '2024-08-01 04:34:56',
+        |   '2024-08-01', '2024-07-31 16:00:00'),
+        |  ('UTC', 1, '2024-08-01 00:00:00', '2024-08-01 12:34:56',
+        |   '2024-08-01', '2024-08-01 00:00:00'))
+        |AS t(zone, id, ts_s, tsf_s, dt_s, dfmt) ORDER BY zone""".stripMargin,
     "c_conformance_unixtime_functions" ->
       """SELECT * FROM (VALUES
         |  ('Asia/Shanghai', 1, '1970-01-01 08:00:44', '1970/01/01 08-00-44',

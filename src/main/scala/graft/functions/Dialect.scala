@@ -181,6 +181,20 @@ object Dialect {
     // (DialectDateFormatExpr) — rewritten BEFORE the now-family binding so
     // the binding's own emitted date_format() calls stay native
     r = r.replaceAll("(?i)\\bDATE_FORMAT\\s*\\(", "graft_date_format(")
+    // FROM_UNIXTIME / UNIX_TIMESTAMP / TO_TIMESTAMP / TO_DATE are
+    // SimpleDateFormat render/parse in the PIPELINE zone
+    // (`SystemFunctionUtils.fromUnixtime:84` / `.unixTimestamp:92-103` /
+    // `.toTimestamp:131` / `.toDate:123`); Spark's natives use the SESSION
+    // zone. Rewritten BEFORE the now-family binding, whose CURRENT_DATE
+    // emits a NATIVE to_date() that must stay untouched. The no-arg
+    // UNIX_TIMESTAMP() is the record epoch in seconds (:92).
+    epochCol.foreach { ec =>
+      r = r.replaceAll("(?i)\\bUNIX_TIMESTAMP\\s*\\(\\s*\\)", s"($ec div 1000)")
+    }
+    r = r.replaceAll("(?i)\\bFROM_UNIXTIME\\s*\\(", "graft_from_unixtime(")
+    r = r.replaceAll("(?i)\\bUNIX_TIMESTAMP\\s*\\(", "graft_unix_timestamp(")
+    r = r.replaceAll("(?i)\\bTO_TIMESTAMP\\s*\\(", "graft_to_timestamp(")
+    r = r.replaceAll("(?i)\\bTO_DATE\\s*\\(", "graft_to_date(")
     // epoch-time binding for now-ish functions. NOW()/CURRENT_TIMESTAMP are
     // the TRUE epoch instant — `SystemFunctionUtils.currentTimestamp:56` /
     // `now:61` return `LocalZonedTimestampData.fromEpochMillis` UNSHIFTED
@@ -218,15 +232,6 @@ object Dialect {
         "(?i)\\bLOCALTIME\\b",
         s"date_format($local, 'HH:mm:ss')")
     }
-    // FROM_UNIXTIME / UNIX_TIMESTAMP are SimpleDateFormat render/parse in
-    // the PIPELINE zone (`SystemFunctionUtils.fromUnixtime:84` /
-    // `.unixTimestamp:92-103`); Spark's natives use the SESSION zone. The
-    // no-arg UNIX_TIMESTAMP() is the record epoch in seconds (:92).
-    epochCol.foreach { ec =>
-      r = r.replaceAll("(?i)\\bUNIX_TIMESTAMP\\s*\\(\\s*\\)", s"($ec div 1000)")
-    }
-    r = r.replaceAll("(?i)\\bFROM_UNIXTIME\\s*\\(", "graft_from_unixtime(")
-    r = r.replaceAll("(?i)\\bUNIX_TIMESTAMP\\s*\\(", "graft_unix_timestamp(")
     // TIMESTAMP_DIFF alias (reference registers both spellings)
     r = r.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")
     // type-PRESERVING ceil/floor (SystemFunctionUtils.java:594-675 returns

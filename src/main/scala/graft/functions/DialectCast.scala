@@ -230,6 +230,70 @@ case class UnixTimestampExpr(child: Expression, patternExpr: Expression, zoneId:
   override def prettyName: String = "graft_unix_timestamp"
 }
 
+/** `TO_TIMESTAMP(str[, format])` — SimpleDateFormat parse in the PIPELINE
+  * zone, then `TimestampData.fromMillis` REINTERPRETS the epoch millis as a
+  * zone-less timestamp (`SystemFunctionUtils.toTimestamp:131-144`) — i.e.
+  * under a non-UTC pipeline the result is the UTC wall clock of the parsed
+  * instant, shifted from the input string by the zone offset. A parse
+  * failure THROWS (the reference wraps the ParseException).
+  */
+case class ToTimestampExpr(child: Expression, patternExpr: Expression, zoneId: String)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = patternExpr
+  override def dataType: DataType = TimestampNTZType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val p = patternExpr.eval(input)
+    if (v == null || p == null) return null
+    val sdf = new java.text.SimpleDateFormat(p.toString, java.util.Locale.ROOT)
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone(zoneId))
+    val millis =
+      try sdf.parse(v.toString).getTime
+      catch {
+        case e: java.text.ParseException =>
+          throw new RuntimeException(e) // the reference's exact wrap (:142)
+      }
+    millis * 1000L // micros since epoch, read as NTZ (fromMillis semantics)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ToTimestampExpr =
+    copy(child = newLeft, patternExpr = newRight)
+  override def prettyName: String = "graft_to_timestamp"
+}
+
+/** `TO_DATE(str[, format])` — parse in the PIPELINE zone, then take the
+  * LOCAL DATE at that zone (`DateTimeUtils.parseDate:109-115` round-trips
+  * instant → ZonedDateTime → toLocalDate, so the string's own date comes
+  * back under any zone). Parse failure inherits the MIN_VALUE-instant
+  * behavior of `internalParseTimestampMillis` (:117-131).
+  */
+case class ToDateExpr(child: Expression, patternExpr: Expression, zoneId: String)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = patternExpr
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val p = patternExpr.eval(input)
+    if (v == null || p == null) return null
+    val sdf = new java.text.SimpleDateFormat(p.toString, java.util.Locale.ROOT)
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone(zoneId))
+    val millis =
+      try sdf.parse(v.toString).getTime
+      catch { case _: java.text.ParseException => Long.MinValue }
+    java.time.ZonedDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(millis), java.time.ZoneId.of(zoneId))
+      .toLocalDate.toEpochDay.toInt
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ToDateExpr =
+    copy(child = newLeft, patternExpr = newRight)
+  override def prettyName: String = "graft_to_date"
+}
+
 case class DialectRoundExpr(child: Expression, scaleExpr: Expression)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = child
@@ -472,6 +536,20 @@ object DialectCastExpr {
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         UnixTimestampExpr(exprs.head,
           if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_to_timestamp",
+      { exprs =>
+        val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
+        ToTimestampExpr(exprs.head,
+          if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_to_date",
+      { exprs =>
+        val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
+        ToDateExpr(exprs.head,
+          if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd"), tz)
       }, "built-in")
   }
 }

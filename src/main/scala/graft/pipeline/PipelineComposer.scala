@@ -126,8 +126,21 @@ final class PipelineComposer(
       val rule = rules.find(_.primaryKeys.nonEmpty).getOrElse(rules.head)
       val partitionRule = rules.find(_.partitionKeys.nonEmpty).getOrElse(rules.head)
       val optionRules = rules
+      // a rule with a PROJECTION or FILTER runs the transform processor,
+      // whose derived schema marks primary-key columns NOT NULL
+      // (`UnifiedTransformOperatorTest.testSchemaNullabilityTransform`
+      // expects `id` INT NOT NULL post-transform over a nullable source
+      // id; the composer ITCases' matched-table creates agree). A
+      // metadata-ONLY rule passes the shape through untouched —
+      // `testExplicitPrimaryKeyWithNullable:1981` keeps BOTH id and the
+      // overridden pk `name` nullable.
+      val hasProcessor = rules.exists(r => r.projection.nonEmpty || r.filter.nonEmpty)
+      val finalStruct =
+        if (!hasProcessor) mergedStruct
+        else org.apache.spark.sql.types.StructType(mergedStruct.fields.map(f =>
+          if (effectivePks.contains(f.name)) f.copy(nullable = false) else f))
       TableSchema(
-        mergedStruct,
+        finalStruct,
         primaryKeys = if (rule.primaryKeys.nonEmpty) rule.primaryKeys else source.primaryKeys,
         partitionKeys =
           if (partitionRule.partitionKeys.nonEmpty) partitionRule.partitionKeys
