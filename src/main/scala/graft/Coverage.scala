@@ -106,7 +106,8 @@ object Coverage {
         "c_conformance_distributed_lenient",
         "c_conformance_distributed_ignore_trim",
         "c_conformance_unixtime_functions", "c_conformance_to_timestamp",
-        "c_conformance_schema_nullability"),
+        "c_conformance_schema_nullability",
+        "c_conformance_mid_asterisk_evolution"),
     "29 Batch schema variant + runtime-mode BATCH" ->
       Seq("c_schema_coerce", "c_conformance_batch_single_table",
         "c_conformance_batch_transform", "c_conformance_batch_multi_tables",

@@ -4328,6 +4328,65 @@ object QueriesConformance {
     // anchor to the PRE-transform schema (`rank FIRST` → BEFORE id,
     // `gender LAST` → AFTER age) so extend_id stays the trailing column.
     // Final shape (rank, id, name, extend_id).
+    // TransformOperatorWithSchemaEvolveTest.testSchemaChangeWithMidWildcard:
+    // a wildcard with computed columns on BOTH sides (`c1, *, c2`) through
+    // the full five-stage evolution — adds anchor INSIDE the wildcard span
+    // (FIRST -> BEFORE id, LAST -> AFTER age, exactly like the pre/post
+    // asterisk shapes), alters/renames/drops pass through, and both flanks
+    // recompute per image at every stage.
+    "c_conformance_mid_asterisk_evolution" -> ((s, _) => {
+      val db = runEvolutionTransform(s, "midast",
+        "CAST(id AS VARCHAR) || '<' AS c1, *, name || '>' AS c2")
+      val t = TableId.parse("default_schema.mytable1")
+      requireDdlSequence(db, t, Seq(
+        "create:c1,id,name,age,c2",
+        "add:rank BEFORE id,gender AFTER age",
+        "alter:age->double,gender->int,name->string",
+        "rename:age->toshi,gender->biological_sex",
+        "drop:biological_sex,toshi"))
+      def i0(id: Int, n: String, a: Any) = s"$id<, $id, $n, $a, $n>"
+      def i1(r: String, id: Int, n: String, a: Any, g: Any) =
+        s"$id<, $r, $id, $n, $a, $g, $n>"
+      def i2(r: String, id: Int, n: String) = s"$id<, $r, $id, $n, $n>"
+      requireEventSequence(db, t, Seq(
+        "create:c1,id,name,age,c2",
+        s"before=[], after=[${i0(1, "Alice", 21)}], op=INSERT, meta=()",
+        s"before=[], after=[${i0(2, "Barcarolle", 22)}], op=INSERT, meta=()",
+        s"before=[], after=[${i0(3, "Cecily", 23)}], op=INSERT, meta=()",
+        s"before=[${i0(3, "Cecily", 23)}], after=[${i0(3, "Colin", 24)}], op=UPDATE, meta=()",
+        s"before=[${i0(2, "Barcarolle", 22)}], after=[], op=DELETE, meta=()",
+        "add:rank BEFORE id,gender AFTER age",
+        s"before=[], after=[${i1("1st", 4, "Derrida", 24, 0)}], op=INSERT, meta=()",
+        s"before=[], after=[${i1("2nd", 5, "Eve", 25, 1)}], op=INSERT, meta=()",
+        s"before=[${i1("2nd", 5, "Eve", 25, 1)}], after=[${i1("2nd", 5, "Eva", 20, 2)}], " +
+          "op=UPDATE, meta=()",
+        s"before=[], after=[${i1("3rd", 6, "Fiona", 26, 3)}], op=INSERT, meta=()",
+        s"before=[${i1("3rd", 6, "Fiona", 26, 3)}], after=[], op=DELETE, meta=()",
+        "alter:age->double,gender->int,name->string",
+        s"before=[], after=[${i1("4th", 7, "Gem", 19.0, -1)}], op=INSERT, meta=()",
+        s"before=[], after=[${i1("5th", 8, "Helen", 18.0, -2)}], op=INSERT, meta=()",
+        s"before=[${i1("5th", 8, "Helen", 18.0, -2)}], after=[${i1("5th", 8, "Harry", 18.0, -3)}], " +
+          "op=UPDATE, meta=()",
+        s"before=[], after=[${i1("6th", 9, "IINA", 17.0, 0)}], op=INSERT, meta=()",
+        s"before=[${i1("6th", 9, "IINA", 17.0, 0)}], after=[], op=DELETE, meta=()",
+        "rename:age->toshi,gender->biological_sex",
+        s"before=[], after=[${i1("7th", 10, "Julia", 24.0, 1)}], op=INSERT, meta=()",
+        s"before=[], after=[${i1("8th", 11, "Kalle", 23.0, 0)}], op=INSERT, meta=()",
+        s"before=[${i1("8th", 11, "Kalle", 23.0, 0)}], after=[${i1("8th", 11, "Kella", 18.0, 0)}], " +
+          "op=UPDATE, meta=()",
+        s"before=[], after=[${i1("9th", 12, "Lynx", 17.0, 0)}], op=INSERT, meta=()",
+        s"before=[${i1("9th", 12, "Lynx", 17.0, 0)}], after=[], op=DELETE, meta=()",
+        "drop:biological_sex,toshi",
+        s"before=[], after=[${i2("10th", 13, "Munroe")}], op=INSERT, meta=()",
+        s"before=[], after=[${i2("11th", 14, "Neko")}], op=INSERT, meta=()",
+        s"before=[${i2("11th", 14, "Neko")}], after=[${i2("11th", 14, "Nein")}], op=UPDATE, meta=()",
+        s"before=[], after=[${i2("12th", 15, "Oops")}], op=INSERT, meta=()",
+        s"before=[${i2("12th", 15, "Oops")}], after=[], op=DELETE, meta=()"))
+      require(db.schemaOf(t).exists(_.columnNames == Seq("c1", "rank", "id", "name", "c2")),
+        s"mid-wildcard final shape, got ${db.schemaOf(t).map(_.columnNames)}")
+      stateDf(s, db, t).orderBy("id")
+    }),
+
     "c_conformance_pre_asterisk_evolution" -> ((s, _) => {
       val db = runEvolutionTransform(s, "preast",
         "*, CAST(id AS VARCHAR) || ' -> ' || name AS extend_id")
@@ -5307,6 +5366,19 @@ object QueriesConformance {
         |  (10, 'Julia', '10 -> Julia'), (11, 'Kella', '11 -> Kella'),
         |  (13, 'Munroe', '13 -> Munroe'), (14, 'Nein', '14 -> Nein'))
         |AS t(id, name, extend_id) ORDER BY id""".stripMargin,
+    "c_conformance_mid_asterisk_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('1<', CAST(NULL AS VARCHAR), 1, 'Alice', 'Alice>'),
+        |  ('3<', NULL, 3, 'Colin', 'Colin>'),
+        |  ('4<', '1st', 4, 'Derrida', 'Derrida>'),
+        |  ('5<', '2nd', 5, 'Eva', 'Eva>'),
+        |  ('7<', '4th', 7, 'Gem', 'Gem>'),
+        |  ('8<', '5th', 8, 'Harry', 'Harry>'),
+        |  ('10<', '7th', 10, 'Julia', 'Julia>'),
+        |  ('11<', '8th', 11, 'Kella', 'Kella>'),
+        |  ('13<', '10th', 13, 'Munroe', 'Munroe>'),
+        |  ('14<', '11th', 14, 'Nein', 'Nein>'))
+        |AS t(c1, "rank", id, name, c2) ORDER BY id""".stripMargin,
     "c_conformance_pre_asterisk_evolution" ->
       """SELECT * FROM (VALUES
         |  (CAST(NULL AS VARCHAR), 1, 'Alice', '1 -> Alice'),
