@@ -51,10 +51,15 @@ object Coverage {
         "c_conformance_multi_transform_missing_proj",
         "c_conformance_multi_transform_null_empty_asterisk",
         "c_conformance_multi_transform_incompatible",
-        "c_conformance_merging_incompatible_rules"),
+        "c_conformance_merging_incompatible_rules",
+        // round 17: e2e transform crossings
+        "c_e2e_transform_hetero", "c_e2e_multiple_hitting",
+        "c_e2e_transform_cast", "c_e2e_bypass_transform",
+        "c_e2e_evolving_transform_evolve"),
     "14 Projection spec (* expansion, computed cols)" ->
       Seq("t_projection", "c_conformance_calculated_columns",
-        "c_conformance_multi_ref_projection", "c_conformance_large_literals"),
+        "c_conformance_multi_ref_projection", "c_conformance_large_literals",
+        "c_e2e_transform_evolution"),
     "15 Filter spec (original + computed cols)" ->
       Seq("t_filter", "c_conformance_filter_rules", "c_conformance_multi_ref_filter"),
     "16 Metadata columns" ->
@@ -81,24 +86,39 @@ object Coverage {
       Seq("c_ddl_evolution", "s_lenient_union",
         "c_conformance_lenient_single_table", "c_conformance_merge_route",
         "c_conformance_lenient_evolves", "c_conformance_fine_grained",
-        "c_conformance_lenient_tweaks"),
+        "c_conformance_lenient_tweaks",
+        "c_e2e_evolving_transform_merge", "c_e2e_lenient_route"),
     "24 Schema merging/widening lattice" ->
       Seq("s_lenient_union", "c_conformance_merge_route"),
     "25 Behaviors (IGNORE/LENIENT/TRY_EVOLVE/EVOLVE/EXCEPTION)" ->
       Seq("c_ddl_evolution", "c_conformance_single_table",
         "c_conformance_lenient_single_table", "c_conformance_ignore_behavior",
         "c_conformance_exception_behavior", "c_conformance_try_evolve_behavior",
-        "c_conformance_try_evolve_failure", "c_conformance_evolve_failure"),
+        "c_conformance_try_evolve_failure", "c_conformance_evolve_failure",
+        // round 17: the SchemaEvolvingTransformE2e behavior matrix
+        "c_e2e_evolving_transform_evolve", "c_e2e_evolving_transform_merge",
+        "c_e2e_evolving_transform_evolve_error",
+        "c_e2e_evolving_transform_try_evolve_error",
+        "c_e2e_evolving_transform_ignore", "c_e2e_evolving_transform_exception",
+        "c_e2e_evolving_transform_lenient", "c_e2e_evolving_transform_fine_grained",
+        "c_e2e_unexpected_behavior"),
     "26 Sink-side schema-change type filtering (TAG grammar + fine-grained support)" ->
-      Seq("c_cli_pipeline", "c_conformance_fine_grained"),
+      Seq("c_cli_pipeline", "c_conformance_fine_grained",
+        "c_e2e_evolving_transform_fine_grained"),
     "27 TableIdRouter + Selectors (rename/merge/<>)" ->
       Seq("c_route", "c_multi_source_merge",
         "c_conformance_route_one_to_one", "c_conformance_route_replace",
-        "c_conformance_merge_route"),
+        "c_conformance_merge_route",
+        // round 17: the YAML-driven RouteE2eITCase tree
+        "c_e2e_route_default", "c_e2e_route_merge", "c_e2e_route_partial",
+        "c_e2e_route_multiple", "c_e2e_route_one_to_many",
+        "c_e2e_route_merge_transform", "c_e2e_route_replace_symbol",
+        "c_e2e_route_extreme", "c_e2e_route_extreme_stream"),
     "28 Distributed schema variant" ->
       Seq("c_multi_source_merge", "c_conformance_parallelized_single",
         "c_conformance_parallelized_multi",
         "c_conformance_distributed_runner_multi",
+        "c_conformance_distributed_interleaved",
         "c_conformance_distributed_ignore",
         "c_conformance_distributed_exception",
         "c_conformance_regular_parallelism",
@@ -116,7 +136,13 @@ object Coverage {
         "c_conformance_batch_streaming_mode", "c_conformance_batch_multi_splits",
         "c_conformance_batch_two_transform", "c_conformance_batch_optype_metadata",
         "c_conformance_batch_route_one_to_one",
-        "c_conformance_batch_route_identical"),
+        "c_conformance_batch_route_identical",
+        // round 17: RouteE2e batch-mode params (snapshot + BATCH runtime)
+        "c_e2e_route_default_batch", "c_e2e_route_merge_batch",
+        "c_e2e_route_partial_batch", "c_e2e_route_multiple_batch",
+        "c_e2e_route_one_to_many_batch", "c_e2e_route_merge_transform_batch",
+        "c_e2e_route_replace_symbol_batch", "c_e2e_route_extreme",
+        "c_e2e_transform_hetero_batch", "c_e2e_multiple_hitting_batch"),
     "30 PK-hash pre-partition" ->
       Seq("c_upsert"),
     "31 EventPartitioner / per-key ordered delivery" ->
@@ -217,6 +243,8 @@ object Coverage {
         "c_conformance_large_literals",
         // round 16: parallelized variants through the REAL streaming runner
         "c_conformance_distributed_runner_multi",
+        // round 17: round-robin interleaved drain
+        "c_conformance_distributed_interleaved",
         "c_conformance_distributed_ignore",
         "c_conformance_distributed_exception",
         "c_conformance_regular_parallelism",
@@ -239,7 +267,29 @@ object Coverage {
         "c_conformance_batch_two_transform",
         "c_conformance_batch_optype_metadata",
         "c_conformance_batch_route_one_to_one",
-        "c_conformance_batch_route_identical"),
+        "c_conformance_batch_route_identical",
+        // round 17: the YAML e2e tree (RouteE2eITCase ×15, run through the
+        // parsed-YAML PipelineRunner — stream + batch params)
+        "c_e2e_route_default", "c_e2e_route_default_batch",
+        "c_e2e_route_merge", "c_e2e_route_merge_batch",
+        "c_e2e_route_partial", "c_e2e_route_partial_batch",
+        "c_e2e_route_multiple", "c_e2e_route_multiple_batch",
+        "c_e2e_route_one_to_many", "c_e2e_route_one_to_many_batch",
+        "c_e2e_route_merge_transform", "c_e2e_route_merge_transform_batch",
+        "c_e2e_route_replace_symbol", "c_e2e_route_replace_symbol_batch",
+        "c_e2e_route_extreme", "c_e2e_route_extreme_stream",
+        // round 17: SchemaEvolvingTransformE2e + TransformE2e/SchemaEvolveE2e
+        // remainder (subsumption citations in QueriesE2e.scala)
+        "c_e2e_evolving_transform_evolve", "c_e2e_evolving_transform_merge",
+        "c_e2e_evolving_transform_evolve_error",
+        "c_e2e_evolving_transform_try_evolve_error",
+        "c_e2e_evolving_transform_ignore", "c_e2e_evolving_transform_exception",
+        "c_e2e_evolving_transform_lenient", "c_e2e_evolving_transform_fine_grained",
+        "c_e2e_unexpected_behavior",
+        "c_e2e_transform_hetero", "c_e2e_transform_hetero_batch",
+        "c_e2e_multiple_hitting", "c_e2e_multiple_hitting_batch",
+        "c_e2e_transform_cast", "c_e2e_transform_evolution",
+        "c_e2e_lenient_route", "c_e2e_bypass_transform"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

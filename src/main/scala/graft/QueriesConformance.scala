@@ -34,7 +34,7 @@ object QueriesConformance {
 
   private val Str = StringType
 
-  private def schemaOf(cols: (String, DataType)*)(pks: String*): TableSchema =
+  private[graft] def schemaOf(cols: (String, DataType)*)(pks: String*): TableSchema =
     TableSchema(
       StructType(cols.map { case (n, t) => StructField(n, t) }),
       primaryKeys = pks.toSeq)
@@ -75,7 +75,7 @@ object QueriesConformance {
     * appends the fixture's event sequence and calls the provided callback to
     * drain every source — park/evolve/ack on DDL — at each epoch boundary.
     */
-  private def runPipeline(
+  private[graft] def runPipeline(
       s: SparkSession,
       sources: Seq[(String, ScriptedChangeSource)],
       behavior: String,
@@ -92,7 +92,7 @@ object QueriesConformance {
     * Sources beyond `sources` must be pre-registered in the registry and are
     * drained only when the script says so.
     */
-  private def runPipelineR(
+  private[graft] def runPipelineR(
       s: SparkSession,
       sources: Seq[(String, ScriptedChangeSource)],
       behavior: String,
@@ -134,10 +134,11 @@ object QueriesConformance {
     * least-common-schema reduce, running the REAL streaming loop at
     * parallelism = `partitions.size`.
     */
-  private def runDistributedPipeline(
+  private[graft] def runDistributedPipeline(
       s: SparkSession,
       partitions: Seq[(String, ScriptedChangeSource)],
-      behavior: String)(script: (() => Unit) => Unit): MemoryDatabase = {
+      behavior: String,
+      interleaved: Boolean = false)(script: (() => Unit) => Unit): MemoryDatabase = {
     implicit val spark: SparkSession = s
     val ckpt = java.nio.file.Files.createTempDirectory("graft_distributed").toString
     val yaml =
@@ -153,21 +154,22 @@ object QueriesConformance {
          |  schema.change.behavior: $behavior
          |""".stripMargin
     val runner = new PipelineRunner(YamlPipelineParser.parse(yaml))
-    val drain = () => { runner.runDistributed(partitions.map(_._1)); () }
+    val drain = () =>
+      { runner.runDistributed(partitions.map(_._1), interleaved = interleaved); () }
     drain()
     script(drain)
     drain()
     runner.sink.asInstanceOf[MemoryDatabase]
   }
 
-  private def registered[A](sources: (String, ScriptedChangeSource)*)(
+  private[graft] def registered[A](sources: (String, ScriptedChangeSource)*)(
       body: => A): A =
     try {
       sources.foreach { case (id, src) => ChangeSourceRegistry.register(id, src) }
       body
     } finally sources.foreach { case (id, _) => ChangeSourceRegistry.remove(id) }
 
-  private def freshId(tag: String) = s"conformance-$tag-${java.util.UUID.randomUUID()}"
+  private[graft] def freshId(tag: String) = s"conformance-$tag-${java.util.UUID.randomUUID()}"
 
   /** The DistributedSourceFunction dummy-type table
     * (`FlinkParallelizedPipelineITCase` fixture,
@@ -227,7 +229,7 @@ object QueriesConformance {
 
   /** MemoryDatabase rows -> DataFrame with explicit schema (values arrive
     * with the sink table's evolved types). */
-  private def stateDf(
+  private[graft] def stateDf(
       s: SparkSession, db: MemoryDatabase, t: TableId): DataFrame = {
     val schema = db.schemaOf(t).getOrElse(
       throw new IllegalStateException(s"sink table $t missing"))
@@ -2430,6 +2432,69 @@ object QueriesConformance {
       }
     }),
 
+    // The INTERLEAVED round-robin drain of the distributed topology (the
+    // reference's true coordinator concurrency — partitions' micro-batches
+    // alternate; `schema/distributed/SchemaOperator` parks ONE subtask at
+    // its DDL while the others keep streaming): both partitions' whole
+    // multi-stage scripts are appended up front and ONE
+    // runDistributed(interleaved=true) call drains them turn by turn —
+    // partition 0's park-at-ADD happens between partition 1's batches. The
+    // reduce semantics must be EXACTLY those of the serial drain.
+    "c_conformance_distributed_interleaved" -> ((s, _) => {
+      val t = TableId.parse("default_namespace.default_database.table_0")
+      val srcs = (0 until 2).map(_ => new ScriptedChangeSource(
+        t,
+        TableSchema(
+          StructType(Seq(StructField("id", StringType))),
+          primaryKeys = Seq("id"), partitionKeys = Seq("id")),
+        Seq.empty))
+      val ids = (0 until 2).map(k => freshId(s"distint$k"))
+      registered(ids.zip(srcs): _*) {
+        val db = runDistributedPipeline(s, ids.zip(srcs), "LENIENT",
+          interleaved = true) { drain =>
+          // partition 0: rows, ADD col_a, rows; partition 1: rows, ADD
+          // col_b, rows, ADD col_c, row — all appended BEFORE the single
+          // drain, so the round-robin itself sequences the turns
+          (0 until 3).foreach(i =>
+            srcs(0).append(DataChangeEvent.insert(t, Map("id" -> s"10000$i"))))
+          srcs(0).appendDdl(AddColumnEvent(t,
+            Seq(AddColumnEvent.ColumnWithPosition("col_a", CdcTypes.StringT()))))
+          (3 until 5).foreach(i =>
+            srcs(0).append(DataChangeEvent.insert(t,
+              Map("id" -> s"10000$i", "col_a" -> "a"))))
+          (0 until 3).foreach(i =>
+            srcs(1).append(DataChangeEvent.insert(t, Map("id" -> s"20000$i"))))
+          srcs(1).appendDdl(AddColumnEvent(t,
+            Seq(AddColumnEvent.ColumnWithPosition("col_b", CdcTypes.StringT()))))
+          (3 until 5).foreach(i =>
+            srcs(1).append(DataChangeEvent.insert(t,
+              Map("id" -> s"20000$i", "col_b" -> "b"))))
+          srcs(1).appendDdl(AddColumnEvent(t,
+            Seq(AddColumnEvent.ColumnWithPosition("col_c", CdcTypes.StringT()))))
+          srcs(1).append(DataChangeEvent.insert(t,
+            Map("id" -> "200005", "col_b" -> "b", "col_c" -> "c")))
+          drain()
+        }
+        val got = db.schemaOf(t).map(_.columnNames).getOrElse(Seq.empty)
+        require(got.toSet == Set("id", "col_a", "col_b", "col_c"),
+          s"interleaved reduce must union both partitions' views, got $got")
+        val rows = db.rowsOf(t)
+        require(rows.size == 11, s"11 rows expected, got ${rows.size}")
+        // the final row of each partition is populated under its own view
+        val schemaCols = db.schemaOf(t).get.columnNames
+        def nonNullCols(id: String): Set[String] = {
+          val row = rows.find(_.head == id).get
+          schemaCols.zip(row).filter(_._2 != null).map(_._1).toSet
+        }
+        require(nonNullCols("100004") == Set("id", "col_a"),
+          s"p0 final row shape, got ${nonNullCols("100004")}")
+        require(nonNullCols("200005") == Set("id", "col_b", "col_c"),
+          s"p1 final row shape, got ${nonNullCols("200005")}")
+        import s.implicits._
+        Seq(("table_0", rows.size.toLong, got.size)).toDF("tbl", "n_rows", "n_cols")
+      }
+    }),
+
     // FlinkParallelizedPipelineITCase
     // .testDistributedTablesSourceInSingleParallelismWithIgnoreBehavior:410 +
     // .testDistributedTablesSourceInMultipleParallelismWithIgnoreBehavior
@@ -3399,6 +3464,11 @@ object QueriesConformance {
     // (`addone(addone(col1))`), an int-literal dispatch (`typeof(42)` picks
     // the Integer overload), and the VARIADIC format with a mixed
     // String/int argument list — over the full TRANSFORM_TABLE evolution.
+    // Also covers FlinkPipelineUdfITCase.testComplicatedUdf:466: the same
+    // projection and asserted events, declared through the CDC
+    // `UserDefinedFunction` interface instead of ScalarFunction — in graft
+    // both interfaces resolve through the same UdfRegistry dispatch
+    // (PipelineRunner udf wiring), so this gate pins both entry points.
     "c_conformance_complicated_udf" -> ((s, _) => {
       val t = TableId.parse("default_schema.table1")
       val src = new ScriptedChangeSource(t, schemaOf("col1" -> Str, "col2" -> Str)("col1"), Seq.empty)
@@ -4225,7 +4295,10 @@ object QueriesConformance {
 
     // FlinkPipelineTransformITCase.testMetadataColumnWithWildcard:620-647:
     // `*, __namespace_name__, __schema_name__, __table_name__` appends the
-    // metadata columns per 3-part table id.
+    // metadata columns per 3-part table id. Subsumes the wildcard-less
+    // FlinkPipelineTransformITCase.testMetadataColumn:593 (same metadata
+    // identifiers with the columns spelled explicitly instead of `*` — a
+    // strict subset of this projection over the same fixture).
     "c_conformance_metadata_wildcard" -> ((s, _) => {
       val (db, t1, t2) = runTwoTableTransform(s, "metaw",
         """transform:
@@ -5035,10 +5108,10 @@ object QueriesConformance {
     * actually applied. Types render as Spark `simpleString` (VARCHAR(n)
     * erases to `string` — the documented environment type cap).
     */
-  private def renderDdl(e: SchemaChangeEvent): String =
+  private[graft] def renderDdl(e: SchemaChangeEvent): String =
     graft.sinks.EventRender.ddl(e)
 
-  private def requireDdlSequence(
+  private[graft] def requireDdlSequence(
       db: MemoryDatabase, t: TableId, expected: Seq[String]): Unit = {
     val got = db.ddlHistory(t).map(renderDdl)
     require(got == expected,
@@ -5056,7 +5129,7 @@ object QueriesConformance {
     * correct -U/+U image pair from a compensating wrong one — final-state
     * equality cannot.
     */
-  private def requireEventSequence(
+  private[graft] def requireEventSequence(
       db: MemoryDatabase, t: TableId, expected: Seq[String]): Unit = {
     val got = db.eventHistory(t)
     require(got == expected,
@@ -5464,6 +5537,10 @@ object QueriesConformance {
     "c_conformance_distributed_runner_multi" ->
       """SELECT * FROM (VALUES
         |  ('table_0', CAST(74 AS BIGINT), 49))
+        |AS t(tbl, n_rows, n_cols)""".stripMargin,
+    "c_conformance_distributed_interleaved" ->
+      """SELECT * FROM (VALUES
+        |  ('table_0', CAST(11 AS BIGINT), 4))
         |AS t(tbl, n_rows, n_cols)""".stripMargin,
     "c_conformance_batch_streaming_mode" ->
       """SELECT * FROM (VALUES

@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesML.queries ++ QueriesRelational.queries ++
-      QueriesCdc.queries ++ QueriesConformance.queries
+      QueriesCdc.queries ++ QueriesConformance.queries ++ QueriesE2e.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -25,7 +25,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesML.oracles ++ QueriesRelational.oracles ++
-      QueriesCdc.oracles ++ QueriesConformance.oracles
+      QueriesCdc.oracles ++ QueriesConformance.oracles ++ QueriesE2e.oracles
 
   /** SURVEY.md §2 component → the oracle gates that cover it, so a driver
     * run can self-report per-component correctness (see [[Coverage]]).

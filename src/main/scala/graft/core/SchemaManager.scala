@@ -18,7 +18,11 @@ final class SchemaManager {
   def register(tableId: TableId, schema: TableSchema): Int = synchronized {
     val cur = versions.getOrElse(tableId, Vector.empty)
     val next = cur.lastOption.map(_._1 + 1).getOrElse(0)
-    versions.update(tableId, cur :+ (next -> schema))
+    // bounded history (`SchemaManager.java:58` VERSIONS_TO_KEEP = 3): old
+    // versions exist only to coerce in-flight rows of recent epochs; an
+    // unbounded map would grow with every DDL for the job's lifetime
+    val kept = (cur :+ (next -> schema)).takeRight(SchemaManager.VersionsToKeep)
+    versions.update(tableId, kept)
     next
   }
 
@@ -79,11 +83,21 @@ final class SchemaManager {
           }
         }))
         register(t, evolved); evolved
+      // DROP TABLE and TRUNCATE leave the registered schema UNCHANGED
+      // (`SchemaUtils.applySchemaChangeEvent:116-118` — dropTableEvent ->
+      // schema): the table's shape is still needed to route/diff later
+      // events of the OTHER upstreams of a merged sink — removing it would
+      // collapse a merged sink to one dependency and forward raw events the
+      // reference derives through the diff (i.e. swallows).
       case DropTableEvent(t) =>
-        val last = latest(t).getOrElse(sys.error(s"unknown table $t"))
-        versions.remove(t); last
+        latest(t).getOrElse(sys.error(s"unknown table $t"))
       case TruncateTableEvent(t) =>
         latest(t).getOrElse(sys.error(s"unknown table $t"))
     }
   }
+}
+
+object SchemaManager {
+  /** `SchemaManager.java:58` — recent versions kept per table. */
+  val VersionsToKeep = 3
 }

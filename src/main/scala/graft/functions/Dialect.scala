@@ -31,7 +31,7 @@ object Dialect {
     // pre-pass: LIKE <literal> ESCAPE '<c>' needs the pattern literal, so it
     // resolves BEFORE literal segmentation (see foldLikeEscape); CAST
     // rewriting is also literal-aware and recursive, so it runs on raw SQL
-    val sql = rewriteCasts(foldLikeEscape(sql0))
+    val sql = rewriteCasts(foldLikeEscape(rewriteTimestampUnits(sql0)))
     // split into string-literal and non-literal segments; rewrite only outside
     val out = new StringBuilder
     var i = 0
@@ -84,6 +84,39 @@ object Dialect {
       }
       scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '${sb.toString}'")
     })
+  }
+
+  /** TIMESTAMPDIFF/TIMESTAMPADD unit handling — a RAW-SQL pre-pass (the
+    * quoted-literal unit form must be visible, so this runs before literal
+    * segmentation). The reference registers both spellings
+    * (`TransformParserTest.java:240-310`): `TIMESTAMPDIFF(DAY, …)` takes a
+    * bare-identifier unit, `TIMESTAMP_DIFF('day', …)` a string literal.
+    * Units are validated per the reference translator
+    * (`testTranslateFilterToJaninoExpressionError:394`): only
+    * SECOND/MINUTE/HOUR/DAY/MONTH/YEAR — a Calcite-parseable interval
+    * keyword outside the set (QUARTER, WEEK, …) refuses with the exact
+    * "Unsupported time interval unit" wording, an unknown identifier
+    * (SECONDS) with the parse failure. Spark's native timestampdiff would
+    * happily take QUARTER — gated here — and needs the unit unquoted.
+    */
+  private def rewriteTimestampUnits(sql0: String): String = {
+    var r = sql0.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")
+    val tsUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
+    val calciteIntervalKeywords = tsUnits ++ Set(
+      "QUARTER", "WEEK", "MILLISECOND", "MICROSECOND", "NANOSECOND", "EPOCH")
+    val tsCall = "(?i)\\bTIMESTAMP(DIFF|ADD)\\s*\\(\\s*'?([A-Za-z_]+)'?\\s*,".r
+    tsCall.findAllMatchIn(r).foreach { m =>
+      val fn = if (m.group(1).equalsIgnoreCase("DIFF")) "diff" else "add"
+      val unit = m.group(2).toUpperCase(java.util.Locale.ROOT)
+      if (!tsUnits.contains(unit)) {
+        if (calciteIntervalKeywords.contains(unit))
+          throw new IllegalArgumentException(
+            s"""Unsupported time interval unit in timestamp $fn function: "$unit"""")
+        else throw new IllegalArgumentException("Statements can not be parsed.")
+      }
+    }
+    r.replaceAll(
+      "(?i)\\b(TIMESTAMPDIFF|TIMESTAMPADD)\\s*\\(\\s*'([A-Za-z_]+)'\\s*,", "$1($2,")
   }
 
   /** Rewrite dialect CASTs (recursive, string-literal-aware):
@@ -232,8 +265,6 @@ object Dialect {
         "(?i)\\bLOCALTIME\\b",
         s"date_format($local, 'HH:mm:ss')")
     }
-    // TIMESTAMP_DIFF alias (reference registers both spellings)
-    r = r.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")
     // type-PRESERVING ceil/floor (SystemFunctionUtils.java:594-675 returns
     // the operand's own type; Spark's return BIGINT for doubles)
     r = r.replaceAll("(?i)\\bCEIL\\s*\\(", "graft_ceil(")

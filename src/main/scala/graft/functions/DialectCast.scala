@@ -188,6 +188,11 @@ case class FromUnixTimeExpr(child: Expression, patternExpr: Expression, zoneId: 
       case i: Int => i.toLong
       case s: Short => s.toLong
       case b: Byte => b.toLong
+      // Calcite implicitly casts the operand to BIGINT (fromUnixtime takes
+      // long) — DECIMAL/DOUBLE truncate via longValue, like that cast
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal.longValue
+      case d: Double => d.toLong
+      case f: Float => f.toLong
       case other => return null
     }
     try {
@@ -523,9 +528,17 @@ object DialectCastExpr {
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         DialectDateFormatExpr(exprs.head, exprs(1), tz)
       }, "built-in")
+    // a bare UNIX_TIMESTAMP()/FROM_UNIXTIME() with no operands would reach
+    // exprs.head and die with an opaque NoSuchElementException at analysis —
+    // refuse with the required signature instead (the reference validates
+    // operand counts in its SqlOperandCountRanges)
+    def requireArity(name: String, exprs: Seq[Expression], usage: String): Unit =
+      if (exprs.isEmpty) throw new IllegalArgumentException(
+        s"$name requires at least one argument: $usage")
     reg.createOrReplaceTempFunction(
       "graft_from_unixtime",
       { exprs =>
+        requireArity("FROM_UNIXTIME", exprs, "FROM_UNIXTIME(seconds[, format])")
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         FromUnixTimeExpr(exprs.head,
           if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
@@ -533,6 +546,7 @@ object DialectCastExpr {
     reg.createOrReplaceTempFunction(
       "graft_unix_timestamp",
       { exprs =>
+        requireArity("UNIX_TIMESTAMP", exprs, "UNIX_TIMESTAMP(dateStr[, format])")
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         UnixTimestampExpr(exprs.head,
           if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
@@ -540,6 +554,7 @@ object DialectCastExpr {
     reg.createOrReplaceTempFunction(
       "graft_to_timestamp",
       { exprs =>
+        requireArity("TO_TIMESTAMP", exprs, "TO_TIMESTAMP(str[, format])")
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         ToTimestampExpr(exprs.head,
           if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
@@ -547,6 +562,7 @@ object DialectCastExpr {
     reg.createOrReplaceTempFunction(
       "graft_to_date",
       { exprs =>
+        requireArity("TO_DATE", exprs, "TO_DATE(str[, format])")
         val tz = SparkSession.active.conf.get("spark.graft.local.tz", "UTC")
         ToDateExpr(exprs.head,
           if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd"), tz)

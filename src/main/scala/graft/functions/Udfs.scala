@@ -171,17 +171,27 @@ object UdfRegistry {
     * re-registration under the same name CLEARS the flag) keeps one
     * pipeline's variadic `format` from hijacking a later pipeline's
     * fixed-arity `format` call sites in the same session. */
-  private val variadics =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
-  // keyed by sharedState identity, not the session object: micro-batch
+  // keyed by the sharedState OBJECT (weakly), not the session: micro-batch
   // execution hands expressions a CLONED SparkSession per batch, and a
   // clone must still see the registration (clones share sharedState; the
-  // function registry itself is shared the same way)
-  private def key(spark: SparkSession, name: String): (Int, String) =
-    (System.identityHashCode(spark.sharedState), name.toLowerCase)
+  // function registry itself is shared the same way). A WeakHashMap keyed
+  // on the object is collision-free — identity hashes are not unique — and
+  // entries evict with the state instead of leaking across session lifetimes.
+  private val variadics =
+    new java.util.WeakHashMap[AnyRef, scala.collection.mutable.Set[String]]()
+
+  private def namesOf(spark: SparkSession): scala.collection.mutable.Set[String] =
+    variadics.synchronized {
+      var set = variadics.get(spark.sharedState)
+      if (set == null) {
+        set = scala.collection.mutable.Set.empty[String]
+        variadics.put(spark.sharedState, set)
+      }
+      set
+    }
 
   def isVariadic(spark: SparkSession, name: String): Boolean =
-    variadics.contains(key(spark, name))
+    variadics.synchronized(namesOf(spark).contains(name.toLowerCase))
 
   /** the widest arity a variadic registration covers — calls beyond it have
     * no registered wrapper and must fail with a CLEAR message */
@@ -199,14 +209,14 @@ object UdfRegistry {
     */
   def register(spark: SparkSession, f: UserDefinedFunction): Unit = {
     if (f.variadic) {
-      variadics.add(key(spark, f.name))
+      variadics.synchronized(namesOf(spark).add(f.name.toLowerCase))
       (0 to MaxVariadicArity).foreach { n =>
         registerArity(spark, f, variadicArityName(f.name, n), n)
       }
     } else {
       // latest registration wins: a fixed-arity f under a previously
       // variadic name must stop the call-site renaming
-      variadics.remove(key(spark, f.name))
+      variadics.synchronized(namesOf(spark).remove(f.name.toLowerCase))
     }
     registerArity(spark, f, f.name, f.arity)
   }

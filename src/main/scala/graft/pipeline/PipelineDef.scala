@@ -40,8 +40,17 @@ final case class PipelineDef(
       s"unknown execution.runtime-mode '$m' (STREAMING or BATCH)")
     m
   }
-  def schemaChangeBehavior: SchemaChangeBehavior.Value =
-    SchemaChangeBehavior.withName(
-      config.getOrElse("schema.change.behavior", "LENIENT").toUpperCase)
+  def schemaChangeBehavior: SchemaChangeBehavior.Value = {
+    val raw = config.getOrElse("schema.change.behavior", "LENIENT")
+    // refuse at submission with the valid set, like the reference's enum
+    // option parse (`SchemaEvolvingTransformE2eITCase.testUnexpectedBehavior`
+    // expects the job to never submit under `behavior: unexpected`)
+    try SchemaChangeBehavior.withName(raw.toUpperCase)
+    catch {
+      case _: NoSuchElementException => throw new IllegalArgumentException(
+        s"Unexpected schema change behavior: $raw (expected one of " +
+          s"${SchemaChangeBehavior.values.mkString(", ")})")
+    }
+  }
   def localTimeZone: String = config.getOrElse("local-time-zone", "UTC")
 }

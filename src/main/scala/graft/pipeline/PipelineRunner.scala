@@ -337,7 +337,16 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     * tables are created once from the reduced initial views. Returns
     * schema changes applied to the sink across all partitions.
     */
-  def runDistributed(partitionIds: Seq[String], maxRestarts: Int = 1000): Int = {
+  /** @param interleaved true = ROUND-ROBIN draining: each turn gives every
+    *   partition exactly ONE micro-batch (Trigger.Once) before moving on, so
+    *   two partitions' batches genuinely alternate and a DDL parking one
+    *   partition leaves the others streaming — the coordinator-fidelity mode.
+    *   false (default) = each partition drains all available data per turn.
+    */
+  def runDistributed(
+      partitionIds: Seq[String],
+      maxRestarts: Int = 1000,
+      interleaved: Boolean = false): Int = {
     require(pdef.config.contains("checkpoint.dir"),
       "runDistributed requires pipeline.checkpoint.dir (restarts must resume)")
     import DistributedSchemaReducer.PartitionSchemaReport
@@ -374,8 +383,16 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
           readerFor(id).load(), composer,
           queryName = s"${pdef.name}-${checkpointSafe(id)}",
           checkpointDir = pdef.config.get("checkpoint.dir")
-            .map(d => s"$d/${checkpointSafe(id)}"))
-        q.processAllAvailable()
+            .map(d => s"$d/${checkpointSafe(id)}"),
+          singleBatch = interleaved)
+        if (interleaved) {
+          // the Trigger.Once query terminates itself after one micro-batch;
+          // a non-empty batch counts as progress so the round-robin keeps
+          // cycling until every partition runs dry
+          q.awaitTermination()
+          val rows = Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+          if (rows > 0) progress = true
+        } else q.processAllAvailable()
         q.stop()
         ChangeSourceRegistry.pendingDdl(id) match {
           case Some((_, ddl)) =>

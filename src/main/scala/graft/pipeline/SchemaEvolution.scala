@@ -61,6 +61,12 @@ object SchemaDerivator {
       // a NOT-NULL old column additionally nullable-izes (same reasoning
       // as the lenient DROP — the old name's future values are null)
       val existing = currentEvolved.struct.fieldNames.toSet
+      // reference :234-239: a mapping whose OLD column is absent from the
+      // evolved schema is an error, not a silent skip
+      mapping.keys.find(!existing.contains(_)).foreach { missing =>
+        throw new IllegalArgumentException(
+          s"Non-existed column $missing in evolved schema.")
+      }
       val adds = mapping.collect {
         case (oldName, newName) if !existing.contains(newName) =>
           val oldField = currentEvolved.struct(oldName)
@@ -122,9 +128,33 @@ object SchemaDerivator {
           from.isInstanceOf[DecimalType] || integrals.contains(from)
       case StringType => true
       case BinaryType => from == BinaryType
-      case DateType | TimestampType | TimestampNTZType =>
-        Seq[DataType](DateType, TimestampType, TimestampNTZType).contains(from)
+      case DateType =>
+        // coerceToDate:874 additionally takes Number (epoch day), String
+        // (ISO local date) and LocalDateTime — mirror all three
+        Seq[DataType](DateType, TimestampType, TimestampNTZType, StringType).contains(from) ||
+          integrals.contains(from)
+      case TimestampType | TimestampNTZType =>
+        // coerceToTimestamp:920 additionally takes a BIGINT epoch DAY
+        // (Long → LocalDate.ofEpochDay at start of day) and DateData
+        Seq[DataType](DateType, TimestampType, TimestampNTZType, LongType).contains(from)
       case _ => true
+    }
+  }
+
+  /** The cast a coercible (from → to) cell rides. Plain `cast` everywhere
+    * except the reference's epoch-day paths, which Spark's cast can't spell:
+    * `coerceToDate:874` reads a NUMBER as an epoch day, and
+    * `coerceToTimestamp:920` reads a BIGINT as an epoch day at start-of-day
+    * — both map onto `date_from_unix_date`. */
+  private def coercionCast(
+      c: org.apache.spark.sql.Column, from: DataType, to: DataType): org.apache.spark.sql.Column = {
+    val integrals: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    to match {
+      case DateType if integrals.contains(from) =>
+        org.apache.spark.sql.functions.date_from_unix_date(c.cast(IntegerType))
+      case (TimestampType | TimestampNTZType) if from == LongType =>
+        org.apache.spark.sql.functions.date_from_unix_date(c.cast(IntegerType)).cast(to)
+      case _ => c.cast(to)
     }
   }
 
@@ -134,7 +164,7 @@ object SchemaDerivator {
       present.get(f.name) match {
         case Some(dt) if sameUpToNullability(dt, f.dataType) => col(f.name)
         case Some(dt) if coercible(dt, f.dataType) =>
-          col(f.name).cast(f.dataType).as(f.name)
+          coercionCast(col(f.name), dt, f.dataType).as(f.name)
         // refused coercion: tolerance mode NULLS the cell
         case Some(_) => lit(null).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
@@ -170,7 +200,7 @@ object SchemaDerivator {
           case Some(dt) if sameUpToNullability(dt, f.dataType) =>
             col(s"$c.${f.name}").as(f.name)
           case Some(dt) if coercible(dt, f.dataType) =>
-            col(s"$c.${f.name}").cast(f.dataType).as(f.name)
+            coercionCast(col(s"$c.${f.name}"), dt, f.dataType).as(f.name)
           // refused coercion: tolerance mode NULLS the cell (coerceRow:271)
           case Some(_) => lit(null).cast(f.dataType).as(f.name)
           case None => chained match {

@@ -74,6 +74,17 @@ object YamlPipelineParser {
     // (`PIPELINE_LOCAL_TIME_ZONE`, `SystemFunctionUtils.localtimestamp:65`)
     val tz = str(asMap(root.getOrElse("pipeline", null)), "local-time-zone")
       .getOrElse("UTC")
+    // validate at parse time with the reference's exact wording
+    // (`YamlPipelineDefinitionParser` local-time-zone check,
+    // `YamlPipelineDefinitionParserTest.testInvalidTimeZone:162`)
+    try java.time.ZoneId.of(tz)
+    catch {
+      case _: java.time.DateTimeException => throw new IllegalArgumentException(
+        "Invalid time zone. The valid value should be a Time Zone Database ID" +
+          " such as 'America/Los_Angeles' to include daylight saving time. " +
+          "Fixed offsets are supported using 'GMT-08:00' or 'GMT+08:00'. " +
+          "Or use 'UTC' without time zone and daylight saving time.")
+    }
     def dialect(sql: String): String =
       graft.functions.Dialect.translate(
         sql, epochTimeColumn = Some(graft.functions.Dialect.EpochCol), timeZone = tz)

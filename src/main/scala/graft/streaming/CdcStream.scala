@@ -20,10 +20,14 @@ object CdcStream {
       envelopeStream: DataFrame,
       composer: PipelineComposer,
       queryName: String = "graft-cdc",
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      // ONE micro-batch then terminate (Trigger.Once) — the unit of turn in
+      // the interleaved distributed drain, where partitions alternate
+      // batches instead of each draining to completion
+      singleBatch: Boolean = false): StreamingQuery = {
     var b = envelopeStream.writeStream
       .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
+      .trigger(if (singleBatch) Trigger.Once() else Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // run identity = the streaming QUERY id (persisted in checkpoint
         // metadata, regenerated when a checkpoint is wiped or absent): batch

@@ -226,8 +226,11 @@ class SchemaManagerSpec extends AnyFunSuite {
     mgr.applySchemaChange(DropColumnEvent(t, Seq("age")))
     assert(mgr.latest(t).get.columnNames == Seq("id", "full_name"))
 
-    // versions retained
-    assert(mgr.versionOf(t, 0).get.columnNames == Seq("id", "name"))
+    // bounded retention: the newest VERSIONS_TO_KEEP (= 3, reference
+    // `SchemaManager.java:58`) survive; older epochs evict
+    assert(mgr.versionOf(t, 0).isEmpty)
+    assert(mgr.versionOf(t, 1).isEmpty)
     assert(mgr.versionOf(t, 2).get.columnNames == Seq("id", "age", "full_name"))
+    assert(mgr.versionOf(t, 4).get.columnNames == Seq("id", "full_name"))
   }
 }

@@ -51,6 +51,27 @@ class YamlPipelineParserSpec extends AnyFunSuite {
   test("missing source section fails like the reference parser") {
     intercept[IllegalArgumentException](YamlPipelineParser.parse("sink:\n  type: values\n"))
   }
+
+  // YamlPipelineDefinitionParserTest.testValidTimeZone:129 /
+  // testInvalidTimeZone:162 — Zone Database IDs, GMT offsets and UTC parse;
+  // anything else refuses at SUBMISSION with the reference's exact wording
+  test("local-time-zone validates at parse time") {
+    def withTz(tz: String) = YamlPipelineParser.parse(
+      s"""source:
+         |  type: cdc
+         |  sourceId: x
+         |sink:
+         |  type: values
+         |pipeline:
+         |  local-time-zone: $tz
+         |""".stripMargin)
+    assert(withTz("Asia/Shanghai").localTimeZone == "Asia/Shanghai")
+    assert(withTz("GMT+08:00").localTimeZone == "GMT+08:00")
+    assert(withTz("UTC").localTimeZone == "UTC")
+    val e = intercept[IllegalArgumentException](withTz("invalid time zone"))
+    assert(e.getMessage.contains(
+      "Invalid time zone. The valid value should be a Time Zone Database ID"))
+  }
 }
 
 class SchemaEvolutionSpec extends AnyFunSuite {
