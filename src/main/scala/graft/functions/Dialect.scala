@@ -115,8 +115,15 @@ object Dialect {
         else throw new IllegalArgumentException("Statements can not be parsed.")
       }
     }
+    // TIMESTAMPADD keeps the native Spark syntax (identifier unit, returns
+    // the operand's timestamp type like the reference); TIMESTAMPDIFF
+    // rewrites to graft_timestampdiff('<UNIT>', …) — the reference's
+    // operator returns INTEGER where Spark's native returns BIGINT
+    r = r.replaceAll(
+      "(?i)\\bTIMESTAMPADD\\s*\\(\\s*'([A-Za-z_]+)'\\s*,", "TIMESTAMPADD($1,")
     r.replaceAll(
-      "(?i)\\b(TIMESTAMPDIFF|TIMESTAMPADD)\\s*\\(\\s*'([A-Za-z_]+)'\\s*,", "$1($2,")
+      "(?i)\\bTIMESTAMPDIFF\\s*\\(\\s*'?([A-Za-z_]+)'?\\s*,",
+      "graft_timestampdiff('$1',")
   }
 
   /** Rewrite dialect CASTs (recursive, string-literal-aware):

@@ -560,6 +560,23 @@ object DialectCastExpr {
           if (exprs.size > 1) exprs(1) else Literal("yyyy-MM-dd HH:mm:ss"), tz)
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_timestampdiff",
+      { exprs =>
+        // TIMESTAMPDIFF returns INTEGER in the reference (Calcite's operator
+        // + `PostTransformOperatorTest.testTimestampdiffTransformData:1333`
+        // asserts Integer cells); Spark's native returns BIGINT — wrap
+        requireArity("TIMESTAMPDIFF", exprs, "TIMESTAMPDIFF(unit, start, end)")
+        val unit = exprs.head match {
+          case Literal(u: UTF8String, StringType) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"TIMESTAMPDIFF unit must be a literal, got $other")
+        }
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.TimestampDiff(
+            unit, exprs(1), exprs(2)),
+          IntegerType)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_to_date",
       { exprs =>
         requireArity("TO_DATE", exprs, "TO_DATE(str[, format])")

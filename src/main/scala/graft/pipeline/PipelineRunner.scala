@@ -37,7 +37,23 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
   // [[graft.functions.UserDefinedFunction]] (its `UserDefinedFunction.java`
   // analog). Re-registering the same name is idempotent per session.
   pdef.udfs.foreach { u =>
-    Class.forName(u.classpath).getDeclaredConstructor().newInstance() match {
+    // an unloadable classpath refuses with the reference's wording
+    // (`UserDefinedFunctionDescriptor` ctor —
+    // UserDefinedFunctionDescriptorTest.java:96-99)
+    val instance =
+      try {
+        // the CONTEXT classloader first (sbt/test harnesses layer app
+        // classes above the loader that defined this class), then ours
+        val loader = Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader)
+        Class.forName(u.classpath, true, loader)
+          .getDeclaredConstructor().newInstance()
+      } catch {
+        case e @ (_: ClassNotFoundException | _: NoSuchMethodException) =>
+          throw new IllegalArgumentException(
+            s"Failed to instantiate UDF ${u.name}@${u.classpath}", e)
+      }
+    instance match {
       case f: graft.functions.UserDefinedFunction =>
         val named = new graft.functions.UserDefinedFunction {
           override def name: String = u.name

@@ -154,13 +154,25 @@ class DialectParserSpec extends AnyFunSuite {
   // TIMESTAMPDIFF/TIMESTAMPADD family: both spellings, string-literal and
   // bare-identifier units, and the two refusal wordings
   test("timestamp diff/add: unit spellings and refusals") {
-    // bare identifier + quoted literal forms both normalize for Spark
+    // bare identifier + quoted literal forms both normalize; the result
+    // types INT like the reference operator (PostTransformOperatorTest
+    // .testTimestampdiffTransformData:1333 asserts Integer cells), not
+    // Spark's native BIGINT
     assert(evalOn("TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01 00:00:00', " +
-      "TIMESTAMP '2024-01-03 00:00:00')").getLong(0) == 2L)
+      "TIMESTAMP '2024-01-03 00:00:00')").getInt(0) == 2)
     assert(evalOn("TIMESTAMP_DIFF('DAY', TIMESTAMP '2024-01-01 00:00:00', " +
-      "TIMESTAMP '2024-01-03 00:00:00')").getLong(0) == 2L)
+      "TIMESTAMP '2024-01-03 00:00:00')").getInt(0) == 2)
     assert(evalOn("timestamp_diff('second', TIMESTAMP '2024-01-01 00:00:00', " +
-      "TIMESTAMP '2024-01-01 00:00:10')").getLong(0) == 10L)
+      "TIMESTAMP '2024-01-01 00:00:10')").getInt(0) == 10)
+    // the reference's 1970-01-01 → 2025-01-01 value matrix (:1420-1673):
+    // SECOND/MINUTE/HOUR/DAY/MONTH/YEAR over the 55-year span
+    val span = "TIMESTAMP '1970-01-01 00:00:00', TIMESTAMP '2025-01-01 00:00:00'"
+    assert(evalOn(s"TIMESTAMPDIFF(SECOND, $span)").getInt(0) == 1735689600)
+    assert(evalOn(s"TIMESTAMPDIFF(MINUTE, $span)").getInt(0) == 28928160)
+    assert(evalOn(s"TIMESTAMPDIFF(HOUR, $span)").getInt(0) == 482136)
+    assert(evalOn(s"TIMESTAMPDIFF(DAY, $span)").getInt(0) == 20089)
+    assert(evalOn(s"TIMESTAMPDIFF(MONTH, $span)").getInt(0) == 660)
+    assert(evalOn(s"TIMESTAMPDIFF(YEAR, $span)").getInt(0) == 55)
     assert(evalOn("CAST(TIMESTAMPADD(MINUTE, 1, TIMESTAMP '2024-01-01 00:00:00') AS STRING)")
       .getString(0).startsWith("2024-01-01 00:01:00"))
     // QUARTER parses in Calcite but the translator refuses it (:394-435)

@@ -117,11 +117,15 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("TIMESTAMP_DIFF alias and rewritten SQL parse and evaluate in Spark") {
-    assert(Dialect.translate("TIMESTAMP_DIFF(DAY, a, b)") == "TIMESTAMPDIFF(DAY, a, b)")
+    // both spellings route to graft_timestampdiff, which types INTEGER like
+    // the reference operator (see DialectParserSpec's value matrix)
+    assert(Dialect.translate("TIMESTAMP_DIFF(DAY, a, b)") ==
+      "graft_timestampdiff('DAY', a, b)")
+    DialectCastExpr.ensureRegistered(spark)
     val sql = Dialect.translate(
       "SELECT 'abc' LIKE 'a.c' AS m, TIMESTAMP_DIFF(DAY, TIMESTAMP'2024-01-01', TIMESTAMP'2024-01-31') AS d")
     val row = spark.sql(sql).head()
-    assert(row.getBoolean(0) && row.getLong(1) == 30L)
+    assert(row.getBoolean(0) && row.getInt(1) == 30)
   }
 
   test("SimpleDateFormat pattern translation: u -> e outside quoted sections") {

@@ -88,6 +88,25 @@ class SchemaDerivatorSpec extends AnyFunSuite {
     assert(reverseLookup("db_5.prefix_table_1_suffix") == Set("db_5.table_1"))
   }
 
+  // TableIdRouterTest.testGroupSourceTablesByRouteRule:89 (the per-route
+  // cases :42-87 are the `affected` assertions above — same route() calls):
+  // grouping is PER RULE — twelve singleton groups (six 1:1 rules + six
+  // single-table broadcast rules, {db_4.table_1} appearing three times),
+  // one 3-table group per pattern rule (merge + repsym); the reference
+  // keeps the unmatched `foo → bar` rule as an EMPTY group, graft's
+  // groupByRule filters it (merged-create deduction skips empties anyway)
+  test("group source tables by route rule") {
+    val tables = (for (db <- 1 to 5; tbl <- 1 to 3)
+      yield TableId.parse(s"db_$db.table_$tbl")).toSet
+    val groups = router.groupByRule(tables).map(_.map(_.identifier))
+    assert(groups.size == 14)
+    assert(groups.count(_.size == 1) == 12)
+    assert(groups.count(_ == Set("db_4.table_1")) == 3)
+    assert(groups.count(_ == Set("db_4.table_2")) == 2)
+    assert(groups.contains(Set("db_3.table_1", "db_3.table_2", "db_3.table_3")))
+    assert(groups.contains(Set("db_5.table_1", "db_5.table_2", "db_5.table_3")))
+  }
+
   // the normalize fixture (SchemaDerivatorTest:85-92): id INT, name
   // VARCHAR(128), age FLOAT, notes STRING — VARCHAR erases to string here
   private val normalizeSchema = TableSchema(
