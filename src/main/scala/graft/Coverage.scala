@@ -167,7 +167,7 @@ object Coverage {
         "c_oceanbase_sink", "c_jdbc_2pc", "c_upsert"),
     "35 Kafka sink formats + wire protocol + topic change source" ->
       Seq("c_kafka_pipeline_sink", "c_kafka_stream_source", "c_kafka_source",
-        "t_kafka_debezium", "t_kafka_canal"),
+        "t_kafka_debezium", "t_kafka_canal", "c_e2e_kafka_debezium_schema"),
     "36 ValuesDataSink / PK-upsert materializer" ->
       Seq("c_upsert", "c_deleted_keys"),
     "37 Comparison ops (LIKE-as-regex + ESCAPE, BETWEEN, IN)" ->
@@ -289,7 +289,8 @@ object Coverage {
         "c_e2e_transform_hetero", "c_e2e_transform_hetero_batch",
         "c_e2e_multiple_hitting", "c_e2e_multiple_hitting_batch",
         "c_e2e_transform_cast", "c_e2e_transform_evolution",
-        "c_e2e_lenient_route", "c_e2e_bypass_transform"),
+        "c_e2e_lenient_route", "c_e2e_bypass_transform",
+        "c_e2e_kafka_debezium_schema"),
 
     "llm: exact/span/incremental dedup + clustering + canonical" ->
       Seq("d_exact_fingerprint", "d_span_dedup", "d_dup_spans", "d_incremental_dedup",

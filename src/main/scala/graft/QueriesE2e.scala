@@ -1019,6 +1019,25 @@ object QueriesE2e {
     "before=[], after=[1014, Gem, 17.0], op=INSERT, meta=()",
     "DropTableEvent")
 
+  /** the with-schema fixture lines (debezium-json-with-schema.txt,
+    * customers half, $databaseName → kafka_db), sorted like the gate's
+    * read-back. */
+  private val kafkaSchemaLines: Seq[String] = {
+    val imageSchema =
+      """{"type":"struct","fields":[{"type":"int32","optional":false,"field":"id"},""" +
+        """{"type":"string","optional":false,"default":"flink","field":"name"},""" +
+        """{"type":"string","optional":true,"field":"address"},""" +
+        """{"type":"string","optional":true,"field":"phone_number"}]"""
+    (1 to 4).map { i =>
+      """{"schema":{"type":"struct","fields":[""" +
+        imageSchema + ""","optional":true,"field":"before"},""" +
+        imageSchema + ""","optional":true,"field":"after"}],"optional":false},""" +
+        s""""payload":{"before":null,"after":{"id":${100 + i},"name":"user_$i",""" +
+        """"address":"Shanghai","phone_number":"123567891234"},"op":"c",""" +
+        """"source":{"db":"kafka_db","table":"customers"}}}"""
+    }.sorted
+  }
+
   private val transformE2eQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TransformE2eITCase.testHeteroSchemaTransform:80-166 (streaming param):
@@ -1348,6 +1367,79 @@ object QueriesE2e {
         requireEventSequence(db, t, bypassLines)
         eventLogDf(s, db, t)
       }
+    }),
+
+    // MysqlToKafkaE2eITCase.testSyncWholeDatabaseWithDebeziumJsonHasSchema
+    // :275 (fixture expectedEvents/mysqlToKafka/debezium-json-with-schema
+    // .txt): `debezium-json.include-schema.enabled: true` wraps every value
+    // in the Kafka Connect `{"schema":…,"payload":…}` envelope — per-column
+    // connect types, nullability, and the `name` column's DEFAULT 'flink'
+    // in the schema block. The customers half of the fixture is asserted
+    // BYTE-EXACT over the loopback wire ($databaseName → kafka_db); the
+    // schema-less testSyncWholeDatabaseWithDebeziumJson:128 and
+    // testSyncWholeDatabaseWithCanalJson:201 variants are pinned by
+    // c_kafka_pipeline_sink / t_kafka_debezium / t_kafka_canal.
+    "c_e2e_kafka_debezium_schema" -> ((s, _) => {
+      import graft.sinks.{KafkaBrokerDouble, KafkaDataSink, KafkaWireConsumer}
+      import graft.operators.Envelope
+      import org.apache.spark.sql.functions._
+      val broker = new KafkaBrokerDouble(autoCreatePartitions = 1)
+      broker.start()
+      try {
+        val tid = TableId.parse("kafka_db.customers")
+        val customersStruct = StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("name", StringType, nullable = false,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(AddColumnEvent.DefaultKey, "flink").build()),
+          StructField("address", StringType),
+          StructField("phone_number", StringType)))
+        val rows = (1 to 4).map(i => org.apache.spark.sql.Row(
+          org.apache.spark.sql.Row(100 + i, s"user_$i", "Shanghai", "123567891234"),
+          i.toLong))
+        val data = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          StructType(Seq(
+            StructField("payload", customersStruct),
+            StructField("seqno", org.apache.spark.sql.types.LongType))))
+        val env = data.select(
+          lit(tid.identifier).as(Envelope.TableIdCol),
+          lit("INSERT").as(Envelope.OpCol),
+          lit(null).cast(customersStruct).as(Envelope.BeforeCol),
+          col("payload").as(Envelope.AfterCol),
+          col("seqno").as(Envelope.SeqCol),
+          map().cast("map<string,string>").as(Envelope.MetaCol))
+        val sink = new KafkaDataSink(broker.bootstrap, includeSchema = true)
+        sink.applySchemaChange(CreateTableEvent(tid,
+          TableSchema(customersStruct, Seq("id"))))
+        sink.writeChangelog(tid, env, batchId = 0L, runId = "e2e-schema")
+        val consumer = new KafkaWireConsumer(broker.bootstrap)
+        val values =
+          try consumer.readAllCommitted(tid.identifier, 0)
+            .map(r => new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
+          finally consumer.close()
+        // the fixture line, byte-exact modulo $databaseName and the row id
+        val imageSchema =
+          """{"type":"struct","fields":[{"type":"int32","optional":false,"field":"id"},""" +
+            """{"type":"string","optional":false,"default":"flink","field":"name"},""" +
+            """{"type":"string","optional":true,"field":"address"},""" +
+            """{"type":"string","optional":true,"field":"phone_number"}]"""
+        def expectedLine(i: Int): String =
+          """{"schema":{"type":"struct","fields":[""" +
+            imageSchema + ""","optional":true,"field":"before"},""" +
+            imageSchema + ""","optional":true,"field":"after"}],"optional":false},""" +
+            s""""payload":{"before":null,"after":{"id":${100 + i},"name":"user_$i",""" +
+            """"address":"Shanghai","phone_number":"123567891234"},"op":"c",""" +
+            """"source":{"db":"kafka_db","table":"customers"}}}"""
+        val expected = (1 to 4).map(expectedLine)
+        require(values.sorted == expected.sorted,
+          s"with-schema wire values:\n  got ${values.sorted.headOption}\n  " +
+            s"expected ${expected.sorted.headOption}")
+        import s.implicits._
+        values.sorted.zipWithIndex.map { case (v, i) => (i + 1, v) }
+          .toDF("seq", "event").orderBy("seq")
+      } finally broker.stop()
     }))
 
   // ---------------------------------------------------------------------
@@ -1485,5 +1577,6 @@ object QueriesE2e {
       ("TABLEALPHA", 3009, "id -> 3009|90"),
       ("TABLEALPHA", 3010, "id -> 3010|10"))),
     "c_e2e_lenient_route" -> eventValuesSql(lenientRouteLines),
-    "c_e2e_bypass_transform" -> eventValuesSql(bypassLines))
+    "c_e2e_bypass_transform" -> eventValuesSql(bypassLines),
+    "c_e2e_kafka_debezium_schema" -> eventValuesSql(kafkaSchemaLines))
 }

@@ -160,7 +160,9 @@ object DataSinks {
             sinkDef.config.getOrElse("sink.transactional-id-prefix", "graft-cdc"),
           compressionType = sinkDef.config.getOrElse(
             "properties.compression.type",
-            sinkDef.config.getOrElse("compression.type", "none")))
+            sinkDef.config.getOrElse("compression.type", "none")),
+          includeSchema = sinkDef.config
+            .get("debezium-json.include-schema.enabled").exists(_.toBoolean))
       case "starrocks" =>
         new StarRocksSink(
           baseUrl = sinkDef.config.getOrElse("load-url", sinkDef.config.getOrElse(

@@ -74,7 +74,11 @@ final class KafkaDataSink(
       * lz4 | zstd — data batches compress on the wire under the codec's
       * standard framing; commit markers stay uncompressed (tiny, and a
       * recovering scan should never fail on a codec). */
-    compressionType: String = "none")
+    compressionType: String = "none",
+    /** `debezium-json.include-schema.enabled`
+      * (`KafkaDataSinkOptions.java:104`): wrap every debezium-json value
+      * in the Kafka Connect `{"schema":…,"payload":…}` envelope. */
+    includeSchema: Boolean = false)
     extends DataSink with ChangelogSink {
 
   private val compressionCodec = KafkaWire.codecId(compressionType)
@@ -84,6 +88,8 @@ final class KafkaDataSink(
 
   require(Seq("debezium-json", "canal-json").contains(valueFormat),
     s"value.format '$valueFormat' is not debezium-json|canal-json")
+  require(!includeSchema || valueFormat == "debezium-json",
+    "debezium-json.include-schema.enabled applies to value.format debezium-json only")
   require(Seq("json", "csv").contains(keyFormat),
     s"key.format '$keyFormat' is not json|csv")
   require(Seq("ALL_TO_ZERO", "HASH_BY_KEY").contains(partitionStrategy.toUpperCase),
@@ -172,6 +178,10 @@ final class KafkaDataSink(
     }
     val valueCol: Column = valueFormat match {
       case "canal-json" => KafkaJsonFormats.canalValue
+      case _ if includeSchema =>
+        // the schema block derives from the table's CURRENT sink schema —
+        // nullability and column DEFAULTs included
+        KafkaJsonFormats.debeziumValueWithSchema(schema.struct)
       case _ => KafkaJsonFormats.debeziumValue
     }
     val producer = new KafkaWireProducer(bootstrap)

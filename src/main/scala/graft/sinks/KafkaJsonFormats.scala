@@ -42,6 +42,68 @@ object KafkaJsonFormats {
   def debeziumJson(env: DataFrame): DataFrame =
     env.select(debeziumValue.as("value"), col(Envelope.TableIdCol).as("topic"))
 
+  /** `debezium-json.include-schema.enabled` (`KafkaDataSinkOptions.java:104`):
+    * the record value becomes `{"schema": <connect schema>, "payload":
+    * <debezium-json>}` — the Kafka Connect JsonConverter envelope the
+    * reference's `DebeziumJsonSerializationSchema` emits with schemas on
+    * (`MysqlToKafkaE2eITCase` fixture
+    * `expectedEvents/mysqlToKafka/debezium-json-with-schema.txt`). The
+    * schema block is CONSTANT per table schema, so it concatenates as a
+    * literal around the codegen'd payload JSON — no per-row schema work.
+    */
+  def debeziumValueWithSchema(payloadStruct: org.apache.spark.sql.types.StructType): Column =
+    concat(
+      lit("""{"schema":""" + connectSchemaJson(payloadStruct) + ""","payload":"""),
+      debeziumValue,
+      lit("}"))
+
+  /** The Kafka Connect JSON schema of a debezium envelope over `struct` —
+    * `{"type":"struct","fields":[<before>,<after>],"optional":false}`,
+    * each image a struct of per-column fields
+    * `{"type":T,"optional":nullable,("default":D,)"field":name}` in the
+    * fixture's key order. Scalar connect types per the JsonConverter
+    * (int8/int16/int32/int64/float/double/boolean/string/bytes; DATE is
+    * an int32 day count, timestamps int64 epochs — the fixture pins the
+    * int32/string/double cells).
+    */
+  def connectSchemaJson(struct: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def connectType(dt: DataType): String = dt match {
+      case ByteType => "int8"
+      case ShortType => "int16"
+      case IntegerType | DateType => "int32"
+      case LongType | TimestampType | TimestampNTZType => "int64"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case BooleanType => "boolean"
+      case BinaryType => "bytes"
+      case _: DecimalType => "bytes"
+      case _ => "string"
+    }
+    def esc(v: String): String =
+      v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    def fieldJson(f: StructField): String = {
+      val dflt =
+        if (f.metadata.contains(graft.core.AddColumnEvent.DefaultKey)) {
+          val d = f.metadata.getString(graft.core.AddColumnEvent.DefaultKey)
+          val rendered = f.dataType match {
+            case StringType => "\"" + esc(d) + "\""
+            case _ => d
+          }
+          s""""default":$rendered,"""
+        } else ""
+      s"""{"type":"${connectType(f.dataType)}","optional":${f.nullable},$dflt"field":"${f.name}"}"""
+    }
+    val cols = struct.fields.map(fieldJson).mkString(",")
+    def image(name: String) =
+      s"""{"type":"struct","fields":[$cols],"optional":true,"field":"$name"}"""
+    s"""{"type":"struct","fields":[${image("before")},${image("after")}],"optional":false}"""
+  }
+
   /** canal-json: `{"old":[…],"data":[…],"type":"INSERT|UPDATE|DELETE","database":…,"table":…}`
     * — REPLACE maps to INSERT; absent images are explicit nulls (same wire
     * discipline as debezium-json above).
