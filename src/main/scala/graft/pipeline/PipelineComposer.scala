@@ -408,6 +408,19 @@ final class PipelineComposer(
       }.getOrElse(ev)
 
   def processSchemaChange(event: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
+    // a DANGLING table-level event — DROP/TRUNCATE for a table this
+    // pipeline never announced (dropped before the start offset, outside
+    // the capture list) — must be a no-op, not a fault: a db-level binlog
+    // legitimately carries such events and the reference's SchemaOperator
+    // tolerates the absent schema (`SchemaUtils.applySchemaChangeEvent:116`
+    // keeps null; `MysqlE2eITCase.testDanglingDropTableEventInBinlog:467`
+    // pins the job surviving and later traffic flowing)
+    event match {
+      case (_: DropTableEvent | _: TruncateTableEvent)
+          if upstreamSchemas.latest(event.tableId).isEmpty =>
+        return Seq.empty
+      case _ => ()
+    }
     // throughTransform anchors FIRST/LAST add positions against the
     // pre-transform schema BEFORE this event, so project first, track after;
     // an unmatched table under a transform-carrying pipeline still gets its

@@ -217,6 +217,29 @@ class PipelineComposerSpec extends AnyFunSuite {
     assert(rows == Seq("1,x,1x", "5,6,56"))
   }
 
+  // MysqlE2eITCase.testDanglingDropTableEventInBinlog:467 — a db-level log
+  // carries DROP/TRUNCATE for a table the pipeline never announced (dropped
+  // before the start offset); the reference's SchemaOperator tolerates the
+  // absent schema and the job keeps flowing. Must be a no-op, not a fault.
+  test("dangling DROP/TRUNCATE for a never-announced table is a no-op") {
+    val known = TableId.parse("db.products")
+    val ghost = TableId.parse("db.live_fast")
+    val pdef = PipelineDef(
+      source = SourceDef("values", None, Map.empty),
+      sink = SinkDef("values", None, Map.empty))
+    val sink = new MemoryDatabase
+    val composer = new PipelineComposer(pdef, sink)
+    composer.createTables(Map(known -> ValuesSource.customersSchema))
+    assert(composer.processSchemaChange(DropTableEvent(ghost)).isEmpty)
+    assert(composer.processSchemaChange(TruncateTableEvent(ghost)).isEmpty)
+    // later traffic on the known table still flows
+    val env = ValuesSource.toEnvelope(spark, ValuesSource.customersSchema,
+      ValuesSource.singleTableScript(known))
+    composer.processBatch(known, env)
+    assert(sink.rowsOf(known).nonEmpty)
+    assert(sink.tableIds == Set(known))
+  }
+
   test("include.schema.changes accepts the reference TAG grammar (dotted + families)") {
     val t = TableId.parse("db.t")
     val pdef = PipelineDef(
