@@ -100,30 +100,68 @@ object Dialect {
     * happily take QUARTER — gated here — and needs the unit unquoted.
     */
   private def rewriteTimestampUnits(sql0: String): String = {
-    var r = sql0.replaceAll("(?i)\\bTIMESTAMP_DIFF\\s*\\(", "TIMESTAMPDIFF(")
+    // spans [start, end) of single-quoted SQL string literals ('' = escape) —
+    // a TIMESTAMPDIFF( occurrence INSIDE a literal is data, not a call, and
+    // must be left untouched (the unit validation would otherwise fire on it)
+    def literalSpans(s: String): Seq[(Int, Int)] = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') {
+          val start = i; i += 1
+          var done = false
+          while (i < s.length && !done) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+          spans += ((start, i))
+        } else i += 1
+      }
+      spans.toSeq
+    }
+    val spans = literalSpans(sql0)
+    def inLiteral(pos: Int): Boolean =
+      spans.exists { case (a, b) => pos >= a && pos < b }
+
     val tsUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
     val calciteIntervalKeywords = tsUnits ++ Set(
       "QUARTER", "WEEK", "MILLISECOND", "MICROSECOND", "NANOSECOND", "EPOCH")
-    val tsCall = "(?i)\\bTIMESTAMP(DIFF|ADD)\\s*\\(\\s*'?([A-Za-z_]+)'?\\s*,".r
-    tsCall.findAllMatchIn(r).foreach { m =>
-      val fn = if (m.group(1).equalsIgnoreCase("DIFF")) "diff" else "add"
-      val unit = m.group(2).toUpperCase(java.util.Locale.ROOT)
-      if (!tsUnits.contains(unit)) {
-        if (calciteIntervalKeywords.contains(unit))
-          throw new IllegalArgumentException(
-            s"""Unsupported time interval unit in timestamp $fn function: "$unit"""")
-        else throw new IllegalArgumentException("Statements can not be parsed.")
+    // unit token: paired quotes, bare identifier, or (group 4) the unbalanced
+    // mixed forms 'DAY / DAY' that the reference's Calcite parser rejects
+    val tsCall =
+      ("(?i)\\bTIMESTAMP(DIFF|ADD|_DIFF)\\s*\\(\\s*" +
+        "(?:'([A-Za-z_]+)'|([A-Za-z_]+)|('[A-Za-z_]+|[A-Za-z_]+'))\\s*,").r
+    val sb = new StringBuilder
+    var last = 0
+    tsCall.findAllMatchIn(sql0).foreach { m =>
+      if (m.start >= last && !inLiteral(m.start)) {
+        val isDiff = !m.group(1).equalsIgnoreCase("ADD")
+        val fn = if (isDiff) "diff" else "add"
+        if (m.group(4) != null)
+          throw new IllegalArgumentException("Statements can not be parsed.")
+        val unit =
+          (if (m.group(2) != null) m.group(2) else m.group(3))
+            .toUpperCase(java.util.Locale.ROOT)
+        if (!tsUnits.contains(unit)) {
+          if (calciteIntervalKeywords.contains(unit))
+            throw new IllegalArgumentException(
+              s"""Unsupported time interval unit in timestamp $fn function: "$unit"""")
+          else throw new IllegalArgumentException("Statements can not be parsed.")
+        }
+        sb.append(sql0.substring(last, m.start))
+        // TIMESTAMPADD keeps the native Spark syntax (identifier unit, returns
+        // the operand's timestamp type like the reference); TIMESTAMPDIFF
+        // rewrites to graft_timestampdiff('<UNIT>', …) — the reference's
+        // operator returns INTEGER where Spark's native returns BIGINT
+        if (isDiff) sb.append(s"graft_timestampdiff('$unit',")
+        else sb.append(s"TIMESTAMPADD($unit,")
+        last = m.end
       }
     }
-    // TIMESTAMPADD keeps the native Spark syntax (identifier unit, returns
-    // the operand's timestamp type like the reference); TIMESTAMPDIFF
-    // rewrites to graft_timestampdiff('<UNIT>', …) — the reference's
-    // operator returns INTEGER where Spark's native returns BIGINT
-    r = r.replaceAll(
-      "(?i)\\bTIMESTAMPADD\\s*\\(\\s*'([A-Za-z_]+)'\\s*,", "TIMESTAMPADD($1,")
-    r.replaceAll(
-      "(?i)\\bTIMESTAMPDIFF\\s*\\(\\s*'?([A-Za-z_]+)'?\\s*,",
-      "graft_timestampdiff('$1',")
+    sb.append(sql0.substring(last))
+    sb.toString
   }
 
   /** Rewrite dialect CASTs (recursive, string-literal-aware):

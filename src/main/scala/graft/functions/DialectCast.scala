@@ -532,9 +532,10 @@ object DialectCastExpr {
     // exprs.head and die with an opaque NoSuchElementException at analysis —
     // refuse with the required signature instead (the reference validates
     // operand counts in its SqlOperandCountRanges)
-    def requireArity(name: String, exprs: Seq[Expression], usage: String): Unit =
-      if (exprs.isEmpty) throw new IllegalArgumentException(
-        s"$name requires at least one argument: $usage")
+    def requireArity(name: String, exprs: Seq[Expression], usage: String,
+                     min: Int = 1): Unit =
+      if (exprs.size < min) throw new IllegalArgumentException(
+        s"$name requires at least $min argument(s): $usage")
     reg.createOrReplaceTempFunction(
       "graft_from_unixtime",
       { exprs =>
@@ -565,7 +566,8 @@ object DialectCastExpr {
         // TIMESTAMPDIFF returns INTEGER in the reference (Calcite's operator
         // + `PostTransformOperatorTest.testTimestampdiffTransformData:1333`
         // asserts Integer cells); Spark's native returns BIGINT — wrap
-        requireArity("TIMESTAMPDIFF", exprs, "TIMESTAMPDIFF(unit, start, end)")
+        requireArity("TIMESTAMPDIFF", exprs, "TIMESTAMPDIFF(unit, start, end)",
+          min = 3)
         val unit = exprs.head match {
           case Literal(u: UTF8String, StringType) => u.toString
           case other => throw new IllegalArgumentException(

@@ -68,17 +68,33 @@ object KafkaJsonFormats {
     */
   def connectSchemaJson(struct: org.apache.spark.sql.types.StructType): String = {
     import org.apache.spark.sql.types._
-    def connectType(dt: DataType): String = dt match {
-      case ByteType => "int8"
-      case ShortType => "int16"
-      case IntegerType | DateType => "int32"
-      case LongType | TimestampType | TimestampNTZType => "int64"
-      case FloatType => "float"
-      case DoubleType => "double"
-      case BooleanType => "boolean"
-      case BinaryType => "bytes"
-      case _: DecimalType => "bytes"
-      case _ => "string"
+    // (wire type, logical name, version, parameters) per the reference's
+    // `convertCDCDataTypeToDebeziumDataType` (`DebeziumJsonSerializationSchema
+    // .java:250-320`): TINYINT/SMALLINT both int16; DECIMAL is Connect's
+    // logical Decimal (bytes + scale/precision parameters); DATE/TIME/
+    // TIMESTAMP carry Debezium logical names; TIMESTAMP_LTZ (Spark
+    // TimestampType) is a ZonedTimestamp STRING. Spark timestamps are
+    // micros ⇒ precision 6 > 3 ⇒ MicroTimestamp.
+    def connectType(dt: DataType)
+        : (String, Option[String], Option[Int], Seq[(String, String)]) = dt match {
+      case ByteType | ShortType => ("int16", None, None, Nil)
+      case IntegerType => ("int32", None, None, Nil)
+      case LongType => ("int64", None, None, Nil)
+      case DateType => ("int32", Some("io.debezium.time.Date"), Some(1), Nil)
+      case TimestampNTZType =>
+        ("int64", Some("io.debezium.time.MicroTimestamp"), Some(1), Nil)
+      case TimestampType =>
+        ("string", Some("io.debezium.time.ZonedTimestamp"), Some(1), Nil)
+      case FloatType => ("float", None, None, Nil)
+      case DoubleType => ("double", None, None, Nil)
+      case BooleanType => ("boolean", None, None, Nil)
+      case BinaryType =>
+        ("bytes", Some("io.debezium.data.Bits"), Some(1), Seq("length" -> "0"))
+      case d: DecimalType =>
+        ("bytes", Some("org.apache.kafka.connect.data.Decimal"), Some(1),
+          Seq("scale" -> d.scale.toString,
+            "connect.decimal.precision" -> d.precision.toString))
+      case _ => ("string", None, None, Nil)
     }
     def esc(v: String): String =
       v.flatMap {
@@ -86,17 +102,30 @@ object KafkaJsonFormats {
         case '\\' => "\\\\"
         case c => c.toString
       }
+    // a JSON-safe default rendering: strings always quote; other types emit
+    // raw only when the stored expression is already a bare JSON token
+    // (number/boolean/null), else quote — an unquoted `CURRENT_TIMESTAMP`
+    // default on an int64 column must not corrupt the schema JSON
+    val jsonToken = "-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?|true|false|null"
     def fieldJson(f: StructField): String = {
+      val (tpe, name, version, params) = connectType(f.dataType)
+      val nameJson = name.fold("")(n => s""""name":"$n",""")
+      val versionJson = version.fold("")(v => s""""version":$v,""")
+      val paramsJson =
+        if (params.isEmpty) ""
+        else params.map { case (k, v) => s""""$k":"$v"""" }
+          .mkString("\"parameters\":{", ",", "},")
       val dflt =
         if (f.metadata.contains(graft.core.AddColumnEvent.DefaultKey)) {
           val d = f.metadata.getString(graft.core.AddColumnEvent.DefaultKey)
           val rendered = f.dataType match {
             case StringType => "\"" + esc(d) + "\""
-            case _ => d
+            case _ if d.matches(jsonToken) => d
+            case _ => "\"" + esc(d) + "\""
           }
           s""""default":$rendered,"""
         } else ""
-      s"""{"type":"${connectType(f.dataType)}","optional":${f.nullable},$dflt"field":"${f.name}"}"""
+      s"""{"type":"$tpe","optional":${f.nullable},$nameJson$versionJson$paramsJson$dflt"field":"${f.name}"}"""
     }
     val cols = struct.fields.map(fieldJson).mkString(",")
     def image(name: String) =

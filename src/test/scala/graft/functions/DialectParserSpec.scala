@@ -193,6 +193,42 @@ class DialectParserSpec extends AnyFunSuite {
     assert(bogus.getMessage == "Statements can not be parsed.")
   }
 
+  // the pre-pass runs on raw SQL (quoted units must be visible) but must be
+  // literal-aware: TIMESTAMPDIFF text INSIDE a string literal is data — a
+  // projection literal containing "TIMESTAMPDIFF(QUARTER," must neither be
+  // rewritten nor refused
+  test("timestamp diff pre-pass is string-literal-aware") {
+    val lit = "'see TIMESTAMPDIFF(QUARTER, a, b) docs' AS doc"
+    assert(evalOn(lit).getString(0) == "see TIMESTAMPDIFF(QUARTER, a, b) docs")
+    assert(evalOn("'TIMESTAMP_DIFF(DAY, x, y)' AS s").getString(0) ==
+      "TIMESTAMP_DIFF(DAY, x, y)")
+    // a real call NEXT TO such a literal still rewrites
+    assert(evalOn("TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01 00:00:00', " +
+      "TIMESTAMP '2024-01-02 00:00:00')").getInt(0) == 1)
+  }
+
+  // unbalanced quote forms ('DAY / DAY') are rejected like the reference's
+  // Calcite parser (an unterminated literal), not silently accepted
+  test("timestamp diff unit quotes must pair") {
+    Seq("TIMESTAMPDIFF('DAY, dt1, dt2)", "TIMESTAMPDIFF(DAY', dt1, dt2)").foreach { sql =>
+      val e = intercept[IllegalArgumentException](Dialect.translate(sql))
+      assert(e.getMessage == "Statements can not be parsed.")
+    }
+  }
+
+  // operand-count validation (the reference's SqlOperandCountRanges): a
+  // 2-arg TIMESTAMPDIFF refuses with the signature, not an
+  // IndexOutOfBoundsException from the builder
+  test("timestamp diff arity is validated") {
+    val e = intercept[Exception] {
+      evalOn("TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01 00:00:00')")
+    }
+    def rootChain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(rootChain).getOrElse(Nil)
+    assert(rootChain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("TIMESTAMPDIFF(unit, start, end)"))))
+  }
+
   // testParseComputedColumnNames:157 / testParseFilterColumnNameList:166 /
   // testGenerateReferencedColumns:543 — referenced-column analysis feeds
   // scan pruning; computed aliases are NOT referenced columns

@@ -357,4 +357,40 @@ class KafkaDataSinkSpec extends AnyFunSuite {
           "properties.compression.type" -> "brotli"))))
     } finally broker.stop()
   }
+
+  // the Connect schema block (`DebeziumJsonSerializationSchema.java:250-320`
+  // via Kafka's JsonConverter.asJsonSchema): DECIMAL is the logical Decimal
+  // (bytes + scale/connect.decimal.precision parameters), DATE the Debezium
+  // Date int32, TIMESTAMP(NTZ) MicroTimestamp, TINYINT/SMALLINT both int16,
+  // and defaults render as VALID JSON tokens (non-numeric defaults on
+  // non-string columns must quote, not splice raw)
+  test("connect schema json: logical types, int16 widening, safe defaults") {
+    val withDefault = new MetadataBuilder()
+      .putString(AddColumnEvent.DefaultKey, "CURRENT_TIMESTAMP").build()
+    val st = StructType(Seq(
+      StructField("t", ByteType, nullable = false),
+      StructField("s", ShortType, nullable = true),
+      StructField("d", DecimalType(10, 2), nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampNTZType, nullable = true, withDefault)))
+    val json = KafkaJsonFormats.connectSchemaJson(st)
+    // structurally valid JSON end to end
+    spark.range(1).select(
+      from_json(lit(json), schema_of_json(lit(json)))).collect()
+    assert(json.contains(""""type":"int16","optional":false,"field":"t""""))
+    assert(json.contains(""""type":"int16","optional":true,"field":"s""""))
+    assert(json.contains(
+      """"type":"bytes","optional":true,"name":"org.apache.kafka.connect.data.Decimal","version":1,""" +
+        """"parameters":{"scale":"2","connect.decimal.precision":"10"},"field":"d""""))
+    assert(json.contains(
+      """"type":"int32","optional":true,"name":"io.debezium.time.Date","version":1,"field":"dt""""))
+    assert(json.contains(
+      """"type":"int64","optional":true,"name":"io.debezium.time.MicroTimestamp","version":1,""" +
+        """"default":"CURRENT_TIMESTAMP","field":"ts""""))
+    // a numeric default on a numeric column still splices raw
+    val numDefault = new MetadataBuilder()
+      .putString(AddColumnEvent.DefaultKey, "42").build()
+    val st2 = StructType(Seq(StructField("n", IntegerType, nullable = true, numDefault)))
+    assert(KafkaJsonFormats.connectSchemaJson(st2).contains(""""default":42,"field":"n""""))
+  }
 }
