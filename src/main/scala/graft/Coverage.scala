@@ -22,7 +22,7 @@ object Coverage {
     "03 StreamSplitAssigner (log start position)" ->
       Seq("c_startup_offset"),
     "04 JdbcSourceChunkSplitter (even/uneven chunking)" ->
-      Seq("c_chunks"),
+      Seq("c_chunks", "c_chunk_boundaries"),
     "05 AbstractScanFetchTask (LW/HW + backfill)" ->
       Seq("c_incremental"),
     "06 IncrementalSourceStreamFetcher (per-chunk HW suppression)" ->

@@ -1811,6 +1811,31 @@ object QueriesCore {
       unionOfChunks(li, "l_orderkey", splits)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "c_chunk_boundaries" -> ((s, dir) => {
+      import ChunkSplitter._
+      import s.implicits._
+      // chunk BOUNDARY pinning (not just coverage): the uneven path must
+      // advance by the reference's INCLUSIVE probe (`queryNextChunkMax` is
+      // `WHERE pk >= ? LIMIT chunkSize`, `MySqlChunkSplitter.nextChunkEnd
+      // :335`) — over unique keys the boundaries land at row rank chunkSize,
+      // then every (chunkSize-1) ranks; the even path steps min + i*dynamic
+      // with dynamic = (factor * chunkSize).toInt and factor at 4dp ceiling
+      // (`calculateDistributionFactor:480`). o_orderkey is dense 0..cnt-1 at
+      // every SF, so factor = 1.0 exactly and dynamic = chunkSize — both
+      // paths have a closed-form DuckDB oracle.
+      val o = t(s, dir, "orders")
+      val (mn, mx, cnt) = analyze(o, "o_orderkey")
+      val uneven = generateSplits(mn, mx, cnt,
+        Config(chunkSize = 1000, distributionFactorUpper = 0.5),
+        dataFrameProbe(o, "o_orderkey"))
+      val even = generateSplits(mn, mx, cnt, Config(chunkSize = 1000),
+        dataFrameProbe(o, "o_orderkey"))
+      val rows =
+        uneven.zipWithIndex.map { case (c, i) => ("uneven", i, c.start, c.end) } ++
+          even.zipWithIndex.map { case (c, i) => ("even", i, c.start, c.end) }
+      rows.toDF("path", "chunk_idx", "start_key", "end_key")
+        .orderBy("path", "chunk_idx")
+    }),
     "c_snapshot" -> ((s, dir) => {
       Envelope.fromSnapshot(t(s, dir, "nation"), TableId.parse("app.nation"),
         col("n_nationkey"))
@@ -2348,6 +2373,36 @@ object QueriesCore {
         |) ORDER BY sinkTableId""".stripMargin,
     "c_chunks" ->
       """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c_chunk_boundaries" ->
+      """WITH ranked AS (
+        |  SELECT o_orderkey AS k,
+        |         row_number() OVER (ORDER BY o_orderkey) AS rn,
+        |         max(o_orderkey) OVER () AS mx,
+        |         min(o_orderkey) OVER () AS mn
+        |  FROM orders),
+        |ub AS (
+        |  SELECT CAST(k AS BIGINT) AS k,
+        |         CAST(row_number() OVER (ORDER BY k) AS INT) AS bidx
+        |  FROM ranked WHERE rn >= 1000 AND (rn - 1000) % 999 = 0 AND k < mx),
+        |un AS (
+        |  SELECT 'uneven' AS path, bidx - 1 AS chunk_idx,
+        |         lag(k) OVER (ORDER BY bidx) AS start_key, k AS end_key FROM ub
+        |  UNION ALL
+        |  SELECT 'uneven', CAST((SELECT count(*) FROM ub) AS INT),
+        |         (SELECT max(k) FROM ub), NULL),
+        |eb AS (
+        |  SELECT CAST(mn + i * 1000 AS BIGINT) AS k, CAST(i AS INT) AS bidx
+        |  FROM (SELECT DISTINCT mn, mx FROM ranked), generate_series(1, 100000) AS g(i)
+        |  WHERE mn + i * 1000 <= mx),
+        |ev AS (
+        |  SELECT 'even' AS path, bidx - 1 AS chunk_idx,
+        |         lag(k) OVER (ORDER BY bidx) AS start_key, k AS end_key FROM eb
+        |  UNION ALL
+        |  SELECT 'even', CAST((SELECT count(*) FROM eb) AS INT),
+        |         (SELECT max(k) FROM eb), NULL)
+        |SELECT path, chunk_idx, start_key, end_key FROM un
+        |UNION ALL SELECT path, chunk_idx, start_key, end_key FROM ev
+        |ORDER BY path, chunk_idx""".stripMargin,
     "c_snapshot" ->
       """SELECT 'app.nation' AS tableId, 'INSERT' AS op,
         |  CAST(n_nationkey AS BIGINT) AS seq, n_nationkey, n_name, n_regionkey

@@ -110,8 +110,12 @@ object CdcOffset {
   */
 private[cdc] object DenseKeyProbe {
   def apply(src: ChangeSource): ChunkSplitter.Probe = new ChunkSplitter.Probe {
+    // INCLUSIVE lower bound like the reference's `queryNextChunkMax`
+    // (`WHERE pk >= ? ORDER BY pk LIMIT chunkSize`): the boundary key's rows
+    // count against the chunk budget, so duplicate-key tables advance by
+    // the reference's boundaries, not one-chunk-early ones
     def nextChunkMax(from: Long, c: Int) = {
-      val keys = src.snapshotRead(Some(from + 1), None)
+      val keys = src.snapshotRead(Some(from), None)
         .map(r => r(src.schema.primaryKeys.head).toString.toLong).sorted.take(c)
       keys.lastOption
     }

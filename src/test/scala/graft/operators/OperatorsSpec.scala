@@ -297,14 +297,15 @@ class ChunkSplitterSpec extends AnyFunSuite {
     // 10 rows over range 0..10000 → factor 1000.1 > 1000 upper bound
     val keys = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9996L, 9997L, 9998L, 10000L)
     val probe = new Probe {
+      // inclusive lower bound, per the reference's queryNextChunkMax
       def nextChunkMax(from: Long, c: Int) = {
-        val next = keys.filter(_ > from).take(c)
+        val next = keys.filter(_ >= from).take(c)
         if (next.isEmpty) None else Some(next.max)
       }
       def minAfter(v: Long) = keys.find(_ > v)
     }
     val splits = generateSplits(Some(0), Some(10000), 10, Config(chunkSize = 4), probe)
-    // chunks: (None,4], (4,9997], (9997,None) under [start,end) semantics
+    // chunks: [None,3), [3,9996), [9996,None) under [start,end) semantics
     assert(splits.head.start.isEmpty)
     assert(splits.last.end.isEmpty)
     assert(splits.size == 3)
