@@ -66,6 +66,22 @@ object DataSinks {
             .map { case (k, v) => k.stripPrefix("driver.") -> v },
           batchSize = sinkDef.config.getOrElse("batch.size", "1024").toInt)
       case "jdbc-exactly-once" =>
+        // option surface validated FactoryHelper-style: required url, typed
+        // optionals, `driver.*` passes through like the reference's
+        // `validateExcept("debezium.")` namespaces
+        graft.pipeline.FactoryOptions.validateExcept(
+          "jdbc-exactly-once",
+          required = Set(graft.pipeline.FactoryOptions.ConfigOpt(
+            "url", graft.pipeline.FactoryOptions.StringType)),
+          optional = Set(
+            graft.pipeline.FactoryOptions.ConfigOpt(
+              "dialect", graft.pipeline.FactoryOptions.StringType),
+            graft.pipeline.FactoryOptions.ConfigOpt(
+              "batch.size", graft.pipeline.FactoryOptions.IntType),
+            graft.pipeline.FactoryOptions.ConfigOpt(
+              "append-only", graft.pipeline.FactoryOptions.BooleanType)),
+          config = sinkDef.config,
+          "driver.")
         new JdbcTwoPhaseSink(
           url = sinkDef.config.getOrElse(
             "url", throw new IllegalArgumentException("jdbc-exactly-once sink requires 'url'")),

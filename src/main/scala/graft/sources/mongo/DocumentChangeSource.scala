@@ -27,6 +27,34 @@ final case class ResumeToken(json: String) {
 object ResumeToken {
   def encode(tsMillis: Long, seq: Long): ResumeToken =
     ResumeToken(f"""{"_data": "$tsMillis%016x$seq%016x"}""")
+
+  /** KeyString type byte for a BSON timestamp (`ResumeTokenUtils.K_TIMESTAMP`). */
+  private val KTimestamp = 130
+
+  /** Decode a REAL MongoDB change-stream resume token to its cluster
+    * timestamp (`ResumeTokenUtils.decodeTimestamp`): the `_data` field is
+    * either a hex KeyString (wire versions v0/v1) or a BinData payload
+    * (`{"$binary": {"base64": …}}`); the first byte must be the KeyString
+    * timestamp tag 0x82, followed by big-endian (seconds, increment).
+    */
+  def decodeTimestamp(tokenJson: String): graft.sources.mongo.Bson.BTs = {
+    val base64 = """"base64"\s*:\s*"([^"]+)"""".r
+    val hexData = """"_data"\s*:\s*"([0-9A-Fa-f]+)"""".r
+    val bytes: Array[Byte] = base64.findFirstMatchIn(tokenJson) match {
+      case Some(m) => java.util.Base64.getDecoder.decode(m.group(1))
+      case None => hexData.findFirstMatchIn(tokenJson) match {
+        case Some(m) =>
+          m.group(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        case None => throw new IllegalArgumentException(
+          s"Unknown resume token format: $tokenJson")
+      }
+    }
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val kType = buf.get() & 0xff
+    if (kType != KTimestamp)
+      throw new IllegalArgumentException(s"Unknown keyType of timestamp: $kType")
+    graft.sources.mongo.Bson.BTs(buf.getInt(), buf.getInt())
+  }
 }
 
 /** A document-store change source — the MongoDB change model through the SAME

@@ -32,6 +32,114 @@ object Bson {
   /** BSON timestamp (type 0x11): (seconds, increment) — `clusterTime`. */
   final case class BTs(seconds: Int, inc: Int)
 
+  // Comparison-order value forms (never on the wire subset, but orderable —
+  // a Mongo `_id` chunk key can be any of these): binary, regex, code,
+  // datetime, ObjectId, undefined, min/max keys.
+  final case class BBin(subType: Byte, data: Array[Byte])
+  final case class BRegex(pattern: String, options: String = "")
+  final case class BJs(code: String)
+  final case class BJsScope(code: String, scope: BDoc)
+  final case class BDateTime(millis: Long)
+  final case class BObjectId(hex: String)
+  case object BUndefined
+  case object BMinKey
+  case object BMaxKey
+
+  /** MongoDB's BSON type comparison order
+    * (`mongodb/source/utils/BsonUtils.compareBsonValue` — used when chunking
+    * a collection on `_id` ranges; the published order is
+    * MinKey < Undefined == [] < Null < Numbers < String < Object < Array <
+    * Binary < ObjectId < Boolean < Date < Timestamp < Regex < Code < MaxKey).
+    * Top-level arrays compare by their SMALLEST element; an empty array
+    * ranks as Undefined. Cross-type comparisons resolve on the type rank
+    * alone; documents compare pairwise in field order (type, then key name,
+    * then value, then length).
+    */
+  def compareValues(o1: Any, o2: Any): Int = compareValues(o1, o2, topLevel = true)
+
+  private def typeOrder(v: Any): Int = v match {
+    case null => 3
+    case BMinKey => 1
+    case BUndefined => 2
+    case _: Int | _: Long | _: Double | _: BigDecimal => 4
+    case _: String => 5
+    case _: BDoc => 6
+    case _: Seq[_] => 7
+    case _: BBin => 8
+    case _: BObjectId => 9
+    case _: Boolean => 10
+    case _: BDateTime => 11
+    case _: BTs => 12
+    case _: BRegex => 13
+    case _: BJs => 14
+    case _: BJsScope => 15
+    case BMaxKey => 99
+    case other => throw new IllegalArgumentException(
+      s"Unable to order bson value ${other.getClass.getName}")
+  }
+
+  private def smallestOfArray(a: Seq[Any]): Any =
+    if (a.isEmpty) BUndefined // empty array ranks below null
+    else if (a.size == 1) a.head
+    else a.min((x: Any, y: Any) => compareValues(x, y, topLevel = false))
+
+  private def compareValues(o1: Any, o2: Any, topLevel: Boolean): Int = {
+    if (topLevel) {
+      val e1 = o1 match { case a: Seq[_] => smallestOfArray(a); case x => x }
+      val e2 = o2 match { case a: Seq[_] => smallestOfArray(a); case x => x }
+      return compareValues(e1, e2, topLevel = false)
+    }
+    val (t1, t2) = (typeOrder(o1), typeOrder(o2))
+    if (t1 != t2) return Integer.compare(t1, t2)
+    (o1, o2) match {
+      case (null, _) | (BMinKey, _) | (BMaxKey, _) | (BUndefined, _) => 0
+      case _ if t1 == 4 =>
+        BigDecimal(o1.toString).compare(BigDecimal(o2.toString))
+      case (a: String, b: String) => a.compareTo(b)
+      case (a: BDoc, b: BDoc) => compareDocs(a, b)
+      case (a: Seq[_], b: Seq[_]) =>
+        compareValues(smallestOfArray(a), smallestOfArray(b), topLevel = false)
+      case (a: BBin, b: BBin) =>
+        // length, then the one-byte subtype, then bytes unsigned
+        var r = Integer.compare(a.data.length, b.data.length)
+        if (r == 0) r = java.lang.Byte.compare(a.subType, b.subType)
+        if (r == 0) r = a.data.zip(b.data).iterator
+          .map { case (x, y) => Integer.compare(x & 0xff, y & 0xff) }
+          .find(_ != 0).getOrElse(0)
+        r
+      case (a: BObjectId, b: BObjectId) => a.hex.compareTo(b.hex)
+      case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+      case (a: BDateTime, b: BDateTime) => java.lang.Long.compare(a.millis, b.millis)
+      case (a: BTs, b: BTs) =>
+        val r = Integer.compareUnsigned(a.seconds, b.seconds)
+        if (r != 0) r else Integer.compareUnsigned(a.inc, b.inc)
+      case (a: BRegex, b: BRegex) =>
+        s"/${a.pattern}/${a.options}".compareTo(s"/${b.pattern}/${b.options}")
+      case (a: BJs, b: BJs) => a.code.compareTo(b.code)
+      case (a: BJsScope, b: BJsScope) =>
+        val r = a.code.compareTo(b.code)
+        if (r != 0) r else compareDocs(a.scope, b.scope)
+      case other => throw new IllegalArgumentException(
+        s"Unable to compare bson values between $o1 and $o2")
+    }
+  }
+
+  private def compareDocs(d1: BDoc, d2: BDoc): Int = {
+    val (p1, p2) = (d1.fields, d2.fields)
+    if (p1.isEmpty && p2.isEmpty) 0
+    else if (p1.isEmpty) -1
+    else if (p2.isEmpty) 1
+    else {
+      p1.zip(p2).foreach { case ((k1, v1), (k2, v2)) =>
+        var r = Integer.compare(typeOrder(v1), typeOrder(v2))
+        if (r == 0) r = k1.compareTo(k2)
+        if (r == 0) r = compareValues(v1, v2, topLevel = false)
+        if (r != 0) return r
+      }
+      Integer.compare(p1.size, p2.size)
+    }
+  }
+
   def encode(doc: BDoc): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     writeDoc(out, doc)
