@@ -29,14 +29,15 @@ import QueriesConformance.{schemaOf, runPipeline, runPipelineR, registered,
   *    (`flink-cdc-dist/src/main/flink-cdc-bin/conf/flink-cdc.yaml`:
   *    `schema.change.behavior: EVOLVE`, parallelism 4), so unannotated YAMLs
   *    here run EVOLVE, not the code-default LENIENT.
-  *  - VARCHAR(n) erases to `string` in this environment (SURVEY §1.3), so the
-  *    reference's VARCHAR-width changes (`VARCHAR(17)` → `VARCHAR(19)` alters,
-  *    and the merged `VARCHAR(17)∨VARCHAR(19) → STRING` widening of
-  *    `SchemaMergingUtils.getLeastCommonType:471`) are absorbed at the type
-  *    cap: the alter arrives string→string. One-to-one routes forward the raw
-  *    (now no-op) event — `SchemaCoordinator.java:291` forwards without
-  *    diffing — while merged sinks diff against the evolved schema and derive
-  *    nothing. Data values are unaffected either way.
+  *  - VARCHAR(n) erases to `string` in the Spark data plane (SURVEY §1.3),
+  *    but the declared width rides the field metadata (`CdcTypes.TypeKey`),
+  *    so the merged-route diff is width-sensitive: the reference's
+  *    `VARCHAR(17)∨VARCHAR(19) → STRING` widening
+  *    (`SchemaMergingUtils.getLeastCommonType:471`) derives the
+  *    `AlterColumnTypeEvent{VERSION=STRING}` that `RouteE2eITCase:313`
+  *    asserts. One-to-one routes forward the raw event without diffing
+  *    (`SchemaCoordinator.java:291`). Data values are unaffected either way
+  *    (the render shows the Spark type, `string`).
   */
 object QueriesE2e {
 
@@ -71,8 +72,17 @@ object QueriesE2e {
       val initial =
         if (snapshot) rows.map { case (id, v) => Map[String, Any]("ID" -> id, "VERSION" -> v) }
         else Seq.empty
+      // `ID INT NOT NULL, VERSION VARCHAR(17)` (ddl/route_test.sql) — the
+      // VARCHAR width rides the field metadata (CdcTypes.TypeKey) so the
+      // merged-route diff is width-sensitive like the reference's
       val src = new ScriptedChangeSource(
-        t, schemaOf("ID" -> IntegerType, "VERSION" -> Str)("ID"), initial)
+        t,
+        TableSchema(
+          StructType(Seq(
+            CdcTypes.toSparkField("ID", CdcTypes.IntT(nullable = false)),
+            CdcTypes.toSparkField("VERSION", CdcTypes.VarCharT(17)))),
+          primaryKeys = Seq("ID")),
+        initial)
       (name, freshId(s"$tag-${name.toLowerCase}"), t, src)
     }
     RouteFixture(
@@ -261,9 +271,13 @@ object QueriesE2e {
 
     // RouteE2eITCase.testMergeTableRoute:246-317: all four tables merge into
     // route_db.ALL; ALPHA's add appends AFTER VERSION, BETA's rename surfaces
-    // as ADD VERSION_EX, GAMMA's alter+rename and DELTA's drop derive nothing
-    // beyond coercion (the VARCHAR-width alter is absorbed at the string cap;
-    // the reference emits AlterColumnTypeEvent{VERSION=STRING} there).
+    // as ADD VERSION_EX; GAMMA's width alter derives the reference's
+    // `AlterColumnTypeEvent{VERSION=STRING}` (:313 — VARCHAR(17)∨VARCHAR(19)
+    // → STRING, width-aware via CdcTypes.TypeKey metadata), and GAMMA's
+    // rename then widens VERSION_EX the same way (VARCHAR(19) arriving at a
+    // VARCHAR(17) merged column — the reference's presence-only
+    // validateResult doesn't list this second derived alter, but its
+    // SchemaDerivator produces it); DELTA's drop derives nothing.
     "c_e2e_route_merge" -> ((s, _) => {
       runRoutePipeline(s, "rtmerge",
         """route:
@@ -281,6 +295,8 @@ object QueriesE2e {
             "before=[], after=[10001, 12, Derrida], op=INSERT, meta=()",
             "add:VERSION_EX AFTER NAME",
             "before=[], after=[10002, null, null, 15], op=INSERT, meta=()",
+            "alter:VERSION->string",
+            "alter:VERSION_EX->string",
             "before=[], after=[10003, null, null, Fluorite], op=INSERT, meta=()",
             "before=[], after=[10004, null, null, null], op=INSERT, meta=()"))
         require(db.schemaOf(all).exists(
@@ -362,12 +378,18 @@ object QueriesE2e {
             "before=[], after=[10001, 12, Derrida], op=INSERT, meta=()",
             "add:VERSION_EX AFTER NAME",
             "before=[], after=[10002, null, null, 15], op=INSERT, meta=()"))
+        // BETAGAMM: GAMMA's VARCHAR(19) widens the merged VERSION to STRING
+        // (the reference asserts exactly this alter, RouteE2eITCase:591) and
+        // GAMMA's rename then widens VERSION_EX the same way (derived, not
+        // listed by the presence-only validateResult)
         requireEventSequence(db, bg,
           Seq("create:ID,VERSION") ++ insLines(betaRows) ++ insLines(gammaRows) ++ Seq(
             "before=[2014, 14], after=[2014, 2014], op=UPDATE, meta=()",
             insLine(3019, "Emerald"),
             "add:VERSION_EX AFTER VERSION",
             "before=[], after=[10002, null, 15], op=INSERT, meta=()",
+            "alter:VERSION->string",
+            "alter:VERSION_EX->string",
             "before=[], after=[10003, null, Fluorite], op=INSERT, meta=()"))
         requireEventSequence(db, f.tids("TABLEDELTA"), deltaSeq)
         unionState(s, db, Seq(ab, bg, f.tids("TABLEDELTA")))
@@ -462,6 +484,10 @@ object QueriesE2e {
             "before=[], after=[10001, 12, extras, Derrida], op=INSERT, meta=()",
             "add:VERSION_EX AFTER NAME",
             "before=[], after=[10002, null, extras, null, 15], op=INSERT, meta=()",
+            // the width-derived alters ride through the transform too
+            // (the reference asserts VERSION=STRING, RouteE2eITCase:897)
+            "alter:VERSION->string",
+            "alter:VERSION_EX->string",
             "before=[], after=[10003, null, extras, null, Fluorite], op=INSERT, meta=()",
             "before=[], after=[10004, null, extras, null, null], op=INSERT, meta=()"))
         unionState(s, db, Seq(all))
@@ -558,12 +584,15 @@ object QueriesE2e {
       }
     }),
 
-    // testExtremeMergeTableRoute (batchMode=false): the STREAMING param —
-    // same per-table semantics; table count scaled 100→24 here because each
-    // scripted source drains as its own checkpointed stream (cost, not
-    // semantics — the batch twin above runs the full 100).
+    // testExtremeMergeTableRoute (batchMode=false): the STREAMING param at
+    // the reference's FULL 100 tables — all sources multiplex through ONE
+    // checkpointed streaming query (`PipelineRunner.runMultiplexedHandlingDdl`:
+    // the union of the per-source DSv2 readers, per-source offsets in the
+    // shared checkpoint), matching the reference's single-job topology; cost
+    // is O(drain passes), not O(tables).
     "c_e2e_route_extreme_stream" -> ((s, _) => {
-      val n = 24
+      implicit val spark: SparkSession = s
+      val n = 100
       val entries = (1 to n).map { i =>
         val t = TableId.parse(s"extreme_db.TABLE$i")
         val src = new ScriptedChangeSource(
@@ -571,13 +600,27 @@ object QueriesE2e {
         (freshId(s"rtexs-$i"), t, src)
       }
       registered(entries.map(e => e._1 -> e._3): _*) {
-        val db = runPipeline(s, entries.map(e => e._1 -> e._3), "EVOLVE") { _ =>
-          entries.foreach { case (_, t, src) =>
-            val i = t.tableName.stripPrefix("TABLE").toInt
-            src.append(DataChangeEvent.insert(t,
-              Map("ID" -> i, "VERSION" -> s"No.$i")))
-          }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_rtexs").toString
+        val runner = new PipelineRunner(YamlPipelineParser.parse(
+          s"""source:
+             |  type: cdc
+             |  sourceId: ${entries.head._1}
+             |sink:
+             |  type: values
+             |  record.events: true
+             |pipeline:
+             |  checkpoint.dir: $ckpt
+             |  schema.change.behavior: EVOLVE
+             |""".stripMargin))
+        val extraIds = entries.drop(1).map(_._1)
+        runner.runMultiplexedHandlingDdl(extraIds) // empty snapshot pass
+        entries.foreach { case (_, t, src) =>
+          val i = t.tableName.stripPrefix("TABLE").toInt
+          src.append(DataChangeEvent.insert(t,
+            Map("ID" -> i, "VERSION" -> s"No.$i")))
         }
+        runner.runMultiplexedHandlingDdl(extraIds)
+        val db = runner.sink.asInstanceOf[MemoryDatabase]
         entries.foreach { case (_, t, _) =>
           val i = t.tableName.stripPrefix("TABLE").toInt
           requireEventSequence(db, t, Seq(
@@ -1522,7 +1565,7 @@ object QueriesE2e {
     "c_e2e_route_extreme" -> valuesSql(
       (1 to 100).map(i => (s"TABLE$i", i, s"No.$i"))),
     "c_e2e_route_extreme_stream" -> valuesSql(
-      (1 to 24).map(i => (s"TABLE$i", i, s"No.$i"))),
+      (1 to 100).map(i => (s"TABLE$i", i, s"No.$i"))),
     "c_e2e_evolving_transform_evolve" -> eventValuesSql(etEvolveLines),
     "c_e2e_evolving_transform_merge" -> eventValuesSql(etMergeLines),
     "c_e2e_evolving_transform_evolve_error" ->

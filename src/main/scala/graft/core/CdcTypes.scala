@@ -100,6 +100,49 @@ object CdcTypes {
   }
 
   /** Best-effort inverse of `toSpark` (used when schemas come from parquet/catalog). */
+  /** StructField metadata key carrying width the Spark type erases
+    * (CHAR/VARCHAR/BINARY/VARBINARY lengths): Spark has no bounded
+    * char/binary types, but the reference's merged-route diff is
+    * width-sensitive — `VARCHAR(17) ∨ VARCHAR(19) → STRING` must emit an
+    * `AlterColumnTypeEvent` on the merged sink (`RouteE2eITCase
+    * .testMergeTableRoute:313`), and sink-DDL generation (Doris/StarRocks)
+    * needs declared widths. The width rides the field metadata so
+    * [[fromSparkField]] reconstructs the exact CdcType.
+    */
+  val TypeKey = "graft.cdc.type"
+
+  /** Spark-erased width rendering, when the type carries one. */
+  def renderErased(t: CdcType): Option[String] = t match {
+    case CharT(n, _) => Some(s"CHAR($n)")
+    case VarCharT(n, _) if n != Int.MaxValue => Some(s"VARCHAR($n)")
+    case BinaryT(n, _) => Some(s"BINARY($n)")
+    case VarBinaryT(n, _) if n != Int.MaxValue => Some(s"VARBINARY($n)")
+    case _ => None
+  }
+
+  private val ErasedPat = """(CHAR|VARCHAR|BINARY|VARBINARY)\((\d+)\)""".r
+  def parseErased(s: String, nullable: Boolean): CdcType = s match {
+    case ErasedPat("CHAR", n) => CharT(n.toInt, nullable)
+    case ErasedPat("VARCHAR", n) => VarCharT(n.toInt, nullable)
+    case ErasedPat("BINARY", n) => BinaryT(n.toInt, nullable)
+    case ErasedPat("VARBINARY", n) => VarBinaryT(n.toInt, nullable)
+    case other => throw new IllegalArgumentException(s"bad $TypeKey metadata: $other")
+  }
+
+  /** Build a StructField carrying the erased width in metadata (merging with
+    * `base` metadata, clearing any stale width tag first).
+    */
+  def toSparkField(name: String, t: CdcType, base: Metadata = Metadata.empty): StructField = {
+    val b = new MetadataBuilder().withMetadata(base).remove(TypeKey)
+    renderErased(t).foreach(b.putString(TypeKey, _))
+    StructField(name, t.toSpark, t.nullable, b.build())
+  }
+
+  /** Reconstruct the CDC type of a field, widths included when tagged. */
+  def fromSparkField(f: StructField): CdcType =
+    if (f.metadata.contains(TypeKey)) parseErased(f.metadata.getString(TypeKey), f.nullable)
+    else fromSpark(f.dataType, f.nullable)
+
   def fromSpark(dt: DataType, nullable: Boolean = true): CdcType = dt match {
     case BooleanType        => BooleanT(nullable)
     case ByteType           => TinyIntT(nullable)

@@ -45,7 +45,7 @@ final class SchemaManager {
               .putString(AddColumnEvent.DefaultKey, d).build()
             case None => org.apache.spark.sql.types.Metadata.empty
           }
-          val f = StructField(c.name, c.cdcType.toSpark, c.cdcType.nullable, md)
+          val f = CdcTypes.toSparkField(c.name, c.cdcType, md)
           fields = c.position match {
             case AddColumnEvent.Last  => fields :+ f
             case AddColumnEvent.First => f +: fields
@@ -78,7 +78,10 @@ final class SchemaManager {
         val cur = latest(t).getOrElse(sys.error(s"unknown table $t"))
         val evolved = cur.copy(struct = StructType(cur.struct.fields.map { f =>
           mapping.get(f.name) match {
-            case Some(ct) => f.copy(dataType = ct.toSpark, nullable = ct.nullable)
+            // rebuild through toSparkField: the new type's width replaces (or
+            // clears) the erased-width tag — an alter VARCHAR(17)→STRING must
+            // not leave the stale width behind
+            case Some(ct) => CdcTypes.toSparkField(f.name, ct, f.metadata)
             case None     => f
           }
         }))

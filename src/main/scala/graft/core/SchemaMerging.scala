@@ -212,5 +212,8 @@ object SchemaMerging {
     })
 
   def fromStruct(s: StructType): Seq[(String, CdcType)] =
-    s.fields.toSeq.map(f => f.name -> CdcTypes.fromSpark(f.dataType, f.nullable))
+    // width-aware: a VARCHAR(n) tag in field metadata reconstructs the
+    // bounded type, so merged-route diffs see VARCHAR(17) vs VARCHAR(19)
+    // (→ STRING alter), not string vs string (→ nothing)
+    s.fields.toSeq.map(f => f.name -> CdcTypes.fromSparkField(f))
 }

@@ -489,6 +489,57 @@ final class PipelineRunner(pdef: PipelineDef)(implicit spark: SparkSession) {
     applied
   }
 
+  /** Drain the primary + `extraSourceIds` sources through ONE checkpointed
+    * streaming query — the union of their DSv2 readers. The reference runs a
+    * SINGLE job whose source covers every captured table, so table count must
+    * not multiply stream start/stop cost; per-table streams
+    * ([[drainTableHandlingDdl]]) are O(tables) restarts per drain, this is
+    * O(1). Each `AvailableNow` pass drains all sources (per-source offsets
+    * live in the shared checkpoint); a DDL parked on ANY source is applied at
+    * the batch boundary and the single query restarts. Requires the sources'
+    * envelope schemas to be union-compatible (the per-table `before`/`after`
+    * structs must agree) — heterogeneous table sets stay on the per-table
+    * path.
+    */
+  def runMultiplexedHandlingDdl(
+      extraSourceIds: Seq[String], maxRestarts: Int = 100): Int = {
+    require(pdef.config.contains("checkpoint.dir"),
+      "runMultiplexedHandlingDdl requires pipeline.checkpoint.dir")
+    val extras = extraSourceIds.map { id =>
+      addedSourceIds.add(id)
+      val src = ChangeSourceRegistry.get(id)
+      src.tableId -> src.schema
+    }
+    composer.createTables(sourceSchemas ++ extras.toMap)
+    val allIds = sourceId +: extraSourceIds
+    var applied = 0
+    var restarts = 0
+    var continue = true
+    while (continue && restarts <= maxRestarts) {
+      val df = allIds.map(readerFor(_).load()).reduce(_ unionByName _)
+      val q = CdcStream.start(df, composer,
+        queryName = s"${pdef.name}-multiplex",
+        checkpointDir = pdef.config.get("checkpoint.dir").map(d => s"$d/multiplex"))
+      q.processAllAvailable()
+      q.stop()
+      allIds.iterator
+        .flatMap(id => ChangeSourceRegistry.pendingDdl(id).map(id -> _._2))
+        .nextOption() match {
+        case Some((id, ddl)) =>
+          composer.processSchemaChange(ddl)
+          ChangeSourceRegistry.ackPendingDdl(id)
+          applied += 1
+          restarts += 1
+        case None => continue = false
+      }
+    }
+    if (continue)
+      throw new IllegalStateException(
+        s"runMultiplexedHandlingDdl exhausted $maxRestarts restarts " +
+          s"with schema changes still arriving (applied $applied)")
+    applied
+  }
+
   def addTable(newSourceId: String): StreamingQuery = {
     addedSourceIds.add(newSourceId)
     val src = ChangeSourceRegistry.get(newSourceId)

@@ -37,11 +37,19 @@ object CdcStream {
         val runId = Option(batch.sparkSession.sparkContext
             .getLocalProperty("sql.streaming.queryId"))
           .getOrElse(checkpointDir.getOrElse(""))
-        PipelineComposer.splitByTable(batch).toSeq
-          .sortBy(_._1.identifier)
-          .foreach { case (tableId: TableId, env: DataFrame) =>
-            composer.processBatch(tableId, env, batchId, runId)
-          }
+        // pin the micro-batch before fanning out: splitByTable issues one
+        // distinct() pass plus one filter per table, and over a multiplexed
+        // source (a union of N per-table readers) each of those would
+        // re-evaluate the N-way union — O(N²) source reads per batch
+        // without the cache
+        batch.persist()
+        try
+          PipelineComposer.splitByTable(batch).toSeq
+            .sortBy(_._1.identifier)
+            .foreach { case (tableId: TableId, env: DataFrame) =>
+              composer.processBatch(tableId, env, batchId, runId)
+            }
+        finally batch.unpersist()
       }
     checkpointDir.foreach(d => b = b.option("checkpointLocation", d))
     b.start()
