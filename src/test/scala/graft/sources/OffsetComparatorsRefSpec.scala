@@ -145,6 +145,41 @@ class OffsetComparatorsRefSpec extends AnyFunSuite {
       BJsScope("console.log('apple');", BDoc("_id" -> "banana"))) > 0)
   }
 
+  // ---- OracleChunkSplitterTest (flink-connector-oracle-cdc) ----------------
+
+  // testIsChunkEndGeMax_Rowid_Case:50 + testIsChunkEndLeMax_Rowid_Case:60 —
+  // the reference asks the SERVER (CHARTOROWID ... ORDER BY); server order
+  // is the alphabet-index order implemented locally. The pinned pair
+  // diverges from ASCII order at position 8 ('K' vs '/'), so a plain string
+  // compare would invert it.
+  test("oracle ROWID order matches the server, not ASCII") {
+    val a = "AAAzIdACKAAABWCAAA"
+    val b = "AAAzIdAC/AACWIPAAB"
+    assert(!graft.sources.oracle.OracleRowId.isChunkEndGeMax(a, b))
+    assert(graft.sources.oracle.OracleRowId.isChunkEndLeMax(a, b))
+    assert(a.compareTo(b) > 0) // ASCII disagrees — the mapping is load-bearing
+    assert(graft.sources.oracle.OracleRowId.isChunkEndGeMax(a, a))
+    assert(graft.sources.oracle.OracleRowId.isChunkEndLeMax(a, a))
+    // components decode: same data object (AAAzId), differing file/block/row
+    val (objA, _, _, _) = graft.sources.oracle.OracleRowId.decode(a)
+    val (objB, _, _, _) = graft.sources.oracle.OracleRowId.decode(b)
+    assert(objA == objB)
+  }
+
+  // ---- MysqlGtidRecoveryTest (flink-connector-mysql-cdc) -------------------
+
+  // testGtidGapsPreservedDuringRecovery:31 — resuming from a GTID set WITH
+  // GAPS (`:1-10:14-16:19-19:21-22` against server history 1..23) must
+  // replay exactly the gap transactions {11,12,13,17,18,20,23}: the replay
+  // filter is set membership, never "everything after the max".
+  test("gtid recovery preserves gaps: only uncovered transactions replay") {
+    import graft.sources.mysql.Gtid.GtidSet
+    val uuid = "24bc7850-2c16-11e6-a073-0242ac110002"
+    val withGaps = GtidSet.parse(s"$uuid:1-10:14-16:19-19:21-22")
+    val replayed = (1L to 23L).filterNot(withGaps.contains(uuid, _))
+    assert(replayed == Seq(11L, 12L, 13L, 17L, 18L, 20L, 23L))
+  }
+
   test("bson compare: inter-type rank and the null family") {
     assert(cmp(null, "") < 0) // Null < String
     assert(cmp(true, "") > 0) // Boolean > String
