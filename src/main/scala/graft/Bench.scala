@@ -452,6 +452,21 @@ object Bench {
         TableId.parse("app.lineitem"), col("l_orderkey")).count()
     }.foreach(sec => out += "b1_snapshot_rows_per_sec" -> liRows / sec)
 
+    // B1b (added r18): the same chunked snapshot with the union maximally
+    // coalesced (contiguous+covering ranges collapse losslessly to one
+    // branch — chunk planning still runs). b1 keeps the historical
+    // 32-branch shape for cross-round comparability; the b1/b1b gap prices
+    // what the branch fan-out costs on a splittable columnar source, where
+    // scan parallelism comes from file splits, not plan branches.
+    timed("b1_coalesced") {
+      val (mn, mx, cnt) = ChunkSplitter.analyze(li, "l_orderkey")
+      val splits = ChunkSplitter.generateSplits(mn, mx, cnt,
+        ChunkSplitter.Config(chunkSize = 8096), ChunkSplitter.dataFrameProbe(li, "l_orderkey"))
+      Envelope.fromSnapshot(
+        ChunkSplitter.unionOfChunks(li, "l_orderkey", splits, maxBranches = 1),
+        TableId.parse("app.lineitem"), col("l_orderkey")).count()
+    }.foreach(sec => out += "b1_snapshot_coalesced_rows_per_sec" -> liRows / sec)
+
     // B2: B1 envelope + 5-expr projection + filter
     timed("b2") {
       Envelope.fromSnapshot(li, TableId.parse("app.lineitem"), col("l_orderkey"))

@@ -5,7 +5,7 @@ import graft.functions.Dialect
 import graft.operators._
 import graft.pipeline.SchemaDerivator
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Analytics + transform-dialect + CDC-core correctness queries. Each entry has
@@ -20,6 +20,24 @@ object QueriesCore {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Unscaled long of a bounded decimal: `cents(cast(x AS DECIMAL(18,2)))`
+    * is x in exact cents. Decimal aggregation above precision 18 runs on
+    * java BigDecimal buffers; the SAME exact arithmetic on the unscaled
+    * longs runs in codegen'd primitive adds — r18 measured q_topk's
+    * decimal-sum aggregate at 1.12 CPU-s and the long form at a fraction of
+    * it. Exactness argument (per query, verified against the DuckDB oracle
+    * value-for-value): the quantization is the identical decimal CAST; sums
+    * and products of the unscaled integers are exact in Long far beyond any
+    * SF (≤ 2^63); HALF_UP re-rounding to cents is `(u + 50) div 100` for
+    * non-negative u; and `long.toDouble / 100.0` equals
+    * `decimal(x,2).toDouble` because both are the correctly-rounded double
+    * of the same rational. */
+  private def unscaled(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+      ColumnBridge.expression(c)))
+  }
 
   /** Deterministic changelog over `events`: event_id is the offset, the op is
     * derived from event_type (signup→INSERT, purchase→REPLACE, error→DELETE,
@@ -71,12 +89,19 @@ object QueriesCore {
     "q3_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      // revenue on unscaled longs: price_cents × (100 − disc_cents) is the
+      // same exact integer as the decimal(18,2)×decimal(18,2) product (in
+      // 10^-4 units); the per-group FINALE converts the one summed long
+      // back to decimal and replays the original round/cast — identical
+      // values, primitive-long agg buffers instead of >18-precision
+      // BigDecimal per row (see `unscaled`).
+      val revUnits = unscaled(col("l_extendedprice").cast("decimal(18,2)")) *
+        (lit(100L) - unscaled(col("l_discount").cast("decimal(18,2)")))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+        .agg(round(sum(revUnits).cast("decimal(38,0)") / lit(10000L), 2)
           .cast("double").as("revenue"))
         .orderBy("n_name")
     }),
@@ -88,11 +113,17 @@ object QueriesCore {
       // the top 10 — no global sort materialization.
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // both aggregates sum exact CENTS as primitive longs (same decimal
+      // quantization per row, same rounded double out — see `unscaled`);
+      // r18-before this was the most CPU-expensive headline query (1.12
+      // CPU-s), dominated by >18-precision decimal agg buffers
       val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("order_total"))
+        .agg(sum(unscaled(col("l_extendedprice").cast("decimal(18,2)")))
+          .as("order_total"))
       perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("order_total")), 2).cast("double").as("total_spend"))
+        .agg(round(sum(col("order_total")).cast("decimal(38,0)") / lit(100L), 2)
+          .cast("double").as("total_spend"))
         .join(c, col("o_custkey") === c("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("total_spend"))
         .orderBy(col("total_spend").desc, col("c_custkey").asc)
@@ -132,8 +163,11 @@ object QueriesCore {
         .join(su, li("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        // identical decimal(18,4) quantization per row, summed as unscaled
+        // longs; per-group finale replays round/cast (see `unscaled`)
+        .agg(round(sum(unscaled((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)"))).cast("decimal(38,0)") / lit(10000L), 2)
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     "q10_returned" -> ((s, dir) => {
@@ -146,8 +180,10 @@ object QueriesCore {
         .join(li, o("o_orderkey") === li("l_orderkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        // same unscaled-long rewrite as q5 (see `unscaled`)
+        .agg(round(sum(unscaled((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)"))).cast("decimal(38,0)") / lit(10000L), 2)
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -1808,7 +1844,18 @@ object QueriesCore {
       val (mn, mx, cnt) = analyze(li, "l_orderkey")
       val splits = generateSplits(mn, mx, cnt, Config(chunkSize = 8096),
         dataFrameProbe(li, "l_orderkey"))
-      unionOfChunks(li, "l_orderkey", splits)
+      // maxBranches = 1: the splitter's output is contiguous AND covering,
+      // so the fully-coalesced union is ONE range (lossless —
+      // `coalesceRanges` merges [a,b)+[b,c) only when contiguous; boundary
+      // fidelity itself is pinned value-level by `c_chunk_boundaries`).
+      // For a splittable columnar scan the union branches buy no
+      // parallelism (file splits do), and with this table's single row
+      // group every branch decoded the FULL table: 32 branches measured
+      // 1.59 CPU-s r18-before vs one branch ≈ a plain scan. At 100 TB a
+      // plain scan reads each row once while a 32-branch union re-reads
+      // every row group that straddles a boundary — fewer branches is the
+      // scale-correct plan, not a local tune.
+      unionOfChunks(li, "l_orderkey", splits, maxBranches = 1)
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "c_chunk_boundaries" -> ((s, dir) => {

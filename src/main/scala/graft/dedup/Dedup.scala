@@ -65,10 +65,22 @@ object Dedup {
     * LSH design (run exact dedup first so identical-document clusters collapse
     * before banding), and AQE splits skewed band buckets.
     */
-  private def bucketPairs(banded: DataFrame): DataFrame =
-    banded.alias("l")
+  private def bucketPairs(banded: DataFrame): DataFrame = {
+    // Explicit hash-repartition on the bucket keys BEFORE the self-join
+    // (guide §2.4): with the bare self-join the planner is free to pick a
+    // broadcast join at small estimated sizes, and a broadcast self-join
+    // computes the signature subtree TWICE (stream side + broadcast side) —
+    // measured in the r18-before plans: d_embedding_dup/d_minhash_lsh both
+    // scanned and re-signed the corpus twice. Pinning one exchange on
+    // exactly the join keys makes both children identical, so the shuffle
+    // is planned/computed ONCE (ReuseExchange / AQE stage reuse) and the
+    // join reads it twice with no further exchange — signatures per row are
+    // computed once at every scale, which is also the plan shape a 100 TB
+    // run would get (both sides far past broadcast size).
+    val hashed = banded.repartition(col("band"), col("bucketKey"))
+    hashed.alias("l")
       .join(
-        banded.alias("r"),
+        hashed.alias("r"),
         col("l.band") === col("r.band") && col("l.bucketKey") === col("r.bucketKey") &&
           col("l.id") < col("r.id"))
       .select(
@@ -76,6 +88,7 @@ object Dedup {
         col("r.id").as("idB"),
         col("l.payload").as("payloadA"),
         col("r.payload").as("payloadB"))
+  }
 
   /** Candidate pairs via LSH banding: equal band-hash ⇒ candidate. Returns
     * (idA, idB, sigSimilarity) with idA < idB, deduplicated across bands.
@@ -150,10 +163,23 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    // Materialize the (small) candidate set, then shingle the corpus ONCE:
+    // pre-r18 the verification joined two RENAMED copies of the shingle
+    // projection, and the rename broke subtree identity, so the corpus was
+    // scanned and re-shingled once per join side. Restricting the shingle
+    // pass to candidate ids with a semi-join and checkpointing the result
+    // (candidate-bounded, tiny next to the corpus at every scale) makes
+    // verification one corpus pass; both id-joins read the materialized
+    // rows. Values are unchanged — same shingle sets, same jaccard.
     val cands = minHashLshCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint()
+    val candIds = cands.select(col("idA").as("__id"))
+      .unionByName(cands.select(col("idB").as("__id"))).distinct()
     val sh = df.select(
       col(idCol).as("__id"),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+      .join(candIds, Seq("__id"), "left_semi")
+      .localCheckpoint()
     cands
       .join(sh.withColumnRenamed("__id", "idA").withColumnRenamed("__sh", "shA"), Seq("idA"))
       .join(sh.withColumnRenamed("__id", "idB").withColumnRenamed("__sh", "shB"), Seq("idB"))

@@ -630,10 +630,22 @@ final class LakehouseTable(
         }
         val next = kept.map(_.unionByName(incoming)).getOrElse(incoming)
 
-        // write the rewritten buckets as a new immutable commit directory
+        // write the rewritten buckets as a new immutable commit directory.
+        // CLUSTER BY BUCKET before the partitioned write (guide §6 / Iceberg
+        // write.distribution-mode=hash): without the repartition every write
+        // task holds rows of every touched bucket, so a commit emits
+        // O(tasks × buckets) small files — measured 24 CPU-s per 100k-event
+        // merge at local[32] (~1k files/commit) vs ~3.5 at 8 cpus; clustered,
+        // the file count is O(touched buckets) regardless of parallelism and
+        // every later read of the bucket opens one file per commit, not one
+        // per task. The one extra exchange moves only the rewritten buckets'
+        // rows — bounded by the COW rewrite itself, and at 100 TB it is the
+        // shuffle that Iceberg/Delta deliberately pay to avoid the
+        // many-small-files failure mode.
         val commitRel = s"data-${java.util.UUID.randomUUID().toString.take(12)}"
         val bucketCol = "__graft_bucket"
         next.withColumn(bucketCol, bucketOf(pks, snap.buckets))
+          .repartition(col(bucketCol))
           .write.partitionBy(bucketCol)
           .parquet(Paths.get(dir, commitRel).toString)
         // sequence number: these files postdate every outstanding delete

@@ -63,6 +63,14 @@ object NaiveBayes {
           .cast("decimal(18,6)").as("prior"),
         round(log10(lit(1.0) / (col("n") + lit(vocab))), 6)
           .cast("decimal(18,6)").as("llUnseen"))
+    // NOTE (r18 optimization round, measured): do NOT eagerly materialize
+    // model/stats here. The scoring plan contains the training-aggregate
+    // subtree four times, but all four share one canonical exchange
+    // (scan→explode→partial-count on (label, w)), so AQE stage reuse
+    // computes it ONCE at runtime; an explicit localCheckpoint was tried
+    // and REGRESSED x_nb_classify CPU 0.91 → 1.32 s (two extra
+    // materialization jobs + serialization for work the runtime already
+    // deduplicated). OPTIMIZATION_r18.md has the A/B.
     tokenCounts.unpersist()
     (model, stats)
   }

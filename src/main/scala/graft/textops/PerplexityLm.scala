@@ -40,6 +40,13 @@ object PerplexityLm {
     */
   def train(reference: DataFrame, textCol: String): (DataFrame, DataFrame, Long) = {
     val toks = reference.select(tokens(col(textCol)).as("w"))
+    // NOTE (r18 optimization round, measured): eager localCheckpoint of the
+    // two count tables was tried and REGRESSED x_perplexity_lm CPU
+    // 0.28 → 0.49 s — the reference slice is small relative to the
+    // candidate-scoring work, so the two materialization jobs cost more
+    // than the re-tokenization they save. At 100 TB a caller with a large
+    // trusted corpus can pre-aggregate and persist the count tables
+    // themselves (the API takes plain DataFrames). OPTIMIZATION_r18.md.
     val uni = toks.select(explode(col("w")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = toks.select(explode(bigrams(col("w"))).as("b"))
