@@ -163,23 +163,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    // Materialize the (small) candidate set, then shingle the corpus ONCE:
-    // pre-r18 the verification joined two RENAMED copies of the shingle
-    // projection, and the rename broke subtree identity, so the corpus was
-    // scanned and re-shingled once per join side. Restricting the shingle
-    // pass to candidate ids with a semi-join and checkpointing the result
-    // (candidate-bounded, tiny next to the corpus at every scale) makes
-    // verification one corpus pass; both id-joins read the materialized
-    // rows. Values are unchanged — same shingle sets, same jaccard.
     val cands = minHashLshCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-      .localCheckpoint()
-    val candIds = cands.select(col("idA").as("__id"))
-      .unionByName(cands.select(col("idB").as("__id"))).distinct()
     val sh = df.select(
       col(idCol).as("__id"),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
-      .join(candIds, Seq("__id"), "left_semi")
-      .localCheckpoint()
     cands
       .join(sh.withColumnRenamed("__id", "idA").withColumnRenamed("__sh", "shA"), Seq("idA"))
       .join(sh.withColumnRenamed("__id", "idB").withColumnRenamed("__sh", "shB"), Seq("idB"))

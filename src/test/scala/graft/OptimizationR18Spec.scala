@@ -29,16 +29,18 @@ class OptimizationR18Spec extends AnyFunSuite {
       s"banded self-join must share one exchange, got:\n$plan")
   }
 
-  test("minhash verification shingles the corpus once (checkpointed, candidate-bounded)") {
+  test("minhash near-dup pipeline stays lazy (no eager materialization jobs at build)") {
+    // r18 measured an eager localCheckpoint of candidates + shingles at
+    // +1.0 CPU-s vs the lazy double-computed verification (OPTIMIZATION_r18
+    // §"tried and reverted") — building the query must therefore launch NO
+    // Spark jobs; all work happens under the caller's single action.
     val docs = (0L until 40L).map(i => (i, s"w${i % 5} a b c d e f g"))
       .toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val out = graft.dedup.Dedup.minHashNearDuplicates(
       docs, "doc_id", "text", threshold = 1.0)
-    // the verification joins read MATERIALIZED shingle rows — no second
-    // corpus scan in the returned plan (both join inputs are RDD scans)
-    val opt = out.queryExecution.optimizedPlan.toString
-    assert(!opt.contains("Relation") || !opt.contains("parquet"),
-      s"verification must not rescan the corpus, got:\n$opt")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "query construction must not run jobs")
     // semantics: the same-text groups all verify at jaccard 1.0
     val pairs = out.collect()
     assert(pairs.nonEmpty && pairs.forall(_.getDouble(2) == 1.0))
