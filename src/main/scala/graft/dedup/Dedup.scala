@@ -511,9 +511,19 @@ object Dedup {
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     val (perBand, mask) = bandSplit(bits, bands)
+    // HOIST the vector norm to the per-row payload (guide §2.3: move work
+    // from pairs to rows): candidate pairs outnumber rows by orders of
+    // magnitude, and `cosine(a,b)` re-derives BOTH norms per pair (3 dot
+    // products). Carrying norm = sqrt(dot(v,v)) beside the vector makes
+    // each pair one dot + one multiply + one divide — the same sqrt /
+    // multiply / divide in the same order, so the result is bit-identical
+    // (oracle-EQUAL re-proved). r18: d_embedding_dup pair stage ~5M pairs
+    // for 6.4k vectors at sf0.1.
     val sigs = df.select(
       col(idCol).as("id"),
-      col(vecCol).as("payload"),
+      struct(
+        col(vecCol).as("vec"),
+        VectorFunctions.norm(col(vecCol)).as("nrm")).as("payload"),
       VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
     val chunkArray = array((0 until bands).map(b =>
       shiftright(col("sig"), b * perBand).bitwiseAND(lit(mask))): _*)
@@ -522,7 +532,8 @@ object Dedup {
       .withColumnRenamed("col", "bucketKey")
     bucketPairs(banded)
       .select(col("idA"), col("idB"),
-        VectorFunctions.cosine(col("payloadA"), col("payloadB")).as("cosine"))
+        (VectorFunctions.dot(col("payloadA.vec"), col("payloadB.vec")) /
+          (col("payloadA.nrm") * col("payloadB.nrm"))).as("cosine"))
       .groupBy("idA", "idB")
       .agg(max("cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -589,12 +600,21 @@ object Dedup {
     // centroid literal is cast to the vector column's element type so the
     // native dot expression sees matching array types.
     val vecType = df.schema(vecCol).dataType
+    // same norm hoist as [[embeddingNearDuplicates]] — here it also saves
+    // the k redundant self-norms of the per-row centroid argmax (each
+    // cosine re-derived sqrt(dot(v,v))); centroid norms constant-fold.
+    // Identical arithmetic order per element → bit-identical assignment.
     val cosArr = array(centroids.map(c =>
-      VectorFunctions.cosine(col("payload"), typedLit(c).cast(vecType))): _*)
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("payload"))
+      VectorFunctions.dot(col("payload.vec"), typedLit(c).cast(vecType)) /
+        (col("payload.nrm") * VectorFunctions.norm(typedLit(c).cast(vecType)))): _*)
+    val assigned = df.select(
+        col(idCol).as("id"),
+        struct(
+          col(vecCol).as("vec"),
+          VectorFunctions.norm(col(vecCol)).as("nrm")).as("payload"))
       .withColumn("cluster", array_position(cosArr, array_max(cosArr)) - 1)
     val sigs = assigned.withColumn(
-      "sig", VectorFunctions.hyperplaneSignature(col("payload"), dim, bits, seed))
+      "sig", VectorFunctions.hyperplaneSignature(col("payload.vec"), dim, bits, seed))
     val chunkArray = array((0 until bands).map(b =>
       shiftright(col("sig"), b * perBand).bitwiseAND(lit(mask))): _*)
     val banded = sigs.select(col("id"), col("payload"), col("cluster"), posexplode(chunkArray))
@@ -602,7 +622,8 @@ object Dedup {
       .select(col("id"), col("payload"), col("band"),
         struct(col("cluster"), col("col").as("chunk")).as("bucketKey"))
     val dropped = bucketPairs(banded)
-      .filter(VectorFunctions.cosine(col("payloadA"), col("payloadB")) >= threshold)
+      .filter((VectorFunctions.dot(col("payloadA.vec"), col("payloadB.vec")) /
+        (col("payloadA.nrm") * col("payloadB.nrm"))) >= threshold)
       .select(col("idB").as("__dup_id")).distinct()
     df.join(dropped, col(idCol) === col("__dup_id"), "left")
       .withColumn("kept", col("__dup_id").isNull)
