@@ -31,7 +31,19 @@ object Upsert {
   /** The shared per-key last-event aggregate: ONE `max_by(payload, seq)`
     * hash aggregate per (optional route, key) group. Every materialize
     * variant derives from this single definition so tie-breaking and the
-    * packed struct cannot drift between them. */
+    * packed struct cannot drift between them.
+    *
+    * Plan-shape note (r18 optimization round, measured): the struct
+    * aggregation buffer makes this a SortAggregate, and that is the RIGHT
+    * plan under Spark's executor. The argmax-join alternative (hash-agg
+    * `max(seq)` per key + join back) was implemented and measured on the
+    * 1M-event B3 probe: the optimizer lifts `seq = maxseq` into the join
+    * as an equi-key, so the payload re-shuffles on (key, seq) — a second
+    * full-row exchange — and total CPU REGRESSED 3.7–4.5 → 5.3–6.7 s.
+    * Spark's radix-sort on the long grouping prefix makes the two
+    * aggregate sorts far cheaper than an extra payload shuffle. Reverted;
+    * OPTIMIZATION_r18.md has the plan excerpts.
+    */
   private def latestByKey(env: DataFrame, groupCols: Seq[Column]): DataFrame =
     env
       .groupBy(groupCols.toIndexedSeq: _*)
