@@ -375,6 +375,36 @@ object Bench {
     var opt = optionalFields
     while (lineOf(opt).length > 1900 && opt.nonEmpty) opt = opt.tail
     println(lineOf(opt))
+    // CONTRACT LINE, last and self-sufficient (added r19): the driver's
+    // tail capture has been as short as 2000 chars, and its parser needs
+    // the `queries` map in ONE complete line — r17's artifact lost its
+    // per-query comparison because the only `queries`-bearing line (the
+    // 7 KB fullLine above) overflowed the capture. This line carries the
+    // contract fields plus the per-query task-CPU MEDIANS: at sf0.1 the
+    // per-query walls sit on a fixed stage-scheduling floor and look
+    // identical at 8 vs 32 cores, while task CPU does scale with
+    // `$SPARK_GRAFT_CPUS` — surfacing `cpu` here lets the driver's scaling
+    // check run on a signal that actually moves. Sized to a 1900-char
+    // budget; if the headline ever grows past it, the named cpu map
+    // degrades to the compact headline-order array before anything
+    // contractual is touched.
+    val cpuNamed = headline.flatMap { k =>
+      cpuTimes.get(k).filter(_.nonEmpty)
+        .map(cs => jq(k) + ":" + f"${cs.sorted.apply(cs.size / 2)}%.2f")
+    }.mkString("{", ",", "}")
+    def contractLine(cpuField: String): String = Seq(
+      s""""metric":"total"""",
+      s""""value":${f"$total%.3f"}""",
+      s""""unit":"sec"""",
+      s""""queries":$qs""",
+      cpuField,
+      s""""sf":${jq(sfDir)}""",
+      """"full":"target/bench_full.json"""").mkString("{", ",", "}")
+    val contract =
+      if (contractLine(s""""cpu":$cpuNamed""").length <= 1900)
+        contractLine(s""""cpu":$cpuNamed""")
+      else contractLine(s""""cpu_headline_order":$cpuCompact""")
+    println(contract)
     spark.stop()
     // same discipline as graft.Verify: the driver must never hang on a stray
     // non-daemon thread after the JSON line is out

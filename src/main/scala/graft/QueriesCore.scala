@@ -28,11 +28,19 @@ object QueriesCore {
     * decimal-sum aggregate at 1.12 CPU-s and the long form at a fraction of
     * it. Exactness argument (per query, verified against the DuckDB oracle
     * value-for-value): the quantization is the identical decimal CAST; sums
-    * and products of the unscaled integers are exact in Long far beyond any
-    * SF (≤ 2^63); HALF_UP re-rounding to cents is `(u + 50) div 100` for
-    * non-negative u; and `long.toDouble / 100.0` equals
-    * `decimal(x,2).toDouble` because both are the correctly-rounded double
-    * of the same rational. */
+    * and products of the unscaled integers are exact in Long; HALF_UP
+    * re-rounding to cents is `(u + 50) div 100` for non-negative u; and
+    * `long.toDouble / 100.0` equals `decimal(x,2).toDouble` because both are
+    * the correctly-rounded double of the same rational.
+    *
+    * PRECONDITION — bounded per-group row count. The long sum is exact only
+    * while it stays under 2^63; apply this ONLY where the per-group row
+    * count is bounded by a key's cardinality (q_topk sums per order / per
+    * customer, q10 per customer-within-6-months), never to low-cardinality
+    * groups whose size grows with SF (q3/q5 group by n_name — 25 groups —
+    * and their 10^-4-unit sums would reach ~93% of Long.MaxValue at the
+    * 100 TB design point, wrapping silently past it; they use decimal sums,
+    * precision 38, ~9 orders of magnitude more headroom). */
   private def unscaled(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
@@ -89,19 +97,18 @@ object QueriesCore {
     "q3_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
-      // revenue on unscaled longs: price_cents × (100 − disc_cents) is the
-      // same exact integer as the decimal(18,2)×decimal(18,2) product (in
-      // 10^-4 units); the per-group FINALE converts the one summed long
-      // back to decimal and replays the original round/cast — identical
-      // values, primitive-long agg buffers instead of >18-precision
-      // BigDecimal per row (see `unscaled`).
-      val revUnits = unscaled(col("l_extendedprice").cast("decimal(18,2)")) *
-        (lit(100L) - unscaled(col("l_discount").cast("decimal(18,2)")))
+      // decimal sums, NOT unscaled longs: q3 groups by n_name (25 groups), so
+      // per-group row counts grow with SF and the 10^-4-unit long sum reaches
+      // ~93% of Long.MaxValue at the 100 TB design point (silent wrap past
+      // it); the precision-28 decimal buffer overflows ~9 orders of magnitude
+      // later. The unscaled rewrite measured NEUTRAL here anyway (r18 A/B:
+      // 0.278 vs 0.266 CPU-s — tiny group count, join-dominated).
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(revUnits).cast("decimal(38,0)") / lit(10000L), 2)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
           .cast("double").as("revenue"))
         .orderBy("n_name")
     }),
@@ -163,11 +170,12 @@ object QueriesCore {
         .join(su, li("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .groupBy(col("n_name"))
-        // identical decimal(18,4) quantization per row, summed as unscaled
-        // longs; per-group finale replays round/cast (see `unscaled`)
-        .agg(round(sum(unscaled((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)"))).cast("decimal(38,0)") / lit(10000L), 2)
-          .cast("double").as("revenue"))
+        // decimal sum, NOT unscaled longs: like q3, n_name gives 25 groups so
+        // per-group rows grow with SF — the long sum wraps silently near the
+        // 100 TB design point while the decimal buffer has ~9 orders of
+        // magnitude more headroom; the rewrite measured NEUTRAL here (r18)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     "q10_returned" -> ((s, dir) => {

@@ -43,17 +43,27 @@ object Upsert {
     * Spark's radix-sort on the long grouping prefix makes the two
     * aggregate sorts far cheaper than an extra payload shuffle. Reverted;
     * OPTIMIZATION_r18.md has the plan excerpts.
+    *
+    * Payload width (r19, guide §2.3 — narrower types through the exchange):
+    * downstream only ever asks "was the final event a DELETE?", so the
+    * aggregate payload carries that BOOLEAN instead of the op string — the
+    * string compare runs once map-side per input row, and the exchange +
+    * both aggregate sorts move ~16 fewer bytes per row. `op =!= "DELETE"`
+    * and `!(op === "DELETE")` agree for every op value including null
+    * (both null out → the row appears in neither split), so the split is
+    * value-identical.
     */
   private def latestByKey(env: DataFrame, groupCols: Seq[Column]): DataFrame =
     env
       .groupBy(groupCols.toIndexedSeq: _*)
-      .agg(max_by(struct(col(Envelope.OpCol), col(Envelope.AfterCol)), col(Envelope.SeqCol))
-        .as("__last"))
+      .agg(max_by(
+        struct((col(Envelope.OpCol) === "DELETE").as("__del"), col(Envelope.AfterCol)),
+        col(Envelope.SeqCol)).as("__last"))
 
   /** Split the aggregate into (surviving rows, deleted keys). */
   private def splitLatest(latest: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
-    val upserts = latest.filter(col("__last.op") =!= "DELETE").select(col("__last.after.*"))
-    val deletes = latest.filter(col("__last.op") === "DELETE")
+    val upserts = latest.filter(!col("__last.__del")).select(col("__last.after.*"))
+    val deletes = latest.filter(col("__last.__del"))
       .select(keyCols.map(col).toIndexedSeq: _*)
     (upserts, deletes)
   }
@@ -70,7 +80,7 @@ object Upsert {
   def materializeRouted(env: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "upsert materialization requires primary keys")
     latestByKey(env, col("sinkTableId") +: keyCols.map(keyCol))
-      .filter(col("__last.op") =!= "DELETE")
+      .filter(!col("__last.__del"))
       .select(col("sinkTableId"), col("__last.after.*"))
   }
 

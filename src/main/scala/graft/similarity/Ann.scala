@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Exact top-k per query by cosine. Ties broken by corpus id (deterministic). */
+  /** Exact top-k per query by cosine. Ties broken by corpus id (deterministic).
+    *
+    * Norms are HOISTED to the per-row stage (r19; same transformation and
+    * bit-identity argument as `Dedup.embeddingNearDuplicates`, r18): the
+    * nested-loop join scores every corpus row against every query, so
+    * `cosine(c, q)` re-derived both norms |pairs| times — 3 dot products per
+    * pair. Carrying `nrm = sqrt(dot(v, v))` per row makes each pair one dot
+    * + the same multiply/divide in the same IEEE order → bit-identical.
+    */
   def bruteForceTopK(
       corpus: DataFrame,
       corpusId: String,
@@ -30,12 +38,15 @@ object Ann {
       queryVec: String,
       k: Int): DataFrame = {
     val scored = corpus
-      .select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
-      .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))))
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cvec"),
+        VectorFunctions.norm(col(corpusVec)).as("__cnrm"))
+      .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
+        VectorFunctions.norm(col(queryVec)).as("__qnrm"))))
       .select(
         col("qid"),
         col("cid"),
-        VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+        (VectorFunctions.dot(col("cvec"), col("qvec")) /
+          (col("__cnrm") * col("__qnrm"))).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -60,25 +71,31 @@ object Ann {
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     val (perBand, mask) = graft.dedup.Dedup.bandSplit(bits, bands)
-    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
+    // norms hoisted to the per-row stage, BEFORE the band explode (r19; the
+    // Dedup payload-struct pattern): each row's norm is computed once, rides
+    // the payload through the band join and the first() aggregate, and each
+    // surviving candidate pair costs one dot instead of three — same IEEE
+    // order in the final multiply/divide, so cosine is bit-identical
+    def banded(df: DataFrame, id: String, vec: String, idAs: String, pAs: String) =
       df.select(
         col(id).as(idAs),
-        col(vec).as(vecAs),
+        struct(col(vec).as("vec"), VectorFunctions.norm(col(vec)).as("nrm")).as(pAs),
         posexplode(array((0 until bands).map(b => shiftright(
           VectorFunctions.hyperplaneSignature(col(vec), dim, bits, seed),
           b * perBand).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "chunk")
-    val c = banded(corpus, corpusId, corpusVec, "cid", "cvec")
-    val q = banded(queries, queryId, queryVec, "qid", "qvec")
+    val c = banded(corpus, corpusId, corpusVec, "cid", "cpay")
+    val q = banded(queries, queryId, queryVec, "qid", "qpay")
     val cands = c.join(broadcast(q), Seq("band", "chunk"))
-      .select(col("qid"), col("cid"), col("cvec"), col("qvec"))
+      .select(col("qid"), col("cid"), col("cpay"), col("qpay"))
       .groupBy("qid", "cid")
-      .agg(first("cvec").as("cvec"), first("qvec").as("qvec"))
+      .agg(first("cpay").as("cpay"), first("qpay").as("qpay"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     cands
       .select(col("qid"), col("cid"),
-        VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+        (VectorFunctions.dot(col("cpay.vec"), col("qpay.vec")) /
+          (col("cpay.nrm") * col("qpay.nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -132,15 +149,22 @@ object Ann {
         nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat)))
       }
       val probes = probePairs.toDF("qid", "bucket", "qvec")
+        .withColumn("__qnrm", VectorFunctions.norm(col("qvec")))
       // the bucket list was computed DRIVER-side just above: deriving it
       // locally avoids launching a Spark job per query batch to collect
       // back data the driver already holds
       val needed = probePairs.map(_._2).distinct
-      val cands = readBuckets(spark, path, needed).join(broadcast(probes), Seq("bucket"))
+      // norms hoisted to the per-row stage (r19): each corpus row joins every
+      // probe of its bucket, so cosine re-derived both norms per PAIR; the
+      // same multiply/divide order keeps the value bit-identical
+      val cands = readBuckets(spark, path, needed)
+        .withColumn("__cnrm", VectorFunctions.norm(col("cvec")))
+        .join(broadcast(probes), Seq("bucket"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       cands
         .select(col("qid"), col("cid"),
-          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+          (VectorFunctions.dot(col("cvec"), col("qvec")) /
+            (col("__cnrm") * col("__qnrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -164,18 +188,22 @@ object Ann {
         nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat), attr.toString))
       }
       val probes = probePairs.toDF("qid", "bucket", "qvec", "__qattr")
+        .withColumn("__qnrm", VectorFunctions.norm(col("qvec")))
       val needed = probePairs.map(_._2).distinct
       // raw (uncast) values on the partition columns: a cast would block
       // partition pruning — the cast-to-string match lives in the join filter
       val attrs = queries.map(_._3).distinct
+      // per-row norm hoist (r19), same bit-identity argument as topK
       val cands = spark.read.parquet(path)
         .filter(col("bucket").isin(needed: _*) && col(attrCol).isin(attrs: _*))
+        .withColumn("__cnrm", VectorFunctions.norm(col("cvec")))
         .join(broadcast(probes), Seq("bucket"))
         .filter(col(attrCol).cast("string") === col("__qattr"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       cands
         .select(col("qid"), col("cid"),
-          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+          (VectorFunctions.dot(col("cvec"), col("qvec")) /
+            (col("__cnrm") * col("__qnrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -208,12 +236,17 @@ object Ann {
       val probes = queries.flatMap { case (qid, v, attr) =>
         nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat), attr.toString))
       }.toDF("qid", "bucket", "qvec", "__qattr")
-      val cands = assigned.join(broadcast(probes), Seq("bucket"))
+        .withColumn("__qnrm", VectorFunctions.norm(col("qvec")))
+      // per-row norm hoist (r19), same bit-identity argument as topK
+      val cands = assigned
+        .withColumn("__cnrm", VectorFunctions.norm(col("cvec")))
+        .join(broadcast(probes), Seq("bucket"))
         .filter(col(attrCol).cast("string") === col("__qattr"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       cands
         .select(col("qid"), col("cid"),
-          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+          (VectorFunctions.dot(col("cvec"), col("qvec")) /
+            (col("__cnrm") * col("__qnrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -227,11 +260,18 @@ object Ann {
       val probes = queries.flatMap { case (qid, v) =>
         nearestCentroids(v, nprobe).map(b => (qid, b, v.map(_.toFloat)))
       }.toDF("qid", "bucket", "qvec")
-      val cands = assigned.join(broadcast(probes), Seq("bucket"))
+        .withColumn("__qnrm", VectorFunctions.norm(col("qvec")))
+      // per-row norm hoist (r19): each corpus row of a probed bucket joins
+      // every probe of that bucket — cosine re-derived both norms per PAIR;
+      // the same multiply/divide order keeps the value bit-identical
+      val cands = assigned
+        .withColumn("__cnrm", VectorFunctions.norm(col("cvec")))
+        .join(broadcast(probes), Seq("bucket"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       cands
         .select(col("qid"), col("cid"),
-          VectorFunctions.cosine(col("cvec"), col("qvec")).as("cosine"))
+          (VectorFunctions.dot(col("cvec"), col("qvec")) /
+            (col("__cnrm") * col("__qnrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"), col("rank"))

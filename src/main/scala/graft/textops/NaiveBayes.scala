@@ -86,16 +86,27 @@ object NaiveBayes {
       labelStats: DataFrame): DataFrame = {
     val occ = candidates
       .select(col(idCol), explode_outer(PerplexityLm.tokens(col(textCol))).as("w"))
-    // every document scores under EVERY label: cross the (small, broadcast)
-    // label list with the occurrences, then left-join the model — a missing
-    // (label, token) pair falls back to the label's unseen likelihood
-    val m = model.select(col("label").as("mlabel"), col("w").as("mw"), col("ll"))
+    // one model probe per TOKEN, not per token×label (r19, guide §3/§2.3):
+    // the model pivots to token → map(label → ll), each occurrence joins it
+    // ONCE, and the per-label fan-out happens AFTER the join as a map
+    // lookup on the already-attached entry. The previous shape crossed the
+    // occurrences with the label list FIRST and probed the (label, token)
+    // model |labels|× per occurrence — |labels|× the joined rows, |labels|×
+    // the string hashing. Values are identical: per (doc, label) the term
+    // multiset is unchanged (w null → 0; label hit in the token's map → ll;
+    // token unseen for that label or entirely → llUnseen), and decimal
+    // addition is exact, so any association order sums to the same decimal
+    // and the argmax is bit-identical (oracle re-proved).
+    val tokenModel = model.groupBy(col("w").as("mw"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("label"), col("ll")))))
+        .as("mll"))
     val scored = occ
+      .join(broadcast(tokenModel), col("w") === col("mw"), "left")
       .crossJoin(broadcast(labelStats))
-      .join(m, col("label") === col("mlabel") && col("w") === col("mw"), "left")
       .select(col(idCol), col("label"), col("prior"),
         when(col("w").isNull, lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
-          .otherwise(coalesce(col("ll"), col("llUnseen"))).as("term"))
+          .otherwise(coalesce(element_at(col("mll"), col("label")), col("llUnseen")))
+          .as("term"))
       .groupBy(idCol, "label")
       .agg(first(col("prior")).as("prior"), sum(col("term")).as("lsum"))
       .select(col(idCol), col("label"), (col("prior") + col("lsum")).as("score"))

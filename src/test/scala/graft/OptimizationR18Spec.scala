@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * refactor cannot silently regress the plan shapes the round measured:
   *  - LSH self-joins compute the banded-signature subtree ONCE (shared
   *    exchange + runtime reuse), not once per join side;
-  *  - model training (NaiveBayes / PerplexityLm) returns MATERIALIZED count
-  *    tables, so scoring plans do not re-run the training aggregates;
+  *  - model training (NaiveBayes / PerplexityLm) stays LAZY — query
+  *    construction launches zero jobs (the eager-checkpoint experiment was
+  *    measured SLOWER and reverted; AQE stage reuse already dedups the
+  *    identical training exchanges at runtime);
   *  - a lakehouse MERGE commit writes O(touched buckets) files, not
   *    O(write tasks × buckets).
   */
