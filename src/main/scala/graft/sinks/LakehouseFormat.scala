@@ -83,7 +83,15 @@ object LakehouseFormat {
       meta: Option[Meta],
       files: Seq[AddFile],
       txns: Map[String, Long],
-      deleteFiles: Seq[EqualityDeleteFile] = Seq.empty) {
+      deleteFiles: Seq[EqualityDeleteFile] = Seq.empty,
+      /** Version at/after which `meta` is known to be in force: the commit
+        * that carried the last Meta action, or the CHECKPOINT version when
+        * the meta came from a checkpoint (a conservative upper bound — the
+        * checkpoint does not record when its meta landed). A data file with
+        * `ver >= metaVer` was provably written under `meta.schema`, which
+        * lets reads pin that schema instead of running a per-read
+        * `mergeSchema` footer-inference job (r19). `-1` = unknown. */
+      metaVer: Long = -1L) {
     def schema: TableSchema = meta.getOrElse(
       throw new IllegalStateException("table has no meta action (not created)")).schema
     def buckets: Int = meta.map(_.buckets).getOrElse(16)
@@ -240,15 +248,18 @@ final class LakehouseTable(
     listLogNames().collect { case checkpointName(v) => v.toLong }
       .filter(v => upTo.forall(v <= _)).maxOption
 
+  /** Returns true when the lines carried a Meta action (so the caller can
+    * track the version the current meta landed at — see Snapshot.metaVer). */
   private def replayInto(
       lines: Iterable[String],
       meta: Array[Option[Meta]],
       files: scala.collection.mutable.LinkedHashMap[String, AddFile],
       txns: scala.collection.mutable.Map[String, Long],
-      deletes: scala.collection.mutable.LinkedHashMap[String, EqualityDeleteFile]): Unit =
+      deletes: scala.collection.mutable.LinkedHashMap[String, EqualityDeleteFile]): Boolean = {
+    var sawMeta = false
     lines.filter(_.nonEmpty).foreach {
       decode(_) match {
-        case m: Meta => meta(0) = Some(m)
+        case m: Meta => meta(0) = Some(m); sawMeta = true
         case a: AddFile => files(a.path) = a
         case RemoveFile(p) => files.remove(p); deletes.remove(p)
         case d: EqualityDeleteFile => deletes(d.path) = d
@@ -256,6 +267,8 @@ final class LakehouseTable(
         case _: ChangeFile => () // per-commit change data, never live state
       }
     }
+    sawMeta
+  }
 
   /** Replay the log up to and including `upTo` (default: latest), starting
     * from the newest eligible checkpoint. */
@@ -276,16 +289,20 @@ final class LakehouseTable(
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val deletes = scala.collection.mutable.LinkedHashMap.empty[String, EqualityDeleteFile]
+    var metaVer = -1L
     ckpt.foreach { cv =>
-      replayInto(
-        Files.readAllLines(logDir.resolve(f"$cv%020d.checkpoint.json")).asScala,
-        meta, files, txns, deletes)
+      if (replayInto(
+          Files.readAllLines(logDir.resolve(f"$cv%020d.checkpoint.json")).asScala,
+          meta, files, txns, deletes))
+        metaVer = cv // conservative: the meta landed at or before cv
     }
-    versions.foreach(v =>
-      replayInto(Files.readAllLines(logFile(v)).asScala, meta, files, txns, deletes))
+    versions.foreach { v =>
+      if (replayInto(Files.readAllLines(logFile(v)).asScala, meta, files, txns, deletes))
+        metaVer = v
+    }
     Snapshot(
       versions.lastOption.orElse(ckpt).getOrElse(-1L), meta(0), files.values.toSeq,
-      txns.toMap, deletes.values.toSeq)
+      txns.toMap, deletes.values.toSeq, metaVer)
   }
 
   private def maybeCheckpoint(v: Long): Unit =
@@ -463,11 +480,26 @@ final class LakehouseTable(
     if (keep.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
-    def raw(fs: Seq[AddFile]): DataFrame =
-      SchemaDerivator.coerce(
-        spark.read.option("mergeSchema", "true")
-          .parquet(fs.map(f => Paths.get(dir, f.path).toString): _*),
-        schema.struct)
+    // Pinned-schema fast path (r19, measured with the b6/b5 probes): a file
+    // whose `ver` is at or past the snapshot's `metaVer` was provably
+    // written under the CURRENT schema, so when that holds for every kept
+    // file the read schema comes from the log and the per-read `mergeSchema`
+    // parquet footer-inference job (a distributed job per readData call —
+    // every merge pays it when rewriting buckets) disappears. Any file
+    // predating the last schema change keeps the mergeSchema path; values
+    // are identical either way (the coerce to the latest schema runs in
+    // both, and pre-change files only ever need widening/null-fill, which
+    // the merged-footer union performed identically).
+    def raw(fs: Seq[AddFile]): DataFrame = {
+      val src =
+        if (snap.metaVer >= 0 && fs.forall(_.ver >= snap.metaVer))
+          spark.read.schema(schema.struct)
+            .parquet(fs.map(f => Paths.get(dir, f.path).toString): _*)
+        else
+          spark.read.option("mergeSchema", "true")
+            .parquet(fs.map(f => Paths.get(dir, f.path).toString): _*)
+      SchemaDerivator.coerce(src, schema.struct)
+    }
     val dels = snap.deleteFiles
     if (dels.isEmpty) raw(keep)
     else {
@@ -628,7 +660,17 @@ final class LakehouseTable(
               .select(pks.map(col) ++ nonPk.map(x => combined(x).as(x)): _*)
           case _ => batch
         }
-        val next = kept.map(_.unionByName(incoming)).getOrElse(incoming)
+        // Coerce the merged output BACK to the declared schema before the
+        // write (r19): the aggregate engine's fold widens types (e.g.
+        // decimal(18,2) + decimal(18,2) is decimal(19,2)), so without this
+        // the written files drift from the declared schema and every later
+        // read must heal the drift via the mergeSchema footer-inference job
+        // + read-side coerce. Writing the declared types makes "files match
+        // the snapshot schema" an invariant the pinned-schema read fast path
+        // can rely on. Values are identical: the identical cast previously
+        // ran at read time on exactly these cells.
+        val next = SchemaDerivator.coerce(
+          kept.map(_.unionByName(incoming)).getOrElse(incoming), schema.struct)
 
         // write the rewritten buckets as a new immutable commit directory.
         // CLUSTER BY BUCKET before the partitioned write (guide §6 / Iceberg
@@ -1507,20 +1549,39 @@ final class LakehouseTable(
           s"(oldest retained commit: ${oldest.get}); rows in expired commits " +
           "are undeliverable — expire snapshots only past consumed cursors")
     val schema = snapshot().schema
-    val newFiles = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val actions = Files.readAllLines(logFile(v)).asScala
+    val perVersion = ((fromVersion + 1) to toVersion).map { v =>
+      Files.readAllLines(logFile(v)).asScala
         .filter(_.nonEmpty).map(LakehouseFormat.decode).toSeq
+    }
+    val newFiles = perVersion.flatMap { actions =>
       if (actions.exists(_.isInstanceOf[RemoveFile])) Nil
       else actions.collect { case a: AddFile => a }
     }
     if (newFiles.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
-    else
-      SchemaDerivator.coerce(
-        spark.read.option("mergeSchema", "true")
-          .parquet(newFiles.map(f => Paths.get(dir, f.path).toString): _*),
-        schema.struct)
+    else {
+      val paths = newFiles.map(f => Paths.get(dir, f.path).toString)
+      // Pinned-schema fast path (r19, measured): when NO Meta action lands
+      // inside the range, every file in it was written under the ONE schema
+      // in force at `toVersion` — so the read schema is known from the LOG
+      // and the per-batch `mergeSchema` parquet footer-inference job (plus
+      // its distributed listing) is pure overhead. The b6 probe measured
+      // those two stages at ~0.4–0.5 s wall per micro-batch with ~zero
+      // useful CPU. A range that does contain a schema change (impossible
+      // mid-stream — the source refuses it — but legal through the batch
+      // API) keeps the mergeSchema path. Values are identical either way:
+      // files written under the pinned schema read exactly; a file with a
+      // missing column (never written by this table) nulls it in both
+      // paths; the coerce to the LATEST schema is unchanged.
+      val raw =
+        if (perVersion.exists(_.exists(_.isInstanceOf[Meta])))
+          spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        else
+          spark.read.schema(snapshot(Some(toVersion)).schema.struct)
+            .parquet(paths: _*)
+      SchemaDerivator.coerce(raw, schema.struct)
+    }
   }
 
   /** Row-level changes of the MERGE commits in `(fromVersion, toVersion]` —
@@ -1547,14 +1608,28 @@ final class LakehouseTable(
       StructField("_change_type", StringType, nullable = false))
     val full = StructType(withCt.fields :+
       StructField("_commit_version", LongType, nullable = false))
-    val perCommit = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val cdc = Files.readAllLines(logFile(v)).asScala
-        .filter(_.nonEmpty).map(LakehouseFormat.decode)
-        .collect { case ChangeFile(p) => Paths.get(dir, p).toString }
+    // same pinned-schema fast path as readChangesBetween (r19): when no
+    // Meta action lands in the range, every change-data file in it was
+    // written under the one schema in force at `toVersion` (+ the
+    // _change_type column merge() appends), so the per-range mergeSchema
+    // footer-inference job is removable; a range containing a schema
+    // change keeps the mergeSchema path
+    val perVersionActions = ((fromVersion + 1) to toVersion).map { v =>
+      v -> Files.readAllLines(logFile(v)).asScala
+        .filter(_.nonEmpty).map(LakehouseFormat.decode).toSeq
+    }
+    val pinned: Option[StructType] =
+      if (perVersionActions.exists(_._2.exists(_.isInstanceOf[Meta]))) None
+      else Some(StructType(
+        snapshot(Some(toVersion)).schema.struct.fields :+
+          StructField("_change_type", StringType, nullable = true)))
+    val perCommit = perVersionActions.flatMap { case (v, actions) =>
+      val cdc = actions.collect { case ChangeFile(p) => Paths.get(dir, p).toString }
       if (cdc.isEmpty) None
       else Some(
         SchemaDerivator.coerce(
-          spark.read.option("mergeSchema", "true").parquet(cdc.toSeq: _*), withCt)
+          pinned.fold(spark.read.option("mergeSchema", "true"))(spark.read.schema(_))
+            .parquet(cdc: _*), withCt)
           .withColumn("_commit_version", lit(v)))
     }
     if (perCommit.isEmpty)

@@ -104,6 +104,40 @@ class OptimizationR19Spec extends AnyFunSuite {
       s"the op string must not ride the aggregate payload:\n$plan")
   }
 
+  test("readChangesBetween pins the write schema when no schema change is in range") {
+    import graft.core._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("opt19_feed").toString
+    val t = new graft.sinks.LakehouseTable(spark, dir)
+    t.create(TableSchema(StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType))), primaryKeys = Seq.empty), buckets = 2)
+    (0 until 3).foreach(i =>
+      t.append(spark.range(10L * i, 10L * (i + 1)).coalesce(1)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))))
+    // no Meta in range → the read schema is pinned from the log: no
+    // mergeSchema footer-inference job (the r19 b6 fix), identical rows
+    val fast = t.readChangesBetween(0, 3)
+    assert(fast.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 30L).map(i => (i, 2 * i)))
+    // schema evolution IN range → fallback path still coerces old files to
+    // the evolved schema (new column nulled for pre-evolution rows)
+    t.updateMeta(TableSchema(
+      StructType(t.snapshot().schema.struct.fields :+ StructField("w", LongType)),
+      primaryKeys = Seq.empty))
+    t.append(spark.range(30L, 40L).coalesce(1)
+      .select(col("id").as("k"), (col("id") * 2).as("v"), (col("id") * 3).as("w")))
+    val evolved = t.readChangesBetween(0, 5)
+    assert(evolved.count() == 40)
+    assert(evolved.filter(col("k") < 30 && col("w").isNull).count() == 30)
+    assert(evolved.filter(col("k") >= 30 && col("w") === col("k") * 3).count() == 10)
+    // cursor refusal semantics unchanged: reading from an expired version
+    // still fails loudly (r19 touched only the read plan, not the cursor)
+    t.expireSnapshots(keepLast = 2)
+    val err = intercept[IllegalArgumentException](t.readChangesBetween(0, 5))
+    assert(err.getMessage.contains("expired"))
+  }
+
   test("q3/q5 revenue aggregates sum DECIMAL, not unscaled longs (overflow headroom)") {
     // the unscaled-long form reaches ~93% of Long.MaxValue per n_name group
     // at SF≈100k and wraps silently past it; the decimal buffers overflow
