@@ -116,8 +116,15 @@ class OptimizationR19Spec extends AnyFunSuite {
       t.append(spark.range(10L * i, 10L * (i + 1)).coalesce(1)
         .select(col("id").as("k"), (col("id") * 2).as("v"))))
     // no Meta in range → the read schema is pinned from the log: no
-    // mergeSchema footer-inference job (the r19 b6 fix), identical rows
+    // mergeSchema footer-inference job (the r19 b6 fix), identical rows.
+    // The inference job ran at DataFrame CONSTRUCTION time, so the pin is
+    // "construction launches zero Spark jobs" (same invariant style as the
+    // r18 minhash laziness pin).
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val fast = t.readChangesBetween(0, 3)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore,
+      "pinned-schema change-feed construction must not run a schema-inference job")
     assert(fast.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       (0L until 30L).map(i => (i, 2 * i)))
     // schema evolution IN range → fallback path still coerces old files to
