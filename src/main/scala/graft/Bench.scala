@@ -3,7 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on `SPARK_GRAFT_SF_DIR` and
-  * prints ONE JSON line `{"metric","value","unit","queries",...}`.
+  * prints JSON lines ending with the compact CONTRACT line
+  * `{"metric","value","unit","queries",<wall medians>,"cpu",<task-CPU
+  * medians>,"sf",...}` (self-sufficient, sized to survive a 2000-char
+  * tail capture whole); the full record (raw per-run arrays, baseline
+  * envelope, drift audit) precedes it on its own lines and in
+  * `target/bench_full.json`.
   *
   * Failed queries are reported as negative sentinels AND listed in an
   * `"errors"` map (a fast failure must not look like a fast query).
